@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One entry in the engine's query surface.
+  *
+  * @param name   stable identifier (key in `SparkEntry.queries`)
+  * @param run    builds the result for a given testdata dir
+  * @param oracle equivalent ANSI SQL for DuckDB over the same parquet
+  *               tables (None → driver records a weaker rows-only check).
+  *               Column names/aliases MUST match the Spark result exactly.
+  */
+final case class GraftQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  /** Shared session tuning applied by Verify/Bench/tests.
+    * ANSI off: the reference's semantics are Postgres-lenient
+    * (cast failure routes rows, never aborts — Cleansing.sql:87-106);
+    * try-cast-to-NULL is the engine-wide contract (SURVEY §2 F2).
+    */
+  val sessionConfs: Map[String, String] = Map(
+    "spark.sql.ansi.enabled" -> "false",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
+}

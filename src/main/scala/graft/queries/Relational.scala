@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{GraftQuery, Tables}
+
+/** Core relational operator coverage (SURVEY.md §2.2-§2.6) re-expressed
+  * over the driver's TPC-H-ish testdata tables.
+  *
+  * Design rules applied throughout:
+  *  - declarative DataFrame ops only → Catalyst pushes filters/prunes
+  *    columns into the parquet scan and picks join strategies;
+  *  - explicit `broadcast()` on dimension-sized sides (region/nation/
+  *    supplier/part are tiny at every SF; at 100 TB the fact side grows
+  *    but these dims stay broadcastable);
+  *  - every aggregate/computed column aliased identically in the Spark
+  *    plan and the DuckDB oracle (driver hash-compares by column name);
+  *  - floating aggregates rounded at the end (never mid-plan) so both
+  *    engines agree bit-for-bit after summation-order differences.
+  */
+object Relational {
+
+  /** A4/A5/P10 — grouped aggregation with partial (map-side) combine.
+    * Mirrors the reference's GROUP BY..HAVING guard
+    * (ProductDimension.sql:124-130) generalized to the TPC-H Q1 shape.
+    * Scale: hash aggregate, map-side partial agg ⇒ shuffle carries only
+    * (flag,status) groups — O(groups), not O(rows). */
+  val q01PricingSummary = GraftQuery(
+    "q01_pricing_summary",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  round(sum(l_quantity), 2) AS sum_qty,
+           |  round(sum(l_extendedprice), 2) AS sum_base_price,
+           |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+           |  round(avg(l_quantity), 4) AS avg_qty,
+           |  round(avg(l_discount), 4) AS avg_disc,
+           |  count(*) AS count_order
+           |FROM lineitem
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** J1/J3/J6 — multi-way equi-join chain with broadcast dims
+    * (snowflake collapse, LocationDimension.sql:171-180 shape):
+    * lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+    * Scale: only the lineitem⋈orders edge is a real shuffle candidate;
+    * customer/nation/region are broadcast so the fact side never
+    * repartitions for them. */
+  val q02RevenueByNation = GraftQuery(
+    "q02_revenue_by_nation",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(r("r_name").as("region_name"), n("n_name").as("nation_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("region_name", "nation_name")
+    },
+    Some("""SELECT r_name AS region_name, n_name AS nation_name,
+           |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           |  count(*) AS n_items
+           |FROM lineitem
+           |JOIN orders   ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation   ON c_nationkey = n_nationkey
+           |JOIN region   ON n_regionkey = r_regionkey
+           |GROUP BY 1, 2
+           |ORDER BY 1, 2""".stripMargin))
+
+  /** W3 — top-1-per-group ("ORDER BY … LIMIT 1" correlated pattern,
+    * FactTable.sql:25-26) via max_by-equivalent window; deterministic
+    * tiebreak on (price desc, orderkey, linenumber). */
+  val q03TopPerSupplier = GraftQuery(
+    "q03_top_item_per_supplier",
+    (s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      Tables.lineitem(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(
+          col("l_suppkey"),
+          col("l_orderkey").as("top_orderkey"),
+          col("l_linenumber").as("top_linenumber"),
+          round(col("l_extendedprice"), 2).as("top_price"))
+        .orderBy("l_suppkey")
+    },
+    Some("""SELECT l_suppkey, l_orderkey AS top_orderkey,
+           |  l_linenumber AS top_linenumber,
+           |  round(l_extendedprice, 2) AS top_price
+           |FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY l_suppkey
+           |    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+           |  FROM lineitem)
+           |WHERE rn = 1
+           |ORDER BY l_suppkey""".stripMargin))
+
+  /** W1/W2 — dense_rank + row_number surrogate-ID assignment
+    * (ProductDimension.sql:143-152, LocationDimension.sql:162):
+    * 'P'+zero-padded dense_rank by natural key. Unpartitioned window ⇒
+    * single-partition sort; fine for dim-sized input (documented scale
+    * cliff in SURVEY §4 — dims stay small even at 100 TB facts). */
+  val q04SurrogateIds = GraftQuery(
+    "q04_surrogate_ids",
+    (s, dir) => {
+      Tables.part(s, dir)
+        .select("p_partkey", "p_brand", "p_name")
+        .withColumn("brand_id",
+          concat(lit("B"), lpad(dense_rank().over(Window.orderBy("p_brand")).cast("string"), 6, "0")))
+        .withColumn("part_seq",
+          concat(lit("P"), lpad(row_number().over(Window.orderBy("p_name", "p_partkey")).cast("string"), 6, "0")))
+        .select("p_partkey", "p_name", "p_brand", "brand_id", "part_seq")
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey, p_name, p_brand,
+           |  'B' || lpad(CAST(dense_rank() OVER (ORDER BY p_brand) AS VARCHAR), 6, '0') AS brand_id,
+           |  'P' || lpad(CAST(row_number() OVER (ORDER BY p_name, p_partkey) AS VARCHAR), 6, '0') AS part_seq
+           |FROM part
+           |ORDER BY p_partkey""".stripMargin))
+
+  /** J8/F3 — NOT EXISTS anti-join (ProductDimension.sql:33-39): parts
+    * never ordered in bulk (quantity ≥ 45). left_anti ⇒ Spark hashes
+    * only the distinct keys of the filtered right side; the l_quantity
+    * filter is pushed into the parquet scan before the join. */
+  val q05NeverOrderedParts = GraftQuery(
+    "q05_never_bulk_ordered_parts",
+    (s, dir) => {
+      val p = Tables.part(s, dir)
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 45).select("l_partkey")
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey, p_name, p_brand
+           |FROM part p
+           |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+           |                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45)
+           |ORDER BY p_partkey""".stripMargin))
+
+  /** J9-adjacent — EXISTS semi-join: customers having at least one
+    * high-priority order. left_semi keeps the probe side narrow (no
+    * column explosion, no dedup needed afterwards). */
+  val q06CustomersWithUrgentOrders = GraftQuery(
+    "q06_customers_with_urgent_orders",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment
+           |FROM customer c
+           |WHERE EXISTS (SELECT 1 FROM orders o
+           |              WHERE o.o_custkey = c.c_custkey
+           |                AND o.o_orderpriority = '1-URGENT')
+           |ORDER BY c_custkey""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(
+    q01PricingSummary, q02RevenueByNation, q03TopPerSupplier,
+    q04SurrogateIds, q05NeverOrderedParts, q06CustomersWithUrgentOrders)
+}
