@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** J1-J5/W3/P10 — fact build (ref: FactTable.sql:2-115).
+  *
+  * Stage 1 joins cleansed to the product dimension by name and attaches
+  * the as-of price: the reference's correlated scalar subquery "latest
+  * price_each with last_update_date <= order_date" (FactTable.sql:18-27)
+  * is decorrelated into an interval join — each SCD2 version gets
+  * [valid_from, valid_to) from a lead() window, and an order row
+  * matches the single version whose interval contains its date. The
+  * dims are broadcast, so the fact side never shuffles for stages 1-3.
+  *
+  * The final fact keeps the reference's dense-cube semantics
+  * (time × product × location LEFT JOIN stage3 + COALESCE(qty, 0),
+  * FactTable.sql:78-110) behind `dense = true`. The cube amplifies
+  * ~575× at reference scale and is catastrophic at 100 TB — `dense =
+  * false` yields the sparse fact (stage 3 enriched with hierarchy ids),
+  * with cube-style analysis left to GROUP BY ... WITH CUBE over it
+  * (SURVEY §7.4-4).
+  */
+object FactBuilder {
+
+  /** SCD2 versions → [valid_from, valid_to) intervals per name. */
+  private[pipeline] def priceIntervals(productDim: DataFrame): DataFrame = {
+    val byName = Window.partitionBy("product_name").orderBy("last_update_date")
+    productDim.select(
+      col("product_name").as("pi_name"),
+      col("price_each").as("pi_price"),
+      col("last_update_date").as("valid_from"),
+      lead("last_update_date", 1).over(byName).as("valid_to"))
+  }
+
+  def apply(cleansed: DataFrame, productDim: DataFrame, locationDim: DataFrame,
+            timeDim: DataFrame, dense: Boolean = true): DataFrame = {
+    // Stage 1 — ⋈ product by name (INNER, one row per SCD2 *version*,
+    // faithfully matching FactTable.sql:29-34) + as-of price.
+    val pd1 = productDim.select(col("product_id"), col("product_name"))
+    val intervals = priceIntervals(productDim)
+    val s1 = cleansed
+      .join(broadcast(pd1), cleansed("product") === pd1("product_name"), "inner")
+      .join(broadcast(intervals),
+        cleansed("product") === intervals("pi_name") and
+          intervals("valid_from") <= cleansed("order_date").cast("date") and
+          (intervals("valid_to").isNull or
+            intervals("valid_to") > cleansed("order_date").cast("date")),
+        "left")
+      .select(
+        col("order_id"), col("product_id"), col("product"),
+        col("pi_price").as("price_each"),
+        col("quantity_ordered"), col("order_date"),
+        col("street"), col("city"), col("state"), col("postal"))
+
+    // Stage 2 — ⋈ location on the 4-part natural key (FactTable.sql:46-53).
+    val loc = locationDim.select("location_id", "street_name", "city_name",
+      "state_name", "postal")
+    val s2 = s1.join(broadcast(loc),
+      s1("street") === loc("street_name") and s1("city") === loc("city_name") and
+        s1("state") === loc("state_name") and s1("postal") === loc("postal"),
+      "inner")
+      .select(s1("order_id"), s1("product_id"), s1("product"), s1("price_each"),
+        s1("quantity_ordered"), s1("order_date").cast("date").as("order_date"),
+        loc("location_id"), s1("street"), s1("city"), s1("state"), s1("postal"))
+
+    // Stage 3 — ⋈ time on the day (FactTable.sql:70-75).
+    val t = timeDim.select(col("time_id").as("t_time_id"), col("time_desc"))
+    val s3 = s2.join(broadcast(t), s2("order_date") === t("time_desc"), "inner")
+      .select(col("order_id"), col("product_id"), col("product"),
+        col("price_each"), col("quantity_ordered"),
+        col("t_time_id").as("time_id"), col("order_date"), col("location_id"),
+        col("street"), col("city"), col("state"), col("postal"))
+
+    if (!dense) return sparseFact(s3, timeDim)
+
+    // Dense cube — time × product × location ⟕ stage3 (FactTable.sql:78-110).
+    // Stage3 is order-sized (≪ cube) ⇒ broadcast the left join: the cube
+    // build is then entirely shuffle-free narrow work over the generated
+    // cross product.
+    val s3k = s3.select(col("time_id").as("f_time_id"),
+      col("product_id").as("f_product_id"),
+      col("location_id").as("f_location_id"), col("quantity_ordered"))
+    val cube = timeDim
+      .crossJoin(productDim.select("product_id", "product_name", "price_each"))
+      .crossJoin(locationDim)
+    cube.join(broadcast(s3k),
+      cube("product_id") === s3k("f_product_id") and
+        cube("time_id") === s3k("f_time_id") and
+        cube("location_id") === s3k("f_location_id"),
+      "left")
+      .select(
+        col("time_id"), col("product_id"),
+        col("product_name").as("product"), col("price_each"),
+        coalesce(col("quantity_ordered"), lit(0)).as("quantity_ordered"),
+        col("time_desc").as("order_date"),
+        col("week_id"), col("month_id"), col("quarter_id"),
+        col("half_year_id"), col("year_id"),
+        col("location_id"), col("street_name"), col("street_id"),
+        col("city_name"), col("city_id"), col("state_name"), col("state_id"),
+        col("postal"))
+  }
+
+  /** Sparse fact: stage-3 rows enriched with the time hierarchy ids —
+    * same analytical power via GROUP BY/CUBE, no 575× amplification. */
+  private def sparseFact(s3: DataFrame, timeDim: DataFrame): DataFrame = {
+    // Hierarchy columns renamed before the join: s3's lineage already
+    // contains timeDim, so reusing its column refs would be ambiguous.
+    val th = timeDim.select(col("time_id").as("th_time_id"),
+      col("week_id").as("th_week_id"), col("month_id").as("th_month_id"),
+      col("quarter_id").as("th_quarter_id"),
+      col("half_year_id").as("th_half_year_id"),
+      col("year_id").as("th_year_id"))
+    s3.join(broadcast(th), s3("time_id") === th("th_time_id"), "inner")
+      .select(s3("time_id"), s3("product_id"), s3("product"), s3("price_each"),
+        s3("quantity_ordered"), s3("order_date"),
+        col("th_week_id").as("week_id"), col("th_month_id").as("month_id"),
+        col("th_quarter_id").as("quarter_id"),
+        col("th_half_year_id").as("half_year_id"),
+        col("th_year_id").as("year_id"),
+        s3("location_id"), s3("street"), s3("city"), s3("state"), s3("postal"))
+  }
+}

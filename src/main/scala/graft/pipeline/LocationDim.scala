@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** F4/W2/J6/P5/P6/S7 — snowflake-collapsed location dimension
+  * (ref: LocationDimension.sql:2-184), set-based.
+  *
+  * The reference walks cleansed with a cursor doing lookup-before-
+  * insert per level with COUNT(*)+1 surrogate counters (O(n²), ref:
+  * LocationDimension.sql:76-133). Level natural keys, taken from its
+  * WHERE clauses:
+  *   state  = (state_name, postal)          (LocationDimension.sql:91)
+  *   city   = (city_name, state-level key)  (LocationDimension.sql:108)
+  *   street = (street_name, city-level key) (LocationDimension.sql:125)
+  * so each level is really keyed by its full ancestor chain — we derive
+  * all three with `dropDuplicates` + `dense_rank` in one pass.
+  *
+  * Documented deviations (SURVEY §7.4):
+  *  - IDs ordered by natural key, not cursor-encounter order (the
+  *    reference's own final L-ids are not reproducible bit-for-bit);
+  *  - LPAD width 6 everywhere (the reference's 3-digit pads silently
+  *    truncate past 999 — real collision at its own 9,160 streets).
+  *
+  * Scale: dimension build is dwarfed by the fact side; the
+  * unpartitioned rank windows are a documented dim-scale-only choice.
+  * Output columns exactly match location_dimension
+  * (ref: LocationDimension.sql:62-72).
+  */
+object LocationDim {
+
+  private def padId(prefix: String, rank: org.apache.spark.sql.Column) =
+    concat(lit(prefix), lpad(rank.cast("string"), 6, "0"))
+
+  def apply(cleansed: DataFrame): DataFrame = {
+    val triples = cleansed
+      .select("street", "city", "state", "postal")
+      .dropDuplicates()
+
+    val withIds = triples
+      .withColumn("state_id",
+        padId("SA", dense_rank().over(Window.orderBy("state", "postal"))))
+      .withColumn("city_id",
+        padId("CT", dense_rank().over(Window.orderBy("city", "state", "postal"))))
+      .withColumn("street_id",
+        padId("ST", dense_rank().over(Window.orderBy("street", "city", "state", "postal"))))
+
+    withIds
+      .withColumn("location_id",
+        padId("L", row_number().over(Window.orderBy("street_id", "city_id", "state_id"))))
+      .select(
+        col("location_id"),
+        col("street_id"),
+        col("street").as("street_name"),
+        col("city_id"),
+        col("city").as("city_name"),
+        col("state_id"),
+        col("state").as("state_name"),
+        col("postal"),
+        concat_ws("", col("street"), lit(", "), col("city"), lit(", "),
+          col("state"), lit(" "), col("postal")).as("full_address"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S8 — orchestration (ref: MotherProcedure.sql:2-25): the `CALL etl`
+  * chain import → cleanse → location → time → product → fact as one
+  * lazy composition.
+  *
+  * `cleansed` is cached: it is read by all three dimension builds and
+  * the fact build (four consumers), exactly the reuse the reference
+  * buys with its materialized staging tables — but nothing else is
+  * materialized; Catalyst pipelines each stage (SURVEY §4).
+  */
+object Pipeline {
+
+  final case class Result(
+      landing: DataFrame,
+      invalid: DataFrame,
+      cleansed: DataFrame,
+      locationDim: DataFrame,
+      timeDim: DataFrame,
+      productDim: DataFrame,
+      fact: DataFrame)
+
+  def run(spark: SparkSession, csvPath: String, denseFact: Boolean = true): Result = {
+    val landing = Ingest.load(spark, csvPath)
+    val routed = Cleanse(landing)
+    val cleansed = routed.cleansed.cache()
+    val location = LocationDim(cleansed)
+    val time = TimeDim(cleansed)
+    val product = ProductDim(cleansed)
+    val fact = FactBuilder(cleansed, product, location, time, dense = denseFact)
+    Result(landing, routed.invalid, cleansed, location, time, product, fact)
+  }
+
+  /** Persist every output as parquet under `outDir` (the reference's
+    * CREATE TABLE AS materialization, SURVEY §2 S4). */
+  def runAndSave(spark: SparkSession, csvPath: String, outDir: String,
+                 denseFact: Boolean = true): Result = {
+    val r = run(spark, csvPath, denseFact)
+    Seq(
+      "invalid" -> r.invalid, "cleansed" -> r.cleansed,
+      "location_dimension" -> r.locationDim, "time_dimension" -> r.timeDim,
+      "product_dimension" -> r.productDim, "fact_table" -> r.fact
+    ).foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+    r
+  }
+}

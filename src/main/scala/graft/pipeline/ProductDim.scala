@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** F3/J8/J9/W1 + SCD Type 2 — product dimension
+  * (ref: ProductDimension.sql:2-157), set-based.
+  *
+  * The reference walks distinct (name, price, date) triples in date
+  * order with a cursor, inserting each unseen (name, price) version and
+  * flipping status/flags on older versions (ref:
+  * ProductDimension.sql:52-141). Net final-state semantics, derived by
+  * tracing the loop:
+  *
+  *  - one dimension row per (product_name, price_each) version, with
+  *    last_update_date = MIN(order_date) of that version (the cursor
+  *    only inserts on first encounter, which date-order makes the min);
+  *  - active_status: the version with the latest first-seen date is
+  *    'Y', all others 'N' (each later insert demotes older versions,
+  *    ProductDimension.sql:92-106);
+  *  - action_flag: single-version names keep 'I'; for multi-version
+  *    names every version is 'U' — except an *older* version whose
+  *    last_update_date is exactly DATE '2019-01-01' (the reference's
+  *    hard-coded initial-load guard, ProductDimension.sql:112) which
+  *    keeps its insert-time 'I'. The latest version always gets 'U'
+  *    via the new-row branch (ProductDimension.sql:116-119), which has
+  *    no such guard;
+  *  - product_id = 'P' + LPAD(dense_rank over product_name, 6, '0') —
+  *    all versions of a name share one id (ProductDimension.sql:143-152).
+  *
+  * Date ties between two versions of one name are broken by price (the
+  * reference's cursor order is unspecified there — documented
+  * deviation, SURVEY §7.4-1).
+  */
+object ProductDim {
+
+  /** The reference's hard-coded initial-load guard date. */
+  val initialLoadGuard = "2019-01-01"
+
+  def apply(cleansed: DataFrame): DataFrame = {
+    // all_products: distinct (name, price, first-seen date) — the
+    // NOT-EXISTS-on-empty-target insert degenerates to DISTINCT
+    // (ref: ProductDimension.sql:30-39), and per-(name,price) MIN(date)
+    // collapses the cursor's first-encounter-wins insert.
+    val versions = cleansed
+      .select(col("product").as("product_name"),
+        col("price_each"),
+        col("order_date").cast("date").as("order_date"))
+      .groupBy("product_name", "price_each")
+      .agg(min("order_date").as("last_update_date"))
+
+    val byName = Window.partitionBy("product_name")
+    val flagged = versions
+      .withColumn("n_versions", count(lit(1)).over(byName))
+      .withColumn("latest",
+        max(struct(col("last_update_date"), col("price_each"))).over(byName))
+      .withColumn("is_latest",
+        col("last_update_date") === col("latest.last_update_date") and
+          col("price_each") === col("latest.price_each"))
+      .withColumn("active_status", when(col("is_latest"), "Y").otherwise("N"))
+      .withColumn("action_flag",
+        when(col("n_versions") === 1, "I")
+          .when(col("is_latest"), "U")
+          .when(col("last_update_date") === to_date(lit(initialLoadGuard)), "I")
+          .otherwise("U"))
+
+    flagged
+      .withColumn("product_id",
+        concat(lit("P"),
+          lpad(dense_rank().over(Window.orderBy("product_name")).cast("string"), 6, "0")))
+      .select("product_id", "product_name", "price_each",
+        "last_update_date", "active_status", "action_flag")
+  }
+}
