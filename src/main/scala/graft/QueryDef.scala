@@ -25,5 +25,9 @@ object QueryDef {
     "spark.sql.ansi.enabled" -> "false",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
+    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    // reader rejects outright; read as epoch-nanos longs and convert in
+    // Tables.events.
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
 }

@@ -30,8 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object LocationDim {
 
-  private def padId(prefix: String, rank: org.apache.spark.sql.Column) =
-    concat(lit(prefix), lpad(rank.cast("string"), 6, "0"))
+  /** Zero-pad to 6 but never truncate: LPAD cuts longer strings, which
+    * would silently collide IDs past 999,999 (plausible location counts
+    * at 100 TB). */
+  private def padId(prefix: String, rank: org.apache.spark.sql.Column) = {
+    val s = rank.cast("string")
+    concat(lit(prefix), when(length(s) < 6, lpad(s, 6, "0")).otherwise(s))
+  }
 
   def apply(cleansed: DataFrame): DataFrame = {
     val triples = cleansed

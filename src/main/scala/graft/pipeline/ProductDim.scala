@@ -65,10 +65,13 @@ object ProductDim {
           .when(col("last_update_date") === to_date(lit(initialLoadGuard)), "I")
           .otherwise("U"))
 
+    // Zero-pad to 6 but never truncate (LPAD cuts longer strings —
+    // would collide IDs past 999,999 products).
+    val rankStr = dense_rank().over(Window.orderBy("product_name")).cast("string")
     flagged
       .withColumn("product_id",
         concat(lit("P"),
-          lpad(dense_rank().over(Window.orderBy("product_name")).cast("string"), 6, "0")))
+          when(length(rankStr) < 6, lpad(rankStr, 6, "0")).otherwise(rankStr)))
       .select("product_id", "product_name", "price_each",
         "last_update_date", "active_status", "action_flag")
   }

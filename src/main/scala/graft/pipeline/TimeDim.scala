@@ -30,8 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object TimeDim {
 
-  private def padId(prefix: String, rank: org.apache.spark.sql.Column) =
-    concat(lit(prefix), lpad(rank.cast("string"), 3, "0"))
+  /** 'W001'-shaped IDs (reference's 3-digit pads) — but never truncate:
+    * LPAD cuts strings longer than the target, which would silently
+    * collide IDs past rank 999 (a ~20-year spine has >999 weeks). */
+  private def padId(prefix: String, rank: org.apache.spark.sql.Column) = {
+    val s = rank.cast("string")
+    concat(lit(prefix), when(length(s) < 3, lpad(s, 3, "0")).otherwise(s))
+  }
 
   /** Build from the cleansed table's order_date range. */
   def apply(cleansed: DataFrame): DataFrame = {
@@ -45,11 +50,14 @@ object TimeDim {
   /** Build from an explicit day spine (column `d` of DateType). */
   def fromSpine(spine: DataFrame): DataFrame = {
     val yy = date_format(col("d"), "yy")
+    // Numeric group keys — NOT string concat: "1995-10" sorts before
+    // "1995-2" lexicographically, which would scramble dense_rank IDs
+    // on multi-year spines.
     val keyed = spine
       .withColumn("year_key", year(col("d")))
-      .withColumn("half_key", concat(year(col("d")), lit("-"), when(month(col("d")) <= 6, 1).otherwise(2)))
-      .withColumn("quarter_key", concat(year(col("d")), lit("-"), quarter(col("d"))))
-      .withColumn("month_key", concat(year(col("d")), lit("-"), month(col("d"))))
+      .withColumn("half_key", year(col("d")) * 10 + when(month(col("d")) <= 6, 1).otherwise(2))
+      .withColumn("quarter_key", year(col("d")) * 10 + quarter(col("d")))
+      .withColumn("month_key", year(col("d")) * 100 + month(col("d")))
       // ISO week can belong to the previous/next year — key by the
       // week's Monday so Dec 29..Jan 4 spans stay one group
       // (EXTRACT(WEEK) in the reference is ISO too).
