@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.functions.Text
+import graft.multimodal.Multimodal
+import graft.operators.Dedup
+
+/** Training-data text operators over `documents` (SURVEY-extension:
+  * dedup / text analysis / multimodal plumbing). Every hash primitive
+  * is md5 so Spark and the DuckDB oracle agree bit-for-bit; all scores
+  * are integer-ratio arithmetic (no cross-engine float rounding). */
+object TextQueries {
+
+  /** Token counting + quality scoring (length/punct/stopword ratios). */
+  val q20TextStats = GraftQuery(
+    "q20_text_stats",
+    (s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        Text.charCount(col("text")).cast("long").as("n_chars_m"),
+        round(Text.meanTokenLen(col("text")), 4).as("mean_tok_len"),
+        round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(Text.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        Text.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ws
+           |  FROM documents),
+           |m AS (SELECT doc_id, text, ws, len(ws) AS n_tokens,
+           |  len(list_filter(ws, x -> x IN ('a','the','of','to','and','is','in'))) AS stop_hits,
+           |  list_sum(list_transform(ws, x -> len(x))) AS tok_chars,
+           |  length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS n_punct
+           |  FROM t)
+           |SELECT doc_id, n_tokens, length(text) AS n_chars_m,
+           |  round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE tok_chars * 1.0 / n_tokens END, 4) AS mean_tok_len,
+           |  round(CASE WHEN length(text) = 0 THEN 0.0 ELSE n_punct * 1.0 / length(text) END, 6) AS punct_ratio,
+           |  round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE stop_hits * 1.0 / n_tokens END, 6) AS stopword_ratio,
+           |  round(greatest(0.0,
+           |    least(n_tokens / 50.0, 1.0) * 0.5 +
+           |    (CASE WHEN n_tokens = 0 THEN 0.0 ELSE stop_hits * 1.0 / n_tokens END) * 0.3 +
+           |    (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE n_punct * 1.0 / length(text) END) * 0.2), 6) AS quality
+           |FROM m ORDER BY doc_id""".stripMargin))
+
+  /** Language-ID heuristic: marker-token voting with argmax. */
+  val q21LangId = GraftQuery(
+    "q21_lang_id",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scored = d.select(
+        (col("doc_id") +: Text.langScores(col("text"))
+          .map { case (l, c) => c.as(s"s_$l") }): _*)
+      scored
+        .withColumn("lang_pred", {
+          val scores = Text.langMarkers.map { case (l, _) => l -> col(s"s_$l") }
+          val best = scores.map(_._2).reduce(greatest(_, _))
+          scores.foldRight(lit("und")) { case ((l, sc), acc) =>
+            when(sc === best && sc > 0, l).otherwise(acc)
+          }
+        })
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang_pred")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+           |sc AS (SELECT doc_id,
+           |  len(list_filter(ws, x -> x IN ('the','a','of','and','is'))) AS s_en,
+           |  len(list_filter(ws, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+           |  len(list_filter(ws, x -> x IN ('le','la','et','est','une'))) AS s_fr,
+           |  len(list_filter(ws, x -> x IN ('el','la','y','es','una'))) AS s_es
+           |  FROM t),
+           |p AS (SELECT doc_id,
+           |  CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+           |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
+           |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
+           |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
+           |       ELSE 'und' END AS lang_pred
+           |  FROM sc)
+           |SELECT lang_pred, count(*) AS n_docs FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Canonical fingerprint (sorted distinct token set → md5) + group
+    * sizes: order/duplication-insensitive dedup keys. */
+  val q22Fingerprint = GraftQuery(
+    "q22_fingerprint",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("group_size"))
+        .orderBy("keep_id")
+    },
+    Some("""WITH f AS (
+           |  SELECT doc_id,
+           |    md5(array_to_string(list_sort(list_distinct(
+           |      string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp
+           |  FROM documents)
+           |SELECT fp, min(doc_id) AS keep_id, count(*) AS group_size
+           |FROM f GROUP BY fp ORDER BY keep_id""".stripMargin))
+
+  /** Exact dedup by content hash (survivor + duplicate count). */
+  val q23DedupExact = GraftQuery(
+    "q23_dedup_exact",
+    (s, dir) =>
+      Dedup.exact(Tables.documents(s, dir)).orderBy("keep_id"),
+    Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+           |  count(*) AS dup_count
+           |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin))
+
+  /** MinHash(8 salted-md5 hashes) + LSH(4 bands of 2) candidate pairs
+    * with estimated Jaccard ≥ 0.5 over word-trigram shingles. */
+  val q24MinhashLsh = GraftQuery(
+    "q24_minhash_lsh",
+    (s, dir) =>
+      Dedup.minHashCandidatePairs(Tables.documents(s, dir),
+          numHashes = 8, bandSize = 2, shingleLen = 3)
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("id_a", "id_b"),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, ws[i.g] || ' ' || ws[i.g+1] || ' ' || ws[i.g+2] AS s
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) g) i
+           |  WHERE len(ws) >= 3),
+           |mh AS (
+           |  SELECT doc_id, h.g AS h, min(md5(h.g || ':' || s)) AS mh
+           |  FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) g) h
+           |  GROUP BY doc_id, h.g),
+           |bands AS (
+           |  SELECT doc_id, h // 2 AS band,
+           |         string_agg(mh, '|' ORDER BY h) AS band_key
+           |  FROM mh GROUP BY doc_id, h // 2),
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |scored AS (
+           |  SELECT id_a, id_b,
+           |    sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) * 1.0 / 8 AS est_jaccard
+           |  FROM cands
+           |  JOIN mh sa ON sa.doc_id = id_a
+           |  JOIN mh sb ON sb.doc_id = id_b AND sa.h = sb.h
+           |  GROUP BY id_a, id_b)
+           |SELECT * FROM scored WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin))
+
+  /** 32-bit SimHash fingerprints (hex), portable integer arithmetic. */
+  val q25Simhash = GraftQuery(
+    "q25_simhash",
+    (s, dir) =>
+      Dedup.simHash(Tables.documents(s, dir))
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id"),
+    Some("""WITH toks AS (
+           |  SELECT DISTINCT doc_id, tok.t AS tok
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM documents),
+           |       LATERAL (SELECT unnest(ws) t) tok),
+           |nibs AS (
+           |  SELECT doc_id, p.g AS p,
+           |    strpos('0123456789abcdef', substr(substr(md5(tok), 1, 8), p.g, 1)) - 1 AS nib
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1, 8)) g) p),
+           |sums AS (
+           |  SELECT doc_id, p,
+           |    sum(CASE WHEN nib % 2 = 1 THEN 1 ELSE -1 END) AS s0,
+           |    sum(CASE WHEN (nib // 2) % 2 = 1 THEN 1 ELSE -1 END) AS s1,
+           |    sum(CASE WHEN (nib // 4) % 2 = 1 THEN 1 ELSE -1 END) AS s2,
+           |    sum(CASE WHEN (nib // 8) % 2 = 1 THEN 1 ELSE -1 END) AS s3
+           |  FROM nibs GROUP BY doc_id, p),
+           |chars AS (
+           |  SELECT doc_id, p,
+           |    substr('0123456789abcdef',
+           |      (CASE WHEN s0 > 0 THEN 1 ELSE 0 END
+           |       + CASE WHEN s1 > 0 THEN 2 ELSE 0 END
+           |       + CASE WHEN s2 > 0 THEN 4 ELSE 0 END
+           |       + CASE WHEN s3 > 0 THEN 8 ELSE 0 END) + 1, 1) AS ch
+           |  FROM sums)
+           |SELECT doc_id, string_agg(ch, '' ORDER BY p) AS simhash
+           |FROM chars GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Word-trigram Jaccard near-dup pairs ≥ 0.8 — exact integer-count
+    * scoring over shared-shingle candidates. */
+  val q26NgramJaccard = GraftQuery(
+    "q26_ngram_jaccard",
+    (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), shingleLen = 3, threshold = 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b"),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, ws[i.g] || ' ' || ws[i.g+1] || ' ' || ws[i.g+2] AS s
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) g) i
+           |  WHERE len(ws) >= 3),
+           |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+           |inter AS (
+           |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, inter, ca.n AS na, cb.n AS nb,
+           |  round(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jaccard
+           |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+           |WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin))
+
+  /** Multimodal metadata plumbing: binary payload + typed metadata
+    * (length, checksum, media type) — the schema contract for opaque
+    * media columns. */
+  val q27MultimodalMeta = GraftQuery(
+    "q27_multimodal_meta",
+    (s, dir) =>
+      Multimodal.synthesize(Tables.documents(s, dir))
+        .select(col("media_id"), col("media_type"),
+          col("byte_len").cast("long").as("byte_len"), col("checksum"))
+        .orderBy("media_id"),
+    Some("""SELECT CAST(doc_id AS BIGINT) AS media_id,
+           |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+           |       WHEN doc_id % 3 = 1 THEN 'audio'
+           |       ELSE 'video' END AS media_type,
+           |  octet_length(encode(text)) AS byte_len,
+           |  md5(text) AS checksum
+           |FROM documents ORDER BY media_id""".stripMargin))
+
+  /** Feature extraction over binary payloads (DETERMINISTIC FAKE decode
+    * behind the real mapPartitions plumbing) — no SQL oracle: the
+    * decode is not SQL-expressible; the driver records a rows-only
+    * check and `MultimodalSpec` asserts the feature semantics. */
+  val q28MultimodalFeatures = GraftQuery(
+    "q28_multimodal_features",
+    (s, dir) => {
+      val feats = Multimodal.decodeStub(Multimodal.synthesize(Tables.documents(s, dir)))
+      feats.select(col("media_id"), col("media_type"), col("fake_width"),
+        col("fake_height"),
+        round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 4).as("feat_sum"))
+        .orderBy("media_id")
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(
+    q20TextStats, q21LangId, q22Fingerprint, q23DedupExact, q24MinhashLsh,
+    q25Simhash, q26NgramJaccard, q27MultimodalMeta, q28MultimodalFeatures)
+}

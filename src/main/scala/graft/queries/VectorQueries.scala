@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.operators.Similarity
+
+/** Similarity search over the embeddings table (64-dim float vectors).
+  * The oracle computes dot products with the same sequential left-fold
+  * order and double promotion as the Spark side (list_transform +
+  * list_sum over pre-zipped products) so the IEEE results agree. */
+object VectorQueries {
+
+  /** Same sequential-fold order and double promotion as
+    * [[Similarity.dot]] — verified to match Spark's `aggregate` fold
+    * bit-for-bit. `a`/`b` must expose an `embedding` list column. */
+  private val cosSql =
+    """list_sum(list_transform(a.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      | / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |  * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  /** Brute-force exact cosine top-5 for the first 10 vectors as
+    * queries. The rank itself (not the float) is the compared output —
+    * sims are rounded to 4 decimals for display. */
+  val q30AnnBruteForce = GraftQuery(
+    "q30_ann_brute_force",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.bruteForceTopK(queries, corpus, k = 5)
+        .withColumn("cos", round(col("cos"), 4))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 10),
+            |scored AS (
+            |  SELECT a.qid, b.vec_id AS neighbor_id,
+            |    $cosSql AS cos
+            |  FROM q a JOIN embeddings b ON b.vec_id <> a.qid)
+            |SELECT qid, rank, neighbor_id, round(cos, 4) AS cos FROM (
+            |  SELECT qid, neighbor_id, cos,
+            |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id ASC) AS rank
+            |  FROM scored)
+            |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
+
+  /** Pairwise cosine for a small id range — the exactness check on the
+    * dot-product kernel itself (raw doubles, no ranking). */
+  val q31CosinePairs = GraftQuery(
+    "q31_cosine_pairs",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val a = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Similarity.cosine(col("va"), col("vb")), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            |  round($cosSql, 6) AS cos
+            |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            |WHERE a.vec_id < 20 AND b.vec_id < 20
+            |ORDER BY id_a, id_b""".stripMargin))
+
+  /** LSH-bucketed approximate top-k (the scale path) — rows-only check:
+    * bucket membership is md5-derived on both sides but the recall set
+    * is the property under test in `SimilaritySpec`, not a SQL oracle. */
+  val q32AnnLsh = GraftQuery(
+    "q32_ann_lsh",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.lshTopK(queries, corpus, k = 5, dims = 64, planes = 4)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy("qid", "rank")
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q30AnnBruteForce, q31CosinePairs, q32AnnLsh)
+}

@@ -1,0 +1,41 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "hello world"), (1L, "spark engine"), (2L, "")
+  ).toDF("doc_id", "text")
+
+  test("synthesize: binary payload with typed metadata") {
+    val m = Multimodal.synthesize(docs).collect()
+    assert(m.length === 3)
+    val r0 = m.find(_.getAs[Long]("media_id") == 0L).get
+    assert(new String(r0.getAs[Array[Byte]]("payload"), "UTF-8") === "hello world")
+    assert(r0.getAs[Int]("byte_len") === 11)
+    assert(r0.getAs[String]("media_type") === "image")
+    assert(r0.getAs[String]("checksum").length === 32)
+  }
+
+  test("decodeStub: deterministic per-partition feature extraction") {
+    val f = Multimodal.decodeStub(Multimodal.synthesize(docs))
+    val rows = f.collect()
+    assert(rows.length === 3)
+    val r0 = rows.find(_.getAs[Long]("media_id") == 0L).get
+    val feats = r0.getSeq[Float](r0.fieldIndex("features"))
+    assert(feats.length === Multimodal.featureBuckets)
+    // histogram normalizes to ~1 for non-empty payloads
+    assert(math.abs(feats.sum - 1.0f) < 1e-5)
+    assert(r0.getAs[Int]("fake_width") >= 64)
+    // empty payload: zero histogram, no NaN
+    val r2 = rows.find(_.getAs[Long]("media_id") == 2L).get
+    assert(r2.getSeq[Float](r2.fieldIndex("features")).forall(!_.isNaN))
+    // determinism across runs
+    val again = Multimodal.decodeStub(Multimodal.synthesize(docs)).collect()
+      .find(_.getAs[Long]("media_id") == 0L).get
+    assert(again.getSeq[Float](again.fieldIndex("features")) === feats)
+  }
+}

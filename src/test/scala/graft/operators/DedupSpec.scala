@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"), // near dup (1 word)
+    (3L, "completely different content about spark engines and shuffles"),
+    (4L, "spark engines and shuffles completely different content about") // perm of 3
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per content") {
+    val r = Dedup.exact(docs).collect()
+    assert(r.length === 4)
+    val dup = r.find(_.getAs[Long]("dup_count") == 2L).get
+    assert(dup.getAs[Long]("keep_id") === 0L)
+  }
+
+  test("minhash LSH surfaces exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minHashCandidatePairs(docs, numHashes = 8, bandSize = 2, shingleLen = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("est_jaccard"))).toSeq
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 1L)
+    assert(exact.exists(_._3 === 1.0))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 2L)) // near dup banded
+    assert(!pairs.exists(p => p._2 == 3L && p._1 < 3L && p._1 != 4L ||
+      p._1 == 3L && p._2 != 4L))
+  }
+
+  test("simhash: identical docs share fingerprints; near dups are close") {
+    val sh = Dedup.simHash(docs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("simhash")).toMap
+    assert(sh(0L) === sh(1L))
+    assert(sh.values.forall(_.length == 8))
+    def bits(h: String) = h.flatMap(c => (0 to 3).map(b =>
+      (Integer.parseInt(c.toString, 16) >> b) & 1))
+    def hamming(a: String, b: String) = bits(a).zip(bits(b)).count(p => p._1 != p._2)
+    assert(hamming(sh(0L), sh(2L)) < hamming(sh(0L), sh(3L)))
+    // token-permutation invariance (bag-of-words hash)
+    assert(sh(3L) === sh(4L))
+  }
+
+  test("ngram jaccard: exact pair scores 1.0, near pair high, others absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, shingleLen = 3, threshold = 0.5)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    assert(pairs.get((0L, 2L)).exists(j => j > 0.5 && j < 1.0))
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("fingerprint is word-order and duplication insensitive") {
+    val fp = docs.select($"doc_id", Text.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(3L) === fp(4L))
+    assert(fp(0L) !== fp(3L))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),  // near 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)), // opposite of 0
+    (4L, Array(0.0f, 0.9f, 0.2f))   // near 2
+  ).toDF("vec_id", "embedding")
+
+  private def q(ids: Long*) = vecs.filter($"vec_id".isin(ids: _*))
+    .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+  private def c = vecs.select($"vec_id".as("cid"), $"embedding".as("cvec"))
+
+  test("cosine kernel: identity 1, orthogonal 0, opposite -1") {
+    val r = vecs.as("x").crossJoin(vecs.as("y"))
+      .select(col("x.vec_id").as("i"), col("y.vec_id").as("j"),
+        Similarity.cosine(col("x.embedding"), col("y.embedding")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(r((0L, 0L)) - 1.0) < 1e-12)
+    assert(math.abs(r((0L, 2L))) < 1e-12)
+    assert(math.abs(r((0L, 3L)) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k ranks by cosine desc") {
+    val top = Similarity.bruteForceTopK(q(0L), c, k = 2).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(_.getAs[Long]("neighbor_id"))
+    assert(top === Array(1L, 2L))
+  }
+
+  test("lsh top-k recall covers true nearest neighbor for most queries") {
+    val truth = Similarity.bruteForceTopK(q(0L, 2L), c, k = 1).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("neighbor_id")).toMap
+    val approx = Similarity.lshTopK(q(0L, 2L), c, k = 1, dims = 3, planes = 1)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("neighbor_id")).toMap
+    // with 1 plane buckets are coarse halves — the true NN (cos 0.99)
+    // lands in the same half-space as its query
+    assert(approx.get(0L).contains(truth(0L)) || approx.get(2L).contains(truth(2L)))
+  }
+
+  test("lsh bucket key is deterministic across invocations") {
+    val b1 = vecs.select(Similarity.lshBucket($"embedding", 3, 4).as("b")).collect()
+    val b2 = vecs.select(Similarity.lshBucket($"embedding", 3, 4).as("b")).collect()
+    assert(b1.map(_.getString(0)).toSeq === b2.map(_.getString(0)).toSeq)
+  }
+}
