@@ -24,9 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object FactBuilder {
 
-  /** SCD2 versions → [valid_from, valid_to) intervals per name. */
-  private[pipeline] def priceIntervals(productDim: DataFrame): DataFrame = {
-    val byName = Window.partitionBy("product_name").orderBy("last_update_date")
+  /** SCD2 versions → [valid_from, valid_to) intervals per name.
+    * Ordered by (date, price): when two versions share a first-seen
+    * date the lower-priced one gets an empty [d, d) interval and the
+    * higher-priced one wins — the same tiebreak as the SCD2 active
+    * flag and the reference subquery's ORDER BY ... DESC LIMIT 1. */
+  def priceIntervals(productDim: DataFrame): DataFrame = {
+    val byName = Window.partitionBy("product_name")
+      .orderBy("last_update_date", "price_each")
     productDim.select(
       col("product_name").as("pi_name"),
       col("price_each").as("pi_price"),

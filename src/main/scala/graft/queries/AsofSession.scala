@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{GraftQuery, Tables}
+import graft.pipeline.FactBuilder
+
+/** J2 as an interval join + event sessionization (the batch shape of
+  * streaming session windows). */
+object AsofSession {
+
+  /** J2 — the as-of price lookup exactly as the fact build runs it:
+    * SCD2 versions → [valid_from, valid_to) intervals (lead window),
+    * probes matched by broadcast range join. The ORACLE is the
+    * reference's own correlated-scalar-subquery form
+    * (FactTable.sql:18-27) — DuckDB decorrelates it; Spark runs the
+    * explicit interval join (SURVEY §4). Probes are lineitem rows at
+    * shipdate+30d against the part's price history. */
+  val q17AsofInterval = GraftQuery(
+    "q17_asof_interval_join",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val versions = li.select(
+          lpad(col("l_partkey").cast("string"), 6, "0").as("product_name"),
+          (col("l_extendedprice") / col("l_quantity")).as("price_each"),
+          col("l_shipdate").cast("date").as("order_date"))
+        .groupBy("product_name", "price_each")
+        .agg(min("order_date").as("last_update_date"))
+      val intervals = FactBuilder.priceIntervals(versions)
+      val probes = li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        lpad(col("l_partkey").cast("string"), 6, "0").as("pn"),
+        date_add(col("l_shipdate").cast("date"), 30).as("probe_date"))
+      probes.join(broadcast(intervals),
+          probes("pn") === intervals("pi_name") and
+            intervals("valid_from") <= probes("probe_date") and
+            (intervals("valid_to").isNull or intervals("valid_to") > probes("probe_date")),
+          "left")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("pn").as("product_name"),
+          date_format(col("probe_date"), "yyyy-MM-dd").as("probe_date"),
+          col("pi_price").as("asof_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""WITH versions AS (
+           |  SELECT lpad(CAST(l_partkey AS VARCHAR), 6, '0') AS product_name,
+           |         l_extendedprice / l_quantity AS price_each,
+           |         min(CAST(l_shipdate AS DATE)) AS last_update_date
+           |  FROM lineitem GROUP BY 1, 2),
+           |probes AS (
+           |  SELECT l_orderkey, l_linenumber,
+           |         lpad(CAST(l_partkey AS VARCHAR), 6, '0') AS product_name,
+           |         CAST(l_shipdate AS DATE) + INTERVAL 30 DAY AS probe_date
+           |  FROM lineitem)
+           |SELECT p.l_orderkey, p.l_linenumber, p.product_name,
+           |  strftime(p.probe_date, '%Y-%m-%d') AS probe_date,
+           |  (SELECT v.price_each FROM versions v
+           |   WHERE v.product_name = p.product_name
+           |     AND v.last_update_date <= p.probe_date
+           |   ORDER BY v.last_update_date DESC, v.price_each DESC
+           |   LIMIT 1) AS asof_price
+           |FROM probes p
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  /** Gap-based sessionization in batch (the session_window shape):
+    * lag → gap>30min flags a new session → running sum numbers the
+    * session — one shuffle by user, two window passes. */
+  val q19Sessionize = GraftQuery(
+    "q19_sessionize_events",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = Tables.events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull or
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_seq",
+          sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      sess.groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("session_value"),
+          unix_timestamp(min("ts")).as("start_sec"),
+          unix_timestamp(max("ts")).as("end_sec"))
+        .orderBy("user_id", "session_seq")
+    },
+    Some("""WITH e AS (
+           |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           |  FROM events),
+           |f AS (
+           |  SELECT *, CASE WHEN prev_ts IS NULL
+           |      OR CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+           |       - CAST(epoch(date_trunc('second', prev_ts)) AS BIGINT) > 1800
+           |      THEN 1 ELSE 0 END AS new_session
+           |  FROM e),
+           |g AS (
+           |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           |  FROM f)
+           |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           |  count(*) AS n_events,
+           |  round(sum(value), 2) AS session_value,
+           |  CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS start_sec,
+           |  CAST(epoch(date_trunc('second', max(ts))) AS BIGINT) AS end_sec
+           |FROM g GROUP BY user_id, session_seq
+           |ORDER BY user_id, session_seq""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q17AsofInterval, q19Sessionize)
+}

@@ -7,7 +7,8 @@ import graft.GraftQuery
   * by name). Names must be unique — asserted at first access. */
 object Registry {
   def all: Seq[GraftQuery] = {
-    val qs = Relational.all ++ PipelineShaped.all ++ TextQueries.all ++ VectorQueries.all
+    val qs = Relational.all ++ PipelineShaped.all ++ AsofSession.all ++
+      TextQueries.all ++ VectorQueries.all
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }
