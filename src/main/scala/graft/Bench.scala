@@ -11,14 +11,26 @@ object Bench {
     QueryDef.sessionConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // registry order (stable) — a Map would randomize which query pays
+    // JVM warm-up; also run one tiny warm-up action first so the first
+    // measured query isn't charged for classloading/codegen bootstrap.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    // optional subset for bisection: SPARK_GRAFT_ONLY=q24_...,q26_...
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.registry
+      .filter(q => only.forall(_.contains(q.name)))
+    val results = selected.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // operators cache intermediates (minhash signatures, shingles);
+      // drop them so queries are isolated and memory doesn't accumulate
+      spark.catalog.clearCache()
+      q.name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Text
@@ -17,6 +17,14 @@ import graft.functions.Text
   * the O(n²) all-pairs cross join.
   */
 object Dedup {
+
+  /** Salted digest used by MinHash. md5 keeps results reproducible in
+    * any engine (the oracle queries rely on it); `fastDigest` swaps in
+    * xxhash64 for production runs — ~10× cheaper per shingle with the
+    * same min-hash statistics, just not portable across engines. */
+  type SaltedDigest = (Int, Column) => Column
+  val md5Digest: SaltedDigest = (i, s) => md5(concat(lit(s"$i:"), s))
+  val fastDigest: SaltedDigest = (i, s) => xxhash64(lit(i), s)
 
   /** Exact dedup by raw-text hash: one survivor (min id) per distinct
     * content, with the duplicate count. */
@@ -39,31 +47,53 @@ object Dedup {
       .groupBy("id", "h")
       .agg(min(md5(concat(col("h"), lit(":"), col("s")))).as("mh"))
 
+  /** Wide MinHash signatures: one row per doc, columns h0..h{n-1}.
+    * The n salted digests are computed as n aggregate expressions over
+    * one shingle explode — no ×n row amplification, one map-side-
+    * combined shuffle keyed by doc. */
+  def minHashSignaturesWide(docs: DataFrame, numHashes: Int, shingleLen: Int,
+                            idCol: String = "doc_id", textCol: String = "text",
+                            digest: SaltedDigest = md5Digest): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(array_distinct(Text.wordShingles(col(textCol), shingleLen))).as("s"))
+    val mins = (0 until numHashes).map(i =>
+      min(digest(i, col("s")).cast("string")).as(s"h$i"))
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
   /** MinHash + LSH banding: pairs sharing at least one band (bandSize
     * consecutive hashes identical), with the estimated Jaccard
     * (fraction of equal hashes). Only banded candidates are compared —
-    * the all-pairs join never materializes. */
+    * the all-pairs join never materializes; signatures stay wide so
+    * pair scoring is a column comparison, not a ×numHashes join. */
   def minHashCandidatePairs(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 2,
                             shingleLen: Int = 3, idCol: String = "doc_id",
-                            textCol: String = "text"): DataFrame = {
-    val sig = minHashSignatures(docs, numHashes, shingleLen, idCol, textCol).cache()
+                            textCol: String = "text",
+                            digest: SaltedDigest = md5Digest): DataFrame = {
+    require(numHashes % bandSize == 0, "bandSize must divide numHashes")
+    val sig = minHashSignaturesWide(docs, numHashes, shingleLen, idCol, textCol, digest).cache()
+    val nBands = numHashes / bandSize
+    val bandKeys = (0 until nBands).map { b =>
+      val cols = (b * bandSize until (b + 1) * bandSize).map(i => col(s"h$i"))
+      struct(lit(b).as("band"), concat_ws("|", cols: _*).as("key"))
+    }
     val bands = sig
-      .withColumn("band", floor(col("h") / bandSize))
-      .groupBy("id", "band")
-      .agg(concat_ws("|", sort_array(collect_list(struct(col("h"), col("mh"))))
-        .getField("mh")).as("band_key"))
+      .select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("band_key"))
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") and col("a.band_key") === col("b.band_key") and
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    cands
-      .join(sig.as("sa"), col("id_a") === col("sa.id"))
-      .join(sig.as("sb"), col("id_b") === col("sb.id") and col("sa.h") === col("sb.h"))
-      .groupBy("id_a", "id_b")
-      .agg((sum(when(col("sa.mh") === col("sb.mh"), 1).otherwise(0)).cast("double")
-        / lit(numHashes)).as("est_jaccard"))
+    val sa = sig.toDF(sig.columns.map(c => if (c == "id") "id_a" else s"a_$c"): _*)
+    val sb = sig.toDF(sig.columns.map(c => if (c == "id") "id_b" else s"b_$c"): _*)
+    val eqCount = (0 until numHashes)
+      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard", eqCount.cast("double") / lit(numHashes))
+      .select("id_a", "id_b", "est_jaccard")
   }
 
   /** 32-bit SimHash as an 8-hex-char fingerprint. Per token the first 8
@@ -93,22 +123,59 @@ object Dedup {
         .getField("ch"), "").as("simhash"))
   }
 
-  /** n-gram Jaccard near-dup pairs above `threshold`. Candidate pairs
-    * are generated by the shared-shingle equi-join (an LSH-bucketed
-    * join on the shingle itself), then scored exactly:
-    * |A∩B| / (|A|+|B|−|A∩B|). Integer counts ⇒ exact across engines. */
+  /** n-gram Jaccard near-dup pairs above `threshold` — EXACT scores,
+    * two candidate-generation strategies with identical output:
+    *
+    *  - `prefixFilter = false` (default): direct shared-shingle
+    *    equi-join. Right choice when the shingle vocabulary is small
+    *    or uniform (like the synthetic corpus) — no shingle is rare,
+    *    so prefix pruning only adds passes.
+    *  - `prefixFilter = true`: ppjoin-style prefix filtering
+    *    (Chaudhuri/Xiao et al.; public algorithm): a pair with
+    *    J(A,B) ≥ t must share one of each side's
+    *    (|X| − ⌈t·|X|⌉ + 1) globally-rarest shingles, so only prefix
+    *    shingles drive the candidate join. The scale path for real
+    *    (zipfian) corpora, where ubiquitous shingles would otherwise
+    *    dominate the join and skew its partitions. */
   def ngramJaccardPairs(docs: DataFrame, shingleLen: Int = 3, threshold: Double = 0.8,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                        idCol: String = "doc_id", textCol: String = "text",
+                        prefixFilter: Boolean = false): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       explode(array_distinct(Text.wordShingles(col(textCol), shingleLen))).as("s"))
+      .cache()
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") and col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+    val inter =
+      if (!prefixFilter) {
+        // direct shared-shingle join: best when the shingle vocabulary
+        // is small/uniform (no rare prefix exists to exploit)
+        sh.as("a").join(sh.as("b"),
+            col("a.s") === col("b.s") and col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+      } else {
+        // global document frequency — rarest shingles first
+        val df_ = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        val ranked = sh.join(df_, "s")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("id").orderBy(col("df").asc, col("s").asc)))
+          .join(counts, "id")
+          .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+          .select("id", "s")
+        val cands = ranked.as("a").join(ranked.as("b"),
+            col("a.s") === col("b.s") and col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
+        val withA = cands.join(sh.toDF("id_a", "sa"), "id_a")
+        val shB = sh.toDF("id_b", "sb")
+        withA
+          .join(shB, withA("id_b") === shB("id_b") and col("sa") === col("sb"))
+          .groupBy(withA("id_a"), withA("id_b"))
+          .agg(count(lit(1)).as("inter"))
+          .select(col("id_a"), withA("id_b").as("id_b"), col("inter"))
+      }
     inter
-      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
-      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .join(counts.toDF("id_a", "na"), "id_a")
+      .join(counts.toDF("id_b", "nb"), "id_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)

@@ -31,7 +31,11 @@ object AsofSession {
         col("l_orderkey"), col("l_linenumber"),
         lpad(col("l_partkey").cast("string"), 6, "0").as("pn"),
         date_add(col("l_shipdate").cast("date"), 30).as("probe_date"))
-      probes.join(broadcast(intervals),
+      // no broadcast hint: at this shape the interval side is
+      // probe-sized (one version per input row), so a shuffled hash
+      // join on the name key is the plan that survives scale-up; AQE
+      // still broadcasts when the build side turns out small.
+      probes.join(intervals,
           probes("pn") === intervals("pi_name") and
             intervals("valid_from") <= probes("probe_date") and
             (intervals("valid_to").isNull or intervals("valid_to") > probes("probe_date")),

@@ -55,6 +55,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("prefix-filtered jaccard join returns identical pairs to direct join") {
+    val direct = Dedup.ngramJaccardPairs(docs, shingleLen = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
+    val prefixed = Dedup.ngramJaccardPairs(docs, shingleLen = 3, threshold = 0.5,
+        prefixFilter = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
+    assert(direct === prefixed)
+    assert(direct.nonEmpty)
+  }
+
   test("fingerprint is word-order and duplication insensitive") {
     val fp = docs.select($"doc_id", Text.fingerprint($"text").as("fp"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
