@@ -235,7 +235,54 @@ object TextQueries {
     },
     None)
 
+  /** SimHash near-dup pairs: Hamming distance ≤ 1 over the 32-bit
+    * fingerprints, computed by the native `hamming_hex` Catalyst
+    * expression (codegen'd — the pair filter runs inside one
+    * whole-stage-codegen span). Oracle recomputes the distance with
+    * portable nibble arithmetic (strpos/xor/bit_count). */
+  val q29SimhashNearDup = GraftQuery(
+    "q29_simhash_neardup",
+    (s, dir) => {
+      val sh = Dedup.simHash(Tables.documents(s, dir))
+      sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          graft.functions.HammingHex.hammingHex(
+            col("a.simhash"), col("b.simhash")).as("hamming"))
+        .filter(col("hamming") <= 1)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH toks AS (
+           |  SELECT DISTINCT doc_id, tok.t AS tok
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM documents),
+           |       LATERAL (SELECT unnest(ws) t) tok),
+           |nibs AS (
+           |  SELECT doc_id, p.g AS p,
+           |    strpos('0123456789abcdef', substr(substr(md5(tok), 1, 8), p.g, 1)) - 1 AS nib
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1, 8)) g) p),
+           |sums AS (
+           |  SELECT doc_id, p,
+           |    sum(CASE WHEN nib % 2 = 1 THEN 1 ELSE -1 END) AS s0,
+           |    sum(CASE WHEN (nib // 2) % 2 = 1 THEN 1 ELSE -1 END) AS s1,
+           |    sum(CASE WHEN (nib // 4) % 2 = 1 THEN 1 ELSE -1 END) AS s2,
+           |    sum(CASE WHEN (nib // 8) % 2 = 1 THEN 1 ELSE -1 END) AS s3
+           |  FROM nibs GROUP BY doc_id, p),
+           |fp AS (
+           |  SELECT doc_id, p,
+           |    (CASE WHEN s0 > 0 THEN 1 ELSE 0 END
+           |     + CASE WHEN s1 > 0 THEN 2 ELSE 0 END
+           |     + CASE WHEN s2 > 0 THEN 4 ELSE 0 END
+           |     + CASE WHEN s3 > 0 THEN 8 ELSE 0 END) AS nibv
+           |  FROM sums),
+           |ham AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    CAST(sum(bit_count(CAST(xor(a.nibv, b.nibv) AS BIGINT))) AS INTEGER) AS hamming
+           |  FROM fp a JOIN fp b ON a.p = b.p AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, hamming FROM ham
+           |WHERE hamming <= 1 ORDER BY id_a, id_b""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q20TextStats, q21LangId, q22Fingerprint, q23DedupExact, q24MinhashLsh,
-    q25Simhash, q26NgramJaccard, q27MultimodalMeta, q28MultimodalFeatures)
+    q25Simhash, q26NgramJaccard, q27MultimodalMeta, q28MultimodalFeatures,
+    q29SimhashNearDup)
 }
