@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan regression audit (SURVEY §4 / the 100 TB checklist):
+  * the properties that make these plans survive scale-up must not
+  * silently regress — filters reach the parquet scan, projections
+  * prune columns, dimension joins broadcast, hot paths stay inside
+  * whole-stage codegen. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Final adaptive plan — AQE only materializes join strategies and
+    * codegen spans after execution. */
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    df.collect() // must execute THIS plan (count() would build another)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q05: quantity filter is pushed into the parquet scan") {
+    val p = plan("q05_never_bulk_ordered_parts")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45.0)")
+      || p.contains("GreaterThanOrEqual(l_quantity,45.0)"))
+  }
+
+  test("q05: scan reads only the joined/projected columns") {
+    val p = plan("q05_never_bulk_ordered_parts")
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_quantity:double>"))
+    assert(!p.contains("l_extendedprice")) // pruning dropped unused cols
+  }
+
+  test("q02: every dimension join broadcasts (no sort-merge on dims)") {
+    val p = plan("q02_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+    assert(!p.contains("SortMergeJoin")
+      || p.indexOf("SortMergeJoin") > p.indexOf("BroadcastHashJoin"))
+  }
+
+  test("q01: aggregation is partial (map-side combine) and codegen'd") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("*(")) // whole-stage codegen span marker
+    // partial + final pair: two HashAggregate nodes around the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q30: no UDFs in the vector hot path (codegen everywhere)") {
+    val p = plan("q30_ann_brute_force")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+    assert(p.contains("*(")) // whole-stage codegen span marker
+  }
+
+  test("q29: native hamming_hex expression stays inside codegen") {
+    val p = plan("q29_simhash_neardup")
+    assert(!p.contains("ScalaUDF"))
+    assert(p.contains("hamming_hex("))
+    assert(p.contains("*(")) // whole-stage codegen span marker
+  }
+}
