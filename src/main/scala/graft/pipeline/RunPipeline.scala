@@ -29,6 +29,10 @@ object RunPipeline {
     println(s"""{"invalid":${r.invalid.count()},"cleansed":${r.cleansed.count()},""" +
       s""""location_dim":${r.locationDim.count()},"time_dim":${r.timeDim.count()},""" +
       s""""product_dim":${r.productDim.count()},"fact":${r.fact.count()}}""")
+    // analyst SQL surface over the same run
+    QuerySurface.register(r)
+    println("top cities by revenue:")
+    QuerySurface.revenueByCity(spark).show(5, truncate = false)
     spark.stop()
   }
 }
