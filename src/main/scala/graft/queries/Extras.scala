@@ -62,5 +62,68 @@ object Extras {
         .orderBy("event_type"),
     None)
 
-  val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact, q34DistinctApprox)
+  /** PIVOT: order counts per market segment × priority. Spark's
+    * `.pivot` with an explicit value list (never let pivot scan for
+    * values at scale — that's an extra job over the full input);
+    * oracle = conditional aggregation with matching column names. */
+  val q35Pivot = GraftQuery(
+    "q35_pivot_priority",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnRenamed("1-URGENT", "urgent")
+        .withColumnRenamed("2-HIGH", "high")
+        .withColumnRenamed("3-MEDIUM", "medium")
+        .withColumnRenamed("4-NOT SPECIFIED", "not_specified")
+        .withColumnRenamed("5-LOW", "low")
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment,
+           |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+           |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+           |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+           |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS not_specified,
+           |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  /** Analytic window family the reference lacks (SURVEY §2.6 'not
+    * present'): lag/lead/ntile/rank with frames over order history. */
+  val q36WindowAnalytics = GraftQuery(
+    "q36_window_analytics",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
+          round(lead("o_totalprice", 1).over(w), 2).as("next_price"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          row_number().over(w).cast("long").as("seq"),
+          round(sum("o_totalprice").over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)), 2)
+            .as("running_total"))
+        .orderBy("o_custkey", "seq")
+    },
+    Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+           |  round(lag(o_totalprice) OVER w, 2) AS prev_price,
+           |  round(lead(o_totalprice) OVER w, 2) AS next_price,
+           |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           |  CAST(row_number() OVER w AS BIGINT) AS seq,
+           |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           |    ORDER BY o_orderdate, o_orderkey
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           |ORDER BY o_custkey, seq""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
+    q34DistinctApprox, q35Pivot, q36WindowAnalytics)
 }
