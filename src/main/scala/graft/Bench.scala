@@ -19,9 +19,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.registry
       .filter(q => only.forall(_.contains(q.name)))
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = selected.map { q =>
       val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { q.run(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        failed += q.name
+        System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators cache intermediates (minhash signatures, shingles);
       // drop them so queries are isolated and memory doesn't accumulate
@@ -31,7 +36,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,12 +26,16 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   /** events.ts is TIMESTAMP(NANOS) in parquet — read as epoch-nanos
     * long (legacy.parquet.nanosAsLong) and converted to a microsecond
-    * timestamp with exact integer division (a double division would
-    * lose precision: epoch-nanos exceed 2^53). */
+    * timestamp with exact integer FLOOR division: a double division
+    * would lose precision (epoch-nanos exceed 2^53), and `div` alone
+    * truncates toward zero, which would shift pre-1970 timestamps
+    * +1µs. Subtracting the non-negative remainder first makes the
+    * division exact for any sign. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros((ts - (((ts % 1000) + 1000) % 1000)) div 1000)"))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

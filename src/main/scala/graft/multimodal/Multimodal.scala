@@ -79,7 +79,7 @@ object Multimodal {
     val total = math.max(bytes.length, 1).toFloat
     val feats = hist.map(_ / total).toSeq
     val w = 64 + (bytes.length % 577)
-    val h = 64 + ((bytes.length * 31) % 433)
+    val h = 64 + ((bytes.length.toLong * 31) % 433).toInt // Long: *31 overflows Int past ~69MB
     (w, h, feats)
   }
 }

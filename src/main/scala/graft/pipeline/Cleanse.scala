@@ -18,6 +18,11 @@ import org.apache.spark.sql.types.{DateType, DecimalType, IntegerType, Timestamp
   *  - NULL order_id alone is NOT invalid — it is backfilled
   *    max_order_id + row_number (ref: Cleansing.sql:56-61).
   *
+  * The routing/normalization core (`route`/`normalized`) is stateless
+  * and shared verbatim by the streaming cleanse
+  * ([[graft.streaming.Streaming.cleanseStream]]) — only the order-id
+  * strategy differs between batch and stream.
+  *
   * Scale: one narrow pass over the input computes both routes (the
   * parent is cached by the caller if both outputs are consumed); the
   * only shuffle is the final exact-dedup (`dropDuplicates`), which is
@@ -44,46 +49,35 @@ object Cleanse {
   private def subPart(c: Column, i: Int): Column =
     coalesce(split(c, " ").getItem(i - 1), lit(""))
 
-  def apply(landing: DataFrame, maxExistingOrderId: Int = 0): Result = {
+  /** Shared router core: attach typed casts (`*_t` columns) and split
+    * the input into (valid-typed, invalid-raw). Stateless — safe on
+    * both batch and streaming frames. */
+  private[graft] def route(landing: DataFrame): (DataFrame, DataFrame) = {
     val nullRouted = requiredCols.map(col(_).isNull).reduce(_ or _)
-
-    // Typed casts; non-ANSI cast yields NULL on failure (engine-wide
-    // contract, QueryDef.sessionConfs).
     val typed = landing
       .withColumn("order_id_t", col("order_id").cast(IntegerType))
       .withColumn("quantity_t", col("quantity_ordered").cast(IntegerType))
       .withColumn("price_t", col("price_each").cast(DecimalType(10, 2)))
       .withColumn("date_t",
         to_timestamp(col("order_date"), dateLayout).cast(DateType).cast(TimestampType))
-
     val castFailed =
       (col("order_id").isNotNull and col("order_id_t").isNull) or
         col("quantity_t").isNull or col("price_t").isNull or col("date_t").isNull
-
     val invalid = typed
       .filter(nullRouted or (!nullRouted and castFailed))
       .select(Schemas.rawColumns.map(col): _*)
-
     val valid = typed.filter(!nullRouted and !castFailed)
+    (valid, invalid)
+  }
 
-    // G3 — backfill NULL order_ids with max_order_id + sequence. The
-    // reference numbers them in cursor encounter order; we use a
-    // deterministic sort on the natural row content (documented
-    // deviation, SURVEY §7.4-1). Only the (rare) NULL-id subset pays
-    // the single-partition window — the main flow stays narrow.
-    val hasId = valid.filter(col("order_id_t").isNotNull)
-      .withColumn("order_id_f", col("order_id_t"))
-    val noId = valid.filter(col("order_id_t").isNull)
-      .withColumn("order_id_f",
-        lit(maxExistingOrderId) + row_number().over(
-          Window.orderBy("product", "order_date", "purchase_address")))
-    val withId = hasId.unionByName(noId)
-
-    // P1/P2 — address split (ref: Cleansing.sql:65-68) + trims.
+  /** Shared normalization projection (P1/P2 address split + trims)
+    * over a routed valid-typed frame, with the caller-chosen order-id
+    * column. */
+  private[graft] def normalized(validTyped: DataFrame, orderId: Column): DataFrame = {
     val addr = col("purchase_address")
     val statePostal = trim(part(addr, 3))
-    val cleansed = withId.select(
-      col("order_id_f").cast(IntegerType).as("order_id"),
+    validTyped.select(
+      orderId.cast(IntegerType).as("order_id"),
       trim(col("product")).as("product"),
       col("quantity_t").as("quantity_ordered"),
       col("price_t").as("price_each"),
@@ -91,8 +85,28 @@ object Cleanse {
       part(trim(addr), 1).as("street"),
       trim(part(addr, 2)).as("city"),
       subPart(statePostal, 1).as("state"),
-      subPart(statePostal, 2).as("postal")
-    ).dropDuplicates() // A5 — SELECT DISTINCT * (ref: Cleansing.sql:118-122)
+      subPart(statePostal, 2).as("postal"))
+  }
+
+  def apply(landing: DataFrame, maxExistingOrderId: Int = 0): Result = {
+    val (valid, invalid) = route(landing)
+
+    // G3 — backfill NULL order_ids with max_order_id + sequence. The
+    // reference numbers them in cursor encounter order; we use a
+    // deterministic sort over the full natural row content (documented
+    // deviation, SURVEY §7.4-1). Only the (rare) NULL-id subset pays
+    // the single-partition window — the main flow stays narrow.
+    val hasId = valid.filter(col("order_id_t").isNotNull)
+      .withColumn("order_id_f", col("order_id_t"))
+    val noId = valid.filter(col("order_id_t").isNull)
+      .withColumn("order_id_f",
+        lit(maxExistingOrderId) + row_number().over(
+          Window.orderBy("product", "order_date", "purchase_address",
+            "quantity_ordered", "price_each")))
+    val withId = hasId.unionByName(noId)
+
+    val cleansed = normalized(withId, col("order_id_f"))
+      .dropDuplicates() // A5 — SELECT DISTINCT * (ref: Cleansing.sql:118-122)
 
     Result(cleansed, invalid)
   }

@@ -24,7 +24,17 @@ object Pipeline {
 
   def run(spark: SparkSession, csvPath: String, denseFact: Boolean = true): Result = {
     val landing = Ingest.load(spark, csvPath)
-    val routed = Cleanse(landing)
+    // Seed the NULL-order_id backfill above the batch's own max id so
+    // backfilled ids can never collide with real ones. The reference
+    // seeds only from the pre-batch warehouse (Cleansing.sql:16) and
+    // CAN collide within a batch — documented deviation (sane fix).
+    val maxId = landing
+      .agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col("order_id").cast("int")),
+        org.apache.spark.sql.functions.lit(0)))
+      .first().getInt(0)
+    val routed = Cleanse(landing, maxExistingOrderId = maxId)
     val cleansed = routed.cleansed.cache()
     val location = LocationDim(cleansed)
     val time = TimeDim(cleansed)

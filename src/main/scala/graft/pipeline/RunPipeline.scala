@@ -15,7 +15,10 @@ object RunPipeline {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: RunPipeline <csvPath> <outDir> [dense|sparse]")
     val Array(csvPath, outDir) = args.take(2)
-    val dense = args.lift(2).forall(_ == "dense")
+    val mode = args.lift(2).getOrElse("dense")
+    require(mode == "dense" || mode == "sparse",
+      s"third arg must be 'dense' or 'sparse', got '$mode'")
+    val dense = mode == "dense"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val b = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -89,7 +89,8 @@ object AsofSession {
         .orderBy("user_id", "session_seq")
     },
     Some("""WITH e AS (
-           |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           |  SELECT *, lag(ts) OVER (PARTITION BY user_id
+           |    ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_ts
            |  FROM events),
            |f AS (
            |  SELECT *, CASE WHEN prev_ts IS NULL
@@ -98,7 +99,8 @@ object AsofSession {
            |      THEN 1 ELSE 0 END AS new_session
            |  FROM e),
            |g AS (
-           |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+           |    ORDER BY epoch_ns(ts) // 1000, event_id
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
            |  FROM f)
            |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,

@@ -43,10 +43,10 @@ object PipelineShaped {
            |FROM (
            |  SELECT *,
            |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
-           |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
            |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts,
            |    last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
-           |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
            |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_value
            |  FROM events)
            |WHERE event_type = 'error'

@@ -47,23 +47,12 @@ object TextQueries {
   /** Language-ID heuristic: marker-token voting with argmax. */
   val q21LangId = GraftQuery(
     "q21_lang_id",
-    (s, dir) => {
-      val d = Tables.documents(s, dir)
-      val scored = d.select(
-        (col("doc_id") +: Text.langScores(col("text"))
-          .map { case (l, c) => c.as(s"s_$l") }): _*)
-      scored
-        .withColumn("lang_pred", {
-          val scores = Text.langMarkers.map { case (l, _) => l -> col(s"s_$l") }
-          val best = scores.map(_._2).reduce(greatest(_, _))
-          scores.foldRight(lit("und")) { case ((l, sc), acc) =>
-            when(sc === best && sc > 0, l).otherwise(acc)
-          }
-        })
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(Text.langId(col("text")).as("lang_pred"))
         .groupBy("lang_pred")
         .agg(count(lit(1)).as("n_docs"))
-        .orderBy("lang_pred")
-    },
+        .orderBy("lang_pred"),
     Some("""WITH t AS (
            |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
            |sc AS (SELECT doc_id,

@@ -79,7 +79,9 @@ class StreamingSpec extends SparkSpec {
   test("flatMapGroupsWithState keeps running per-user totals") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streaming.Event]
-    val out = Streaming.runningUserTotals(in.toDS())
+    // "off": processing-time timeouts keep no-data batches scheduling,
+    // so processAllAvailable would never return under MemoryStream
+    val out = Streaming.runningUserTotals(in.toDS(), idleTimeout = "off")
     val q = out.writeStream.format("memory").queryName("running")
       .outputMode("update").start()
     in.addData(
