@@ -67,6 +67,45 @@ object Similarity {
     concat(bits: _*)
   }
 
+  /** IVF-style approximate top-k without a training step: `nCentroids`
+    * corpus vectors chosen deterministically (lowest ids) act as the
+    * coarse quantizer; every corpus vector is assigned to its nearest
+    * centroid (one broadcast pass), and each query probes the
+    * `nProbe` nearest centroid cells. Compared to LSH this adapts to
+    * the data's actual geometry; compared to brute force it scans
+    * ~nProbe/nCentroids of the corpus. At real scale the centroid set
+    * would come from k-means — the assignment/probe dataflow (the
+    * Spark-shaped part) is identical. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              qId: String = "qid", qVec: String = "qvec",
+              cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    val centroids = corpus.orderBy(col(cId)).limit(nCentroids)
+      .select(col(cId).as("centroid_id"), col(cVec).as("centroid_vec"))
+    // assign corpus vectors to their nearest centroid
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", cosine(col(cVec), col("centroid_vec")))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy(cId).orderBy(col("c_sim").desc, col("centroid_id").asc)))
+      .filter(col("c_rank") === 1)
+      .select(col(cId), col(cVec), col("centroid_id").as("cell"))
+    // each query probes its nProbe nearest cells
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("q_sim", cosine(col(qVec), col("centroid_vec")))
+      .withColumn("q_rank", row_number().over(
+        Window.partitionBy(qId).orderBy(col("q_sim").desc, col("centroid_id").asc)))
+      .filter(col("q_rank") <= nProbe)
+      .select(col(qId), col(qVec), col("centroid_id").as("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos", cosine(col(qVec), col(cVec)))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(qId).orderBy(col("cos").desc, col(cId).asc)))
+      .filter(col("rank") <= k)
+      .select(col(qId), col("rank"), col(cId).as("neighbor_id"), col("cos"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH
     * bucket plus all Hamming-distance-1 buckets (multi-probe — on
     * near-uniform vectors single-bucket recall collapses; probing the

@@ -81,5 +81,42 @@ object VectorQueries {
     },
     None)
 
-  val all: Seq[GraftQuery] = Seq(q30AnnBruteForce, q31CosinePairs, q32AnnLsh)
+  /** IVF-style ANN (deterministic coarse quantizer, nProbe cells) —
+    * rows-only; recall vs brute force is asserted in SimilaritySpec. */
+  val q37AnnIvf = GraftQuery(
+    "q37_ann_ivf",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.ivfTopK(queries, corpus, k = 5, nCentroids = 16, nProbe = 4)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy("qid", "rank")
+    },
+    None)
+
+  /** Embedding-cosine near-duplicate pairs (the vector-space dedup
+    * path): all pairs in a bounded id range with cosine ≥ 0.4 —
+    * oracle-checked with the same fold. */
+  val q38EmbeddingNearDup = GraftQuery(
+    "q38_embedding_neardup",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+        .filter(col("cos") >= 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            |  round($cosSql, 6) AS cos
+            |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            |WHERE $cosSql >= 0.4
+            |ORDER BY id_a, id_b""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q30AnnBruteForce, q31CosinePairs, q32AnnLsh,
+    q37AnnIvf, q38EmbeddingNearDup)
 }

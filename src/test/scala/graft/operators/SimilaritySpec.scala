@@ -45,6 +45,15 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.get(0L).contains(truth(0L)) || approx.get(2L).contains(truth(2L)))
   }
 
+  test("ivf top-k finds the true NN when its cell is probed") {
+    val truth = Similarity.bruteForceTopK(q(0L, 2L), c, k = 1).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("neighbor_id")).toMap
+    // 5 corpus vectors, 5 centroids, probe all ⇒ must equal brute force
+    val ivf = Similarity.ivfTopK(q(0L, 2L), c, k = 1, nCentroids = 5, nProbe = 5)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(ivf === truth)
+  }
+
   test("lsh bucket key is deterministic across invocations") {
     val b1 = vecs.select(Similarity.lshBucket($"embedding", 3, 4).as("b")).collect()
     val b2 = vecs.select(Similarity.lshBucket($"embedding", 3, 4).as("b")).collect()
