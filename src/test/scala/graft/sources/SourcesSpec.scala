@@ -41,6 +41,37 @@ class SourcesSpec extends SparkSpec {
       .filter($"grp" === "g1").count() === 25)
   }
 
+  test("bucketed tables join without a shuffle on the bucketed key") {
+    Seq("bkt_left", "bkt_right").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val right = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    Sources.writeBucketed(left, "bkt_left", Seq("k"), 4)
+    Sources.writeBucketed(right, "bkt_right", Seq("k"), 4)
+    // force the sort-merge path (tiny tables would broadcast, which
+    // inserts a BroadcastExchange and hides the bucketing effect)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located bucketed SMJ: no ShuffleExchange on either side
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle:\n$plan")
+      assert(joined.count() === 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("permissive csv read never fails on malformed rows") {
     val dir = Files.createTempDirectory("sources_bad").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/bad.csv"),
