@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision. */
+  /** Sequential-fold dot product in double precision — the native
+    * codegen'd [[graft.functions.VecDot]] expression (the equivalent
+    * `aggregate(zip_with(...))` HOF formulation is interpreted and
+    * ~10-30× slower on all-pairs scans; fold order and therefore IEEE
+    * results are identical). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VecDot.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -225,18 +225,30 @@ object TextQueries {
     None)
 
   /** SimHash near-dup pairs: Hamming distance ≤ 1 over the 32-bit
-    * fingerprints, computed by the native `hamming_hex` Catalyst
-    * expression (codegen'd — the pair filter runs inside one
-    * whole-stage-codegen span). Oracle recomputes the distance with
+    * fingerprints, scored by the native `hamming_hex` Catalyst
+    * expression. Candidate generation is multi-index pigeonhole
+    * banding (the classic hamming-search trick, exact for d ≤ 1):
+    * split the fingerprint into two 4-hex-char halves — a pair within
+    * distance 1 differs in at most one half, so it matches EXACTLY on
+    * the other; two half-key equi-joins replace the all-pairs cross
+    * join (O(n²) → near-linear). Oracle recomputes the distance with
     * portable nibble arithmetic (strpos/xor/bit_count). */
   val q29SimhashNearDup = GraftQuery(
     "q29_simhash_neardup",
     (s, dir) => {
       val sh = Dedup.simHash(Tables.documents(s, dir))
-      sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          graft.functions.HammingHex.hammingHex(
-            col("a.simhash"), col("b.simhash")).as("hamming"))
+        .withColumn("half1", substring(col("simhash"), 1, 4))
+        .withColumn("half2", substring(col("simhash"), 5, 4))
+        .cache()
+      def bandJoin(half: String) =
+        sh.as("a").join(sh.as("b"),
+            col(s"a.$half") === col(s"b.$half") and col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      bandJoin("half1").unionByName(bandJoin("half2"))
+        .distinct()
+        .select(col("id_a"), col("id_b"),
+          graft.functions.HammingHex.hammingHex(col("sa"), col("sb")).as("hamming"))
         .filter(col("hamming") <= 1)
         .orderBy("id_a", "id_b")
     },
