@@ -22,6 +22,14 @@ case class HammingHex(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "hamming_hex"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == org.apache.spark.sql.types.StringType &&
+        right.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hamming_hex expects (string, string), got (${left.dataType}, ${right.dataType})")
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[UTF8String].toString
     val b = r.asInstanceOf[UTF8String].toString

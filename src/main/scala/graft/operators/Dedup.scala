@@ -34,18 +34,19 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** MinHash signatures: numHashes salted-md5 min-hashes over word
-    * `shingleLen`-gram shingles. Output: (id, h — hash index, mh — the
-    * lexicographic-min md5 hex). Salting the digest input emulates
-    * independent hash permutations portably. */
+  /** Long-format MinHash signatures (id, h — hash index, mh): derived
+    * from the wide form by unpivoting, so the digest contract stays in
+    * one place. Salting the digest input emulates independent hash
+    * permutations portably. */
   def minHashSignatures(docs: DataFrame, numHashes: Int, shingleLen: Int,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs
-      .select(col(idCol).as("id"),
-        explode(array_distinct(Text.wordShingles(col(textCol), shingleLen))).as("s"))
-      .select(col("id"), explode(sequence(lit(0), lit(numHashes - 1))).as("h"), col("s"))
-      .groupBy("id", "h")
-      .agg(min(md5(concat(col("h"), lit(":"), col("s")))).as("mh"))
+                        idCol: String = "doc_id", textCol: String = "text",
+                        digest: SaltedDigest = md5Digest): DataFrame = {
+    val wide = minHashSignaturesWide(docs, numHashes, shingleLen, idCol, textCol, digest)
+    val pairs = (0 until numHashes).map(i =>
+      struct(lit(i).as("h"), col(s"h$i").as("mh")))
+    wide.select(col("id"), explode(array(pairs: _*)).as("p"))
+      .select(col("id"), col("p.h").as("h"), col("p.mh").as("mh"))
+  }
 
   /** Wide MinHash signatures: one row per doc, columns h0..h{n-1}.
     * The n salted digests are computed as n aggregate expressions over

@@ -39,9 +39,13 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      qId: String = "qid", qVec: String = "qvec",
                      cId: String = "cid", cVec: String = "cvec"): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    // norms depend on one row — precompute before the pair join so the
+    // O(Q×N) hot loop does one dot product per pair, not three
+    val q = queries.withColumn("qn", norm(col(qVec)))
+    val c = corpus.withColumn("cn", norm(col(cVec)))
+    val scored = c.crossJoin(broadcast(q))
       .filter(col(qId) =!= col(cId))
-      .withColumn("cos", cosine(col(qVec), col(cVec)))
+      .withColumn("cos", dot(col(qVec), col(cVec)) / (col("qn") * col("cn")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(qId).orderBy(col("cos").desc, col(cId).asc)))
@@ -85,23 +89,28 @@ object Similarity {
               cId: String = "cid", cVec: String = "cvec"): DataFrame = {
     val centroids = corpus.orderBy(col(cId)).limit(nCentroids)
       .select(col(cId).as("centroid_id"), col(cVec).as("centroid_vec"))
-    // assign corpus vectors to their nearest centroid
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .withColumn("c_sim", cosine(col(cVec), col("centroid_vec")))
+      .withColumn("centroid_n", norm(col("centroid_vec")))
+    val cN = corpus.withColumn("cn", norm(col(cVec)))
+    val qN = queries.withColumn("qn", norm(col(qVec)))
+    // assign corpus vectors to their nearest centroid (precomputed norms)
+    val assigned = cN.crossJoin(broadcast(centroids))
+      .withColumn("c_sim",
+        dot(col(cVec), col("centroid_vec")) / (col("cn") * col("centroid_n")))
       .withColumn("c_rank", row_number().over(
         Window.partitionBy(cId).orderBy(col("c_sim").desc, col("centroid_id").asc)))
       .filter(col("c_rank") === 1)
-      .select(col(cId), col(cVec), col("centroid_id").as("cell"))
+      .select(col(cId), col(cVec), col("cn"), col("centroid_id").as("cell"))
     // each query probes its nProbe nearest cells
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("q_sim", cosine(col(qVec), col("centroid_vec")))
+    val probes = qN.crossJoin(broadcast(centroids))
+      .withColumn("q_sim",
+        dot(col(qVec), col("centroid_vec")) / (col("qn") * col("centroid_n")))
       .withColumn("q_rank", row_number().over(
         Window.partitionBy(qId).orderBy(col("q_sim").desc, col("centroid_id").asc)))
       .filter(col("q_rank") <= nProbe)
-      .select(col(qId), col(qVec), col("centroid_id").as("cell"))
+      .select(col(qId), col(qVec), col("qn"), col("centroid_id").as("cell"))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col(qId) =!= col(cId))
-      .withColumn("cos", cosine(col(qVec), col(cVec)))
+      .withColumn("cos", dot(col(qVec), col(cVec)) / (col("qn") * col("cn")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(qId).orderBy(col("cos").desc, col(cId).asc)))
@@ -127,11 +136,14 @@ object Similarity {
     val probes = array((col("bucket0") +: (0 until planes).map(flip)): _*)
     val qb = base
       .withColumn("bucket", explode(probes))
+      .withColumn("qn", norm(col(qVec)))
       .drop("bucket0")
-    val cb = corpus.withColumn("bucket", lshBucket(col(cVec), dims, planes))
+    val cb = corpus
+      .withColumn("bucket", lshBucket(col(cVec), dims, planes))
+      .withColumn("cn", norm(col(cVec)))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col(qId) =!= col(cId))
-      .withColumn("cos", cosine(col(qVec), col(cVec)))
+      .withColumn("cos", dot(col(qVec), col(cVec)) / (col("qn") * col("cn")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(qId).orderBy(col("cos").desc, col(cId).asc)))

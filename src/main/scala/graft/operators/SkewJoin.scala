@@ -27,6 +27,11 @@ object SkewJoin {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor > 0, "salt factor must be positive")
+    // right/full outer would duplicate unmatched build rows ×factor
+    // (each replica survives null-extended) — fail fast instead
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/semi/anti join types, got '$joinType'")
     // row-position salt: a content hash would send identical rows to
     // the same salt (exactly the duplicates a hot key tends to carry);
     // the join result does not depend on the salt value, so positional

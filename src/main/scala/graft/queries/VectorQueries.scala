@@ -97,7 +97,8 @@ object VectorQueries {
     None)
 
   /** Embedding-cosine near-duplicate pairs (the vector-space dedup
-    * path): all pairs in a bounded id range with cosine ≥ 0.4 —
+    * path): every distinct pair with cosine ≥ 0.4 — O(n²) by design
+    * (the exactness baseline; the ANN variants are the scale path) —
     * oracle-checked with the same fold. */
   val q38EmbeddingNearDup = GraftQuery(
     "q38_embedding_neardup",

@@ -54,7 +54,11 @@ object RunStreamingDemo {
     qInvalid.processAllAvailable()
     qValid.stop(); qInvalid.stop()
 
-    val validN = spark.read.parquet(s"$outDir/cleansed_stream").count()
+    // all-invalid input writes no parquet data files — report valid=0
+    // instead of crashing on schema inference
+    val validN =
+      try spark.read.parquet(s"$outDir/cleansed_stream").count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
     val invalidN = spark.table("invalid_stream").count()
     println(s"""{"stream_valid":$validN,"stream_invalid":$invalidN}""")
     spark.stop()

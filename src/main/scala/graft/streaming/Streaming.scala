@@ -27,8 +27,11 @@ object Streaming {
     * downstream `dropDuplicatesWithinWatermark` call. */
   def cleanseStream(landing: DataFrame): Routed = {
     val (valid, invalid) = graft.pipeline.Cleanse.route(landing)
+    // hash the full row content (like the batch tiebreak) — omitting
+    // quantity/price would collide distinct orders onto one surrogate
     val surrogate = coalesce(col("order_id_t"),
-      (-(pmod(xxhash64(col("product"), col("order_date"), col("purchase_address")),
+      (-(pmod(xxhash64(col("product"), col("order_date"), col("purchase_address"),
+        col("quantity_ordered"), col("price_each")),
         lit(2000000000L)) + 1)).cast(IntegerType))
     Routed(graft.pipeline.Cleanse.normalized(valid, surrogate), invalid)
   }
@@ -96,10 +99,11 @@ object Streaming {
               n += 1; tot += e.value
               if (e.event_type == "error") err += 1
             }
-            val next = UserRunning(uid, n, math.round(tot * 100).toDouble / 100, err)
-            state.update(next)
+            // state keeps the RAW total (rounding fed back into state
+            // would compound error across batches); round only on emit
+            state.update(UserRunning(uid, n, tot, err))
             if (idleTimeout != "off") state.setTimeoutDuration(idleTimeout)
-            Iterator(next)
+            Iterator(UserRunning(uid, n, math.round(tot * 100).toDouble / 100, err))
           }
       }
   }
