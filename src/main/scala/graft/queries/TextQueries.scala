@@ -282,8 +282,31 @@ object TextQueries {
            |SELECT id_a, id_b, hamming FROM ham
            |WHERE hamming <= 1 ORDER BY id_a, id_b""".stripMargin))
 
+  /** Rabin-Karp rolling-hash document fingerprint via the native
+    * codegen'd `rolling_hash` expression; oracle reproduces the exact
+    * polynomial fold with list_reduce over unicode code points. */
+  val q40RollingFingerprint = GraftQuery(
+    "q40_rolling_fingerprint",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.RollingHash.rollingHash(col("text")).as("fp"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("group_size"))
+        .orderBy("keep_id"),
+    Some("""WITH f AS (
+           |  SELECT doc_id,
+           |    list_reduce(
+           |      list_prepend(CAST(0 AS BIGINT),
+           |        list_transform(generate_series(1, length(text)),
+           |          i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
+           |      (a, c) -> (a * 31 + c) % 1000000000000037) AS fp
+           |  FROM documents)
+           |SELECT fp, min(doc_id) AS keep_id, count(*) AS group_size
+           |FROM f GROUP BY fp ORDER BY keep_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q20TextStats, q21LangId, q22Fingerprint, q23DedupExact, q24MinhashLsh,
     q25Simhash, q26NgramJaccard, q27MultimodalMeta, q28MultimodalFeatures,
-    q29SimhashNearDup)
+    q29SimhashNearDup, q40RollingFingerprint)
 }
