@@ -115,6 +115,70 @@ object TpchClassics {
            |JOIN customer ON o_custkey = c_custkey
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** Q2 shape — correlated-min join-back: for each part, the
+    * supplier(s) selling it at the minimum observed unit price. The
+    * correlated `= (SELECT min ...)` becomes one grouped aggregate +
+    * an equi-join back (no per-row rescan). */
+  val q45MinCostSupplier = GraftQuery(
+    "q45_tpch_q2_min_cost_supplier",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("unit_price", col("l_extendedprice") / col("l_quantity"))
+      val minPrice = li.groupBy(col("l_partkey").as("mp_partkey"))
+        .agg(min("unit_price").as("min_price"))
+      li.join(minPrice,
+          li("l_partkey") === col("mp_partkey") and
+            li("unit_price") === col("min_price"))
+        .select(col("l_partkey"), col("l_suppkey"), col("unit_price"))
+        .distinct()
+        .orderBy("l_partkey", "l_suppkey")
+    },
+    // raw double output: IEEE division is identical in both engines,
+    // while round()'s half-way tie-breaking is not
+    Some("""SELECT DISTINCT l_partkey, l_suppkey,
+           |  l_extendedprice / l_quantity AS unit_price
+           |FROM lineitem l
+           |WHERE l_extendedprice / l_quantity = (
+           |  SELECT min(l2.l_extendedprice / l2.l_quantity)
+           |  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+           |ORDER BY l_partkey, l_suppkey""".stripMargin))
+
+  /** Q11 shape — share-of-global-total in HAVING: nations whose
+    * revenue exceeds 4% of the total. The scalar total is a one-row
+    * broadcast cross join, computed once. */
+  val q46RevenueShare = GraftQuery(
+    "q46_tpch_q11_revenue_share",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val byNation = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(n("n_name").as("nation_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val total = byNation.agg(sum("rev").as("total_rev"))
+      byNation.crossJoin(broadcast(total))
+        .filter(col("rev") > col("total_rev") * 0.04)
+        .select(col("nation_name"), round(col("rev"), 2).as("revenue"),
+          round(col("rev") / col("total_rev"), 6).as("share"))
+        .orderBy(col("revenue").desc, col("nation_name"))
+    },
+    Some("""WITH by_nation AS (
+           |  SELECT n_name AS nation_name,
+           |    sum(l_extendedprice * (1.0 - l_discount)) AS rev
+           |  FROM lineitem
+           |  JOIN orders   ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN nation   ON c_nationkey = n_nationkey
+           |  GROUP BY 1)
+           |SELECT nation_name, round(rev, 2) AS revenue,
+           |  round(rev / (SELECT sum(rev) FROM by_nation), 6) AS share
+           |FROM by_nation
+           |WHERE rev > (SELECT sum(rev) FROM by_nation) * 0.04
+           |ORDER BY revenue DESC, nation_name""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q41LateOrders, q42CustDist, q43TopSupplier,
-    q44LargeOrders)
+    q44LargeOrders, q45MinCostSupplier, q46RevenueShare)
 }
