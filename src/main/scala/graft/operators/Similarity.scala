@@ -1,18 +1,22 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
-  * Dot products use `zip_with` + `aggregate` over the array columns —
-  * a sequential left fold in double precision, fully codegen'd, no
-  * explode (the 64-element loop stays inside one projection, no row
-  * amplification). Brute-force top-k is the exactness baseline; the
-  * LSH-bucketed variant is the scale path: random-hyperplane signs are
-  * derived from md5 (deterministic, seedless), candidates only within
-  * matching buckets.
+  * Dot products use the native codegen'd [[graft.functions.VecDot]]
+  * expression — a sequential left fold in double precision compiled
+  * into whole-stage codegen (no explode: the 64-element loop stays
+  * inside one projection, no row amplification). Brute-force top-k is
+  * the exactness baseline; LSH buckets and IVF cells are the scale
+  * paths: both turn the all-pairs cross join into an equi-join on a
+  * bucket/cell key, with a probe knob that trades recall for scan
+  * fraction (probe-all ⇒ provably identical to brute force).
   */
 object Similarity {
 
@@ -46,86 +50,165 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col(qId) =!= col(cId))
       .withColumn("cos", dot(col(qVec), col(cVec)) / (col("qn") * col("cn")))
+    topK(scored, k, qId, cId)
+  }
+
+  private def topK(scored: DataFrame, k: Int, qId: String, cId: String): DataFrame =
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(qId).orderBy(col("cos").desc, col(cId).asc)))
       .filter(col("rank") <= k)
-      .select(col(qId), col("rank"), col(cId).as("neighbor_id"), col("cos"))
-  }
+      .select(col(qId), col("rank").cast("long").as("rank"),
+        col(cId).as("neighbor_id"), col("cos"))
 
-  /** Deterministic random-hyperplane sign for (plane p, dim i):
-    * parity of the first md5 hex digit of "p:i". */
-  private def planeSign(p: Int, dim: Column): Column = {
-    val nib = instr(lit("0123456789abcdef"),
-      substring(md5(concat(lit(p + ":"), dim)), 1, 1)) - 1
-    when(nib % 2 === 1, 1.0).otherwise(-1.0)
-  }
+  /** Deterministic ±1 random-hyperplane signs, precomputed ONCE on the
+    * driver: sign(p, i) = parity of the first md5 hex digit of "p:i" —
+    * the same derivation the previous in-plan formulation used, minus
+    * the planes×dims md5 digests *per row* (256 digests/row at
+    * dims=64, planes=4, and inside an interpreted HOF at that). The
+    * matrix depends only on (dims, planes), so it ships to executors
+    * as literal arrays and the projection is a codegen'd vec_dot. */
+  private[operators] def planeSigns(dims: Int, planes: Int): Array[Array[Double]] =
+    Array.tabulate(planes) { p =>
+      Array.tabulate(dims) { i =>
+        val d = MessageDigest.getInstance("MD5")
+          .digest(s"$p:$i".getBytes(StandardCharsets.UTF_8))
+        if (((d(0) >> 4) & 0xf) % 2 == 1) 1.0 else -1.0
+      }
+    }
 
   /** LSH bucket key: concatenated signs of `planes` random-hyperplane
-    * projections. Vectors in the same bucket are likely neighbors. */
+    * projections. Vectors in the same bucket are likely neighbors.
+    * Bucket values are bit-identical to the pre-constant-folded
+    * version (same signs, same sequential fold order). */
   def lshBucket(vec: Column, dims: Int, planes: Int): Column = {
+    val signs = planeSigns(dims, planes)
     val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dims - 1)),
-          (x, i) => x.cast("double") * planeSign(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, "1").otherwise("0")
+      when(dot(vec, typedLit(signs(p))) >= 0, "1").otherwise("0")
     }
     concat(bits: _*)
   }
 
-  /** IVF-style approximate top-k without a training step: `nCentroids`
-    * corpus vectors chosen deterministically (lowest ids) act as the
-    * coarse quantizer; every corpus vector is assigned to its nearest
-    * centroid (one broadcast pass), and each query probes the
-    * `nProbe` nearest centroid cells. Compared to LSH this adapts to
-    * the data's actual geometry; compared to brute force it scans
-    * ~nProbe/nCentroids of the corpus. At real scale the centroid set
-    * would come from k-means — the assignment/probe dataflow (the
-    * Spark-shaped part) is identical. */
+  /** Spherical k-means centroids (Lloyd's iterations with cosine
+    * assignment and normalized-mean update — Dhillon & Modha 2001),
+    * deterministically seeded with the `nCentroids` lowest-id corpus
+    * vectors. Centroid state (k×dims doubles) round-trips through the
+    * driver each iteration and is rebroadcast — the same dataflow
+    * MLlib's KMeans uses; the corpus itself never leaves executors.
+    * Per-dimension sums are rounded to 9 decimals so centroid values
+    * don't wobble with aggregation order across runs.
+    *
+    * @return (centroid_id, centroid_vec: array<double>) — unit-norm
+    * @param iters 0 ⇒ just the normalized seed vectors (assignment by
+    *              cosine is scale-invariant, so this reproduces the
+    *              previous lowest-id quantizer exactly)
+    */
+  def trainCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 3,
+                     cId: String = "cid", cVec: String = "cvec"): DataFrame =
+    centroidsDf(corpus.sparkSession, trainCentroidArrays(corpus, nCentroids, iters, cId, cVec))
+
+  private def l2normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** See [[trainCentroids]] — returns the unit-norm centroid arrays
+    * themselves so consumers can embed them as plan literals. */
+  def trainCentroidArrays(corpus: DataFrame, nCentroids: Int, iters: Int = 3,
+                          cId: String = "cid", cVec: String = "cvec"): Array[(Int, Array[Double])] = {
+    // model state, not data: k vectors (k×dims doubles) live on the driver
+    var cents: Array[(Int, Array[Double])] = corpus
+      .orderBy(col(cId)).limit(nCentroids)
+      .select(col(cVec).cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+      .map(l2normalize)
+      .zipWithIndex.map { case (v, i) => (i, v) }
+
+    for (_ <- 0 until iters) {
+      // assignment is a pure narrow projection (codegen'd vec_dot
+      // against literal centroids — no join, no shuffle); the only
+      // exchange per iteration is the spherical update's groupBy.
+      // normalize(mean) ≡ normalize(sum), so the count is skipped.
+      val assigned = corpus.withColumn("cell",
+        cellRanking(col(cVec), cents)(0)("cell"))
+      val updated = assigned
+        .select(col("cell"), posexplode(col(cVec).cast("array<double>")))
+        .groupBy("cell", "pos").agg(round(sum("col"), 9).as("s"))
+        .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
+        .select(col("cell"), transform(col("ps"), p => p("s")).as("v"))
+        .collect()
+        .map(r => r.getInt(0) -> l2normalize(r.getSeq[Double](1).toArray))
+        .toMap
+      // empty cells keep their previous centroid
+      cents = cents.map { case (id, old) => (id, updated.getOrElse(id, old)) }
+    }
+    cents
+  }
+
+  private def centroidsDf(spark: SparkSession,
+                          cents: Array[(Int, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.toSeq.toDF("centroid_id", "centroid_vec")
+  }
+
+  /** Per-row centroid ranking as ONE narrow projection: an array of
+    * (−dot, cell, ‖μ‖) structs, ascending-sorted, so element 0 is the
+    * max-cosine cell (centroids are unit-norm ⇒ argmax dot ≡ argmax
+    * cosine; ties break on the lower cell id, matching the previous
+    * window formulation). The k dot products are codegen'd vec_dot
+    * against literal arrays — no centroid join, no shuffle, no row
+    * amplification. */
+  private def cellRanking(vec: Column, cents: Array[(Int, Array[Double])]): Column =
+    array_sort(array(cents.map { case (id, v) =>
+      struct((dot(vec, typedLit(v)) * lit(-1.0)).as("negdot"),
+        lit(id).as("cell"), lit(math.sqrt(v.map(x => x * x).sum)).as("mun"))
+    }: _*))
+
+  /** IVF-style approximate top-k: a spherical-k-means coarse quantizer
+    * ([[trainCentroids]]; `trainIters = 0` degrades to the
+    * deterministic lowest-id seed), every corpus vector assigned to
+    * its nearest centroid cell (one broadcast pass), each query
+    * probing its `nProbe` nearest cells. Compared to LSH this adapts
+    * to the data's actual geometry; compared to brute force it scans
+    * ~nProbe/nCentroids of the corpus. `nProbe = nCentroids` probes
+    * every cell and is provably identical to [[bruteForceTopK]]. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4,
+              nCentroids: Int = 16, nProbe: Int = 4, trainIters: Int = 3,
               qId: String = "qid", qVec: String = "qvec",
               cId: String = "cid", cVec: String = "cvec"): DataFrame = {
-    val centroids = corpus.orderBy(col(cId)).limit(nCentroids)
-      .select(col(cId).as("centroid_id"), col(cVec).as("centroid_vec"))
-      .withColumn("centroid_n", norm(col("centroid_vec")))
-    val cN = corpus.withColumn("cn", norm(col(cVec)))
-    val qN = queries.withColumn("qn", norm(col(qVec)))
-    // assign corpus vectors to their nearest centroid (precomputed norms)
-    val assigned = cN.crossJoin(broadcast(centroids))
-      .withColumn("c_sim",
-        dot(col(cVec), col("centroid_vec")) / (col("cn") * col("centroid_n")))
-      .withColumn("c_rank", row_number().over(
-        Window.partitionBy(cId).orderBy(col("c_sim").desc, col("centroid_id").asc)))
-      .filter(col("c_rank") === 1)
-      .select(col(cId), col(cVec), col("cn"), col("centroid_id").as("cell"))
+    val cents = trainCentroidArrays(corpus, nCentroids, trainIters, cId, cVec)
+    // cell assignment / probing are narrow projections against the
+    // literal centroid matrix — the only exchange is the candidate join
+    val assigned = corpus
+      .withColumn("cn", norm(col(cVec)))
+      .withColumn("cell", cellRanking(col(cVec), cents)(0)("cell"))
+      .select(col(cId), col(cVec), col("cn"), col("cell"))
     // each query probes its nProbe nearest cells
-    val probes = qN.crossJoin(broadcast(centroids))
-      .withColumn("q_sim",
-        dot(col(qVec), col("centroid_vec")) / (col("qn") * col("centroid_n")))
-      .withColumn("q_rank", row_number().over(
-        Window.partitionBy(qId).orderBy(col("q_sim").desc, col("centroid_id").asc)))
-      .filter(col("q_rank") <= nProbe)
-      .select(col(qId), col(qVec), col("qn"), col("centroid_id").as("cell"))
+    val probes = queries
+      .withColumn("qn", norm(col(qVec)))
+      .withColumn("cell", explode(transform(
+        slice(cellRanking(col(qVec), cents), 1, nProbe), s => s("cell"))))
+      .select(col(qId), col(qVec), col("qn"), col("cell"))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col(qId) =!= col(cId))
       .withColumn("cos", dot(col(qVec), col(cVec)) / (col("qn") * col("cn")))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(qId).orderBy(col("cos").desc, col(cId).asc)))
-      .filter(col("rank") <= k)
-      .select(col(qId), col("rank"), col(cId).as("neighbor_id"), col("cos"))
+    topK(scored, k, qId, cId)
   }
 
-  /** Approximate top-k: candidates restricted to the query's LSH
+  /** Approximate top-k via LSH buckets. Default probing is the query's
     * bucket plus all Hamming-distance-1 buckets (multi-probe — on
     * near-uniform vectors single-bucket recall collapses; probing the
     * `planes` adjacent buckets recovers most of it for a
     * (planes+1)/2^planes fraction of the corpus compared). The bucket
     * equi-join replaces the cross join — at N corpus vectors the
-    * compare count drops ~2^planes/(planes+1)-fold. */
+    * compare count drops ~2^planes/(planes+1)-fold.
+    * `probeAll = true` probes every one of the 2^planes buckets: each
+    * corpus vector then matches exactly one probe, so the candidate
+    * set is all Q×N pairs and the result is provably identical to
+    * [[bruteForceTopK]] (the oracle-checkable configuration). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dims: Int, planes: Int = 4,
+              probeAll: Boolean = false,
               qId: String = "qid", qVec: String = "qvec",
               cId: String = "cid", cVec: String = "cvec"): DataFrame = {
     val base = queries.withColumn("bucket0", lshBucket(col(qVec), dims, planes))
@@ -133,7 +216,12 @@ object Similarity {
       substring(col("bucket0"), 1, i),
       when(substring(col("bucket0"), i + 1, 1) === "1", "0").otherwise("1"),
       substring(col("bucket0"), i + 2, planes - i - 1))
-    val probes = array((col("bucket0") +: (0 until planes).map(flip)): _*)
+    val probes =
+      if (probeAll) {
+        val all = (0 until (1 << planes)).map(b =>
+          (planes - 1 to 0 by -1).map(i => (b >> i) & 1).mkString)
+        typedLit(all)
+      } else array((col("bucket0") +: (0 until planes).map(flip)): _*)
     val qb = base
       .withColumn("bucket", explode(probes))
       .withColumn("qn", norm(col(qVec)))
@@ -144,10 +232,70 @@ object Similarity {
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col(qId) =!= col(cId))
       .withColumn("cos", dot(col(qVec), col(cVec)) / (col("qn") * col("cn")))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(qId).orderBy(col("cos").desc, col(cId).asc)))
-      .filter(col("rank") <= k)
-      .select(col(qId), col("rank"), col(cId).as("neighbor_id"), col("cos"))
+    topK(scored, k, qId, cId)
+  }
+
+  /** Exact cosine-threshold near-duplicate pairs WITHOUT a cartesian
+    * product: IVF cells + angular triangle-inequality cell-pair
+    * pruning.
+    *
+    * Every vector joins its nearest centroid cell; per cell we record
+    * the max angular radius r. For vectors a∈cell_i, b∈cell_j the
+    * angular triangle inequality gives
+    *   angle(a,b) ≥ angle(μ_i,μ_j) − r_i − r_j,
+    * so a cell pair can contain a qualifying pair (cos ≥ t, i.e.
+    * angle ≤ arccos t) only if angle(μ_i,μ_j) − r_i − r_j ≤ arccos t.
+    * All other cell pairs are pruned before any vector pair is
+    * compared. Candidates come from an equi-join against the tiny
+    * admissible (cell_a, cell_b) list (broadcast); the final exact
+    * cosine filter makes the output provably identical to the
+    * all-pairs baseline (which survives as the spec/DuckDB oracle).
+    * On clustered corpora pruning removes most cell pairs; the worst
+    * case (uniform vectors, radii ≈ π/2) degrades to the same compare
+    * count as brute force — but never to a CartesianProduct plan node,
+    * and the exchange is keyed by cell, so it partitions. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+                         nCentroids: Int = 16, trainIters: Int = 3,
+                         cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val angleOf = (c: Column) => acos(least(greatest(c, lit(-1.0)), lit(1.0)))
+    val cents = trainCentroidArrays(corpus, nCentroids, trainIters, cId, cVec)
+    // assignment + angle-to-centroid in one narrow projection
+    val assigned = corpus
+      .withColumn("cn", norm(col(cVec)))
+      .withColumn("top", cellRanking(col(cVec), cents)(0))
+      .select(col(cId), col(cVec), col("cn"), col("top")("cell").as("cell"),
+        angleOf((col("top")("negdot") * lit(-1.0)) /
+          (col("cn") * col("top")("mun"))).as("angle"))
+    val cellStats = assigned.groupBy("cell").agg(max("angle").as("radius"))
+    // μ-pair angles are pure model state — computed on the driver (k²
+    // values), joined against the data-derived radii as a tiny DF
+    val muPairs = (for {
+      (i, vi) <- cents.toSeq; (j, vj) <- cents.toSeq if i <= j
+    } yield {
+      var d = 0.0; var s = 0; while (s < math.min(vi.length, vj.length)) { d += vi(s) * vj(s); s += 1 }
+      val ni = math.sqrt(vi.map(x => x * x).sum); val nj = math.sqrt(vj.map(x => x * x).sum)
+      (i, j, math.acos(math.max(-1.0, math.min(1.0, d / (ni * nj)))))
+    }).toDF("cell_a", "cell_b", "mu_angle")
+    val admissible = muPairs
+      .join(cellStats.select(col("cell").as("cell_a"), col("radius").as("ra")), Seq("cell_a"))
+      .join(cellStats.select(col("cell").as("cell_b"), col("radius").as("rb")), Seq("cell_b"))
+      // 1e-9 slack keeps the bound conservative under float rounding
+      .filter(col("mu_angle") - col("ra") - col("rb") <= lit(math.acos(threshold) + 1e-9))
+      .select(col("cell_a"), col("cell_b"))
+    val left = assigned.select(col("cell").as("cell_a"), col(cId).as("xid"),
+      col(cVec).as("xv"), col("cn").as("xn"))
+    val right = assigned.select(col("cell").as("cell_b"), col(cId).as("yid"),
+      col(cVec).as("yv"), col("cn").as("yn"))
+    left.join(broadcast(admissible), Seq("cell_a"))
+      .join(right, Seq("cell_b"))
+      // cross-cell pairs appear once (cell_a < cell_b); same-cell pairs
+      // are ordered by id to keep each unordered pair exactly once
+      .filter(col("cell_a") < col("cell_b") || col("xid") < col("yid"))
+      .withColumn("cos", dot(col("xv"), col("yv")) / (col("xn") * col("yn")))
+      .filter(col("cos") >= threshold)
+      .select(least(col("xid"), col("yid")).as("id_a"),
+        greatest(col("xid"), col("yid")).as("id_b"), col("cos"))
   }
 }

@@ -18,6 +18,21 @@ object VectorQueries {
       | / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
       |  * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
+  /** Shared oracle for every exact top-5 configuration (brute force,
+    * probe-all LSH, probe-all IVF): they are provably the same query,
+    * just different physical plans. */
+  private val topKOracle =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT a.qid, b.vec_id AS neighbor_id,
+       |    $cosSql AS cos
+       |  FROM q a JOIN embeddings b ON b.vec_id <> a.qid)
+       |SELECT qid, rank, neighbor_id, round(cos, 4) AS cos FROM (
+       |  SELECT qid, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   /** Brute-force exact cosine top-5 for the first 10 vectors as
     * queries. The rank itself (not the float) is the compared output —
     * sims are rounded to 4 decimals for display. */
@@ -30,19 +45,9 @@ object VectorQueries {
       val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       Similarity.bruteForceTopK(queries, corpus, k = 5)
         .withColumn("cos", round(col("cos"), 4))
-        .withColumn("rank", col("rank").cast("long"))
         .orderBy("qid", "rank")
     },
-    Some(s"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 10),
-            |scored AS (
-            |  SELECT a.qid, b.vec_id AS neighbor_id,
-            |    $cosSql AS cos
-            |  FROM q a JOIN embeddings b ON b.vec_id <> a.qid)
-            |SELECT qid, rank, neighbor_id, round(cos, 4) AS cos FROM (
-            |  SELECT qid, neighbor_id, cos,
-            |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id ASC) AS rank
-            |  FROM scored)
-            |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
+    Some(topKOracle))
 
   /** Pairwise cosine for a small id range — the exactness check on the
     * dot-product kernel itself (raw doubles, no ranking). */
@@ -65,9 +70,14 @@ object VectorQueries {
             |WHERE a.vec_id < 20 AND b.vec_id < 20
             |ORDER BY id_a, id_b""".stripMargin))
 
-  /** LSH-bucketed approximate top-k (the scale path) — rows-only check:
-    * bucket membership is md5-derived on both sides but the recall set
-    * is the property under test in `SimilaritySpec`, not a SQL oracle. */
+  /** LSH-bucketed top-k in the oracle-checkable probe-all
+    * configuration: probing all 2^planes buckets makes the candidate
+    * set every (q, c) pair, so the result is provably ≡ brute force
+    * and the DuckDB oracle applies — while the executed plan is the
+    * scale path's bucket equi-join (constant-folded hyperplane signs
+    * + codegen'd vec_dot), not a cross join. The approximate
+    * multi-probe configuration (Hamming-1 probing, ~(planes+1)/2^planes
+    * of the corpus compared) is recall-tested in `SimilaritySpec`. */
   val q32AnnLsh = GraftQuery(
     "q32_ann_lsh",
     (s, dir) => {
@@ -75,14 +85,17 @@ object VectorQueries {
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      Similarity.lshTopK(queries, corpus, k = 5, dims = 64, planes = 4)
+      Similarity.lshTopK(queries, corpus, k = 5, dims = 64, planes = 4, probeAll = true)
         .withColumn("cos", round(col("cos"), 4))
         .orderBy("qid", "rank")
     },
-    None)
+    Some(topKOracle))
 
-  /** IVF-style ANN (deterministic coarse quantizer, nProbe cells) —
-    * rows-only; recall vs brute force is asserted in SimilaritySpec. */
+  /** IVF top-k in the oracle-checkable probe-all configuration
+    * (`nProbe = nCentroids` scans every cell ⇒ provably ≡ brute
+    * force) over a spherical-k-means coarse quantizer. The plan is
+    * the scale path's cell equi-join; the approximate nProbe<k
+    * configuration is recall-tested in `SimilaritySpec`. */
   val q37AnnIvf = GraftQuery(
     "q37_ann_ivf",
     (s, dir) => {
@@ -90,25 +103,24 @@ object VectorQueries {
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      Similarity.ivfTopK(queries, corpus, k = 5, nCentroids = 16, nProbe = 4)
+      Similarity.ivfTopK(queries, corpus, k = 5, nCentroids = 16, nProbe = 16)
         .withColumn("cos", round(col("cos"), 4))
         .orderBy("qid", "rank")
     },
-    None)
+    Some(topKOracle))
 
   /** Embedding-cosine near-duplicate pairs (the vector-space dedup
-    * path): every distinct pair with cosine ≥ 0.4 — O(n²) by design
-    * (the exactness baseline; the ANN variants are the scale path) —
-    * oracle-checked with the same fold. */
+    * path): every distinct pair with cosine ≥ 0.4, computed WITHOUT a
+    * cartesian product — IVF cells + angular triangle-inequality
+    * cell-pair pruning ([[Similarity.cosineNearDupPairs]]), provably
+    * identical to the all-pairs baseline, which survives only as the
+    * DuckDB oracle below (and in `SimilaritySpec`). */
   val q38EmbeddingNearDup = GraftQuery(
     "q38_embedding_neardup",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
-        .filter(col("cos") >= 0.4)
+      val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.cosineNearDupPairs(corpus, threshold = 0.4, nCentroids = 16)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")
     },

@@ -30,9 +30,52 @@ class SimilaritySpec extends SparkSpec {
 
   test("brute-force top-k ranks by cosine desc") {
     val top = Similarity.bruteForceTopK(q(0L), c, k = 2).collect()
-      .sortBy(_.getAs[Int]("rank"))
+      .sortBy(_.getAs[Long]("rank"))
       .map(_.getAs[Long]("neighbor_id"))
     assert(top === Array(1L, 2L))
+  }
+
+  private def asTuples(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+      r.getAs[Long]("neighbor_id"))).toSet
+
+  test("probe-all lsh is identical to brute force") {
+    val truth = asTuples(Similarity.bruteForceTopK(q(0L, 2L, 4L), c, k = 3))
+    val lsh = asTuples(Similarity.lshTopK(q(0L, 2L, 4L), c, k = 3, dims = 3,
+      planes = 4, probeAll = true))
+    assert(lsh === truth)
+  }
+
+  test("probe-all ivf (k-means quantizer) is identical to brute force") {
+    val truth = asTuples(Similarity.bruteForceTopK(q(0L, 2L, 4L), c, k = 3))
+    val ivf = asTuples(Similarity.ivfTopK(q(0L, 2L, 4L), c, k = 3,
+      nCentroids = 3, nProbe = 3))
+    assert(ivf === truth)
+  }
+
+  test("k-means centroids are unit-norm and deterministic across runs") {
+    def train() = Similarity.trainCentroids(c, nCentroids = 3, iters = 3)
+      .orderBy(col("centroid_id")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toVector)
+    val a = train()
+    val b = train()
+    assert(a.toSeq === b.toSeq)
+    a.foreach { case (_, v) =>
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+  }
+
+  test("pruned near-dup pairs equal the all-pairs baseline") {
+    val t = 0.5
+    val baseline = c.as("x").crossJoin(c.as("y"))
+      .filter(col("x.cid") < col("y.cid"))
+      .withColumn("cos", Similarity.cosine(col("x.cvec"), col("y.cvec")))
+      .filter(col("cos") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet // x.cid, y.cid
+    val pruned = Similarity.cosineNearDupPairs(c, threshold = t, nCentroids = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pruned === baseline)
+    assert(pruned.nonEmpty) // fixture has near-dup pairs (0,1) and (2,4)
   }
 
   test("lsh top-k recall covers true nearest neighbor for most queries") {

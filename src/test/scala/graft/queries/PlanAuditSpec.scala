@@ -52,6 +52,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("*(")) // whole-stage codegen span marker
   }
 
+  test("q32: LSH bucket projection is constant-folded (vec_dot, no HOFs)") {
+    val p = plan("q32_ann_lsh")
+    assert(p.contains("vec_dot("))
+    // the hyperplane signs must be literal arrays, not per-row
+    // aggregate(zip_with(md5(...))) interpreted lambdas
+    assert(!p.contains("zip_with") && !p.contains("aggregate("))
+    assert(!p.contains("ScalaUDF"))
+  }
+
+  test("q38: near-dup candidate generation has no full-corpus cartesian") {
+    val p = plan("q38_embedding_neardup")
+    // the only nested-loop joins allowed are the bounded broadcast ones
+    // against the k-centroid table; the vector-pair join itself must be
+    // a hash equi-join on the admissible cell pairs
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("q29: native hamming_hex expression stays inside codegen") {
     val p = plan("q29_simhash_neardup")
     assert(!p.contains("ScalaUDF"))
