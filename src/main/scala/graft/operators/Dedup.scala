@@ -125,28 +125,41 @@ object Dedup {
   }
 
   /** n-gram Jaccard near-dup pairs above `threshold` — EXACT scores,
-    * two candidate-generation strategies with identical output:
+    * two candidate-generation strategies with identical output, chosen
+    * adaptively by default:
     *
-    *  - `prefixFilter = false` (default): direct shared-shingle
-    *    equi-join. Right choice when the shingle vocabulary is small
-    *    or uniform (like the synthetic corpus) — no shingle is rare,
-    *    so prefix pruning only adds passes.
-    *  - `prefixFilter = true`: ppjoin-style prefix filtering
-    *    (Chaudhuri/Xiao et al.; public algorithm): a pair with
-    *    J(A,B) ≥ t must share one of each side's
-    *    (|X| − ⌈t·|X|⌉ + 1) globally-rarest shingles, so only prefix
-    *    shingles drive the candidate join. The scale path for real
-    *    (zipfian) corpora, where ubiquitous shingles would otherwise
-    *    dominate the join and skew its partitions. */
+    *  - `"direct"`: shared-shingle equi-join. Right choice when the
+    *    shingle vocabulary is small or uniform (like the synthetic
+    *    corpus) — no shingle is rare, so prefix pruning only adds
+    *    passes.
+    *  - `"prefix"`: ppjoin-style prefix filtering (Chaudhuri/Xiao et
+    *    al.; public algorithm): a pair with J(A,B) ≥ t must share one
+    *    of each side's (|X| − ⌈t·|X|⌉ + 1) globally-rarest shingles,
+    *    so only prefix shingles drive the candidate join. The scale
+    *    path for real (zipfian) corpora, where ubiquitous shingles
+    *    would otherwise dominate the join, skew its partitions, and
+    *    explode the pair count.
+    *  - `"adaptive"` (default): probes the shingle document-frequency
+    *    distribution first — one map-side-combined aggregation over
+    *    the cached shingle set plus a scalar collect, an AQE-style
+    *    runtime plan decision ([[chooseJaccardStrategy]]). A mostly-
+    *    rare vocabulary means prefix filtering has rare prefixes to
+    *    exploit; a small/uniform vocabulary has none. */
   def ngramJaccardPairs(docs: DataFrame, shingleLen: Int = 3, threshold: Double = 0.8,
                         idCol: String = "doc_id", textCol: String = "text",
-                        prefixFilter: Boolean = false): DataFrame = {
+                        strategy: String = "adaptive"): DataFrame = {
+    require(Set("adaptive", "direct", "prefix")(strategy), s"unknown strategy: $strategy")
     val sh = docs.select(col(idCol).as("id"),
       explode(array_distinct(Text.wordShingles(col(textCol), shingleLen))).as("s"))
       .cache()
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val usePrefix = strategy match {
+      case "direct" => false
+      case "prefix" => true
+      case _        => chooseJaccardStrategy(shingleDocFreq(sh))
+    }
     val inter =
-      if (!prefixFilter) {
+      if (!usePrefix) {
         // direct shared-shingle join: best when the shingle vocabulary
         // is small/uniform (no rare prefix exists to exploit)
         sh.as("a").join(sh.as("b"),
@@ -154,18 +167,7 @@ object Dedup {
           .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
           .agg(count(lit(1)).as("inter"))
       } else {
-        // global document frequency — rarest shingles first
-        val df_ = sh.groupBy("s").agg(count(lit(1)).as("df"))
-        val ranked = sh.join(df_, "s")
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("id").orderBy(col("df").asc, col("s").asc)))
-          .join(counts, "id")
-          .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
-          .select("id", "s")
-        val cands = ranked.as("a").join(ranked.as("b"),
-            col("a.s") === col("b.s") and col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-          .distinct()
+        val cands = prefixCandidates(sh, counts, threshold)
         val withA = cands.join(sh.toDF("id_a", "sa"), "id_a")
         val shB = sh.toDF("id_b", "sb")
         withA
@@ -181,5 +183,40 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "na", "nb", "jaccard")
+  }
+
+  /** Global shingle document frequencies (s, df) — the skew probe input. */
+  private[operators] def shingleDocFreq(sh: DataFrame): DataFrame =
+    sh.groupBy("s").agg(count(lit(1)).as("df"))
+
+  /** true ⇒ prefix filtering. Chosen when the median shingle document
+    * frequency is small (≤ 4): at least half the vocabulary is then
+    * rare, so each document's prefix lands on low-df shingles and the
+    * candidate join stays near-linear. Zipfian text corpora (hapax-
+    * dominated vocabularies) always qualify; small synthetic
+    * vocabularies — where every shingle is common and prefix passes
+    * prune nothing — do not. The probe is one aggregation over the
+    * shingle set; at 100 TB that is one map-side-combined pass, paid
+    * once to avoid a quadratic, skew-pinned join. */
+  private[operators] def chooseJaccardStrategy(dfS: DataFrame): Boolean = {
+    val m = dfS.select(percentile_approx(col("df"), lit(0.5), lit(1000)).as("m")).first()
+    !m.isNullAt(0) && m.getLong(0) <= 4
+  }
+
+  /** ppjoin prefix candidates: each document keyed by its
+    * (|X| − ⌈t·|X|⌉ + 1) globally-rarest shingles; only prefix-sharing
+    * pairs survive. */
+  private[operators] def prefixCandidates(sh: DataFrame, counts: DataFrame,
+                                          threshold: Double): DataFrame = {
+    val ranked = sh.join(shingleDocFreq(sh), "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("df").asc, col("s").asc)))
+      .join(counts, "id")
+      .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select("id", "s")
+    ranked.as("a").join(ranked.as("b"),
+        col("a.s") === col("b.s") and col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
   }
 }

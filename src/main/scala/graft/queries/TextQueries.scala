@@ -166,15 +166,10 @@ object TextQueries {
            |SELECT doc_id, string_agg(ch, '' ORDER BY p) AS simhash
            |FROM chars GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
-  /** Word-trigram Jaccard near-dup pairs ≥ 0.8 — exact integer-count
-    * scoring over shared-shingle candidates. */
-  val q26NgramJaccard = GraftQuery(
-    "q26_ngram_jaccard",
-    (s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), shingleLen = 3, threshold = 0.8)
-        .withColumn("jaccard", round(col("jaccard"), 6))
-        .orderBy("id_a", "id_b"),
-    Some("""WITH toks AS (
+  /** One oracle serves q26 (adaptive strategy) and q39 (forced prefix
+    * filter): both candidate-generation strategies must produce the
+    * same exact Jaccard pairs, and the DuckDB gate proves it. */
+  private val jaccardOracle = """WITH toks AS (
            |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
            |sh AS (
            |  SELECT DISTINCT doc_id, ws[i.g] || ' ' || ws[i.g+1] || ' ' || ws[i.g+2] AS s
@@ -189,7 +184,31 @@ object TextQueries {
            |  round(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jaccard
            |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
            |WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.8
-           |ORDER BY id_a, id_b""".stripMargin))
+           |ORDER BY id_a, id_b""".stripMargin
+
+  /** Word-trigram Jaccard near-dup pairs ≥ 0.8 — exact integer-count
+    * scoring; candidate strategy picked adaptively from the shingle
+    * document-frequency probe (the synthetic corpus's uniform tiny
+    * vocabulary selects the direct shared-shingle join). */
+  val q26NgramJaccard = GraftQuery(
+    "q26_ngram_jaccard",
+    (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), shingleLen = 3, threshold = 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b"),
+    Some(jaccardOracle))
+
+  /** Same query forced through the ppjoin prefix-filter path (the
+    * zipfian-corpus scale strategy) — hash-matching q26's oracle
+    * proves the two strategies are output-identical on real data. */
+  val q39NgramJaccardPrefix = GraftQuery(
+    "q39_ngram_jaccard_prefix",
+    (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), shingleLen = 3, threshold = 0.8,
+          strategy = "prefix")
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b"),
+    Some(jaccardOracle))
 
   /** Multimodal metadata plumbing: binary payload + typed metadata
     * (length, checksum, media type) — the schema contract for opaque
@@ -308,5 +327,5 @@ object TextQueries {
   val all: Seq[GraftQuery] = Seq(
     q20TextStats, q21LangId, q22Fingerprint, q23DedupExact, q24MinhashLsh,
     q25Simhash, q26NgramJaccard, q27MultimodalMeta, q28MultimodalFeatures,
-    q29SimhashNearDup, q40RollingFingerprint)
+    q29SimhashNearDup, q39NgramJaccardPrefix, q40RollingFingerprint)
 }

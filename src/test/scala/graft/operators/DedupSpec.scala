@@ -56,13 +56,58 @@ class DedupSpec extends SparkSpec {
   }
 
   test("prefix-filtered jaccard join returns identical pairs to direct join") {
-    val direct = Dedup.ngramJaccardPairs(docs, shingleLen = 3, threshold = 0.5)
+    val direct = Dedup.ngramJaccardPairs(docs, shingleLen = 3, threshold = 0.5,
+        strategy = "direct")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
     val prefixed = Dedup.ngramJaccardPairs(docs, shingleLen = 3, threshold = 0.5,
-        prefixFilter = true)
+        strategy = "prefix")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
     assert(direct === prefixed)
     assert(direct.nonEmpty)
+  }
+
+  /** Zipfian-shaped corpus: three document-universal ("hot") leading
+    * shingles, then a long unique tail per pair of near-dup docs —
+    * hapax shingles dominate the vocabulary, like real text. */
+  private lazy val zipfDocs = {
+    val rows = (0 until 30).flatMap { p =>
+      val tail = (0 until 6).map(w => s"w${p}_$w").mkString(" ")
+      Seq((2L * p, s"the common header $tail"),
+          (2L * p + 1, s"the common header $tail extra$p"))
+    }
+    rows.toDF("doc_id", "text")
+  }
+
+  test("adaptive strategy picks prefix on zipfian text, direct on uniform vocab") {
+    def probe(d: org.apache.spark.sql.DataFrame) = Dedup.chooseJaccardStrategy(
+      Dedup.shingleDocFreq(d.select($"doc_id".as("id"),
+        explode(array_distinct(Text.wordShingles($"text", 3))).as("s"))))
+    assert(probe(zipfDocs)) // hapax-dominated → prefix
+    // uniform tiny vocabulary: every doc is the same 9 words → every
+    // shingle's df equals the doc count → direct
+    val uniform = (0L until 40L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    assert(!probe(uniform))
+  }
+
+  test("on zipfian text the prefix path prunes candidates and matches direct output") {
+    val sh = zipfDocs.select($"doc_id".as("id"),
+      explode(array_distinct(Text.wordShingles($"text", 3))).as("s")).cache()
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    // candidate volume: direct join enumerates sum(df*(df-1)/2) pairs
+    // (hot shingles quadratic); the prefix join must beat it
+    val directPairs = Dedup.shingleDocFreq(sh)
+      .select(sum($"df" * ($"df" - 1) / 2).cast("long")).first().getLong(0)
+    val prefixPairs = Dedup.prefixCandidates(sh, counts, 0.5).count()
+    assert(prefixPairs < directPairs / 10,
+      s"prefix generated $prefixPairs candidates vs $directPairs direct")
+    val direct = Dedup.ngramJaccardPairs(zipfDocs, shingleLen = 3, threshold = 0.5,
+        strategy = "direct")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
+    val adaptive = Dedup.ngramJaccardPairs(zipfDocs, shingleLen = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
+    assert(adaptive === direct)
+    assert(adaptive.size >= 30) // every (2p, 2p+1) near-dup pair found
   }
 
   test("fingerprint is word-order and duplication insensitive") {
