@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable global sequence assignment: the two-phase replacement for
+  * `rank().over(Window.orderBy(...))`, whose empty partitionBy funnels
+  * every row through ONE partition (a single-partition exchange +
+  * sort — fine for dim-sized inputs, fatal at 10⁹ rows; the classic
+  * surrogate-ID scale cliff).
+  *
+  * Phase 1: range-repartition by the key — partitions are globally
+  * ordered and equal keys are co-located — and rank *within* each
+  * partition (`partitionBy(spark_partition_id())`), so all window
+  * sorts run in parallel. Phase 2: per-partition totals (row count
+  * for row_number, distinct-key count for dense_rank) are turned into
+  * cumulative offsets and broadcast back; the global value is
+  * `local + offset of preceding partitions`. Output is identical to
+  * the single-partition window (pinned by `GlobalRankSpec`).
+  *
+  * The offsets window itself is a single-partition sort — over ONE ROW
+  * PER PARTITION, i.e. O(number of shuffle partitions), which does not
+  * grow with the data. Catalyst's exchange reuse evaluates the phase-1
+  * shuffle once for both the ranking and the counting subtree.
+  *
+  * Keys rank ascending (the only order surrogate-ID assignment needs);
+  * ties within equal keys are broken arbitrarily, exactly like the
+  * single-partition form.
+  */
+object GlobalRank {
+
+  /** `row_number().over(Window.orderBy(keys))` at scale. Output column
+    * is LongType. */
+  def rowNumber(df: DataFrame, outCol: String, keys: Column*): DataFrame =
+    twoPhase(df, outCol, keys, count(lit(1)), row_number())
+
+  /** `dense_rank().over(Window.orderBy(keys))` at scale: offsets count
+    * distinct keys per partition (equal keys never straddle a range
+    * boundary). Output column is LongType. */
+  def denseRank(df: DataFrame, outCol: String, keys: Column*): DataFrame =
+    twoPhase(df, outCol, keys, count_distinct(struct(keys: _*)), dense_rank())
+
+  private def twoPhase(df: DataFrame, outCol: String, keys: Seq[Column],
+                       perPartitionTotal: Column, localRank: Column): DataFrame = {
+    val parted = df.repartitionByRange(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = parted.withColumn("__local",
+      localRank.over(Window.partitionBy(col("__pid")).orderBy(keys: _*)))
+    val offsets = parted
+      .groupBy(col("__pid")).agg(perPartitionTotal.cast("long").as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, col("__off") + col("__local"))
+      .drop("__pid", "__local", "__off")
+  }
+}

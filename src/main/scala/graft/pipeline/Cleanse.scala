@@ -88,21 +88,35 @@ object Cleanse {
       subPart(statePostal, 2).as("postal"))
   }
 
-  def apply(landing: DataFrame, maxExistingOrderId: Int = 0): Result = {
+  /** @param seedDf optional ONE-ROW frame whose first column is the
+    *   id seed (e.g. the batch's own max id) — joined in-plan via a
+    *   broadcast cross join so no driver round-trip splits the plan;
+    *   combined with `maxExistingOrderId` via greatest. */
+  def apply(landing: DataFrame, maxExistingOrderId: Int = 0,
+            seedDf: Option[DataFrame] = None): Result = {
     val (valid, invalid) = route(landing)
 
     // G3 — backfill NULL order_ids with max_order_id + sequence. The
     // reference numbers them in cursor encounter order; we use a
     // deterministic sort over the full natural row content (documented
-    // deviation, SURVEY §7.4-1). Only the (rare) NULL-id subset pays
-    // the single-partition window — the main flow stays narrow.
+    // deviation, SURVEY §7.4-1). Only the (rare) NULL-id subset is
+    // ranked, via the two-phase GlobalRank (no single-partition sort
+    // even if "rare" means 10⁸ rows at 100 TB).
     val hasId = valid.filter(col("order_id_t").isNotNull)
       .withColumn("order_id_f", col("order_id_t"))
-    val noId = valid.filter(col("order_id_t").isNull)
-      .withColumn("order_id_f",
-        lit(maxExistingOrderId) + row_number().over(
-          Window.orderBy("product", "order_date", "purchase_address",
-            "quantity_ordered", "price_each")))
+    val seed = seedDf match {
+      case Some(s) =>
+        greatest(lit(maxExistingOrderId),
+          coalesce(col(s.columns.head).cast(IntegerType), lit(0)))
+      case None => lit(maxExistingOrderId)
+    }
+    val noIdBase = valid.filter(col("order_id_t").isNull)
+    val noIdSeeded = seedDf.fold(noIdBase)(s => noIdBase.crossJoin(broadcast(s)))
+    val noId = graft.operators.GlobalRank.rowNumber(noIdSeeded, "__rn",
+        col("product"), col("order_date"), col("purchase_address"),
+        col("quantity_ordered"), col("price_each"))
+      .withColumn("order_id_f", (seed + col("__rn")).cast(IntegerType))
+      .drop("__rn" +: seedDf.map(_.columns.head).toSeq: _*)
     val withId = hasId.unionByName(noId)
 
     val cleansed = normalized(withId, col("order_id_f"))

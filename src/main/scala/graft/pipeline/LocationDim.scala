@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** F4/W2/J6/P5/P6/S7 — snowflake-collapsed location dimension
@@ -23,10 +22,10 @@ import org.apache.spark.sql.functions._
   *  - LPAD width 6 everywhere (the reference's 3-digit pads silently
   *    truncate past 999 — real collision at its own 9,160 streets).
   *
-  * Scale: dimension build is dwarfed by the fact side; the
-  * unpartitioned rank windows are a documented dim-scale-only choice.
-  * Output columns exactly match location_dimension
-  * (ref: LocationDimension.sql:62-72).
+  * Scale: surrogate ranks use [[graft.operators.GlobalRank]] — the
+  * two-phase range-partitioned form, so ID assignment survives 10⁹
+  * distinct addresses without a single-partition sort. Output columns
+  * exactly match location_dimension (ref: LocationDimension.sql:62-72).
   */
 object LocationDim {
 
@@ -39,21 +38,26 @@ object LocationDim {
   }
 
   def apply(cleansed: DataFrame): DataFrame = {
+    import graft.operators.GlobalRank
     val triples = cleansed
       .select("street", "city", "state", "postal")
       .dropDuplicates()
 
-    val withIds = triples
-      .withColumn("state_id",
-        padId("SA", dense_rank().over(Window.orderBy("state", "postal"))))
-      .withColumn("city_id",
-        padId("CT", dense_rank().over(Window.orderBy("city", "state", "postal"))))
-      .withColumn("street_id",
-        padId("ST", dense_rank().over(Window.orderBy("street", "city", "state", "postal"))))
+    val withIds = Seq[(String, Seq[String])](
+      "state_rk"  -> Seq("state", "postal"),
+      "city_rk"   -> Seq("city", "state", "postal"),
+      "street_rk" -> Seq("street", "city", "state", "postal")
+    ).foldLeft(triples) { case (df, (out, keys)) =>
+      GlobalRank.denseRank(df, out, keys.map(col): _*)
+    }
+      .withColumn("state_id", padId("SA", col("state_rk")))
+      .withColumn("city_id", padId("CT", col("city_rk")))
+      .withColumn("street_id", padId("ST", col("street_rk")))
+      .drop("state_rk", "city_rk", "street_rk")
 
-    withIds
-      .withColumn("location_id",
-        padId("L", row_number().over(Window.orderBy("street_id", "city_id", "state_id"))))
+    GlobalRank.rowNumber(withIds, "loc_rk",
+        col("street_id"), col("city_id"), col("state_id"))
+      .withColumn("location_id", padId("L", col("loc_rk")))
       .select(
         col("location_id"),
         col("street_id"),

@@ -28,13 +28,14 @@ object Pipeline {
     // backfilled ids can never collide with real ones. The reference
     // seeds only from the pre-batch warehouse (Cleansing.sql:16) and
     // CAN collide within a batch — documented deviation (sane fix).
-    val maxId = landing
-      .agg(org.apache.spark.sql.functions.coalesce(
+    // The seed is a one-row aggregate joined in-plan (broadcast cross
+    // join inside Cleanse) — no driver round-trip splitting the plan.
+    val seed = landing.agg(
+      org.apache.spark.sql.functions.coalesce(
         org.apache.spark.sql.functions.max(
           org.apache.spark.sql.functions.col("order_id").cast("int")),
-        org.apache.spark.sql.functions.lit(0)))
-      .first().getInt(0)
-    val routed = Cleanse(landing, maxExistingOrderId = maxId)
+        org.apache.spark.sql.functions.lit(0)).as("__seed"))
+    val routed = Cleanse(landing, seedDf = Some(seed))
     val cleansed = routed.cleansed.cache()
     val location = LocationDim(cleansed)
     val time = TimeDim(cleansed)

@@ -312,20 +312,25 @@ object PipelineShaped {
 
   /** A1/A2/G3 — COALESCE(MAX(id),0) seeding + max+1 backfill
     * (ref: Cleansing.sql:16,56-61): orders with synthesized NULL keys
-    * get max_key + row_number in deterministic order. */
+    * get max_key + row_number in deterministic order. The seed is a
+    * one-row aggregate joined back via broadcast cross join (single
+    * plan, no driver round-trip) and the sequence comes from the
+    * two-phase [[graft.operators.GlobalRank]] — no single-partition
+    * window even when the NULL subset is huge. */
   val q16IdBackfill = GraftQuery(
     "q16_id_backfill",
     (s, dir) => {
       val o = Tables.orders(s, dir)
         .withColumn("raw_key",
           when(col("o_orderkey") % 97 === 0, lit(null)).otherwise(col("o_orderkey")))
-      val maxKey = o.agg(coalesce(max("raw_key"), lit(0L))).first().getLong(0)
+      val mx = o.agg(coalesce(max("raw_key"), lit(0L)).as("__mx"))
       val hasKey = o.filter(col("raw_key").isNotNull)
         .withColumn("final_key", col("raw_key"))
-      val noKey = o.filter(col("raw_key").isNull)
-        .withColumn("final_key",
-          lit(maxKey) + row_number().over(
-            Window.orderBy("o_orderdate", "o_custkey", "o_totalprice")))
+      val noKey = graft.operators.GlobalRank.rowNumber(
+          o.filter(col("raw_key").isNull).crossJoin(broadcast(mx)),
+          "__rn", col("o_orderdate"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("final_key", col("__mx") + col("__rn"))
+        .drop("__mx", "__rn")
       hasKey.unionByName(noKey)
         .withColumn("backfilled", col("raw_key").isNull)
         .select("final_key", "o_custkey", "backfilled")

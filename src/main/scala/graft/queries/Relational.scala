@@ -117,18 +117,23 @@ object Relational {
 
   /** W1/W2 — dense_rank + row_number surrogate-ID assignment
     * (ProductDimension.sql:143-152, LocationDimension.sql:162):
-    * 'P'+zero-padded dense_rank by natural key. Unpartitioned window ⇒
-    * single-partition sort; fine for dim-sized input (documented scale
-    * cliff in SURVEY §4 — dims stay small even at 100 TB facts). */
+    * 'P'+zero-padded rank by natural key, via the two-phase
+    * [[graft.operators.GlobalRank]] (range-partitioned local ranks +
+    * broadcast cumulative offsets) — same values as the unpartitioned
+    * window, no single-partition sort at any input size. */
   val q04SurrogateIds = GraftQuery(
     "q04_surrogate_ids",
     (s, dir) => {
-      Tables.part(s, dir)
-        .select("p_partkey", "p_brand", "p_name")
+      import graft.operators.GlobalRank
+      val base = Tables.part(s, dir).select("p_partkey", "p_brand", "p_name")
+      val ranked = GlobalRank.rowNumber(
+        GlobalRank.denseRank(base, "brand_rk", col("p_brand")),
+        "part_rk", col("p_name"), col("p_partkey"))
+      ranked
         .withColumn("brand_id",
-          concat(lit("B"), lpad(dense_rank().over(Window.orderBy("p_brand")).cast("string"), 6, "0")))
+          concat(lit("B"), lpad(col("brand_rk").cast("string"), 6, "0")))
         .withColumn("part_seq",
-          concat(lit("P"), lpad(row_number().over(Window.orderBy("p_name", "p_partkey")).cast("string"), 6, "0")))
+          concat(lit("P"), lpad(col("part_rk").cast("string"), 6, "0")))
         .select("p_partkey", "p_name", "p_brand", "brand_id", "part_seq")
         .orderBy("p_partkey")
     },

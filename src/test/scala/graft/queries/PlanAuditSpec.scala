@@ -52,6 +52,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("*(")) // whole-stage codegen span marker
   }
 
+  test("q04: surrogate ranks are two-phase (no full-input single-partition window)") {
+    val p = plan("q04_surrogate_ids")
+    // every window node (local rank + offsets cumsum) is keyed by the
+    // range-partition id — the old Window.orderBy(empty partitionBy)
+    // form would show windows without __pid
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.contains("__pid")), windows.mkString("\n"))
+    assert(p.contains("rangepartitioning"))
+  }
+
   test("q32: LSH bucket projection is constant-folded (vec_dot, no HOFs)") {
     val p = plan("q32_ann_lsh")
     assert(p.contains("vec_dot("))
