@@ -22,6 +22,8 @@ object QueryDef {
     * try-cast-to-NULL is the engine-wide contract (SURVEY §2 F2).
     */
   val sessionConfs: Map[String, String] = Map(
+    // engine Catalyst extensions (CubeGuard resolution rule)
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions",
     "spark.sql.ansi.enabled" -> "false",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.session.timeZone" -> "UTC",

@@ -78,7 +78,7 @@ object FactBuilder {
         col("t_time_id").as("time_id"), col("order_date"), col("location_id"),
         col("street"), col("city"), col("state"), col("postal"))
 
-    if (!dense) return sparseFact(s3, timeDim)
+    if (!dense) return sparseFact(s3, timeDim, locationDim)
 
     // Dense cube — time × product × location ⟕ stage3 (FactTable.sql:78-110).
     // Stage3 is order-sized (≪ cube) ⇒ broadcast the left join: the cube
@@ -107,23 +107,52 @@ object FactBuilder {
         col("postal"))
   }
 
-  /** Sparse fact: stage-3 rows enriched with the time hierarchy ids —
-    * same analytical power via GROUP BY/CUBE, no 575× amplification. */
-  private def sparseFact(s3: DataFrame, timeDim: DataFrame): DataFrame = {
+  /** Dense cube or sparse fact, chosen by the Catalyst size-guard rule
+    * ([[graft.plans.CubeGuard]] + [[graft.plans.ResolveCubeGuard]],
+    * SURVEY §7.4-4) from the optimizer's own cardinality estimate —
+    * cross-join stats multiply, so the dense branch's estimated bytes
+    * explode exactly when the cube would. Requires a session with
+    * `graft.plans.GraftExtensions` installed (QueryDef.sessionConfs). */
+  def applyGuarded(spark: org.apache.spark.sql.SparkSession,
+                   cleansed: DataFrame, productDim: DataFrame,
+                   locationDim: DataFrame, timeDim: DataFrame,
+                   thresholdBytes: BigInt = BigInt(4) << 30): DataFrame =
+    graft.plans.CubeGuard.guarded(spark,
+      apply(cleansed, productDim, locationDim, timeDim, dense = true),
+      apply(cleansed, productDim, locationDim, timeDim, dense = false),
+      thresholdBytes)
+
+  /** Sparse fact: stage-3 rows enriched with the time hierarchy ids and
+    * location surrogate levels — schema-identical to the dense cube (so
+    * the size guard can swap them), same analytical power via
+    * GROUP BY/CUBE, no 575× amplification. Zero-quantity cells are
+    * simply absent. */
+  private def sparseFact(s3: DataFrame, timeDim: DataFrame,
+                         locationDim: DataFrame): DataFrame = {
     // Hierarchy columns renamed before the join: s3's lineage already
-    // contains timeDim, so reusing its column refs would be ambiguous.
+    // contains timeDim/locationDim, so reusing their column refs would
+    // be ambiguous.
     val th = timeDim.select(col("time_id").as("th_time_id"),
       col("week_id").as("th_week_id"), col("month_id").as("th_month_id"),
       col("quarter_id").as("th_quarter_id"),
       col("half_year_id").as("th_half_year_id"),
       col("year_id").as("th_year_id"))
+    val lh = locationDim.select(col("location_id").as("lh_location_id"),
+      col("street_name").as("lh_street_name"), col("street_id").as("lh_street_id"),
+      col("city_name").as("lh_city_name"), col("city_id").as("lh_city_id"),
+      col("state_name").as("lh_state_name"), col("state_id").as("lh_state_id"))
     s3.join(broadcast(th), s3("time_id") === th("th_time_id"), "inner")
+      .join(broadcast(lh), s3("location_id") === lh("lh_location_id"), "inner")
       .select(s3("time_id"), s3("product_id"), s3("product"), s3("price_each"),
         s3("quantity_ordered"), s3("order_date"),
         col("th_week_id").as("week_id"), col("th_month_id").as("month_id"),
         col("th_quarter_id").as("quarter_id"),
         col("th_half_year_id").as("half_year_id"),
         col("th_year_id").as("year_id"),
-        s3("location_id"), s3("street"), s3("city"), s3("state"), s3("postal"))
+        s3("location_id"),
+        col("lh_street_name").as("street_name"), col("lh_street_id").as("street_id"),
+        col("lh_city_name").as("city_name"), col("lh_city_id").as("city_id"),
+        col("lh_state_name").as("state_name"), col("lh_state_id").as("state_id"),
+        s3("postal"))
   }
 }

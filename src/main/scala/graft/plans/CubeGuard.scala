@@ -1,0 +1,81 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graft.bridge
+
+/** The dense-cube size guard (SURVEY §7.4-4) as a real Catalyst
+  * extension: a custom [[LogicalPlan]] node + an injected
+  * [[Rule]] that picks the materialization strategy from the
+  * optimizer's own cardinality estimate.
+  *
+  * The reference materializes its fact table as the DENSE cube
+  * time × product × location ⟕ orders (FactTable.sql:78-110) — a
+  * ~575× row amplification at its own scale and catastrophic at
+  * 100 TB. [[CubeGuard]] carries BOTH candidate plans; at analysis
+  * time [[ResolveCubeGuard]] reads the dense branch's estimated
+  * `stats.sizeInBytes` (cross-join stats multiply, so the estimate
+  * explodes exactly when the cube would) and substitutes:
+  *
+  *  - estimate ≤ threshold → the dense branch, byte-compatible with
+  *    the reference's semantics (zero-filled empty cells);
+  *  - estimate  > threshold → the sparse branch (order-grain fact,
+  *    identical schema), with cube-style analysis left to
+  *    `GROUP BY ... WITH CUBE` over it. Zero-quantity cells are
+  *    absent — the documented scale trade (quantity/revenue
+  *    aggregates are conserved).
+  *
+  * The substituted subtree then flows through the normal optimizer —
+  * the guard itself never reaches physical planning.
+  */
+case class CubeGuard(dense: LogicalPlan, sparse: LogicalPlan, thresholdBytes: BigInt)
+    extends LogicalPlan {
+  override def children: Seq[LogicalPlan] = Seq(dense, sparse)
+  // promise the weaker (more nullable) contract of the two branches, so
+  // whichever one the rule substitutes can only over-deliver
+  override def output: Seq[Attribute] = dense.output.zip(sparse.output).map {
+    case (d, s) => d.withNullability(d.nullable || s.nullable)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): LogicalPlan =
+    copy(dense = newChildren(0), sparse = newChildren(1))
+}
+
+object CubeGuard {
+  /** Wrap two schema-compatible DataFrames in a guard node. Requires a
+    * session with [[GraftExtensions]] installed (QueryDef.sessionConfs
+    * sets `spark.sql.extensions`) — otherwise the node has no
+    * resolution rule and planning fails fast. */
+  def guarded(spark: SparkSession, dense: DataFrame, sparse: DataFrame,
+              thresholdBytes: BigInt): DataFrame = {
+    val d = bridge.analyzed(dense)
+    val s = bridge.analyzed(sparse)
+    require(d.output.map(_.name) == s.output.map(_.name) &&
+      d.output.map(_.dataType) == s.output.map(_.dataType),
+      s"dense/sparse schemas differ:\n  ${d.output}\n  ${s.output}")
+    bridge.ofRows(spark, CubeGuard(d, s, thresholdBytes))
+  }
+}
+
+/** Analysis-time elimination of [[CubeGuard]]: substitute the branch
+  * the size estimate selects. Substituting the sparse branch re-aliases
+  * its output to the dense branch's expression ids so downstream
+  * references stay resolved. */
+case class ResolveCubeGuard() extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case g: CubeGuard if g.childrenResolved =>
+      if (g.dense.stats.sizeInBytes <= g.thresholdBytes) g.dense
+      else Project(
+        g.sparse.output.zip(g.dense.output).map { case (s, d) =>
+          Alias(s, d.name)(exprId = d.exprId)
+        }, g.sparse)
+  }
+}
+
+/** Engine extensions, installed via `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectResolutionRule(_ => ResolveCubeGuard())
+}
