@@ -16,13 +16,19 @@ import org.apache.spark.sql.functions._
   * Spine: `sequence(min, max, interval 1 day)` + explode — Spark's
   * native equivalent of generate_series (ref: TimeDimension.sql:49-50).
   *
-  * Documented label deviations (SURVEY §7.4-3; ID *shapes* kept):
-  *  - day/time_id 'D'+yyyyMMdd (ref emits 'D'+YYYYDDMM — day-before-
-  *    month quirk, TimeDimension.sql:193);
+  * Documented label deviations (SURVEY §7.4-3; ID *shapes* kept).
+  * By default sane labels are emitted; `referenceQuirks = true`
+  * reproduces the reference's two byte-level label quirks for users
+  * who diff dimension dumps during migration:
+  *  - day/time_id 'D'+yyyyMMdd; quirks mode emits the reference's
+  *    'D'+YYYYDDMM — day-before-month (TimeDimension.sql:193);
+  *  - half_year_desc 'H'+yyyy-half; quirks mode emits the reference's
+  *    'YYYY-HH', where HH is the 12-hour clock field of midnight ⇒ a
+  *    constant "-12" (TimeDimension.sql:133).
+  * Deviations kept in BOTH modes (not byte-reproducible by design):
   *  - week_desc 'W'+ISO-week+yy (ref labels with TO_CHAR 'WW' of the
-  *    first day the ISO week was *encountered*, TimeDimension.sql:186);
-  *  - half_year_desc 'H'+yyyy-half (ref 'YYYY-HH' uses the 12-hour
-  *    clock field ⇒ constant "-12", TimeDimension.sql:133);
+  *    first day the ISO week was *encountered* — loop-order state,
+  *    TimeDimension.sql:186);
   *  - every day is assigned to its quarter/half-year even when the
   *    spine does not start on a boundary (the reference only creates
   *    quarter/half rows when the loop crosses Jan/Apr/Jul/Oct 1, and
@@ -39,16 +45,16 @@ object TimeDim {
   }
 
   /** Build from the cleansed table's order_date range. */
-  def apply(cleansed: DataFrame): DataFrame = {
+  def apply(cleansed: DataFrame, referenceQuirks: Boolean = false): DataFrame = {
     val spine = cleansed
       .agg(min(col("order_date").cast("date")).as("lo"),
         max(col("order_date").cast("date")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("d"))
-    fromSpine(spine)
+    fromSpine(spine, referenceQuirks)
   }
 
   /** Build from an explicit day spine (column `d` of DateType). */
-  def fromSpine(spine: DataFrame): DataFrame = {
+  def fromSpine(spine: DataFrame, referenceQuirks: Boolean = false): DataFrame = {
     val yy = date_format(col("d"), "yy")
     // Numeric group keys — NOT string concat: "1995-10" sorts before
     // "1995-2" lexicographically, which would scramble dense_rank IDs
@@ -63,8 +69,15 @@ object TimeDim {
       // (EXTRACT(WEEK) in the reference is ISO too).
       .withColumn("week_key", date_trunc("week", col("d")).cast("date"))
 
+    val dayId =
+      if (referenceQuirks) concat(lit("D"), date_format(col("d"), "yyyyddMM"))
+      else concat(lit("D"), date_format(col("d"), "yyyyMMdd"))
+    val halfDesc =
+      if (referenceQuirks) concat(lit("H"), year(col("d")), lit("-12"))
+      else concat(lit("H"), year(col("d")), lit("-"),
+        when(month(col("d")) <= 6, 1).otherwise(2))
     keyed
-      .withColumn("time_id", concat(lit("D"), date_format(col("d"), "yyyyMMdd")))
+      .withColumn("time_id", dayId)
       .withColumn("week_id", padId("W", dense_rank().over(Window.orderBy("week_key"))))
       .withColumn("week_desc",
         concat(lit("W"), lpad(weekofyear(col("d")).cast("string"), 2, "0"), yy))
@@ -73,8 +86,7 @@ object TimeDim {
       .withColumn("quarter_id", padId("Q", dense_rank().over(Window.orderBy("quarter_key"))))
       .withColumn("quarter_desc", concat(lit("Q"), quarter(col("d")), yy))
       .withColumn("half_year_id", padId("H", dense_rank().over(Window.orderBy("half_key"))))
-      .withColumn("half_year_desc",
-        concat(lit("H"), year(col("d")), lit("-"), when(month(col("d")) <= 6, 1).otherwise(2)))
+      .withColumn("half_year_desc", halfDesc)
       .withColumn("year_id", concat(lit("Y"), year(col("d"))))
       .withColumn("year_desc", year(col("d")).cast("string"))
       .select(

@@ -72,6 +72,20 @@ class GoldenPipelineSpec extends SparkSpec {
     } finally fact.unpersist()
   }
 
+  test("referenceQuirks mode reproduces the reference's label bytes") {
+    assume(available)
+    val td = TimeDim(r.cleansed, referenceQuirks = true).orderBy("time_desc").collect()
+    def at(d: String) = td.find(_.getAs[java.sql.Date]("time_desc").toString == d).get
+    // 'D' || TO_CHAR(date, 'YYYYDDMM') — day before month (TimeDimension.sql:193)
+    assert(at("2019-01-22").getAs[String]("time_id") === "D20192201")
+    assert(at("2019-02-01").getAs[String]("time_id") === "D20190102")
+    // 'H' || TO_CHAR(date, 'YYYY-HH') — HH of midnight is constantly 12
+    // (TimeDimension.sql:133)
+    assert(td.forall(_.getAs[String]("half_year_desc") == "H2019-12"))
+    // non-quirk labels are untouched
+    assert(at("2019-01-01").getAs[String]("month_id") === "M001")
+  }
+
   test("sparse fact mode: order-grain rows, no amplification") {
     assume(available)
     val sparse = FactBuilder(r.cleansed, r.productDim, r.locationDim, r.timeDim,
