@@ -42,25 +42,39 @@ object RunStreamingDemo {
       .csv(inputDir)
     val routed = Streaming.cleanseStream(landing)
 
-    val qValid = routed.valid.writeStream
-      .format("parquet")
-      .option("path", s"$outDir/cleansed_stream")
+    // valid rows flow through the foreachBatch parquet sink (idempotent
+    // batch_id=N dirs — the retry-safe sink pattern)
+    val qValid = Streaming.parquetBatchSink(routed.valid, s"$outDir/cleansed_stream")
       .option("checkpointLocation", s"$outDir/ckpt_valid")
-      .outputMode("append").start()
+      .start()
     val qInvalid = routed.invalid.writeStream
       .format("memory").queryName("invalid_stream")
       .outputMode("append").start()
+    // watermark-bounded exact dedup over the cleansed flow (order_id ×
+    // order_date as the event identity/time)
+    val qDedup = Streaming.dedupedEvents(
+        routed.valid.select(
+          org.apache.spark.sql.functions.col("order_id").as("event_id"),
+          org.apache.spark.sql.functions.col("order_date").as("ts")),
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
     qValid.processAllAvailable()
     qInvalid.processAllAvailable()
-    qValid.stop(); qInvalid.stop()
+    qDedup.processAllAvailable()
+    qValid.stop(); qInvalid.stop(); qDedup.stop()
 
-    // all-invalid input writes no parquet data files — report valid=0
-    // instead of crashing on schema inference
+    // all-invalid input writes no batch dirs — report valid=0 instead
+    // of crashing on schema inference
+    val batchDirs = Option(new java.io.File(s"$outDir/cleansed_stream").listFiles())
+      .map(_.filter(_.getName.startsWith("batch_id=")).map(_.getAbsolutePath))
+      .getOrElse(Array.empty[String])
     val validN =
-      try spark.read.parquet(s"$outDir/cleansed_stream").count()
-      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+      if (batchDirs.isEmpty) 0L
+      else spark.read.parquet(batchDirs.toIndexedSeq: _*).count()
     val invalidN = spark.table("invalid_stream").count()
-    println(s"""{"stream_valid":$validN,"stream_invalid":$invalidN}""")
+    val dedupN = spark.table("dedup_stream").count()
+    println(s"""{"stream_valid":$validN,"stream_invalid":$invalidN,"stream_deduped":$dedupN}""")
     spark.stop()
   }
 }

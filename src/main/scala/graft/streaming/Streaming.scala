@@ -61,6 +61,54 @@ object Streaming {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Exact streaming dedup by id: `dropDuplicatesWithinWatermark`
+    * keeps the per-key state only until the watermark passes it (the
+    * plain streaming `dropDuplicates` buffers every key seen FOREVER —
+    * an unbounded state store on an unbounded id space). The streaming
+    * form of the batch exact-dedup operator: duplicates arriving
+    * within the watermark window are dropped exactly. */
+  def dedupedEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Watermarked stream-stream inner join: each click pairs with the
+    * same user's purchases within `within` after it. Both sides carry
+    * watermarks and the time-range predicate bounds the join buffer,
+    * so state is evicted as event time advances — the unbounded-state
+    * pitfall of unconstrained stream-stream joins is structurally
+    * impossible here. */
+  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                          within: String = "30 minutes",
+                          watermark: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+        col("user_id") === col("p_user_id") and
+          col("purchase_ts") >= col("click_ts") and
+          col("purchase_ts") <= col("click_ts") + expr(s"interval $within"),
+        "inner")
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("purchase_value"))
+  }
+
+  /** `foreachBatch` sink: per-micro-batch parquet written into a
+    * `batch_id=N` directory — a retried batch overwrites its own
+    * directory, so the sink stays idempotent (exactly-once effect on
+    * at-least-once delivery). The standard escape hatch for sinks
+    * without native streaming support; arbitrary batch-DataFrame logic
+    * (upserts, dimension merges) slots into the same closure. */
+  def parquetBatchSink(df: DataFrame, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double,

@@ -76,6 +76,65 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_events")).sorted === Array(1L, 2L))
   }
 
+  test("dropDuplicatesWithinWatermark removes exact dups across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streaming.dedupedEvents(events).writeStream.format("memory")
+      .queryName("dedup_stream").outputMode("append").start()
+    in.addData(
+      (1L, ts("2024-01-01 00:01:00"), 1L, "click", 1.0),
+      (1L, ts("2024-01-01 00:01:00"), 1L, "click", 1.0), // same-batch dup
+      (2L, ts("2024-01-01 00:02:00"), 2L, "view", 2.0))
+    q.processAllAvailable()
+    in.addData((1L, ts("2024-01-01 00:01:30"), 1L, "click", 1.0)) // cross-batch dup
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_stream").collect().map(_.getLong(0)).sorted
+    assert(ids === Array(1L, 2L))
+  }
+
+  test("stream-stream join pairs clicks with in-window purchases only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val buysIn = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def named(ms: MemoryStream[(Long, Timestamp, Long, String, Double)]) =
+      ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val joined = Streaming.clickToPurchaseJoin(named(clicksIn), named(buysIn))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    clicksIn.addData(
+      (10L, ts("2024-01-01 00:00:00"), 1L, "click", 0.0),
+      (11L, ts("2024-01-01 00:00:00"), 2L, "click", 0.0))
+    buysIn.addData(
+      (20L, ts("2024-01-01 00:10:00"), 1L, "purchase", 9.99), // in window
+      (21L, ts("2024-01-01 02:00:00"), 2L, "purchase", 5.00)) // past 30 min
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssj").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("click_id") === 10L)
+    assert(rows.head.getAs[Long]("purchase_id") === 20L)
+    assert(rows.head.getAs[Double]("purchase_value") === 9.99)
+  }
+
+  test("foreachBatch parquet sink writes idempotent per-batch dirs") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("fb_sink").toString
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streaming.parquetBatchSink(events, dir)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    in.addData((1L, ts("2024-01-01 00:01:00"), 1L, "click", 1.0))
+    q.processAllAvailable()
+    in.addData((2L, ts("2024-01-01 00:02:00"), 2L, "view", 2.0))
+    q.processAllAvailable(); q.stop()
+    val batches = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
+    assert(batches.length >= 2)
+    val all = spark.read.parquet(batches.map(b => s"$dir/$b"): _*)
+    assert(all.count() === 2)
+    assert(all.select("event_id").collect().map(_.getLong(0)).sorted === Array(1L, 2L))
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streaming.Event]
