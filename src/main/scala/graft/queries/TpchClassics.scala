@@ -179,6 +179,144 @@ object TpchClassics {
            |WHERE rev > (SELECT sum(rev) FROM by_nation) * 0.04
            |ORDER BY revenue DESC, nation_name""".stripMargin))
 
+  /** Q7 shape — volume shipping between nation pairs: double nation
+    * join (supplier's vs customer's) + year rollup. Both nation sides
+    * and both dim sides broadcast; the only wide exchange is the
+    * lineitem⋈orders join and the final group-by. */
+  val q47NationVolume = GraftQuery(
+    "q47_tpch_q7_nation_volume",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), sup("s_nationkey") === col("sn_key"))
+        .join(broadcast(n2), c("c_nationkey") === col("cn_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(li("l_shipdate")).cast("long").as("l_year"))
+        // exact decimal arithmetic: with ~4,000 output groups, double
+        // sums land on .xx5 cent boundaries often enough to flip
+        // round(, 2) between engines; decimals are order-independent
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)"))), 2)
+          .cast("double").as("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           |  year(l_shipdate) AS l_year,
+           |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2)
+           |    AS DOUBLE) AS volume
+           |FROM lineitem
+           |JOIN orders    ON l_orderkey = o_orderkey
+           |JOIN supplier  ON l_suppkey = s_suppkey
+           |JOIN customer  ON o_custkey = c_custkey
+           |JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |WHERE sn.n_name <> cn.n_name
+           |GROUP BY 1, 2, 3
+           |ORDER BY 1, 2, 3""".stripMargin))
+
+  /** Q8 shape — market share: one nation's slice of a region's yearly
+    * revenue, as a conditional-sum ratio inside one aggregation (no
+    * second pass over the join). Part filter exercises scan pushdown
+    * on the fifth broadcast dim. */
+  val q48MarketShare = GraftQuery(
+    "q48_tpch_q8_market_share",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val pt = Tables.part(s, dir).filter(col("p_size") <= 25)
+      val nc = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cr_key"))
+      val ns = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(nc), c("c_nationkey") === col("cn_key"))
+        .join(broadcast(r), col("cr_key") === r("r_regionkey"))
+        .join(broadcast(ns), sup("s_nationkey") === col("sn_key"))
+        .groupBy(year(o("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_2", vol).otherwise(0.0)) / sum(vol),
+          6).as("mkt_share"))
+        .orderBy("o_year")
+    },
+    Some("""SELECT year(o_orderdate) AS o_year,
+           |  round(sum(CASE WHEN sn.n_name = 'NATION_2'
+           |                 THEN l_extendedprice * (1.0 - l_discount)
+           |                 ELSE 0.0 END)
+           |    / sum(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share
+           |FROM lineitem
+           |JOIN orders    ON l_orderkey = o_orderkey
+           |JOIN part      ON l_partkey = p_partkey AND p_size <= 25
+           |JOIN supplier  ON l_suppkey = s_suppkey
+           |JOIN customer  ON o_custkey = c_custkey
+           |JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |JOIN region    ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+           |JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |GROUP BY 1
+           |ORDER BY 1""".stripMargin))
+
+  /** Q20 shape — nested quantity-share subqueries, decorrelated:
+    * suppliers who shipped more than 15% of some part's total
+    * quantity. Two grouped aggregates + an equi-join back replace the
+    * correlated IN/share-of-subquery chain; the share comparison is
+    * deterministic (integral-double sums are exact, and both engines
+    * compute the same IEEE product for the threshold). */
+  val q49DominantSuppliers = GraftQuery(
+    "q49_tpch_q20_dominant_suppliers",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ps = li.groupBy("l_partkey", "l_suppkey")
+        .agg(sum("l_quantity").as("supp_qty"))
+      val pt = li.groupBy(col("l_partkey").as("t_partkey"))
+        .agg(sum("l_quantity").as("part_qty"))
+      val n = Tables.nation(s, dir)
+      val sup = Tables.supplier(s, dir)
+      ps.join(pt, ps("l_partkey") === col("t_partkey"))
+        .filter(col("supp_qty") > col("part_qty") * 0.15)
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).cast("long").as("parts_dominated"))
+        .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .select(col("s_name"), col("n_name").as("nation_name"),
+          col("parts_dominated"))
+        .orderBy("s_name")
+    },
+    Some("""WITH ps AS (
+           |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+           |  FROM lineitem GROUP BY 1, 2),
+           |pt AS (
+           |  SELECT l_partkey, sum(l_quantity) AS part_qty
+           |  FROM lineitem GROUP BY 1),
+           |dom AS (
+           |  SELECT l_suppkey, count(*) AS parts_dominated
+           |  FROM ps JOIN pt USING (l_partkey)
+           |  WHERE supp_qty > part_qty * 0.15
+           |  GROUP BY 1)
+           |SELECT s_name, n_name AS nation_name,
+           |  CAST(parts_dominated AS BIGINT) AS parts_dominated
+           |FROM dom
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation   ON s_nationkey = n_nationkey
+           |ORDER BY s_name""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q41LateOrders, q42CustDist, q43TopSupplier,
-    q44LargeOrders, q45MinCostSupplier, q46RevenueShare)
+    q44LargeOrders, q45MinCostSupplier, q46RevenueShare, q47NationVolume,
+    q48MarketShare, q49DominantSuppliers)
 }
