@@ -45,9 +45,18 @@ object Pipeline {
   }
 
   /** Persist every output as parquet under `outDir` (the reference's
-    * CREATE TABLE AS materialization, SURVEY §2 S4). */
+    * CREATE TABLE AS materialization, SURVEY §2 S4).
+    *
+    * @param bucketedFactTable when set, the fact table is ALSO written
+    *   as a managed table bucketed+sorted by `location_id` (the fact's
+    *   highest-cardinality join/grouping key): downstream location
+    *   joins and rollups read co-located buckets and skip their
+    *   shuffle — the write-side knob that matters most at 100 TB,
+    *   where the fact⋈fact / fact-groupBy shuffle dominates. */
   def runAndSave(spark: SparkSession, csvPath: String, outDir: String,
-                 denseFact: Boolean = true): Result = {
+                 denseFact: Boolean = true,
+                 bucketedFactTable: Option[String] = None,
+                 factBuckets: Int = 32): Result = {
     val r = run(spark, csvPath, denseFact)
     Seq(
       "invalid" -> r.invalid, "cleansed" -> r.cleansed,
@@ -55,6 +64,10 @@ object Pipeline {
       "product_dimension" -> r.productDim, "fact_table" -> r.fact
     ).foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+    bucketedFactTable.foreach { table =>
+      graft.sources.Sources.writeBucketed(r.fact, table,
+        Seq("location_id"), factBuckets)
     }
     r
   }

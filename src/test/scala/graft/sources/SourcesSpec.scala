@@ -72,6 +72,28 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("runAndSave writes a bucketed fact whose location rollup skips the shuffle") {
+    spark.sql("DROP TABLE IF EXISTS graft_fact_bkt")
+    val csv =
+      """Order ID,Product,Quantity Ordered,Price Each,Order Date,Purchase Address
+        |141234,iPhone,1,700,01/22/19 21:25,"944 Walnut St, Boston, MA 02215"
+        |141235,USB-C Charging Cable,2,11.95,01/17/19 13:33,"185 Maple St, Portland, OR 97035"
+        |141236,Wired Headphones,1,11.99,01/07/19 11:27,"83 7th St, Portland, ME 04101"
+        |""".stripMargin
+    val dir = Files.createTempDirectory("bucketed_fact")
+    Files.writeString(dir.resolve("orders.csv"), csv)
+    graft.pipeline.Pipeline.runAndSave(spark, dir.resolve("orders.csv").toString,
+      s"$dir/out", denseFact = false, bucketedFactTable = Some("graft_fact_bkt"),
+      factBuckets = 4)
+    val rollup = spark.table("graft_fact_bkt")
+      .groupBy("location_id").agg(sum("quantity_ordered").as("qty"))
+    rollup.collect()
+    val plan = rollup.queryExecution.executedPlan.toString
+    // bucketed-by-location_id scan feeds the aggregate directly
+    assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+    assert(rollup.count() === 3)
+  }
+
   test("permissive csv read never fails on malformed rows") {
     val dir = Files.createTempDirectory("sources_bad").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/bad.csv"),
