@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling and train/test splitting for
+  * training-data pipelines.
+  *
+  * Membership depends only on the row's id — a 4-hex-digit md5 prefix
+  * compared lexicographically against a fraction threshold — so
+  * samples are reproducible across runs and engines, stable under
+  * repartitioning, join-free, and carry no RNG state (contrast
+  * `df.sample`, whose output changes with partitioning). Granularity
+  * is 1/65536, which is ample for sampling purposes; the same bucket
+  * function drives both operators, so a row's split never disagrees
+  * with its sample membership.
+  */
+object Sampling {
+
+  /** 4-hex-digit bucket in ["0000", "ffff"], uniform over ids. */
+  def hashBucket(id: Column): Column = substring(md5(id.cast("string")), 1, 4)
+
+  private def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
+    f"${math.min(0xffff, math.floor(fraction * 0x10000).toInt)}%04x"
+  }
+
+  /** Keep a deterministic ~`fraction` of rows, by id hash. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    if (fraction >= 1.0) df
+    else df.filter(hashBucket(col(idCol)) < lit(hexThreshold(fraction)))
+
+  /** Tag every row 'test' (~`testFraction`) or 'train', by id hash. A
+    * row's tag is a pure function of its id — re-running the pipeline,
+    * repartitioning, or adding columns can never leak rows across the
+    * split. */
+  def trainTestSplit(df: DataFrame, idCol: String, testFraction: Double,
+                     splitCol: String = "split"): DataFrame =
+    df.withColumn(splitCol,
+      when(hashBucket(col(idCol)) < lit(hexThreshold(testFraction)), "test")
+        .otherwise("train"))
+}

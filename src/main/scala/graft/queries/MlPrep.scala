@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.functions.Text
+import graft.operators.Sampling
+
+/** ML data-prep operators over the documents table: deterministic
+  * train/test splitting, vocabulary statistics, TF-IDF scoring, and
+  * benchmark-contamination detection — the corpus-curation steps a
+  * training-data pipeline runs between dedup and tokenization. All
+  * oracle-checked (the md5 bucket, the token split, and the shingle
+  * construction are engine-portable by design). */
+object MlPrep {
+
+  /** DuckDB mirror of [[Sampling.hashBucket]]. */
+  private def bucketSql(id: String) = s"substr(md5(CAST($id AS VARCHAR)), 1, 4)"
+
+  /** Deterministic train/test split (20% test): per-split row counts
+    * and id spot checks. The bucket is a pure function of doc_id, so
+    * both engines agree row-by-row. */
+  val q50TrainTestSplit = GraftQuery(
+    "q50_train_test_split",
+    (s, dir) =>
+      Sampling.trainTestSplit(Tables.documents(s, dir), "doc_id", testFraction = 0.2)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("split"),
+    Some(s"""SELECT CASE WHEN ${bucketSql("doc_id")} < '3333'
+            |            THEN 'test' ELSE 'train' END AS split,
+            |  count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+            |FROM documents
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Vocabulary statistics: top-20 tokens by document frequency with a
+    * deterministic rank tiebreak — the vocabulary-building pass. */
+  val q51VocabTopK = GraftQuery(
+    "q51_vocab_topk",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(Text.tokens(col("text")))).as("tok"))
+      toks.groupBy("tok").agg(count(lit(1)).as("doc_freq"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("doc_freq").desc, col("tok").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .select("rank", "tok", "doc_freq")
+        .orderBy("rank")
+    },
+    Some("""WITH toks AS (
+           |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+           |  FROM documents),
+           |df AS (SELECT tok, count(*) AS doc_freq FROM toks GROUP BY 1)
+           |SELECT rank, tok, doc_freq FROM (
+           |  SELECT tok, doc_freq,
+           |    row_number() OVER (ORDER BY doc_freq DESC, tok ASC) AS rank
+           |  FROM df)
+           |WHERE rank <= 20 ORDER BY rank""".stripMargin))
+
+  /** TF-IDF per (doc, term) for a probe id range: term frequency ×
+    * ln(N/df), the classic relevance weighting — two grouped
+    * aggregates plus a one-row broadcast total, no per-term rescan.
+    * Identical operation order in the oracle keeps doubles aligned;
+    * round(6) absorbs libm ulp differences. */
+  val q52Tfidf = GraftQuery(
+    "q52_tfidf",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val dfreq = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(dl, "doc_id")
+        .join(dfreq, "tok")
+        .crossJoin(broadcast(total))
+        .filter(col("doc_id") < 30)
+        .select(col("doc_id"), col("tok"),
+          round((col("tf").cast("double") / col("dl").cast("double")) *
+            log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+            .as("tfidf"))
+        .orderBy("doc_id", "tok")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+           |  FROM documents),
+           |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+           |dfreq AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY 1),
+           |total AS (SELECT count(*) AS n_docs FROM documents)
+           |SELECT tf.doc_id, tf.tok,
+           |  round((CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)) *
+           |    ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+           |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (tok) CROSS JOIN total
+           |WHERE tf.doc_id < 30
+           |ORDER BY doc_id, tok""".stripMargin))
+
+  /** Benchmark-contamination check: corpus documents sharing a 5-gram
+    * with any "benchmark" document (here: doc_id < 20), with the count
+    * of distinct benchmark docs hit — the eval-leakage scan every
+    * training corpus needs. Shingle equi-join, no cross join. */
+  val q53Contamination = GraftQuery(
+    "q53_contamination",
+    (s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(Text.wordShingles(col("text"), 5))).as("s"))
+      val bench = sh.filter(col("doc_id") < 20)
+        .select(col("s"), col("doc_id").as("bench_id")).distinct()
+      sh.filter(col("doc_id") >= 20)
+        .join(bench, "s")
+        .groupBy("doc_id")
+        .agg(countDistinct("bench_id").as("n_bench_docs"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    ws[i.g] || ' ' || ws[i.g+1] || ' ' || ws[i.g+2] || ' ' || ws[i.g+3] || ' ' || ws[i.g+4] AS s
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) g) i
+           |  WHERE len(ws) >= 5),
+           |bench AS (SELECT DISTINCT s, doc_id AS bench_id FROM sh WHERE doc_id < 20)
+           |SELECT sh.doc_id, count(DISTINCT bench_id) AS n_bench_docs
+           |FROM sh JOIN bench USING (s)
+           |WHERE sh.doc_id >= 20
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q50TrainTestSplit, q51VocabTopK, q52Tfidf,
+    q53Contamination)
+}

@@ -8,7 +8,8 @@ import graft.GraftQuery
 object Registry {
   def all: Seq[GraftQuery] = {
     val qs = Relational.all ++ PipelineShaped.all ++ AsofSession.all ++
-      Extras.all ++ TpchClassics.all ++ TextQueries.all ++ VectorQueries.all
+      Extras.all ++ TpchClassics.all ++ TextQueries.all ++ VectorQueries.all ++
+      MlPrep.all
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }
