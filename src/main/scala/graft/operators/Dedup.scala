@@ -185,6 +185,58 @@ object Dedup {
       .select("id_a", "id_b", "inter", "na", "nb", "jaccard")
   }
 
+  /** Connected components over near-duplicate pairs — the clustering
+    * step between pair generation (MinHash/SimHash/embedding) and
+    * survivor selection: every document gets the minimum reachable id
+    * as its cluster label.
+    *
+    * Iterative min-label propagation (the dataflow core of the
+    * small-star/large-star CC algorithm, Kiveris et al. 2014): each
+    * round, a node's label becomes the min of its own and its
+    * neighbors' labels — a join + groupBy per round, all shuffles on
+    * uniformly-hashed node ids. Converges within the graph diameter;
+    * near-dup graphs are overwhelmingly tiny cliques/chains, so a few
+    * rounds suffice. The driver-side loop checks a scalar
+    * changed-count per round (the standard iterative-graph pattern —
+    * MLlib/GraphX do the same); per-round results are cached and the
+    * previous round unpersisted, so lineage stays bounded.
+    *
+    * @param pairs undirected near-dup edges (aCol, bCol)
+    * @return (id, component) for every id appearing in `pairs`
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.select("id", "component").union(viaNeighbor)
+        .groupBy("id").agg(min("component").as("component"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
+        .filter(col("component") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** One survivor (the min id) per cluster plus its cluster size —
+    * composing [[connectedComponents]] into the dedup decision. */
+  def clusterSurvivors(components: DataFrame): DataFrame =
+    components.groupBy("component")
+      .agg(min("id").as("keep_id"), count(lit(1)).as("cluster_size"))
+
   /** Global shingle document frequencies (s, df) — the skew probe input. */
   private[operators] def shingleDocFreq(sh: DataFrame): DataFrame =
     sh.groupBy("s").agg(count(lit(1)).as("df"))

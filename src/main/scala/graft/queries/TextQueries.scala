@@ -134,6 +134,72 @@ object TextQueries {
            |  GROUP BY id_a, id_b)
            |SELECT * FROM scored WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin))
 
+  /** Shared oracle scaffolding for the dedup-clustering queries: the
+    * q24 MinHash pair generation, then min-label transitive closure as
+    * a recursive CTE (DuckDB walks the closure row-at-a-time; the
+    * engine runs the same fixpoint as distributed label propagation —
+    * identical results, scale-divergent execution). */
+  private val ccOracleBase =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, ws[i.g] || ' ' || ws[i.g+1] || ' ' || ws[i.g+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) g) i
+      |  WHERE len(ws) >= 3),
+      |mh AS (
+      |  SELECT doc_id, h.g AS h, min(md5(h.g || ':' || s)) AS mh
+      |  FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) g) h
+      |  GROUP BY doc_id, h.g),
+      |bands AS (
+      |  SELECT doc_id, h // 2 AS band,
+      |         string_agg(mh, '|' ORDER BY h) AS band_key
+      |  FROM mh GROUP BY doc_id, h // 2),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b
+      |  FROM cands
+      |  JOIN mh sa ON sa.doc_id = id_a
+      |  JOIN mh sb ON sb.doc_id = id_b AND sa.h = sb.h
+      |  GROUP BY id_a, id_b
+      |  HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) * 1.0 / 8 >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, comp) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+      |cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)""".stripMargin
+
+  private def nearDupPairs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Dedup.minHashCandidatePairs(Tables.documents(s, dir),
+        numHashes = 8, bandSize = 2, shingleLen = 3)
+      .filter(col("est_jaccard") >= 0.5)
+
+  /** Near-dup cluster assignment: connected components over the
+    * MinHash pair graph via distributed min-label propagation — the
+    * clustering step between pair generation and survivor selection. */
+  val q54DedupClusters = GraftQuery(
+    "q54_dedup_clusters",
+    (s, dir) =>
+      Dedup.connectedComponents(nearDupPairs(s, dir)).orderBy("id"),
+    Some(s"""$ccOracleBase
+            |SELECT id, component FROM cc ORDER BY id""".stripMargin))
+
+  /** One survivor (min id) per near-dup cluster with the cluster size —
+    * the dedup decision itself. */
+  val q55DedupSurvivors = GraftQuery(
+    "q55_dedup_survivors",
+    (s, dir) =>
+      Dedup.clusterSurvivors(Dedup.connectedComponents(nearDupPairs(s, dir)))
+        .orderBy("component"),
+    Some(s"""$ccOracleBase
+            |SELECT component, min(id) AS keep_id, count(*) AS cluster_size
+            |FROM cc GROUP BY component ORDER BY component""".stripMargin))
+
   /** 32-bit SimHash fingerprints (hex), portable integer arithmetic. */
   val q25Simhash = GraftQuery(
     "q25_simhash",
@@ -327,5 +393,6 @@ object TextQueries {
   val all: Seq[GraftQuery] = Seq(
     q20TextStats, q21LangId, q22Fingerprint, q23DedupExact, q24MinhashLsh,
     q25Simhash, q26NgramJaccard, q27MultimodalMeta, q28MultimodalFeatures,
-    q29SimhashNearDup, q39NgramJaccardPrefix, q40RollingFingerprint)
+    q29SimhashNearDup, q39NgramJaccardPrefix, q40RollingFingerprint,
+    q54DedupClusters, q55DedupSurvivors)
 }

@@ -110,6 +110,21 @@ class DedupSpec extends SparkSpec {
     assert(adaptive.size >= 30) // every (2p, 2p+1) near-dup pair found
   }
 
+  test("connected components: chains collapse, separate clusters stay apart") {
+    // two components: a 5-node chain 1-2-3-4-5 (needs multiple
+    // propagation rounds) and a 2-clique 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert((1L to 5L).forall(cc(_) == 1L))
+    assert(cc(10L) === 10L && cc(11L) === 10L)
+    val surv = Dedup.clusterSurvivors(Dedup.connectedComponents(pairs)).collect()
+      .map(r => (r.getAs[Long]("component"), r.getAs[Long]("keep_id"),
+        r.getAs[Long]("cluster_size"))).toSet
+    assert(surv === Set((1L, 1L, 5L), (10L, 10L, 2L)))
+  }
+
   test("fingerprint is word-order and duplication insensitive") {
     val fp = docs.select($"doc_id", Text.fingerprint($"text").as("fp"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
