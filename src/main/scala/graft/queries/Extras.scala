@@ -124,6 +124,32 @@ object Extras {
            |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
            |ORDER BY o_custkey, seq""".stripMargin))
 
+  /** Exact distributed percentiles (linear interpolation at p·(n−1)) —
+    * Spark's `percentile` and DuckDB's `quantile_cont` share the
+    * definition, so the oracle checks exact quantiles, not an
+    * approximation. Shuffles once on the group key; each group's sort
+    * happens inside its partition. */
+  val q56Percentiles = GraftQuery(
+    "q56_percentiles",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("price_p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("price_p95"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("qty_p50"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+           |  round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25,
+           |  round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50,
+           |  round(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95,
+           |  round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
+           |  count(*) AS n_rows
+           |FROM lineitem
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
-    q34DistinctApprox, q35Pivot, q36WindowAnalytics)
+    q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles)
 }

@@ -130,6 +130,45 @@ object VectorQueries {
             |WHERE $cosSql >= 0.4
             |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Embedding preprocessing: L2 norm + symmetric int8 quantization
+    * (scale = max|x|/127, half-up rounding spelled as floor(x/s + .5)
+    * so both engines round identically — a bare cast truncates in
+    * Spark but rounds in DuckDB). Emits per-vector scalars (norm,
+    * scale, max reconstruction error, quantized checksum) — the
+    * calibration numbers a serving pipeline tracks. */
+  val q57EmbeddingQuantize = GraftQuery(
+    "q57_embedding_quantize",
+    (s, dir) => {
+      val x = col("embedding")
+      val maxAbs = array_max(transform(x, e => abs(e.cast("double"))))
+      val scale = maxAbs / 127.0
+      val q = transform(x, e => floor(e.cast("double") / scale + 0.5))
+      val err = array_max(zip_with(x, q, (e, qq) =>
+        abs(e.cast("double") - qq * scale)))
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 50)
+        .select(col("vec_id"),
+          round(Similarity.norm(x), 6).as("l2_norm"),
+          round(scale, 9).as("scale"),
+          round(err, 9).as("max_err"),
+          aggregate(q, lit(0.0), (a, b) => a + b).cast("long").as("q_checksum"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH s1 AS (
+           |  SELECT vec_id, embedding,
+           |    list_max(list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))) / 127.0 AS scale
+           |  FROM embeddings WHERE vec_id < 50),
+           |s2 AS (
+           |  SELECT vec_id, embedding, scale,
+           |    list_transform(embedding, e -> floor(CAST(e AS DOUBLE) / scale + 0.5)) AS q
+           |  FROM s1)
+           |SELECT vec_id,
+           |  round(sqrt(list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))), 6) AS l2_norm,
+           |  round(scale, 9) AS scale,
+           |  round(list_max(list_transform(embedding, (e, i) -> abs(CAST(e AS DOUBLE) - q[i] * scale))), 9) AS max_err,
+           |  CAST(list_sum(q) AS BIGINT) AS q_checksum
+           |FROM s2 ORDER BY vec_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q30AnnBruteForce, q31CosinePairs, q32AnnLsh,
-    q37AnnIvf, q38EmbeddingNearDup)
+    q37AnnIvf, q38EmbeddingNearDup, q57EmbeddingQuantize)
 }
