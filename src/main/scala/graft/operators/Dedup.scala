@@ -211,6 +211,10 @@ object Dedup {
       .distinct().cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).cache()
+    // labels only ever decrease, so the fixpoint test is "the label sum
+    // stopped falling" — one scalar aggregate per round, no
+    // prev-vs-next join
+    var prevSum = labels.agg(sum("component")).first().getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -220,11 +224,11 @@ object Dedup {
       val next = labels.select("id", "component").union(viaNeighbor)
         .groupBy("id").agg(min("component").as("component"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
-        .filter(col("component") =!= col("prev")).count()
+      val s = next.agg(sum("component")).first().getLong(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = s == prevSum
+      prevSum = s
       i += 1
     }
     edges.unpersist()
