@@ -74,6 +74,14 @@ class SourcesSpec extends SparkSpec {
 
   test("runAndSave writes a bucketed fact whose location rollup skips the shuffle") {
     spark.sql("DROP TABLE IF EXISTS graft_fact_bkt")
+    // a previous JVM's physical dir survives the (metastore-only) DROP
+    val loc = new java.io.File("spark-warehouse/graft_fact_bkt")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(loc)
+    }
     val csv =
       """Order ID,Product,Quantity Ordered,Price Each,Order Date,Purchase Address
         |141234,iPhone,1,700,01/22/19 21:25,"944 Walnut St, Boston, MA 02215"
