@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("passesGopher rejects short, symbol-heavy, and stopword-free docs") {
+    val good = ("the quick brown fox jumps over a lazy dog and then " * 6).trim
+    val short = "the a of tiny"
+    val symbols = (Seq.fill(30)("$$$ %%% ^^^").mkString(" ") + " the a of to and")
+    val noStop = Seq.fill(60)("alpha beta gamma").mkString(" ")
+    val out = docs(1L -> good, 2L -> short, 3L -> symbols, 4L -> noStop)
+      .select($"doc_id", Quality.passesGopher($"text").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L))
+    assert(!out(2L)) // < 50 words
+    assert(!out(3L)) // alpha ratio too low
+    assert(!out(4L)) // no stopwords
+  }
+
+  test("repetitionStats counts duplicate bigrams set-based") {
+    // "x y x y x y" -> tokens 6, distinct 2; bigrams: "x y"×3, "y x"×2
+    val out = Quality.repetitionStats(docs(1L -> "x y x y x y")).collect().head
+    assert(out.getAs[Long]("n_tokens") === 6L)
+    assert(out.getAs[Long]("n_distinct_tokens") === 2L)
+    assert(out.getAs[Long]("n_bigrams") === 5L)
+    // distinct bigrams = 2 -> dup frac = 1 - 2/5
+    assert(math.abs(out.getAs[Double]("dup_bigram_frac") - 0.6) < 1e-9)
+    assert(math.abs(out.getAs[Double]("top_bigram_frac") - 0.6) < 1e-9)
+    assert(math.abs(out.getAs[Double]("top_token_frac") - 0.5) < 1e-9)
+  }
+
+  test("single-token doc has zero bigrams and zero entropy") {
+    val rep = Quality.repetitionStats(docs(1L -> "solo")).collect().head
+    assert(rep.getAs[Long]("n_bigrams") === 0L)
+    assert(rep.getAs[Double]("dup_bigram_frac") === 0.0)
+    val ent = Quality.tokenEntropy(docs(1L -> "solo")).collect().head
+    assert(ent.getAs[Double]("entropy") === 0.0)
+    assert(ent.getAs[Double]("norm_entropy") === 0.0)
+  }
+
+  test("tokenEntropy: uniform tokens maximize normalized entropy") {
+    val out = Quality.tokenEntropy(docs(
+        1L -> "a b c d", // uniform over 4 -> H = ln 4, norm = 1
+        2L -> "a a a b")).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("norm_entropy")).toMap
+    assert(math.abs(out(1L) - 1.0) < 1e-6)
+    assert(out(2L) < 1.0 && out(2L) > 0.0)
+  }
+}
