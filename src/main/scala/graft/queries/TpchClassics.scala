@@ -316,7 +316,293 @@ object TpchClassics {
            |JOIN nation   ON s_nationkey = n_nationkey
            |ORDER BY s_name""".stripMargin))
 
+  /** Q3 shape — segment-filtered top-N: highest-revenue unshipped
+    * orders for one market segment. The LIMIT is deterministic (revenue
+    * desc, then orderkey), so the hash gate is stable; revenue uses
+    * exact decimal sums so ranking can't flip between engines. */
+  val q61Unshipped = GraftQuery(
+    "q61_tpch_q3_unshipped",
+    (s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate").cast("date") < lit("1997-06-01"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").cast("date") > lit("1997-06-01"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(li("l_orderkey"),
+          date_format(o("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          o("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)"))), 2)
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey,
+           |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+           |  o_orderpriority,
+           |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2)
+           |    AS DOUBLE) AS revenue
+           |FROM lineitem
+           |JOIN orders   ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND CAST(o_orderdate AS DATE) < DATE '1997-06-01'
+           |  AND CAST(l_shipdate AS DATE) > DATE '1997-06-01'
+           |GROUP BY 1, 2, 3
+           |ORDER BY revenue DESC, l_orderkey
+           |LIMIT 10""".stripMargin))
+
+  /** Q5 shape — region-local supplier revenue: the supplier must sit in
+    * the customer's nation (the extra `c_nationkey = s_nationkey`
+    * equi-term on the supplier join), rolled up by nation. */
+  val q62LocalSupplier = GraftQuery(
+    "q62_tpch_q5_local_supplier",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1996)
+      val c = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup),
+          li("l_suppkey") === sup("s_suppkey") and
+            c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(n("n_name").as("nation_name"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)"))), 2)
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("nation_name"))
+    },
+    Some("""SELECT n_name AS nation_name,
+           |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2)
+           |    AS DOUBLE) AS revenue
+           |FROM lineitem
+           |JOIN orders   ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |JOIN nation   ON c_nationkey = n_nationkey
+           |JOIN region   ON n_regionkey = r_regionkey
+           |WHERE year(o_orderdate) = 1996 AND r_name = 'ASIA'
+           |GROUP BY 1
+           |ORDER BY revenue DESC, nation_name""".stripMargin))
+
+  /** Q10 shape — returned-item losers: top 20 customers by revenue on
+    * 'R'-flagged lines in one quarter, with nation context.
+    * Deterministic LIMIT via (revenue desc, custkey). */
+  val q63ReturnedItems = GraftQuery(
+    "q63_tpch_q10_returned_items",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate").cast("date") >= lit("1996-10-01") and
+          col("o_orderdate").cast("date") < lit("1997-01-01"))
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(c("c_custkey"), c("c_name"),
+          round(c("c_acctbal"), 2).as("c_acctbal"), n("n_name").as("nation_name"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)"))), 2)
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+           |  n_name AS nation_name,
+           |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2)
+           |    AS DOUBLE) AS revenue
+           |FROM lineitem
+           |JOIN orders   ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation   ON c_nationkey = n_nationkey
+           |WHERE l_returnflag = 'R'
+           |  AND CAST(o_orderdate AS DATE) >= DATE '1996-10-01'
+           |  AND CAST(o_orderdate AS DATE) <  DATE '1997-01-01'
+           |GROUP BY 1, 2, 3, 4
+           |ORDER BY revenue DESC, c_custkey
+           |LIMIT 20""".stripMargin))
+
+  /** Q21 shape — sole late supplier: suppliers who were the ONLY late
+    * shipper on a multi-supplier order (EXISTS + NOT-EXISTS over the
+    * same join, decorrelated into one per-order aggregate: distinct
+    * supplier count vs distinct late-supplier count). */
+  val q64SoleLateSupplier = GraftQuery(
+    "q64_tpch_q21_sole_late_supplier",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val lo = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(li("l_orderkey").as("ok"), li("l_suppkey"),
+          (li("l_shipdate").cast("date") >
+            date_add(o("o_orderdate").cast("date"), 60)).as("late"))
+      val per = lo.groupBy("ok")
+        .agg(countDistinct("l_suppkey").as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+        .filter(col("n_supp") >= 2 and col("n_late") === 1)
+      val sup = Tables.supplier(s, dir)
+      lo.filter(col("late")).select("ok", "l_suppkey").distinct()
+        .join(per, "ok")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    },
+    Some("""WITH lo AS (
+           |  SELECT l_orderkey AS ok, l_suppkey,
+           |    CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY AS late
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |per AS (
+           |  SELECT ok, count(DISTINCT l_suppkey) AS n_supp,
+           |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+           |  FROM lo GROUP BY ok
+           |  HAVING count(DISTINCT l_suppkey) >= 2
+           |     AND count(DISTINCT CASE WHEN late THEN l_suppkey END) = 1),
+           |waiting AS (
+           |  SELECT DISTINCT ok, l_suppkey FROM lo WHERE late),
+           |cnt AS (
+           |  SELECT l_suppkey, count(*) AS numwait
+           |  FROM waiting JOIN per USING (ok) GROUP BY 1)
+           |SELECT s_name, numwait
+           |FROM cnt JOIN supplier ON l_suppkey = s_suppkey
+           |ORDER BY numwait DESC, s_name""".stripMargin))
+
+  /** Q17 shape — small-quantity niche revenue: lines of one brand whose
+    * quantity is below 20% of that part's average quantity. The
+    * correlated avg becomes one grouped aggregate joined back; the
+    * comparison is deterministic because integer-valued double sums are
+    * exact. */
+  val q65SmallQtyRevenue = GraftQuery(
+    "q65_tpch_q17_small_qty_revenue",
+    (s, dir) => {
+      val pt = Tables.part(s, dir).filter(col("p_brand") === "Brand#23")
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(pt), col("l_partkey") === pt("p_partkey"))
+      val avgQty = li.groupBy(col("l_partkey").as("aq_partkey"))
+        .agg(avg("l_quantity").as("avg_qty"))
+      li.join(avgQty, col("l_partkey") === col("aq_partkey"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.2)
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double") / 7.0, 2).as("avg_yearly"))
+    },
+    Some("""SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    / 7.0, 2) AS avg_yearly
+           |FROM lineitem l
+           |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
+           |WHERE l_quantity < 0.2 * (
+           |  SELECT avg(l2.l_quantity) FROM lineitem l2
+           |  WHERE l2.l_partkey = l.l_partkey)""".stripMargin))
+
+  /** Q19 shape — disjunction of conjunctive brand/size/quantity bands:
+    * the OR-of-ANDs predicate a scan must evaluate without exploding
+    * the join (part side broadcast; predicate stays in one codegen'd
+    * filter). */
+  val q66DisjunctiveBands = GraftQuery(
+    "q66_tpch_q19_disjunctive_bands",
+    (s, dir) => {
+      val pt = Tables.part(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val j = li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+      val bands =
+        (pt("p_brand") === "Brand#12" and pt("p_size").between(1, 5) and
+          li("l_quantity").between(1, 11)) or
+        (pt("p_brand") === "Brand#23" and pt("p_size").between(1, 10) and
+          li("l_quantity").between(10, 20)) or
+        (pt("p_brand") === "Brand#34" and pt("p_size").between(1, 15) and
+          li("l_quantity").between(20, 30))
+      j.filter(bands)
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)"))), 2)
+            .cast("double").as("revenue"))
+    },
+    Some("""SELECT count(*) AS n_lines,
+           |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2)
+           |    AS DOUBLE) AS revenue
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           |       AND l_quantity BETWEEN 1 AND 11)
+           |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           |       AND l_quantity BETWEEN 10 AND 20)
+           |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin))
+
+  /** Q22 shape — idle wealthy customers: above-average balance and no
+    * URGENT (priority 1) order — every synthetic customer has at least
+    * one order, so the anti-join target is the filtered order set.
+    * Scalar avg via one-row broadcast cross join; "none exists" via
+    * left-anti join (never an IN-subquery rescan). Grouped by market
+    * segment (the testdata's analogue of the phone prefix). */
+  val q67IdleCustomers = GraftQuery(
+    "q67_tpch_q22_idle_customers",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority").startsWith("1"))
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg(avg("c_acctbal").as("avg_bal"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS numcust,
+           |  round(sum(c_acctbal), 2) AS totacctbal
+           |FROM customer c
+           |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+           |  AND NOT EXISTS (SELECT 1 FROM orders o
+           |                  WHERE o.o_custkey = c.c_custkey
+           |                    AND o.o_orderpriority LIKE '1%')
+           |GROUP BY 1
+           |ORDER BY 1""".stripMargin))
+
+  /** Q16 shape — supplier variety per part class: distinct-supplier
+    * counts by (brand, type, size) from the lineitem part-supplier
+    * relation, excluding blacklisted (negative-balance) suppliers via
+    * left-anti join. */
+  val q68SupplierVariety = GraftQuery(
+    "q68_tpch_q16_supplier_variety",
+    (s, dir) => {
+      val pt = Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#1" and col("p_size") <= 20)
+      val bad = Tables.supplier(s, dir).filter(col("s_acctbal") < 0.0)
+      val li = Tables.lineitem(s, dir)
+      li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+        .join(broadcast(bad), li("l_suppkey") === bad("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+    Some("""SELECT p_brand, p_type, p_size,
+           |  count(DISTINCT l_suppkey) AS supplier_cnt
+           |FROM lineitem
+           |JOIN part ON l_partkey = p_partkey
+           |WHERE p_brand <> 'Brand#1' AND p_size <= 20
+           |  AND l_suppkey NOT IN (
+           |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+           |GROUP BY 1, 2, 3
+           |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q41LateOrders, q42CustDist, q43TopSupplier,
     q44LargeOrders, q45MinCostSupplier, q46RevenueShare, q47NationVolume,
-    q48MarketShare, q49DominantSuppliers)
+    q48MarketShare, q49DominantSuppliers, q61Unshipped, q62LocalSupplier,
+    q63ReturnedItems, q64SoleLateSupplier, q65SmallQtyRevenue,
+    q66DisjunctiveBands, q67IdleCustomers, q68SupplierVariety)
 }
