@@ -87,4 +87,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hamming_hex("))
     assert(p.contains("*(")) // whole-stage codegen span marker
   }
+
+  test("q58: per-row quality gates run in one scan stage (no exchange)") {
+    val p = plan("q58_gopher_quality")
+    // a pure projection + sort: the only exchange allowed is the final
+    // rangepartitioning for the global ORDER BY
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")), exchanges.mkString("\n"))
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+  }
+
+  test("q59: repetition stats aggregate with map-side combine") {
+    val p = plan("q59_repetition_stats")
+    // explode -> (doc, gram) count -> per-doc agg: both levels partial
+    assert("HashAggregate".r.findAllIn(p).size >= 4)
+    assert(!p.contains("ScalaUDF"))
+  }
+
+  test("q61: top-N is a TakeOrderedAndProject, not a global sort") {
+    val p = plan("q61_tpch_q3_unshipped")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange rangepartitioning"))) // no full-result sort shuffle
+  }
+
+  test("q68: supplier blacklist is a broadcast anti-join") {
+    val p = plan("q68_tpch_q16_supplier_variety")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
