@@ -82,6 +82,19 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(lower(trim(text))))), " "))
 
+  /** BPE-ish pre-tokenization segments: maximal runs of letters, of
+    * digits, or of other non-space symbols — the (lookahead-free)
+    * core of the GPT-2 pre-tokenizer regex, portable between Java
+    * regex and RE2 so the DuckDB oracle counts identically. The
+    * segment count approximates subword token count far better than
+    * whitespace words on code/punctuated text. */
+  val bpeSegmentPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  def bpeSegments(text: Column): Column =
+    regexp_extract_all(text, lit(bpeSegmentPattern), lit(0))
+
+  def bpeSegmentCount(text: Column): Column = size(bpeSegments(text))
+
   /** Word n-gram shingles (array of strings). */
   def wordShingles(text: Column, n: Int): Column = {
     val t = tokens(text)

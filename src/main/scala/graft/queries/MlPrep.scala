@@ -127,6 +127,91 @@ object MlPrep {
            |WHERE sh.doc_id >= 20
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** The end-to-end pretraining corpus pipeline, composed from the
+    * library's own operators: Gopher quality gate → exact dedup (min
+    * id per content hash) → MinHash/LSH near-dup clustering with one
+    * survivor per component → deterministic train/test split. The
+    * oracle replays every stage in DuckDB (recursive CTE for the
+    * connected components), so the gate checks the full composition
+    * per document, not just counts. */
+  val q70PretrainPipeline = GraftQuery(
+    "q70_pretrain_pipeline",
+    (s, dir) => {
+      import graft.functions.Quality
+      import graft.operators.Dedup
+      val docs = Tables.documents(s, dir)
+      val gated = docs.filter(Quality.passesGopher(col("text")))
+      val keepIds = gated.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val exactKept = gated.join(keepIds, Seq("doc_id"), "left_semi")
+      val pairs = Dedup.minHashCandidatePairs(exactKept,
+          numHashes = 8, bandSize = 2, shingleLen = 3)
+        .filter(col("est_jaccard") >= 0.5)
+      val cc = Dedup.connectedComponents(pairs)
+      val drop = cc.join(
+          cc.groupBy("component").agg(min("id").as("keep")), "component")
+        .filter(col("id") =!= col("keep"))
+        .select(col("id").as("doc_id"))
+      val survivors = exactKept.join(drop, Seq("doc_id"), "left_anti")
+      Sampling.trainTestSplit(survivors, "doc_id", testFraction = 0.2)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE t AS (
+            |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS ws,
+            |         string_split_regex(trim(lower(text)), '\\s+') AS wl
+            |  FROM documents),
+            |g AS (
+            |  SELECT doc_id, text, ws FROM t
+            |  WHERE len(ws) BETWEEN 50 AND 100000
+            |    AND list_sum(list_transform(ws, x -> len(x))) * 1.0 / len(ws)
+            |        BETWEEN 3.0 AND 10.0
+            |    AND len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+            |        / len(ws) > 0.8
+            |    AND len(list_filter(wl, x -> x IN ('a','the','of','to','and','is','in'))) >= 2),
+            |ek AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
+            |kept0 AS (SELECT g.doc_id, g.ws FROM g JOIN ek USING (doc_id)),
+            |sh AS (
+            |  SELECT DISTINCT doc_id, ws[i.g] || ' ' || ws[i.g+1] || ' ' || ws[i.g+2] AS s
+            |  FROM kept0, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) g) i
+            |  WHERE len(ws) >= 3),
+            |mh AS (
+            |  SELECT doc_id, h.g AS h, min(md5(h.g || ':' || s)) AS mh
+            |  FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) g) h
+            |  GROUP BY doc_id, h.g),
+            |bands AS (
+            |  SELECT doc_id, h // 2 AS band,
+            |         string_agg(mh, '|' ORDER BY h) AS band_key
+            |  FROM mh GROUP BY doc_id, h // 2),
+            |cands AS (
+            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            |  FROM bands a JOIN bands b
+            |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+            |pairs AS (
+            |  SELECT id_a, id_b
+            |  FROM cands
+            |  JOIN mh sa ON sa.doc_id = id_a
+            |  JOIN mh sb ON sb.doc_id = id_b AND sa.h = sb.h
+            |  GROUP BY id_a, id_b
+            |  HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) * 1.0 / 8 >= 0.5),
+            |edges AS (
+            |  SELECT id_a AS src, id_b AS dst FROM pairs
+            |  UNION SELECT id_b, id_a FROM pairs),
+            |reach(id, comp) AS (
+            |  SELECT DISTINCT src, src FROM edges
+            |  UNION
+            |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+            |cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+            |keepmin AS (SELECT component, min(id) AS keep FROM cc GROUP BY 1),
+            |dropids AS (
+            |  SELECT id FROM cc JOIN keepmin USING (component) WHERE id <> keep),
+            |survivors AS (
+            |  SELECT doc_id FROM kept0
+            |  WHERE doc_id NOT IN (SELECT id FROM dropids))
+            |SELECT doc_id,
+            |  CASE WHEN ${bucketSql("doc_id")} < '3333' THEN 'test' ELSE 'train' END AS split
+            |FROM survivors ORDER BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q50TrainTestSplit, q51VocabTopK, q52Tfidf,
-    q53Contamination)
+    q53Contamination, q70PretrainPipeline)
 }

@@ -390,9 +390,35 @@ object TextQueries {
            |SELECT fp, min(doc_id) AS keep_id, count(*) AS group_size
            |FROM f GROUP BY fp ORDER BY keep_id""".stripMargin))
 
+  /** BPE-ish token counting: whitespace words vs pre-tokenizer
+    * segments, plus the chars-per-segment compression proxy (the
+    * cheap "how many LLM tokens is this corpus" estimator). One
+    * codegen'd projection, no shuffle but the ORDER BY. */
+  val q69BpeSegments = GraftQuery(
+    "q69_bpe_segments",
+    (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        Text.bpeSegmentCount(col("text")).cast("long").as("n_segments"),
+        round(when(Text.bpeSegmentCount(col("text")) === 0, 0.0)
+          .otherwise(length(regexp_replace(col("text"), "\\s+", "")).cast("double")
+            / Text.bpeSegmentCount(col("text"))), 4).as("chars_per_segment"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+           |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+           |    AS BIGINT) AS n_segments,
+           |  round(CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) = 0
+           |    THEN 0.0
+           |    ELSE length(regexp_replace(text, '\s+', '', 'g')) * 1.0 /
+           |         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) END, 4)
+           |    AS chars_per_segment
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q20TextStats, q21LangId, q22Fingerprint, q23DedupExact, q24MinhashLsh,
     q25Simhash, q26NgramJaccard, q27MultimodalMeta, q28MultimodalFeatures,
     q29SimhashNearDup, q39NgramJaccardPrefix, q40RollingFingerprint,
-    q54DedupClusters, q55DedupSurvivors)
+    q54DedupClusters, q55DedupSurvivors, q69BpeSegments)
 }
