@@ -150,6 +150,63 @@ object Extras {
            |FROM lineitem
            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Arbitrary GROUPING SETS (beyond q11's ROLLUP / q12's CUBE): the
+    * set list ((flag,status),(status),()) is neither a rollup nor a
+    * cube, so it exercises the general expand-based aggregation.
+    * Summary rows are labeled by COALESCE (portable across engines,
+    * no grouping_id needed — the data has no real NULL keys). */
+  val q71GroupingSets = GraftQuery(
+    "q71_grouping_sets",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("return_flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("line_status"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy("return_flag", "line_status")
+    },
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS return_flag,
+           |  COALESCE(l_linestatus, 'ALL') AS line_status,
+           |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+           |FROM lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+           |ORDER BY return_flag, line_status""".stripMargin))
+
+  /** Fuzzy (edit-distance) matching over a value domain: part-name
+    * pairs within Levenshtein distance 3. The scale design is the
+    * distinct-value reduction — 2,000 part rows collapse to 64 names,
+    * and the quadratic comparison runs over that (dictionary-sized,
+    * broadcastable) domain with a length-difference prefilter, never
+    * over the row space. The classic fuzzy-dedup shape for dimension
+    * cleanup. */
+  val q72FuzzyNamePairs = GraftQuery(
+    "q72_fuzzy_name_pairs",
+    (s, dir) => {
+      val names = Tables.part(s, dir).select("p_name").distinct()
+      val a = names.select(col("p_name").as("name_a"))
+      val b = names.select(col("p_name").as("name_b"))
+      a.join(broadcast(b),
+          col("name_a") < col("name_b") and
+            abs(length(col("name_a")) - length(col("name_b"))) <= 3)
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 3)
+        .orderBy("name_a", "name_b")
+    },
+    Some("""WITH names AS (SELECT DISTINCT p_name FROM part)
+           |SELECT a.p_name AS name_a, b.p_name AS name_b,
+           |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+           |FROM names a JOIN names b
+           |  ON a.p_name < b.p_name
+           | AND abs(length(a.p_name) - length(b.p_name)) <= 3
+           |WHERE levenshtein(a.p_name, b.p_name) <= 3
+           |ORDER BY name_a, name_b""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
-    q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles)
+    q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
+    q71GroupingSets, q72FuzzyNamePairs)
 }
