@@ -143,7 +143,9 @@ object MlPrep {
       val gated = docs.filter(Quality.passesGopher(col("text")))
       val keepIds = gated.groupBy(md5(col("text")).as("h"))
         .agg(min("doc_id").as("doc_id")).select("doc_id")
-      val exactKept = gated.join(keepIds, Seq("doc_id"), "left_semi")
+      // scanned three times (signatures, survivor anti-join, split) —
+      // cache the gated+deduped set instead of re-running the gate
+      val exactKept = gated.join(keepIds, Seq("doc_id"), "left_semi").cache()
       val pairs = Dedup.minHashCandidatePairs(exactKept,
           numHashes = 8, bandSize = 2, shingleLen = 3)
         .filter(col("est_jaccard") >= 0.5)
