@@ -76,6 +76,8 @@ case class ResolveCubeGuard() extends Rule[LogicalPlan] {
 
 /** Engine extensions, installed via `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => ResolveCubeGuard())
+    ext.injectPlannerStrategy(_ => TopKStrategy)
+  }
 }

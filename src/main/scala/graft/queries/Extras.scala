@@ -206,7 +206,37 @@ object Extras {
            |WHERE levenshtein(a.p_name, b.p_name) <= 3
            |ORDER BY name_a, name_b""".stripMargin))
 
+  /** Top-3 parts per supplier through the native [[graft.plans.TopK]]
+    * operator (logical node → strategy → two-phase bounded-heap exec)
+    * instead of the window-sort plan — the oracle ranks with
+    * row_number, proving the custom physical operator is
+    * output-identical to the SQL semantics. Revenue is an exact
+    * decimal sum so ranking can't flip between engines. */
+  val q73TopkPerGroup = GraftQuery(
+    "q73_topk_per_group",
+    (s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      graft.plans.TopK.topKPerGroup(rev, Seq(col("l_suppkey")),
+          Seq(col("rev").desc, col("l_partkey").asc), 3)
+        .select(col("l_suppkey"), col("l_partkey"),
+          col("rev").cast("double").as("revenue"))
+        .orderBy("l_suppkey", "l_partkey")
+    },
+    Some("""WITH rev AS (
+           |  SELECT l_suppkey, l_partkey,
+           |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+           |  FROM lineitem GROUP BY 1, 2)
+           |SELECT l_suppkey, l_partkey, CAST(rev AS DOUBLE) AS revenue
+           |FROM (SELECT l_suppkey, l_partkey, rev,
+           |        row_number() OVER (PARTITION BY l_suppkey
+           |                           ORDER BY rev DESC, l_partkey) AS rn
+           |      FROM rev)
+           |WHERE rn <= 3
+           |ORDER BY l_suppkey, l_partkey""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
     q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
-    q71GroupingSets, q72FuzzyNamePairs)
+    q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup)
 }
