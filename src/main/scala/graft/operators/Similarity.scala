@@ -53,13 +53,20 @@ object Similarity {
     topK(scored, k, qId, cId)
   }
 
-  private def topK(scored: DataFrame, k: Int, qId: String, cId: String): DataFrame =
-    scored
+  private def topK(scored: DataFrame, k: Int, qId: String, cId: String): DataFrame = {
+    // native bounded-heap reduction first: each scan partition keeps at
+    // most k candidates per query BEFORE the exchange, so the rank
+    // window sorts k·queries survivor rows, never the full O(Q×N)
+    // scored set (which the old window-only plan shuffled and sorted
+    // wholesale — the classic 100 TB top-k trap)
+    val reduced = graft.plans.TopK.topKPerGroup(scored,
+      Seq(col(qId)), Seq(col("cos").desc, col(cId).asc), k)
+    reduced
       .withColumn("rank", row_number().over(
         Window.partitionBy(qId).orderBy(col("cos").desc, col(cId).asc)))
-      .filter(col("rank") <= k)
       .select(col(qId), col("rank").cast("long").as("rank"),
         col(cId).as("neighbor_id"), col("cos"))
+  }
 
   /** Deterministic ±1 random-hyperplane signs, precomputed ONCE on the
     * driver: sign(p, i) = parity of the first md5 hex digit of "p:i" —
