@@ -103,5 +103,45 @@ object QualityQueries {
            |    AS norm_entropy
            |FROM agg ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q58GopherQuality, q59RepetitionStats, q60TokenEntropy)
+  /** Unigram language-model scoring (the KenLM-style quality proxy,
+    * order 1): per-document mean negative log-probability and the
+    * corresponding perplexity under the corpus's own unigram
+    * distribution. Two aggregations (corpus term frequencies, one-row
+    * total) + a token-keyed join — fully set-based, the same dataflow
+    * an n-gram LM scorer runs at 100 TB. */
+  val q74UnigramLogprob = GraftQuery(
+    "q74_unigram_logprob",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+        explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(freq, "tok")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          avg(log(col("n_total").cast("double")) - log(col("tf").cast("double")))
+            .as("nll"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("nll"), 6).as("avg_neg_logprob"),
+          round(exp(col("nll")), 2).as("perplexity"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, tok.t AS tok
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM documents),
+           |       LATERAL (SELECT unnest(ws) t) tok),
+           |freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),
+           |total AS (SELECT count(*) AS n_total FROM toks),
+           |nll AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |    avg(ln(CAST(n_total AS DOUBLE)) - ln(CAST(tf AS DOUBLE))) AS nll
+           |  FROM toks JOIN freq USING (tok) CROSS JOIN total
+           |  GROUP BY doc_id)
+           |SELECT doc_id, n_tokens, round(nll, 6) AS avg_neg_logprob,
+           |  round(exp(nll), 2) AS perplexity
+           |FROM nll ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q58GopherQuality, q59RepetitionStats,
+    q60TokenEntropy, q74UnigramLogprob)
 }
