@@ -236,7 +236,75 @@ object Extras {
            |WHERE rn <= 3
            |ORDER BY l_suppkey, l_partkey""".stripMargin))
 
+  /** Statistical aggregates per group: Pearson correlation, sample
+    * covariance/stddev, and simple linear regression (slope +
+    * intercept) — the profiling pass a data-quality pipeline runs
+    * before modeling. All are single-pass distributed moments
+    * (map-side combined); rounding absorbs aggregation-order ulps. */
+  val q75StatAggregates = GraftQuery(
+    "q75_stat_aggregates",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("std_price"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+           |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           |  round(stddev_samp(l_extendedprice), 4) AS std_price,
+           |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           |  count(*) AS n_rows
+           |FROM lineitem
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** Winsorization (outlier clipping at per-group p05/p95): exact
+    * group quantiles joined back (broadcast — one row per group), then
+    * a clipped mean and clip counts in one pass. The standard
+    * statistical-cleaning operator; quantile interpolation is the same
+    * p·(n−1) rule in both engines (see q56). */
+  val q76Winsorize = GraftQuery(
+    "q76_winsorize",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val bounds = li.groupBy(col("l_returnflag").as("b_flag"))
+        .agg(expr("percentile(l_extendedprice, 0.05)").as("p05"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      li.join(broadcast(bounds), col("l_returnflag") === col("b_flag"))
+        .groupBy("l_returnflag")
+        .agg(
+          round(avg(greatest(col("p05"), least(col("p95"), col("l_extendedprice")))), 4)
+            .as("winsorized_mean"),
+          round(avg("l_extendedprice"), 4).as("raw_mean"),
+          sum(when(col("l_extendedprice") < col("p05"), 1L).otherwise(0L))
+            .as("n_clipped_low"),
+          sum(when(col("l_extendedprice") > col("p95"), 1L).otherwise(0L))
+            .as("n_clipped_high"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH bounds AS (
+           |  SELECT l_returnflag AS b_flag,
+           |    quantile_cont(l_extendedprice, 0.05) AS p05,
+           |    quantile_cont(l_extendedprice, 0.95) AS p95
+           |  FROM lineitem GROUP BY 1)
+           |SELECT l_returnflag,
+           |  round(avg(greatest(p05, least(p95, l_extendedprice))), 4) AS winsorized_mean,
+           |  round(avg(l_extendedprice), 4) AS raw_mean,
+           |  CAST(sum(CASE WHEN l_extendedprice < p05 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_clipped_low,
+           |  CAST(sum(CASE WHEN l_extendedprice > p95 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_clipped_high
+           |FROM lineitem JOIN bounds ON l_returnflag = b_flag
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
     q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
-    q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup)
+    q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup, q75StatAggregates,
+    q76Winsorize)
 }
