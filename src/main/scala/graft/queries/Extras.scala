@@ -303,8 +303,76 @@ object Extras {
            |FROM lineitem JOIN bounds ON l_returnflag = b_flag
            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Order-independent table checksum per segment — the migration
+    * verification tool: hash every row canonically (doubles reduced to
+    * integer cents so string formatting can't diverge), fold with the
+    * native rolling_hash, sum modulo a prime. Two engines that hold
+    * the same rows produce the same checksum regardless of row order
+    * or partitioning; one pass, map-side combined. */
+  val q77TableChecksum = GraftQuery(
+    "q77_table_checksum",
+    (s, dir) => {
+      val rowStr = concat_ws("|",
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long"), col("c_mktsegment"))
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment"),
+          (graft.functions.RollingHash.rollingHash(rowStr) % 100000007L).as("h"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), sum("h").as("checksum"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""WITH rows_h AS (
+           |  SELECT c_mktsegment,
+           |    list_reduce(
+           |      list_prepend(CAST(0 AS BIGINT),
+           |        list_transform(generate_series(1, length(rs)),
+           |          i -> CAST(unicode(substr(rs, i, 1)) AS BIGINT))),
+           |      (a, c) -> (a * 31 + c) % 1000000000000037) % 100000007 AS h
+           |  FROM (
+           |    SELECT c_mktsegment,
+           |      concat_ws('|', c_custkey, c_name, c_nationkey,
+           |        CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment) AS rs
+           |    FROM customer))
+           |SELECT c_mktsegment, count(*) AS n_rows,
+           |  CAST(sum(h) AS BIGINT) AS checksum
+           |FROM rows_h GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Equal-width histogram (8 buckets over the global [min,max]) of
+    * line prices — the profiling sketch. Bounds come from a one-row
+    * broadcast; the bucket index is pure arithmetic, identical IEEE in
+    * both engines. */
+  val q78Histogram = GraftQuery(
+    "q78_histogram",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val bounds = li.agg(min("l_extendedprice").as("mn"),
+        max("l_extendedprice").as("mx"))
+      li.crossJoin(broadcast(bounds))
+        .select(least(lit(7), floor((col("l_extendedprice") - col("mn"))
+            / ((col("mx") - col("mn")) / 8.0)).cast("int")).cast("long").as("bucket"),
+          col("mn"), col("mx"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(first(col("mn")) + col("bucket") * (first(col("mx")) - first(col("mn"))) / 8.0, 4)
+            .as("bucket_lo"))
+        .select("bucket", "bucket_lo", "n")
+        .orderBy("bucket")
+    },
+    Some("""WITH bounds AS (
+           |  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+           |  FROM lineitem),
+           |b AS (
+           |  SELECT least(7, CAST(floor((l_extendedprice - mn) / ((mx - mn) / 8.0))
+           |    AS INTEGER)) AS bucket, mn, mx
+           |  FROM lineitem CROSS JOIN bounds)
+           |SELECT CAST(bucket AS BIGINT) AS bucket,
+           |  round(min(mn) + bucket * (min(mx) - min(mn)) / 8.0, 4) AS bucket_lo,
+           |  count(*) AS n
+           |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
     q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
     q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup, q75StatAggregates,
-    q76Winsorize)
+    q76Winsorize, q77TableChecksum, q78Histogram)
 }
