@@ -111,5 +111,70 @@ object AsofSession {
            |FROM g GROUP BY user_id, session_seq
            |ORDER BY user_id, session_seq""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q17AsofInterval, q19Sessionize)
+  /** Ordered funnel analysis (view → click-after-view →
+    * purchase-after-click): each stage is a min-timestamp aggregate
+    * joined against the previous stage — three grouped aggregates and
+    * two equi-joins, never a per-user scan. Timestamp comparisons run
+    * on microseconds to match the engine's nanos→micros read
+    * truncation (the oracle truncates the same way). */
+  val q79Funnel = GraftQuery(
+    "q79_funnel",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      def stage(t: String) = e.filter(col("event_type") === t)
+      val v = stage("view").groupBy("user_id").agg(min("ts_us").as("v_ts"))
+      val c = stage("click").join(v, "user_id")
+        .filter(col("ts_us") > col("v_ts"))
+        .groupBy("user_id").agg(min("ts_us").as("c_ts"))
+      val p = stage("purchase").join(c, "user_id")
+        .filter(col("ts_us") > col("c_ts"))
+        .groupBy("user_id").agg(min("ts_us").as("p_ts"))
+      val one = (df: org.apache.spark.sql.DataFrame, name: String) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+      one(v, "1_view").unionByName(one(c, "2_click_after_view"))
+        .unionByName(one(p, "3_purchase_after_click"))
+        .orderBy("stage")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
+           |v AS (SELECT user_id, min(ts_us) AS v_ts FROM e
+           |      WHERE event_type = 'view' GROUP BY 1),
+           |c AS (SELECT e.user_id, min(ts_us) AS c_ts
+           |      FROM e JOIN v USING (user_id)
+           |      WHERE event_type = 'click' AND ts_us > v_ts GROUP BY 1),
+           |p AS (SELECT e.user_id, min(ts_us) AS p_ts
+           |      FROM e JOIN c USING (user_id)
+           |      WHERE event_type = 'purchase' AND ts_us > c_ts GROUP BY 1)
+           |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+           |UNION ALL
+           |SELECT '2_click_after_view', count(*) FROM c
+           |UNION ALL
+           |SELECT '3_purchase_after_click', count(*) FROM p
+           |ORDER BY stage""".stripMargin))
+
+  /** Semi-structured JSON column processing: extract a typed field
+    * from the props JSON string, bucket it, and aggregate — the
+    * schema-on-read path every event pipeline needs. Extraction stays
+    * inside the scan's codegen'd projection. */
+  val q80JsonProps = GraftQuery(
+    "q80_json_props",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), col("value"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .withColumn("k_bucket", col("k") % 10)
+        .groupBy("k_bucket")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"),
+          round(sum("value"), 2).as("total_value"))
+        .orderBy("k_bucket"),
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+           |  round(sum(value), 2) AS total_value
+           |FROM events
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q17AsofInterval, q19Sessionize, q79Funnel,
+    q80JsonProps)
 }
