@@ -73,14 +73,7 @@ object Dedup {
                             digest: SaltedDigest = md5Digest): DataFrame = {
     require(numHashes % bandSize == 0, "bandSize must divide numHashes")
     val sig = minHashSignaturesWide(docs, numHashes, shingleLen, idCol, textCol, digest).cache()
-    val nBands = numHashes / bandSize
-    val bandKeys = (0 until nBands).map { b =>
-      val cols = (b * bandSize until (b + 1) * bandSize).map(i => col(s"h$i"))
-      struct(lit(b).as("band"), concat_ws("|", cols: _*).as("key"))
-    }
-    val bands = sig
-      .select(col("id"), explode(array(bandKeys: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("band_key"))
+    val bands = bandTable(sig, numHashes, bandSize)
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") and col("a.band_key") === col("b.band_key") and
@@ -95,6 +88,19 @@ object Dedup {
     cands.join(sa, "id_a").join(sb, "id_b")
       .withColumn("est_jaccard", eqCount.cast("double") / lit(numHashes))
       .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** (id, band, band_key) LSH band table from a wide signature frame —
+    * the shared candidate-generation key for batch pair joins and the
+    * streaming registry. */
+  def bandTable(sig: DataFrame, numHashes: Int, bandSize: Int): DataFrame = {
+    require(numHashes % bandSize == 0, "bandSize must divide numHashes")
+    val bandKeys = (0 until numHashes / bandSize).map { b =>
+      val cols = (b * bandSize until (b + 1) * bandSize).map(i => col(s"h$i"))
+      struct(lit(b).as("band"), concat_ws("|", cols: _*).as("key"))
+    }
+    sig.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("band_key"))
   }
 
   /** 32-bit SimHash as an 8-hex-char fingerprint. Per token the first 8

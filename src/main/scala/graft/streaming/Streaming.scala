@@ -109,6 +109,76 @@ object Streaming {
       batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
     }
 
+  /** Incremental streaming NEAR-DUP dedup: a persistent MinHash band
+    * registry (parquet under `registryDir`) accumulates the LSH band
+    * keys of every admitted document; each micro-batch drops documents
+    * whose bands collide with the registry or with a smaller-id
+    * admitted document in the same batch, writes the survivors to
+    * `outDir/batch_id=N` (overwrite → idempotent output), and appends
+    * the survivors' bands to the registry.
+    *
+    * Admission is the LSH candidate criterion itself (any band equal)
+    * — deliberately conservative for a streaming ingest, where a
+    * false drop costs one near-duplicate document and a false admit
+    * is corrected by the batch near-dup pass downstream. Transitive
+    * chains collapse greedily toward the smallest id, the same rule
+    * as [[graft.operators.Dedup.clusterSurvivors]]. A retried batch
+    * re-appends its bands; the registry is a set semantically, so
+    * duplicate band rows only cost space (compact offline).
+    *
+    * Scale: the registry is partitioned parquet keyed by band_key —
+    * the per-batch probe is one semi-join, and at 100 TB the registry
+    * join prunes to the band_key hash partitions of the batch's own
+    * keys. No driver-side state; the streaming query holds no state
+    * store at all (the registry IS the state, shared and restartable).
+    */
+  def nearDupDedupSink(docs: DataFrame, registryDir: String, outDir: String,
+                       numHashes: Int = 8, bandSize: Int = 2, shingleLen: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      dedupBatchAgainstRegistry(batch, registryDir, s"$outDir/batch_id=$batchId",
+        numHashes, bandSize, shingleLen)
+    }
+
+  /** One micro-batch of the incremental near-dup dedup (also the batch
+    * backfill building block). See [[nearDupDedupSink]]. */
+  def dedupBatchAgainstRegistry(batch: DataFrame, registryDir: String,
+                                outDir: String, numHashes: Int, bandSize: Int,
+                                shingleLen: Int): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val sig = Dedup.minHashSignaturesWide(batch, numHashes, shingleLen)
+    val bands = Dedup.bandTable(sig, numHashes, bandSize).cache()
+    val registry =
+      if (new java.io.File(registryDir).exists())
+        spark.read.parquet(registryDir).select("band", "band_key")
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("band",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("band_key",
+            org.apache.spark.sql.types.StringType))))
+    val dupVsRegistry = bands
+      .join(registry, Seq("band", "band_key"), "left_semi")
+      .select("id").distinct()
+    val dupInBatch = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") and
+          col("a.band_key") === col("b.band_key") and col("b.id") < col("a.id"))
+      .select(col("a.id")).distinct()
+    val dropIds = dupVsRegistry.union(dupInBatch).distinct()
+      .withColumnRenamed("id", "doc_id")
+    val admitted = batch.join(dropIds, Seq("doc_id"), "left_anti").cache()
+    admitted.write.mode("overwrite").parquet(outDir)
+    Dedup.bandTable(
+        Dedup.minHashSignaturesWide(admitted, numHashes, shingleLen),
+        numHashes, bandSize)
+      .select("band", "band_key").distinct()
+      .write.mode("append").parquet(registryDir)
+    bands.unpersist()
+    admitted.unpersist()
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double,

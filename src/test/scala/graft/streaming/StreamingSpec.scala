@@ -156,4 +156,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((2L, 5.0, 1L)))
     assert(rows.contains((3L, 10.0, 1L)))
   }
+
+  test("near-dup sink admits only novel documents across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("neardup_sink").toString
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = Streaming.nearDupDedupSink(docs, s"$dir/registry", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "completely different content about spark engines and shuffles at scale"
+    val c = "yet another novel document with its own distinct shingle set"
+    in.addData((1L, a), (2L, a), (3L, b)) // 2 is an intra-batch dup of 1
+    q.processAllAvailable()
+    in.addData((4L, a), (5L, c)) // 4 collides with the registry (doc 1)
+    q.processAllAvailable(); q.stop()
+    val batchDirs = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getPath)
+    val admitted = spark.read.parquet(batchDirs: _*)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(admitted === Array(1L, 3L, 5L))
+    // the registry accumulated bands for exactly the admitted docs
+    val reg = spark.read.parquet(s"$dir/registry")
+    assert(reg.select("band_key").distinct().count() > 0)
+  }
 }
