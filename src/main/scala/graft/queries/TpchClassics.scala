@@ -600,9 +600,133 @@ object TpchClassics {
            |GROUP BY 1, 2, 3
            |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin))
 
+  /** Q6 shape — the pure scan-aggregate forecast query: one filter set
+    * (year, discount band, quantity cap), no joins. The benchmark's
+    * pushdown showcase: every predicate must reach the parquet scan. */
+  val q81ForecastRevenue = GraftQuery(
+    "q81_tpch_q6_forecast_revenue",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(year(col("l_shipdate")) === 1996 and
+          col("l_discount").between(0.05, 0.07) and col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(3,2)")), 2).cast("double").as("revenue")),
+    Some("""SELECT count(*) AS n_lines,
+           |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           |    CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE) AS revenue
+           |FROM lineitem
+           |WHERE year(l_shipdate) = 1996
+           |  AND l_discount BETWEEN 0.05 AND 0.07
+           |  AND l_quantity < 24""".stripMargin))
+
+  /** Q14 shape — promo revenue share: a conditional-sum ratio inside
+    * one aggregation over a month window (the testdata's p_type has a
+    * literal 'PROMO' class). */
+  val q82PromoShare = GraftQuery(
+    "q82_tpch_q14_promo_share",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").cast("date") >= lit("1996-09-01") and
+          col("l_shipdate").cast("date") < lit("1996-10-01"))
+      val pt = Tables.part(s, dir)
+      val vol = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)"))
+      li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+        .agg(round(
+          sum(when(pt("p_type") === "PROMO", vol).otherwise(lit(0).cast("decimal(18,2)")))
+            .cast("double") * 100.0 / sum(vol).cast("double"), 6).as("promo_share"))
+    },
+    Some("""SELECT round(
+           |  CAST(sum(CASE WHEN p_type = 'PROMO'
+           |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+           |         (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+           |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0 /
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE),
+           |  6) AS promo_share
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-09-01'
+           |  AND CAST(l_shipdate AS DATE) <  DATE '1996-10-01'""".stripMargin))
+
+  /** Q12 shape — conditional priority counts per ship-delay bucket
+    * (the schema has no shipmode, so the Q12 group key is adapted to
+    * the delay band): urgent (priority 1-2) vs other order counts in
+    * one pass. */
+  val q83DelayPriority = GraftQuery(
+    "q83_tpch_q12_delay_priority",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val delay = datediff(li("l_shipdate").cast("date"), o("o_orderdate").cast("date"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .withColumn("delay_bucket",
+          when(delay > 90, ">90").when(delay > 60, "61-90")
+            .when(delay > 30, "31-60").otherwise("<=30"))
+        .groupBy("delay_bucket")
+        .agg(
+          sum(when(col("o_orderpriority").startsWith("1") or
+            col("o_orderpriority").startsWith("2"), 1L).otherwise(0L)).as("urgent_lines"),
+          sum(when(col("o_orderpriority").startsWith("1") or
+            col("o_orderpriority").startsWith("2"), 0L).otherwise(1L)).as("other_lines"))
+        .orderBy("delay_bucket")
+    },
+    Some("""SELECT CASE
+           |    WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90 THEN '>90'
+           |    WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60 THEN '61-90'
+           |    WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 30 THEN '31-60'
+           |    ELSE '<=30' END AS delay_bucket,
+           |  CAST(sum(CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+           |       THEN 1 ELSE 0 END) AS BIGINT) AS urgent_lines,
+           |  CAST(sum(CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+           |       THEN 0 ELSE 1 END) AS BIGINT) AS other_lines
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Q9 shape — product-line profit by nation and year: the widest
+    * join tree in the set (lineitem ⋈ orders ⋈ supplier ⋈ nation ⋈
+    * part-with-name-filter), profit = revenue − cost with retail price
+    * standing in for the missing supplycost (documented adaptation). */
+  val q84NationProfit = GraftQuery(
+    "q84_tpch_q9_nation_profit",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val pt = Tables.part(s, dir).filter(col("p_name").contains("bolt"))
+      val profit = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")) -
+        col("p_retailprice").cast("decimal(18,2)") *
+          col("l_quantity").cast("decimal(18,2)") * lit(0.1).cast("decimal(3,1)")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(n("n_name").as("nation_name"),
+          year(o("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(profit), 2).cast("double").as("profit"))
+        .orderBy(col("nation_name"), col("o_year").desc)
+    },
+    Some("""SELECT n_name AS nation_name, year(o_orderdate) AS o_year,
+           |  CAST(round(sum(
+           |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+           |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) -
+           |    CAST(p_retailprice AS DECIMAL(18,2)) *
+           |      CAST(l_quantity AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(3,1))), 2)
+           |    AS DOUBLE) AS profit
+           |FROM lineitem
+           |JOIN orders   ON l_orderkey = o_orderkey
+           |JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation   ON s_nationkey = n_nationkey
+           |GROUP BY 1, 2
+           |ORDER BY nation_name, o_year DESC""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q41LateOrders, q42CustDist, q43TopSupplier,
     q44LargeOrders, q45MinCostSupplier, q46RevenueShare, q47NationVolume,
     q48MarketShare, q49DominantSuppliers, q61Unshipped, q62LocalSupplier,
     q63ReturnedItems, q64SoleLateSupplier, q65SmallQtyRevenue,
-    q66DisjunctiveBands, q67IdleCustomers, q68SupplierVariety)
+    q66DisjunctiveBands, q67IdleCustomers, q68SupplierVariety,
+    q81ForecastRevenue, q82PromoShare, q83DelayPriority, q84NationProfit)
 }
