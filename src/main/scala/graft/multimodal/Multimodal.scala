@@ -67,6 +67,71 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** Deterministic frame sampling over binary payloads — REAL
+    * plumbing, no stub: the payload is chunked into `frameSize`-byte
+    * frames entirely inside codegen'd SQL (sequence + explode +
+    * byte-indexed substring), and every `everyK`-th frame is kept with
+    * its index, length, and checksum. This is the video
+    * keyframe-sampling dataflow: no decode needed to slice transport
+    * chunks, no driver involvement, one narrow projection + explode
+    * that partitions by media row. */
+  def frameSample(media: DataFrame, frameSize: Int, everyK: Int): DataFrame = {
+    require(frameSize >= 1 && everyK >= 1, "frameSize/everyK must be >= 1")
+    media
+      .select(col("media_id"), col("payload"),
+        ceil(octet_length(col("payload")) / lit(frameSize.toDouble)).cast("int")
+          .as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("media_id"), col("payload"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % everyK === 0)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        expr(s"substring(payload, frame_idx * $frameSize + 1, $frameSize)").as("frame"))
+      .select(col("media_id"), col("frame_idx"),
+        octet_length(col("frame")).cast("long").as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+  }
+
+  private val resizeSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType),
+    StructField("target_w", IntegerType),
+    StructField("target_h", IntegerType),
+    StructField("out_len", IntegerType),
+    StructField("out_md5", StringType)))
+
+  /** DETERMINISTIC FAKE resize: a real scaler (libvips/ffmpeg binding)
+    * would replace `resizeOne`. The Spark-side contract is real:
+    * per-partition processing (one scaler init per partition), typed
+    * output schema, payload-derived deterministic result. The fake
+    * strides the payload down to ~targetW×targetH/256 bytes. */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "media_type", "payload").rdd
+      .mapPartitions { rows =>
+        // per-partition scaler init would go here
+        rows.map { r =>
+          val bytes = Option(r.getAs[Array[Byte]](2)).getOrElse(Array.emptyByteArray)
+          val out = resizeOne(bytes, targetW, targetH)
+          val md = java.security.MessageDigest.getInstance("MD5").digest(out)
+          Row(r.getLong(0), r.getString(1), targetW, targetH, out.length,
+            md.map("%02x".format(_)).mkString)
+        }
+      }
+    spark.createDataFrame(rdd, resizeSchema)
+  }
+
+  /** ??? — real scaler goes here; the fake strides bytes down to the
+    * target budget, deterministic in (payload, targetW, targetH). */
+  private def resizeOne(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val budget = math.max(1, w * h / 256)
+    if (bytes.length <= budget) bytes
+    else {
+      val stride = bytes.length.toDouble / budget
+      Array.tabulate(budget)(i => bytes((i * stride).toInt))
+    }
+  }
+
   /** ??? — real decoder goes here. The fake is deterministic in the
     * payload bytes alone. */
   private def decodeOne(bytes: Array[Byte]): (Int, Int, Seq[Float]) = {

@@ -416,9 +416,36 @@ object TextQueries {
            |    AS chars_per_segment
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Frame sampling over video payloads: 32-byte transport frames,
+    * every 2nd kept — pure codegen'd SQL (sequence/explode/byte
+    * substring), no decode. The oracle frames the VARCHAR text, which
+    * is byte-identical for this ASCII corpus (DuckDB has no blob
+    * substring); Spark slices the actual binary payload. */
+  val q85FrameSample = GraftQuery(
+    "q85_frame_sample",
+    (s, dir) =>
+      Multimodal.frameSample(
+          Multimodal.synthesize(Tables.documents(s, dir))
+            .filter(col("media_type") === "video"),
+          frameSize = 32, everyK = 2)
+        .orderBy("media_id", "frame_idx"),
+    Some("""WITH m AS (
+           |  SELECT doc_id AS media_id, text,
+           |    CAST(ceil(length(text) / 32.0) AS INTEGER) AS n
+           |  FROM documents
+           |  WHERE doc_id % 3 = 2 AND length(text) > 0),
+           |f AS (
+           |  SELECT media_id, i.g AS frame_idx,
+           |    substr(text, i.g * 32 + 1, 32) AS frame
+           |  FROM m, LATERAL (SELECT unnest(generate_series(0, n - 1)) g) i)
+           |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           |  CAST(length(frame) AS BIGINT) AS frame_len, md5(frame) AS frame_md5
+           |FROM f WHERE frame_idx % 2 = 0
+           |ORDER BY media_id, frame_idx""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q20TextStats, q21LangId, q22Fingerprint, q23DedupExact, q24MinhashLsh,
     q25Simhash, q26NgramJaccard, q27MultimodalMeta, q28MultimodalFeatures,
     q29SimhashNearDup, q39NgramJaccardPrefix, q40RollingFingerprint,
-    q54DedupClusters, q55DedupSurvivors, q69BpeSegments)
+    q54DedupClusters, q55DedupSurvivors, q69BpeSegments, q85FrameSample)
 }

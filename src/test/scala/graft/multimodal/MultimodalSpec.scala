@@ -38,4 +38,38 @@ class MultimodalSpec extends SparkSpec {
       .find(_.getAs[Long]("media_id") == 0L).get
     assert(again.getSeq[Float](again.fieldIndex("features")) === feats)
   }
+
+  test("frameSample: everyK=1 frames reassemble the full payload length") {
+    val media = Multimodal.synthesize(docs)
+    val frames = Multimodal.frameSample(media, frameSize = 8, everyK = 1)
+    val lenByMedia = frames.groupBy("media_id")
+      .agg(org.apache.spark.sql.functions.sum("frame_len").as("total"))
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("total")).toMap
+    val expected = media.collect()
+      .map(r => r.getAs[Long]("media_id") -> Option(r.getAs[Array[Byte]]("payload"))
+        .map(_.length.toLong).getOrElse(0L)).toMap
+    expected.filter(_._2 > 0).foreach { case (id, len) =>
+      assert(lenByMedia(id) === len, s"media $id")
+    }
+    // empty payloads produce no frames
+    assert(!lenByMedia.contains(expected.find(_._2 == 0L).map(_._1).getOrElse(-1L)))
+  }
+
+  test("frameSample: everyK=2 keeps exactly the even frame indexes") {
+    val media = Multimodal.synthesize(docs)
+    val idx = Multimodal.frameSample(media, frameSize = 4, everyK = 2)
+      .select("frame_idx").collect().map(_.getLong(0))
+    assert(idx.nonEmpty && idx.forall(_ % 2 == 0))
+  }
+
+  test("resizeStub: deterministic, bounded output, per-partition shape") {
+    val media = Multimodal.synthesize(docs)
+    val out = Multimodal.resizeStub(media, 64, 64).collect()
+    assert(out.length === 3)
+    val budget = 64 * 64 / 256
+    out.foreach(r => assert(r.getAs[Int]("out_len") <= budget)) // never exceeds the byte budget
+    val again = Multimodal.resizeStub(media, 64, 64).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[String]("out_md5")).toMap
+    out.foreach(r => assert(again(r.getAs[Long]("media_id")) === r.getAs[String]("out_md5")))
+  }
 }
