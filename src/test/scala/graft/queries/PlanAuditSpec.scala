@@ -116,4 +116,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q81: every scan predicate is pushed into the parquet scan") {
+    val p = plan("q81_tpch_q6_forecast_revenue")
+    // discount band and quantity cap push down as-is; the year()
+    // filter stays in the post-scan filter (not a raw column
+    // predicate). The toString elides long filter lists, so assert on
+    // the surviving prefix.
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual(l_discou"), p)
+  }
+
+  test("q73: custom top-k exec replaces the window plan") {
+    val p = plan("q73_topk_per_group")
+    assert(p.contains("TopKPerGroup"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
