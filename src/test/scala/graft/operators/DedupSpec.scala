@@ -33,6 +33,22 @@ class DedupSpec extends SparkSpec {
       p._1 == 3L && p._2 != 4L))
   }
 
+  test("fastDigest (xxhash64) production path finds the same exact dups") {
+    // exact duplicates share ALL shingles, so they collide under any
+    // digest; near-dup statistics may differ from the md5 path (not
+    // cross-engine portable), but the exact pair must always surface
+    val pairs = Dedup.minHashCandidatePairs(docs, numHashes = 8, bandSize = 2,
+        shingleLen = 3, digest = Dedup.fastDigest)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("est_jaccard"))).toSeq
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 === 1.0))
+    // deterministic across runs (seedless hash)
+    val again = Dedup.minHashCandidatePairs(docs, numHashes = 8, bandSize = 2,
+        shingleLen = 3, digest = Dedup.fastDigest)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSeq
+    assert(again.toSet === pairs.map(p => (p._1, p._2)).toSet)
+  }
+
   test("simhash: identical docs share fingerprints; near dups are close") {
     val sh = Dedup.simHash(docs).collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[String]("simhash")).toMap
