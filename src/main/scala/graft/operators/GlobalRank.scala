@@ -41,6 +41,28 @@ object GlobalRank {
   def denseRank(df: DataFrame, outCol: String, keys: Column*): DataFrame =
     twoPhase(df, outCol, keys, count_distinct(struct(keys: _*)), dense_rank())
 
+  /** Exclusive global running sum of `value` in `keys` order (the
+    * sequence-packing offset), two-phase like the ranks: per-range
+    * local cumsum + broadcast partition offsets — no single-partition
+    * window at any input size. Output column is LongType. */
+  def exclusiveCumSum(df: DataFrame, outCol: String, value: Column,
+                      keys: Column*): DataFrame = {
+    val parted = df.repartitionByRange(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = parted.withColumn("__local",
+      coalesce(sum(value).over(Window.partitionBy(col("__pid")).orderBy(keys: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)).cast("long"), lit(0L)))
+    val offsets = parted
+      .groupBy(col("__pid")).agg(sum(value).cast("long").as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, col("__off") + col("__local"))
+      .drop("__pid", "__local", "__off")
+  }
+
   private def twoPhase(df: DataFrame, outCol: String, keys: Seq[Column],
                        perPartitionTotal: Column, localRank: Column): DataFrame = {
     val parted = df.repartitionByRange(keys: _*)

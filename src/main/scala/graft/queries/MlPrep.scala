@@ -214,6 +214,81 @@ object MlPrep {
             |  CASE WHEN ${bucketSql("doc_id")} < '3333' THEN 'test' ELSE 'train' END AS split
             |FROM survivors ORDER BY doc_id""".stripMargin))
 
+  /** Sequence packing (greedy concat-and-split): documents are laid
+    * out in id order and cut into fixed token-budget bins — the step
+    * that turns a cleaned corpus into fixed-length training sequences.
+    * A document belongs to the bin where it starts (floor of the
+    * exclusive running token count / budget). The running sum is the
+    * two-phase [[graft.operators.GlobalRank.exclusiveCumSum]] — no
+    * single-partition window at any input size. */
+  val q86SequencePacking = GraftQuery(
+    "q86_sequence_packing",
+    (s, dir) => {
+      val budget = 2048
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.GlobalRank
+        .exclusiveCumSum(docs, "offset", col("n_tokens"), col("doc_id"))
+        .withColumn("bin_id", (col("offset") / budget).cast("long"))
+        .groupBy("bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("bin_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |o AS (
+           |  SELECT doc_id, n_tokens,
+           |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           |  FROM t)
+           |SELECT CAST(off // 2048 AS BIGINT) AS bin_id, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM o GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Mixture (curriculum) sampling: per-source keep rates applied via
+    * the deterministic md5 bucket — the data-mixing step that reweights
+    * corpus sources. Rates ride a broadcast dimension; membership is a
+    * pure row function, so the sample is reproducible and
+    * partitioning-invariant (same contract as q50's split). */
+  val q87MixtureSample = GraftQuery(
+    "q87_mixture_sample",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // even sources keep 75%, odd keep 25% — a 2-tier mixture
+      val rates = docs.select(col("source")).distinct()
+        .withColumn("rate",
+          when(substring(col("source"), 4, 10).cast("int") % 2 === 0, 0.75)
+            .otherwise(0.25))
+      val bucket = Sampling.hashBucket(col("doc_id"))
+      val threshold = udfFreeThreshold(col("rate"))
+      docs.join(broadcast(rates), "source")
+        .filter(bucket < threshold)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    },
+    Some(s"""WITH rates AS (
+            |  SELECT source,
+            |    CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+            |         THEN 0.75 ELSE 0.25 END AS rate
+            |  FROM (SELECT DISTINCT source FROM documents)),
+            |kept AS (
+            |  SELECT d.source FROM documents d JOIN rates r ON d.source = r.source
+            |  WHERE ${bucketSql("doc_id")} <
+            |    lpad(lower(to_hex(CAST(floor(r.rate * 65536) AS INTEGER))), 4, '0'))
+            |SELECT source, count(*) AS n_kept FROM kept
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** 4-hex-digit threshold for a fractional keep rate, computed in-plan
+    * (no UDF): floor(rate·65536) rendered as a lowercase 4-char hex
+    * string, comparable against [[Sampling.hashBucket]]. */
+  private def udfFreeThreshold(rate: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lpad(lower(hex(floor(rate * 65536).cast("int"))), 4, "0")
+
   val all: Seq[GraftQuery] = Seq(q50TrainTestSplit, q51VocabTopK, q52Tfidf,
-    q53Contamination, q70PretrainPipeline)
+    q53Contamination, q70PretrainPipeline, q86SequencePacking, q87MixtureSample)
 }

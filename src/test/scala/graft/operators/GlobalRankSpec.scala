@@ -32,6 +32,16 @@ class GlobalRankSpec extends SparkSpec {
     assert(two === single)
   }
 
+  test("two-phase exclusive cumsum matches the single-partition window") {
+    val single = df.withColumn("cs",
+      coalesce(sum("v").over(Window.orderBy("key", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)).cast("long"), lit(0L)))
+      .select("id", "cs").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two = GlobalRank.exclusiveCumSum(df, "cs", col("v"), col("key"), col("id"))
+      .select("id", "cs").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two === single)
+  }
+
   test("ranking windows are pid-partitioned (no full-input single-partition sort)") {
     val out = GlobalRank.rowNumber(df, "rn", col("key"), col("id"))
     out.collect()
