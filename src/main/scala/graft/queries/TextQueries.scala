@@ -443,9 +443,52 @@ object TextQueries {
            |FROM f WHERE frame_idx % 2 = 0
            |ORDER BY media_id, frame_idx""".stripMargin))
 
+  /** Sliding-window document chunking: 64-token windows at stride 32
+    * (the RAG / context-window prep step), entirely inside one
+    * codegen'd projection — sequence over window starts, explode,
+    * array slice, join. Each chunk carries its token count and a
+    * content checksum. Final windows shorter than the stride are kept
+    * (standard tail handling). */
+  val q88DocChunks = GraftQuery(
+    "q88_doc_chunks",
+    (s, dir) => {
+      val win = 64
+      val stride = 32
+      val toks = Text.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("t"), size(toks).as("n"))
+        .withColumn("n_chunks",
+          greatest(lit(1), ceil((col("n") - win) / lit(stride.toDouble)).cast("int") + 1))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          slice(col("t"), col("chunk_idx") * stride + 1, lit(win)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("chunk_tokens"),
+          md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws,
+           |    len(string_split_regex(trim(text), '\s+')) AS n
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id, ws,
+           |    greatest(1, CAST(ceil((n - 64) / 32.0) AS INTEGER) + 1) AS n_chunks
+           |  FROM t),
+           |c AS (
+           |  SELECT doc_id, i.g AS chunk_idx,
+           |    list_slice(ws, i.g * 32 + 1, i.g * 32 + 64) AS chunk
+           |  FROM m, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) g) i)
+           |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           |  CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+           |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q20TextStats, q21LangId, q22Fingerprint, q23DedupExact, q24MinhashLsh,
     q25Simhash, q26NgramJaccard, q27MultimodalMeta, q28MultimodalFeatures,
     q29SimhashNearDup, q39NgramJaccardPrefix, q40RollingFingerprint,
-    q54DedupClusters, q55DedupSurvivors, q69BpeSegments, q85FrameSample)
+    q54DedupClusters, q55DedupSurvivors, q69BpeSegments, q85FrameSample,
+    q88DocChunks)
 }
