@@ -371,8 +371,85 @@ object Extras {
            |  count(*) AS n
            |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
 
+  /** Distribution window functions (beyond q36's lag/lead/ntile):
+    * percent_rank, cume_dist, a bounded moving average, and
+    * first/last value over the frame — the analyst ranking toolkit.
+    * Restricted to a probe key range to keep the gate output small. */
+  val q89DistributionWindows = GraftQuery(
+    "q89_distribution_windows",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          round(avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).as("mov_avg3"),
+          round(first("o_totalprice").over(w), 2).as("cheapest"),
+          round(max("o_totalprice").over(
+            w.rowsBetween(Long.MinValue, Long.MaxValue)), 2).as("priciest"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+           |  round(percent_rank() OVER w, 6) AS pct_rank,
+           |  round(cume_dist() OVER w, 6) AS cume,
+           |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+           |    ORDER BY o_totalprice, o_orderkey
+           |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3,
+           |  round(first_value(o_totalprice) OVER w, 2) AS cheapest,
+           |  round(max(o_totalprice) OVER (PARTITION BY o_custkey), 2) AS priciest
+           |FROM orders
+           |WHERE o_custkey < 50
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+           |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
+  /** Week-over-week retention: users active in week w who are also
+    * active in week w+1. Week buckets are pure day arithmetic from a
+    * fixed epoch (engine-proof — no ISO-week semantics), and the
+    * retained set is one self-join of the distinct (user, week)
+    * frame. */
+  val q90Retention = GraftQuery(
+    "q90_retention",
+    (s, dir) => {
+      val uw = Tables.events(s, dir)
+        .select(col("user_id"),
+          floor(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")) / 7)
+            .cast("long").as("week"))
+        .distinct()
+      val nxt = uw.select(col("user_id"), (col("week") - 1).as("week"))
+        .distinct()
+      val retained = uw.join(nxt, Seq("user_id", "week"), "left_semi")
+        .groupBy("week").agg(count(lit(1)).as("n_retained"))
+      uw.groupBy("week").agg(count(lit(1)).as("n_active"))
+        .join(retained, Seq("week"), "left")
+        .select(col("week"),
+          col("n_active"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+          round(coalesce(col("n_retained"), lit(0L)).cast("double") / col("n_active"), 6)
+            .as("retention"))
+        .orderBy("week")
+    },
+    Some("""WITH uw AS (
+           |  SELECT DISTINCT user_id,
+           |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week
+           |  FROM events),
+           |nxt AS (SELECT DISTINCT user_id, week - 1 AS week FROM uw),
+           |ret AS (
+           |  SELECT week, count(*) AS n_retained
+           |  FROM uw WHERE EXISTS (
+           |    SELECT 1 FROM nxt WHERE nxt.user_id = uw.user_id AND nxt.week = uw.week)
+           |  GROUP BY 1)
+           |SELECT CAST(uw.week AS BIGINT) AS week, count(*) AS n_active,
+           |  COALESCE(CAST(min(ret.n_retained) AS BIGINT), 0) AS n_retained,
+           |  round(COALESCE(min(ret.n_retained), 0) * 1.0 / count(*), 6) AS retention
+           |FROM uw LEFT JOIN ret ON ret.week = uw.week
+           |GROUP BY uw.week ORDER BY week""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
     q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
     q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup, q75StatAggregates,
-    q76Winsorize, q77TableChecksum, q78Histogram)
+    q76Winsorize, q77TableChecksum, q78Histogram, q89DistributionWindows,
+    q90Retention)
 }
