@@ -175,6 +175,49 @@ object AsofSession {
            |FROM events
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Nearest-event as-of join (bidirectional, tolerance-bounded):
+    * each click pairs with its NEAREST purchase by the same user
+    * within ±30 minutes — the sensor-alignment variant of q07's
+    * last-before join. Candidates come from one user-keyed equi-join
+    * bounded by the tolerance; the winner per click is a
+    * deterministic (diff, purchase-id) rank. */
+  val q91AsofNearest = GraftQuery(
+    "q91_asof_nearest",
+    (s, dir) => {
+      val tolUs = 30L * 60 * 1000000
+      val e = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_us").as("c_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us").as("p_ts"))
+      val w = Window.partitionBy("click_id")
+        .orderBy(abs(col("p_ts") - col("c_ts")).asc, col("purchase_id").asc)
+      clicks.join(purchases, "user_id")
+        .filter(abs(col("p_ts") - col("c_ts")) <= tolUs)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("click_id"), col("purchase_id"),
+          abs(col("p_ts") - col("c_ts")).as("diff_us"))
+        .orderBy("click_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT event_id, user_id, event_type,
+           |    epoch_ns(ts) // 1000 AS ts_us FROM events),
+           |c AS (SELECT user_id, event_id AS click_id, ts_us AS c_ts
+           |      FROM e WHERE event_type = 'click'),
+           |p AS (SELECT user_id, event_id AS purchase_id, ts_us AS p_ts
+           |      FROM e WHERE event_type = 'purchase'),
+           |cand AS (
+           |  SELECT click_id, purchase_id, abs(p_ts - c_ts) AS diff_us,
+           |    row_number() OVER (PARTITION BY click_id
+           |                       ORDER BY abs(p_ts - c_ts), purchase_id) AS rn
+           |  FROM c JOIN p USING (user_id)
+           |  WHERE abs(p_ts - c_ts) <= 30 * 60 * 1000000)
+           |SELECT click_id, purchase_id, CAST(diff_us AS BIGINT) AS diff_us
+           |FROM cand WHERE rn = 1 ORDER BY click_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q17AsofInterval, q19Sessionize, q79Funnel,
-    q80JsonProps)
+    q80JsonProps, q91AsofNearest)
 }

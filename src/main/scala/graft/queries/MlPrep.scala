@@ -289,6 +289,67 @@ object MlPrep {
   private def udfFreeThreshold(rate: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     lpad(lower(hex(floor(rate * 65536).cast("int"))), 4, "0")
 
+  /** Equal-frequency (quantile) binning — feature discretization:
+    * deciles of line price assigned from the two-phase global row
+    * number (no single-partition window, no ntile), bucket =
+    * floor((rn−1)·10 / n). The one-row count rides a broadcast. */
+  val q92QuantileBinning = GraftQuery(
+    "q92_quantile_binning",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_extendedprice").as("price"), col("l_orderkey"),
+          col("l_linenumber"))
+      val ranked = graft.operators.GlobalRank.rowNumber(li, "rn",
+        col("price"), col("l_orderkey"), col("l_linenumber"))
+      val total = ranked.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(total))
+        .withColumn("bucket", ((col("rn") - 1) * 10 / col("n")).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          round(min("price"), 2).as("lo"), round(max("price"), 2).as("hi"))
+        .orderBy("bucket")
+    },
+    Some("""WITH r AS (
+           |  SELECT l_extendedprice AS price,
+           |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           |      AS rn,
+           |    count(*) OVER () AS n
+           |  FROM lineitem)
+           |SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS bucket,
+           |  count(*) AS n_rows, round(min(price), 2) AS lo,
+           |  round(max(price), 2) AS hi
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Feature hashing (the hashing trick): tokens map to a fixed
+    * 256-bucket space via a portable md5-prefix hash; per-doc sparse
+    * counts for a probe id range. No vocabulary state at all — the
+    * property that makes featurization embarrassingly parallel at
+    * 100 TB. */
+  val q93FeatureHash = GraftQuery(
+    "q93_feature_hash",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      toks
+        .withColumn("bucket",
+          (conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long") % 256))
+        .groupBy("doc_id", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("doc_id", "bucket")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, tok.t AS tok
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') ws
+           |        FROM documents WHERE doc_id < 10),
+           |       LATERAL (SELECT unnest(ws) t) tok)
+           |SELECT doc_id,
+           |  CAST(CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) % 256 AS BIGINT)
+           |    AS bucket,
+           |  count(*) AS cnt
+           |FROM toks GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q50TrainTestSplit, q51VocabTopK, q52Tfidf,
-    q53Contamination, q70PretrainPipeline, q86SequencePacking, q87MixtureSample)
+    q53Contamination, q70PretrainPipeline, q86SequencePacking, q87MixtureSample,
+    q92QuantileBinning, q93FeatureHash)
 }
