@@ -142,6 +142,97 @@ object QualityQueries {
            |  round(exp(nll), 2) AS perplexity
            |FROM nll ORDER BY doc_id""".stripMargin))
 
+  /** Collocation mining via pointwise mutual information: adjacent
+    * word pairs scored by ln(p(ab) / (p(a)·p(b))) with corpus-level
+    * unigram/bigram frequencies — three aggregations and two
+    * broadcast-able joins, the standard phrase-detection pass. Top 30
+    * with a deterministic tiebreak. */
+  val q94Collocations = GraftQuery(
+    "q94_collocations",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val nTok = toks.agg(count(lit(1)).as("n_tok"))
+      val bi = docs.select(
+          explode(graft.functions.Text.wordShingles(col("text"), 2)).as("bg"))
+        .select(split(col("bg"), " ").getItem(0).as("w1"),
+          split(col("bg"), " ").getItem(1).as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      val nBi = docs.select(
+          (greatest(graft.functions.Text.tokenCount(col("text")) - 1, lit(0)))
+            .as("nb")).agg(sum("nb").as("n_bi"))
+      bi.join(uni.select(col("tok").as("w1"), col("c").as("c_a")), "w1")
+        .join(uni.select(col("tok").as("w2"), col("c").as("c_b")), "w2")
+        .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+        .withColumn("pmi", round(
+          log((col("c_ab").cast("double") / col("n_bi")) /
+            ((col("c_a").cast("double") / col("n_tok")) *
+             (col("c_b").cast("double") / col("n_tok")))), 6))
+        .select(col("w1"), col("w2"), col("c_ab"), col("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(30)
+    },
+    Some("""WITH toks AS (
+           |  SELECT tok.t AS tok
+           |  FROM (SELECT string_split_regex(trim(text), '\s+') ws FROM documents),
+           |       LATERAL (SELECT unnest(ws) t) tok),
+           |uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+           |ntok AS (SELECT count(*) AS n_tok FROM toks),
+           |bi AS (
+           |  SELECT ws[i.g] AS w1, ws[i.g+1] AS w2, count(*) AS c_ab
+           |  FROM (SELECT string_split_regex(trim(text), '\s+') ws FROM documents),
+           |       LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) g) i
+           |  WHERE len(ws) >= 2
+           |  GROUP BY 1, 2 HAVING count(*) >= 5),
+           |nbi AS (
+           |  SELECT CAST(sum(greatest(len(string_split_regex(trim(text), '\s+')) - 1, 0))
+           |    AS BIGINT) AS n_bi
+           |  FROM documents)
+           |SELECT w1, w2, c_ab,
+           |  round(ln((c_ab * 1.0 / n_bi) /
+           |    ((a.c * 1.0 / n_tok) * (b.c * 1.0 / n_tok))), 6) AS pmi
+           |FROM bi
+           |JOIN uni a ON a.tok = w1
+           |JOIN uni b ON b.tok = w2
+           |CROSS JOIN ntok CROSS JOIN nbi
+           |ORDER BY pmi DESC, w1, w2
+           |LIMIT 30""".stripMargin))
+
+  /** Chi-square independence test between order priority and line
+    * return flag: observed vs expected cell counts from the marginals,
+    * χ² = Σ (o−e)²/e — the categorical-association profiling stat,
+    * computed in two aggregation passes with broadcast marginals. */
+  val q95ChiSquare = GraftQuery(
+    "q95_chi_square",
+    (s, dir) => {
+      val j = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("prio"), col("l_returnflag").as("flag"))
+      val cells = j.groupBy("prio", "flag").agg(count(lit(1)).as("o"))
+      val rowM = j.groupBy("prio").agg(count(lit(1)).as("r"))
+      val colM = j.groupBy("flag").agg(count(lit(1)).as("cc"))
+      val n = j.agg(count(lit(1)).as("n"))
+      cells.join(broadcast(rowM), "prio").join(broadcast(colM), "flag")
+        .crossJoin(broadcast(n))
+        .withColumn("e", col("r").cast("double") * col("cc") / col("n"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum(pow(col("o") - col("e"), 2) / col("e")), 4).as("chi2"))
+    },
+    Some("""WITH j AS (
+           |  SELECT o_orderpriority AS prio, l_returnflag AS flag
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |cells AS (SELECT prio, flag, count(*) AS o FROM j GROUP BY 1, 2),
+           |rm AS (SELECT prio, count(*) AS r FROM j GROUP BY 1),
+           |cm AS (SELECT flag, count(*) AS cc FROM j GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM j)
+           |SELECT count(*) AS n_cells,
+           |  round(sum(pow(o - (r * 1.0 * cc / n.n), 2) / (r * 1.0 * cc / n.n)), 4)
+           |    AS chi2
+           |FROM cells JOIN rm USING (prio) JOIN cm USING (flag) CROSS JOIN n""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q58GopherQuality, q59RepetitionStats,
-    q60TokenEntropy, q74UnigramLogprob)
+    q60TokenEntropy, q74UnigramLogprob, q94Collocations, q95ChiSquare)
 }
