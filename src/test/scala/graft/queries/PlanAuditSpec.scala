@@ -132,4 +132,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TopKPerGroup"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("q92: quantile binning ranks two-phase (all windows pid-keyed)") {
+    val p = plan("q92_quantile_binning")
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.contains("__pid")), windows.mkString("\n"))
+  }
+
+  test("q94: collocation totals ride broadcasts, not shuffled joins") {
+    val p = plan("q94_collocations")
+    // the two one-row totals must be broadcast nested-loop/hash joins;
+    // a shuffled join on a one-row side would be a planning regression
+    assert("Broadcast".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
