@@ -447,9 +447,65 @@ object Extras {
            |FROM uw LEFT JOIN ret ON ret.week = uw.week
            |GROUP BY uw.week ORDER BY week""".stripMargin))
 
+  /** Robust dispersion per group: median absolute deviation around
+    * the median — two exact-percentile passes (group medians join back
+    * as a broadcast, then the deviation median), the outlier-resistant
+    * alternative to q75's stddev. */
+  val q96RobustStats = GraftQuery(
+    "q96_robust_stats",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val med = li.groupBy(col("l_returnflag").as("m_flag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+      li.join(broadcast(med), col("l_returnflag") === col("m_flag"))
+        .withColumn("adev", abs(col("l_extendedprice") - col("med")))
+        .groupBy("l_returnflag")
+        .agg(round(first("med"), 4).as("median_price"),
+          round(expr("percentile(adev, 0.5)"), 4).as("mad"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH med AS (
+           |  SELECT l_returnflag AS m_flag,
+           |    quantile_cont(l_extendedprice, 0.5) AS med
+           |  FROM lineitem GROUP BY 1)
+           |SELECT l_returnflag, round(min(med), 4) AS median_price,
+           |  round(quantile_cont(abs(l_extendedprice - med), 0.5), 4) AS mad,
+           |  count(*) AS n_rows
+           |FROM lineitem JOIN med ON l_returnflag = m_flag
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** Cohort analysis: users grouped by their first active week, activity
+    * counted by week age — the triangular retention matrix product
+    * analytics lives on. First-week cohort is one grouped min joined
+    * back; buckets stay pure day arithmetic (engine-proof). */
+  val q97Cohorts = GraftQuery(
+    "q97_cohorts",
+    (s, dir) => {
+      val uw = Tables.events(s, dir)
+        .select(col("user_id"),
+          floor(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")) / 7)
+            .cast("long").as("week"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min("week").as("cohort"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("cohort"), (col("week") - col("cohort")).as("age"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort", "age")
+    },
+    Some("""WITH uw AS (
+           |  SELECT DISTINCT user_id,
+           |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week
+           |  FROM events),
+           |c AS (SELECT user_id, min(week) AS cohort FROM uw GROUP BY 1)
+           |SELECT CAST(cohort AS BIGINT) AS cohort,
+           |  CAST(week - cohort AS BIGINT) AS age, count(*) AS n_active
+           |FROM uw JOIN c USING (user_id)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
     q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
     q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup, q75StatAggregates,
     q76Winsorize, q77TableChecksum, q78Histogram, q89DistributionWindows,
-    q90Retention)
+    q90Retention, q96RobustStats, q97Cohorts)
 }

@@ -233,6 +233,48 @@ object QualityQueries {
            |    AS chi2
            |FROM cells JOIN rm USING (prio) JOIN cm USING (flag) CROSS JOIN n""".stripMargin))
 
+  /** Language-ID confidence: the margin between the best and
+    * second-best marker scores (argmax alone hides ambiguity — the
+    * routing decision a multilingual pipeline actually makes is
+    * lang + confidence). Scores sort in-plan via array_sort; counts
+    * per (language, confident) cell. */
+  val q98LangidConfidence = GraftQuery(
+    "q98_langid_confidence",
+    (s, dir) => {
+      import graft.functions.Text
+      val scores = Text.langScores(col("text"))
+      val arr = array_sort(array(scores.map(_._2.cast("long")): _*))
+      val n = scores.size
+      Tables.documents(s, dir)
+        .select(Text.langId(col("text")).as("lang_pred"),
+          (element_at(arr, n) - element_at(arr, n - 1)).as("margin"))
+        .groupBy(col("lang_pred"), (col("margin") >= 2).cast("int").as("confident"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang_pred", "confident")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           |  FROM documents),
+           |sc AS (SELECT doc_id,
+           |  len(list_filter(ws, x -> x IN ('the','a','of','and','is'))) AS s_en,
+           |  len(list_filter(ws, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+           |  len(list_filter(ws, x -> x IN ('le','la','et','est','une'))) AS s_fr,
+           |  len(list_filter(ws, x -> x IN ('el','la','y','es','una'))) AS s_es
+           |  FROM t),
+           |p AS (SELECT doc_id,
+           |  CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+           |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
+           |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
+           |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
+           |       ELSE 'und' END AS lang_pred,
+           |  list_sort([s_en, s_de, s_fr, s_es]) AS srt
+           |  FROM sc)
+           |SELECT lang_pred,
+           |  CAST(srt[4] - srt[3] >= 2 AS INTEGER) AS confident,
+           |  count(*) AS n_docs
+           |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q58GopherQuality, q59RepetitionStats,
-    q60TokenEntropy, q74UnigramLogprob, q94Collocations, q95ChiSquare)
+    q60TokenEntropy, q74UnigramLogprob, q94Collocations, q95ChiSquare,
+    q98LangidConfidence)
 }
