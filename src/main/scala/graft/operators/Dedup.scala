@@ -219,8 +219,11 @@ object Dedup {
       .withColumn("component", col("id")).cache()
     // labels only ever decrease, so the fixpoint test is "the label sum
     // stopped falling" — one scalar aggregate per round, no
-    // prev-vs-next join
-    var prevSum = labels.agg(sum("component")).first().getLong(0)
+    // prev-vs-next join. sum over ZERO rows is SQL NULL, so an empty
+    // pair set must coalesce to 0, not NPE.
+    val labelSum = (l: DataFrame) =>
+      l.agg(coalesce(sum("component"), lit(0L))).first().getLong(0)
+    var prevSum = labelSum(labels)
     def step(l: DataFrame): DataFrame = {
       val viaNeighbor = edges
         .join(l.withColumnRenamed("id", "src"), "src")
@@ -236,7 +239,7 @@ object Dedup {
       // here — the second uncached union+groupBy shuffle outweighs the
       // saved driver round (q54 warm 3.2s single-hop vs 6.9s two-hop)
       val next = step(labels).cache()
-      val s = next.agg(sum("component")).first().getLong(0)
+      val s = labelSum(next)
       labels.unpersist()
       labels = next
       converged = s == prevSum

@@ -41,12 +41,28 @@ object GlobalRank {
   def denseRank(df: DataFrame, outCol: String, keys: Column*): DataFrame =
     twoPhase(df, outCol, keys, count_distinct(struct(keys: _*)), dense_rank())
 
+  /** Both subtrees (local ranks, offsets) read the SAME range
+    * exchange; correctness of the broadcast offsets requires that
+    * exchange to be materialized ONCE (two independent
+    * materializations could sample different range boundaries on a
+    * nondeterministic source, silently corrupting global ids).
+    * Catalyst's exchange reuse guarantees it — so its conf must be on,
+    * and we fail fast rather than corrupt if a session disabled it. */
+  private def requireExchangeReuse(df: DataFrame): Unit = {
+    val reuse = df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
+    require(reuse.toBoolean,
+      "GlobalRank requires spark.sql.exchange.reuse=true: local ranks and " +
+        "partition offsets must read one shared materialization of the range " +
+        "exchange, or global ids can silently mismatch")
+  }
+
   /** Exclusive global running sum of `value` in `keys` order (the
     * sequence-packing offset), two-phase like the ranks: per-range
     * local cumsum + broadcast partition offsets — no single-partition
     * window at any input size. Output column is LongType. */
   def exclusiveCumSum(df: DataFrame, outCol: String, value: Column,
                       keys: Column*): DataFrame = {
+    requireExchangeReuse(df)
     val parted = df.repartitionByRange(keys: _*)
       .withColumn("__pid", spark_partition_id())
     val local = parted.withColumn("__local",
@@ -65,6 +81,7 @@ object GlobalRank {
 
   private def twoPhase(df: DataFrame, outCol: String, keys: Seq[Column],
                        perPartitionTotal: Column, localRank: Column): DataFrame = {
+    requireExchangeReuse(df)
     val parted = df.repartitionByRange(keys: _*)
       .withColumn("__pid", spark_partition_id())
     val local = parted.withColumn("__local",

@@ -33,10 +33,14 @@ object Sampling {
   /** Tag every row 'test' (~`testFraction`) or 'train', by id hash. A
     * row's tag is a pure function of its id — re-running the pipeline,
     * repartitioning, or adding columns can never leak rows across the
-    * split. */
+    * split. `testFraction >= 1.0` tags every row 'test' (the threshold
+    * caps at "ffff", which would otherwise leave the 1/65536 of ids in
+    * the top bucket tagged 'train' — disagreeing with [[hashSample]]'s
+    * keep-everything special case). */
   def trainTestSplit(df: DataFrame, idCol: String, testFraction: Double,
                      splitCol: String = "split"): DataFrame =
-    df.withColumn(splitCol,
+    if (testFraction >= 1.0) df.withColumn(splitCol, lit("test"))
+    else df.withColumn(splitCol,
       when(hashBucket(col(idCol)) < lit(hexThreshold(testFraction)), "test")
         .otherwise("train"))
 }

@@ -141,6 +141,12 @@ class DedupSpec extends SparkSpec {
     assert(surv === Set((1L, 1L, 5L), (10L, 10L, 2L)))
   }
 
+  test("connected components: empty pair set yields empty labels, no NPE") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() === 0)
+    assert(Dedup.clusterSurvivors(Dedup.connectedComponents(empty)).count() === 0)
+  }
+
   test("fingerprint is word-order and duplication insensitive") {
     val fp = docs.select($"doc_id", Text.fingerprint($"text").as("fp"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -42,6 +42,16 @@ class GlobalRankSpec extends SparkSpec {
     assert(two === single)
   }
 
+  test("fails fast when exchange reuse is disabled (offset-consistency guard)") {
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        GlobalRank.rowNumber(df, "rn", col("key"), col("id"))
+      }
+      assert(e.getMessage.contains("exchange.reuse"))
+    } finally spark.conf.set("spark.sql.exchange.reuse", "true")
+  }
+
   test("ranking windows are pid-partitioned (no full-input single-partition sort)") {
     val out = GlobalRank.rowNumber(df, "rn", col("key"), col("id"))
     out.collect()

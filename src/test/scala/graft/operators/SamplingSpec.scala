@@ -36,4 +36,14 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(ids, "id", 1.0).count() === 5000)
     assert(Sampling.hashSample(ids, "id", 0.0).count() === 0)
   }
+
+  test("split at fraction 1.0 tags every row test (ffff-bucket boundary)") {
+    // id 41296 hashes into the top bucket "ffff", which a capped
+    // threshold comparison would mis-tag 'train' at fraction 1.0
+    val top = (0L until 200000L).toDF("id")
+      .filter(Sampling.hashBucket($"id") === "ffff").limit(1)
+    assert(top.count() === 1, "fixture needs an id in bucket ffff")
+    val split = Sampling.trainTestSplit(ids.union(top.select($"id")), "id", 1.0)
+    assert(split.filter($"split" =!= "test").count() === 0)
+  }
 }
