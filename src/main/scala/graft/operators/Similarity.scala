@@ -98,21 +98,34 @@ object Similarity {
 
   /** Spherical k-means centroids (Lloyd's iterations with cosine
     * assignment and normalized-mean update — Dhillon & Modha 2001),
-    * deterministically seeded with the `nCentroids` lowest-id corpus
-    * vectors. Centroid state (k×dims doubles) round-trips through the
-    * driver each iteration and is rebroadcast — the same dataflow
-    * MLlib's KMeans uses; the corpus itself never leaves executors.
-    * Per-dimension sums are rounded to 9 decimals so centroid values
-    * don't wobble with aggregation order across runs.
+    * trained on a bounded deterministic sample. A coarse quantizer is
+    * MODEL STATE: its quality depends on seeing the corpus's cluster
+    * structure, not every row, so training reads a `sampleCap`-bounded
+    * sample and the Lloyd iterations run on the driver over that
+    * sample — k×dims×cap doubles of local math, ZERO distributed
+    * passes beyond the one sampling scan. (The previous formulation
+    * ran each iteration as a full-corpus `posexplode` — a 64×-row-
+    * amplified scan ×3 iterations ×every query that trained; at 100 TB
+    * that is 3 extra full-table passes per top-k query.)
+    *
+    * Sampling is the engine's deterministic md5-order trick (same
+    * family as [[Sampling.hashBucket]]): rows ordered by
+    * (md5(id), id) are a uniform pseudo-random permutation, and
+    * `orderBy.limit` plans as TakeOrderedAndProject — a size-(cap)
+    * bounded heap per partition, one narrow scan, no shuffle of the
+    * corpus and no RNG state. Same ids ⇒ same sample ⇒ same centroids,
+    * on any partitioning, any cluster, any run.
     *
     * @return (centroid_id, centroid_vec: array<double>) — unit-norm
-    * @param iters 0 ⇒ just the normalized seed vectors (assignment by
-    *              cosine is scale-invariant, so this reproduces the
-    *              previous lowest-id quantizer exactly)
+    * @param iters 0 ⇒ just the normalized seed vectors
+    * @param sampleCap max vectors collected for training (cap×dims
+    *                  doubles of driver memory — 16k×64 ≈ 8 MB)
     */
   def trainCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 3,
-                     cId: String = "cid", cVec: String = "cvec"): DataFrame =
-    centroidsDf(corpus.sparkSession, trainCentroidArrays(corpus, nCentroids, iters, cId, cVec))
+                     cId: String = "cid", cVec: String = "cvec",
+                     sampleCap: Int = 16384): DataFrame =
+    centroidsDf(corpus.sparkSession,
+      trainCentroidArrays(corpus, nCentroids, iters, cId, cVec, sampleCap))
 
   private def l2normalize(v: Array[Double]): Array[Double] = {
     val n = math.sqrt(v.map(x => x * x).sum)
@@ -120,35 +133,50 @@ object Similarity {
   }
 
   /** See [[trainCentroids]] — returns the unit-norm centroid arrays
-    * themselves so consumers can embed them as plan literals. */
+    * themselves so consumers can embed them as plan literals, train
+    * ONCE per corpus, and share one quantizer across queries (the
+    * `centroids` parameter of [[ivfTopK]] / [[cosineNearDupPairs]]). */
   def trainCentroidArrays(corpus: DataFrame, nCentroids: Int, iters: Int = 3,
-                          cId: String = "cid", cVec: String = "cvec"): Array[(Int, Array[Double])] = {
-    // model state, not data: k vectors (k×dims doubles) live on the driver
-    var cents: Array[(Int, Array[Double])] = corpus
-      .orderBy(col(cId)).limit(nCentroids)
-      .select(col(cVec).cast("array<double>"))
+                          cId: String = "cid", cVec: String = "cvec",
+                          sampleCap: Int = 16384): Array[(Int, Array[Double])] = {
+    require(sampleCap >= nCentroids, s"sampleCap $sampleCap < nCentroids $nCentroids")
+    // the ONLY distributed work: one narrow scan, per-partition bounded
+    // heaps, cap rows to the driver (model state, not data collection)
+    val sample: Array[Array[Double]] = corpus
+      .select(md5(col(cId).cast("string")).as("__rnd"),
+        col(cId).cast("string").as("__sid"),
+        col(cVec).cast("array<double>").as("__v"))
+      .orderBy(col("__rnd"), col("__sid"))
+      .limit(sampleCap)
+      .select(col("__v"))
       .collect()
       .map(_.getSeq[Double](0).toArray)
+
+    var cents: Array[(Int, Array[Double])] = sample.take(nCentroids)
       .map(l2normalize)
       .zipWithIndex.map { case (v, i) => (i, v) }
 
+    val normed = sample.map(l2normalize)
     for (_ <- 0 until iters) {
-      // assignment is a pure narrow projection (codegen'd vec_dot
-      // against literal centroids — no join, no shuffle); the only
-      // exchange per iteration is the spherical update's groupBy.
-      // normalize(mean) ≡ normalize(sum), so the count is skipped.
-      val assigned = corpus.withColumn("cell",
-        cellRanking(col(cVec), cents)(0)("cell"))
-      val updated = assigned
-        .select(col("cell"), posexplode(col(cVec).cast("array<double>")))
-        .groupBy("cell", "pos").agg(round(sum("col"), 9).as("s"))
-        .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
-        .select(col("cell"), transform(col("ps"), p => p("s")).as("v"))
-        .collect()
-        .map(r => r.getInt(0) -> l2normalize(r.getSeq[Double](1).toArray))
-        .toMap
+      // local Lloyd iteration over the sample: assign to max-dot cell
+      // (ties → lower cell id), update = normalized per-cell sum;
       // empty cells keep their previous centroid
-      cents = cents.map { case (id, old) => (id, updated.getOrElse(id, old)) }
+      val sums = scala.collection.mutable.Map.empty[Int, Array[Double]]
+      normed.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        cents.foreach { case (id, cv) =>
+          var d = 0.0; var i = 0
+          val n = math.min(v.length, cv.length)
+          while (i < n) { d += v(i) * cv(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = id }
+        }
+        val acc = sums.getOrElseUpdate(best, new Array[Double](v.length))
+        var i = 0
+        while (i < math.min(v.length, acc.length)) { acc(i) += v(i); i += 1 }
+      }
+      cents = cents.map { case (id, old) =>
+        (id, sums.get(id).map(l2normalize).getOrElse(old))
+      }
     }
     cents
   }
@@ -179,12 +207,20 @@ object Similarity {
     * probing its `nProbe` nearest cells. Compared to LSH this adapts
     * to the data's actual geometry; compared to brute force it scans
     * ~nProbe/nCentroids of the corpus. `nProbe = nCentroids` probes
-    * every cell and is provably identical to [[bruteForceTopK]]. */
+    * every cell and is provably identical to [[bruteForceTopK]] —
+    * regardless of the quantizer, so `centroids` may be anything.
+    *
+    * @param centroids precomputed quantizer ([[trainCentroidArrays]])
+    *                  — pass it to train ONCE per corpus and share the
+    *                  model across every query touching that corpus;
+    *                  None trains on a bounded sample here. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4, trainIters: Int = 3,
               qId: String = "qid", qVec: String = "qvec",
-              cId: String = "cid", cVec: String = "cvec"): DataFrame = {
-    val cents = trainCentroidArrays(corpus, nCentroids, trainIters, cId, cVec)
+              cId: String = "cid", cVec: String = "cvec",
+              centroids: Option[Array[(Int, Array[Double])]] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      trainCentroidArrays(corpus, nCentroids, trainIters, cId, cVec))
     // cell assignment / probing are narrow projections against the
     // literal centroid matrix — the only exchange is the candidate join
     val assigned = corpus
@@ -263,11 +299,16 @@ object Similarity {
     * and the exchange is keyed by cell, so it partitions. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
                          nCentroids: Int = 16, trainIters: Int = 3,
-                         cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+                         cId: String = "cid", cVec: String = "cvec",
+                         centroids: Option[Array[(Int, Array[Double])]] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val angleOf = (c: Column) => acos(least(greatest(c, lit(-1.0)), lit(1.0)))
-    val cents = trainCentroidArrays(corpus, nCentroids, trainIters, cId, cVec)
+    // output is threshold-exact for ANY quantizer (assignment, radii,
+    // and pruning all derive from the same cents), so a shared
+    // precomputed model is always safe
+    val cents = centroids.getOrElse(
+      trainCentroidArrays(corpus, nCentroids, trainIters, cId, cVec))
     // assignment + angle-to-centroid in one narrow projection
     val assigned = corpus
       .withColumn("cn", norm(col(cVec)))

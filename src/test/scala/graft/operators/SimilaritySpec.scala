@@ -65,6 +65,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("one shared quantizer drives both IVF consumers with exact results") {
+    // train ONCE (the 100 TB pattern: quantizer = model state, paid one
+    // bounded sampling scan per corpus, not per query)
+    val cents = Similarity.trainCentroidArrays(c, nCentroids = 3, iters = 3)
+    val truth = asTuples(Similarity.bruteForceTopK(q(0L, 2L, 4L), c, k = 3))
+    val ivf = asTuples(Similarity.ivfTopK(q(0L, 2L, 4L), c, k = 3,
+      nCentroids = 3, nProbe = 3, centroids = Some(cents)))
+    assert(ivf === truth)
+    val t = 0.5
+    val baseline = c.as("x").crossJoin(c.as("y"))
+      .filter(col("x.cid") < col("y.cid"))
+      .withColumn("cos", Similarity.cosine(col("x.cvec"), col("y.cvec")))
+      .filter(col("cos") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pruned = Similarity.cosineNearDupPairs(c, threshold = t,
+      nCentroids = 3, centroids = Some(cents))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pruned === baseline)
+  }
+
+  test("probe-all results are training-invariant even at a tiny sample cap") {
+    val truth = asTuples(Similarity.bruteForceTopK(q(0L, 2L, 4L), c, k = 3))
+    // sampleCap = nCentroids: the quantizer sees 3 of 5 vectors — recall
+    // under probe-all must not depend on quantizer quality
+    val cents = Similarity.trainCentroidArrays(c, nCentroids = 3, iters = 3,
+      sampleCap = 3)
+    val ivf = asTuples(Similarity.ivfTopK(q(0L, 2L, 4L), c, k = 3,
+      nCentroids = 3, nProbe = 3, centroids = Some(cents)))
+    assert(ivf === truth)
+  }
+
   test("pruned near-dup pairs equal the all-pairs baseline") {
     val t = 0.5
     val baseline = c.as("x").crossJoin(c.as("y"))
