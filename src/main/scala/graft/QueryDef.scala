@@ -26,6 +26,14 @@ object QueryDef {
     "spark.sql.extensions" -> "graft.plans.GraftExtensions",
     "spark.sql.ansi.enabled" -> "false",
     "spark.sql.adaptive.enabled" -> "true",
+    // coalesce post-shuffle partitions to the advisory SIZE rather than
+    // maximizing parallelism (the setting Spark's own tuning guide
+    // recommends for production): a stage's task count then tracks its
+    // data volume, so small stages stop paying per-task fixed costs
+    // times the core count — at 100 TB big shuffles still fan out to
+    // size-bounded partitions, while tiny dimension-sized stages run in
+    // a handful of tasks whether the session has 4 cores or 1000.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
     // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
