@@ -43,9 +43,22 @@ case class TopKPerGroup(groupExprs: Seq[Expression], order: Seq[SortOrder],
 /** Physical bounded-heap pass. `partial = true` runs on arbitrary
   * partitioning (map-side shrink); `partial = false` demands the group
   * keys clustered (EnsureRequirements inserts the hash exchange) and
-  * produces the exact per-group top-k. */
+  * produces the exact per-group top-k.
+  *
+  * Memory safety: the partial pass tracks at most `maxPartialGroups`
+  * groups per partition; rows of groups past that bound stream
+  * THROUGH untrimmed (the same shape as Spark's hash-aggregate
+  * fallback: a partial pass is an optimization, so skipping reduction
+  * for overflow rows costs shuffle volume, never correctness — the
+  * final pass re-heaps everything). Without the bound, a partition
+  * with high group-key cardinality (top-k per user at 100 TB) holds
+  * k rows for EVERY distinct group with no fallback. The final pass
+  * is exempt: after clustering, its map holds exactly this
+  * partition's OUTPUT (≤ k rows per group actually returned), which
+  * any exact top-k must materialize anyway. */
 case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
-                            k: Int, partial: Boolean, child: SparkPlan)
+                            k: Int, partial: Boolean, maxPartialGroups: Int,
+                            child: SparkPlan)
     extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] =
@@ -60,38 +73,66 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
     val g = groupExprs
     val o = order
     val kk = k
+    val maxGroups = if (partial) maxPartialGroups else Int.MaxValue
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(g, schema)
       val ord = GenerateOrdering.generate(o, schema)
       // heap head = the currently-worst kept row (max in sort order),
       // so admission is one compare and eviction is O(log k)
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kk + 1, ord.reversed())
-          heaps.put(key.copy(), heap)
+      new Iterator[InternalRow] {
+        private var passThrough: InternalRow = _
+        private var drain: Iterator[InternalRow] = _
+        override def hasNext: Boolean = {
+          if (passThrough != null) return true
+          if (drain != null) return drain.hasNext
+          while (iter.hasNext) {
+            val row = iter.next()
+            val key = keyProj(row)
+            var heap = heaps.get(key)
+            if (heap == null && heaps.size() < maxGroups) {
+              heap = new java.util.PriorityQueue[InternalRow](kk + 1, ord.reversed())
+              heaps.put(key.copy(), heap)
+            }
+            if (heap == null) {
+              // overflow group: emit immediately, unreduced (no copy
+              // needed — consumed before the next iter.next())
+              passThrough = row
+              return true
+            }
+            if (heap.size() < kk) heap.add(row.copy())
+            else if (ord.compare(row, heap.peek()) < 0) {
+              heap.poll(); heap.add(row.copy())
+            }
+          }
+          import scala.jdk.CollectionConverters._
+          drain = heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+          drain.hasNext
         }
-        if (heap.size() < kk) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          if (passThrough != null) {
+            val r = passThrough; passThrough = null; r
+          } else drain.next()
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
     }
   }
 }
 
 /** Plans the logical node as partial → (exchange via required
-  * distribution) → final. */
+  * distribution) → final. The partial pass's group-map bound comes
+  * from `spark.graft.topk.maxPartialGroups` (default 65536: at k=10
+  * that is ≤ ~650k buffered rows per partition before overflow rows
+  * start streaming through unreduced). */
 object TopKStrategy extends SparkStrategy {
+  val maxPartialGroupsKey = "spark.graft.topk.maxPartialGroups"
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, o, k, child) =>
-      val partial = TopKPerGroupExec(g, o, k, partial = true, planLater(child))
-      TopKPerGroupExec(g, o, k, partial = false, partial) :: Nil
+      val maxGroups = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(maxPartialGroupsKey, "65536").toInt
+      val partial = TopKPerGroupExec(g, o, k, partial = true, maxGroups, planLater(child))
+      TopKPerGroupExec(g, o, k, partial = false, maxGroups, partial) :: Nil
     case _ => Nil
   }
 }

@@ -41,6 +41,29 @@ class TopKSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("exact when distinct groups far exceed the partial-pass heap bound") {
+    // 5000 groups per partition against a bound of 16: nearly every row
+    // overflows the partial map and must stream through unreduced —
+    // the final pass alone restores exactness
+    spark.conf.set(TopKStrategy.maxPartialGroupsKey, "16")
+    try {
+      val big = spark.range(20000).select(
+        (col("id") % 5000).cast("string").as("grp"), col("id"),
+        (col("id") * 37 % 101).cast("double").as("score")).repartition(4)
+      val custom = TopK.topKPerGroup(big, Seq(col("grp")),
+          Seq(col("score").desc, col("id").asc), 2)
+        .select("grp", "id").orderBy("grp", "id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val window = big.withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("grp").orderBy(col("score").desc, col("id").asc)))
+        .filter(col("rn") <= 2).select("grp", "id").orderBy("grp", "id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(custom === window)
+      assert(custom.size === 10000) // 5000 groups x 4 rows each, k=2
+    } finally spark.conf.unset(TopKStrategy.maxPartialGroupsKey)
+  }
+
   test("exact across partitions: partial pass never loses a global winner") {
     // 1000 rows, 10 groups, scattered over 8 partitions
     val big = spark.range(1000).select(
