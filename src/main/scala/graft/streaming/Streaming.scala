@@ -122,42 +122,71 @@ object Streaming {
     * false drop costs one near-duplicate document and a false admit
     * is corrected by the batch near-dup pass downstream. Transitive
     * chains collapse greedily toward the smallest id, the same rule
-    * as [[graft.operators.Dedup.clusterSurvivors]]. A retried batch
-    * re-appends its bands; the registry is a set semantically, so
-    * duplicate band rows only cost space (compact offline).
+    * as [[graft.operators.Dedup.clusterSurvivors]].
+    *
+    * Retry idempotency: registry rows are tagged with the writing
+    * batch_id (stored as the `batch_id=N` partition directory), each
+    * batch OVERWRITES its own registry partition, and the probe
+    * excludes the current batch's own rows — so a replayed micro-batch
+    * (failure after the registry write but before the checkpoint
+    * commit) never collides with its own bands. A blind append would
+    * silently drop EVERY document of the replayed batch, novel ones
+    * included, and overwrite the output dir with an empty survivor
+    * set.
     *
     * Scale: the registry is partitioned parquet keyed by band_key —
     * the per-batch probe is one semi-join, and at 100 TB the registry
     * join prunes to the band_key hash partitions of the batch's own
     * keys. No driver-side state; the streaming query holds no state
     * store at all (the registry IS the state, shared and restartable).
+    * Long-running streams accumulate duplicate band rows across
+    * batches — bound it with [[compactRegistry]].
     */
   def nearDupDedupSink(docs: DataFrame, registryDir: String, outDir: String,
                        numHashes: Int = 8, bandSize: Int = 2, shingleLen: Int = 3)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       dedupBatchAgainstRegistry(batch, registryDir, s"$outDir/batch_id=$batchId",
-        numHashes, bandSize, shingleLen)
+        batchId, numHashes, bandSize, shingleLen)
     }
+
+  private val registrySchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("band_key",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("batch_id",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Registry read that works on ANY Hadoop filesystem (HDFS/S3/local
+    * — a java.io.File probe would silently report absent on remote
+    * stores, no-opping cross-batch dedup while appends still land). */
+  private def readRegistry(spark: org.apache.spark.sql.SparkSession,
+                           registryDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(registryDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path) && fs.listStatus(path).nonEmpty)
+      spark.read.schema(org.apache.spark.sql.types.StructType(
+          registrySchema.dropRight(1))).parquet(registryDir)
+        .select(col("band"), col("band_key"), col("batch_id").cast("long"))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], registrySchema)
+  }
 
   /** One micro-batch of the incremental near-dup dedup (also the batch
     * backfill building block). See [[nearDupDedupSink]]. */
   def dedupBatchAgainstRegistry(batch: DataFrame, registryDir: String,
-                                outDir: String, numHashes: Int, bandSize: Int,
-                                shingleLen: Int): Unit = {
+                                outDir: String, batchId: Long, numHashes: Int,
+                                bandSize: Int, shingleLen: Int): Unit = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
     val sig = Dedup.minHashSignaturesWide(batch, numHashes, shingleLen)
     val bands = Dedup.bandTable(sig, numHashes, bandSize).cache()
-    val registry =
-      if (new java.io.File(registryDir).exists())
-        spark.read.parquet(registryDir).select("band", "band_key")
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("band",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("band_key",
-            org.apache.spark.sql.types.StringType))))
+    // exclude THIS batch's own registry partition: on a replay those
+    // rows are our previous attempt, not foreign documents
+    val registry = readRegistry(spark, registryDir)
+      .filter(col("batch_id") =!= lit(batchId))
+      .select("band", "band_key")
     val dupVsRegistry = bands
       .join(registry, Seq("band", "band_key"), "left_semi")
       .select("id").distinct()
@@ -174,9 +203,41 @@ object Streaming {
         Dedup.minHashSignaturesWide(admitted, numHashes, shingleLen),
         numHashes, bandSize)
       .select("band", "band_key").distinct()
-      .write.mode("append").parquet(registryDir)
+      .write.mode("overwrite").parquet(s"$registryDir/batch_id=$batchId")
     bands.unpersist()
     admitted.unpersist()
+  }
+
+  /** Compact the band registry to one row per distinct (band,
+    * band_key), keeping the MINIMUM batch_id — the first admitting
+    * batch. Min (not arbitrary) is what keeps replay exclusion
+    * correct through compaction: if a band's only writer was batch N,
+    * a replay of N still sees the row tagged N and excludes it; if an
+    * earlier batch also wrote it, the replayed batch's colliding doc
+    * really IS a near-dup of an earlier admitted one and must drop.
+    * Run between batches (foreachBatch micro-batches are serial, so
+    * any quiesced moment works); the rewrite goes to a temp dir and
+    * swaps in with one FS rename.
+    *
+    * @return distinct band-row count after compaction */
+  def compactRegistry(spark: org.apache.spark.sql.SparkSession,
+                      registryDir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(registryDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return 0L
+    val compacted = readRegistry(spark, registryDir)
+      .groupBy("band", "band_key")
+      .agg(min("batch_id").as("batch_id"))
+      .cache()
+    val n = compacted.count()
+    val tmp = new org.apache.hadoop.fs.Path(registryDir + ".compact.tmp")
+    compacted.write.mode("overwrite")
+      .partitionBy("batch_id").parquet(tmp.toString)
+    compacted.unpersist()
+    fs.delete(path, true)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"compaction rename failed: $tmp -> $path")
+    n
   }
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -180,4 +180,63 @@ class StreamingSpec extends SparkSpec {
     val reg = spark.read.parquet(s"$dir/registry")
     assert(reg.select("band_key").distinct().count() > 0)
   }
+
+  test("replayed micro-batch keeps its own survivors (retry idempotency)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("neardup_replay").toString
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "completely different content about spark engines and shuffles at scale"
+    val batch0 = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    Streaming.dedupBatchAgainstRegistry(batch0, s"$dir/registry",
+      s"$dir/out/batch_id=0", 0L, 8, 2, 3)
+    val first = spark.read.parquet(s"$dir/out/batch_id=0")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(first === Array(1L, 2L))
+    // replay of batch 0 (failure after registry write, before
+    // checkpoint commit): its own bands are in the registry, but
+    // tagged batch_id=0 and excluded — nothing may be lost
+    Streaming.dedupBatchAgainstRegistry(batch0, s"$dir/registry",
+      s"$dir/out/batch_id=0", 0L, 8, 2, 3)
+    val replayed = spark.read.parquet(s"$dir/out/batch_id=0")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(replayed === Array(1L, 2L))
+    // a LATER batch still collides with batch 0's registry rows
+    Streaming.dedupBatchAgainstRegistry(Seq((3L, a)).toDF("doc_id", "text"),
+      s"$dir/registry", s"$dir/out/batch_id=1", 1L, 8, 2, 3)
+    assert(spark.read.parquet(s"$dir/out/batch_id=1").count() === 0)
+  }
+
+  test("registry compaction bounds growth and preserves dedup behavior") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("neardup_compact").toString
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "completely different content about spark engines and shuffles at scale",
+      "yet another novel document with its own distinct shingle set")
+    // 6 batches: batches 3..5 replay the same documents under NEW ids —
+    // all dropped as registry collisions, but each batch still rewrites
+    // band rows nowhere (dropped batches admit nothing); to force
+    // duplicate band rows across batches, re-admit via distinct ids on
+    // distinct novel text plus repeated registry writes of batch 0
+    texts.zipWithIndex.foreach { case (t, i) =>
+      Streaming.dedupBatchAgainstRegistry(Seq((i.toLong, t)).toDF("doc_id", "text"),
+        s"$dir/registry", s"$dir/out/batch_id=$i", i.toLong, 8, 2, 3)
+    }
+    // replays of every batch append nothing new but overwrite in place
+    texts.zipWithIndex.foreach { case (t, i) =>
+      Streaming.dedupBatchAgainstRegistry(Seq((i.toLong, t)).toDF("doc_id", "text"),
+        s"$dir/registry", s"$dir/out/batch_id=$i", i.toLong, 8, 2, 3)
+    }
+    val before = spark.read.parquet(s"$dir/registry")
+    val distinctBands = before.select("band", "band_key").distinct().count()
+    val n = Streaming.compactRegistry(spark, s"$dir/registry")
+    assert(n === distinctBands)
+    val after = spark.read.parquet(s"$dir/registry")
+    assert(after.count() === distinctBands) // row count == distinct bands
+    // dedup against the compacted registry still drops near-dups
+    Streaming.dedupBatchAgainstRegistry(
+      Seq((100L, texts.head)).toDF("doc_id", "text"),
+      s"$dir/registry", s"$dir/out/batch_id=9", 9L, 8, 2, 3)
+    assert(spark.read.parquet(s"$dir/out/batch_id=9").count() === 0)
+  }
 }
