@@ -196,58 +196,102 @@ object Dedup {
     * survivor selection: every document gets the minimum reachable id
     * as its cluster label.
     *
-    * Iterative min-label propagation (the dataflow core of the
-    * small-star/large-star CC algorithm, Kiveris et al. 2014): each
-    * round, a node's label becomes the min of its own and its
-    * neighbors' labels — a join + groupBy per round, all shuffles on
-    * uniformly-hashed node ids. Converges within the graph diameter;
-    * near-dup graphs are overwhelmingly tiny cliques/chains, so a few
-    * rounds suffice. The driver-side loop checks a scalar
-    * changed-count per round (the standard iterative-graph pattern —
-    * MLlib/GraphX do the same); per-round results are cached and the
-    * previous round unpersisted, so lineage stays bounded.
+    * Alternating large-star/small-star rounds (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond" — public
+    * algorithm): each round every node hooks its strictly-larger
+    * neighbors onto its neighborhood minimum (large-star), then every
+    * node collapses its smaller neighborhood onto that minimum
+    * (small-star). Both operations preserve connectivity and shrink
+    * the graph toward a forest of stars rooted at each component's
+    * minimum id, converging in O(log diameter) rounds — a 1,000-node
+    * chain collapses in ~10 rounds where per-hop min-label
+    * propagation needs ~1,000. Every shuffle keys on uniformly-hashed
+    * node ids; per-round edge sets are cached and the previous round
+    * unpersisted, so lineage stays bounded. Convergence is an EXACT
+    * structural test (the edge set is a star forest), not a
+    * hash-compare of successive rounds.
     *
     * @param pairs undirected near-dup edges (aCol, bCol)
     * @return (id, component) for every id appearing in `pairs`
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-                          bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
-    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).cache()
-    // labels only ever decrease, so the fixpoint test is "the label sum
-    // stopped falling" — one scalar aggregate per round, no
-    // prev-vs-next join. sum over ZERO rows is SQL NULL, so an empty
-    // pair set must coalesce to 0, not NPE.
-    val labelSum = (l: DataFrame) =>
-      l.agg(coalesce(sum("component"), lit(0L))).first().getLong(0)
-    var prevSum = labelSum(labels)
-    def step(l: DataFrame): DataFrame = {
-      val viaNeighbor = edges
-        .join(l.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("component"))
-      l.select("id", "component").union(viaNeighbor)
-        .groupBy("id").agg(min("component").as("component"))
+                          bCol: String = "id_b", maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of star rounds executed —
+    * exposed so the convergence-rate contract (logarithmic in chain
+    * length, not linear) is testable. */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 50): (DataFrame, Int) = {
+    val nodes = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id"))).distinct().cache()
+    // canonical undirected storage: hi > lo, self-loops dropped (their
+    // endpoints survive via `nodes`)
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("hi"),
+        least(col(aCol), col(bCol)).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct().cache()
+    var rounds = 0
+    var converged = isStarForest(edges)
+    while (!converged && rounds < maxIter) {
+      // large-star: node u sends each neighbor v > u to m = min(N(u) ∪ {u});
+      // m ≤ u < v keeps the (v, m) output canonical with no self-loop
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val nbrMin = sym.groupBy("u").agg(min("v").as("mnv"))
+        .select(col("u"), least(col("mnv"), col("u")).as("m"))
+      val large = sym.join(nbrMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // small-star: node hi sends its ≤-neighborhood (all its lo's,
+      // plus itself) to m = min of that neighborhood; the lo–m edges
+      // need re-canonicalizing, the hi–m edge is already oriented
+      val nbhMin = large.groupBy("hi").agg(min("lo").as("m"))
+      // eager localCheckpoint, not cache: each round's plan references
+      // the previous round's ~12×, so without lineage truncation the
+      // logical plan grows 12^rounds and the driver OOMs composing it
+      // long before the data is a problem. Blocks are dropped by the
+      // context cleaner once the round's RDD is unreferenced.
+      val next = large.join(nbhMin, "hi")
+        .select(greatest(col("lo"), col("m")).as("hi"),
+          least(col("lo"), col("m")).as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .union(nbhMin.select(col("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint(true)
+      converged = isStarForest(next)
+      edges.unpersist()
+      edges = next
+      rounds += 1
     }
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      // one hop per materialization: composing two steps per action
-      // round is safe (monotone min over walks) but measured SLOWER
-      // here — the second uncached union+groupBy shuffle outweighs the
-      // saved driver round (q54 warm 3.2s single-hop vs 6.9s two-hop)
-      val next = step(labels).cache()
-      val s = labelSum(next)
-      labels.unpersist()
-      labels = next
-      converged = s == prevSum
-      prevSum = s
-      i += 1
-    }
+    // at the fixpoint every edge is (leaf, component-min); nodes absent
+    // from `hi` are the roots (and isolated nodes), labeling themselves
+    val labels = nodes
+      .join(edges.select(col("hi").as("id"), col("lo").as("component")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+      .cache()
+    labels.count() // materialize before releasing the inputs
+    nodes.unpersist()
     edges.unpersist()
-    labels
+    (labels, rounds)
+  }
+
+  /** Exact star-forest test: every `hi` appears exactly once and never
+    * as a `lo` ⟺ the edges are disjoint stars centered at their
+    * component minima — the alternating algorithm's fixpoint. Two
+    * scalar actions over the (shrinking, cached) edge set per round. */
+  private def isStarForest(edges: DataFrame): Boolean = {
+    val r = edges.agg(count(lit(1)).as("cnt"),
+      count_distinct(col("hi")).as("dhi")).first()
+    val cnt = r.getLong(0)
+    cnt == 0 ||
+      (cnt == r.getLong(1) &&
+        edges.join(edges.select(col("lo").as("hi")).distinct(),
+          Seq("hi"), "left_semi").count() == 0L)
   }
 
   /** One survivor (the min id) per cluster plus its cluster size —
@@ -255,6 +299,24 @@ object Dedup {
   def clusterSurvivors(components: DataFrame): DataFrame =
     components.groupBy("component")
       .agg(min("id").as("keep_id"), count(lit(1)).as("cluster_size"))
+
+  /** Compose-once dedup clustering: cluster labels AND the survivor
+    * decision derived from ONE materialized component frame (the
+    * [[connectedComponents]] result is computed exactly once; survivors
+    * are a single aggregate over it). A pipeline that needs both —
+    * the usual case: tag every document with its cluster, then keep
+    * one per cluster — must use this instead of calling the two
+    * operators separately, or it pays pair generation and the star
+    * rounds twice.
+    *
+    * @return (components (id, component), survivors (component,
+    *         keep_id, cluster_size))
+    */
+  def dedupClusters(pairs: DataFrame, aCol: String = "id_a",
+                    bCol: String = "id_b", maxIter: Int = 50): (DataFrame, DataFrame) = {
+    val components = connectedComponents(pairs, aCol, bCol, maxIter)
+    (components, clusterSurvivors(components))
+  }
 
   /** Global shingle document frequencies (s, df) — the skew probe input. */
   private[operators] def shingleDocFreq(sh: DataFrame): DataFrame =

@@ -180,12 +180,15 @@ object TextQueries {
       .filter(col("est_jaccard") >= 0.5)
 
   /** Near-dup cluster assignment: connected components over the
-    * MinHash pair graph via distributed min-label propagation — the
-    * clustering step between pair generation and survivor selection. */
+    * MinHash pair graph via alternating large-star/small-star rounds —
+    * the clustering step between pair generation and survivor
+    * selection. Both q54 and q55 go through [[Dedup.dedupClusters]],
+    * the compose-once form a real pipeline uses to get labels AND
+    * survivors from one materialized component frame. */
   val q54DedupClusters = GraftQuery(
     "q54_dedup_clusters",
     (s, dir) =>
-      Dedup.connectedComponents(nearDupPairs(s, dir)).orderBy("id"),
+      Dedup.dedupClusters(nearDupPairs(s, dir))._1.orderBy("id"),
     Some(s"""$ccOracleBase
             |SELECT id, component FROM cc ORDER BY id""".stripMargin))
 
@@ -194,8 +197,7 @@ object TextQueries {
   val q55DedupSurvivors = GraftQuery(
     "q55_dedup_survivors",
     (s, dir) =>
-      Dedup.clusterSurvivors(Dedup.connectedComponents(nearDupPairs(s, dir)))
-        .orderBy("component"),
+      Dedup.dedupClusters(nearDupPairs(s, dir))._2.orderBy("component"),
     Some(s"""$ccOracleBase
             |SELECT component, min(id) AS keep_id, count(*) AS cluster_size
             |FROM cc GROUP BY component ORDER BY component""".stripMargin))

@@ -141,6 +141,32 @@ class DedupSpec extends SparkSpec {
     assert(surv === Set((1L, 1L, 5L), (10L, 10L, 2L)))
   }
 
+  test("connected components: star rounds are logarithmic in chain length") {
+    // a 1,000-node chain is the adversarial diameter case (crawl
+    // mirrors): per-hop label propagation needs ~1,000 rounds; the
+    // large-star/small-star alternation must collapse it in O(log n)
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) =
+      Dedup.connectedComponentsWithRounds(chain, "id_a", "id_b", maxIter = 50)
+    assert(rounds <= 15, s"1,000-node chain took $rounds star rounds")
+    val cc = labels.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component"))
+    assert(cc.length === 1000)
+    assert(cc.forall(_._2 == 0L))
+  }
+
+  test("dedupClusters: survivors aggregate the same component frame") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val (components, survivors) = Dedup.dedupClusters(pairs)
+    val cc = components.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert((1L to 5L).forall(cc(_) == 1L) && cc(10L) === 10L && cc(11L) === 10L)
+    val surv = survivors.collect()
+      .map(r => (r.getAs[Long]("component"), r.getAs[Long]("keep_id"),
+        r.getAs[Long]("cluster_size"))).toSet
+    assert(surv === Set((1L, 1L, 5L), (10L, 10L, 2L)))
+  }
+
   test("connected components: empty pair set yields empty labels, no NPE") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty).count() === 0)
