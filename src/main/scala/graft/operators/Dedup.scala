@@ -262,36 +262,59 @@ object Dedup {
         .distinct()
         .localCheckpoint(true)
       converged = isStarForest(next)
-      edges.unpersist()
+      release(edges)
       edges = next
       rounds += 1
     }
     // at the fixpoint every edge is (leaf, component-min); nodes absent
-    // from `hi` are the roots (and isolated nodes), labeling themselves
+    // from `hi` are the roots (and isolated nodes), labeling themselves.
+    // The min-aggregation is an identity when converged (each hi appears
+    // once) but makes maxIter exhaustion DEGRADE — unique, possibly
+    // unconverged labels — instead of silently duplicating ids through
+    // a multi-match join.
     val labels = nodes
       .join(edges.select(col("hi").as("id"), col("lo").as("component")),
         Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("component"), col("id")).as("component"))
+      .groupBy("id")
+      .agg(min(coalesce(col("component"), col("id"))).as("component"))
       .cache()
     labels.count() // materialize before releasing the inputs
     nodes.unpersist()
-    edges.unpersist()
+    release(edges)
     (labels, rounds)
+  }
+
+  /** Release a superseded round's storage NOW: the cache entry (first
+    * round) and the localCheckpoint's truncated-lineage RDD blocks
+    * (later rounds). Without the explicit RDD unpersist, checkpoint
+    * blocks linger until the ContextCleaner GCs the RDD reference —
+    * `spark.catalog.clearCache()` never touches them — so a long-lived
+    * session running many clusterings accumulates dead blocks in the
+    * block manager. Safe here because the checkpointed frame is never
+    * recomputed after its successor round materializes. */
+  private def release(df: DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
   }
 
   /** Exact star-forest test: every `hi` appears exactly once and never
     * as a `lo` ⟺ the edges are disjoint stars centered at their
-    * component minima — the alternating algorithm's fixpoint. Two
-    * scalar actions over the (shrinking, cached) edge set per round. */
+    * component minima — the alternating algorithm's fixpoint. ONE
+    * scalar action (a two-level aggregation ending in a single row)
+    * over the (shrinking, checkpointed) edge set per round — driver
+    * round-trips per round: this plus the eager checkpoint's count. */
   private def isStarForest(edges: DataFrame): Boolean = {
-    val r = edges.agg(count(lit(1)).as("cnt"),
-      count_distinct(col("hi")).as("dhi")).first()
-    val cnt = r.getLong(0)
-    cnt == 0 ||
-      (cnt == r.getLong(1) &&
-        edges.join(edges.select(col("lo").as("hi")).distinct(),
-          Seq("hi"), "left_semi").count() == 0L)
+    val sym = edges.select(col("hi").as("node"), lit(1L).as("nh"), lit(0L).as("nl"))
+      .union(edges.select(col("lo").as("node"), lit(0L).as("nh"), lit(1L).as("nl")))
+    val r = sym.groupBy("node")
+      .agg(sum("nh").as("nh"), sum("nl").as("nl"))
+      .agg(max(when(col("nh") > 1 or (col("nh") > 0 and col("nl") > 0), 1)
+        .otherwise(0)).as("bad"))
+      .first()
+    r.isNullAt(0) || r.getInt(0) == 0
   }
 
   /** One survivor (the min id) per cluster plus its cluster size —

@@ -160,17 +160,43 @@ object Streaming {
 
   /** Registry read that works on ANY Hadoop filesystem (HDFS/S3/local
     * — a java.io.File probe would silently report absent on remote
-    * stores, no-opping cross-batch dedup while appends still land). */
+    * stores, no-opping cross-batch dedup while appends still land).
+    * Recovers a compaction interrupted mid-swap before reading (see
+    * [[compactRegistry]]). The FULL schema — including the `batch_id`
+    * partition column, typed LongType — is passed explicitly, so the
+    * partition column resolves by name rather than via inference
+    * (whose result type can drift across Spark versions/configs). */
   private def readRegistry(spark: org.apache.spark.sql.SparkSession,
                            registryDir: String): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(registryDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRegistry(fs, path)
     if (fs.exists(path) && fs.listStatus(path).nonEmpty)
-      spark.read.schema(org.apache.spark.sql.types.StructType(
-          registrySchema.dropRight(1))).parquet(registryDir)
-        .select(col("band"), col("band_key"), col("batch_id").cast("long"))
+      spark.read.schema(registrySchema).parquet(registryDir)
+        .select(col("band"), col("band_key"), col("batch_id"))
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], registrySchema)
+  }
+
+  /** If a [[compactRegistry]] swap was interrupted after the live dir
+    * was renamed aside but before the compacted dir replaced it, the
+    * live dir is missing and `<dir>.old` holds the complete
+    * pre-compaction registry — restore it. (The `.compact.tmp` dir may
+    * equally be complete, but `.old` is complete by construction —
+    * tmp could be a partial write from an earlier crash.) Leftover tmp
+    * dirs are removed whenever the live dir is healthy. */
+  private def recoverRegistry(fs: org.apache.hadoop.fs.FileSystem,
+                              path: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(path.toString + ".old")
+    val tmp = new org.apache.hadoop.fs.Path(path.toString + ".compact.tmp")
+    if (!fs.exists(path) && fs.exists(old)) {
+      if (!fs.rename(old, path))
+        throw new java.io.IOException(s"registry recovery rename failed: $old -> $path")
+    }
+    if (fs.exists(path)) {
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    }
   }
 
   /** One micro-batch of the incremental near-dup dedup (also the batch
@@ -216,14 +242,22 @@ object Streaming {
     * earlier batch also wrote it, the replayed batch's colliding doc
     * really IS a near-dup of an earlier admitted one and must drop.
     * Run between batches (foreachBatch micro-batches are serial, so
-    * any quiesced moment works); the rewrite goes to a temp dir and
-    * swaps in with one FS rename.
+    * any quiesced moment works); the rewrite goes to a temp dir, the
+    * live dir is renamed ASIDE (not deleted), the temp dir renamed in,
+    * and only then is the aside copy deleted. A crash anywhere in the
+    * swap leaves either the live dir intact or a complete `.old` copy
+    * that [[readRegistry]]/[[recoverRegistry]] restores — the registry
+    * (= all historical dedup state) is never the only casualty of a
+    * badly-timed failure. (Hadoop rename is not atomic on S3; the
+    * rename-aside protocol keeps a complete copy live at every step,
+    * which is the strongest guarantee available there.)
     *
     * @return distinct band-row count after compaction */
   def compactRegistry(spark: org.apache.spark.sql.SparkSession,
                       registryDir: String): Long = {
     val path = new org.apache.hadoop.fs.Path(registryDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRegistry(fs, path)
     if (!fs.exists(path)) return 0L
     val compacted = readRegistry(spark, registryDir)
       .groupBy("band", "band_key")
@@ -234,9 +268,13 @@ object Streaming {
     compacted.write.mode("overwrite")
       .partitionBy("batch_id").parquet(tmp.toString)
     compacted.unpersist()
-    fs.delete(path, true)
+    val old = new org.apache.hadoop.fs.Path(registryDir + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"compaction rename-aside failed: $path -> $old")
     if (!fs.rename(tmp, path))
       throw new java.io.IOException(s"compaction rename failed: $tmp -> $path")
+    fs.delete(old, true)
     n
   }
 

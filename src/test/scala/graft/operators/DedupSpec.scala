@@ -154,6 +154,64 @@ class DedupSpec extends SparkSpec {
     assert(cc.forall(_._2 == 0L))
   }
 
+  test("connected components: superseded checkpoint blocks are released eagerly") {
+    val sc = spark.sparkContext
+    val chain = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val before = sc.getPersistentRDDs.keySet
+    val (labels, rounds) =
+      Dedup.connectedComponentsWithRounds(chain, "id_a", "id_b", maxIter = 50)
+    assert(rounds >= 3) // multiple superseded rounds actually existed
+    // every superseded round's localCheckpoint blocks must be gone NOW
+    // (explicit release), not whenever the ContextCleaner gets to them;
+    // only the returned labels' cache may remain
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"lingering persistent RDDs: $leaked")
+    assert(labels.count() === 301)
+    labels.unpersist()
+  }
+
+  test("connected components: one convergence action per round (actions bounded)") {
+    // the observable for "driver round-trips per round" is ACTIONS —
+    // distinct SQL execution ids — not raw jobs (AQE splits one action
+    // into a job per materialized query stage)
+    val sc = spark.sparkContext
+    val executions = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    @volatile var rddJobs = 0 // jobs with no SQL execution (RDD actions)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val id = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+        id match {
+          case Some(e) => executions.add(e); ()
+          case None    => rddJobs += 1
+        }
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val chain = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val (labels, rounds) =
+        Dedup.connectedComponentsWithRounds(chain, "id_a", "id_b", maxIter = 50)
+      labels.unpersist()
+      // listener delivery is async: wait for the counts to stabilize
+      var last = (-1, -1)
+      var stable = 0
+      while (stable < 4) { // 4 × 50ms with no new events
+        Thread.sleep(50)
+        val cur = (executions.size, rddJobs)
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      // per round: 1 eager-checkpoint action + 1 single-action
+      // convergence test; plus the initial test and the final label
+      // materialization. The OLD two-action test ran 3/round.
+      val actions = executions.size + rddJobs
+      val bound = 2 * rounds + 4
+      assert(actions <= bound,
+        s"$actions driver actions for $rounds rounds (bound $bound)")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("dedupClusters: survivors aggregate the same component frame") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
       .toDF("id_a", "id_b")
