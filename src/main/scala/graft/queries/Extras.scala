@@ -48,19 +48,45 @@ object Extras {
            |  count(*) AS n_events
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
-  /** Approximate distinct via HyperLogLog++ — the 100 TB path where an
-    * exact distinct would shuffle every key. Rows-only check (HLL
-    * estimates are engine-specific); `ExtrasSpec` bounds the error
-    * against the exact count. */
+  /** Approximate distinct — the 100 TB path where an exact distinct
+    * would shuffle every key. The gate path is the native KMV sketch
+    * ([[graft.functions.Kmv]]): "k smallest md5 digests" is engine-
+    * independent, so DuckDB recomputes the IDENTICAL estimate and the
+    * query hash-matches — unlike HyperLogLog, whose registers are
+    * engine-specific (Spark's `approx_count_distinct` stays available
+    * as the engine-native alternate; `ExtrasSpec` bounds both sketches'
+    * error against the exact count). */
   val q34DistinctApprox = GraftQuery(
     "q34_distinct_approx",
-    (s, dir) =>
+    (s, dir) => {
+      val k = 64
       Tables.events(s, dir)
         .groupBy("event_type")
-        .agg(approx_count_distinct("user_id", 0.02).as("n_users_approx"),
+        .agg(graft.functions.Kmv.kmvDigests(
+            md5(col("user_id").cast("string")), k).as("kmv"),
           count(lit(1)).as("n_events"))
-        .orderBy("event_type"),
-    None)
+        .select(col("event_type"),
+          round(graft.functions.Kmv.kmvEstimate(col("kmv"), k), 4)
+            .as("n_users_kmv"),
+          col("n_events"))
+        .orderBy("event_type")
+    },
+    Some("""WITH d AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+           |           FROM events),
+           |r AS (SELECT event_type, h,
+           |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+           |      FROM d),
+           |g AS (SELECT event_type, count(*) AS nd,
+           |        max(CASE WHEN rk = 64 THEN substr(h, 1, 12) END) AS h64
+           |      FROM r GROUP BY event_type),
+           |c AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY 1)
+           |SELECT g.event_type,
+           |  round(CASE WHEN g.nd < 64 THEN CAST(g.nd AS DOUBLE)
+           |        ELSE 63.0 / (CAST(concat('0x', g.h64) AS BIGINT) / power(2, 48))
+           |        END, 4) AS n_users_kmv,
+           |  c.n_events
+           |FROM g JOIN c ON g.event_type = c.event_type
+           |ORDER BY g.event_type""".stripMargin))
 
   /** PIVOT: order counts per market segment × priority. Spark's
     * `.pivot` with an explicit value list (never let pivot scan for
