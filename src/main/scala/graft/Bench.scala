@@ -4,13 +4,15 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Best-effort per-query priors from earlier rounds' BENCH_r*.json
-    * artifacts (min across rounds — the cleanest observed time). Used
-    * only to flag anomalously slow measurements; absence is fine. */
+    * artifacts (min across rounds — the cleanest observed time). The
+    * driver's artifacts embed the bench JSON as an ESCAPED string
+    * (\"q…\":1.23), so the pattern tolerates backslash-escaped quotes.
+    * Used only to flag anomalously slow measurements; absence is fine. */
   private def priorTimes(): Map[String, Double] = {
     val dirs = Seq(new java.io.File("."), new java.io.File("/root/repo"))
     val files = dirs.flatMap(d => Option(d.listFiles()).toSeq.flatten)
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-    val entry = """"(q\d+[^"]*)":([0-9.]+)""".r
+    val entry = """\\?"(q\d+[^"\\]*)\\?":([0-9.]+)""".r
     files.flatMap { f =>
       try {
         val txt = scala.io.Source.fromFile(f)
@@ -69,8 +71,13 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators cache intermediates (minhash signatures, shingles);
-      // drop them so queries are isolated and memory doesn't accumulate
+      // drop them so queries are isolated and memory doesn't accumulate.
+      // The GC nudge lets the ContextCleaner reclaim the dead query's
+      // shuffle/broadcast blocks NOW (outside any timed section) —
+      // without it those cleanups land inside the NEXT query's window
+      // (q24's debris used to add ~3s to q26's measurement).
       spark.catalog.clearCache()
+      System.gc()
       dt
     }
     val firstPass = selected.map { q =>
@@ -99,8 +106,14 @@ object Bench {
         name -> math.min(t, timeOne(byName(name)))
       } else name -> t
     }
+    // "anomalous" = still slower than 3× a KNOWN prior after the
+    // retry — a contradiction against history worth a human look. A
+    // query with no prior that is merely >5 s gets the insurance
+    // re-run above but is not reportable as anomalous (there is
+    // nothing to contradict).
     val anomalous = results.collect {
-      case (name, t) if t > threshold(name) && !failed.contains(name) => name
+      case (name, t) if priors.contains(name) && t > threshold(name) &&
+        !failed.contains(name) => name
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

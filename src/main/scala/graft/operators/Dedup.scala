@@ -55,7 +55,7 @@ object Dedup {
   def minHashSignaturesWide(docs: DataFrame, numHashes: Int, shingleLen: Int,
                             idCol: String = "doc_id", textCol: String = "text",
                             digest: SaltedDigest = md5Digest): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = FanOut(docs).select(col(idCol).as("id"),
       explode(array_distinct(Text.wordShingles(col(textCol), shingleLen))).as("s"))
     val mins = (0 until numHashes).map(i =>
       min(digest(i, col("s")).cast("string")).as(s"h$i"))
@@ -65,29 +65,43 @@ object Dedup {
   /** MinHash + LSH banding: pairs sharing at least one band (bandSize
     * consecutive hashes identical), with the estimated Jaccard
     * (fraction of equal hashes). Only banded candidates are compared —
-    * the all-pairs join never materializes; signatures stay wide so
-    * pair scoring is a column comparison, not a ×numHashes join. */
+    * the all-pairs join never materializes.
+    *
+    * The signature columns ride THROUGH the band self-join, so scoring
+    * is a projection on the join output and the duplicate band hits
+    * collapse in one aggregation — versus the naive
+    * distinct-then-rejoin-signatures-twice plan (2 extra shuffles, 3
+    * extra stages). The self-join's two sides are the identical
+    * subtree, so the signature computation and its exchange run ONCE
+    * (ReusedExchange), no cache needed. Shuffle width grows by the
+    * numHashes digest columns — bounded, and far cheaper than
+    * re-shuffling the signature table twice by id. */
   def minHashCandidatePairs(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 2,
                             shingleLen: Int = 3, idCol: String = "doc_id",
                             textCol: String = "text",
                             digest: SaltedDigest = md5Digest): DataFrame = {
     require(numHashes % bandSize == 0, "bandSize must divide numHashes")
-    val sig = minHashSignaturesWide(docs, numHashes, shingleLen, idCol, textCol, digest).cache()
-    val bands = bandTable(sig, numHashes, bandSize)
-    val cands = bands.as("a")
+    val sig = minHashSignaturesWide(docs, numHashes, shingleLen, idCol, textCol, digest)
+    val bandKeys = (0 until numHashes / bandSize).map { b =>
+      val cols = (b * bandSize until (b + 1) * bandSize).map(i => col(s"h$i"))
+      struct(lit(b).as("band"), concat_ws("|", cols: _*).as("key"))
+    }
+    val hashCols = (0 until numHashes).map(i => col(s"h$i"))
+    val bands = sig
+      .select((col("id") +: hashCols :+ explode(array(bandKeys: _*)).as("bk")): _*)
+      .select((col("id") +: hashCols :+ col("bk.band").as("band")
+        :+ col("bk.key").as("band_key")): _*)
+    val eqCount = (0 until numHashes)
+      .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") and col("a.band_key") === col("b.band_key") and
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    val sa = sig.toDF(sig.columns.map(c => if (c == "id") "id_a" else s"a_$c"): _*)
-    val sb = sig.toDF(sig.columns.map(c => if (c == "id") "id_b" else s"b_$c"): _*)
-    val eqCount = (0 until numHashes)
-      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    cands.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("est_jaccard", eqCount.cast("double") / lit(numHashes))
-      .select("id_a", "id_b", "est_jaccard")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (eqCount.cast("double") / lit(numHashes)).as("est_jaccard"))
+      .groupBy("id_a", "id_b")
+      .agg(max("est_jaccard").as("est_jaccard"))
   }
 
   /** (id, band, band_key) LSH band table from a wide signature frame —
@@ -109,7 +123,7 @@ object Dedup {
     * `posWeight`: hex-digit position p in 1..8, bit b in 0..3. */
   def simHash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val hexDigits = "0123456789abcdef"
-    val toks = docs.select(col(idCol).as("id"),
+    val toks = FanOut(docs).select(col(idCol).as("id"),
         explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
       .withColumn("hx", substring(md5(col("tok")), 1, 8))
       .select(col("id"), explode(sequence(lit(1), lit(8))).as("p"), col("hx"))
@@ -155,7 +169,7 @@ object Dedup {
                         idCol: String = "doc_id", textCol: String = "text",
                         strategy: String = "adaptive"): DataFrame = {
     require(Set("adaptive", "direct", "prefix")(strategy), s"unknown strategy: $strategy")
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = FanOut(docs).select(col(idCol).as("id"),
       explode(array_distinct(Text.wordShingles(col(textCol), shingleLen))).as("s"))
       .cache()
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))

@@ -104,7 +104,7 @@ object MlPrep {
   val q53Contamination = GraftQuery(
     "q53_contamination",
     (s, dir) => {
-      val sh = Tables.documents(s, dir)
+      val sh = graft.operators.FanOut(Tables.documents(s, dir))
         .select(col("doc_id"), explode(array_distinct(Text.wordShingles(col("text"), 5))).as("s"))
       val bench = sh.filter(col("doc_id") < 20)
         .select(col("s"), col("doc_id").as("bench_id")).distinct()
