@@ -88,6 +88,53 @@ object Quality {
           lit(0.0)), 6).as("top_bigram_frac"))
   }
 
+  // ---- C4/Gopher line-level boilerplate signals -------------------
+  // The public C4 cleaning recipe (Raffel et al. 2020 §2.2) works on
+  // newline-split lines: keep lines ending in terminal punctuation
+  // with enough words, drop pages with policy boilerplate or code
+  // braces; Gopher adds bullet/ellipsis line-fraction gates. All of
+  // these are array expressions over one split — a single projection,
+  // no shuffle, no UDF.
+
+  /** Newline-split lines of a document. */
+  def docLines(text: Column): Column = split(text, "\n")
+
+  /** Words on one (trimmed) line; 0 for blank lines. */
+  private def lineWords(l: Column): Column =
+    when(length(trim(l)) === 0, 0).otherwise(size(split(trim(l), "\\s+")))
+
+  /** Lines ending in terminal punctuation ({@code . ! ? "}). */
+  def terminalPunctLines(ls: Column): Column =
+    size(filter(ls, l => rtrim(l).rlike("[.!?\"]$")))
+
+  /** C4's sentence proxy: terminal-punctuated lines with ≥ 5 words. */
+  def keptLines(ls: Column): Column =
+    size(filter(ls, l => rtrim(l).rlike("[.!?\"]$") && lineWords(l) >= 5))
+
+  /** Lines that start like a bullet item ({@code - }, {@code * }, •). */
+  def bulletLines(ls: Column): Column =
+    size(filter(ls, l => ltrim(l).rlike("^(-\\s|\\*\\s|•)")))
+
+  /** Lines ending in an ellipsis ({@code ...} or …). */
+  def ellipsisLines(ls: Column): Column =
+    size(filter(ls, l => rtrim(l).rlike("(\\.\\.\\.|…)$")))
+
+  /** How many of the C4 policy-boilerplate phrases the page hits. */
+  val policyPhrases: Seq[String] = Seq("lorem ipsum", "javascript",
+    "cookie policy", "privacy policy", "terms of use", "all rights reserved")
+
+  def policyPhraseHits(text: Column): Column =
+    policyPhrases.map(p => when(lower(text).contains(p), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** The composite C4 page gate: ≥ 3 sentence-like lines, no policy
+    * boilerplate, no code braces. */
+  def passesC4(text: Column): Column = {
+    val ls = docLines(text)
+    (keptLines(ls) >= 3) && (policyPhraseHits(text) === 0) &&
+      !text.contains("{")
+  }
+
   /** Per-document unigram Shannon entropy (nats), from the same
     * exploded-count shape: H = ln(N) - Σ c·ln(c) / N. High-entropy docs
     * are lexically diverse; near-zero entropy marks degenerate repeats

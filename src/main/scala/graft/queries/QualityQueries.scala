@@ -274,7 +274,75 @@ object QualityQueries {
            |  count(*) AS n_docs
            |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** C4/Gopher line-level boilerplate statistics: newline-split line
+    * counts, terminal-punctuation/sentence-like/bullet/ellipsis line
+    * fractions, policy-phrase hits, code-brace flag, and the composite
+    * C4 page gate — one codegen-friendly projection over one split.
+    * The synthetic corpus is single-line punctuation-free text, so the
+    * line-shape features are uniform here (the multi-line fixtures in
+    * QualitySpec discriminate every branch); the varying word-count
+    * columns keep the oracle hash sensitive to the splitting and
+    * counting machinery itself. */
+  val q99C4Boilerplate = GraftQuery(
+    "q99_c4_boilerplate",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("ls", Quality.docLines(col("text")))
+        .select(
+          col("doc_id"),
+          size(col("ls")).cast("long").as("n_lines"),
+          aggregate(transform(col("ls"), l =>
+              when(length(trim(l)) === 0, 0)
+                .otherwise(size(split(trim(l), "\\s+")))),
+            lit(0), (acc, x) => acc + x).cast("long").as("total_line_words"),
+          array_max(transform(col("ls"), l =>
+              when(length(trim(l)) === 0, 0)
+                .otherwise(size(split(trim(l), "\\s+")))))
+            .cast("long").as("max_line_words"),
+          round(Quality.terminalPunctLines(col("ls")).cast("double") /
+            size(col("ls")), 6).as("terminal_punct_line_ratio"),
+          round(Quality.bulletLines(col("ls")).cast("double") /
+            size(col("ls")), 6).as("bullet_line_frac"),
+          round(Quality.ellipsisLines(col("ls")).cast("double") /
+            size(col("ls")), 6).as("ellipsis_line_frac"),
+          Quality.keptLines(col("ls")).cast("long").as("kept_lines"),
+          Quality.policyPhraseHits(col("text")).cast("long").as("policy_hits"),
+          col("text").contains("{").cast("int").as("has_brace"),
+          Quality.passesC4(col("text")).cast("int").as("passes_c4"))
+        .orderBy("doc_id"),
+    Some("""WITH t AS (
+           |  SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM documents),
+           |m AS (SELECT doc_id, text, len(ls) AS n_lines,
+           |  list_transform(ls, l -> CASE WHEN len(trim(l)) = 0 THEN 0
+           |    ELSE len(string_split_regex(trim(l), '\s+')) END) AS lw,
+           |  len(list_filter(ls, l -> regexp_matches(rtrim(l), '[.!?"]$'))) AS tp,
+           |  len(list_filter(ls, l -> regexp_matches(rtrim(l), '[.!?"]$')
+           |    AND (CASE WHEN len(trim(l)) = 0 THEN 0
+           |         ELSE len(string_split_regex(trim(l), '\s+')) END) >= 5)) AS kept,
+           |  len(list_filter(ls, l -> regexp_matches(ltrim(l), '^(-\s|\*\s|•)'))) AS bul,
+           |  len(list_filter(ls, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS ell,
+           |  (CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END
+           |   + CASE WHEN contains(lower(text), 'javascript') THEN 1 ELSE 0 END
+           |   + CASE WHEN contains(lower(text), 'cookie policy') THEN 1 ELSE 0 END
+           |   + CASE WHEN contains(lower(text), 'privacy policy') THEN 1 ELSE 0 END
+           |   + CASE WHEN contains(lower(text), 'terms of use') THEN 1 ELSE 0 END
+           |   + CASE WHEN contains(lower(text), 'all rights reserved') THEN 1 ELSE 0 END)
+           |    AS policy_hits,
+           |  CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS has_brace
+           |  FROM t)
+           |SELECT doc_id, n_lines,
+           |  CAST(list_sum(lw) AS BIGINT) AS total_line_words,
+           |  CAST(list_max(lw) AS BIGINT) AS max_line_words,
+           |  round(tp * 1.0 / n_lines, 6) AS terminal_punct_line_ratio,
+           |  round(bul * 1.0 / n_lines, 6) AS bullet_line_frac,
+           |  round(ell * 1.0 / n_lines, 6) AS ellipsis_line_frac,
+           |  CAST(kept AS BIGINT) AS kept_lines,
+           |  CAST(policy_hits AS BIGINT) AS policy_hits, has_brace,
+           |  CAST(kept >= 3 AND policy_hits = 0 AND has_brace = 0 AS INTEGER)
+           |    AS passes_c4
+           |FROM m ORDER BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q58GopherQuality, q59RepetitionStats,
     q60TokenEntropy, q74UnigramLogprob, q94Collocations, q95ChiSquare,
-    q98LangidConfidence)
+    q98LangidConfidence, q99C4Boilerplate)
 }

@@ -44,6 +44,42 @@ class QualitySpec extends SparkSpec {
     assert(ent.getAs[Double]("norm_entropy") === 0.0)
   }
 
+  test("C4 line features discriminate every boilerplate branch") {
+    val clean = Seq(
+      "This is a proper first sentence with plenty of words.",
+      "Here is another sentence that also ends with punctuation!",
+      "And a third full sentence, because C4 wants at least three?")
+      .mkString("\n")
+    val bullets = Seq("- first item", "* second item", "• third", "A sentence here with five words.").mkString("\n")
+    val trailing = Seq("this one trails off...", "and this one too…", "short.").mkString("\n")
+    val policy = clean + "\nAll Rights Reserved. Read our Cookie Policy."
+    val braces = clean + "\nfunction f() { return 1; }"
+    val out = docs(1L -> clean, 2L -> bullets, 3L -> trailing,
+        4L -> policy, 5L -> braces)
+      .select($"doc_id",
+        size(Quality.docLines($"text")).as("n_lines"),
+        Quality.terminalPunctLines(Quality.docLines($"text")).as("tp"),
+        Quality.keptLines(Quality.docLines($"text")).as("kept"),
+        Quality.bulletLines(Quality.docLines($"text")).as("bul"),
+        Quality.ellipsisLines(Quality.docLines($"text")).as("ell"),
+        Quality.policyPhraseHits($"text").as("pol"),
+        Quality.passesC4($"text").as("c4"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("n_lines") === 3)
+    assert(out(1L).getAs[Int]("tp") === 3)
+    assert(out(1L).getAs[Int]("kept") === 3)
+    assert(out(1L).getAs[Boolean]("c4")) // the only passing page
+    assert(out(2L).getAs[Int]("bul") === 3)
+    assert(out(2L).getAs[Int]("kept") === 1)
+    assert(!out(2L).getAs[Boolean]("c4")) // < 3 sentence-like lines
+    assert(out(3L).getAs[Int]("ell") === 2)
+    assert(out(3L).getAs[Int]("kept") === 0) // no punctuated line has ≥5 words
+    assert(out(4L).getAs[Int]("pol") === 2) // rights reserved + cookie policy
+    assert(!out(4L).getAs[Boolean]("c4"))
+    assert(out(5L).getAs[Int]("pol") === 0)
+    assert(!out(5L).getAs[Boolean]("c4")) // brace kills it
+  }
+
   test("tokenEntropy: uniform tokens maximize normalized entropy") {
     val out = Quality.tokenEntropy(docs(
         1L -> "a b c d", // uniform over 4 -> H = ln 4, norm = 1
