@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Partitioning-invariance of the LLM dedup path.
+  *
+  * Every gate query runs over the driver's single-file parquet; a
+  * 100 TB corpus arrives as thousands of hash-distributed files in
+  * arbitrary row order. This spec pins the property that scale
+  * actually stresses: the full dedup→clustering→survivors pipeline
+  * must produce IDENTICAL results when the same corpus is stored as
+  * many shuffled files — no dependence on input file count, row
+  * order, or partition assignment.
+  */
+class ScaleShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def pipelineResults(docs: org.apache.spark.sql.DataFrame) = {
+    val pairs = Dedup.minHashCandidatePairs(docs,
+        numHashes = 8, bandSize = 2, shingleLen = 3)
+      .filter(col("est_jaccard") >= 0.5)
+    val (components, survivors) = Dedup.dedupClusters(pairs)
+    val comp = components.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("component"))).toSet
+    val surv = survivors.collect()
+      .map(r => (r.getAs[Long]("component"), r.getAs[Long]("keep_id"),
+        r.getAs[Long]("cluster_size"))).toSet
+    val exact = Dedup.exact(docs).collect()
+      .map(r => (r.getAs[String]("content_hash"), r.getAs[Long]("keep_id"),
+        r.getAs[Long]("dup_count"))).toSet
+    (comp, surv, exact)
+  }
+
+  test("dedup -> CC -> survivors is invariant to file layout and row order") {
+    val single = graft.Tables.documents(spark, dir)
+    val (comp1, surv1, exact1) = pipelineResults(single)
+    assert(comp1.nonEmpty && surv1.nonEmpty)
+
+    // the same corpus as a multi-file, hash-partitioned, row-shuffled
+    // copy — the storage shape a distributed writer produces
+    val multiDir = java.nio.file.Files
+      .createTempDirectory("graft_scale_shape").toString
+    try {
+      single
+        .repartition(8, col("doc_id"))
+        .sortWithinPartitions(md5(col("text"))) // scramble row order
+        .write.mode("overwrite").parquet(multiDir)
+      val files = new java.io.File(multiDir).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files >= 4, s"expected a genuinely multi-file copy, got $files")
+
+      val multi = spark.read.parquet(multiDir)
+      assert(multi.count() === single.count())
+      val (comp2, surv2, exact2) = pipelineResults(multi)
+      assert(comp2 === comp1)
+      assert(surv2 === surv1)
+      assert(exact2 === exact1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(multiDir))
+    }
+  }
+}
