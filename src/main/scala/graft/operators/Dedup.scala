@@ -225,12 +225,67 @@ object Dedup {
     * structural test (the edge set is a star forest), not a
     * hash-compare of successive rounds.
     *
+    * Adaptive execution: near-dup graphs are usually MUCH smaller than
+    * the corpus (only colliding documents appear). When the canonical
+    * edge set fits comfortably on the driver
+    * (`spark.graft.cc.localThreshold`, default 500k edges — a few MB),
+    * a driver-local union-find replaces the iterative star rounds: the
+    * same answer without 2·rounds distributed barriers, exactly the
+    * broadcast-join trade. Above the threshold — or for non-bigint id
+    * types — the O(log diameter) distributed algorithm runs unchanged.
+    * Both paths produce identical labels
+    * (min reachable id), spec-pinned against each other.
+    *
     * @param pairs undirected near-dup edges (aCol, bCol)
     * @return (id, component) for every id appearing in `pairs`
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-                          bCol: String = "id_b", maxIter: Int = 50): DataFrame =
-    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+                          bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val spark = pairs.sparkSession
+    val longIds = pairs.schema(aCol).dataType == LongType &&
+      pairs.schema(bCol).dataType == LongType
+    if (!longIds) return connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+    val threshold = spark.conf.get("spark.graft.cc.localThreshold", "500000").toLong
+    val edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("hi"),
+        least(col(aCol), col(bCol)).as("lo"))
+      .distinct().cache()
+    val n = edges.count()
+    if (n > threshold) {
+      edges.unpersist()
+      connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+    } else {
+      val collected = edges.collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      val labels = localUnionFind(collected)
+      import spark.implicits._
+      labels.toSeq.toDF("id", "component")
+    }
+  }
+
+  /** Driver-local min-label connected components: union-find with
+    * union-by-min (the smaller root adopts) and path compression.
+    * Self-loops register the node and label it itself. */
+  private def localUnionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keysIterator.map(k => k -> find(k)).toMap
+  }
 
   /** [[connectedComponents]] plus the number of star rounds executed —
     * exposed so the convergence-rate contract (logarithmic in chain

@@ -225,6 +225,29 @@ class DedupSpec extends SparkSpec {
     assert(surv === Set((1L, 1L, 5L), (10L, 10L, 2L)))
   }
 
+  test("local union-find and distributed star rounds label identically") {
+    // mixed shapes: two chains, a triangle with a chord, isolated
+    // self-loop, and a star — plus duplicate/reversed edges
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L),
+      (20L, 21L), (21L, 22L), (22L, 20L), (20L, 22L),
+      (30L, 30L),
+      (40L, 41L), (40L, 42L), (40L, 43L), (43L, 40L))
+      .toDF("id_a", "id_b")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    val local = toMap(Dedup.connectedComponents(pairs)) // under threshold
+    val dist = toMap(Dedup.connectedComponentsWithRounds(pairs, "id_a", "id_b", 50)._1)
+    assert(local === dist)
+    assert(local(5L) === 1L && local(12L) === 10L && local(22L) === 20L)
+    assert(local(30L) === 30L && local(43L) === 40L)
+    // forcing the distributed path through the public API must agree too
+    spark.conf.set("spark.graft.cc.localThreshold", "0")
+    try assert(toMap(Dedup.connectedComponents(pairs)) === local)
+    finally spark.conf.unset("spark.graft.cc.localThreshold")
+  }
+
   test("connected components: empty pair set yields empty labels, no NPE") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty).count() === 0)
