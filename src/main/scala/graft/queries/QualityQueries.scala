@@ -150,10 +150,12 @@ object QualityQueries {
   val q94Collocations = GraftQuery(
     "q94_collocations",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = graft.operators.FanOut(Tables.documents(s, dir))
       val toks = docs.select(explode(graft.functions.Text.tokens(col("text"))).as("tok"))
       val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-      val nTok = toks.agg(count(lit(1)).as("n_tok"))
+      // total tokens = Σ unigram counts: one aggregate over the (tiny)
+      // vocabulary instead of a second full explode pass over the corpus
+      val nTok = uni.agg(sum("c").as("n_tok"))
       val bi = docs.select(
           explode(graft.functions.Text.wordShingles(col("text"), 2)).as("bg"))
         .select(split(col("bg"), " ").getItem(0).as("w1"),
