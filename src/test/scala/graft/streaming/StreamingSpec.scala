@@ -239,4 +239,34 @@ class StreamingSpec extends SparkSpec {
       s"$dir/registry", s"$dir/out/batch_id=9", 9L, 8, 2, 3)
     assert(spark.read.parquet(s"$dir/out/batch_id=9").count() === 0)
   }
+
+  test("a compaction swap interrupted mid-rename is recovered, losing no state") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("neardup_crash").toString
+    val reg = s"$dir/registry"
+    val doc = "the quick brown fox jumps over the lazy dog again and again"
+    Streaming.dedupBatchAgainstRegistry(Seq((1L, doc)).toDF("doc_id", "text"),
+      reg, s"$dir/out/batch_id=0", 0L, 8, 2, 3)
+    val rows = spark.read.parquet(reg).count()
+    assert(rows > 0)
+    // simulate the worst crash window: live dir renamed aside, the
+    // compacted tmp dir incomplete — exactly what a failure between
+    // the two renames leaves behind
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(reg)
+    assert(fs.rename(live, new org.apache.hadoop.fs.Path(reg + ".old")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(reg + ".compact.tmp")) // partial junk
+    // the next batch must see the FULL historical state (its near-dup
+    // collides and is dropped), not an empty registry
+    Streaming.dedupBatchAgainstRegistry(Seq((50L, doc)).toDF("doc_id", "text"),
+      reg, s"$dir/out/batch_id=1", 1L, 8, 2, 3)
+    assert(spark.read.parquet(s"$dir/out/batch_id=1").count() === 0)
+    // recovery restored the live dir and cleared the leftovers
+    assert(fs.exists(live))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(reg + ".old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(reg + ".compact.tmp")))
+    // compacting after recovery also works
+    assert(Streaming.compactRegistry(spark, reg) > 0)
+  }
 }
