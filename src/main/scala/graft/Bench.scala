@@ -8,8 +8,8 @@ object Bench {
     * driver's artifacts embed the bench JSON as an ESCAPED string
     * (\"q…\":1.23), so the pattern tolerates backslash-escaped quotes.
     * Used only to flag anomalously slow measurements; absence is fine. */
-  private def priorTimes(): Map[String, Double] = {
-    val dirs = Seq(new java.io.File("."), new java.io.File("/root/repo"))
+  private[graft] def priorTimes(dirs: Seq[java.io.File] =
+      Seq(new java.io.File("."), new java.io.File("/root/repo"))): Map[String, Double] = {
     val files = dirs.flatMap(d => Option(d.listFiles()).toSeq.flatten)
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
     val entry = """\\?"(q\d+[^"\\]*)\\?":([0-9.]+)""".r

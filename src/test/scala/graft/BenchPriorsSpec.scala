@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's self-defense depends on parsing per-query times out of
+  * earlier rounds' BENCH_r*.json artifacts — which the driver stores
+  * with the bench JSON EMBEDDED AS AN ESCAPED STRING ("tail" field,
+  * \"qNN\":1.23). This pins the parser against both formats so a
+  * format drift degrades to "no priors" (weaker thresholds), never to
+  * wrong ones. */
+class BenchPriorsSpec extends AnyFunSuite {
+
+  private def withDir(body: java.io.File => Unit): Unit = {
+    val d = java.nio.file.Files.createTempDirectory("bench_priors").toFile
+    try body(d)
+    finally org.apache.commons.io.FileUtils.deleteDirectory(d)
+  }
+
+  test("parses plain and escaped-tail artifacts, keeping the per-query min") {
+    withDir { d =>
+      // round 1: plain bench JSON line (our own format)
+      val plain = """{"metric":"total","value":9.9,"unit":"sec","queries":{"q01_pricing_summary":0.45,"q24_minhash_lsh":4.6},"sf":"/x"}"""
+      java.nio.file.Files.write(new java.io.File(d, "BENCH_r01.json").toPath,
+        plain.getBytes)
+      // round 2: driver wrapper with the escaped tail
+      val wrapped = """{"n": 3, "sf": 0.1, "tail": "\"q01_pricing_summary\":0.31,\"q64_tpch_q21_sole_late_supplier\":2.75"}"""
+      java.nio.file.Files.write(new java.io.File(d, "BENCH_r02.json").toPath,
+        wrapped.getBytes)
+      // not a bench artifact: ignored
+      java.nio.file.Files.write(new java.io.File(d, "CORRECTNESS_r01.json").toPath,
+        """{"q99_fake": 0.001}""".getBytes)
+      val p = Bench.priorTimes(Seq(d))
+      assert(p("q01_pricing_summary") === 0.31) // min across rounds
+      assert(p("q24_minhash_lsh") === 4.6)
+      assert(p("q64_tpch_q21_sole_late_supplier") === 2.75)
+      assert(!p.contains("q99_fake"))
+    }
+  }
+
+  test("missing directories and malformed files yield no priors, not a crash") {
+    assert(Bench.priorTimes(Seq(new java.io.File("/nonexistent_dir_xyz"))).isEmpty)
+    withDir { d =>
+      java.nio.file.Files.write(new java.io.File(d, "BENCH_r07.json").toPath,
+        "not json at all {{{".getBytes)
+      assert(Bench.priorTimes(Seq(d)).isEmpty)
+    }
+  }
+}

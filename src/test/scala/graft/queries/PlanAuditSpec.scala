@@ -147,4 +147,17 @@ class PlanAuditSpec extends SparkSpec {
     assert("Broadcast".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q24: minhash signatures compute once (band self-join reuses the exchange)") {
+    val p = plan("q24_minhash_lsh")
+    // signatures ride through the band self-join; the two sides are the
+    // identical subtree, so exactly ONE min(...) signature aggregation
+    // tree must execute — the other side is a ReusedExchange. Two
+    // distinct signature aggregations = the old rejoin-twice plan.
+    val finalPlan = p.split("== Initial Plan ==")(0) // drop AQE's pre-plan echo
+    assert(finalPlan.contains("ReusedExchange"), finalPlan)
+    val sigAggs = finalPlan.linesIterator
+      .count(l => l.contains("partial_min") && l.contains("md5"))
+    assert(sigAggs <= 1, s"signature agg computed $sigAggs times:\n$finalPlan")
+  }
 }
