@@ -529,9 +529,48 @@ object Extras {
            |FROM uw JOIN c USING (user_id)
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Exponentially-decayed 30-day revenue per order day (half-life
+    * smoothing — the freshness-weighted KPI shape). Scale design:
+    * aggregate FIRST (orders → one row per day, the big reduction),
+    * then fan each day's revenue forward to its next 30 calendar days
+    * with explode(sequence) and re-aggregate — a bounded 30× explode
+    * on the tiny daily table and two equi-shuffles, never a range
+    * join or a window over the raw fact. Weights pow(0.9, age) are
+    * pure libm doubles; round(4) absorbs ulp and sum-order noise. */
+  val q102DecayedRevenue = GraftQuery(
+    "q102_decayed_revenue",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val contrib = daily
+        .select(col("day"), col("rev"), explode(expr("sequence(0, 29)")).as("age"))
+        .select(date_add(col("day"), col("age")).as("day"),
+          (col("rev").cast("double") * pow(lit(0.9), col("age"))).as("w"))
+        .groupBy("day").agg(sum("w").as("decayed"))
+      daily.join(contrib, "day")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("rev").cast("double"), 2).as("rev"),
+          round(col("decayed"), 4).as("decayed_rev"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS day,
+           |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           |  FROM orders GROUP BY 1),
+           |contrib AS (
+           |  SELECT day + CAST(o.g AS INTEGER) AS day,
+           |    CAST(rev AS DOUBLE) * pow(0.9, o.g) AS w
+           |  FROM daily, LATERAL (SELECT unnest(generate_series(0, 29)) g) o)
+           |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           |  round(CAST(d.rev AS DOUBLE), 2) AS rev,
+           |  round(sum(c.w), 4) AS decayed_rev
+           |FROM daily d JOIN contrib c ON c.day = d.day
+           |GROUP BY d.day, d.rev ORDER BY d.day""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
     q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
     q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup, q75StatAggregates,
     q76Winsorize, q77TableChecksum, q78Histogram, q89DistributionWindows,
-    q90Retention, q96RobustStats, q97Cohorts)
+    q90Retention, q96RobustStats, q97Cohorts, q102DecayedRevenue)
 }

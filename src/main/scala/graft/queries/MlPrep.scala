@@ -349,7 +349,35 @@ object MlPrep {
            |  count(*) AS cnt
            |FROM toks GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Stratified subsample: the 5 deterministically-chosen documents
+    * per (lang, source) stratum, ranked by md5(doc_id) — the
+    * "inspect a fixed random-but-reproducible handful per slice"
+    * pass every corpus audit starts with. Routed through the native
+    * [[graft.plans.TopK]] operator, so per-stratum selection is a
+    * bounded-heap partial reduction (shuffle carries ≤ k rows per
+    * stratum per map partition — never the corpus) instead of a full
+    * window sort. The md5 rank key is engine-portable, so the sample
+    * is identical across engines, runs, and partitionings. */
+  val q100StratifiedSample = GraftQuery(
+    "q100_stratified_sample",
+    (s, dir) => {
+      val keyed = Tables.documents(s, dir)
+        .select(col("lang"), col("source"), col("doc_id"),
+          md5(col("doc_id").cast("string")).as("sk"))
+      graft.plans.TopK.topKPerGroup(keyed,
+          Seq(col("lang"), col("source")),
+          Seq(col("sk").asc, col("doc_id").asc), 5)
+        .select("lang", "source", "doc_id")
+        .orderBy("lang", "source", "doc_id")
+    },
+    Some("""SELECT lang, source, doc_id FROM (
+           |  SELECT lang, source, doc_id,
+           |    row_number() OVER (PARTITION BY lang, source
+           |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           |  FROM documents)
+           |WHERE rn <= 5 ORDER BY lang, source, doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q50TrainTestSplit, q51VocabTopK, q52Tfidf,
     q53Contamination, q70PretrainPipeline, q86SequencePacking, q87MixtureSample,
-    q92QuantileBinning, q93FeatureHash)
+    q92QuantileBinning, q93FeatureHash, q100StratifiedSample)
 }

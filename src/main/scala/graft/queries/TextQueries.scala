@@ -516,10 +516,31 @@ object TextQueries {
            |  md5(array_to_string(chunk, ' ')) AS chunk_md5
            |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
 
+  /** Degree profile of the near-dup graph: how many docs have 1, 2, …
+    * near-duplicate neighbors. The shape every dedup run should audit
+    * before clustering — a heavy-tailed degree histogram (one doc
+    * near-dup to thousands) flags template/boilerplate explosions and
+    * predicts CC skew. One extra aggregation over the q54 pair
+    * frame; no new shuffle shapes. */
+  val q101NearDupDegree = GraftQuery(
+    "q101_neardup_degree",
+    (s, dir) => {
+      val pairs = nearDupPairs(s, dir).select("id_a", "id_b")
+      val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+        .toDF("src", "dst")
+      edges.groupBy("src").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+        .orderBy("degree")
+    },
+    Some(s"""$ccOracleBase
+            |SELECT degree, count(*) AS n_docs FROM (
+            |  SELECT src, count(*) AS degree FROM edges GROUP BY src)
+            |GROUP BY degree ORDER BY degree""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q20TextStats, q21LangId, q22Fingerprint, q23DedupExact, q24MinhashLsh,
     q25Simhash, q26NgramJaccard, q27MultimodalMeta, q28MultimodalFeatures,
     q29SimhashNearDup, q39NgramJaccardPrefix, q40RollingFingerprint,
     q54DedupClusters, q55DedupSurvivors, q69BpeSegments, q85FrameSample,
-    q88DocChunks)
+    q88DocChunks, q101NearDupDegree)
 }

@@ -169,6 +169,27 @@ object VectorQueries {
            |  CAST(list_sum(q) AS BIGINT) AS q_checksum
            |FROM s2 ORDER BY vec_id""".stripMargin))
 
+  /** Per-label mean embedding (class centroids) — the mean-pooling
+    * pass behind label prototypes, cluster seeding, and embedding
+    * drift monitoring. posexplode keeps the whole computation one
+    * map-side-combinable (label, dim) aggregation: 64× row
+    * amplification of narrow (int, int, double) rows, partial avg on
+    * the map side, one shuffle of ≤ labels×dims rows — no collect,
+    * no per-label scan. round(6) absorbs float sum-order noise. */
+  val q103LabelCentroids = GraftQuery(
+    "q103_label_centroids",
+    (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("v").cast("double")), 6).as("centroid"))
+        .orderBy("label", "dim"),
+    Some("""SELECT label, i.g - 1 AS dim, count(*) AS n_vecs,
+           |  round(avg(CAST(embedding[i.g] AS DOUBLE)), 6) AS centroid
+           |FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 64)) g) i
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q30AnnBruteForce, q31CosinePairs, q32AnnLsh,
-    q37AnnIvf, q38EmbeddingNearDup, q57EmbeddingQuantize)
+    q37AnnIvf, q38EmbeddingNearDup, q57EmbeddingQuantize, q103LabelCentroids)
 }

@@ -62,4 +62,44 @@ class ScaleShapeSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(multiDir))
     }
   }
+
+  /** Same property for the vector path: the IVF quantizer trains on a
+    * deterministic md5-ordered bounded sample (TakeOrderedAndProject),
+    * so the trained model — and with it every cell assignment, probe
+    * set, and near-dup pair — must not depend on how the embedding
+    * corpus is laid out on disk. A layout-sensitive sample would make
+    * ANN results change under compaction, the classic silent-drift
+    * bug in production vector pipelines. */
+  test("IVF ANN + embedding near-dup are invariant to file layout and row order") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    def results(e: org.apache.spark.sql.DataFrame) = {
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val topk = Similarity.ivfTopK(queries, corpus, k = 5, nCentroids = 16, nProbe = 16)
+        .select(col("qid"), col("rank"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val pairs = Similarity.cosineNearDupPairs(corpus, threshold = 0.4, nCentroids = 16)
+        .select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (topk, pairs)
+    }
+    val (topk1, pairs1) = results(emb)
+    assert(topk1.nonEmpty && pairs1.nonEmpty)
+
+    val multiDir = java.nio.file.Files
+      .createTempDirectory("graft_scale_shape_vec").toString
+    try {
+      emb.repartition(8, col("vec_id"))
+        .sortWithinPartitions(md5(col("vec_id").cast("string")))
+        .write.mode("overwrite").parquet(multiDir)
+      val multi = spark.read.parquet(multiDir)
+      assert(multi.count() === emb.count())
+      val (topk2, pairs2) = results(multi)
+      assert(topk2 === topk1)
+      assert(pairs2 === pairs1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(multiDir))
+    }
+  }
 }

@@ -160,4 +160,30 @@ class PlanAuditSpec extends SparkSpec {
       .count(l => l.contains("partial_min") && l.contains("md5"))
     assert(sigAggs <= 1, s"signature agg computed $sigAggs times:\n$finalPlan")
   }
+
+  test("q100: stratified sampling routes through the native top-k exec") {
+    val p = plan("q100_stratified_sample")
+    assert(p.contains("TopKPerGroup"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q102: decay explode runs on the daily aggregate, not the fact scan") {
+    val p = plan("q102_decayed_revenue")
+    // aggregate-first: the explode must sit ON TOP of the day-grain
+    // aggregation, i.e. a HashAggregate appears deeper in the tree
+    // (later in print order) than the Generate — the 30× amplification
+    // touches only day-grain rows, never the raw fact scan
+    val genIdx = p.indexOf("Generate")
+    assert(genIdx > 0, p)
+    assert(p.indexOf("HashAggregate", genIdx) > genIdx, p)
+    // the day self-join is an equi-join, never a range/nested-loop
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q103: centroid aggregation is map-side combined (partial avg under the explode)") {
+    val p = plan("q103_label_centroids")
+    assert(p.contains("Generate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), p)
+  }
 }
