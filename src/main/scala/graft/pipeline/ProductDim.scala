@@ -38,20 +38,26 @@ object ProductDim {
   /** The reference's hard-coded initial-load guard date. */
   val initialLoadGuard = "2019-01-01"
 
-  def apply(cleansed: DataFrame): DataFrame = {
-    // all_products: distinct (name, price, first-seen date) — the
-    // NOT-EXISTS-on-empty-target insert degenerates to DISTINCT
-    // (ref: ProductDimension.sql:30-39), and per-(name,price) MIN(date)
-    // collapses the cursor's first-encounter-wins insert.
-    val versions = cleansed
-      .select(col("product").as("product_name"),
-        col("price_each"),
-        col("order_date").cast("date").as("order_date"))
-      .groupBy("product_name", "price_each")
-      .agg(min("order_date").as("last_update_date"))
+  def apply(cleansed: DataFrame): DataFrame =
+    assignIds(flagVersions(versionsOf(cleansed)))
 
+  /** all_products: distinct (name, price, first-seen date) — the
+    * NOT-EXISTS-on-empty-target insert degenerates to DISTINCT
+    * (ref: ProductDimension.sql:30-39), and per-(name,price) MIN(date)
+    * collapses the cursor's first-encounter-wins insert. */
+  private def versionsOf(cleansed: DataFrame): DataFrame = cleansed
+    .select(col("product").as("product_name"),
+      col("price_each"),
+      col("order_date").cast("date").as("order_date"))
+    .groupBy("product_name", "price_each")
+    .agg(min("order_date").as("last_update_date"))
+
+  /** active_status / action_flag from the version set alone — the flag
+    * semantics are a pure per-name function of the final versions,
+    * which is what makes the incremental [[merge]] exact. */
+  private def flagVersions(versions: DataFrame): DataFrame = {
     val byName = Window.partitionBy("product_name")
-    val flagged = versions
+    versions
       .withColumn("n_versions", count(lit(1)).over(byName))
       .withColumn("latest",
         max(struct(col("last_update_date"), col("price_each"))).over(byName))
@@ -64,9 +70,12 @@ object ProductDim {
           .when(col("is_latest"), "U")
           .when(col("last_update_date") === to_date(lit(initialLoadGuard)), "I")
           .otherwise("U"))
+  }
 
-    // Zero-pad to 6 but never truncate (LPAD cuts longer strings —
-    // would collide IDs past 999,999 products).
+  /** product_id = 'P' + zero-padded dense rank over product_name.
+    * Zero-pad to 6 but never truncate (LPAD cuts longer strings —
+    * would collide IDs past 999,999 products). */
+  private def assignIds(flagged: DataFrame): DataFrame = {
     val rankStr = dense_rank().over(Window.orderBy("product_name")).cast("string")
     flagged
       .withColumn("product_id",
@@ -74,5 +83,41 @@ object ProductDim {
           when(length(rankStr) < 6, lpad(rankStr, 6, "0")).otherwise(rankStr)))
       .select("product_id", "product_name", "price_each",
         "last_update_date", "active_status", "action_flag")
+  }
+
+  /** Incremental SCD2 merge (apply-changes): fold a staged batch of
+    * new observations into an existing dimension built by [[apply]].
+    *
+    * Provably equivalent to rebuilding over the union of histories —
+    * the gate query's oracle IS the full rebuild — because every flag
+    * is a pure per-name function of the final version set. The
+    * incremental win is where the work lands: version collapse and
+    * flag windows run ONLY over names present in the batch (semi-join
+    * current, union staged, re-derive), while the untouched bulk of
+    * the dimension streams through with its stored flags — at scale
+    * the nightly batch is orders of magnitude smaller than the
+    * dimension, so the expensive recompute is batch-sized, not
+    * history-sized. Ids follow the reference's dense-rank-over-name
+    * contract (ProductDimension.sql:143-152) and are re-derived over
+    * the dictionary-sized name set (a new name can shift later ranks;
+    * stable-id assignment is the separate G3 max+1 contract in
+    * [[Cleanse]]). */
+  def merge(current: DataFrame, stagedCleansed: DataFrame): DataFrame = {
+    val stagedVersions = versionsOf(stagedCleansed)
+    val affected = stagedVersions.select("product_name").distinct()
+    val touched = flagVersions(
+      current
+        .join(affected, Seq("product_name"), "left_semi")
+        .select("product_name", "price_each", "last_update_date")
+        .union(stagedVersions)
+        .groupBy("product_name", "price_each")
+        .agg(min("last_update_date").as("last_update_date")))
+      .select("product_name", "price_each", "last_update_date",
+        "active_status", "action_flag")
+    val untouched = current
+      .join(affected, Seq("product_name"), "left_anti")
+      .select("product_name", "price_each", "last_update_date",
+        "active_status", "action_flag")
+    assignIds(touched.union(untouched))
   }
 }

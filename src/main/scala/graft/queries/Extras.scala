@@ -568,9 +568,53 @@ object Extras {
            |FROM daily d JOIN contrib c ON c.day = d.day
            |GROUP BY d.day, d.rev ORDER BY d.day""".stripMargin))
 
+  /** The KMV distinct sketch in its second, composable context: per-day
+    * distinct-user estimates next to the exact count — the daily-rollup
+    * shape where a 100 TB engine runs sketches INSTEAD of exact
+    * distincts (bounded memory per group, mergeable partials). Same
+    * engine-portable "k smallest md5 digests" estimator as q34, so the
+    * DuckDB oracle reproduces the estimate bit-for-bit. */
+  val q104KmvDailyUsers = GraftQuery(
+    "q104_kmv_daily_users",
+    (s, dir) => {
+      val k = 64
+      Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(graft.functions.Kmv.kmvDigests(
+            md5(col("user_id").cast("string")), k).as("kmv"),
+          countDistinct(col("user_id")).as("n_users_exact"),
+          count(lit(1)).as("n_events"))
+        .select(col("day"),
+          round(graft.functions.Kmv.kmvEstimate(col("kmv"), k), 4)
+            .as("n_users_kmv"),
+          col("n_users_exact"), col("n_events"))
+        .orderBy("day")
+    },
+    Some("""WITH d AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+           |                  md5(CAST(user_id AS VARCHAR)) AS h
+           |           FROM events),
+           |r AS (SELECT day, h,
+           |        row_number() OVER (PARTITION BY day ORDER BY h) AS rk
+           |      FROM d),
+           |g AS (SELECT day, count(*) AS nd,
+           |        max(CASE WHEN rk = 64 THEN substr(h, 1, 12) END) AS h64
+           |      FROM r GROUP BY day),
+           |c AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+           |        count(DISTINCT user_id) AS n_users_exact,
+           |        count(*) AS n_events
+           |      FROM events GROUP BY 1)
+           |SELECT g.day,
+           |  round(CASE WHEN g.nd < 64 THEN CAST(g.nd AS DOUBLE)
+           |        ELSE 63.0 / (CAST(concat('0x', g.h64) AS BIGINT) / power(2, 48))
+           |        END, 4) AS n_users_kmv,
+           |  c.n_users_exact, c.n_events
+           |FROM g JOIN c ON g.day = c.day
+           |ORDER BY g.day""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
     q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
     q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup, q75StatAggregates,
     q76Winsorize, q77TableChecksum, q78Histogram, q89DistributionWindows,
-    q90Retention, q96RobustStats, q97Cohorts, q102DecayedRevenue)
+    q90Retention, q96RobustStats, q97Cohorts, q102DecayedRevenue,
+    q104KmvDailyUsers)
 }

@@ -350,8 +350,31 @@ object PipelineShaped {
            |  raw_key IS NULL AS backfilled
            |FROM o ORDER BY final_key""".stripMargin))
 
+  /** §2.9 incremental — SCD2 apply-changes. Builds the dimension from
+    * history before the cutoff, then merges the post-cutoff tail as a
+    * staged batch through [[graft.pipeline.ProductDim.merge]] (version
+    * collapse + flag windows over batch names only; untouched names
+    * stream through). The oracle is q10's FULL REBUILD over the whole
+    * history — pinning merge ≡ rebuild, the invariant that lets a
+    * 100 TB warehouse apply nightly deltas instead of reloading. */
+  val q105Scd2Merge = GraftQuery(
+    "q105_scd2_merge",
+    (s, dir) => {
+      val cleansed = Tables.lineitem(s, dir).select(
+        lpad(col("l_partkey").cast("string"), 6, "0").as("product"),
+        (col("l_extendedprice") / col("l_quantity")).as("price_each"),
+        col("l_shipdate").as("order_date"))
+      val cutoff = to_date(lit("2000-01-01"))
+      val current = ProductDim(cleansed.filter(col("order_date").cast("date") < cutoff))
+      val staged = cleansed.filter(col("order_date").cast("date") >= cutoff)
+      ProductDim.merge(current, staged)
+        .withColumn("last_update_date", date_format(col("last_update_date"), "yyyy-MM-dd"))
+        .orderBy("product_id", "price_each")
+    },
+    q10Scd2Versions.oracle)
+
   val all: Seq[GraftQuery] = Seq(
     q07AsofLastClick, q08DaySpineFill, q09TimeHierarchy, q10Scd2Versions,
     q11Rollup, q12CubeGroupby, q13SetOps, q14CastRouter, q15StringFuncs,
-    q16IdBackfill)
+    q16IdBackfill, q105Scd2Merge)
 }

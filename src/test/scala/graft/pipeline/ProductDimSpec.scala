@@ -64,4 +64,41 @@ class ProductDimSpec extends SparkSpec {
     assert(dim.filter(_._1 == "Gadget").map(_._6).toSet === Set("P000001"))
     assert(dim.filter(_._1 == "Widget").map(_._6).toSet === Set("P000002"))
   }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (
+      r.getAs[String]("product_id"),
+      r.getAs[String]("product_name"),
+      r.getAs[java.math.BigDecimal]("price_each").toString,
+      r.getAs[java.sql.Date]("last_update_date").toString,
+      r.getAs[String]("active_status"),
+      r.getAs[String]("action_flag"))).toSet
+
+  // merge ≡ rebuild, the operator's contract: new version of an
+  // existing name (demotes the old active), a brand-new name (dense
+  // ranks shift), a duplicate of a stored version with a LATER date
+  // (ignored — min wins), and an untouched name passing through.
+  test("incremental merge equals full rebuild") {
+    val history = Seq(
+      ("Widget", "10.00", "2019-01-05"),
+      ("Widget", "12.00", "2019-01-15"),
+      ("Gadget", "5.00", "2019-01-02"))
+    val batch = Seq(
+      ("Widget", "11.00", "2019-02-01"), // new version, demotes 12.00
+      ("Widget", "10.00", "2019-03-01"), // stored version, later date — no-op
+      ("Apple", "1.00", "2019-02-03")) // new name, shifts Gadget/Widget ranks
+    val merged = ProductDim.merge(ProductDim(cleansedOf(history: _*)),
+      cleansedOf(batch: _*))
+    val rebuilt = ProductDim(cleansedOf(history ++ batch: _*))
+    assert(rows(merged) === rows(rebuilt))
+    assert(rows(merged).exists(t => t._2 == "Apple" && t._1 == "P000001"))
+  }
+
+  test("merging an empty batch leaves the dimension unchanged") {
+    val current = ProductDim(cleansedOf(
+      ("Widget", "10.00", "2019-01-05"),
+      ("Gadget", "5.00", "2019-01-02")))
+    val merged = ProductDim.merge(current, cleansedOf())
+    assert(rows(merged) === rows(current))
+  }
 }
