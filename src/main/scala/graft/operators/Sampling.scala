@@ -43,4 +43,23 @@ object Sampling {
     else df.withColumn(splitCol,
       when(hashBucket(col(idCol)) < lit(hexThreshold(testFraction)), "test")
         .otherwise("train"))
+
+  /** Deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis A-ES): taking the top-k rows by this key is
+    * a weighted sample where a row's inclusion odds scale with
+    * `weight` (> 0). The classic key is u^(1/w) with u ~ U(0,1); we
+    * rank by its logarithm ln(u)/w — order-equivalent (ln is
+    * monotone) and numerically tame for large weights where pow
+    * underflows. u is id-derived — first 12 md5 hex digits mapped to
+    * (h+1)/(2^48+1) ∈ (0,1) — so the draw is a pure row function:
+    * reproducible across engines, runs, and partitionings, and the
+    * global top-k plans as TakeOrderedAndProject (bounded
+    * per-partition heaps, never a global sort). Both factors are
+    * exact in doubles (48-bit integers; IEEE division), leaving libm
+    * ln as the only cross-engine wobble — ulp-sized, absorbed by
+    * rounding the emitted key. */
+  def weightedSampleKey(id: Column, weight: Column): Column =
+    log((conv(substring(md5(id.cast("string")), 1, 12), 16, 10)
+        .cast("double") + 1.0d) / lit(math.pow(2, 48) + 1.0d)) /
+      weight.cast("double")
 }

@@ -377,7 +377,29 @@ object MlPrep {
            |  FROM documents)
            |WHERE rn <= 5 ORDER BY lang, source, doc_id""".stripMargin))
 
+  /** Weighted corpus subsample: top-20 documents under an
+    * Efraimidis–Spirakis draw weighted by length — the
+    * "sample longer/higher-quality docs proportionally more" pass of
+    * curriculum/mixture construction, deterministic and
+    * engine-portable ([[Sampling.weightedSampleKey]]). orderBy+limit
+    * plans as TakeOrderedAndProject: bounded heaps, no global sort. */
+  val q106WeightedSample = GraftQuery(
+    "q106_weighted_sample",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          Sampling.weightedSampleKey(col("doc_id"), col("n_chars")).as("skey"))
+        .orderBy(col("skey").desc, col("doc_id").asc)
+        .limit(20)
+        .withColumn("skey", round(col("skey"), 9)),
+    Some("""SELECT doc_id, source, n_chars, round(skey, 9) AS skey FROM (
+           |  SELECT doc_id, source, n_chars,
+           |    ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
+           |       / (power(2, 48) + 1)) / n_chars AS skey
+           |  FROM documents)
+           |ORDER BY skey DESC, doc_id LIMIT 20""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q50TrainTestSplit, q51VocabTopK, q52Tfidf,
     q53Contamination, q70PretrainPipeline, q86SequencePacking, q87MixtureSample,
-    q92QuantileBinning, q93FeatureHash, q100StratifiedSample)
+    q92QuantileBinning, q93FeatureHash, q100StratifiedSample, q106WeightedSample)
 }

@@ -46,4 +46,39 @@ class SamplingSpec extends SparkSpec {
     val split = Sampling.trainTestSplit(ids.union(top.select($"id")), "id", 1.0)
     assert(split.filter($"split" =!= "test").count() === 0)
   }
+
+  test("weighted sample key: ln-form ranks identically to the classic u^(1/w)") {
+    // weights spanning 4 orders of magnitude; the log form must give
+    // the same top-k order as pow(u, 1/w) wherever pow doesn't
+    // underflow (which is the reason the log form exists)
+    val rows = (0L until 2000L).map(i => (i, 1.0 + (i % 1000) * 10.0)).toDF("id", "w")
+    val u = (conv(substring(md5($"id".cast("string")), 1, 12), 16, 10)
+      .cast("double") + 1.0d) / lit(math.pow(2, 48) + 1.0d)
+    val both = rows.select($"id",
+        Sampling.weightedSampleKey($"id", $"w").as("lnKey"),
+        pow(u, lit(1.0d) / $"w").as("powKey"))
+    val byLn = both.orderBy($"lnKey".desc, $"id".asc).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    val byPow = both.orderBy($"powKey".desc, $"id".asc).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(byLn === byPow)
+  }
+
+  test("weighted sampling favors heavy rows and is weight-monotone per id") {
+    // same uniform per id ⇒ raising the weight must raise the key
+    val rows = (0L until 5000L).toDF("id")
+    val k1 = rows.select($"id", Sampling.weightedSampleKey($"id", lit(1.0)).as("k"))
+    val k10 = rows.select($"id", Sampling.weightedSampleKey($"id", lit(10.0)).as("k"))
+    val joined = k1.withColumnRenamed("k", "k1")
+      .join(k10.withColumnRenamed("k", "k10"), "id")
+    assert(joined.filter($"k10" <= $"k1").count() === 0)
+
+    // statistically: in a 50/50 light/heavy population with 100×
+    // weight ratio, the top-100 draw should be dominated by heavy rows
+    val pop = (0L until 10000L).map(i => (i, if (i % 2 == 0) 1.0 else 100.0))
+      .toDF("id", "w")
+    val top = pop.select($"id", $"w", Sampling.weightedSampleKey($"id", $"w").as("k"))
+      .orderBy($"k".desc).limit(100)
+    assert(top.filter($"w" === 100.0).count() >= 90)
+  }
 }

@@ -180,6 +180,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q106: weighted top-k is a TakeOrderedAndProject, not a global sort") {
+    val p = plan("q106_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q103: centroid aggregation is map-side combined (partial avg under the explode)") {
     val p = plan("q103_label_centroids")
     assert(p.contains("Generate"), p)
