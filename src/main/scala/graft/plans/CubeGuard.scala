@@ -76,8 +76,47 @@ case class ResolveCubeGuard() extends Rule[LogicalPlan] {
 
 /** Engine extensions, installed via `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+  import graft.functions.{HammingHex, KmvDigests, RollingHash, VecDot}
+
+  private def info(name: String, clazz: Class[_], usage: String) =
+    new ExpressionInfo(clazz.getCanonicalName, null, name, usage,
+      "", "", "", "", "4.0.0", "", "built-in")
+
+  private def arity(name: String, n: Int, args: Seq[Expression]): Unit =
+    if (args.size != n) throw new IllegalArgumentException(
+      s"$name expects $n arguments, got ${args.size}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => ResolveCubeGuard())
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    // SQL surface for the native expressions: `spark.sql(...)` users
+    // (the reference's audience writes SQL) get the same codegen'd
+    // kernels the DataFrame API uses — no UDF fallback in SQL text.
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", classOf[VecDot],
+        "vec_dot(a, b) - dot product of two float arrays (codegen'd, sequential fold)"),
+      (args: Seq[Expression]) => { arity("vec_dot", 2, args); VecDot(args(0), args(1)) }))
+    ext.injectFunction((FunctionIdentifier("hamming_hex"),
+      info("hamming_hex", classOf[HammingHex],
+        "hamming_hex(a, b) - Hamming distance between two equal-length hex fingerprints"),
+      (args: Seq[Expression]) => { arity("hamming_hex", 2, args); HammingHex(args(0), args(1)) }))
+    ext.injectFunction((FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", classOf[RollingHash],
+        "rolling_hash(s) - Rabin-Karp polynomial hash of a string"),
+      (args: Seq[Expression]) => { arity("rolling_hash", 1, args); RollingHash(args(0)) }))
+    ext.injectFunction((FunctionIdentifier("kmv_digests"),
+      info("kmv_digests", classOf[KmvDigests],
+        "kmv_digests(hash, k) - aggregate: ascending array of the k smallest distinct digests"),
+      (args: Seq[Expression]) => {
+        arity("kmv_digests", 2, args)
+        val k = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"kmv_digests k must be an integer literal, got $other")
+        }
+        KmvDigests(args(0), k).toAggregateExpression()
+      }))
   }
 }
