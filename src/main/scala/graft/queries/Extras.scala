@@ -611,10 +611,79 @@ object Extras {
            |FROM g JOIN c ON g.day = c.day
            |ORDER BY g.day""".stripMargin))
 
+  /** Incremental rollup maintenance: per-segment summaries computed as
+    * a MERGE of two partial summaries (history before / after a
+    * cutoff) — sums add, min/max combine, and the KMV sketch merges by
+    * re-sketching the union of stored digests (the k smallest of a
+    * union of k-smallest sets IS the k smallest of the union). The
+    * oracle aggregates the full data directly, pinning
+    * merge(partial_A, partial_B) ≡ full — the invariant that lets a
+    * 100 TB warehouse maintain rollups from daily deltas (and what
+    * KmvDigests.merge already does inside every distributed
+    * aggregation, surfaced here at the query level). */
+  val q107IncrementalRollup = GraftQuery(
+    "q107_incremental_rollup",
+    (s, dir) => {
+      val k = 64
+      val joined = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_totalprice"),
+          col("o_orderdate").cast("date").as("d"), col("o_custkey"))
+      def partial(half: org.apache.spark.sql.DataFrame) =
+        half.groupBy("c_mktsegment").agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+          min(col("d")).as("first_day"), max(col("d")).as("last_day"),
+          graft.functions.Kmv.kmvDigests(
+            md5(col("o_custkey").cast("string")), k).as("kmv"))
+      val cutoff = to_date(lit("1998-01-01"))
+      val partials = partial(joined.filter(col("d") < cutoff))
+        .union(partial(joined.filter(col("d") >= cutoff)))
+      val scalars = partials.groupBy("c_mktsegment").agg(
+        sum("n_orders").as("n_orders"), sum("revenue").as("revenue"),
+        min("first_day").as("first_day"), max("last_day").as("last_day"))
+      val sketches = partials
+        .select(col("c_mktsegment"), explode(col("kmv")).as("digest"))
+        .groupBy("c_mktsegment")
+        .agg(graft.functions.Kmv.kmvDigests(col("digest"), k).as("kmv"))
+      scalars.join(sketches, "c_mktsegment")
+        .select(col("c_mktsegment"), col("n_orders"),
+          round(col("revenue").cast("double"), 2).as("revenue"),
+          date_format(col("first_day"), "yyyy-MM-dd").as("first_day"),
+          date_format(col("last_day"), "yyyy-MM-dd").as("last_day"),
+          round(graft.functions.Kmv.kmvEstimate(col("kmv"), k), 4)
+            .as("n_custs_kmv"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""WITH j AS (
+           |  SELECT c_mktsegment, o_totalprice,
+           |    CAST(o_orderdate AS DATE) AS d, o_custkey
+           |  FROM orders JOIN customer ON o_custkey = c_custkey),
+           |dd AS (SELECT DISTINCT c_mktsegment,
+           |         md5(CAST(o_custkey AS VARCHAR)) AS h FROM j),
+           |r AS (SELECT c_mktsegment, h,
+           |        row_number() OVER (PARTITION BY c_mktsegment ORDER BY h) AS rk
+           |      FROM dd),
+           |g AS (SELECT c_mktsegment, count(*) AS nd,
+           |        max(CASE WHEN rk = 64 THEN substr(h, 1, 12) END) AS h64
+           |      FROM r GROUP BY c_mktsegment),
+           |s AS (SELECT c_mktsegment, count(*) AS n_orders,
+           |        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+           |        strftime(min(d), '%Y-%m-%d') AS first_day,
+           |        strftime(max(d), '%Y-%m-%d') AS last_day
+           |      FROM j GROUP BY 1)
+           |SELECT s.c_mktsegment, s.n_orders, s.revenue, s.first_day, s.last_day,
+           |  round(CASE WHEN g.nd < 64 THEN CAST(g.nd AS DOUBLE)
+           |        ELSE 63.0 / (CAST(concat('0x', g.h64) AS BIGINT) / power(2, 48))
+           |        END, 4) AS n_custs_kmv
+           |FROM s JOIN g ON s.c_mktsegment = g.c_mktsegment
+           |ORDER BY s.c_mktsegment""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
     q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
     q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup, q75StatAggregates,
     q76Winsorize, q77TableChecksum, q78Histogram, q89DistributionWindows,
     q90Retention, q96RobustStats, q97Cohorts, q102DecayedRevenue,
-    q104KmvDailyUsers)
+    q104KmvDailyUsers, q107IncrementalRollup)
 }

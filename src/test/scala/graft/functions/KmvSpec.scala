@@ -19,6 +19,23 @@ class KmvSpec extends SparkSpec {
     assert(sketch === expected) // ascending, deduped, exactly k
   }
 
+  test("re-sketching stored sketches equals sketching the union (query-level merge)") {
+    // the incremental-rollup contract (q107): k smallest of a union of
+    // per-shard k-smallest sets == k smallest of the union
+    val k = 16
+    val a = (0L until 3000L).toDF("v")
+    val b = (1500L until 4500L).toDF("v") // overlap exercises dedup
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      df.agg(Kmv.kmvDigests(md5($"v".cast("string")), k).as("kmv"))
+    val merged = sk(a).union(sk(b))
+      .select(explode($"kmv").as("d"))
+      .agg(Kmv.kmvDigests($"d", k).as("kmv"))
+      .select(explode($"kmv")).as[String].collect().toSeq
+    val direct = sk(a.union(b))
+      .select(explode($"kmv")).as[String].collect().toSeq
+    assert(merged === direct)
+  }
+
   test("kmv estimate: exact below k, within sketch rsd above k") {
     val k = 64
     def estimate(n: Long): Double =
