@@ -537,10 +537,38 @@ object TextQueries {
             |  SELECT src, count(*) AS degree FROM edges GROUP BY src)
             |GROUP BY degree ORDER BY degree""".stripMargin))
 
+  /** Cross-source duplication matrix: near-dup pairs bucketed by the
+    * (unordered) source pair of their endpoints — the "which crawls
+    * mirror each other" audit that decides which sources to drop
+    * wholesale before paying for per-document dedup. Two narrow
+    * equi-joins against the (doc_id, source) projection; the pair
+    * canonicalization (least/greatest) keeps the matrix
+    * upper-triangular in both engines. */
+  val q108CrossSourceDups = GraftQuery(
+    "q108_cross_source_dups",
+    (s, dir) => {
+      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      nearDupPairs(s, dir).select("id_a", "id_b")
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+        .select(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(s"""$ccOracleBase
+            |SELECT least(da.source, db.source) AS source_a,
+            |  greatest(da.source, db.source) AS source_b,
+            |  count(*) AS n_pairs
+            |FROM pairs
+            |JOIN documents da ON da.doc_id = id_a
+            |JOIN documents db ON db.doc_id = id_b
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q20TextStats, q21LangId, q22Fingerprint, q23DedupExact, q24MinhashLsh,
     q25Simhash, q26NgramJaccard, q27MultimodalMeta, q28MultimodalFeatures,
     q29SimhashNearDup, q39NgramJaccardPrefix, q40RollingFingerprint,
     q54DedupClusters, q55DedupSurvivors, q69BpeSegments, q85FrameSample,
-    q88DocChunks, q101NearDupDegree)
+    q88DocChunks, q101NearDupDegree, q108CrossSourceDups)
 }
