@@ -438,10 +438,29 @@ object Dedup {
         Window.partitionBy("id").orderBy(col("df").asc, col("s").asc)))
       .join(counts, "id")
       .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select("id", "s")
-    ranked.as("a").join(ranked.as("b"),
-        col("a.s") === col("b.s") and col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      .select("id", "s", "rk", "n")
+    // ppjoin positional filter (Xiao et al., public algorithm): both
+    // docs' shingle sets are sorted by the SAME global rarity order,
+    // so for the FIRST shared prefix shingle — at ranks (rk_a, rk_b) —
+    // everything before it on either side is provably disjoint from
+    // the other doc, bounding the overlap at 1 + min(n_a−rk_a,
+    // n_b−rk_b). J ≥ t needs overlap ≥ ⌈(n_a+n_b)·t/(1+t)⌉; pairs
+    // whose LOOSEST bound (max over matches ≥ the first-match bound)
+    // can't reach that floor are pruned before the intersection join
+    // pays for them. Output-identical: the exact Jaccard filter
+    // downstream is unchanged.
+    val a = ranked.toDF("id_a", "s", "rk_a", "n_a")
+    val b = ranked.toDF("id_b", "sb", "rk_b", "n_b")
+    // length filter: J(A,B) ≥ t forces t·|A| ≤ |B| ≤ |A|/t — applied
+    // inside the join so out-of-band pairs never reach the aggregation
+    a.join(b, col("s") === col("sb") and col("id_a") < col("id_b")
+        and col("n_b") >= col("n_a") * threshold
+        and col("n_a") >= col("n_b") * threshold)
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(max(least(col("n_a") - col("rk_a"),
+        col("n_b") - col("rk_b"))).as("rest"))
+      .filter(col("rest") + 1 >=
+        ceil((col("n_a") + col("n_b")) * threshold / (1 + threshold)))
+      .select("id_a", "id_b")
   }
 }
