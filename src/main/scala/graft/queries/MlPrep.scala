@@ -399,7 +399,63 @@ object MlPrep {
            |  FROM documents)
            |ORDER BY skey DESC, doc_id LIMIT 20""".stripMargin))
 
+  /** Decontaminated train/test split: the q50 hash split HARDENED the
+    * way an eval-safe pipeline must be — any train document sharing
+    * ≥ 3 distinct 5-gram shingles with ANY test document is dropped
+    * from train (it would leak eval data into training). The test
+    * shingle vocabulary is a distinct dimension-sized set; the scan is
+    * one shingle equi-join + per-doc distinct count, never a doc×doc
+    * comparison. */
+  val q110DecontaminatedSplit = GraftQuery(
+    "q110_decontaminated_split",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tagged = Sampling.trainTestSplit(docs, "doc_id", testFraction = 0.2)
+      val sh = graft.operators.FanOut(tagged)
+        .select(col("doc_id"), col("split"),
+          explode(array_distinct(Text.wordShingles(col("text"), 5))).as("s"))
+      val testVocab = sh.filter(col("split") === "test").select("s").distinct()
+      val leaked = sh.filter(col("split") === "train")
+        .join(testVocab, "s")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .select(col("doc_id"), lit(true).as("leaked"))
+      tagged.join(leaked, Seq("doc_id"), "left")
+        .withColumn("final_split",
+          when(col("split") === "test", "test")
+            .when(col("leaked"), "dropped")
+            .otherwise("train"))
+        .groupBy("final_split")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("final_split")
+    },
+    Some(s"""WITH tagged AS (
+            |  SELECT doc_id, text,
+            |    CASE WHEN ${bucketSql("doc_id")} < '3333'
+            |         THEN 'test' ELSE 'train' END AS split
+            |  FROM documents),
+            |toks AS (SELECT doc_id, split,
+            |           string_split_regex(trim(text), '\\s+') AS ws FROM tagged),
+            |sh AS (
+            |  SELECT DISTINCT doc_id, split,
+            |    ws[i.g] || ' ' || ws[i.g+1] || ' ' || ws[i.g+2] || ' ' ||
+            |    ws[i.g+3] || ' ' || ws[i.g+4] AS s
+            |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) g) i
+            |  WHERE len(ws) >= 5),
+            |testv AS (SELECT DISTINCT s FROM sh WHERE split = 'test'),
+            |leaked AS (
+            |  SELECT sh.doc_id FROM sh JOIN testv USING (s)
+            |  WHERE sh.split = 'train'
+            |  GROUP BY sh.doc_id HAVING count(*) >= 3)
+            |SELECT CASE WHEN split = 'test' THEN 'test'
+            |            WHEN doc_id IN (SELECT doc_id FROM leaked) THEN 'dropped'
+            |            ELSE 'train' END AS final_split,
+            |  count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+            |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q50TrainTestSplit, q51VocabTopK, q52Tfidf,
     q53Contamination, q70PretrainPipeline, q86SequencePacking, q87MixtureSample,
-    q92QuantileBinning, q93FeatureHash, q100StratifiedSample, q106WeightedSample)
+    q92QuantileBinning, q93FeatureHash, q100StratifiedSample, q106WeightedSample,
+    q110DecontaminatedSplit)
 }

@@ -190,6 +190,53 @@ object VectorQueries {
            |FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 64)) g) i
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Embedding outliers: per label, the 3 vectors least similar to
+    * their class centroid — the mislabeled-data / noisy-example audit
+    * run before training on labeled embeddings. Everything stays in
+    * exploded (label, dim) space: centroid avg, then one equi-join and
+    * a per-vector dot/norm aggregation — no per-label array
+    * materialization, no cartesian — and the per-label bottom-3 rides
+    * the native TopKPerGroup operator. */
+  val q109EmbeddingOutliers = GraftQuery(
+    "q109_embedding_outliers",
+    (s, dir) => {
+      val ex = Tables.embeddings(s, dir)
+        .select(col("label"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("v", col("v").cast("double"))
+      val cent = ex.groupBy("label", "dim").agg(avg("v").as("c"))
+      val per = ex.join(cent, Seq("label", "dim"))
+        .groupBy("label", "vec_id")
+        .agg(sum(col("v") * col("c")).as("dot"),
+          sum(col("v") * col("v")).as("v2"),
+          sum(col("c") * col("c")).as("c2"))
+        .withColumn("cos", col("dot") / (sqrt(col("v2")) * sqrt(col("c2"))))
+      graft.plans.TopK.topKPerGroup(per, Seq(col("label")),
+          Seq(col("cos").asc, col("vec_id").asc), 3)
+        .select(col("label"), col("vec_id"),
+          round(col("cos"), 6).as("cos_to_centroid"))
+        .orderBy("label", "vec_id")
+    },
+    Some("""WITH ex AS (
+           |  SELECT label, vec_id, i.g - 1 AS dim,
+           |    CAST(embedding[i.g] AS DOUBLE) AS v
+           |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 64)) g) i),
+           |cent AS (SELECT label, dim, avg(v) AS c FROM ex GROUP BY 1, 2),
+           |per AS (
+           |  SELECT e.label, e.vec_id, sum(e.v * c.c) AS dot,
+           |    sum(e.v * e.v) AS v2, sum(c.c * c.c) AS c2
+           |  FROM ex e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+           |  GROUP BY 1, 2),
+           |r AS (
+           |  SELECT label, vec_id, dot / (sqrt(v2) * sqrt(c2)) AS cos,
+           |    row_number() OVER (PARTITION BY label
+           |                       ORDER BY dot / (sqrt(v2) * sqrt(c2)) ASC,
+           |                                vec_id ASC) AS rn
+           |  FROM per)
+           |SELECT label, vec_id, round(cos, 6) AS cos_to_centroid
+           |FROM r WHERE rn <= 3 ORDER BY label, vec_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q30AnnBruteForce, q31CosinePairs, q32AnnLsh,
-    q37AnnIvf, q38EmbeddingNearDup, q57EmbeddingQuantize, q103LabelCentroids)
+    q37AnnIvf, q38EmbeddingNearDup, q57EmbeddingQuantize, q103LabelCentroids,
+    q109EmbeddingOutliers)
 }
