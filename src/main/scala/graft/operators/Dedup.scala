@@ -79,9 +79,19 @@ object Dedup {
   def minHashCandidatePairs(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 2,
                             shingleLen: Int = 3, idCol: String = "doc_id",
                             textCol: String = "text",
-                            digest: SaltedDigest = md5Digest): DataFrame = {
+                            digest: SaltedDigest = md5Digest): DataFrame =
+    bandedPairsFromWideSig(
+      minHashSignaturesWide(docs, numHashes, shingleLen, idCol, textCol, digest),
+      numHashes, bandSize)
+
+  /** LSH banding + pair scoring over any wide (id, h0..h{n-1})
+    * signature frame — shared by classic salted-digest MinHash and
+    * the one-permutation path. Signature columns ride THROUGH the
+    * band self-join (one ReusedExchange, scoring as a projection,
+    * duplicate band hits collapsed in one aggregation). */
+  private[operators] def bandedPairsFromWideSig(sig: DataFrame, numHashes: Int,
+                                                bandSize: Int): DataFrame = {
     require(numHashes % bandSize == 0, "bandSize must divide numHashes")
-    val sig = minHashSignaturesWide(docs, numHashes, shingleLen, idCol, textCol, digest)
     val bandKeys = (0 until numHashes / bandSize).map { b =>
       val cols = (b * bandSize until (b + 1) * bandSize).map(i => col(s"h$i"))
       struct(lit(b).as("band"), concat_ws("|", cols: _*).as("key"))
@@ -103,6 +113,49 @@ object Dedup {
       .groupBy("id_a", "id_b")
       .agg(max("est_jaccard").as("est_jaccard"))
   }
+
+  /** One-permutation MinHash signatures (Li/Owen/Zhang 2012, public
+    * algorithm) with rotation densification: ONE digest per distinct
+    * shingle — the 48-bit md5-prefix hash space is split into
+    * `numHashes` equal bins, each slot takes its bin's minimum hash,
+    * and an empty slot borrows from the nearest non-empty bin to its
+    * cyclic right. Output is the same wide (id, h0..h{n-1}) shape as
+    * [[minHashSignaturesWide]], so the banding/pair machinery applies
+    * unchanged. At scale this removes the ×numHashes digest
+    * amplification from the signature stage — classic MinHash's
+    * dominant cost — while keeping an unbiased Jaccard estimate;
+    * every step is integer arithmetic on the same md5 prefix both
+    * engines compute, so signatures are bit-identical anywhere. */
+  def ophSignaturesWide(docs: DataFrame, numHashes: Int = 8, shingleLen: Int = 3,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val b = numHashes
+    require(b > 0 && b <= 1024, s"numHashes out of range: $b")
+    val sh = FanOut(docs).select(col(idCol).as("id"),
+      explode(array_distinct(Text.wordShingles(col(textCol), shingleLen))).as("s"))
+    val h = conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long")
+    // bin = floor(h·b / 2^48) — h < 2^48 and b ≤ 2^10 keep h·b < 2^58
+    val mins = sh
+      .select(col("id"), shiftright(h * lit(b.toLong), 48).as("bin"), h.as("h"))
+      .groupBy("id", "bin").agg(min("h").as("mh"))
+    val packed = mins.groupBy("id")
+      .agg(collect_list(struct(col("bin"), col("mh"))).as("bm"))
+    val slots = (0 until b).map { slot =>
+      element_at(array_sort(transform(col("bm"), e =>
+        struct(pmod(e.getField("bin") - slot, lit(b.toLong)).as("d"),
+          e.getField("mh").as("mh")))), 1)
+        .getField("mh").as(s"h$slot")
+    }
+    packed.select(col("id") +: slots: _*)
+  }
+
+  /** [[minHashCandidatePairs]] over one-permutation signatures — same
+    * banding, same output shape, one digest pass per shingle. */
+  def ophCandidatePairs(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 2,
+                        shingleLen: Int = 3, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    bandedPairsFromWideSig(
+      ophSignaturesWide(docs, numHashes, shingleLen, idCol, textCol),
+      numHashes, bandSize)
 
   /** (id, band, band_key) LSH band table from a wide signature frame —
     * the shared candidate-generation key for batch pair joins and the

@@ -565,10 +565,62 @@ object TextQueries {
             |JOIN documents db ON db.doc_id = id_b
             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** One-permutation MinHash + LSH near-dup pairs — q24's semantics at
+    * a fraction of the hash cost: ONE md5 per distinct shingle (vs 8
+    * salted digests), 48-bit prefix binned into 8 slots with rotation
+    * densification ([[Dedup.ophSignaturesWide]]), then the identical
+    * banding/scoring machinery. The scale path for signature
+    * computation on 100 TB corpora; integer-arithmetic portable, so
+    * the oracle reproduces the signatures bit-for-bit. */
+  val q111MinhashOph = GraftQuery(
+    "q111_minhash_oph",
+    (s, dir) =>
+      Dedup.ophCandidatePairs(Tables.documents(s, dir),
+          numHashes = 8, bandSize = 2, shingleLen = 3)
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("id_a", "id_b"),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, ws[i.g] || ' ' || ws[i.g+1] || ' ' || ws[i.g+2] AS s
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) g) i
+           |  WHERE len(ws) >= 3),
+           |hv AS (
+           |  SELECT DISTINCT doc_id,
+           |    CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS h
+           |  FROM sh),
+           |mh AS (
+           |  SELECT doc_id, (h * 8) // 281474976710656 AS bin, min(h) AS mh
+           |  FROM hv GROUP BY doc_id, bin),
+           |sig AS (
+           |  SELECT d.doc_id, sl.g AS slot,
+           |    arg_min(m.mh, (m.bin - sl.g + 8) % 8) AS mh
+           |  FROM (SELECT DISTINCT doc_id FROM mh) d
+           |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, 7)) g) sl
+           |  JOIN mh m ON m.doc_id = d.doc_id
+           |  GROUP BY d.doc_id, sl.g),
+           |bands AS (
+           |  SELECT doc_id, slot // 2 AS band,
+           |         string_agg(CAST(mh AS VARCHAR), '|' ORDER BY slot) AS band_key
+           |  FROM sig GROUP BY doc_id, slot // 2),
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |scored AS (
+           |  SELECT id_a, id_b,
+           |    sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) * 1.0 / 8 AS est_jaccard
+           |  FROM cands
+           |  JOIN sig sa ON sa.doc_id = id_a
+           |  JOIN sig sb ON sb.doc_id = id_b AND sa.slot = sb.slot
+           |  GROUP BY id_a, id_b)
+           |SELECT id_a, id_b, est_jaccard FROM scored
+           |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q20TextStats, q21LangId, q22Fingerprint, q23DedupExact, q24MinhashLsh,
     q25Simhash, q26NgramJaccard, q27MultimodalMeta, q28MultimodalFeatures,
     q29SimhashNearDup, q39NgramJaccardPrefix, q40RollingFingerprint,
     q54DedupClusters, q55DedupSurvivors, q69BpeSegments, q85FrameSample,
-    q88DocChunks, q101NearDupDegree, q108CrossSourceDups)
+    q88DocChunks, q101NearDupDegree, q108CrossSourceDups, q111MinhashOph)
 }

@@ -126,6 +126,27 @@ class DedupSpec extends SparkSpec {
     assert(adaptive.size >= 30) // every (2p, 2p+1) near-dup pair found
   }
 
+  test("one-permutation signatures: full slots via densification, duplicate collision") {
+    // tiny docs (4 words → 2 trigram shingles) leave most of the 8
+    // bins empty — rotation densification must still fill every slot
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // exact duplicate of 1
+      (3L, "epsilon zeta eta theta iota kappa"),
+      (4L, "completely different words here entirely now"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.ophSignaturesWide(docs, numHashes = 8, shingleLen = 3)
+    val rows = sig.collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      (1 to 8).foreach(i => assert(!r.isNullAt(i), s"slot ${i - 1} null: $r"))
+    }
+    val pairs = Dedup.ophCandidatePairs(docs, numHashes = 8, bandSize = 2, shingleLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L)) // disjoint text stays out
+  }
+
   test("connected components: chains collapse, separate clusters stay apart") {
     // two components: a 5-node chain 1-2-3-4-5 (needs multiple
     // propagation rounds) and a 2-clique 10-11
