@@ -680,10 +680,72 @@ object Extras {
            |FROM s JOIN g ON s.c_mktsegment = g.c_mktsegment
            |ORDER BY s.c_mktsegment""".stripMargin))
 
+  /** Table profiler (the ANALYZE-TABLE / data-quality pass): one scan
+    * of orders stacked into long (column_name, value-string) form,
+    * then per-column null counts, exact distinct, KMV-estimated
+    * distinct, and lexicographic min/max of the string form. One
+    * 5×-stack explode + one aggregation — profiling N columns costs
+    * one pass, not N. Only render-stable columns are profiled
+    * (integers, strings, formatted dates) so the string forms — and
+    * therefore the md5-based KMV estimates — are identical in any
+    * engine. */
+  val q113TableProfile = GraftQuery(
+    "q113_table_profile",
+    (s, dir) => {
+      val k = 64
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_day")
+      val base = Tables.orders(s, dir).withColumn("o_day",
+        date_format(col("o_orderdate").cast("date"), "yyyy-MM-dd"))
+      val stacked = base.select(explode(array(cols.map(c =>
+          struct(lit(c).as("column_name"), col(c).cast("string").as("v"))): _*)).as("e"))
+        .select("e.*")
+      stacked.groupBy("column_name")
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("v"))).as("n_nulls"),
+          countDistinct(col("v")).as("n_distinct"),
+          round(graft.functions.Kmv.kmvEstimate(
+            graft.functions.Kmv.kmvDigests(md5(col("v")), k), k), 4)
+            .as("n_distinct_kmv"),
+          min("v").as("min_value"), max("v").as("max_value"))
+        .orderBy("column_name")
+    },
+    Some("""WITH base AS (
+           |  SELECT CAST(o_orderkey AS VARCHAR) AS c1,
+           |    CAST(o_custkey AS VARCHAR) AS c2,
+           |    o_orderstatus AS c3, o_orderpriority AS c4,
+           |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS c5
+           |  FROM orders),
+           |stacked AS (
+           |  SELECT 'o_orderkey' AS column_name, c1 AS v FROM base
+           |  UNION ALL SELECT 'o_custkey', c2 FROM base
+           |  UNION ALL SELECT 'o_orderstatus', c3 FROM base
+           |  UNION ALL SELECT 'o_orderpriority', c4 FROM base
+           |  UNION ALL SELECT 'o_day', c5 FROM base),
+           |d AS (SELECT DISTINCT column_name, md5(v) AS h FROM stacked WHERE v IS NOT NULL),
+           |r AS (SELECT column_name, h,
+           |        row_number() OVER (PARTITION BY column_name ORDER BY h) AS rk
+           |      FROM d),
+           |g AS (SELECT column_name, count(*) AS nd,
+           |        max(CASE WHEN rk = 64 THEN substr(h, 1, 12) END) AS h64
+           |      FROM r GROUP BY column_name),
+           |s AS (SELECT column_name, count(*) AS n_rows,
+           |        count(*) - count(v) AS n_nulls,
+           |        count(DISTINCT v) AS n_distinct,
+           |        min(v) AS min_value, max(v) AS max_value
+           |      FROM stacked GROUP BY 1)
+           |SELECT s.column_name, s.n_rows, s.n_nulls, s.n_distinct,
+           |  round(CASE WHEN g.nd < 64 THEN CAST(g.nd AS DOUBLE)
+           |        ELSE 63.0 / (CAST(concat('0x', g.h64) AS BIGINT) / power(2, 48))
+           |        END, 4) AS n_distinct_kmv,
+           |  s.min_value, s.max_value
+           |FROM s JOIN g USING (column_name)
+           |ORDER BY s.column_name""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
     q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
     q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup, q75StatAggregates,
     q76Winsorize, q77TableChecksum, q78Histogram, q89DistributionWindows,
     q90Retention, q96RobustStats, q97Cohorts, q102DecayedRevenue,
-    q104KmvDailyUsers, q107IncrementalRollup)
+    q104KmvDailyUsers, q107IncrementalRollup, q113TableProfile)
 }

@@ -344,7 +344,68 @@ object QualityQueries {
            |    AS passes_c4
            |FROM m ORDER BY doc_id""".stripMargin))
 
+  /** Count-min-sketch heavy hitters: the corpus's top-20 tokens with
+    * their CMS-estimated counts (d=4 hash rows × w=256 buckets)
+    * beside the exact counts. The sketch is the third portable-sketch
+    * family in the engine (after KMV distinct and MinHash/OPH
+    * similarity): per-row buckets are pure md5 functions, the table
+    * is one (row, bucket) aggregation — mergeable across shards by
+    * addition — and estimates are min-over-rows lookups. At 100 TB
+    * frequency questions run against the 1024-cell sketch, not a
+    * full vocabulary shuffle; the estimate ≥ exact property is
+    * visible in the output (collision inflation). */
+  val q112CmsHeavyHitters = GraftQuery(
+    "q112_cms_heavy_hitters",
+    (s, dir) => {
+      val toks = graft.operators.FanOut(Tables.documents(s, dir))
+        .select(explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("exact_count"))
+      val top = counts
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("exact_count").desc, col("tok").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+      def bucket(r: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column) =
+        pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), tok)), 1, 4), 16, 10)
+          .cast("long"), lit(256L))
+      val cms = toks.select(explode(sequence(lit(0), lit(3))).as("r"), col("tok"))
+        .select(col("r"), bucket(col("r"), col("tok")).as("bucket"))
+        .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+      top.select(col("rank"), col("tok"), col("exact_count"),
+          explode(sequence(lit(0), lit(3))).as("r"))
+        .withColumn("bucket", bucket(col("r"), col("tok")))
+        .join(cms, Seq("r", "bucket"))
+        .groupBy("rank", "tok", "exact_count")
+        .agg(min("c").as("cms_estimate"))
+        .orderBy("rank")
+    },
+    Some("""WITH toks AS (
+           |  SELECT tok.t AS tok
+           |  FROM (SELECT string_split_regex(trim(text), '\s+') ws FROM documents),
+           |       LATERAL (SELECT unnest(ws) t) tok),
+           |counts AS (SELECT tok, count(*) AS exact_count FROM toks GROUP BY 1),
+           |top AS (
+           |  SELECT rank, tok, exact_count FROM (
+           |    SELECT tok, exact_count,
+           |      row_number() OVER (ORDER BY exact_count DESC, tok ASC) AS rank
+           |    FROM counts)
+           |  WHERE rank <= 20),
+           |cms AS (
+           |  SELECT r.g AS r,
+           |    CAST(concat('0x', substr(md5(r.g || ':' || tok), 1, 4)) AS BIGINT) % 256
+           |      AS bucket,
+           |    count(*) AS c
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(0, 3)) g) r
+           |  GROUP BY 1, 2)
+           |SELECT t.rank, t.tok, t.exact_count, min(cms.c) AS cms_estimate
+           |FROM top t, LATERAL (SELECT unnest(generate_series(0, 3)) g) r
+           |JOIN cms ON cms.r = r.g
+           |  AND cms.bucket =
+           |    CAST(concat('0x', substr(md5(r.g || ':' || t.tok), 1, 4)) AS BIGINT) % 256
+           |GROUP BY t.rank, t.tok, t.exact_count
+           |ORDER BY t.rank""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q58GopherQuality, q59RepetitionStats,
     q60TokenEntropy, q74UnigramLogprob, q94Collocations, q95ChiSquare,
-    q98LangidConfidence, q99C4Boilerplate)
+    q98LangidConfidence, q99C4Boilerplate, q112CmsHeavyHitters)
 }
