@@ -742,10 +742,81 @@ object Extras {
            |FROM s JOIN g USING (column_name)
            |ORDER BY s.column_name""".stripMargin))
 
+  /** RANGE-frame rolling window: 7-calendar-day rolling revenue over
+    * the (gappy) daily revenue table. Semantically distinct from a
+    * ROWS frame — missing days still count toward the window span, so
+    * `rangeBetween` on an integer day index is the correct rolling-
+    * by-time shape (and the one a ROWS-6 frame silently gets wrong).
+    * The window runs over the day-grain aggregate — bounded by the
+    * calendar, never the fact table. */
+  val q114RangeFrame = GraftQuery(
+    "q114_range_frame",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        .withColumn("day_idx", datediff(col("day"), to_date(lit("1970-01-01"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day_idx")).rangeBetween(-6, 0)
+      daily
+        .withColumn("rolling_7d", sum("rev").over(w))
+        .withColumn("days_in_window", count(lit(1)).over(w))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("rev").cast("double"), 2).as("rev"),
+          round(col("rolling_7d").cast("double"), 2).as("rolling_7d"),
+          col("days_in_window"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS day,
+           |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+           |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day_idx
+           |  FROM orders GROUP BY 1, 3)
+           |SELECT strftime(day, '%Y-%m-%d') AS day,
+           |  round(CAST(rev AS DOUBLE), 2) AS rev,
+           |  round(CAST(sum(rev) OVER w AS DOUBLE), 2) AS rolling_7d,
+           |  count(*) OVER w AS days_in_window
+           |FROM daily
+           |WINDOW w AS (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+           |ORDER BY day""".stripMargin))
+
+  /** Multiset (ALL) set operations — UNION ALL / INTERSECT ALL /
+    * EXCEPT ALL preserve duplicate multiplicities, a different algebra
+    * from q13's distinct set ops (Spark plans them as aggregate+
+    * generate replication, not joins). Operands: the priority
+    * multisets of even- vs odd-keyed orders. */
+  val q115SetOpsAll = GraftQuery(
+    "q115_set_ops_all",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val a = o.filter(col("o_orderkey") % 2 === 0).select("o_orderpriority")
+      val b = o.filter(col("o_orderkey") % 2 === 1).select("o_orderpriority")
+      def counted(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+          .withColumn("tag", lit(tag))
+      counted(a.unionAll(b), "union_all")
+        .unionByName(counted(a.intersectAll(b), "intersect_all"))
+        .unionByName(counted(a.exceptAll(b), "except_all"))
+        .select("tag", "o_orderpriority", "n")
+        .orderBy("tag", "o_orderpriority")
+    },
+    Some("""WITH a AS (SELECT o_orderpriority FROM orders WHERE o_orderkey % 2 = 0),
+           |b AS (SELECT o_orderpriority FROM orders WHERE o_orderkey % 2 = 1),
+           |u AS (SELECT 'union_all' AS tag, o_orderpriority
+           |      FROM (SELECT * FROM a UNION ALL SELECT * FROM b)),
+           |i AS (SELECT 'intersect_all' AS tag, o_orderpriority
+           |      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)),
+           |e AS (SELECT 'except_all' AS tag, o_orderpriority
+           |      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
+           |SELECT tag, o_orderpriority, count(*) AS n
+           |FROM (SELECT * FROM u UNION ALL SELECT * FROM i UNION ALL SELECT * FROM e)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
     q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
     q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup, q75StatAggregates,
     q76Winsorize, q77TableChecksum, q78Histogram, q89DistributionWindows,
     q90Retention, q96RobustStats, q97Cohorts, q102DecayedRevenue,
-    q104KmvDailyUsers, q107IncrementalRollup, q113TableProfile)
+    q104KmvDailyUsers, q107IncrementalRollup, q113TableProfile,
+    q114RangeFrame, q115SetOpsAll)
 }

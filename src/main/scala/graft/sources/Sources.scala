@@ -43,6 +43,19 @@ object Sources {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC — the other columnar warehouse format Spark ships natively;
+    * same pushdown/pruning behavior as parquet (predicates reach the
+    * scan, see SourcesSpec). */
+  def writeOrc(df: DataFrame, path: String,
+               partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .orc(path)
+  }
+
   /** Bucketed managed table: co-locates `bucketCols` so equi-joins and
     * aggregations on them skip the shuffle entirely (requires a
     * warehouse-backed table, hence saveAsTable). */

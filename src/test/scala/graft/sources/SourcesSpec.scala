@@ -26,6 +26,20 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.readParquet(spark, s"$dir/pq").count() === 3)
   }
 
+  test("orc round-trips rows and pushes scan predicates") {
+    val dir = Files.createTempDirectory("sources_orc").toString
+    val df = (0L until 1000L).map(i => (i, s"name$i")).toDF("id", "name")
+    Sources.writeOrc(df, s"$dir/orc")
+    val back = Sources.readOrc(spark, s"$dir/orc")
+    assert(back.count() === 1000)
+    val filtered = back.filter($"id" >= 990)
+    assert(filtered.count() === 10)
+    // predicate must reach the ORC scan, same as the parquet paths
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(id,990)"), plan)
+  }
+
   test("partitioned parquet layout enables partition pruning") {
     val dir = Files.createTempDirectory("sources_part").toString
     val df = (1 to 100).map(i => (i.toLong, s"g${i % 4}")).toDF("id", "grp")
