@@ -812,11 +812,87 @@ object Extras {
            |FROM (SELECT * FROM u UNION ALL SELECT * FROM i UNION ALL SELECT * FROM e)
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Forward fill (LOCF — last observation carried forward): the day
+    * spine left-joined to daily revenue, gaps taking the most recent
+    * observed value via `last(..., ignoreNulls)` over an ordered
+    * running frame. The time-series repair op every reporting layer
+    * needs; runs on the calendar-bounded day grain. */
+  val q116ForwardFill = GraftQuery(
+    "q116_forward_fill",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val daily = o.groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val spine = o.agg(min(col("o_orderdate").cast("date")).as("lo"),
+          max(col("o_orderdate").cast("date")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("day").rowsBetween(Long.MinValue, 0)
+      spine.join(daily, Seq("day"), "left")
+        .withColumn("rev_filled", last(col("rev"), ignoreNulls = true).over(w))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("rev_filled").cast("double"), 2).as("rev_filled"),
+          col("rev").isNull.cast("int").as("is_gap"))
+        .orderBy("day")
+    },
+    Some("""WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) lo,
+           |                  CAST(max(o_orderdate) AS DATE) hi FROM orders),
+           |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+           |daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           |            sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           |          FROM orders GROUP BY 1)
+           |SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+           |  round(CAST(last_value(daily.rev IGNORE NULLS) OVER (
+           |    ORDER BY spine.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    AS DOUBLE), 2) AS rev_filled,
+           |  CAST(daily.rev IS NULL AS INTEGER) AS is_gap
+           |FROM spine LEFT JOIN daily ON daily.day = spine.day
+           |ORDER BY day""".stripMargin))
+
+  /** Gaps-and-islands: per-user runs of consecutive active days from
+    * events (the streak/session-by-day analysis). The island id is
+    * the classic day_idx − row_number constant — one distinct, one
+    * pid-free-safe per-user window, two aggregations; never a
+    * self-join over days. */
+  val q117ActivityIslands = GraftQuery(
+    "q117_activity_islands",
+    (s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))).as("day_idx"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day_idx")
+      val islands = ud
+        .withColumn("island", col("day_idx") - row_number().over(w))
+        .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+      islands.groupBy("user_id")
+        .agg(count(lit(1)).as("n_streaks"),
+          max("len").as("longest_streak"),
+          sum("len").as("n_active_days"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ud AS (
+           |  SELECT DISTINCT user_id,
+           |    CAST(ts AS DATE) - DATE '1970-01-01' AS day_idx
+           |  FROM events),
+           |isl AS (
+           |  SELECT user_id,
+           |    day_idx - row_number() OVER (PARTITION BY user_id ORDER BY day_idx)
+           |      AS island
+           |  FROM ud),
+           |runs AS (SELECT user_id, island, count(*) AS len
+           |         FROM isl GROUP BY 1, 2)
+           |SELECT user_id, count(*) AS n_streaks,
+           |  CAST(max(len) AS BIGINT) AS longest_streak,
+           |  CAST(sum(len) AS BIGINT) AS n_active_days
+           |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
     q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
     q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup, q75StatAggregates,
     q76Winsorize, q77TableChecksum, q78Histogram, q89DistributionWindows,
     q90Retention, q96RobustStats, q97Cohorts, q102DecayedRevenue,
     q104KmvDailyUsers, q107IncrementalRollup, q113TableProfile,
-    q114RangeFrame, q115SetOpsAll)
+    q114RangeFrame, q115SetOpsAll, q116ForwardFill, q117ActivityIslands)
 }
