@@ -888,11 +888,62 @@ object Extras {
            |  CAST(sum(len) AS BIGINT) AS n_active_days
            |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Sketched multi-grain rollup: KMV distinct-user estimates for
+    * GROUPING SETS ((event_type), (day), ()) in ONE aggregation pass —
+    * the sketch-OLAP composition a 100 TB cube runs (one Expand +
+    * one shuffle produces every grain; the TypedImperativeAggregate
+    * buffers merge per grain like any partial aggregate). The oracle
+    * reproduces each grain's k-smallest-md5 estimate and unions the
+    * three grains. */
+  val q118SketchedGrains = GraftQuery(
+    "q118_sketched_grains",
+    (s, dir) => {
+      val k = 64
+      val e = Tables.events(s, dir)
+        .select(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          md5(col("user_id").cast("string")).as("uh"))
+      e.groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("day")), Seq()),
+          col("event_type"), col("day"))
+        .agg(graft.functions.Kmv.kmvDigests(col("uh"), k).as("kmv"),
+          count(lit(1)).as("n_events"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("day"), lit("ALL")).as("day"),
+          round(graft.functions.Kmv.kmvEstimate(col("kmv"), k), 4)
+            .as("n_users_kmv"),
+          col("n_events"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           |             md5(CAST(user_id AS VARCHAR)) AS uh FROM events),
+           |grains AS (
+           |  SELECT event_type, 'ALL' AS day, uh FROM e
+           |  UNION ALL SELECT 'ALL', day, uh FROM e
+           |  UNION ALL SELECT 'ALL', 'ALL', uh FROM e),
+           |d AS (SELECT DISTINCT event_type, day, uh FROM grains),
+           |r AS (SELECT event_type, day, uh,
+           |        row_number() OVER (PARTITION BY event_type, day ORDER BY uh) AS rk
+           |      FROM d),
+           |g AS (SELECT event_type, day, count(*) AS nd,
+           |        max(CASE WHEN rk = 64 THEN substr(uh, 1, 12) END) AS h64
+           |      FROM r GROUP BY 1, 2),
+           |c AS (SELECT event_type, day, count(*) AS n_events
+           |      FROM grains GROUP BY 1, 2)
+           |SELECT g.event_type, g.day,
+           |  round(CASE WHEN g.nd < 64 THEN CAST(g.nd AS DOUBLE)
+           |        ELSE 63.0 / (CAST(concat('0x', g.h64) AS BIGINT) / power(2, 48))
+           |        END, 4) AS n_users_kmv,
+           |  c.n_events
+           |FROM g JOIN c ON g.event_type = c.event_type AND g.day = c.day
+           |ORDER BY g.event_type, g.day""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
     q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
     q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup, q75StatAggregates,
     q76Winsorize, q77TableChecksum, q78Histogram, q89DistributionWindows,
     q90Retention, q96RobustStats, q97Cohorts, q102DecayedRevenue,
     q104KmvDailyUsers, q107IncrementalRollup, q113TableProfile,
-    q114RangeFrame, q115SetOpsAll, q116ForwardFill, q117ActivityIslands)
+    q114RangeFrame, q115SetOpsAll, q116ForwardFill, q117ActivityIslands,
+    q118SketchedGrains)
 }

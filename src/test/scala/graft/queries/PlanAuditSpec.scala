@@ -191,4 +191,20 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("Window"), p)
   }
+
+  test("q113: profiling five columns scans the table once") {
+    val p = plan("q113_table_profile").split("== Initial Plan ==")(0)
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan"))
+    assert(scans === 1, s"expected one orders scan, got $scans:\n$p")
+  }
+
+  test("q114: the RANGE window runs over the day-grain aggregate") {
+    val p = plan("q114_range_frame")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx > 0, p)
+    // a HashAggregate (the daily rollup) sits BELOW the window — the
+    // frame never scans fact-grain rows
+    assert(p.indexOf("HashAggregate", winIdx) > winIdx, p)
+  }
 }
