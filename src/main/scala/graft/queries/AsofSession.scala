@@ -218,6 +218,74 @@ object AsofSession {
            |SELECT click_id, purchase_id, CAST(diff_us AS BIGINT) AS diff_us
            |FROM cand WHERE rn = 1 ORDER BY click_id""".stripMargin))
 
+  /** Interval-overlap join WITHOUT a nested-loop: cross-user pairs of
+    * overlapping sessions, counted per day. Each session explodes to
+    * its covered 1-hour grid buckets; candidates come from a bucket
+    * EQUI-join (a non-equi overlap predicate alone would plan as a
+    * nested-loop cartesian at scale), the exact overlap predicate is
+    * the residual filter, and pairs spanning several shared buckets
+    * collapse in the distinct. The standard time-grid interval-join
+    * decomposition; grid width trades explode factor vs candidate
+    * selectivity. Day arithmetic stays in integer epoch-days — no
+    * timezone surface anywhere. */
+  val q119SessionOverlap = GraftQuery(
+    "q119_session_overlap",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = Tables.events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull or
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_seq",
+          sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_seq")
+        .agg(unix_timestamp(min("ts")).as("start_sec"),
+          unix_timestamp(max("ts")).as("end_sec"))
+      val bucketed = sess.select(col("user_id"), col("session_seq"),
+        col("start_sec"), col("end_sec"),
+        explode(sequence(floor(col("start_sec") / 3600).cast("long"),
+          floor(col("end_sec") / 3600).cast("long"))).as("bucket"))
+      val a = bucketed.toDF("ua", "sa", "a_start", "a_end", "bucket")
+      val b = bucketed.toDF("ub", "sb", "b_start", "b_end", "bucket")
+      a.join(b, Seq("bucket"))
+        .filter(col("ua") < col("ub") and
+          col("a_start") <= col("b_end") and col("b_start") <= col("a_end"))
+        .select(col("ua"), col("sa"), col("ub"), col("sb"),
+          floor(greatest(col("a_start"), col("b_start")) / 86400)
+            .cast("long").as("day_idx"))
+        .distinct()
+        .groupBy("day_idx").agg(count(lit(1)).as("n_overlapping_pairs"))
+        .orderBy("day_idx")
+    },
+    Some("""WITH e AS (
+           |  SELECT *, lag(ts) OVER (PARTITION BY user_id
+           |    ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_ts
+           |  FROM events),
+           |f AS (
+           |  SELECT *, CASE WHEN prev_ts IS NULL
+           |      OR CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+           |       - CAST(epoch(date_trunc('second', prev_ts)) AS BIGINT) > 1800
+           |      THEN 1 ELSE 0 END AS new_session
+           |  FROM e),
+           |g AS (
+           |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+           |    ORDER BY epoch_ns(ts) // 1000, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           |  FROM f),
+           |sess AS (
+           |  SELECT user_id, session_seq,
+           |    CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS start_sec,
+           |    CAST(epoch(date_trunc('second', max(ts))) AS BIGINT) AS end_sec
+           |  FROM g GROUP BY user_id, session_seq)
+           |SELECT greatest(a.start_sec, b.start_sec) // 86400 AS day_idx,
+           |  count(*) AS n_overlapping_pairs
+           |FROM sess a JOIN sess b
+           |  ON a.user_id < b.user_id
+           |  AND a.start_sec <= b.end_sec AND b.start_sec <= a.end_sec
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q17AsofInterval, q19Sessionize, q79Funnel,
-    q80JsonProps, q91AsofNearest)
+    q80JsonProps, q91AsofNearest, q119SessionOverlap)
 }

@@ -199,6 +199,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans === 1, s"expected one orders scan, got $scans:\n$p")
   }
 
+  test("q119: interval overlap joins on the bucket grid, not a nested loop") {
+    val p = plan("q119_session_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q114: the RANGE window runs over the day-grain aggregate") {
     val p = plan("q114_range_frame")
     val winIdx = p.indexOf("Window")
