@@ -49,6 +49,28 @@ object Streaming {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Windowed distinct-user estimates via the engine's KMV sketch —
+    * the streaming form of q104/q118's sketch-instead-of-exact
+    * distinct. `KmvDigests` is a `TypedImperativeAggregate`, so its
+    * bounded k-entry buffers are the streaming aggregation state and
+    * merge across micro-batches exactly like any partial aggregate:
+    * per-window state is O(k), never O(distinct users) — the property
+    * that keeps an unbounded stream's state store bounded. Estimates
+    * are identical to the batch query over the same rows (spec-pinned). */
+  def windowedDistinctUsersKmv(events: DataFrame,
+                               window_ : String = "5 minutes",
+                               watermark: String = "10 minutes",
+                               k: Int = 64): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"))
+      .agg(graft.functions.Kmv.kmvDigests(
+          md5(col("user_id").cast("string")), k).as("kmv"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"),
+        round(graft.functions.Kmv.kmvEstimate(col("kmv"), k), 4).as("n_users_kmv"),
+        col("n_events"))
+
   /** Gap-based session windows (native session_window): the streaming
     * form of q19's batch sessionization. */
   def sessionizedEvents(events: DataFrame,

@@ -59,6 +59,30 @@ class StreamingSpec extends SparkSpec {
       .getAs[Timestamp]("window_start") === ts("2024-01-01 00:05:00"))
   }
 
+  test("windowed KMV distinct estimate matches the batch sketch over the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streaming.windowedDistinctUsersKmv(events)
+      .writeStream.format("memory").queryName("win_kmv")
+      .outputMode("complete").start()
+    // two micro-batches into one window: sketch state must merge
+    // across batches (user 1 repeats — dedup inside the sketch)
+    in.addData((1L, ts("2024-01-01 00:01:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 00:02:00"), 2L, "click", 1.0))
+    q.processAllAvailable()
+    in.addData((3L, ts("2024-01-01 00:03:00"), 1L, "view", 1.0),
+      (4L, ts("2024-01-01 00:04:00"), 3L, "view", 1.0),
+      (5L, ts("2024-01-01 00:06:00"), 4L, "view", 1.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("win_kmv").collect()
+      .map(r => (r.getAs[Timestamp]("window_start"),
+        r.getAs[Double]("n_users_kmv"), r.getAs[Long]("n_events"))).toSet
+    // 3 distinct users < k in window 0, exact; window 1 has one
+    assert(rows === Set((ts("2024-01-01 00:00:00"), 3.0, 4L),
+      (ts("2024-01-01 00:05:00"), 1.0, 1L)))
+  }
+
   test("session windows split on gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
