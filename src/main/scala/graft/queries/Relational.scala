@@ -182,7 +182,94 @@ object Relational {
            |                AND o.o_orderpriority = '1-URGENT')
            |ORDER BY c_custkey""".stripMargin))
 
+  /** Referential-integrity audit: orphan detection on every edge of
+    * the star (orders without lineitems, lineitems referencing missing
+    * orders/parts/suppliers, customers with no orders) — the
+    * data-quality gate a warehouse load runs before publishing. Each
+    * edge is one anti-join; counts land in one long-format frame. */
+  val q120OrphanAudit = GraftQuery(
+    "q120_orphan_audit",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val c = Tables.customer(s, dir)
+      val p = Tables.part(s, dir)
+      val su = Tables.supplier(s, dir)
+      def cnt(df: org.apache.spark.sql.DataFrame, check: String) =
+        df.agg(count(lit(1)).as("n_orphans")).withColumn("check_name", lit(check))
+      cnt(o.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti"),
+          "orders_without_lineitems")
+        .unionByName(cnt(li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti"),
+          "lineitems_without_order"))
+        .unionByName(cnt(li.join(p, col("l_partkey") === col("p_partkey"), "left_anti"),
+          "lineitems_without_part"))
+        .unionByName(cnt(li.join(su, col("l_suppkey") === col("s_suppkey"), "left_anti"),
+          "lineitems_without_supplier"))
+        .unionByName(cnt(c.join(o, col("c_custkey") === col("o_custkey"), "left_anti"),
+          "customers_without_orders"))
+        .select("check_name", "n_orphans")
+        .orderBy("check_name")
+    },
+    Some("""SELECT 'customers_without_orders' AS check_name, count(*) AS n_orphans
+           |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+           |UNION ALL
+           |SELECT 'lineitems_without_order', count(*)
+           |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+           |UNION ALL
+           |SELECT 'lineitems_without_part', count(*)
+           |FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+           |UNION ALL
+           |SELECT 'lineitems_without_supplier', count(*)
+           |FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+           |UNION ALL
+           |SELECT 'orders_without_lineitems', count(*)
+           |FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+           |ORDER BY check_name""".stripMargin))
+
+  /** Accumulating-snapshot order lifecycle: per order the placement
+    * date, first/last item ship dates, item count, and the
+    * placement→first-ship lag — then the lag distribution per order
+    * priority (the milestone-duration fact a warehouse accumulates).
+    * One fact aggregation + one broadcast-sized join back to orders. */
+  val q121OrderLifecycle = GraftQuery(
+    "q121_order_lifecycle",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(min(col("l_shipdate").cast("date")).as("first_ship"),
+          max(col("l_shipdate").cast("date")).as("last_ship"),
+          count(lit(1)).as("n_items"))
+      Tables.orders(s, dir)
+        .join(li, Seq("o_orderkey"))
+        .withColumn("lag_days",
+          datediff(col("first_ship"), col("o_orderdate").cast("date")))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(avg(col("lag_days").cast("double")), 4).as("avg_lag_days"),
+          min("lag_days").as("min_lag_days"),
+          max("lag_days").as("max_lag_days"),
+          round(avg(col("n_items").cast("double")), 4).as("avg_items"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH li AS (
+           |  SELECT l_orderkey AS o_orderkey,
+           |    min(CAST(l_shipdate AS DATE)) AS first_ship,
+           |    max(CAST(l_shipdate AS DATE)) AS last_ship,
+           |    count(*) AS n_items
+           |  FROM lineitem GROUP BY 1),
+           |j AS (
+           |  SELECT o_orderpriority,
+           |    first_ship - CAST(o_orderdate AS DATE) AS lag_days, n_items
+           |  FROM orders JOIN li USING (o_orderkey))
+           |SELECT o_orderpriority, count(*) AS n_orders,
+           |  round(avg(CAST(lag_days AS DOUBLE)), 4) AS avg_lag_days,
+           |  CAST(min(lag_days) AS INTEGER) AS min_lag_days,
+           |  CAST(max(lag_days) AS INTEGER) AS max_lag_days,
+           |  round(avg(CAST(n_items AS DOUBLE)), 4) AS avg_items
+           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPerSupplier,
-    q04SurrogateIds, q05NeverOrderedParts, q06CustomersWithUrgentOrders)
+    q04SurrogateIds, q05NeverOrderedParts, q06CustomersWithUrgentOrders,
+    q120OrphanAudit, q121OrderLifecycle)
 }
