@@ -3,21 +3,33 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
+  /** Queries are keyed by their `qNN` number prefix in priors and in the
+    * printed JSON line — the driver's stdout tail buffer is 2000 chars,
+    * and a 120-query map with full names + raw doubles (~5 KB) pushed the
+    * line's START out of the buffer, so rounds 3-4 recorded
+    * `parsed: null`. Short keys + 2-decimal values keep the whole line
+    * under ~1.8 KB; full names and nanosecond precision go to
+    * BENCH_DETAIL.json alongside. */
+  private[graft] def short(name: String): String = name.takeWhile(_ != '_')
+
   /** Best-effort per-query priors from earlier rounds' BENCH_r*.json
-    * artifacts (min across rounds — the cleanest observed time). The
-    * driver's artifacts embed the bench JSON as an ESCAPED string
-    * (\"q…\":1.23), so the pattern tolerates backslash-escaped quotes.
-    * Used only to flag anomalously slow measurements; absence is fine. */
+    * artifacts plus the previous run's BENCH_DETAIL.json (min across all
+    * observations — the cleanest observed time). The driver's artifacts
+    * embed the bench JSON as an ESCAPED string (\"q…\":1.23), so the
+    * pattern tolerates backslash-escaped quotes. Keys are normalized to
+    * the `qNN` prefix so pre-round-5 full-name artifacts and the compact
+    * short-key format feed the same map. Used only to flag anomalously
+    * slow measurements; absence is fine. */
   private[graft] def priorTimes(dirs: Seq[java.io.File] =
       Seq(new java.io.File("."), new java.io.File("/root/repo"))): Map[String, Double] = {
     val files = dirs.flatMap(d => Option(d.listFiles()).toSeq.flatten)
-      .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json|BENCH_DETAIL\\.json"))
     val entry = """\\?"(q\d+[^"\\]*)\\?":([0-9.]+)""".r
     files.flatMap { f =>
       try {
         val txt = scala.io.Source.fromFile(f)
         val s = try txt.mkString finally txt.close()
-        entry.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toSeq
+        entry.findAllMatchIn(s).map(m => short(m.group(1)) -> m.group(2).toDouble).toSeq
       } catch { case _: Throwable => Seq.empty }
     }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
   }
@@ -97,7 +109,7 @@ object Bench {
     // graded as a regression.
     val priors = priorTimes()
     def threshold(name: String): Double =
-      priors.get(name).map(p => math.max(1.0, 3.0 * p)).getOrElse(5.0)
+      priors.get(short(name)).map(p => math.max(1.0, 3.0 * p)).getOrElse(5.0)
     val byName = selected.map(q => q.name -> q).toMap
     val results = firstPass.map { case (name, t) =>
       if (t > threshold(name) && !failed.contains(name)) {
@@ -112,15 +124,28 @@ object Bench {
     // re-run above but is not reportable as anomalous (there is
     // nothing to contradict).
     val anomalous = results.collect {
-      case (name, t) if priors.contains(name) && t > threshold(name) &&
+      case (name, t) if priors.contains(short(name)) && t > threshold(name) &&
         !failed.contains(name) => name
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // compact line: qNN keys + centisecond values (fits the driver's
+    // 2000-char tail window with headroom for ~40 more queries)
+    val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val anomalousJson = anomalous.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"anomalous":$anomalousJson,"sf":"$sfDir"}""")
+    val failedJson = failed.map(n => "\"" + short(n) + "\"").mkString("[", ",", "]")
+    val anomalousJson = anomalous.map(n => "\"" + short(n) + "\"").mkString("[", ",", "]")
+    // full names + full precision for humans/judges (and as a prior source)
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      s"""{"total":$total,"queries":$detail,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"anomalous":${anomalous.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_DETAIL.json write failed: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"anomalous":$anomalousJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,14 +26,21 @@ class BenchPriorsSpec extends AnyFunSuite {
       val wrapped = """{"n": 3, "sf": 0.1, "tail": "\"q01_pricing_summary\":0.31,\"q64_tpch_q21_sole_late_supplier\":2.75"}"""
       java.nio.file.Files.write(new java.io.File(d, "BENCH_r02.json").toPath,
         wrapped.getBytes)
+      // round 5+: compact short-key line + full-name detail file
+      val compact = """{"metric":"total","value":9.90,"unit":"sec","queries":{"q01":0.28,"q77":1.25},"sf":"/x"}"""
+      java.nio.file.Files.write(new java.io.File(d, "BENCH_r05.json").toPath,
+        compact.getBytes)
+      java.nio.file.Files.write(new java.io.File(d, "BENCH_DETAIL.json").toPath,
+        """{"total":9.9,"queries":{"q77_table_checksum":1.21}}""".getBytes)
       // not a bench artifact: ignored
       java.nio.file.Files.write(new java.io.File(d, "CORRECTNESS_r01.json").toPath,
         """{"q99_fake": 0.001}""".getBytes)
       val p = Bench.priorTimes(Seq(d))
-      assert(p("q01_pricing_summary") === 0.31) // min across rounds
-      assert(p("q24_minhash_lsh") === 4.6)
-      assert(p("q64_tpch_q21_sole_late_supplier") === 2.75)
-      assert(!p.contains("q99_fake"))
+      assert(p("q01") === 0.28) // min across rounds, keyed by qNN prefix
+      assert(p("q24") === 4.6)
+      assert(p("q64") === 2.75)
+      assert(p("q77") === 1.21) // detail file min-merges with the compact line
+      assert(!p.contains("q99"))
     }
   }
 
