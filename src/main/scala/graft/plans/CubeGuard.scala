@@ -106,6 +106,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("rolling_hash", classOf[RollingHash],
         "rolling_hash(s) - Rabin-Karp polynomial hash of a string"),
       (args: Seq[Expression]) => { arity("rolling_hash", 1, args); RollingHash(args(0)) }))
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // own runtime-filter injection but leaves them out of the public
+    // FunctionRegistry; surfacing them gives the engine an explicit
+    // bloom-prefiltered semi-join (build a compact filter over the keep
+    // side, drop fact rows before the shuffle, exact semi-join confirms)
+    // — the 100 TB path when the keep side is too big to broadcast.
+    ext.injectFunction((FunctionIdentifier("bloom_filter_agg"),
+      info("bloom_filter_agg",
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+        "bloom_filter_agg(xxhash64(key), estimatedItems, numBits) - aggregate: serialized bloom filter of the keys"),
+      (args: Seq[Expression]) => {
+        arity("bloom_filter_agg", 3, args)
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(args(0), args(1), args(2)).toAggregateExpression()
+      }))
+    ext.injectFunction((FunctionIdentifier("might_contain"),
+      info("might_contain",
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+        "might_contain(bloomFilter, xxhash64(key)) - false => key definitely absent; true => probably present"),
+      (args: Seq[Expression]) => {
+        arity("might_contain", 2, args)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))
+      }))
     ext.injectFunction((FunctionIdentifier("kmv_digests"),
       info("kmv_digests", classOf[KmvDigests],
         "kmv_digests(hash, k) - aggregate: ascending array of the k smallest distinct digests"),

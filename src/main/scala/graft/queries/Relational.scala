@@ -268,8 +268,45 @@ object Relational {
            |  round(avg(CAST(n_items AS DOUBLE)), 4) AS avg_items
            |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Bloom-prefiltered semi-join: revenue of lineitems whose order is
+    * urgent + finished, where the keep-set (≈7% of orders) is assumed
+    * too large to broadcast at 100 TB. A compact bloom filter over the
+    * keep keys (built by one aggregation, shipped as a scalar subquery)
+    * drops definitely-absent fact rows BEFORE the shuffle; the exact
+    * semi-join after it removes bloom false positives, so the result is
+    * bit-identical to the plain semi-join the oracle runs. This is the
+    * engine-explicit form of Spark's own runtime-filter injection —
+    * declared in the query so it fires regardless of optimizer
+    * heuristics. Sizing: 3M orders/TB-scale keep sets want numBits ≈
+    * 8×items (≈2% fp); here 1000 keys × 8 bits via the same formula. */
+  val q124BloomSemiJoin = GraftQuery(
+    "q124_bloom_semi_join",
+    (s, dir) => {
+      val keep = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+        .select("o_orderkey")
+      val bf = keep.agg(
+        graft.functions.Bloom.filterAgg(xxhash64(col("o_orderkey")), 20000L, 160000L)
+          .as("bf"))
+      Tables.lineitem(s, dir)
+        .where(graft.functions.Bloom.mightContain(bf, xxhash64(col("l_orderkey"))))
+        .join(keep, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+           |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           |FROM lineitem
+           |WHERE l_orderkey IN (
+           |  SELECT o_orderkey FROM orders
+           |  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F')
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopPerSupplier,
     q04SurrogateIds, q05NeverOrderedParts, q06CustomersWithUrgentOrders,
-    q120OrphanAudit, q121OrderLifecycle)
+    q120OrphanAudit, q121OrderLifecycle, q124BloomSemiJoin)
 }

@@ -617,10 +617,119 @@ object TextQueries {
            |SELECT id_a, id_b, est_jaccard FROM scored
            |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin))
 
+  /** C4-style duplicate-span removal across the corpus: each document
+    * is cut into non-overlapping 16-token spans; a span survives iff it
+    * is the GLOBAL first occurrence of its content (first = smallest
+    * (doc_id, span_idx)). This is the public C4 "drop repeated
+    * three-sentence spans" dedup re-keyed to token spans (this corpus
+    * has no sentence delimiters). Shape: one explode → hash-aggregate
+    * min(first occurrence) with map-side combine → equi-join back →
+    * per-doc aggregate. No windows over the corpus-wide span stream, no
+    * sort — every stage is a keyed shuffle that scales linearly. */
+  val q122SpanDedup = GraftQuery(
+    "q122_span_dedup",
+    (s, dir) => {
+      val span = 16
+      val toks = Text.tokens(col("text"))
+      val spans = Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("t"))
+        .withColumn("n_sp",
+          greatest(lit(1), ceil(size(col("t")) / lit(span.toDouble)).cast("int")))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), col("n_sp") - 1)).as("span_idx"),
+          col("t"))
+        .select(col("doc_id"), col("span_idx"),
+          slice(col("t"), col("span_idx") * span + 1, lit(span)).as("sp"))
+        .select(col("doc_id"), col("span_idx"),
+          size(col("sp")).cast("long").as("sp_tokens"),
+          md5(array_join(col("sp"), " ")).as("h"))
+      val first = spans.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("span_idx"))).as("f"))
+      spans.join(first, "h")
+        .withColumn("kept",
+          (col("f.doc_id") === col("doc_id") &&
+            col("f.span_idx") === col("span_idx")).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("kept")).as("n_kept"),
+          sum(col("kept") * col("sp_tokens")).as("kept_tokens"),
+          round(sum(col("kept")) / count(lit(1)), 6).as("kept_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id, ws,
+           |    greatest(1, CAST(ceil(len(ws) / 16.0) AS INTEGER)) AS n_sp
+           |  FROM t),
+           |sp AS (
+           |  SELECT doc_id, i.g AS span_idx,
+           |    list_slice(ws, i.g * 16 + 1, i.g * 16 + 16) AS sp
+           |  FROM m, LATERAL (SELECT unnest(generate_series(0, n_sp - 1)) g) i),
+           |h AS (
+           |  SELECT doc_id, span_idx, CAST(len(sp) AS BIGINT) AS sp_tokens,
+           |    md5(array_to_string(sp, ' ')) AS h
+           |  FROM sp),
+           |f AS (
+           |  SELECT h, min(struct_pack(doc_id := doc_id, span_idx := span_idx)) AS f
+           |  FROM h GROUP BY h),
+           |k AS (
+           |  SELECT h.doc_id, h.sp_tokens,
+           |    CASE WHEN f.f.doc_id = h.doc_id AND f.f.span_idx = h.span_idx
+           |      THEN 1 ELSE 0 END AS kept
+           |  FROM h JOIN f USING (h))
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           |  CAST(sum(kept) AS BIGINT) AS n_kept,
+           |  CAST(sum(kept * sp_tokens) AS BIGINT) AS kept_tokens,
+           |  round(sum(kept) * 1.0 / count(*), 6) AS kept_frac
+           |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Per-document n-gram novelty (a pretraining-data freshness audit):
+    * the fraction of a document's distinct 8-gram shingles that no
+    * earlier document (smaller doc_id — ingestion order) contains. Low
+    * novelty = the document is mostly restatement of already-ingested
+    * text; the curve over doc_id is the diminishing-returns signal data
+    * teams watch when deciding whether more of a source is worth
+    * ingesting. Shape: distinct (doc, shingle) explode → min(doc_id)
+    * per shingle → join back → per-doc ratio. */
+  val q123NgramNovelty = GraftQuery(
+    "q123_ngram_novelty",
+    (s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(Text.wordShingles(col("text"), 8))).as("sh"))
+      val firstDoc = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+      sh.join(firstDoc, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"),
+          round(sum((col("first_doc") === col("doc_id")).cast("long")) /
+            count(lit(1)), 6).as("novelty"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+           |  FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    array_to_string(list_slice(ws, i.g, i.g + 7), ' ') AS sh
+           |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) g) i
+           |  WHERE len(ws) >= 8),
+           |fd AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh)
+           |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           |  CAST(sum(CASE WHEN fd.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_novel,
+           |  round(sum(CASE WHEN fd.first_doc = sh.doc_id THEN 1 ELSE 0 END) * 1.0
+           |    / count(*), 6) AS novelty
+           |FROM sh JOIN fd USING (sh)
+           |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q20TextStats, q21LangId, q22Fingerprint, q23DedupExact, q24MinhashLsh,
     q25Simhash, q26NgramJaccard, q27MultimodalMeta, q28MultimodalFeatures,
     q29SimhashNearDup, q39NgramJaccardPrefix, q40RollingFingerprint,
     q54DedupClusters, q55DedupSurvivors, q69BpeSegments, q85FrameSample,
-    q88DocChunks, q101NearDupDegree, q108CrossSourceDups, q111MinhashOph)
+    q88DocChunks, q101NearDupDegree, q108CrossSourceDups, q111MinhashOph,
+    q122SpanDedup, q123NgramNovelty)
 }

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Round-5 operators: bloom-prefiltered semi-join, C4-style span dedup,
+  * n-gram novelty. Each test pins the property the oracle can't see —
+  * the bloom prefilter's superset-then-exact contract, first-occurrence
+  * conservation, and the novelty boundary conditions. */
+class Round5Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q124: bloom prefilter passes a superset, exact semi-join restores equality") {
+    val keep = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      .select("o_orderkey")
+    val li = Tables.lineitem(spark, dir)
+    val bf = keep.agg(
+      graft.functions.Bloom.filterAgg(xxhash64(col("o_orderkey")), 20000L, 160000L)
+        .as("bf"))
+    val prefiltered = li
+      .where(graft.functions.Bloom.mightContain(bf, xxhash64(col("l_orderkey"))))
+    val exact = li.join(keep, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val nAll = li.count()
+    val nPre = prefiltered.count()
+    val nExact = exact.count()
+    // no false negatives (superset) and genuine pruning before the shuffle
+    assert(nPre >= nExact, "bloom dropped a true match")
+    assert(nPre < nAll, "bloom pruned nothing — filter is pass-through")
+    // the full query is bit-identical to the plain semi-join aggregate
+    val viaBloom = Relational.q124BloomSemiJoin.run(spark, dir).collect()
+    val viaExact = exact.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("l_returnflag").collect()
+    assert(viaBloom.toSeq === viaExact.toSeq)
+    // SQL surface: the injected functions resolve from SQL text with a
+    // scalar-subquery bloom argument (the form might_contain requires)
+    keep.createOrReplaceTempView("r5_keep")
+    li.createOrReplaceTempView("r5_li")
+    val sqlPre = spark.sql(
+      """SELECT count(*) FROM r5_li WHERE might_contain(
+        |  (SELECT bloom_filter_agg(xxhash64(o_orderkey), 20000L, 160000L) FROM r5_keep),
+        |  xxhash64(l_orderkey))""".stripMargin).collect()(0).getLong(0)
+    assert(sqlPre === nPre)
+  }
+
+  test("q122: exactly one span per distinct content survives, counts conserve") {
+    val out = TextQueries.q122SpanDedup.run(spark, dir)
+    val rows = out.collect()
+    // kept ≤ total per doc; fractions in (0, 1]
+    rows.foreach { r =>
+      val (nSpans, nKept) = (r.getLong(1), r.getLong(2))
+      assert(nKept >= 0 && nKept <= nSpans, s"doc ${r.getLong(0)}")
+      val frac = r.getDouble(4)
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // conservation: total kept spans == number of distinct span contents
+    val span = 16
+    val toks = graft.functions.Text.tokens(col("text"))
+    val distinctSpans = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("n_sp",
+        greatest(lit(1), ceil(size(col("t")) / lit(span.toDouble)).cast("int")))
+      .select(explode(sequence(lit(0), col("n_sp") - 1)).as("i"), col("t"))
+      .select(md5(array_join(slice(col("t"), col("i") * span + 1, lit(span)), " ")).as("h"))
+      .distinct().count()
+    assert(rows.map(_.getLong(2)).sum === distinctSpans)
+  }
+
+  test("q123: the earliest document is fully novel, ratios bounded") {
+    val rows = TextQueries.q123NgramNovelty.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getDouble(3) === 1.0, "doc with smallest doc_id must be 100% novel")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // novelty must actually discriminate on this repetitive corpus
+    assert(rows.exists(_.getDouble(3) < 1.0), "no shingle reuse found — suspicious")
+  }
+}
