@@ -938,6 +938,145 @@ object Extras {
            |FROM g JOIN c ON g.event_type = c.event_type AND g.day = c.day
            |ORDER BY g.event_type, g.day""".stripMargin))
 
+  /** CDC log compaction: collapse an append-only event log to the
+    * latest state per key (the upsert-snapshot op every incremental
+    * lakehouse pipeline runs). ONE keyed aggregation with
+    * `max(struct(ts, id, …))` — partial aggregation compacts each map
+    * partition before the shuffle, so at 100 TB the shuffle carries one
+    * row per (partition × key), not the full log; a window/row_number
+    * formulation (the oracle's) would instead sort the whole log.
+    * Ordering ties at identical micro-timestamps break by event_id on
+    * both sides (the oracle orders by micro-truncated epoch — events.ts
+    * carries nanos DuckDB sees but Spark's reader truncates). */
+  val q126CdcCompaction = GraftQuery(
+    "q126_cdc_compaction",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max(struct(col("ts"), col("event_id"), col("event_type"), col("value")))
+            .as("last"))
+        .select(col("user_id"), col("n_events"),
+          unix_timestamp(col("last.ts")).as("last_ts_sec"),
+          col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_event_type"),
+          col("last.value").as("last_value"))
+        .orderBy("user_id"),
+    Some("""SELECT user_id, n_events,
+           |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS last_ts_sec,
+           |  event_id AS last_event_id, event_type AS last_event_type,
+           |  value AS last_value
+           |FROM (
+           |  SELECT *,
+           |    row_number() OVER (PARTITION BY user_id
+           |      ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn,
+           |    count(*) OVER (PARTITION BY user_id) AS n_events
+           |  FROM events)
+           |WHERE rn = 1 ORDER BY user_id""".stripMargin))
+
+  /** First-touch attribution: each user's chronologically first event
+    * type claims credit for that user's purchases. Two keyed
+    * aggregations + one left join — no corpus-wide window. The
+    * conversion funnel by acquisition channel, the marketing-analytics
+    * staple. */
+  val q127FirstTouch = GraftQuery(
+    "q127_first_touch",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val firstTouch = ev.groupBy("user_id")
+        .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("f"))
+        .select(col("user_id"), col("f.event_type").as("first_touch"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("np"), sum(col("value")).as("pv"))
+      firstTouch.join(purchases, Seq("user_id"), "left")
+        .groupBy("first_touch")
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("np") > 0, 1L).otherwise(0L)).as("n_converted"),
+          round(sum(coalesce(col("pv"), lit(0.0))), 2).as("purchase_value"),
+          round(sum(when(col("np") > 0, 1.0).otherwise(0.0)) / count(lit(1)), 6)
+            .as("conversion_rate"))
+        .orderBy("first_touch")
+    },
+    Some("""WITH f AS (
+           |  SELECT user_id, event_type AS first_touch FROM (
+           |    SELECT user_id, event_type,
+           |      row_number() OVER (PARTITION BY user_id
+           |        ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
+           |    FROM events) WHERE rn = 1),
+           |p AS (
+           |  SELECT user_id, count(*) AS np, sum(value) AS pv
+           |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+           |SELECT first_touch, CAST(count(*) AS BIGINT) AS n_users,
+           |  CAST(sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           |  round(sum(COALESCE(pv, 0)), 2) AS purchase_value,
+           |  round(sum(CASE WHEN np > 0 THEN 1.0 ELSE 0.0 END) / count(*), 6)
+           |    AS conversion_rate
+           |FROM f LEFT JOIN p USING (user_id)
+           |GROUP BY first_touch ORDER BY first_touch""".stripMargin))
+
+  /** Declarative data-quality constraint suite (the Deequ/dbt-test
+    * shape): six constraints over `orders` — completeness, uniqueness,
+    * two business rules (two of which genuinely fail on this data),
+    * domain membership, and referential integrity — evaluated in ONE
+    * aggregation pass plus one anti-join count, then pivoted to a
+    * row-per-constraint report. At 100 TB the whole suite costs one
+    * scan + one broadcast-ish anti-join, not one scan per constraint. */
+  val q128ConstraintCheck = GraftQuery(
+    "q128_constraint_check",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val base = o.agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col("o_orderkey"))).as("null_key"),
+        (count(col("o_orderkey")) - countDistinct(col("o_orderkey"))).as("dup_key"),
+        sum(when(col("o_totalprice") > 100000.0, 1L).otherwise(0L)).as("price_gt_100k"),
+        sum(when(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"), 1L)
+          .otherwise(0L)).as("date_ge_2000"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+          .as("bad_status"))
+      val fk = o.join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("fk_orphans"))
+      base.crossJoin(fk)
+        .selectExpr("n AS n_rows",
+          """stack(6,
+            |  'orderkey_not_null', null_key,
+            |  'orderkey_unique', dup_key,
+            |  'totalprice_le_100k', price_gt_100k,
+            |  'orderdate_before_2000', date_ge_2000,
+            |  'status_in_domain', bad_status,
+            |  'custkey_fk', fk_orphans) AS (check_name, n_violations)""".stripMargin)
+        .select(col("check_name"), col("n_rows"), col("n_violations"),
+          (col("n_violations") === 0L).cast("int").as("passed"))
+        .orderBy("check_name")
+    },
+    Some("""WITH base AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(count(*) - count(o_orderkey) AS BIGINT) AS null_key,
+           |    CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_key,
+           |    CAST(sum(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS price_gt_100k,
+           |    CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS date_ge_2000,
+           |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS bad_status
+           |  FROM orders),
+           |fk AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS fk_orphans
+           |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+           |  WHERE c.c_custkey IS NULL),
+           |r AS (
+           |  SELECT 'orderkey_not_null' AS check_name, n AS n_rows, null_key AS n_violations FROM base, fk
+           |  UNION ALL SELECT 'orderkey_unique', n, dup_key FROM base, fk
+           |  UNION ALL SELECT 'totalprice_le_100k', n, price_gt_100k FROM base, fk
+           |  UNION ALL SELECT 'orderdate_before_2000', n, date_ge_2000 FROM base, fk
+           |  UNION ALL SELECT 'status_in_domain', n, bad_status FROM base, fk
+           |  UNION ALL SELECT 'custkey_fk', n, fk_orphans FROM base, fk)
+           |SELECT check_name, n_rows, n_violations,
+           |  CAST(n_violations = 0 AS INTEGER) AS passed
+           |FROM r ORDER BY check_name""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
     q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
     q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup, q75StatAggregates,
@@ -945,5 +1084,6 @@ object Extras {
     q90Retention, q96RobustStats, q97Cohorts, q102DecayedRevenue,
     q104KmvDailyUsers, q107IncrementalRollup, q113TableProfile,
     q114RangeFrame, q115SetOpsAll, q116ForwardFill, q117ActivityIslands,
-    q118SketchedGrains)
+    q118SketchedGrains, q126CdcCompaction, q127FirstTouch,
+    q128ConstraintCheck)
 }

@@ -405,7 +405,71 @@ object QualityQueries {
            |GROUP BY t.rank, t.tok, t.exact_count
            |ORDER BY t.rank""".stripMargin))
 
+  /** Interpolated bigram language-model scoring (KenLM-style quality
+    * proxy, order 2): P(w₂|w₁) = λ·c(w₁w₂)/c(w₁) + (1−λ)·c(w₂)/N with
+    * λ=0.9, scored against the corpus's own counts. Extends q74's
+    * unigram dataflow by one more keyed aggregation (bigram counts) and
+    * two unigram joins — every stage a map-side-combined hash
+    * aggregation or equi-join, the exact shape an n-gram LM scorer
+    * keeps at 100 TB. Interpolation means unseen-bigram smoothing falls
+    * out of the math (the bigram join can never miss: every scored
+    * bigram occurs at least once in the corpus that defines the model,
+    * but λ<1 still discounts rare continuations). */
+  val q125BigramLogprob = GraftQuery(
+    "q125_bigram_logprob",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      val bi = docs
+        .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("t"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(t) - 1),
+            |  i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"""
+            .stripMargin)).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      bi.join(bc, Seq("w1", "w2"))
+        .join(uni.withColumnRenamed("tok", "w1").withColumnRenamed("c", "c1"), Seq("w1"))
+        .join(uni.withColumnRenamed("tok", "w2").withColumnRenamed("c", "c2"), Seq("w2"))
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          avg(-log(lit(0.9) * col("cb") / col("c1") +
+            lit(0.1) * col("c2") / col("n_total"))).as("nll"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("nll"), 6).as("avg_neg_logprob"),
+          round(exp(col("nll")), 2).as("perplexity"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+           |  FROM documents),
+           |toks AS (
+           |  SELECT doc_id, tok.x AS tok
+           |  FROM t, LATERAL (SELECT unnest(ws) x) tok),
+           |uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+           |total AS (SELECT count(*) AS n_total FROM toks),
+           |bi AS (
+           |  SELECT doc_id, ws[i.g] AS w1, ws[i.g + 1] AS w2
+           |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) g) i),
+           |bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+           |j AS (
+           |  SELECT doc_id,
+           |    -ln(0.9 * cb / u1.c + 0.1 * u2.c / n_total) AS nl
+           |  FROM bi JOIN bc USING (w1, w2)
+           |  JOIN uni u1 ON u1.tok = bi.w1
+           |  JOIN uni u2 ON u2.tok = bi.w2
+           |  CROSS JOIN total)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  round(avg(nl), 6) AS avg_neg_logprob,
+           |  round(exp(avg(nl)), 2) AS perplexity
+           |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q58GopherQuality, q59RepetitionStats,
     q60TokenEntropy, q74UnigramLogprob, q94Collocations, q95ChiSquare,
-    q98LangidConfidence, q99C4Boilerplate, q112CmsHeavyHitters)
+    q98LangidConfidence, q99C4Boilerplate, q112CmsHeavyHitters,
+    q125BigramLogprob)
 }

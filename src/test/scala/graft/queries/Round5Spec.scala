@@ -70,6 +70,54 @@ class Round5Spec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum === distinctSpans)
   }
 
+  test("q125: bigram LM bounds — one bigram per adjacent pair, ppl = exp(nll)") {
+    val rows = QualityQueries.q125BigramLogprob.run(spark, dir).collect()
+    val nToks = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(graft.functions.Text.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) === nToks(r.getLong(0)) - 1L, "n_bigrams must be n_tokens - 1")
+      assert(r.getDouble(2) > 0.0, "self-scored corpus still surprises (interpolation)")
+      assert(r.getDouble(3) >= 1.0, "perplexity below 1 is impossible")
+    }
+  }
+
+  test("q126: compaction yields one latest row per user") {
+    val ev = Tables.events(spark, dir)
+    val rows = Extras.q126CdcCompaction.run(spark, dir).collect()
+    assert(rows.length === ev.select("user_id").distinct().count().toInt)
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    // the reported last_ts is the max event second for that user
+    val maxTs = ev.groupBy("user_id").agg(max(unix_timestamp(col("ts"))).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(2) === maxTs(r.getLong(0))))
+  }
+
+  test("q127: attribution partitions the user base; conversion bounded") {
+    val rows = Extras.q127FirstTouch.run(spark, dir).collect()
+    val nUsers = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum === nUsers, "every user attributed exactly once")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val rate = r.getDouble(4)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("q128: constraint report flags the two planted business-rule breaches only") {
+    val rows = Extras.q128ConstraintCheck.run(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(rows.keySet === Set("orderkey_not_null", "orderkey_unique",
+      "totalprice_le_100k", "orderdate_before_2000", "status_in_domain", "custkey_fk"))
+    // integrity constraints hold on the synthetic data
+    Seq("orderkey_not_null", "orderkey_unique", "status_in_domain", "custkey_fk")
+      .foreach { c => assert(rows(c) === ((0L, 1)), s"$c should pass") }
+    // the business rules genuinely fail (violations counted, flag 0)
+    Seq("totalprice_le_100k", "orderdate_before_2000").foreach { c =>
+      assert(rows(c)._1 > 0 && rows(c)._2 === 0, s"$c should fail with counts")
+    }
+  }
+
   test("q123: the earliest document is fully novel, ratios bounded") {
     val rows = TextQueries.q123NgramNovelty.run(spark, dir).collect()
     assert(rows.nonEmpty)
