@@ -941,10 +941,12 @@ object Extras {
   /** CDC log compaction: collapse an append-only event log to the
     * latest state per key (the upsert-snapshot op every incremental
     * lakehouse pipeline runs). ONE keyed aggregation with
-    * `max(struct(ts, id, …))` — partial aggregation compacts each map
-    * partition before the shuffle, so at 100 TB the shuffle carries one
-    * row per (partition × key), not the full log; a window/row_number
-    * formulation (the oracle's) would instead sort the whole log.
+    * `max(struct(ts, id, …))` — the partial pass compacts each map
+    * partition before the shuffle (struct buffers plan as two-phase
+    * SortAggregate: per-partition sort, but the shuffle still carries
+    * one row per partition × key, not the full log); a window/
+    * row_number formulation (the oracle's) would instead shuffle and
+    * sort the whole log.
     * Ordering ties at identical micro-timestamps break by event_id on
     * both sides (the oracle orders by micro-truncated epoch — events.ts
     * carries nanos DuckDB sees but Spark's reader truncates). */
@@ -1077,6 +1079,91 @@ object Extras {
            |  CAST(n_violations = 0 AS INTEGER) AS passed
            |FROM r ORDER BY check_name""".stripMargin))
 
+  /** PageRank (3 fixed power iterations, damping 0.85) over the
+    * co-purchase graph: parts are linked when they appear in the same
+    * order. The iterative-graph-analytics shape: each round is ONE
+    * equi-join (ranks onto edge sources) + ONE keyed aggregation
+    * (mass summed at destinations) — the same dataflow at any scale,
+    * with per-order edge fanout bounded by order size (≤ a few items),
+    * so edge construction is a safe self-join. Every node in the graph
+    * has degree ≥ 1 (edges are symmetrized), so no dangling-mass terms.
+    * Fixed iteration count keeps the result deterministic and lets the
+    * oracle unroll the recursion. */
+  val q129PagerankCopurchase = GraftQuery(
+    "q129_pagerank_copurchase",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      val e0 = li.as("x")
+        .join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+      val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+      var ranks = deg.select(col("node"), lit(1.0).as("r"))
+      for (_ <- 1 to 3) {
+        ranks = edges
+          .join(ranks.withColumnRenamed("node", "a"), Seq("a"))
+          .join(deg.withColumnRenamed("node", "a"), Seq("a"))
+          .groupBy(col("b").as("node"))
+          .agg((lit(0.15) + lit(0.85) * sum(col("r") / col("d"))).as("r"))
+      }
+      ranks.join(deg, Seq("node"))
+        .select(col("node").as("p_partkey"), col("d").as("degree"),
+          round(col("r"), 6).as("rank"))
+        .orderBy("p_partkey")
+    },
+    Some("""WITH e0 AS (
+           |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+           |  FROM lineitem x JOIN lineitem y
+           |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+           |e AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+           |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
+           |r0 AS (SELECT node, 1.0 AS r FROM deg),
+           |r1 AS (SELECT e.b AS node, 0.15 + 0.85 * sum(r0.r / deg.d) AS r
+           |       FROM e JOIN r0 ON r0.node = e.a JOIN deg ON deg.node = e.a
+           |       GROUP BY e.b),
+           |r2 AS (SELECT e.b AS node, 0.15 + 0.85 * sum(r1.r / deg.d) AS r
+           |       FROM e JOIN r1 ON r1.node = e.a JOIN deg ON deg.node = e.a
+           |       GROUP BY e.b),
+           |r3 AS (SELECT e.b AS node, 0.15 + 0.85 * sum(r2.r / deg.d) AS r
+           |       FROM e JOIN r2 ON r2.node = e.a JOIN deg ON deg.node = e.a
+           |       GROUP BY e.b)
+           |SELECT r3.node AS p_partkey, deg.d AS degree, round(r3.r, 6) AS rank
+           |FROM r3 JOIN deg ON deg.node = r3.node
+           |ORDER BY p_partkey""".stripMargin))
+
+  /** UNPIVOT/melt + per-metric profile: the three lineitem measures
+    * melted to (metric, value) rows by a `stack` generator inside the
+    * projection (no shuffle to reshape — row count ×3 but column count
+    * ÷3), then one aggregation pass. The wide→long reshape every
+    * metrics warehouse and feature-store export runs. */
+  val q130UnpivotStats = GraftQuery(
+    "q130_unpivot_stats",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .selectExpr(
+          """stack(3,
+            |  'extendedprice', l_extendedprice,
+            |  'discount', l_discount,
+            |  'quantity', l_quantity) AS (metric, value)""".stripMargin)
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total"),
+          round(avg(col("value")), 6).as("mean"),
+          round(min(col("value")), 4).as("min_value"),
+          round(max(col("value")), 4).as("max_value"))
+        .orderBy("metric"),
+    Some("""WITH m AS (
+           |  SELECT 'extendedprice' AS metric, l_extendedprice AS value FROM lineitem
+           |  UNION ALL SELECT 'discount', l_discount FROM lineitem
+           |  UNION ALL SELECT 'quantity', l_quantity FROM lineitem)
+           |SELECT metric, CAST(count(*) AS BIGINT) AS n,
+           |  round(sum(value), 2) AS total, round(avg(value), 6) AS mean,
+           |  round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
+           |FROM m GROUP BY metric ORDER BY metric""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
     q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
     q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup, q75StatAggregates,
@@ -1085,5 +1172,5 @@ object Extras {
     q104KmvDailyUsers, q107IncrementalRollup, q113TableProfile,
     q114RangeFrame, q115SetOpsAll, q116ForwardFill, q117ActivityIslands,
     q118SketchedGrains, q126CdcCompaction, q127FirstTouch,
-    q128ConstraintCheck)
+    q128ConstraintCheck, q129PagerankCopurchase, q130UnpivotStats)
 }

@@ -212,4 +212,37 @@ class PlanAuditSpec extends SparkSpec {
     // frame never scans fact-grain rows
     assert(p.indexOf("HashAggregate", winIdx) > winIdx, p)
   }
+
+  test("q124: the bloom prefilter sits on the fact scan, before the semi-join shuffle") {
+    val p = plan("q124_bloom_semi_join")
+    val bloomIdx = p.indexOf("might_contain")
+    assert(bloomIdx > 0, s"bloom prefilter missing from plan:\n$p")
+    // the prefilter is a Filter over the lineitem scan, not post-join
+    val joinIdx = p.indexOf("LeftSemi")
+    assert(joinIdx > 0 && bloomIdx > joinIdx,
+      "prefilter must appear under (after, in toString order) the semi-join node")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q126: log compaction is one keyed aggregation, never a log-wide window") {
+    val p = plan("q126_cdc_compaction")
+    assert(!p.contains("Window"), s"window formulation would sort the whole log:\n$p")
+    // partial + final aggregate pair around one exchange (map-side
+    // combine before the shuffle). max(struct) buffers aren't
+    // hash-mutable, so Spark plans SortAggregate — still two-phase:
+    // the partial pass compacts each map partition to ≤1 row per key.
+    assert("partial_max".r.findAllIn(p).size >= 1, p)
+    assert("Aggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q122: span dedup is hash-joins + hash-aggregates only (no cartesian, no sort-join)") {
+    val p = plan("q122_span_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q129: pagerank edge build and iterations are equi-joins (no nested loop)") {
+    val p = plan("q129_pagerank_copurchase")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -118,6 +118,29 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("q129: pagerank mass bounded below by teleport, every graph node ranked") {
+    val rows = Extras.q129PagerankCopurchase.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1, "degree 0 node cannot be in the edge list")
+      assert(r.getDouble(2) >= 0.15, "rank below the teleport floor is impossible")
+    }
+    // symmetrized-graph invariant: total mass stays near node count
+    // (exactly conserved only at the fixed point; 3 iterations from
+    // uniform start keeps it within a loose band)
+    val n = rows.length.toDouble
+    val mass = rows.map(_.getDouble(2)).sum
+    assert(mass > 0.5 * n && mass < 1.5 * n, s"mass $mass drifted from n=$n")
+  }
+
+  test("q130: melt triples the row count, one output row per metric") {
+    val nLi = Tables.lineitem(spark, dir).count()
+    val rows = Extras.q130UnpivotStats.run(spark, dir).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ===
+      Seq("discount", "extendedprice", "quantity"))
+    rows.foreach(r => assert(r.getLong(1) === nLi))
+  }
+
   test("q123: the earliest document is fully novel, ratios bounded") {
     val rows = TextQueries.q123NgramNovelty.run(spark, dir).collect()
     assert(rows.nonEmpty)
