@@ -21,7 +21,8 @@ object Bench {
     * short-key format feed the same map. Used only to flag anomalously
     * slow measurements; absence is fine. */
   private[graft] def priorTimes(dirs: Seq[java.io.File] =
-      Seq(new java.io.File("."), new java.io.File("/root/repo"))): Map[String, Double] = {
+      Seq(new java.io.File("."), new java.io.File("/root/repo")),
+      sfDir: Option[String] = None): Map[String, Double] = {
     val files = dirs.flatMap(d => Option(d.listFiles()).toSeq.flatten)
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json|BENCH_DETAIL\\.json"))
     val entry = """\\?"(q\d+[^"\\]*)\\?":([0-9.]+)""".r
@@ -29,7 +30,16 @@ object Bench {
       try {
         val txt = scala.io.Source.fromFile(f)
         val s = try txt.mkString finally txt.close()
-        entry.findAllMatchIn(s).map(m => short(m.group(1)) -> m.group(2).toDouble).toSeq
+        // a detail file from a DIFFERENT scale factor (e.g. an sf0.001
+        // format-validation run) would poison the thresholds — smaller
+        // SFs run faster, so every sf0.1 time would look 3×-suspicious
+        // and trigger a useless full re-run pass. Driver BENCH_r*.json
+        // artifacts are always the bench profile's SF; only the local
+        // detail file needs the guard.
+        val skip = f.getName == "BENCH_DETAIL.json" &&
+          sfDir.exists(d => !s.contains("\"sf\":\"" + d + "\""))
+        if (skip) Seq.empty
+        else entry.findAllMatchIn(s).map(m => short(m.group(1)) -> m.group(2).toDouble).toSeq
       } catch { case _: Throwable => Seq.empty }
     }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
   }
@@ -107,7 +117,7 @@ object Bench {
     // Queries still anomalous after the retry are named in "anomalous"
     // so a contaminated artifact identifies itself instead of being
     // graded as a regression.
-    val priors = priorTimes()
+    val priors = priorTimes(sfDir = Some(sfDir))
     def threshold(name: String): Double =
       priors.get(short(name)).map(p => math.max(1.0, 3.0 * p)).getOrElse(5.0)
     val byName = selected.map(q => q.name -> q).toMap

@@ -44,6 +44,17 @@ class BenchPriorsSpec extends AnyFunSuite {
     }
   }
 
+  test("a detail file recorded at a different SF is excluded from priors") {
+    withDir { d =>
+      java.nio.file.Files.write(new java.io.File(d, "BENCH_DETAIL.json").toPath,
+        """{"total":1.0,"queries":{"q01_pricing_summary":0.01},"sf":"/x/sf0.001"}""".getBytes)
+      assert(Bench.priorTimes(Seq(d), sfDir = Some("/x/sf0.1")).isEmpty)
+      assert(Bench.priorTimes(Seq(d), sfDir = Some("/x/sf0.001"))("q01") === 0.01)
+      // without an SF to check against, the file still feeds priors
+      assert(Bench.priorTimes(Seq(d))("q01") === 0.01)
+    }
+  }
+
   test("missing directories and malformed files yield no priors, not a crash") {
     assert(Bench.priorTimes(Seq(new java.io.File("/nonexistent_dir_xyz"))).isEmpty)
     withDir { d =>
