@@ -1099,6 +1099,14 @@ object Extras {
             col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
         .distinct()
+      // edges/deg feed every iteration UNPERSISTED on purpose: the
+      // iterations' joins hash-partition edges identically each round,
+      // so Catalyst reuses the one shuffle (ReusedExchange — pinned in
+      // PlanAuditSpec) and the self-join runs once. An explicit
+      // .persist() measured SLOWER (8.7 s vs 7.0 s at sf0.1): it
+      // replaces free shuffle-file reuse with a cache materialization
+      // pass. For iteration counts where the growing lineage would
+      // out-depth shuffle reuse, checkpoint instead (see Dedup's CC).
       val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
       var ranks = deg.select(col("node"), lit(1.0).as("r"))
@@ -1133,6 +1141,64 @@ object Extras {
            |SELECT r3.node AS p_partkey, deg.d AS degree, round(r3.r, 6) AS rank
            |FROM r3 JOIN deg ON deg.node = r3.node
            |ORDER BY p_partkey""".stripMargin))
+
+  /** Trailing-7-day distinct users from MERGED daily KMV sketches: the
+    * sliding-window sketch composition (q104 builds the daily sketches;
+    * this rolls them up). k-min-of-union ≡ k-min of the unioned per-day
+    * k-mins, so merging day sketches loses nothing — the window never
+    * touches event grain. That inversion is the 100 TB story: the RANGE
+    * window runs over ≤ a-few-thousand day rows carrying O(k) digests
+    * each (the single-partition day-grain window is bounded by the
+    * calendar, not the data), while the exact formulation the oracle
+    * runs — distinct users per 7-day span — re-scans events per day. */
+  val q131RollingKmvUsers = GraftQuery(
+    "q131_rolling_kmv_users",
+    (s, dir) => {
+      val k = 64
+      val daily = Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(graft.functions.Kmv.kmvDigests(
+          md5(col("user_id").cast("string")), k).as("kmv"))
+        .withColumn("day_num",
+          datediff(to_date(col("day")), lit("1970-01-01").cast("date")))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("day_num").rangeBetween(-6, 0)
+      daily
+        .withColumn("n_days", count(lit(1)).over(w))
+        .withColumn("merged",
+          slice(array_sort(array_distinct(flatten(collect_list(col("kmv")).over(w)))),
+            1, k))
+        .select(col("day"), col("n_days"),
+          round(graft.functions.Kmv.kmvEstimate(col("merged"), k), 4)
+            .as("users_7d_kmv"))
+        .orderBy("day")
+    },
+    Some("""WITH days AS (
+           |  SELECT DISTINCT CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS d FROM events),
+           |dh AS (
+           |  SELECT DISTINCT CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS d,
+           |    md5(CAST(user_id AS VARCHAR)) AS h
+           |  FROM events),
+           |nd AS (
+           |  SELECT a.d, CAST(count(*) AS BIGINT) AS n_days
+           |  FROM days a JOIN days b ON b.d BETWEEN a.d - 6 AND a.d
+           |  GROUP BY a.d),
+           |uh AS (
+           |  SELECT DISTINCT a.d, dh.h
+           |  FROM days a JOIN dh ON dh.d BETWEEN a.d - 6 AND a.d),
+           |r AS (
+           |  SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rk
+           |  FROM uh),
+           |g AS (
+           |  SELECT d, count(*) AS nk,
+           |    max(CASE WHEN rk = 64 THEN substr(h, 1, 12) END) AS h64
+           |  FROM r WHERE rk <= 64 GROUP BY d)
+           |SELECT strftime(g.d, '%Y-%m-%d') AS day, nd.n_days,
+           |  round(CASE WHEN g.nk < 64 THEN CAST(g.nk AS DOUBLE)
+           |    ELSE 63.0 / (CAST(concat('0x', g.h64) AS BIGINT) / power(2, 48))
+           |    END, 4) AS users_7d_kmv
+           |FROM g JOIN nd ON nd.d = g.d
+           |ORDER BY day""".stripMargin))
 
   /** UNPIVOT/melt + per-metric profile: the three lineitem measures
     * melted to (metric, value) rows by a `stack` generator inside the
@@ -1172,5 +1238,6 @@ object Extras {
     q104KmvDailyUsers, q107IncrementalRollup, q113TableProfile,
     q114RangeFrame, q115SetOpsAll, q116ForwardFill, q117ActivityIslands,
     q118SketchedGrains, q126CdcCompaction, q127FirstTouch,
-    q128ConstraintCheck, q129PagerankCopurchase, q130UnpivotStats)
+    q128ConstraintCheck, q129PagerankCopurchase, q130UnpivotStats,
+    q131RollingKmvUsers)
 }

@@ -244,5 +244,8 @@ class PlanAuditSpec extends SparkSpec {
   test("q129: pagerank edge build and iterations are equi-joins (no nested loop)") {
     val p = plan("q129_pagerank_copurchase")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the power iterations re-join the same edge list; the plan must
+    // reuse its exchange, not re-run the lineitem self-join per round
+    assert(p.contains("ReusedExchange"), s"edge shuffle not reused:\n$p")
   }
 }
