@@ -305,6 +305,25 @@ object Streaming {
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double,
                                errors: Long)
 
+  /** Streaming twin of the batch CDC compaction (q126): latest state
+    * per key maintained incrementally as micro-batches arrive. The
+    * SAME `max(struct(ts, event_id, …))` aggregate as the batch
+    * operator — the state store holds one struct per key (O(keys)
+    * state, no watermark needed: compaction state is the product, not
+    * a buffer), and after any prefix of the stream the result equals
+    * the batch compaction over the same rows (spec-pinned). */
+  def latestStatePerKey(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("ts"), col("event_id"), col("event_type"), col("value")))
+          .as("last"))
+      .select(col("user_id"), col("n_events"),
+        col("last.ts").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_event_type"),
+        col("last.value").as("last_value"))
+
   /** Custom keyed state via flatMapGroupsWithState: per-user running
     * totals + error counts, emitted on every batch (Update mode).
     * The KeyValueGroupedDataset state pattern for logic the built-in

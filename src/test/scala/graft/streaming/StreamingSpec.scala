@@ -181,6 +181,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((3L, 10.0, 1L)))
   }
 
+  test("streaming compaction equals batch compaction after every prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streaming.Event]
+    val out = Streaming.latestStatePerKey(in.toDS().toDF())
+    val q = out.writeStream.format("memory").queryName("compacted")
+      .outputMode("complete").start()
+    val b1 = Seq(
+      Streaming.Event(1L, ts("2024-01-01 00:00:00"), 1L, "click", 2.0),
+      Streaming.Event(2L, ts("2024-01-01 00:05:00"), 2L, "view", 1.0))
+    val b2 = Seq(
+      // arrives after b1 but carries an OLDER timestamp for user 1 —
+      // must not displace the existing state
+      Streaming.Event(3L, ts("2023-12-31 23:59:00"), 1L, "error", 4.0),
+      Streaming.Event(4L, ts("2024-01-01 00:09:00"), 2L, "purchase", 9.0))
+    def batchOver(rows: Seq[Streaming.Event]) =
+      Streaming.latestStatePerKey(spark.createDataFrame(rows))
+        .orderBy("user_id").collect().toSeq
+    in.addData(b1: _*); q.processAllAvailable()
+    assert(spark.table("compacted").orderBy("user_id").collect().toSeq ===
+      batchOver(b1))
+    in.addData(b2: _*); q.processAllAvailable(); q.stop()
+    // user 1 keeps its newer pre-existing state; user 2 advances
+    assert(spark.table("compacted").orderBy("user_id").collect().toSeq ===
+      batchOver(b1 ++ b2))
+    val u1 = spark.table("compacted").filter("user_id = 1").collect()(0)
+    assert(u1.getAs[Long]("last_event_id") === 1L)
+  }
+
   test("near-dup sink admits only novel documents across batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("neardup_sink").toString
