@@ -1200,6 +1200,82 @@ object Extras {
            |FROM g JOIN nd ON nd.d = g.d
            |ORDER BY day""".stripMargin))
 
+  /** KMV set-operation cardinality estimation (Beyer et al. 2007):
+    * estimate |A∪B|, Jaccard, and |A∩B| for two key sets from their
+    * k-minimum-value sketches ALONE — the join-size estimate a query
+    * planner wants without running the join. Each side is one sketch
+    * aggregation; the composition (merge k-mins, count sketch-level
+    * agreement, scale) is pure array arithmetic on 2×k digests. md5
+    * keys make every step engine-portable, so the oracle recomputes
+    * the estimates bit-for-bit; the exact counts ride along to show
+    * the error. */
+  val q132KmvSetOps = GraftQuery(
+    "q132_kmv_set_ops",
+    (s, dir) => {
+      val k = 128
+      val ka = Tables.orders(s, dir)
+        .agg(graft.functions.Kmv.kmvDigests(
+          md5(col("o_custkey").cast("string")), k).as("ka"))
+      val kb = Tables.events(s, dir)
+        .agg(graft.functions.Kmv.kmvDigests(
+          md5(col("user_id").cast("string")), k).as("kb"))
+      val exact = Tables.orders(s, dir).select(col("o_custkey").as("key")).distinct()
+        .join(Tables.events(s, dir).select(col("user_id").as("key")).distinct(),
+          Seq("key"), "full_outer")
+        .agg(count(lit(1)).as("n_union_exact"))
+      val exactI = Tables.orders(s, dir).select(col("o_custkey").as("key")).distinct()
+        .join(Tables.events(s, dir).select(col("user_id").as("key")).distinct(),
+          Seq("key"), "left_semi")
+        .agg(count(lit(1)).as("n_intersection_exact"))
+      ka.crossJoin(kb)
+        .select(col("ka"), col("kb"),
+          slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, k)
+            .as("ku"))
+        .select(
+          lit(k).as("k"),
+          round(graft.functions.Kmv.kmvEstimate(col("ku"), k), 4).as("est_union"),
+          size(array_intersect(array_intersect(col("ku"), col("ka")), col("kb")))
+            .cast("long").as("n_sketch_both"),
+          round(size(array_intersect(array_intersect(col("ku"), col("ka")), col("kb")))
+            / size(col("ku")).cast("double"), 6).as("est_jaccard"),
+          round(graft.functions.Kmv.kmvEstimate(col("ku"), k) *
+            (size(array_intersect(array_intersect(col("ku"), col("ka")), col("kb")))
+              / size(col("ku")).cast("double")), 4).as("est_intersection"))
+        .crossJoin(exact)
+        .crossJoin(exactI)
+    },
+    Some("""WITH a AS (SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS h,
+           |                  o_custkey AS key FROM orders),
+           |b AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h,
+           |        user_id AS key FROM events),
+           |ka AS (SELECT h FROM a ORDER BY h LIMIT 128),
+           |kb AS (SELECT h FROM b ORDER BY h LIMIT 128),
+           |ku AS (SELECT h, row_number() OVER (ORDER BY h) AS rk
+           |       FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+           |       ORDER BY h LIMIT 128),
+           |m AS (SELECT count(*) AS nu,
+           |        max(CASE WHEN rk = 128 THEN substr(h, 1, 12) END) AS h128,
+           |        CAST(sum(CASE WHEN h IN (SELECT h FROM ka)
+           |                       AND h IN (SELECT h FROM kb)
+           |                 THEN 1 ELSE 0 END) AS BIGINT) AS nboth
+           |      FROM ku),
+           |est AS (SELECT
+           |    CASE WHEN nu < 128 THEN CAST(nu AS DOUBLE)
+           |         ELSE 127.0 / (CAST(concat('0x', h128) AS BIGINT) / power(2, 48))
+           |    END AS eu,
+           |    nboth, nu FROM m),
+           |ex AS (SELECT CAST(count(DISTINCT key) AS BIGINT) AS n_union_exact
+           |       FROM (SELECT key FROM a UNION ALL SELECT key FROM b)),
+           |exi AS (SELECT CAST(count(*) AS BIGINT) AS n_intersection_exact
+           |        FROM (SELECT DISTINCT o_custkey FROM orders) x
+           |        JOIN (SELECT DISTINCT user_id FROM events) y
+           |          ON x.o_custkey = y.user_id)
+           |SELECT 128 AS k, round(eu, 4) AS est_union, nboth AS n_sketch_both,
+           |  round(nboth * 1.0 / nu, 6) AS est_jaccard,
+           |  round(eu * (nboth * 1.0 / nu), 4) AS est_intersection,
+           |  ex.n_union_exact, exi.n_intersection_exact
+           |FROM est, ex, exi""".stripMargin))
+
   /** UNPIVOT/melt + per-metric profile: the three lineitem measures
     * melted to (metric, value) rows by a `stack` generator inside the
     * projection (no shuffle to reshape — row count ×3 but column count
@@ -1239,5 +1315,5 @@ object Extras {
     q114RangeFrame, q115SetOpsAll, q116ForwardFill, q117ActivityIslands,
     q118SketchedGrains, q126CdcCompaction, q127FirstTouch,
     q128ConstraintCheck, q129PagerankCopurchase, q130UnpivotStats,
-    q131RollingKmvUsers)
+    q131RollingKmvUsers, q132KmvSetOps)
 }

@@ -63,6 +63,33 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  /** Same property for the round-5 span-dedup/novelty pair: both pick
+    * global FIRST occurrences (min over (doc_id, span_idx) / doc_id),
+    * which a partial aggregation computes per partition before the
+    * final merge — so the winner must not depend on which partition
+    * saw a span first. A max/min formulated over arrival order instead
+    * of the key tuple would pass single-file and silently drift
+    * multi-file. */
+  test("span dedup and n-gram novelty are invariant to file layout and row order") {
+    def res(name: String, d: String) =
+      graft.SparkEntry.queries(name)(spark, d).collect().map(_.toSeq).toSeq
+    val multiRoot = java.nio.file.Files
+      .createTempDirectory("graft_scale_shape_span").toString
+    try {
+      graft.Tables.documents(spark, dir)
+        .repartition(8, col("doc_id"))
+        .sortWithinPartitions(md5(col("text")))
+        .write.mode("overwrite").parquet(s"$multiRoot/documents.parquet")
+      for (q <- Seq("q122_span_dedup", "q123_ngram_novelty")) {
+        val one = res(q, dir)
+        assert(one.nonEmpty)
+        assert(res(q, multiRoot) === one, s"$q drifted under re-layout")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(multiRoot))
+    }
+  }
+
   /** Same property for the vector path: the IVF quantizer trains on a
     * deterministic md5-ordered bounded sample (TakeOrderedAndProject),
     * so the trained model — and with it every cell assignment, probe

@@ -141,6 +141,22 @@ class Round5Spec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) === nLi))
   }
 
+  test("q132: sketch set-op estimates land within sketch error of exact") {
+    val r = Extras.q132KmvSetOps.run(spark, dir).collect()(0)
+    val (estU, estI) = (r.getDouble(1), r.getDouble(4))
+    val (exU, exI) = (r.getLong(5), r.getLong(6))
+    assert(r.getLong(2) <= 128, "sketch agreement can't exceed k")
+    val j = r.getDouble(3)
+    assert(j >= 0.0 && j <= 1.0)
+    // KMV rsd ≈ 1/√(k−2) ≈ 8.9% at k=128; allow ~4σ, intersection
+    // compounds two estimates so gets double the band. Sub-k sides are
+    // exact by construction, so the bands only matter when estimating.
+    assert(math.abs(estU - exU) <= math.max(8.0, 0.36 * exU),
+      s"union est $estU vs exact $exU")
+    assert(math.abs(estI - exI) <= math.max(8.0, 0.72 * exI),
+      s"intersection est $estI vs exact $exI")
+  }
+
   test("q123: the earliest document is fully novel, ratios bounded") {
     val rows = TextQueries.q123NgramNovelty.run(spark, dir).collect()
     assert(rows.nonEmpty)
