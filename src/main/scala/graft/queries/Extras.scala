@@ -1276,6 +1276,33 @@ object Extras {
            |  ex.n_union_exact, exi.n_intersection_exact
            |FROM est, ex, exi""".stripMargin))
 
+  /** The salted skew join behind the oracle gate: events (probe side,
+    * hot user keys) joined to the customer dimension through
+    * `SkewJoin.saltedJoin` — each hot key spread over 8 salt
+    * partitions, build side replicated ×8 — then rolled up per market
+    * segment. Row-identical to the plain join (the oracle runs the
+    * plain join), which is the operator's whole contract; the plan
+    * property (the join key is (user_id, __salt)) is spec-pinned in
+    * SkewJoinSpec. */
+  val q133SaltedJoin = GraftQuery(
+    "q133_salted_join",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.operators.SkewJoin.saltedJoin(
+          Tables.events(s, dir), cust, Seq("user_id"), factor = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           |  round(sum(value), 2) AS total_value
+           |FROM events JOIN customer ON c_custkey = user_id
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
   /** UNPIVOT/melt + per-metric profile: the three lineitem measures
     * melted to (metric, value) rows by a `stack` generator inside the
     * projection (no shuffle to reshape — row count ×3 but column count
@@ -1315,5 +1342,5 @@ object Extras {
     q114RangeFrame, q115SetOpsAll, q116ForwardFill, q117ActivityIslands,
     q118SketchedGrains, q126CdcCompaction, q127FirstTouch,
     q128ConstraintCheck, q129PagerankCopurchase, q130UnpivotStats,
-    q131RollingKmvUsers, q132KmvSetOps)
+    q131RollingKmvUsers, q132KmvSetOps, q133SaltedJoin)
 }
