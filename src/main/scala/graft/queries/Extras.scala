@@ -1303,6 +1303,91 @@ object Extras {
            |FROM events JOIN customer ON c_custkey = user_id
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** Group-wise ordinary-least-squares: per event type, regress event
+    * value on hour-of-day (slope, intercept, correlation, n) with the
+    * SQL-standard regr_* / corr aggregates — one partial-aggregated
+    * pass, the "fit a tiny model per group" shape feature platforms
+    * run per entity at scale. Hour-of-day keeps the regressor bounded
+    * so the rounded coefficients are stable across engines'
+    * summation orders. */
+  val q134GroupwiseRegression = GraftQuery(
+    "q134_groupwise_regression",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), col("value"),
+          hour(col("ts")).cast("double").as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(regr_slope(col("value"), col("x")), 6).as("slope"),
+          round(regr_intercept(col("value"), col("x")), 6).as("intercept"),
+          round(corr(col("value"), col("x")), 6).as("correlation"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |  round(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 6) AS slope,
+           |  round(regr_intercept(value, CAST(hour(ts) AS DOUBLE)), 6) AS intercept,
+           |  round(corr(value, CAST(hour(ts) AS DOUBLE)), 6) AS correlation
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Table diff / reconciliation: compare two versions of a table by
+    * full-outer joining on the key and hashing the non-key payload —
+    * the anti-entropy check a lakehouse runs between a source and its
+    * replica (or before/after a backfill). The "new version" here is a
+    * deterministic mutation of orders (every 13th key dropped, every
+    * 7th price re-priced) so the diff has all three change classes.
+    * One full-outer join on the key + md5 payload compare; at 100 TB
+    * both sides shuffle once on the key and the payload comparison is
+    * a fixed-width hash, not a column-by-column row compare. */
+  val q135TableDiff = GraftQuery(
+    "q135_table_diff",
+    (s, dir) => {
+      // price carried as integer cents so the payload hash and the 10%
+      // re-price are pure integer arithmetic — engine-identical, no
+      // float-formatting or rounding-mode dependence in the digest
+      val o = Tables.orders(s, dir)
+        .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      def payload(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("o_orderkey").as("key"),
+        md5(concat_ws("|", col("o_custkey"), col("o_orderstatus"),
+          col("cents"), col("o_orderpriority"))).as("h"))
+      val v1 = payload(o)
+      val v2 = payload(
+        o.filter(col("o_orderkey") % 13 =!= 0)
+          .withColumn("cents",
+            when(col("o_orderkey") % 7 === 0, expr("(cents * 11) div 10"))
+              .otherwise(col("cents"))))
+      v1.withColumnRenamed("h", "h1")
+        .join(v2.withColumnRenamed("h", "h2"), Seq("key"), "full_outer")
+        .select(when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "modified")
+          .otherwise("unchanged").as("change_type"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("change_type")
+    },
+    Some("""WITH base AS (
+           |  SELECT *, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           |  FROM orders),
+           |v1 AS (
+           |  SELECT o_orderkey AS key,
+           |    md5(concat_ws('|', o_custkey, o_orderstatus, cents,
+           |      o_orderpriority)) AS h1
+           |  FROM base),
+           |v2 AS (
+           |  SELECT o_orderkey AS key,
+           |    md5(concat_ws('|', o_custkey, o_orderstatus,
+           |      CASE WHEN o_orderkey % 7 = 0 THEN (cents * 11) // 10
+           |           ELSE cents END,
+           |      o_orderpriority)) AS h2
+           |  FROM base WHERE o_orderkey % 13 <> 0)
+           |SELECT CASE WHEN h1 IS NULL THEN 'added'
+           |            WHEN h2 IS NULL THEN 'removed'
+           |            WHEN h1 <> h2 THEN 'modified'
+           |            ELSE 'unchanged' END AS change_type,
+           |  CAST(count(*) AS BIGINT) AS n_rows
+           |FROM v1 FULL OUTER JOIN v2 USING (key)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** UNPIVOT/melt + per-metric profile: the three lineitem measures
     * melted to (metric, value) rows by a `stack` generator inside the
     * projection (no shuffle to reshape — row count ×3 but column count
@@ -1342,5 +1427,6 @@ object Extras {
     q114RangeFrame, q115SetOpsAll, q116ForwardFill, q117ActivityIslands,
     q118SketchedGrains, q126CdcCompaction, q127FirstTouch,
     q128ConstraintCheck, q129PagerankCopurchase, q130UnpivotStats,
-    q131RollingKmvUsers, q132KmvSetOps, q133SaltedJoin)
+    q131RollingKmvUsers, q132KmvSetOps, q133SaltedJoin,
+    q134GroupwiseRegression, q135TableDiff)
 }

@@ -157,6 +157,30 @@ class Round5Spec extends SparkSpec {
       s"intersection est $estI vs exact $exI")
   }
 
+  test("q135: diff classes match the planted mutation exactly") {
+    val o = Tables.orders(spark, dir)
+    val nAll = o.count()
+    val nRemoved = o.filter(col("o_orderkey") % 13 === 0).count()
+    val nModified = o.filter(col("o_orderkey") % 13 =!= 0 &&
+      col("o_orderkey") % 7 === 0).count()
+    val got = Extras.q135TableDiff.run(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.getOrElse("removed", 0L) === nRemoved)
+    assert(got.getOrElse("modified", 0L) === nModified)
+    assert(got.getOrElse("unchanged", 0L) === nAll - nRemoved - nModified)
+    assert(!got.contains("added"), "mutation never adds keys")
+  }
+
+  test("q134: regression covers every event, coefficients finite") {
+    val rows = Extras.q134GroupwiseRegression.run(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum === Tables.events(spark, dir).count())
+    rows.foreach { r =>
+      assert(!r.getDouble(2).isNaN && !r.getDouble(3).isNaN)
+      val c = r.getDouble(4)
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
+
   test("q123: the earliest document is fully novel, ratios bounded") {
     val rows = TextQueries.q123NgramNovelty.run(spark, dir).collect()
     assert(rows.nonEmpty)
