@@ -1388,6 +1388,39 @@ object Extras {
            |FROM v1 FULL OUTER JOIN v2 USING (key)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: count (current → next) event-type pairs with a
+    * per-user lead window (per-key sort, never a global one), then
+    * normalize rows into transition probabilities with a tiny window
+    * over the 5×5 type matrix. The sequence-mining primitive behind
+    * next-action prediction and anomalous-flow detection. */
+  val q136EventTransitions = GraftQuery(
+    "q136_event_transitions",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n") / sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("prev_type")), 6))
+        .orderBy("prev_type", "next_type")
+    },
+    Some("""WITH s AS (
+           |  SELECT event_type,
+           |    lead(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY epoch_ns(ts) // 1000, event_id) AS next_type
+           |  FROM events),
+           |c AS (
+           |  SELECT event_type AS prev_type, next_type,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+           |SELECT prev_type, next_type, n,
+           |  round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+           |FROM c ORDER BY prev_type, next_type""".stripMargin))
+
   /** UNPIVOT/melt + per-metric profile: the three lineitem measures
     * melted to (metric, value) rows by a `stack` generator inside the
     * projection (no shuffle to reshape — row count ×3 but column count
@@ -1428,5 +1461,5 @@ object Extras {
     q118SketchedGrains, q126CdcCompaction, q127FirstTouch,
     q128ConstraintCheck, q129PagerankCopurchase, q130UnpivotStats,
     q131RollingKmvUsers, q132KmvSetOps, q133SaltedJoin,
-    q134GroupwiseRegression, q135TableDiff)
+    q134GroupwiseRegression, q135TableDiff, q136EventTransitions)
 }

@@ -181,6 +181,18 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("q136: transition rows sum to n_events - n_users; each matrix row to 1") {
+    val rows = Extras.q136EventTransitions.run(spark, dir).collect()
+    val ev = Tables.events(spark, dir)
+    val expectedPairs = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === expectedPairs,
+      "every consecutive pair within a user contributes exactly one transition")
+    rows.groupBy(_.getString(0)).foreach { case (prev, rs) =>
+      val total = rs.map(_.getDouble(3)).sum
+      assert(math.abs(total - 1.0) < 1e-4, s"row $prev sums to $total")
+    }
+  }
+
   test("q123: the earliest document is fully novel, ratios bounded") {
     val rows = TextQueries.q123NgramNovelty.run(spark, dir).collect()
     assert(rows.nonEmpty)
