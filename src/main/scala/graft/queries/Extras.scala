@@ -1421,6 +1421,41 @@ object Extras {
            |  round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS p
            |FROM c ORDER BY prev_type, next_type""".stripMargin))
 
+  /** Time-weighted average (TWAP): each event's value holds until the
+    * user's next event; the average weights values by how long they
+    * were in force, not by how often they were sampled — the metric
+    * finance/ops pipelines use when observation cadence is uneven.
+    * One per-user lead window (per-key sort) + one keyed aggregation;
+    * durations are integer microseconds so only the final weighted
+    * mean is floating-point. */
+  val q137TimeWeightedAvg = GraftQuery(
+    "q137_time_weighted_avg",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("value"),
+          unix_micros(col("ts")).as("tus"), col("ts"), col("event_id"))
+        .withColumn("nxt", lead(col("tus"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .withColumn("dt", col("nxt") - col("tus"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dt")).as("horizon_us"),
+          round(sum(col("value") * col("dt")) / sum(col("dt")), 6).as("twap"))
+        .orderBy("user_id")
+    },
+    Some("""WITH s AS (
+           |  SELECT user_id, value, epoch_ns(ts) // 1000 AS tus,
+           |    lead(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+           |      ORDER BY epoch_ns(ts) // 1000, event_id) AS nxt
+           |  FROM events)
+           |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+           |  CAST(sum(nxt - tus) AS BIGINT) AS horizon_us,
+           |  round(sum(value * (nxt - tus)) / sum(nxt - tus), 6) AS twap
+           |FROM s WHERE nxt IS NOT NULL
+           |GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   /** UNPIVOT/melt + per-metric profile: the three lineitem measures
     * melted to (metric, value) rows by a `stack` generator inside the
     * projection (no shuffle to reshape — row count ×3 but column count
@@ -1461,5 +1496,6 @@ object Extras {
     q118SketchedGrains, q126CdcCompaction, q127FirstTouch,
     q128ConstraintCheck, q129PagerankCopurchase, q130UnpivotStats,
     q131RollingKmvUsers, q132KmvSetOps, q133SaltedJoin,
-    q134GroupwiseRegression, q135TableDiff, q136EventTransitions)
+    q134GroupwiseRegression, q135TableDiff, q136EventTransitions,
+    q137TimeWeightedAvg)
 }

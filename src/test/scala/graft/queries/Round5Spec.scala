@@ -193,6 +193,21 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("q137: TWAP stays inside each user's value range, horizon positive") {
+    val rows = Extras.q137TimeWeightedAvg.run(spark, dir).collect()
+    val bounds = Tables.events(spark, dir).groupBy("user_id")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi) = bounds(r.getLong(0))
+      assert(r.getLong(2) > 0, "zero horizon means duplicate timestamps everywhere")
+      val twap = r.getDouble(3)
+      assert(twap >= lo - 1e-9 && twap <= hi + 1e-9,
+        s"user ${r.getLong(0)}: twap $twap outside [$lo, $hi]")
+    }
+  }
+
   test("q123: the earliest document is fully novel, ratios bounded") {
     val rows = TextQueries.q123NgramNovelty.run(spark, dir).collect()
     assert(rows.nonEmpty)
