@@ -139,19 +139,29 @@ object Bench {
     }
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // a failed query's "time" is time-to-exception — meaningless as a
+    // measurement and poisonous as a prior (a 0.2s analysis failure
+    // would make the fixed query's real 2.5s look anomalous next
+    // round). Failed queries appear ONLY in the failed list.
+    val timed = results.filterNot { case (name, _) => failed.contains(name) }
     // compact line: qNN keys + centisecond values (fits the driver's
-    // 2000-char tail window with headroom for ~40 more queries)
-    val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
+    // 2000-char tail window with headroom for ~30 more queries)
+    val qs = timed.map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = timed.map(_._2).sum
     val failedJson = failed.map(n => "\"" + short(n) + "\"").mkString("[", ",", "]")
     val anomalousJson = anomalous.map(n => "\"" + short(n) + "\"").mkString("[", ",", "]")
-    // full names + full precision for humans/judges (and as a prior source)
-    val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // full names for humans/judges (and as a prior source); fixed-point
+    // microsecond precision — raw Double.toString would emit scientific
+    // notation below 1e-3, which the priors regex misparses (8.5E-4
+    // would read as an 8.5s prior)
+    def fmt6(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
+    val detail = timed.map { case (k, v) => "\"" + k + "\":" + fmt6(v) }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"total":$total,"queries":$detail,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"anomalous":${anomalous.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
+      s"""{"total":${fmt6(total)},"queries":$detail,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"anomalous":${anomalous.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_DETAIL.json write failed: ${e.getMessage}")
     }

@@ -1111,11 +1111,17 @@ object Extras {
       val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
       var ranks = deg.select(col("node"), lit(1.0).as("r"))
       for (_ <- 1 to 3) {
+        // round each iteration's ranks to 1e-9 (both engines, see the
+        // oracle): the engines sum neighbor contributions in different
+        // orders, so raw doubles drift ~1e-15 per round and COMPOUND
+        // through the recursion; snapping at every boundary keeps the
+        // next round's inputs bit-identical instead of letting three
+        // rounds of drift gamble against the final round(…, 6) gate
         ranks = edges
           .join(ranks.withColumnRenamed("node", "a"), Seq("a"))
           .join(deg.withColumnRenamed("node", "a"), Seq("a"))
           .groupBy(col("b").as("node"))
-          .agg((lit(0.15) + lit(0.85) * sum(col("r") / col("d"))).as("r"))
+          .agg(round(lit(0.15) + lit(0.85) * sum(col("r") / col("d")), 9).as("r"))
       }
       ranks.join(deg, Seq("node"))
         .select(col("node").as("p_partkey"), col("d").as("degree"),
@@ -1129,13 +1135,13 @@ object Extras {
            |e AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
            |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
            |r0 AS (SELECT node, 1.0 AS r FROM deg),
-           |r1 AS (SELECT e.b AS node, 0.15 + 0.85 * sum(r0.r / deg.d) AS r
+           |r1 AS (SELECT e.b AS node, round(0.15 + 0.85 * sum(r0.r / deg.d), 9) AS r
            |       FROM e JOIN r0 ON r0.node = e.a JOIN deg ON deg.node = e.a
            |       GROUP BY e.b),
-           |r2 AS (SELECT e.b AS node, 0.15 + 0.85 * sum(r1.r / deg.d) AS r
+           |r2 AS (SELECT e.b AS node, round(0.15 + 0.85 * sum(r1.r / deg.d), 9) AS r
            |       FROM e JOIN r1 ON r1.node = e.a JOIN deg ON deg.node = e.a
            |       GROUP BY e.b),
-           |r3 AS (SELECT e.b AS node, 0.15 + 0.85 * sum(r2.r / deg.d) AS r
+           |r3 AS (SELECT e.b AS node, round(0.15 + 0.85 * sum(r2.r / deg.d), 9) AS r
            |       FROM e JOIN r2 ON r2.node = e.a JOIN deg ON deg.node = e.a
            |       GROUP BY e.b)
            |SELECT r3.node AS p_partkey, deg.d AS degree, round(r3.r, 6) AS rank
@@ -1219,14 +1225,19 @@ object Extras {
       val kb = Tables.events(s, dir)
         .agg(graft.functions.Kmv.kmvDigests(
           md5(col("user_id").cast("string")), k).as("kb"))
-      val exact = Tables.orders(s, dir).select(col("o_custkey").as("key")).distinct()
-        .join(Tables.events(s, dir).select(col("user_id").as("key")).distinct(),
+      // both exact counts from ONE full-outer join of the two distinct
+      // key sets (marker columns survive the null-extension): |A∪B| is
+      // the row count, |A∩B| the rows present on both sides — a second
+      // semi-join would re-scan and re-distinct both inputs for a
+      // ride-along column
+      val exact = Tables.orders(s, dir)
+        .select(col("o_custkey").as("key")).distinct().withColumn("in_a", lit(1))
+        .join(Tables.events(s, dir)
+            .select(col("user_id").as("key")).distinct().withColumn("in_b", lit(1)),
           Seq("key"), "full_outer")
-        .agg(count(lit(1)).as("n_union_exact"))
-      val exactI = Tables.orders(s, dir).select(col("o_custkey").as("key")).distinct()
-        .join(Tables.events(s, dir).select(col("user_id").as("key")).distinct(),
-          Seq("key"), "left_semi")
-        .agg(count(lit(1)).as("n_intersection_exact"))
+        .agg(count(lit(1)).as("n_union_exact"),
+          sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+            .otherwise(0L)).as("n_intersection_exact"))
       ka.crossJoin(kb)
         .select(col("ka"), col("kb"),
           slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, k)
@@ -1242,7 +1253,6 @@ object Extras {
             (size(array_intersect(array_intersect(col("ku"), col("ka")), col("kb")))
               / size(col("ku")).cast("double")), 4).as("est_intersection"))
         .crossJoin(exact)
-        .crossJoin(exactI)
     },
     Some("""WITH a AS (SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS h,
            |                  o_custkey AS key FROM orders),

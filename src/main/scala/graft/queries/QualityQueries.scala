@@ -426,9 +426,15 @@ object QualityQueries {
       val bi = docs
         .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("t"))
         .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, size(t) - 1),
-            |  i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"""
-            .stripMargin)).as("b"))
+          // guard the degenerate single-token document: sequence(1, 0)
+          // steps DOWNWARD to [1, 0] and element_at(t, 0) throws
+          // unconditionally — mirror Text.wordShingles' empty-array
+          // guard so short docs simply contribute no bigrams (the
+          // oracle's generate_series(1, 0) is empty for the same doc)
+          """CASE WHEN size(t) < 2 THEN array()
+            |ELSE transform(sequence(1, size(t) - 1),
+            |  i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))
+            |END""".stripMargin)).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
       bi.join(bc, Seq("w1", "w2"))

@@ -277,16 +277,21 @@ object Relational {
     * bit-identical to the plain semi-join the oracle runs. This is the
     * engine-explicit form of Spark's own runtime-filter injection —
     * declared in the query so it fires regardless of optimizer
-    * heuristics. Sizing: 3M orders/TB-scale keep sets want numBits ≈
-    * 8×items (≈2% fp); here 1000 keys × 8 bits via the same formula. */
+    * heuristics. Sizing: the filter is built for the ACTUAL keep-key
+    * count (one cheap aggregation over the filtered dimension side,
+    * the same eager-model-state pattern as the IVF quantizer) at
+    * 8 bits/key ≈ 2% false positives — a hard-coded size would
+    * silently saturate at a larger SF and degrade the prefilter to an
+    * all-pass that still pays a per-row probe. */
   val q124BloomSemiJoin = GraftQuery(
     "q124_bloom_semi_join",
     (s, dir) => {
       val keep = Tables.orders(s, dir)
         .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
         .select("o_orderkey")
+      val nKeep = math.max(keep.count(), 1L)
       val bf = keep.agg(
-        graft.functions.Bloom.filterAgg(xxhash64(col("o_orderkey")), 20000L, 160000L)
+        graft.functions.Bloom.filterAgg(xxhash64(col("o_orderkey")), nKeep, 8L * nKeep)
           .as("bf"))
       Tables.lineitem(s, dir)
         .where(graft.functions.Bloom.mightContain(bf, xxhash64(col("l_orderkey"))))

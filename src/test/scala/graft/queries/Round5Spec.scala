@@ -82,6 +82,27 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("q125: single-token documents contribute no bigrams instead of crashing") {
+    // sequence(1, 0) steps DOWNWARD and element_at(t, 0) throws — the
+    // guard must turn degenerate docs into zero bigram rows (regression
+    // for a crash the 10..99-token testdata never exercises)
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q125_edge").toString
+    try {
+      Seq((1L, "solo", "en", "srcX", 4L),
+          (2L, "", "en", "srcX", 0L),
+          (3L, "three word doc", "en", "srcX", 14L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val rows = QualityQueries.q125BigramLogprob.run(spark, tmp).collect()
+      assert(rows.map(_.getLong(0)).toSet === Set(3L),
+        "only the multi-token doc has bigrams")
+      assert(rows(0).getLong(1) === 2L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("q126: compaction yields one latest row per user") {
     val ev = Tables.events(spark, dir)
     val rows = Extras.q126CdcCompaction.run(spark, dir).collect()
