@@ -1466,6 +1466,45 @@ object Extras {
            |FROM s WHERE nxt IS NOT NULL
            |GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** Rolling 7-day MEDIAN of daily revenue: an ordered-set statistic
+    * in a sliding window — the robust trend line a mean-based rolling
+    * aggregate can't give (one whale order drags a mean for a week).
+    * The window runs over the calendar-bounded day grain (like q114/
+    * q131), so collecting the frame into an array is O(7) per row; the
+    * lower-median convention (sorted[(n+1)/2]) avoids cross-engine
+    * interpolation differences, and inputs are pre-rounded so both
+    * engines sort identical doubles. */
+  val q138RollingMedian = GraftQuery(
+    "q138_rolling_median",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+            .cast("long").as("day_num"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("day_num").rangeBetween(-6, 0)
+      daily
+        .withColumn("n_days", count(lit(1)).over(w))
+        .withColumn("med_list", collect_list(col("rev")).over(w))
+        .select(col("day"), col("rev"), col("n_days"),
+          expr("element_at(array_sort(med_list), CAST((size(med_list) + 1) / 2 AS INT))")
+            .as("med_7d"))
+        .orderBy("day")
+    },
+    Some("""WITH d AS (
+           |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+           |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           |      AS BIGINT) AS day_num,
+           |    round(sum(o_totalprice), 2) AS rev
+           |  FROM orders GROUP BY 1, 2)
+           |SELECT day, rev,
+           |  CAST(count(*) OVER w AS BIGINT) AS n_days,
+           |  list_sort(list(rev) OVER w)[(count(*) OVER w + 1) // 2] AS med_7d
+           |FROM d
+           |WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+           |ORDER BY day""".stripMargin))
+
   /** UNPIVOT/melt + per-metric profile: the three lineitem measures
     * melted to (metric, value) rows by a `stack` generator inside the
     * projection (no shuffle to reshape — row count ×3 but column count
@@ -1507,5 +1546,5 @@ object Extras {
     q128ConstraintCheck, q129PagerankCopurchase, q130UnpivotStats,
     q131RollingKmvUsers, q132KmvSetOps, q133SaltedJoin,
     q134GroupwiseRegression, q135TableDiff, q136EventTransitions,
-    q137TimeWeightedAvg)
+    q137TimeWeightedAvg, q138RollingMedian)
 }

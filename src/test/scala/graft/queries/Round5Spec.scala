@@ -229,6 +229,23 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("q138: rolling median is an actual window member, frames bounded at 7") {
+    val rows = Extras.q138RollingMedian.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val byDay = rows.map(r => r._1 -> r._2).toMap
+    val days = rows.map(_._1).sorted
+    rows.foreach { case (day, _, nDays, med) =>
+      assert(nDays >= 1 && nDays <= 7)
+      // lower median must be one of the frame's daily revenues
+      val frame = days.filter(d => d <= day &&
+        java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(d), java.time.LocalDate.parse(day)) <= 6)
+        .map(byDay)
+      assert(frame.contains(med), s"$day: median $med not in frame $frame")
+    }
+  }
+
   test("q123: the earliest document is fully novel, ratios bounded") {
     val rows = TextQueries.q123NgramNovelty.run(spark, dir).collect()
     assert(rows.nonEmpty)
