@@ -1505,6 +1505,60 @@ object Extras {
            |WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
            |ORDER BY day""".stripMargin))
 
+  /** Market-basket lift between event types at user grain: for each
+    * unordered type pair, lift = P(both)/(P(a)·P(b)) over the user
+    * population — >1 means co-occurring users beyond chance. Baskets
+    * are the distinct (user, type) pairs; the pair join fans out
+    * per-user by basket size (≤5 types here; bounded by the domain,
+    * not the data), then two broadcast-sized marginal joins. The
+    * association-rule primitive (support/confidence/lift) behind
+    * recommender baselines. */
+  val q140BasketLift = GraftQuery(
+    "q140_basket_lift",
+    (s, dir) => {
+      val baskets = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+      val nUsers = baskets.select("user_id").distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val marg = baskets.groupBy("event_type").agg(count(lit(1)).as("m"))
+      val pairs = baskets.as("x")
+        .join(baskets.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(marg.withColumnRenamed("event_type", "type_a")
+          .withColumnRenamed("m", "m_a")), Seq("type_a"))
+        .join(broadcast(marg.withColumnRenamed("event_type", "type_b")
+          .withColumnRenamed("m", "m_b")), Seq("type_b"))
+        .crossJoin(broadcast(nUsers))
+        .select(col("type_a"), col("type_b"), col("n_both"),
+          round(col("n_both") / col("n_users").cast("double"), 6).as("support"),
+          round((col("n_both") * col("n_users")).cast("double") /
+            (col("m_a") * col("m_b")), 6).as("lift"))
+        .orderBy("type_a", "type_b")
+    },
+    Some("""WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+           |n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM b),
+           |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m FROM b
+           |      GROUP BY event_type),
+           |p AS (
+           |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+           |    CAST(count(*) AS BIGINT) AS n_both
+           |  FROM b x JOIN b y
+           |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+           |  GROUP BY 1, 2)
+           |SELECT type_a, type_b, n_both,
+           |  round(n_both / CAST(n_users AS DOUBLE), 6) AS support,
+           |  round(CAST(n_both * n_users AS DOUBLE) / (ma.m * mb.m), 6) AS lift
+           |FROM p
+           |JOIN m ma ON ma.event_type = type_a
+           |JOIN m mb ON mb.event_type = type_b
+           |CROSS JOIN n
+           |ORDER BY type_a, type_b""".stripMargin))
+
   /** UNPIVOT/melt + per-metric profile: the three lineitem measures
     * melted to (metric, value) rows by a `stack` generator inside the
     * projection (no shuffle to reshape — row count ×3 but column count
@@ -1546,5 +1600,5 @@ object Extras {
     q128ConstraintCheck, q129PagerankCopurchase, q130UnpivotStats,
     q131RollingKmvUsers, q132KmvSetOps, q133SaltedJoin,
     q134GroupwiseRegression, q135TableDiff, q136EventTransitions,
-    q137TimeWeightedAvg, q138RollingMedian)
+    q137TimeWeightedAvg, q138RollingMedian, q140BasketLift)
 }

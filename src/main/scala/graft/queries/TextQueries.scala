@@ -733,11 +733,63 @@ object TextQueries {
            |FROM sh JOIN fd USING (sh)
            |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin))
 
+  /** Character-level repeated-substring audit (the exact-substring
+    * dedup family, Lee et al. 2021 "Deduplicating Training Data Makes
+    * Language Models Better"): slide 40-char windows at stride 20 over
+    * every document, hash each window, and flag windows whose content
+    * also occurs in ANOTHER document. Catches byte-level boilerplate
+    * that token-span dedup (q122) misses when tokenization differs.
+    * Shape: bounded window explode (≤ len/20 per doc) → hash-aggregate
+    * (count, distinct-doc count via min≠max) → join back → per-doc
+    * ratio; every stage keyed, no pairwise comparison. */
+  val q139SubstringRepeats = GraftQuery(
+    "q139_substring_repeats",
+    (s, dir) => {
+      val win = 40
+      val stride = 20
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        .withColumn("n_w",
+          greatest(lit(1), (ceil((col("len") - win) / lit(stride.toDouble)) + 1)
+            .cast("int")))
+      val windows = docs
+        .select(col("doc_id"),
+          explode(sequence(lit(0), col("n_w") - 1)).as("i"), col("text"))
+        .select(col("doc_id"),
+          md5(expr(s"substring(text, i * $stride + 1, $win)")).as("h"))
+      val shared = windows.groupBy("h")
+        .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+        .select(col("h"), (col("lo") =!= col("hi")).cast("long").as("cross_doc"))
+      windows.join(shared, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("cross_doc")).as("n_shared"),
+          round(sum(col("cross_doc")) / count(lit(1)), 6).as("shared_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, text,
+           |    greatest(1, CAST(ceil((length(text) - 40) / 20.0) AS INTEGER) + 1)
+           |      AS n_w
+           |  FROM documents),
+           |w AS (
+           |  SELECT doc_id, md5(substr(text, i.g * 20 + 1, 40)) AS h
+           |  FROM d, LATERAL (SELECT unnest(generate_series(0, n_w - 1)) g) i),
+           |sh AS (
+           |  SELECT h, CASE WHEN min(doc_id) <> max(doc_id) THEN 1 ELSE 0 END
+           |    AS cross_doc
+           |  FROM w GROUP BY h)
+           |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+           |  CAST(sum(sh.cross_doc) AS BIGINT) AS n_shared,
+           |  round(sum(sh.cross_doc) * 1.0 / count(*), 6) AS shared_frac
+           |FROM w JOIN sh USING (h)
+           |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q20TextStats, q21LangId, q22Fingerprint, q23DedupExact, q24MinhashLsh,
     q25Simhash, q26NgramJaccard, q27MultimodalMeta, q28MultimodalFeatures,
     q29SimhashNearDup, q39NgramJaccardPrefix, q40RollingFingerprint,
     q54DedupClusters, q55DedupSurvivors, q69BpeSegments, q85FrameSample,
     q88DocChunks, q101NearDupDegree, q108CrossSourceDups, q111MinhashOph,
-    q122SpanDedup, q123NgramNovelty)
+    q122SpanDedup, q123NgramNovelty, q139SubstringRepeats)
 }

@@ -246,6 +246,38 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("q139: shared-substring fractions bounded; exact duplicate docs fully shared") {
+    val rows = TextQueries.q139SubstringRepeats.run(spark, dir).collect()
+    assert(rows.length === Tables.documents(spark, dir).count().toInt)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val f = r.getDouble(3)
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    // docs with byte-identical text (the corpus plants exact dups) must
+    // report every window shared
+    val dupIds = Tables.documents(spark, dir)
+      .groupBy("text").agg(collect_list("doc_id").as("ids"), count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select(explode(col("ids")).as("doc_id")).collect().map(_.getLong(0)).toSet
+    if (dupIds.nonEmpty) {
+      rows.filter(r => dupIds.contains(r.getLong(0)))
+        .foreach(r => assert(r.getDouble(3) === 1.0,
+          s"doc ${r.getLong(0)} is an exact dup but not fully shared"))
+    }
+  }
+
+  test("q140: support/lift bounds and pair symmetry source") {
+    val rows = Extras.q140BasketLift.run(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 10, "5 types -> at most C(5,2) pairs")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs are ordered once")
+      val support = r.getDouble(3)
+      assert(support > 0.0 && support <= 1.0)
+      assert(r.getDouble(4) > 0.0)
+    }
+  }
+
   test("q123: the earliest document is fully novel, ratios bounded") {
     val rows = TextQueries.q123NgramNovelty.run(spark, dir).collect()
     assert(rows.nonEmpty)
