@@ -1559,6 +1559,41 @@ object Extras {
            |CROSS JOIN n
            |ORDER BY type_a, type_b""".stripMargin))
 
+  /** k-anonymity audit over a quasi-identifier tuple: group sizes on
+    * (nation, market segment), the privacy gate run before a dataset
+    * leaves the warehouse — any equivalence class smaller than k makes
+    * its members re-identifiable. One aggregation for class sizes, one
+    * roll-up for the report (smallest class, classes and rows below
+    * k=5, at-risk share). */
+  val q141KAnonymity = GraftQuery(
+    "q141_k_anonymity",
+    (s, dir) => {
+      val k = 5
+      val classes = Tables.customer(s, dir)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("class_size"))
+      classes.agg(
+        count(lit(1)).as("n_classes"),
+        min(col("class_size")).as("k_min"),
+        sum(when(col("class_size") < k, 1L).otherwise(0L)).as("classes_below_k"),
+        sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
+          .as("rows_at_risk"),
+        round(sum(when(col("class_size") < k, col("class_size")).otherwise(0L)) /
+          sum(col("class_size")).cast("double"), 6).as("at_risk_share"))
+    },
+    Some("""WITH c AS (
+           |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+           |  FROM customer GROUP BY 1, 2)
+           |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           |  CAST(min(class_size) AS BIGINT) AS k_min,
+           |  CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS classes_below_k,
+           |  CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT)
+           |    AS rows_at_risk,
+           |  round(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+           |    / CAST(sum(class_size) AS DOUBLE), 6) AS at_risk_share
+           |FROM c""".stripMargin))
+
   /** UNPIVOT/melt + per-metric profile: the three lineitem measures
     * melted to (metric, value) rows by a `stack` generator inside the
     * projection (no shuffle to reshape — row count ×3 but column count
@@ -1600,5 +1635,6 @@ object Extras {
     q128ConstraintCheck, q129PagerankCopurchase, q130UnpivotStats,
     q131RollingKmvUsers, q132KmvSetOps, q133SaltedJoin,
     q134GroupwiseRegression, q135TableDiff, q136EventTransitions,
-    q137TimeWeightedAvg, q138RollingMedian, q140BasketLift)
+    q137TimeWeightedAvg, q138RollingMedian, q140BasketLift,
+    q141KAnonymity)
 }

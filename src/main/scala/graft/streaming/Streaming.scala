@@ -305,6 +305,17 @@ object Streaming {
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double,
                                errors: Long)
 
+  /** Stream-static dimension enrichment: join the event stream to a
+    * BATCH dimension table (the lookup-table pattern — Spark re-plans
+    * the static side per micro-batch, so a dimension refreshed in
+    * place is picked up without restarting the query). Stateless:
+    * nothing buffers, the join broadcasts the dimension into each
+    * batch. Use for the enrich-then-aggregate topology where only the
+    * aggregation needs state. */
+  def enrichWithDimension(events: DataFrame, dim: DataFrame,
+                          keys: Seq[String]): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
+
   /** Streaming twin of the batch CDC compaction (q126): latest state
     * per key maintained incrementally as micro-batches arrive. The
     * SAME `max(struct(ts, event_id, …))` aggregate as the batch

@@ -181,6 +181,25 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((3L, 10.0, 1L)))
   }
 
+  test("stream-static enrichment joins each batch against the dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("user_id", "tier")
+    val in = MemoryStream[Streaming.Event]
+    val out = Streaming.enrichWithDimension(in.toDS().toDF(), dim, Seq("user_id"))
+      .select("event_id", "user_id", "tier")
+    val q = out.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    in.addData(
+      Streaming.Event(1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+      Streaming.Event(2L, ts("2024-01-01 00:01:00"), 3L, "view", 2.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("enriched").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(rows(1L) === Some("GOLD"))
+    assert(rows(2L) === None, "unmatched keys survive the left join unenriched")
+  }
+
   test("streaming compaction equals batch compaction after every prefix") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streaming.Event]
