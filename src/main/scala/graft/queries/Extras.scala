@@ -1109,6 +1109,12 @@ object Extras {
       // out-depth shuffle reuse, checkpoint instead (see Dedup's CC).
       val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+      // fold the source degree into the edge frame ONCE — every
+      // iteration then needs a single join (ranks onto edges) instead
+      // of two, and the (edges ⋈ deg) exchange is reused across all
+      // three rounds
+      val edgesWithDeg = edges
+        .join(deg.withColumnRenamed("node", "a"), Seq("a"))
       var ranks = deg.select(col("node"), lit(1.0).as("r"))
       for (_ <- 1 to 3) {
         // round each iteration's ranks to 1e-9 (both engines, see the
@@ -1117,9 +1123,8 @@ object Extras {
         // through the recursion; snapping at every boundary keeps the
         // next round's inputs bit-identical instead of letting three
         // rounds of drift gamble against the final round(…, 6) gate
-        ranks = edges
+        ranks = edgesWithDeg
           .join(ranks.withColumnRenamed("node", "a"), Seq("a"))
-          .join(deg.withColumnRenamed("node", "a"), Seq("a"))
           .groupBy(col("b").as("node"))
           .agg(round(lit(0.15) + lit(0.85) * sum(col("r") / col("d")), 9).as("r"))
       }
