@@ -551,7 +551,12 @@ object Extras {
       daily.join(contrib, "day")
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
           round(col("rev").cast("double"), 2).as("rev"),
-          round(col("decayed"), 4).as("decayed_rev"))
+          // round(…, 2), not 4: the decayed sum reaches ~1.5e8 at sf0.1,
+          // where 4 decimals demands ~13 identical significant digits —
+          // cross-engine summation-order drift (~1e-4 absolute) straddled
+          // a rounding boundary in exactly one cell at sf0.1. Two
+          // decimals keep 100× headroom over the drift.
+          round(col("decayed"), 2).as("decayed_rev"))
         .orderBy("day")
     },
     Some("""WITH daily AS (
@@ -564,7 +569,7 @@ object Extras {
            |  FROM daily, LATERAL (SELECT unnest(generate_series(0, 29)) g) o)
            |SELECT strftime(d.day, '%Y-%m-%d') AS day,
            |  round(CAST(d.rev AS DOUBLE), 2) AS rev,
-           |  round(sum(c.w), 4) AS decayed_rev
+           |  round(sum(c.w), 2) AS decayed_rev
            |FROM daily d JOIN contrib c ON c.day = d.day
            |GROUP BY d.day, d.rev ORDER BY d.day""".stripMargin))
 
