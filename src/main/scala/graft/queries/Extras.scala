@@ -1604,6 +1604,45 @@ object Extras {
            |    / CAST(sum(class_size) AS DOUBLE), 6) AS at_risk_share
            |FROM c""".stripMargin))
 
+  /** Event path mining: frequency and share of every length-3
+    * event-type path walked by a user (two lead windows over the
+    * per-user sequence — q136's transition matrix one order deeper).
+    * The "what do users actually do in three steps" product-analytics
+    * staple; path cardinality is domain³, not data-sized. */
+  val q142EventTrigrams = GraftQuery(
+    "q142_event_trigrams",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val tri = Tables.events(s, dir)
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+          col("t3").as("step3"))
+        .agg(count(lit(1)).as("n"))
+      val total = tri.agg(sum(col("n")).as("n_total"))
+      tri.crossJoin(broadcast(total))
+        .select(col("step1"), col("step2"), col("step3"), col("n"),
+          round(col("n") / col("n_total").cast("double"), 6).as("share"))
+        .orderBy("step1", "step2", "step3")
+    },
+    Some("""WITH s AS (
+           |  SELECT event_type AS step1,
+           |    lead(event_type, 1) OVER w AS step2,
+           |    lead(event_type, 2) OVER w AS step3
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id
+           |    ORDER BY epoch_ns(ts) // 1000, event_id)),
+           |c AS (
+           |  SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+           |  FROM s WHERE step3 IS NOT NULL GROUP BY 1, 2, 3),
+           |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
+           |SELECT step1, step2, step3, n,
+           |  round(n / CAST(n_total AS DOUBLE), 6) AS share
+           |FROM c CROSS JOIN t
+           |ORDER BY step1, step2, step3""".stripMargin))
+
   /** UNPIVOT/melt + per-metric profile: the three lineitem measures
     * melted to (metric, value) rows by a `stack` generator inside the
     * projection (no shuffle to reshape — row count ×3 but column count
@@ -1646,5 +1685,5 @@ object Extras {
     q131RollingKmvUsers, q132KmvSetOps, q133SaltedJoin,
     q134GroupwiseRegression, q135TableDiff, q136EventTransitions,
     q137TimeWeightedAvg, q138RollingMedian, q140BasketLift,
-    q141KAnonymity)
+    q141KAnonymity, q142EventTrigrams)
 }

@@ -94,15 +94,18 @@ object Streaming {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Watermarked stream-stream inner join: each click pairs with the
-    * same user's purchases within `within` after it. Both sides carry
+  /** Watermarked stream-stream join: each click pairs with the same
+    * user's purchases within `within` after it. Both sides carry
     * watermarks and the time-range predicate bounds the join buffer,
     * so state is evicted as event time advances — the unbounded-state
     * pitfall of unconstrained stream-stream joins is structurally
-    * impossible here. */
+    * impossible here. `joinType = "left_outer"` additionally emits
+    * each non-converting click once the watermark proves no in-window
+    * purchase can still arrive. */
   def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
                           within: String = "30 minutes",
-                          watermark: String = "1 hour"): DataFrame = {
+                          watermark: String = "1 hour",
+                          joinType: String = "inner"): DataFrame = {
     val c = clicks
       .select(col("user_id"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -111,11 +114,15 @@ object Streaming {
       .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
         col("event_id").as("purchase_id"), col("value").as("purchase_value"))
       .withWatermark("purchase_ts", watermark)
+    // "left_outer" emits non-converting clicks (null purchase columns)
+    // once the watermark proves no in-window purchase can still arrive
+    // — the abandonment feed; state eviction bounds are identical to
+    // the inner form because the same time-range predicate applies
     c.join(p,
         col("user_id") === col("p_user_id") and
           col("purchase_ts") >= col("click_ts") and
           col("purchase_ts") <= col("click_ts") + expr(s"interval $within"),
-        "inner")
+        joinType)
       .select(col("user_id"), col("click_id"), col("click_ts"),
         col("purchase_id"), col("purchase_ts"), col("purchase_value"))
   }

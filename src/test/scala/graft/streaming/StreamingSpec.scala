@@ -181,6 +181,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((3L, 10.0, 1L)))
   }
 
+  test("stream-stream LEFT OUTER join emits non-converting clicks after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val buysIn = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def named(ms: MemoryStream[(Long, Timestamp, Long, String, Double)]) =
+      ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val joined = Streaming.clickToPurchaseJoin(named(clicksIn), named(buysIn),
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").start()
+    // user 1 never purchases; user 2 converts in-window
+    clicksIn.addData(
+      (10L, ts("2024-01-01 00:00:00"), 1L, "click", 0.0),
+      (11L, ts("2024-01-01 00:00:00"), 2L, "click", 0.0))
+    buysIn.addData((20L, ts("2024-01-01 00:10:00"), 2L, "purchase", 9.99))
+    q.processAllAvailable()
+    // advance BOTH watermarks past click_ts + within (+1h delay), then
+    // one more micro-batch so the new watermark takes effect
+    clicksIn.addData((12L, ts("2024-01-01 03:00:00"), 9L, "click", 0.0))
+    buysIn.addData((21L, ts("2024-01-01 03:00:00"), 8L, "purchase", 1.0))
+    q.processAllAvailable()
+    clicksIn.addData((13L, ts("2024-01-01 03:00:01"), 9L, "click", 0.0))
+    q.processAllAvailable(); q.stop()
+    val byClick = spark.table("ssj_outer").collect()
+      .map(r => r.getAs[Long]("click_id") ->
+        Option(r.getAs[java.lang.Long]("purchase_id")).map(_.toLong)).toMap
+    assert(byClick(11L) === Some(20L), "converting click pairs with its purchase")
+    assert(byClick.get(10L) === Some(None),
+      "non-converting click must emit with null purchase after the watermark")
+  }
+
   test("stream-static enrichment joins each batch against the dimension") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
