@@ -1673,6 +1673,325 @@ object Extras {
            |  round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
            |FROM m GROUP BY metric ORDER BY metric""".stripMargin))
 
+  /** Triangle census of the co-purchase graph (parts appearing in the
+    * same order) via [[graft.operators.Graph.triangleStats]] — the
+    * degree-ordered wedge join whose orientation bounds every
+    * out-degree at O(sqrt E) (no "last reducer" hot key; see the
+    * operator's Scaladoc for the pairing-order correctness subtlety).
+    * Output is one audit row: nodes, edges, wedges, triangles, global
+    * clustering coefficient — all from exact integers, so the final
+    * division is bit-deterministic. */
+  val q143CopurchaseTriangles = GraftQuery(
+    "q143_copurchase_triangles",
+    (s, dir) => {
+      val op = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("p1"), col("b.p").as("p2"))
+      graft.operators.Graph.triangleStats(e, "p1", "p2")
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |e AS (SELECT DISTINCT a.p AS p1, b.p AS p2
+           |      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+           |deg AS (SELECT p, CAST(count(*) AS BIGINT) AS d
+           |        FROM (SELECT p1 AS p FROM e UNION ALL SELECT p2 FROM e)
+           |        GROUP BY 1),
+           |o AS (SELECT
+           |    CASE WHEN (d1.d, e.p1) < (d2.d, e.p2) THEN e.p1 ELSE e.p2 END AS u,
+           |    CASE WHEN (d1.d, e.p1) < (d2.d, e.p2) THEN e.p2 ELSE e.p1 END AS v,
+           |    CASE WHEN (d1.d, e.p1) < (d2.d, e.p2) THEN d2.d ELSE d1.d END AS dv
+           |  FROM e JOIN deg d1 ON e.p1 = d1.p JOIN deg d2 ON e.p2 = d2.p),
+           |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+           |        FROM o a JOIN o b
+           |          ON a.u = b.u AND (a.dv, a.v) < (b.dv, b.v)
+           |        WHERE EXISTS (SELECT 1 FROM o c
+           |                      WHERE c.u = a.v AND c.v = b.v)),
+           |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           |         CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+           |       FROM deg),
+           |es AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+           |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           |  round(3.0 * n_triangles / n_wedges, 6) AS clustering
+           |FROM ns CROSS JOIN es CROSS JOIN tri""".stripMargin))
+
+  /** Gini coefficient of customer revenue per nation — the revenue-
+    * concentration audit behind "do 20% of customers drive 80% of
+    * revenue". All arithmetic is exact: revenue is summed in integer
+    * cents (each o_totalprice has two decimals, so round(x*100) is
+    * exact per row), the rank-weighted numerator stays in BIGINT, and
+    * only the final ratio is floating-point — both engines divide the
+    * same exact integers, so round(..., 6) is bit-deterministic. The
+    * rank window partitions by nation (per-key sort, no global one). */
+  val q144RevenueGini = GraftQuery(
+    "q144_revenue_gini",
+    (s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("rev_cents"))
+      val byNation = rev
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("c_custkey"), col("rev_cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("n_name").orderBy("rev_cents", "c_custkey")
+      byNation.withColumn("i", row_number().over(w))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("rev_cents")).as("s"),
+          sum(col("i") * col("rev_cents")).as("sr"))
+        .select(col("n_name"), col("n_customers"),
+          round(col("s") / lit(100.0), 2).as("total_revenue"),
+          round(lit(2.0) * col("sr") / (col("n_customers") * col("s"))
+            - (col("n_customers") + lit(1.0)) / col("n_customers"), 6)
+            .as("gini"))
+        .orderBy("n_name")
+    },
+    Some("""WITH rev AS (
+           |  SELECT o_custkey,
+           |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           |      AS rev_cents
+           |  FROM orders GROUP BY 1),
+           |r AS (SELECT n_name, c_custkey, rev_cents,
+           |        row_number() OVER (PARTITION BY n_name
+           |          ORDER BY rev_cents, c_custkey) AS i
+           |      FROM rev
+           |      JOIN customer ON o_custkey = c_custkey
+           |      JOIN nation ON c_nationkey = n_nationkey),
+           |g AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+           |        CAST(sum(rev_cents) AS BIGINT) AS s,
+           |        CAST(sum(i * rev_cents) AS BIGINT) AS sr
+           |      FROM r GROUP BY 1)
+           |SELECT n_name, n_customers,
+           |  round(s / 100.0, 2) AS total_revenue,
+           |  round(2.0 * sr / (n_customers * s)
+           |    - (n_customers + 1.0) / n_customers, 6) AS gini
+           |FROM g ORDER BY n_name""".stripMargin))
+
+  /** RFM segmentation: quartile-bucket every customer on Recency
+    * (days since last order, vs the corpus max date), Frequency
+    * (order count), and Monetary (lifetime revenue), then profile the
+    * segments. A plain `ntile(4).over(Window.orderBy(..))` funnels the
+    * whole customer set through ONE partition, so each quartile is
+    * instead derived arithmetically from a [[GlobalRank]] two-phase
+    * row_number and the broadcast total count — the ANSI ntile bucket
+    * of rank i over n rows in k buckets is closed-form in integer
+    * arithmetic (first n%k buckets hold n/k+1 rows). The oracle runs
+    * DuckDB's REAL ntile(4), so the hash-match also proves the closed
+    * form. Ranks are total orders (metric, then customer key), and
+    * monetary ranks on exact integer cents — a float-sum rank would
+    * let 1-ulp summation drift reorder near-ties across engines. */
+  val q145RfmSegments = GraftQuery(
+    "q145_rfm_segments",
+    (s, dir) => {
+      import graft.operators.GlobalRank
+      val orders = Tables.orders(s, dir)
+      val maxd = orders.agg(max(col("o_orderdate")).as("max_date"))
+      val rfm = orders
+        .groupBy("o_custkey")
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("f"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("m_cents"))
+        .crossJoin(broadcast(maxd))
+        .withColumn("r_days", datediff(col("max_date"), col("last_order")))
+      val total = rfm.agg(count(lit(1)).as("n_total"))
+      val ranked = GlobalRank.rowNumber(
+        GlobalRank.rowNumber(
+          GlobalRank.rowNumber(rfm,
+            "r_i", col("r_days"), col("o_custkey")),
+          "f_i", col("f"), col("o_custkey")),
+        "m_i", col("m_cents"), col("o_custkey"))
+        .crossJoin(broadcast(total))
+      def quartile(i: String): org.apache.spark.sql.Column = expr(
+        s"""CASE WHEN $i <= (n_total % 4) * (n_total DIV 4 + 1)
+           |  THEN ($i + (n_total DIV 4)) DIV (n_total DIV 4 + 1)
+           |  ELSE (n_total % 4)
+           |    + ($i - (n_total % 4) * (n_total DIV 4 + 1)
+           |       + (n_total DIV 4) - 1) DIV (n_total DIV 4)
+           |END""".stripMargin)
+      val seg = ranked
+        .withColumn("r_q", quartile("r_i"))
+        .withColumn("f_q", quartile("f_i"))
+        .withColumn("m_q", quartile("m_i"))
+      // Half-up average in EXACT integer cents — floor(s/n + 1/2) =
+      // (2s+n) div 2n — then a single /100.0: a float cents-average
+      // can land exactly on a .xx5 boundary (observed at sf0.001),
+      // where Spark's BigDecimal round and DuckDB's multiply-round
+      // disagree; a true-2-decimal value never sits on one.
+      seg.groupBy("r_q", "f_q", "m_q")
+        .agg(count(lit(1)).as("n_customers"),
+          (expr("(2 * sum(m_cents) + count(1)) DIV (2 * count(1))")
+            / lit(100.0)).as("avg_monetary"),
+          round(avg(col("r_days")), 4).as("avg_recency_days"))
+        .orderBy("r_q", "f_q", "m_q")
+    },
+    Some("""WITH rfm AS (
+           |  SELECT o_custkey, max(o_orderdate) AS last_order,
+           |    CAST(count(*) AS BIGINT) AS f,
+           |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           |      AS m_cents
+           |  FROM orders GROUP BY 1),
+           |d AS (SELECT *,
+           |        date_diff('day', last_order,
+           |          (SELECT max(o_orderdate) FROM orders)) AS r_days
+           |      FROM rfm),
+           |seg AS (SELECT *,
+           |    ntile(4) OVER (ORDER BY r_days, o_custkey) AS r_q,
+           |    ntile(4) OVER (ORDER BY f, o_custkey) AS f_q,
+           |    ntile(4) OVER (ORDER BY m_cents, o_custkey) AS m_q
+           |  FROM d)
+           |SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers,
+           |  ((2 * sum(m_cents) + count(*)) // (2 * count(*))) / 100.0
+           |    AS avg_monetary,
+           |  round(avg(r_days), 4) AS avg_recency_days
+           |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+
+  /** Order-vs-lines reconciliation: recompute each order's total from
+    * its lineitems (extendedprice * (1-discount) * (1+tax), the TPC-H
+    * charge formula) and classify every order as matching the header
+    * total, mismatching, or having no lines at all — the referential
+    * revenue audit every warehouse runs after a load. One keyed
+    * aggregation + one left join; per-order sums are ~4 items so the
+    * round(.., 2) on them has 7 orders of magnitude of headroom over
+    * float drift. */
+  val q146OrderReconciliation = GraftQuery(
+    "q146_order_reconciliation",
+    (s, dir) => {
+      val lines = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(expr(
+          "l_extendedprice * (1 - l_discount) * (1 + l_tax)")), 2)
+          .as("line_total"))
+      Tables.orders(s, dir)
+        .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_totalprice"), col("line_total"),
+          when(col("line_total").isNull, "no_lines")
+            .when(abs(col("o_totalprice") - col("line_total")) < 0.005,
+              "match")
+            .otherwise("mismatch").as("status"),
+          // exact integer cents per order (both inputs are 2-decimal
+          // money, so round(x*100) is drift-free), so the average
+          // below is integer half-up division — a float cents-average
+          // can land exactly on a .xx5 boundary where the engines'
+          // round implementations disagree
+          coalesce(expr(
+            "CAST(round(abs(o_totalprice - line_total) * 100) AS BIGINT)"),
+            lit(0L)).as("adiff_cents"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_orders"),
+          (expr("(2 * sum(adiff_cents) + count(1)) DIV (2 * count(1))")
+            / lit(100.0)).as("avg_abs_diff"),
+          (max(col("adiff_cents")) / lit(100.0)).as("max_abs_diff"))
+        .orderBy("status")
+    },
+    Some("""WITH ls AS (
+           |  SELECT l_orderkey,
+           |    round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           |      AS line_total
+           |  FROM lineitem GROUP BY 1),
+           |c AS (SELECT o_totalprice, line_total,
+           |        CASE WHEN line_total IS NULL THEN 'no_lines'
+           |             WHEN abs(o_totalprice - line_total) < 0.005 THEN 'match'
+           |             ELSE 'mismatch' END AS status,
+           |        COALESCE(CAST(round(abs(o_totalprice - line_total) * 100)
+           |          AS BIGINT), 0) AS adiff_cents
+           |      FROM orders LEFT JOIN ls ON o_orderkey = l_orderkey)
+           |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+           |  ((2 * sum(adiff_cents) + count(*)) // (2 * count(*))) / 100.0
+           |    AS avg_abs_diff,
+           |  max(adiff_cents) / 100.0 AS max_abs_diff
+           |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Benford first-digit audit over order totals: observed vs
+    * expected log10(1 + 1/d) share per leading digit — the classic
+    * fabricated-numbers screen. The digit comes from the decimal
+    * string of floor(x) (exact for both engines), NOT from
+    * floor(x / 10^floor(log10 x)): float log10 of an exact power of
+    * ten can land at k-epsilon, shifting the digit. Note DuckDB's
+    * CAST(double AS BIGINT) rounds half-away while Spark's truncates
+    * — floor() first makes them agree. One scan, 9-row output. */
+  val q147BenfordAudit = GraftQuery(
+    "q147_benford_audit",
+    (s, dir) => {
+      val digits = Tables.orders(s, dir)
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val total = digits.agg(sum(col("n")).as("n_total"))
+      digits.crossJoin(broadcast(total))
+        .select(col("digit"), col("n"),
+          round(col("n") / col("n_total").cast("double"), 6)
+            .as("observed_share"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+            .as("expected_share"))
+        .orderBy("digit")
+    },
+    Some("""WITH d AS (
+           |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+           |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           |  FROM orders),
+           |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+           |      FROM d GROUP BY 1),
+           |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
+           |SELECT digit, n,
+           |  round(n / CAST(n_total AS DOUBLE), 6) AS observed_share,
+           |  round(log10(1.0 + 1.0 / digit), 6) AS expected_share
+           |FROM c CROSS JOIN t ORDER BY digit""".stripMargin))
+
+  /** Behavioral entropy: Shannon entropy of each user's event-type
+    * distribution (H = ln n - sum(c*ln c)/n, computed from the exact
+    * per-type counts), profiled by integer activity band. Separates
+    * single-track users (H=0) from diverse ones — the engagement-
+    * diversity feature behind churn and bot screens. Two keyed
+    * aggregations; the activity bands are integer CASE ranges, never
+    * float log2 of a count (log2(8) can evaluate below 3, moving a
+    * user across bands on one engine only). */
+  val q148BehaviorEntropy = GraftQuery(
+    "q148_behavior_entropy",
+    (s, dir) => {
+      val perType = Tables.events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("c"))
+      val perUser = perType.groupBy("user_id")
+        .agg(sum(col("c")).as("n"),
+          sum(col("c") * log(col("c"))).as("clogc"))
+        .select(col("user_id"), col("n"),
+          (log(col("n")) - col("clogc") / col("n")).as("h"))
+      perUser
+        .withColumn("band",
+          when(col("n") < 4, "a_1_3")
+            .when(col("n") < 16, "b_4_15")
+            .when(col("n") < 64, "c_16_63")
+            .otherwise("d_64_plus"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_users"),
+          round(avg(col("h")), 6).as("avg_entropy"),
+          round(max(col("h")), 6).as("max_entropy"),
+          round(avg(col("n")), 4).as("avg_events"))
+        .orderBy("band")
+    },
+    Some("""WITH pt AS (
+           |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+           |  FROM events GROUP BY 1, 2),
+           |pu AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+           |         ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h
+           |       FROM pt GROUP BY 1),
+           |b AS (SELECT *,
+           |        CASE WHEN n < 4 THEN 'a_1_3'
+           |             WHEN n < 16 THEN 'b_4_15'
+           |             WHEN n < 64 THEN 'c_16_63'
+           |             ELSE 'd_64_plus' END AS band
+           |      FROM pu)
+           |SELECT band, CAST(count(*) AS BIGINT) AS n_users,
+           |  round(avg(h), 6) AS avg_entropy,
+           |  round(max(h), 6) AS max_entropy,
+           |  round(avg(n), 4) AS avg_events
+           |FROM b GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
     q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
     q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup, q75StatAggregates,
@@ -1685,5 +2004,7 @@ object Extras {
     q131RollingKmvUsers, q132KmvSetOps, q133SaltedJoin,
     q134GroupwiseRegression, q135TableDiff, q136EventTransitions,
     q137TimeWeightedAvg, q138RollingMedian, q140BasketLift,
-    q141KAnonymity, q142EventTrigrams)
+    q141KAnonymity, q142EventTrigrams, q143CopurchaseTriangles,
+    q144RevenueGini, q145RfmSegments, q146OrderReconciliation,
+    q147BenfordAudit, q148BehaviorEntropy)
 }
