@@ -1992,6 +1992,97 @@ object Extras {
            |  round(avg(n), 4) AS avg_events
            |FROM b GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Inter-order gap profile: days between each customer's
+    * consecutive orders (per-key lag window, never a global sort),
+    * profiled by market segment with the share of gaps over 60 days —
+    * the reorder-cadence / churn-risk readout. Gaps are integer days,
+    * so every aggregate but the rounded mean is exact. */
+  val q149OrderGaps = GraftQuery(
+    "q149_order_gaps",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val gaps = Tables.orders(s, dir)
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .filter(col("prev_date").isNotNull)
+        .withColumn("gap_days", datediff(col("o_orderdate"), col("prev_date")))
+      gaps.join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_gaps"),
+          round(avg(col("gap_days")), 4).as("avg_gap_days"),
+          min(col("gap_days")).cast("long").as("min_gap_days"),
+          max(col("gap_days")).cast("long").as("max_gap_days"),
+          round(sum(when(col("gap_days") > 60, 1L).otherwise(0L))
+            / count(lit(1)).cast("double"), 6).as("share_over_60d"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""WITH g AS (
+           |  SELECT o_custkey,
+           |    date_diff('day',
+           |      lag(o_orderdate) OVER (PARTITION BY o_custkey
+           |        ORDER BY o_orderdate, o_orderkey),
+           |      o_orderdate) AS gap_days
+           |  FROM orders),
+           |j AS (SELECT c_mktsegment, gap_days
+           |      FROM g JOIN customer ON o_custkey = c_custkey
+           |      WHERE gap_days IS NOT NULL)
+           |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+           |  round(avg(gap_days), 4) AS avg_gap_days,
+           |  min(gap_days) AS min_gap_days,
+           |  max(gap_days) AS max_gap_days,
+           |  round(sum(CASE WHEN gap_days > 60 THEN 1 ELSE 0 END)
+           |    / CAST(count(*) AS DOUBLE), 6) AS share_over_60d
+           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Reciprocal-rank fusion (Cormack et al.): merge the by-revenue and
+    * by-order-count part rankings with score = sum 1/(60+rank) — the
+    * standard no-tuning way to fuse heterogeneous rankers (search
+    * backends, ANN + keyword retrieval). Both global ranks come from
+    * the two-phase [[GlobalRank]] (a plain row_number().over(orderBy)
+    * would single-partition the corpus); the revenue key is exact
+    * integer 10^-4 units (a 2-decimal price times a 2-decimal discount
+    * factor has exactly 4 decimals), so rank order — and with it every
+    * RRF score — is bit-identical across engines. */
+  val q150RankFusion = GraftQuery(
+    "q150_rank_fusion",
+    (s, dir) => {
+      import graft.operators.GlobalRank
+      val byPart = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"))
+          .as("rev_e4"),
+          count(lit(1)).as("n_lines"))
+      val ranked = GlobalRank.rowNumber(
+        GlobalRank.rowNumber(byPart.withColumn("neg_rev", -col("rev_e4"))
+            .withColumn("neg_n", -col("n_lines")),
+          "rev_rank", col("neg_rev"), col("l_partkey")),
+        "cnt_rank", col("neg_n"), col("l_partkey"))
+      ranked
+        .select(col("l_partkey"), col("rev_rank"), col("cnt_rank"),
+          round(lit(1.0) / (lit(60) + col("rev_rank"))
+            + lit(1.0) / (lit(60) + col("cnt_rank")), 6).as("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("l_partkey"))
+        .limit(20)
+    },
+    Some("""WITH p AS (
+           |  SELECT l_partkey,
+           |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+           |      AS BIGINT)) AS BIGINT) AS rev_e4,
+           |    CAST(count(*) AS BIGINT) AS n_lines
+           |  FROM lineitem GROUP BY 1),
+           |r AS (SELECT l_partkey,
+           |        CAST(row_number() OVER (ORDER BY rev_e4 DESC, l_partkey)
+           |          AS BIGINT) AS rev_rank,
+           |        CAST(row_number() OVER (ORDER BY n_lines DESC, l_partkey)
+           |          AS BIGINT) AS cnt_rank
+           |      FROM p)
+           |SELECT l_partkey, rev_rank, cnt_rank,
+           |  round(CAST(1.0 AS DOUBLE) / (60 + rev_rank)
+           |    + CAST(1.0 AS DOUBLE) / (60 + cnt_rank), 6) AS rrf_score
+           |FROM r ORDER BY rrf_score DESC, l_partkey LIMIT 20""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
     q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
     q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup, q75StatAggregates,
@@ -2006,5 +2097,5 @@ object Extras {
     q137TimeWeightedAvg, q138RollingMedian, q140BasketLift,
     q141KAnonymity, q142EventTrigrams, q143CopurchaseTriangles,
     q144RevenueGini, q145RfmSegments, q146OrderReconciliation,
-    q147BenfordAudit, q148BehaviorEntropy)
+    q147BenfordAudit, q148BehaviorEntropy, q149OrderGaps, q150RankFusion)
 }
