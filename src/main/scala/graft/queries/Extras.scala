@@ -2083,6 +2083,67 @@ object Extras {
            |    + CAST(1.0 AS DOUBLE) / (60 + cnt_rank), 6) AS rrf_score
            |FROM r ORDER BY rrf_score DESC, l_partkey LIMIT 20""".stripMargin))
 
+  /** Rolling z-score anomaly flags on daily revenue: each day scored
+    * against the trailing 28-day window (self-excluded, so a spike
+    * can't mask itself), |z| > 2 flagged — the ops-dashboard anomaly
+    * staple. The window is over the day grain (calendar-bounded, like
+    * q138's rolling median — a single-partition sort over O(days)
+    * rows, which does not grow with the fact table). Daily revenue is
+    * summed in exact integer dollars, and mean/variance come from the
+    * window's exact integer (n, sum, sum-of-squares), so the z-score
+    * float expression is evaluated on identical inputs by both
+    * engines — bit-deterministic without any tolerance. Days with
+    * under 14 trailing observations emit NULL (cold start). */
+  val q151RevenueAnomalies = GraftQuery(
+    "q151_revenue_anomalies",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice) AS BIGINT)")).as("rev"))
+        .withColumn("di", datediff(col("day"), lit("1970-01-01")))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("di").rangeBetween(-27, -1)
+      daily
+        .withColumn("n", count(col("rev")).over(w))
+        .withColumn("sm", sum(col("rev")).over(w))
+        .withColumn("ss", sum(col("rev") * col("rev")).over(w))
+        .withColumn("z", when(col("n") >= 14,
+          round((col("rev") - col("sm") / col("n").cast("double"))
+            / sqrt((col("ss") - col("sm") * col("sm") / col("n").cast("double"))
+              / (col("n") - lit(1)).cast("double")), 4)))
+        .select(col("day"), col("rev"), col("n").as("n_baseline"), col("z"),
+          when(col("z").isNull, lit(null).cast("int"))
+            .otherwise((abs(col("z")) > 2.0).cast("int")).as("is_anomaly"))
+        .orderBy("day")
+    },
+    Some("""WITH d AS (
+           |  SELECT o_orderdate AS day,
+           |    CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS rev,
+           |    date_diff('day', DATE '1970-01-01',
+           |      CAST(o_orderdate AS DATE)) AS di
+           |  FROM orders GROUP BY 1),
+           |win AS (
+           |  SELECT day, rev,
+           |    CAST(count(rev) OVER w AS BIGINT) AS n,
+           |    CAST(sum(rev) OVER w AS BIGINT) AS sm,
+           |    CAST(sum(rev * rev) OVER w AS BIGINT) AS ss
+           |  FROM d
+           |  WINDOW w AS (ORDER BY di
+           |    RANGE BETWEEN 27 PRECEDING AND 1 PRECEDING))
+           |SELECT day, rev, n AS n_baseline,
+           |  CASE WHEN n >= 14 THEN
+           |    round((rev - sm / CAST(n AS DOUBLE))
+           |      / sqrt((ss - sm * sm / CAST(n AS DOUBLE))
+           |        / CAST(n - 1 AS DOUBLE)), 4)
+           |  END AS z,
+           |  CASE WHEN n >= 14
+           |    THEN CAST(abs(CASE WHEN n >= 14 THEN
+           |      round((rev - sm / CAST(n AS DOUBLE))
+           |        / sqrt((ss - sm * sm / CAST(n AS DOUBLE))
+           |          / CAST(n - 1 AS DOUBLE)), 4) END) > 2.0 AS INTEGER)
+           |  END AS is_anomaly
+           |FROM win ORDER BY day""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
     q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
     q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup, q75StatAggregates,
@@ -2097,5 +2158,5 @@ object Extras {
     q137TimeWeightedAvg, q138RollingMedian, q140BasketLift,
     q141KAnonymity, q142EventTrigrams, q143CopurchaseTriangles,
     q144RevenueGini, q145RfmSegments, q146OrderReconciliation,
-    q147BenfordAudit, q148BehaviorEntropy, q149OrderGaps, q150RankFusion)
+    q147BenfordAudit, q148BehaviorEntropy, q149OrderGaps, q150RankFusion, q151RevenueAnomalies)
 }
