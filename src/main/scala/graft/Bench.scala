@@ -7,9 +7,10 @@ object Bench {
     * printed JSON line — the driver's stdout tail buffer is 2000 chars,
     * and a 120-query map with full names + raw doubles (~5 KB) pushed the
     * line's START out of the buffer, so rounds 3-4 recorded
-    * `parsed: null`. Short keys + 2-decimal values keep the whole line
-    * under ~1.8 KB; full names and nanosecond precision go to
-    * BENCH_DETAIL.json alongside. */
+    * `parsed: null`. Since round 6 the printed line carries only the
+    * top-20 slowest queries (length independent of registry size,
+    * ~600 chars); the full per-query map with microsecond precision goes
+    * to BENCH_DETAIL.json, md5-stamped in the stdout line. */
   private[graft] def short(name: String): String = name.takeWhile(_ != '_')
 
   /** Best-effort per-query priors from earlier rounds' BENCH_r*.json
@@ -144,9 +145,16 @@ object Bench {
     // would make the fixed query's real 2.5s look anomalous next
     // round). Failed queries appear ONLY in the failed list.
     val timed = results.filterNot { case (name, _) => failed.contains(name) }
-    // compact line: qNN keys + centisecond values (fits the driver's
-    // 2000-char tail window with headroom for ~30 more queries)
-    val qs = timed.map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
+    // Bounded stdout line: the full per-query map lives in
+    // BENCH_DETAIL.json (committed, md5-stamped below); the printed line
+    // carries only the TOP-K slowest queries, so its length is
+    // independent of registry size — at 151 queries the old full map was
+    // 1,856 of the driver's 2,000-char tail window, and one more normal
+    // round of additions would have pushed the line start out of the
+    // buffer again (rounds 3-4 lost their artifacts to exactly that).
+    val topK = 20
+    val qs = timed.sortBy(-_._2).take(topK)
+      .map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
     val failedJson = failed.map(n => "\"" + short(n) + "\"").mkString("[", ",", "]")
@@ -159,13 +167,25 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
     val detail = timed.map { case (k, v) => "\"" + k + "\":" + fmt6(v) }
       .mkString("{", ",", "}")
+    val detailJson =
+      s"""{"total":${fmt6(total)},"queries":$detail,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"anomalous":${anomalous.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    // md5 of the detail file goes into the stdout line so a reader can
+    // confirm the committed BENCH_DETAIL.json is the one this run wrote
+    val detailMd5 = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(detailJson.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"total":${fmt6(total)},"queries":$detail,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"anomalous":${anomalous.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), detailJson)
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_DETAIL.json write failed: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"anomalous":$anomalousJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timed.size},"queries":$qs,"failed":$failedJson,"anomalous":$anomalousJson,"detail":"BENCH_DETAIL.json","detail_md5":"$detailMd5","sf":"$sfDir"}"""
+    // the driver's stdout tail buffer is 2000 chars — if this trips, the
+    // artifact is about to be lost; shrink topK or the failed lists
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: stdout line ${line.length} chars — near the 2000-char capture cliff")
+    println(line)
     spark.stop()
   }
 }

@@ -25,6 +25,19 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Partition count for the wedge fan-out stage, derived from the
+    * measured wedge count rather than session conf. Never below the
+    * session's base parallelism (local behavior unchanged at small
+    * SFs); grows linearly with wedges above `basePart *
+    * wedgesPerTask`; capped at 20,000 so a pathological degree
+    * sequence can't ask the scheduler for millions of tasks. */
+  private[graft] def wedgePartitions(nWedges: Long, basePart: Int,
+      wedgesPerTask: Long): Int = {
+    val perTask = math.max(1L, wedgesPerTask)
+    val fromData = (nWedges + perTask - 1) / perTask
+    math.max(basePart, math.min(20000L, fromData).toInt)
+  }
+
   /** One-row triangle census of an undirected graph.
     *
     * @param edges distinct undirected edges as two long columns
@@ -38,14 +51,19 @@ object Graph {
     */
   def triangleStats(edges: DataFrame, src: String, dst: String): DataFrame = {
     val spark = edges.sparkSession
-    // Small-side row count below which the node-degree frame and the
+    // Byte-based bound below which the node-degree frame and the
     // closing edge set are broadcast to the wedge stream (the big
     // side: O(E^1.5) worst case — 41M rows from 1.2M edges on the
-    // sf0.1 co-purchase graph). 2 longs/row ≈ 16 B before hash-map
-    // overhead, so 5M rows is a ~100 MB executor-memory bet; above
-    // it, fall back to the shuffle joins that always work.
-    val broadcastMax =
-      spark.conf.get("spark.graft.triangles.broadcastMaxRows", "5000000").toLong
+    // sf0.1 co-purchase graph). Estimated at ~24 B/row (2-3 longs +
+    // row overhead) BEFORE the broadcast hash-map's own overhead; the
+    // 64 MB default keeps the per-executor bet well under typical
+    // executor headroom (the old 5M-ROW bound allowed ~120 MB maps —
+    // an OOM there fails the whole census). Conf-overridable for
+    // clusters with more memory.
+    val broadcastMaxBytes =
+      spark.conf.get("spark.graft.triangles.broadcastMaxBytes",
+        (64L * 1024 * 1024).toString).toLong
+    val broadcastMax = broadcastMaxBytes / 24L
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // Every repartition below pins an explicit partition COUNT: under
     // size-targeted AQE coalescing (parallelismFirst=false) an
@@ -76,6 +94,13 @@ object Graph {
       def maybeBroadcast(df: DataFrame, rows: Long): DataFrame =
         if (rows <= broadcastMax) broadcast(df) else df
       val degB = maybeBroadcast(deg, nNodes)
+      // The wedge stage's work is O(E^1.5) of its edge-sized INPUT, so
+      // its partition count must come from the measured wedge count,
+      // not session conf: at 100× the edges a conf-pinned 32 would run
+      // a ~41-billion-row fan-out on 32 tasks. nWedges (sum C(d,2),
+      // an upper bound on oriented wedges) is already exact here.
+      val wedgePart = wedgePartitions(nWedges, nPart,
+        spark.conf.get("spark.graft.triangles.wedgesPerTask", "4000000").toLong)
       // (deg, id) lexicographic order spelled as scalar predicates:
       // a struct(..) < struct(..) comparison materializes two structs
       // per probe row and falls out of whole-stage codegen — on the
@@ -90,7 +115,7 @@ object Graph {
           when(fwd, col("p1")).otherwise(col("p2")).as("u"),
           when(fwd, col("p2")).otherwise(col("p1")).as("v"),
           when(fwd, col("d2")).otherwise(col("d1")).as("dv"))
-        .repartition(nPart, col("u"))
+        .repartition(wedgePart, col("u"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // both wedge sides read the SAME cached u-partitioning, so the

@@ -37,6 +37,18 @@ class GraphSpec extends SparkSpec {
     assert(stats(messy) === ((3L, 3L, 3L, 1L)))
   }
 
+  test("wedge-stage partition count scales with measured wedge count") {
+    // below base parallelism: local behavior unchanged
+    assert(Graph.wedgePartitions(41_000_000L, 32, 4_000_000L) === 32)
+    // 100× the sf0.1 wedge volume: partitions grow with the data,
+    // not the session conf
+    assert(Graph.wedgePartitions(4_100_000_000L, 32, 4_000_000L) === 1025)
+    // pathological degree sequence: bounded task count
+    assert(Graph.wedgePartitions(Long.MaxValue / 2, 32, 4_000_000L) === 20000)
+    // zero-wedge graph still gets base parallelism
+    assert(Graph.wedgePartitions(0L, 32, 4_000_000L) === 32)
+  }
+
   test("triangle whose closing edge runs against raw-id order is counted") {
     // Degrees: 1:2, 2:4, 3:2, 4:1, 5:1. Orientation by (deg, id):
     // 1->2, 1->3, 3->2 (node 2 is the hub, so its edges point INTO
