@@ -9,7 +9,7 @@ object Registry {
   def all: Seq[GraftQuery] = {
     val qs = Relational.all ++ PipelineShaped.all ++ AsofSession.all ++
       Extras.all ++ TpchClassics.all ++ TextQueries.all ++ VectorQueries.all ++
-      MlPrep.all ++ QualityQueries.all
+      MlPrep.all ++ QualityQueries.all ++ StreamingQueries.all
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.streaming.Streaming
+
+/** Streaming operators promoted into the DuckDB correctness gate.
+  *
+  * Until round 6 the Structured Streaming surface was pinned only by
+  * batch-parity specs — good, but the oracle never saw a
+  * streaming-executed result, so a regression breaking batch and
+  * stream identically would pass. These queries run REAL micro-batch
+  * streams to completion inside the gate: the events table is
+  * pre-split into `nSplits` parquet files in a temp dir, a file-source
+  * stream consumes them one file per trigger (so state genuinely
+  * accumulates across micro-batches), and the final result table is
+  * compared against the same DuckDB oracle the equivalent batch query
+  * uses. After any prefix of the stream the engine's state equals the
+  * batch answer over the rows seen — running to completion makes the
+  * stream's answer the batch answer, which is exactly what the oracle
+  * checks.
+  *
+  * Scale notes: the memory sink + Complete mode here is the TEST
+  * harness, not the production topology — it materializes the result
+  * table (O(keys) / O(windows), not O(events)) on the driver, which is
+  * fine for a gate query and wrong for a 100 TB stream; the production
+  * sink is [[Streaming.parquetBatchSink]] (idempotent per-batch
+  * parquet) or a foreachBatch upsert. The state the engine carries is
+  * the same either way: one struct per user for CDC compaction, one
+  * partial aggregate per (window, type) for the windowed rollup.
+  */
+object StreamingQueries {
+
+  /** Split the raw events parquet into `n` files under a temp dir so
+    * the file stream source (`maxFilesPerTrigger=1`) replays them as
+    * `n` micro-batches. Raw schema is preserved (ts stays the
+    * epoch-nanos long the nanosAsLong reader produces); the stream
+    * side applies the same µs conversion as [[graft.Tables.events]]. */
+  private def splitForStream(s: SparkSession, dir: String, n: Int): String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      .toFile.getAbsolutePath
+    s.read.parquet(s"$dir/events.parquet").repartition(n)
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** Run `op` over a file-fed micro-batch stream of the events table
+    * to completion; return the final memory-sink table. The sink table
+    * name is unique per invocation so repeated gate runs in one
+    * session never collide. */
+  private def runEventStream(s: SparkSession, dir: String, nSplits: Int)(
+      op: DataFrame => DataFrame): DataFrame = {
+    val srcDir = splitForStream(s, dir, nSplits)
+    try {
+      val rawSchema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      // same exact-floor ns→µs conversion as the batch Tables.events
+      val events =
+        if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+          stream.withColumn("ts", expr(
+            "timestamp_micros((ts - (((ts % 1000) + 1000) % 1000)) div 1000)"))
+        else stream
+      val sink = "graft_stream_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = op(events).writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table(sink)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(srcDir))
+    }
+  }
+
+  /** Streaming CDC compaction, gate-checked: [[Streaming.latestStatePerKey]]
+    * over a multi-micro-batch stream of the full events table, same
+    * oracle as the batch q126 — the stream's final state must equal
+    * the batch compaction row-for-row. */
+  val q152StreamCdcState = GraftQuery(
+    "q152_stream_cdc_state",
+    (s, dir) =>
+      runEventStream(s, dir, nSplits = 8)(Streaming.latestStatePerKey)
+        .select(col("user_id"), col("n_events"),
+          unix_timestamp(col("last_ts")).as("last_ts_sec"),
+          col("last_event_id"), col("last_event_type"), col("last_value"))
+        .orderBy("user_id"),
+    Some("""SELECT user_id, n_events,
+           |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS last_ts_sec,
+           |  event_id AS last_event_id, event_type AS last_event_type,
+           |  value AS last_value
+           |FROM (
+           |  SELECT *,
+           |    row_number() OVER (PARTITION BY user_id
+           |      ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn,
+           |    count(*) OVER (PARTITION BY user_id) AS n_events
+           |  FROM events)
+           |WHERE rn = 1 ORDER BY user_id""".stripMargin))
+
+  /** Streaming watermarked tumbling-window rollup, gate-checked:
+    * [[Streaming.windowedEventAggs]] (5-minute windows by event_type)
+    * over the same multi-micro-batch stream; the oracle recomputes the
+    * windows arithmetically in DuckDB. Window starts are compared as
+    * epoch seconds — both engines floor positive epochs to the
+    * 300-second grid identically. */
+  val q153StreamWindowedAggs = GraftQuery(
+    "q153_stream_windowed_aggs",
+    (s, dir) =>
+      runEventStream(s, dir, nSplits = 8)(df => Streaming.windowedEventAggs(df))
+        .select(unix_timestamp(col("window_start")).as("window_start_sec"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("window_start_sec", "event_type"),
+    Some("""SELECT
+           |  (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 300) * 300
+           |    AS window_start_sec,
+           |  event_type,
+           |  count(*) AS n_events,
+           |  round(sum(value), 2) AS total_value
+           |FROM events
+           |GROUP BY 1, 2
+           |ORDER BY window_start_sec, event_type""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q152StreamCdcState, q153StreamWindowedAggs)
+}
