@@ -8,13 +8,14 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata; decode / feature-extraction
   * runs per-partition over the binary payloads.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked DETERMINISTIC FAKE decoder (byte histogram + fake
-  * dimensions) — the Spark-side contract that matters at scale is real:
-  * binary schema, per-partition batch processing (one decoder init per
-  * partition, the same shape a JNI/codec binding needs), typed feature
-  * output, and no driver-side collection.
-  */
+  * The decode path dispatches on container magic bytes to REAL
+  * dependency-free codecs ([[Codecs]]: binary PPM + 24-bit BMP images,
+  * RIFF/WAVE 16-bit PCM audio, nearest-neighbor resize). Payloads in a
+  * format the sniffer doesn't know (e.g. the text-backed synthetic
+  * media of [[synthesize]]) fall back to a clearly-marked DETERMINISTIC
+  * FAKE (byte histogram + length-derived dimensions) so decode stays
+  * total — the fallback stands in for the long tail of codecs a
+  * production cluster would add via the same per-partition hook. */
 object Multimodal {
 
   val featureBuckets = 16
@@ -39,19 +40,67 @@ object Multimodal {
       octet_length(col(textCol).cast("binary")).as("byte_len"),
       md5(col(textCol).cast("binary")).as("checksum"))
 
+  /** Deterministic REAL PPM payloads keyed by id: pixel byte `i` of
+    * media `m` is `(m * 131 + i * 7) mod 256`, wrapped in a genuine
+    * binary P6 container by [[Codecs.encodePpm]]. The closed-form
+    * content is what lets a SQL oracle verify the real decoder
+    * end-to-end without itself parsing binaries. */
+  def synthesizePpm(docs: DataFrame, w: Int, h: Int,
+                    idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val px = Array.tabulate(w * h * 3)(i => ((id * 131 + i * 7) % 256).toByte)
+        val payload = Codecs.encodePpm(Codecs.Image(w, h, 3, px))
+        Row(id, payload, "image", payload.length)
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType),
+      StructField("media_type", StringType),
+      StructField("byte_len", IntegerType))))
+  }
+
+  /** Deterministic REAL WAV payloads keyed by id: mono 16-bit PCM,
+    * sample `i` of media `m` is `((m * 7919 + i * 104729) mod 65536) -
+    * 32768`, wrapped in a genuine RIFF/WAVE container. */
+  def synthesizeWav(docs: DataFrame, sampleRate: Int, nSamples: Int,
+                    idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val samples = Array.tabulate(nSamples)(i =>
+          (((id * 7919 + i.toLong * 104729) % 65536) - 32768).toShort)
+        val payload = Codecs.encodeWav(Codecs.Wav(sampleRate, 1, 16, samples))
+        Row(id, payload, "audio", payload.length)
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType),
+      StructField("media_type", StringType),
+      StructField("byte_len", IntegerType))))
+  }
+
   private val featureSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("media_type", StringType),
-    StructField("fake_width", IntegerType),
-    StructField("fake_height", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
     StructField("features", ArrayType(FloatType))))
 
-  /** DETERMINISTIC FAKE decode: a real codec call would replace the
-    * body of `decodeOne`. Emits a normalized byte histogram as the
-    * "feature vector" and payload-derived fake dimensions. Runs via
-    * mapPartitions so a real decoder would be initialized once per
-    * partition, not per row. */
-  def decodeStub(media: DataFrame): DataFrame = {
+  /** Feature extraction over binary payloads. Recognized containers
+    * decode for REAL: PPM/BMP → true (width, height) + per-channel
+    * mean intensities normalized to [0,1]; WAV → (sampleRate, frames)
+    * + [mean |amplitude|, RMS] normalized by 2^15. Unrecognized
+    * payloads take the deterministic fallback (normalized byte
+    * histogram + length-derived fake dimensions). Runs via
+    * mapPartitions so a decoder needing init (JNI codec, model…) would
+    * be initialized once per partition, not per row. */
+  def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select("media_id", "media_type", "payload").rdd
       .mapPartitions { rows =>
@@ -98,14 +147,17 @@ object Multimodal {
     StructField("target_w", IntegerType),
     StructField("target_h", IntegerType),
     StructField("out_len", IntegerType),
-    StructField("out_md5", StringType)))
+    StructField("out_md5", StringType),
+    StructField("out_payload", BinaryType)))
 
-  /** DETERMINISTIC FAKE resize: a real scaler (libvips/ffmpeg binding)
-    * would replace `resizeOne`. The Spark-side contract is real:
-    * per-partition processing (one scaler init per partition), typed
-    * output schema, payload-derived deterministic result. The fake
-    * strides the payload down to ~targetW×targetH/256 bytes. */
-  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+  /** Resize over binary payloads. Recognized images (PPM/BMP) go
+    * through the REAL pipeline: decode → [[Codecs.resizeNearest]] →
+    * re-encode as P6, so out_payload holds genuine resampled image
+    * bytes (q155 decodes them again and oracle-checks the pixel sums).
+    * Unrecognized payloads take the deterministic byte-stride
+    * fallback. Per-partition processing (one scaler init per
+    * partition), typed output schema. */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select("media_id", "media_type", "payload").rdd
       .mapPartitions { rows =>
@@ -115,36 +167,104 @@ object Multimodal {
           val out = resizeOne(bytes, targetW, targetH)
           val md = java.security.MessageDigest.getInstance("MD5").digest(out)
           Row(r.getLong(0), r.getString(1), targetW, targetH, out.length,
-            md.map("%02x".format(_)).mkString)
+            md.map("%02x".format(_)).mkString, out)
         }
       }
     spark.createDataFrame(rdd, resizeSchema)
   }
 
-  /** ??? — real scaler goes here; the fake strides bytes down to the
-    * target budget, deterministic in (payload, targetW, targetH). */
-  private def resizeOne(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val budget = math.max(1, w * h / 256)
-    if (bytes.length <= budget) bytes
-    else {
-      val stride = bytes.length.toDouble / budget
-      Array.tabulate(budget)(i => bytes((i * stride).toInt))
+  private val wavStatsSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType),
+    StructField("n_channels", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("sum_sq", LongType),
+    StructField("sum_abs", LongType)))
+
+  /** REAL audio decode with exact typed stats: parses each payload as
+    * RIFF/WAVE PCM ([[Codecs.decodeWav]]) and emits integer-exact
+    * aggregates (Σ s², Σ |s|) plus format metadata — integers, so the
+    * DuckDB oracle check is bit-exact with no float tolerance. A
+    * payload that is not a valid PCM WAV yields NULL stats (router
+    * discipline: corrupt blobs degrade to null rows, never kill the
+    * stage). */
+  def wavStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        Codecs.decodeWav(bytes) match {
+          case Some(wav) =>
+            var sumSq = 0L
+            var sumAbs = 0L
+            wav.samples.foreach { s =>
+              sumSq += s.toLong * s; sumAbs += math.abs(s.toLong)
+            }
+            Row(id, wav.sampleRate, wav.nChannels, wav.samples.length.toLong,
+              sumSq, sumAbs)
+          case None => Row(id, null, null, null, null, null)
+        }
+      }
     }
+    spark.createDataFrame(rdd, wavStatsSchema)
   }
 
-  /** ??? — real decoder goes here. The fake is deterministic in the
-    * payload bytes alone. */
-  private def decodeOne(bytes: Array[Byte]): (Int, Int, Seq[Float]) = {
-    val hist = new Array[Int](featureBuckets)
-    var i = 0
-    while (i < bytes.length) {
-      hist((bytes(i) & 0xff) % featureBuckets) += 1
-      i += 1
+  /** Real scaler for recognized images (decode → nearest-neighbor →
+    * P6 re-encode); DETERMINISTIC FAKE fallback otherwise (strides
+    * bytes down to the target budget, deterministic in (payload,
+    * targetW, targetH)). */
+  private def resizeOne(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+    Codecs.decodeImage(bytes) match {
+      case Some(img) => Codecs.encodePpm(Codecs.resizeNearest(img, w, h))
+      case None =>
+        val budget = math.max(1, w * h / 256)
+        if (bytes.length <= budget) bytes
+        else {
+          val stride = bytes.length.toDouble / budget
+          Array.tabulate(budget)(i => bytes((i * stride).toInt))
+        }
     }
-    val total = math.max(bytes.length, 1).toFloat
-    val feats = hist.map(_ / total).toSeq
-    val w = 64 + (bytes.length % 577)
-    val h = 64 + ((bytes.length.toLong * 31) % 433).toInt // Long: *31 overflows Int past ~69MB
-    (w, h, feats)
-  }
+
+  /** Real decode for recognized containers; DETERMINISTIC FAKE
+    * fallback (normalized byte histogram, length-derived dimensions)
+    * for everything else — deterministic in the payload bytes alone
+    * either way. */
+  private def decodeOne(bytes: Array[Byte]): (Int, Int, Seq[Float]) =
+    Codecs.decodeImage(bytes) match {
+      case Some(img) =>
+        val n = img.width * img.height
+        val sums = new Array[Long](img.channels)
+        var i = 0
+        while (i < n * img.channels) {
+          sums(i % img.channels) += img.pixels(i) & 0xff
+          i += 1
+        }
+        (img.width, img.height,
+          sums.map(s => (s.toDouble / (255.0 * n)).toFloat).toSeq)
+      case None => Codecs.decodeWav(bytes) match {
+        case Some(wav) =>
+          var sumAbs = 0L
+          var sumSq = 0L
+          wav.samples.foreach { s =>
+            sumAbs += math.abs(s.toLong); sumSq += s.toLong * s
+          }
+          val n = math.max(wav.samples.length, 1)
+          (wav.sampleRate, wav.samples.length / math.max(wav.nChannels, 1),
+            Seq((sumAbs.toDouble / n / 32768.0).toFloat,
+              (math.sqrt(sumSq.toDouble / n) / 32768.0).toFloat))
+        case None =>
+          val hist = new Array[Int](featureBuckets)
+          var i = 0
+          while (i < bytes.length) {
+            hist((bytes(i) & 0xff) % featureBuckets) += 1
+            i += 1
+          }
+          val total = math.max(bytes.length, 1).toFloat
+          val feats = hist.map(_ / total).toSeq
+          val w = 64 + (bytes.length % 577)
+          val h = 64 + ((bytes.length.toLong * 31) % 433).toInt // Long: *31 overflows Int past ~69MB
+          (w, h, feats)
+      }
+    }
 }

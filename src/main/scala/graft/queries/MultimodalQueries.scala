@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.multimodal.Multimodal
+
+/** Real-codec multimodal queries, oracle-gated end to end.
+  *
+  * q27/q28/q85 pin the multimodal PLUMBING over text-backed payloads
+  * (which exercise the decode fallback); these three exercise the REAL
+  * codecs over genuine binary containers. The payloads are built by
+  * [[Multimodal.synthesizePpm]]/[[Multimodal.synthesizeWav]] with
+  * closed-form content (pixel/sample `i` of media `m` is a fixed
+  * affine-mod formula), wrapped in real P6/RIFF containers — so the
+  * DuckDB oracle can recompute every decoded statistic arithmetically
+  * WITHOUT parsing binaries: if the parser misreads a header, skips a
+  * pad byte, or flips a channel, the integer sums diverge and the gate
+  * fails. All compared columns are integers — no float tolerance
+  * anywhere.
+  *
+  * Scale: one mapPartitions decode per payload, no shuffle until the
+  * final (tiny) per-media aggregate rows; decoder init is
+  * per-partition. The same shape carries a JNI codec at 100 TB.
+  */
+object MultimodalQueries {
+
+  /** Real PPM decode: synthesize genuine 4×3 P6 images, parse them
+    * with the real netpbm decoder, and compare exact per-channel pixel
+    * sums (recovered integer-exactly from the normalized float means:
+    * sum = mean × 255 × 12 ≤ 3060, well inside float32's 24-bit
+    * mantissa) against the closed-form oracle. */
+  val q154PpmDecode = GraftQuery(
+    "q154_ppm_decode",
+    (s, dir) => {
+      val media = Multimodal.synthesizePpm(Tables.documents(s, dir), 4, 3)
+      Multimodal.decodeFeatures(media)
+        .select(col("media_id"), col("width"), col("height"),
+          round(element_at(col("features"), 1).cast("double") * 255 * 12)
+            .cast("long").as("sum_r"),
+          round(element_at(col("features"), 2).cast("double") * 255 * 12)
+            .cast("long").as("sum_g"),
+          round(element_at(col("features"), 3).cast("double") * 255 * 12)
+            .cast("long").as("sum_b"))
+        .orderBy("media_id")
+    },
+    Some("""WITH px AS (
+           |  SELECT d.doc_id AS media_id, i.g AS i,
+           |    (d.doc_id * 131 + i.g * 7) % 256 AS b
+           |  FROM documents d,
+           |    LATERAL (SELECT unnest(generate_series(0, 35)) g) i)
+           |SELECT media_id,
+           |  CAST(4 AS INTEGER) AS width, CAST(3 AS INTEGER) AS height,
+           |  CAST(sum(CASE WHEN i % 3 = 0 THEN b END) AS BIGINT) AS sum_r,
+           |  CAST(sum(CASE WHEN i % 3 = 1 THEN b END) AS BIGINT) AS sum_g,
+           |  CAST(sum(CASE WHEN i % 3 = 2 THEN b END) AS BIGINT) AS sum_b
+           |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin))
+
+  /** Real resize round-trip: 4×3 P6 → nearest-neighbor 2×2 → P6
+    * re-encode → decode AGAIN → exact channel sums of the RESIZED
+    * pixels. The oracle replays the floor mapping (srcX = x·4/2 ∈
+    * {0,2}, srcY = y·3/2 ∈ {0,1} → source pixel bases {0,6,12,18})
+    * on the closed-form content; out_len pins the container size
+    * (11-byte "P6\n2 2\n255\n" header + 12 raster bytes). */
+  val q155PpmResize = GraftQuery(
+    "q155_ppm_resize",
+    (s, dir) => {
+      val media = Multimodal.synthesizePpm(Tables.documents(s, dir), 4, 3)
+      val resized = Multimodal.resize(media, 2, 2)
+      val redecoded = Multimodal.decodeFeatures(
+        resized.select(col("media_id"), col("media_type"),
+          col("out_payload").as("payload")))
+      redecoded
+        .join(resized.select(col("media_id"),
+          col("out_len").cast("long").as("out_len")), Seq("media_id"))
+        .select(col("media_id"), col("width"), col("height"), col("out_len"),
+          round(element_at(col("features"), 1).cast("double") * 255 * 4)
+            .cast("long").as("sum_r"),
+          round(element_at(col("features"), 2).cast("double") * 255 * 4)
+            .cast("long").as("sum_g"),
+          round(element_at(col("features"), 3).cast("double") * 255 * 4)
+            .cast("long").as("sum_b"))
+        .orderBy("media_id")
+    },
+    Some("""WITH px AS (
+           |  SELECT d.doc_id AS media_id, c.c AS c, b.b AS base,
+           |    (d.doc_id * 131 + (b.b + c.c) * 7) % 256 AS v
+           |  FROM documents d,
+           |    LATERAL (SELECT unnest([0, 6, 12, 18]) b) b,
+           |    LATERAL (SELECT unnest([0, 1, 2]) c) c)
+           |SELECT media_id,
+           |  CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+           |  CAST(23 AS BIGINT) AS out_len,
+           |  CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+           |  CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+           |  CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
+           |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin))
+
+  /** Real WAV PCM decode: genuine RIFF containers, 64 mono 16-bit
+    * samples at 8 kHz, closed-form sample values; the decoder's chunk
+    * walk, format validation, and little-endian sample reads are all
+    * on the path to the integer-exact Σ s² / Σ |s| the oracle
+    * recomputes. */
+  val q156WavDecode = GraftQuery(
+    "q156_wav_decode",
+    (s, dir) =>
+      Multimodal.wavStats(
+          Multimodal.synthesizeWav(Tables.documents(s, dir), 8000, 64))
+        .orderBy("media_id"),
+    Some("""WITH sm AS (
+           |  SELECT d.doc_id AS media_id,
+           |    ((d.doc_id * 7919 + i.g * 104729) % 65536) - 32768 AS v
+           |  FROM documents d,
+           |    LATERAL (SELECT unnest(generate_series(0, 63)) g) i)
+           |SELECT media_id,
+           |  CAST(8000 AS INTEGER) AS sample_rate,
+           |  CAST(1 AS INTEGER) AS n_channels,
+           |  CAST(64 AS BIGINT) AS n_samples,
+           |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+           |FROM sm GROUP BY media_id ORDER BY media_id""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q154PpmDecode, q155PpmResize, q156WavDecode)
+}

@@ -9,7 +9,8 @@ object Registry {
   def all: Seq[GraftQuery] = {
     val qs = Relational.all ++ PipelineShaped.all ++ AsofSession.all ++
       Extras.all ++ TpchClassics.all ++ TextQueries.all ++ VectorQueries.all ++
-      MlPrep.all ++ QualityQueries.all ++ StreamingQueries.all
+      MlPrep.all ++ QualityQueries.all ++ StreamingQueries.all ++
+      MultimodalQueries.all
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }

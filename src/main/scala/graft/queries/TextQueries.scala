@@ -296,25 +296,28 @@ object TextQueries {
            |  md5(text) AS checksum
            |FROM documents ORDER BY media_id""".stripMargin))
 
-  /** Feature extraction over binary payloads (DETERMINISTIC FAKE decode
-    * behind the real mapPartitions plumbing). Every output column IS
-    * SQL-expressible — the fake dimensions are integer arithmetic on
-    * the byte length, and the bucket-0 byte-histogram COUNT is
-    * recovered integer-exactly from the normalized float feature
-    * (count = feature × length round-trips through float within 1e-4
-    * of the integer, far inside round()'s tolerance) — so the decode
-    * plumbing gets a full DuckDB oracle (byte values via ord(), exact
-    * on this ASCII corpus, same alignment q85's oracle relies on).
-    * `MultimodalSpec` asserts the per-bucket feature semantics. */
+  /** Feature extraction over binary payloads. These text-backed
+    * payloads are no recognized container, so they exercise
+    * [[Multimodal.decodeFeatures]]' deterministic FALLBACK (the real
+    * codecs are gated by q154-q156 over genuine PPM/WAV binaries).
+    * Every output column IS SQL-expressible — the fallback dimensions
+    * are integer arithmetic on the byte length, and the bucket-0
+    * byte-histogram COUNT is recovered integer-exactly from the
+    * normalized float feature (count = feature × length round-trips
+    * through float within 1e-4 of the integer, far inside round()'s
+    * tolerance) — so the decode plumbing gets a full DuckDB oracle
+    * (byte values via ord(), exact on this ASCII corpus, same
+    * alignment q85's oracle relies on). `MultimodalSpec` asserts the
+    * per-bucket feature semantics. */
   val q28MultimodalFeatures = GraftQuery(
     "q28_multimodal_features",
     (s, dir) => {
       val media = Multimodal.synthesize(Tables.documents(s, dir))
-      val feats = Multimodal.decodeStub(media)
+      val feats = Multimodal.decodeFeatures(media)
       feats
         .join(media.select(col("media_id"), col("byte_len")), Seq("media_id"))
-        .select(col("media_id"), col("media_type"), col("fake_width"),
-          col("fake_height"),
+        .select(col("media_id"), col("media_type"), col("width"),
+          col("height"),
           round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 4).as("feat_sum"),
           round(element_at(col("features"), 1).cast("double") *
             greatest(col("byte_len"), lit(1))).cast("long").as("feat0_count"))
@@ -333,8 +336,8 @@ object TextQueries {
            |  FROM m, LATERAL (SELECT unnest(generate_series(1, m.len)) g) i
            |  GROUP BY m.media_id)
            |SELECT m.media_id, m.media_type,
-           |  CAST(64 + m.len % 577 AS INTEGER) AS fake_width,
-           |  CAST(64 + (m.len * 31) % 433 AS INTEGER) AS fake_height,
+           |  CAST(64 + m.len % 577 AS INTEGER) AS width,
+           |  CAST(64 + (m.len * 31) % 433 AS INTEGER) AS height,
            |  CAST(CASE WHEN m.len > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS feat_sum,
            |  CAST(COALESCE(c.c0, 0) AS BIGINT) AS feat0_count
            |FROM m LEFT JOIN c USING (media_id)

@@ -1,0 +1,150 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bit-level tests for the dependency-free codecs: hand-built
+  * container bytes (not produced by our own encoders, where that
+  * matters) decoded to exact expected values, malformed inputs
+  * rejected as None, and encode→decode round-trips. */
+class CodecsSpec extends AnyFunSuite {
+
+  // ------------------------------------------------------------- PPM
+
+  test("PPM round-trip: encode then decode is the identity") {
+    val img = Codecs.Image(3, 2, 3, Array.tabulate(18)(i => (i * 13).toByte))
+    val decoded = Codecs.decodePpm(Codecs.encodePpm(img)).get
+    assert(decoded.width === 3 && decoded.height === 2 && decoded.channels === 3)
+    assert(decoded.pixels.toSeq === img.pixels.toSeq)
+  }
+
+  test("PPM header tolerates comments and mixed whitespace") {
+    val raster = Array.tabulate(6)(_.toByte)
+    val withComments =
+      "P6 # a comment\n# full comment line\n 2\t1 # w h\n255\n".getBytes("US-ASCII") ++ raster
+    val img = Codecs.decodePpm(withComments).get
+    assert(img.width === 2 && img.height === 1)
+    assert(img.pixels.toSeq === raster.toSeq)
+  }
+
+  test("PPM rejects truncation, bad magic, and wide maxval") {
+    val ok = Codecs.encodePpm(Codecs.Image(2, 2, 3, new Array[Byte](12)))
+    assert(Codecs.decodePpm(ok.dropRight(1)) === None) // short raster
+    assert(Codecs.decodePpm("P5\n2 2\n255\n".getBytes ++ new Array[Byte](12)) === None)
+    assert(Codecs.decodePpm("P6\n2 2\n65535\n".getBytes ++ new Array[Byte](24)) === None)
+    assert(Codecs.decodePpm(Array[Byte]()) === None)
+  }
+
+  test("grayscale encodes as replicated RGB") {
+    val gray = Codecs.Image(2, 1, 1, Array[Byte](10, 20))
+    val rgb = Codecs.decodePpm(Codecs.encodePpm(gray)).get
+    assert(rgb.pixels.toSeq === Seq[Byte](10, 10, 10, 20, 20, 20))
+  }
+
+  // ------------------------------------------------------------- BMP
+
+  /** Hand-built 2×2 24-bit BMP. BMP rows are BGR, bottom-up, padded
+    * to 4 bytes (2 px × 3 B = 6 B → 2 pad bytes per row). */
+  private def bmp2x2(topDown: Boolean): Array[Byte] = {
+    val rowBytes = 8
+    val h = if (topDown) -2 else 2
+    val buf = java.nio.ByteBuffer.allocate(54 + rowBytes * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * 2)
+      .putInt(0).putInt(54) // reserved, pixel data offset
+      .putInt(40).putInt(2).putInt(h) // BITMAPINFOHEADER, w, h
+      .putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+      .putInt(rowBytes * 2).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // stored first row = BOTTOM row unless topDown. Pixels as BGR.
+    // Target top-down RGB image: (255,0,0) (0,255,0) / (0,0,255) (255,255,255)
+    val top = Array[Byte](0, 0, -1, 0, -1, 0, 0, 0) // BGR: red, green + pad
+    val bottom = Array[Byte](-1, 0, 0, -1, -1, -1, 0, 0) // BGR: blue, white + pad
+    if (topDown) { buf.put(top).put(bottom) } else { buf.put(bottom).put(top) }
+    buf.array()
+  }
+
+  test("BMP bottom-up and top-down decode to the same top-down RGB") {
+    for (td <- Seq(false, true)) {
+      val img = Codecs.decodeBmp(bmp2x2(td)).get
+      assert(img.width === 2 && img.height === 2 && img.channels === 3)
+      assert(img.pixels.toSeq === Seq[Byte](
+        -1, 0, 0, 0, -1, 0, // red, green
+        0, 0, -1, -1, -1, -1)) // blue, white
+    }
+  }
+
+  test("BMP rejects unsupported bpp / compression / truncation") {
+    val ok = bmp2x2(topDown = false)
+    assert(Codecs.decodeBmp(ok.dropRight(3)) === None)
+    val bpp8 = ok.clone(); bpp8(28) = 8
+    assert(Codecs.decodeBmp(bpp8) === None)
+    val rle = ok.clone(); rle(30) = 1 // BI_RLE8
+    assert(Codecs.decodeBmp(rle) === None)
+  }
+
+  // ------------------------------------------------------------- WAV
+
+  test("WAV round-trip: encode then decode is the identity") {
+    val samples = Array.tabulate(7)(i => (i * 1000 - 3000).toShort)
+    val wav = Codecs.decodeWav(
+      Codecs.encodeWav(Codecs.Wav(8000, 1, 16, samples))).get
+    assert(wav.sampleRate === 8000 && wav.nChannels === 1 &&
+      wav.bitsPerSample === 16)
+    assert(wav.samples.toSeq === samples.toSeq)
+  }
+
+  test("WAV chunk walk skips unknown chunks and honors odd-size padding") {
+    val base = Codecs.encodeWav(Codecs.Wav(44100, 2, 16, Array[Short](5, -5, 7, -7)))
+    // splice an odd-sized LIST chunk between fmt and data
+    val fmtEnd = 12 + 8 + 16
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte]('a', 'b', 'c', 0) // 3 bytes + pad
+    val spliced = base.take(fmtEnd) ++ listChunk ++ base.drop(fmtEnd)
+    // fix RIFF size field
+    val bb = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val wav = Codecs.decodeWav(spliced).get
+    assert(wav.nChannels === 2 && wav.sampleRate === 44100)
+    assert(wav.samples.toSeq === Seq[Short](5, -5, 7, -7))
+  }
+
+  test("WAV rejects non-PCM, non-16-bit, and missing chunks") {
+    val ok = Codecs.encodeWav(Codecs.Wav(8000, 1, 16, Array[Short](1, 2)))
+    val float = ok.clone(); float(20) = 3 // IEEE float format tag
+    assert(Codecs.decodeWav(float) === None)
+    val bits8 = ok.clone(); bits8(34) = 8
+    assert(Codecs.decodeWav(bits8) === None)
+    assert(Codecs.decodeWav(ok.take(12)) === None) // no fmt/data
+    assert(Codecs.decodeWav("RIFFxxxxWAVE".getBytes) === None)
+  }
+
+  test("WAV stale data-size field truncates to available bytes") {
+    val ok = Codecs.encodeWav(Codecs.Wav(8000, 1, 16, Array[Short](1, 2, 3)))
+    val bb = java.nio.ByteBuffer.wrap(ok).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(40, 1000) // data chunk claims 1000 bytes; only 6 exist
+    assert(Codecs.decodeWav(ok).get.samples.toSeq === Seq[Short](1, 2, 3))
+  }
+
+  // ----------------------------------------------------------- resize
+
+  test("nearest-neighbor resize: identity at same size, floor mapping") {
+    val img = Codecs.Image(4, 3, 3,
+      Array.tabulate(36)(i => (i * 7).toByte))
+    assert(Codecs.resizeNearest(img, 4, 3).pixels.toSeq === img.pixels.toSeq)
+    val small = Codecs.resizeNearest(img, 2, 2)
+    // srcX = x*4/2 ∈ {0,2}; srcY = y*3/2 ∈ {0,1}
+    def px(x: Int, y: Int): Seq[Byte] =
+      (0 until 3).map(c => img.pixels((y * 4 + x) * 3 + c))
+    assert(small.pixels.toSeq ===
+      (px(0, 0) ++ px(2, 0) ++ px(0, 1) ++ px(2, 1)))
+  }
+
+  // -------------------------------------------- dispatch through Spark ops
+
+  test("sniffer routes real containers; text falls through") {
+    assert(Codecs.sniff("P6\n1 1\n255\n...".getBytes) === Some("ppm"))
+    assert(Codecs.sniff(bmp2x2(false)) === Some("bmp"))
+    assert(Codecs.sniff(
+      Codecs.encodeWav(Codecs.Wav(8000, 1, 16, Array[Short](0)))) === Some("wav"))
+    assert(Codecs.sniff("plain text document".getBytes) === None)
+  }
+}

@@ -20,8 +20,8 @@ class MultimodalSpec extends SparkSpec {
     assert(r0.getAs[String]("checksum").length === 32)
   }
 
-  test("decodeStub: deterministic per-partition feature extraction") {
-    val f = Multimodal.decodeStub(Multimodal.synthesize(docs))
+  test("decodeFeatures fallback: deterministic per-partition feature extraction") {
+    val f = Multimodal.decodeFeatures(Multimodal.synthesize(docs))
     val rows = f.collect()
     assert(rows.length === 3)
     val r0 = rows.find(_.getAs[Long]("media_id") == 0L).get
@@ -29,12 +29,12 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.length === Multimodal.featureBuckets)
     // histogram normalizes to ~1 for non-empty payloads
     assert(math.abs(feats.sum - 1.0f) < 1e-5)
-    assert(r0.getAs[Int]("fake_width") >= 64)
+    assert(r0.getAs[Int]("width") >= 64)
     // empty payload: zero histogram, no NaN
     val r2 = rows.find(_.getAs[Long]("media_id") == 2L).get
     assert(r2.getSeq[Float](r2.fieldIndex("features")).forall(!_.isNaN))
     // determinism across runs
-    val again = Multimodal.decodeStub(Multimodal.synthesize(docs)).collect()
+    val again = Multimodal.decodeFeatures(Multimodal.synthesize(docs)).collect()
       .find(_.getAs[Long]("media_id") == 0L).get
     assert(again.getSeq[Float](again.fieldIndex("features")) === feats)
   }
@@ -62,13 +62,13 @@ class MultimodalSpec extends SparkSpec {
     assert(idx.nonEmpty && idx.forall(_ % 2 == 0))
   }
 
-  test("resizeStub: deterministic, bounded output, per-partition shape") {
+  test("resize fallback: deterministic, bounded output, per-partition shape") {
     val media = Multimodal.synthesize(docs)
-    val out = Multimodal.resizeStub(media, 64, 64).collect()
+    val out = Multimodal.resize(media, 64, 64).collect()
     assert(out.length === 3)
     val budget = 64 * 64 / 256
     out.foreach(r => assert(r.getAs[Int]("out_len") <= budget)) // never exceeds the byte budget
-    val again = Multimodal.resizeStub(media, 64, 64).collect()
+    val again = Multimodal.resize(media, 64, 64).collect()
       .map(r => r.getAs[Long]("media_id") -> r.getAs[String]("out_md5")).toMap
     out.foreach(r => assert(again(r.getAs[Long]("media_id")) === r.getAs[String]("out_md5")))
   }
