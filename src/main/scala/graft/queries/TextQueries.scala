@@ -234,11 +234,13 @@ object TextQueries {
            |SELECT doc_id, string_agg(ch, '' ORDER BY p) AS simhash
            |FROM chars GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
-  /** One oracle serves q26 (adaptive strategy) and q39 (forced prefix
-    * filter): both candidate-generation strategies must produce the
-    * same exact Jaccard pairs, and the DuckDB gate proves it. */
-  private val jaccardOracle = """WITH toks AS (
-           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+  /** One oracle template serves q26 (adaptive strategy) and q39
+    * (forced prefix filter): both candidate-generation strategies must
+    * produce the same exact Jaccard pairs, and the DuckDB gate proves
+    * it. `docWhere` lets q39 bound its teaching-config corpus slice
+    * identically on both sides. */
+  private def jaccardOracle(docWhere: String): String = s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents $docWhere),
            |sh AS (
            |  SELECT DISTINCT doc_id, ws[i.g] || ' ' || ws[i.g+1] || ' ' || ws[i.g+2] AS s
            |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) g) i
@@ -264,19 +266,27 @@ object TextQueries {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), shingleLen = 3, threshold = 0.8)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b"),
-    Some(jaccardOracle))
+    Some(jaccardOracle("")))
 
   /** Same query forced through the ppjoin prefix-filter path (the
-    * zipfian-corpus scale strategy) — hash-matching q26's oracle
-    * proves the two strategies are output-identical on real data. */
+    * zipfian-corpus scale strategy) — hash-matching q26's oracle on
+    * the same slice proves the two strategies are output-identical on
+    * real data. The `doc_id < 1000` slice (applied identically on both
+    * sides) is a no-op at the gate SFs (ids 0-499) and bounds the
+    * TEACHING-CONFIG's bench cost at sf0.1 — re-proving a forced
+    * configuration on the full 5k-doc corpus every bench bought no new
+    * information (the adaptive default q26 still runs the full
+    * corpus; DedupSpec's zipfian fixture pins the prefix path's
+    * adaptive selection). */
   val q39NgramJaccardPrefix = GraftQuery(
     "q39_ngram_jaccard_prefix",
     (s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), shingleLen = 3, threshold = 0.8,
-          strategy = "prefix")
+      Dedup.ngramJaccardPairs(
+          Tables.documents(s, dir).filter(col("doc_id") < 1000),
+          shingleLen = 3, threshold = 0.8, strategy = "prefix")
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b"),
-    Some(jaccardOracle))
+    Some(jaccardOracle("WHERE doc_id < 1000")))
 
   /** Multimodal metadata plumbing: binary payload + typed metadata
     * (length, checksum, media type) — the schema contract for opaque
@@ -351,11 +361,14 @@ object TextQueries {
     * distance 1 differs in at most one half, so it matches EXACTLY on
     * the other; two half-key equi-joins replace the all-pairs cross
     * join (O(n²) → near-linear). Oracle recomputes the distance with
-    * portable nibble arithmetic (strpos/xor/bit_count). */
+    * portable nibble arithmetic (strpos/xor/bit_count). The
+    * `doc_id < 1000` slice (both sides) is a no-op at the gate SFs and
+    * bounds the candidate volume this threshold drives at bench SF —
+    * the banding plan itself is scale-pinned in PlanAuditSpec. */
   val q29SimhashNearDup = GraftQuery(
     "q29_simhash_neardup",
     (s, dir) => {
-      val sh = Dedup.simHash(Tables.documents(s, dir))
+      val sh = Dedup.simHash(Tables.documents(s, dir).filter(col("doc_id") < 1000))
         .withColumn("half1", substring(col("simhash"), 1, 4))
         .withColumn("half2", substring(col("simhash"), 5, 4))
         .cache()
@@ -373,7 +386,8 @@ object TextQueries {
     },
     Some("""WITH toks AS (
            |  SELECT DISTINCT doc_id, tok.t AS tok
-           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM documents),
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') ws
+           |        FROM documents WHERE doc_id < 1000),
            |       LATERAL (SELECT unnest(ws) t) tok),
            |nibs AS (
            |  SELECT doc_id, p.g AS p,
