@@ -1913,13 +1913,20 @@ object Extras {
     * floor(x / 10^floor(log10 x)): float log10 of an exact power of
     * ten can land at k-epsilon, shifting the digit. Note DuckDB's
     * CAST(double AS BIGINT) rounds half-away while Spark's truncates
-    * — floor() first makes them agree. One scan, 9-row output. */
+    * — floor() first makes them agree. The `digit >= 1` guard (both
+    * sides) makes the audit input-robust: totals in [0,1) would yield
+    * digit 0 and a 1/0 expected share (null under Spark's non-ANSI
+    * division vs NULL-or-inf in DuckDB — a latent cross-engine
+    * divergence); negative totals yield a NULL digit. Benford's law is
+    * only defined on leading digits 1-9 anyway. One scan, 9-row
+    * output. */
   val q147BenfordAudit = GraftQuery(
     "q147_benford_audit",
     (s, dir) => {
       val digits = Tables.orders(s, dir)
         .select(substring(floor(col("o_totalprice")).cast("long")
           .cast("string"), 1, 1).cast("int").as("digit"))
+        .filter(col("digit") >= 1)
         .groupBy("digit").agg(count(lit(1)).as("n"))
       val total = digits.agg(sum(col("n")).as("n_total"))
       digits.crossJoin(broadcast(total))
@@ -1935,7 +1942,7 @@ object Extras {
            |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
            |  FROM orders),
            |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
-           |      FROM d GROUP BY 1),
+           |      FROM d WHERE digit >= 1 GROUP BY 1),
            |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
            |SELECT digit, n,
            |  round(n / CAST(n_total AS DOUBLE), 6) AS observed_share,
