@@ -63,6 +63,52 @@ object Multimodal {
       StructField("byte_len", IntegerType))))
   }
 
+  /** Deterministic REAL BMP payloads keyed by id: the same closed-form
+    * pixel content as [[synthesizePpm]] (top-down RGB pixel byte `i` is
+    * `(m * 131 + i * 7) mod 256`), hand-packed here into a genuine
+    * 24-bit bottom-up BMP — BGR channel order, rows padded to 4-byte
+    * boundaries — WITHOUT going through [[Codecs]], so decoding it
+    * exercises the parser against an independent writer. A decoder that
+    * forgets the row flip, the BGR swap, or the padding fails the q158
+    * gate (same oracle as q154: same content, different container). */
+  def synthesizeBmp(docs: DataFrame, w: Int, h: Int,
+                    idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val buf = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * h)
+          .putInt(0).putInt(54)
+          .putInt(40).putInt(w).putInt(h) // positive height = bottom-up
+          .putShort(1).putShort(24).putInt(0)
+          .putInt(rowBytes * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        def v(i: Int): Byte = ((id * 131 + i * 7) % 256).toByte
+        var y = h - 1 // stored bottom row first
+        while (y >= 0) {
+          var x = 0
+          while (x < w) {
+            val base = (y * w + x) * 3 // top-down RGB index of (x, y)
+            buf.put(v(base + 2)).put(v(base + 1)).put(v(base)) // as BGR
+            x += 1
+          }
+          var pad = rowBytes - w * 3
+          while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+          y -= 1
+        }
+        val payload = buf.array()
+        Row(id, payload, "image", payload.length)
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType),
+      StructField("media_type", StringType),
+      StructField("byte_len", IntegerType))))
+  }
+
   /** Deterministic REAL WAV payloads keyed by id: mono 16-bit PCM,
     * sample `i` of media `m` is `((m * 7919 + i * 104729) mod 65536) -
     * 32768`, wrapped in a genuine RIFF/WAVE container. */

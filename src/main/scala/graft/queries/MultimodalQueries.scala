@@ -119,5 +119,28 @@ object MultimodalQueries {
            |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs
            |FROM sm GROUP BY media_id ORDER BY media_id""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q154PpmDecode, q155PpmResize, q156WavDecode)
+  /** Real BMP decode: the SAME closed-form pixel content as q154 but
+    * hand-packed into a genuine 24-bit bottom-up BMP (BGR, padded
+    * rows) by an independent writer — so the oracle is q154's
+    * verbatim. A decoder that forgets the row flip, the BGR swap, or
+    * the 4-byte row padding diverges from the PPM-decoded sums and
+    * fails here. */
+  val q158BmpDecode = GraftQuery(
+    "q158_bmp_decode",
+    (s, dir) => {
+      val media = Multimodal.synthesizeBmp(Tables.documents(s, dir), 4, 3)
+      Multimodal.decodeFeatures(media)
+        .select(col("media_id"), col("width"), col("height"),
+          round(element_at(col("features"), 1).cast("double") * 255 * 12)
+            .cast("long").as("sum_r"),
+          round(element_at(col("features"), 2).cast("double") * 255 * 12)
+            .cast("long").as("sum_g"),
+          round(element_at(col("features"), 3).cast("double") * 255 * 12)
+            .cast("long").as("sum_b"))
+        .orderBy("media_id")
+    },
+    q154PpmDecode.oracle)
+
+  val all: Seq[GraftQuery] =
+    Seq(q154PpmDecode, q155PpmResize, q156WavDecode, q158BmpDecode)
 }

@@ -48,8 +48,12 @@ object StreamingQueries {
   /** Run `op` over a file-fed micro-batch stream of the events table
     * to completion; return the final memory-sink table. The sink table
     * name is unique per invocation so repeated gate runs in one
-    * session never collide. */
-  private def runEventStream(s: SparkSession, dir: String, nSplits: Int)(
+    * session never collide. `outputMode` is "complete" for stateful
+    * aggregations (the final table IS the answer) and "append" for
+    * stream-stream joins (inner matches emit as both sides arrive, so
+    * a run-to-completion append table holds every pair). */
+  private def runEventStream(s: SparkSession, dir: String, nSplits: Int,
+                             outputMode: String = "complete")(
       op: DataFrame => DataFrame): DataFrame = {
     val srcDir = splitForStream(s, dir, nSplits)
     try {
@@ -65,7 +69,7 @@ object StreamingQueries {
       val sink = "graft_stream_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val q = op(events).writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
+        .outputMode(outputMode).start()
       try { q.processAllAvailable() } finally { q.stop() }
       s.table(sink)
     } finally {
@@ -120,5 +124,52 @@ object StreamingQueries {
            |GROUP BY 1, 2
            |ORDER BY window_start_sec, event_type""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q152StreamCdcState, q153StreamWindowedAggs)
+  /** Watermarked stream-stream inner join, gate-checked:
+    * [[Streaming.clickToPurchaseJoin]] as a self-join of the event
+    * stream's click and purchase branches (each branch carries its own
+    * watermark; the time-range predicate bounds both join buffers).
+    * Inner matches emit as soon as both sides have arrived, so running
+    * the 8-micro-batch stream to completion yields exactly the batch
+    * join's pairs — which is what the DuckDB oracle computes. Both
+    * engines compare timestamps at microsecond precision (Spark's
+    * reader truncates the parquet nanos; the oracle truncates with
+    * epoch_ns // 1000).
+    *
+    * The watermark here is effectively unbounded (10 years): the
+    * pre-split files replay in arbitrary order, so a realistic
+    * watermark would drop most rows as late and the run-to-completion
+    * result would depend on file arrival order — a flaky gate. Late
+    * drops and state EVICTION semantics are pinned separately by
+    * StreamingSpec with controlled micro-batch order; this row gates
+    * the JOIN semantics (time-range predicate, self-join branch
+    * watermarks, append emission) against the oracle. */
+  val q157StreamClickPurchase = GraftQuery(
+    "q157_stream_click_purchase",
+    (s, dir) =>
+      runEventStream(s, dir, nSplits = 8, outputMode = "append") { events =>
+        Streaming.clickToPurchaseJoin(
+          events.filter(col("event_type") === "click"),
+          events.filter(col("event_type") === "purchase"),
+          within = "30 minutes", watermark = "3650 days")
+      }
+        .select(col("user_id"), col("click_id"),
+          unix_timestamp(col("click_ts")).as("click_ts_sec"),
+          col("purchase_id"),
+          unix_timestamp(col("purchase_ts")).as("purchase_ts_sec"),
+          col("purchase_value"))
+        .orderBy("user_id", "click_id", "purchase_id"),
+    Some("""SELECT c.user_id, c.event_id AS click_id,
+           |  CAST(epoch(date_trunc('second', c.ts)) AS BIGINT) AS click_ts_sec,
+           |  p.event_id AS purchase_id,
+           |  CAST(epoch(date_trunc('second', p.ts)) AS BIGINT) AS purchase_ts_sec,
+           |  p.value AS purchase_value
+           |FROM (SELECT * FROM events WHERE event_type = 'click') c
+           |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           |  ON p.user_id = c.user_id
+           |  AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
+           |  AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 1800000000
+           |ORDER BY c.user_id, click_id, purchase_id""".stripMargin))
+
+  val all: Seq[GraftQuery] =
+    Seq(q152StreamCdcState, q153StreamWindowedAggs, q157StreamClickPurchase)
 }
