@@ -68,8 +68,18 @@ object StreamingQueries {
         else stream
       val sink = "graft_stream_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = op(events).writeStream.format("memory").queryName(sink)
-        .outputMode(outputMode).start()
+      // A streaming query's state-store partition count is fixed from
+      // spark.sql.shuffle.partitions at START and every micro-batch
+      // commits every state partition — at the session's 32 that is
+      // 32 × 8 batches of commit overhead for a few-hundred-key state.
+      // Size it to the gate corpus (8) and restore the session conf;
+      // production sizes this per deployment to key cardinality.
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try op(events).writeStream.format("memory").queryName(sink)
+          .outputMode(outputMode).start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       try { q.processAllAvailable() } finally { q.stop() }
       s.table(sink)
     } finally {
@@ -145,8 +155,12 @@ object StreamingQueries {
     * watermarks, append emission) against the oracle. */
   val q157StreamClickPurchase = GraftQuery(
     "q157_stream_click_purchase",
+    // 4 splits (not 8): a stream-stream join maintains FOUR state
+    // stores (two per side) and commits each per micro-batch — batch
+    // count dominates its gate cost, and 4 batches already proves
+    // cross-batch pairing in both directions.
     (s, dir) =>
-      runEventStream(s, dir, nSplits = 8, outputMode = "append") { events =>
+      runEventStream(s, dir, nSplits = 4, outputMode = "append") { events =>
         Streaming.clickToPurchaseJoin(
           events.filter(col("event_type") === "click"),
           events.filter(col("event_type") === "purchase"),
@@ -170,6 +184,42 @@ object StreamingQueries {
            |  AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 1800000000
            |ORDER BY c.user_id, click_id, purchase_id""".stripMargin))
 
+  /** Custom keyed state via flatMapGroupsWithState, gate-checked:
+    * [[Streaming.runningUserTotals]] emits each user's running
+    * (n_events, total_value, errors) on every micro-batch in Update
+    * mode — the memory sink therefore holds the full update HISTORY,
+    * and the final state per user is the row with that user's maximum
+    * n_events (running counts are strictly increasing). After the
+    * 8-batch stream completes, the final states must equal the batch
+    * aggregate over the same rows, which the oracle computes directly.
+    * Timeout is off: processing-time timeouts keep the no-data batch
+    * loop alive under processAllAvailable (same constraint as the
+    * spec), and an idle-eviction gate row would be order-dependent
+    * anyway. */
+  val q159StreamUserTotals = GraftQuery(
+    "q159_stream_user_totals",
+    (s, dir) =>
+      runEventStream(s, dir, nSplits = 8, outputMode = "update") { events =>
+        import s.implicits._
+        Streaming.runningUserTotals(
+          events.select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")).as[Streaming.Event],
+          idleTimeout = "off").toDF()
+      }
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("total_value"), col("errors")))
+          .as("last"))
+        .select(col("user_id"), col("last.n_events").as("n_events"),
+          col("last.total_value").as("total_value"),
+          col("last.errors").as("errors"))
+        .orderBy("user_id"),
+    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           |  round(sum(value), 2) AS total_value,
+           |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS errors
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(q152StreamCdcState, q153StreamWindowedAggs, q157StreamClickPurchase)
+    Seq(q152StreamCdcState, q153StreamWindowedAggs, q157StreamClickPurchase,
+      q159StreamUserTotals)
 }
