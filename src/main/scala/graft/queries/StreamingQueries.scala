@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.GraftQuery
+import graft.{GraftQuery, Tables}
 import graft.streaming.Streaming
 
 /** Streaming operators promoted into the DuckDB correctness gate.
@@ -219,7 +219,110 @@ object StreamingQueries {
            |    AS BIGINT) AS errors
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** Incremental near-dup registry, gate-checked: four sequential
+    * micro-batches (docs split deterministically by `doc_id % 4`)
+    * through [[Streaming.dedupBatchAgainstRegistry]] — the exact
+    * building block [[Streaming.nearDupDedupSink]]'s foreachBatch
+    * invokes — with a [[Streaming.compactRegistry]] compaction spliced
+    * between batches 1 and 2 (admission must be invariant under
+    * compaction). The parquet registry IS the streaming state; the
+    * oracle replays the greedy admission rule with the batch sequence
+    * UNROLLED as four CTE stages: batch b admits a doc iff no smaller
+    * id in its own batch shares an LSH band (admitted or not — the
+    * deliberately conservative in-batch rule) and no band collides
+    * with the registry of batches < b (admitted docs only). The
+    * stream-wiring side (replay idempotency, registry recovery) stays
+    * pinned by StreamingSpec.
+    *
+    * Deterministic batching by modulo (not file arrival order) is what
+    * makes a sequential-state operator oracle-able at all — same
+    * reason q157 unbinds its watermark. */
+  val q160RegistryNearDup = GraftQuery(
+    "q160_registry_neardup",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_registry")
+        .toFile.getAbsolutePath
+      try {
+        // doc_id < 1000 slice (both sides): no-op at the gate SFs,
+        // bounds the 2×-signature + 4×-parquet-cycle cost at bench SF
+        val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+        // ~10 small shuffling actions run in sequence here; size their
+        // partitions to the corpus (like runEventStream does for state
+        // stores) and restore the session conf after
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          (0 until 4).foreach { b =>
+            Streaming.dedupBatchAgainstRegistry(
+              docs.filter(col("doc_id") % 4 === b), s"$base/registry",
+              s"$base/out/b$b", b, numHashes = 8, bandSize = 2, shingleLen = 3)
+            if (b == 1) Streaming.compactRegistry(s, s"$base/registry")
+          }
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        // materialize before the temp dirs are deleted
+        val rows: Seq[(Long, Int)] = (0 until 4).flatMap { b =>
+          s.read.parquet(s"$base/out/b$b")
+            .select(col("doc_id").cast("long")).collect()
+            .map(r => (r.getLong(0), b))
+        }
+        import s.implicits._
+        rows.toDF("doc_id", "batch").orderBy("doc_id")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      }
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+           |  FROM documents WHERE doc_id < 1000),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, ws[i.g] || ' ' || ws[i.g+1] || ' ' || ws[i.g+2] AS s
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) g) i
+           |  WHERE len(ws) >= 3),
+           |mh AS (
+           |  SELECT doc_id, h.g AS h, min(md5(h.g || ':' || s)) AS mh
+           |  FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) g) h
+           |  GROUP BY doc_id, h.g),
+           |bb AS (
+           |  SELECT doc_id, doc_id % 4 AS b, h // 2 AS band,
+           |         string_agg(mh, '|' ORDER BY h) AS band_key
+           |  FROM mh GROUP BY doc_id, doc_id % 4, h // 2),
+           |inb AS (
+           |  SELECT DISTINCT a.doc_id FROM bb a JOIN bb c
+           |    ON a.band = c.band AND a.band_key = c.band_key AND a.b = c.b
+           |   AND c.doc_id < a.doc_id),
+           |alld AS (SELECT doc_id, doc_id % 4 AS b FROM documents
+           |  WHERE doc_id < 1000),
+           |adm0 AS (SELECT doc_id FROM alld
+           |  WHERE b = 0 AND doc_id NOT IN (SELECT doc_id FROM inb)),
+           |reg0 AS (SELECT DISTINCT band, band_key FROM bb
+           |  WHERE doc_id IN (SELECT doc_id FROM adm0)),
+           |adm1 AS (SELECT d.doc_id FROM alld d
+           |  WHERE d.b = 1 AND d.doc_id NOT IN (SELECT doc_id FROM inb)
+           |    AND NOT EXISTS (SELECT 1 FROM bb x JOIN reg0 r
+           |      ON x.band = r.band AND x.band_key = r.band_key
+           |      WHERE x.doc_id = d.doc_id)),
+           |reg1 AS (SELECT * FROM reg0 UNION
+           |  SELECT DISTINCT band, band_key FROM bb
+           |  WHERE doc_id IN (SELECT doc_id FROM adm1)),
+           |adm2 AS (SELECT d.doc_id FROM alld d
+           |  WHERE d.b = 2 AND d.doc_id NOT IN (SELECT doc_id FROM inb)
+           |    AND NOT EXISTS (SELECT 1 FROM bb x JOIN reg1 r
+           |      ON x.band = r.band AND x.band_key = r.band_key
+           |      WHERE x.doc_id = d.doc_id)),
+           |reg2 AS (SELECT * FROM reg1 UNION
+           |  SELECT DISTINCT band, band_key FROM bb
+           |  WHERE doc_id IN (SELECT doc_id FROM adm2)),
+           |adm3 AS (SELECT d.doc_id FROM alld d
+           |  WHERE d.b = 3 AND d.doc_id NOT IN (SELECT doc_id FROM inb)
+           |    AND NOT EXISTS (SELECT 1 FROM bb x JOIN reg2 r
+           |      ON x.band = r.band AND x.band_key = r.band_key
+           |      WHERE x.doc_id = d.doc_id))
+           |SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS batch FROM (
+           |  SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1
+           |  UNION ALL SELECT doc_id FROM adm2 UNION ALL SELECT doc_id FROM adm3)
+           |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q152StreamCdcState, q153StreamWindowedAggs, q157StreamClickPurchase,
-      q159StreamUserTotals)
+      q159StreamUserTotals, q160RegistryNearDup)
 }
