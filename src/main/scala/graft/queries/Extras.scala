@@ -2151,6 +2151,33 @@ object Extras {
            |  END AS is_anomaly
            |FROM win ORDER BY day""".stripMargin))
 
+  /** Sliding (hopping) windows: 10-minute windows every 5 minutes —
+    * each event lands in exactly size/slide = 2 windows, which Spark's
+    * `window(ts, size, slide)` plans as a codegen'd explode over the
+    * window instances (no self-join, no re-scan). The oracle derives
+    * the same two epoch-grid window starts per event arithmetically.
+    * The batch twin of q153's streamed tumbling rollup — slide < size
+    * is the monitoring/rate-limiting window shape. */
+  val q162SlidingWindows = GraftQuery(
+    "q162_sliding_windows",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"))
+        .select(unix_timestamp(col("w.start")).as("window_start_sec"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("window_start_sec", "event_type"),
+    Some("""WITH x AS (
+           |  SELECT event_type, value,
+           |    ((CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 300) - k.k)
+           |      * 300 AS ws
+           |  FROM events, LATERAL (SELECT unnest([0, 1]) k) k)
+           |SELECT ws AS window_start_sec, event_type,
+           |  count(*) AS n_events, round(sum(value), 2) AS total_value
+           |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
     q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
     q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup, q75StatAggregates,
@@ -2165,5 +2192,6 @@ object Extras {
     q137TimeWeightedAvg, q138RollingMedian, q140BasketLift,
     q141KAnonymity, q142EventTrigrams, q143CopurchaseTriangles,
     q144RevenueGini, q145RfmSegments, q146OrderReconciliation,
-    q147BenfordAudit, q148BehaviorEntropy, q149OrderGaps, q150RankFusion, q151RevenueAnomalies)
+    q147BenfordAudit, q148BehaviorEntropy, q149OrderGaps, q150RankFusion,
+    q151RevenueAnomalies, q162SlidingWindows)
 }

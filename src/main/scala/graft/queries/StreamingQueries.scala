@@ -322,7 +322,57 @@ object StreamingQueries {
            |  UNION ALL SELECT doc_id FROM adm2 UNION ALL SELECT doc_id FROM adm3)
            |ORDER BY doc_id""".stripMargin))
 
+  /** Streamed gap-based session windows, gate-checked:
+    * [[Streaming.sessionizedEvents]] (native session_window, 30-minute
+    * gap) over the 8-micro-batch stream. Session state MERGES across
+    * micro-batches — two session fragments seen in different batches
+    * must collapse once an event bridges them, the hardest state-store
+    * case in Structured Streaming — and the final table must equal the
+    * arithmetic sessionization the oracle computes. session_window
+    * semantics are pinned exactly: same session iff the micro-precision
+    * gap is strictly under 30 minutes (so the oracle splits on
+    * `>= 1800000000` MICROS — note q19's batch variant contracts on
+    * second-truncated `> 1800`, a deliberate difference documented
+    * there), and a session's end is its last event + gap. */
+  val q161StreamSessions = GraftQuery(
+    "q161_stream_sessions",
+    // Unbounded watermark, same reason as q157: session windows drop
+    // watermark-late rows even in Complete mode (measured — a 1-hour
+    // watermark against arbitrary-order file replay lost ~3/4 of the
+    // sessions), and the pre-split files replay in arbitrary order.
+    (s, dir) =>
+      runEventStream(s, dir, nSplits = 8)(df =>
+        Streaming.sessionizedEvents(df, watermark = "3650 days"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_start")).as("session_start_sec"),
+          unix_timestamp(col("session_end")).as("session_end_sec"),
+          col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start_sec"),
+    Some("""WITH e AS (
+           |  SELECT *, lag(ts) OVER (PARTITION BY user_id
+           |    ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_ts
+           |  FROM events),
+           |f AS (
+           |  SELECT *, CASE WHEN prev_ts IS NULL
+           |      OR epoch_ns(ts) // 1000 - epoch_ns(prev_ts) // 1000 >= 1800000000
+           |      THEN 1 ELSE 0 END AS new_session
+           |  FROM e),
+           |g AS (
+           |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+           |    ORDER BY epoch_ns(ts) // 1000, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+           |  FROM f)
+           |SELECT user_id,
+           |  CAST(epoch(date_trunc('second', min(ts))) AS BIGINT)
+           |    AS session_start_sec,
+           |  CAST(epoch(date_trunc('second', max(ts))) AS BIGINT) + 1800
+           |    AS session_end_sec,
+           |  count(*) AS n_events,
+           |  round(sum(value), 2) AS session_value
+           |FROM g GROUP BY user_id, seq
+           |ORDER BY user_id, session_start_sec""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q152StreamCdcState, q153StreamWindowedAggs, q157StreamClickPurchase,
-      q159StreamUserTotals, q160RegistryNearDup)
+      q159StreamUserTotals, q160RegistryNearDup, q161StreamSessions)
 }
