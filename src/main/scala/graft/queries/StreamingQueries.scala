@@ -53,7 +53,8 @@ object StreamingQueries {
     * stream-stream joins (inner matches emit as both sides arrive, so
     * a run-to-completion append table holds every pair). */
   private def runEventStream(s: SparkSession, dir: String, nSplits: Int,
-                             outputMode: String = "complete")(
+                             outputMode: String = "complete",
+                             rocksdb: Boolean = false)(
       op: DataFrame => DataFrame): DataFrame = {
     val srcDir = splitForStream(s, dir, nSplits)
     try {
@@ -74,12 +75,26 @@ object StreamingQueries {
       // 32 × 8 batches of commit overhead for a few-hundred-key state.
       // Size it to the gate corpus (8) and restore the session conf;
       // production sizes this per deployment to key cardinality.
+      // `rocksdb` swaps in the RocksDB state store provider — the
+      // larger-than-memory state path a 100 TB stream needs (the
+      // default HDFS-backed store keeps every version of every
+      // partition's state map on the JVM heap).
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val prevProvider = s.conf.getOption(providerKey)
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      if (rocksdb) s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val q =
         try op(events).writeStream.format("memory").queryName(sink)
           .outputMode(outputMode).start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          prevProvider match {
+            case Some(p) => s.conf.set(providerKey, p)
+            case None => s.conf.unset(providerKey)
+          }
+        }
       try { q.processAllAvailable() } finally { q.stop() }
       s.table(sink)
     } finally {
@@ -90,11 +105,15 @@ object StreamingQueries {
   /** Streaming CDC compaction, gate-checked: [[Streaming.latestStatePerKey]]
     * over a multi-micro-batch stream of the full events table, same
     * oracle as the batch q126 — the stream's final state must equal
-    * the batch compaction row-for-row. */
+    * the batch compaction row-for-row. This row runs on the ROCKSDB
+    * state store (the larger-than-memory state path for 100 TB
+    * streams), so the gate also proves the off-heap provider
+    * round-trips the struct state bit-exactly. */
   val q152StreamCdcState = GraftQuery(
     "q152_stream_cdc_state",
     (s, dir) =>
-      runEventStream(s, dir, nSplits = 8)(Streaming.latestStatePerKey)
+      runEventStream(s, dir, nSplits = 8, rocksdb = true)(
+        Streaming.latestStatePerKey)
         .select(col("user_id"), col("n_events"),
           unix_timestamp(col("last_ts")).as("last_ts_sec"),
           col("last_event_id"), col("last_event_type"), col("last_value"))
