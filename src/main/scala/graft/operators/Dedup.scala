@@ -258,6 +258,36 @@ object Dedup {
       .select("id_a", "id_b", "inter", "na", "nb", "jaccard")
   }
 
+  /** Overlap-coefficient (containment) near-dup pairs:
+    * `C(A,B) = |A∩B| / min(|A|,|B|) >= threshold` over distinct word
+    * shingles. The asymmetric-size complement to [[ngramJaccardPairs]]:
+    * a document embedded inside a much larger one has containment ~1
+    * but Jaccard ~|small|/|large| — the quote/boilerplate/sub-document
+    * case symmetric Jaccard structurally misses (C >= J always, so a
+    * containment threshold is the stricter screen for subsets).
+    * Candidate generation is the same bounded shared-shingle equi-join
+    * as the direct Jaccard path — never an all-pairs product; on a
+    * hapax-heavy corpus the ppjoin prefix filter composes here too
+    * (with the overlap-coefficient prefix bound n - ceil(t·n) + 1)
+    * exactly as it does for Jaccard. */
+  def containmentPairs(docs: DataFrame, shingleLen: Int = 3,
+                       threshold: Double = 0.9, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val sh = FanOut(docs).select(col(idCol).as("id"),
+      explode(array_distinct(Text.wordShingles(col(textCol), shingleLen))).as("s"))
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") and col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(counts.toDF("id_a", "na"), "id_a")
+      .join(counts.toDF("id_b", "nb"), "id_b")
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "inter", "na", "nb", "containment")
+  }
+
   /** Connected components over near-duplicate pairs — the clustering
     * step between pair generation (MinHash/SimHash/embedding) and
     * survivor selection: every document gets the minimum reachable id

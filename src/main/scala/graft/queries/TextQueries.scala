@@ -353,6 +353,35 @@ object TextQueries {
            |FROM m LEFT JOIN c USING (media_id)
            |ORDER BY media_id""".stripMargin))
 
+  /** Overlap-coefficient (containment) near-dup pairs ≥ 0.8 — the
+    * subset-document screen: containment ≥ Jaccard always, so this
+    * surfaces embedded/quoted sub-documents q26's symmetric threshold
+    * misses. Same exact integer-count scoring, same bounded
+    * shared-shingle join. */
+  val q163ContainmentPairs = GraftQuery(
+    "q163_containment_pairs",
+    (s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), shingleLen = 3,
+          threshold = 0.8)
+        .withColumn("containment", round(col("containment"), 6))
+        .orderBy("id_a", "id_b"),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, ws[i.g] || ' ' || ws[i.g+1] || ' ' || ws[i.g+2] AS s
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) g) i
+           |  WHERE len(ws) >= 3),
+           |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+           |inter AS (
+           |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, inter, ca.n AS na, cb.n AS nb,
+           |  round(inter * 1.0 / least(ca.n, cb.n), 6) AS containment
+           |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+           |WHERE inter * 1.0 / least(ca.n, cb.n) >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin))
+
   /** SimHash near-dup pairs: Hamming distance ≤ 1 over the 32-bit
     * fingerprints, scored by the native `hamming_hex` Catalyst
     * expression. Candidate generation is multi-index pigeonhole
@@ -808,5 +837,6 @@ object TextQueries {
     q29SimhashNearDup, q39NgramJaccardPrefix, q40RollingFingerprint,
     q54DedupClusters, q55DedupSurvivors, q69BpeSegments, q85FrameSample,
     q88DocChunks, q101NearDupDegree, q108CrossSourceDups, q111MinhashOph,
-    q122SpanDedup, q123NgramNovelty, q139SubstringRepeats)
+    q122SpanDedup, q123NgramNovelty, q139SubstringRepeats,
+    q163ContainmentPairs)
 }

@@ -22,6 +22,30 @@ class DedupSpec extends SparkSpec {
     assert(dup.getAs[Long]("keep_id") === 0L)
   }
 
+  test("containment surfaces a subset document that jaccard misses") {
+    val subset = Seq(
+      (0L, "a b c d e f g h i j k l"), // 10 trigram shingles
+      (1L, "a b c d e"),               // 3 shingles, all inside doc 0
+      (2L, "x y z q r s")              // unrelated
+    ).toDF("doc_id", "text")
+    // every shingle of doc 1 appears in doc 0: containment = 1.0
+    val c = Dedup.containmentPairs(subset, threshold = 0.99).collect()
+    assert(c.length === 1)
+    assert((c.head.getAs[Long]("id_a"), c.head.getAs[Long]("id_b")) === ((0L, 1L)))
+    assert(c.head.getAs[Double]("containment") === 1.0)
+    // but jaccard = 3 / (10 + 3 - 3) = 0.3 — the symmetric screen
+    // misses the embedded document entirely at any usual threshold
+    assert(Dedup.ngramJaccardPairs(subset, threshold = 0.8).collect().isEmpty)
+    // containment >= jaccard on every surfaced pair (C uses min, J union)
+    val all = Dedup.containmentPairs(docs, threshold = 0.0).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("containment")).toMap
+    Dedup.ngramJaccardPairs(docs, threshold = 0.0).collect().foreach { r =>
+      val key = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      assert(all(key) >= r.getAs[Double]("jaccard") - 1e-12, s"pair $key")
+    }
+  }
+
   test("minhash LSH surfaces exact and near dups, not unrelated docs") {
     val pairs = Dedup.minHashCandidatePairs(docs, numHashes = 8, bandSize = 2, shingleLen = 3)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),

@@ -248,4 +248,15 @@ class PlanAuditSpec extends SparkSpec {
     // reuse its exchange, not re-run the lineitem self-join per round
     assert(p.contains("ReusedExchange"), s"edge shuffle not reused:\n$p")
   }
+
+  test("q162: sliding windows are one scan + explode, never a self-join") {
+    // the adaptive plan string repeats the tree under "== Initial
+    // Plan =="; audit the final plan section only
+    val p = plan("q162_sliding_windows").split("== Initial Plan ==").head
+    // window(ts, size, slide) plans as a generated-expression Expand
+    // over the window instances; a join-based rewrite would re-scan
+    assert(!p.contains("Join"), p)
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p)
+    assert(p.contains("Expand"), p)
+  }
 }
