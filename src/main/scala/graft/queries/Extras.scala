@@ -2178,6 +2178,34 @@ object Extras {
            |  count(*) AS n_events, round(sum(value), 2) AS total_value
            |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Semi-structured props via Spark 4's VARIANT type: `parse_json`
+    * once into the binary variant encoding, then typed
+    * `try_variant_get` extraction — the scale answer to per-access
+    * string re-parsing (q80's `get_json_object` re-scans the JSON text
+    * on every path access; variant decodes once and field access is an
+    * offset lookup). Integer-exact aggregate per event type; a
+    * malformed document degrades to NULL (try_ semantics), mirroring
+    * the engine-wide cast-failure-routes-rows contract. */
+  val q164VariantProps = GraftQuery(
+    "q164_variant_props",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("try_variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+           |    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           |    AS sum_k,
+           |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
     q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
     q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup, q75StatAggregates,
@@ -2193,5 +2221,5 @@ object Extras {
     q141KAnonymity, q142EventTrigrams, q143CopurchaseTriangles,
     q144RevenueGini, q145RfmSegments, q146OrderReconciliation,
     q147BenfordAudit, q148BehaviorEntropy, q149OrderGaps, q150RankFusion,
-    q151RevenueAnomalies, q162SlidingWindows)
+    q151RevenueAnomalies, q162SlidingWindows, q164VariantProps)
 }
