@@ -53,6 +53,27 @@ object Similarity {
     topK(scored, k, qId, cId)
   }
 
+  /** Filtered (predicate-constrained) exact top-k: neighbors must
+    * match the query on `filterKeys` — the production retrieval shape
+    * ("top-k similar WHERE lang = X / tenant = Y"). The filter is an
+    * EQUI-join key, so the pair generation is hash-partitioned by the
+    * key instead of a crossJoin against the whole corpus: at 100 TB
+    * each query scores only its key's partition slice, and the same
+    * bounded-heap top-k reduction applies before the exchange. Queries
+    * broadcast (they are the small side by construction). */
+  def filteredTopK(queries: DataFrame, corpus: DataFrame,
+                   filterKeys: Seq[String], k: Int,
+                   qId: String = "qid", qVec: String = "qvec",
+                   cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    require(filterKeys.nonEmpty, "filterTopK without keys is bruteForceTopK")
+    val q = queries.withColumn("qn", norm(col(qVec)))
+    val c = corpus.withColumn("cn", norm(col(cVec)))
+    val scored = c.join(broadcast(q), filterKeys)
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos", dot(col(qVec), col(cVec)) / (col("qn") * col("cn")))
+    topK(scored, k, qId, cId)
+  }
+
   private def topK(scored: DataFrame, k: Int, qId: String, cId: String): DataFrame = {
     // native bounded-heap reduction first: each scan partition keeps at
     // most k candidates per query BEFORE the exchange, so the rank

@@ -236,7 +236,40 @@ object VectorQueries {
            |SELECT label, vec_id, round(cos, 6) AS cos_to_centroid
            |FROM r WHERE rn <= 3 ORDER BY label, vec_id""".stripMargin))
 
+  /** Filtered exact top-3: neighbors constrained to the query's label
+    * — the production retrieval shape ("top-k similar WHERE lang/
+    * tenant = X"). The label is an equi-join key, so the plan scores
+    * each query against its label slice only (hash join, bounded-heap
+    * reduction) — never the crossJoin of q30. Exact, so the oracle is
+    * the same ranked-window SQL with the label constraint. */
+  val q165FilteredAnn = GraftQuery(
+    "q165_filtered_ann",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label"))
+      val corpus = emb.select(col("vec_id").as("cid"),
+        col("embedding").as("cvec"), col("label"))
+      Similarity.filteredTopK(queries, corpus, Seq("label"), k = 3)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid, embedding, label
+            |          FROM embeddings WHERE vec_id < 10),
+            |scored AS (
+            |  SELECT a.qid, b.vec_id AS neighbor_id,
+            |    $cosSql AS cos
+            |  FROM q a JOIN embeddings b
+            |    ON b.vec_id <> a.qid AND b.label = a.label)
+            |SELECT qid, rank, neighbor_id, round(cos, 4) AS cos FROM (
+            |  SELECT qid, neighbor_id, cos,
+            |    row_number() OVER (PARTITION BY qid
+            |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+            |  FROM scored)
+            |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q30AnnBruteForce, q31CosinePairs, q32AnnLsh,
     q37AnnIvf, q38EmbeddingNearDup, q57EmbeddingQuantize, q103LabelCentroids,
-    q109EmbeddingOutliers)
+    q109EmbeddingOutliers, q165FilteredAnn)
 }
