@@ -373,8 +373,52 @@ object PipelineShaped {
     },
     q10Scd2Versions.oracle)
 
+  /** Point-in-time (time-travel) version resolution over the SCD2
+    * version set: for each probe date, each product resolves to its
+    * latest version dated ≤ the probe — the feature-store
+    * PIT-correctness lookup ("what did the dimension say AS OF
+    * training time"), the row-level complement of q10's full version
+    * inventory and q17's event-stream as-of. One keyed `max(struct)`
+    * aggregation per probe (map-side combined, no window over the
+    * version log); ties at identical dates break by price on both
+    * engines. */
+  val q166PitVersions = GraftQuery(
+    "q166_pit_versions",
+    (s, dir) => {
+      val versions = Tables.lineitem(s, dir).select(
+        lpad(col("l_partkey").cast("string"), 6, "0").as("product"),
+        (col("l_extendedprice") / col("l_quantity")).as("price_each"),
+        col("l_shipdate").cast("date").as("ver_date"))
+      val probes = Seq("1994-01-01", "1996-01-01", "1998-01-01")
+      probes.map { d =>
+        versions.filter(col("ver_date") <= to_date(lit(d)))
+          .groupBy("product")
+          .agg(max(struct(col("ver_date"), col("price_each"))).as("v"),
+            count(lit(1)).as("n_versions_seen"))
+          .select(lit(d).as("as_of"), col("product"),
+            date_format(col("v.ver_date"), "yyyy-MM-dd").as("ver_date"),
+            col("v.price_each").as("price_each"), col("n_versions_seen"))
+      }.reduce(_.unionByName(_)).orderBy("as_of", "product")
+    },
+    Some("""WITH versions AS (
+           |  SELECT lpad(CAST(l_partkey AS VARCHAR), 6, '0') AS product,
+           |         l_extendedprice / l_quantity AS price_each,
+           |         CAST(l_shipdate AS DATE) AS ver_date
+           |  FROM lineitem),
+           |probes AS (SELECT unnest(['1994-01-01', '1996-01-01', '1998-01-01']) AS as_of),
+           |eligible AS (
+           |  SELECT p.as_of, v.product, v.ver_date, v.price_each,
+           |    row_number() OVER (PARTITION BY p.as_of, v.product
+           |      ORDER BY v.ver_date DESC, v.price_each DESC) AS rn,
+           |    count(*) OVER (PARTITION BY p.as_of, v.product) AS n_versions_seen
+           |  FROM probes p JOIN versions v ON v.ver_date <= CAST(p.as_of AS DATE))
+           |SELECT as_of, product, strftime(ver_date, '%Y-%m-%d') AS ver_date,
+           |  price_each, n_versions_seen
+           |FROM eligible WHERE rn = 1
+           |ORDER BY as_of, product""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q07AsofLastClick, q08DaySpineFill, q09TimeHierarchy, q10Scd2Versions,
     q11Rollup, q12CubeGroupby, q13SetOps, q14CastRouter, q15StringFuncs,
-    q16IdBackfill, q105Scd2Merge)
+    q16IdBackfill, q105Scd2Merge, q166PitVersions)
 }
