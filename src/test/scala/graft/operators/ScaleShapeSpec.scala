@@ -129,4 +129,39 @@ class ScaleShapeSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(multiDir))
     }
   }
+
+  test("containment pairs and filtered ANN are invariant to file layout and row order") {
+    val docs = graft.Tables.documents(spark, dir)
+    val emb = graft.Tables.embeddings(spark, dir)
+    def contain(d: org.apache.spark.sql.DataFrame) =
+      Dedup.containmentPairs(d, threshold = 0.8).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Long]("inter"))).toSet
+    def filtered(e: org.apache.spark.sql.DataFrame) = {
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("label"))
+      val corpus = e.select(col("vec_id").as("cid"),
+        col("embedding").as("cvec"), col("label"))
+      Similarity.filteredTopK(queries, corpus, Seq("label"), k = 3)
+        .select(col("qid"), col("rank"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val (c1, f1) = (contain(docs), filtered(emb))
+    assert(c1.nonEmpty && f1.nonEmpty)
+    val docDir = java.nio.file.Files.createTempDirectory("graft_ss_contain").toString
+    val embDir = java.nio.file.Files.createTempDirectory("graft_ss_fann").toString
+    try {
+      docs.repartition(8, col("doc_id"))
+        .sortWithinPartitions(md5(col("text")))
+        .write.mode("overwrite").parquet(docDir)
+      emb.repartition(8, col("vec_id"))
+        .sortWithinPartitions(md5(col("vec_id").cast("string")))
+        .write.mode("overwrite").parquet(embDir)
+      assert(contain(spark.read.parquet(docDir)) === c1)
+      assert(filtered(spark.read.parquet(embDir)) === f1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(docDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(embDir))
+    }
+  }
 }
