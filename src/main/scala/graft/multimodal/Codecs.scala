@@ -129,6 +129,12 @@ object Codecs {
       return None
     val h = math.abs(rawH)
     val topDown = rawH < 0
+    // dimension sanity BEFORE any Int arithmetic: a malformed header
+    // declaring ~2^30 pixels would overflow rowBytes/the output array
+    // size into a negative and CRASH instead of returning None — and a
+    // corrupt blob must never kill a stage. 2^26 bytes/raster bounds
+    // genuine images comfortably.
+    if (w.toLong * h * 3 > (1L << 26)) return None
     val rowBytes = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundary
     if (dataOffset < 0 ||
       b.length.toLong < dataOffset.toLong + rowBytes.toLong * h) return None

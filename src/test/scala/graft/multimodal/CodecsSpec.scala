@@ -81,6 +81,17 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.decodeBmp(rle) === None)
   }
 
+  test("BMP with absurd declared dimensions returns None, never crashes") {
+    // a header declaring ~2^30 pixels used to overflow rowBytes into a
+    // negative array size (NegativeArraySizeException) — a corrupt
+    // blob must degrade to None, never kill the stage
+    val huge = bmp2x2(topDown = false).clone()
+    val bb = java.nio.ByteBuffer.wrap(huge).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, 1 << 20) // width
+    bb.putInt(22, 1 << 20) // height
+    assert(Codecs.decodeBmp(huge) === None)
+  }
+
   // ------------------------------------------------------------- WAV
 
   test("WAV round-trip: encode then decode is the identity") {
