@@ -173,6 +173,7 @@ object Codecs {
     var bits = 0
     var fmtSeen = false
     var data: Array[Short] = null
+    var next = 0L
     while (pos + 8 <= b.length && data == null) {
       val id = new String(b, pos, 4, "US-ASCII")
       val size = le32(b, pos + 4)
@@ -201,7 +202,14 @@ object Codecs {
           data = samples
         case _ => () // skip LIST/fact/cue/... chunks
       }
-      pos = body + size + (size & 1) // chunks pad to even boundaries
+      // advance in LONG arithmetic: a corrupt chunk declaring ~2^31
+      // bytes would wrap `body + size` Int-negative, keep the loop
+      // guard true, and crash the String read — same corrupt-blob
+      // contract as the BMP dimension bound
+      next = body.toLong + size.toLong + (size & 1) // chunks pad to even
+      if (next > b.length.toLong) return if (data != null && fmtSeen)
+        Some(Wav(sampleRate, nChannels, bits, data)) else None
+      pos = next.toInt
     }
     if (fmtSeen && data != null) Some(Wav(sampleRate, nChannels, bits, data))
     else None

@@ -145,10 +145,18 @@ object Multimodal {
     * payloads take the deterministic fallback (normalized byte
     * histogram + length-derived fake dimensions). Runs via
     * mapPartitions so a decoder needing init (JNI codec, model…) would
-    * be initialized once per partition, not per row. */
-  def decodeFeatures(media: DataFrame): DataFrame = {
+    * be initialized once per partition, not per row.
+    *
+    * `passthrough` columns ride through the decode unchanged — a
+    * caller needing decoded features NEXT TO upstream metadata keeps
+    * one pipeline instead of re-joining (and re-executing) the
+    * upstream frame. */
+  def decodeFeatures(media: DataFrame,
+                     passthrough: Seq[String] = Nil): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select("media_id", "media_type", "payload").rdd
+    val passFields = passthrough.map(n => media.schema(n))
+    val cols = Seq("media_id", "media_type", "payload") ++ passthrough
+    val rdd = media.select(cols.map(col): _*).rdd
       .mapPartitions { rows =>
         // per-partition decoder init would go here (JNI codec, model…)
         rows.map { r =>
@@ -156,10 +164,11 @@ object Multimodal {
           val mtype = r.getString(1)
           val bytes = Option(r.getAs[Array[Byte]](2)).getOrElse(Array.emptyByteArray)
           val (w, h, feats) = decodeOne(bytes)
-          Row(id, mtype, w, h, feats)
+          Row.fromSeq(Seq(id, mtype, w, h, feats) ++
+            passthrough.indices.map(i => r.get(3 + i)))
         }
       }
-    spark.createDataFrame(rdd, featureSchema)
+    spark.createDataFrame(rdd, StructType(featureSchema.fields ++ passFields))
   }
 
   /** Deterministic frame sampling over binary payloads — REAL

@@ -272,9 +272,23 @@ object Dedup {
     * exactly as it does for Jaccard. */
   def containmentPairs(docs: DataFrame, shingleLen: Int = 3,
                        threshold: Double = 0.9, idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text"): DataFrame =
+    sharedShinglePairCounts(docs, shingleLen, idCol, textCol)
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "inter", "na", "nb", "containment")
+
+  /** (id_a, id_b, inter, na, nb) for every pair sharing at least one
+    * distinct shingle — the exact pair-counting core any set-overlap
+    * score (Jaccard, containment, Dice, …) divides differently. The
+    * shingle frame is cached: the counts branch and both join sides
+    * consume it. */
+  private def sharedShinglePairCounts(docs: DataFrame, shingleLen: Int,
+                                      idCol: String, textCol: String): DataFrame = {
     val sh = FanOut(docs).select(col(idCol).as("id"),
       explode(array_distinct(Text.wordShingles(col(textCol), shingleLen))).as("s"))
+      .cache()
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
     sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") and col("a.id") < col("b.id"))
@@ -282,10 +296,6 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
       .join(counts.toDF("id_a", "na"), "id_a")
       .join(counts.toDF("id_b", "nb"), "id_b")
-      .withColumn("containment",
-        col("inter").cast("double") / least(col("na"), col("nb")))
-      .filter(col("containment") >= threshold)
-      .select("id_a", "id_b", "inter", "na", "nb", "containment")
   }
 
   /** Connected components over near-duplicate pairs — the clustering

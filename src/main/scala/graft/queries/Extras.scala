@@ -2191,19 +2191,21 @@ object Extras {
     (s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"),
-          expr("try_variant_get(parse_json(props), '$.k', 'long')").as("k"))
+          // try_parse_json: a malformed document must degrade to NULL,
+          // not abort the query (plain parse_json raises)
+          expr("try_variant_get(try_parse_json(props), '$.k', 'long')").as("k"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null"),
           sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type"),
     Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-           |  CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+           |  CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
            |    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-           |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           |  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
            |    AS sum_k,
-           |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-           |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+           |  min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           |  max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,

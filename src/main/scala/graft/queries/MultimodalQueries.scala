@@ -66,12 +66,15 @@ object MultimodalQueries {
     (s, dir) => {
       val media = Multimodal.synthesizePpm(Tables.documents(s, dir), 4, 3)
       val resized = Multimodal.resize(media, 2, 2)
+      // out_len rides THROUGH the decode as a passthrough column — a
+      // join back to `resized` would re-execute the whole
+      // synthesize+resize pipeline for the second branch
       val redecoded = Multimodal.decodeFeatures(
         resized.select(col("media_id"), col("media_type"),
-          col("out_payload").as("payload")))
+          col("out_payload").as("payload"),
+          col("out_len").cast("long").as("out_len")),
+        passthrough = Seq("out_len"))
       redecoded
-        .join(resized.select(col("media_id"),
-          col("out_len").cast("long").as("out_len")), Seq("media_id"))
         .select(col("media_id"), col("width"), col("height"), col("out_len"),
           round(element_at(col("features"), 1).cast("double") * 255 * 4)
             .cast("long").as("sum_r"),

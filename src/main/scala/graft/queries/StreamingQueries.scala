@@ -96,7 +96,17 @@ object StreamingQueries {
           }
         }
       try { q.processAllAvailable() } finally { q.stop() }
-      s.table(sink)
+      // materialize and DROP the memory sink: the sink table is
+      // driver-resident for the session lifetime otherwise, and bench
+      // runs execute each gate query 2-3 times (warm-up + timed +
+      // anomaly re-run) — a dozen leaked result tables per run. The
+      // results are bounded (O(keys)/O(windows)), so local rows are
+      // fine.
+      val result = s.table(sink)
+      val schema = result.schema
+      val rows = result.collect()
+      s.catalog.dropTempView(sink)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(srcDir))
     }

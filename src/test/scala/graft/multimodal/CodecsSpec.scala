@@ -128,6 +128,17 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.decodeWav("RIFFxxxxWAVE".getBytes) === None)
   }
 
+  test("WAV with a huge declared chunk size returns None, never crashes") {
+    // a chunk declaring ~2^31 bytes used to wrap `body + size`
+    // Int-negative and crash the chunk walk on the next String read
+    val huge = Codecs.encodeWav(Codecs.Wav(8000, 1, 16, Array[Short](1)))
+    val bb = java.nio.ByteBuffer.wrap(huge).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, 0x7ffffff0) // fmt chunk size field
+    assert(Codecs.decodeWav(huge) === None)
+    // ...but an overrunning final DATA chunk still yields its samples
+    // (the stale-size case below)
+  }
+
   test("WAV stale data-size field truncates to available bytes") {
     val ok = Codecs.encodeWav(Codecs.Wav(8000, 1, 16, Array[Short](1, 2, 3)))
     val bb = java.nio.ByteBuffer.wrap(ok).order(java.nio.ByteOrder.LITTLE_ENDIAN)
