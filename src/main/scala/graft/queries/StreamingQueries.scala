@@ -401,7 +401,32 @@ object StreamingQueries {
            |FROM g GROUP BY user_id, seq
            |ORDER BY user_id, session_start_sec""".stripMargin))
 
+  /** Streamed exact dedup, gate-checked:
+    * [[Streaming.dedupedEvents]] (`dropDuplicatesWithinWatermark` on
+    * event_id) over a SELF-UNION of the event stream — every event
+    * arrives twice, in the same or a different micro-batch depending
+    * on how the two source branches interleave, and exactly one copy
+    * must survive. The oracle is simply the distinct event set.
+    * Unbounded watermark for the same arbitrary-replay-order reason as
+    * q157/q161 (here a realistic watermark would additionally make
+    * WHICH copy survives order-dependent — dedup state for old ids
+    * would already be evicted); the watermark-bounded eviction
+    * behavior itself is StreamingSpec's controlled-order test. */
+  val q167StreamDedup = GraftQuery(
+    "q167_stream_dedup",
+    (s, dir) =>
+      runEventStream(s, dir, nSplits = 8, outputMode = "append") { events =>
+        Streaming.dedupedEvents(events.unionByName(events),
+          watermark = "3650 days")
+      }
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .orderBy("event_id"),
+    Some("""SELECT DISTINCT event_id, user_id, event_type, value
+           |FROM events ORDER BY event_id""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q152StreamCdcState, q153StreamWindowedAggs, q157StreamClickPurchase,
-      q159StreamUserTotals, q160RegistryNearDup, q161StreamSessions)
+      q159StreamUserTotals, q160RegistryNearDup, q161StreamSessions,
+      q167StreamDedup)
 }
