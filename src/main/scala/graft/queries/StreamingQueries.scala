@@ -425,8 +425,45 @@ object StreamingQueries {
     Some("""SELECT DISTINCT event_id, user_id, event_type, value
            |FROM events ORDER BY event_id""".stripMargin))
 
+  /** Stream-static dimension enrichment, gate-checked:
+    * [[Streaming.enrichWithDimension]] broadcast-joins each micro-batch
+    * against a BATCH dimension (here: each user's first-touch event
+    * type, computed once from the batch table — the lookup-dimension
+    * pattern; Spark re-plans the static side per micro-batch, so an
+    * in-place dimension refresh is picked up without a restart).
+    * Stateless — nothing buffers — so the streamed enrich + downstream
+    * aggregate must equal the plain batch join the oracle computes.
+    * The aggregation downstream of the enrich runs in the SAME
+    * streaming query (complete mode), proving enrich composes with
+    * stateful operators. */
+  val q168StreamEnrich = GraftQuery(
+    "q168_stream_enrich",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val firstTouch = ev.groupBy("user_id")
+        .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("f"))
+        .select(col("user_id"), col("f.event_type").as("first_touch"))
+      runEventStream(s, dir, nSplits = 8) { events =>
+        Streaming.enrichWithDimension(events, firstTouch, Seq("user_id"))
+          .groupBy("first_touch", "event_type")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum("value"), 2).as("total_value"))
+      }
+        .orderBy("first_touch", "event_type")
+    },
+    Some("""WITH f AS (
+           |  SELECT user_id, event_type AS first_touch FROM (
+           |    SELECT user_id, event_type,
+           |      row_number() OVER (PARTITION BY user_id
+           |        ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
+           |    FROM events) WHERE rn = 1)
+           |SELECT f.first_touch, e.event_type,
+           |  count(*) AS n_events, round(sum(e.value), 2) AS total_value
+           |FROM events e LEFT JOIN f USING (user_id)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q152StreamCdcState, q153StreamWindowedAggs, q157StreamClickPurchase,
       q159StreamUserTotals, q160RegistryNearDup, q161StreamSessions,
-      q167StreamDedup)
+      q167StreamDedup, q168StreamEnrich)
 }
