@@ -90,7 +90,12 @@ object Bench {
       try { q.run(spark, sfDir).count() }
       catch { case e: Throwable =>
         failed += q.name
-        System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+        // full class + top frames, not just getMessage — a null-message
+        // exception (NPE, some SparkExceptions) otherwise leaves nothing
+        // to diagnose with (the one artifact with failures, an
+        // end-of-round-6 run whose stdout was lost, taught this).
+        System.err.println(s"[bench] ${q.name} FAILED: $e")
+        e.getStackTrace.take(5).foreach(f => System.err.println(s"    at $f"))
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators cache intermediates (minhash signatures, shingles);
@@ -129,12 +134,26 @@ object Bench {
         name -> math.min(t, timeOne(byName(name)))
       } else name -> t
     }
+    // Second chance for failures, same philosophy as the anomaly
+    // re-run: a query that threw is re-run once after the full pass —
+    // a transient environmental failure (tmp pressure, a loaded box
+    // killing a streaming micro-batch) shouldn't poison the driver's
+    // artifact. A real regression fails both times and is still
+    // reported. (An end-of-round-6 detail file recorded 5 streaming
+    // rows failed on a degrading box; all 5 passed on re-run.)
+    val retried = results.map { case (name, t) =>
+      if (failed.contains(name)) {
+        System.err.println(s"[bench] $name failed — one re-run")
+        failed -= name
+        name -> timeOne(byName(name))
+      } else name -> t
+    }
     // "anomalous" = still slower than 3× a KNOWN prior after the
     // retry — a contradiction against history worth a human look. A
     // query with no prior that is merely >5 s gets the insurance
     // re-run above but is not reportable as anomalous (there is
     // nothing to contradict).
-    val anomalous = results.collect {
+    val anomalous = retried.collect {
       case (name, t) if priors.contains(short(name)) && t > threshold(name) &&
         !failed.contains(name) => name
     }
@@ -144,7 +163,7 @@ object Bench {
     // measurement and poisonous as a prior (a 0.2s analysis failure
     // would make the fixed query's real 2.5s look anomalous next
     // round). Failed queries appear ONLY in the failed list.
-    val timed = results.filterNot { case (name, _) => failed.contains(name) }
+    val timed = retried.filterNot { case (name, _) => failed.contains(name) }
     // Bounded stdout line: the full per-query map lives in
     // BENCH_DETAIL.json (committed, md5-stamped below); the printed line
     // carries only the TOP-K slowest queries, so its length is

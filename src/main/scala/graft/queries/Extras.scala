@@ -2208,6 +2208,171 @@ object Extras {
            |  max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** Linear multi-touch attribution: every purchase's value is split
+    * equally across the user's PRECEDING touches (clicks + views),
+    * and the per-channel credit is summed — q127's first-touch model
+    * generalized to the fractional-credit shape ad/product analytics
+    * actually ships. The whole computation is two running-count
+    * windows (touches-so-far by type, per user ordered by event time)
+    * read AT the purchase rows — no purchase×touch pair join exists
+    * at any scale; cost is one per-user sort, same as sessionization.
+    * Purchases with no preceding touch fall into the `direct` bucket,
+    * so total credited value is conserved (= sum of purchase values,
+    * asserted by the spec). */
+  val q170LinearAttribution = GraftQuery(
+    "q170_linear_attribution",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn("prior_click",
+          count(when(col("event_type") === "click", 1)).over(w))
+        .withColumn("prior_view",
+          count(when(col("event_type") === "view", 1)).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("n_touch", col("prior_click") + col("prior_view"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          sum(when(col("n_touch") === 0, 1L).otherwise(0L)).as("n_direct"),
+          round(sum(when(col("n_touch") > 0,
+            col("value") * col("prior_click") / col("n_touch"))
+            .otherwise(lit(0.0))), 4).as("click_credit"),
+          round(sum(when(col("n_touch") > 0,
+            col("value") * col("prior_view") / col("n_touch"))
+            .otherwise(lit(0.0))), 4).as("view_credit"),
+          round(sum(when(col("n_touch") === 0, col("value"))
+            .otherwise(lit(0.0))), 4).as("direct_credit"))
+    },
+    Some("""WITH t AS (
+           |  SELECT event_type, value,
+           |    count(CASE WHEN event_type = 'click' THEN 1 END) OVER w
+           |      AS prior_click,
+           |    count(CASE WHEN event_type = 'view' THEN 1 END) OVER w
+           |      AS prior_view
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id
+           |    ORDER BY epoch_ns(ts) // 1000, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+           |p AS (SELECT value, prior_click, prior_view,
+           |        prior_click + prior_view AS n_touch
+           |      FROM t WHERE event_type = 'purchase')
+           |SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+           |  CAST(sum(CASE WHEN n_touch = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_direct,
+           |  round(sum(CASE WHEN n_touch > 0
+           |    THEN value * prior_click / n_touch ELSE 0.0 END), 4)
+           |    AS click_credit,
+           |  round(sum(CASE WHEN n_touch > 0
+           |    THEN value * prior_view / n_touch ELSE 0.0 END), 4)
+           |    AS view_credit,
+           |  round(sum(CASE WHEN n_touch = 0 THEN value ELSE 0.0 END), 4)
+           |    AS direct_credit
+           |FROM p""".stripMargin))
+
+  /** l-diversity audit: within each quasi-identifier class (nation ×
+    * market segment — q141's k-anonymity classes), how many DISTINCT
+    * sensitive values (account-balance bands of width 1000) appear?
+    * A class can be k-anonymous yet leak everything if all its rows
+    * share one sensitive value — l counts the protection that k
+    * misses. One groupBy with count + count-distinct; at 100 TB the
+    * distinct-per-class is a two-level aggregation on (class, band),
+    * never a per-class scan. */
+  val q171LDiversity = GraftQuery(
+    "q171_l_diversity",
+    (s, dir) => {
+      val lMin = 3
+      val classes = Tables.customer(s, dir)
+        .withColumn("band", floor(col("c_acctbal") / lit(1000.0)).cast("long"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct(col("band")).as("l"))
+      classes.agg(
+        count(lit(1)).as("n_classes"),
+        min(col("l")).as("l_min"),
+        sum(when(col("l") < lMin, 1L).otherwise(0L)).as("classes_below_l"),
+        sum(when(col("l") < lMin, col("class_size")).otherwise(0L))
+          .as("rows_at_risk"),
+        round(sum(when(col("l") < lMin, col("class_size")).otherwise(0L)) /
+          sum(col("class_size")).cast("double"), 6).as("at_risk_share"))
+    },
+    Some("""WITH c AS (
+           |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+           |    count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS l
+           |  FROM customer GROUP BY 1, 2)
+           |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           |  CAST(min(l) AS BIGINT) AS l_min,
+           |  CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS classes_below_l,
+           |  CAST(sum(CASE WHEN l < 3 THEN class_size ELSE 0 END) AS BIGINT)
+           |    AS rows_at_risk,
+           |  round(sum(CASE WHEN l < 3 THEN class_size ELSE 0 END)
+           |    / CAST(sum(class_size) AS DOUBLE), 6) AS at_risk_share
+           |FROM c""".stripMargin))
+
+  /** HITS hubs & authorities (Kleinberg) on the bipartite
+    * customer→part purchase graph: authority(part) = Σ hub(customer)
+    * over buyers, hub(customer) = Σ authority(part) over their
+    * basket — two fixed rounds, each one equi-join + one keyed sum
+    * (q129's PageRank dataflow on a DIRECTED bipartite graph, where
+    * PageRank's symmetric formulation degenerates). Scores are
+    * mean-normalized (×n/Σ) after every half-step so magnitudes stay
+    * O(1) under rounding, and snapped to 1e-9 so cross-engine sum
+    * order can't compound through the recursion; top-20 authorities
+    * reported with rounded scores, doc-id tie-break. */
+  val q172HitsAuthorities = GraftQuery(
+    "q172_hits_authorities",
+    (s, dir) => {
+      val edges = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      def meanNorm(df: org.apache.spark.sql.DataFrame, scoreCol: String) = {
+        val tot = df.agg(sum(col(scoreCol)).as("tot"), count(lit(1)).as("n"))
+        df.crossJoin(broadcast(tot))
+          .select(df.columns.filterNot(_ == scoreCol).map(col) :+
+            round(col(scoreCol) * col("n") / col("tot"), 9).as(scoreCol): _*)
+      }
+      // a1: every customer starts at hub=1, so the first authority
+      // pass is just the part's buyer count (mean-normalized)
+      val a1 = meanNorm(edges.groupBy("p")
+        .agg(count(lit(1)).cast("double").as("a")), "a")
+      val h1 = meanNorm(edges.join(a1, Seq("p"))
+        .groupBy("c").agg(round(sum(col("a")), 9).as("h")), "h")
+      val a2 = meanNorm(edges.join(h1, Seq("c"))
+        .groupBy("p").agg(round(sum(col("h")), 9).as("a")), "a")
+      a2.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("a").desc, col("p").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("p").as("p_partkey"),
+          round(col("a"), 6).as("authority"))
+        .orderBy("rank")
+    },
+    Some("""WITH e AS (
+           |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |a1r AS (SELECT p, CAST(count(*) AS DOUBLE) AS a FROM e GROUP BY p),
+           |a1 AS (SELECT p, round(a * (SELECT count(*) FROM a1r)
+           |                         / (SELECT sum(a) FROM a1r), 9) AS a
+           |       FROM a1r),
+           |h1r AS (SELECT c, round(sum(a), 9) AS h
+           |        FROM e JOIN a1 USING (p) GROUP BY c),
+           |h1 AS (SELECT c, round(h * (SELECT count(*) FROM h1r)
+           |                         / (SELECT sum(h) FROM h1r), 9) AS h
+           |       FROM h1r),
+           |a2r AS (SELECT p, round(sum(h), 9) AS a
+           |        FROM e JOIN h1 USING (c) GROUP BY p),
+           |a2 AS (SELECT p, round(a * (SELECT count(*) FROM a2r)
+           |                         / (SELECT sum(a) FROM a2r), 9) AS a
+           |       FROM a2r)
+           |SELECT rank, p AS p_partkey, round(a, 6) AS authority FROM (
+           |  SELECT p, a,
+           |    row_number() OVER (ORDER BY a DESC, p ASC) AS rank
+           |  FROM a2)
+           |WHERE rank <= 20 ORDER BY rank""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
     q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
     q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup, q75StatAggregates,
@@ -2223,5 +2388,6 @@ object Extras {
     q141KAnonymity, q142EventTrigrams, q143CopurchaseTriangles,
     q144RevenueGini, q145RfmSegments, q146OrderReconciliation,
     q147BenfordAudit, q148BehaviorEntropy, q149OrderGaps, q150RankFusion,
-    q151RevenueAnomalies, q162SlidingWindows, q164VariantProps)
+    q151RevenueAnomalies, q162SlidingWindows, q164VariantProps,
+    q170LinearAttribution, q171LDiversity, q172HitsAuthorities)
 }

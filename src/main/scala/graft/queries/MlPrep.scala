@@ -454,8 +454,82 @@ object MlPrep {
             |  count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
             |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** BM25 top-5 retrieval for a fixed probe-query set (Okapi k1=1.2,
+    * b=0.75, the Robertson/Spärck Jones formulation Lucene defaults
+    * to): per-term weights from one tokenize pass (tf, dl, df, avgdl —
+    * the same frames as q52's TF-IDF), restricted to probe terms by a
+    * broadcast join BEFORE the df/dl joins so only matching postings
+    * flow, then summed per (query, doc) and ranked. At 100 TB the
+    * postings restriction is the story: the probe-term broadcast
+    * prunes the tf frame to O(matching postings) ahead of every
+    * shuffle, and the corpus statistics are one-row broadcasts.
+    * Per-term weights snap to 1e-9 before the sum (ln() may differ by
+    * 1 ulp between JVM and libm) and ranking uses the ROUNDED score so
+    * both engines order identically; ties break on doc_id. */
+  val q169Bm25Retrieval = GraftQuery(
+    "q169_bm25_retrieval",
+    (s, dir) => {
+      import s.implicits._
+      val probes = Seq((1L, "spark"), (1L, "join"), (2L, "window"),
+        (2L, "agg"), (2L, "stream"), (3L, "hash"), (3L, "table"))
+        .toDF("query_id", "term")
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val dfreq = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      val wt = tf.join(broadcast(probes), Seq("term"))
+        .join(dfreq, Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("query_id"), col("doc_id"),
+          round(log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5))) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              col("dl") / col("avgdl"))), 9).as("w"))
+      val scored = wt.groupBy("query_id", "doc_id")
+        .agg(round(sum(col("w")), 6).as("score"))
+      scored
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id")
+            .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH probes(query_id, term) AS (VALUES
+           |    (CAST(1 AS BIGINT),'spark'),(1,'join'),(2,'window'),
+           |    (2,'agg'),(2,'stream'),(3,'hash'),(3,'table')),
+           |toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+           |dfreq AS (SELECT term, count(*) AS df
+           |          FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+           |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+           |w AS (
+           |  SELECT p.query_id, tf.doc_id,
+           |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+           |      (tf * 2.2) /
+           |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9) AS w
+           |  FROM tf JOIN probes p USING (term) JOIN dfreq USING (term)
+           |    JOIN dl USING (doc_id) CROSS JOIN stats),
+           |sc AS (SELECT query_id, doc_id, round(sum(w), 6) AS score
+           |       FROM w GROUP BY 1, 2)
+           |SELECT query_id, rank, doc_id, score FROM (
+           |  SELECT query_id, doc_id, score,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, doc_id ASC) AS rank
+           |  FROM sc)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q50TrainTestSplit, q51VocabTopK, q52Tfidf,
     q53Contamination, q70PretrainPipeline, q86SequencePacking, q87MixtureSample,
     q92QuantileBinning, q93FeatureHash, q100StratifiedSample, q106WeightedSample,
-    q110DecontaminatedSplit)
+    q110DecontaminatedSplit, q169Bm25Retrieval)
 }
