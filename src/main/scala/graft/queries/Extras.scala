@@ -2342,10 +2342,13 @@ object Extras {
         .groupBy("c").agg(round(sum(col("a")), 9).as("h")), "h")
       val a2 = meanNorm(edges.join(h1, Seq("c"))
         .groupBy("p").agg(round(sum(col("h")), 9).as("a")), "a")
-      a2.withColumn("rank", row_number().over(
+      // orderBy+limit plans as TakeOrderedAndProject (per-partition
+      // top-20 heaps merged on the driver) — the rank window then sees
+      // exactly 20 rows, never a data-sized single partition
+      a2.orderBy(col("a").desc, col("p").asc).limit(20)
+        .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("a").desc, col("p").asc)).cast("long"))
-        .filter(col("rank") <= 20)
         .select(col("rank"), col("p").as("p_partkey"),
           round(col("a"), 6).as("authority"))
         .orderBy("rank")

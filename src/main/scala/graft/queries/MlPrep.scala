@@ -492,12 +492,15 @@ object MlPrep {
               col("dl") / col("avgdl"))), 9).as("w"))
       val scored = wt.groupBy("query_id", "doc_id")
         .agg(round(sum(col("w")), 6).as("score"))
-      scored
+      // native TopKPerGroup prunes to 5 rows/query with a bounded heap
+      // per partition — the rank window then runs over ≤ 5 rows per
+      // group instead of the full scored posting set
+      graft.plans.TopK.topKPerGroup(scored, Seq(col("query_id")),
+          Seq(col("score").desc, col("doc_id").asc), 5)
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy("query_id")
             .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
-        .filter(col("rank") <= 5)
         .select("query_id", "rank", "doc_id", "score")
         .orderBy("query_id", "rank")
     },
