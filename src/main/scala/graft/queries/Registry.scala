@@ -10,7 +10,7 @@ object Registry {
     val qs = Relational.all ++ PipelineShaped.all ++ AsofSession.all ++
       Extras.all ++ TpchClassics.all ++ TextQueries.all ++ VectorQueries.all ++
       MlPrep.all ++ QualityQueries.all ++ StreamingQueries.all ++
-      MultimodalQueries.all
+      MultimodalQueries.all ++ Curation.all
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }
