@@ -250,6 +250,81 @@ object Curation {
            |FROM a2 a JOIN embeddings e ON a.vec_id = e.vec_id
            |ORDER BY a.vec_id""".stripMargin))
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    * clusters the corpus (q176's distributed Lloyd's, identical seed
+    * and rounding so the oracle replays it), then near-duplicates are
+    * sought ONLY within a cluster — the pair join is bounded by
+    * Σ cluster_size², never corpus², and at 100 TB you'd compose the
+    * in-cluster screen with LSH banding for a second bound. The keep
+    * rule is deterministic and chain-free: a vector is dropped iff ANY
+    * lower-id vector in its cluster has cosine ≥ 0.4 (`dup_of` = the
+    * lowest such id); survivors are the training set. Cosine is
+    * rounded to 9 decimals before the threshold test so the keep/drop
+    * decision is engine-identical. */
+  val q181SemanticDedup = GraftQuery(
+    "q181_semantic_dedup",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = KMeans.fit(emb, k = 8, iters = 1)
+      val assigned = KMeans.assign(emb, cents)
+        .select(col("vec_id"), col("cluster"), col("embedding"))
+      val a = assigned.select(col("cluster"), col("vec_id"),
+        col("embedding").as("va"))
+      val b = assigned.select(col("cluster"), col("vec_id").as("vid_b"),
+        col("embedding").as("vb"))
+      val dups = a.join(b, Seq("cluster"))
+        .filter(col("vid_b") < col("vec_id"))
+        .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 9))
+        .filter(col("cos") >= 0.4)
+        .groupBy("vec_id").agg(min(col("vid_b")).as("dup_of"))
+      assigned.join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("dup_of").isNull.as("kept"), col("dup_of"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH c0 AS (
+           |  SELECT CAST(vec_id AS INTEGER) AS cl,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           |  FROM embeddings WHERE vec_id < 8),
+           |s1 AS (
+           |  SELECT e.vec_id, e.embedding, c.cl,
+           |    list_sum(list_transform(c.cv, x -> x * x))
+           |      - 2 * list_sum(list_transform(e.embedding,
+           |          (x, i) -> CAST(x AS DOUBLE) * c.cv[i])) AS score
+           |  FROM embeddings e CROSS JOIN c0 c),
+           |a1 AS (SELECT vec_id, embedding, cl FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY score, cl) AS rn FROM s1) WHERE rn = 1),
+           |e1 AS (SELECT cl, unnest(list_transform(embedding,
+           |         (x, i) -> {'i': i, 'x': CAST(x AS DOUBLE)})) AS u FROM a1),
+           |u1 AS (SELECT cl, u.i AS i, round(avg(u.x), 9) AS m
+           |       FROM e1 GROUP BY cl, u.i),
+           |c1 AS (SELECT cl, list(m ORDER BY i) AS cv FROM u1 GROUP BY cl),
+           |s2 AS (
+           |  SELECT e.vec_id, e.embedding, c.cl,
+           |    list_sum(list_transform(c.cv, x -> x * x))
+           |      - 2 * list_sum(list_transform(e.embedding,
+           |          (x, i) -> CAST(x AS DOUBLE) * c.cv[i])) AS score
+           |  FROM embeddings e CROSS JOIN c1 c),
+           |a2 AS (SELECT vec_id, embedding, cl FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY score, cl) AS rn FROM s2) WHERE rn = 1),
+           |dups AS (
+           |  SELECT a.vec_id, min(b.vec_id) AS dup_of
+           |  FROM a2 a JOIN a2 b ON a.cl = b.cl AND b.vec_id < a.vec_id
+           |  WHERE round(
+           |    list_sum(list_transform(a.embedding,
+           |      (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           |    / (sqrt(list_sum(list_transform(a.embedding,
+           |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           |     * sqrt(list_sum(list_transform(b.embedding,
+           |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 9) >= 0.4
+           |  GROUP BY a.vec_id)
+           |SELECT a.vec_id, CAST(a.cl AS BIGINT) AS cluster,
+           |  d.dup_of IS NULL AS kept, d.dup_of
+           |FROM a2 a LEFT JOIN dups d ON a.vec_id = d.vec_id
+           |ORDER BY a.vec_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q173EntityResolution, q174IntervalOverlap,
-    q175PiiRedaction, q176KmeansClusters)
+    q175PiiRedaction, q176KmeansClusters, q181SemanticDedup)
 }

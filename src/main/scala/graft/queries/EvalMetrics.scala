@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.operators.Similarity
+
+/** Model- and retrieval-evaluation metrics — the measurement half of a
+  * training-data pipeline (does the cheaper index hurt recall? is the
+  * ranker better than chance? is today's number seasonal or anomalous?).
+  * Every metric is computed in exact integer / single-division
+  * arithmetic so the DuckDB oracle matches bit-for-bit: nDCG weights
+  * are hard-coded 1e-9-unit integers (never an in-engine log2), AUC is
+  * the Mann-Whitney rank-sum over integer 2×average-ranks, and the
+  * seasonal decomposition keeps every residual as an exact integer
+  * numerator until the one final division. */
+object EvalMetrics {
+
+  /** Int8 symmetric reconstruction (q57's quantizer, decode side):
+    * scale = max|x|/127, q = floor(x/scale + 0.5), r = q·scale. */
+  private def reconstructed(x: Column): Column = {
+    val scale = array_max(transform(x, e => abs(e.cast("double")))) / 127.0
+    transform(x, e => floor(e.cast("double") / scale + 0.5) * scale)
+  }
+
+  /** 1e9/log2(rank+1) for rank 1..10, rounded to integers OUTSIDE the
+    * engines — both sides look the constants up, neither computes a
+    * transcendental, so DCG sums stay exact integer arithmetic. */
+  private val ndcgWeights: Seq[Long] = Seq(1000000000L, 630929754L,
+    500000000L, 430676558L, 386852807L, 356207187L, 333333333L,
+    315464877L, 301029996L, 289064826L)
+  private val idcg10: Long = ndcgWeights.sum // truth list is always 10 deep
+
+  /** Retrieval-quality evaluation: recall@10 and (binary-relevance)
+    * nDCG@10 of int8-quantized retrieval against the exact-cosine
+    * ground truth, per probe query. The "system" ranks the corpus by
+    * cosine against RECONSTRUCTED (quantize→decode) vectors — the
+    * memory-4×-smaller index a serving tier actually searches — and
+    * every rank the quantization error flips shows up as a sub-1.0
+    * metric. Both retrievals are [[Similarity.bruteForceTopK]] plans
+    * (broadcast probes, per-partition bounded heaps before the
+    * exchange); the metric join is probe×10 rows against probe×10 —
+    * dimension-sized at any corpus scale. */
+  val q178RetrievalEval = GraftQuery(
+    "q178_retrieval_eval",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") % 53 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val exact = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val quant = emb.select(col("vec_id").as("cid"),
+        reconstructed(col("embedding")).as("cvec"))
+      val truth = Similarity.bruteForceTopK(probes, exact, k = 10)
+        .select(col("qid"), col("neighbor_id"), lit(1L).as("hit"))
+      val sys = Similarity.bruteForceTopK(probes, quant, k = 10)
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+      val w = typedLit(ndcgWeights)
+      sys.join(truth, Seq("qid", "neighbor_id"), "left")
+        .withColumn("hit", coalesce(col("hit"), lit(0L)))
+        .groupBy("qid")
+        .agg(sum(col("hit")).as("n_hit"),
+          sum(col("hit") * element_at(w, col("rank").cast("int"))).as("dcg_n"))
+        .select(col("qid"), col("n_hit"),
+          round(col("n_hit").cast("double") / 10.0, 6).as("recall_at_10"),
+          round(col("dcg_n").cast("double") / lit(idcg10.toDouble), 6)
+            .as("ndcg_at_10"))
+        .orderBy("qid")
+    },
+    Some(s"""WITH q AS (
+            |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+            |  WHERE vec_id % 53 = 0),
+            |sc AS (
+            |  SELECT vec_id, embedding,
+            |    list_max(list_transform(embedding,
+            |      e -> abs(CAST(e AS DOUBLE)))) / 127.0 AS scale
+            |  FROM embeddings),
+            |r AS (
+            |  SELECT vec_id, list_transform(embedding,
+            |    e -> floor(CAST(e AS DOUBLE) / scale + 0.5) * scale) AS rv
+            |  FROM sc),
+            |tscored AS (
+            |  SELECT a.qid, b.vec_id AS neighbor_id,
+            |    list_sum(list_transform(a.qe,
+            |      (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            |    / (sqrt(list_sum(list_transform(a.qe,
+            |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            |     * sqrt(list_sum(list_transform(b.embedding,
+            |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+            |  FROM q a JOIN embeddings b ON b.vec_id <> a.qid),
+            |truth AS (
+            |  SELECT qid, neighbor_id FROM (
+            |    SELECT qid, neighbor_id, row_number() OVER (
+            |      PARTITION BY qid ORDER BY cos DESC, neighbor_id ASC) AS rank
+            |    FROM tscored) WHERE rank <= 10),
+            |sscored AS (
+            |  SELECT a.qid, b.vec_id AS neighbor_id,
+            |    list_sum(list_transform(a.qe,
+            |      (x, i) -> CAST(x AS DOUBLE) * b.rv[i]))
+            |    / (sqrt(list_sum(list_transform(a.qe,
+            |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            |     * sqrt(list_sum(list_transform(b.rv, x -> x * x)))) AS cos
+            |  FROM q a JOIN r b ON b.vec_id <> a.qid),
+            |sys AS (
+            |  SELECT qid, neighbor_id, rank FROM (
+            |    SELECT qid, neighbor_id, row_number() OVER (
+            |      PARTITION BY qid ORDER BY cos DESC, neighbor_id ASC) AS rank
+            |    FROM sscored) WHERE rank <= 10)
+            |SELECT s.qid,
+            |  CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            |    AS BIGINT) AS n_hit,
+            |  round(CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL
+            |    THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 6) AS recall_at_10,
+            |  round(CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL
+            |    THEN [${ndcgWeights.mkString(", ")}][s.rank]
+            |    ELSE 0 END) AS DOUBLE) / $idcg10.0, 6) AS ndcg_at_10
+            |FROM sys s LEFT JOIN truth t
+            |  ON s.qid = t.qid AND s.neighbor_id = t.neighbor_id
+            |GROUP BY s.qid ORDER BY s.qid""".stripMargin))
+
+  /** Grouped AUC (Mann-Whitney / rank-sum form) of order total
+    * predicting high-priority status, per market segment — the
+    * classifier-evaluation primitive. Ranking runs on the DISTINCT
+    * (segment, score) grain: one aggregation collapses ties, a
+    * cumulative window over the collapsed grain yields each group's
+    * min-rank, and 2×average-rank stays an exact integer
+    * (2·r_min + ties − 1). The only windows sort distinct scores, not
+    * rows — at 100 TB the per-row sort the textbook formula implies
+    * never happens; AUC itself is one exact-integer expression with a
+    * single final division. */
+  val q179GroupedAuc = GraftQuery(
+    "q179_grouped_auc",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val base = o.join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          col("o_totalprice").as("score"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("label"))
+      val grp = base.groupBy("segment", "score")
+        .agg(count(lit(1)).as("cnt"), sum(col("label")).as("pos_cnt"))
+      val wCum = Window.partitionBy("segment").orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = grp
+        .withColumn("below", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+        // 2 × average rank of this tie group = 2(below+1) + (cnt−1)
+        .withColumn("ar2", lit(2L) * (col("below") + 1L) + col("cnt") - 1L)
+      ranked.groupBy("segment")
+        .agg(sum(col("pos_cnt")).as("n_pos"),
+          (sum(col("cnt")) - sum(col("pos_cnt"))).as("n_neg"),
+          sum(col("pos_cnt") * col("ar2")).as("sum2"))
+        .select(col("segment"), col("n_pos"), col("n_neg"),
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            round((col("sum2") - col("n_pos") * (col("n_pos") + 1L))
+              .cast("double") /
+              (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+        .orderBy("segment")
+    },
+    Some("""WITH base AS (
+           |  SELECT c_mktsegment AS segment, o_totalprice AS score,
+           |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           |         THEN 1 ELSE 0 END AS label
+           |  FROM orders JOIN customer ON o_custkey = c_custkey),
+           |r AS (
+           |  SELECT segment, label,
+           |    2 * rank() OVER (PARTITION BY segment ORDER BY score)
+           |      + count(*) OVER (PARTITION BY segment, score) - 1 AS ar2
+           |  FROM base)
+           |SELECT segment,
+           |  CAST(sum(label) AS BIGINT) AS n_pos,
+           |  CAST(sum(1 - label) AS BIGINT) AS n_neg,
+           |  CASE WHEN sum(label) > 0 AND sum(1 - label) > 0 THEN
+           |    round(CAST(sum(CASE WHEN label = 1 THEN ar2 ELSE 0 END)
+           |        - sum(label) * (sum(label) + 1) AS DOUBLE)
+           |      / (2.0 * sum(label) * sum(1 - label)), 6)
+           |  END AS auc
+           |FROM r GROUP BY segment ORDER BY segment""".stripMargin))
+
+  /** Additive seasonal decomposition of daily revenue: trend = centered
+    * 7-day moving average (complete windows only), weekly seasonal =
+    * per-day-of-week mean residual, anomaly = residual − seasonal.
+    * Runs entirely on the calendar-bounded day grain (the q138/q151
+    * contract: day count doesn't grow with data volume, so the global
+    * day-ordered window is dimension-sized at any SF). Revenue is
+    * exact integer cents; the 7-day residual stays the exact integer
+    * 7·rev − Σ7 (×700 of the dollar value), the seasonal mean keeps an
+    * exact integer numerator, and each output is one final division —
+    * bit-deterministic across engines. */
+  val q180SeasonalDecompose = GraftQuery(
+    "q180_seasonal_decompose",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val daily = o.groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev_c"))
+      val spine = o.agg(min(col("o_orderdate").cast("date")).as("lo"),
+          max(col("o_orderdate").cast("date")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 day"))).as("day"))
+      val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+      val t = spine.join(daily, Seq("day"), "left")
+        .withColumn("rev_c", coalesce(col("rev_c"), lit(0L)))
+        .withColumn("n7", count(lit(1)).over(w7))
+        .withColumn("sum7", sum(col("rev_c")).over(w7))
+        .withColumn("resid_n",
+          when(col("n7") === 7, lit(7L) * col("rev_c") - col("sum7")))
+        .withColumn("dow", datediff(col("day"), to_date(lit("1970-01-05"))) % 7)
+      val sea = t.filter(col("resid_n").isNotNull)
+        .groupBy("dow")
+        .agg(sum(col("resid_n")).as("sea_num"), count(lit(1)).as("sea_n"))
+      t.join(broadcast(sea), Seq("dow"), "left")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("rev_c").cast("double") / 100.0, 2).as("rev"),
+          when(col("n7") === 7,
+            round(col("sum7").cast("double") / 700.0, 6)).as("trend"),
+          when(col("resid_n").isNotNull,
+            round(col("sea_num").cast("double") /
+              (lit(700.0) * col("sea_n")), 6)).as("seasonal"),
+          when(col("resid_n").isNotNull,
+            round(col("resid_n").cast("double") / 700.0 -
+              col("sea_num").cast("double") / (lit(700.0) * col("sea_n")), 6))
+            .as("anomaly"))
+        .orderBy("day")
+    },
+    Some("""WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+           |                  CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+           |spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+           |            INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+           |daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           |            sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+           |          FROM orders GROUP BY 1),
+           |t AS (
+           |  SELECT spine.day, coalesce(daily.rev_c, 0) AS rev_c,
+           |    count(*) OVER w AS n7,
+           |    sum(coalesce(daily.rev_c, 0)) OVER w AS sum7,
+           |    CASE WHEN count(*) OVER w = 7
+           |      THEN 7 * coalesce(daily.rev_c, 0)
+           |           - sum(coalesce(daily.rev_c, 0)) OVER w END AS resid_n,
+           |    date_diff('day', DATE '1970-01-05', spine.day) % 7 AS dow
+           |  FROM spine LEFT JOIN daily ON daily.day = spine.day
+           |  WINDOW w AS (ORDER BY spine.day
+           |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+           |sea AS (
+           |  SELECT dow, sum(resid_n) AS sea_num, count(*) AS sea_n
+           |  FROM t WHERE resid_n IS NOT NULL GROUP BY dow)
+           |SELECT strftime(t.day, '%Y-%m-%d') AS day,
+           |  round(CAST(rev_c AS DOUBLE) / 100.0, 2) AS rev,
+           |  CASE WHEN n7 = 7
+           |    THEN round(CAST(sum7 AS DOUBLE) / 700.0, 6) END AS trend,
+           |  CASE WHEN resid_n IS NOT NULL
+           |    THEN round(CAST(sea_num AS DOUBLE) / (700.0 * sea_n), 6)
+           |  END AS seasonal,
+           |  CASE WHEN resid_n IS NOT NULL
+           |    THEN round(CAST(resid_n AS DOUBLE) / 700.0
+           |      - CAST(sea_num AS DOUBLE) / (700.0 * sea_n), 6)
+           |  END AS anomaly
+           |FROM t LEFT JOIN sea ON t.dow = sea.dow
+           |ORDER BY day""".stripMargin))
+
+  val all: Seq[GraftQuery] =
+    Seq(q178RetrievalEval, q179GroupedAuc, q180SeasonalDecompose)
+}

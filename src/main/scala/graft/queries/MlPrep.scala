@@ -531,8 +531,50 @@ object MlPrep {
            |  FROM sc)
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
+  /** Deterministic corpus shuffle + sharding — the last step before a
+    * training run: order documents by a salted content-independent md5
+    * key (a reproducible pseudo-random permutation; same salt → same
+    * order on any engine, any partitioning, any run) and deal them
+    * round-robin into 8 shards. The global order comes from
+    * [[graft.operators.GlobalRank.rowNumber]] — a range exchange plus
+    * per-partition windows, never the single-partition sort a bare
+    * `row_number() OVER (ORDER BY key)` plans — so the shuffle step
+    * scales with executors. The audit output is per-shard: row counts
+    * prove the deal is balanced (±1), char sums show the hash key left
+    * no size bias, and min-key/id checksums witness the exact
+    * permutation. */
+  val q182CorpusShards = GraftQuery(
+    "q182_corpus_shards",
+    (s, dir) => {
+      val keyed = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("skey", md5(concat(col("doc_id").cast("string"), lit(":42"))))
+      graft.operators.GlobalRank.rowNumber(keyed, "rn", col("skey"))
+        .withColumn("shard", (col("rn") - 1L) % 8L)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"),
+          sum(col("doc_id")).as("sum_doc"),
+          min(col("skey")).as("first_key"))
+        .orderBy("shard")
+    },
+    Some("""WITH k AS (
+           |  SELECT doc_id, n_chars,
+           |    md5(CAST(doc_id AS VARCHAR) || ':42') AS skey
+           |  FROM documents),
+           |r AS (SELECT *, row_number() OVER (ORDER BY skey) AS rn FROM k)
+           |SELECT (rn - 1) % 8 AS shard,
+           |  count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+           |  CAST(sum(doc_id) AS BIGINT) AS sum_doc,
+           |  min(skey) AS first_key
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q50TrainTestSplit, q51VocabTopK, q52Tfidf,
     q53Contamination, q70PretrainPipeline, q86SequencePacking, q87MixtureSample,
     q92QuantileBinning, q93FeatureHash, q100StratifiedSample, q106WeightedSample,
-    q110DecontaminatedSplit, q169Bm25Retrieval)
+    q110DecontaminatedSplit, q169Bm25Retrieval, q182CorpusShards)
 }

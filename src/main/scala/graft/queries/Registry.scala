@@ -10,7 +10,8 @@ object Registry {
     val qs = Relational.all ++ PipelineShaped.all ++ AsofSession.all ++
       Extras.all ++ TpchClassics.all ++ TextQueries.all ++ VectorQueries.all ++
       MlPrep.all ++ QualityQueries.all ++ StreamingQueries.all ++
-      MultimodalQueries.all ++ Curation.all
+      MultimodalQueries.all ++ Curation.all ++ LayoutQueries.all ++
+      EvalMetrics.all
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }
