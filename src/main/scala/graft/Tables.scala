@@ -24,20 +24,41 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in parquet — read as epoch-nanos
-    * long (legacy.parquet.nanosAsLong) and converted to a microsecond
-    * timestamp with exact integer FLOOR division: a double division
-    * would lose precision (epoch-nanos exceed 2^53), and `div` alone
-    * truncates toward zero, which would shift pre-1970 timestamps
-    * +1µs. Subtracting the non-negative remainder first makes the
-    * division exact for any sign. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros((ts - (((ts % 1000) + 1000) % 1000)) div 1000)"))
-    else raw
+  /** Canonicalize an event-time column to TIMESTAMP (µs precision,
+    * session timezone pinned UTC — QueryDef.sessionConfs) regardless of
+    * how the parquet writer encoded it. Upstream producers have shipped
+    * this column three different ways across testdata refreshes, so the
+    * engine's contract is: normalize ONCE at the source boundary; no
+    * downstream operator ever sees a non-TIMESTAMP event time.
+    *
+    *  - `LongType`: TIMESTAMP(NANOS) parquet read as epoch-nanos longs
+    *    (legacy.parquet.nanosAsLong). Converted with exact integer FLOOR
+    *    division: a double division would lose precision (epoch-nanos
+    *    exceed 2^53), and `div` alone truncates toward zero, which would
+    *    shift pre-1970 timestamps +1µs. Subtracting the non-negative
+    *    remainder first makes the division exact for any sign.
+    *  - `TimestampNTZType`: timestamp[us] with no timezone (what
+    *    pandas/pyarrow write by default). The cast reinterprets the
+    *    wall-clock in the session timezone; with the session pinned to
+    *    UTC this is lossless — identical micros value.
+    *  - `TimestampType` / `DateType`: already instant-typed; dates
+    *    widen to midnight UTC. */
+  def toUtcTimestamp(df: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    df.schema(colName).dataType match {
+      case LongType => df.withColumn(colName, expr(
+        s"timestamp_micros(($colName - ((($colName % 1000) + 1000) % 1000)) div 1000)"))
+      case TimestampNTZType | DateType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"column $colName: cannot canonicalize ${other.simpleString} to TIMESTAMP")
+    }
   }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    toUtcTimestamp(load(s, d, "events"), "ts")
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

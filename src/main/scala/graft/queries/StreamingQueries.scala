@@ -34,9 +34,9 @@ object StreamingQueries {
 
   /** Split the raw events parquet into `n` files under a temp dir so
     * the file stream source (`maxFilesPerTrigger=1`) replays them as
-    * `n` micro-batches. Raw schema is preserved (ts stays the
-    * epoch-nanos long the nanosAsLong reader produces); the stream
-    * side applies the same µs conversion as [[graft.Tables.events]]. */
+    * `n` micro-batches. Raw schema is preserved (ts stays whatever
+    * flavor the source parquet carries); the stream side applies the
+    * same canonicalization as [[graft.Tables.events]]. */
   private def splitForStream(s: SparkSession, dir: String, n: Int): String = {
     val out = java.nio.file.Files.createTempDirectory("graft_stream_src")
       .toFile.getAbsolutePath
@@ -61,12 +61,9 @@ object StreamingQueries {
       val rawSchema = s.read.parquet(srcDir).schema
       val stream = s.readStream.schema(rawSchema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
-      // same exact-floor ns→µs conversion as the batch Tables.events
-      val events =
-        if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-          stream.withColumn("ts", expr(
-            "timestamp_micros((ts - (((ts % 1000) + 1000) % 1000)) div 1000)"))
-        else stream
+      // same canonicalization as the batch loader: epoch-nanos long /
+      // TIMESTAMP_NTZ / TIMESTAMP all normalize to TIMESTAMP (UTC)
+      val events = Tables.toUtcTimestamp(stream, "ts")
       val sink = "graft_stream_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       // A streaming query's state-store partition count is fixed from
