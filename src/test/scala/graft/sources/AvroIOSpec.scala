@@ -1,0 +1,62 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class AvroIOSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("avro round-trip preserves values across all mapped types") {
+    val dir = Files.createTempDirectory("avro_rt").toString
+    val df = spark.range(0, 100).select(
+      $"id",
+      ($"id" % 7).cast(IntegerType).as("small"),
+      ($"id" * 1.5).as("score"),
+      concat(lit("name"), $"id").as("name"),
+      when($"id" % 10 === 0, lit(null).cast(StringType))
+        .otherwise(concat(lit("opt"), $"id")).as("opt"),
+      timestamp_micros($"id" * 1000000L + 123456L).as("ts"),
+      to_date(timestamp_micros($"id" * 86400L * 1000000L)).as("d"),
+      array($"id", $"id" + 1).as("arr"),
+      struct($"id".as("a"), concat(lit("n"), $"id").as("b")).as("nested"),
+      unhex(lpad(hex($"id"), 4, "0")).as("bin"))
+    AvroIO.write(df, s"$dir/t")
+    val back = AvroIO.read(spark, s"$dir/t")
+    assert(back.schema("ts").dataType == TimestampType)
+    assert(back.schema("d").dataType == DateType)
+    assert(back.schema("nested").dataType.isInstanceOf[StructType])
+    assert(back.count() === 100)
+    // value-exact comparison via anti-joins on a canonical projection
+    def canon(x: org.apache.spark.sql.DataFrame) = x.select(
+      $"id", $"small", $"score", $"name", $"opt",
+      unix_micros($"ts").as("ts_us"), $"d".cast(StringType).as("ds"),
+      $"arr", $"nested.a", $"nested.b", hex($"bin").as("binhex"))
+    assert(canon(back).exceptAll(canon(df)).count() === 0)
+    assert(canon(df).exceptAll(canon(back)).count() === 0)
+  }
+
+  test("avro write is one container per partition; read distributes by file") {
+    val dir = Files.createTempDirectory("avro_parts").toString
+    val df = spark.range(0, 1000).repartition(4)
+      .select($"id", ($"id" % 3).as("g"))
+    AvroIO.write(df, s"$dir/t")
+    val files = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length === 4, files.map(_.getName).mkString(","))
+    val back = AvroIO.read(spark, s"$dir/t")
+    assert(back.rdd.getNumPartitions >= 1)
+    assert(back.agg(sum("id")).as[Long].head === (0L until 1000L).sum)
+  }
+
+  test("avro round-trips the documents table losslessly") {
+    val dir = Files.createTempDirectory("avro_docs").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    AvroIO.write(docs, s"$dir/docs")
+    val back = AvroIO.read(spark, s"$dir/docs")
+    assert(back.schema.fieldNames.sorted sameElements docs.schema.fieldNames.sorted)
+    assert(back.count() === docs.count())
+    assert(back.exceptAll(docs).count() === 0)
+  }
+}
