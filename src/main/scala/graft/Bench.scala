@@ -108,12 +108,20 @@ object Bench {
       System.gc()
       dt
     }
+    // SPARK_GRAFT_REPEAT=N: time each query N times in the same JVM and
+    // record the MIN — the adjudication knob for drift suspicions (a
+    // warm-JVM min isolates plan/data cost from JIT and box noise; the
+    // per-run times go to stderr for the notes).
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     val firstPass = selected.map { q =>
       warmDir.foreach { d =>
         try { q.run(spark, d).count() } catch { case _: Throwable => () }
         spark.catalog.clearCache()
       }
-      q.name -> timeOne(q)
+      val times = (1 to repeat).map(_ => timeOne(q))
+      if (repeat > 1) System.err.println(
+        f"[bench] ${q.name} runs: ${times.map(t => f"$t%.3f").mkString(", ")}")
+      q.name -> times.min
     }
     // Self-defense against a loaded box (round 3's driver artifact was
     // 5.6× reality from concurrent 32-core workloads): any query whose
