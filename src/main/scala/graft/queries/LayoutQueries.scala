@@ -136,14 +136,16 @@ object LayoutQueries {
         min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"),
         min("d").as("min_d"), max("d").as("max_d"),
         min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
-      val g = o.crossJoin(broadcast(stats))
+      val quantized = o.crossJoin(broadcast(stats))
         .withColumn("xq", ZOrder.quantize(col("o_custkey") - col("min_ck"),
           col("max_ck") - col("min_ck") + 1, 16))
         .withColumn("yq", ZOrder.quantize(
           datediff(col("d"), col("min_d")).cast("long"),
           (datediff(col("max_d"), col("min_d")) + 1).cast("long"), 16))
-        .withColumn("hbucket",
-          shiftright(Hilbert.hindex(col("xq"), col("yq"), 4), 4))
+      // linear-size form (named per-level intermediates) — at order 4
+      // either works; this is the shape that scales to order-12 grids
+      val g = Hilbert.withHindex(quantized, col("xq"), col("yq"), 4, "hidx")
+        .withColumn("hbucket", shiftright(col("hidx"), 4))
         .withColumn("nbucket", ZOrder.quantize(col("o_orderkey") - col("min_ok"),
           col("max_ok") - col("min_ok") + 1, 16))
       def fileStats(bucket: String, layout: String) =

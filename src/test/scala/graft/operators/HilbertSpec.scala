@@ -39,6 +39,19 @@ class HilbertSpec extends SparkSpec {
     }
   }
 
+  test("withHindex (linear-size plan) equals the scalar reference at order 8") {
+    // 256x256 grid — the nested single-Column form would be a ~2^8-node
+    // expression tree here; the named-intermediate form stays O(order).
+    // Sample a diagonal band plus the corners rather than all 65k cells.
+    val pts = ((0 until 256).map(i => (i.toLong, ((i * 37) % 256).toLong))
+      ++ Seq((0L, 0L), (255L, 0L), (0L, 255L), (255L, 255L))).toDF("x", "y")
+    val got = Hilbert.withHindex(pts, col("x"), col("y"), 8, "d")
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, d) =>
+      assert(d === Hilbert.hindexScalar(x, y, 8), s"($x,$y)")
+    }
+  }
+
   test("contiguous Hilbert ranges have tighter bboxes than Z-order ranges") {
     // At power-of-4-ALIGNED run sizes (16, 32) both curves tile the
     // grid into identical rectangles — the Z curve's weakness only

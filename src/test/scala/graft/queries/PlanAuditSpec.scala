@@ -259,4 +259,20 @@ class PlanAuditSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size === 1, p)
     assert(p.contains("Expand"), p)
   }
+
+  test("q185: hilbert index stays inside codegen (no UDF, only the 1-row stats cross)") {
+    val p = plan("q185_hilbert_layout")
+    // the only nested-loop join allowed is the broadcast of the 1-row
+    // min/max stats; the curve arithmetic itself must be pure codegen
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      p.take(2000))
+    assert(p.contains("*("), p.take(2000)) // whole-stage codegen span marker
+  }
+
+  test("q186: compaction windows partition by source (no single-partition sort)") {
+    val p = plan("q186_compaction_plan")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("hashpartitioning(source"), p)
+  }
 }
