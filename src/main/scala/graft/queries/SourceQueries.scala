@@ -76,5 +76,29 @@ object SourceQueries {
     },
     Some(checksumOracle))
 
-  val all: Seq[GraftQuery] = Seq(q183AvroRoundtrip, q184JsonlRoundtrip)
+  /** CSV round-trip ≡ identity on the documents table — the hard case
+    * for the reference's ONLY ingest format: free text with embedded
+    * newlines, quotes, and commas, plus NULL/empty-string distinction,
+    * all through [[Sources.losslessCsv]] (RFC-style quote doubling,
+    * multiLine read, explicit null sentinel). */
+  val q188CsvRoundtrip = GraftQuery(
+    "q188_csv_roundtrip",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_rt")
+        .toFile.getAbsolutePath
+      val docs = Tables.documents(s, dir)
+      try {
+        Sources.writeCsv(docs, s"$tmp/docs", options = Sources.losslessCsv)
+        docChecksum(Sources.readCsv(s, s"$tmp/docs", docs.schema,
+          options = Sources.losslessCsv))
+      } finally {
+        sys.addShutdownHook {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        }
+      }
+    },
+    Some(checksumOracle))
+
+  val all: Seq[GraftQuery] =
+    Seq(q183AvroRoundtrip, q184JsonlRoundtrip, q188CsvRoundtrip)
 }

@@ -17,10 +17,12 @@ import org.apache.spark.sql.types.StructType
 object Sources {
 
   def readCsv(spark: SparkSession, path: String, schema: StructType,
-              header: Boolean = true): DataFrame =
+              header: Boolean = true,
+              options: Map[String, String] = Map.empty): DataFrame =
     spark.read
       .option("header", header.toString)
       .option("mode", "PERMISSIVE")
+      .options(options)
       .schema(schema)
       .csv(path)
 
@@ -37,8 +39,19 @@ object Sources {
       .parquet(path)
   }
 
-  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
-    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+               options: Map[String, String] = Map.empty): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString)
+      .options(options).csv(path)
+
+  /** Options that make a CSV round-trip LOSSLESS for free text: quoted
+    * embedded newlines survive (`multiLine` read), and NULL vs
+    * empty-string stay distinct (explicit `nullValue` sentinel — the
+    * format's default maps both to the empty string on write). The
+    * reference ingests exclusively from CSV, so this is its data
+    * fidelity contract; q188 gates it byte-for-byte. */
+  val losslessCsv: Map[String, String] =
+    Map("nullValue" -> "\\N", "escape" -> "\"", "multiLine" -> "true")
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
