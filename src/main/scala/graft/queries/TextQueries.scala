@@ -831,6 +831,58 @@ object TextQueries {
            |FROM w JOIN sh USING (h)
            |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin))
 
+  /** One BPE learning iteration as oracle SQL: pair counting by index
+    * enumeration over the split token list, deterministic argmax
+    * (weight desc, then lexicographic), sentinel-delimited string
+    * replace — mirrors [[graft.operators.BpeLearn]]'s loop body. */
+  private def bpeStep(k: Int): String = {
+    val p = k - 1
+    s"""p$k AS (
+       |  SELECT t[i] AS a, t[i+1] AS b, CAST(sum(freq) AS BIGINT) AS weight FROM (
+       |    SELECT string_split(trim(toks,'§'),'§§') AS t, freq,
+       |           unnest(range(1, len(string_split(trim(toks,'§'),'§§')))) AS i
+       |    FROM w$p) GROUP BY 1, 2),
+       |b$k AS (SELECT a, b, weight FROM p$k ORDER BY weight DESC, a, b LIMIT 1),
+       |w$k AS (SELECT replace(toks, '§'||a||'§§'||b||'§', '§'||a||b||'§') AS toks,
+       |               freq
+       |        FROM w$p CROSS JOIN b$k)""".stripMargin
+  }
+
+  /** Distributed BPE vocabulary learning, gate-checked: three merge
+    * iterations of [[graft.operators.BpeLearn]] over the corpus word-
+    * frequency table (lowercased, letters-only words). The oracle
+    * replays each iteration in SQL — pair counts, deterministic
+    * argmax, sentinel-replace — so a wrong count, a broken tie-break,
+    * or a merge that bleeds across token boundaries all fail. */
+  val q189BpeLearn = GraftQuery(
+    "q189_bpe_learn",
+    (s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(explode(split(
+          regexp_replace(lower(col("text")), "[^a-z]+", " "), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val merges = graft.operators.BpeLearn.learn(words, 3)
+      import s.implicits._
+      merges.map(m => (m.iter, m.a, m.b, m.a + m.b, m.weight))
+        .toDF("iter", "a", "b", "merged", "weight").orderBy("iter")
+    },
+    Some(s"""WITH wordlist AS (
+           |  SELECT word, count(*) AS freq FROM (
+           |    SELECT unnest(string_split(
+           |      regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS word
+           |    FROM documents) t
+           |  WHERE word <> '' GROUP BY 1),
+           |w0 AS (SELECT regexp_replace(word, '(.)', '§\\1§', 'g') AS toks, freq
+           |       FROM wordlist),
+           |${bpeStep(1)},
+           |${bpeStep(2)},
+           |${bpeStep(3)}
+           |SELECT 1 AS iter, a, b, a||b AS merged, weight FROM b1
+           |UNION ALL SELECT 2, a, b, a||b, weight FROM b2
+           |UNION ALL SELECT 3, a, b, a||b, weight FROM b3
+           |ORDER BY iter""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q20TextStats, q21LangId, q22Fingerprint, q23DedupExact, q24MinhashLsh,
     q25Simhash, q26NgramJaccard, q27MultimodalMeta, q28MultimodalFeatures,
@@ -838,5 +890,5 @@ object TextQueries {
     q54DedupClusters, q55DedupSurvivors, q69BpeSegments, q85FrameSample,
     q88DocChunks, q101NearDupDegree, q108CrossSourceDups, q111MinhashOph,
     q122SpanDedup, q123NgramNovelty, q139SubstringRepeats,
-    q163ContainmentPairs)
+    q163ContainmentPairs, q189BpeLearn)
 }
