@@ -116,6 +116,22 @@ class SourcesSpec extends SparkSpec {
     assert(rollup.count() === 3)
   }
 
+  test("schema evolution: mergeSchema unions columns across parquet batches") {
+    // an appended batch gaining a column must not break readers — the
+    // standard additive-evolution contract for a long-lived table
+    val dir = Files.createTempDirectory("sources_evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(s"$dir/t/batch=1")
+    Seq((3L, "c", 0.5), (4L, "d", 1.5)).toDF("id", "name", "score")
+      .write.parquet(s"$dir/t/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.toSet === Set("id", "name", "score", "batch"))
+    assert(merged.count() === 4)
+    // rows from the old batch read the new column as NULL
+    assert(merged.filter($"score".isNull).count() === 2)
+    assert(merged.filter($"batch" === 1 && $"score".isNotNull).count() === 0)
+  }
+
   test("permissive csv read never fails on malformed rows") {
     val dir = Files.createTempDirectory("sources_bad").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/bad.csv"),
