@@ -883,6 +883,68 @@ object TextQueries {
            |UNION ALL SELECT 3, a, b, a||b, weight FROM b3
            |ORDER BY iter""".stripMargin))
 
+  /** Leakage-safe train/val/test split: assignment is a hash of the
+    * near-dup CLUSTER (q54's components; singletons hash their own
+    * id), so duplicated and near-duplicated documents can never
+    * straddle a split boundary — the train/test contamination a naive
+    * per-document split (q50) permits. `leaked_pairs` counts near-dup
+    * pairs whose endpoints landed in different splits: structurally 0
+    * here, and the column is the audit a pipeline alerts on. Split
+    * thresholds use the same md5-prefix bucketing convention as q50,
+    * so assignment is reproducible and partitioning-invariant. */
+  val q190LeakageSafeSplit = GraftQuery(
+    "q190_leakage_safe_split",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = nearDupPairs(s, dir).select("id_a", "id_b")
+      val clusters = Dedup.dedupClusters(pairs)._1
+      val assigned = docs
+        .join(clusters, docs("doc_id") === clusters("id"), "left")
+        .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+        .withColumn("bucket",
+          substring(md5(col("cluster").cast("string")), 1, 4))
+        .withColumn("split",
+          when(col("bucket") < "1999", "test")
+            .when(col("bucket") < "3333", "val")
+            .otherwise("train"))
+        .select("doc_id", "n_chars", "cluster", "split")
+      val leak = pairs
+        .join(assigned.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+        .join(assigned.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+        .agg(sum(when(col("sa") =!= col("sb"), 1).otherwise(0)).as("leaked_pairs"))
+      assigned.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("cluster").as("n_clusters"),
+          sum("n_chars").as("total_chars"))
+        .crossJoin(broadcast(leak))
+        .select("split", "n_docs", "n_clusters", "total_chars", "leaked_pairs")
+        .orderBy("split")
+    },
+    Some(s"""$ccOracleBase,
+           |alldocs AS (
+           |  SELECT d.doc_id, d.n_chars,
+           |         COALESCE(cc.component, d.doc_id) AS cluster
+           |  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+           |sp AS (
+           |  SELECT doc_id, n_chars, cluster,
+           |    CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 4) < '1999'
+           |           THEN 'test'
+           |         WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 4) < '3333'
+           |           THEN 'val'
+           |         ELSE 'train' END AS split
+           |  FROM alldocs),
+           |leak AS (
+           |  SELECT CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS leaked_pairs
+           |  FROM pairs p
+           |  JOIN sp a ON a.doc_id = p.id_a
+           |  JOIN sp b ON b.doc_id = p.id_b)
+           |SELECT split, count(*) AS n_docs,
+           |  count(DISTINCT cluster) AS n_clusters,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars, leaked_pairs
+           |FROM sp CROSS JOIN leak
+           |GROUP BY split, leaked_pairs ORDER BY split""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q20TextStats, q21LangId, q22Fingerprint, q23DedupExact, q24MinhashLsh,
     q25Simhash, q26NgramJaccard, q27MultimodalMeta, q28MultimodalFeatures,
@@ -890,5 +952,5 @@ object TextQueries {
     q54DedupClusters, q55DedupSurvivors, q69BpeSegments, q85FrameSample,
     q88DocChunks, q101NearDupDegree, q108CrossSourceDups, q111MinhashOph,
     q122SpanDedup, q123NgramNovelty, q139SubstringRepeats,
-    q163ContainmentPairs, q189BpeLearn)
+    q163ContainmentPairs, q189BpeLearn, q190LeakageSafeSplit)
 }
