@@ -39,10 +39,10 @@ object BpeLearn {
   def learn(words: DataFrame, k: Int): Seq[Merge] = {
     val out = scala.collection.mutable.ListBuffer.empty[Merge]
     // one sentinel-wrapped cell per character: "ab" -> "§a§§b§"
-    var cur = words
+    var cached = words
       .select(regexp_replace(col("word"), "(.)", "§$1§").as("toks"),
         col("freq"))
-    var cached = cur.cache()
+      .cache()
     for (i <- 1 to k) {
       val pairs = cached
         .withColumn("t", split(regexp_replace(col("toks"), "^§|§$", ""), "§§"))
@@ -65,7 +65,6 @@ object BpeLearn {
       next.count() // materialize before dropping the parent from cache
       cached.unpersist()
       cached = next
-      cur = next
     }
     cached.unpersist()
     out.toList
