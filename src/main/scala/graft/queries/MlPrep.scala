@@ -573,8 +573,129 @@ object MlPrep {
            |  min(skey) AS first_key
            |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Top-p (nucleus) vocabulary truncation per source: the SMALLEST
+    * token set whose cumulative frequency reaches p=0.9 — the
+    * adaptive-size counterpart of q51's fixed top-k (a skewed source
+    * keeps few tokens, a flat one keeps many). One window cumsum
+    * PARTITIONED BY source (vocabulary-sized input, parallel across
+    * sources — never a corpus-sized sort), standard nucleus boundary
+    * rule: a token is kept iff the mass BEFORE it is < p·total, so the
+    * crossing token is included. Integer frequencies throughout; the
+    * p·total comparison is exact via 10·cum < 9·total. */
+  val q191VocabTopP = GraftQuery(
+    "q191_vocab_top_p",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("freq").desc, col("tok").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val freqs = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(split(regexp_replace(lower(col("text")), "[^a-z]+", " "), " "))
+            .as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("source", "tok").agg(count(lit(1)).as("freq"))
+      val tot = freqs.groupBy("source").agg(sum("freq").as("total"))
+      freqs.join(broadcast(tot), "source")
+        .withColumn("before", coalesce(sum("freq").over(w), lit(0L)))
+        .withColumn("kept", col("before") * 10 < col("total") * 9)
+        .groupBy("source")
+        .agg(count(lit(1)).as("vocab_size"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("kept_tokens"),
+          round(sum(when(col("kept"), col("freq")).otherwise(0L)) /
+            max("total").cast("double"), 6).as("coverage"))
+        .orderBy("source")
+    },
+    Some("""WITH freqs AS (
+           |  SELECT source, tok, count(*) AS freq FROM (
+           |    SELECT source, unnest(string_split(
+           |      regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS tok
+           |    FROM documents) t
+           |  WHERE tok <> '' GROUP BY 1, 2),
+           |tot AS (SELECT source, CAST(sum(freq) AS BIGINT) AS total
+           |        FROM freqs GROUP BY 1),
+           |cum AS (
+           |  SELECT f.source, f.freq, t.total,
+           |    COALESCE(sum(f.freq) OVER (PARTITION BY f.source
+           |      ORDER BY f.freq DESC, f.tok
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           |  FROM freqs f JOIN tot t USING (source))
+           |SELECT source, count(*) AS vocab_size,
+           |  CAST(sum(CASE WHEN before * 10 < total * 9 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS kept_tokens,
+           |  round(sum(CASE WHEN before * 10 < total * 9 THEN freq ELSE 0 END)
+           |    / CAST(max(total) AS DOUBLE), 6) AS coverage
+           |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Join-skew diagnostic: per-key frequency profile for the engine's
+    * three hottest join keys, with the salt factor
+    * [[graft.operators.SkewJoin.saltedJoin]] would need — max key
+    * frequency over the exact p95 frequency, clamped to [1, 32]. The
+    * profile runs on the KEY-FREQUENCY table (vocabulary-sized), so
+    * the rank window costs nothing next to the joins it tunes; p95 is
+    * picked by exact rank (ceil(0.95·n)), not an interpolating
+    * percentile, so both engines agree bit-for-bit. */
+  val q192SkewDiagnostic = GraftQuery(
+    "q192_skew_diagnostic",
+    (s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      def profile(df: DataFrame, key: String, label: String): DataFrame = {
+        val freqs = df.groupBy(col(key).as("k"))
+          .agg(count(lit(1)).as("freq"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").asc, col("k").asc)
+        val ranked = freqs.withColumn("rn", row_number().over(w))
+        val n = ranked.agg(count(lit(1)).as("n_keys"),
+          sum("freq").as("n_rows"), max("freq").as("max_freq"))
+        val p95 = ranked.join(broadcast(n),
+            col("rn") === ceil(col("n_keys") * 0.95).cast("int"))
+          .select(col("freq").as("p95_freq"), col("n_keys"),
+            col("n_rows"), col("max_freq"))
+        p95.select(
+          lit(label).as("key_name"), col("n_keys"), col("n_rows"),
+          col("max_freq"), col("p95_freq"),
+          round(col("max_freq") / col("p95_freq").cast("double"), 4)
+            .as("skew_ratio"),
+          least(greatest(ceil(col("max_freq") / col("p95_freq").cast("double"))
+            .cast("long"), lit(1L)), lit(32L)).as("salt_factor"))
+      }
+      profile(Tables.events(s, dir), "user_id", "events.user_id")
+        .unionByName(profile(Tables.lineitem(s, dir), "l_partkey",
+          "lineitem.l_partkey"))
+        .unionByName(profile(Tables.orders(s, dir), "o_custkey",
+          "orders.o_custkey"))
+        .orderBy("key_name")
+    },
+    Some("""WITH src AS (
+           |  SELECT 'events.user_id' AS key_name, CAST(user_id AS VARCHAR) AS k
+           |  FROM events
+           |  UNION ALL
+           |  SELECT 'lineitem.l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+           |  UNION ALL
+           |  SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR) FROM orders),
+           |freqs AS (
+           |  SELECT key_name, k, count(*) AS freq FROM src GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT key_name, freq,
+           |    row_number() OVER (PARTITION BY key_name
+           |      ORDER BY freq ASC, k ASC) AS rn
+           |  FROM freqs),
+           |stats AS (
+           |  SELECT key_name, count(*) AS n_keys,
+           |    CAST(sum(freq) AS BIGINT) AS n_rows,
+           |    CAST(max(freq) AS BIGINT) AS max_freq
+           |  FROM ranked GROUP BY 1)
+           |SELECT r.key_name, s.n_keys, s.n_rows, s.max_freq,
+           |  CAST(r.freq AS BIGINT) AS p95_freq,
+           |  round(s.max_freq / CAST(r.freq AS DOUBLE), 4) AS skew_ratio,
+           |  least(greatest(CAST(ceil(s.max_freq / CAST(r.freq AS DOUBLE))
+           |    AS BIGINT), 1), 32) AS salt_factor
+           |FROM ranked r JOIN stats s USING (key_name)
+           |WHERE r.rn = CAST(ceil(s.n_keys * 0.95) AS INTEGER)
+           |ORDER BY r.key_name""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q50TrainTestSplit, q51VocabTopK, q52Tfidf,
     q53Contamination, q70PretrainPipeline, q86SequencePacking, q87MixtureSample,
     q92QuantileBinning, q93FeatureHash, q100StratifiedSample, q106WeightedSample,
-    q110DecontaminatedSplit, q169Bm25Retrieval, q182CorpusShards)
+    q110DecontaminatedSplit, q169Bm25Retrieval, q182CorpusShards,
+    q191VocabTopP, q192SkewDiagnostic)
 }
