@@ -165,8 +165,16 @@ object AvroIO {
   /** Read a directory of Avro container files (or a single file). The
     * Spark schema is derived from the first file's embedded writer
     * schema on the driver (header-only read), then every file decodes
-    * in parallel on the executors. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+    * in parallel on the executors.
+    *
+    * `lenient = true` is the PERMISSIVE counterpart of the CSV/JSON
+    * readers: a corrupt or truncated container stops contributing rows
+    * at the first undecodable block instead of failing the job — at
+    * warehouse scale a directory of millions of files always has a
+    * partial upload somewhere, and one bad file must not kill a 100 TB
+    * scan. Default is strict (fail loudly), matching parquet. */
+  def read(spark: SparkSession, path: String,
+           lenient: Boolean = false): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
@@ -174,8 +182,8 @@ object AvroIO {
       fs.listStatus(p).toSeq.map(_.getPath) else Seq(p))
       .filter(_.getName.endsWith(".avro"))
     require(files.nonEmpty, s"no .avro files under $path")
-    val avroSchema = {
-      val in = fs.open(files.head)
+    def headerSchema(p: org.apache.hadoop.fs.Path): Schema = {
+      val in = fs.open(p)
       try {
         val dfs = new DataFileStream[GenericRecord](in,
           new GenericDatumReader[GenericRecord]())
@@ -184,17 +192,55 @@ object AvroIO {
         s
       } finally in.close()
     }
+    // lenient mode may skip corrupt heads, but SOME file must yield a
+    // schema — with none, there is nothing to be lenient about
+    val avroSchema =
+      if (!lenient) headerSchema(files.head)
+      else files.view.flatMap(p => scala.util.Try(headerSchema(p)).toOption)
+        .headOption.getOrElse(throw new java.io.IOException(
+          s"no readable Avro container under $path"))
     val sparkSchema = toSparkType(avroSchema).asInstanceOf[StructType]
     val rows = spark.sparkContext
       .binaryFiles(files.map(_.toString).mkString(","))
-      .flatMap { case (_, stream) =>
+      .flatMap { case (file, stream) =>
         val in = stream.open()
-        val dfs = new DataFileStream[GenericRecord](in,
-          new GenericDatumReader[GenericRecord]())
-        val it = dfs.iterator.asScala.map(r => recordToRow(r, sparkSchema))
-        new Iterator[Row] {
-          def hasNext: Boolean = { val h = it.hasNext; if (!h) { dfs.close(); in.close() }; h }
-          def next(): Row = it.next()
+        def fail(e: Throwable): Nothing = {
+          in.close()
+          throw new java.io.IOException(s"corrupt Avro container $file", e)
+        }
+        val dfs =
+          try new DataFileStream[GenericRecord](in,
+            new GenericDatumReader[GenericRecord]())
+          catch { case e: Throwable =>
+            if (lenient) { in.close(); null } else fail(e)
+          }
+        if (dfs == null) Iterator.empty
+        else {
+          val it = dfs.iterator.asScala
+          // lookahead iterator: the decode happens in advance(), so a
+          // mid-stream corruption in lenient mode cleanly ENDS the
+          // file's contribution instead of throwing from next()
+          new Iterator[Row] {
+            private var nextRow: Row = _
+            private var closed = false
+            private def closeAll(): Unit =
+              if (!closed) { closed = true; dfs.close(); in.close() }
+            private def advance(): Unit =
+              if (nextRow == null && !closed) {
+                try {
+                  if (it.hasNext) nextRow = recordToRow(it.next(), sparkSchema)
+                  else closeAll()
+                } catch { case e: Throwable =>
+                  if (lenient) closeAll() else fail(e)
+                }
+              }
+            def hasNext: Boolean = { advance(); nextRow != null }
+            def next(): Row = {
+              advance()
+              if (nextRow == null) throw new NoSuchElementException
+              val r = nextRow; nextRow = null; r
+            }
+          }
         }
       }
     spark.createDataFrame(rows, sparkSchema)

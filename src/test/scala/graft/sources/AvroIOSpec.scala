@@ -50,6 +50,28 @@ class AvroIOSpec extends SparkSpec {
     assert(back.agg(sum("id")).as[Long].head === (0L until 1000L).sum)
   }
 
+  test("lenient read survives corrupt containers; strict read fails loudly") {
+    val dir = Files.createTempDirectory("avro_corrupt").toString
+    AvroIO.write(spark.range(0, 100).repartition(1).toDF("id"), s"$dir/t")
+    val good = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    // a corrupt copy: the block's trailing sync marker zeroed — the
+    // reader verifies it before serving any row of the block, so this
+    // fails deterministically (truncation can be silently EOF-swallowed
+    // by Avro's own reader; a bad sync cannot)
+    val bytes = Files.readAllBytes(good.toPath)
+    java.util.Arrays.fill(bytes, bytes.length - 16, bytes.length, 0.toByte)
+    Files.write(java.nio.file.Paths.get(s"$dir/t/part-corrupt.avro"), bytes)
+    intercept[org.apache.spark.SparkException] {
+      AvroIO.read(spark, s"$dir/t").count()
+    }
+    // lenient: the corrupt container contributes nothing, the intact
+    // one contributes everything — exact totals
+    val rows = AvroIO.read(spark, s"$dir/t", lenient = true)
+      .agg(count(lit(1)), sum("id")).as[(Long, Long)].head()
+    assert(rows === ((100L, (0L until 100L).sum)))
+  }
+
   test("avro round-trips the documents table losslessly") {
     val dir = Files.createTempDirectory("avro_docs").toString
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
