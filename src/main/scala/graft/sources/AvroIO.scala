@@ -260,7 +260,10 @@ object AvroIO {
     if (fs.exists(out)) fs.delete(out, true)
     fs.mkdirs(out)
     df.rdd.mapPartitionsWithIndex { (idx, rows) =>
-      if (rows.isEmpty) Iterator.empty
+      // partition 0 always writes, even with no rows: an empty table
+      // must still produce a schema-bearing container, so a later read
+      // returns an empty DataFrame instead of "no .avro files"
+      if (rows.isEmpty && idx != 0) Iterator.empty
       else {
         val schema = new Schema.Parser().parse(avroJson)
         val part = new org.apache.hadoop.fs.Path(
@@ -275,5 +278,15 @@ object AvroIO {
         Iterator.single(1)
       }
     }.count(): Unit
+    // a 0-partition RDD (empty relation) runs no tasks at all — emit
+    // the schema-bearing empty container from the driver
+    if (!fs.listStatus(out).exists(_.getPath.getName.endsWith(".avro"))) {
+      val schema = new Schema.Parser().parse(avroJson)
+      val os = fs.create(new org.apache.hadoop.fs.Path(out, "part-00000.avro"), true)
+      val writer = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      writer.create(schema, os)
+      writer.close()
+    }
   }
 }

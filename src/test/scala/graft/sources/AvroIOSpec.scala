@@ -72,6 +72,16 @@ class AvroIOSpec extends SparkSpec {
     assert(rows === ((100L, (0L until 100L).sum)))
   }
 
+  test("empty DataFrames round-trip as schema-bearing empty containers") {
+    val dir = Files.createTempDirectory("avro_empty").toString
+    val df = spark.range(0, 10).select($"id", ($"id" * 2.0).as("v"))
+      .filter($"id" < 0)
+    AvroIO.write(df, s"$dir/t")
+    val back = AvroIO.read(spark, s"$dir/t")
+    assert(back.count() === 0)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "v"))
+  }
+
   test("avro round-trips the documents table losslessly") {
     val dir = Files.createTempDirectory("avro_docs").toString
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
