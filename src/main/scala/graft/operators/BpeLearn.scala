@@ -35,7 +35,9 @@ object BpeLearn {
 
   final case class Merge(iter: Int, a: String, b: String, weight: Long)
 
-  /** Learn `k` merges from a (word, freq) table. */
+  /** Learn `k` merges from a (word, freq) table. Returns fewer than
+    * `k` merges if the vocabulary runs dry first (every word reduced
+    * to a single token — no adjacent pairs left to merge). */
   def learn(words: DataFrame, k: Int): Seq[Merge] = {
     val out = scala.collection.mutable.ListBuffer.empty[Merge]
     // one sentinel-wrapped cell per character: "ab" -> "§a§§b§"
@@ -43,7 +45,9 @@ object BpeLearn {
       .select(regexp_replace(col("word"), "(.)", "§$1§").as("toks"),
         col("freq"))
       .cache()
-    for (i <- 1 to k) {
+    var i = 1
+    var exhausted = false
+    while (i <= k && !exhausted) {
       val pairs = cached
         .withColumn("t", split(regexp_replace(col("toks"), "^§|§$", ""), "§§"))
         .filter(size(col("t")) >= 2)
@@ -53,20 +57,47 @@ object BpeLearn {
           .as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("freq").as("weight"))
-      val best = pairs.orderBy(desc("weight"), asc("a"), asc("b"))
-        .limit(1).collect()(0)
-      val (a, b, w) = (best.getString(0), best.getString(1), best.getLong(2))
-      out += Merge(i, a, b, w)
-      // tokens are letters-only by contract, safe to embed literally
-      val next = cached
-        .select(expr(s"replace(toks, '§$a§§$b§', '§$a$b§')").as("toks"),
-          col("freq"))
-        .cache()
-      next.count() // materialize before dropping the parent from cache
-      cached.unpersist()
-      cached = next
+      pairs.orderBy(desc("weight"), asc("a"), asc("b"))
+        .limit(1).collect().headOption match {
+        case None => exhausted = true // no pairs left: partial result
+        case Some(best) =>
+          val (a, b, w) =
+            (best.getString(0), best.getString(1), best.getLong(2))
+          out += Merge(i, a, b, w)
+          // tokens are letters-only by contract, safe to embed literally
+          val next = cached
+            .select(expr(s"replace(toks, '§$a§§$b§', '§$a$b§')").as("toks"),
+              col("freq"))
+            .cache()
+          next.count() // materialize before dropping the parent from cache
+          cached.unpersist()
+          cached = next
+          i += 1
+      }
     }
     cached.unpersist()
     out.toList
+  }
+
+  /** Tokenize a word column with a LEARNED merge list — the apply
+    * half of the tokenizer (learn() induces the vocabulary; this puts
+    * it to work on the corpus). Exactly the learning-side mechanics,
+    * replayed: sentinel-wrap every character, then one codegen'd
+    * `replace` per merge IN LEARNED ORDER (BPE application must
+    * replay merges by rank, not by match length), then split into the
+    * token array. The whole thing is a single projection — k merges
+    * become k nested string expressions inside one whole-stage-codegen
+    * span, no UDF, no shuffle, no state; at 100 TB it runs as a
+    * map-only pass over the corpus.
+    *
+    * Same contract as learn(): words must not contain the `§`
+    * sentinel. */
+  def tokenizeCol(word: org.apache.spark.sql.Column,
+                  merges: Seq[Merge]): org.apache.spark.sql.Column = {
+    var toks = regexp_replace(word, "(.)", "§$1§")
+    merges.sortBy(_.iter).foreach { m =>
+      toks = replace(toks, lit(s"§${m.a}§§${m.b}§"), lit(s"§${m.a}${m.b}§"))
+    }
+    split(regexp_replace(toks, "^§|§$", ""), "§§")
   }
 }

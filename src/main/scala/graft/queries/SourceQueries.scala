@@ -14,10 +14,30 @@ import graft.sources.{AvroIO, Sources}
   *
   * Scale note: the round-trip through a temp dir is the gate harness;
   * the sources themselves are distributed both ways (one writer task
-  * per partition, one reader task per file — no driver data path), so
-  * the same code serves a 100 TB directory listing.
+  * per partition, one reader task per byte-range split — no driver
+  * data path), so the same code serves a 100 TB directory listing.
   */
 object SourceQueries {
+
+  /** Temp dirs live until JVM exit (the caller materializes the
+    * result AFTER the query function returns, so eager deletion would
+    * yank the files out from under the scan). ONE static hook sweeps a
+    * shared list — repeated invocations (bench warm-ups,
+    * SPARK_GRAFT_REPEAT) add an entry here, not a hook per call. */
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  locally {
+    sys.addShutdownHook {
+      tempDirs.forEach(f =>
+        org.apache.commons.io.FileUtils.deleteQuietly(f): Unit)
+    }: Unit
+  }
+
+  private def newTempDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+    tempDirs.add(dir)
+    dir.getAbsolutePath
+  }
 
   private def docChecksum(df: org.apache.spark.sql.DataFrame) =
     df.groupBy("source")
@@ -41,20 +61,9 @@ object SourceQueries {
   val q183AvroRoundtrip = GraftQuery(
     "q183_avro_roundtrip",
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_avro_rt")
-        .toFile.getAbsolutePath
-      try {
-        AvroIO.write(Tables.documents(s, dir), s"$tmp/docs")
-        docChecksum(AvroIO.read(s, s"$tmp/docs"))
-      } finally {
-        // result is materialized by the caller AFTER this returns, so
-        // the files must survive; register a shutdown sweep instead of
-        // deleting eagerly. Verify/Bench run queries to completion per
-        // call, so accumulation is bounded by the registry size.
-        sys.addShutdownHook {
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-        }
-      }
+      val tmp = newTempDir("graft_avro_rt")
+      AvroIO.write(Tables.documents(s, dir), s"$tmp/docs")
+      docChecksum(AvroIO.read(s, s"$tmp/docs"))
     },
     Some(checksumOracle))
 
@@ -62,17 +71,10 @@ object SourceQueries {
   val q184JsonlRoundtrip = GraftQuery(
     "q184_jsonl_roundtrip",
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_rt")
-        .toFile.getAbsolutePath
+      val tmp = newTempDir("graft_jsonl_rt")
       val docs = Tables.documents(s, dir)
-      try {
-        Sources.writeJson(docs, s"$tmp/docs")
-        docChecksum(Sources.readJson(s, s"$tmp/docs", docs.schema))
-      } finally {
-        sys.addShutdownHook {
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-        }
-      }
+      Sources.writeJson(docs, s"$tmp/docs")
+      docChecksum(Sources.readJson(s, s"$tmp/docs", docs.schema))
     },
     Some(checksumOracle))
 
@@ -84,18 +86,11 @@ object SourceQueries {
   val q188CsvRoundtrip = GraftQuery(
     "q188_csv_roundtrip",
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_rt")
-        .toFile.getAbsolutePath
+      val tmp = newTempDir("graft_csv_rt")
       val docs = Tables.documents(s, dir)
-      try {
-        Sources.writeCsv(docs, s"$tmp/docs", options = Sources.losslessCsv)
-        docChecksum(Sources.readCsv(s, s"$tmp/docs", docs.schema,
-          options = Sources.losslessCsv))
-      } finally {
-        sys.addShutdownHook {
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-        }
-      }
+      Sources.writeCsv(docs, s"$tmp/docs", options = Sources.losslessCsv)
+      docChecksum(Sources.readCsv(s, s"$tmp/docs", docs.schema,
+        options = Sources.losslessCsv))
     },
     Some(checksumOracle))
 

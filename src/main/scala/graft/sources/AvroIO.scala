@@ -3,7 +3,7 @@ package graft.sources
 import scala.collection.JavaConverters._
 
 import org.apache.avro.{Schema, SchemaBuilder}
-import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.file.{DataFileReader, DataFileStream, DataFileWriter, SeekableInput}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.avro.util.Utf8
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -16,18 +16,27 @@ import org.apache.spark.sql.types._
   * build adds no external dependencies, so the engine provides the
   * format itself.
   *
-  * Read path: `binaryFiles` distributes whole container files across
-  * executors (Avro containers are block-compressed with sync markers,
-  * but one file per task is the right granularity for the multi-file
-  * directory layout every distributed writer — including this one —
-  * produces); each task streams records through `GenericDatumReader`
-  * and converts to `Row` against the Spark schema derived from the
-  * writer schema embedded in the container header. Nothing but file
-  * paths touches the driver.
+  * Read path: SPLITTABLE. Avro containers are sequences of
+  * sync-marker-delimited blocks, so a multi-GB container does not
+  * serialize onto one task: the driver lists files (sorted, so schema
+  * choice is deterministic) and cuts each into byte ranges of
+  * `targetSplitBytes`; each task `sync()`s to the first block at or
+  * after its range start and reads until `pastSync(end)` — the
+  * standard split contract (a block belongs to the split containing
+  * its starting sync marker). Read parallelism is therefore
+  * max(containers, totalBytes / targetSplitBytes). The chosen schema
+  * is passed as the READER schema so Avro's schema resolution handles
+  * per-file writer-schema drift (e.g. int→long promotion) instead of
+  * failing at row encoding. Nothing but file paths and one container
+  * header touches the driver.
   *
   * Write path: one container per partition via `mapPartitionsWithIndex`
   * through the Hadoop `FileSystem` API (works on local paths in tests
-  * and on HDFS/object stores on a cluster).
+  * and on HDFS/object stores on a cluster). Each attempt writes a
+  * temp file named by its task attempt id and renames into place on
+  * success — a retried or speculative attempt can never interleave
+  * bytes with its sibling; the loser of the rename race deletes its
+  * temp file.
   *
   * Type mapping (both directions): boolean/int/long/float/double/
   * string/bytes, `timestamp-micros` logical ↔ TIMESTAMP, `date` ↔
@@ -162,10 +171,35 @@ object AvroIO {
 
   // ---- read / write ---------------------------------------------------
 
+  /** [[SeekableInput]] over a Hadoop `FSDataInputStream` — the ~10
+    * lines that keep this source on the Avro CORE jar (the equivalent
+    * `FsInput` lives in the avro-mapred module). */
+  private final class HadoopSeekableInput(
+      in: org.apache.hadoop.fs.FSDataInputStream, len: Long)
+    extends SeekableInput {
+    def seek(p: Long): Unit = in.seek(p)
+    def tell(): Long = in.getPos
+    def length(): Long = len
+    def read(b: Array[Byte], off: Int, l: Int): Int = in.read(b, off, l)
+    def close(): Unit = in.close()
+  }
+
+  /** One task's byte range of one container file. */
+  private final case class AvroSplit(file: String, start: Long, end: Long)
+
   /** Read a directory of Avro container files (or a single file). The
-    * Spark schema is derived from the first file's embedded writer
-    * schema on the driver (header-only read), then every file decodes
-    * in parallel on the executors.
+    * Spark schema is derived on the driver from the embedded writer
+    * schema of the first file in SORTED path order (header-only read —
+    * deterministic regardless of `listStatus` ordering), then every
+    * byte-range split decodes in parallel on the executors with that
+    * schema as the Avro READER schema, so files whose writer schema
+    * differs compatibly (int→long, added nullable field) resolve per
+    * record instead of corrupting rows.
+    *
+    * `targetSplitBytes` bounds task granularity: a container larger
+    * than it is cut at sync-marker boundaries into multiple tasks, so
+    * one multi-GB file cannot serialize a 100 TB scan. Default 128 MB,
+    * parquet's `maxPartitionBytes` convention.
     *
     * `lenient = true` is the PERMISSIVE counterpart of the CSV/JSON
     * readers: a corrupt or truncated container stops contributing rows
@@ -174,13 +208,16 @@ object AvroIO {
     * partial upload somewhere, and one bad file must not kill a 100 TB
     * scan. Default is strict (fail loudly), matching parquet. */
   def read(spark: SparkSession, path: String,
-           lenient: Boolean = false): DataFrame = {
+           lenient: Boolean = false,
+           targetSplitBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    require(targetSplitBytes > 0, "targetSplitBytes must be positive")
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val files = (if (fs.getFileStatus(p).isDirectory)
       fs.listStatus(p).toSeq.map(_.getPath) else Seq(p))
       .filter(_.getName.endsWith(".avro"))
+      .sortBy(_.toString)
     require(files.nonEmpty, s"no .avro files under $path")
     def headerSchema(p: org.apache.hadoop.fs.Path): Schema = {
       val in = fs.open(p)
@@ -199,36 +236,55 @@ object AvroIO {
       else files.view.flatMap(p => scala.util.Try(headerSchema(p)).toOption)
         .headOption.getOrElse(throw new java.io.IOException(
           s"no readable Avro container under $path"))
+    val readerSchemaJson = avroSchema.toString
     val sparkSchema = toSparkType(avroSchema).asInstanceOf[StructType]
+    val splits = files.flatMap { f =>
+      val len = fs.getFileStatus(f).getLen
+      if (len <= targetSplitBytes) Seq(AvroSplit(f.toString, 0L, len))
+      else (0L until len by targetSplitBytes).map(s =>
+        AvroSplit(f.toString, s, math.min(s + targetSplitBytes, len)))
+    }
+    val confSer = new org.apache.spark.util.SerializableConfiguration(conf)
     val rows = spark.sparkContext
-      .binaryFiles(files.map(_.toString).mkString(","))
-      .flatMap { case (file, stream) =>
-        val in = stream.open()
+      .parallelize(splits, splits.size)
+      .flatMap { split =>
+        val fp = new org.apache.hadoop.fs.Path(split.file)
+        val sfs = fp.getFileSystem(confSer.value)
+        val len = sfs.getFileStatus(fp).getLen
+        val sin = new HadoopSeekableInput(sfs.open(fp), len)
         def fail(e: Throwable): Nothing = {
-          in.close()
-          throw new java.io.IOException(s"corrupt Avro container $file", e)
+          sin.close()
+          throw new java.io.IOException(
+            s"corrupt Avro container ${split.file}", e)
         }
-        val dfs =
-          try new DataFileStream[GenericRecord](in,
-            new GenericDatumReader[GenericRecord]())
-          catch { case e: Throwable =>
-            if (lenient) { in.close(); null } else fail(e)
+        val readerSchema = new Schema.Parser().parse(readerSchemaJson)
+        val dfr =
+          try {
+            val r = new DataFileReader[GenericRecord](sin,
+              new GenericDatumReader[GenericRecord](null, readerSchema))
+            // position at the first block whose sync marker is at or
+            // after this split's start (the file header ends with the
+            // sync marker, so start=0 lands exactly at block 1)
+            r.sync(split.start)
+            r
+          } catch { case e: Throwable =>
+            if (lenient) { sin.close(); null } else fail(e)
           }
-        if (dfs == null) Iterator.empty
+        if (dfr == null) Iterator.empty
         else {
-          val it = dfs.iterator.asScala
           // lookahead iterator: the decode happens in advance(), so a
           // mid-stream corruption in lenient mode cleanly ENDS the
-          // file's contribution instead of throwing from next()
+          // split's contribution instead of throwing from next()
           new Iterator[Row] {
             private var nextRow: Row = _
             private var closed = false
             private def closeAll(): Unit =
-              if (!closed) { closed = true; dfs.close(); in.close() }
+              if (!closed) { closed = true; dfr.close() } // closes sin
             private def advance(): Unit =
               if (nextRow == null && !closed) {
                 try {
-                  if (it.hasNext) nextRow = recordToRow(it.next(), sparkSchema)
+                  if (dfr.hasNext && !dfr.pastSync(split.end))
+                    nextRow = recordToRow(dfr.next(), sparkSchema)
                   else closeAll()
                 } catch { case e: Throwable =>
                   if (lenient) closeAll() else fail(e)
@@ -266,15 +322,32 @@ object AvroIO {
       if (rows.isEmpty && idx != 0) Iterator.empty
       else {
         val schema = new Schema.Parser().parse(avroJson)
+        val pfs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(confSer.value)
+        // output-commit protocol: write to an attempt-unique temp name,
+        // rename into place on success. A retried or speculative
+        // attempt writes its own temp file — two attempts can never
+        // interleave bytes in one part file; whichever rename lands
+        // second sees the destination taken and withdraws its bytes.
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val tmp = new org.apache.hadoop.fs.Path(
+          path, f".part-$idx%05d-attempt-$attempt.avro.tmp")
         val part = new org.apache.hadoop.fs.Path(
           path, f"part-$idx%05d.avro")
-        val os = part.getFileSystem(confSer.value).create(part, true)
+        val os = pfs.create(tmp, true)
         val writer = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
         writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
         writer.create(schema, os)
         try rows.foreach(r => writer.append(rowToRecord(r, schema)))
         finally writer.close() // closes os
+        if (!pfs.rename(tmp, part)) {
+          val won = pfs.exists(part) // sibling attempt committed first
+          pfs.delete(tmp, false)
+          if (!won) throw new java.io.IOException(
+            s"could not commit $tmp -> $part")
+        }
         Iterator.single(1)
       }
     }.count(): Unit

@@ -37,7 +37,7 @@ class AvroIOSpec extends SparkSpec {
     assert(canon(df).exceptAll(canon(back)).count() === 0)
   }
 
-  test("avro write is one container per partition; read distributes by file") {
+  test("avro write is one container per partition; read parallelism >= container count") {
     val dir = Files.createTempDirectory("avro_parts").toString
     val df = spark.range(0, 1000).repartition(4)
       .select($"id", ($"id" % 3).as("g"))
@@ -45,9 +45,72 @@ class AvroIOSpec extends SparkSpec {
     val files = new java.io.File(s"$dir/t").listFiles()
       .filter(_.getName.endsWith(".avro"))
     assert(files.length === 4, files.map(_.getName).mkString(","))
+    // no uncommitted temp files left behind by the rename protocol
+    assert(!new java.io.File(s"$dir/t").listFiles()
+      .exists(_.getName.endsWith(".tmp")))
     val back = AvroIO.read(spark, s"$dir/t")
-    assert(back.rdd.getNumPartitions >= 1)
+    // the parallelism contract: at least one task per container even
+    // when every container is far below the split size
+    assert(back.rdd.getNumPartitions >= 4)
     assert(back.agg(sum("id")).as[Long].head === (0L until 1000L).sum)
+  }
+
+  test("splittable read: one large container becomes multiple sync-aligned tasks") {
+    val dir = Files.createTempDirectory("avro_split").toString
+    // ONE container, many blocks (DataFileWriter cuts a block every
+    // ~64 KB of serialized data; 50k padded rows comfortably exceed it)
+    val df = spark.range(0, 50000).repartition(1)
+      .select($"id", concat(lit("pad-pad-pad-"), $"id").as("s"))
+    AvroIO.write(df, s"$dir/t")
+    val files = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length === 1)
+    val splitBytes = math.max(1L, files.head.length() / 8)
+    val back = AvroIO.read(spark, s"$dir/t", targetSplitBytes = splitBytes)
+    assert(back.rdd.getNumPartitions >= 4,
+      s"expected >=4 splits, got ${back.rdd.getNumPartitions}")
+    // exact content: every row exactly once — no split drops or
+    // double-reads a block at a range boundary
+    assert(back.count() === 50000)
+    assert(back.exceptAll(df).count() === 0)
+    assert(df.exceptAll(back).count() === 0)
+  }
+
+  test("mixed writer schemas resolve against the sorted-first reader schema") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = Files.createTempDirectory("avro_evolve").toString
+    new java.io.File(s"$dir/t").mkdirs()
+    def write(name: String, json: String, rows: Seq[Map[String, Any]]): Unit = {
+      val schema = new Schema.Parser().parse(json)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, new java.io.File(s"$dir/t/$name"))
+      rows.foreach { m =>
+        val r = new GenericData.Record(schema)
+        m.foreach { case (k, v) => r.put(k, v) }
+        w.append(r)
+      }
+      w.close()
+    }
+    // sorts FIRST -> chosen as reader schema: x long, plus field y
+    write("a-wide.avro",
+      """{"type":"record","name":"row","fields":[
+        |{"name":"x","type":["null","long"],"default":null},
+        |{"name":"y","type":["null","string"],"default":null}]}""".stripMargin,
+      Seq(Map("x" -> 10L, "y" -> "ten"), Map("x" -> 20L, "y" -> "twenty")))
+    // older writer: x int, no y — resolution must promote int->long
+    // and fill y with its null default, not pass raw ints through
+    write("b-old.avro",
+      """{"type":"record","name":"row","fields":[
+        |{"name":"x","type":["null","int"],"default":null}]}""".stripMargin,
+      Seq(Map("x" -> Int.box(3))))
+    val back = AvroIO.read(spark, s"$dir/t")
+    assert(back.schema("x").dataType === LongType)
+    val got = back.select($"x", $"y").as[(Long, Option[String])]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === Seq((3L, None), (10L, Some("ten")), (20L, Some("twenty"))))
   }
 
   test("lenient read survives corrupt containers; strict read fails loudly") {
