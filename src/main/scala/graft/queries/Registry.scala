@@ -11,7 +11,8 @@ object Registry {
       Extras.all ++ TpchClassics.all ++ TextQueries.all ++ VectorQueries.all ++
       MlPrep.all ++ QualityQueries.all ++ StreamingQueries.all ++
       MultimodalQueries.all ++ Curation.all ++ LayoutQueries.all ++
-      EvalMetrics.all ++ SourceQueries.all ++ MaintenanceQueries.all
+      EvalMetrics.all ++ SourceQueries.all ++ MaintenanceQueries.all ++
+      EtlEndToEnd.all
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }
