@@ -883,6 +883,55 @@ object TextQueries {
            |UNION ALL SELECT 3, a, b, a||b, weight FROM b3
            |ORDER BY iter""".stripMargin))
 
+  /** Tokenize-with-LEARNED-vocab — the apply half of the tokenizer
+    * (q189 gates learning; this gates application). Learns 3 merges
+    * from the corpus word table, then re-tokenizes the SAME corpus
+    * with [[graft.operators.BpeLearn.tokenizeCol]] — merges replayed
+    * by rank as codegen'd string replaces, one map-only projection,
+    * no shuffle beyond the final vocabulary-sized aggregate. The
+    * oracle replays learning AND application in SQL (the applied
+    * state IS the learner's final word state, which is exactly the
+    * BPE invariant this gate pins: apply(learned merges) ≡ the
+    * training corpus's merged form). Output: top-20 token frequencies
+    * — real token ids for q86's packing and q191's top-p to operate
+    * on. */
+  val q194BpeTokenize = GraftQuery(
+    "q194_bpe_tokenize",
+    (s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(explode(split(
+          regexp_replace(lower(col("text")), "[^a-z]+", " "), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .cache()
+      val merges = graft.operators.BpeLearn.learn(words, 3)
+      words
+        .select(explode(graft.operators.BpeLearn
+          .tokenizeCol(col("word"), merges)).as("token"), col("freq"))
+        .groupBy("token")
+        .agg(sum("freq").as("total_freq"), count(lit(1)).as("n_occurrences"))
+        .orderBy(desc("total_freq"), asc("token"))
+        .limit(20)
+    },
+    Some(s"""WITH wordlist AS (
+           |  SELECT word, count(*) AS freq FROM (
+           |    SELECT unnest(string_split(
+           |      regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS word
+           |    FROM documents) t
+           |  WHERE word <> '' GROUP BY 1),
+           |w0 AS (SELECT regexp_replace(word, '(.)', '§\\1§', 'g') AS toks, freq
+           |       FROM wordlist),
+           |${bpeStep(1)},
+           |${bpeStep(2)},
+           |${bpeStep(3)},
+           |tok AS (
+           |  SELECT unnest(string_split(trim(toks, '§'), '§§')) AS token, freq
+           |  FROM w3)
+           |SELECT token, CAST(sum(freq) AS BIGINT) AS total_freq,
+           |  count(*) AS n_occurrences
+           |FROM tok GROUP BY 1
+           |ORDER BY total_freq DESC, token LIMIT 20""".stripMargin))
+
   /** Leakage-safe train/val/test split: assignment is a hash of the
     * near-dup CLUSTER (q54's components; singletons hash their own
     * id), so duplicated and near-duplicated documents can never
@@ -952,5 +1001,6 @@ object TextQueries {
     q54DedupClusters, q55DedupSurvivors, q69BpeSegments, q85FrameSample,
     q88DocChunks, q101NearDupDegree, q108CrossSourceDups, q111MinhashOph,
     q122SpanDedup, q123NgramNovelty, q139SubstringRepeats,
-    q163ContainmentPairs, q189BpeLearn, q190LeakageSafeSplit)
+    q163ContainmentPairs, q189BpeLearn, q190LeakageSafeSplit,
+    q194BpeTokenize)
 }
