@@ -78,7 +78,7 @@ case class ResolveCubeGuard() extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-  import graft.functions.{HammingHex, KmvDigests, RollingHash, VecDot}
+  import graft.functions.{HammingHex, KmvDigests, MojibakeRepair, RollingHash, UnicodeNormalize, VecDot}
 
   private def info(name: String, clazz: Class[_], usage: String) =
     new ExpressionInfo(clazz.getCanonicalName, null, name, usage,
@@ -128,6 +128,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         arity("might_contain", 2, args)
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("unicode_normalize"),
+      info("unicode_normalize", classOf[UnicodeNormalize],
+        "unicode_normalize(s, 'NFC'|'NFKC'|'NFD'|'NFKD') - Unicode normalization (JDK Normalizer, codegen'd)"),
+      (args: Seq[Expression]) => {
+        arity("unicode_normalize", 2, args)
+        val form = args(1) match {
+          case Literal(v, org.apache.spark.sql.types.StringType) if v != null =>
+            v.toString
+          case other => throw new IllegalArgumentException(
+            s"unicode_normalize form must be a string literal, got $other")
+        }
+        UnicodeNormalize(args(0), form)
+      }))
+    ext.injectFunction((FunctionIdentifier("mojibake_repair"),
+      info("mojibake_repair", classOf[MojibakeRepair],
+        "mojibake_repair(s) - undo UTF-8-read-as-Latin-1 double encoding when strictly valid; identity otherwise"),
+      (args: Seq[Expression]) => {
+        arity("mojibake_repair", 1, args); MojibakeRepair(args(0))
       }))
     ext.injectFunction((FunctionIdentifier("kmv_digests"),
       info("kmv_digests", classOf[KmvDigests],

@@ -474,8 +474,70 @@ object QualityQueries {
            |  round(exp(avg(nl)), 2) AS perplexity
            |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Unicode canonicalization + mojibake repair — the curation pass
+    * that runs BEFORE every quality gate and dedup stage. The corpus
+    * is ASCII, so the gate plants its own non-ASCII deterministically:
+    * each doc is decorated with " café" in NFD form (e + combining
+    * acute, even doc_ids) or precomposed NFC form (odd), then
+    * [[graft.functions.UnicodeNorm]] must converge both to one byte
+    * sequence (checksummed against DuckDB's ICU `nfc_normalize` — two
+    * independent UAX#15 implementations agreeing byte-for-byte).
+    * Mojibake: the decorated text is double-encoded IN-QUERY with
+    * Spark's own `decode(encode(s,'UTF-8'),'ISO-8859-1')`, and
+    * `mojibake_repair` must invert it exactly (checksum equals the
+    * original's) while provably never touching clean ASCII text
+    * (`n_clean_changed` = 0 — the strict-validity guard that makes
+    * the repair safe corpus-wide). All three ops are codegen'd
+    * projections — scan-speed at 100 TB. */
+  val q195UnicodeRepair = GraftQuery(
+    "q195_unicode_repair",
+    (s, dir) => {
+      import graft.functions.UnicodeNorm.{mojibakeRepair, unicodeNormalize}
+      val deco = when(col("doc_id") % 2 === 0, lit(" cafe\u0301")) // NFD: e + combining acute
+        .otherwise(lit(" caf\u00e9")) // NFC: precomposed
+      val moji = decode(encode(col("decorated"), "UTF-8"), "ISO-8859-1")
+      Tables.documents(s, dir)
+        .withColumn("decorated", concat(col("text"), deco))
+        .select(col("source"), col("text"), col("decorated"),
+          unicodeNormalize(col("decorated"), "NFC").as("nfc"),
+          moji.as("moji"),
+          mojibakeRepair(moji).as("repaired"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("nfc") =!= col("decorated"), 1).otherwise(0))
+            .as("n_nfc_changed"),
+          sum(conv(substring(md5(col("nfc")), 1, 8), 16, 10).cast("long"))
+            .as("nfc_checksum"),
+          sum(when(col("moji") =!= col("decorated"), 1).otherwise(0))
+            .as("n_moji_changed"),
+          sum(conv(substring(md5(col("repaired")), 1, 8), 16, 10).cast("long"))
+            .as("repair_checksum"),
+          sum(when(mojibakeRepair(col("text")) =!= col("text"), 1)
+            .otherwise(0)).as("n_clean_changed"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (
+           |  SELECT source, text,
+           |    text || CASE WHEN doc_id % 2 = 0 THEN ' cafe' || chr(769)
+           |                 ELSE ' caf' || chr(233) END AS decorated
+           |  FROM documents)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN nfc_normalize(decorated) <> decorated
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_nfc_changed,
+           |  CAST(sum(('0x' || substr(md5(nfc_normalize(decorated)), 1, 8))
+           |    ::BIGINT) AS BIGINT) AS nfc_checksum,
+           |  -- every decorated row carries non-ASCII, so the latin-1
+           |  -- re-read always changes it
+           |  CAST(count(*) AS BIGINT) AS n_moji_changed,
+           |  -- repair must invert the double-encoding exactly
+           |  CAST(sum(('0x' || substr(md5(decorated), 1, 8))::BIGINT)
+           |    AS BIGINT) AS repair_checksum,
+           |  -- ASCII corpus: the validity guard must never rewrite it
+           |  CAST(0 AS BIGINT) AS n_clean_changed
+           |FROM d GROUP BY source ORDER BY source""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q58GopherQuality, q59RepetitionStats,
     q60TokenEntropy, q74UnigramLogprob, q94Collocations, q95ChiSquare,
     q98LangidConfidence, q99C4Boilerplate, q112CmsHeavyHitters,
-    q125BigramLogprob)
+    q125BigramLogprob, q195UnicodeRepair)
 }

@@ -88,4 +88,47 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(out(1L) - 1.0) < 1e-6)
     assert(out(2L) < 1.0 && out(2L) > 0.0)
   }
+
+  test("unicode_normalize converges NFD/NFC forms; NFKC folds compatibility chars") {
+    import UnicodeNorm.unicodeNormalize
+    val nfd = "café"      // e + combining acute
+    val nfc = "café"       // precomposed é
+    val out = docs(1L -> nfd, 2L -> nfc, 3L -> "① ﬁne") // ①, ﬁ ligature
+      .select($"doc_id", unicodeNormalize($"text", "NFC").as("c"),
+        unicodeNormalize($"text", "NFKC").as("kc"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L)._1 === nfc)               // NFD -> NFC composes
+    assert(out(2L)._1 === nfc)               // already NFC: fixpoint
+    assert(out(3L)._2 === "1 fine")          // NFKC: ① -> 1, ﬁ -> fi
+    assert(out(3L)._1 === "① ﬁne") // NFC keeps compatibility chars
+  }
+
+  test("mojibake_repair inverts double-encoding but never touches plausible latin-1") {
+    import UnicodeNorm.{mojibakeRepair, repairMojibake}
+    val clean = "café résumé"
+    // the mojibake victim: UTF-8 bytes read back as Latin-1
+    val moji = new String(clean.getBytes("UTF-8"), "ISO-8859-1")
+    assert(repairMojibake(moji) === clean)
+    // genuine Latin-1-ish text: 'à' then '!' is NOT valid UTF-8 -> kept
+    assert(repairMojibake("voilà!") === "voilà!")
+    // pure ASCII: untouched by construction
+    assert(repairMojibake("plain ascii") === "plain ascii")
+    // expression path (codegen) agrees with the kernel
+    val got = docs(1L -> moji, 2L -> "voilà!", 3L -> "plain ascii")
+      .select(mojibakeRepair($"text").as("r")).as[String].collect()
+    assert(got.toSeq === Seq(clean, "voilà!", "plain ascii"))
+  }
+
+  test("quality gates score mojibake'd and repaired text differently") {
+    import UnicodeNorm.mojibakeRepair
+    // 60 accented words: mojibake doubles every é into 'Ã©', inflating
+    // mean token length — the distortion normalization exists to undo
+    val clean = Seq.fill(60)("café olé").mkString(" ")
+    val moji = new String(clean.getBytes("UTF-8"), "ISO-8859-1")
+    val mejLen = docs(1L -> moji)
+      .select(Text.meanTokenLen($"text")).as[Double].head()
+    val repLen = docs(1L -> moji)
+      .select(Text.meanTokenLen(mojibakeRepair($"text"))).as[Double].head()
+    assert(mejLen > repLen, s"moji $mejLen should exceed repaired $repLen")
+  }
 }
