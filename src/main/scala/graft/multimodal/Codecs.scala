@@ -26,6 +26,15 @@ object Codecs {
   final case class Wav(sampleRate: Int, nChannels: Int, bitsPerSample: Int,
                        samples: Array[Short])
 
+  /** Header-level image metadata — what a 100 TB image-curation scan
+    * actually computes first (full decode of JPEG/PNG entropy data is
+    * out of scope dependency-free; the header fields drive the
+    * filter/route/dedupe decisions). `bitDepth` is bits per sample
+    * (PNG bit depth / JPEG precision; 8 for the uncompressed
+    * formats). */
+  final case class ImageMeta(format: String, width: Int, height: Int,
+                             bitDepth: Int, channels: Int)
+
   /** Cheap container sniff on magic bytes — decides which real decoder
     * to try; decoders re-validate everything they read. */
   def sniff(b: Array[Byte]): Option[String] =
@@ -34,6 +43,11 @@ object Codecs {
     else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
       b(11) == 'E') Some("wav")
+    else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a &&
+      b(6) == 0x1a && b(7) == 0x0a) Some("png")
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff &&
+      (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) Some("jpeg")
     else None
 
   def decodeImage(b: Array[Byte]): Option[Image] = sniff(b) match {
@@ -155,6 +169,91 @@ object Codecs {
       y += 1
     }
     Some(Image(w, h, 3, out))
+  }
+
+  // ---------------------------------------------------- PNG/JPEG headers
+
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** PNG IHDR sniff: the 8-byte signature is followed by the IHDR
+    * chunk at a FIXED offset (length 13, type "IHDR", then width/
+    * height as big-endian 32-bit, bit depth, color type — PNG spec
+    * 11.2.2). Channels derive from the color type: 0 grayscale→1,
+    * 2 truecolor→3, 3 palette→1 (indexed), 4 gray+alpha→2,
+    * 6 truecolor+alpha→4. CRC is not verified — this is the metadata
+    * scan, not an integrity pass. */
+  def sniffPngMeta(b: Array[Byte]): Option[ImageMeta] = {
+    if (!sniff(b).contains("png") || b.length < 26) return None
+    if (be32(b, 8) != 13 || b(12) != 'I' || b(13) != 'H' || b(14) != 'D' ||
+      b(15) != 'R') return None
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    val depth = b(24) & 0xff
+    val channels = (b(25) & 0xff) match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    if (w <= 0 || h <= 0) None
+    else Some(ImageMeta("png", w, h, depth, channels))
+  }
+
+  /** JPEG SOF sniff: walk the marker segments from SOI until a
+    * start-of-frame marker (SOF0 baseline / SOF1 extended / SOF2
+    * progressive …), whose payload is precision(1), height(2 BE),
+    * width(2 BE), componentCount(1) — ITU T.81 §B.2.2. Skips APPn/COM/
+    * DQT/DHT via their big-endian length fields, tolerates fill bytes
+    * (0xFF padding before a marker), and gives up cleanly (None) on
+    * SOS/EOI-before-SOF or any truncation — a corrupt blob must never
+    * kill the scan. */
+  def sniffJpegMeta(b: Array[Byte]): Option[ImageMeta] = {
+    if (!sniff(b).contains("jpeg")) return None
+    var i = 2
+    while (i + 1 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None // lost marker alignment
+      var j = i + 1
+      while (j < b.length && (b(j) & 0xff) == 0xff) j += 1 // fill bytes
+      if (j >= b.length) return None
+      val marker = b(j) & 0xff
+      val seg = j + 1 // first byte after the marker
+      marker match {
+        case 0x01 | 0xd8 => i = seg // standalone: TEM / SOI
+        case m if m >= 0xd0 && m <= 0xd7 => i = seg // standalone: RSTn
+        case 0xd9 | 0xda => return None // EOI / SOS before any SOF
+        case m if m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+          m != 0xcc => // SOFn (C4=DHT, C8=JPG, CC=DAC are not frames)
+          if (seg + 7 >= b.length) return None
+          val depth = b(seg + 2) & 0xff
+          val h = be16(b, seg + 3)
+          val w = be16(b, seg + 5)
+          val ncomp = b(seg + 7) & 0xff
+          return if (w > 0 && h > 0 && ncomp > 0)
+            Some(ImageMeta("jpeg", w, h, depth, ncomp))
+          else None
+        case _ => // any length-prefixed segment: APPn, COM, DQT, DHT…
+          if (seg + 1 >= b.length) return None
+          val len = be16(b, seg)
+          if (len < 2) return None
+          i = seg + len
+      }
+    }
+    None
+  }
+
+  /** Uniform header-metadata sniff across every container the engine
+    * recognizes (PPM/BMP reuse their full decoders — they are already
+    * header-cheap). */
+  def sniffMeta(b: Array[Byte]): Option[ImageMeta] = sniff(b) match {
+    case Some("png") => sniffPngMeta(b)
+    case Some("jpeg") => sniffJpegMeta(b)
+    case Some("ppm") =>
+      decodePpm(b).map(i => ImageMeta("ppm", i.width, i.height, 8, i.channels))
+    case Some("bmp") =>
+      decodeBmp(b).map(i => ImageMeta("bmp", i.width, i.height, 8, i.channels))
+    case _ => None
   }
 
   // ---------------------------------------------------------------- WAV

@@ -131,6 +131,119 @@ object Multimodal {
       StructField("byte_len", IntegerType))))
   }
 
+  /** Deterministic REAL PNG containers keyed by id: signature + IHDR
+    * (closed-form dims `w = 16 + id mod 7`, `h = 9 + id mod 5`, bit
+    * depth 8, color type cycling gray/truecolor/truecolor+alpha) +
+    * IEND, with correct CRC32s — hand-packed against the PNG spec, not
+    * through any codec. Entropy data is absent on purpose: the
+    * metadata sniff is a header scan and must not need it. */
+  def synthesizePng(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 16 + (id % 7).toInt
+        val h = 9 + (id % 5).toInt
+        val colorType = Array(0, 2, 6)((id % 3).toInt)
+        val ihdr = java.nio.ByteBuffer.allocate(17)
+        ihdr.put("IHDR".getBytes("US-ASCII"))
+          .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+          .put(0.toByte).put(0.toByte).put(0.toByte)
+        def crc(a: Array[Byte]): Int = {
+          val c = new java.util.zip.CRC32(); c.update(a); c.getValue.toInt
+        }
+        val iend = "IEND".getBytes("US-ASCII")
+        val buf = java.nio.ByteBuffer.allocate(8 + 25 + 12)
+        buf.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+            .map(_.toByte))
+          .putInt(13).put(ihdr.array()).putInt(crc(ihdr.array()))
+          .putInt(0).put(iend).putInt(crc(iend))
+        val payload = buf.array()
+        Row(id, payload, "image", payload.length)
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType),
+      StructField("media_type", StringType),
+      StructField("byte_len", IntegerType))))
+  }
+
+  /** Deterministic REAL JPEG header sequences keyed by id: SOI, a
+    * genuine APP0/JFIF segment, a COM segment (so the sniffer's
+    * length-skip walk is on the path), SOF0 with closed-form dims
+    * (`w = 32 + id mod 11`, `h = 24 + id mod 7`, 3 components for
+    * even ids / 1 for odd), EOI — ITU T.81 layout, hand-packed. */
+  def synthesizeJpeg(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 32 + (id % 11).toInt
+        val h = 24 + (id % 7).toInt
+        val ncomp = if (id % 2 == 0) 3 else 1
+        val comment = s"graft synthetic $id".getBytes("US-ASCII")
+        val sofLen = 8 + 3 * ncomp
+        val buf = java.nio.ByteBuffer.allocate(
+          2 + 18 + (4 + comment.length) + (2 + sofLen) + 2)
+        buf.put(0xff.toByte).put(0xd8.toByte) // SOI
+        buf.put(0xff.toByte).put(0xe0.toByte).putShort(16) // APP0, len 16
+          .put("JFIF".getBytes("US-ASCII")).put(0.toByte) // identifier
+          .put(1.toByte).put(1.toByte) // version 1.1
+          .put(0.toByte).putShort(72).putShort(72) // DPI aspect
+          .put(0.toByte).put(0.toByte) // no thumbnail
+        buf.put(0xff.toByte).put(0xfe.toByte) // COM
+          .putShort((2 + comment.length).toShort).put(comment)
+        buf.put(0xff.toByte).put(0xc0.toByte).putShort(sofLen.toShort) // SOF0
+          .put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+          .put(ncomp.toByte)
+        var c = 1
+        while (c <= ncomp) { // component id, 1x1 sampling, qtable 0
+          buf.put(c.toByte).put(0x11.toByte).put(0.toByte); c += 1
+        }
+        buf.put(0xff.toByte).put(0xd9.toByte) // EOI
+        val payload = buf.array()
+        Row(id, payload, "image", payload.length)
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType),
+      StructField("media_type", StringType),
+      StructField("byte_len", IntegerType))))
+  }
+
+  private val metaSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("bit_depth", IntegerType),
+    StructField("channels", IntegerType)))
+
+  /** Header-metadata scan over binary payloads ([[Codecs.sniffMeta]]):
+    * format, dimensions, bit depth, channel count — the first pass a
+    * 100 TB image-curation pipeline runs (filter/route/shard on header
+    * facts BEFORE paying for any entropy decode). Unrecognized or
+    * corrupt payloads yield NULL fields, never exceptions. */
+  def imageMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("media_id"), col("payload")).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes =
+            Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+          Codecs.sniffMeta(bytes) match {
+            case Some(m) =>
+              Row(id, m.format, m.width, m.height, m.bitDepth, m.channels)
+            case None => Row(id, null, null, null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, metaSchema)
+  }
+
   private val featureSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("media_type", StringType),

@@ -144,6 +144,44 @@ object MultimodalQueries {
     },
     q154PpmDecode.oracle)
 
+  /** JPEG/PNG header sniffing — real corpora are JPEG/PNG, and the
+    * first pass of a 100 TB image-curation scan is a header-metadata
+    * read (dimensions / bit depth / channels drive filter-route-shard
+    * decisions before any entropy decode is paid for). Payloads are
+    * hand-packed REAL containers (PNG signature + IHDR + CRC'd IEND;
+    * JPEG SOI + JFIF APP0 + COM + SOF0 per ITU T.81) with closed-form
+    * dims, so the oracle recomputes every field arithmetically: a
+    * sniffer that misreads big-endian dims, skips a segment wrong, or
+    * maps a color type to the wrong channel count diverges. */
+  val q196ImageHeaderSniff = GraftQuery(
+    "q196_image_header_sniff",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Multimodal.imageMeta(Multimodal.synthesizePng(docs))
+        .unionByName(Multimodal.imageMeta(Multimodal.synthesizeJpeg(docs)))
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("bit_depth"), col("channels"))
+        .orderBy("format", "media_id")
+    },
+    Some("""WITH ids AS (SELECT doc_id AS media_id FROM documents)
+           |SELECT media_id, 'jpeg' AS format,
+           |  CAST(32 + media_id % 11 AS INTEGER) AS width,
+           |  CAST(24 + media_id % 7 AS INTEGER) AS height,
+           |  CAST(8 AS INTEGER) AS bit_depth,
+           |  CAST(CASE WHEN media_id % 2 = 0 THEN 3 ELSE 1 END AS INTEGER)
+           |    AS channels
+           |FROM ids
+           |UNION ALL
+           |SELECT media_id, 'png',
+           |  CAST(16 + media_id % 7 AS INTEGER),
+           |  CAST(9 + media_id % 5 AS INTEGER),
+           |  CAST(8 AS INTEGER),
+           |  CAST(CASE media_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+           |    AS INTEGER)
+           |FROM ids
+           |ORDER BY format, media_id""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(q154PpmDecode, q155PpmResize, q156WavDecode, q158BmpDecode)
+    Seq(q154PpmDecode, q155PpmResize, q156WavDecode, q158BmpDecode,
+      q196ImageHeaderSniff)
 }

@@ -169,4 +169,87 @@ class CodecsSpec extends AnyFunSuite {
       Codecs.encodeWav(Codecs.Wav(8000, 1, 16, Array[Short](0)))) === Some("wav"))
     assert(Codecs.sniff("plain text document".getBytes) === None)
   }
+
+  // ------------------------------------------------- PNG / JPEG headers
+
+  /** Hand-packed PNG: signature + IHDR(w, h, depth, colorType). */
+  private def png(w: Int, h: Int, depth: Int, colorType: Int,
+                  chunkType: String = "IHDR"): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(8 + 4 + 4 + 13 + 4)
+    buf.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      .putInt(13).put(chunkType.getBytes("US-ASCII"))
+      .putInt(w).putInt(h).put(depth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .putInt(0) // CRC deliberately wrong: the metadata sniff skips it
+    buf.array()
+  }
+
+  test("PNG IHDR sniff reads big-endian dims and maps color types") {
+    assert(Codecs.sniffPngMeta(png(640, 480, 8, 2)) ===
+      Some(Codecs.ImageMeta("png", 640, 480, 8, 3)))
+    // big-endian on purpose: 0x0102 = 258, not 0x0201 = 513
+    assert(Codecs.sniffPngMeta(png(258, 16, 16, 6)) ===
+      Some(Codecs.ImageMeta("png", 258, 16, 16, 4)))
+    assert(Codecs.sniffPngMeta(png(5, 5, 8, 0)).get.channels === 1) // gray
+    assert(Codecs.sniffPngMeta(png(5, 5, 8, 3)).get.channels === 1) // palette
+    assert(Codecs.sniffPngMeta(png(5, 5, 8, 4)).get.channels === 2) // gray+a
+    assert(Codecs.sniffPngMeta(png(5, 5, 8, 7)) === None) // bad color type
+    assert(Codecs.sniffPngMeta(png(0, 5, 8, 2)) === None) // zero width
+    assert(Codecs.sniffPngMeta(png(5, 5, 8, 2, "IDAT")) === None) // not IHDR
+    assert(Codecs.sniffPngMeta(png(5, 5, 8, 2).take(20)) === None) // truncated
+  }
+
+  /** Hand-packed JPEG marker stream. */
+  private def jpeg(segments: Array[Byte]*): Array[Byte] =
+    Array[Byte](0xff.toByte, 0xd8.toByte) ++ segments.flatten :+
+      0xff.toByte :+ 0xd9.toByte
+
+  private def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+    Array(0xff.toByte, marker.toByte,
+      ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xff).toByte
+    ) ++ payload
+
+  private def sof(marker: Int, w: Int, h: Int, ncomp: Int,
+                  depth: Int = 8): Array[Byte] =
+    seg(marker, Array(depth.toByte,
+      (h >> 8).toByte, (h & 0xff).toByte, (w >> 8).toByte, (w & 0xff).toByte,
+      ncomp.toByte) ++
+      (1 to ncomp).flatMap(c => Seq(c.toByte, 0x11.toByte, 0.toByte)))
+
+  test("JPEG SOF sniff walks segments and reads frame dims") {
+    val app0 = seg(0xe0, "JFIF".getBytes ++ Array[Byte](0, 1, 1, 0, 0, 72, 0, 72, 0, 0))
+    val com = seg(0xfe, "a comment".getBytes)
+    // baseline SOF0 behind APP0 + COM: the length-skip walk is on the path
+    assert(Codecs.sniffJpegMeta(jpeg(app0, com, sof(0xc0, 1024, 768, 3))) ===
+      Some(Codecs.ImageMeta("jpeg", 1024, 768, 8, 3)))
+    // progressive SOF2, grayscale, 12-bit precision
+    assert(Codecs.sniffJpegMeta(jpeg(app0, sof(0xc2, 320, 200, 1, depth = 12))) ===
+      Some(Codecs.ImageMeta("jpeg", 320, 200, 12, 1)))
+    // DHT (C4) is NOT a frame marker and must be skipped, not parsed
+    val dht = seg(0xc4, Array.fill[Byte](19)(0))
+    assert(Codecs.sniffJpegMeta(jpeg(app0, dht, sof(0xc1, 64, 32, 3))) ===
+      Some(Codecs.ImageMeta("jpeg", 64, 32, 8, 3)))
+    // fill bytes (FF padding) before a marker are tolerated
+    val padded = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++
+      jpeg(sof(0xc0, 8, 8, 3)).drop(2)
+    assert(Codecs.sniffJpegMeta(padded).map(_.width) === Some(8))
+    // SOS before any SOF -> None (corrupt/truncated stream, not a crash)
+    val sos = seg(0xda, Array[Byte](1, 1, 0, 0, 63, 0))
+    assert(Codecs.sniffJpegMeta(jpeg(app0, sos)) === None)
+    // truncated mid-segment -> None
+    assert(Codecs.sniffJpegMeta(
+      jpeg(app0, sof(0xc0, 1024, 768, 3)).dropRight(12)) === None)
+    // not a JPEG at all
+    assert(Codecs.sniffJpegMeta("plain".getBytes) === None)
+  }
+
+  test("sniffMeta dispatches uniformly; PPM/BMP reuse their decoders") {
+    assert(Codecs.sniffMeta(png(12, 34, 8, 6)) ===
+      Some(Codecs.ImageMeta("png", 12, 34, 8, 4)))
+    assert(Codecs.sniffMeta(jpeg(sof(0xc0, 99, 7, 1))) ===
+      Some(Codecs.ImageMeta("jpeg", 99, 7, 8, 1)))
+    assert(Codecs.sniffMeta(bmp2x2(false)) ===
+      Some(Codecs.ImageMeta("bmp", 2, 2, 8, 3)))
+    assert(Codecs.sniffMeta("plain text".getBytes) === None)
+  }
 }
