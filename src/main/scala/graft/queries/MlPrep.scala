@@ -626,6 +626,80 @@ object MlPrep {
            |    / CAST(max(total) AS DOUBLE), 6) AS coverage
            |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** OOV mapping under the learned top-p vocabulary — the step AFTER
+    * q191's truncation decision: tokens outside the per-source 90%
+    * cumulative-frequency vocabulary map to `<unk>`, and the gate pins
+    * the MAPPED frequency table itself (md5-slice checksum over
+    * (token, freq) rows), not just counts — so a wrong boundary, a
+    * dropped token, or an unk miscount all diverge. `oov_rate` is the
+    * vocabulary-coverage metric a tokenizer rollout alerts on. Both
+    * aggregations run on the vocabulary-sized frequency table, never
+    * the corpus. */
+  val q198OovRate = GraftQuery(
+    "q198_oov_rate",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("freq").desc, col("tok").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val freqs = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(split(regexp_replace(lower(col("text")), "[^a-z]+", " "), " "))
+            .as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("source", "tok").agg(count(lit(1)).as("freq"))
+      val tot = freqs.groupBy("source").agg(sum("freq").as("total"))
+      val mapped = freqs.join(broadcast(tot), "source")
+        .withColumn("before", coalesce(sum("freq").over(w), lit(0L)))
+        .select(col("source"),
+          when(col("before") * 10 < col("total") * 9, col("tok"))
+            .otherwise("<unk>").as("mtok"),
+          col("freq"))
+        .groupBy("source", "mtok").agg(sum("freq").as("mfreq"))
+      mapped
+        .groupBy("source")
+        .agg(sum("mfreq").as("n_tokens"),
+          coalesce(sum(when(col("mtok") === "<unk>", col("mfreq"))), lit(0L))
+            .as("n_unk"),
+          count(lit(1)).as("n_mapped_distinct"),
+          sum(conv(substring(md5(concat_ws("|", col("mtok"),
+            col("mfreq").cast("string"))), 1, 8), 16, 10).cast("long"))
+            .as("map_checksum"))
+        .select(col("source"), col("n_tokens"), col("n_unk"),
+          round(col("n_unk") / col("n_tokens").cast("double"), 6)
+            .as("oov_rate"),
+          col("n_mapped_distinct"), col("map_checksum"))
+        .orderBy("source")
+    },
+    Some("""WITH freqs AS (
+           |  SELECT source, tok, count(*) AS freq FROM (
+           |    SELECT source, unnest(string_split(
+           |      regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS tok
+           |    FROM documents) t
+           |  WHERE tok <> '' GROUP BY 1, 2),
+           |tot AS (SELECT source, CAST(sum(freq) AS BIGINT) AS total
+           |        FROM freqs GROUP BY 1),
+           |cum AS (
+           |  SELECT f.source, f.tok, f.freq, t.total,
+           |    COALESCE(sum(f.freq) OVER (PARTITION BY f.source
+           |      ORDER BY f.freq DESC, f.tok
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           |  FROM freqs f JOIN tot t USING (source)),
+           |mapped AS (
+           |  SELECT source,
+           |    CASE WHEN before * 10 < total * 9 THEN tok ELSE '<unk>' END
+           |      AS mtok,
+           |    CAST(sum(freq) AS BIGINT) AS mfreq
+           |  FROM cum GROUP BY 1, 2)
+           |SELECT source, CAST(sum(mfreq) AS BIGINT) AS n_tokens,
+           |  CAST(COALESCE(sum(CASE WHEN mtok = '<unk>' THEN mfreq END), 0)
+           |    AS BIGINT) AS n_unk,
+           |  round(COALESCE(sum(CASE WHEN mtok = '<unk>' THEN mfreq END), 0)
+           |    / CAST(sum(mfreq) AS DOUBLE), 6) AS oov_rate,
+           |  count(*) AS n_mapped_distinct,
+           |  CAST(sum(('0x' || substr(md5(mtok || '|' || mfreq), 1, 8))::BIGINT)
+           |    AS BIGINT) AS map_checksum
+           |FROM mapped GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** Join-skew diagnostic: per-key frequency profile for the engine's
     * three hottest join keys, with the salt factor
     * [[graft.operators.SkewJoin.saltedJoin]] would need — max key
@@ -697,5 +771,5 @@ object MlPrep {
     q53Contamination, q70PretrainPipeline, q86SequencePacking, q87MixtureSample,
     q92QuantileBinning, q93FeatureHash, q100StratifiedSample, q106WeightedSample,
     q110DecontaminatedSplit, q169Bm25Retrieval, q182CorpusShards,
-    q191VocabTopP, q192SkewDiagnostic)
+    q191VocabTopP, q192SkewDiagnostic, q198OovRate)
 }

@@ -994,6 +994,61 @@ object TextQueries {
            |FROM sp CROSS JOIN leak
            |GROUP BY split, leaked_pairs ORDER BY split""".stripMargin))
 
+  /** Quality-aware near-dup survivor selection: q55 keeps the MIN-ID
+    * document per cluster (cheap, arbitrary); a curation pipeline
+    * keeps the BEST one. Survivor = argmax (n_chars, then min doc_id)
+    * within each near-dup cluster, singletons surviving trivially —
+    * the struct-max aggregate runs on the cluster-sized table, never
+    * pairwise. `n_dropped` is the dedup yield metric; the survivor
+    * id/char sums pin the exact selection. The oracle replays the full
+    * chain: MinHash bands → verified pairs → recursive-CTE components
+    * → argmax-by-quality. */
+  val q199BestSurvivor = GraftQuery(
+    "q199_best_survivor",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = nearDupPairs(s, dir).select("id_a", "id_b")
+      val clusters = Dedup.dedupClusters(pairs)._1
+      val withC = docs
+        .join(clusters, docs("doc_id") === clusters("id"), "left")
+        .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      val best = withC.groupBy("cluster")
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("negid")))
+          .as("b"))
+        .select(col("cluster"), (-col("b.negid")).as("keep_id"))
+      val survivors = withC
+        .join(best, "cluster")
+        .filter(col("doc_id") === col("keep_id"))
+      val total = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      survivors.groupBy("source")
+        .agg(count(lit(1)).as("n_survivors"),
+          sum("doc_id").as("survivor_id_sum"),
+          sum("n_chars").as("survivor_chars"))
+        .join(total, "source")
+        .select(col("source"), col("n_docs"), col("n_survivors"),
+          (col("n_docs") - col("n_survivors")).as("n_dropped"),
+          col("survivor_id_sum"), col("survivor_chars"))
+        .orderBy("source")
+    },
+    Some(s"""$ccOracleBase,
+           |alldocs AS (
+           |  SELECT d.doc_id, d.source, d.n_chars,
+           |         COALESCE(cc.component, d.doc_id) AS cluster
+           |  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+           |ranked AS (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+           |    ORDER BY n_chars DESC, doc_id ASC) AS rk
+           |  FROM alldocs),
+           |surv AS (SELECT * FROM ranked WHERE rk = 1),
+           |tot AS (SELECT source, count(*) AS n_docs FROM documents
+           |        GROUP BY 1)
+           |SELECT t.source, t.n_docs, count(*) AS n_survivors,
+           |  t.n_docs - count(*) AS n_dropped,
+           |  CAST(sum(s.doc_id) AS BIGINT) AS survivor_id_sum,
+           |  CAST(sum(s.n_chars) AS BIGINT) AS survivor_chars
+           |FROM surv s JOIN tot t ON s.source = t.source
+           |GROUP BY t.source, t.n_docs ORDER BY t.source""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q20TextStats, q21LangId, q22Fingerprint, q23DedupExact, q24MinhashLsh,
     q25Simhash, q26NgramJaccard, q27MultimodalMeta, q28MultimodalFeatures,
@@ -1002,5 +1057,5 @@ object TextQueries {
     q88DocChunks, q101NearDupDegree, q108CrossSourceDups, q111MinhashOph,
     q122SpanDedup, q123NgramNovelty, q139SubstringRepeats,
     q163ContainmentPairs, q189BpeLearn, q190LeakageSafeSplit,
-    q194BpeTokenize)
+    q194BpeTokenize, q199BestSurvivor)
 }
