@@ -286,6 +286,48 @@ object AsofSession {
            |  AND a.start_sec <= b.end_sec AND b.start_sec <= a.end_sec
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Per-user event-transition matrix (first-order Markov counts): for
+    * each user's time-ordered event stream, count (event_type →
+    * next_event_type) transitions and the per-from-type transition
+    * probability — the structure behind next-event prediction training
+    * data, funnel health dashboards, and anomalous-journey detection.
+    *
+    * Scale: the lead() window is partitioned by user_id, so it
+    * parallelizes across users with no global sort (per-user event
+    * counts are session-sized); the output is |event types|² rows. The
+    * (ts, event_id) ordering makes simultaneous events deterministic
+    * in both engines. Probability is one division of exact counts. */
+  val q213EventTransitions = GraftQuery(
+    "q213_event_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead("event_type", 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy("from_type").agg(sum("n").as("tot"))
+      trans.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n") / col("tot").cast("double"), 6).as("p"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""WITH seq AS (
+           |  SELECT event_type AS from_type,
+           |    lead(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS to_type
+           |  FROM events),
+           |trans AS (
+           |  SELECT from_type, to_type, count(*) AS n
+           |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+           |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+           |        FROM trans GROUP BY 1)
+           |SELECT t.from_type, t.to_type, t.n,
+           |  round(t.n / CAST(x.tot AS DOUBLE), 6) AS p
+           |FROM trans t JOIN tot x USING (from_type)
+           |ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q17AsofInterval, q19Sessionize, q79Funnel,
-    q80JsonProps, q91AsofNearest, q119SessionOverlap)
+    q80JsonProps, q91AsofNearest, q119SessionOverlap, q213EventTransitions)
 }

@@ -325,6 +325,221 @@ object Curation {
            |FROM a2 a LEFT JOIN dups d ON a.vec_id = d.vec_id
            |ORDER BY a.vec_id""".stripMargin))
 
+  /** CCNet/C4-style boilerplate detection: a word 5-gram that recurs
+    * across ≥ max(3, 5% of a source's documents) is boilerplate (nav
+    * bars, license footers, templated headers), and each document is
+    * profiled by how much of it is boilerplate — the per-source report
+    * a curation pipeline alerts on before dropping repeated content.
+    *
+    * Scale: the shingle stream is linear in corpus size; the
+    * document-frequency aggregate collapses it to the SHINGLE
+    * VOCABULARY; the join-back is a shingle equi-join (never doc×doc);
+    * and every ratio is a single division of exact integer counts, so
+    * both engines agree bit-for-bit. This is the same
+    * hash-agg-then-join-back shape as q123's novelty scan. */
+  val q202BoilerplateShingles = GraftQuery(
+    "q202_boilerplate_shingles",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = graft.operators.FanOut(docs)
+        .select(col("source"), col("doc_id"),
+          explode(array_distinct(graft.functions.Text.wordShingles(col("text"), 5)))
+            .as("sgl"))
+      val nDocs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val dfreq = sh.groupBy("source", "sgl").agg(count(lit(1)).as("df"))
+        .join(broadcast(nDocs), "source")
+        .withColumn("is_b",
+          col("df") >= greatest(lit(3), ceil(col("n_docs") * 0.05)))
+      val perDoc = sh
+        .join(dfreq.select("source", "sgl", "is_b"), Seq("source", "sgl"))
+        .groupBy("source", "doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("is_b"), 1L).otherwise(0L)).as("n_b"))
+      perDoc.groupBy("source")
+        .agg(sum("n_sh").as("sh_total"), sum("n_b").as("boiler_total"),
+          sum(when(col("n_b") * 2 > col("n_sh"), 1L).otherwise(0L))
+            .as("flagged_docs"))
+        .join(broadcast(nDocs), "source")
+        .join(broadcast(dfreq.groupBy("source")
+          .agg(sum(when(col("is_b"), 1L).otherwise(0L))
+            .as("n_boiler_shingles"))), "source")
+        .select(col("source"), col("n_docs"), col("n_boiler_shingles"),
+          col("sh_total"), col("boiler_total"),
+          round(col("boiler_total") / col("sh_total").cast("double"), 6)
+            .as("boiler_ratio"),
+          col("flagged_docs"))
+        .orderBy("source")
+    },
+    Some("""WITH toks AS (
+           |  SELECT source, doc_id,
+           |    string_split_regex(trim(text), '\s+') AS ws FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT source, doc_id,
+           |    ws[i.g] || ' ' || ws[i.g+1] || ' ' || ws[i.g+2] || ' '
+           |      || ws[i.g+3] || ' ' || ws[i.g+4] AS sgl
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) g) i
+           |  WHERE len(ws) >= 5),
+           |ndocs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+           |dfreq AS (
+           |  SELECT s.source, s.sgl, count(*) AS df,
+           |    count(*) >= greatest(3, ceil(n.n_docs * 0.05)) AS is_b
+           |  FROM sh s JOIN ndocs n USING (source) GROUP BY s.source, s.sgl, n.n_docs),
+           |per_doc AS (
+           |  SELECT s.source, s.doc_id, count(*) AS n_sh,
+           |    CAST(sum(CASE WHEN d.is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+           |  FROM sh s JOIN dfreq d USING (source, sgl) GROUP BY 1, 2),
+           |per_src AS (
+           |  SELECT source, CAST(sum(n_sh) AS BIGINT) AS sh_total,
+           |    CAST(sum(n_b) AS BIGINT) AS boiler_total,
+           |    CAST(sum(CASE WHEN n_b * 2 > n_sh THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS flagged_docs
+           |  FROM per_doc GROUP BY 1),
+           |bsh AS (
+           |  SELECT source,
+           |    CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_boiler_shingles
+           |  FROM dfreq GROUP BY 1)
+           |SELECT p.source, n.n_docs, b.n_boiler_shingles, p.sh_total,
+           |  p.boiler_total,
+           |  round(p.boiler_total / CAST(p.sh_total AS DOUBLE), 6)
+           |    AS boiler_ratio,
+           |  p.flagged_docs
+           |FROM per_src p JOIN ndocs n USING (source) JOIN bsh b USING (source)
+           |ORDER BY p.source""".stripMargin))
+
+  /** DSIR-style hashed importance weighting: score every non-English
+    * document by how English-target-like its hashed-bigram feature
+    * distribution is. Word bigrams hash into 256 buckets; each bucket
+    * gets an add-one-smoothed log-likelihood ratio between the target
+    * (lang = 'en') and raw (everything else) corpora; a raw document's
+    * importance is the sum of its features' ratios — the importance-
+    * resampling weight from Xie et al.'s DSIR, here surfaced as a
+    * top-20 ranking.
+    *
+    * Scale: two corpus-linear passes (bucket counts, per-doc scores)
+    * joined through a 256-row broadcast weight table; no doc×doc work.
+    * Exactness: bucket weights are computed with ONE ln over a ratio
+    * of exact integer products (< 2^53, so the double argument is
+    * identical in both engines) and floored to integer micro-units;
+    * per-doc scores are then sums of longs — associative, order-free. */
+  val q203DsirImportance = GraftQuery(
+    "q203_dsir_importance",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = graft.operators.FanOut(docs)
+        .select(col("doc_id"), col("source"), col("lang"),
+          explode(graft.functions.Text.wordShingles(col("text"), 2)).as("bg"))
+        .withColumn("bucket",
+          conv(substring(md5(col("bg")), 1, 6), 16, 10).cast("long") % 256)
+      val counts = toks.groupBy("bucket")
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_cnt"),
+          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("r_cnt"))
+      val totals = counts.agg(sum("t_cnt").as("t_tot"), sum("r_cnt").as("r_tot"))
+      val weights = counts.crossJoin(broadcast(totals))
+        .select(col("bucket"),
+          floor(log((col("t_cnt") + 1) * (col("r_tot") + 256) /
+            ((col("r_cnt") + 1) * (col("t_tot") + 256))) * 1e6)
+            .cast("long").as("w"))
+      val scored = toks.filter(col("lang") =!= "en")
+        .join(broadcast(weights), "bucket")
+        .groupBy("doc_id", "source", "lang")
+        .agg(count(lit(1)).as("n_bigrams"), sum("w").as("score"))
+      // top-20 via TakeOrderedAndProject (bounded-heap per partition +
+      // driver merge of 20), NOT a global row_number window — the rank
+      // column is then attached over the 20 surviving rows only.
+      val top20 = scored.orderBy(col("score").desc, col("doc_id").asc).limit(20)
+      val rw = Window.orderBy(col("score").desc, col("doc_id").asc)
+      top20.withColumn("rank", row_number().over(rw))
+        .select("rank", "doc_id", "source", "lang", "n_bigrams", "score")
+        .orderBy("rank")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, source, lang,
+           |    string_split_regex(trim(text), '\s+') AS ws FROM documents),
+           |bigrams AS (
+           |  SELECT doc_id, source, lang,
+           |    ('0x' || substr(md5(ws[i.g] || ' ' || ws[i.g+1]), 1, 6))::BIGINT
+           |      % 256 AS bucket
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) g) i
+           |  WHERE len(ws) >= 2),
+           |counts AS (
+           |  SELECT bucket,
+           |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS t_cnt,
+           |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS r_cnt
+           |  FROM bigrams GROUP BY 1),
+           |totals AS (
+           |  SELECT CAST(sum(t_cnt) AS BIGINT) AS t_tot,
+           |    CAST(sum(r_cnt) AS BIGINT) AS r_tot FROM counts),
+           |weights AS (
+           |  SELECT bucket,
+           |    CAST(floor(ln(((t_cnt + 1) * (r_tot + 256)) /
+           |      CAST((r_cnt + 1) * (t_tot + 256) AS DOUBLE)) * 1e6) AS BIGINT)
+           |      AS w
+           |  FROM counts CROSS JOIN totals),
+           |scored AS (
+           |  SELECT b.doc_id, b.source, b.lang, count(*) AS n_bigrams,
+           |    CAST(sum(w.w) AS BIGINT) AS score
+           |  FROM bigrams b JOIN weights w USING (bucket)
+           |  WHERE b.lang <> 'en' GROUP BY 1, 2, 3)
+           |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+           |    AS INTEGER) AS rank,
+           |  doc_id, source, lang, n_bigrams, score
+           |FROM scored QUALIFY rank <= 20 ORDER BY rank""".stripMargin))
+
+  /** Pairwise source-vocabulary overlap: for every pair of sources,
+    * the exact Jaccard similarity of their token vocabularies — the
+    * corpus-mixing diagnostic that tells a pipeline which sources are
+    * near-redundant before weighting them (complement of q24's
+    * doc-level MinHash estimate: this is set-exact at the SOURCE
+    * grain, where exactness is affordable).
+    *
+    * Scale: the corpus collapses to a distinct (source, token)
+    * vocabulary table first; the pair join is vocabulary-sized and
+    * bounded by sources² per token; per-source sizes arrive via a
+    * broadcast. No corpus-sized join anywhere. */
+  val q208SourceOverlap = GraftQuery(
+    "q208_source_overlap",
+    (s, dir) => {
+      val vocab = Tables.documents(s, dir)
+        .select(col("source"), explode(split(
+          regexp_replace(lower(col("text")), "[^a-z]+", " "), " ")).as("tok"))
+        .filter(col("tok") =!= "").distinct()
+      val sizes = vocab.groupBy("source").agg(count(lit(1)).as("vsize"))
+      val a = vocab.select(col("source").as("source_a"), col("tok"))
+      val b = vocab.select(col("source").as("source_b"), col("tok"))
+      a.join(b, "tok").filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(sizes.select(col("source").as("source_a"),
+          col("vsize").as("vocab_a"))), "source_a")
+        .join(broadcast(sizes.select(col("source").as("source_b"),
+          col("vsize").as("vocab_b"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("vocab_a"),
+          col("vocab_b"), col("n_common"),
+          round(col("n_common") / (col("vocab_a") + col("vocab_b")
+            - col("n_common")).cast("double"), 6).as("jaccard"))
+        .orderBy("source_a", "source_b")
+    },
+    Some("""WITH vocab AS (
+           |  SELECT DISTINCT source, tok FROM (
+           |    SELECT source, unnest(string_split(
+           |      regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS tok
+           |    FROM documents) t
+           |  WHERE tok <> ''),
+           |sizes AS (SELECT source, count(*) AS vsize FROM vocab GROUP BY 1)
+           |SELECT a.source AS source_a, b.source AS source_b,
+           |  sa.vsize AS vocab_a, sb.vsize AS vocab_b,
+           |  count(*) AS n_common,
+           |  round(count(*) / CAST(sa.vsize + sb.vsize - count(*) AS DOUBLE), 6)
+           |    AS jaccard
+           |FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.source < b.source
+           |JOIN sizes sa ON sa.source = a.source
+           |JOIN sizes sb ON sb.source = b.source
+           |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q173EntityResolution, q174IntervalOverlap,
-    q175PiiRedaction, q176KmeansClusters, q181SemanticDedup)
+    q175PiiRedaction, q176KmeansClusters, q181SemanticDedup,
+    q202BoilerplateShingles, q203DsirImportance, q208SourceOverlap)
 }

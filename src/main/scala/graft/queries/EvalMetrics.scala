@@ -258,6 +258,99 @@ object EvalMetrics {
            |FROM t LEFT JOIN sea ON t.dow = sea.dow
            |ORDER BY day""".stripMargin))
 
+  /** Precision/recall of the MinHash-LSH near-dup detector against
+    * exact n-gram Jaccard ground truth — the eval a dedup rollout runs
+    * before trusting the approximate path at corpus scale: predicted =
+    * q24's banded candidates with estimated Jaccard ≥ 0.5, truth =
+    * q26's exact trigram Jaccard ≥ 0.5, confusion counted by a
+    * full-outer join of the two pair sets.
+    *
+    * Scale: both pair sets are produced by the engine's banded /
+    * shared-shingle equi-join paths (never doc×doc); the confusion
+    * join is pair-set-sized. Ratios are single divisions of exact
+    * counts. The oracle replays BOTH detectors in SQL (the q24 and q26
+    * oracle machinery composed), so a drift in either path or in the
+    * eval logic itself trips the gate. */
+  val q210DedupEval = GraftQuery(
+    "q210_dedup_eval",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val truth = graft.operators.Dedup
+        .ngramJaccardPairs(docs, shingleLen = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), lit(1).as("t"))
+      val pred = graft.operators.Dedup
+        .minHashCandidatePairs(docs, numHashes = 8, bandSize = 2, shingleLen = 3)
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), lit(1).as("p"))
+      truth.join(pred, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          sum(when(col("t").isNotNull && col("p").isNotNull, 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("t").isNull, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("p").isNull, 1L).otherwise(0L)).as("fn"))
+        .select(col("tp"), col("fp"), col("fn"),
+          round(col("tp") / (col("tp") + col("fp")).cast("double"), 6)
+            .as("precision"),
+          round(col("tp") / (col("tp") + col("fn")).cast("double"), 6)
+            .as("recall"),
+          round(col("tp") * 2 / (col("tp") * 2 + col("fp") + col("fn"))
+            .cast("double"), 6).as("f1"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+           |  FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    ws[i.g] || ' ' || ws[i.g+1] || ' ' || ws[i.g+2] AS s
+           |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) g) i
+           |  WHERE len(ws) >= 3),
+           |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+           |inter AS (
+           |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |truth AS (
+           |  SELECT id_a, id_b FROM inter
+           |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+           |  WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5),
+           |mh AS (
+           |  SELECT doc_id, h.g AS h, min(md5(h.g || ':' || s)) AS mh
+           |  FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) g) h
+           |  GROUP BY doc_id, h.g),
+           |bands AS (
+           |  SELECT doc_id, h // 2 AS band,
+           |         string_agg(mh, '|' ORDER BY h) AS band_key
+           |  FROM mh GROUP BY doc_id, h // 2),
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.band_key = b.band_key
+           |    AND a.doc_id < b.doc_id),
+           |pred AS (
+           |  SELECT id_a, id_b FROM (
+           |    SELECT id_a, id_b,
+           |      sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) * 1.0 / 8 AS ej
+           |    FROM cands
+           |    JOIN mh sa ON sa.doc_id = id_a
+           |    JOIN mh sb ON sb.doc_id = id_b AND sa.h = sb.h
+           |    GROUP BY id_a, id_b)
+           |  WHERE ej >= 0.5),
+           |conf AS (
+           |  SELECT
+           |    CAST(sum(CASE WHEN t.id_a IS NOT NULL AND p.id_a IS NOT NULL
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |    CAST(sum(CASE WHEN t.id_a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS fp,
+           |    CAST(sum(CASE WHEN p.id_a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS fn
+           |  FROM truth t FULL OUTER JOIN pred p
+           |    ON t.id_a = p.id_a AND t.id_b = p.id_b)
+           |SELECT tp, fp, fn,
+           |  round(tp / CAST(tp + fp AS DOUBLE), 6) AS precision,
+           |  round(tp / CAST(tp + fn AS DOUBLE), 6) AS recall,
+           |  round(tp * 2 / CAST(tp * 2 + fp + fn AS DOUBLE), 6) AS f1
+           |FROM conf""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(q178RetrievalEval, q179GroupedAuc, q180SeasonalDecompose)
+    Seq(q178RetrievalEval, q179GroupedAuc, q180SeasonalDecompose, q210DedupEval)
 }

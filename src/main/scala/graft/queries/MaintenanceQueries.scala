@@ -95,5 +95,265 @@ object MaintenanceQueries {
            |  max(l_quantity) AS max_qty
            |FROM lineitem""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile)
+  /** ANALYZE-style column statistics profiler: per column of the
+    * documents table — row count, null count, exact NDV, min/max, and
+    * average rendered length. The shape every cost-based optimizer and
+    * data-quality monitor needs per table.
+    *
+    * Scale: the table is melted to (col_name, value) pairs — a
+    * projection-only 5× row expansion, no shuffle — then aggregated in
+    * TWO levels: groupBy(col_name, value) with map-side combine (the
+    * heavy stage, equivalent to Spark's count-distinct Expand but with
+    * explicit partial aggregation), then a final pass over the
+    * VOCABULARY-sized (col_name, value, cnt) table. Exact NDV is the
+    * gate contract; at 100 TB the one-pass approximate path is the KMV
+    * sketch already gated by q34/q104. min/max for the integer columns
+    * are computed numerically (lexicographic string min would order
+    * "9" > "10") and rendered as integers, which both engines format
+    * identically. */
+  val q200ColumnStats = GraftQuery(
+    "q200_column_stats",
+    (s, dir) => {
+      val numericCols = Seq("doc_id", "n_chars")
+      val melted = Tables.documents(s, dir).select(expr(
+        """stack(5,
+          |  'doc_id',  cast(doc_id as string),
+          |  'lang',    lang,
+          |  'n_chars', cast(n_chars as string),
+          |  'source',  source,
+          |  'text',    text) as (col_name, value)""".stripMargin))
+      val grouped = melted
+        .groupBy("col_name", "value").agg(count(lit(1)).as("cnt"))
+      val isNum = col("col_name").isin(numericCols: _*)
+      grouped
+        .groupBy("col_name")
+        .agg(
+          sum("cnt").as("n_rows"),
+          coalesce(sum(when(col("value").isNull, col("cnt"))), lit(0L))
+            .as("n_null"),
+          count(when(col("value").isNotNull, lit(1))).as("ndv"),
+          min(when(isNum, col("value").cast("long"))).as("min_num"),
+          max(when(isNum, col("value").cast("long"))).as("max_num"),
+          min(when(!isNum, col("value"))).as("min_str"),
+          max(when(!isNum, col("value"))).as("max_str"),
+          sum(when(col("value").isNotNull, length(col("value")) * col("cnt")))
+            .as("len_sum"))
+        .select(col("col_name"), col("n_rows"), col("n_null"), col("ndv"),
+          coalesce(col("min_num").cast("string"), col("min_str")).as("min_s"),
+          coalesce(col("max_num").cast("string"), col("max_str")).as("max_s"),
+          round(col("len_sum") / (col("n_rows") - col("n_null")).cast("double"),
+            4).as("avg_len"))
+        .orderBy("col_name")
+    },
+    Some("""WITH melted AS (
+           |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS value,
+           |    TRUE AS is_num FROM documents
+           |  UNION ALL SELECT 'lang', lang, FALSE FROM documents
+           |  UNION ALL
+           |  SELECT 'n_chars', CAST(n_chars AS VARCHAR), TRUE FROM documents
+           |  UNION ALL SELECT 'source', source, FALSE FROM documents
+           |  UNION ALL SELECT 'text', text, FALSE FROM documents)
+           |SELECT col_name, count(*) AS n_rows,
+           |  CAST(COALESCE(sum(CASE WHEN value IS NULL THEN 1 END), 0)
+           |    AS BIGINT) AS n_null,
+           |  count(DISTINCT value) AS ndv,
+           |  CASE WHEN bool_and(is_num)
+           |    THEN CAST(min(TRY_CAST(value AS BIGINT)) AS VARCHAR)
+           |    ELSE min(value) END AS min_s,
+           |  CASE WHEN bool_and(is_num)
+           |    THEN CAST(max(TRY_CAST(value AS BIGINT)) AS VARCHAR)
+           |    ELSE max(value) END AS max_s,
+           |  round(sum(length(value)) /
+           |    CAST(count(value) AS DOUBLE), 4) AS avg_len
+           |FROM melted GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** CDC-style snapshot reconciliation: diff two table versions by key
+    * and classify every key as added / deleted / changed / unchanged,
+    * reporting per-status counts and a key checksum. The two versions
+    * are derived deterministically from `orders` inside the query
+    * (drop keys ≡ 0 mod 97 from the old snapshot, drop ≡ 0 mod 89 and
+    * reprice ≡ 0 mod 13 in the new one) so the oracle can replay them.
+    *
+    * Scale: one hash full-outer join on the key — no window, no sort.
+    * Change detection compares a single md5 over the payload (with the
+    * price held as integer cents so both engines hash identical bytes)
+    * instead of N column comparisons; this is the standard 100 TB
+    * snapshot-reconciliation scan shape. */
+  val q201SnapshotDiff = GraftQuery(
+    "q201_snapshot_diff",
+    (s, dir) => {
+      def cents(c: org.apache.spark.sql.Column) =
+        floor(c * 100 + lit(0.5)).cast("long")
+      val base = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val old = base.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"), md5(concat_ws("|", col("o_custkey"),
+          col("o_orderstatus"), cents(col("o_totalprice")))).as("h_old"))
+      val nw = base.filter(col("o_orderkey") % 89 =!= 0)
+        .withColumn("price2", when(col("o_orderkey") % 13 === 0,
+          col("o_totalprice") * 1.1).otherwise(col("o_totalprice")))
+        .select(col("o_orderkey"), md5(concat_ws("|", col("o_custkey"),
+          col("o_orderstatus"), cents(col("price2")))).as("h_new"))
+      old.join(nw, Seq("o_orderkey"), "full_outer")
+        .withColumn("status",
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "deleted")
+            .when(col("h_old") =!= col("h_new"), "changed")
+            .otherwise("unchanged"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(conv(substring(md5(col("o_orderkey").cast("string")), 1, 8),
+            16, 10).cast("long")).as("key_checksum"))
+        .orderBy("status")
+    },
+    Some("""WITH old AS (
+           |  SELECT o_orderkey, md5(o_custkey || '|' || o_orderstatus || '|'
+           |    || CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS h_old
+           |  FROM orders WHERE o_orderkey % 97 <> 0),
+           |nw AS (
+           |  SELECT o_orderkey, md5(o_custkey || '|' || o_orderstatus || '|'
+           |    || CAST(floor(CASE WHEN o_orderkey % 13 = 0
+           |         THEN o_totalprice * 1.1 ELSE o_totalprice END * 100 + 0.5)
+           |       AS BIGINT)) AS h_new
+           |  FROM orders WHERE o_orderkey % 89 <> 0),
+           |diff AS (
+           |  SELECT COALESCE(old.o_orderkey, nw.o_orderkey) AS k,
+           |    CASE WHEN h_old IS NULL THEN 'added'
+           |         WHEN h_new IS NULL THEN 'deleted'
+           |         WHEN h_old <> h_new THEN 'changed'
+           |         ELSE 'unchanged' END AS status
+           |  FROM old FULL OUTER JOIN nw USING (o_orderkey))
+           |SELECT status, count(*) AS n_rows,
+           |  CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT)
+           |    AS BIGINT) AS key_checksum
+           |FROM diff GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Generic MERGE INTO (upsert) semantics — the write-side operator
+    * every lakehouse table format executes: target `customer` merged
+    * with a source batch of per-customer order totals.
+    *   WHEN MATCHED AND n_orders >= 15 THEN DELETE        (churn rule)
+    *   WHEN MATCHED             THEN UPDATE acctbal += total
+    *   WHEN NOT MATCHED         THEN INSERT a new row
+    * Source keys ≡ 0 mod 50 are shifted by +1,000,000 so the
+    * not-matched branch is exercised. The gate reports per-action row
+    * counts with key and balance checksums over the POST-merge table.
+    *
+    * Scale: exactly how Delta/Iceberg execute MERGE — one hash
+    * full-outer join of target and source on the key, then a per-row
+    * action projection; no window, no sort, no second scan. Money is
+    * held as integer cents end-to-end (per-row floor before any sum)
+    * so the aggregate is associative and both engines agree exactly. */
+  val q204MergeUpsert = GraftQuery(
+    "q204_merge_upsert",
+    (s, dir) => {
+      val src = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("price_cents"))
+        .groupBy("o_custkey")
+        .agg(sum("price_cents").as("total_cents"),
+          count(lit(1)).as("n_orders"))
+        .select(
+          when(col("o_custkey") % 50 === 0, col("o_custkey") + 1000000L)
+            .otherwise(col("o_custkey")).as("k"),
+          col("total_cents"), col("n_orders"))
+      val tgt = Tables.customer(s, dir)
+        .select(col("c_custkey").as("k"),
+          floor(col("c_acctbal") * 100 + lit(0.5)).cast("long")
+            .as("bal_cents"))
+      tgt.join(src, Seq("k"), "full_outer")
+        .withColumn("action",
+          when(col("bal_cents").isNull, "inserted")
+            .when(col("total_cents").isNull, "untouched")
+            .when(col("n_orders") >= 15, "deleted")
+            .otherwise("updated"))
+        .withColumn("new_bal",
+          when(col("action") === "inserted", col("total_cents"))
+            .when(col("action") === "updated",
+              col("bal_cents") + col("total_cents"))
+            .when(col("action") === "untouched", col("bal_cents")))
+        .groupBy("action")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(conv(substring(md5(col("k").cast("string")), 1, 8), 16, 10)
+            .cast("long")).as("key_checksum"),
+          coalesce(sum("new_bal"), lit(0L)).as("bal_cents_sum"))
+        .orderBy("action")
+    },
+    Some("""WITH src AS (
+           |  SELECT CASE WHEN o_custkey % 50 = 0 THEN o_custkey + 1000000
+           |           ELSE o_custkey END AS k,
+           |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS total_cents,
+           |    count(*) AS n_orders
+           |  FROM orders GROUP BY o_custkey),
+           |tgt AS (
+           |  SELECT c_custkey AS k,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+           |  FROM customer),
+           |merged AS (
+           |  SELECT COALESCE(tgt.k, src.k) AS k, bal_cents, total_cents,
+           |    CASE WHEN bal_cents IS NULL THEN 'inserted'
+           |         WHEN total_cents IS NULL THEN 'untouched'
+           |         WHEN n_orders >= 15 THEN 'deleted'
+           |         ELSE 'updated' END AS action
+           |  FROM tgt FULL OUTER JOIN src USING (k))
+           |SELECT action, count(*) AS n_rows,
+           |  CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT)
+           |    AS BIGINT) AS key_checksum,
+           |  CAST(COALESCE(sum(CASE action
+           |    WHEN 'inserted' THEN total_cents
+           |    WHEN 'updated' THEN bal_cents + total_cents
+           |    WHEN 'untouched' THEN bal_cents END), 0) AS BIGINT)
+           |    AS bal_cents_sum
+           |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Incremental aggregate maintenance: a materialized per-bucket
+    * aggregate (count / sum / max over `orders`, keyed by
+    * o_custkey % 100) is built from the base partition
+    * (o_orderdate < 1998-01-01), then MERGED with the delta
+    * partition's aggregate — coalesced counts add, sums add, maxes
+    * take greatest — instead of recomputing over the union. The oracle
+    * aggregates the whole table directly, so the gate proves the merge
+    * is exactly the recompute (associativity of the aggregate state).
+    *
+    * Scale: this is the nightly-incremental pattern — the base
+    * aggregate is bucket-sized (here 100 rows; at 100 TB still ~keys,
+    * not rows) and only the delta is scanned, so daily cost tracks the
+    * day's data, not table history. Money as per-row integer cents
+    * keeps every partial sum associative and engine-exact. */
+  val q207IncrementalAgg = GraftQuery(
+    "q207_incremental_agg",
+    (s, dir) => {
+      val withCents = Tables.orders(s, dir).select(
+        (col("o_custkey") % 100).as("bucket"),
+        col("o_orderdate"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+          .as("price_cents"))
+      def aggOf(df: org.apache.spark.sql.DataFrame) = df.groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("cents"),
+          max("price_cents").as("max_cents"))
+      val cut = lit("1998-01-01").cast("date")
+      val base = aggOf(withCents.filter(col("o_orderdate").cast("date") < cut))
+      val delta = aggOf(withCents.filter(col("o_orderdate").cast("date") >= cut))
+      base.select(col("bucket"), col("n").as("bn"), col("cents").as("bc"),
+          col("max_cents").as("bm"))
+        .join(delta, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("n"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("bc"), lit(0L)) + coalesce(col("cents"), lit(0L)))
+            .as("cents_sum"),
+          greatest(coalesce(col("bm"), lit(Long.MinValue)),
+            coalesce(col("max_cents"), lit(Long.MinValue))).as("max_cents"))
+        .orderBy("bucket")
+    },
+    Some("""SELECT o_custkey % 100 AS bucket, count(*) AS n_orders,
+           |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |    AS BIGINT) AS cents_sum,
+           |  CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |    AS BIGINT) AS max_cents
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
+    q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg)
 }

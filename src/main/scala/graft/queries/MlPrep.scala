@@ -767,9 +767,113 @@ object MlPrep {
            |WHERE r.rn = CAST(ceil(s.n_keys * 0.95) AS INTEGER)
            |ORDER BY r.key_name""".stripMargin))
 
+  /** Exact distributed quantiles (percentile_disc semantics: the value
+    * at rank ceil(p·n)) of l_quantity per l_returnflag, computed from
+    * the VALUE-FREQUENCY table rather than by sorting the fact rows:
+    * groupBy(group, value) collapses the corpus to its value
+    * vocabulary (l_quantity has ~50 distinct values), a per-group
+    * cumulative sum ranks it, and each quantile is the min value whose
+    * cumulative count reaches the target rank.
+    *
+    * Scale: the only window runs over the vocabulary-sized frequency
+    * table (dozens of rows per group), never the fact table — exact
+    * quantiles at 100 TB cost one map-side-combined aggregation. This
+    * is the right form whenever the value domain is bounded
+    * (quantities, ratings, bucketed metrics); for unbounded doubles
+    * the engine's paths are fixed-width binning (q92) or sketches
+    * (q34's KMV family). Rank arithmetic (ceil of n·p) uses the same
+    * IEEE double product in both engines, and the output values are
+    * untouched table values — no float synthesis anywhere. */
+  val q205GroupQuantiles = GraftQuery(
+    "q205_group_quantiles",
+    (s, dir) => {
+      val freq = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy("l_quantity")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val n = freq.groupBy("l_returnflag").agg(sum("cnt").as("n"))
+      def q(p: Double, name: String) =
+        min(when(col("cum") >= ceil(col("n") * p), col("l_quantity"))).as(name)
+      freq.withColumn("cum", sum("cnt").over(w))
+        .join(broadcast(n), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(max("n").as("n_rows"), q(0.25, "p25"), q(0.5, "p50"),
+          q(0.75, "p75"), q(0.95, "p95"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH freq AS (
+           |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+           |  FROM lineitem GROUP BY 1, 2),
+           |cum AS (
+           |  SELECT l_returnflag, l_quantity, cnt,
+           |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM freq),
+           |n AS (SELECT l_returnflag, CAST(sum(cnt) AS BIGINT) AS n FROM freq
+           |      GROUP BY 1)
+           |SELECT c.l_returnflag, max(n.n) AS n_rows,
+           |  min(CASE WHEN cum >= ceil(n.n * 0.25) THEN l_quantity END) AS p25,
+           |  min(CASE WHEN cum >= ceil(n.n * 0.5) THEN l_quantity END) AS p50,
+           |  min(CASE WHEN cum >= ceil(n.n * 0.75) THEN l_quantity END) AS p75,
+           |  min(CASE WHEN cum >= ceil(n.n * 0.95) THEN l_quantity END) AS p95
+           |FROM cum c JOIN n USING (l_returnflag)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Temperature-scaled mixture weights (the multilingual-pretraining
+    * sampler from XLM-R/mT5): source i is sampled with probability
+    * p_i ∝ n_i^α, α = 0.3 — upweighting small sources without letting
+    * any dominate. Reports per source the sampling probability and the
+    * implied epochs (how many passes over the source one corpus-epoch
+    * of sampling makes): epochs_i = p_i · N_total / n_i > 1 for small
+    * sources, < 1 for large ones.
+    *
+    * Scale: one map-side-combined aggregation to per-source byte
+    * totals (sources: dozens of rows), then a one-row broadcast of the
+    * normalizer. Exactness: n_i^0.3 is floored to integer nano-units
+    * immediately (one pow per source, identical IEEE input in both
+    * engines), so the normalizing sum is a sum of longs; the published
+    * ratios are then two exact-integer divisions with a fixed
+    * parenthesization. */
+  val q209TemperatureMixture = GraftQuery(
+    "q209_temperature_mixture",
+    (s, dir) => {
+      val n = Tables.documents(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_bytes"))
+      val w = n.withColumn("w_scaled",
+        floor(pow(col("n_bytes").cast("double"), 0.3) * 1e9).cast("long"))
+      val tot = w.agg(sum("w_scaled").as("w_tot"), sum("n_bytes").as("b_tot"))
+      w.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_bytes"),
+          round(col("w_scaled") / col("w_tot").cast("double"), 6).as("p"),
+          round((col("w_scaled") / col("w_tot").cast("double")) *
+            (col("b_tot") / col("n_bytes").cast("double")), 6).as("epochs"))
+        .orderBy("source")
+    },
+    Some("""WITH n AS (
+           |  SELECT source, count(*) AS n_docs,
+           |    CAST(sum(n_chars) AS BIGINT) AS n_bytes
+           |  FROM documents GROUP BY 1),
+           |w AS (
+           |  SELECT source, n_docs, n_bytes,
+           |    CAST(floor(pow(CAST(n_bytes AS DOUBLE), 0.3) * 1e9) AS BIGINT)
+           |      AS w_scaled
+           |  FROM n),
+           |tot AS (
+           |  SELECT CAST(sum(w_scaled) AS BIGINT) AS w_tot,
+           |    CAST(sum(n_bytes) AS BIGINT) AS b_tot FROM w)
+           |SELECT source, n_docs, n_bytes,
+           |  round(w_scaled / CAST(w_tot AS DOUBLE), 6) AS p,
+           |  round((w_scaled / CAST(w_tot AS DOUBLE)) *
+           |    (b_tot / CAST(n_bytes AS DOUBLE)), 6) AS epochs
+           |FROM w CROSS JOIN tot ORDER BY source""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q50TrainTestSplit, q51VocabTopK, q52Tfidf,
     q53Contamination, q70PretrainPipeline, q86SequencePacking, q87MixtureSample,
     q92QuantileBinning, q93FeatureHash, q100StratifiedSample, q106WeightedSample,
     q110DecontaminatedSplit, q169Bm25Retrieval, q182CorpusShards,
-    q191VocabTopP, q192SkewDiagnostic, q198OovRate)
+    q191VocabTopP, q192SkewDiagnostic, q198OovRate, q205GroupQuantiles,
+    q209TemperatureMixture)
 }

@@ -269,7 +269,86 @@ object VectorQueries {
             |  FROM scored)
             |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
 
+  /** Recall of int8-quantized similarity search against exact search —
+    * the eval an embedding-store rollout runs before switching its
+    * corpus to a compressed representation: both the corpus and the
+    * queries are scalar-quantized (q57's per-vector int8 scheme),
+    * top-5 neighbors are computed in the quantized space, and each
+    * query reports how many of its EXACT top-5 survive (recall@5).
+    *
+    * Scale: two bounded-heap top-k searches (the same plan as q30 —
+    * at scale the quantized side runs the IVF/LSH path, with 4× less
+    * vector I/O from int8 storage, which is the point) plus an
+    * equi-join of two k-sized result sets per query. Determinism: the
+    * dequantized values are pure IEEE arithmetic on table floats —
+    * floor(x/scale + 0.5)·scale — and the dot-product fold order
+    * matches DuckDB's list_sum, so ranks agree exactly; ties break on
+    * neighbor id in both engines. */
+  val q206QuantizedRecall = GraftQuery(
+    "q206_quantized_recall",
+    (s, dir) => {
+      val x = col("embedding")
+      val scale = array_max(transform(x, e => abs(e.cast("double")))) / 127.0
+      val deqCol = transform(x, e =>
+        floor(e.cast("double") / scale + lit(0.5)) * scale)
+      val emb = Tables.embeddings(s, dir)
+      val deq = emb.select(col("vec_id"), deqCol.as("dq"))
+      def topk(df: org.apache.spark.sql.DataFrame, vcol: String) = {
+        val queries = df.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col(vcol).as("qvec"))
+        val corpus = df.select(col("vec_id").as("cid"), col(vcol).as("cvec"))
+        Similarity.bruteForceTopK(queries, corpus, k = 5)
+      }
+      val exact = topk(emb, "embedding").select("qid", "neighbor_id")
+      val quant = topk(deq, "dq")
+        .select(col("qid"), col("neighbor_id").as("q_neighbor"))
+      exact.join(quant,
+          exact("qid") === quant("qid") &&
+            exact("neighbor_id") === quant("q_neighbor"), "left_outer")
+        .groupBy(exact("qid").as("qid"))
+        .agg(sum(when(col("q_neighbor").isNotNull, 1L).otherwise(0L))
+          .as("n_overlap"))
+        .select(col("qid"), col("n_overlap"),
+          round(col("n_overlap") / 5.0, 2).as("recall_at_5"))
+        .orderBy("qid")
+    },
+    Some(s"""WITH deq AS (
+            |  SELECT vec_id, list_transform(embedding, e ->
+            |    floor(CAST(e AS DOUBLE) /
+            |      (list_max(list_transform(embedding,
+            |         f -> abs(CAST(f AS DOUBLE)))) / 127.0) + 0.5)
+            |    * (list_max(list_transform(embedding,
+            |         f -> abs(CAST(f AS DOUBLE)))) / 127.0)) AS dq
+            |  FROM embeddings),
+            |exact AS (
+            |  SELECT qid, neighbor_id FROM (
+            |    SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+            |      row_number() OVER (PARTITION BY a.vec_id
+            |        ORDER BY $cosSql DESC, b.vec_id ASC) AS rank
+            |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+            |    WHERE a.vec_id < 10)
+            |  WHERE rank <= 5),
+            |quant AS (
+            |  SELECT qid, neighbor_id FROM (
+            |    SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+            |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            |        list_sum(list_transform(a.dq, (x, i) -> x * b.dq[i]))
+            |        / (sqrt(list_sum(list_transform(a.dq, x -> x * x)))
+            |         * sqrt(list_sum(list_transform(b.dq, x -> x * x))))
+            |        DESC, b.vec_id ASC) AS rank
+            |    FROM deq a JOIN deq b ON b.vec_id <> a.vec_id
+            |    WHERE a.vec_id < 10)
+            |  WHERE rank <= 5)
+            |SELECT e.qid,
+            |  CAST(COALESCE(sum(CASE WHEN q.neighbor_id IS NOT NULL
+            |    THEN 1 END), 0) AS BIGINT) AS n_overlap,
+            |  round(COALESCE(sum(CASE WHEN q.neighbor_id IS NOT NULL
+            |    THEN 1 END), 0) / 5.0, 2) AS recall_at_5
+            |FROM exact e LEFT JOIN quant q
+            |  ON q.qid = e.qid AND q.neighbor_id = e.neighbor_id
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q30AnnBruteForce, q31CosinePairs, q32AnnLsh,
     q37AnnIvf, q38EmbeddingNearDup, q57EmbeddingQuantize, q103LabelCentroids,
-    q109EmbeddingOutliers, q165FilteredAnn)
+    q109EmbeddingOutliers, q165FilteredAnn, q206QuantizedRecall)
 }
