@@ -275,4 +275,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
     assert(p.contains("hashpartitioning(source"), p)
   }
+
+  test("q200: profiler is a two-level hash aggregation, no count-distinct Expand") {
+    val p = plan("q200_column_stats")
+    // melt + groupBy(col,value) + groupBy(col): partial/final pairs of
+    // two aggregations; an Expand node would mean the multi-distinct
+    // rewrite sneaked back in (input × #distinct-aggs blowup)
+    assert(!p.contains("Expand"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("q201/q204/q207: write-path diffs/merges are single hash joins, no cartesian") {
+    for (q <- Seq("q201_snapshot_diff", "q204_merge_upsert", "q207_incremental_agg")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(p.contains("FullOuter"), s"$q missing the full-outer merge join:\n$p")
+    }
+  }
+
+  test("q203: bucket weights join by broadcast; only the 1-row totals cross") {
+    // adaptive toString repeats the tree under "== Initial Plan =="
+    val p = plan("q203_dsir_importance").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p)
+    // the 256-row weight table and the doc-count table must broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only nested-loop allowed is the broadcast of the 1-row totals
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    // top-20 must be the bounded-heap form, not a global window
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q210: detector eval joins stay equi-join (no doc-cross anywhere)") {
+    val p = plan("q210_dedup_eval")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q213: transition window partitions by user (no single-partition window)") {
+    val p = plan("q213_event_transitions")
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("user_id")), p)
+  }
 }
