@@ -351,6 +351,73 @@ object EvalMetrics {
            |  round(tp * 2 / CAST(tp * 2 + fp + fn AS DOUBLE), 6) AS f1
            |FROM conf""".stripMargin))
 
+  /** Distribution-drift monitor: total-variation distance between the
+    * order-value histograms of two time periods (before / from
+    * 1998-01-01) — the dataset-shift alarm every production pipeline
+    * runs on its feature distributions, plus the single bin that
+    * contributes most to the drift (where to look first).
+    *
+    * Scale: one fact scan folds into a BIN-sized histogram (50k$-wide
+    * buckets) with map-side combine; everything after runs on dozens
+    * of rows. Exactness: per-bin gaps are cross-multiplied exact
+    * integers |cnt_a·n_b − cnt_b·n_a| (no per-bin ratio rounding), so
+    * TV = Σgap / (2·n_a·n_b) is ONE final division; the top bin is an
+    * exact-integer argmax with a bin-id tie-break. */
+  val q212DriftMonitor = GraftQuery(
+    "q212_drift_monitor",
+    (s, dir) => {
+      val bins = Tables.orders(s, dir)
+        .select((floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            / 5000000L).cast("long").as("bin"),
+          (col("o_orderdate").cast("date") < lit("1998-01-01").cast("date"))
+            .as("is_a"))
+        .groupBy("bin")
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("cnt_a"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("cnt_b"))
+      val tot = bins.agg(count(lit(1)).as("n_bins"), sum("cnt_a").as("n_a"),
+        sum("cnt_b").as("n_b"))
+      val scored = bins.crossJoin(broadcast(tot))
+        .withColumn("gap", abs(col("cnt_a") * col("n_b")
+          - col("cnt_b") * col("n_a")))
+      val top = scored.orderBy(col("gap").desc, col("bin").asc).limit(1)
+        .select(col("bin").as("top_bin"), col("gap").as("top_gap"))
+      scored.groupBy("n_bins", "n_a", "n_b")
+        .agg(sum("gap").as("gap_sum"))
+        .crossJoin(broadcast(top))
+        .select(col("n_bins"), col("n_a"), col("n_b"),
+          round(col("gap_sum") / (col("n_a") * col("n_b") * 2).cast("double"),
+            6).as("tv_distance"),
+          col("top_bin"),
+          round(col("top_gap") / (col("n_a") * col("n_b") * 2).cast("double"),
+            6).as("top_bin_share"))
+    },
+    Some("""WITH bins AS (
+           |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 5000000
+           |      AS bin,
+           |    CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+           |    CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+           |  FROM orders GROUP BY 1),
+           |tot AS (
+           |  SELECT count(*) AS n_bins, CAST(sum(cnt_a) AS BIGINT) AS n_a,
+           |    CAST(sum(cnt_b) AS BIGINT) AS n_b FROM bins),
+           |scored AS (
+           |  SELECT bin, abs(cnt_a * n_b - cnt_b * n_a) AS gap, n_bins, n_a, n_b
+           |  FROM bins CROSS JOIN tot),
+           |top AS (
+           |  SELECT bin AS top_bin, gap AS top_gap FROM scored
+           |  ORDER BY gap DESC, bin ASC LIMIT 1)
+           |SELECT n_bins, n_a, n_b,
+           |  round(CAST(sum(gap) AS BIGINT)
+           |    / CAST(n_a * n_b * 2 AS DOUBLE), 6) AS tv_distance,
+           |  top_bin,
+           |  round(top_gap / CAST(n_a * n_b * 2 AS DOUBLE), 6)
+           |    AS top_bin_share
+           |FROM scored CROSS JOIN top
+           |GROUP BY n_bins, n_a, n_b, top_bin, top_gap""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(q178RetrievalEval, q179GroupedAuc, q180SeasonalDecompose, q210DedupEval)
+    Seq(q178RetrievalEval, q179GroupedAuc, q180SeasonalDecompose,
+      q210DedupEval, q212DriftMonitor)
 }

@@ -843,7 +843,8 @@ object TextQueries {
        |           unnest(range(1, len(string_split(trim(toks,'§'),'§§')))) AS i
        |    FROM w$p) GROUP BY 1, 2),
        |b$k AS (SELECT a, b, weight FROM p$k ORDER BY weight DESC, a, b LIMIT 1),
-       |w$k AS (SELECT replace(toks, '§'||a||'§§'||b||'§', '§'||a||b||'§') AS toks,
+       |w$k AS (SELECT word,
+       |               replace(toks, '§'||a||'§§'||b||'§', '§'||a||b||'§') AS toks,
        |               freq
        |        FROM w$p CROSS JOIN b$k)""".stripMargin
   }
@@ -873,7 +874,8 @@ object TextQueries {
            |      regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS word
            |    FROM documents) t
            |  WHERE word <> '' GROUP BY 1),
-           |w0 AS (SELECT regexp_replace(word, '(.)', '§\\1§', 'g') AS toks, freq
+           |w0 AS (SELECT word, regexp_replace(word, '(.)', '§\\1§', 'g') AS toks,
+           |              freq
            |       FROM wordlist),
            |${bpeStep(1)},
            |${bpeStep(2)},
@@ -919,7 +921,8 @@ object TextQueries {
            |      regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS word
            |    FROM documents) t
            |  WHERE word <> '' GROUP BY 1),
-           |w0 AS (SELECT regexp_replace(word, '(.)', '§\\1§', 'g') AS toks, freq
+           |w0 AS (SELECT word, regexp_replace(word, '(.)', '§\\1§', 'g') AS toks,
+           |              freq
            |       FROM wordlist),
            |${bpeStep(1)},
            |${bpeStep(2)},
@@ -994,6 +997,78 @@ object TextQueries {
            |FROM sp CROSS JOIN leak
            |GROUP BY split, leaked_pairs ORDER BY split""".stripMargin))
 
+  /** Sequence packing under the LEARNED tokenizer — the step that
+    * closes the BPE arc (q189 learns → q194 tokenizes → this packs):
+    * q86's greedy order-preserving packing re-run with REAL learned-BPE
+    * token counts instead of whitespace counts, which is what decides
+    * how many 512-token training sequences the corpus actually yields.
+    *
+    * Scale: the tokenizer is applied to the WORD VOCABULARY once
+    * (vocabulary-sized projection through the same codegen'd
+    * sentinel-replace as learning), then joined back to the corpus
+    * word stream — the corpus is never re-tokenized row by row. The
+    * offset cumsum is the two-phase [[graft.operators.GlobalRank]]
+    * form (no single-partition window). The oracle replays learning,
+    * vocabulary tokenization, the join-back, and the packing. */
+  val q211BpePacking = GraftQuery(
+    "q211_bpe_packing",
+    (s, dir) => {
+      val budget = 512L
+      val docWords = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(
+          regexp_replace(lower(col("text")), "[^a-z]+", " "), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val words = docWords.groupBy("word").agg(count(lit(1)).as("freq")).cache()
+      val merges = graft.operators.BpeLearn.learn(words, 3)
+      val wordLens = words.select(col("word"),
+        size(graft.operators.BpeLearn.tokenizeCol(col("word"), merges))
+          .cast("long").as("w_tokens"))
+      val docCounts = docWords.join(wordLens, "word")
+        .groupBy("doc_id").agg(sum("w_tokens").as("n_tokens"))
+      graft.operators.GlobalRank
+        .exclusiveCumSum(docCounts, "offset", col("n_tokens"), col("doc_id"))
+        .withColumn("bin_id", (col("offset") / budget).cast("long"))
+        .groupBy("bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("bin_id")
+    },
+    Some(s"""WITH wordlist AS (
+           |  SELECT word, count(*) AS freq FROM (
+           |    SELECT unnest(string_split(
+           |      regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS word
+           |    FROM documents) t
+           |  WHERE word <> '' GROUP BY 1),
+           |w0 AS (SELECT word, regexp_replace(word, '(.)', '§\\1§', 'g') AS toks,
+           |              freq
+           |       FROM wordlist),
+           |${bpeStep(1)},
+           |${bpeStep(2)},
+           |${bpeStep(3)},
+           |wl AS (
+           |  SELECT word,
+           |    CAST(len(string_split(trim(toks, '§'), '§§')) AS BIGINT)
+           |      AS w_tokens
+           |  FROM w3),
+           |docw AS (
+           |  SELECT doc_id, word FROM (
+           |    SELECT doc_id, unnest(string_split(
+           |      regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS word
+           |    FROM documents) t
+           |  WHERE word <> ''),
+           |dc AS (
+           |  SELECT doc_id, CAST(sum(w_tokens) AS BIGINT) AS n_tokens
+           |  FROM docw JOIN wl USING (word) GROUP BY 1),
+           |o AS (
+           |  SELECT doc_id, n_tokens,
+           |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           |  FROM dc)
+           |SELECT CAST(off // 512 AS BIGINT) AS bin_id, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM o GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** Quality-aware near-dup survivor selection: q55 keeps the MIN-ID
     * document per cluster (cheap, arbitrary); a curation pipeline
     * keeps the BEST one. Survivor = argmax (n_chars, then min doc_id)
@@ -1057,5 +1132,5 @@ object TextQueries {
     q88DocChunks, q101NearDupDegree, q108CrossSourceDups, q111MinhashOph,
     q122SpanDedup, q123NgramNovelty, q139SubstringRepeats,
     q163ContainmentPairs, q189BpeLearn, q190LeakageSafeSplit,
-    q194BpeTokenize, q199BestSurvivor)
+    q194BpeTokenize, q199BestSurvivor, q211BpePacking)
 }
