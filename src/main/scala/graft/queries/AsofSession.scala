@@ -286,48 +286,70 @@ object AsofSession {
            |  AND a.start_sec <= b.end_sec AND b.start_sec <= a.end_sec
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  /** Per-user event-transition matrix (first-order Markov counts): for
-    * each user's time-ordered event stream, count (event_type →
-    * next_event_type) transitions and the per-from-type transition
-    * probability — the structure behind next-event prediction training
-    * data, funnel health dashboards, and anomalous-journey detection.
+  /** Markov sequence-anomaly scoring: fit the corpus-level first-order
+    * transition model P(next|prev) over event types (q136's matrix),
+    * then score every USER's journey by its average negative
+    * log-likelihood under that model — the sequence-mining operator
+    * behind anomalous-flow / bot / fraud detection ("this user's
+    * click path is unlike the population's"). Emits the top-20 most
+    * anomalous users. No smoothing term is needed: every scored
+    * transition occurs in the corpus that defines the model (q125's
+    * argument), so the model join can never miss.
     *
-    * Scale: the lead() window is partitioned by user_id, so it
-    * parallelizes across users with no global sort (per-user event
-    * counts are session-sized); the output is |event types|² rows. The
-    * (ts, event_id) ordering makes simultaneous events deterministic
-    * in both engines. Probability is one division of exact counts. */
-  val q213EventTransitions = GraftQuery(
-    "q213_event_transitions",
+    * Scale: the lead() window partitions by user_id (per-key sort,
+    * session-sized partitions, no global sort); the model is the
+    * |types|² matrix — broadcast, never shuffled against the event
+    * stream; per-user scoring is one map-side-combined hash
+    * aggregation; top-20 is a bounded-heap TakeOrderedAndProject,
+    * never a global sort of the user population. The ordering key is
+    * the ROUNDED score (6 dp) with a user_id tie-break, so the
+    * selection boundary is deterministic across engines. */
+  val q213SequenceAnomaly = GraftQuery(
+    "q213_sequence_anomaly",
     (s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val trans = Tables.events(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
         .withColumn("to_type", lead("event_type", 1).over(w))
         .filter(col("to_type").isNotNull)
-        .groupBy(col("event_type").as("from_type"), col("to_type"))
-        .agg(count(lit(1)).as("n"))
-      val totals = trans.groupBy("from_type").agg(sum("n").as("tot"))
-      trans.join(broadcast(totals), "from_type")
-        .select(col("from_type"), col("to_type"), col("n"),
-          round(col("n") / col("tot").cast("double"), 6).as("p"))
-        .orderBy("from_type", "to_type")
+        .select(col("user_id"), col("event_type").as("from_type"),
+          col("to_type"))
+      val matrix = trans
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      val totals = matrix.groupBy("from_type").agg(sum("n").as("tot"))
+      val model = matrix.join(totals, "from_type")
+        .select(col("from_type"), col("to_type"),
+          (col("n") / col("tot").cast("double")).as("p"))
+      trans.join(broadcast(model), Seq("from_type", "to_type"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_transitions"),
+          avg(-log(col("p"))).as("nll"))
+        .select(col("user_id"), col("n_transitions"),
+          round(col("nll"), 6).as("avg_neg_logprob"))
+        .orderBy(col("avg_neg_logprob").desc, col("user_id"))
+        .limit(20)
     },
     Some("""WITH seq AS (
-           |  SELECT event_type AS from_type,
+           |  SELECT user_id, event_type AS from_type,
            |    lead(event_type) OVER (PARTITION BY user_id
            |      ORDER BY ts, event_id) AS to_type
            |  FROM events),
-           |trans AS (
+           |trans AS (SELECT * FROM seq WHERE to_type IS NOT NULL),
+           |matrix AS (
            |  SELECT from_type, to_type, count(*) AS n
-           |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+           |  FROM trans GROUP BY 1, 2),
            |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
-           |        FROM trans GROUP BY 1)
-           |SELECT t.from_type, t.to_type, t.n,
-           |  round(t.n / CAST(x.tot AS DOUBLE), 6) AS p
-           |FROM trans t JOIN tot x USING (from_type)
-           |ORDER BY 1, 2""".stripMargin))
+           |        FROM matrix GROUP BY 1),
+           |model AS (
+           |  SELECT m.from_type, m.to_type, m.n / CAST(x.tot AS DOUBLE) AS p
+           |  FROM matrix m JOIN tot x USING (from_type))
+           |SELECT t.user_id, CAST(count(*) AS BIGINT) AS n_transitions,
+           |  round(avg(-ln(p)), 6) AS avg_neg_logprob
+           |FROM trans t JOIN model USING (from_type, to_type)
+           |GROUP BY t.user_id
+           |ORDER BY avg_neg_logprob DESC, user_id
+           |LIMIT 20""".stripMargin))
 
   val all: Seq[GraftQuery] = Seq(q17AsofInterval, q19Sessionize, q79Funnel,
-    q80JsonProps, q91AsofNearest, q119SessionOverlap, q213EventTransitions)
+    q80JsonProps, q91AsofNearest, q119SessionOverlap, q213SequenceAnomaly)
 }

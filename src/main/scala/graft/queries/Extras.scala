@@ -2376,6 +2376,78 @@ object Extras {
            |  FROM a2)
            |WHERE rank <= 20 ORDER BY rank""".stripMargin))
 
+  /** Multi-source BFS shortest paths (bounded depth) over the
+    * co-purchase graph — the reachability/distance primitive behind
+    * "products within k hops of a seed set", influence radii, and
+    * taint propagation. Seeds are every 1000th part; three rounds of
+    * frontier expansion assign each reached node its MINIMUM hop
+    * distance (a node enters `dist` the first round it appears and is
+    * anti-joined away afterwards). Emits per-distance node counts
+    * with an id checksum.
+    *
+    * Scale: the iteration shuffles only (frontier ⋈ edges) — frontier
+    * is a node set, never paths, so the working set is bounded by V
+    * per round regardless of path multiplicity (the reason BFS-as-
+    * joins beats the oracle's recursive-CTE walk enumeration at
+    * 100 TB); edges hash-partition identically each round, so
+    * Catalyst reuses the one edge-build shuffle (q129's
+    * ReusedExchange pattern — an explicit persist measured slower
+    * there). Depth is a constant (3), so lineage stays shallow; an
+    * unbounded-diameter BFS would checkpoint per round like Dedup's
+    * connected components. */
+  val q215ShortestPaths = GraftQuery(
+    "q215_shortest_paths",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey").cast("long").as("pk"))
+      val e0 = li.as("x")
+        .join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        .distinct()
+      val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      val seeds = Tables.part(s, dir)
+        .filter(col("p_partkey") % 1000 === 0)
+        .select(col("p_partkey").cast("long").as("node"))
+      var dist = seeds.withColumn("dist", lit(0))
+      var frontier = seeds
+      for (d <- 1 to 3) {
+        val fresh = frontier.join(edges, col("node") === col("a"))
+          .select(col("b").as("node")).distinct()
+          .join(dist.select("node"), Seq("node"), "left_anti")
+          .withColumn("dist", lit(d))
+        dist = dist.unionAll(fresh)
+        frontier = fresh.select("node")
+      }
+      dist.groupBy(col("dist").cast("long").as("dist"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(conv(substring(md5(col("node").cast("string")), 1, 8), 16, 10)
+            .cast("long")).as("node_sum"))
+        .orderBy("dist")
+    },
+    Some("""WITH RECURSIVE li AS (
+           |  SELECT l_orderkey, CAST(l_partkey AS BIGINT) AS pk
+           |  FROM lineitem GROUP BY 1, 2),
+           |e0 AS (
+           |  SELECT x.pk AS a, y.pk AS b
+           |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+           |    AND x.pk < y.pk
+           |  GROUP BY 1, 2),
+           |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+           |bfs(node, dist) AS (
+           |  SELECT CAST(p_partkey AS BIGINT), 0 FROM part
+           |  WHERE p_partkey % 1000 = 0
+           |  UNION
+           |  SELECT e.b, bfs.dist + 1
+           |  FROM bfs JOIN edges e ON e.a = bfs.node
+           |  WHERE bfs.dist < 3),
+           |mind AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY node)
+           |SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_nodes,
+           |  CAST(sum(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 8))
+           |    ::BIGINT) AS BIGINT) AS node_sum
+           |FROM mind GROUP BY dist ORDER BY dist""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
     q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
     q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup, q75StatAggregates,
@@ -2392,5 +2464,5 @@ object Extras {
     q144RevenueGini, q145RfmSegments, q146OrderReconciliation,
     q147BenfordAudit, q148BehaviorEntropy, q149OrderGaps, q150RankFusion,
     q151RevenueAnomalies, q162SlidingWindows, q164VariantProps,
-    q170LinearAttribution, q171LDiversity, q172HitsAuthorities)
+    q170LinearAttribution, q171LDiversity, q172HitsAuthorities, q215ShortestPaths)
 }

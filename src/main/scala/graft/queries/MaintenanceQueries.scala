@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.Observation
 import graft.{GraftQuery, Tables}
+import graft.sources.GraftTable
 
 /** Table-maintenance operators: the jobs a lakehouse runs BETWEEN
   * queries to keep 100 TB readable — small-file compaction planning
@@ -354,6 +355,113 @@ object MaintenanceQueries {
            |    AS BIGINT) AS max_cents
            |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Temp roots live until JVM exit (caller materializes AFTER the
+    * query returns); one static hook sweeps the shared list — same
+    * contract as SourceQueries. */
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  locally {
+    sys.addShutdownHook {
+      tempDirs.forEach(f =>
+        org.apache.commons.io.FileUtils.deleteQuietly(f): Unit)
+    }: Unit
+  }
+  private def newTempDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+    tempDirs.add(dir)
+    dir.getAbsolutePath
+  }
+
+  /** Versioned-table time travel through [[GraftTable]] — the full
+    * lakehouse write path exercised END TO END against a logical
+    * replay: create v0 from `customer`, copy-on-write UPSERT a batch
+    * of per-customer order totals (keys ≡ 0 mod 50 shifted so inserts
+    * happen) into v1, copy-on-write DELETE (bal ≡ 0 mod 7) into v2,
+    * then snapshot-read ALL THREE versions from one table and emit
+    * per-version row/balance/key/name checksums. Any error in the
+    * manifest log, file pruning, carried-file bookkeeping, merge
+    * join, or delete rewrite shows up as a checksum drift in SOME
+    * version (deleting a carried file corrupts v0's sums; rewriting
+    * too few files corrupts v1's).
+    *
+    * Scale: the data path is DataFrame write/read per commit; only
+    * the metadata-sized file ledger touches the driver (the contract
+    * every production table format has). Balances are integer cents
+    * end-to-end, so every aggregate is exact. File-COUNT assertions
+    * (pruning actually carries files forward) live in
+    * GraftTableSpec — DuckDB can only replay the logical content. */
+  val q214TableTimeTravel = GraftQuery(
+    "q214_table_time_travel",
+    (s, dir) => {
+      val root = newTempDir("graft_table_tt") + "/tbl"
+      val v0 = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_name").as("name"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal_cents"))
+      GraftTable.create(s, root, v0, "k", nBuckets = 8)
+      val batch = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("bal_cents"))
+        .select(
+          when(col("o_custkey") % 50 === 0, col("o_custkey") + 1000000L)
+            .otherwise(col("o_custkey")).cast("long").as("k"),
+          col("bal_cents"))
+        .withColumn("name", concat(lit("Batch#"), col("k").cast("string")))
+      GraftTable.upsert(s, root, batch.select("k", "name", "bal_cents"), "k")
+      GraftTable.deleteWhere(s, root, col("bal_cents") % 7 === 0, "k")
+      def slice(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+      def summary(v: Int) = GraftTable.read(s, root, Some(v))
+        .agg(count(lit(1)).as("n_rows"), sum("bal_cents").as("bal_sum"),
+          sum(slice(col("k").cast("string"))).as("key_sum"),
+          sum(slice(col("name"))).as("name_sum"))
+        .select(lit(v).cast("long").as("version"), col("n_rows"),
+          col("bal_sum"), col("key_sum"), col("name_sum"))
+      summary(0).unionAll(summary(1)).unionAll(summary(2))
+        .orderBy("version")
+    },
+    Some("""WITH v0 AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+           |  FROM customer),
+           |batch AS (
+           |  SELECT CAST(CASE WHEN o_custkey % 50 = 0
+           |      THEN o_custkey + 1000000 ELSE o_custkey END AS BIGINT) AS k,
+           |    'Batch#' || CAST(CASE WHEN o_custkey % 50 = 0
+           |      THEN o_custkey + 1000000 ELSE o_custkey END AS VARCHAR) AS name,
+           |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS bal_cents
+           |  FROM orders GROUP BY o_custkey),
+           |v1 AS (
+           |  SELECT COALESCE(b.k, t.k) AS k,
+           |    COALESCE(b.name, t.name) AS name,
+           |    COALESCE(b.bal_cents, t.bal_cents) AS bal_cents
+           |  FROM v0 t FULL OUTER JOIN batch b ON t.k = b.k),
+           |v2 AS (SELECT * FROM v1 WHERE NOT (bal_cents % 7 = 0)),
+           |s AS (
+           |  SELECT 0 AS v, count(*) AS n_rows, sum(bal_cents) AS bal_sum,
+           |    sum(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT)
+           |      AS key_sum,
+           |    sum(('0x' || substr(md5(name), 1, 8))::BIGINT) AS name_sum
+           |  FROM v0
+           |  UNION ALL
+           |  SELECT 1, count(*), sum(bal_cents),
+           |    sum(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT),
+           |    sum(('0x' || substr(md5(name), 1, 8))::BIGINT)
+           |  FROM v1
+           |  UNION ALL
+           |  SELECT 2, count(*), sum(bal_cents),
+           |    sum(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT),
+           |    sum(('0x' || substr(md5(name), 1, 8))::BIGINT)
+           |  FROM v2)
+           |SELECT CAST(v AS BIGINT) AS version, n_rows,
+           |  CAST(bal_sum AS BIGINT) AS bal_sum,
+           |  CAST(key_sum AS BIGINT) AS key_sum,
+           |  CAST(name_sum AS BIGINT) AS name_sum
+           |FROM s ORDER BY version""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
-    q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg)
+    q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
+    q214TableTimeTravel)
 }

@@ -312,9 +312,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q213: transition window partitions by user (no single-partition window)") {
-    val p = plan("q213_event_transitions")
+  test("q213: anomaly scoring broadcasts the model, heap-selects top-20") {
+    val p = plan("q213_sequence_anomaly")
     val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    // the lead() window must partition by user — never a global sort
     assert(windows.nonEmpty && windows.forall(_.contains("user_id")), p)
+    // the |types|^2 model joins the event stream as a broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    // top-20 anomalous users via bounded heap, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 }

@@ -1,0 +1,136 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** File-level contracts of the versioned table format that the q214
+  * gate (logical content only) cannot see: pruning actually carries
+  * untouched files forward, committed data files are immutable,
+  * time travel survives later commits, vacuum respects retention, and
+  * the manifest publish is create-if-absent. */
+class GraftTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_table_spec").toString + "/tbl"
+
+  private def base(n: Int) = spark.range(1, n + 1).select(
+    $"id".as("k"),
+    concat(lit("row"), $"id").as("name"),
+    ($"id" * 10).as("v"))
+
+  test("create + read round-trips; history reports one version") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(1000), "k", nBuckets = 4)
+    val got = GraftTable.read(spark, root)
+    assert(got.count() === 1000)
+    assert(got.columns.toSeq === Seq("k", "name", "v"))
+    assert(got.agg(sum("v")).as[Long].head() === 10L * 1000 * 1001 / 2)
+    assert(GraftTable.history(spark, root) === Seq((0, 4, 1000L)))
+  }
+
+  test("upsert prunes: files outside the batch key range are carried forward") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(1000), "k", nBuckets = 4)
+    val m0 = manifestLines(root, 0)
+    // batch touches only the lowest key range (k <= 50)
+    val batch = spark.range(1, 51).select(
+      $"id".as("k"), concat(lit("upd"), $"id").as("name"),
+      lit(-1L).as("v"))
+    val (v, rewritten, carried) = GraftTable.upsert(spark, root, batch, "k")
+    assert(v === 1)
+    assert(rewritten >= 1 && rewritten < 4, s"expected pruning, got $rewritten")
+    assert(carried === 4 - rewritten)
+    val m1 = manifestLines(root, 1)
+    // every carried manifest line appears VERBATIM in the new manifest
+    val carriedLines = m0.toSet.intersect(m1.toSet)
+    assert(carriedLines.size === carried)
+    // content: 50 updates, zero inserts
+    val now = GraftTable.read(spark, root)
+    assert(now.count() === 1000)
+    assert(now.filter($"v" === -1L).count() === 50)
+    assert(now.filter($"name".startsWith("upd")).count() === 50)
+  }
+
+  test("upsert inserts unmatched keys and time travel preserves v0") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(100), "k", nBuckets = 2)
+    val batch = spark.range(98, 106).select(
+      $"id".as("k"), concat(lit("b"), $"id").as("name"), lit(7L).as("v"))
+    GraftTable.upsert(spark, root, batch, "k")
+    assert(GraftTable.read(spark, root).count() === 105)
+    // v0 unchanged after the commit
+    val v0 = GraftTable.read(spark, root, Some(0))
+    assert(v0.count() === 100)
+    assert(v0.filter($"v" === 7L).count() === 0)
+  }
+
+  test("deleteWhere rewrites only files containing matches; NULL predicate keeps rows") {
+    val root = freshRoot()
+    val withNulls = spark.range(1, 401).select(
+      $"id".as("k"), concat(lit("row"), $"id").as("name"),
+      when($"id" % 5 === 0, lit(null).cast("long"))
+        .otherwise($"id").as("v"))
+    GraftTable.create(spark, root, withNulls, "k", nBuckets = 4)
+    // delete rows with v % 2 = 0 among k <= 100 only: other files carried
+    val (v, rewritten, carried) =
+      GraftTable.deleteWhere(spark, root,
+        col("v") % 2 === 0 && col("k") <= 100, "k")
+    assert(v === 1)
+    assert(rewritten >= 1 && carried >= 1, s"rw=$rewritten carry=$carried")
+    val now = GraftTable.read(spark, root)
+    // NULL-valued rows (v IS NULL -> predicate NULL) are KEPT
+    assert(now.filter($"v".isNull).count() === 80)
+    assert(now.filter($"k" <= 100 && $"v" % 2 === 0).count() === 0)
+    assert(now.filter($"k" > 100 && $"v" % 2 === 0).count() > 0)
+  }
+
+  test("vacuum removes unreferenced files but keeps retained versions readable") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(200), "k", nBuckets = 2)
+    val batch = spark.range(1, 201).select(
+      $"id".as("k"), concat(lit("u"), $"id").as("name"), lit(0L).as("v"))
+    GraftTable.upsert(spark, root, batch, "k") // rewrites everything
+    GraftTable.deleteWhere(spark, root, col("k") % 3 === 0, "k")
+    val removed = GraftTable.vacuum(spark, root, retainVersions = 2)
+    assert(removed > 0, "v0-only files should be swept")
+    // retained versions still read
+    assert(GraftTable.read(spark, root, Some(2)).count() ===
+      200 - spark.range(1, 201).filter($"id" % 3 === 0).count())
+    assert(GraftTable.read(spark, root, Some(1)).count() === 200)
+    // vacuumed version is gone
+    intercept[Exception] { GraftTable.read(spark, root, Some(0)).count() }
+  }
+
+  test("manifest publish is create-if-absent (racing committer loses)") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(10), "k", nBuckets = 1)
+    // a committer that lost the race publishes onto an existing
+    // version: the create-if-absent rename must throw, not overwrite
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0 = new org.apache.hadoop.fs.Path(root, "_log/v00000.manifest")
+    val before = GraftTable.read(spark, root).count()
+    intercept[IllegalStateException] {
+      GraftTable.writeAtomic(fs, v0, "loser\n")
+    }
+    // the winner's manifest is untouched and the snapshot still reads
+    assert(GraftTable.read(spark, root).count() === before)
+    // a committer who observes the newer snapshot simply commits the
+    // NEXT version (optimistic retry): base moves forward, no clobber
+    val batch = spark.range(1, 3).select(
+      $"id".as("k"), lit("x").as("name"), lit(0L).as("v"))
+    val (v, _, _) = GraftTable.upsert(spark, root, batch, "k")
+    assert(v === 1)
+    // and re-creating an existing table is refused outright
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, root, base(10), "k", nBuckets = 1)
+    }
+  }
+
+  private def manifestLines(root: String, v: Int): Seq[String] = {
+    val src = scala.io.Source.fromFile(f"$root/_log/v$v%05d.manifest")
+    try src.getLines().filter(_.nonEmpty).toList finally src.close()
+  }
+}
