@@ -417,7 +417,207 @@ object EvalMetrics {
            |FROM scored CROSS JOIN top
            |GROUP BY n_bins, n_a, n_b, top_bin, top_gap""".stripMargin))
 
+  /** BLEU-2 generation-quality scoring (Papineni et al. 2002): clipped
+    * unigram/bigram precision with brevity penalty, per document. The
+    * "candidate" is derived deterministically from the reference
+    * inside the query — every 7th token substituted with an
+    * out-of-vocabulary marker and the last ⌊len/10⌋ tokens truncated —
+    * so the metric pipeline (n-gram clipping, the part naive accuracy
+    * gets wrong, and the BP term) is exercised against known damage
+    * and replayed exactly by the oracle. The eval shape for comparing
+    * a generation/repair pass against source text at corpus scale.
+    *
+    * Scale: n-gram counting is explode + map-side-combined hash
+    * aggregation per (doc, gram); clipping is an equi-join of the two
+    * count tables on (doc, gram) — never a cross join; everything
+    * stays partitioned by doc_id. Each doc's p₁/p₂ are single
+    * divisions of exact counts; only BP·√(p₁p₂) touches exp/ln,
+    * rounded at 4 dp. */
+  val q216BleuEval = GraftQuery(
+    "q216_bleu_eval",
+    (s, dir) => {
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("ws"))
+        .withColumn("rlen", size(col("ws")).cast("long"))
+        .filter(col("rlen") >= 2)
+        .withColumn("clen", (col("rlen") - floor(col("rlen") / 10)).cast("long"))
+      val candTok =
+        """CASE WHEN %s %% 7 = 0 THEN 'zzsubz'
+          |ELSE element_at(ws, CAST(%s AS INT)) END""".stripMargin
+      val cu = t.select(col("doc_id"), explode(expr(
+        s"transform(sequence(1L, clen), p -> ${candTok.format("p", "p")})"))
+        .as("w"))
+      val ru = t.select(col("doc_id"), explode(col("ws")).as("w"))
+      val cb = t.select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1L, clen - 1L), p ->
+           |  concat(${candTok.format("p", "p")}, ' ',
+           |         ${candTok.format("(p + 1)", "(p + 1)")}))""".stripMargin))
+        .as("w"))
+      val rb = t.select(col("doc_id"), explode(expr(
+        """transform(sequence(1L, rlen - 1L), p ->
+          |  concat(element_at(ws, CAST(p AS INT)), ' ',
+          |         element_at(ws, CAST(p + 1 AS INT))))""".stripMargin)).as("w"))
+      def clipped(cand: org.apache.spark.sql.DataFrame,
+          ref: org.apache.spark.sql.DataFrame) = {
+        val cc = cand.groupBy("doc_id", "w").agg(count(lit(1)).as("cc"))
+        val rc = ref.groupBy("doc_id", "w").agg(count(lit(1)).as("rc"))
+        cc.join(rc, Seq("doc_id", "w"), "left_outer")
+          .groupBy("doc_id")
+          .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L)))).as("clip"),
+            sum(col("cc")).as("tot"))
+      }
+      val u = clipped(cu, ru).select(col("doc_id"),
+        col("clip").as("clip1"), col("tot").as("tot1"))
+      val b = clipped(cb, rb).select(col("doc_id"),
+        col("clip").as("clip2"), col("tot").as("tot2"))
+      val pr1 = col("clip1") / col("tot1").cast("double")
+      val pr2 = col("clip2") / col("tot2").cast("double")
+      val bp = when(col("clen") < col("rlen"),
+        exp(lit(1) - col("rlen").cast("double") / col("clen"))).otherwise(lit(1.0))
+      t.select(col("doc_id"), col("rlen"), col("clen"))
+        .join(u, "doc_id").join(b, "doc_id")
+        .select(col("doc_id"), col("rlen").as("ref_len"),
+          col("clen").as("cand_len"),
+          round(pr1, 6).as("p1"), round(pr2, 6).as("p2"),
+          round(bp * exp(lit(0.5) * (log(pr1) + log(pr2))), 4).as("bleu2"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+           |  FROM documents),
+           |d AS (
+           |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS rlen,
+           |    CAST(len(ws) - floor(len(ws) / 10) AS BIGINT) AS clen
+           |  FROM t WHERE len(ws) >= 2),
+           |cu AS (
+           |  SELECT doc_id, CASE WHEN p.g % 7 = 0 THEN 'zzsubz'
+           |    ELSE ws[p.g] END AS w
+           |  FROM d, LATERAL (SELECT unnest(generate_series(1, clen)) g) p),
+           |ru AS (
+           |  SELECT doc_id, ws[p.g] AS w
+           |  FROM d, LATERAL (SELECT unnest(generate_series(1, rlen)) g) p),
+           |cb AS (
+           |  SELECT doc_id,
+           |    (CASE WHEN p.g % 7 = 0 THEN 'zzsubz' ELSE ws[p.g] END)
+           |    || ' ' ||
+           |    (CASE WHEN (p.g + 1) % 7 = 0 THEN 'zzsubz' ELSE ws[p.g + 1] END)
+           |      AS w
+           |  FROM d, LATERAL (SELECT unnest(generate_series(1, clen - 1)) g) p),
+           |rb AS (
+           |  SELECT doc_id, ws[p.g] || ' ' || ws[p.g + 1] AS w
+           |  FROM d, LATERAL (SELECT unnest(generate_series(1, rlen - 1)) g) p),
+           |u AS (
+           |  SELECT cc.doc_id,
+           |    CAST(sum(least(cc.c, COALESCE(rc.c, 0))) AS BIGINT) AS clip1,
+           |    CAST(sum(cc.c) AS BIGINT) AS tot1
+           |  FROM (SELECT doc_id, w, count(*) AS c FROM cu GROUP BY 1, 2) cc
+           |  LEFT JOIN (SELECT doc_id, w, count(*) AS c FROM ru GROUP BY 1, 2) rc
+           |    ON cc.doc_id = rc.doc_id AND cc.w = rc.w
+           |  GROUP BY cc.doc_id),
+           |b AS (
+           |  SELECT cc.doc_id,
+           |    CAST(sum(least(cc.c, COALESCE(rc.c, 0))) AS BIGINT) AS clip2,
+           |    CAST(sum(cc.c) AS BIGINT) AS tot2
+           |  FROM (SELECT doc_id, w, count(*) AS c FROM cb GROUP BY 1, 2) cc
+           |  LEFT JOIN (SELECT doc_id, w, count(*) AS c FROM rb GROUP BY 1, 2) rc
+           |    ON cc.doc_id = rc.doc_id AND cc.w = rc.w
+           |  GROUP BY cc.doc_id)
+           |SELECT d.doc_id, d.rlen AS ref_len, d.clen AS cand_len,
+           |  round(u.clip1 / CAST(u.tot1 AS DOUBLE), 6) AS p1,
+           |  round(b.clip2 / CAST(b.tot2 AS DOUBLE), 6) AS p2,
+           |  round((CASE WHEN d.clen < d.rlen
+           |      THEN exp(1 - d.rlen / CAST(d.clen AS DOUBLE)) ELSE 1 END)
+           |    * exp(0.5 * (ln(u.clip1 / CAST(u.tot1 AS DOUBLE))
+           |               + ln(b.clip2 / CAST(b.tot2 AS DOUBLE)))), 4) AS bleu2
+           |FROM d JOIN u USING (doc_id) JOIN b USING (doc_id)
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Inter-annotator agreement: Fleiss' κ per source over 3 synthetic
+    * annotators (derived from md5 so the oracle reproduces them: each
+    * annotator reports the item's base label `doc_id % 3` but flips it
+    * with 30% md5-derived noise) — the labeled-data QA gate every
+    * RLHF / classification dataset runs before training on human
+    * labels.
+    *
+    * The whole statistic is EXACT-INTEGER until one final division:
+    * with N items, n=3 raters, A = Σᵢⱼ n²ᵢⱼ − 3N (the P̄ numerator
+    * scaled by 6N) and B = Σⱼ S²ⱼ (squared per-category totals, the
+    * P_e numerator scaled by 9N²),
+    *   κ = (3N·A − 2B) / (2·(9N² − B))
+    * — so no engine-order-dependent float summation exists anywhere
+    * (longs overflow only past ~10⁹ items per group; shard groups
+    * before that). Per-item counts are one hash aggregation on
+    * (doc, label); category totals one more on (source, label). */
+  val q217LabelAgreement = GraftQuery(
+    "q217_label_agreement",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val labels = base
+        .select(col("doc_id"), col("source"),
+          explode(array(lit(1), lit(2), lit(3))).as("annot"))
+        .withColumn("h",
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("annot").cast("string"))), 1, 4), 16, 10).cast("long") % 10)
+        .withColumn("t", col("doc_id") % 3)
+        .withColumn("label",
+          when(col("h") < 3, (col("t") + 1 + col("h") % 2) % 3)
+            .otherwise(col("t")))
+      val perItem = labels.groupBy("source", "doc_id", "label")
+        .agg(count(lit(1)).as("nij"))
+      val aTerm = perItem.groupBy("source")
+        .agg(sum(col("nij") * col("nij")).as("sumsq"),
+          countDistinct("doc_id").as("n_items"),
+          sum(when(col("nij") === 3, 1L).otherwise(0L)).as("n_unanimous"))
+        .select(col("source"), col("n_items"), col("n_unanimous"),
+          (col("sumsq") - lit(3) * col("n_items")).as("a"))
+      val bTerm = perItem.groupBy("source", "label")
+        .agg(sum("nij").as("sj"))
+        .groupBy("source").agg(sum(col("sj") * col("sj")).as("b"))
+      aTerm.join(bTerm, "source")
+        .select(col("source"), col("n_items"), col("n_unanimous"),
+          round(col("a") / (lit(6) * col("n_items")).cast("double"), 6)
+            .as("p_bar"),
+          round(col("b") / (lit(9) * col("n_items") * col("n_items"))
+            .cast("double"), 6).as("p_e"),
+          round((lit(3) * col("n_items") * col("a") - lit(2) * col("b")) /
+            (lit(2) * (lit(9) * col("n_items") * col("n_items") - col("b")))
+              .cast("double"), 6).as("kappa"))
+        .orderBy("source")
+    },
+    Some("""WITH raw AS (
+           |  SELECT doc_id, source,
+           |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+           |      || CAST(a.annot AS VARCHAR)), 1, 4))::BIGINT % 10 AS h
+           |  FROM documents, LATERAL (SELECT unnest([1, 2, 3]) AS annot) a),
+           |labels AS (
+           |  SELECT doc_id, source,
+           |    CASE WHEN h < 3 THEN ((doc_id % 3) + 1 + h % 2) % 3
+           |         ELSE doc_id % 3 END AS label
+           |  FROM raw),
+           |per_item AS (
+           |  SELECT source, doc_id, label, count(*) AS nij
+           |  FROM labels GROUP BY 1, 2, 3),
+           |a_term AS (
+           |  SELECT source,
+           |    count(DISTINCT doc_id) AS n_items,
+           |    CAST(sum(CASE WHEN nij = 3 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_unanimous,
+           |    CAST(sum(nij * nij) - 3 * count(DISTINCT doc_id) AS BIGINT) AS a
+           |  FROM per_item GROUP BY source),
+           |b_term AS (
+           |  SELECT source, CAST(sum(sj * sj) AS BIGINT) AS b FROM (
+           |    SELECT source, label, sum(nij) AS sj
+           |    FROM per_item GROUP BY 1, 2)
+           |  GROUP BY source)
+           |SELECT a_term.source, n_items, n_unanimous,
+           |  round(a / CAST(6 * n_items AS DOUBLE), 6) AS p_bar,
+           |  round(b / CAST(9 * n_items * n_items AS DOUBLE), 6) AS p_e,
+           |  round((3 * n_items * a - 2 * b) /
+           |    CAST(2 * (9 * n_items * n_items - b) AS DOUBLE), 6) AS kappa
+           |FROM a_term JOIN b_term USING (source)
+           |ORDER BY source""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q178RetrievalEval, q179GroupedAuc, q180SeasonalDecompose,
-      q210DedupEval, q212DriftMonitor)
+      q210DedupEval, q212DriftMonitor, q216BleuEval, q217LabelAgreement)
 }

@@ -536,8 +536,107 @@ object QualityQueries {
            |  CAST(0 AS BIGINT) AS n_clean_changed
            |FROM d GROUP BY source ORDER BY source""".stripMargin))
 
+  /** CCNet-style perplexity filtering (Wenzek et al. 2020): train the
+    * interpolated bigram LM on a REFERENCE slice only (the `en` docs —
+    * the wiki-quality stand-in), score EVERY document against it, and
+    * bucket each source's docs into head/middle/tail perplexity
+    * terciles — the cross-domain filtering decision CCNet applies to
+    * CommonCrawl, as opposed to q125's self-scoring. Cross-domain
+    * scoring forces real smoothing: unseen-in-reference bigrams get
+    * λ·0 and unseen unigrams fall back to add-one over (N+V), so
+    * every probability is strictly positive.
+    *
+    * Determinism: per-doc NLL is rounded to 6 dp BEFORE the tercile
+    * window ranks on (nll, doc_id), so bucket membership can't flip
+    * on engine float-summation order; bucket stats are min/max of
+    * already-rounded values (no second float aggregation anywhere).
+    *
+    * Scale: model tables are vocabulary-sized and built once from the
+    * reference slice; scoring is three equi-joins against them plus a
+    * broadcast of the 1-row (N, V) census; the tercile window
+    * partitions by source over doc-count-sized rows. */
+  val q219PerplexityFilter = GraftQuery(
+    "q219_perplexity_filter",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def bigrams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), col("source"),
+          graft.functions.Text.tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("source"), explode(expr(
+          """CASE WHEN size(t) < 2 THEN array()
+            |ELSE transform(sequence(1, size(t) - 1),
+            |  i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))
+            |END""".stripMargin)).as("b"))
+        .select(col("doc_id"), col("source"),
+          col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val en = docs.filter(col("lang") === "en")
+      val enToks = en.select(explode(graft.functions.Text.tokens(col("text")))
+        .as("tok"))
+      val uni = enToks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val census = enToks.agg(count(lit(1)).as("n_total"),
+        countDistinct("tok").as("v_size"))
+      val bc = bigrams(en).groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val scored = bigrams(docs)
+        .join(bc, Seq("w1", "w2"), "left_outer")
+        .join(uni.withColumnRenamed("tok", "w1").withColumnRenamed("c", "c1"),
+          Seq("w1"), "left_outer")
+        .join(uni.withColumnRenamed("tok", "w2").withColumnRenamed("c", "c2"),
+          Seq("w2"), "left_outer")
+        .crossJoin(broadcast(census))
+        .withColumn("p",
+          lit(0.9) * coalesce(col("cb") / col("c1"), lit(0.0)) +
+            lit(0.1) * (coalesce(col("c2"), lit(0L)) + lit(1)) /
+              (col("n_total") + col("v_size")).cast("double"))
+        .groupBy("doc_id", "source")
+        .agg(round(avg(-log(col("p"))), 6).as("nll"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("nll"), col("doc_id"))
+      scored.withColumn("bucket", ntile(3).over(w).cast("long"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("nll").as("min_nll"), max("nll").as("max_nll"))
+        .orderBy("source", "bucket")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, source, lang,
+           |    string_split_regex(trim(text), '\s+') AS ws
+           |  FROM documents),
+           |en_toks AS (
+           |  SELECT tok.x AS tok FROM t, LATERAL (SELECT unnest(ws) x) tok
+           |  WHERE lang = 'en'),
+           |uni AS (SELECT tok, count(*) AS c FROM en_toks GROUP BY tok),
+           |census AS (SELECT count(*) AS n_total, count(DISTINCT tok) AS v_size
+           |           FROM en_toks),
+           |en_bi AS (
+           |  SELECT ws[i.g] AS w1, ws[i.g + 1] AS w2, count(*) AS cb
+           |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) g) i
+           |  WHERE lang = 'en' GROUP BY 1, 2),
+           |bi AS (
+           |  SELECT doc_id, source, ws[i.g] AS w1, ws[i.g + 1] AS w2
+           |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) g) i),
+           |scored AS (
+           |  SELECT doc_id, source,
+           |    round(avg(-ln(
+           |      0.9 * COALESCE(cb / CAST(u1.c AS DOUBLE), 0)
+           |      + 0.1 * (COALESCE(u2.c, 0) + 1)
+           |        / CAST(n_total + v_size AS DOUBLE))), 6) AS nll
+           |  FROM bi
+           |  LEFT JOIN en_bi USING (w1, w2)
+           |  LEFT JOIN uni u1 ON u1.tok = bi.w1
+           |  LEFT JOIN uni u2 ON u2.tok = bi.w2
+           |  CROSS JOIN census
+           |  GROUP BY doc_id, source),
+           |bucketed AS (
+           |  SELECT source, doc_id, nll,
+           |    ntile(3) OVER (PARTITION BY source ORDER BY nll, doc_id)
+           |      AS bucket
+           |  FROM scored)
+           |SELECT source, CAST(bucket AS BIGINT) AS bucket,
+           |  count(*) AS n_docs, min(nll) AS min_nll, max(nll) AS max_nll
+           |FROM bucketed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q58GopherQuality, q59RepetitionStats,
     q60TokenEntropy, q74UnigramLogprob, q94Collocations, q95ChiSquare,
     q98LangidConfidence, q99C4Boilerplate, q112CmsHeavyHitters,
-    q125BigramLogprob, q195UnicodeRepair)
+    q125BigramLogprob, q195UnicodeRepair, q219PerplexityFilter)
 }

@@ -348,7 +348,108 @@ object VectorQueries {
             |  ON q.qid = e.qid AND q.neighbor_id = e.neighbor_id
             |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Product quantization (Jégou et al. 2011, the IVF-PQ building
+    * block): split each 64-dim vector into 2 subspaces of 32 dims,
+    * train a 4-centroid codebook PER SUBSPACE (distributed Lloyd's,
+    * q176's deterministic seed-and-round contract), and encode every
+    * vector as its pair of nearest-centroid codes — 64 floats become
+    * 2 small ints, the compression that makes billion-vector ANN fit
+    * in serving memory. Emits each vector's code pair and exact
+    * reconstruction error (per-subspace |v|²+score, summed in fixed
+    * order so the oracle's fold matches bit-for-bit).
+    *
+    * Scale: codebook training is the k·dim-per-iteration KMeans
+    * machinery (only 2·4·32 doubles ever reach the driver); encoding
+    * is a narrow projection against broadcast centroid literals —
+    * 2·4 codegen'd vec_dot calls per row, no join, no shuffle beyond
+    * the final order. The oracle replays both subspace trainings in
+    * SQL CTEs (q176's pattern, twice, on list slices). */
+  val q218ProductQuantization = GraftQuery(
+    "q218_product_quantization",
+    (s, dir) => {
+      import graft.operators.KMeans
+      val emb = Tables.embeddings(s, dir)
+      val lo = emb.select(col("vec_id"), expr("slice(embedding, 1, 32)").as("embedding"))
+      val hi = emb.select(col("vec_id"), expr("slice(embedding, 33, 32)").as("embedding"))
+      def encode(df: org.apache.spark.sql.DataFrame, tag: String) = {
+        val cents = KMeans.fit(df, k = 4, iters = 1)
+        KMeans.assign(df, cents)
+          .select(col("vec_id"),
+            col("cluster").cast("long").as(s"code_$tag"),
+            (Similarity.dot(col("embedding"), col("embedding"))
+              + col("score")).as(s"err_$tag"))
+      }
+      encode(lo, "lo").join(encode(hi, "hi"), "vec_id")
+        .select(col("vec_id"), col("code_lo"), col("code_hi"),
+          round(col("err_lo") + col("err_hi"), 6).as("recon_err"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH lo AS (
+           |  SELECT vec_id, list_transform(embedding[1:32],
+           |    x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |hi AS (
+           |  SELECT vec_id, list_transform(embedding[33:64],
+           |    x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |lo_c0 AS (SELECT CAST(vec_id AS INTEGER) AS cl, v AS cv
+           |          FROM lo WHERE vec_id < 4),
+           |lo_s1 AS (
+           |  SELECT e.vec_id, e.v, c.cl,
+           |    list_sum(list_transform(c.cv, x -> x * x))
+           |      - 2 * list_sum(list_transform(e.v, (x, i) -> x * c.cv[i]))
+           |      AS score
+           |  FROM lo e CROSS JOIN lo_c0 c),
+           |lo_a1 AS (SELECT vec_id, v, cl FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY score, cl) AS rn FROM lo_s1) WHERE rn = 1),
+           |lo_e1 AS (SELECT cl, unnest(list_transform(v,
+           |           (x, i) -> {'i': i, 'x': x})) AS u FROM lo_a1),
+           |lo_u1 AS (SELECT cl, u.i AS i, round(avg(u.x), 9) AS m
+           |          FROM lo_e1 GROUP BY cl, u.i),
+           |lo_c1 AS (SELECT cl, list(m ORDER BY i) AS cv FROM lo_u1 GROUP BY cl),
+           |lo_s2 AS (
+           |  SELECT e.vec_id, e.v, c.cl,
+           |    list_sum(list_transform(c.cv, x -> x * x))
+           |      - 2 * list_sum(list_transform(e.v, (x, i) -> x * c.cv[i]))
+           |      AS score
+           |  FROM lo e CROSS JOIN lo_c1 c),
+           |lo_a2 AS (SELECT vec_id, cl, score,
+           |    list_sum(list_transform(v, x -> x * x)) AS n2 FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY score, cl) AS rn FROM lo_s2) WHERE rn = 1),
+           |hi_c0 AS (SELECT CAST(vec_id AS INTEGER) AS cl, v AS cv
+           |          FROM hi WHERE vec_id < 4),
+           |hi_s1 AS (
+           |  SELECT e.vec_id, e.v, c.cl,
+           |    list_sum(list_transform(c.cv, x -> x * x))
+           |      - 2 * list_sum(list_transform(e.v, (x, i) -> x * c.cv[i]))
+           |      AS score
+           |  FROM hi e CROSS JOIN hi_c0 c),
+           |hi_a1 AS (SELECT vec_id, v, cl FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY score, cl) AS rn FROM hi_s1) WHERE rn = 1),
+           |hi_e1 AS (SELECT cl, unnest(list_transform(v,
+           |           (x, i) -> {'i': i, 'x': x})) AS u FROM hi_a1),
+           |hi_u1 AS (SELECT cl, u.i AS i, round(avg(u.x), 9) AS m
+           |          FROM hi_e1 GROUP BY cl, u.i),
+           |hi_c1 AS (SELECT cl, list(m ORDER BY i) AS cv FROM hi_u1 GROUP BY cl),
+           |hi_s2 AS (
+           |  SELECT e.vec_id, e.v, c.cl,
+           |    list_sum(list_transform(c.cv, x -> x * x))
+           |      - 2 * list_sum(list_transform(e.v, (x, i) -> x * c.cv[i]))
+           |      AS score
+           |  FROM hi e CROSS JOIN hi_c1 c),
+           |hi_a2 AS (SELECT vec_id, cl, score,
+           |    list_sum(list_transform(v, x -> x * x)) AS n2 FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY score, cl) AS rn FROM hi_s2) WHERE rn = 1)
+           |SELECT l.vec_id, CAST(l.cl AS BIGINT) AS code_lo,
+           |  CAST(h.cl AS BIGINT) AS code_hi,
+           |  round((l.n2 + l.score) + (h.n2 + h.score), 6) AS recon_err
+           |FROM lo_a2 l JOIN hi_a2 h USING (vec_id)
+           |ORDER BY vec_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q30AnnBruteForce, q31CosinePairs, q32AnnLsh,
     q37AnnIvf, q38EmbeddingNearDup, q57EmbeddingQuantize, q103LabelCentroids,
-    q109EmbeddingOutliers, q165FilteredAnn, q206QuantizedRecall)
+    q109EmbeddingOutliers, q165FilteredAnn, q206QuantizedRecall,
+    q218ProductQuantization)
 }
