@@ -265,6 +265,26 @@ object GraftTable {
     (v, rewrite.size, carry.size)
   }
 
+  /** Streaming-ingest commit: create the table on the first batch,
+    * upsert on every later one, and SKIP batches whose id has already
+    * committed (a `_log/ingest-<id>.marker` written after the
+    * manifest publish) — so a micro-batch replayed by the streaming
+    * engine after a failure between sink write and checkpoint commit
+    * does not grow the version log. A failure BETWEEN manifest and
+    * marker re-runs the upsert, which is content-idempotent
+    * (last-write-wins on the same keys) — the same effective-once
+    * contract production foreachBatch sinks document. */
+  def ingestBatch(spark: SparkSession, root: String, batch: DataFrame,
+      key: String, batchId: Long, nBuckets: Int = 8): Unit = {
+    val (f, _) = fs(root, spark)
+    val marker = new org.apache.hadoop.fs.Path(root, s"_log/ingest-$batchId.marker")
+    if (f.exists(marker)) return
+    if (latestVersion(spark, root) < 0) create(spark, root, batch, key, nBuckets)
+    else upsert(spark, root, batch, key, nBuckets)
+    val os = f.create(marker, true)
+    os.close()
+  }
+
   /** Version history: (version, nFiles, nRows) from manifests only —
     * no data files touched. */
   def history(spark: SparkSession, root: String): Seq[(Int, Int, Long)] =

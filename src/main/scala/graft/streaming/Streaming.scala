@@ -138,6 +138,22 @@ object Streaming {
       batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
     }
 
+  /** Streaming CDC ingest into a [[graft.sources.GraftTable]]: each
+    * micro-batch commits as one table version (create on the first,
+    * key-upsert after), giving a continuously-maintained snapshot
+    * table with time travel across batch boundaries — the streaming
+    * write path every lakehouse pairs with its format. Replayed
+    * batches are skipped via the table's ingest markers, so the
+    * version log doesn't grow under at-least-once delivery; see
+    * [[graft.sources.GraftTable.ingestBatch]] for the exact
+    * effective-once contract. */
+  def tableIngestSink(df: DataFrame, root: String, key: String,
+      nBuckets: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.sources.GraftTable.ingestBatch(
+        batch.sparkSession, root, batch, key, batchId, nBuckets)
+    }
+
   /** Incremental streaming NEAR-DUP dedup: a persistent MinHash band
     * registry (parquet under `registryDir`) accumulates the LSH band
     * keys of every admitted document; each micro-batch drops documents

@@ -312,6 +312,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q215: BFS rounds are all equi-joins (no cartesian, no walk blowup)") {
+    val p = plan("q215_shortest_paths")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q216: n-gram clipping joins on (doc, gram) — never doc-cross") {
+    val p = plan("q216_bleu_eval")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q218: PQ encoding is projection-only against centroid literals") {
+    val p = plan("q218_product_quantization")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the only joins are the final vec_id equi-joins of the two codes
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).size <= 2, p)
+  }
+
+  test("q219: only the 1-row census crosses; terciles window by source") {
+    val p = plan("q219_perplexity_filter")
+    assert(!p.contains("CartesianProduct"), p)
+    // the (N, V) census is the single allowed nested-loop broadcast
+    // (count within the FINAL plan only — the AQE dump repeats the
+    // tree in its "Initial Plan" section)
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size <= 1, p)
+    val windows = finalPlan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("source")), p)
+  }
+
   test("q213: anomaly scoring broadcasts the model, heap-selects top-20") {
     val p = plan("q213_sequence_anomaly")
     val windows = p.linesIterator.filter(_.contains("Window")).toSeq

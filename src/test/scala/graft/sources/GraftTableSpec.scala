@@ -129,6 +129,35 @@ class GraftTableSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingest commits one version per micro-batch with time travel") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_ingest_ckpt").toString
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val stream = in.toDF().toDF("k", "name", "v")
+    val q = graft.streaming.Streaming.tableIngestSink(stream, root, "k")
+      .option("checkpointLocation", ckpt).start()
+    in.addData((1L, "a", 10L), (2L, "b", 20L))
+    q.processAllAvailable()
+    in.addData((2L, "b2", 21L), (3L, "c", 30L))
+    q.processAllAvailable()
+    q.stop()
+    // two micro-batches -> versions 0 and 1
+    assert(GraftTable.latestVersion(spark, root) === 1)
+    val now = GraftTable.read(spark, root).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(now === Array((1L, "a", 10L), (2L, "b2", 21L), (3L, "c", 30L)))
+    // time travel to the first batch's snapshot
+    assert(GraftTable.read(spark, root, Some(0)).count() === 2)
+    // a replayed batch id is skipped: no new version, content unchanged
+    GraftTable.ingestBatch(spark, root,
+      spark.range(1).select(lit(9L).as("k"), lit("dup").as("name"),
+        lit(0L).as("v")), "k", batchId = 1L)
+    assert(GraftTable.latestVersion(spark, root) === 1)
+    assert(GraftTable.read(spark, root).count() === 3)
+  }
+
   private def manifestLines(root: String, v: Int): Seq[String] = {
     val src = scala.io.Source.fromFile(f"$root/_log/v$v%05d.manifest")
     try src.getLines().filter(_.nonEmpty).toList finally src.close()
