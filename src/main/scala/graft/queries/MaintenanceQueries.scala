@@ -461,7 +461,93 @@ object MaintenanceQueries {
            |  CAST(name_sum AS BIGINT) AS name_sum
            |FROM s ORDER BY version""".stripMargin))
 
+  /** Data-skipping key-range reads against [[GraftTable]]: three point/
+    * range lookups served through `readRange`, which opens ONLY the
+    * data files whose manifest key interval intersects the predicate
+    * (the lookup path that touches a handful of range-bucketed files
+    * at 100 TB instead of the table). The oracle replays each range as
+    * a plain filter over `customer` — any file the pruner wrongly
+    * skips loses rows and flips a checksum; FILE-COUNT pruning
+    * effectiveness (narrow range ⇒ fewer files opened) is pinned in
+    * GraftTableSpec, which the logical replay can't see. */
+  val q220PrunedRead = GraftQuery(
+    "q220_pruned_read",
+    (s, dir) => {
+      val root = newTempDir("graft_table_pr") + "/tbl"
+      val v0 = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_name").as("name"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal_cents"))
+      GraftTable.create(s, root, v0, "k", nBuckets = 8)
+      def slice(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+      def one(lower: Long, upper: Long) =
+        GraftTable.readRange(s, root, "k", lower, upper)
+          .agg(coalesce(count(lit(1)), lit(0L)).as("n_rows"),
+            coalesce(sum("bal_cents"), lit(0L)).as("bal_sum"),
+            coalesce(sum(slice(col("k").cast("string"))), lit(0L)).as("key_sum"))
+          .select(lit(lower).as("lower"), lit(upper).as("upper"),
+            col("n_rows"), col("bal_sum"), col("key_sum"))
+      one(1L, 100L).unionAll(one(701L, 950L)).unionAll(one(10L, 10L))
+        .orderBy("lower")
+    },
+    Some("""WITH t AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+           |  FROM customer),
+           |r AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(100 AS BIGINT)),
+           |        (701, 950), (10, 10)) AS v(lo, hi))
+           |SELECT r.lo AS lower, r.hi AS upper,
+           |  count(t.k) AS n_rows,
+           |  CAST(COALESCE(sum(t.bal_cents), 0) AS BIGINT) AS bal_sum,
+           |  CAST(COALESCE(sum(('0x' || substr(md5(CAST(t.k AS VARCHAR)), 1, 8))
+           |    ::BIGINT), 0) AS BIGINT) AS key_sum
+           |FROM r LEFT JOIN t ON t.k >= r.lo AND t.k <= r.hi
+           |GROUP BY r.lo, r.hi ORDER BY lower""".stripMargin))
+
+  /** OPTIMIZE executed against [[GraftTable]] — q186 plans compaction
+    * on a file ledger; this runs the rewrite on the real table format:
+    * a 32-small-file table is bin-packed into ~4 target-sized units as
+    * a NEW version, and the gate checksums BOTH versions — optimize
+    * must be a logical no-op (identical rows before and after, proven
+    * by identical per-version checksums against one oracle replay),
+    * while the file-count shrink it exists for is pinned in
+    * GraftTableSpec. Copy-on-write means v0 stays readable: the gate
+    * reads it THROUGH the post-optimize log. */
+  val q221TableOptimize = GraftQuery(
+    "q221_table_optimize",
+    (s, dir) => {
+      val root = newTempDir("graft_table_opt") + "/tbl"
+      val v0 = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("k"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal_cents"))
+      GraftTable.create(s, root, v0, "k", nBuckets = 32)
+      val nRows = GraftTable.history(s, root).head._3
+      GraftTable.optimize(s, root, "k", targetRows = math.max(1L, nRows / 4))
+      def slice(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+      def summary(v: Int) = GraftTable.read(s, root, Some(v))
+        .agg(count(lit(1)).as("n_rows"), sum("bal_cents").as("bal_sum"),
+          sum(slice(col("k").cast("string"))).as("key_sum"))
+        .select(lit(v).cast("long").as("version"), col("n_rows"),
+          col("bal_sum"), col("key_sum"))
+      summary(0).unionAll(summary(1)).orderBy("version")
+    },
+    Some("""WITH t AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+           |  FROM customer),
+           |s AS (
+           |  SELECT count(*) AS n_rows,
+           |    CAST(sum(bal_cents) AS BIGINT) AS bal_sum,
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))
+           |      ::BIGINT) AS BIGINT) AS key_sum
+           |  FROM t)
+           |SELECT CAST(v.v AS BIGINT) AS version, n_rows, bal_sum, key_sum
+           |FROM s CROSS JOIN (VALUES (0), (1)) AS v(v)
+           |ORDER BY version""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
-    q214TableTimeTravel)
+    q214TableTimeTravel, q220PrunedRead, q221TableOptimize)
 }

@@ -265,6 +265,39 @@ object GraftTable {
     (v, rewrite.size, carry.size)
   }
 
+  /** Key-range snapshot read with FILE SKIPPING: only data files whose
+    * manifest [minKey, maxKey] interval intersects [lower, upper] are
+    * opened; a residual filter inside the surviving files completes
+    * the predicate. This is the data-skipping read path every
+    * lakehouse format serves point/range lookups with — at 100 TB a
+    * narrow key range touches a handful of range-bucketed files
+    * instead of the table, and the decision costs one pass over the
+    * metadata-sized ledger (no data I/O). Returns the same rows as
+    * `read(...).filter(key between lower and upper)` by construction;
+    * `prunedFileCount` exposes how many files survived for tests. */
+  def readRange(spark: SparkSession, root: String, key: String,
+      lower: Long, upper: Long, version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    val entries = loadManifest(spark, root, v)
+      .filter(e => e.maxKey >= lower && e.minKey <= upper)
+    val schema = tableSchema(spark, root)
+    val df =
+      if (entries.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(entries.map(e => s"$root/${e.relPath}"): _*)
+    df.filter(col(key).cast("long") >= lower && col(key).cast("long") <= upper)
+  }
+
+  /** How many data files a `readRange(lower, upper)` call would open. */
+  def prunedFileCount(spark: SparkSession, root: String,
+      lower: Long, upper: Long, version: Option[Int] = None): Int = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    loadManifest(spark, root, v)
+      .count(e => e.maxKey >= lower && e.minKey <= upper)
+  }
+
   /** Streaming-ingest commit: create the table on the first batch,
     * upsert on every later one, and SKIP batches whose id has already
     * committed (a `_log/ingest-<id>.marker` written after the
@@ -283,6 +316,42 @@ object GraftTable {
     else upsert(spark, root, batch, key, nBuckets)
     val os = f.create(marker, true)
     os.close()
+  }
+
+  /** OPTIMIZE: bin-pack small files into ~`targetRows`-sized rewrites
+    * as a new version — the executed form of the q186 compaction plan,
+    * against this table format. Files are grouped by cumulative row
+    * count in key order (contiguous groups, so a sorted layout stays
+    * sorted); groups of one file are carried forward BY REFERENCE
+    * (already compact — rewriting them would just burn I/O), and each
+    * multi-file group is rewritten as one range-bucketed unit. A pure
+    * metadata+rewrite operation: logical content is identical before
+    * and after, which is exactly what the q221 gate checksums.
+    * Returns (newVersion, nFilesRewritten, nFilesCarried). */
+  def optimize(spark: SparkSession, root: String,
+      key: String, targetRows: Long): (Int, Int, Int) = {
+    val base = latestVersion(spark, root)
+    val entries = loadManifest(spark, root, base).sortBy(e => (e.minKey, e.relPath))
+    val schema = tableSchema(spark, root)
+    // contiguous cumulative-row binning (the q186 rule): a file's group
+    // is floor(rowsBefore / targetRows)
+    var acc = 0L
+    val grouped = entries.map { e =>
+      val g = acc / math.max(1L, targetRows); acc += e.nRows; (g, e)
+    }.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val (compactGroups, singletons) = grouped.partition(_.size >= 2)
+    val carry = singletons.flatten.toSeq
+    val rewrite = compactGroups.flatten.toSeq
+    val v = base + 1
+    val fresh =
+      if (rewrite.isEmpty) Seq.empty
+      else writeDataFiles(spark, root, v,
+        spark.read.schema(schema)
+          .parquet(rewrite.map(e => s"$root/${e.relPath}"): _*),
+        key, compactGroups.size)
+    val (f, _) = fs(root, spark)
+    writeAtomic(f, manifestPath(root, v), renderManifest(carry ++ fresh))
+    (v, rewrite.size, carry.size)
   }
 
   /** Version history: (version, nFiles, nRows) from manifests only —

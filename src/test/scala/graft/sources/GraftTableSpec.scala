@@ -129,6 +129,44 @@ class GraftTableSpec extends SparkSpec {
     }
   }
 
+  test("readRange skips files outside the key range and returns exact rows") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(1000), "k", nBuckets = 8)
+    // a narrow range opens a strict subset of the 8 range-bucketed files
+    assert(GraftTable.prunedFileCount(spark, root, 1L, 50L) < 8)
+    assert(GraftTable.prunedFileCount(spark, root, 1L, 50L) >= 1)
+    // an out-of-range probe opens nothing
+    assert(GraftTable.prunedFileCount(spark, root, 5000L, 6000L) === 0)
+    assert(GraftTable.readRange(spark, root, "k", 5000L, 6000L).count() === 0)
+    // pruned read ≡ full-scan filter
+    val pruned = GraftTable.readRange(spark, root, "k", 101L, 250L)
+    assert(pruned.count() === 150)
+    assert(pruned.agg(sum("v")).as[Long].head() ===
+      (101L to 250L).map(_ * 10).sum)
+  }
+
+  test("optimize bin-packs small files, preserves content, carries compact files") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(1000), "k", nBuckets = 16)
+    assert(GraftTable.history(spark, root).head._2 === 16)
+    val (v, rewritten, carried) =
+      GraftTable.optimize(spark, root, "k", targetRows = 250)
+    assert(v === 1)
+    assert(rewritten === 16 && carried === 0) // all 16 files are sub-target
+    val h = GraftTable.history(spark, root)
+    assert(h(1)._2 <= 5 && h(1)._2 >= 4, h.toString) // ~1000/250 groups
+    assert(h(1)._3 === 1000L)
+    // content identical; v0 still readable (copy-on-write)
+    assert(GraftTable.read(spark, root).agg(sum("v")).as[Long].head() ===
+      GraftTable.read(spark, root, Some(0)).agg(sum("v")).as[Long].head())
+    // a second optimize at the same target is a no-op or near-no-op:
+    // file count never grows and content is untouched
+    GraftTable.optimize(spark, root, "k", targetRows = 250)
+    val h2 = GraftTable.history(spark, root)
+    assert(h2(2)._2 <= h(1)._2)
+    assert(h2(2)._3 === 1000L)
+  }
+
   test("streaming ingest commits one version per micro-batch with time travel") {
     implicit val sqlCtx = spark.sqlContext
     val root = freshRoot()
