@@ -547,7 +547,246 @@ object MaintenanceQueries {
            |FROM s CROSS JOIN (VALUES (0), (1)) AS v(v)
            |ORDER BY version""".stripMargin))
 
+  /** Schema evolution on [[GraftTable]]: ADD COLUMN as a METADATA-ONLY
+    * commit (v1 carries every v0 data file by reference and publishes a
+    * versioned schema — the zero-data-I/O property that makes evolving
+    * a 100 TB table instantaneous), then an upsert (v2) that writes the
+    * new column. The gate reads ALL THREE versions: v0 must keep its
+    * original 3-column shape (no ghost columns under time travel), v1
+    * must surface the new column NULL-filled for every pre-evolution
+    * row, and v2 must carry batch values while non-batch rows stay
+    * NULL. Column-COUNT per version comes from the versioned schema
+    * log, not the data. File-carry bookkeeping (v1's manifest is
+    * byte-identical to v0's) is pinned in GraftTableSpec. */
+  val q222TableSchemaEvolution = GraftQuery(
+    "q222_table_schema_evolution",
+    (s, dir) => {
+      val root = newTempDir("graft_table_se") + "/tbl"
+      val v0 = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_name").as("name"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal_cents"))
+      GraftTable.create(s, root, v0, "k", nBuckets = 8)
+      GraftTable.evolveAddColumns(s, root, Seq(
+        org.apache.spark.sql.types.StructField("segment",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      val batch = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("bal_cents"))
+        .select(col("o_custkey").cast("long").as("k"), col("bal_cents"),
+          concat(lit("Batch#"), col("o_custkey").cast("string")).as("name"),
+          concat(lit("SEG"), (col("o_custkey") % 3).cast("string")).as("segment"))
+      GraftTable.upsert(s, root, batch.select("k", "name", "bal_cents", "segment"), "k")
+      def slice(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+      def summary(v: Int) = {
+        val snap = GraftTable.read(s, root, Some(v))
+        val hasSeg = snap.columns.contains("segment")
+        val withSeg =
+          if (hasSeg) snap
+          else snap.withColumn("segment", lit(null).cast("string"))
+        // a version whose schema predates the column reports NULL seg
+        // stats (the column does not exist there, 0 would be a lie)
+        def maybe(c: org.apache.spark.sql.Column) =
+          if (hasSeg) c else lit(null).cast("long")
+        withSeg.agg(count(lit(1)).as("n_rows"), sum("bal_cents").as("bal_sum"),
+          sum(col("segment").isNull.cast("long")).as("nn"),
+          coalesce(sum(slice(col("segment"))), lit(0L)).as("ss"))
+          .select(lit(v).cast("long").as("version"),
+            lit(snap.columns.length).cast("long").as("n_cols"),
+            col("n_rows"), col("bal_sum"),
+            maybe(col("nn")).as("seg_nulls"), maybe(col("ss")).as("seg_sum"))
+      }
+      summary(0).unionAll(summary(1)).unionAll(summary(2)).orderBy("version")
+    },
+    Some("""WITH v0 AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+           |  FROM customer),
+           |batch AS (
+           |  SELECT CAST(o_custkey AS BIGINT) AS k,
+           |    'Batch#' || CAST(o_custkey AS VARCHAR) AS name,
+           |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS bal_cents,
+           |    'SEG' || CAST(o_custkey % 3 AS VARCHAR) AS segment
+           |  FROM orders GROUP BY o_custkey),
+           |v1 AS (SELECT k, name, bal_cents, CAST(NULL AS VARCHAR) AS segment
+           |       FROM v0),
+           |v2 AS (
+           |  SELECT COALESCE(b.k, t.k) AS k,
+           |    COALESCE(b.name, t.name) AS name,
+           |    COALESCE(b.bal_cents, t.bal_cents) AS bal_cents,
+           |    COALESCE(b.segment, t.segment) AS segment
+           |  FROM v1 t FULL OUTER JOIN batch b ON t.k = b.k),
+           |s AS (
+           |  SELECT 0 AS v, 3 AS n_cols, count(*) AS n_rows,
+           |    sum(bal_cents) AS bal_sum,
+           |    CAST(NULL AS BIGINT) AS seg_nulls, CAST(NULL AS BIGINT) AS seg_sum
+           |  FROM v0
+           |  UNION ALL
+           |  SELECT 1, 4, count(*), sum(bal_cents),
+           |    sum(CASE WHEN segment IS NULL THEN 1 ELSE 0 END),
+           |    COALESCE(sum(('0x' || substr(md5(segment), 1, 8))::BIGINT), 0)
+           |  FROM v1
+           |  UNION ALL
+           |  SELECT 2, 4, count(*), sum(bal_cents),
+           |    sum(CASE WHEN segment IS NULL THEN 1 ELSE 0 END),
+           |    COALESCE(sum(('0x' || substr(md5(segment), 1, 8))::BIGINT), 0)
+           |  FROM v2)
+           |SELECT CAST(v AS BIGINT) AS version, CAST(n_cols AS BIGINT) AS n_cols,
+           |  n_rows, CAST(bal_sum AS BIGINT) AS bal_sum,
+           |  CAST(seg_nulls AS BIGINT) AS seg_nulls,
+           |  CAST(seg_sum AS BIGINT) AS seg_sum
+           |FROM s ORDER BY version""".stripMargin))
+
+  /** Bloom-filter point-lookup file skipping on [[GraftTable]]: the
+    * table declares a bloom column at create (`c_name` — a unique
+    * high-cardinality string UNCORRELATED with the key layout, the axis
+    * min/max range stats can never prune), and three point lookups —
+    * two hits and a guaranteed miss — are served through `readPoint`,
+    * which opens only the files whose per-file bloom sidecar may
+    * contain the probe and completes with an exact residual filter
+    * (false positives removed, false negatives impossible). The oracle
+    * replays each probe as a plain filter; that the bloom actually
+    * SKIPS files (and that probes run executor-side) is pinned in
+    * GraftTableSpec, which a logical replay can't see. */
+  val q223BloomPrunedRead = GraftQuery(
+    "q223_bloom_pruned_read",
+    (s, dir) => {
+      val root = newTempDir("graft_table_bl") + "/tbl"
+      val v0 = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_name").as("name"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal_cents"))
+      GraftTable.create(s, root, v0, "k", nBuckets = 8, bloomCol = Some("name"))
+      def slice(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+      def one(probe: String) =
+        GraftTable.readPoint(s, root, "name", probe)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum("bal_cents"), lit(0L)).as("bal_sum"),
+            coalesce(sum(slice(col("k").cast("string"))), lit(0L)).as("key_sum"))
+          .select(lit(probe).as("probe"), col("n_rows"), col("bal_sum"),
+            col("key_sum"))
+      one("Customer#000000007")
+        .unionAll(one("Customer#000000321"))
+        .unionAll(one("No#Such#Customer"))
+        .orderBy("probe")
+    },
+    Some("""WITH t AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+           |  FROM customer),
+           |p AS (SELECT * FROM (VALUES ('Customer#000000007'),
+           |        ('Customer#000000321'), ('No#Such#Customer')) AS v(probe))
+           |SELECT p.probe, count(t.k) AS n_rows,
+           |  CAST(COALESCE(sum(t.bal_cents), 0) AS BIGINT) AS bal_sum,
+           |  CAST(COALESCE(sum(('0x' || substr(md5(CAST(t.k AS VARCHAR)), 1, 8))
+           |    ::BIGINT), 0) AS BIGINT) AS key_sum
+           |FROM p LEFT JOIN t ON t.name = p.probe
+           |GROUP BY p.probe ORDER BY probe""".stripMargin))
+
+  /** CHANGE DATA FEED between [[GraftTable]] versions: after the q214
+    * write sequence (create → copy-on-write upsert → copy-on-write
+    * delete), `changes(v, v+1)` emits row-level inserts, updates
+    * (postimage), and deletes (preimage) computed from ONLY the data
+    * files the two manifests DISAGREE on — carried files never
+    * participate, and rewritten-but-unchanged rows cancel by row hash,
+    * so the feed costs what changed, not what the table holds (the
+    * property that makes incremental downstream consumption viable at
+    * 100 TB). The gate aggregates both feeds per change type; the
+    * oracle replays the logical version diff — identical results prove
+    * the file-diff shortcut loses nothing. */
+  val q224TableChanges = GraftQuery(
+    "q224_table_changes",
+    (s, dir) => {
+      val root = newTempDir("graft_table_cdf") + "/tbl"
+      val v0 = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_name").as("name"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal_cents"))
+      GraftTable.create(s, root, v0, "k", nBuckets = 8)
+      val batch = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("bal_cents"))
+        .select(
+          when(col("o_custkey") % 50 === 0, col("o_custkey") + 1000000L)
+            .otherwise(col("o_custkey")).cast("long").as("k"),
+          col("bal_cents"))
+        .withColumn("name", concat(lit("Batch#"), col("k").cast("string")))
+      GraftTable.upsert(s, root, batch.select("k", "name", "bal_cents"), "k")
+      GraftTable.deleteWhere(s, root, col("bal_cents") % 7 === 0, "k")
+      def slice(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+      def feed(a: Int, b: Int) =
+        GraftTable.changes(s, root, a, b, "k")
+          .groupBy(col("_change").as("change"))
+          .agg(count(lit(1)).as("n_rows"), sum("bal_cents").as("bal_sum"),
+            sum(slice(col("k").cast("string"))).as("key_sum"),
+            sum(slice(col("name"))).as("name_sum"))
+          .select(lit(a).cast("long").as("from_v"), lit(b).cast("long").as("to_v"),
+            col("change"), col("n_rows"), col("bal_sum"), col("key_sum"),
+            col("name_sum"))
+      feed(0, 1).unionAll(feed(1, 2)).orderBy("from_v", "change")
+    },
+    Some("""WITH v0 AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+           |  FROM customer),
+           |batch AS (
+           |  SELECT CAST(CASE WHEN o_custkey % 50 = 0
+           |      THEN o_custkey + 1000000 ELSE o_custkey END AS BIGINT) AS k,
+           |    'Batch#' || CAST(CASE WHEN o_custkey % 50 = 0
+           |      THEN o_custkey + 1000000 ELSE o_custkey END AS VARCHAR) AS name,
+           |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS bal_cents
+           |  FROM orders GROUP BY o_custkey),
+           |v1 AS (
+           |  SELECT COALESCE(b.k, t.k) AS k,
+           |    COALESCE(b.name, t.name) AS name,
+           |    COALESCE(b.bal_cents, t.bal_cents) AS bal_cents
+           |  FROM v0 t FULL OUTER JOIN batch b ON t.k = b.k),
+           |v2 AS (SELECT * FROM v1 WHERE NOT (bal_cents % 7 = 0)),
+           |f01 AS (
+           |  SELECT CASE WHEN o.k IS NULL THEN 'insert'
+           |           WHEN n.k IS NULL THEN 'delete'
+           |           WHEN o.name <> n.name OR o.bal_cents <> n.bal_cents
+           |             THEN 'update' END AS change,
+           |    COALESCE(CASE WHEN o.k IS NULL OR n.k IS NOT NULL
+           |      THEN n.k END, o.k) AS k,
+           |    CASE WHEN n.k IS NULL THEN o.name ELSE n.name END AS name,
+           |    CASE WHEN n.k IS NULL THEN o.bal_cents ELSE n.bal_cents END
+           |      AS bal_cents
+           |  FROM v0 o FULL OUTER JOIN v1 n ON o.k = n.k),
+           |f12 AS (
+           |  SELECT CASE WHEN o.k IS NULL THEN 'insert'
+           |           WHEN n.k IS NULL THEN 'delete'
+           |           WHEN o.name <> n.name OR o.bal_cents <> n.bal_cents
+           |             THEN 'update' END AS change,
+           |    COALESCE(CASE WHEN o.k IS NULL OR n.k IS NOT NULL
+           |      THEN n.k END, o.k) AS k,
+           |    CASE WHEN n.k IS NULL THEN o.name ELSE n.name END AS name,
+           |    CASE WHEN n.k IS NULL THEN o.bal_cents ELSE n.bal_cents END
+           |      AS bal_cents
+           |  FROM v1 o FULL OUTER JOIN v2 n ON o.k = n.k),
+           |u AS (
+           |  SELECT 0 AS from_v, 1 AS to_v, change, k, name, bal_cents FROM f01
+           |  WHERE change IS NOT NULL
+           |  UNION ALL
+           |  SELECT 1, 2, change, k, name, bal_cents FROM f12
+           |  WHERE change IS NOT NULL)
+           |SELECT CAST(from_v AS BIGINT) AS from_v, CAST(to_v AS BIGINT) AS to_v,
+           |  change, count(*) AS n_rows, CAST(sum(bal_cents) AS BIGINT) AS bal_sum,
+           |  CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT)
+           |    AS BIGINT) AS key_sum,
+           |  CAST(sum(('0x' || substr(md5(name), 1, 8))::BIGINT) AS BIGINT)
+           |    AS name_sum
+           |FROM u GROUP BY from_v, to_v, change ORDER BY from_v, change""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
-    q214TableTimeTravel, q220PrunedRead, q221TableOptimize)
+    q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
+    q222TableSchemaEvolution, q223BloomPrunedRead, q224TableChanges)
 }

@@ -6,16 +6,22 @@ import org.apache.spark.sql.types.StructType
 
 /** A minimal versioned table format: immutable parquet data files plus
   * a manifest log, giving snapshot reads, time travel, copy-on-write
-  * upsert/delete with FILE-LEVEL PRUNING, and vacuum — the storage
-  * contract (Delta/Iceberg-shaped, implemented from scratch) that the
+  * upsert/delete with FILE-LEVEL PRUNING, schema evolution
+  * ([[evolveAddColumns]] — metadata-only commits), bloom-filter point
+  * lookup skipping ([[readPoint]]), a pruned change data feed
+  * ([[changes]]), and vacuum — the storage contract
+  * (Delta/Iceberg-shaped, implemented from scratch) that the
   * write-path operators (q204 MERGE, q201 snapshot diff, q126/q186
   * compaction) assume underneath them.
   *
   * Layout under `root/`:
   * {{{
-  *   data/v00000/part-*.parquet     immutable; never rewritten in place
-  *   data/v00001/part-*.parquet     only files CHANGED by commit 1
-  *   _log/schema.json               Spark schema of the table
+  *   data/v00000-x/part-*.parquet   immutable; never rewritten in place
+  *   data/v00000-x/part-*.parquet.bloom  per-file bloom sidecar (opt-in)
+  *   data/v00001-y/part-*.parquet   only files CHANGED by commit 1
+  *   _log/schema.json               create-time Spark schema
+  *   _log/schema-v00002.json        schema AS OF an evolution commit
+  *   _log/bloom.json                the declared bloom column (opt-in)
   *   _log/v00000.manifest           snapshot 0: one line per live file
   *   _log/v00001.manifest           snapshot 1: carried + new files
   * }}}
@@ -116,11 +122,57 @@ object GraftTable {
     parseManifest(readFully(f, p))
   }
 
-  private def tableSchema(spark: SparkSession, root: String): StructType = {
+  /** Schema AS OF `version`: the newest `_log/schema-vNNNNN.json` at or
+    * below it, falling back to the create-time `_log/schema.json`.
+    * Versioning the schema alongside the manifest is what lets time
+    * travel return each snapshot with the column set it committed
+    * under (a v0 read of an evolved table has no ghost columns). */
+  private def tableSchema(
+      spark: SparkSession, root: String, version: Int): StructType = {
     val (f, _) = fs(root, spark)
-    val json = readFully(f, new org.apache.hadoop.fs.Path(root, "_log/schema.json"))
-    org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType]
+    val log = new org.apache.hadoop.fs.Path(root, "_log")
+    val evolved = f.listStatus(log).map(_.getPath.getName)
+      .collect { case s if s.matches("schema-v\\d{5}\\.json") =>
+        s.substring(8, 13).toInt }
+      .filter(_ <= version)
+    val p =
+      if (evolved.isEmpty) new org.apache.hadoop.fs.Path(root, "_log/schema.json")
+      else new org.apache.hadoop.fs.Path(root, f"_log/schema-v${evolved.max}%05d.json")
+    org.apache.spark.sql.types.DataType.fromJson(readFully(f, p))
+      .asInstanceOf[StructType]
   }
+
+  /** The string column per-file bloom sidecars index, if declared at
+    * create time (`_log/bloom.json`). */
+  private def bloomColumn(spark: SparkSession, root: String): Option[String] = {
+    val (f, _) = fs(root, spark)
+    val p = new org.apache.hadoop.fs.Path(root, "_log/bloom.json")
+    if (!f.exists(p)) None else Some(readFully(f, p).trim)
+  }
+
+  /** Hadoop conf as a serializable property map, rebuilt inside tasks
+    * — executor-side FileSystem access without reaching for Spark's
+    * private SerializableConfiguration. */
+  private def confMap(spark: SparkSession): Map[String, String] = {
+    val it = spark.sparkContext.hadoopConfiguration.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+    b.result()
+  }
+
+  private def confFrom(m: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    m.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  /** Spark SQL's `xxhash64` of a string, computed without a job — the
+    * exact long `writeDataFiles` feeds the per-file bloom builder, so
+    * driver-side probes and executor-side builds agree bit-for-bit. */
+  private def xxhash64String(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType, 42L)
 
   /** Write `df`'s rows as the data files of `version`, range-bucketed
     * by `key` so per-file key intervals are narrow and disjoint, and
@@ -142,29 +194,78 @@ object GraftTable {
     // files) yields an empty ledger instead of a schema-inference
     // error
     val written = spark.read.schema(df.schema).parquet(dir)
-    if (written.isEmpty) Seq.empty
-    else written
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col(key).cast("long")).as("mn"),
-        max(col(key).cast("long")).as("mx"),
-        count(lit(1)).as("n"))
-      .collect()
-      .map { r =>
-        val name = new org.apache.hadoop.fs.Path(
-          new java.net.URI(r.getString(0)).getPath).getName
-        FileEntry(s"$rel/$name", r.getLong(1), r.getLong(2), r.getLong(3))
-      }.toSeq.sortBy(_.relPath)
+    val entries =
+      if (written.isEmpty) Seq.empty[FileEntry]
+      else written
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col(key).cast("long")).as("mn"),
+          max(col(key).cast("long")).as("mx"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map { r =>
+          val name = new org.apache.hadoop.fs.Path(
+            new java.net.URI(r.getString(0)).getPath).getName
+          FileEntry(s"$rel/$name", r.getLong(1), r.getLong(2), r.getLong(3))
+        }.toSeq.sortBy(_.relPath)
+    bloomColumn(spark, root).filter(df.schema.fieldNames.contains) match {
+      case Some(bc) if entries.nonEmpty =>
+        writeBloomSidecars(spark, root, dir, bc, df.schema,
+          entries.map(_.nRows).max)
+      case _ => ()
+    }
+    entries
   }
 
-  /** Create the table at `root` as version 0. */
+  /** Write one `<dataFile>.bloom` sidecar per data file in `dir`: a
+    * serialized bloom filter over `xxhash64(bloomCol)`, sized to ~1%
+    * false positives for the LARGEST file of this write. Built with one
+    * per-file aggregation and written FROM THE EXECUTORS (`foreach` —
+    * bloom bits are data-sized in aggregate and never cross the
+    * driver); sidecars live in the same attempt-unique dir as the data
+    * files, so the create-if-absent manifest publish covers them and a
+    * failed commit's sidecars are vacuum-swept with their data files. */
+  private def writeBloomSidecars(spark: SparkSession, root: String,
+      dir: String, bloomCol: String, schema: StructType,
+      maxRowsPerFile: Long): Unit = {
+    val nBits = math.max(1024L, 10L * maxRowsPerFile)
+    val hconf = confMap(spark)
+    spark.read.schema(schema).parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(graft.functions.Bloom.filterAgg(
+        xxhash64(col(bloomCol).cast("string")),
+        estimatedItems = math.max(1L, maxRowsPerFile),
+        numBits = nBits).as("bloom"))
+      .foreach { r =>
+        val dataPath = new org.apache.hadoop.fs.Path(
+          new java.net.URI(r.getString(0)).getPath)
+        val dest = new org.apache.hadoop.fs.Path(
+          dataPath.getParent, dataPath.getName + ".bloom")
+        val f = dest.getFileSystem(confFrom(hconf))
+        val tmp = new org.apache.hadoop.fs.Path(dest.getParent,
+          s".tmp-${dest.getName}-${java.util.UUID.randomUUID()}")
+        val os = f.create(tmp, false)
+        try os.write(r.getAs[Array[Byte]]("bloom")) finally os.close()
+        // create-if-absent: a speculative twin's rename loses quietly
+        if (!f.rename(tmp, dest)) f.delete(tmp, false): Unit
+      }
+  }
+
+  /** Create the table at `root` as version 0. `bloomCol` (optional)
+    * declares a string column to index with per-file bloom sidecars on
+    * every subsequent write — the point-lookup skipping column for
+    * [[readPoint]], orthogonal to the key's min/max range stats. */
   def create(spark: SparkSession, root: String, df: DataFrame, key: String,
-      nBuckets: Int = 8): Unit = {
+      nBuckets: Int = 8, bloomCol: Option[String] = None): Unit = {
     val (f, rootP) = fs(root, spark)
     require(!f.exists(new org.apache.hadoop.fs.Path(root, "_log")),
       s"table already exists at $root")
     f.mkdirs(new org.apache.hadoop.fs.Path(rootP, "_log"))
     writeAtomic(f, new org.apache.hadoop.fs.Path(root, "_log/schema.json"),
       df.schema.json)
+    bloomCol.foreach { bc =>
+      require(df.schema.fieldNames.contains(bc), s"no such column: $bc")
+      writeAtomic(f, new org.apache.hadoop.fs.Path(root, "_log/bloom.json"), bc)
+    }
     val entries = writeDataFiles(spark, root, 0, df, key, nBuckets)
     writeAtomic(f, manifestPath(root, 0), renderManifest(entries))
   }
@@ -174,7 +275,7 @@ object GraftTable {
       version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(spark, root))
     val entries = loadManifest(spark, root, v)
-    val schema = tableSchema(spark, root)
+    val schema = tableSchema(spark, root, v)
     if (entries.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
@@ -195,7 +296,7 @@ object GraftTable {
       key: String, nBuckets: Int = 8): (Int, Int, Int) = {
     val base = latestVersion(spark, root)
     val entries = loadManifest(spark, root, base)
-    val schema = tableSchema(spark, root)
+    val schema = tableSchema(spark, root, base)
     require(batch.schema.fieldNames.sorted.sameElements(schema.fieldNames.sorted),
       "batch schema must match table schema")
     // file-level pruning: interval-join the (metadata-sized) file
@@ -239,7 +340,7 @@ object GraftTable {
       key: String): (Int, Int, Int) = {
     val base = latestVersion(spark, root)
     val entries = loadManifest(spark, root, base)
-    val schema = tableSchema(spark, root)
+    val schema = tableSchema(spark, root, base)
     val paths = entries.map(e => s"$root/${e.relPath}")
     val hit: Set[String] =
       if (paths.isEmpty) Set.empty
@@ -280,7 +381,7 @@ object GraftTable {
     val v = version.getOrElse(latestVersion(spark, root))
     val entries = loadManifest(spark, root, v)
       .filter(e => e.maxKey >= lower && e.minKey <= upper)
-    val schema = tableSchema(spark, root)
+    val schema = tableSchema(spark, root, v)
     val df =
       if (entries.isEmpty)
         spark.createDataFrame(
@@ -332,7 +433,7 @@ object GraftTable {
       key: String, targetRows: Long): (Int, Int, Int) = {
     val base = latestVersion(spark, root)
     val entries = loadManifest(spark, root, base).sortBy(e => (e.minKey, e.relPath))
-    val schema = tableSchema(spark, root)
+    val schema = tableSchema(spark, root, base)
     // contiguous cumulative-row binning (the q186 rule): a file's group
     // is floor(rowsBefore / targetRows)
     var acc = 0L
@@ -383,7 +484,10 @@ object GraftTable {
         val st = it.next()
         if (st.isFile) {
           val rel = "data/" + dataUri.relativize(st.getPath.toUri).getPath
-          if (!live(rel)) doomed += st.getPath
+          // a bloom sidecar is live iff its data file is live
+          val owner =
+            if (rel.endsWith(".bloom")) rel.stripSuffix(".bloom") else rel
+          if (!live(owner)) doomed += st.getPath
         }
       }
       doomed.foreach { p => f.delete(p, false); removed += 1 }
@@ -393,5 +497,153 @@ object GraftTable {
       if (f.exists(m)) f.delete(m, false)
     }
     removed
+  }
+
+  /** Schema evolution: ADD COLUMNS as a METADATA-ONLY commit. The new
+    * version carries every data file of the previous one by reference
+    * (zero data I/O — the property that makes adding a column to a
+    * 100 TB table instantaneous) and publishes a versioned schema file;
+    * snapshot reads at or after this version see the new columns
+    * (NULL-filled for rows written before — the pinned-schema parquet
+    * read fills them), while time travel BELOW it still returns the old
+    * column set. Added fields must be nullable (there is no backfill).
+    * Returns the new version. */
+  def evolveAddColumns(spark: SparkSession, root: String,
+      added: Seq[org.apache.spark.sql.types.StructField]): Int = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"no table at $root")
+    val schema = tableSchema(spark, root, base)
+    require(added.nonEmpty && added.forall(_.nullable),
+      "added columns must be nullable")
+    require(added.forall(a => !schema.fieldNames.contains(a.name)),
+      "added column name collides with an existing column")
+    val v = base + 1
+    val (f, _) = fs(root, spark)
+    val schemaP = new org.apache.hadoop.fs.Path(root, f"_log/schema-v$v%05d.json")
+    // an orphan schema file for an uncommitted version (a failed prior
+    // evolve) is safe to replace: tableSchema ignores versions beyond
+    // the manifest log, and the manifest publish below is the commit
+    if (f.exists(schemaP) && !f.exists(manifestPath(root, v)))
+      f.delete(schemaP, false)
+    writeAtomic(f, schemaP, StructType(schema.fields ++ added).json)
+    writeAtomic(f, manifestPath(root, v),
+      renderManifest(loadManifest(spark, root, base)))
+    v
+  }
+
+  /** Point-lookup snapshot read with BLOOM-FILTER file skipping: only
+    * data files whose `.bloom` sidecar MAY contain `value` in the
+    * declared bloom column are opened; an exact residual filter inside
+    * the survivors removes false positives, so the result is identical
+    * to `read(...).filter(col === value)` by construction. This is the
+    * skipping axis min/max range stats cannot serve — a high-cardinality
+    * string column uncorrelated with the key layout (a name, a URL, a
+    * span-id) — and it is how production formats serve needle lookups:
+    * ~10 bloom bits per row buys skipping ~99% of a 100 TB table's
+    * files for one point predicate.
+    *
+    * Scale shape: the sidecar probes run ON THE EXECUTORS (one task
+    * per ledger slice; each task opens only its own files' few-KB
+    * sidecars) and return the metadata-sized surviving path list; the
+    * driver never touches bloom bits. Files with no sidecar (written
+    * before the bloom column was declared, or a lost sidecar) are kept
+    * — skipping is only ever an optimization, never a correctness
+    * dependency. */
+  def readPoint(spark: SparkSession, root: String, column: String,
+      value: String, version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    val schema = tableSchema(spark, root, v)
+    val survivors = bloomSurvivors(spark, root, column, value, v)
+    val df =
+      if (survivors.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(survivors.map(r => s"$root/$r"): _*)
+    df.filter(col(column).cast("string") === value)
+  }
+
+  /** How many data files a `readPoint(column, value)` would open. */
+  def prunedPointFileCount(spark: SparkSession, root: String,
+      column: String, value: String, version: Option[Int] = None): Int = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    bloomSurvivors(spark, root, column, value, v).size
+  }
+
+  private def bloomSurvivors(spark: SparkSession, root: String,
+      column: String, value: String, v: Int): Seq[String] = {
+    val entries = loadManifest(spark, root, v)
+    if (!bloomColumn(spark, root).contains(column)) entries.map(_.relPath)
+    else {
+      val hash = xxhash64String(value)
+      val hconf = confMap(spark)
+      val rootStr = root
+      spark.sparkContext
+        .parallelize(entries.map(_.relPath),
+          math.max(1, math.min(entries.size, 32)))
+        .mapPartitions { rels =>
+          rels.filter { rel =>
+            val p = new org.apache.hadoop.fs.Path(rootStr, rel + ".bloom")
+            val f = p.getFileSystem(confFrom(hconf))
+            if (!f.exists(p)) true // no sidecar: cannot skip
+            else {
+              val in = f.open(p)
+              try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                .mightContainLong(hash)
+              finally in.close()
+            }
+          }
+        }
+        .collect().toSeq.sorted
+    }
+  }
+
+  /** CHANGE DATA FEED between two versions: row-level inserts, updates
+    * (postimage), and deletes (preimage), computed from ONLY the data
+    * files that differ between the two manifests — a file carried by
+    * reference is bit-identical in both snapshots and contributes
+    * nothing, so the feed's cost is proportional to what CHANGED, not
+    * to the table (the property that makes incremental downstream
+    * consumption viable at 100 TB: a 1,000-row upsert yields a
+    * few-file diff regardless of table size). A metadata-only commit
+    * (schema evolution, OPTIMIZE of untouched data... any commit that
+    * carries every file) produces an empty feed for the carried rows;
+    * OPTIMIZE rewrites report nothing either because rewritten rows
+    * hash identically on both sides and cancel in the full-outer join.
+    *
+    * Output: the `to`-version schema plus `_change` ∈
+    * insert | update | delete (rows from pre-evolution files are read
+    * with the newer schema, NULL-filled — so updates compare only real
+    * content). Keys must be unique per snapshot (the upsert contract).
+    */
+  def changes(spark: SparkSession, root: String, fromV: Int, toV: Int,
+      key: String): DataFrame = {
+    require(fromV < toV, "changes requires fromV < toV")
+    val fromEntries = loadManifest(spark, root, fromV)
+    val toEntries = loadManifest(spark, root, toV)
+    val fromPaths = fromEntries.map(_.relPath).toSet
+    val toPaths = toEntries.map(_.relPath).toSet
+    val removed = fromEntries.filterNot(e => toPaths(e.relPath))
+    val added = toEntries.filterNot(e => fromPaths(e.relPath))
+    val schema = tableSchema(spark, root, toV)
+    def side(es: Seq[FileEntry]) =
+      if (es.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(es.map(e => s"$root/${e.relPath}"): _*)
+    val cols = schema.fieldNames.toSeq
+    def rowHash(alias: String) = md5(concat_ws("\u0001",
+      cols.map(c => coalesce(col(s"$alias.$c").cast("string"), lit("\u0000"))): _*))
+    val o = side(removed).as("o")
+    val n = side(added).as("n")
+    o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
+      .withColumn("_change",
+        when(col(s"o.$key").isNull, "insert")
+          .when(col(s"n.$key").isNull, "delete")
+          .when(rowHash("o") =!= rowHash("n"), "update"))
+      .filter(col("_change").isNotNull) // same-hash rewrites cancel
+      .select(cols.map(c =>
+        when(col("_change") === "delete", col(s"o.$c"))
+          .otherwise(col(s"n.$c")).as(c)) :+ col("_change"): _*)
   }
 }

@@ -196,6 +196,131 @@ class GraftTableSpec extends SparkSpec {
     assert(GraftTable.read(spark, root).count() === 3)
   }
 
+  test("schema evolution is metadata-only and version-scoped") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(500), "k", nBuckets = 4)
+    val v = GraftTable.evolveAddColumns(spark, root, Seq(
+      org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    assert(v === 1)
+    // metadata-only: v1's manifest is byte-identical to v0's (every
+    // data file carried by reference, zero data I/O)
+    assert(manifestLines(root, 1) === manifestLines(root, 0))
+    // time travel below the evolution keeps the old column set
+    assert(GraftTable.read(spark, root, Some(0)).columns.toSeq ===
+      Seq("k", "name", "v"))
+    // at the evolution: new column surfaces NULL-filled
+    val v1 = GraftTable.read(spark, root, Some(1))
+    assert(v1.columns.toSeq === Seq("k", "name", "v", "tag"))
+    assert(v1.filter($"tag".isNotNull).count() === 0)
+    // an upsert after evolution writes the new column; old rows stay NULL
+    val batch = spark.range(1, 11).select($"id".as("k"),
+      concat(lit("row"), $"id").as("name"), ($"id" * 10).as("v"),
+      lit("T").as("tag"))
+    GraftTable.upsert(spark, root, batch, "k")
+    val now = GraftTable.read(spark, root)
+    assert(now.filter($"tag" === "T").count() === 10)
+    assert(now.filter($"tag".isNull).count() === 490)
+    // adding a duplicate or non-nullable column is rejected
+    intercept[IllegalArgumentException] {
+      GraftTable.evolveAddColumns(spark, root, Seq(
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.evolveAddColumns(spark, root, Seq(
+        org.apache.spark.sql.types.StructField("req",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    }
+  }
+
+  test("bloom sidecars skip files on point lookups; missing sidecars never skip") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(2000), "k", nBuckets = 8,
+      bloomCol = Some("name"))
+    // every data file has a sidecar
+    val dataFiles = manifestLines(root, 0).map(_.split('\t')(0))
+    assert(dataFiles.size === 8)
+    dataFiles.foreach { rel =>
+      assert(new java.io.File(s"$root/$rel.bloom").exists(), s"$rel.bloom")
+    }
+    // a present value opens strictly fewer files than the table holds
+    // (name is unique → exactly one file really contains it; 10 bits/row
+    // keeps false positives ~1%, so pruning must bite)
+    val hit = GraftTable.prunedPointFileCount(spark, root, "name", "row1234")
+    assert(hit >= 1 && hit < 8, s"expected bloom pruning, opened $hit of 8")
+    assert(GraftTable.readPoint(spark, root, "name", "row1234")
+      .select("k").as[Long].collect().toSeq === Seq(1234L))
+    // a absent value prunes to (almost) nothing and returns no rows
+    val miss = GraftTable.prunedPointFileCount(spark, root, "name", "no-such")
+    assert(miss < 8)
+    assert(GraftTable.readPoint(spark, root, "name", "no-such").count() === 0)
+    // deleting a sidecar only disables skipping for that file — the
+    // probe keeps it (no false negatives from lost metadata)
+    assert(new java.io.File(s"$root/${dataFiles.head}.bloom").delete())
+    assert(GraftTable.prunedPointFileCount(spark, root, "name", "row1234") >= hit)
+    assert(GraftTable.readPoint(spark, root, "name", "row1234").count() === 1)
+    // a non-bloom column never prunes but stays correct
+    assert(GraftTable.prunedPointFileCount(spark, root, "v", "500") === 8)
+    assert(GraftTable.readPoint(spark, root, "v", "12340")
+      .select("k").as[Long].collect().toSeq === Seq(1234L))
+  }
+
+  test("vacuum keeps live bloom sidecars and sweeps dead ones") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(1000), "k", nBuckets = 4,
+      bloomCol = Some("name"))
+    val v0Files = manifestLines(root, 0).map(_.split('\t')(0))
+    // rewrite the low-key file(s)
+    GraftTable.upsert(spark, root,
+      spark.range(1, 11).select($"id".as("k"), lit("x").as("name"),
+        lit(0L).as("v")), "k")
+    val v1Files = manifestLines(root, 1).map(_.split('\t')(0)).toSet
+    val dead = v0Files.filterNot(v1Files)
+    assert(dead.nonEmpty)
+    GraftTable.vacuum(spark, root, retainVersions = 1)
+    dead.foreach { rel =>
+      assert(!new java.io.File(s"$root/$rel").exists())
+      assert(!new java.io.File(s"$root/$rel.bloom").exists(),
+        s"dead sidecar survived vacuum: $rel.bloom")
+    }
+    v1Files.foreach { rel =>
+      assert(new java.io.File(s"$root/$rel.bloom").exists(),
+        s"live sidecar swept: $rel.bloom")
+    }
+    // point lookups still exact post-vacuum
+    assert(GraftTable.readPoint(spark, root, "name", "x").count() === 10)
+  }
+
+  test("changes() reads only the files the manifests disagree on") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(1000), "k", nBuckets = 4)
+    // touch only the low key range; most files are carried
+    GraftTable.upsert(spark, root,
+      spark.range(1, 21).select($"id".as("k"),
+        concat(lit("upd"), $"id").as("name"), lit(-5L).as("v")), "k")
+    val feed = GraftTable.changes(spark, root, 0, 1, "k")
+    // rewritten-but-identical rows cancel: exactly the 20 updates remain
+    assert(feed.count() === 20)
+    assert(feed.select("_change").distinct().as[String].collect().toSeq ===
+      Seq("update"))
+    assert(feed.agg(sum("v")).as[Long].head() === -100L)
+    // postimage content
+    assert(feed.filter($"name".startsWith("upd")).count() === 20)
+    // delete feed carries the preimage
+    GraftTable.deleteWhere(spark, root, $"k" <= 5, "k")
+    val del = GraftTable.changes(spark, root, 1, 2, "k").orderBy("k")
+    assert(del.select("_change").distinct().as[String].collect().toSeq ===
+      Seq("delete"))
+    assert(del.select("k").as[Long].collect().toSeq === (1L to 5L))
+    assert(del.filter($"name".startsWith("upd")).count() === 5)
+    // a metadata-only commit produces an empty feed
+    GraftTable.evolveAddColumns(spark, root, Seq(
+      org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    assert(GraftTable.changes(spark, root, 2, 3, "k").count() === 0)
+  }
+
   private def manifestLines(root: String, v: Int): Seq[String] = {
     val src = scala.io.Source.fromFile(f"$root/_log/v$v%05d.manifest")
     try src.getLines().filter(_.nonEmpty).toList finally src.close()
