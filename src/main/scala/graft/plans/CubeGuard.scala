@@ -106,6 +106,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("rolling_hash", classOf[RollingHash],
         "rolling_hash(s) - Rabin-Karp polynomial hash of a string"),
       (args: Seq[Expression]) => { arity("rolling_hash", 1, args); RollingHash(args(0)) }))
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", classOf[graft.functions.JaroWinkler],
+        "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1] (codegen'd; DuckDB-compatible semantics)"),
+      (args: Seq[Expression]) => {
+        arity("jaro_winkler", 2, args)
+        graft.functions.JaroWinkler(args(0), args(1))
+      }))
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
     // own runtime-filter injection but leaves them out of the public
     // FunctionRegistry; surfacing them gives the engine an explicit

@@ -539,7 +539,77 @@ object Curation {
            |JOIN sizes sb ON sb.source = b.source
            |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin))
 
+  /** Jaro-Winkler fuzzy matching through the native [[graft.functions.JaroWinkler]]
+    * expression — the record-linkage scorer Spark has no builtin for,
+    * pinned cell-for-cell against DuckDB's INDEPENDENT
+    * `jaro_winkler_similarity` implementation (the strongest oracle a
+    * hand-written string kernel can get: two codebases, one scoreboard).
+    *
+    * Shape: every 5th part name is deterministically damaged by a
+    * character transposition (the error class Jaro-Winkler exists for
+    * and Levenshtein-based q173/q72 treat as 2 edits), then resolved
+    * against the clean dictionary via BLOCKING — first character +
+    * length band, both invariants of the damage — so the candidate
+    * volume is Σ|block|² and never |probes|×|parts|; the per-probe
+    * best match reduces through a rounded-score tie-break that both
+    * engines order identically. At 100 TB the same plan holds: the
+    * block key is the equi-join key, and the scorer runs inside
+    * whole-stage codegen on candidate pairs only. */
+  val q225JaroWinklerMatch = GraftQuery(
+    "q225_jaro_winkler_match",
+    (s, dir) => {
+      val p = Tables.part(s, dir)
+      val probes = p.filter(col("p_partkey") % 5 === 0)
+        .select(col("p_partkey").as("probe_key"),
+          concat(substring(col("p_name"), 1, 2), substring(col("p_name"), 4, 1),
+            substring(col("p_name"), 3, 1), expr("substring(p_name, 5)"))
+            .as("probe_name"))
+      val scored = probes
+        .withColumn("blk", substring(col("probe_name"), 1, 1))
+        .join(p.withColumn("blk", substring(col("p_name"), 1, 1)), Seq("blk"))
+        .filter(abs(length(col("p_name")) - length(col("probe_name"))) <= 1)
+        .withColumn("score", graft.functions.JaroWinkler.jaroWinkler(
+          col("probe_name"), col("p_name")))
+        .filter(col("score") >= 0.95)
+        .withColumn("score_e4",
+          floor(col("score") * 10000 + lit(0.5)).cast("long"))
+      val w = Window.partitionBy("probe_key")
+        .orderBy(col("score_e4").desc, col("p_partkey"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .groupBy("probe_key")
+        .agg(count(lit(1)).as("n_matches"),
+          sum("score_e4").as("sum_e4"),
+          max(when(col("rn") === 1, col("p_partkey"))).cast("long")
+            .as("best_key"),
+          max(when(col("rn") === 1, col("score_e4"))).as("best_e4"))
+        .orderBy("probe_key")
+    },
+    Some("""WITH probes AS (
+           |  SELECT p_partkey AS probe_key,
+           |    substr(p_name, 1, 2) || substr(p_name, 4, 1) ||
+           |    substr(p_name, 3, 1) || substr(p_name, 5) AS probe_name
+           |  FROM part WHERE p_partkey % 5 = 0),
+           |scored AS (
+           |  SELECT probe_key, p.p_partkey,
+           |    CAST(floor(jaro_winkler_similarity(probe_name, p_name) * 10000
+           |      + 0.5) AS BIGINT) AS score_e4
+           |  FROM probes JOIN part p
+           |    ON substr(probe_name, 1, 1) = substr(p_name, 1, 1)
+           |    AND abs(length(p_name) - length(probe_name)) <= 1
+           |  WHERE jaro_winkler_similarity(probe_name, p_name) >= 0.95),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY probe_key
+           |    ORDER BY score_e4 DESC, p_partkey) AS rn
+           |  FROM scored)
+           |SELECT probe_key, count(*) AS n_matches,
+           |  CAST(sum(score_e4) AS BIGINT) AS sum_e4,
+           |  CAST(max(CASE WHEN rn = 1 THEN p_partkey END) AS BIGINT) AS best_key,
+           |  CAST(max(CASE WHEN rn = 1 THEN score_e4 END) AS BIGINT) AS best_e4
+           |FROM ranked GROUP BY probe_key ORDER BY probe_key""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q173EntityResolution, q174IntervalOverlap,
     q175PiiRedaction, q176KmeansClusters, q181SemanticDedup,
-    q202BoilerplateShingles, q203DsirImportance, q208SourceOverlap)
+    q202BoilerplateShingles, q203DsirImportance, q208SourceOverlap,
+    q225JaroWinklerMatch)
 }

@@ -617,7 +617,110 @@ object EvalMetrics {
            |FROM a_term JOIN b_term USING (source)
            |ORDER BY source""".stripMargin))
 
+  /** CUPED variance reduction (Controlled-experiment Using Pre-Existing
+    * Data — the standard industrial A/B-test adjustment): customers are
+    * hash-assigned to two arms, the post-period revenue metric is
+    * adjusted by its pre-period covariate, `Y' = Y − θ(X − X̄)` with
+    * `θ = cov(X,Y)/var(X)` estimated POOLED across arms, and the gate
+    * reports per-arm lift before/after plus the variance-reduction
+    * ratio. Because the assignment is orthogonal to history, the
+    * adjusted means preserve the treatment contrast while shrinking
+    * noise — the point of the method.
+    *
+    * Determinism across engines: every moment (Σx, Σy, Σxy, Σx², n) is
+    * accumulated over INTEGER dollars, so the shuffles can reorder
+    * rows freely and the sums stay exact; θ and the adjusted means are
+    * then single fixed-form double expressions over those exact
+    * integers — bit-identical in both engines, rounded once at the
+    * output. Scale: two aggregations (per-customer rollup, then moment
+    * rollup) and a broadcast of 5 scalars; no data-sized state. */
+  val q227CupedAdjustment = GraftQuery(
+    "q227_cuped_adjustment",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val per = o.groupBy(col("o_custkey"))
+        .agg(
+          sum(when(col("o_orderdate") < lit("1998-01-01").cast("timestamp"),
+            floor(col("o_totalprice") / 100).cast("long")).otherwise(0L))
+            .as("x"),
+          sum(when(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"),
+            floor(col("o_totalprice") / 100).cast("long")).otherwise(0L))
+            .as("y"))
+        .withColumn("arm", (col("o_custkey") % 2).cast("long"))
+      // exact integer moments per arm; variance/covariance/θ are then
+      // FIXED-FORM double expressions over them (no data-order float
+      // accumulation anywhere — var_samp over doubles would drift with
+      // partitioning and can't be hash-gated cross-engine)
+      val arms = per.groupBy("arm").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val pooled = per.agg(
+        count(lit(1)).as("pn"), sum("x").as("psx"), sum("y").as("psy"),
+        sum(col("x") * col("y")).as("psxy"), sum(col("x") * col("x")).as("psxx"))
+        .select(
+          ((col("psxy").cast("double") - col("psx").cast("double") *
+            col("psy").cast("double") / col("pn").cast("double")) /
+            (col("psxx").cast("double") - col("psx").cast("double") *
+              col("psx").cast("double") / col("pn").cast("double"))).as("theta"),
+          (col("psx").cast("double") / col("pn").cast("double")).as("xbar"))
+      def d(c: String) = col(c).cast("double")
+      val vy = (d("syy") * d("n") - d("sy") * d("sy")) / (d("n") * (d("n") - 1))
+      val vx = (d("sxx") * d("n") - d("sx") * d("sx")) / (d("n") * (d("n") - 1))
+      val cxy = (d("sxy") * d("n") - d("sx") * d("sy")) / (d("n") * (d("n") - 1))
+      arms.crossJoin(broadcast(pooled))
+        .select(col("arm"), col("n").as("n_users"),
+          round(d("sy") / d("n"), 4).as("mean_y"),
+          round(d("sy") / d("n") -
+            col("theta") * (d("sx") / d("n") - col("xbar")), 4).as("mean_y_adj"),
+          round(vy, 2).as("var_y"),
+          round(vy - lit(2.0) * col("theta") * cxy +
+            col("theta") * col("theta") * vx, 2).as("var_y_adj"))
+        .orderBy("arm")
+    },
+    Some("""WITH per AS (
+           |  SELECT o_custkey, o_custkey % 2 AS arm,
+           |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+           |      THEN CAST(floor(o_totalprice / 100) AS BIGINT) ELSE 0 END)
+           |      AS BIGINT) AS x,
+           |    CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+           |      THEN CAST(floor(o_totalprice / 100) AS BIGINT) ELSE 0 END)
+           |      AS BIGINT) AS y
+           |  FROM orders GROUP BY 1, 2),
+           |arms AS (
+           |  SELECT arm, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+           |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+           |    CAST(sum(x * x) AS BIGINT) AS sxx,
+           |    CAST(sum(y * y) AS BIGINT) AS syy
+           |  FROM per GROUP BY arm),
+           |t AS (
+           |  SELECT (CAST(sum(x * y) AS DOUBLE) - CAST(sum(x) AS DOUBLE) *
+           |      CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)) /
+           |    (CAST(sum(x * x) AS DOUBLE) - CAST(sum(x) AS DOUBLE) *
+           |      CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS theta,
+           |    CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS xbar
+           |  FROM per)
+           |SELECT arm, n AS n_users,
+           |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_y,
+           |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) -
+           |    theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - xbar), 4)
+           |    AS mean_y_adj,
+           |  round((CAST(syy AS DOUBLE) * CAST(n AS DOUBLE) -
+           |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) /
+           |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)), 2) AS var_y,
+           |  round((CAST(syy AS DOUBLE) * CAST(n AS DOUBLE) -
+           |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) /
+           |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) -
+           |    2.0 * theta * ((CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE) -
+           |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+           |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) +
+           |    theta * theta * ((CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE) -
+           |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+           |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 2) AS var_y_adj
+           |FROM arms CROSS JOIN t ORDER BY arm""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q178RetrievalEval, q179GroupedAuc, q180SeasonalDecompose,
-      q210DedupEval, q212DriftMonitor, q216BleuEval, q217LabelAgreement)
+      q210DedupEval, q212DriftMonitor, q216BleuEval, q217LabelAgreement,
+      q227CupedAdjustment)
 }

@@ -2448,6 +2448,111 @@ object Extras {
            |    ::BIGINT) AS BIGINT) AS node_sum
            |FROM mind GROUP BY dist ORDER BY dist""".stripMargin))
 
+  /** LINEAR-interpolation gap fill over per-series daily revenue — the
+    * time-series repair q116's forward fill cannot express (carry-last
+    * holds a stale level; interpolation reconstructs the trend between
+    * the surrounding observations). Twelve `o_custkey % 12` series are
+    * joined to their own min→max day spines; every interior gap day
+    * gets `prev + (next − prev) · (day − prev_day)/(next_day −
+    * prev_day)` from TWO ignoreNulls window scans (last-before /
+    * first-after — each one pass, PARTITIONED by series so the sort is
+    * per-group, never global); days before the first or after the last
+    * observation stay NULL (extrapolation is a modeling choice, not a
+    * repair). Integer cents in, one shared rounding at the end; the
+    * interpolation expression is written in the same association in
+    * both engines so the doubles agree bit-for-bit.
+    *
+    * Scale: the spine is calendar×series-bounded, the windows are
+    * keyed by series — the same plan at any corpus size. */
+  val q226LinearInterpolate = GraftQuery(
+    "q226_linear_interpolate",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val daily = o.groupBy((col("o_custkey") % 12).as("grp"),
+          col("o_orderdate").cast("date").as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("rev_cents"))
+      val spine = o.groupBy((col("o_custkey") % 12).as("grp"))
+        .agg(min(col("o_orderdate").cast("date")).as("lo"),
+          max(col("o_orderdate").cast("date")).as("hi"))
+        .select(col("grp"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 day")))
+            .as("day"))
+      val W = org.apache.spark.sql.expressions.Window
+      val wPrev = W.partitionBy("grp").orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+      val wNext = W.partitionBy("grp").orderBy("day")
+        .rowsBetween(0, W.unboundedFollowing)
+      val filled = spine.join(daily, Seq("grp", "day"), "left")
+        .withColumn("prev_v", last(col("rev_cents"), ignoreNulls = true).over(wPrev))
+        .withColumn("prev_d",
+          last(when(col("rev_cents").isNotNull, col("day")), ignoreNulls = true)
+            .over(wPrev))
+        .withColumn("next_v", first(col("rev_cents"), ignoreNulls = true).over(wNext))
+        .withColumn("next_d",
+          first(when(col("rev_cents").isNotNull, col("day")), ignoreNulls = true)
+            .over(wNext))
+        .withColumn("interp",
+          when(col("rev_cents").isNotNull, col("rev_cents").cast("double"))
+            .otherwise(col("prev_v") +
+              (col("next_v") - col("prev_v")) *
+                datediff(col("day"), col("prev_d")) /
+                datediff(col("next_d"), col("prev_d"))))
+      filled.groupBy("grp")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("rev_cents").isNull.cast("long")).as("n_gaps"),
+          sum(when(col("interp").isNull, 1L).otherwise(0L)).as("n_edge"),
+          round(sum(col("interp")) / 100, 2).as("total_interp"),
+          round(avg(when(col("rev_cents").isNull, col("interp"))) / 100, 2)
+            .as("avg_gap_fill"))
+        .orderBy("grp")
+    },
+    Some("""WITH daily AS (
+           |  SELECT o_custkey % 12 AS grp, CAST(o_orderdate AS DATE) AS day,
+           |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS rev_cents
+           |  FROM orders GROUP BY 1, 2),
+           |spine AS (
+           |  SELECT grp, unnest(generate_series(lo, hi,
+           |    INTERVAL 1 DAY))::DATE AS day
+           |  FROM (SELECT o_custkey % 12 AS grp,
+           |          min(CAST(o_orderdate AS DATE)) AS lo,
+           |          max(CAST(o_orderdate AS DATE)) AS hi
+           |        FROM orders GROUP BY 1)),
+           |j AS (
+           |  SELECT s.grp, s.day, d.rev_cents FROM spine s
+           |  LEFT JOIN daily d ON d.grp = s.grp AND d.day = s.day),
+           |anno AS (
+           |  SELECT grp, day, rev_cents,
+           |    last_value(rev_cents IGNORE NULLS) OVER w_prev AS prev_v,
+           |    last_value(CASE WHEN rev_cents IS NOT NULL THEN day END
+           |      IGNORE NULLS) OVER w_prev AS prev_d,
+           |    first_value(rev_cents IGNORE NULLS) OVER w_next AS next_v,
+           |    first_value(CASE WHEN rev_cents IS NOT NULL THEN day END
+           |      IGNORE NULLS) OVER w_next AS next_d
+           |  FROM j
+           |  WINDOW w_prev AS (PARTITION BY grp ORDER BY day
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |    w_next AS (PARTITION BY grp ORDER BY day
+           |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+           |interp AS (
+           |  SELECT grp, day, rev_cents,
+           |    CASE WHEN rev_cents IS NOT NULL THEN CAST(rev_cents AS DOUBLE)
+           |      ELSE prev_v + (next_v - prev_v) *
+           |        CAST(date_diff('day', prev_d, day) AS DOUBLE) /
+           |        CAST(date_diff('day', prev_d, next_d) AS DOUBLE)
+           |    END AS interp
+           |  FROM anno)
+           |SELECT grp, count(*) AS n_days,
+           |  CAST(sum(CASE WHEN rev_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_gaps,
+           |  CAST(sum(CASE WHEN interp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_edge,
+           |  round(sum(interp) / 100, 2) AS total_interp,
+           |  round(avg(CASE WHEN rev_cents IS NULL THEN interp END) / 100, 2)
+           |    AS avg_gap_fill
+           |FROM interp GROUP BY grp ORDER BY grp""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
     q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
     q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup, q75StatAggregates,
@@ -2464,5 +2569,6 @@ object Extras {
     q144RevenueGini, q145RfmSegments, q146OrderReconciliation,
     q147BenfordAudit, q148BehaviorEntropy, q149OrderGaps, q150RankFusion,
     q151RevenueAnomalies, q162SlidingWindows, q164VariantProps,
-    q170LinearAttribution, q171LDiversity, q172HitsAuthorities, q215ShortestPaths)
+    q170LinearAttribution, q171LDiversity, q172HitsAuthorities, q215ShortestPaths,
+    q226LinearInterpolate)
 }
