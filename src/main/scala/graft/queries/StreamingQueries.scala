@@ -465,8 +465,104 @@ object StreamingQueries {
            |FROM events e LEFT JOIN f USING (user_id)
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Watermarked stream-stream LEFT OUTER join, gate-checked — the
+    * state family q157's inner form never exercises: a NULL-padded row
+    * for a non-converting click can only be emitted when the watermark
+    * PROVES no in-window purchase can still arrive, i.e. this gate
+    * runs the state-eviction → outer-emission machinery end to end
+    * (the abandonment feed of a real click/purchase pipeline).
+    *
+    * Determinism: the pre-split files replay in arbitrary order, so
+    * mid-stream watermark positions are not reproducible — but the
+    * FINAL table is forced independent of order by construction:
+    * the main stream runs under an effectively-unbounded watermark
+    * delay (nothing is ever dropped as late, q157's argument), then
+    * two FLUSH micro-batches carrying one far-future click+purchase
+    * pair (user −999, 7300 days ahead) advance both sides' event-time
+    * stats past every real click's window — the first flush batch
+    * moves the watermark, the second gives Spark the batch in which
+    * eviction emits the outer rows (outer results surface one batch
+    * after their watermark passes). Every unmatched click therefore
+    * emits its NULL row exactly once, and the run-to-completion table
+    * equals the batch LEFT JOIN the oracle computes; the flush pair
+    * itself is filtered out AFTER the join (it never matches a real
+    * row — the user id is reserved and its window is 7300 days away).
+    */
+  val q228StreamAbandonedClicks = GraftQuery(
+    "q228_stream_abandoned_clicks",
+    (s, dir) => {
+      val srcDir = splitForStream(s, dir, 4)
+      val raw = s.read.parquet(srcDir)
+      val rawSchema = raw.schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val events = Tables.toUtcTimestamp(stream, "ts")
+      val sink = "graft_stream_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // the flush pair is excluded AFTER the sink, not here: an
+      // in-stream user_id filter would be PUSHED DOWN to the parquet
+      // scan, whose file stats then prune the all-flush file entirely —
+      // 0 rows read means the watermark never sees the flush event
+      // times and the outer rows never emit (observed, not theoretical)
+      val q =
+        try Streaming.clickToPurchaseJoin(
+            events.filter(col("event_type") === "click"),
+            events.filter(col("event_type") === "purchase"),
+            within = "30 minutes", watermark = "3650 days",
+            joinType = "left_outer")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      try {
+        q.processAllAvailable()
+        // flush batches: one far-future click+purchase pair per file,
+        // schema-cloned from the latest real row so the source schema
+        // is untouched; coalesce(1) → exactly one file → one batch
+        def writeFlush(n: Int): Unit = {
+          val bump = rawSchema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              col("ts") + lit((7300L * 86400L + n) * 1000000000L)
+            case _ => col("ts") + expr(s"interval 7300 days $n seconds")
+          }
+          val top = raw.orderBy(col("ts").desc, col("event_id").desc).limit(1)
+            .withColumn("ts", bump)
+            .withColumn("user_id", lit(-999L))
+          top.withColumn("event_id", lit(-1000000L - n))
+            .withColumn("event_type", lit("click"))
+            .union(top.withColumn("event_id", lit(-2000000L - n))
+              .withColumn("event_type", lit("purchase")))
+            .coalesce(1)
+            .write.mode("append").parquet(srcDir)
+          q.processAllAvailable()
+        }
+        writeFlush(1)
+        writeFlush(2)
+      } finally q.stop()
+      s.table(sink)
+        .filter(col("user_id") =!= -999L)
+        .select(col("user_id"), col("click_id"),
+          unix_timestamp(col("click_ts")).as("click_ts_sec"),
+          col("purchase_id"),
+          unix_timestamp(col("purchase_ts")).as("purchase_ts_sec"),
+          col("purchase_value"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    },
+    Some("""SELECT c.user_id, c.event_id AS click_id,
+           |  CAST(epoch(date_trunc('second', c.ts)) AS BIGINT) AS click_ts_sec,
+           |  p.event_id AS purchase_id,
+           |  CAST(epoch(date_trunc('second', p.ts)) AS BIGINT) AS purchase_ts_sec,
+           |  p.value AS purchase_value
+           |FROM (SELECT * FROM events WHERE event_type = 'click') c
+           |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           |  ON p.user_id = c.user_id
+           |  AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
+           |  AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 1800000000
+           |ORDER BY c.user_id, click_id, purchase_id""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q152StreamCdcState, q153StreamWindowedAggs, q157StreamClickPurchase,
       q159StreamUserTotals, q160RegistryNearDup, q161StreamSessions,
-      q167StreamDedup, q168StreamEnrich)
+      q167StreamDedup, q168StreamEnrich, q228StreamAbandonedClicks)
 }
