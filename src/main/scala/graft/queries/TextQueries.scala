@@ -1124,6 +1124,205 @@ object TextQueries {
            |FROM surv s JOIN tot t ON s.source = t.source
            |GROUP BY t.source, t.n_docs ORDER BY t.source""".stripMargin))
 
+  /** URL canonicalization + duplicate collapse — the first dedup axis
+    * of any web-scale crawl (the same page arrives under case-varied
+    * hosts, default ports, shuffled query params, tracking params, and
+    * fragments; canonicalizing BEFORE content dedup collapses the easy
+    * 10-40% for string-op cost instead of shingle cost). Six variant
+    * classes are synthesized per document from deterministic key
+    * arithmetic, then canonicalized FROM THE RAW STRING alone:
+    * lowercase scheme+host, strip the default port, drop the trailing
+    * slash, drop `utm_*`/`fbclid` tracking params, SORT the surviving
+    * params, drop the fragment. The whole pipeline is regexp_extract +
+    * higher-order array functions (filter → sort → join) — one
+    * codegen'd projection, no UDF, no shuffle until the final
+    * collapse-count aggregation; the oracle replays it with DuckDB's
+    * list lambdas.
+    *
+    * Output: for each collapse factor (how many raw variants fold into
+    * one canonical URL), the number of canonical URLs and an md5
+    * checksum over them — pinning both the grouping and every
+    * canonical string byte. */
+  val q229UrlCanonicalize = GraftQuery(
+    "q229_url_canonicalize",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val raw = d.select(col("doc_id"), concat(
+        when(col("doc_id") % 3 === 0, "HTTP").otherwise("http"), lit("://"),
+        when(col("doc_id") % 4 === 0, "Example.COM")
+          .when(col("doc_id") % 4 === 1, "EXAMPLE.com").otherwise("example.com"),
+        when(col("doc_id") % 5 === 0, ":80").otherwise(""),
+        lit("/p/"), (col("doc_id") * col("doc_id") % 37).cast("string"),
+        when(col("doc_id") % 7 === 0, "/").otherwise(""),
+        lit("?"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("utm_source=feed&id="),
+            (col("doc_id") * col("doc_id") % 37).cast("string"),
+            lit("&ref="), col("source")))
+          .otherwise(concat(lit("ref="), col("source"), lit("&fbclid=xyz&id="),
+            (col("doc_id") * col("doc_id") % 37).cast("string"))),
+        when(col("doc_id") % 6 === 0, "#sec2").otherwise("")).as("url"))
+      val canon = raw
+        .withColumn("scheme", lower(regexp_extract(col("url"), "^([a-zA-Z]+)://", 1)))
+        .withColumn("hostport", regexp_extract(col("url"), "^[a-zA-Z]+://([^/?#]+)", 1))
+        .withColumn("host", lower(element_at(split(col("hostport"), ":"), 1)))
+        .withColumn("port", element_at(split(col("hostport"), ":"), 2))
+        .withColumn("path", regexp_extract(col("url"), "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1))
+        .withColumn("path2",
+          when(length(col("path")) > 1 && col("path").endsWith("/"),
+            expr("substring(path, 1, length(path) - 1)")).otherwise(col("path")))
+        .withColumn("qs", regexp_extract(col("url"), "\\?([^#]*)", 1))
+        .withColumn("params", array_join(array_sort(filter(
+          split(col("qs"), "&"),
+          p => !p.startsWith("utm_") && !p.startsWith("fbclid") &&
+            p =!= "")), "&"))
+        .select(col("doc_id"), concat(col("scheme"), lit("://"), col("host"),
+          when(col("port").isNotNull && col("port") =!= "80",
+            concat(lit(":"), col("port"))).otherwise(""),
+          col("path2"),
+          when(col("params") =!= "", concat(lit("?"), col("params")))
+            .otherwise("")).as("canon"))
+      canon.groupBy("canon")
+        .agg(count(lit(1)).as("n_variants"))
+        .groupBy("n_variants")
+        .agg(count(lit(1)).as("n_urls"),
+          sum(conv(substring(md5(col("canon")), 1, 8), 16, 10).cast("long"))
+            .as("url_sum"))
+        .orderBy("n_variants")
+    },
+    Some("""WITH raw AS (
+           |  SELECT doc_id,
+           |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
+           |    (CASE WHEN doc_id % 4 = 0 THEN 'Example.COM'
+           |          WHEN doc_id % 4 = 1 THEN 'EXAMPLE.com'
+           |          ELSE 'example.com' END) ||
+           |    (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
+           |    '/p/' || CAST(doc_id * doc_id % 37 AS VARCHAR) ||
+           |    (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) || '?' ||
+           |    (CASE WHEN doc_id % 2 = 0
+           |      THEN 'utm_source=feed&id=' || CAST(doc_id * doc_id % 37 AS VARCHAR) ||
+           |        '&ref=' || source
+           |      ELSE 'ref=' || source || '&fbclid=xyz&id=' ||
+           |        CAST(doc_id * doc_id % 37 AS VARCHAR) END) ||
+           |    (CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END) AS url
+           |  FROM documents),
+           |parts AS (
+           |  SELECT doc_id, url,
+           |    lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+           |    regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1) AS hostport,
+           |    regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1) AS path,
+           |    regexp_extract(url, '\?([^#]*)', 1) AS qs
+           |  FROM raw),
+           |canon AS (
+           |  SELECT doc_id,
+           |    scheme || '://' || lower(string_split(hostport, ':')[1]) ||
+           |    (CASE WHEN len(string_split(hostport, ':')) > 1
+           |       AND string_split(hostport, ':')[2] <> '80'
+           |       THEN ':' || string_split(hostport, ':')[2] ELSE '' END) ||
+           |    (CASE WHEN length(path) > 1 AND path LIKE '%/'
+           |       THEN substr(path, 1, length(path) - 1) ELSE path END) ||
+           |    (CASE WHEN array_to_string(list_sort(list_filter(
+           |        string_split(qs, '&'),
+           |        p -> NOT starts_with(p, 'utm_') AND
+           |          NOT starts_with(p, 'fbclid') AND p <> '')), '&') <> ''
+           |      THEN '?' || array_to_string(list_sort(list_filter(
+           |        string_split(qs, '&'),
+           |        p -> NOT starts_with(p, 'utm_') AND
+           |          NOT starts_with(p, 'fbclid') AND p <> '')), '&')
+           |      ELSE '' END) AS canon
+           |  FROM parts),
+           |grp AS (
+           |  SELECT canon, count(*) AS n_variants FROM canon GROUP BY canon)
+           |SELECT n_variants, count(*) AS n_urls,
+           |  CAST(sum(('0x' || substr(md5(canon), 1, 8))::BIGINT) AS BIGINT)
+           |    AS url_sum
+           |FROM grp GROUP BY n_variants ORDER BY n_variants""".stripMargin))
+
+  /** HTML main-content extraction — the step between a raw crawl and
+    * every text-quality gate in this engine (q58/q99 assume markup is
+    * already gone). Documents are deterministically wrapped in a
+    * realistic page shell (head, script with a `<` in its body, style
+    * rules, nav boilerplate, entity-laden footer), then the text is
+    * recovered FROM THE MARKUP ALONE by the standard extraction chain:
+    * drop `<script>`/`<style>` ELEMENTS wholesale (content included —
+    * tag-stripping alone would leak code into the corpus, the classic
+    * crawl-pipeline bug), strip remaining tags, decode the five core
+    * entities (amp LAST, so `&amp;lt;` decodes to the literal `&lt;`
+    * and not to `<`), collapse whitespace. One codegen'd projection of
+    * regexp_replace/replace per row — embarrassingly parallel at any
+    * scale; the oracle replays the chain with RE2's identical
+    * non-greedy dot-all patterns.
+    *
+    * The gate checksums every extracted byte per document and counts
+    * words — a leaked script token or an undecoded entity flips both. */
+  val q230HtmlExtract = GraftQuery(
+    "q230_html_extract",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val html = d.select(col("doc_id"), concat(
+        lit("<html><head><title>Doc "), col("doc_id"), lit("</title>"),
+        lit("<script type=\"text/javascript\">var x = 1 < 2; leak();</script>"),
+        lit("<style>.c { color: red; } #m > p { top: 0; }</style></head>"),
+        lit("<body><nav><ul><li><a href=\"/home\">Home</a></li>"),
+        lit("<li><a href=\"/about\">About</a></li></ul></nav>"),
+        lit("<h1>Doc "), col("doc_id"), lit("</h1><p>"),
+        expr("substring(text, 1, 240)"),
+        lit("</p><footer>Tom &amp; Jerry &lt;3 &quot;quotes&quot; "),
+        lit("&#39;s &amp;lt;escaped&amp;gt;</footer></body></html>"))
+        .as("html"))
+      val extracted = html.withColumn("t1",
+          regexp_replace(col("html"), "(?s)<script.*?</script>", " "))
+        .withColumn("t2", regexp_replace(col("t1"), "(?s)<style.*?</style>", " "))
+        .withColumn("t3", regexp_replace(col("t2"), "<[^>]*>", " "))
+        .withColumn("t4",
+          // amp decodes LAST: double-escaped entities stay literal
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(col("t3"),
+              "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+            "&amp;", "&"))
+        .withColumn("clean", trim(regexp_replace(col("t4"), "\\s+", " ")))
+      extracted.select(col("doc_id"),
+        length(col("clean")).cast("long").as("n_chars"),
+        size(split(col("clean"), " ")).cast("long").as("n_words"),
+        conv(substring(md5(col("clean")), 1, 8), 16, 10).cast("long")
+          .as("text_sum"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH html AS (
+           |  SELECT doc_id,
+           |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+           |    '</title>' ||
+           |    '<script type="text/javascript">var x = 1 < 2; leak();</script>' ||
+           |    '<style>.c { color: red; } #m > p { top: 0; }</style></head>' ||
+           |    '<body><nav><ul><li><a href="/home">Home</a></li>' ||
+           |    '<li><a href="/about">About</a></li></ul></nav>' ||
+           |    '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+           |    substr(text, 1, 240) ||
+           |    '</p><footer>Tom &amp; Jerry &lt;3 &quot;quotes&quot; ' ||
+           |    '&#39;s &amp;lt;escaped&amp;gt;</footer></body></html>' AS html
+           |  FROM documents),
+           |ext AS (
+           |  SELECT doc_id,
+           |    trim(regexp_replace(
+           |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           |        regexp_replace(regexp_replace(regexp_replace(html,
+           |          '(?s)<script.*?</script>', ' ', 'g'),
+           |          '(?s)<style.*?</style>', ' ', 'g'),
+           |          '<[^>]*>', ' ', 'g'),
+           |        '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+           |        '&quot;', '"', 'g'), '&#39;', '''', 'g'),
+           |      '&amp;', '&', 'g')) AS dirty
+           |  FROM html),
+           |clean AS (
+           |  SELECT doc_id,
+           |    trim(regexp_replace(dirty, '\s+', ' ', 'g')) AS clean
+           |  FROM ext)
+           |SELECT doc_id, CAST(length(clean) AS BIGINT) AS n_chars,
+           |  CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_words,
+           |  CAST(('0x' || substr(md5(clean), 1, 8))::BIGINT AS BIGINT)
+           |    AS text_sum
+           |FROM clean ORDER BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q20TextStats, q21LangId, q22Fingerprint, q23DedupExact, q24MinhashLsh,
     q25Simhash, q26NgramJaccard, q27MultimodalMeta, q28MultimodalFeatures,
@@ -1132,5 +1331,6 @@ object TextQueries {
     q88DocChunks, q101NearDupDegree, q108CrossSourceDups, q111MinhashOph,
     q122SpanDedup, q123NgramNovelty, q139SubstringRepeats,
     q163ContainmentPairs, q189BpeLearn, q190LeakageSafeSplit,
-    q194BpeTokenize, q199BestSurvivor, q211BpePacking)
+    q194BpeTokenize, q199BestSurvivor, q211BpePacking,
+    q229UrlCanonicalize, q230HtmlExtract)
 }
