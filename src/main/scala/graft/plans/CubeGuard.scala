@@ -106,6 +106,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("rolling_hash", classOf[RollingHash],
         "rolling_hash(s) - Rabin-Karp polynomial hash of a string"),
       (args: Seq[Expression]) => { arity("rolling_hash", 1, args); RollingHash(args(0)) }))
+    ext.injectFunction((FunctionIdentifier("utf8_truncate"),
+      info("utf8_truncate", classOf[graft.functions.Utf8Truncate],
+        "utf8_truncate(s, maxBytes) - longest prefix of at most maxBytes UTF-8 bytes that never splits a codepoint"),
+      (args: Seq[Expression]) => {
+        arity("utf8_truncate", 2, args)
+        graft.functions.Utf8Truncate(args(0), args(1))
+      }))
     ext.injectFunction((FunctionIdentifier("jaro_winkler"),
       info("jaro_winkler", classOf[graft.functions.JaroWinkler],
         "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1] (codegen'd; DuckDB-compatible semantics)"),

@@ -719,8 +719,77 @@ object EvalMetrics {
            |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 2) AS var_y_adj
            |FROM arms CROSS JOIN t ORDER BY arm""".stripMargin))
 
+  /** Poisson-bootstrap confidence intervals for per-priority mean
+    * order value — THE distributed bootstrap: classic resampling draws
+    * n rows with replacement (a global operation no cluster can do
+    * cheaply), while the Poisson trick gives every (row, replicate)
+    * pair an independent Poisson(1) weight, turning 40 bootstrap
+    * replicates into one EXPLODE + one keyed aggregation that scales
+    * like any other groupBy. Weights come from a deterministic
+    * md5-uniform inverted through the Poisson(1) CDF (literal
+    * thresholds, identical in both engines), so the resample — and
+    * therefore the interval — is partitioning-invariant and exactly
+    * replayable in SQL. Replicate means reduce through exact integer
+    * sums; the 5%/95% interval is the type-7 percentile over the 40
+    * means, which both engines interpolate identically. */
+  val q235BootstrapCi = GraftQuery(
+    "q235_bootstrap_ci",
+    (s, dir) => {
+      val nRep = 40
+      val o = Tables.orders(s, dir).select(col("o_orderpriority").as("priority"),
+        col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      // Poisson(1) CDF thresholds: P(X<=k) for k = 0..4
+      val rep = o.select(col("priority"), col("o_orderkey"), col("cents"),
+          explode(sequence(lit(0), lit(nRep - 1))).as("r"))
+        .withColumn("u",
+          conv(substring(md5(concat_ws("|", col("o_orderkey"), col("r"))), 1, 8),
+            16, 10).cast("double") / lit(4294967296.0))
+        .withColumn("w",
+          when(col("u") < 0.367879441171, 0L)
+            .when(col("u") < 0.735758882343, 1L)
+            .when(col("u") < 0.919698602929, 2L)
+            .when(col("u") < 0.981011843124, 3L)
+            .when(col("u") < 0.996340153173, 4L).otherwise(5L))
+      val means = rep.groupBy("priority", "r")
+        .agg((sum(col("w") * col("cents")).cast("double") /
+          sum(col("w")).cast("double")).as("mean_c"))
+      means.groupBy("priority")
+        .agg(count(lit(1)).as("n_reps"),
+          round(expr("percentile(mean_c, 0.05)") / 100, 2).as("ci_lo"),
+          round(expr("percentile(mean_c, 0.5)") / 100, 2).as("ci_mid"),
+          round(expr("percentile(mean_c, 0.95)") / 100, 2).as("ci_hi"))
+        .orderBy("priority")
+    },
+    Some("""WITH o AS (
+           |  SELECT o_orderpriority AS priority, o_orderkey,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM orders),
+           |rep AS (
+           |  SELECT priority, o_orderkey, cents, r,
+           |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+           |      CAST(r AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u
+           |  FROM o, LATERAL (SELECT unnest(generate_series(0, 39)) AS r)),
+           |w AS (
+           |  SELECT priority, r, cents,
+           |    CASE WHEN u < 0.367879441171 THEN 0
+           |         WHEN u < 0.735758882343 THEN 1
+           |         WHEN u < 0.919698602929 THEN 2
+           |         WHEN u < 0.981011843124 THEN 3
+           |         WHEN u < 0.996340153173 THEN 4 ELSE 5 END AS w
+           |  FROM rep),
+           |means AS (
+           |  SELECT priority, r,
+           |    CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mean_c
+           |  FROM w GROUP BY priority, r)
+           |SELECT priority, count(*) AS n_reps,
+           |  round(quantile_cont(mean_c, 0.05) / 100, 2) AS ci_lo,
+           |  round(quantile_cont(mean_c, 0.5) / 100, 2) AS ci_mid,
+           |  round(quantile_cont(mean_c, 0.95) / 100, 2) AS ci_hi
+           |FROM means GROUP BY priority ORDER BY priority""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q178RetrievalEval, q179GroupedAuc, q180SeasonalDecompose,
       q210DedupEval, q212DriftMonitor, q216BleuEval, q217LabelAgreement,
-      q227CupedAdjustment)
+      q227CupedAdjustment, q235BootstrapCi)
 }

@@ -2553,6 +2553,196 @@ object Extras {
            |    AS avg_gap_fill
            |FROM interp GROUP BY grp ORDER BY grp""".stripMargin))
 
+  /** Theil-Sen robust trend estimation per series — the median of all
+    * pairwise slopes, the robust counterpart of q134's OLS `regr_slope`
+    * (one gross outlier day moves OLS arbitrarily but shifts a median
+    * of ~3M slopes by one rank). Runs on the per-priority DAILY grain:
+    * the pairwise self-join is O(days²) on a CALENDAR-bounded series
+    * (~3M pairs per priority regardless of row count), never on the
+    * fact grain — the inversion that keeps a pairwise estimator viable
+    * at 100 TB. Slopes are integer-cents differences divided once;
+    * both engines interpolate the exact median identically (type-7 /
+    * avg-of-middles); the intercept is the median residual under the
+    * UNROUNDED slope, so no rounded intermediate feeds later math. */
+  val q231TheilSen = GraftQuery(
+    "q231_theil_sen",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("priority"),
+          col("o_orderdate").cast("date").as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("y"))
+        .withColumn("x",
+          datediff(col("day"), lit("1995-01-01").cast("date")).cast("long"))
+      val slopes = daily.as("a")
+        .join(daily.as("b"),
+          col("a.priority") === col("b.priority") && col("a.x") < col("b.x"))
+        .select(col("a.priority").as("priority"),
+          ((col("b.y") - col("a.y")).cast("double") /
+            (col("b.x") - col("a.x")).cast("double")).as("slope"))
+      val m = slopes.groupBy("priority")
+        .agg(expr("percentile(slope, 0.5)").as("m"))
+      daily.join(m, Seq("priority"))
+        .select(col("priority"), col("m"),
+          (col("y").cast("double") - col("m") * col("x").cast("double"))
+            .as("resid"))
+        .groupBy("priority")
+        .agg(count(lit(1)).as("n_days"),
+          round(max(col("m")) / 100, 6).as("slope_per_day"),
+          round(expr("percentile(resid, 0.5)") / 100, 4).as("intercept"))
+        .orderBy("priority")
+    },
+    Some("""WITH daily AS (
+           |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+           |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS y,
+           |    CAST(date_diff('day', DATE '1995-01-01',
+           |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x
+           |  FROM orders GROUP BY 1, 2),
+           |m AS (
+           |  SELECT a.priority,
+           |    median(CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)) AS m
+           |  FROM daily a JOIN daily b
+           |    ON a.priority = b.priority AND a.x < b.x
+           |  GROUP BY a.priority)
+           |SELECT d.priority, count(*) AS n_days,
+           |  round(max(m.m) / 100, 6) AS slope_per_day,
+           |  round(median(CAST(d.y AS DOUBLE) - m.m * CAST(d.x AS DOUBLE)) / 100,
+           |    4) AS intercept
+           |FROM daily d JOIN m ON m.priority = d.priority
+           |GROUP BY d.priority ORDER BY d.priority""".stripMargin))
+
+  /** Label-propagation community detection (3 synchronized rounds)
+    * over the co-purchase graph — the community-structure member of
+    * the iterative-graph family (q129 ranks importance, q172 scores
+    * hubs/authorities, q215 measures distance, q54 proves
+    * connectivity; none of them PARTITIONS the graph). Each round is
+    * one equi-join (labels onto edge sources) + one keyed count + a
+    * per-node argmax with the classic deterministic tie-break
+    * (highest neighbor-label frequency, ties to the SMALLEST label) —
+    * synchronized updates and a fixed round count keep the evolution
+    * order-free, so the oracle can unroll the recursion. Same
+    * per-round dataflow shape as q129, which PlanAuditSpec pins to a
+    * reused edge exchange: the join keys repeat round over round.
+    *
+    * Output: per detected community, its size and a member checksum —
+    * any divergence in any round's argmax flips the final partition. */
+  val q233LabelPropagation = GraftQuery(
+    "q233_label_propagation",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      // threshold to RE-co-purchased pairs (weight >= 2): single
+      // co-occurrences are noise edges that glue a co-occurrence graph
+      // into one blob — the standard LPA pre-step, and the aggregation
+      // is the same keyed count the unthresholded form needs anyway
+      val e0 = li.as("x")
+        .join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select("a", "b")
+      val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      val W = org.apache.spark.sql.expressions.Window
+      var labels = edges.select(col("a").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      for (_ <- 1 to 3) {
+        val counted = edges
+          .join(labels.withColumnRenamed("node", "a"), Seq("a"))
+          .groupBy(col("b").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+        labels = counted
+          .withColumn("rn", row_number().over(
+            W.partitionBy("node").orderBy(col("c").desc, col("lbl"))))
+          .filter(col("rn") === 1)
+          .select(col("node"), col("lbl"))
+      }
+      labels.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("size"),
+          sum(conv(substring(md5(col("node").cast("string")), 1, 8), 16, 10)
+            .cast("long")).as("member_sum"))
+        .orderBy(col("size").desc, col("community"))
+    },
+    Some("""WITH e0 AS (
+           |  SELECT x.l_partkey AS a, y.l_partkey AS b
+           |  FROM lineitem x JOIN lineitem y
+           |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+           |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM e),
+           |c1 AS (SELECT e.b AS node, l0.lbl, count(*) AS c
+           |       FROM e JOIN l0 ON l0.node = e.a GROUP BY 1, 2),
+           |l1 AS (SELECT node, lbl FROM (
+           |         SELECT node, lbl, row_number() OVER (PARTITION BY node
+           |           ORDER BY c DESC, lbl) AS rn FROM c1) WHERE rn = 1),
+           |c2 AS (SELECT e.b AS node, l1.lbl, count(*) AS c
+           |       FROM e JOIN l1 ON l1.node = e.a GROUP BY 1, 2),
+           |l2 AS (SELECT node, lbl FROM (
+           |         SELECT node, lbl, row_number() OVER (PARTITION BY node
+           |           ORDER BY c DESC, lbl) AS rn FROM c2) WHERE rn = 1),
+           |c3 AS (SELECT e.b AS node, l2.lbl, count(*) AS c
+           |       FROM e JOIN l2 ON l2.node = e.a GROUP BY 1, 2),
+           |l3 AS (SELECT node, lbl FROM (
+           |         SELECT node, lbl, row_number() OVER (PARTITION BY node
+           |           ORDER BY c DESC, lbl) AS rn FROM c3) WHERE rn = 1)
+           |SELECT lbl AS community, count(*) AS size,
+           |  CAST(sum(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 8))
+           |    ::BIGINT) AS BIGINT) AS member_sum
+           |FROM l3 GROUP BY lbl ORDER BY size DESC, community""".stripMargin))
+
+  /** Exact grouped quantiles PLUS the approx-sketch error envelope:
+    * the exact type-7 percentiles (which both engines interpolate
+    * identically and the oracle checks cell-for-cell) alongside a
+    * verification that Spark's `approx_percentile` sketch honors its
+    * rank-error contract — the measured rank of each sketch answer
+    * must sit within ±n/accuracy of the target rank. At 100 TB only
+    * the single-pass mergeable sketch is viable (exact percentiles
+    * need a per-group sort); this gate is what lets the engine SWAP
+    * the exact op for the sketch knowing the substitution error is
+    * bounded, and it would fail if the sketch ever regressed past its
+    * documented bound. The oracle replays the exact cells and asserts
+    * the envelope bits are all true. */
+  val q232QuantileEnvelope = GraftQuery(
+    "q232_quantile_envelope",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+            .as("cents"))
+      val accuracy = 10000
+      val stats = li.groupBy("flag").agg(
+        count(lit(1)).as("n"),
+        expr("percentile(cents, 0.5)").as("p50"),
+        expr("percentile(cents, 0.95)").as("p95"),
+        expr(s"approx_percentile(cents, 0.5, $accuracy)").as("a50"),
+        expr(s"approx_percentile(cents, 0.95, $accuracy)").as("a95"))
+      // measured rank of each sketch answer, from one extra
+      // conditional aggregation (not a sort)
+      val ranks = li.join(broadcast(stats), Seq("flag"))
+        .groupBy("flag")
+        .agg(max("n").as("n"), max("p50").as("p50"), max("p95").as("p95"),
+          sum((col("cents") <= col("a50")).cast("long")).as("r50"),
+          sum((col("cents") <= col("a95")).cast("long")).as("r95"))
+      ranks.select(col("flag"), col("n"),
+        round(col("p50") / 100, 4).as("p50"),
+        round(col("p95") / 100, 4).as("p95"),
+        (abs(col("r50") - col("n") * 0.5) <=
+          col("n").cast("double") / accuracy + 1).as("p50_in_bound"),
+        (abs(col("r95") - col("n") * 0.95) <=
+          col("n").cast("double") / accuracy + 1).as("p95_in_bound"))
+        .orderBy("flag")
+    },
+    Some("""WITH li AS (
+           |  SELECT l_returnflag AS flag,
+           |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM lineitem)
+           |SELECT flag, count(*) AS n,
+           |  round(quantile_cont(cents, 0.5) / 100, 4) AS p50,
+           |  round(quantile_cont(cents, 0.95) / 100, 4) AS p95,
+           |  true AS p50_in_bound, true AS p95_in_bound
+           |FROM li GROUP BY flag ORDER BY flag""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
     q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
     q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup, q75StatAggregates,
@@ -2570,5 +2760,6 @@ object Extras {
     q147BenfordAudit, q148BehaviorEntropy, q149OrderGaps, q150RankFusion,
     q151RevenueAnomalies, q162SlidingWindows, q164VariantProps,
     q170LinearAttribution, q171LDiversity, q172HitsAuthorities, q215ShortestPaths,
-    q226LinearInterpolate)
+    q226LinearInterpolate, q231TheilSen, q232QuantileEnvelope,
+    q233LabelPropagation)
 }

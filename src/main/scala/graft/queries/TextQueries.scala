@@ -1323,6 +1323,66 @@ object TextQueries {
            |    AS text_sum
            |FROM clean ORDER BY doc_id""".stripMargin))
 
+  /** Byte-budget truncation that never splits a UTF-8 codepoint,
+    * through the native [[graft.functions.Utf8Truncate]] expression —
+    * the guard between character-counting `substring` and the BYTE
+    * limits real pipelines enforce (context windows, record caps,
+    * fixed buffers): cutting a multi-byte sequence mid-codepoint
+    * produces invalid UTF-8 that poisons every downstream tokenizer.
+    * Documents get a deterministic multi-byte tail (2-, 3-, and
+    * 4-byte codepoints) and a per-doc budget that sweeps the cut
+    * through every alignment; the oracle recovers the same answer
+    * from first principles — the longest CHARACTER prefix whose byte
+    * length fits the budget (equivalent by the UTF-8 boundary
+    * property) — via a per-row prefix scan. The gate pins the result
+    * bytes, the byte/char lengths, and that the budget is never
+    * exceeded; a split codepoint changes the checksum AND the byte
+    * count. */
+  val q234Utf8Truncate = GraftQuery(
+    "q234_utf8_truncate",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val mixed = d.select(col("doc_id"),
+        concat(expr("substring(text, 1, 40)"),
+          lit(" déjà vu 汉字漢字 " +
+            "🚀🚀 café")).as("mixed"),
+        (lit(10) + (col("doc_id") % 60)).cast("int").as("budget"))
+      mixed.select(col("doc_id"), col("budget").cast("long").as("budget"),
+        graft.functions.Utf8Truncate.utf8Truncate(col("mixed"), col("budget")
+          .cast("int")).as("cut"))
+        .select(col("doc_id"), col("budget"),
+          octet_length(col("cut")).cast("long").as("n_bytes"),
+          length(col("cut")).cast("long").as("n_chars"),
+          conv(substring(md5(col("cut")), 1, 8), 16, 10).cast("long")
+            .as("cut_sum"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH mixed AS (
+           |  SELECT doc_id,
+           |    substr(text, 1, 40) ||
+           |    ' déjà vu 汉字漢字 🚀🚀 café' AS mixed,
+           |    10 + doc_id % 60 AS budget
+           |  FROM documents),
+           |pfx AS (
+           |  SELECT doc_id, budget, k,
+           |    substr(mixed, 1, CAST(k AS INTEGER)) AS prefix
+           |  FROM mixed, LATERAL (SELECT unnest(generate_series(0,
+           |    length(mixed))) AS k)
+           |  WHERE strlen(substr(mixed, 1, CAST(k AS INTEGER))) <= budget),
+           |best AS (
+           |  SELECT doc_id, budget, max(k) AS best_k
+           |  FROM pfx GROUP BY doc_id, budget),
+           |cut AS (
+           |  SELECT m.doc_id, m.budget,
+           |    substr(m.mixed, 1, CAST(b.best_k AS INTEGER)) AS cut
+           |  FROM mixed m JOIN best b ON b.doc_id = m.doc_id)
+           |SELECT doc_id, CAST(budget AS BIGINT) AS budget,
+           |  CAST(strlen(cut) AS BIGINT) AS n_bytes,
+           |  CAST(length(cut) AS BIGINT) AS n_chars,
+           |  CAST(('0x' || substr(md5(cut), 1, 8))::BIGINT AS BIGINT)
+           |    AS cut_sum
+           |FROM cut ORDER BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q20TextStats, q21LangId, q22Fingerprint, q23DedupExact, q24MinhashLsh,
     q25Simhash, q26NgramJaccard, q27MultimodalMeta, q28MultimodalFeatures,
@@ -1332,5 +1392,5 @@ object TextQueries {
     q122SpanDedup, q123NgramNovelty, q139SubstringRepeats,
     q163ContainmentPairs, q189BpeLearn, q190LeakageSafeSplit,
     q194BpeTokenize, q199BestSurvivor, q211BpePacking,
-    q229UrlCanonicalize, q230HtmlExtract)
+    q229UrlCanonicalize, q230HtmlExtract, q234Utf8Truncate)
 }
