@@ -785,8 +785,209 @@ object MaintenanceQueries {
            |    AS name_sum
            |FROM u GROUP BY from_v, to_v, change ORDER BY from_v, change""".stripMargin))
 
+  /** Incremental view maintenance DRIVEN BY the table's change data
+    * feed — the composition the two halves exist for: q224's feed (in
+    * its retraction form: updates emit BOTH images) is folded into a
+    * materialized per-bucket aggregate as `+post / −pre / +insert /
+    * −delete` deltas, and the gate emits the incrementally-maintained
+    * aggregate NEXT TO a direct recompute over the final snapshot —
+    * equal columns prove a downstream view can follow a 100 TB table
+    * by consuming file-diff-sized deltas instead of rescanning it
+    * (q207 maintains an append-only rollup; this one handles the
+    * retractions updates and deletes require). The oracle replays the
+    * whole lattice — versions, logical deltas, both aggregates — in
+    * SQL. */
+  val q236CdfMaintenance = GraftQuery(
+    "q236_cdf_maintenance",
+    (s, dir) => {
+      val root = newTempDir("graft_table_ivm") + "/tbl"
+      val v0 = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_name").as("name"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal_cents"))
+      GraftTable.create(s, root, v0, "k", nBuckets = 8)
+      val batch = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("bal_cents"))
+        .select(
+          when(col("o_custkey") % 50 === 0, col("o_custkey") + 1000000L)
+            .otherwise(col("o_custkey")).cast("long").as("k"),
+          col("bal_cents"))
+        .withColumn("name", concat(lit("Batch#"), col("k").cast("string")))
+      GraftTable.upsert(s, root, batch.select("k", "name", "bal_cents"), "k")
+      GraftTable.deleteWhere(s, root, col("bal_cents") % 7 === 0, "k")
+      def bucketed(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("bucket", col("k") % 10)
+      val agg0 = bucketed(GraftTable.read(s, root, Some(0)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("bal_cents").as("bal"))
+      val deltas = bucketed(
+        GraftTable.changes(s, root, 0, 1, "k", withPreimages = true)
+          .unionAll(GraftTable.changes(s, root, 1, 2, "k", withPreimages = true)))
+        .withColumn("sgn",
+          when(col("_change").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L))
+        .groupBy("bucket")
+        .agg(sum(col("sgn")).as("dn"), sum(col("sgn") * col("bal_cents")).as("db"))
+      val maintained = agg0.join(deltas, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_inc"),
+          (coalesce(col("bal"), lit(0L)) + coalesce(col("db"), lit(0L)))
+            .as("bal_inc"))
+        .filter(col("n_inc") > 0)
+      val direct = bucketed(GraftTable.read(s, root, Some(2)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_direct"), sum("bal_cents").as("bal_direct"))
+      maintained.join(direct, Seq("bucket"), "full_outer")
+        .select(col("bucket"), col("n_inc"), col("bal_inc"),
+          col("n_direct"), col("bal_direct"))
+        .orderBy("bucket")
+    },
+    Some("""WITH v0 AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+           |  FROM customer),
+           |batch AS (
+           |  SELECT CAST(CASE WHEN o_custkey % 50 = 0
+           |      THEN o_custkey + 1000000 ELSE o_custkey END AS BIGINT) AS k,
+           |    'Batch#' || CAST(CASE WHEN o_custkey % 50 = 0
+           |      THEN o_custkey + 1000000 ELSE o_custkey END AS VARCHAR) AS name,
+           |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS bal_cents
+           |  FROM orders GROUP BY o_custkey),
+           |v1 AS (
+           |  SELECT COALESCE(b.k, t.k) AS k, COALESCE(b.name, t.name) AS name,
+           |    COALESCE(b.bal_cents, t.bal_cents) AS bal_cents
+           |  FROM v0 t FULL OUTER JOIN batch b ON t.k = b.k),
+           |v2 AS (SELECT * FROM v1 WHERE NOT (bal_cents % 7 = 0)),
+           |agg0 AS (
+           |  SELECT k % 10 AS bucket, count(*) AS n, sum(bal_cents) AS bal
+           |  FROM v0 GROUP BY 1),
+           |d01 AS (
+           |  SELECT COALESCE(n.k, o.k) % 10 AS bucket,
+           |    CASE WHEN o.k IS NULL THEN 1
+           |         WHEN n.k IS NULL THEN -1 ELSE 0 END AS dn,
+           |    COALESCE(CASE WHEN o.k IS NULL THEN n.bal_cents
+           |         WHEN n.k IS NULL THEN -o.bal_cents
+           |         WHEN o.name <> n.name OR o.bal_cents <> n.bal_cents
+           |           THEN n.bal_cents - o.bal_cents END, 0) AS db
+           |  FROM v0 o FULL OUTER JOIN v1 n ON o.k = n.k),
+           |d12 AS (
+           |  SELECT COALESCE(n.k, o.k) % 10 AS bucket,
+           |    CASE WHEN o.k IS NULL THEN 1
+           |         WHEN n.k IS NULL THEN -1 ELSE 0 END AS dn,
+           |    COALESCE(CASE WHEN o.k IS NULL THEN n.bal_cents
+           |         WHEN n.k IS NULL THEN -o.bal_cents
+           |         WHEN o.name <> n.name OR o.bal_cents <> n.bal_cents
+           |           THEN n.bal_cents - o.bal_cents END, 0) AS db
+           |  FROM v1 o FULL OUTER JOIN v2 n ON o.k = n.k),
+           |delta AS (
+           |  SELECT bucket, sum(dn) AS dn, sum(db) AS db
+           |  FROM (SELECT * FROM d01 UNION ALL SELECT * FROM d12)
+           |  GROUP BY bucket),
+           |maintained AS (
+           |  SELECT COALESCE(a.bucket, d.bucket) AS bucket,
+           |    COALESCE(a.n, 0) + COALESCE(d.dn, 0) AS n_inc,
+           |    COALESCE(a.bal, 0) + COALESCE(d.db, 0) AS bal_inc
+           |  FROM agg0 a FULL OUTER JOIN delta d ON a.bucket = d.bucket),
+           |direct AS (
+           |  SELECT k % 10 AS bucket, count(*) AS n_direct,
+           |    sum(bal_cents) AS bal_direct
+           |  FROM v2 GROUP BY 1)
+           |SELECT COALESCE(m.bucket, dd.bucket) AS bucket,
+           |  CAST(m.n_inc AS BIGINT) AS n_inc,
+           |  CAST(m.bal_inc AS BIGINT) AS bal_inc,
+           |  dd.n_direct, CAST(dd.bal_direct AS BIGINT) AS bal_direct
+           |FROM maintained m FULL OUTER JOIN direct dd ON dd.bucket = m.bucket
+           |WHERE m.n_inc > 0
+           |ORDER BY bucket""".stripMargin))
+
+  /** OPTIMIZE ZORDER executed against [[GraftTable]]: the orders table
+    * is committed key-bucketed, rewritten as a Morton-curve layout
+    * over (o_custkey, o_totalprice-cents) with per-file colstats, and
+    * the gate proves the TWO contracts a Z-ORDER must honor at once —
+    * the rewrite is a logical no-op (pre/post versions checksum
+    * identically against one oracle replay), and every 2-D box read
+    * through the stats-skipping path returns exactly the plain
+    * filter's rows (replayed as WHERE clauses). That the skipping
+    * actually SKIPS — few curve tiles survive a box after z-ordering,
+    * everything survives before — is the file-count contract pinned in
+    * GraftTableSpec, invisible to a logical replay. This is the
+    * layout mechanism that serves multi-dimension slices of a 100 TB
+    * fact table without a second copy sorted the other way. */
+  val q237ZorderTable = GraftQuery(
+    "q237_zorder_table",
+    (s, dir) => {
+      val root = newTempDir("graft_table_zo") + "/tbl"
+      val v0 = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("cust"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, root, v0, "k", nBuckets = 16)
+      val nRows = GraftTable.history(s, root).head._3
+      GraftTable.optimizeZOrder(s, root, "k", "cust", "cents",
+        targetRows = math.max(1L, nRows / 16))
+      def slice(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+      def versionSum(v: Int) = GraftTable.read(s, root, Some(v))
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("cents_sum"),
+          sum(slice(col("k").cast("string"))).as("key_sum"))
+        .select(lit(s"v$v").as("probe"), col("n_rows"), col("cents_sum"),
+          col("key_sum"))
+      def box(tag: String, lo1: Long, hi1: Long, lo2: Long, hi2: Long) =
+        GraftTable.readRange2D(s, root, "cust", lo1, hi1, "cents", lo2, hi2)
+          .agg(coalesce(count(lit(1)), lit(0L)).as("n_rows"),
+            coalesce(sum("cents"), lit(0L)).as("cents_sum"),
+            coalesce(sum(slice(col("k").cast("string"))), lit(0L)).as("key_sum"))
+          .select(lit(tag).as("probe"), col("n_rows"), col("cents_sum"),
+            col("key_sum"))
+      versionSum(0).unionAll(versionSum(1))
+        .unionAll(box("box_low", 1L, 150L, 500000L, 5000000L))
+        .unionAll(box("box_mid", 400L, 700L, 10000000L, 20000000L))
+        .unionAll(box("box_empty", 999999L, 999999L, 1L, 2L))
+        .orderBy("probe")
+    },
+    Some("""WITH t AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |    CAST(o_custkey AS BIGINT) AS cust,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM orders),
+           |vs AS (
+           |  SELECT 'v0' AS probe, count(*) AS n_rows,
+           |    CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))
+           |      ::BIGINT) AS BIGINT) AS key_sum
+           |  FROM t
+           |  UNION ALL
+           |  SELECT 'v1', count(*), CAST(sum(cents) AS BIGINT),
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))
+           |      ::BIGINT) AS BIGINT)
+           |  FROM t),
+           |boxes AS (
+           |  SELECT * FROM (VALUES
+           |    ('box_low', CAST(1 AS BIGINT), CAST(150 AS BIGINT),
+           |     CAST(500000 AS BIGINT), CAST(5000000 AS BIGINT)),
+           |    ('box_mid', 400, 700, 10000000, 20000000),
+           |    ('box_empty', 999999, 999999, 1, 2))
+           |    AS v(probe, lo1, hi1, lo2, hi2)),
+           |bx AS (
+           |  SELECT b.probe, count(t.k) AS n_rows,
+           |    CAST(COALESCE(sum(t.cents), 0) AS BIGINT) AS cents_sum,
+           |    CAST(COALESCE(sum(('0x' || substr(md5(CAST(t.k AS VARCHAR)),
+           |      1, 8))::BIGINT), 0) AS BIGINT) AS key_sum
+           |  FROM boxes b LEFT JOIN t
+           |    ON t.cust BETWEEN b.lo1 AND b.hi1
+           |    AND t.cents BETWEEN b.lo2 AND b.hi2
+           |  GROUP BY b.probe)
+           |SELECT probe, n_rows, cents_sum, key_sum FROM vs
+           |UNION ALL
+           |SELECT probe, n_rows, cents_sum, key_sum FROM bx
+           |ORDER BY probe""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
-    q222TableSchemaEvolution, q223BloomPrunedRead, q224TableChanges)
+    q222TableSchemaEvolution, q223BloomPrunedRead, q224TableChanges,
+    q236CdfMaintenance, q237ZorderTable)
 }

@@ -180,15 +180,26 @@ object GraftTable {
     * stats pass re-reads ONLY the newly written files (footer-local
     * column min/max — metadata-grade, not a table scan). */
   private def writeDataFiles(spark: SparkSession, root: String, version: Int,
-      df: DataFrame, key: String, nBuckets: Int): Seq[FileEntry] = {
+      df: DataFrame, key: String, nBuckets: Int,
+      zorderBy: Option[org.apache.spark.sql.Column] = None): Seq[FileEntry] = {
     // attempt-unique dir: a FAILED commit's orphan files can never
     // collide with (or be read by) the retry — they sit unreferenced
     // until vacuum sweeps them
     val rel = f"data/v$version%05d-" +
       java.util.UUID.randomUUID().toString.take(8)
     val dir = s"$root/$rel"
-    df.repartitionByRange(math.max(1, nBuckets), col(key))
-      .write.mode("errorifexists").parquet(dir)
+    val arranged = zorderBy match {
+      // Z-ORDER layout: range-partition AND sort within files by the
+      // interleaved curve value instead of the key — multi-column
+      // locality for [[readRange2D]] skipping (key-range pruning
+      // coarsens correspondingly; that trade IS the feature)
+      case Some(z) => df.withColumn("__zorder", z)
+        .repartitionByRange(math.max(1, nBuckets), col("__zorder"))
+        .sortWithinPartitions("__zorder")
+        .drop("__zorder")
+      case None => df.repartitionByRange(math.max(1, nBuckets), col(key))
+    }
+    arranged.write.mode("errorifexists").parquet(dir)
     // stats per physical file (also covers AQE/empty-bucket merges);
     // schema-pinned read so an all-rows-deleted commit (zero data
     // files) yields an empty ledger instead of a schema-inference
@@ -617,7 +628,7 @@ object GraftTable {
     * content). Keys must be unique per snapshot (the upsert contract).
     */
   def changes(spark: SparkSession, root: String, fromV: Int, toV: Int,
-      key: String): DataFrame = {
+      key: String, withPreimages: Boolean = false): DataFrame = {
     require(fromV < toV, "changes requires fromV < toV")
     val fromEntries = loadManifest(spark, root, fromV)
     val toEntries = loadManifest(spark, root, toV)
@@ -636,14 +647,156 @@ object GraftTable {
       cols.map(c => coalesce(col(s"$alias.$c").cast("string"), lit("\u0000"))): _*))
     val o = side(removed).as("o")
     val n = side(added).as("n")
-    o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
-      .withColumn("_change",
+    val joined = o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
+      .withColumn("_kind",
         when(col(s"o.$key").isNull, "insert")
           .when(col(s"n.$key").isNull, "delete")
           .when(rowHash("o") =!= rowHash("n"), "update"))
-      .filter(col("_change").isNotNull) // same-hash rewrites cancel
-      .select(cols.map(c =>
-        when(col("_change") === "delete", col(s"o.$c"))
-          .otherwise(col(s"n.$c")).as(c)) :+ col("_change"): _*)
+      .filter(col("_kind").isNotNull) // same-hash rewrites cancel
+    if (!withPreimages)
+      joined.select(cols.map(c =>
+        when(col("_kind") === "delete", col(s"o.$c"))
+          .otherwise(col(s"n.$c")).as(c)) :+ col("_kind").as("_change"): _*)
+    else {
+      // retraction form: an update emits BOTH images, so a downstream
+      // aggregate can subtract the old contribution and add the new --
+      // the delta stream incremental view maintenance needs (q236)
+      def image(side: String, kind: org.apache.spark.sql.Column) =
+        joined.withColumn("_change", kind).filter(col("_change").isNotNull)
+          .select(cols.map(c => col(s"$side.$c").as(c)) :+ col("_change"): _*)
+      image("n", when(col("_kind") === "insert", "insert")
+          .when(col("_kind") === "update", "update_postimage"))
+        .unionAll(image("o", when(col("_kind") === "delete", "delete")
+          .when(col("_kind") === "update", "update_preimage")))
+    }
+  }
+
+  private def colStatsPath(root: String, v: Int) =
+    new org.apache.hadoop.fs.Path(root, f"_log/colstats-v$v%05d.tsv")
+
+  /** Per-file [min,max] stats for secondary columns, accumulated over
+    * every colstats sidecar at or below `version` (data files are
+    * immutable, so stats written at any commit stay valid however
+    * later manifests reference the file). */
+  private def loadColStats(spark: SparkSession, root: String,
+      version: Int): Map[(String, String), (Long, Long)] = {
+    val (f, _) = fs(root, spark)
+    (0 to version).flatMap { v =>
+      val p = colStatsPath(root, v)
+      if (!f.exists(p)) Seq.empty
+      else readFully(f, p).linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(rel, c, mn, mx) = line.split('	')
+        (rel, c) -> (mn.toLong, mx.toLong)
+      }.toSeq
+    }.toMap
+  }
+
+  /** OPTIMIZE ZORDER BY (c1, c2): rewrite the snapshot as a new version
+    * laid out along the Morton curve over two integral columns, and
+    * record PER-FILE min/max stats for both in a versioned colstats
+    * sidecar — the stats [[readRange2D]] skips with. Z-ordering is the
+    * layout answer to the one-axis limit of key bucketing: a file of
+    * curve-contiguous rows is a near-square tile in (c1, c2) space, so
+    * a 2-D box predicate intersects few tiles, where a key-sorted
+    * layout smears every c1/c2 range across all files. Quantization
+    * uses exact decimal arithmetic (graft.operators.ZOrder.quantize);
+    * the rewrite is a logical no-op gated by checksum (q237); stats
+    * collection is a footer-grade scan of only the files just
+    * written. Key-range pruning coarsens after z-ordering (per-file
+    * key intervals widen) — that trade is the feature, and point
+    * upserts on a z-ordered table should re-OPTIMIZE periodically.
+    * Returns (newVersion, nFilesWritten). */
+  def optimizeZOrder(spark: SparkSession, root: String, key: String,
+      c1: String, c2: String, targetRows: Long, bits: Int = 16): (Int, Int) = {
+    val base = latestVersion(spark, root)
+    val entries = loadManifest(spark, root, base)
+    val schema = tableSchema(spark, root, base)
+    val snap = read(spark, root, Some(base))
+    val nRows = entries.map(_.nRows).sum
+    val nBuckets = math.max(1, math.ceil(nRows.toDouble /
+      math.max(1L, targetRows)).toInt)
+    // 4 scalars to the driver: the quantization frame
+    val b = snap.agg(
+      min(col(c1).cast("long")), max(col(c1).cast("long")),
+      min(col(c2).cast("long")), max(col(c2).cast("long"))).collect()(0)
+    val (mn1, mx1, mn2, mx2) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val buckets = 1 << bits
+    val z = graft.operators.ZOrder.zvalue(
+      graft.operators.ZOrder.quantize(col(c1).cast("long") - mn1,
+        lit(mx1 - mn1 + 1), buckets),
+      graft.operators.ZOrder.quantize(col(c2).cast("long") - mn2,
+        lit(mx2 - mn2 + 1), buckets),
+      bits)
+    val v = base + 1
+    val fresh = writeDataFiles(spark, root, v, snap, key, nBuckets, Some(z))
+    val freshDf = spark.read.schema(schema)
+      .parquet(fresh.map(e => s"$root/${e.relPath}"): _*)
+    val stats = freshDf.groupBy(input_file_name().as("file"))
+      .agg(min(col(c1).cast("long")).as("mn1"), max(col(c1).cast("long")).as("mx1"),
+        min(col(c2).cast("long")).as("mn2"), max(col(c2).cast("long")).as("mx2"))
+      .collect()
+    val byName = fresh.map(e =>
+      new org.apache.hadoop.fs.Path(e.relPath).getName -> e.relPath).toMap
+    val lines = stats.flatMap { r =>
+      val rel = byName(new org.apache.hadoop.fs.Path(
+        new java.net.URI(r.getString(0)).getPath).getName)
+      Seq(s"$rel\t$c1\t${r.getLong(1)}\t${r.getLong(2)}",
+        s"$rel\t$c2\t${r.getLong(3)}\t${r.getLong(4)}")
+    }.sorted.mkString("", "\n", "\n")
+    val (f, _) = fs(root, spark)
+    val statsP = colStatsPath(root, v)
+    if (f.exists(statsP) && !f.exists(manifestPath(root, v)))
+      f.delete(statsP, false) // orphan from a failed prior attempt
+    writeAtomic(f, statsP, lines)
+    writeAtomic(f, manifestPath(root, v), renderManifest(fresh))
+    (v, fresh.size)
+  }
+
+  /** Two-column box read with colstats FILE SKIPPING: only data files
+    * whose per-file [min,max] intervals intersect BOTH ranges are
+    * opened (files without stats are kept — skipping is an
+    * optimization, never a correctness dependency); exact residual
+    * filters complete the predicate, so the result equals
+    * `read(...).filter(c1 between ... and c2 between ...)` by
+    * construction. After [[optimizeZOrder]] the surviving set is a few
+    * curve tiles; before it, the stats don't exist and nothing is
+    * skipped — the delta is pinned in GraftTableSpec. */
+  def readRange2D(spark: SparkSession, root: String,
+      c1: String, lo1: Long, hi1: Long,
+      c2: String, lo2: Long, hi2: Long,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    val schema = tableSchema(spark, root, v)
+    val keep = survivors2D(spark, root, c1, lo1, hi1, c2, lo2, hi2, v)
+    val df =
+      if (keep.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(keep.map(r => s"$root/$r"): _*)
+    df.filter(col(c1).cast("long").between(lo1, hi1) &&
+      col(c2).cast("long").between(lo2, hi2))
+  }
+
+  /** How many files a `readRange2D` with these bounds would open. */
+  def prunedFileCount2D(spark: SparkSession, root: String,
+      c1: String, lo1: Long, hi1: Long,
+      c2: String, lo2: Long, hi2: Long,
+      version: Option[Int] = None): Int = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    survivors2D(spark, root, c1, lo1, hi1, c2, lo2, hi2, v).size
+  }
+
+  private def survivors2D(spark: SparkSession, root: String,
+      c1: String, lo1: Long, hi1: Long,
+      c2: String, lo2: Long, hi2: Long, v: Int): Seq[String] = {
+    val stats = loadColStats(spark, root, v)
+    loadManifest(spark, root, v).map(_.relPath).filter { rel =>
+      Seq((c1, lo1, hi1), (c2, lo2, hi2)).forall { case (c, lo, hi) =>
+        stats.get((rel, c)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+    }
   }
 }

@@ -321,6 +321,62 @@ class GraftTableSpec extends SparkSpec {
     assert(GraftTable.changes(spark, root, 2, 3, "k").count() === 0)
   }
 
+  test("changes() with preimages emits both images per update") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(200), "k", nBuckets = 2)
+    GraftTable.upsert(spark, root,
+      spark.range(1, 6).select($"id".as("k"),
+        concat(lit("upd"), $"id").as("name"), lit(-1L).as("v"))
+        .union(spark.range(500, 503).select($"id".as("k"),
+          concat(lit("new"), $"id").as("name"), ($"id" * 10).as("v"))), "k")
+    val feed = GraftTable.changes(spark, root, 0, 1, "k", withPreimages = true)
+    val byChange = feed.groupBy("_change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byChange === Map(
+      "insert" -> 3L, "update_preimage" -> 5L, "update_postimage" -> 5L))
+    // preimage carries OLD content, postimage NEW — retraction algebra
+    // must reconstruct the delta exactly
+    val pre = feed.filter($"_change" === "update_preimage")
+      .agg(sum("v")).as[Long].head()
+    val post = feed.filter($"_change" === "update_postimage")
+      .agg(sum("v")).as[Long].head()
+    assert(pre === (1L to 5L).map(_ * 10).sum && post === -5L)
+  }
+
+  test("optimizeZOrder: logical no-op, colstats written, 2D boxes prune") {
+    val root = freshRoot()
+    // two independent dimensions: key-bucketed layout gives NO locality
+    // in (a, b) space
+    val df = spark.range(0, 4096).select(
+      $"id".as("k"),
+      (($"id" * 37) % 64).as("a"),
+      (($"id" * 53) % 64).as("b"))
+    GraftTable.create(spark, root, df, "k", nBuckets = 16)
+    val before = GraftTable.prunedFileCount2D(spark, root, "a", 0, 15, "b", 0, 15)
+    assert(before === 16, "no colstats yet: nothing can be skipped")
+    val (v, n) = GraftTable.optimizeZOrder(spark, root, "k", "a", "b",
+      targetRows = 256, bits = 6)
+    assert(v === 1 && n === 16)
+    // logical no-op
+    assert(GraftTable.read(spark, root, Some(1)).agg(sum("k")).as[Long].head()
+      === GraftTable.read(spark, root, Some(0)).agg(sum("k")).as[Long].head())
+    // a 16x16 box of a 64x64 space is 1/16 of the area: the curve
+    // layout must confine it to a small corner of the 16 files
+    val after = GraftTable.prunedFileCount2D(spark, root, "a", 0, 15, "b", 0, 15)
+    assert(after <= 6, s"z-order failed to localize the box: $after of 16 files")
+    // exactness: skipping returns the plain filter's rows
+    val viaSkip = GraftTable.readRange2D(spark, root, "a", 0, 15, "b", 0, 15)
+      .agg(sum("k")).as[Long].head()
+    val plain = GraftTable.read(spark, root)
+      .filter($"a".between(0, 15) && $"b".between(0, 15))
+      .agg(sum("k")).as[Long].head()
+    assert(viaSkip === plain)
+    // files without stats are kept, never skipped: the v0 snapshot has
+    // no colstats and every file survives
+    assert(GraftTable.prunedFileCount2D(spark, root, "a", 0, 15, "b", 0, 15,
+      version = Some(0)) === 16)
+  }
+
   private def manifestLines(root: String, v: Int): Seq[String] = {
     val src = scala.io.Source.fromFile(f"$root/_log/v$v%05d.manifest")
     try src.getLines().filter(_.nonEmpty).toList finally src.close()
