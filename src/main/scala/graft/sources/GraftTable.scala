@@ -713,6 +713,7 @@ object GraftTable {
     val schema = tableSchema(spark, root, base)
     val snap = read(spark, root, Some(base))
     val nRows = entries.map(_.nRows).sum
+    require(nRows > 0, "optimizeZOrder on an empty table has nothing to lay out")
     val nBuckets = math.max(1, math.ceil(nRows.toDouble /
       math.max(1L, targetRows)).toInt)
     // 4 scalars to the driver: the quantization frame

@@ -357,4 +357,56 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q225: fuzzy matching joins on the block key; scorer stays in codegen") {
+    val p = plan("q225_jaro_winkler_match")
+    // candidates come from the blocking equi-join, never probes x parts
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the native expression compiles into the codegen span (no UDF)
+    assert(!p.contains("ScalaUDF") && p.contains("jaro_winkler"), p)
+    // best-match window partitions by probe — no global sort
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.forall(_.contains("probe_key")), p)
+  }
+
+  test("q226: interpolation windows partition by series (no global sort)") {
+    val p = plan("q226_linear_interpolate")
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("grp")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q231: pairwise slopes come from the priority equi-join, medians hash-aggregate") {
+    val p = plan("q231_theil_sen")
+    // the day x day pairing must key on priority — a cartesian over
+    // days would be the naive form
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("q233: label propagation rounds are equi-joins with per-node windows") {
+    val p = plan("q233_label_propagation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // every argmax window partitions by node
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("node")), p)
+  }
+
+  test("q235: bootstrap is explode + keyed aggregation (no per-replicate scans)") {
+    val p = plan("q235_bootstrap_ci")
+    // ONE generator over the base scan, not 40 of them (the plan text
+    // prints the codegen subtree twice, hence <= 2 occurrences)
+    assert("FileScan parquet".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q229/q230/q234: curation projections carry no UDFs and stay in codegen") {
+    Seq("q229_url_canonicalize", "q230_html_extract", "q234_utf8_truncate")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), s"$q:\n$p")
+        assert(p.contains("*("), s"$q lost whole-stage codegen:\n$p")
+      }
+  }
 }
