@@ -106,6 +106,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("rolling_hash", classOf[RollingHash],
         "rolling_hash(s) - Rabin-Karp polynomial hash of a string"),
       (args: Seq[Expression]) => { arity("rolling_hash", 1, args); RollingHash(args(0)) }))
+    ext.injectFunction((FunctionIdentifier("lcs_length"),
+      info("lcs_length", classOf[graft.functions.LcsLength],
+        "lcs_length(a, b) - longest common subsequence length of two string arrays (two-row DP, codegen'd)"),
+      (args: Seq[Expression]) => {
+        arity("lcs_length", 2, args)
+        graft.functions.LcsLength(args(0), args(1))
+      }))
     ext.injectFunction((FunctionIdentifier("utf8_truncate"),
       info("utf8_truncate", classOf[graft.functions.Utf8Truncate],
         "utf8_truncate(s, maxBytes) - longest prefix of at most maxBytes UTF-8 bytes that never splits a codepoint"),

@@ -788,8 +788,95 @@ object EvalMetrics {
            |  round(quantile_cont(mean_c, 0.95) / 100, 2) AS ci_hi
            |FROM means GROUP BY priority ORDER BY priority""".stripMargin))
 
+  /** ROUGE-L generation eval through the native
+    * [[graft.functions.LcsLength]] expression — the in-order-overlap
+    * metric q216's clipped-n-gram BLEU cannot express: the candidate
+    * here is damaged by BLOCK ROTATION (tokens 8.. moved ahead of
+    * 1..7) plus a substitution every 6th position, a transformation
+    * that keeps most n-grams intact inside each block (BLEU barely
+    * moves) while the longest common subsequence collapses to the
+    * larger block — exactly the reorder sensitivity ROUGE-L exists
+    * for. LCS runs as a codegen'd two-row DP per document pair;
+    * precision/recall/F1 are single divisions of the integer LCS.
+    * The oracle recomputes the LCS from first principles with a
+    * recursive CTE carrying the DP row as a list (prefix-max
+    * formulation) — a different algorithm shape in a different
+    * engine agreeing on every cell. Token arrays are capped at 15 so
+    * the oracle's O(n·m²) list arithmetic stays gate-priced; the
+    * engine-side kernel has no such cap. */
+  val q238RougeL = GraftQuery(
+    "q238_rouge_l",
+    (s, dir) => {
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("slice(split(trim(text), ' +'), 1, 15)").as("ref"))
+        .withColumn("rlen", size(col("ref")))
+        .filter(col("rlen") >= 10)
+      val damaged = t
+        // block rotation: tokens 8..rlen ahead of 1..7, then every 6th
+        // slot replaced with a marker
+        .withColumn("rot", expr(
+          "concat(slice(ref, 8, rlen - 7), slice(ref, 1, 7))"))
+        .withColumn("cand", expr(
+          """transform(rot, (w, p) ->
+            |  CASE WHEN (p + 1) % 6 = 0 THEN 'xnoisex' ELSE w END)"""
+            .stripMargin))
+      damaged
+        .withColumn("clen", size(col("cand")))
+        .withColumn("lcs",
+          graft.functions.LcsLength.lcsLength(col("cand"), col("ref")))
+        .select(col("doc_id"), col("rlen").cast("long").as("rlen"),
+          col("lcs").cast("long").as("lcs"),
+          round(col("lcs") / col("clen"), 6).as("rouge_p"),
+          round(col("lcs") / col("rlen"), 6).as("rouge_r"),
+          round(when(col("lcs") === 0, 0.0).otherwise(
+            lit(2.0) * (col("lcs") / col("clen")) * (col("lcs") / col("rlen")) /
+              (col("lcs") / col("clen") + col("lcs") / col("rlen"))), 6)
+            .as("rouge_f1"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE t AS (
+           |  SELECT doc_id,
+           |    list_slice(regexp_split_to_array(trim(text), ' +'), 1, 15) AS ref
+           |  FROM documents),
+           |base AS (
+           |  SELECT doc_id, ref, len(ref) AS rlen FROM t WHERE len(ref) >= 10),
+           |dmg AS (
+           |  SELECT doc_id, ref, rlen,
+           |    list_transform(
+           |      list_concat(list_slice(ref, 8, rlen), list_slice(ref, 1, 7)),
+           |      (w, p) -> CASE WHEN p % 6 = 0 THEN 'xnoisex' ELSE w END)
+           |      AS cand
+           |  FROM base),
+           |lcs AS (
+           |  SELECT doc_id, ref, rlen, cand, 0 AS i,
+           |    list_transform(range(rlen + 1), x -> 0) AS dp
+           |  FROM dmg
+           |  UNION ALL
+           |  SELECT doc_id, ref, rlen, cand, i + 1,
+           |    list_transform(range(1, rlen + 2), j ->
+           |      CASE WHEN j = 1 THEN 0 ELSE
+           |        list_max(list_transform(range(2, j + 1), k ->
+           |          greatest(dp[k], dp[k-1] +
+           |            CASE WHEN cand[i+1] = ref[k-1] THEN 1 ELSE 0 END)))
+           |      END)
+           |  FROM lcs WHERE i < len(cand)),
+           |fin AS (
+           |  SELECT doc_id, rlen, len(cand) AS clen,
+           |    dp[rlen + 1] AS lcs
+           |  FROM lcs WHERE i = len(cand))
+           |SELECT doc_id, CAST(rlen AS BIGINT) AS rlen,
+           |  CAST(lcs AS BIGINT) AS lcs,
+           |  round(CAST(lcs AS DOUBLE) / clen, 6) AS rouge_p,
+           |  round(CAST(lcs AS DOUBLE) / rlen, 6) AS rouge_r,
+           |  round(CASE WHEN lcs = 0 THEN 0.0 ELSE
+           |    2.0 * (CAST(lcs AS DOUBLE) / clen) * (CAST(lcs AS DOUBLE) / rlen) /
+           |    (CAST(lcs AS DOUBLE) / clen + CAST(lcs AS DOUBLE) / rlen) END, 6)
+           |    AS rouge_f1
+           |FROM fin ORDER BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q178RetrievalEval, q179GroupedAuc, q180SeasonalDecompose,
       q210DedupEval, q212DriftMonitor, q216BleuEval, q217LabelAgreement,
-      q227CupedAdjustment, q235BootstrapCi)
+      q227CupedAdjustment, q235BootstrapCi, q238RougeL)
 }

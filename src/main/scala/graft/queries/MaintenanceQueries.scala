@@ -985,9 +985,107 @@ object MaintenanceQueries {
            |SELECT probe, n_rows, cents_sum, key_sum FROM bx
            |ORDER BY probe""".stripMargin))
 
+  /** Table replication DRIVEN BY the change feed — the loop-closing
+    * composition of [[GraftTable.changes]] (producer) and
+    * [[GraftTable.applyCdcBatch]] (consumer, the full MERGE shape with
+    * matched-delete): a source table evolves through the q214 write
+    * sequence, a replica created from the v0 snapshot is maintained
+    * ONLY by applying the source's per-version feed (insert/update →
+    * upsert op, delete → delete op), and the gate checksums source and
+    * replica at EVERY version side by side — equal columns prove the
+    * feed carries the complete information of each commit and the CDC
+    * apply path reproduces it, i.e. a downstream replica can follow a
+    * 100 TB table at changed-files cost through the same pruned write
+    * path the source used. The oracle replays the logical versions
+    * once and emits them for both sides. */
+  val q239TableReplication = GraftQuery(
+    "q239_table_replication",
+    (s, dir) => {
+      val src = newTempDir("graft_table_src") + "/tbl"
+      val rep = newTempDir("graft_table_rep") + "/tbl"
+      val v0 = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_name").as("name"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal_cents"))
+      GraftTable.create(s, src, v0, "k", nBuckets = 8)
+      val batch = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("bal_cents"))
+        .select(
+          when(col("o_custkey") % 50 === 0, col("o_custkey") + 1000000L)
+            .otherwise(col("o_custkey")).cast("long").as("k"),
+          col("bal_cents"))
+        .withColumn("name", concat(lit("Batch#"), col("k").cast("string")))
+      GraftTable.upsert(s, src, batch.select("k", "name", "bal_cents"), "k")
+      GraftTable.deleteWhere(s, src, col("bal_cents") % 7 === 0, "k")
+      // replica: seeded from the v0 snapshot, then FEED-ONLY
+      GraftTable.create(s, rep, GraftTable.read(s, src, Some(0)), "k",
+        nBuckets = 8)
+      (1 to 2).foreach { v =>
+        val feed = GraftTable.changes(s, src, v - 1, v, "k")
+          .withColumn("_op",
+            when(col("_change") === "delete", "delete").otherwise("upsert"))
+          .drop("_change")
+        GraftTable.applyCdcBatch(s, rep, feed, "k")
+      }
+      def slice(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+      def summary(root: String, side: String, v: Int) =
+        GraftTable.read(s, root, Some(v))
+          .agg(count(lit(1)).as("n_rows"), sum("bal_cents").as("bal_sum"),
+            sum(slice(col("k").cast("string"))).as("key_sum"),
+            sum(slice(col("name"))).as("name_sum"))
+          .select(lit(v).cast("long").as("version"), lit(side).as("side"),
+            col("n_rows"), col("bal_sum"), col("key_sum"), col("name_sum"))
+      (0 to 2).map(v => summary(src, "source", v)
+          .unionAll(summary(rep, "replica", v)))
+        .reduce(_ unionAll _)
+        .orderBy("version", "side")
+    },
+    Some("""WITH v0 AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+           |  FROM customer),
+           |batch AS (
+           |  SELECT CAST(CASE WHEN o_custkey % 50 = 0
+           |      THEN o_custkey + 1000000 ELSE o_custkey END AS BIGINT) AS k,
+           |    'Batch#' || CAST(CASE WHEN o_custkey % 50 = 0
+           |      THEN o_custkey + 1000000 ELSE o_custkey END AS VARCHAR) AS name,
+           |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS bal_cents
+           |  FROM orders GROUP BY o_custkey),
+           |v1 AS (
+           |  SELECT COALESCE(b.k, t.k) AS k, COALESCE(b.name, t.name) AS name,
+           |    COALESCE(b.bal_cents, t.bal_cents) AS bal_cents
+           |  FROM v0 t FULL OUTER JOIN batch b ON t.k = b.k),
+           |v2 AS (SELECT * FROM v1 WHERE NOT (bal_cents % 7 = 0)),
+           |s AS (
+           |  SELECT 0 AS v, count(*) AS n_rows, sum(bal_cents) AS bal_sum,
+           |    sum(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT)
+           |      AS key_sum,
+           |    sum(('0x' || substr(md5(name), 1, 8))::BIGINT) AS name_sum
+           |  FROM v0
+           |  UNION ALL
+           |  SELECT 1, count(*), sum(bal_cents),
+           |    sum(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT),
+           |    sum(('0x' || substr(md5(name), 1, 8))::BIGINT)
+           |  FROM v1
+           |  UNION ALL
+           |  SELECT 2, count(*), sum(bal_cents),
+           |    sum(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT),
+           |    sum(('0x' || substr(md5(name), 1, 8))::BIGINT)
+           |  FROM v2)
+           |SELECT CAST(v AS BIGINT) AS version, side.side AS side,
+           |  n_rows, CAST(bal_sum AS BIGINT) AS bal_sum,
+           |  CAST(key_sum AS BIGINT) AS key_sum,
+           |  CAST(name_sum AS BIGINT) AS name_sum
+           |FROM s CROSS JOIN (VALUES ('source'), ('replica')) AS side(side)
+           |ORDER BY version, side""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
     q222TableSchemaEvolution, q223BloomPrunedRead, q224TableChanges,
-    q236CdfMaintenance, q237ZorderTable)
+    q236CdfMaintenance, q237ZorderTable, q239TableReplication)
 }

@@ -342,6 +342,55 @@ object GraftTable {
     (v, rewrite.size, carry.size)
   }
 
+  /** Apply a CDC batch in ONE commit — the full MERGE shape (matched
+    * delete + matched update + unmatched insert): `batch` carries the
+    * table's columns plus an `opCol` ∈ upsert | delete. Upsert rows
+    * merge column-wise exactly like [[upsert]]; delete rows drop their
+    * key if present (absent keys no-op, the idempotent CDC contract).
+    * File pruning covers BOTH op kinds with one ledger interval join —
+    * a mixed 1,000-row CDC batch against a 100 TB table still touches
+    * only the files whose key interval contains a batch key. This is
+    * the consumer half of [[changes]]: applying a table's feed to a
+    * replica reproduces it version for version (gated by q239).
+    * Returns (newVersion, nFilesRewritten, nFilesCarried). */
+  def applyCdcBatch(spark: SparkSession, root: String, batch: DataFrame,
+      key: String, opCol: String = "_op", nBuckets: Int = 8): (Int, Int, Int) = {
+    val base = latestVersion(spark, root)
+    val entries = loadManifest(spark, root, base)
+    val schema = tableSchema(spark, root, base)
+    require(batch.columns.contains(opCol), s"batch must carry $opCol")
+    require((batch.columns.toSet - opCol) == schema.fieldNames.toSet,
+      "batch schema must be table schema + the op column")
+    import spark.implicits._
+    val ledger = entries.map(e => (e.relPath, e.minKey, e.maxKey))
+      .toDF("rel_path", "mn", "mx")
+    val hit = batch.select(col(key).cast("long").as("k")).distinct()
+      .join(broadcast(ledger),
+        col("k") >= col("mn") && col("k") <= col("mx"))
+      .select("rel_path").distinct().collect().map(_.getString(0)).toSet
+    val (rewrite, carry) = entries.partition(e => hit(e.relPath))
+    val current =
+      if (rewrite.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(rewrite.map(e => s"$root/${e.relPath}"): _*)
+    val cols = schema.fieldNames
+    val ups = batch.filter(col(opCol) =!= "delete").drop(opCol).as("b")
+    val dels = batch.filter(col(opCol) === "delete")
+      .select(col(key).cast("long").as("__delkey")).distinct()
+    val t = current.as("t")
+    val merged = t.join(ups, col(s"t.$key") === col(s"b.$key"), "full_outer")
+      .select(cols.map(c => coalesce(col(s"b.$c"), col(s"t.$c")).as(c)): _*)
+      .join(dels, col(key).cast("long") === col("__delkey"), "left_anti")
+    val v = base + 1
+    val fresh = writeDataFiles(spark, root, v, merged, key,
+      math.max(1, math.min(nBuckets, rewrite.size + 1)))
+    val (f, _) = fs(root, spark)
+    writeAtomic(f, manifestPath(root, v), renderManifest(carry ++ fresh))
+    (v, rewrite.size, carry.size)
+  }
+
   /** Copy-on-write delete: rewrite only the files that CONTAIN a
     * matching row (found with one snapshot scan grouped by
     * `input_file_name` — metadata-sized result), carry the rest.

@@ -377,6 +377,31 @@ class GraftTableSpec extends SparkSpec {
       version = Some(0)) === 16)
   }
 
+  test("applyCdcBatch: mixed ops in one pruned commit; deletes idempotent and win ties") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(1000), "k", nBuckets = 4)
+    val m0 = manifestLines(root, 0)
+    val batch = Seq(
+      (5L, "upd5", -1L, "upsert"),       // update
+      (2000L, "new", 7L, "upsert"),      // insert
+      (10L, "gone", 0L, "delete"),       // delete existing
+      (99999L, "ghost", 0L, "delete"),   // delete absent: no-op
+      (20L, "both", 1L, "upsert"),       // same key upserted AND...
+      (20L, "both", 1L, "delete"))       // ...deleted: delete wins
+      .toDF("k", "name", "v", "_op")
+    val (v, rewritten, carried) =
+      GraftTable.applyCdcBatch(spark, root, batch, "k")
+    assert(v === 1)
+    // low keys + 2000 hit a subset of the 4 files; pruning must carry
+    assert(rewritten < 4 && carried === 4 - rewritten)
+    assert(manifestLines(root, 1).toSet.intersect(m0.toSet).size === carried)
+    val now = GraftTable.read(spark, root)
+    assert(now.count() === 1000 - 2 + 1) // -10, -20, +2000
+    assert(now.filter($"k" === 5L).select("v").as[Long].head() === -1L)
+    assert(now.filter($"k" === 2000L).count() === 1)
+    assert(now.filter($"k".isin(10L, 20L)).count() === 0)
+  }
+
   private def manifestLines(root: String, v: Int): Seq[String] = {
     val src = scala.io.Source.fromFile(f"$root/_log/v$v%05d.manifest")
     try src.getLines().filter(_.nonEmpty).toList finally src.close()
