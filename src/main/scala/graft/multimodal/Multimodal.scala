@@ -264,6 +264,61 @@ object Multimodal {
     * caller needing decoded features NEXT TO upstream metadata keeps
     * one pipeline instead of re-joining (and re-executing) the
     * upstream frame. */
+  /** ViT-style patch extraction: decode each image payload (REAL
+    * PPM/BMP parsers) and emit one row per `patchW`×`patchH` grid cell
+    * with EXACT per-channel pixel sums — the patch-token prep a vision
+    * transformer's data pipeline runs before embedding. Edge patches
+    * clip to the image (n_px carries the true pixel count, so a
+    * downstream mean is exact). Runs via mapPartitions like
+    * [[decodeFeatures]] (decoder init amortizes per partition);
+    * undecodable payloads contribute no rows — route them through
+    * [[imageMeta]] first if they must be audited. The fan-out is
+    * (image rows) × (grid size): a narrow, shuffle-free expansion that
+    * partitions by media row at any corpus scale. */
+  def patchFeatures(media: DataFrame, patchW: Int, patchH: Int): DataFrame = {
+    require(patchW >= 1 && patchH >= 1, "patch dims must be >= 1")
+    val spark = media.sparkSession
+    val rdd = media.select(col("media_id"), col("payload")).rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = Option(r.getAs[Array[Byte]](1))
+            .getOrElse(Array.emptyByteArray)
+          Codecs.decodeImage(bytes).toSeq.flatMap { img =>
+            val gridX = (img.width + patchW - 1) / patchW
+            val gridY = (img.height + patchH - 1) / patchH
+            for (gy <- 0 until gridY; gx <- 0 until gridX) yield {
+              var sr = 0L; var sg = 0L; var sb = 0L; var n = 0L
+              var y = gy * patchH
+              val yEnd = math.min((gy + 1) * patchH, img.height)
+              val xEnd = math.min((gx + 1) * patchW, img.width)
+              while (y < yEnd) {
+                var x = gx * patchW
+                while (x < xEnd) {
+                  val base = (y * img.width + x) * img.channels
+                  sr += img.pixels(base) & 0xff
+                  if (img.channels > 1) sg += img.pixels(base + 1) & 0xff
+                  if (img.channels > 2) sb += img.pixels(base + 2) & 0xff
+                  n += 1
+                  x += 1
+                }
+                y += 1
+              }
+              Row(id, gx, gy, n, sr, sg, sb)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("patch_x", IntegerType, nullable = false),
+      StructField("patch_y", IntegerType, nullable = false),
+      StructField("n_px", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false))))
+  }
+
   def decodeFeatures(media: DataFrame,
                      passthrough: Seq[String] = Nil): DataFrame = {
     val spark = media.sparkSession

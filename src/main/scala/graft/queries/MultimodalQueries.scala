@@ -181,7 +181,49 @@ object MultimodalQueries {
            |FROM ids
            |ORDER BY format, media_id""".stripMargin))
 
+  /** ViT-style patch extraction over REAL decoded pixels: 8×6 P6
+    * images (closed-form content, same generator as q154) are decoded
+    * by the real PPM parser and split into a 2×2 grid of 4×3 patches —
+    * one row per (image, patch) with EXACT per-channel pixel sums, the
+    * patch-token prep a vision transformer's pipeline runs before
+    * embedding. Edge behavior (clipping) is exercised by the grid
+    * dividing the image exactly here and pinned for ragged sizes in
+    * MultimodalSpec. The oracle never decodes: it replays the
+    * closed-form raster arithmetic (byte i → pixel i/3, channel i%3,
+    * pixel → (x,y) → patch) — parser bugs and patch-walk bugs land on
+    * different sides and cannot cancel. Scale: decode+patchify is one
+    * mapPartitions pass, fan-out bounded by grid size, no shuffle
+    * before the gate's aggregation-free projection. */
+  val q240ImagePatches = GraftQuery(
+    "q240_image_patches",
+    (s, dir) => {
+      val media = Multimodal.synthesizePpm(Tables.documents(s, dir), 8, 6)
+      Multimodal.patchFeatures(media, patchW = 4, patchH = 3)
+        .select(col("media_id"), col("patch_x").cast("long").as("patch_x"),
+          col("patch_y").cast("long").as("patch_y"), col("n_px"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id", "patch_y", "patch_x")
+    },
+    Some("""WITH px AS (
+           |  SELECT d.doc_id AS media_id, i.g AS bi,
+           |    (d.doc_id * 131 + i.g * 7) % 256 AS v
+           |  FROM documents d,
+           |    LATERAL (SELECT unnest(generate_series(0, 8*6*3 - 1)) g) i),
+           |cells AS (
+           |  SELECT media_id, v, bi % 3 AS ch,
+           |    ((bi // 3) % 8) // 4 AS patch_x,
+           |    ((bi // 3) // 8) // 3 AS patch_y
+           |  FROM px)
+           |SELECT media_id, CAST(patch_x AS BIGINT) AS patch_x,
+           |  CAST(patch_y AS BIGINT) AS patch_y,
+           |  CAST(count(*) / 3 AS BIGINT) AS n_px,
+           |  CAST(sum(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS sum_r,
+           |  CAST(sum(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS sum_g,
+           |  CAST(sum(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS sum_b
+           |FROM cells GROUP BY media_id, patch_x, patch_y
+           |ORDER BY media_id, patch_y, patch_x""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q154PpmDecode, q155PpmResize, q156WavDecode, q158BmpDecode,
-      q196ImageHeaderSniff)
+      q196ImageHeaderSniff, q240ImagePatches)
 }

@@ -448,8 +448,59 @@ object VectorQueries {
            |FROM lo_a2 l JOIN hi_a2 h USING (vec_id)
            |ORDER BY vec_id""".stripMargin))
 
+  /** Gate-lifetime temp dirs, swept by one static shutdown hook — the
+    * SourceQueries/MaintenanceQueries contract. */
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  locally {
+    sys.addShutdownHook {
+      tempDirs.forEach(f =>
+        org.apache.commons.io.FileUtils.deleteQuietly(f): Unit)
+    }: Unit
+  }
+  private def newTempDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+    tempDirs.add(dir)
+    dir.getAbsolutePath
+  }
+
+  /** ANN index PERSISTED IN THE TABLE FORMAT and served through its
+    * file-skipping reads — the disk-backed vector-serving shape: IVF
+    * cell assignments (q176's deterministic centroid contract) are
+    * written as a [[graft.sources.GraftTable]] RANGE-BUCKETED BY CELL,
+    * so probing a cell is a `readRange(cell, c, c)` that opens only
+    * that cell's file(s) via manifest stats — at 100 TB an nprobe=2
+    * query touches 2/K of the index files instead of the index. The
+    * gate serves with nprobe = ALL cells through the pruned path, which
+    * is provably the exact search (q37's argument), so the oracle is
+    * the shared brute-force top-5; per-cell file-count pruning is
+    * pinned in SimilaritySpec, which a logical replay can't see. */
+  val q241TableServedAnn = GraftQuery(
+    "q241_table_served_ann",
+    (s, dir) => {
+      val root = newTempDir("graft_ann_tbl") + "/tbl"
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cents = Similarity.trainCentroidArrays(corpus, nCentroids = 8)
+      val assigned = graft.operators.KMeans.assign(emb, cents)
+        .select(col("cluster").cast("long").as("cell"), col("vec_id"),
+          col("embedding"))
+      graft.sources.GraftTable.create(s, root, assigned, "cell", nBuckets = 8)
+      val served = (0 until 8)
+        .map(c => graft.sources.GraftTable.readRange(s, root, "cell",
+          c.toLong, c.toLong))
+        .reduce(_ unionAll _)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(queries, served, k = 5)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy("qid", "rank")
+    },
+    Some(topKOracle))
+
   val all: Seq[GraftQuery] = Seq(q30AnnBruteForce, q31CosinePairs, q32AnnLsh,
     q37AnnIvf, q38EmbeddingNearDup, q57EmbeddingQuantize, q103LabelCentroids,
     q109EmbeddingOutliers, q165FilteredAnn, q206QuantizedRecall,
-    q218ProductQuantization)
+    q218ProductQuantization, q241TableServedAnn)
 }

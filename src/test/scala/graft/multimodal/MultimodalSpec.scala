@@ -72,4 +72,26 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getAs[Long]("media_id") -> r.getAs[String]("out_md5")).toMap
     out.foreach(r => assert(again(r.getAs[Long]("media_id")) === r.getAs[String]("out_md5")))
   }
+
+  test("patchFeatures clips ragged edges and conserves pixel mass") {
+    // 5x4 image with 4x3 patches -> 2x2 grid; right column patches are
+    // 1 px wide, bottom row patches 1 px tall, corner is 1x1
+    val media = Multimodal.synthesizePpm(docs, 5, 4)
+    val rows = Multimodal.patchFeatures(media, 4, 3).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("patch_x"),
+        r.getAs[Int]("patch_y"), r.getAs[Long]("n_px"),
+        r.getAs[Long]("sum_r") + r.getAs[Long]("sum_g") + r.getAs[Long]("sum_b")))
+    assert(rows.length === 3 * 4) // 3 images x 2x2 grid
+    val byPatch = rows.groupBy(r => (r._2, r._3)).map { case (k, v) => k -> v.head._4 }
+    assert(byPatch((0, 0)) === 12L) // full 4x3
+    assert(byPatch((1, 0)) === 3L)  // 1 wide x 3 tall
+    assert(byPatch((0, 1)) === 4L)  // 4 wide x 1 tall
+    assert(byPatch((1, 1)) === 1L)  // corner
+    // conservation: per image, patch sums add up to the whole raster
+    val totals = rows.groupBy(_._1).map { case (id, v) => id -> v.map(_._5).sum }
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      val want = (0 until 5 * 4 * 3).map(i => (id * 131 + i * 7) % 256).sum
+      assert(totals(id) === want, s"image $id")
+    }
+  }
 }

@@ -133,4 +133,37 @@ class SimilaritySpec extends SparkSpec {
     val b2 = vecs.select(Similarity.lshBucket($"embedding", 3, 4).as("b")).collect()
     assert(b1.map(_.getString(0)).toSeq === b2.map(_.getString(0)).toSeq)
   }
+
+  test("table-backed IVF index: probing one cell opens a file subset (q241's skip path)") {
+    val root = java.nio.file.Files.createTempDirectory("ann_tbl_spec")
+      .toString + "/tbl"
+    // 4 well-separated cells along dimension 0 so assignment is stable
+    val pts = spark.range(0, 400).select(
+      $"id".as("vec_id"),
+      org.apache.spark.sql.functions.array(
+        ($"id" % 4 * 100).cast("float"), ($"id" % 7).cast("float"),
+        ($"id" % 5).cast("float")).as("embedding"))
+    val cents = Similarity.trainCentroidArrays(
+      pts.select($"vec_id".as("cid"), $"embedding".as("cvec")), nCentroids = 4,
+      iters = 4)
+    val assigned = graft.operators.KMeans.assign(pts, cents)
+      .select($"cluster".cast("long").as("cell"), $"vec_id", $"embedding")
+    graft.sources.GraftTable.create(spark, root, assigned, "cell", nBuckets = 4)
+    val total = graft.sources.GraftTable
+      .prunedFileCount(spark, root, Long.MinValue, Long.MaxValue)
+    val cells = assigned.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(cells.length >= 2, "need multiple populated cells")
+    // each single-cell probe opens strictly fewer files than the index
+    cells.foreach { c =>
+      val opened = graft.sources.GraftTable.prunedFileCount(spark, root, c, c)
+      assert(opened >= 1 && opened < total, s"cell $c opened $opened of $total")
+      // and returns exactly that cell's vectors
+      val got = graft.sources.GraftTable.readRange(spark, root, "cell", c, c)
+        .select("vec_id").as[Long].collect().toSet
+      val want = assigned.filter($"cell" === c)
+        .select("vec_id").as[Long].collect().toSet
+      assert(got === want)
+    }
+  }
 }
