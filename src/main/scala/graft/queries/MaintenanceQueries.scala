@@ -1083,9 +1083,99 @@ object MaintenanceQueries {
            |FROM s CROSS JOIN (VALUES ('source'), ('replica')) AS side(side)
            |ORDER BY version, side""".stripMargin))
 
+  /** WRITE-AUDIT-PUBLISH against [[GraftTable]]: a clean batch passes
+    * its expectations and publishes; a poisoned batch (every 13th key
+    * carries a negative balance and a malformed name) is REJECTED at
+    * the audit and the table provably stays at the published version —
+    * readers never see a row of it. The gate emits the table state
+    * after each attempt plus the rejected batch's per-check violation
+    * counts, all replayed logically by the oracle; that a rejected
+    * commit leaves no manifest and its staged orphans are swept by
+    * vacuum is pinned in GraftTableSpec (invisible to a logical
+    * replay). This is the quality gate production lakehouses run
+    * between "the job ran" and "downstream reads it" — audit cost is
+    * batch-sized (only the staged rows are scanned), which is what
+    * keeps the write path viable at 100 TB. */
+  val q242WriteAuditPublish = GraftQuery(
+    "q242_write_audit_publish",
+    (s, dir) => {
+      val root = newTempDir("graft_table_wap") + "/tbl"
+      val v0 = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_name").as("name"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal_cents"))
+      GraftTable.create(s, root, v0, "k", nBuckets = 8)
+      val checks = Seq(
+        "non_negative_balance" -> (col("bal_cents") >= -150000L),
+        "well_formed_name" ->
+          col("name").rlike("^(Customer#|Batch#)"))
+      def batchOf(poison: Boolean) = {
+        val base = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .as("bal_cents"))
+          .select(col("o_custkey").cast("long").as("k"), col("bal_cents"))
+          .withColumn("name", concat(lit("Batch#"), col("k").cast("string")))
+        if (!poison) base.select("k", "name", "bal_cents")
+        else base.select(col("k"),
+          when(col("k") % 13 === 0, concat(lit("???"), col("name")))
+            .otherwise(col("name")).as("name"),
+          when(col("k") % 13 === 0, -col("bal_cents") - 1000000L)
+            .otherwise(col("bal_cents")).as("bal_cents"))
+      }
+      val r1 = GraftTable.auditedUpsert(s, root, batchOf(poison = false), "k",
+        checks)
+      val r2 = GraftTable.auditedUpsert(s, root, batchOf(poison = true), "k",
+        checks)
+      val viol: Map[String, Long] = r2.swap.getOrElse(Map.empty)
+      require(r1.isRight && r2.isLeft, "gate setup: clean publishes, poison rejects")
+      def slice(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+      def state(stage: String) = GraftTable.read(s, root)
+        .agg(count(lit(1)).as("n_rows"), sum("bal_cents").as("bal_sum"),
+          sum(slice(col("name"))).as("name_sum"))
+        .select(lit(stage).as("stage"),
+          lit(GraftTable.latestVersion(s, root)).cast("long").as("version"),
+          col("n_rows"), col("bal_sum"), col("name_sum"),
+          lit(viol.getOrElse("non_negative_balance", 0L)).as("v_balance"),
+          lit(viol.getOrElse("well_formed_name", 0L)).as("v_name"))
+      // state after both attempts is identical — the rejection held
+      state("after_clean").unionAll(state("after_poison")).orderBy("stage")
+    },
+    Some("""WITH v0 AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+           |  FROM customer),
+           |batch AS (
+           |  SELECT CAST(o_custkey AS BIGINT) AS k,
+           |    'Batch#' || CAST(o_custkey AS VARCHAR) AS name,
+           |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS bal_cents
+           |  FROM orders GROUP BY o_custkey),
+           |v1 AS (
+           |  SELECT COALESCE(b.k, t.k) AS k, COALESCE(b.name, t.name) AS name,
+           |    COALESCE(b.bal_cents, t.bal_cents) AS bal_cents
+           |  FROM v0 t FULL OUTER JOIN batch b ON t.k = b.k),
+           |-- the poisoned batch audits over its MERGED rows: batch rows
+           |-- replace same-key table rows, so violations = poisoned keys
+           |nviol AS (SELECT count(*) AS nv FROM batch WHERE k % 13 = 0),
+           |s AS (
+           |  SELECT count(*) AS n_rows, CAST(sum(bal_cents) AS BIGINT)
+           |      AS bal_sum,
+           |    CAST(sum(('0x' || substr(md5(name), 1, 8))::BIGINT) AS BIGINT)
+           |      AS name_sum
+           |  FROM v1)
+           |SELECT st.stage, CAST(1 AS BIGINT) AS version, n_rows, bal_sum,
+           |  name_sum,
+           |  CAST(nv AS BIGINT) AS v_balance, CAST(nv AS BIGINT) AS v_name
+           |FROM s CROSS JOIN nviol
+           |CROSS JOIN (VALUES ('after_clean'), ('after_poison')) AS st(stage)
+           |ORDER BY st.stage""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
     q222TableSchemaEvolution, q223BloomPrunedRead, q224TableChanges,
-    q236CdfMaintenance, q237ZorderTable, q239TableReplication)
+    q236CdfMaintenance, q237ZorderTable, q239TableReplication,
+    q242WriteAuditPublish)
 }

@@ -391,6 +391,76 @@ object GraftTable {
     (v, rewrite.size, carry.size)
   }
 
+  /** WRITE-AUDIT-PUBLISH upsert: stage the commit's data files, audit
+    * the rows BEING WRITTEN against declarative expectations, and
+    * publish the manifest only if every expectation holds — the
+    * quality gate between "the job ran" and "readers see it" (a
+    * rejected batch leaves the table at its current version; the
+    * staged orphan files are invisible to every reader and swept by
+    * [[vacuum]], exactly like a failed commit). `checks` are (name,
+    * row predicate) pairs; a row where a predicate is false OR NULL
+    * counts as a violation. The audit scans only the merged rows of
+    * the rewritten files (the WAP granularity that stays batch-sized
+    * at 100 TB — table-wide invariants belong in a scheduled audit,
+    * not the write path), and all checks fold into ONE aggregation
+    * pass. Returns Right((version, rewritten, carried)) on publish,
+    * Left(violations per failing check) on rejection. */
+  def auditedUpsert(spark: SparkSession, root: String, batch: DataFrame,
+      key: String, checks: Seq[(String, org.apache.spark.sql.Column)],
+      nBuckets: Int = 8): Either[Map[String, Long], (Int, Int, Int)] = {
+    require(checks.nonEmpty, "auditedUpsert without checks is upsert")
+    val base = latestVersion(spark, root)
+    val entries = loadManifest(spark, root, base)
+    val schema = tableSchema(spark, root, base)
+    require(batch.schema.fieldNames.sorted.sameElements(schema.fieldNames.sorted),
+      "batch schema must match table schema")
+    import spark.implicits._
+    val ledger = entries.map(e => (e.relPath, e.minKey, e.maxKey))
+      .toDF("rel_path", "mn", "mx")
+    val hit = batch.select(col(key).cast("long").as("k")).distinct()
+      .join(broadcast(ledger),
+        col("k") >= col("mn") && col("k") <= col("mx"))
+      .select("rel_path").distinct().collect().map(_.getString(0)).toSet
+    val (rewrite, carry) = entries.partition(e => hit(e.relPath))
+    val current =
+      if (rewrite.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(rewrite.map(e => s"$root/${e.relPath}"): _*)
+    val cols = schema.fieldNames
+    val t = current.as("t"); val b = batch.as("b")
+    val merged = t.join(b, col(s"t.$key") === col(s"b.$key"), "full_outer")
+      .select(cols.map(c =>
+        coalesce(col(s"b.$c"), col(s"t.$c")).as(c)): _*)
+    val v = base + 1
+    // WRITE (stage): files land under an attempt-unique dir, reachable
+    // only through a manifest that may never be published
+    val fresh = writeDataFiles(spark, root, v, merged, key,
+      math.max(1, math.min(nBuckets, rewrite.size + 1)))
+    // AUDIT: every check in one aggregation over the staged files
+    val staged =
+      if (fresh.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(fresh.map(e => s"$root/${e.relPath}"): _*)
+    val aggs = checks.map { case (name, pred) =>
+      sum(when(pred.isNull || !pred, 1L).otherwise(0L)).as(name)
+    }
+    val counts = staged.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val violations = checks.zipWithIndex.collect {
+      case ((name, _), i) if counts.getLong(i) > 0 => name -> counts.getLong(i)
+    }.toMap
+    if (violations.nonEmpty) Left(violations)
+    else {
+      // PUBLISH: the create-if-absent manifest rename, as every commit
+      val (f, _) = fs(root, spark)
+      writeAtomic(f, manifestPath(root, v), renderManifest(carry ++ fresh))
+      Right((v, rewrite.size, carry.size))
+    }
+  }
+
   /** Copy-on-write delete: rewrite only the files that CONTAIN a
     * matching row (found with one snapshot scan grouped by
     * `input_file_name` — metadata-sized result), carry the rest.

@@ -402,6 +402,53 @@ class GraftTableSpec extends SparkSpec {
     assert(now.filter($"k".isin(10L, 20L)).count() === 0)
   }
 
+  test("auditedUpsert: rejection publishes nothing; vacuum sweeps the staged orphans") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(500), "k", nBuckets = 4)
+    val checks = Seq("positive_v" -> ($"v" >= 0L))
+    // clean batch publishes
+    val ok = GraftTable.auditedUpsert(spark, root,
+      spark.range(1, 6).select($"id".as("k"),
+        concat(lit("u"), $"id").as("name"), lit(1L).as("v")), "k", checks)
+    assert(ok.isRight && GraftTable.latestVersion(spark, root) === 1)
+    // poisoned batch is rejected with per-check counts
+    val bad = GraftTable.auditedUpsert(spark, root,
+      spark.range(1, 10).select($"id".as("k"),
+        concat(lit("p"), $"id").as("name"),
+        (when($"id" % 2 === 0, -5L).otherwise(2L)).as("v")), "k", checks)
+    assert(bad === Left(Map("positive_v" -> 4L)))
+    // no new version, reader state untouched
+    assert(GraftTable.latestVersion(spark, root) === 1)
+    assert(GraftTable.read(spark, root).filter($"v" < 0).count() === 0)
+    // the staged files are orphans: on disk now, gone after vacuum
+    val dataDir = new java.io.File(root, "data")
+    def dataFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      walk(dataDir)
+    }
+    val live = (manifestLines(root, 0) ++ manifestLines(root, 1))
+      .map(_.split('\t')(0)).toSet
+    assert(dataFiles().size > live.size, "staged orphans should exist pre-vacuum")
+    GraftTable.vacuum(spark, root, retainVersions = 2)
+    assert(dataFiles().map(f =>
+      "data/" + dataDir.toPath.relativize(f.toPath).toString.replace('\\', '/'))
+      .toSet.subsetOf(live))
+    // NULL predicate results count as violations (SQL three-valued
+    // trap): length(NULL) > 1 is NULL, not false — must still reject.
+    // The audit covers ALL merged rows of the rewritten file, so the
+    // predicate must hold for the co-resident rows (it does: every
+    // non-poisoned name here is at least 2 chars)
+    // an INSERT key: a NULL batch cell on an existing key would be
+    // filled by the partial-update coalesce and never reach the audit
+    val withNull = GraftTable.auditedUpsert(spark, root,
+      spark.range(1).select(lit(7000L).as("k"),
+        lit(null).cast("string").as("name"), lit(3L).as("v")), "k",
+      Seq("name_present" -> (length($"name") > 1)))
+    assert(withNull === Left(Map("name_present" -> 1L)))
+  }
+
   private def manifestLines(root: String, v: Int): Seq[String] = {
     val src = scala.io.Source.fromFile(f"$root/_log/v$v%05d.manifest")
     try src.getLines().filter(_.nonEmpty).toList finally src.close()
