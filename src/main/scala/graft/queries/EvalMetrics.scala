@@ -875,8 +875,93 @@ object EvalMetrics {
            |    AS rouge_f1
            |FROM fin ORDER BY doc_id""".stripMargin))
 
+  /** Calibration curve + per-bin Brier decomposition — the classifier
+    * diagnostic q179's AUC cannot see (AUC is rank-only; a perfectly
+    * discriminating score can still be wildly miscalibrated). The
+    * "probability" is the order's exact global price percentile
+    * p = rank/N (the distinct-grain cumulative-window construction of
+    * q179 — no per-row sort), the label is urgent/high priority, and
+    * each decile bin reports observed frequency vs mean predicted p
+    * plus its Brier contribution. Every statistic reduces to exact
+    * integer sums over the SHARED denominator N (Σc·num, Σc·num²,
+    * Σpos·num, Σpos — reorder-proof), then one fixed-form double
+    * expression per bin: bin membership itself is integer arithmetic
+    * (floor(10·num/N)), so no float ever decides a boundary. */
+  val q245CalibrationBrier = GraftQuery(
+    "q245_calibration_brier",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val base = o.select(
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("score"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("y"))
+      val grain = base.groupBy("score")
+        .agg(count(lit(1)).as("c"), sum("y").as("pos"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // day-grain-free single-partition window is fine: the frame is
+      // the DISTINCT score grain (bounded), same rationale as q179
+      val ranked = grain
+        .withColumn("below", coalesce(sum(col("c")).over(w), lit(0L)))
+        .withColumn("num", col("below") + col("c"))
+      val totals = ranked.agg(sum("c").as("n_total"))
+      val binned = ranked.crossJoin(broadcast(totals))
+        .withColumn("bin",
+          least(lit(9L), floor(col("num") * 10 / col("n_total")).cast("long")))
+        .groupBy("bin")
+        .agg(sum("c").as("n"), sum("pos").as("n_pos"),
+          sum(col("c") * col("num")).as("s_cn"),
+          sum(col("c") * col("num") * col("num")).as("s_cn2"),
+          sum(col("pos") * col("num")).as("s_pn"),
+          max("n_total").as("nt"))
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      binned.select(col("bin"), col("n"), col("n_pos"),
+        round(d(col("s_cn")) / (d(col("nt")) * d(col("n"))), 6).as("mean_p"),
+        round(d(col("n_pos")) / d(col("n")), 6).as("frac_pos"),
+        // mean((p - y)^2) = (Σc·num²/N² − 2Σpos·num/N + Σpos) / n
+        round((d(col("s_cn2")) / (d(col("nt")) * d(col("nt"))) -
+          lit(2.0) * d(col("s_pn")) / d(col("nt")) + d(col("n_pos"))) /
+          d(col("n")), 6).as("brier_bin"))
+        .orderBy("bin")
+    },
+    Some("""WITH base AS (
+           |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS score,
+           |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           |      THEN 1 ELSE 0 END AS y
+           |  FROM orders),
+           |grain AS (
+           |  SELECT score, count(*) AS c, CAST(sum(y) AS BIGINT) AS pos
+           |  FROM base GROUP BY score),
+           |ranked AS (
+           |  SELECT score, c, pos,
+           |    COALESCE(sum(c) OVER (ORDER BY score
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c
+           |      AS num
+           |  FROM grain),
+           |t AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM grain),
+           |binned AS (
+           |  SELECT least(9, num * 10 // nt) AS bin, c, pos, num, nt
+           |  FROM ranked CROSS JOIN t),
+           |m AS (
+           |  SELECT bin, CAST(sum(c) AS BIGINT) AS n,
+           |    CAST(sum(pos) AS BIGINT) AS n_pos,
+           |    CAST(sum(c * num) AS BIGINT) AS s_cn,
+           |    CAST(sum(c * num * num) AS BIGINT) AS s_cn2,
+           |    CAST(sum(pos * num) AS BIGINT) AS s_pn,
+           |    max(nt) AS nt
+           |  FROM binned GROUP BY bin)
+           |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+           |  round(CAST(s_cn AS DOUBLE) / (CAST(nt AS DOUBLE) *
+           |    CAST(n AS DOUBLE)), 6) AS mean_p,
+           |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos,
+           |  round((CAST(s_cn2 AS DOUBLE) / (CAST(nt AS DOUBLE) *
+           |      CAST(nt AS DOUBLE)) -
+           |    2.0 * CAST(s_pn AS DOUBLE) / CAST(nt AS DOUBLE) +
+           |    CAST(n_pos AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS brier_bin
+           |FROM m ORDER BY bin""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q178RetrievalEval, q179GroupedAuc, q180SeasonalDecompose,
       q210DedupEval, q212DriftMonitor, q216BleuEval, q217LabelAgreement,
-      q227CupedAdjustment, q235BootstrapCi, q238RougeL)
+      q227CupedAdjustment, q235BootstrapCi, q238RougeL, q245CalibrationBrier)
 }

@@ -2691,6 +2691,157 @@ object Extras {
            |    ::BIGINT) AS BIGINT) AS member_sum
            |FROM l3 GROUP BY lbl ORDER BY size DESC, community""".stripMargin))
 
+  /** Hierarchical (tree) aggregation — the bill-of-materials rollup:
+    * parts form an implicit binary assembly tree (parent(k) = k/2,
+    * root 1) and every node needs its SUBTREE cost (own price + all
+    * components below it). The engine runs the level-synchronous
+    * UPWARD SWEEP: per level, one keyed aggregation folds the level's
+    * subtree totals into the parents — depth-many small shuffles
+    * moving O(n) rows TOTAL, against the O(n·depth) ancestor-explosion
+    * the oracle is allowed (a recursive CTE enumerating every
+    * (ancestor, node) pair) — the two shapes agree on every node, and
+    * the root's total equals the corpus sum by conservation. Levels
+    * come from an exact powers-of-two lookup, never floating log2
+    * (which misrounds at boundaries). This is the recursion family
+    * BFS (q215: distances) and label propagation (q233: partitions)
+    * don't cover: values aggregating THROUGH a hierarchy. */
+  val q243TreeRollup = GraftQuery(
+    "q243_tree_rollup",
+    (s, dir) => {
+      val own = Tables.part(s, dir).select(
+        col("p_partkey").cast("long").as("k"),
+        floor(col("p_retailprice") * 100 + lit(0.5)).cast("long").as("own"))
+      // exact level = index of the highest set bit, via a 40-row
+      // powers table (log2 doubles misround at 2^j boundaries)
+      val pows = s.range(0, 40).select(col("id").cast("int").as("lvl"),
+        expr("CAST(pow(2, id) AS BIGINT)").as("p"))
+      val leveled = own.join(broadcast(pows),
+          col("p") <= col("k") && col("k") < col("p") * 2)
+        .select(col("k"), col("own"), col("lvl"))
+      val maxLvl = leveled.agg(max("lvl")).collect()(0).getInt(0)
+      var sums = leveled.withColumn("subtree", col("own"))
+      for (l <- maxLvl to 1 by -1) {
+        val contrib = sums.filter(col("lvl") === l)
+          .groupBy(floor(col("k") / 2).cast("long").as("k"))
+          .agg(sum("subtree").as("add"))
+        sums = sums.join(contrib, Seq("k"), "left")
+          .withColumn("subtree", col("subtree") + coalesce(col("add"), lit(0L)))
+          .drop("add")
+        // bound the lineage: 14+ chained joins otherwise stack up in
+        // one analysis/codegen pass
+        if ((maxLvl - l) % 5 == 4) sums = sums.localCheckpoint()
+      }
+      sums.groupBy(col("lvl").cast("long").as("lvl"))
+        .agg(count(lit(1)).as("n_nodes"), sum("own").as("own_sum"),
+          sum("subtree").as("subtree_sum"),
+          sum(conv(substring(md5(concat_ws("|", col("k"), col("subtree"))),
+            1, 8), 16, 10).cast("long")).as("node_sum"))
+        .orderBy("lvl")
+    },
+    Some("""WITH RECURSIVE own AS (
+           |  SELECT CAST(p_partkey AS BIGINT) AS k,
+           |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS own
+           |  FROM part),
+           |anc AS (
+           |  SELECT k AS node, k AS anc FROM own
+           |  UNION ALL
+           |  SELECT node, anc // 2 AS anc FROM anc WHERE anc > 1),
+           |sub AS (
+           |  SELECT a.anc AS k, sum(o.own) AS subtree
+           |  FROM anc a JOIN own o ON o.k = a.node
+           |  GROUP BY a.anc),
+           |pows AS (SELECT g AS lvl, CAST(pow(2, g) AS BIGINT) AS p
+           |         FROM (SELECT unnest(generate_series(0, 39)) AS g)),
+           |leveled AS (
+           |  SELECT o.k, o.own, s.subtree, pw.lvl
+           |  FROM own o JOIN sub s ON s.k = o.k
+           |  JOIN pows pw ON pw.p <= o.k AND o.k < pw.p * 2)
+           |SELECT lvl, count(*) AS n_nodes,
+           |  CAST(sum(own) AS BIGINT) AS own_sum,
+           |  CAST(sum(subtree) AS BIGINT) AS subtree_sum,
+           |  CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |    CAST(subtree AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT)
+           |    AS node_sum
+           |FROM leveled GROUP BY lvl ORDER BY lvl""".stripMargin))
+
+  /** Lagged cross-correlation between two daily revenue series (does
+    * URGENT demand LEAD low-priority demand?) — the lead-lag discovery
+    * scan time-series monitoring runs between every metric pair. For
+    * each lag in −7..7 the Pearson correlation of (x_t, y_{t+lag}) is
+    * computed entirely from EXACT integer moments over the aligned
+    * calendar overlap (n, Σx, Σy, Σxy, Σx², Σy² — one hash aggregation
+    * per lag over the day-grain series, reorder-proof), then a single
+    * fixed-form double expression per lag — no data-order float
+    * accumulation anywhere, so both engines agree bit-for-bit before
+    * the final rounding. The series and the lag set are
+    * calendar-bounded: the whole scan costs 15 aggregations over
+    * ~2,400-row frames regardless of fact volume. */
+  val q244CrossCorrelation = GraftQuery(
+    "q244_cross_correlation",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(
+          // whole DOLLARS, not cents: Σx·y over ~2,400 days must stay
+          // inside int64 in BOTH engines (cents overflowed at sf0.1 —
+          // DuckDB promotes to INT128, Spark's non-ANSI sum wraps)
+          sum(when(col("o_orderpriority") === "1-URGENT",
+            floor(col("o_totalprice") + lit(0.5)).cast("long"))
+            .otherwise(0L)).as("x"),
+          sum(when(col("o_orderpriority") === "5-LOW",
+            floor(col("o_totalprice") + lit(0.5)).cast("long"))
+            .otherwise(0L)).as("y"))
+        .withColumn("d", datediff(col("day"), lit("1995-01-01").cast("date"))
+          .cast("long"))
+        .select("d", "x", "y")
+      val lags = s.range(-7, 8).select(col("id").cast("long").as("lag"))
+      val joined = daily.as("a").crossJoin(broadcast(lags))
+        .join(daily.as("b"), col("b.d") === col("a.d") + col("lag"))
+        .select(col("lag"), col("a.x").as("x"), col("b.y").as("y"))
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val m = joined.groupBy("lag").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      m.select(col("lag"), col("n"),
+        round((d(col("sxy")) * d(col("n")) - d(col("sx")) * d(col("sy"))) /
+          (sqrt(d(col("sxx")) * d(col("n")) - d(col("sx")) * d(col("sx"))) *
+            sqrt(d(col("syy")) * d(col("n")) - d(col("sy")) * d(col("sy")))), 6)
+          .as("corr"))
+        .orderBy("lag")
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+           |      CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+           |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+           |      THEN CAST(floor(o_totalprice + 0.5) AS BIGINT)
+           |      ELSE 0 END) AS BIGINT) AS x,
+           |    CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+           |      THEN CAST(floor(o_totalprice + 0.5) AS BIGINT)
+           |      ELSE 0 END) AS BIGINT) AS y
+           |  FROM orders GROUP BY 1),
+           |lags AS (SELECT CAST(g AS BIGINT) AS lag
+           |         FROM (SELECT unnest(generate_series(-7, 7)) AS g)),
+           |joined AS (
+           |  SELECT l.lag, a.x, b.y
+           |  FROM daily a CROSS JOIN lags l
+           |  JOIN daily b ON b.d = a.d + l.lag),
+           |m AS (
+           |  SELECT lag, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+           |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+           |    CAST(sum(x * x) AS BIGINT) AS sxx,
+           |    CAST(sum(y * y) AS BIGINT) AS syy
+           |  FROM joined GROUP BY lag)
+           |SELECT lag, n,
+           |  round((CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE) -
+           |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+           |    (sqrt(CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE) -
+           |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+           |     sqrt(CAST(syy AS DOUBLE) * CAST(n AS DOUBLE) -
+           |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+           |FROM m ORDER BY lag""".stripMargin))
+
   /** Exact grouped quantiles PLUS the approx-sketch error envelope:
     * the exact type-7 percentiles (which both engines interpolate
     * identically and the oracle checks cell-for-cell) alongside a
@@ -2761,5 +2912,5 @@ object Extras {
     q151RevenueAnomalies, q162SlidingWindows, q164VariantProps,
     q170LinearAttribution, q171LDiversity, q172HitsAuthorities, q215ShortestPaths,
     q226LinearInterpolate, q231TheilSen, q232QuantileEnvelope,
-    q233LabelPropagation)
+    q233LabelPropagation, q243TreeRollup, q244CrossCorrelation)
 }
