@@ -870,10 +870,86 @@ object MlPrep {
            |    (b_tot / CAST(n_bytes AS DOUBLE)), 6) AS epochs
            |FROM w CROSS JOIN tot ORDER BY source""".stripMargin))
 
+  /** T5-style span corruption — the denoising-objective formatter: for
+    * every document, fixed 3-token spans on a 10-token stride are
+    * masked; the INPUT keeps the unmasked text with each span replaced
+    * by one sentinel token (`<X0>`, `<X1>`, …) and the TARGET is the
+    * sentinel-delimited sequence of exactly the masked tokens — the
+    * (input, target) pair a span-corruption pretraining batch is built
+    * from. The whole transformation is position arithmetic inside
+    * codegen'd array lambdas (transform → per-position token LISTS →
+    * flatten, so a first-of-span position can emit sentinel+token into
+    * the target while unmasked positions emit nothing) — one narrow
+    * projection per document, embarrassingly parallel, replayed by the
+    * oracle with DuckDB's identical 1-based list lambdas. The gate
+    * checksums both sides and pins the token-count identity
+    * |input| + |target| = |tokens| + 2·n_spans (each span contributes
+    * its sentinel to BOTH sides). */
+  val q246SpanCorruption = GraftQuery(
+    "q246_span_corruption",
+    (s, dir) => {
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("slice(split(trim(text), ' +'), 1, 60)").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") >= 13)
+      // position i (1-based): masked iff (i-1) % 10 < 3; span id (i-1)/10
+      val out = t
+        .withColumn("input_toks", expr(
+          """flatten(transform(toks, (w, p) ->
+            |  CASE WHEN p % 10 = 0 THEN array(concat('<X',
+            |         CAST(CAST(p / 10 AS INT) AS STRING), '>'))
+            |       WHEN p % 10 < 3 THEN array()
+            |       ELSE array(w) END))""".stripMargin))
+        .withColumn("target_toks", expr(
+          """flatten(transform(toks, (w, p) ->
+            |  CASE WHEN p % 10 = 0 THEN array(concat('<X',
+            |         CAST(CAST(p / 10 AS INT) AS STRING), '>'), w)
+            |       WHEN p % 10 < 3 THEN array(w)
+            |       ELSE array() END))""".stripMargin))
+      out.select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        size(col("input_toks")).cast("long").as("n_input"),
+        size(col("target_toks")).cast("long").as("n_target"),
+        conv(substring(md5(array_join(col("input_toks"), " ")), 1, 8), 16, 10)
+          .cast("long").as("input_sum"),
+        conv(substring(md5(array_join(col("target_toks"), " ")), 1, 8), 16, 10)
+          .cast("long").as("target_sum"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id,
+           |    list_slice(regexp_split_to_array(trim(text), ' +'), 1, 60)
+           |      AS toks
+           |  FROM documents),
+           |base AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 13),
+           |-- DuckDB lambda index p is 1-based; Spark's is 0-based, so
+           |-- the engine's `p % 10` is `(p-1) % 10` here
+           |built AS (
+           |  SELECT doc_id, n,
+           |    flatten(list_transform(toks, (w, p) ->
+           |      CASE WHEN (p-1) % 10 = 0 THEN ['<X' ||
+           |             CAST((p-1) // 10 AS VARCHAR) || '>']
+           |           WHEN (p-1) % 10 < 3 THEN []
+           |           ELSE [w] END)) AS input_toks,
+           |    flatten(list_transform(toks, (w, p) ->
+           |      CASE WHEN (p-1) % 10 = 0 THEN ['<X' ||
+           |             CAST((p-1) // 10 AS VARCHAR) || '>', w]
+           |           WHEN (p-1) % 10 < 3 THEN [w]
+           |           ELSE [] END)) AS target_toks
+           |  FROM base)
+           |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           |  CAST(len(input_toks) AS BIGINT) AS n_input,
+           |  CAST(len(target_toks) AS BIGINT) AS n_target,
+           |  CAST(('0x' || substr(md5(array_to_string(input_toks, ' ')), 1, 8))
+           |    ::BIGINT AS BIGINT) AS input_sum,
+           |  CAST(('0x' || substr(md5(array_to_string(target_toks, ' ')), 1, 8))
+           |    ::BIGINT AS BIGINT) AS target_sum
+           |FROM built ORDER BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q50TrainTestSplit, q51VocabTopK, q52Tfidf,
     q53Contamination, q70PretrainPipeline, q86SequencePacking, q87MixtureSample,
     q92QuantileBinning, q93FeatureHash, q100StratifiedSample, q106WeightedSample,
     q110DecontaminatedSplit, q169Bm25Retrieval, q182CorpusShards,
     q191VocabTopP, q192SkewDiagnostic, q198OovRate, q205GroupQuantiles,
-    q209TemperatureMixture)
+    q209TemperatureMixture, q246SpanCorruption)
 }
