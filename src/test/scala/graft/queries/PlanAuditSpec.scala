@@ -409,4 +409,29 @@ class PlanAuditSpec extends SparkSpec {
         assert(p.contains("*("), s"$q lost whole-stage codegen:\n$p")
       }
   }
+
+  test("q238/q246: eval/objective formatters are pure codegen'd projections") {
+    Seq("q238_rouge_l", "q246_span_corruption").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(p.contains("*("), s"$q lost whole-stage codegen:\n$p")
+    }
+  }
+
+  test("q243: tree rollup sweeps levels via keyed aggregation (broadcast level table)") {
+    val p = plan("q243_tree_rollup")
+    // the powers-of-two level lookup broadcasts; nothing nested-loops
+    // over the data
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q244: lag scan joins on the shifted day key; moments hash-aggregate") {
+    val p = plan("q244_cross_correlation")
+    // day-grain x lags cross is the only broadcast nest (15 x ~2400
+    // rows, calendar-bounded); the series alignment is an equi-join
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
