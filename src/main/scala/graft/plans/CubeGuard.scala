@@ -106,6 +106,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("rolling_hash", classOf[RollingHash],
         "rolling_hash(s) - Rabin-Karp polynomial hash of a string"),
       (args: Seq[Expression]) => { arity("rolling_hash", 1, args); RollingHash(args(0)) }))
+    ext.injectFunction((FunctionIdentifier("damerau_levenshtein"),
+      info("damerau_levenshtein", classOf[graft.functions.DamerauLevenshtein],
+        "damerau_levenshtein(a, b) - unrestricted Damerau-Levenshtein edit distance (adjacent transposition = 1 edit)"),
+      (args: Seq[Expression]) => {
+        arity("damerau_levenshtein", 2, args)
+        graft.functions.DamerauLevenshtein(args(0), args(1))
+      }))
     ext.injectFunction((FunctionIdentifier("lcs_length"),
       info("lcs_length", classOf[graft.functions.LcsLength],
         "lcs_length(a, b) - longest common subsequence length of two string arrays (two-row DP, codegen'd)"),

@@ -608,8 +608,80 @@ object Curation {
            |  CAST(max(CASE WHEN rn = 1 THEN score_e4 END) AS BIGINT) AS best_e4
            |FROM ranked GROUP BY probe_key ORDER BY probe_key""".stripMargin))
 
+  /** Typo-tolerant matching through the native
+    * [[graft.functions.DamerauLevenshtein]] expression — UNRESTRICTED
+    * Damerau-Levenshtein (adjacent swap = ONE edit, transposed blocks
+    * re-editable: CA→ABC costs 2), pinned against DuckDB's independent
+    * `damerau_levenshtein`. The probes carry a DOUBLE transposition
+    * (chars 3↔4 and 10↔11) — 2 DL edits but 4 Levenshtein edits, so a
+    * `levenshtein ≤ 2` matcher (q72/q173's scorer) would MISS every
+    * probe while the DL matcher recovers them; the gate's dl_self
+    * column pins that separation. Blocking: first char + exact length
+    * (both transposition-invariant), so candidates are Σ|block|²
+    * and the O(n·m) kernel runs on pairs only, inside codegen. */
+  val q247DamerauMatch = GraftQuery(
+    "q247_damerau_match",
+    (s, dir) => {
+      val p = Tables.part(s, dir)
+      val probes = p.filter(col("p_partkey") % 4 === 0)
+        .select(col("p_partkey").as("probe_key"),
+          concat(
+            substring(col("p_name"), 1, 2),
+            substring(col("p_name"), 4, 1), substring(col("p_name"), 3, 1),
+            substring(col("p_name"), 5, 5),
+            substring(col("p_name"), 11, 1), substring(col("p_name"), 10, 1),
+            expr("substring(p_name, 12)")).as("probe_name"))
+      val scored = probes
+        .withColumn("blk", substring(col("probe_name"), 1, 1))
+        .join(p.withColumn("blk", substring(col("p_name"), 1, 1)), Seq("blk"))
+        .filter(length(col("p_name")) === length(col("probe_name")))
+        .withColumn("dl", graft.functions.DamerauLevenshtein
+          .damerauLevenshtein(col("probe_name"), col("p_name")))
+        .filter(col("dl") <= 2)
+      val w = Window.partitionBy("probe_key")
+        .orderBy(col("dl"), col("p_partkey"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .groupBy("probe_key")
+        .agg(count(lit(1)).as("n_matches"),
+          sum(col("dl").cast("long")).as("dl_sum"),
+          max(when(col("rn") === 1, col("p_partkey"))).cast("long")
+            .as("best_key"),
+          max(when(col("rn") === 1, col("dl"))).cast("long").as("best_dl"),
+          max(when(col("rn") === 1 && col("p_partkey") === col("probe_key"),
+            col("dl"))).cast("long").as("dl_self"))
+        .orderBy("probe_key")
+    },
+    Some("""WITH probes AS (
+           |  SELECT p_partkey AS probe_key,
+           |    substr(p_name, 1, 2) ||
+           |    substr(p_name, 4, 1) || substr(p_name, 3, 1) ||
+           |    substr(p_name, 5, 5) ||
+           |    substr(p_name, 11, 1) || substr(p_name, 10, 1) ||
+           |    substr(p_name, 12) AS probe_name
+           |  FROM part WHERE p_partkey % 4 = 0),
+           |scored AS (
+           |  SELECT probe_key, p.p_partkey,
+           |    damerau_levenshtein(probe_name, p_name) AS dl
+           |  FROM probes JOIN part p
+           |    ON substr(probe_name, 1, 1) = substr(p_name, 1, 1)
+           |    AND length(p_name) = length(probe_name)
+           |  WHERE damerau_levenshtein(probe_name, p_name) <= 2),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY probe_key
+           |    ORDER BY dl, p_partkey) AS rn
+           |  FROM scored)
+           |SELECT probe_key, count(*) AS n_matches,
+           |  CAST(sum(dl) AS BIGINT) AS dl_sum,
+           |  CAST(max(CASE WHEN rn = 1 THEN p_partkey END) AS BIGINT)
+           |    AS best_key,
+           |  CAST(max(CASE WHEN rn = 1 THEN dl END) AS BIGINT) AS best_dl,
+           |  CAST(max(CASE WHEN rn = 1 AND p_partkey = probe_key THEN dl END)
+           |    AS BIGINT) AS dl_self
+           |FROM ranked GROUP BY probe_key ORDER BY probe_key""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q173EntityResolution, q174IntervalOverlap,
     q175PiiRedaction, q176KmeansClusters, q181SemanticDedup,
     q202BoilerplateShingles, q203DsirImportance, q208SourceOverlap,
-    q225JaroWinklerMatch)
+    q225JaroWinklerMatch, q247DamerauMatch)
 }
