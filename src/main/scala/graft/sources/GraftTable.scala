@@ -247,17 +247,22 @@ object GraftTable {
         estimatedItems = math.max(1L, maxRowsPerFile),
         numBits = nBits).as("bloom"))
       .foreach { r =>
-        val dataPath = new org.apache.hadoop.fs.Path(
-          new java.net.URI(r.getString(0)).getPath)
-        val dest = new org.apache.hadoop.fs.Path(
-          dataPath.getParent, dataPath.getName + ".bloom")
-        val f = dest.getFileSystem(confFrom(hconf))
-        val tmp = new org.apache.hadoop.fs.Path(dest.getParent,
-          s".tmp-${dest.getName}-${java.util.UUID.randomUUID()}")
-        val os = f.create(tmp, false)
-        try os.write(r.getAs[Array[Byte]]("bloom")) finally os.close()
-        // create-if-absent: a speculative twin's rename loses quietly
-        if (!f.rename(tmp, dest)) f.delete(tmp, false): Unit
+        // an all-NULL bloom column in a file yields a NULL blob: write
+        // no sidecar — the probe keeps sidecar-less files (never skips)
+        val blob = r.getAs[Array[Byte]]("bloom")
+        if (blob != null) {
+          val dataPath = new org.apache.hadoop.fs.Path(
+            new java.net.URI(r.getString(0)).getPath)
+          val dest = new org.apache.hadoop.fs.Path(
+            dataPath.getParent, dataPath.getName + ".bloom")
+          val f = dest.getFileSystem(confFrom(hconf))
+          val tmp = new org.apache.hadoop.fs.Path(dest.getParent,
+            s".tmp-${dest.getName}-${java.util.UUID.randomUUID()}")
+          val os = f.create(tmp, false)
+          try os.write(blob) finally os.close()
+          // create-if-absent: a speculative twin's rename loses quietly
+          if (!f.rename(tmp, dest)) f.delete(tmp, false): Unit
+        }
       }
   }
 
@@ -860,8 +865,12 @@ object GraftTable {
     val lines = stats.flatMap { r =>
       val rel = byName(new org.apache.hadoop.fs.Path(
         new java.net.URI(r.getString(0)).getPath).getName)
-      Seq(s"$rel\t$c1\t${r.getLong(1)}\t${r.getLong(2)}",
-        s"$rel\t$c2\t${r.getLong(3)}\t${r.getLong(4)}")
+      // a file whose column is all-NULL has no min/max: write no stats
+      // line for that (file, col) — readRange2D keeps stats-less files
+      def line(c: String, mnIdx: Int): Option[String] =
+        if (r.isNullAt(mnIdx) || r.isNullAt(mnIdx + 1)) None
+        else Some(s"$rel\t$c\t${r.getLong(mnIdx)}\t${r.getLong(mnIdx + 1)}")
+      line(c1, 1).toSeq ++ line(c2, 3).toSeq
     }.sorted.mkString("", "\n", "\n")
     val (f, _) = fs(root, spark)
     val statsP = colStatsPath(root, v)
