@@ -1172,10 +1172,76 @@ object MaintenanceQueries {
            |CROSS JOIN (VALUES ('after_clean'), ('after_poison')) AS st(stage)
            |ORDER BY st.stage""".stripMargin))
 
+  /** Right-to-erasure, END TO END with proof — the GDPR workflow a
+    * lakehouse must actually be able to execute: targeted users are
+    * deleted via the pruned copy-on-write path, the change feed AUDITS
+    * exactly which rows were erased (the deletion record compliance
+    * requires), and `vacuum(retainVersions = 1)` destroys every
+    * pre-deletion version so time travel cannot resurrect the rows —
+    * history() reports the single surviving snapshot. The gate then
+    * proves the NEGATIVE from the data itself: a full scan of the
+    * surviving table finds zero erased keys while every non-targeted
+    * row's checksum is intact (erasure must not damage bystanders).
+    * Cost shape at 100 TB: the delete rewrites only files CONTAINING
+    * targets, the audit reads only the diff, and vacuum is a metadata
+    * sweep + unreferenced-file deletes. */
+  val q249ErasureProof = GraftQuery(
+    "q249_erasure_proof",
+    (s, dir) => {
+      val root = newTempDir("graft_table_gdpr") + "/tbl"
+      val v0 = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_name").as("name"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal_cents"))
+      GraftTable.create(s, root, v0, "k", nBuckets = 8)
+      // the erasure request: every 19th customer
+      GraftTable.deleteWhere(s, root, col("k") % 19 === 0, "k")
+      // compliance audit BEFORE retention destroys the evidence: the
+      // feed carries each erased row's preimage
+      val audit = GraftTable.changes(s, root, 0, 1, "k")
+        .filter(col("_change") === "delete")
+        .agg(count(lit(1)).as("n_erased"),
+          coalesce(sum(conv(substring(md5(col("k").cast("string")), 1, 8),
+            16, 10).cast("long")), lit(0L)).as("erased_key_sum"))
+        .collect()(0)
+      GraftTable.vacuum(s, root, retainVersions = 1)
+      val survivors = GraftTable.read(s, root)
+      def slice(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+      survivors.agg(
+          count(lit(1)).as("n_rows"),
+          sum((col("k") % 19 === 0).cast("long")).as("erased_still_present"),
+          sum("bal_cents").as("bal_sum"),
+          sum(slice(col("name"))).as("name_sum"))
+        .select(
+          lit(GraftTable.history(s, root).size).cast("long")
+            .as("versions_surviving"),
+          lit(audit.getLong(0)).as("n_erased"),
+          lit(audit.getLong(1)).as("erased_key_sum"),
+          col("n_rows"), col("erased_still_present"),
+          col("bal_sum"), col("name_sum"))
+    },
+    Some("""WITH v0 AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+           |  FROM customer),
+           |erased AS (SELECT * FROM v0 WHERE k % 19 = 0),
+           |kept AS (SELECT * FROM v0 WHERE NOT (k % 19 = 0))
+           |SELECT CAST(1 AS BIGINT) AS versions_surviving,
+           |  (SELECT count(*) FROM erased) AS n_erased,
+           |  (SELECT CAST(COALESCE(sum(('0x' || substr(md5(CAST(k AS VARCHAR)),
+           |     1, 8))::BIGINT), 0) AS BIGINT) FROM erased) AS erased_key_sum,
+           |  count(*) AS n_rows,
+           |  CAST(0 AS BIGINT) AS erased_still_present,
+           |  CAST(sum(bal_cents) AS BIGINT) AS bal_sum,
+           |  CAST(sum(('0x' || substr(md5(name), 1, 8))::BIGINT) AS BIGINT)
+           |    AS name_sum
+           |FROM kept""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
     q222TableSchemaEvolution, q223BloomPrunedRead, q224TableChanges,
     q236CdfMaintenance, q237ZorderTable, q239TableReplication,
-    q242WriteAuditPublish)
+    q242WriteAuditPublish, q249ErasureProof)
 }

@@ -591,12 +591,18 @@ object GraftTable {
   }
 
   /** Version history: (version, nFiles, nRows) from manifests only —
-    * no data files touched. */
-  def history(spark: SparkSession, root: String): Seq[(Int, Int, Long)] =
-    (0 to latestVersion(spark, root)).map { v =>
-      val es = loadManifest(spark, root, v)
-      (v, es.size, es.map(_.nRows).sum)
-    }
+    * no data files touched. Versions whose manifests were vacuumed
+    * away are simply absent (history() must stay callable after
+    * retention kicks in, not throw on the first swept version). */
+  def history(spark: SparkSession, root: String): Seq[(Int, Int, Long)] = {
+    val (f, _) = fs(root, spark)
+    (0 to latestVersion(spark, root))
+      .filter(v => f.exists(manifestPath(root, v)))
+      .map { v =>
+        val es = loadManifest(spark, root, v)
+        (v, es.size, es.map(_.nRows).sum)
+      }
+  }
 
   /** Drop manifests older than the last `retainVersions` and every
     * data file no retained manifest references (including orphans

@@ -95,6 +95,9 @@ class GraftTableSpec extends SparkSpec {
     GraftTable.deleteWhere(spark, root, col("k") % 3 === 0, "k")
     val removed = GraftTable.vacuum(spark, root, retainVersions = 2)
     assert(removed > 0, "v0-only files should be swept")
+    // history stays callable after retention: swept versions are
+    // absent, not exceptions
+    assert(GraftTable.history(spark, root).map(_._1) === Seq(1, 2))
     // retained versions still read
     assert(GraftTable.read(spark, root, Some(2)).count() ===
       200 - spark.range(1, 201).filter($"id" % 3 === 0).count())
