@@ -74,5 +74,81 @@ object SqlSurface {
            |FROM documents d JOIN embeddings v ON v.vec_id = d.doc_id
            |ORDER BY id""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q197SqlFunctionSurface)
+  /** q250 — the SQL TEXT surface of the round-8 native expressions:
+    * `jaro_winkler`, `damerau_levenshtein`, `utf8_truncate`, and
+    * `lcs_length` driven through `spark.sql(...)` string SQL (q197's
+    * contract extended to the new registrations). The string-distance
+    * functions are checked against DuckDB's OWN `jaro_winkler_similarity`
+    * and `damerau_levenshtein`; the truncation and LCS cells are
+    * replayed from first principles (char-prefix byte scan; recursive
+    * CTE DP). Everything runs over deterministic derivations of the
+    * documents table so the gate exercises real codegen'd columns, not
+    * literals. */
+  val q250SqlFunctionSurface2 = GraftQuery(
+    "q250_sql_function_surface2",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        |SELECT doc_id AS id,
+        |  CAST(floor(jaro_winkler(substr(text, 1, 20),
+        |         concat(substr(text, 1, 2), substr(text, 4, 1),
+        |                substr(text, 3, 1), substr(text, 5, 16)))
+        |    * 10000 + 0.5) AS BIGINT) AS jw_e4,
+        |  CAST(damerau_levenshtein(substr(text, 1, 12),
+        |         concat(substr(text, 2, 1), substr(text, 1, 1),
+        |                substr(text, 3, 10))) AS BIGINT) AS dl,
+        |  CAST(octet_length(utf8_truncate(concat(substr(text, 1, 10),
+        |         ' 汉字🚀'), CAST(12 + doc_id % 9 AS INT))) AS BIGINT)
+        |    AS cut_bytes,
+        |  CAST(lcs_length(slice(split(trim(text), ' +'), 1, 8),
+        |         reverse(slice(split(trim(text), ' +'), 1, 8))) AS BIGINT)
+        |    AS lcs_rev
+        |FROM documents ORDER BY id""".stripMargin)
+    },
+    Some("""WITH RECURSIVE base AS (
+           |  SELECT doc_id,
+           |    substr(text, 1, 20) AS a20,
+           |    substr(text, 1, 2) || substr(text, 4, 1) || substr(text, 3, 1)
+           |      || substr(text, 5, 16) AS b20,
+           |    substr(text, 1, 12) AS a12,
+           |    substr(text, 2, 1) || substr(text, 1, 1) || substr(text, 3, 10)
+           |      AS b12,
+           |    substr(text, 1, 10) || ' 汉字🚀' AS mix,
+           |    12 + doc_id % 9 AS budget,
+           |    list_slice(regexp_split_to_array(trim(text), ' +'), 1, 8) AS toks
+           |  FROM documents),
+           |cut AS (
+           |  SELECT doc_id, max(k) AS best_k FROM base,
+           |    LATERAL (SELECT unnest(generate_series(0, length(mix))) AS k)
+           |  WHERE strlen(substr(mix, 1, CAST(k AS INTEGER))) <= budget
+           |  GROUP BY doc_id),
+           |lcs AS (
+           |  SELECT doc_id, toks AS ref, list_reverse(toks) AS cand, 0 AS i,
+           |    list_transform(range(len(toks) + 1), x -> 0) AS dp
+           |  FROM base
+           |  UNION ALL
+           |  SELECT doc_id, ref, cand, i + 1,
+           |    list_transform(range(1, len(ref) + 2), j ->
+           |      CASE WHEN j = 1 THEN 0 ELSE
+           |        list_max(list_transform(range(2, j + 1), k ->
+           |          greatest(dp[k], dp[k-1] +
+           |            CASE WHEN cand[i+1] = ref[k-1] THEN 1 ELSE 0 END)))
+           |      END)
+           |  FROM lcs WHERE i < len(cand)),
+           |lcsf AS (
+           |  SELECT doc_id, dp[len(ref) + 1] AS lcs_rev
+           |  FROM lcs WHERE i = len(cand))
+           |SELECT b.doc_id AS id,
+           |  CAST(floor(jaro_winkler_similarity(b.a20, b.b20) * 10000 + 0.5)
+           |    AS BIGINT) AS jw_e4,
+           |  CAST(damerau_levenshtein(b.a12, b.b12) AS BIGINT) AS dl,
+           |  CAST(strlen(substr(b.mix, 1, CAST(c.best_k AS INTEGER)))
+           |    AS BIGINT) AS cut_bytes,
+           |  CAST(l.lcs_rev AS BIGINT) AS lcs_rev
+           |FROM base b JOIN cut c ON c.doc_id = b.doc_id
+           |JOIN lcsf l ON l.doc_id = b.doc_id
+           |ORDER BY id""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q197SqlFunctionSurface,
+    q250SqlFunctionSurface2)
 }
