@@ -631,9 +631,13 @@ object Curation {
             substring(col("p_name"), 5, 5),
             substring(col("p_name"), 11, 1), substring(col("p_name"), 10, 1),
             expr("substring(p_name, 12)")).as("probe_name"))
+      // block on the first TWO chars (both damage transpositions start
+      // at position 3, so the 2-char prefix is invariant) — an order of
+      // magnitude fewer candidate pairs than single-char blocking for
+      // the same recall, which is what pays for the O(n·m) kernel
       val scored = probes
-        .withColumn("blk", substring(col("probe_name"), 1, 1))
-        .join(p.withColumn("blk", substring(col("p_name"), 1, 1)), Seq("blk"))
+        .withColumn("blk", substring(col("probe_name"), 1, 2))
+        .join(p.withColumn("blk", substring(col("p_name"), 1, 2)), Seq("blk"))
         .filter(length(col("p_name")) === length(col("probe_name")))
         .withColumn("dl", graft.functions.DamerauLevenshtein
           .damerauLevenshtein(col("probe_name"), col("p_name")))
@@ -664,7 +668,7 @@ object Curation {
            |  SELECT probe_key, p.p_partkey,
            |    damerau_levenshtein(probe_name, p_name) AS dl
            |  FROM probes JOIN part p
-           |    ON substr(probe_name, 1, 1) = substr(p_name, 1, 1)
+           |    ON substr(probe_name, 1, 2) = substr(p_name, 1, 2)
            |    AND length(p_name) = length(probe_name)
            |  WHERE damerau_levenshtein(probe_name, p_name) <= 2),
            |ranked AS (
