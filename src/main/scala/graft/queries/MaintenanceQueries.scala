@@ -1238,10 +1238,106 @@ object MaintenanceQueries {
            |    AS name_sum
            |FROM kept""".stripMargin))
 
+  /** INVERTED-INDEX maintenance driven by the change feed — the
+    * SET-VALUED maintenance algebra q236's signed numeric deltas can't
+    * express: when a document's text changes, its old postings must be
+    * RETRACTED WHOLESALE and its new postings inserted (a token count
+    * can't be incrementally patched from images alone — the posting
+    * set is keyed by content). The maintained index starts from the v0
+    * build and then follows the table purely through
+    * `changes(withPreimages = true)`: changed-doc ids (preimage ∪
+    * delete) anti-join away their postings, postimage ∪ insert docs
+    * re-tokenize — both steps sized by the DELTA, never the corpus,
+    * which is what lets a search index track a 100 TB corpus without
+    * rebuilds. The gate emits the maintained index's per-token-bucket
+    * stats NEXT TO a from-scratch rebuild of the final snapshot; the
+    * oracle replays the versions once and emits both sides. */
+  val q251IndexMaintenance = GraftQuery(
+    "q251_index_maintenance",
+    (s, dir) => {
+      val root = newTempDir("graft_table_inv") + "/tbl"
+      val v0 = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("k"),
+          expr("substring(text, 1, 120)").as("body"))
+      GraftTable.create(s, root, v0, "k", nBuckets = 8)
+      // upsert: every 11th doc gets edited text, plus fresh inserts
+      val edits = Tables.documents(s, dir)
+        .filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id").cast("long").as("k"),
+          concat(lit("edited revision "), expr("substring(text, 31, 90)"))
+            .as("body"))
+      val inserts = Tables.documents(s, dir)
+        .filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 5000000L).as("k"),
+          concat(lit("brand new doc "), expr("substring(text, 1, 60)"))
+            .as("body"))
+      GraftTable.upsert(s, root, edits.unionAll(inserts), "k")
+      GraftTable.deleteWhere(s, root, col("k") % 17 === 0, "k")
+      def postings(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("k"), explode(split(trim(col("body")), " +")).as("tok"))
+          .filter(col("tok") =!= "").distinct()
+      // feeds apply IN VERSION ORDER — a doc edited in v1 and deleted
+      // in v2 must end absent; unioning the feeds into one batch would
+      // re-add its v1 postings after the delete retracts them (found
+      // the hard way: the order-insensitive form leaves ghost postings)
+      var maintained = postings(GraftTable.read(s, root, Some(0)))
+      (1 to 2).foreach { v =>
+        val feed = GraftTable.changes(s, root, v - 1, v, "k",
+          withPreimages = true)
+        val gone = feed.filter(col("_change")
+          .isin("delete", "update_preimage")).select("k").distinct()
+        val fresh = postings(feed.filter(col("_change")
+          .isin("insert", "update_postimage")).select("k", "body"))
+        maintained = maintained.join(gone, Seq("k"), "left_anti")
+          .unionAll(fresh)
+      }
+      val rebuilt = postings(GraftTable.read(s, root, Some(2)))
+      def stats(df: org.apache.spark.sql.DataFrame, nCol: String, sCol: String) =
+        df.groupBy((conv(substring(md5(col("tok")), 1, 6), 16, 10) % 8)
+            .cast("long").as("bucket"))
+          .agg(count(lit(1)).as(nCol),
+            sum(conv(substring(md5(concat_ws("|", col("tok"), col("k"))),
+              1, 8), 16, 10).cast("long")).as(sCol))
+      stats(maintained, "n_maint", "sum_maint")
+        .join(stats(rebuilt, "n_rebuilt", "sum_rebuilt"), Seq("bucket"),
+          "full_outer")
+        .orderBy("bucket")
+    },
+    Some("""WITH v0 AS (
+           |  SELECT CAST(doc_id AS BIGINT) AS k, substr(text, 1, 120) AS body
+           |  FROM documents),
+           |edits AS (
+           |  SELECT CAST(doc_id AS BIGINT) AS k,
+           |    'edited revision ' || substr(text, 31, 90) AS body
+           |  FROM documents WHERE doc_id % 11 = 0),
+           |ins AS (
+           |  SELECT CAST(doc_id + 5000000 AS BIGINT) AS k,
+           |    'brand new doc ' || substr(text, 1, 60) AS body
+           |  FROM documents WHERE doc_id % 13 = 0),
+           |batch AS (SELECT * FROM edits UNION ALL SELECT * FROM ins),
+           |v1 AS (
+           |  SELECT COALESCE(b.k, t.k) AS k, COALESCE(b.body, t.body) AS body
+           |  FROM v0 t FULL OUTER JOIN batch b ON t.k = b.k),
+           |v2 AS (SELECT * FROM v1 WHERE NOT (k % 17 = 0)),
+           |post AS (
+           |  SELECT DISTINCT k, tok
+           |  FROM (SELECT k, unnest(regexp_split_to_array(trim(body), ' +'))
+           |          AS tok FROM v2)
+           |  WHERE tok <> ''),
+           |st AS (
+           |  SELECT ('0x' || substr(md5(tok), 1, 6))::BIGINT % 8 AS bucket,
+           |    count(*) AS n,
+           |    CAST(sum(('0x' || substr(md5(tok || '|' || CAST(k AS VARCHAR)),
+           |      1, 8))::BIGINT) AS BIGINT) AS s
+           |  FROM post GROUP BY 1)
+           |SELECT CAST(bucket AS BIGINT) AS bucket,
+           |  n AS n_maint, s AS sum_maint, n AS n_rebuilt, s AS sum_rebuilt
+           |FROM st ORDER BY bucket""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
     q222TableSchemaEvolution, q223BloomPrunedRead, q224TableChanges,
     q236CdfMaintenance, q237ZorderTable, q239TableReplication,
-    q242WriteAuditPublish, q249ErasureProof)
+    q242WriteAuditPublish, q249ErasureProof, q251IndexMaintenance)
 }
