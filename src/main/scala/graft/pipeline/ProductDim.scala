@@ -74,10 +74,16 @@ object ProductDim {
 
   /** product_id = 'P' + zero-padded dense rank over product_name.
     * Zero-pad to 6 but never truncate (LPAD cuts longer strings —
-    * would collide IDs past 999,999 products). */
+    * would collide IDs past 999,999 products). Rank is the two-phase
+    * [[graft.operators.GlobalRank.denseRank]] — a 100×-scale catalog
+    * has millions of SKUs, and a plain `Window.orderBy` would funnel
+    * them all through one task (same contract LocationDim and Cleanse
+    * already use). */
   private def assignIds(flagged: DataFrame): DataFrame = {
-    val rankStr = dense_rank().over(Window.orderBy("product_name")).cast("string")
-    flagged
+    val ranked = graft.operators.GlobalRank
+      .denseRank(flagged, "__rk", col("product_name"))
+    val rankStr = col("__rk").cast("string")
+    ranked
       .withColumn("product_id",
         concat(lit("P"),
           when(length(rankStr) < 6, lpad(rankStr, 6, "0")).otherwise(rankStr)))

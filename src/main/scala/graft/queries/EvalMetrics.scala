@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
-import graft.operators.Similarity
+import graft.operators.{GlobalRank, Similarity}
 
 /** Model- and retrieval-evaluation metrics — the measurement half of a
   * training-data pipeline (does the cheaper index hurt recall? is the
@@ -141,10 +141,18 @@ object EvalMetrics {
             .otherwise(0L).as("label"))
       val grp = base.groupBy("segment", "score")
         .agg(count(lit(1)).as("cnt"), sum(col("label")).as("pos_cnt"))
-      val wCum = Window.partitionBy("segment").orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val ranked = grp
-        .withColumn("below", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+      // Per-segment exclusive cumsum WITHOUT Window.partitionBy("segment"):
+      // TPC-H has 5 market segments and within a segment o_totalprice is
+      // near-unique (~n/5 distinct scores per window partition), so a
+      // 5-partition window is a full-table sort in 5 tasks at 100×. The
+      // two-phase global cumsum keyed (segment, score) range-partitions
+      // the sort across ALL tasks; the per-segment offset is then the
+      // segment's minimum global cumsum (5 rows, broadcast back).
+      val g = GlobalRank.exclusiveCumSum(grp, "gcum", col("cnt"),
+        col("segment"), col("score"))
+      val segOff = g.groupBy("segment").agg(min(col("gcum")).as("seg_off"))
+      val ranked = g.join(broadcast(segOff), Seq("segment"))
+        .withColumn("below", col("gcum") - col("seg_off"))
         // 2 × average rank of this tie group = 2(below+1) + (cnt−1)
         .withColumn("ar2", lit(2L) * (col("below") + 1L) + col("cnt") - 1L)
       ranked.groupBy("segment")
@@ -897,12 +905,13 @@ object EvalMetrics {
           .otherwise(0L).as("y"))
       val grain = base.groupBy("score")
         .agg(count(lit(1)).as("c"), sum("y").as("pos"))
-      val w = Window.orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      // day-grain-free single-partition window is fine: the frame is
-      // the DISTINCT score grain (bounded), same rationale as q179
-      val ranked = grain
-        .withColumn("below", coalesce(sum(col("c")).over(w), lit(0L)))
+      // The "distinct score grain" is NOT bounded here: o_totalprice is
+      // effectively continuous (~99.8% of rows survive the groupBy), so a
+      // Window.orderBy("score") cumsum would funnel the whole orders
+      // table through one task. Two-phase global cumsum instead: range-
+      // partitioned local sorts + broadcast partition offsets.
+      val ranked = GlobalRank
+        .exclusiveCumSum(grain, "below", col("c"), col("score"))
         .withColumn("num", col("below") + col("c"))
       val totals = ranked.agg(sum("c").as("n_total"))
       val binned = ranked.crossJoin(broadcast(totals))

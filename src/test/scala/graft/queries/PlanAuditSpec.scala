@@ -434,4 +434,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("q245/q179: cumulative score-grain ranks are two-phase (no data-sized " +
+    "unpartitioned or low-cardinality-partitioned window)") {
+    // o_totalprice is near-unique (the 'distinct score grain' is ~99.8%
+    // of rows at sf0.1), so any window keyed only by score — or by the
+    // 5-value segment — is a full-table sort in O(1) tasks at scale.
+    // Both queries must route through GlobalRank.exclusiveCumSum: every
+    // surviving Window node keys on the range-partition id.
+    Seq("q245_calibration_brier", "q179_grouped_auc").foreach { q =>
+      val p = plan(q)
+      val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+      assert(windows.nonEmpty, s"$q: expected two-phase cumsum windows\n$p")
+      assert(windows.forall(_.contains("__pid")),
+        s"$q has a window not keyed by __pid:\n" + windows.mkString("\n"))
+      assert(p.contains("rangepartitioning"), s"$q:\n$p")
+    }
+  }
 }
