@@ -1334,10 +1334,104 @@ object MaintenanceQueries {
            |  n AS n_maint, s AS sum_maint, n AS n_rebuilt, s AS sum_rebuilt
            |FROM st ORDER BY bucket""".stripMargin))
 
+  /** SQL surface for [[GraftTable]]: the q214 write sequence (create →
+    * upsert) consumed entirely through SQL TEXT — a
+    * [[graft.sources.GraftCatalog]] registration, `VERSION AS OF`
+    * time travel, and a key-range WHERE — instead of the Scala API.
+    * The DSv2 scan mines the pushed predicates for the key range and
+    * routes through the SAME manifest file skipping as `readRange`
+    * (GraftSqlSpec proves skipped files are never opened); the oracle
+    * replays the logical content per (version, range), so a
+    * hash-match proves the SQL path reads exactly what the Scala path
+    * reads. Ranges hit both update-dense and singleton slices; the
+    * catalog name is per-run unique because Spark caches catalog
+    * plugins by name for the session's lifetime. */
+  val q252SqlTableSurface = GraftQuery(
+    "q252_sql_table_surface",
+    (s, dir) => {
+      val base = newTempDir("graft_sql_surface")
+      val root = base + "/cust"
+      val v0 = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_name").as("name"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal_cents"))
+      GraftTable.create(s, root, v0, "k", nBuckets = 8)
+      val batch = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("bal_cents"))
+        .select(
+          when(col("o_custkey") % 50 === 0, col("o_custkey") + 1000000L)
+            .otherwise(col("o_custkey")).cast("long").as("k"),
+          col("bal_cents"))
+        .withColumn("name", concat(lit("Batch#"), col("k").cast("string")))
+      GraftTable.upsert(s, root, batch.select("k", "name", "bal_cents"), "k")
+      val cat = "graft_sql_" + java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      def one(v: Int, lo: Long, hi: Long) = s.sql(
+        s"""SELECT CAST($v AS BIGINT) AS version,
+           |  CAST($lo AS BIGINT) AS lower, CAST($hi AS BIGINT) AS upper,
+           |  count(*) AS n_rows,
+           |  CAST(COALESCE(sum(bal_cents), 0) AS BIGINT) AS bal_sum,
+           |  CAST(COALESCE(sum(CAST(conv(substring(md5(CAST(k AS STRING)),
+           |    1, 8), 16, 10) AS BIGINT)), 0) AS BIGINT) AS key_sum,
+           |  CAST(COALESCE(sum(CAST(conv(substring(md5(name), 1, 8), 16, 10)
+           |    AS BIGINT)), 0) AS BIGINT) AS name_sum
+           |FROM $cat.cust VERSION AS OF $v
+           |WHERE k BETWEEN $lo AND $hi""".stripMargin)
+      one(0, 100L, 2000L).unionAll(one(1, 100L, 2000L))
+        .unionAll(one(0, 40L, 60L)).unionAll(one(1, 40L, 60L))
+        .orderBy("version", "lower")
+    },
+    Some("""WITH v0 AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+           |  FROM customer),
+           |batch AS (
+           |  SELECT CAST(CASE WHEN o_custkey % 50 = 0
+           |      THEN o_custkey + 1000000 ELSE o_custkey END AS BIGINT) AS k,
+           |    'Batch#' || CAST(CASE WHEN o_custkey % 50 = 0
+           |      THEN o_custkey + 1000000 ELSE o_custkey END AS VARCHAR) AS name,
+           |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS bal_cents
+           |  FROM orders GROUP BY o_custkey),
+           |v1 AS (
+           |  SELECT COALESCE(b.k, t.k) AS k,
+           |    COALESCE(b.name, t.name) AS name,
+           |    COALESCE(b.bal_cents, t.bal_cents) AS bal_cents
+           |  FROM v0 t FULL OUTER JOIN batch b ON t.k = b.k),
+           |r AS (SELECT * FROM (VALUES (CAST(100 AS BIGINT), CAST(2000 AS BIGINT)),
+           |        (40, 60)) AS x(lo, hi)),
+           |s0 AS (
+           |  SELECT CAST(0 AS BIGINT) AS version, r.lo AS lower, r.hi AS upper,
+           |    count(t.k) AS n_rows,
+           |    CAST(COALESCE(sum(t.bal_cents), 0) AS BIGINT) AS bal_sum,
+           |    CAST(COALESCE(sum(('0x' || substr(md5(CAST(t.k AS VARCHAR)),
+           |      1, 8))::BIGINT), 0) AS BIGINT) AS key_sum,
+           |    CAST(COALESCE(sum(('0x' || substr(md5(t.name), 1, 8))::BIGINT),
+           |      0) AS BIGINT) AS name_sum
+           |  FROM r LEFT JOIN v0 t ON t.k >= r.lo AND t.k <= r.hi
+           |  GROUP BY r.lo, r.hi),
+           |s1 AS (
+           |  SELECT CAST(1 AS BIGINT) AS version, r.lo AS lower, r.hi AS upper,
+           |    count(t.k) AS n_rows,
+           |    CAST(COALESCE(sum(t.bal_cents), 0) AS BIGINT) AS bal_sum,
+           |    CAST(COALESCE(sum(('0x' || substr(md5(CAST(t.k AS VARCHAR)),
+           |      1, 8))::BIGINT), 0) AS BIGINT) AS key_sum,
+           |    CAST(COALESCE(sum(('0x' || substr(md5(t.name), 1, 8))::BIGINT),
+           |      0) AS BIGINT) AS name_sum
+           |  FROM r LEFT JOIN v1 t ON t.k >= r.lo AND t.k <= r.hi
+           |  GROUP BY r.lo, r.hi)
+           |SELECT * FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1)
+           |ORDER BY version, lower""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
     q222TableSchemaEvolution, q223BloomPrunedRead, q224TableChanges,
     q236CdfMaintenance, q237ZorderTable, q239TableReplication,
-    q242WriteAuditPublish, q249ErasureProof, q251IndexMaintenance)
+    q242WriteAuditPublish, q249ErasureProof, q251IndexMaintenance,
+    q252SqlTableSurface)
 }

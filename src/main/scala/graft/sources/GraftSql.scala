@@ -1,0 +1,282 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Row, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL / DataSource surface for [[GraftTable]] — the way an analyst
+  * actually consumes a lakehouse table:
+  *
+  * {{{
+  *   spark.read.format("graft").option("versionAsOf", 2).load(root)
+  *
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     "graft.sources.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.base", warehouseDir)
+  *   spark.sql("SELECT * FROM graft.events VERSION AS OF 2 " +
+  *             "WHERE k BETWEEN 100 AND 200")
+  * }}}
+  *
+  * Both paths resolve to the SAME pruned snapshot reads as the Scala
+  * API: the scan builder extracts a key range from the pushed-down
+  * predicates (the key column is recorded in `_log/key.json` at create
+  * time) and routes through [[GraftTable.readRange]], so manifest
+  * file skipping bites through SQL text exactly as it does through
+  * `readRange(...)` — and `VERSION AS OF` maps onto the same manifest
+  * time travel as `read(spark, root, Some(v))`.
+  *
+  * Execution rides [[org.apache.spark.sql.connector.read.V1Scan]]: the
+  * DSv2 scan hands Spark a v1 relation whose `buildScan` materializes
+  * the pruned snapshot DataFrame — the parquet scans inside keep their
+  * own predicate pushdown and column pruning, and the file-level
+  * skipping decision stays a metadata-only manifest pass (never data
+  * I/O). Writes stay on the Scala API (create/upsert/applyCdcBatch):
+  * the SQL surface is read-only, like most formats' first DSv2 cut.
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def rootOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "graft reads need a table root: spark.read.format(\"graft\").load(root)")
+    p
+  }
+
+  private def versionOf(spark: SparkSession, root: String,
+      options: CaseInsensitiveStringMap): Int = {
+    val latest = GraftTable.latestVersion(spark, root)
+    require(latest >= 0, s"no graft table at $root")
+    Option(options.get("versionAsOf")).map(_.toInt).getOrElse(latest)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val root = rootOf(options)
+    GraftTable.tableSchema(spark, root, versionOf(spark, root, options))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val spark = SparkSession.active
+    val root = rootOf(options)
+    new GraftSqlTable(root, versionOf(spark, root, options))
+  }
+}
+
+/** A [[GraftTable]] snapshot pinned at `version`, as a DSv2 table. */
+class GraftSqlTable(root: String, snapshotVersion: Int)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"graft.`$root`"
+
+  override def version(): String = snapshotVersion.toString
+
+  override def schema(): StructType =
+    GraftTable.tableSchema(SparkSession.active, root, snapshotVersion)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, snapshotVersion, schema())
+}
+
+/** Scan builder: prunes columns, and mines the pushed predicates for a
+  * key range to file-skip with. All filters are reported back as
+  * residual (Spark re-evaluates them — the skipping is a strict
+  * optimization, so a filter the range extraction misreads can never
+  * produce wrong rows). */
+class GraftScanBuilder(root: String, version: Int, fullSchema: StructType)
+  extends ScanBuilder
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var filters: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve table column order; an empty projection (COUNT(*)) keeps
+    // one column so the v1 relation still has rows to count
+    val want = requiredSchema.fieldNames.toSet
+    val kept = fullSchema.fields.filter(f => want(f.name))
+    required =
+      if (kept.nonEmpty) StructType(kept)
+      else StructType(fullSchema.fields.take(1))
+  }
+
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs
+    fs // everything stays residual; we only USE them for file skipping
+  }
+
+  override def pushedFilters(): Array[Filter] = {
+    val key = GraftTable.keyColumn(SparkSession.active, root)
+    filters.filter(f => key.exists(k =>
+      GraftScanBuilder.keyBound(f, k).isDefined))
+  }
+
+  override def build(): Scan =
+    new GraftV1Scan(root, version, required, filters)
+}
+
+object GraftScanBuilder {
+  /** (lower, upper) bound contribution of one source Filter on the key
+    * column, if it is a supported shape. Bounds are inclusive. */
+  private[sources] def keyBound(f: Filter, key: String): Option[(Long, Long)] = {
+    def long(v: Any): Option[Long] = v match {
+      case n: Long => Some(n)
+      case n: Int => Some(n.toLong)
+      case n: Short => Some(n.toLong)
+      case n: Byte => Some(n.toLong)
+      case _ => None // non-integral comparand: don't risk a wrong range
+    }
+    f match {
+      case EqualTo(`key`, v) => long(v).map(n => (n, n))
+      case GreaterThan(`key`, v) => long(v).map(n => (n + 1, Long.MaxValue))
+      case GreaterThanOrEqual(`key`, v) => long(v).map(n => (n, Long.MaxValue))
+      case LessThan(`key`, v) => long(v).map(n => (Long.MinValue, n - 1))
+      case LessThanOrEqual(`key`, v) => long(v).map(n => (Long.MinValue, n))
+      case In(`key`, vs) if vs.nonEmpty =>
+        val ns = vs.map(long)
+        if (ns.exists(_.isEmpty)) None
+        else Some((ns.flatten.min, ns.flatten.max))
+      case And(l, r) =>
+        (keyBound(l, key), keyBound(r, key)) match {
+          case (Some((lo1, hi1)), Some((lo2, hi2))) =>
+            Some((math.max(lo1, lo2), math.min(hi1, hi2)))
+          case (one, other) => one.orElse(other)
+        }
+      case _ => None
+    }
+  }
+
+  /** Intersect every filter's key-range contribution (filters are
+    * conjunctive at this level). */
+  private[sources] def keyRange(filters: Array[Filter],
+      key: String): Option[(Long, Long)] =
+    filters.flatMap(keyBound(_, key)).reduceOption { (a, b) =>
+      (math.max(a._1, b._1), math.min(a._2, b._2))
+    }
+}
+
+/** The scan: executes as a v1 relation whose buildScan routes through
+  * the SAME pruned snapshot reads as the Scala API. */
+class GraftV1Scan(root: String, version: Int, required: StructType,
+    filters: Array[Filter]) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftScan root=$root version=$version"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val relation = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = required
+      override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
+        val spark = context.sparkSession
+        val snap = GraftTable.keyColumn(spark, root)
+          .flatMap(k => GraftScanBuilder.keyRange(filters, k).map((k, _)))
+          match {
+            case Some((k, (lo, hi))) =>
+              // manifest file skipping — identical to readRange
+              GraftTable.readRange(spark, root, k, lo, hi, Some(version))
+            case None => GraftTable.read(spark, root, Some(version))
+          }
+        snap.select(required.fieldNames.map(col).toSeq: _*).rdd
+      }
+    }
+    relation.asInstanceOf[T]
+  }
+}
+
+/** Catalog plugin mapping `graft.<name>` to a [[GraftTable]] rooted at
+  * `<base>/<name>` (`base` from `spark.sql.catalog.graft.base`), with
+  * `VERSION AS OF n` time travel resolving through the same manifest
+  * log as `GraftTable.read(spark, root, Some(n))`. Read-only: DDL and
+  * DML route users to the Scala write API. */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var base: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    base = options.get("base")
+    require(base != null && base.nonEmpty,
+      s"set spark.sql.catalog.$name.base to the warehouse directory")
+  }
+
+  override def name(): String = catalogName
+
+  private def rootOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(s"$base/", "/", "")
+
+  private def exists(root: String): Boolean =
+    GraftTable.latestVersion(SparkSession.active, root) >= 0
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val spark = SparkSession.active
+    val dir = new org.apache.hadoop.fs.Path(
+      (namespace.foldLeft(base)(_ + "/" + _)))
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(dir)) throw new NoSuchNamespaceException(
+      catalogName +: namespace)
+    f.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => exists((namespace.foldLeft(base)(_ + "/" + _)) + "/" + n))
+      .map(n => Identifier.of(namespace, n))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = exists(rootOf(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootOf(ident)
+    if (!exists(root)) throw new NoSuchTableException(ident)
+    new GraftSqlTable(root,
+      GraftTable.latestVersion(SparkSession.active, root))
+  }
+
+  /** `SELECT ... FROM graft.t VERSION AS OF n`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootOf(ident)
+    if (!exists(root)) throw new NoSuchTableException(ident)
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft time travel takes an integer version, got '$version'")
+    }
+    new GraftSqlTable(root, v)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft tables are created with GraftTable.create(spark, root, df, key)")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "schema evolution runs through GraftTable.evolveAddColumns")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "graft tables are dropped by deleting the table root")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft tables cannot be renamed")
+}

@@ -54,6 +54,12 @@ import org.apache.spark.sql.types.StructType
   */
 object GraftTable {
 
+  /** Thrown when a commit loses the create-if-absent manifest rename to
+    * a racing committer — the optimistic-concurrency conflict signal
+    * [[upsert]]/[[applyCdcBatch]] retry on. */
+  final class ConcurrentCommitException(msg: String)
+    extends IllegalStateException(msg)
+
   private final case class FileEntry(
       relPath: String, minKey: Long, maxKey: Long, nRows: Long)
 
@@ -87,9 +93,34 @@ object GraftTable {
     // create-if-absent publish: the rename is the commit point
     if (f.exists(dest) || !f.rename(tmp, dest)) {
       f.delete(tmp, false)
-      throw new IllegalStateException(
+      throw new ConcurrentCommitException(
         s"concurrent commit: $dest already exists")
     }
+  }
+
+  /** Publish `version`'s manifest — the commit point of every write
+    * path. Before the create-if-absent rename, sweep orphan SIDECARS
+    * for this same version (`schema-v{N}.json` / `colstats-v{N}.tsv`)
+    * left behind by a crashed or race-losing [[evolveAddColumns]] /
+    * [[optimizeZOrder]] attempt, unless THIS commit wrote them itself:
+    * an orphan sidecar describes a commit that never happened, and a
+    * later commit publishing manifest N would otherwise silently adopt
+    * it — reads at ≥ N would gain never-committed ghost columns (and
+    * upserts would then demand them in every batch). */
+  private def commitManifest(f: org.apache.hadoop.fs.FileSystem,
+      root: String, v: Int, entries: Seq[FileEntry],
+      wroteSchema: Boolean = false, wroteColStats: Boolean = false): Unit = {
+    if (!f.exists(manifestPath(root, v))) {
+      if (!wroteSchema) {
+        val p = new org.apache.hadoop.fs.Path(root, f"_log/schema-v$v%05d.json")
+        if (f.exists(p)) f.delete(p, false)
+      }
+      if (!wroteColStats) {
+        val p = colStatsPath(root, v)
+        if (f.exists(p)) f.delete(p, false)
+      }
+    }
+    writeAtomic(f, manifestPath(root, v), renderManifest(entries))
   }
 
   private def parseManifest(text: String): Seq[FileEntry] =
@@ -103,15 +134,23 @@ object GraftTable {
       .map(e => s"${e.relPath}\t${e.minKey}\t${e.maxKey}\t${e.nRows}")
       .mkString("", "\n", "\n")
 
+  /** Every committed version present in the log — ONE `listStatus`
+    * call, the primitive `latestVersion`/`history`/checkpointing all
+    * share (never an exists-probe per version: version resolution on a
+    * long-lived table must not cost O(versions) metadata RPCs). */
+  private def listManifestVersions(
+      f: org.apache.hadoop.fs.FileSystem, root: String): Seq[Int] = {
+    val log = new org.apache.hadoop.fs.Path(root, "_log")
+    if (!f.exists(log)) Seq.empty
+    else f.listStatus(log).map(_.getPath.getName)
+      .collect { case s if s.matches("v\\d{5}\\.manifest") =>
+        s.substring(1, 6).toInt }.toSeq.sorted
+  }
+
   /** Largest committed version, or -1 if the table does not exist. */
   def latestVersion(spark: SparkSession, root: String): Int = {
     val (f, _) = fs(root, spark)
-    val log = new org.apache.hadoop.fs.Path(root, "_log")
-    if (!f.exists(log)) -1
-    else f.listStatus(log).map(_.getPath.getName)
-      .collect { case s if s.matches("v\\d{5}\\.manifest") =>
-        s.substring(1, 6).toInt }
-      .foldLeft(-1)(math.max)
+    listManifestVersions(f, root).foldLeft(-1)(math.max)
   }
 
   private def loadManifest(
@@ -127,7 +166,7 @@ object GraftTable {
     * Versioning the schema alongside the manifest is what lets time
     * travel return each snapshot with the column set it committed
     * under (a v0 read of an evolved table has no ghost columns). */
-  private def tableSchema(
+  private[sources] def tableSchema(
       spark: SparkSession, root: String, version: Int): StructType = {
     val (f, _) = fs(root, spark)
     val log = new org.apache.hadoop.fs.Path(root, "_log")
@@ -147,6 +186,17 @@ object GraftTable {
   private def bloomColumn(spark: SparkSession, root: String): Option[String] = {
     val (f, _) = fs(root, spark)
     val p = new org.apache.hadoop.fs.Path(root, "_log/bloom.json")
+    if (!f.exists(p)) None else Some(readFully(f, p).trim)
+  }
+
+  /** The table's declared key column (`_log/key.json`, recorded by
+    * [[create]]) — what lets the SQL/DataSource surface file-skip on
+    * key predicates without the caller naming the key. Absent on
+    * tables created before the file existed: reads stay correct,
+    * skipping just doesn't bite. */
+  def keyColumn(spark: SparkSession, root: String): Option[String] = {
+    val (f, _) = fs(root, spark)
+    val p = new org.apache.hadoop.fs.Path(root, "_log/key.json")
     if (!f.exists(p)) None else Some(readFully(f, p).trim)
   }
 
@@ -278,12 +328,13 @@ object GraftTable {
     f.mkdirs(new org.apache.hadoop.fs.Path(rootP, "_log"))
     writeAtomic(f, new org.apache.hadoop.fs.Path(root, "_log/schema.json"),
       df.schema.json)
+    writeAtomic(f, new org.apache.hadoop.fs.Path(root, "_log/key.json"), key)
     bloomCol.foreach { bc =>
       require(df.schema.fieldNames.contains(bc), s"no such column: $bc")
       writeAtomic(f, new org.apache.hadoop.fs.Path(root, "_log/bloom.json"), bc)
     }
     val entries = writeDataFiles(spark, root, 0, df, key, nBuckets)
-    writeAtomic(f, manifestPath(root, 0), renderManifest(entries))
+    commitManifest(f, root, 0, entries)
   }
 
   /** Snapshot read at `version` (default: latest). */
@@ -307,9 +358,33 @@ object GraftTable {
     * files whose key interval contains a batch key are rewritten; all
     * others are carried forward by reference into the new manifest.
     *
+    * Optimistic concurrency: a racing committer that loses the
+    * manifest rename retries against the WINNER'S snapshot, up to
+    * `maxRetries` times — upsert is last-write-wins per key over the
+    * current snapshot, so the redo is semantically correct whatever
+    * the winner changed, and two concurrent upserts (disjoint or not)
+    * both land as consecutive versions. A losing attempt's staged data
+    * files become unreferenced orphans that [[vacuum]] sweeps — the
+    * same lifecycle as a crashed commit. Set `maxRetries = 0` to get
+    * the raw fail-fast behavior back.
+    *
     * Returns (newVersion, nFilesRewritten, nFilesCarried). */
   def upsert(spark: SparkSession, root: String, batch: DataFrame,
-      key: String, nBuckets: Int = 8): (Int, Int, Int) = {
+      key: String, nBuckets: Int = 8, maxRetries: Int = 2): (Int, Int, Int) = {
+    var attempt = 0
+    while (true) {
+      try return upsertOnce(spark, root, batch, key, nBuckets)
+      catch {
+        case e: IllegalStateException if attempt < maxRetries =>
+          attempt += 1 // loser: re-read the new latest and redo
+        case e: Throwable => throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def upsertOnce(spark: SparkSession, root: String, batch: DataFrame,
+      key: String, nBuckets: Int): (Int, Int, Int) = {
     val base = latestVersion(spark, root)
     val entries = loadManifest(spark, root, base)
     val schema = tableSchema(spark, root, base)
@@ -343,7 +418,7 @@ object GraftTable {
     val fresh = writeDataFiles(spark, root, v, merged, key,
       math.max(1, math.min(nBuckets, rewrite.size + 1)))
     val (f, _) = fs(root, spark)
-    writeAtomic(f, manifestPath(root, v), renderManifest(carry ++ fresh))
+    commitManifest(f, root, v, carry ++ fresh)
     (v, rewrite.size, carry.size)
   }
 
@@ -357,15 +432,44 @@ object GraftTable {
     * only the files whose key interval contains a batch key. This is
     * the consumer half of [[changes]]: applying a table's feed to a
     * replica reproduces it version for version (gated by q239).
+    * Retries like [[upsert]] when racing committers collide (the op
+    * semantics are per-key against the current snapshot, so a redo
+    * against the winner's snapshot is correct).
     * Returns (newVersion, nFilesRewritten, nFilesCarried). */
   def applyCdcBatch(spark: SparkSession, root: String, batch: DataFrame,
-      key: String, opCol: String = "_op", nBuckets: Int = 8): (Int, Int, Int) = {
+      key: String, opCol: String = "_op", nBuckets: Int = 8,
+      maxRetries: Int = 2): (Int, Int, Int) = {
+    var attempt = 0
+    while (true) {
+      try return applyCdcBatchOnce(spark, root, batch, key, opCol, nBuckets)
+      catch {
+        case e: IllegalStateException if attempt < maxRetries =>
+          attempt += 1
+        case e: Throwable => throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def applyCdcBatchOnce(spark: SparkSession, root: String,
+      batch: DataFrame, key: String, opCol: String,
+      nBuckets: Int): (Int, Int, Int) = {
     val base = latestVersion(spark, root)
     val entries = loadManifest(spark, root, base)
     val schema = tableSchema(spark, root, base)
     require(batch.columns.contains(opCol), s"batch must carry $opCol")
     require((batch.columns.toSet - opCol) == schema.fieldNames.toSet,
       "batch schema must be table schema + the op column")
+    // validate the op domain up front: a NULL op would silently drop
+    // the row from both branches, and a typo'd op ('DELETE', 'Upsert')
+    // would silently apply as an upsert — either way the replica
+    // diverges with no error. One limit(1) scan over the batch.
+    val badOp = batch
+      .filter(col(opCol).isNull || !col(opCol).isin("upsert", "delete"))
+      .select(col(opCol)).limit(1).collect()
+    require(badOp.isEmpty,
+      s"applyCdcBatch: unknown $opCol value ${badOp.headOption.map(_.get(0))
+        .orNull} — every row must carry 'upsert' or 'delete'")
     import spark.implicits._
     val ledger = entries.map(e => (e.relPath, e.minKey, e.maxKey))
       .toDF("rel_path", "mn", "mx")
@@ -392,7 +496,7 @@ object GraftTable {
     val fresh = writeDataFiles(spark, root, v, merged, key,
       math.max(1, math.min(nBuckets, rewrite.size + 1)))
     val (f, _) = fs(root, spark)
-    writeAtomic(f, manifestPath(root, v), renderManifest(carry ++ fresh))
+    commitManifest(f, root, v, carry ++ fresh)
     (v, rewrite.size, carry.size)
   }
 
@@ -461,7 +565,7 @@ object GraftTable {
     else {
       // PUBLISH: the create-if-absent manifest rename, as every commit
       val (f, _) = fs(root, spark)
-      writeAtomic(f, manifestPath(root, v), renderManifest(carry ++ fresh))
+      commitManifest(f, root, v, carry ++ fresh)
       Right((v, rewrite.size, carry.size))
     }
   }
@@ -497,7 +601,7 @@ object GraftTable {
           .filter(!predicate || predicate.isNull),
         key, math.max(1, rewrite.size))
     val (f, _) = fs(root, spark)
-    writeAtomic(f, manifestPath(root, v), renderManifest(carry ++ fresh))
+    commitManifest(f, root, v, carry ++ fresh)
     (v, rewrite.size, carry.size)
   }
 
@@ -586,19 +690,26 @@ object GraftTable {
           .parquet(rewrite.map(e => s"$root/${e.relPath}"): _*),
         key, compactGroups.size)
     val (f, _) = fs(root, spark)
-    writeAtomic(f, manifestPath(root, v), renderManifest(carry ++ fresh))
+    commitManifest(f, root, v, carry ++ fresh)
     (v, rewrite.size, carry.size)
   }
 
   /** Version history: (version, nFiles, nRows) from manifests only —
     * no data files touched. Versions whose manifests were vacuumed
     * away are simply absent (history() must stay callable after
-    * retention kicks in, not throw on the first swept version). */
+    * retention kicks in, not throw on the first swept version).
+    * Checkpoint-aware: versions at or below the newest [[checkpoint]]
+    * come from its summary (one read), so the per-call cost is
+    * O(commits since last checkpoint) manifest reads plus one
+    * directory listing — not O(all commits). */
   def history(spark: SparkSession, root: String): Seq[(Int, Int, Long)] = {
     val (f, _) = fs(root, spark)
-    (0 to latestVersion(spark, root))
-      .filter(v => f.exists(manifestPath(root, v)))
-      .map { v =>
+    val versions = listManifestVersions(f, root)
+    val cp = loadCheckpoint(spark, root)
+    val cpV = cp.map(_._1).getOrElse(-1)
+    cp.map(_._2).getOrElse(Seq.empty)
+      .filter(h => versions.contains(h._1)) ++
+      versions.filter(_ > cpV).map { v =>
         val es = loadManifest(spark, root, v)
         (v, es.size, es.map(_.nRows).sum)
       }
@@ -607,11 +718,23 @@ object GraftTable {
   /** Drop manifests older than the last `retainVersions` and every
     * data file no retained manifest references (including orphans
     * from failed commits). Time travel to vacuumed versions is gone —
-    * the retention contract every table format documents. */
+    * the retention contract every table format documents.
+    *
+    * Sidecar lifecycle (so a long-lived table's `_log/` stays bounded):
+    * vacuum first writes a [[checkpoint]] at the latest version — which
+    * preserves the history summary and the colstats of every LIVE file
+    * — then sweeps colstats sidecars and superseded checkpoints below
+    * the retention horizon, and every versioned schema file older than
+    * the newest one at or below the horizon (the one still resolving
+    * retained versions' schemas). 2-D stats for files that die between
+    * a retained old version and latest degrade to "no stats → never
+    * skip" on time-travel reads — pruning loss only, never
+    * correctness. */
   def vacuum(spark: SparkSession, root: String, retainVersions: Int): Int = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val (f, _) = fs(root, spark)
     val latest = latestVersion(spark, root)
+    if (latest >= 0) checkpoint(spark, root)
     val keepFrom = math.max(0, latest - retainVersions + 1)
     val live = (keepFrom to latest)
       .flatMap(v => loadManifest(spark, root, v).map(_.relPath)).toSet
@@ -636,6 +759,32 @@ object GraftTable {
     (0 until keepFrom).foreach { v =>
       val m = manifestPath(root, v)
       if (f.exists(m)) f.delete(m, false)
+    }
+    // sidecar sweep below the horizon: colstats are preserved (for
+    // live files) inside the checkpoint written above; schema files
+    // keep only the newest ≤ horizon (the one resolving every retained
+    // version); superseded checkpoints go entirely
+    val log = new org.apache.hadoop.fs.Path(root, "_log")
+    if (f.exists(log)) {
+      val names = f.listStatus(log).map(_.getPath.getName)
+      names.collect { case s if s.matches("colstats-v\\d{5}\\.tsv") =>
+        (s, s.substring(10, 15).toInt) }
+        .filter(_._2 < keepFrom)
+        .foreach { case (s, _) =>
+          f.delete(new org.apache.hadoop.fs.Path(log, s), false) }
+      val schemaVs = names.collect {
+        case s if s.matches("schema-v\\d{5}\\.json") =>
+          (s, s.substring(8, 13).toInt) }
+      val horizonSchema = schemaVs.map(_._2).filter(_ <= keepFrom)
+        .foldLeft(-1)(math.max)
+      schemaVs.filter(_._2 < horizonSchema).foreach { case (s, _) =>
+        f.delete(new org.apache.hadoop.fs.Path(log, s), false) }
+      val cpVs = names.collect {
+        case s if s.matches("checkpoint-v\\d{5}\\.tsv") =>
+          (s, s.substring(12, 17).toInt) }
+      val newestCp = cpVs.map(_._2).foldLeft(-1)(math.max)
+      cpVs.filter(_._2 < newestCp).foreach { case (s, _) =>
+        f.delete(new org.apache.hadoop.fs.Path(log, s), false) }
     }
     removed
   }
@@ -667,8 +816,8 @@ object GraftTable {
     if (f.exists(schemaP) && !f.exists(manifestPath(root, v)))
       f.delete(schemaP, false)
     writeAtomic(f, schemaP, StructType(schema.fields ++ added).json)
-    writeAtomic(f, manifestPath(root, v),
-      renderManifest(loadManifest(spark, root, base)))
+    commitManifest(f, root, v, loadManifest(spark, root, base),
+      wroteSchema = true)
     v
   }
 
@@ -804,21 +953,102 @@ object GraftTable {
   private def colStatsPath(root: String, v: Int) =
     new org.apache.hadoop.fs.Path(root, f"_log/colstats-v$v%05d.tsv")
 
-  /** Per-file [min,max] stats for secondary columns, accumulated over
-    * every colstats sidecar at or below `version` (data files are
-    * immutable, so stats written at any commit stay valid however
-    * later manifests reference the file). */
-  private def loadColStats(spark: SparkSession, root: String,
-      version: Int): Map[(String, String), (Long, Long)] = {
+  private def checkpointPath(root: String, v: Int) =
+    new org.apache.hadoop.fs.Path(root, f"_log/checkpoint-v$v%05d.tsv")
+
+  /** The newest `_log/checkpoint-v{N}.tsv`, parsed: (N, history rows
+    * (version, nFiles, nRows) for versions ≤ N, colstats rows (rel,
+    * col, mn, mx) live at N). One listStatus + one read. */
+  private def loadCheckpoint(spark: SparkSession, root: String)
+      : Option[(Int, Seq[(Int, Int, Long)], Seq[(String, String, Long, Long)])] = {
     val (f, _) = fs(root, spark)
-    (0 to version).flatMap { v =>
-      val p = colStatsPath(root, v)
-      if (!f.exists(p)) Seq.empty
-      else readFully(f, p).linesIterator.filter(_.nonEmpty).map { line =>
-        val Array(rel, c, mn, mx) = line.split('	')
-        (rel, c) -> (mn.toLong, mx.toLong)
-      }.toSeq
-    }.toMap
+    val log = new org.apache.hadoop.fs.Path(root, "_log")
+    if (!f.exists(log)) return None
+    val vs = f.listStatus(log).map(_.getPath.getName)
+      .collect { case s if s.matches("checkpoint-v\\d{5}\\.tsv") =>
+        s.substring(12, 17).toInt }
+    if (vs.isEmpty) None
+    else {
+      val cpV = vs.max
+      val hist = Seq.newBuilder[(Int, Int, Long)]
+      val stats = Seq.newBuilder[(String, String, Long, Long)]
+      readFully(f, checkpointPath(root, cpV)).linesIterator
+        .filter(_.nonEmpty).foreach { line =>
+          line.split('\t') match {
+            case Array("H", v, n, r) => hist += ((v.toInt, n.toInt, r.toLong))
+            case Array("C", rel, c, mn, mx) =>
+              stats += ((rel, c, mn.toLong, mx.toLong))
+            case _ => () // forward compatibility: ignore unknown sections
+          }
+        }
+      Some((cpV, hist.result(), stats.result()))
+    }
+  }
+
+  /** CHECKPOINT the log at the current latest version: one summary file
+    * holding (a) the (version, nFiles, nRows) history of every
+    * manifest ≤ latest and (b) the accumulated per-file colstats of
+    * every file LIVE at latest. After a checkpoint, [[history]] reads
+    * manifests only for versions beyond it and [[readRange2D]] stats
+    * resolution stops at it — so driver metadata I/O on a long-lived
+    * table is O(commits since last checkpoint), not O(all commits)
+    * (the problem Delta's checkpoints / Iceberg's manifest lists
+    * solve). Idempotent at a given version; [[vacuum]] checkpoints
+    * automatically before sweeping sidecars. Returns the
+    * checkpointed version. */
+  def checkpoint(spark: SparkSession, root: String): Int = {
+    val (f, _) = fs(root, spark)
+    val versions = listManifestVersions(f, root)
+    require(versions.nonEmpty, s"no table at $root")
+    val latest = versions.max
+    val cpP = checkpointPath(root, latest)
+    if (f.exists(cpP)) return latest // already checkpointed here
+    val prior = loadCheckpoint(spark, root)
+    val priorV = prior.map(_._1).getOrElse(-1)
+    // history ≤ priorV comes from the prior checkpoint (no re-reads);
+    // only manifests since then are opened
+    val hist = prior.map(_._2).getOrElse(Seq.empty)
+      .filter(h => versions.contains(h._1)) ++
+      versions.filter(_ > priorV).map { v =>
+        val es = loadManifest(spark, root, v)
+        (v, es.size, es.map(_.nRows).sum)
+      }
+    val liveRels = loadManifest(spark, root, latest).map(_.relPath).toSet
+    val stats = loadColStats(spark, root, latest, liveRels)
+    val lines =
+      hist.sortBy(_._1).map { case (v, n, r) => s"H\t$v\t$n\t$r" } ++
+        stats.toSeq.sortBy(_._1).map { case ((rel, c), (mn, mx)) =>
+          s"C\t$rel\t$c\t$mn\t$mx" }
+    writeAtomic(f, cpP, lines.mkString("", "\n", "\n"))
+    latest
+  }
+
+  /** Per-file [min,max] stats for secondary columns, restricted to
+    * `rels` (the target manifest's files — never an unbounded
+    * all-versions accumulation): the newest checkpoint's stats plus
+    * every surviving colstats sidecar at or below `version`. Data
+    * files are immutable, so a stats line is valid whenever and
+    * wherever it was recorded; sidecars swept by [[vacuum]] live on
+    * inside the checkpoint. */
+  private def loadColStats(spark: SparkSession, root: String,
+      version: Int, rels: Set[String]): Map[(String, String), (Long, Long)] = {
+    val (f, _) = fs(root, spark)
+    val fromCp = loadCheckpoint(spark, root).map(_._3).getOrElse(Seq.empty)
+      .collect { case (rel, c, mn, mx) if rels(rel) => (rel, c) -> (mn, mx) }
+    val log = new org.apache.hadoop.fs.Path(root, "_log")
+    val sidecarVs =
+      if (!f.exists(log)) Seq.empty[Int]
+      else f.listStatus(log).map(_.getPath.getName)
+        .collect { case s if s.matches("colstats-v\\d{5}\\.tsv") =>
+          s.substring(10, 15).toInt }.toSeq.filter(_ <= version)
+    val fromSidecars = sidecarVs.flatMap { v =>
+      readFully(f, colStatsPath(root, v)).linesIterator
+        .filter(_.nonEmpty).flatMap { line =>
+          val Array(rel, c, mn, mx) = line.split('\t')
+          if (rels(rel)) Some((rel, c) -> (mn.toLong, mx.toLong)) else None
+        }.toSeq
+    }
+    (fromCp ++ fromSidecars).toMap
   }
 
   /** OPTIMIZE ZORDER BY (c1, c2): rewrite the snapshot as a new version
@@ -850,6 +1080,11 @@ object GraftTable {
     val b = snap.agg(
       min(col(c1).cast("long")), max(col(c1).cast("long")),
       min(col(c2).cast("long")), max(col(c2).cast("long"))).collect()(0)
+    // an entirely-NULL dimension has no quantization frame: fail with a
+    // clear message instead of the NPE Row.getLong would throw
+    require(!b.isNullAt(0) && !b.isNullAt(2),
+      s"optimizeZOrder: column ${if (b.isNullAt(0)) c1 else c2} is NULL in " +
+        "every row — a z-order dimension needs at least one non-NULL value")
     val (mn1, mx1, mn2, mx2) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     val buckets = 1 << bits
     val z = graft.operators.ZOrder.zvalue(
@@ -883,7 +1118,7 @@ object GraftTable {
     if (f.exists(statsP) && !f.exists(manifestPath(root, v)))
       f.delete(statsP, false) // orphan from a failed prior attempt
     writeAtomic(f, statsP, lines)
-    writeAtomic(f, manifestPath(root, v), renderManifest(fresh))
+    commitManifest(f, root, v, fresh, wroteColStats = true)
     (v, fresh.size)
   }
 
@@ -924,8 +1159,9 @@ object GraftTable {
   private def survivors2D(spark: SparkSession, root: String,
       c1: String, lo1: Long, hi1: Long,
       c2: String, lo2: Long, hi2: Long, v: Int): Seq[String] = {
-    val stats = loadColStats(spark, root, v)
-    loadManifest(spark, root, v).map(_.relPath).filter { rel =>
+    val rels = loadManifest(spark, root, v).map(_.relPath)
+    val stats = loadColStats(spark, root, v, rels.toSet)
+    rels.filter { rel =>
       Seq((c1, lo1, hi1), (c2, lo2, hi2)).forall { case (c, lo, hi) =>
         stats.get((rel, c)) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi

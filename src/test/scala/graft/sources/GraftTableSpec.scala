@@ -452,6 +452,127 @@ class GraftTableSpec extends SparkSpec {
     assert(withNull === Left(Map("name_present" -> 1L)))
   }
 
+  test("concurrent disjoint upserts both land via OCC retry") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(1000), "k", nBuckets = 4)
+    // two committers race from the same base version: the rename loser
+    // must retry against the winner's snapshot and land as the next
+    // version — both batches visible, versions consecutive
+    val lowBatch = spark.range(1, 11).select(
+      $"id".as("k"), lit("low").as("name"), lit(-1L).as("v"))
+    val highBatch = spark.range(991, 1001).select(
+      $"id".as("k"), lit("high").as("name"), lit(-2L).as("v"))
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val fa = Future { gate.await(); GraftTable.upsert(spark, root, lowBatch, "k") }
+    val fb = Future { gate.await(); GraftTable.upsert(spark, root, highBatch, "k") }
+    val (va, _, _) = Await.result(fa, 120.seconds)
+    val (vb, _, _) = Await.result(fb, 120.seconds)
+    assert(Set(va, vb) === Set(1, 2), s"expected versions 1 and 2, got $va/$vb")
+    val now = GraftTable.read(spark, root)
+    assert(now.count() === 1000)
+    assert(now.filter($"name" === "low").count() === 10)
+    assert(now.filter($"name" === "high").count() === 10)
+  }
+
+  test("orphan sidecars of a failed evolve are swept by the next commit") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(100), "k", nBuckets = 2)
+    // simulate an evolve that wrote its schema sidecar for version 1
+    // and crashed before the manifest rename
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(root, "_log/schema-v00001.json")
+    GraftTable.writeAtomic(fs, orphan,
+      org.apache.spark.sql.types.StructType(
+        base(1).schema.fields :+ org.apache.spark.sql.types.StructField(
+          "ghost", org.apache.spark.sql.types.StringType, nullable = true)).json)
+    // an unrelated upsert publishes manifest 1: it must NOT adopt the
+    // ghost column — the orphan is deleted before the commit point
+    val batch = spark.range(1, 3).select(
+      $"id".as("k"), lit("u").as("name"), lit(0L).as("v"))
+    val (v, _, _) = GraftTable.upsert(spark, root, batch, "k")
+    assert(v === 1)
+    assert(!fs.exists(orphan), "orphan schema sidecar should be swept")
+    assert(GraftTable.read(spark, root).columns.toSeq === Seq("k", "name", "v"))
+    // and a later upsert does not demand the ghost column either
+    GraftTable.upsert(spark, root, batch, "k")
+    assert(GraftTable.read(spark, root).columns.toSeq === Seq("k", "name", "v"))
+  }
+
+  test("checkpoint: history and 2D stats survive the vacuum sidecar sweep") {
+    val root = freshRoot()
+    val df = spark.range(1, 2001).select(
+      $"id".as("k"), ($"id" % 97).as("x"), (($"id" * 31) % 89).as("y"),
+      concat(lit("r"), $"id").as("name"))
+    GraftTable.create(spark, root, df, "k", nBuckets = 4)
+    GraftTable.optimizeZOrder(spark, root, "k", "x", "y", targetRows = 250)
+    (1 to 3).foreach { i =>
+      GraftTable.upsert(spark, root,
+        spark.range(1, 6).select($"id".as("k"), ($"id" % 97).as("x"),
+          (($"id" * 31) % 89).as("y"), lit(s"u$i").as("name")), "k")
+    }
+    val fullHistory = GraftTable.history(spark, root)
+    val prunedBefore = GraftTable.prunedFileCount2D(spark, root,
+      "x", 10, 20, "y", 10, 20)
+    val totalFiles = manifestLines(root,
+      GraftTable.latestVersion(spark, root)).size
+    assert(prunedBefore < totalFiles, "z-order stats should prune pre-vacuum")
+    val cpV = GraftTable.checkpoint(spark, root)
+    assert(cpV === GraftTable.latestVersion(spark, root))
+    // checkpoint-backed history is identical to the manifest-read one
+    assert(GraftTable.history(spark, root) === fullHistory)
+    // vacuum to the last 2 versions: colstats sidecars below the
+    // horizon are swept, but pruning at latest still works because the
+    // checkpoint preserved live files' stats
+    GraftTable.vacuum(spark, root, retainVersions = 2)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root,
+      "_log/colstats-v00001.tsv")), "swept colstats sidecar should be gone")
+    assert(GraftTable.prunedFileCount2D(spark, root,
+      "x", 10, 20, "y", 10, 20) === prunedBefore)
+    val box = GraftTable.readRange2D(spark, root, "x", 10, 20, "y", 10, 20)
+    val expect = GraftTable.read(spark, root)
+      .filter($"x".between(10, 20) && $"y".between(10, 20))
+    assert(box.count() === expect.count())
+    // history after vacuum lists only retained versions
+    val latest = GraftTable.latestVersion(spark, root)
+    assert(GraftTable.history(spark, root).map(_._1) ===
+      Seq(latest - 1, latest))
+  }
+
+  test("optimizeZOrder fails clearly on an all-NULL dimension") {
+    val root = freshRoot()
+    val df = spark.range(1, 101).select(
+      $"id".as("k"), lit(null).cast("long").as("x"), ($"id" % 7).as("y"))
+    GraftTable.create(spark, root, df, "k", nBuckets = 2)
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.optimizeZOrder(spark, root, "k", "x", "y", targetRows = 50)
+    }
+    assert(e.getMessage.contains("NULL in"))
+  }
+
+  test("applyCdcBatch rejects NULL and unknown op values") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(100), "k", nBuckets = 2)
+    def cdc(op: org.apache.spark.sql.Column) = spark.range(1, 3).select(
+      $"id".as("k"), lit("c").as("name"), lit(1L).as("v"), op.as("_op"))
+    intercept[IllegalArgumentException] {
+      GraftTable.applyCdcBatch(spark, root, cdc(lit("DELETE")), "k")
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.applyCdcBatch(spark, root, cdc(lit(null).cast("string")), "k")
+    }
+    // no version was created by the rejected batches
+    assert(GraftTable.latestVersion(spark, root) === 0)
+    // a valid batch still applies
+    val (v, _, _) = GraftTable.applyCdcBatch(spark, root, cdc(lit("upsert")), "k")
+    assert(v === 1)
+  }
+
   private def manifestLines(root: String, v: Int): Seq[String] = {
     val src = scala.io.Source.fromFile(f"$root/_log/v$v%05d.manifest")
     try src.getLines().filter(_.nonEmpty).toList finally src.close()
