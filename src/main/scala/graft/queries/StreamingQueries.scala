@@ -651,9 +651,127 @@ object StreamingQueries {
            |    ::BIGINT) AS BIGINT) AS user_sum
            |FROM u GROUP BY phase, tier ORDER BY phase, tier""".stripMargin))
 
+  /** STREAMING FROM THE CHANGE FEED: a real `readStream.format
+    * ("graft-cdf")` over a [[graft.sources.GraftTable]], maintaining a
+    * downstream per-bucket aggregate by signed deltas (+postimage/
+    * insert, −preimage/delete) — incremental view maintenance as an
+    * actual streaming query, not a batch fold (q236's construction,
+    * upgraded to the streaming engine). The write sequence interleaves
+    * an out-of-order upsert (updates at both ends of the key space plus
+    * fresh inserts, one batch) and a predicate delete with
+    * `processAllAvailable` fences, INCLUDING a full stop/restart
+    * mid-sequence: the restarted query resumes from the checkpointed
+    * VERSION offset, so the commit made while the stream was down
+    * arrives exactly once (no bootstrap replay, no loss). The
+    * maintained view must equal the direct recompute of the final
+    * snapshot — which is what the oracle replays logically. Micro-batch
+    * cost is the file-diff feed (changed files only), so maintenance
+    * work tracks the commit size, not the table. */
+  val q253CdfStreamMaintenance = GraftQuery(
+    "q253_cdf_stream_maintenance",
+    (s, dir) => {
+      val root = newTempDir("graft_cdf_gate") + "/tbl"
+      val outDir = newTempDir("graft_cdf_feed")
+      val ckpt = newTempDir("graft_cdf_ckpt")
+      val v0 = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_name").as("name"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal_cents"))
+      graft.sources.GraftTable.create(s, root, v0, "k", nBuckets = 8)
+      def run(phases: (() => Unit)*): Unit = {
+        val q = s.readStream.format("graft-cdf").option("path", root).load()
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              b.write.mode("append").parquet(outDir)
+              ()
+          }.start()
+        try {
+          q.processAllAvailable()
+          phases.foreach { p => p(); q.processAllAvailable() }
+        } finally q.stop()
+      }
+      // phase A (stream up): out-of-order upsert — updates at both ends
+      // of the key space plus fresh inserts, one batch
+      run(() => {
+        val batch = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .as("bal_cents"))
+          .select(
+            when(col("o_custkey") % 50 === 0, col("o_custkey") + 1000000L)
+              .otherwise(col("o_custkey")).cast("long").as("k"),
+            col("bal_cents"))
+          .withColumn("name", concat(lit("Batch#"), col("k").cast("string")))
+        graft.sources.GraftTable.upsert(s, root,
+          batch.select("k", "name", "bal_cents"), "k"): Unit
+      })
+      // stream DOWN: a delete commits while nobody is listening
+      graft.sources.GraftTable.deleteWhere(s, root,
+        col("bal_cents") % 7 === 0, "k"): Unit
+      // restart: must resume at the checkpointed version (the delete
+      // arrives as one incremental batch, the bootstrap does NOT replay)
+      run()
+      val feed = s.read.parquet(outDir)
+      val folded = feed
+        .withColumn("bucket", col("k") % 10)
+        .withColumn("sgn",
+          when(col("_change").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L))
+        .groupBy("bucket")
+        .agg(sum(col("sgn")).as("n_rows"),
+          sum(col("sgn") * col("bal_cents")).as("bal_sum"),
+          sum(col("sgn") *
+            conv(substring(md5(col("name")), 1, 8), 16, 10).cast("long"))
+            .as("name_sum"))
+        .filter(col("n_rows") > 0)
+      val direct = graft.sources.GraftTable.read(s, root)
+        .withColumn("bucket", col("k") % 10)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), sum("bal_cents").as("bal_sum"),
+          sum(conv(substring(md5(col("name")), 1, 8), 16, 10).cast("long"))
+            .as("name_sum"))
+      // emit BOTH sides keyed by origin — a hash match proves the
+      // stream-maintained view ≡ the direct recompute ≡ the oracle
+      folded.withColumn("side", lit("maintained"))
+        .unionByName(direct.withColumn("side", lit("direct")))
+        .select("side", "bucket", "n_rows", "bal_sum", "name_sum")
+        .orderBy("side", "bucket")
+    },
+    Some("""WITH v0 AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+           |  FROM customer),
+           |batch AS (
+           |  SELECT CAST(CASE WHEN o_custkey % 50 = 0
+           |      THEN o_custkey + 1000000 ELSE o_custkey END AS BIGINT) AS k,
+           |    'Batch#' || CAST(CASE WHEN o_custkey % 50 = 0
+           |      THEN o_custkey + 1000000 ELSE o_custkey END AS VARCHAR) AS name,
+           |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS bal_cents
+           |  FROM orders GROUP BY o_custkey),
+           |v1 AS (
+           |  SELECT COALESCE(b.k, t.k) AS k,
+           |    COALESCE(b.name, t.name) AS name,
+           |    COALESCE(b.bal_cents, t.bal_cents) AS bal_cents
+           |  FROM v0 t FULL OUTER JOIN batch b ON t.k = b.k),
+           |v2 AS (SELECT * FROM v1 WHERE NOT (bal_cents % 7 = 0)),
+           |agg AS (
+           |  SELECT k % 10 AS bucket, count(*) AS n_rows,
+           |    CAST(sum(bal_cents) AS BIGINT) AS bal_sum,
+           |    CAST(sum(('0x' || substr(md5(name), 1, 8))::BIGINT) AS BIGINT)
+           |      AS name_sum
+           |  FROM v2 GROUP BY 1)
+           |SELECT side, CAST(bucket AS BIGINT) AS bucket, n_rows, bal_sum,
+           |  name_sum
+           |FROM (SELECT 'maintained' AS side, * FROM agg
+           |      UNION ALL SELECT 'direct', * FROM agg)
+           |ORDER BY side, bucket""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q152StreamCdcState, q153StreamWindowedAggs, q157StreamClickPurchase,
       q159StreamUserTotals, q160RegistryNearDup, q161StreamSessions,
       q167StreamDedup, q168StreamEnrich, q228StreamAbandonedClicks,
-      q248StreamTemporalJoin)
+      q248StreamTemporalJoin, q253CdfStreamMaintenance)
 }

@@ -166,7 +166,7 @@ object GraftTable {
     * Versioning the schema alongside the manifest is what lets time
     * travel return each snapshot with the column set it committed
     * under (a v0 read of an evolved table has no ghost columns). */
-  private[sources] def tableSchema(
+  private[graft] def tableSchema(
       spark: SparkSession, root: String, version: Int): StructType = {
     val (f, _) = fs(root, spark)
     val log = new org.apache.hadoop.fs.Path(root, "_log")
