@@ -299,6 +299,88 @@ object Similarity {
     topK(scored, k, qId, cId)
   }
 
+  /** IVF-PQ search — the composed billion-vector serving plan: a
+    * coarse quantizer routes each query to its `nProbe` nearest cells,
+    * an ASYMMETRIC-DISTANCE scan ranks the cells' PQ CODES (two
+    * subspace codebooks; per candidate the cost is two broadcast-map
+    * lookups and one add — the full vector is never touched), the
+    * best `shortlist` candidates are re-ranked with exact cosine on
+    * their real vectors, and the top `k` survive.
+    *
+    * Scale shape: the ADC scan reads (id, cell, code_lo, code_hi) —
+    * a ~10-byte row regardless of dimensionality, which is the entire
+    * point of PQ at 10⁹ vectors — joined to broadcast probes keyed by
+    * cell; the LUTs are per-query literal-centroid projections
+    * (constant-folded codebooks, no join); only `shortlist` rows per
+    * query ever touch full vectors again. Both ranking stages go
+    * through the native bounded-heap [[graft.plans.TopK]] reduction.
+    *
+    * Everything is deterministic (lowest-id k-means seeds, 9-decimal
+    * centroid rounding, (score, id) tie-breaks) so a SQL oracle can
+    * replay the whole pipeline — the q254 gate does, at all SFs. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dims: Int,
+                m: Int = 8, shortlist: Int = 64, nCoarse: Int = 4,
+                nProbe: Int = 2, pqK: Int = 4, iters: Int = 1,
+                qId: String = "qid", qVec: String = "qvec",
+                cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    require(dims % m == 0, s"ivfPqTopK needs $m | $dims subspaces")
+    val sub = dims / m
+    def n2(c: Array[Double]) = c.foldLeft(0.0)((s, x) => s + x * x)
+    def subSlice(v: Column, j: Int) = slice(v, j * sub + 1, sub)
+    // deterministic training: coarse quantizer on full vectors, one PQ
+    // codebook per subspace (m small subspaces — not two big halves —
+    // is what makes the ADC estimate track true distance)
+    val coarse = KMeans.fit(corpus, nCoarse, iters, cId, cVec)
+    val books = (0 until m).map { j =>
+      KMeans.fit(corpus.select(col(cId), subSlice(col(cVec), j).as("v")),
+        pqK, iters, cId, "v")
+    }
+    // encode: cell + m sub-codes; the codes table is what a deployment
+    // would persist (q241's table-served layout) — vectors drop out
+    val codes = books.zipWithIndex.foldLeft(
+      KMeans.assign(corpus, coarse, cVec)
+        .withColumnRenamed("cluster", "cell").drop("score")) {
+      case (df, (book, j)) =>
+        KMeans.assign(df.withColumn("__sub", subSlice(col(cVec), j)),
+          book, "__sub")
+          .withColumnRenamed("cluster", s"code_$j").drop("score", "__sub")
+    }.select(col(cId) +: col("cell") +:
+      (0 until m).map(j => col(s"code_$j")): _*)
+    // query side: probe ranking + per-subspace ADC lookup tables, all
+    // pure projections against the literal codebooks
+    val cellScores = sort_array(array(coarse.map { case (id, c) =>
+      struct((lit(n2(c)) - lit(2.0) * dot(col(qVec), typedLit(c))).as("score"),
+        lit(id).as("cell"))
+    }: _*))
+    def lut(cents: Array[(Int, Array[Double])], qSub: Column) =
+      map_from_arrays(typedLit(cents.map(_._1)),
+        array(cents.map { case (_, c) =>
+          lit(n2(c)) - lit(2.0) * dot(qSub, typedLit(c))
+        }: _*))
+    val probes = (0 until m).foldLeft(
+      queries.withColumn("qn", norm(col(qVec)))) { (df, j) =>
+        df.withColumn(s"lut_$j", lut(books(j), subSlice(col(qVec), j)))
+      }
+      .withColumn("cell", explode(transform(
+        slice(cellScores, 1, nProbe), s => s("cell"))))
+      .select(col(qId) +: col(qVec) +: col("qn") +: col("cell") +:
+        (0 until m).map(j => col(s"lut_$j")): _*)
+    // ADC scan over codes in the probed cells: m map lookups + adds
+    val adcScored = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("adc", (0 until m).map(j =>
+        element_at(col(s"lut_$j"), col(s"code_$j"))).reduce(_ + _))
+    val short = graft.plans.TopK.topKPerGroup(adcScored, Seq(col(qId)),
+      Seq(col("adc").asc, col(cId).asc), shortlist)
+      .select(col(qId), col(qVec), col("qn"), col(cId))
+    // exact re-rank of the shortlist only
+    val rer = short.join(
+      corpus.select(col(cId), col(cVec)).withColumn("cn", norm(col(cVec))),
+      cId)
+      .withColumn("cos", dot(col(qVec), col(cVec)) / (col("qn") * col("cn")))
+    topK(rer, k, qId, cId)
+  }
+
   /** Exact cosine-threshold near-duplicate pairs WITHOUT a cartesian
     * product: IVF cells + angular triangle-inequality cell-pair
     * pruning.

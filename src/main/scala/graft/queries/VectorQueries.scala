@@ -499,8 +499,154 @@ object VectorQueries {
     },
     Some(topKOracle))
 
+  /** One-iteration k-means replay as DuckDB CTEs over `src(vec_id, v)`:
+    * seeds = the k lowest ids (cluster id = vec_id, which IS the seed
+    * rank on a contiguous id space), assignment by the |c|² − 2·v·c
+    * decomposition with (score, cl) tie-break, update = per-(cluster,
+    * dim) average rounded to 9 decimals — exactly
+    * [[graft.operators.KMeans.fit]]'s contract (the q218 pattern,
+    * factored so q254 can replay THREE codebooks without triplicating
+    * the SQL). Exposes `${p}_c1` (trained centroids). */
+  private def km1Sql(src: String, p: String, k: Int): String =
+    s"""${p}_c0 AS (SELECT CAST(vec_id AS INTEGER) AS cl, v AS cv
+       |  FROM $src WHERE vec_id < $k),
+       |${p}_s1 AS (
+       |  SELECT a.vec_id, a.v, c.cl,
+       |    list_sum(list_transform(c.cv, x -> x * x))
+       |      - 2 * list_sum(list_transform(a.v, (x, i) -> x * c.cv[i]))
+       |      AS score
+       |  FROM $src a CROSS JOIN ${p}_c0 c),
+       |${p}_a1 AS (SELECT vec_id, v, cl FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score, cl) AS rn FROM ${p}_s1) WHERE rn = 1),
+       |${p}_u1 AS (SELECT cl, u.i AS i, round(avg(u.x), 9) AS m FROM (
+       |    SELECT cl, unnest(list_transform(v, (x, i) -> {'i': i, 'x': x}))
+       |      AS u FROM ${p}_a1) GROUP BY cl, u.i),
+       |${p}_c1 AS (SELECT cl, list(m ORDER BY i) AS cv
+       |  FROM ${p}_u1 GROUP BY cl)""".stripMargin
+
+  /** Final nearest-centroid assignment of `src(vec_id, v)` against
+    * `${p}_c1`, emitted as `$out(vec_id, $codeCol)`. */
+  private def assign1Sql(src: String, p: String, out: String,
+      codeCol: String): String =
+    s"""${out}_s AS (
+       |  SELECT a.vec_id, c.cl,
+       |    list_sum(list_transform(c.cv, x -> x * x))
+       |      - 2 * list_sum(list_transform(a.v, (x, i) -> x * c.cv[i]))
+       |      AS score
+       |  FROM $src a CROSS JOIN ${p}_c1 c),
+       |$out AS (SELECT vec_id, cl AS $codeCol FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score, cl) AS rn FROM ${out}_s) WHERE rn = 1)""".stripMargin
+
+  /** IVF-PQ search, oracle-replayed END TO END: coarse quantizer (k=4,
+    * 1 deterministic Lloyd iteration), two 32-dim PQ codebooks (k=4
+    * each, the q218 construction), nProbe=2 cell routing, an
+    * asymmetric-distance scan of the CODES inside the probed cells
+    * (per-candidate cost: two LUT lookups + one add — the full vector
+    * is never touched until re-rank), a top-20 ADC shortlist, and an
+    * exact-cosine re-rank to top-5. Output rows carry `in_exact_top5`
+    * vs the brute-force truth (the q30 oracle), so the gate pins BOTH
+    * the approximate pipeline's determinism and its measured recall —
+    * the DuckDB side replays every stage (three k-means replays, the
+    * ADC join, both rankings) and must agree bit-for-bit. */
+  val q254IvfPqSearch = GraftQuery(
+    "q254_ivf_pq_search",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val approx = Similarity.ivfPqTopK(queries, corpus, k = 5, dims = 64,
+        m = 8, shortlist = 64, nCoarse = 4, nProbe = 2, pqK = 8, iters = 1)
+      val truth = Similarity.bruteForceTopK(queries, corpus, k = 5)
+        .select(col("qid"), col("neighbor_id")).withColumn("hit", lit(1L))
+      approx.join(truth, Seq("qid", "neighbor_id"), "left")
+        .select(col("qid"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 4).as("cos"),
+          coalesce(col("hit"), lit(0L)).as("in_exact_top5"))
+        .orderBy("qid", "rank")
+    },
+    Some({
+      val m = 8; val sub = 8
+      def sl(j: Int) = s"[${j * sub + 1}:${(j + 1) * sub}]"
+      val subSrcs = (0 until m).map(j =>
+        s"e$j AS (SELECT vec_id, v${sl(j)} AS v FROM e)").mkString(",\n")
+      val subKm = (0 until m).map(j => km1Sql(s"e$j", s"b$j", 8)).mkString(",\n")
+      val subAssign = (0 until m).map(j =>
+        assign1Sql(s"e$j", s"b$j", s"code$j", "code")).mkString(",\n")
+      val subLuts = (0 until m).map(j =>
+        s"""lut$j AS (
+           |  SELECT a.qid, c.cl AS code,
+           |    list_sum(list_transform(c.cv, x -> x * x))
+           |      - 2 * list_sum(list_transform(a.v${sl(j)}, (x, i) -> x * c.cv[i]))
+           |      AS d
+           |  FROM q a CROSS JOIN b${j}_c1 c)""".stripMargin).mkString(",\n")
+      val codeJoins = (0 until m).map(j =>
+        s"""  JOIN code$j c$j ON c$j.vec_id = cf.vec_id
+           |  JOIN lut$j l$j ON l$j.qid = p.qid AND l$j.code = c$j.code"""
+          .stripMargin).mkString("\n")
+      val adcSum = (0 until m).map(j => s"l$j.d").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id,
+            |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            |  FROM embeddings),
+            |$subSrcs,
+            |${km1Sql("e", "co", 4)},
+            |$subKm,
+            |${assign1Sql("e", "co", "cellof", "cell")},
+            |$subAssign,
+            |q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 10),
+            |qp AS (
+            |  SELECT a.qid, c.cl,
+            |    list_sum(list_transform(c.cv, x -> x * x))
+            |      - 2 * list_sum(list_transform(a.v, (x, i) -> x * c.cv[i]))
+            |      AS score
+            |  FROM q a CROSS JOIN co_c1 c),
+            |probe AS (SELECT qid, cl AS cell FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY qid
+            |      ORDER BY score, cl) AS rn FROM qp) WHERE rn <= 2),
+            |$subLuts,
+            |cand AS (
+            |  SELECT p.qid, cf.vec_id AS cid, $adcSum AS adc
+            |  FROM probe p
+            |  JOIN cellof cf ON cf.cell = p.cell
+            |$codeJoins
+            |  WHERE cf.vec_id <> p.qid),
+            |short AS (SELECT qid, cid FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY qid
+            |      ORDER BY adc, cid) AS rn FROM cand) WHERE rn <= 64),
+            |rer AS (
+            |  SELECT s.qid, s.cid,
+            |    list_sum(list_transform(a.v, (x, i) -> x * b.v[i]))
+            |      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+            |         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+            |  FROM short s
+            |  JOIN e a ON a.vec_id = s.qid
+            |  JOIN e b ON b.vec_id = s.cid),
+            |sys AS (SELECT qid, cid, cos,
+            |    row_number() OVER (PARTITION BY qid
+            |      ORDER BY cos DESC, cid) AS rank
+            |  FROM rer),
+            |truth AS (SELECT qid, neighbor_id FROM (
+            |    SELECT a.qid, b.vec_id AS neighbor_id,
+            |      row_number() OVER (PARTITION BY a.qid ORDER BY
+            |        list_sum(list_transform(a.v, (x, i) -> x * b.v[i]))
+            |          / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+            |             * sqrt(list_sum(list_transform(b.v, x -> x * x))))
+            |          DESC, b.vec_id) AS rank
+            |    FROM q a JOIN e b ON b.vec_id <> a.qid) WHERE rank <= 5)
+            |SELECT s.qid AS qid, CAST(s.rank AS BIGINT) AS rank,
+            |  s.cid AS neighbor_id, round(s.cos, 4) AS cos,
+            |  CAST(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END
+            |    AS BIGINT) AS in_exact_top5
+            |FROM sys s LEFT JOIN truth t
+            |  ON t.qid = s.qid AND t.neighbor_id = s.cid
+            |WHERE s.rank <= 5
+            |ORDER BY s.qid, rank""".stripMargin
+    }))
+
   val all: Seq[GraftQuery] = Seq(q30AnnBruteForce, q31CosinePairs, q32AnnLsh,
     q37AnnIvf, q38EmbeddingNearDup, q57EmbeddingQuantize, q103LabelCentroids,
     q109EmbeddingOutliers, q165FilteredAnn, q206QuantizedRecall,
-    q218ProductQuantization, q241TableServedAnn)
+    q218ProductQuantization, q241TableServedAnn, q254IvfPqSearch)
 }

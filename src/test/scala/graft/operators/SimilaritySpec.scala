@@ -166,4 +166,30 @@ class SimilaritySpec extends SparkSpec {
       assert(got === want)
     }
   }
+
+  test("ivf-pq: probe-all + full shortlist is exact; approximate recall holds") {
+    // deterministic synthetic corpus: 200 16-dim vectors
+    val n = 200; val dims = 16
+    val corpus = spark.range(n).select($"id".as("cid"),
+      transform(sequence(lit(0), lit(dims - 1)), d =>
+        sin($"id" * 37 + d * 13).cast("float")).as("cvec"))
+    val queries = corpus.filter($"cid" < 8)
+      .select($"cid".as("qid"), $"cvec".as("qvec"))
+    val truth = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select($"qid", $"rank", $"neighbor_id")
+    // probe-all + shortlist >= corpus: the pipeline degenerates to
+    // exact search (every candidate reranked with exact cosine)
+    val exact = Similarity.ivfPqTopK(queries, corpus, k = 5, dims = dims,
+      m = 4, shortlist = n, nCoarse = 4, nProbe = 4, pqK = 4)
+      .select($"qid", $"rank", $"neighbor_id")
+    assert(exact.orderBy("qid", "rank").collect().toSeq ===
+      truth.orderBy("qid", "rank").collect().toSeq)
+    // the approximate configuration keeps a measured recall floor
+    val approx = Similarity.ivfPqTopK(queries, corpus, k = 5, dims = dims,
+      m = 4, shortlist = 32, nCoarse = 4, nProbe = 2, pqK = 4)
+      .select($"qid", $"neighbor_id")
+    val hits = approx.join(truth.select($"qid", $"neighbor_id"),
+      Seq("qid", "neighbor_id")).count()
+    assert(hits >= 20, s"recall@5 over 8 queries: $hits/40 hits")
+  }
 }

@@ -435,6 +435,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q254: ADC scan is a code-only broadcast equi-join (no cartesian, no UDF)") {
+    val p = plan("q254_ivf_pq_search")
+    // the candidate stage must be codes ⋈ broadcast(probes) on the cell
+    // key; the codebook LUTs are constant-folded literal projections.
+    // (The brute-force TRUTH branch is a broadcast nested loop over the
+    // 10 bounded queries — allowed; a CartesianProduct is not.)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(p.contains("TopKPerGroup"), p) // both rankings bounded-heap
+  }
+
   test("q245/q179: cumulative score-grain ranks are two-phase (no data-sized " +
     "unpartitioned or low-cardinality-partitioned window)") {
     // o_totalprice is near-unique (the 'distinct score grain' is ~99.8%
