@@ -1383,6 +1383,169 @@ object TextQueries {
            |    AS cut_sum
            |FROM cut ORDER BY doc_id""".stripMargin))
 
+  /** The corpus word table both unigram-LM gates train on — the q189
+    * convention (letters-only lowercase words with occurrence
+    * counts). */
+  private def ulmWords(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .select(explode(split(
+        regexp_replace(lower(col("text")), "[^a-z]+", " "), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** DuckDB replay of ONE unigram-LM hard-EM E-step against vocabulary
+    * CTE `$vocab(piece, lp)`: a recursive Viterbi DP over each word's
+    * positions (cell j+1's candidates are the ≤3 piece lengths ending
+    * there; scores quantize to 9 decimals each step; the argmax key is
+    * `score + l·1e-12` so exact ties prefer the longer piece — the
+    * identical decision rule as
+    * [[graft.operators.UnigramLm.segmentCol]]), a recursive
+    * backpointer walk, and a piece recount. Emits `cnt$n(piece, w,
+    * n)`. */
+  private def ulmIterSql(n: Int, vocab: String): String = {
+    val s1 = "(CASE WHEN p1.lp IS NOT NULL THEN round(d.sc[d.j + 1] + p1.lp, 9) END)"
+    val s2 = "(CASE WHEN d.j >= 1 AND p2.lp IS NOT NULL THEN round(d.sc[d.j] + p2.lp, 9) END)"
+    val s3 = "(CASE WHEN d.j >= 2 AND p3.lp IS NOT NULL THEN round(d.sc[d.j - 1] + p3.lp, 9) END)"
+    val k1 = s"($s1 + 1 * 1e-12)"
+    val k2 = s"($s2 + 2 * 1e-12)"
+    val k3 = s"($s3 + 3 * 1e-12)"
+    val bestL = s"""(CASE WHEN $k3 IS NOT NULL AND ($k1 IS NULL OR $k3 > $k1)
+                   |      AND ($k2 IS NULL OR $k3 > $k2) THEN 3
+                   |      WHEN $k2 IS NOT NULL AND ($k1 IS NULL OR $k2 > $k1)
+                   |      THEN 2 ELSE 1 END)""".stripMargin
+    val bestS = s"(CASE $bestL WHEN 3 THEN $s3 WHEN 2 THEN $s2 ELSE $s1 END)"
+    // dp/walk are genuinely recursive; everything they DERIVE is
+    // MATERIALIZED — without it DuckDB re-evaluates the upstream
+    // recursive chain on every iteration of the downstream DP
+    // (multiplicative re-execution: the sf0.001 oracle went from
+    // >300 CPU-minutes to <1s with the hints).
+    s"""dp$n AS (
+       |  SELECT word, freq, 0 AS j, [CAST(0 AS DOUBLE)] AS sc, [0] AS bk
+       |  FROM wordlist
+       |  UNION ALL
+       |  SELECT d.word, d.freq, d.j + 1,
+       |    list_append(d.sc, $bestS),
+       |    list_append(d.bk, d.j + 1 - $bestL)
+       |  FROM dp$n d
+       |  LEFT JOIN $vocab p1 ON p1.piece = substr(d.word, d.j + 1, 1)
+       |  LEFT JOIN $vocab p2 ON d.j >= 1 AND p2.piece = substr(d.word, d.j, 2)
+       |  LEFT JOIN $vocab p3 ON d.j >= 2 AND p3.piece = substr(d.word, d.j - 1, 3)
+       |  WHERE d.j < len(d.word)),
+       |walk$n AS (
+       |  SELECT word, freq, len(word) AS pos, bk,
+       |    CAST([] AS VARCHAR[]) AS parts
+       |  FROM dp$n WHERE j = len(word)
+       |  UNION ALL
+       |  SELECT word, freq, bk[pos + 1] AS pos, bk,
+       |    list_append(parts, substr(word, bk[pos + 1] + 1, pos - bk[pos + 1]))
+       |  FROM walk$n WHERE pos > 0),
+       |cnt$n AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS w, count(*) AS n
+       |  FROM (SELECT freq, unnest(parts) AS piece
+       |        FROM walk$n WHERE pos = 0) GROUP BY 1)""".stripMargin
+  }
+
+  /** M-step vocabulary from `cnt$n`: every seed character (floored at
+    * weight 1) plus the top-50 multi-char pieces by (count desc,
+    * piece) — [[graft.operators.UnigramLm.emStep]]'s rule — with
+    * 9-decimal log-probs `v$n(piece, lp)`. */
+  private def ulmVocabSql(n: Int): String =
+    s"""v${n}w AS MATERIALIZED (
+       |  SELECT c.piece, CAST(COALESCE(t.w, 1) AS BIGINT) AS w
+       |  FROM chars c LEFT JOIN cnt$n t ON t.piece = c.piece
+       |  UNION ALL
+       |  SELECT piece, w FROM (SELECT piece, w, row_number() OVER
+       |      (ORDER BY w DESC, piece) AS rn FROM cnt$n WHERE len(piece) > 1)
+       |  WHERE rn <= 50),
+       |v$n AS MATERIALIZED (SELECT piece, round(ln(CAST(w AS DOUBLE)
+       |  / CAST((SELECT sum(w) FROM v${n}w) AS DOUBLE)), 9) AS lp
+       |  FROM v${n}w)""".stripMargin
+
+  /** Shared oracle prefix: the word table, the length-≤3 substring
+    * seed vocabulary (all chars + top-50 multi by weight), and its
+    * log-probs. */
+  private val ulmBaseSql =
+    """wordlist AS MATERIALIZED (
+      |  SELECT word, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(
+      |      regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS word
+      |    FROM documents) t
+      |  WHERE word <> '' GROUP BY 1),
+      |pos AS (SELECT word, freq, unnest(range(1, len(word) + 1)) AS i
+      |        FROM wordlist),
+      |sub AS (SELECT word, freq, substr(word, CAST(i AS INTEGER), ls.l) AS piece
+      |        FROM pos CROSS JOIN (VALUES (1), (2), (3)) ls(l)
+      |        WHERE i + ls.l - 1 <= len(word)),
+      |seedw AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS w
+      |          FROM sub GROUP BY 1),
+      |chars AS MATERIALIZED (SELECT piece, w FROM seedw WHERE len(piece) = 1),
+      |v0w AS MATERIALIZED (SELECT piece, w FROM chars
+      |        UNION ALL
+      |        SELECT piece, w FROM (SELECT piece, w, row_number() OVER
+      |            (ORDER BY w DESC, piece) AS rn
+      |          FROM seedw WHERE len(piece) > 1)
+      |        WHERE rn <= 50),
+      |v0 AS MATERIALIZED (SELECT piece, round(ln(CAST(w AS DOUBLE)
+      |  / CAST((SELECT sum(w) FROM v0w) AS DOUBLE)), 9) AS lp FROM v0w)"""
+      .stripMargin
+
+  /** Unigram-LM (SentencePiece-style) tokenizer TRAINING — BPE's
+    * sibling family ([[graft.operators.UnigramLm]]): seed vocabulary
+    * from weighted substrings, then two hard-EM rounds (Viterbi
+    * E-step as one map-only HOF projection per round, count M-step
+    * with char floors and count-ranked pruning). The oracle replays
+    * BOTH EM iterations in SQL — recursive-CTE Viterbi DPs with the
+    * identical quantized decision rule — so a hash match proves the
+    * distributed EM step-for-step. Output is the final integer piece
+    * weights (no floats cross the compare). */
+  val q255UnigramLmLearn = GraftQuery(
+    "q255_unigram_lm_learn",
+    (s, dir) => {
+      val trained = graft.operators.UnigramLm
+        .train(ulmWords(s, dir), maxLen = 3, multiVocab = 50, iters = 2)
+      import s.implicits._
+      trained.toDF("piece", "weight")
+        .orderBy(desc("weight"), asc("piece")).limit(30)
+    },
+    Some(s"""WITH RECURSIVE $ulmBaseSql,
+            |${ulmIterSql(1, "v0")},
+            |${ulmVocabSql(1)},
+            |${ulmIterSql(2, "v1")},
+            |${ulmVocabSql(2)}
+            |SELECT piece, w AS weight FROM v2w
+            |ORDER BY weight DESC, piece LIMIT 30""".stripMargin))
+
+  /** Unigram-LM tokenize-with-TRAINED-vocab (the apply half, q194's
+    * contract for the unigram family): train 2 EM rounds, then
+    * Viterbi-segment the corpus under the final model — one more
+    * map-only projection — and emit the top-20 token frequencies. The
+    * oracle replays training AND application (three recursive DPs). */
+  val q256UnigramTokenize = GraftQuery(
+    "q256_unigram_tokenize",
+    (s, dir) => {
+      import graft.operators.UnigramLm
+      val words = ulmWords(s, dir).cache()
+      val trained = UnigramLm.train(words, maxLen = 3, multiVocab = 50,
+        iters = 2)
+      val entries = UnigramLm.logProbs(trained).toSeq.sortBy(_._1)
+      val vm = map_from_arrays(typedLit(entries.map(_._1)),
+        typedLit(entries.map(_._2)))
+      words
+        .select(explode(UnigramLm.segmentCol(col("word"), vm, 3))
+          .as("token"), col("freq"))
+        .groupBy("token")
+        .agg(sum("freq").as("total_freq"), count(lit(1)).as("n_words"))
+        .orderBy(desc("total_freq"), asc("token")).limit(20)
+    },
+    Some(s"""WITH RECURSIVE $ulmBaseSql,
+            |${ulmIterSql(1, "v0")},
+            |${ulmVocabSql(1)},
+            |${ulmIterSql(2, "v1")},
+            |${ulmVocabSql(2)},
+            |${ulmIterSql(3, "v2")}
+            |SELECT piece AS token, w AS total_freq, n AS n_words FROM cnt3
+            |ORDER BY total_freq DESC, token LIMIT 20""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q20TextStats, q21LangId, q22Fingerprint, q23DedupExact, q24MinhashLsh,
     q25Simhash, q26NgramJaccard, q27MultimodalMeta, q28MultimodalFeatures,
@@ -1392,5 +1555,6 @@ object TextQueries {
     q122SpanDedup, q123NgramNovelty, q139SubstringRepeats,
     q163ContainmentPairs, q189BpeLearn, q190LeakageSafeSplit,
     q194BpeTokenize, q199BestSurvivor, q211BpePacking,
-    q229UrlCanonicalize, q230HtmlExtract, q234Utf8Truncate)
+    q229UrlCanonicalize, q230HtmlExtract, q234Utf8Truncate,
+    q255UnigramLmLearn, q256UnigramTokenize)
 }
