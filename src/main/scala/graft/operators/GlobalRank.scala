@@ -41,6 +41,57 @@ object GlobalRank {
   def denseRank(df: DataFrame, outCol: String, keys: Column*): DataFrame =
     twoPhase(df, outCol, keys, count_distinct(struct(keys: _*)), dense_rank())
 
+  /** `rank().over(Window.orderBy(keys))` at scale. The offset for a
+    * partition is its preceding ROW count (not distinct keys): rank =
+    * 1 + number of rows strictly before my key group, and since the
+    * range partitioning co-locates equal keys, that is exactly
+    * `preceding-partition rows + local rank()`. Output is LongType. */
+  def rank(df: DataFrame, outCol: String, keys: Column*): DataFrame =
+    twoPhase(df, outCol, keys, count(lit(1)),
+      org.apache.spark.sql.functions.rank())
+
+  /** `percent_rank().over(Window.orderBy(keys))` at scale:
+    * `(rank − 1) / (n − 1)` with the SQL-standard `n == 1 → 0.0`
+    * guard; `n` arrives as a one-row broadcast aggregate, never a
+    * window. Output column is DoubleType. */
+  def percentRank(df: DataFrame, outCol: String, keys: Column*): DataFrame = {
+    val ranked = rank(df, "__grk", keys: _*)
+    val total = df.groupBy().agg(count(lit(1)).as("__gn"))
+    ranked.join(broadcast(total))
+      .withColumn(outCol,
+        when(col("__gn") === 1, lit(0.0))
+          .otherwise((col("__grk") - 1).cast("double") / (col("__gn") - 1)))
+      .drop("__grk", "__gn")
+  }
+
+  /** `ntile(buckets).over(Window.orderBy(keys))` at scale, from the
+    * two-phase row number plus a broadcast total: with `q = n / B`,
+    * `r = n % B`, the first `r` tiles carry `q + 1` rows — integer
+    * arithmetic reproduces the SQL-standard split exactly (including
+    * `n < B`, where tile = row number). Ties follow the row-number
+    * tie-break, so pass a UNIQUE key suffix for determinism. Output
+    * column is LongType. */
+  def ntile(df: DataFrame, buckets: Int, outCol: String,
+            keys: Column*): DataFrame = {
+    require(buckets >= 1, s"ntile buckets must be >= 1, got $buckets")
+    val rn = rowNumber(df, "__grn", keys: _*)
+    val total = df.groupBy().agg(count(lit(1)).as("__gn"))
+    // Column `/` is DOUBLE division — every quotient here must be the
+    // integer one, so each goes through floor(). The q == 0 case
+    // (more buckets than rows) never reaches the otherwise branch
+    // (threshold = n there), so its divide-by-zero is unevaluated.
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val q = idiv(col("__gn"), lit(buckets))
+    val r = col("__gn") % buckets
+    val threshold = r * (q + 1)
+    rn.join(broadcast(total))
+      .withColumn(outCol,
+        when(col("__grn") <= threshold,
+          idiv(col("__grn") - 1, q + 1) + 1)
+          .otherwise(r + idiv(col("__grn") - threshold - 1, q) + 1))
+      .drop("__grn", "__gn")
+  }
+
   /** Both subtrees (local ranks, offsets) read the SAME range
     * exchange; correctness of the broadcast offsets requires that
     * exchange to be materialized ONCE (two independent

@@ -2894,6 +2894,48 @@ object Extras {
            |  true AS p50_in_bound, true AS p95_in_bound
            |FROM li GROUP BY flag ORDER BY flag""".stripMargin))
 
+  /** GLOBAL `percent_rank` + `ntile(100)` at scale: both ride the
+    * two-phase [[graft.operators.GlobalRank]] (rank/row-number per
+    * range partition + broadcast offsets + a one-row broadcast total)
+    * — the plain `Window.orderBy` forms funnel the whole orders table
+    * through ONE task, the exact cliff the q245/q179 rewrite closed;
+    * this gate closes the remaining members of the unpartitioned
+    * analytic-window family. percent_rank orders by the (tied) price
+    * grain, ntile by (price, orderkey) so the SQL-standard uneven
+    * split is deterministic. Output is the per-centile profile:
+    * row count, the percent-rank span, and exact cent mass —
+    * `(rank−1)/(n−1)` is the same integer-over-integer double on both
+    * engines, rounded at 9 for the usual safety. */
+  val q257GlobalNtilePrank = GraftQuery(
+    "q257_global_ntile_prank",
+    (s, dir) => {
+      import graft.operators.GlobalRank
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val pr = GlobalRank.percentRank(o, "pr", col("cents"))
+      val tiled = GlobalRank.ntile(pr, 100, "tile",
+        col("cents"), col("o_orderkey"))
+      tiled.groupBy("tile").agg(
+        count(lit(1)).as("n"),
+        round(min("pr"), 9).as("min_pr"),
+        round(max("pr"), 9).as("max_pr"),
+        sum("cents").as("sum_cents"))
+        .orderBy("tile")
+    },
+    Some("""WITH o AS (
+           |  SELECT o_orderkey,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM orders),
+           |r AS (
+           |  SELECT cents,
+           |    percent_rank() OVER (ORDER BY cents) AS pr,
+           |    ntile(100) OVER (ORDER BY cents, o_orderkey) AS tile
+           |  FROM o)
+           |SELECT CAST(tile AS BIGINT) AS tile, count(*) AS n,
+           |  round(min(pr), 9) AS min_pr, round(max(pr), 9) AS max_pr,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q18FullOuter, q33DistinctExact,
     q34DistinctApprox, q35Pivot, q36WindowAnalytics, q56Percentiles,
     q71GroupingSets, q72FuzzyNamePairs, q73TopkPerGroup, q75StatAggregates,
@@ -2912,5 +2954,6 @@ object Extras {
     q151RevenueAnomalies, q162SlidingWindows, q164VariantProps,
     q170LinearAttribution, q171LDiversity, q172HitsAuthorities, q215ShortestPaths,
     q226LinearInterpolate, q231TheilSen, q232QuantileEnvelope,
-    q233LabelPropagation, q243TreeRollup, q244CrossCorrelation)
+    q233LabelPropagation, q243TreeRollup, q244CrossCorrelation,
+    q257GlobalNtilePrank)
 }

@@ -42,6 +42,41 @@ class GlobalRankSpec extends SparkSpec {
     assert(two === single)
   }
 
+  test("two-phase rank matches the single-partition window") {
+    val single = df.withColumn("rk",
+      rank().over(Window.orderBy("key")).cast("long"))
+      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two = GlobalRank.rank(df, "rk", col("key"))
+      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two === single)
+  }
+
+  test("two-phase percent_rank matches the single-partition window") {
+    val single = df.withColumn("pr",
+      percent_rank().over(Window.orderBy("key")))
+      .select("id", "pr").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val two = GlobalRank.percentRank(df, "pr", col("key"))
+      .select("id", "pr").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(two === single)
+    // single-row frame: SQL standard says 0.0, not NaN
+    val one = Seq((1L, "a")).toDF("id", "key")
+    assert(GlobalRank.percentRank(one, "pr", col("key"))
+      .select("pr").head().getDouble(0) === 0.0)
+  }
+
+  test("two-phase ntile matches the single-partition window across bucket shapes") {
+    // 20000 % 7 != 0 exercises the uneven-tile split; 3 and 100 the
+    // even-ish ones; 30000 > n the degenerate tile-per-row case
+    for (b <- Seq(3, 7, 100, 30000)) {
+      val single = df.withColumn("nt",
+        ntile(b).over(Window.orderBy("key", "id")).cast("long"))
+        .select("id", "nt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val two = GlobalRank.ntile(df, b, "nt", col("key"), col("id"))
+        .select("id", "nt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(two === single, s"buckets=$b")
+    }
+  }
+
   test("fails fast when exchange reuse is disabled (offset-consistency guard)") {
     spark.conf.set("spark.sql.exchange.reuse", "false")
     try {

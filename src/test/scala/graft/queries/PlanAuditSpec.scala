@@ -447,6 +447,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TopKPerGroup"), p) // both rankings bounded-heap
   }
 
+  test("q257: global percent_rank/ntile ride two-phase ranks + broadcast totals") {
+    val p = plan("q257_global_ntile_prank")
+    // every window keys on the range-partition id (the offsets window
+    // sorts one row per partition); the n-row totals join as broadcasts
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, p)
+    assert(windows.forall(_.contains("__pid")), windows.mkString("\n"))
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q245/q179: cumulative score-grain ranks are two-phase (no data-sized " +
     "unpartitioned or low-cardinality-partitioned window)") {
     // o_totalprice is near-unique (the 'distinct score grain' is ~99.8%
