@@ -12,7 +12,7 @@ object Registry {
       MlPrep.all ++ QualityQueries.all ++ StreamingQueries.all ++
       MultimodalQueries.all ++ Curation.all ++ LayoutQueries.all ++
       EvalMetrics.all ++ SourceQueries.all ++ MaintenanceQueries.all ++
-      EtlEndToEnd.all ++ SqlSurface.all
+      EtlEndToEnd.all ++ SqlSurface.all ++ PostTraining.all
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }
