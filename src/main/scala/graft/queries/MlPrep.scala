@@ -946,10 +946,176 @@ object MlPrep {
            |    ::BIGINT AS BIGINT) AS target_sum
            |FROM built ORDER BY doc_id""".stripMargin))
 
+  /** SFT EXAMPLE BUILDER — chat template + loss mask + packing, the
+    * step that turns raw (prompt, response) pairs into supervised
+    * fine-tuning batches: each document splits at a deterministic
+    * prompt length, the templated sequence costs
+    * `n + 3` tokens (user marker + prompt + assistant marker +
+    * response + end-of-turn), and the LOSS MASK zeroes everything
+    * through the assistant marker — only `n − prompt_len + 1`
+    * positions (response + EOT) train. Examples then pack into
+    * 2048-token bins via the two-phase
+    * [[graft.operators.GlobalRank.exclusiveCumSum]] (q86's
+    * construction — no single-partition window), and the gate
+    * profiles each bin's total/loss token mass and mask ratio. All
+    * arithmetic integer until the final rounded ratio. */
+  val q262SftLossMask = GraftQuery(
+    "q262_sft_loss_mask",
+    (s, dir) => {
+      val budget = 2048
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n"))
+      val ex = docs
+        .withColumn("prompt_len",
+          least(lit(3) + col("doc_id") % 8, floor(col("n") / 2)).cast("long"))
+        .withColumn("seq_len", col("n") + 3)
+        .withColumn("loss_len", col("n") - col("prompt_len") + 1)
+      graft.operators.GlobalRank
+        .exclusiveCumSum(ex, "offset", col("seq_len"), col("doc_id"))
+        .withColumn("bin_id", (col("offset") / budget).cast("long"))
+        .groupBy("bin_id")
+        .agg(count(lit(1)).as("n_examples"),
+          sum("seq_len").as("bin_tokens"),
+          sum("loss_len").as("bin_loss_tokens"),
+          round(sum("loss_len").cast("double") /
+            sum("seq_len").cast("double"), 9).as("loss_ratio"))
+        .orderBy("bin_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+           |  FROM documents),
+           |ex AS (
+           |  SELECT doc_id, n,
+           |    least(3 + doc_id % 8, n // 2) AS prompt_len,
+           |    n + 3 AS seq_len, n - least(3 + doc_id % 8, n // 2) + 1 AS loss_len
+           |  FROM t),
+           |o AS (
+           |  SELECT doc_id, seq_len, loss_len,
+           |    COALESCE(sum(seq_len) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           |  FROM ex)
+           |SELECT CAST(off // 2048 AS BIGINT) AS bin_id, count(*) AS n_examples,
+           |  CAST(sum(seq_len) AS BIGINT) AS bin_tokens,
+           |  CAST(sum(loss_len) AS BIGINT) AS bin_loss_tokens,
+           |  round(CAST(sum(loss_len) AS DOUBLE) / CAST(sum(seq_len) AS DOUBLE),
+           |    9) AS loss_ratio
+           |FROM o GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** TOKEN-BUDGET MIXTURE ALLOCATION with epoch caps — given per-stratum
+    * ((source, lang) cell) corpus sizes (ONE distributed aggregation; the rest is
+    * roster-sized), temperature-upweighted target shares
+    * (α = 0.5: weight ∝ √tokens, the multilingual-mixing convention),
+    * a total budget of 1.8× the corpus, and a hard 2-epoch repetition
+    * cap, compute each source's allocated tokens by capped
+    * proportional WATERFILLING: 3 rounds of
+    * `alloc ← min(cap, alloc + surplus·w/Σw_uncapped)`, every share
+    * an integer token count (weights quantized to nanos before the
+    * sums, so both engines round identically). Small sources hit the
+    * cap and their surplus flows to large ones — the gate pins the
+    * dynamics, not just the formula. */
+  val q263TokenBudget = GraftQuery(
+    "q263_token_budget",
+    (s, dir) => {
+      // half-away-from-zero, matching DuckDB round() on NEGATIVE
+      // surplus shares too (math.round is floor(x+0.5) — differs at
+      // exactly −.5)
+      def roundL(x: Double): Long =
+        BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val perSource = Tables.documents(s, dir)
+        .groupBy(concat_ws("/", col("source"), col("lang")).as("stratum"))
+        .agg(sum(Text.tokenCount(col("text")).cast("long")).as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      val totalT = perSource.map(_._2).sum
+      val budget = 9L * totalT / 5L
+      val capped = perSource.map { case (src, t) => (src, t, 2L * t) }
+      val w9 = capped.map { case (_, t, _) => roundL(math.sqrt(t.toDouble) * 1e9) }
+      val s9All = w9.sum
+      var alloc = capped.zipWithIndex.map { case ((_, _, cap), i) =>
+        math.min(cap,
+          roundL(budget.toDouble * (w9(i).toDouble / s9All.toDouble)))
+      }
+      for (_ <- 1 to 3) {
+        val surplus = budget - alloc.sum
+        val uncapIdx = alloc.indices.filter(i => alloc(i) < capped(i)._3)
+        val s9u = uncapIdx.map(w9).sum
+        if (uncapIdx.nonEmpty && s9u > 0) {
+          val next = alloc.clone()
+          uncapIdx.foreach { i =>
+            next(i) = math.min(capped(i)._3, alloc(i) +
+              roundL(surplus.toDouble * (w9(i).toDouble / s9u.toDouble)))
+          }
+          alloc = next
+        }
+      }
+      import s.implicits._
+      capped.zipWithIndex.map { case ((src, t, cap), i) =>
+        (src, t, cap, alloc(i),
+          BigDecimal(alloc(i).toDouble / t.toDouble)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq.toDF("stratum", "t_tokens", "cap_tokens", "alloc_tokens", "epochs")
+        .orderBy("stratum")
+    },
+    Some("""WITH t AS MATERIALIZED (
+           |  SELECT source || '/' || lang AS stratum,
+           |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+           |      AS t
+           |  FROM documents GROUP BY 1),
+           |g AS MATERIALIZED (
+           |  SELECT CAST(9 * sum(t) // 5 AS BIGINT) AS b FROM t),
+           |w AS MATERIALIZED (
+           |  SELECT stratum, t, 2 * t AS cap,
+           |    CAST(round(sqrt(CAST(t AS DOUBLE)) * 1e9) AS BIGINT) AS w9
+           |  FROM t),
+           |a0 AS MATERIALIZED (
+           |  SELECT stratum, t, cap, w9,
+           |    least(cap, CAST(round(CAST((SELECT b FROM g) AS DOUBLE) *
+           |      (CAST(w9 AS DOUBLE) / CAST((SELECT sum(w9) FROM w) AS DOUBLE)))
+           |      AS BIGINT)) AS alloc
+           |  FROM w),
+           |a1 AS MATERIALIZED (
+           |  SELECT stratum, t, cap, w9,
+           |    CASE WHEN alloc < cap AND
+           |        (SELECT sum(w9) FROM a0 WHERE alloc < cap) > 0
+           |      THEN least(cap, alloc + CAST(round(
+           |        CAST((SELECT b FROM g) - (SELECT sum(alloc) FROM a0)
+           |          AS DOUBLE) * (CAST(w9 AS DOUBLE) /
+           |        CAST((SELECT sum(w9) FROM a0 WHERE alloc < cap) AS DOUBLE)))
+           |        AS BIGINT))
+           |      ELSE alloc END AS alloc
+           |  FROM a0),
+           |a2 AS MATERIALIZED (
+           |  SELECT stratum, t, cap, w9,
+           |    CASE WHEN alloc < cap AND
+           |        (SELECT sum(w9) FROM a1 WHERE alloc < cap) > 0
+           |      THEN least(cap, alloc + CAST(round(
+           |        CAST((SELECT b FROM g) - (SELECT sum(alloc) FROM a1)
+           |          AS DOUBLE) * (CAST(w9 AS DOUBLE) /
+           |        CAST((SELECT sum(w9) FROM a1 WHERE alloc < cap) AS DOUBLE)))
+           |        AS BIGINT))
+           |      ELSE alloc END AS alloc
+           |  FROM a1),
+           |a3 AS MATERIALIZED (
+           |  SELECT stratum, t, cap, w9,
+           |    CASE WHEN alloc < cap AND
+           |        (SELECT sum(w9) FROM a2 WHERE alloc < cap) > 0
+           |      THEN least(cap, alloc + CAST(round(
+           |        CAST((SELECT b FROM g) - (SELECT sum(alloc) FROM a2)
+           |          AS DOUBLE) * (CAST(w9 AS DOUBLE) /
+           |        CAST((SELECT sum(w9) FROM a2 WHERE alloc < cap) AS DOUBLE)))
+           |        AS BIGINT))
+           |      ELSE alloc END AS alloc
+           |  FROM a2)
+           |SELECT stratum, t AS t_tokens, cap AS cap_tokens,
+           |  alloc AS alloc_tokens,
+           |  round(CAST(alloc AS DOUBLE) / CAST(t AS DOUBLE), 9) AS epochs
+           |FROM a3 ORDER BY stratum""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q50TrainTestSplit, q51VocabTopK, q52Tfidf,
     q53Contamination, q70PretrainPipeline, q86SequencePacking, q87MixtureSample,
     q92QuantileBinning, q93FeatureHash, q100StratifiedSample, q106WeightedSample,
     q110DecontaminatedSplit, q169Bm25Retrieval, q182CorpusShards,
     q191VocabTopP, q192SkewDiagnostic, q198OovRate, q205GroupQuantiles,
-    q209TemperatureMixture, q246SpanCorruption)
+    q209TemperatureMixture, q246SpanCorruption, q262SftLossMask,
+    q263TokenBudget)
 }
