@@ -433,6 +433,83 @@ object Multimodal {
     spark.createDataFrame(rdd, wavStatsSchema)
   }
 
+  /** Quantized windowed-DFT basis shared by the executor kernel and
+    * the oracle-SQL generator: for bin k and in-frame position t,
+    * `c9 = round(1e9·cos(2πkt/N)·hann(t))`, `s9` the sine twin, with
+    * `hann(t) = 0.5 − 0.5·cos(2πt/N)` (periodic Hann) — integer
+    * nanos, so the per-frame spectrum is EXACT int64 arithmetic on
+    * both engines (no cross-engine trig: the table is computed once
+    * here and inlined into both sides). Bins 0..N/2 (the real
+    * spectrum's non-redundant half). */
+  def dftBasis(frameLen: Int): Seq[(Int, Int, Long, Long)] = {
+    def q9(x: Double): Long =
+      BigDecimal(x * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    for (k <- 0 to frameLen / 2; t <- 0 until frameLen) yield {
+      val w = 0.5 - 0.5 * math.cos(2 * math.Pi * t / frameLen)
+      val th = 2 * math.Pi * k * t / frameLen
+      (k, t, q9(math.cos(th) * w), q9(math.sin(th) * w))
+    }
+  }
+
+  private val spectrogramSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("k", LongType),
+    StructField("r6", LongType),
+    StructField("i6", LongType)))
+
+  /** AUDIO SPECTROGRAM FEATURES: decode each payload as PCM WAV,
+    * slide `frameLen`-sample frames at `hop`, and correlate every
+    * frame against the quantized windowed-DFT basis — per (media,
+    * bin): Σ over frames of |Re|/10⁶ and |Im|/10⁶ (micro-quantized
+    * magnitudes keep the cross-media sums inside int64 at any corpus
+    * size). Per-partition imperative decode (the codec contract —
+    * audio bytes never pass through a SQL expression), O(frames ·
+    * bins · frameLen) ints per clip, no shuffle until the caller's
+    * aggregation. Undecodable payloads yield NULL feature rows. */
+  def spectrogram(media: DataFrame, frameLen: Int, hop: Int): DataFrame = {
+    val spark = media.sparkSession
+    val basis = dftBasis(frameLen)
+    val nBins = frameLen / 2 + 1
+    val cos = Array.ofDim[Long](nBins, frameLen)
+    val sin = Array.ofDim[Long](nBins, frameLen)
+    basis.foreach { case (k, t, c9, s9) => cos(k)(t) = c9; sin(k)(t) = s9 }
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        Codecs.decodeWav(bytes) match {
+          case Some(wav) =>
+            val x = wav.samples
+            val nFrames =
+              if (x.length < frameLen) 0 else (x.length - frameLen) / hop + 1
+            val r6 = new Array[Long](nBins)
+            val i6 = new Array[Long](nBins)
+            var f = 0
+            while (f < nFrames) {
+              val base = f * hop
+              var k = 0
+              while (k < nBins) {
+                var re = 0L; var im = 0L
+                var t = 0
+                while (t < frameLen) {
+                  val s = x(base + t).toLong
+                  re += s * cos(k)(t); im += s * sin(k)(t)
+                  t += 1
+                }
+                r6(k) += math.abs(re) / 1000000L
+                i6(k) += math.abs(im) / 1000000L
+                k += 1
+              }
+              f += 1
+            }
+            (0 until nBins).map(k => Row(id, k.toLong, r6(k), i6(k)))
+          case None => Seq(Row(id, null, null, null))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, spectrogramSchema)
+  }
+
   /** Real scaler for recognized images (decode → nearest-neighbor →
     * P6 re-encode); DETERMINISTIC FAKE fallback otherwise (strides
     * bytes down to the target budget, deterministic in (payload,

@@ -223,7 +223,53 @@ object MultimodalQueries {
            |FROM cells GROUP BY media_id, patch_x, patch_y
            |ORDER BY media_id, patch_y, patch_x""".stripMargin))
 
+  /** AUDIO SPECTROGRAM over real WAV containers: 128-sample clips →
+    * 32-sample Hann-windowed frames at hop 16 → windowed DFT against
+    * the [[Multimodal.dftBasis]] nano-quantized basis — EXACT int64
+    * per-frame spectra, micro-quantized magnitudes summed per (clip,
+    * bin), then one aggregation to the 17-bin corpus profile. The
+    * oracle replays the closed-form samples (never the decoder) against
+    * the SAME inlined basis table, so container parsing, framing, and
+    * the DFT walk are all pinned; the basis itself is pinned by
+    * `MultimodalSpec`'s analytic checks (DC bin = Hann mass, Parseval
+    * sanity). */
+  val q264AudioSpectrogram = GraftQuery(
+    "q264_audio_spectrogram",
+    (s, dir) =>
+      Multimodal.spectrogram(
+          Multimodal.synthesizeWav(Tables.documents(s, dir), 8000, 128),
+          frameLen = 32, hop = 16)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_media"),
+          sum("r6").as("sum_r6"), sum("i6").as("sum_i6"))
+        .orderBy("k"),
+    Some(s"""WITH sm AS MATERIALIZED (
+            |  SELECT d.doc_id AS m, i.g AS t,
+            |    ((d.doc_id * 7919 + i.g * 104729) % 65536) - 32768 AS x
+            |  FROM documents d,
+            |    LATERAL (SELECT unnest(generate_series(0, 127)) g) i),
+            |basis(k, t, c9, s9) AS (VALUES
+            |  ${Multimodal.dftBasis(32)
+               .map { case (k, t, c9, s9) => s"($k,$t,$c9,$s9)" }
+               .grouped(8).map(_.mkString(",")).mkString(",\n  ")}),
+            |fr AS (
+            |  SELECT sm.m, fl.f, b.k,
+            |    CAST(sum(sm.x * b.c9) AS BIGINT) AS re,
+            |    CAST(sum(sm.x * b.s9) AS BIGINT) AS im
+            |  FROM (SELECT unnest(generate_series(0, 6)) AS f) fl
+            |  JOIN sm ON sm.t >= fl.f * 16 AND sm.t < fl.f * 16 + 32
+            |  JOIN basis b ON b.t = sm.t - fl.f * 16
+            |  GROUP BY 1, 2, 3),
+            |per AS (
+            |  SELECT m, k, CAST(sum(abs(re) // 1000000) AS BIGINT) AS r6,
+            |    CAST(sum(abs(im) // 1000000) AS BIGINT) AS i6
+            |  FROM fr GROUP BY 1, 2)
+            |SELECT CAST(k AS BIGINT) AS k, count(*) AS n_media,
+            |  CAST(sum(r6) AS BIGINT) AS sum_r6,
+            |  CAST(sum(i6) AS BIGINT) AS sum_i6
+            |FROM per GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q154PpmDecode, q155PpmResize, q156WavDecode, q158BmpDecode,
-      q196ImageHeaderSniff, q240ImagePatches)
+      q196ImageHeaderSniff, q240ImagePatches, q264AudioSpectrogram)
 }

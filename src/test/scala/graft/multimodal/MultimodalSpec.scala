@@ -94,4 +94,50 @@ class MultimodalSpec extends SparkSpec {
       assert(totals(id) === want, s"image $id")
     }
   }
+
+  test("dftBasis: analytic pins (DC row = quantized Hann, sine DC = 0)") {
+    val n = 32
+    val basis = Multimodal.dftBasis(n)
+    assert(basis.size === (n / 2 + 1) * n)
+    def q9(x: Double): Long =
+      BigDecimal(x * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    basis.filter(_._1 == 0).foreach { case (_, t, c9, s9) =>
+      val hann = 0.5 - 0.5 * math.cos(2 * math.Pi * t / n)
+      assert(c9 === q9(hann), s"t=$t") // cos(0)=1 → DC row IS the window
+      assert(s9 === 0L, s"t=$t")
+    }
+    // periodic Hann sums to exactly N/2; the quantized row must sum to
+    // 1e9·N/2 within one nano per element
+    val dcMass = basis.filter(_._1 == 0).map(_._3).sum
+    assert(math.abs(dcMass - n / 2 * 1000000000L) <= n, dcMass.toString)
+  }
+
+  test("spectrogram: a pure bin-4 cosine concentrates there; DC goes to bin 0") {
+    // two clips: constant amplitude 1000 (all DC) and cos(2π·4t/32)·1000
+    val clips = Seq(
+      (0L, Array.fill(64)(1000.toShort)),
+      (1L, Array.tabulate(64)(t =>
+        (1000 * math.cos(2 * math.Pi * 4 * t / 32)).round.toShort)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(clips.map { case (id, xs) =>
+        org.apache.spark.sql.Row(id,
+          Codecs.encodeWav(Codecs.Wav(8000, 1, 16, xs)), "audio", 0)
+      }),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("media_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("byte_len",
+          org.apache.spark.sql.types.IntegerType))))
+    val rows = Multimodal.spectrogram(media, 32, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) + r.getLong(3)))
+    val dc = rows.filter(_._1 == 0L).map(t => t._2 -> t._3).toMap
+    val tone = rows.filter(_._1 == 1L).map(t => t._2 -> t._3).toMap
+    assert(dc(0L) === dc.values.max) // constant signal peaks at DC
+    assert(tone(4L) === tone.values.max, tone.toString) // tone peaks at its bin
+    assert(tone(4L) > 10 * tone(0L)) // and clearly, not marginally
+  }
 }
