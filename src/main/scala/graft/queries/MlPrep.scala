@@ -1111,11 +1111,174 @@ object MlPrep {
            |  round(CAST(alloc AS DOUBLE) / CAST(t AS DOUBLE), 9) AS epochs
            |FROM a3 ORDER BY stratum""".stripMargin))
 
+  /** q265's oracle: replay of the 3 full-batch GD iterations as CTE
+    * chains (one g→w→z→sig→metrics block per step — the BpeLearn/
+    * UnigramLm SQL-replay discipline), with the iteration-0 metrics in
+    * closed form (z = 0 → sigma = 0.5 exactly → Brier term 0.25e9 nanos per
+    * doc, predict-0 for every row). */
+  private def q265OracleSql: String = {
+    def step(i: Int): String = {
+      val errSrc = if (i == 1)
+        s"e0 AS (SELECT doc_id, 0.5 - y AS err FROM meta),"
+      else ""
+      val wExpr = if (i == 1)
+        s"round(0 - 0.5 * (CAST(g$i.g9 AS DOUBLE) / 1e9) / " +
+          s"CAST((SELECT nd FROM nd) AS DOUBLE), 9)"
+      else
+        s"round(w${i - 1}.w - 0.5 * (CAST(g$i.g9 AS DOUBLE) / 1e9) / " +
+          s"CAST((SELECT nd FROM nd) AS DOUBLE), 9)"
+      val wFrom = if (i == 1) s"g$i" else s"w${i - 1} JOIN g$i USING (b)"
+      s"""$errSrc
+         |g$i AS MATERIALIZED (
+         |  SELECT f.b, CAST(sum(CAST(round(1e9 * e.err * f.cnt / m.n)
+         |    AS BIGINT)) AS BIGINT) AS g9
+         |  FROM f JOIN meta m USING (doc_id) JOIN e${i - 1} e USING (doc_id)
+         |  GROUP BY 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT b, $wExpr AS w FROM $wFrom),
+         |z$i AS MATERIALIZED (
+         |  SELECT f.doc_id,
+         |    CAST(sum(CAST(round(1e9 * w$i.w * f.cnt / m.n) AS BIGINT))
+         |      AS BIGINT) AS z9,
+         |    max(m.y) AS y
+         |  FROM f JOIN meta m USING (doc_id) JOIN w$i USING (b)
+         |  GROUP BY 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT doc_id, y, z9,
+         |    0.5 * (1 + (CAST(z9 AS DOUBLE) / 1e9) /
+         |      (1 + abs(CAST(z9 AS DOUBLE) / 1e9))) AS sig
+         |  FROM z$i),
+         |e$i AS MATERIALIZED (SELECT doc_id, sig - y AS err FROM s$i),
+         |met$i AS (
+         |  SELECT CAST($i AS BIGINT) AS iter,
+         |    CAST(sum(CAST(round(1e9 * (sig - y) * (sig - y)) AS BIGINT))
+         |      AS BIGINT) AS loss9,
+         |    CAST(sum(CASE WHEN (z9 > 0) = (y = 1) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_correct
+         |  FROM s$i)""".stripMargin
+    }
+    s"""WITH meta AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n,
+       |    CASE WHEN list_contains(string_split_regex(trim(text), '\\s+'),
+       |      'spark') THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |f AS MATERIALIZED (
+       |  SELECT t.doc_id,
+       |    CAST(('0x' || substr(md5(t.tok), 1, 4))::BIGINT % 8 AS BIGINT)
+       |      AS b,
+       |    count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+'))
+       |          AS tok FROM documents) t
+       |  GROUP BY 1, 2),
+       |nd AS (SELECT count(*) AS nd FROM meta),
+       |met0 AS (
+       |  SELECT CAST(0 AS BIGINT) AS iter,
+       |    CAST(250000000 * (SELECT nd FROM nd) AS BIGINT) AS loss9,
+       |    (SELECT CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |     FROM meta) AS n_correct),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)}
+       |SELECT iter, loss9, n_correct,
+       |  (SELECT nd FROM nd) AS n_docs
+       |FROM (SELECT * FROM met0 UNION ALL SELECT * FROM met1
+       |      UNION ALL SELECT * FROM met2 UNION ALL SELECT * FROM met3)
+       |ORDER BY iter""".stripMargin
+  }
+
+  /** IN-ENGINE LINEAR CLASSIFIER TRAINING — the content-filter model
+    * a curation pipeline trains on its own corpus (here: does the
+    * document mention the product term): 8 hashed bag-of-words
+    * features (q93's bucket convention, length-normalized), a rational
+    * squashing sigma(z) = 0.5*(1 + z/(1+|z|)) — sigmoid-shaped but exactly
+    * computable, no cross-engine exp() ulp drift — and 3 full-batch
+    * gradient steps from w = 0. The gate emits the TRAINING CURVE:
+    * per-iteration Brier loss in integer nanos and exact-margin
+    * accuracy — monotone loss descent is the training-works invariant
+    * (pinned by Round9Spec) and is exactly replayable, unlike an
+    * accuracy claim on features this collided.
+    *
+    * Scale shape: each step is ONE distributed aggregation — margins
+    * come from an equi-join against the broadcast 8-weight map,
+    * per-(doc,bucket) gradient contributions quantize to integer
+    * nanos BEFORE the bucket sums (order-free), and only the 8-row
+    * gradient ever reaches the driver (the KMeans/BpeLearn pattern).
+    * Weights round to 9 decimals each step, so the oracle's replay of
+    * all three iterations is bit-exact. */
+  val q265ClassifierTrain = GraftQuery(
+    "q265_classifier_train",
+    (s, dir) => {
+      def round9(x: Double): Double =
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val docs = Tables.documents(s, dir)
+      val meta = docs.select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n"),
+        array_contains(Text.tokens(col("text")), "spark").cast("long").as("y"))
+      val feats = docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .withColumn("b",
+          conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long") % 8)
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+        .join(meta, "doc_id")
+        .cache()
+      val nDocs = meta.count()
+      def wCol(w: Array[Double]) = map_from_arrays(
+        typedLit((0 until 8).map(_.toLong)), typedLit(w.toSeq))
+      def margins(w: Array[Double]) = feats
+        .withColumn("c9",
+          round(lit(1e9) * element_at(wCol(w), col("b")) * col("cnt") /
+            col("n"), 0).cast("long"))
+        .groupBy("doc_id").agg(sum("c9").as("z9"),
+          max("y").as("y"), max("n").as("n"))
+      def withSig(m: org.apache.spark.sql.DataFrame) = m
+        .withColumn("z", col("z9").cast("double") / 1e9)
+        .withColumn("sig",
+          lit(0.5) * (lit(1.0) + col("z") / (lit(1.0) + abs(col("z")))))
+      // (loss9, n_correct) under the current weights: Brier loss in
+      // integer nanos (order-free sum) + the exact-margin accuracy
+      // (z9 > 0 is an INTEGER compare — no float threshold)
+      def metrics(w: Array[Double]): (Long, Long) = {
+        val r = withSig(margins(w))
+          .agg(
+            sum(round(lit(1e9) * (col("sig") - col("y")) *
+              (col("sig") - col("y")), 0).cast("long")).as("loss9"),
+            sum(((col("z9") > 0).cast("long") === col("y")).cast("long"))
+              .as("n_correct"))
+          .collect().head
+        (r.getLong(0), r.getLong(1))
+      }
+      var w = Array.fill(8)(0.0)
+      val curve = scala.collection.mutable.ListBuffer[(Long, Long, Long)]()
+      val m0 = metrics(w)
+      curve += ((0L, m0._1, m0._2))
+      for (it <- 1 to 3) {
+        val err = withSig(margins(w))
+          .withColumn("err", col("sig") - col("y"))
+        val g9 = feats.join(err.select(col("doc_id"), col("err")), "doc_id")
+          .withColumn("g9",
+            round(lit(1e9) * col("err") * col("cnt") / col("n"), 0)
+              .cast("long"))
+          .groupBy("b").agg(sum("g9").as("g9"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        w = Array.tabulate(8)(b =>
+          round9(w(b) - 0.5 * (g9.getOrElse(b.toLong, 0L).toDouble / 1e9) /
+            nDocs.toDouble))
+        val m = metrics(w)
+        curve += ((it.toLong, m._1, m._2))
+      }
+      import s.implicits._
+      curve.toSeq.toDF("iter", "loss9", "n_correct")
+        .withColumn("n_docs", lit(nDocs))
+        .orderBy("iter")
+    },
+    Some(q265OracleSql))
+
   val all: Seq[GraftQuery] = Seq(q50TrainTestSplit, q51VocabTopK, q52Tfidf,
     q53Contamination, q70PretrainPipeline, q86SequencePacking, q87MixtureSample,
     q92QuantileBinning, q93FeatureHash, q100StratifiedSample, q106WeightedSample,
     q110DecontaminatedSplit, q169Bm25Retrieval, q182CorpusShards,
     q191VocabTopP, q192SkewDiagnostic, q198OovRate, q205GroupQuantiles,
     q209TemperatureMixture, q246SpanCorruption, q262SftLossMask,
-    q263TokenBudget)
+    q263TokenBudget, q265ClassifierTrain)
 }

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Round-9: analytic-window completion, post-training (RLHF/eval)
+  * data ops, SFT/mixture prep, and in-engine classifier training.
+  * Each test pins a property the DuckDB hash-compare can't observe —
+  * monotonicity laws, conservation invariants, and estimator
+  * consistency. */
+class Round9Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q258: pass@k is monotone in k and consistent with the correct-rate") {
+    // sf0.001 has ~3 generations per problem, so only k=1 qualifies
+    // there; sf0.01 carries all three k values (tri-SF gate covers it)
+    val rows = PostTraining.q258PassAtK.run(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows.keySet === Set(1L, 5L, 10L))
+    // more attempts can only help: pass@1 <= pass@5 <= pass@10
+    assert(rows(1L) <= rows(5L) && rows(5L) <= rows(10L), rows.toString)
+    assert(rows(1L) > 0.0 && rows(10L) < 1.0)
+  }
+
+  test("q259: Bradley-Terry recovers the planted strength ORDER and " +
+    "strengths form a distribution") {
+    val rows = PostTraining.q259BradleyTerry.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(rows.length === 8)
+    val byModel = rows.sortBy(_._1).map(_._2)
+    // true strengths are linear in the model index; the MM fit must
+    // recover the order exactly
+    assert(byModel.zip(byModel.tail).forall { case (a, b) => a < b },
+      byModel.mkString(","))
+    // normalized to a distribution (within nano rounding)
+    assert(math.abs(byModel.sum - 1.0) < 1e-6)
+  }
+
+  test("q260: GRPO advantages sum to ~zero within every group (conservation)") {
+    // groups (customers) SPAN priorities, so per-priority sums don't
+    // telescope — but the CORPUS-WIDE sum is a sum over complete
+    // groups, each zero up to per-row nano rounding
+    val rows = PostTraining.q260GrpoAdvantage.run(spark, dir).collect()
+    val total9 = rows.map(_.getLong(2)).sum
+    val nRows = rows.map(_.getLong(1)).sum
+    assert(math.abs(total9) <= nRows, s"|$total9| > $nRows nanos")
+    // and advantages are genuinely spread (not all zero)
+    rows.foreach(r => assert(r.getLong(3) > 0L))
+  }
+
+  test("q261: DPO margins respect the band floor and chosen beats rejected") {
+    val rows = PostTraining.q261DpoPairs.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 5L) // floor(0.25 * 20) = 5 is the min band
+      assert(r.getLong(1) > 0L)
+    }
+  }
+
+  test("q262: loss mask counts telescope (tokens = loss + masked prompt+2)") {
+    val rows = MlPrep.q262SftLossMask.run(spark, dir).collect()
+    val nExamples = rows.map(_.getLong(1)).sum
+    val totTokens = rows.map(_.getLong(2)).sum
+    val totLoss = rows.map(_.getLong(3)).sum
+    // per example: seq = n+3, loss = n-p+1, masked = p+2 -> over the
+    // corpus: tokens - loss = sum(p) + 2*examples
+    assert(totLoss < totTokens)
+    val masked = totTokens - totLoss
+    assert(masked >= 2 * nExamples) // every example masks at least 2 markers
+    rows.foreach(r => assert(r.getDouble(4) > 0.0 && r.getDouble(4) < 1.0))
+  }
+
+  test("q263: allocation exhausts the budget up to rounding and respects caps") {
+    val rows = MlPrep.q263TokenBudget.run(spark, dir).collect()
+    val t = rows.map(_.getLong(1)).sum
+    val alloc = rows.map(_.getLong(3)).sum
+    val budget = 9L * t / 5L
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), s"${r.getString(0)} over cap")
+      assert(r.getDouble(4) <= 2.0 + 1e-9)
+    }
+    // waterfilling leaves at most a per-stratum rounding residue
+    assert(budget - alloc >= 0 || alloc - budget <= rows.length,
+      s"alloc $alloc vs budget $budget")
+    assert(math.abs(budget - alloc) <= 2L * rows.length,
+      s"unallocated ${budget - alloc}")
+    // the cap binds somewhere (heterogeneous strata) — the dynamics
+    // are exercised, not just the formula
+    assert(rows.exists(r => r.getLong(3) === r.getLong(2)))
+  }
+
+  test("q265: training strictly decreases the Brier loss every iteration") {
+    val rows = MlPrep.q265ClassifierTrain.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(rows.length === 4)
+    rows.zip(rows.tail).foreach { case ((i, a), (j, b)) =>
+      assert(b < a, s"loss did not decrease at iter $j: $a -> $b")
+    }
+  }
+
+  test("q257: centile tiles partition the orders table near-evenly") {
+    val rows = Extras.q257GlobalNtilePrank.run(spark, dir).collect()
+    assert(rows.length === 100)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.max - counts.min <= 1) // SQL-standard ntile split
+    // percent_rank spans are ordered and inside [0, 1]
+    val spans = rows.map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    spans.foreach { case (_, lo, hi) =>
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= hi)
+    }
+    assert(spans.sortBy(_._1).map(_._2).sliding(2).forall(s =>
+      s.head <= s.last))
+  }
+}
