@@ -969,8 +969,115 @@ object EvalMetrics {
            |    CAST(n_pos AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS brier_bin
            |FROM m ORDER BY bin""".stripMargin))
 
+  /** CLUSTERING-AGREEMENT METRICS — Adjusted Rand Index and Normalized
+    * Mutual Information between two labelings of the corpus (the
+    * cluster-quality eval for embedding/dedup clusterings against
+    * ground truth). The "predicted" labeling is the true language with
+    * a deterministic 1-in-7 cyclic perturbation, so the metrics sit at
+    * a known high-agreement operating point instead of the
+    * uninformative ~0 two independent columns would give.
+    *
+    * Everything before the TWO final divisions is exact integer
+    * combinatorics: the contingency table (≤ |langs|² cells — one
+    * hash-aggregate over the corpus, never pair-enumeration: C(n,2)
+    * pair counts come from the closed form, which is what makes ARI
+    * computable at 100 TB), pair sums I/A/B, and ARI as the integer
+    * ratio (2IC − 2AB)/((A+B)C − 2AB). NMI's log terms follow the
+    * engine-wide ln() nano-quantization convention. */
+  val q266ClusterAgreement = GraftQuery(
+    "q266_cluster_agreement",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        col("lang").as("truth"),
+        when(col("n_chars") % 7 === 0,
+          when(col("lang") === "de", "en").when(col("lang") === "en", "es")
+            .when(col("lang") === "es", "fr").when(col("lang") === "fr", "zh")
+            .otherwise("de"))
+          .otherwise(col("lang")).as("pred"))
+      def pairs2(c: org.apache.spark.sql.Column) = (c * (c - 1) / 2).cast("long")
+      val cells = d.groupBy("truth", "pred").agg(count(lit(1)).as("nij"))
+      val rowS = cells.groupBy("truth").agg(sum("nij").as("ai"))
+      val colS = cells.groupBy("pred").agg(sum("nij").as("bj"))
+      val tot = d.groupBy().agg(count(lit(1)).as("n"))
+      val iPairs = cells.agg(sum(pairs2(col("nij"))).as("i")).collect().head.getLong(0)
+      val aPairs = rowS.agg(sum(pairs2(col("ai"))).as("a")).collect().head.getLong(0)
+      val bPairs = colS.agg(sum(pairs2(col("bj"))).as("b")).collect().head.getLong(0)
+      val n = tot.collect().head.getLong(0)
+      val cPairs = n * (n - 1) / 2
+      val ari = BigDecimal(
+        (2.0 * iPairs * cPairs - 2.0 * aPairs * bPairs) /
+          ((aPairs + bPairs).toDouble * cPairs - 2.0 * aPairs * bPairs))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // MI and entropies: nano-quantized log terms, order-free int sums
+      val mi9 = cells.join(broadcast(rowS), "truth")
+        .join(broadcast(colS), "pred").crossJoin(broadcast(tot))
+        .select(round(lit(1e9) * (col("nij").cast("double") / col("n")) *
+          log((col("n") * col("nij")).cast("double") /
+            (col("ai") * col("bj")).cast("double")), 0).cast("long").as("t9"))
+        .agg(sum("t9")).collect().head.getLong(0)
+      def h9(sums: org.apache.spark.sql.DataFrame, c: String): Long = sums
+        .crossJoin(broadcast(tot))
+        .select(round(lit(1e9) * (col(c).cast("double") / col("n")) *
+          log(col("n").cast("double") / col(c).cast("double")), 0)
+          .cast("long").as("t9"))
+        .agg(sum("t9")).collect().head.getLong(0)
+      val ha9 = h9(rowS, "ai"); val hb9 = h9(colS, "bj")
+      val nmi = BigDecimal(mi9.toDouble /
+          math.sqrt(ha9.toDouble * hb9.toDouble))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      Seq((n, iPairs, aPairs, bPairs, ari, nmi))
+        .toDF("n", "i_pairs", "a_pairs", "b_pairs", "ari", "nmi")
+    },
+    Some("""WITH d AS MATERIALIZED (
+           |  SELECT lang AS truth,
+           |    CASE WHEN n_chars % 7 = 0 THEN
+           |      CASE lang WHEN 'de' THEN 'en' WHEN 'en' THEN 'es'
+           |        WHEN 'es' THEN 'fr' WHEN 'fr' THEN 'zh' ELSE 'de' END
+           |    ELSE lang END AS pred
+           |  FROM documents),
+           |cells AS MATERIALIZED (
+           |  SELECT truth, pred, count(*) AS nij FROM d GROUP BY 1, 2),
+           |rs AS MATERIALIZED (
+           |  SELECT truth, CAST(sum(nij) AS BIGINT) AS ai FROM cells GROUP BY 1),
+           |cs AS MATERIALIZED (
+           |  SELECT pred, CAST(sum(nij) AS BIGINT) AS bj FROM cells GROUP BY 1),
+           |tot AS MATERIALIZED (SELECT count(*) AS n FROM d),
+           |sums AS MATERIALIZED (
+           |  SELECT
+           |    (SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) FROM cells)
+           |      AS i,
+           |    (SELECT CAST(sum(ai * (ai - 1) // 2) AS BIGINT) FROM rs) AS a,
+           |    (SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) FROM cs) AS b,
+           |    (SELECT CAST(n * (n - 1) // 2 AS BIGINT) FROM tot) AS c,
+           |    (SELECT n FROM tot) AS n),
+           |mi AS MATERIALIZED (
+           |  SELECT CAST(sum(CAST(round(1e9 *
+           |      (CAST(nij AS DOUBLE) / t.n) *
+           |      ln(CAST(t.n * nij AS DOUBLE) / CAST(rs.ai * cs.bj AS DOUBLE)))
+           |    AS BIGINT)) AS BIGINT) AS mi9
+           |  FROM cells JOIN rs USING (truth) JOIN cs USING (pred), tot t),
+           |ha AS MATERIALIZED (
+           |  SELECT CAST(sum(CAST(round(1e9 * (CAST(ai AS DOUBLE) / t.n) *
+           |    ln(CAST(t.n AS DOUBLE) / CAST(ai AS DOUBLE))) AS BIGINT))
+           |    AS BIGINT) AS h9
+           |  FROM rs, tot t),
+           |hb AS MATERIALIZED (
+           |  SELECT CAST(sum(CAST(round(1e9 * (CAST(bj AS DOUBLE) / t.n) *
+           |    ln(CAST(t.n AS DOUBLE) / CAST(bj AS DOUBLE))) AS BIGINT))
+           |    AS BIGINT) AS h9
+           |  FROM cs, tot t)
+           |SELECT CAST(s.n AS BIGINT) AS n, s.i AS i_pairs, s.a AS a_pairs,
+           |  s.b AS b_pairs,
+           |  round((2.0 * s.i * s.c - 2.0 * s.a * s.b) /
+           |    ((s.a + s.b) * 1.0 * s.c - 2.0 * s.a * s.b), 9) AS ari,
+           |  round(CAST(mi.mi9 AS DOUBLE) /
+           |    sqrt(CAST(ha.h9 AS DOUBLE) * CAST(hb.h9 AS DOUBLE)), 9) AS nmi
+           |FROM sums s, mi, ha, hb""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q178RetrievalEval, q179GroupedAuc, q180SeasonalDecompose,
       q210DedupEval, q212DriftMonitor, q216BleuEval, q217LabelAgreement,
-      q227CupedAdjustment, q235BootstrapCi, q238RougeL, q245CalibrationBrier)
+      q227CupedAdjustment, q235BootstrapCi, q238RougeL, q245CalibrationBrier,
+      q266ClusterAgreement)
 }

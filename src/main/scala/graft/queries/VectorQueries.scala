@@ -645,8 +645,77 @@ object VectorQueries {
             |ORDER BY s.qid, rank""".stripMargin
     }))
 
+  /** MATRYOSHKA (MRL) TRUNCATION EVAL — retrieval recall when only a
+    * PREFIX of each embedding is kept (the deployment decision
+    * matryoshka-trained models exist for: how many dims can serving
+    * drop?): exact top-5 by cosine at dims 8/16/64 against the
+    * full-dim truth, recall@5 per dim. Set overlaps are pure integer
+    * counts; the cosine rankings reuse [[Similarity.bruteForceTopK]]
+    * (bounded-heap per partition, broadcast queries) over `slice`d
+    * vectors — identical index-order dot products on both engines, so
+    * ranks match exactly and the d = 64 row is a built-in recall-1.0
+    * sanity anchor. */
+  val q267MatryoshkaRecall = GraftQuery(
+    "q267_matryoshka_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val nQ = 20
+      def topAtDim(d: Int) = {
+        val q = emb.filter(col("vec_id") < nQ)
+          .select(col("vec_id").as("qid"),
+            slice(col("embedding"), 1, d).as("qvec"))
+        val c = emb.select(col("vec_id").as("cid"),
+          slice(col("embedding"), 1, d).as("cvec"))
+        Similarity.bruteForceTopK(q, c, k = 5)
+          .select(col("qid"), col("neighbor_id"))
+      }
+      val truth = topAtDim(64)
+      Seq(8, 16, 64).map { d =>
+        topAtDim(d).join(truth, Seq("qid", "neighbor_id"))
+          .groupBy().agg(count(lit(1)).as("n_hits"))
+          .select(lit(d).cast("long").as("dim"), col("n_hits"),
+            round(col("n_hits").cast("double") / (nQ * 5), 9)
+              .as("recall_at_5"))
+      }.reduce(_ union _).orderBy("dim")
+    },
+    Some {
+      def cosAt(d: Int) =
+        s"""list_sum(list_transform(a.embedding[1:$d],
+           |      (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           |    / (sqrt(list_sum(list_transform(a.embedding[1:$d],
+           |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           |     * sqrt(list_sum(list_transform(b.embedding[1:$d],
+           |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+      val tops = Seq(8, 16, 64).map { d =>
+        s"""top$d AS MATERIALIZED (
+           |  SELECT qid, neighbor_id FROM (
+           |    SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY ${cosAt(d)} DESC, b.vec_id ASC) AS rank
+           |    FROM (SELECT * FROM embeddings WHERE vec_id < 20) a
+           |    JOIN embeddings b ON b.vec_id <> a.vec_id)
+           |  WHERE rank <= 5)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $tops
+         |SELECT CAST(d.d AS BIGINT) AS dim,
+         |  CAST(count(*) AS BIGINT) AS n_hits,
+         |  round(CAST(count(*) AS DOUBLE) / 100, 9) AS recall_at_5
+         |FROM (SELECT 8 AS d UNION ALL SELECT 16 UNION ALL SELECT 64) d
+         |JOIN (
+         |  SELECT 8 AS d, t.qid, t.neighbor_id FROM top8 t
+         |    JOIN top64 u ON u.qid = t.qid AND u.neighbor_id = t.neighbor_id
+         |  UNION ALL
+         |  SELECT 16, t.qid, t.neighbor_id FROM top16 t
+         |    JOIN top64 u ON u.qid = t.qid AND u.neighbor_id = t.neighbor_id
+         |  UNION ALL
+         |  SELECT 64, t.qid, t.neighbor_id FROM top64 t
+         |) h ON h.d = d.d
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    })
+
   val all: Seq[GraftQuery] = Seq(q30AnnBruteForce, q31CosinePairs, q32AnnLsh,
     q37AnnIvf, q38EmbeddingNearDup, q57EmbeddingQuantize, q103LabelCentroids,
     q109EmbeddingOutliers, q165FilteredAnn, q206QuantizedRecall,
-    q218ProductQuantization, q241TableServedAnn, q254IvfPqSearch)
+    q218ProductQuantization, q241TableServedAnn, q254IvfPqSearch,
+    q267MatryoshkaRecall)
 }
