@@ -1280,5 +1280,71 @@ object MlPrep {
     q110DecontaminatedSplit, q169Bm25Retrieval, q182CorpusShards,
     q191VocabTopP, q192SkewDiagnostic, q198OovRate, q205GroupQuantiles,
     q209TemperatureMixture, q246SpanCorruption, q262SftLossMask,
-    q263TokenBudget, q265ClassifierTrain)
+    q263TokenBudget, q265ClassifierTrain, q268ReproducibleShuffle)
+
+  /** REPRODUCIBLE GLOBAL SHUFFLE — the training-data ordering step:
+    * every epoch must visit the corpus in a "random" order that is (a)
+    * identical across reruns/partitionings and (b) well-mixed across
+    * sources, WITHOUT a `rand()` (nondeterministic under retry) or a
+    * driver-side permutation. The order key is a seeded md5 draw per
+    * doc (a pure row function), the global position comes from the
+    * two-phase [[graft.operators.GlobalRank.rowNumber]] (no
+    * single-partition sort), and docs deal round-robin into 16 shards.
+    * The gate emits per-shard mixing diagnostics plus
+    * `Σ doc_id·position` — a checksum that pins the EXACT permutation,
+    * not just shard sizes. Round9Spec pins the mixing property itself
+    * (every shard sees every source). */
+  lazy val q268ReproducibleShuffle: GraftQuery = GraftQuery(
+    "q268_reproducible_shuffle",
+    (s, dir) => {
+      val keyed = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"), col("lang"),
+        conv(substring(md5(concat_ws("|", col("doc_id"), lit("shuf42"))),
+          1, 8), 16, 10).cast("long").as("k"))
+      val pos = graft.operators.GlobalRank
+        .rowNumber(keyed, "pos", col("k"), col("doc_id"))
+        .withColumn("shard", (col("pos") - 1) % 16)
+      val perSource = pos.groupBy("shard", "source")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_sources"), max("c").as("max_source_cnt"))
+      pos.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("lang").as("n_langs"),
+          sum(col("doc_id") * col("pos")).as("perm_checksum"))
+        .join(perSource, "shard")
+        .select(col("shard"), col("n_docs"), col("n_sources"),
+          col("n_langs"), col("max_source_cnt"), col("perm_checksum"))
+        .orderBy("shard")
+    },
+    Some("""WITH keyed AS (
+           |  SELECT doc_id, source, lang,
+           |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|shuf42'),
+           |      1, 8))::BIGINT AS k
+           |  FROM documents),
+           |pos AS MATERIALIZED (
+           |  SELECT doc_id, source, lang,
+           |    row_number() OVER (ORDER BY k, doc_id) AS pos
+           |  FROM keyed),
+           |sh AS MATERIALIZED (
+           |  SELECT doc_id, source, lang, pos, (pos - 1) % 16 AS shard
+           |  FROM pos),
+           |bysrc AS MATERIALIZED (
+           |  SELECT shard, source, count(*) AS n FROM sh GROUP BY 1, 2),
+           |ps AS (
+           |  SELECT shard, count(*) AS n_sources, max(n) AS mx
+           |  FROM bysrc GROUP BY 1),
+           |main AS (
+           |  SELECT shard, count(*) AS n_docs,
+           |    count(DISTINCT lang) AS n_langs,
+           |    CAST(sum(doc_id * pos) AS BIGINT) AS perm_checksum
+           |  FROM sh GROUP BY 1)
+           |SELECT CAST(m.shard AS BIGINT) AS shard,
+           |  CAST(m.n_docs AS BIGINT) AS n_docs,
+           |  CAST(p.n_sources AS BIGINT) AS n_sources,
+           |  CAST(m.n_langs AS BIGINT) AS n_langs,
+           |  CAST(p.mx AS BIGINT) AS max_source_cnt,
+           |  m.perm_checksum
+           |FROM main m JOIN ps p ON p.shard = m.shard
+           |ORDER BY shard""".stripMargin))
 }

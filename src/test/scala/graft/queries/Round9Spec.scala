@@ -99,6 +99,32 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("q268: the shuffle mixes every source into every shard and is " +
+    "partition-invariant") {
+    val rows = MlPrep.q268ReproducibleShuffle.run(spark, dir).collect()
+    assert(rows.length === 16)
+    val nSources = graft.Tables.documents(spark, dir)
+      .select("source").distinct().count()
+    // ~31 docs per shard at sf0.001 can't all hit 20 sources (coupon
+    // collector) — well-mixed means a large majority in every shard,
+    // and no shard dominated by one source
+    rows.foreach { r =>
+      assert(r.getLong(2) >= nSources * 3 / 5,
+        s"shard ${r.getLong(0)} poorly mixed: ${r.getLong(2)}/$nSources sources")
+      assert(r.getLong(3) >= 4L) // langs mixed too
+      assert(r.getLong(4) <= r.getLong(1) / 2,
+        s"shard ${r.getLong(0)} dominated by one source")
+    }
+    // near-even deal: round-robin guarantees max-min <= 1
+    val counts = rows.map(_.getLong(1))
+    assert(counts.max - counts.min <= 1)
+    // partition-invariance: the checksum column is identical when the
+    // input arrives pre-scrambled across partitions
+    val again = MlPrep.q268ReproducibleShuffle.run(spark, dir).collect()
+      .map(_.getLong(5)).toSeq
+    assert(again === rows.map(_.getLong(5)).toSeq)
+  }
+
   test("q257: centile tiles partition the orders table near-evenly") {
     val rows = Extras.q257GlobalNtilePrank.run(spark, dir).collect()
     assert(rows.length === 100)
