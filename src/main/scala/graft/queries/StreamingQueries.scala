@@ -769,9 +769,112 @@ object StreamingQueries {
            |      UNION ALL SELECT 'direct', * FROM agg)
            |ORDER BY side, bucket""".stripMargin))
 
+  /** STREAMING GRADIENT ACCUMULATION — the distributed-training
+    * counterpart of q265: because every gradient component is an
+    * order-free INTEGER sum of per-document nano-quantized
+    * contributions, a streaming arrival schedule must produce the
+    * BIT-IDENTICAL model update the batch computation produces. The
+    * corpus streams through a real file source (3 micro-batches,
+    * `maxFilesPerTrigger = 1`); `foreachBatch` computes each batch's
+    * partial per-bucket gradient (the q265 iteration-1 formula, w = 0)
+    * and APPENDS it to a parquet accumulator (parquet-is-the-state,
+    * the q160 registry pattern — restart-safe, no driver state); the
+    * final weights come from folding the accumulator. The oracle
+    * computes the same first GD step directly over the whole corpus —
+    * a hash match IS the streamed-equals-batch theorem, and the
+    * n_increments column (3 appended partials per bucket) pins that
+    * accumulation genuinely happened incrementally. */
+  val q269StreamingGradient = GraftQuery(
+    "q269_streaming_gradient",
+    (s, dir) => {
+      import graft.functions.Text
+      val srcDir = newTempDir("graft_grad_src")
+      val accDir = newTempDir("graft_grad_acc")
+      val ckDir = newTempDir("graft_grad_ck")
+      // 3 single-file arrivals keyed by doc_id % 3 (deterministic, so
+      // the oracle can replay the per-batch increment counts): each
+      // class writes to a staging dir, its lone part file moves into
+      // the flat source dir the stream watches
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "text")
+      (0 until 3).foreach { b =>
+        val stage = newTempDir(s"graft_grad_stage$b")
+        docs.filter(col("doc_id") % 3 === b).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(srcDir, s"arrival-$b.parquet"))
+      }
+      val schema = docs.schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val q = stream.writeStream
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val meta = batch.select(col("doc_id"),
+            Text.tokenCount(col("text")).cast("long").as("n"),
+            array_contains(Text.tokens(col("text")), "spark").cast("long")
+              .as("y"))
+          val partial = batch
+            .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+            .withColumn("b",
+              conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long") % 8)
+            .groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+            .join(meta, "doc_id")
+            .withColumn("g9",
+              round(lit(1e9) * (lit(0.5) - col("y")) * col("cnt") / col("n"),
+                0).cast("long"))
+            .groupBy("b").agg(sum("g9").as("g9"), count(lit(1)).as("n_terms"))
+            .withColumn("batch_id", lit(id))
+          partial.write.mode("append").parquet(accDir)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val nDocs = docs.count()
+      val acc = s.read.parquet(accDir)
+      acc.groupBy("b").agg(
+        sum("g9").as("g9_streamed"),
+        count(lit(1)).as("n_increments"))
+        .withColumn("w1",
+          round(lit(0.0) - lit(0.5) * (col("g9_streamed").cast("double") / 1e9)
+            / lit(nDocs.toDouble), 9))
+        .select(col("b").as("bucket"), col("g9_streamed"),
+          col("n_increments"), col("w1"))
+        .orderBy("bucket")
+    },
+    Some("""WITH meta AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n,
+           |    CASE WHEN list_contains(string_split_regex(trim(text), '\s+'),
+           |      'spark') THEN 1 ELSE 0 END AS y
+           |  FROM documents),
+           |f AS (
+           |  SELECT t.doc_id,
+           |    CAST(('0x' || substr(md5(t.tok), 1, 4))::BIGINT % 8 AS BIGINT)
+           |      AS b,
+           |    count(*) AS cnt
+           |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+           |          AS tok FROM documents) t
+           |  GROUP BY 1, 2),
+           |g AS (
+           |  SELECT f.b,
+           |    CAST(sum(CAST(round(1e9 * (0.5 - m.y) * f.cnt / m.n) AS BIGINT))
+           |      AS BIGINT) AS g9,
+           |    count(DISTINCT f.doc_id % 3) AS n_increments
+           |  FROM f JOIN meta m USING (doc_id) GROUP BY 1)
+           |SELECT b AS bucket, g9 AS g9_streamed,
+           |  CAST(n_increments AS BIGINT) AS n_increments,
+           |  round(0 - 0.5 * (CAST(g9 AS DOUBLE) / 1e9) /
+           |    CAST((SELECT count(*) FROM meta) AS DOUBLE), 9) AS w1
+           |FROM g ORDER BY bucket""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q152StreamCdcState, q153StreamWindowedAggs, q157StreamClickPurchase,
       q159StreamUserTotals, q160RegistryNearDup, q161StreamSessions,
       q167StreamDedup, q168StreamEnrich, q228StreamAbandonedClicks,
-      q248StreamTemporalJoin, q253CdfStreamMaintenance)
+      q248StreamTemporalJoin, q253CdfStreamMaintenance, q269StreamingGradient)
 }
