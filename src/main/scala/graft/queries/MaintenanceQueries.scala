@@ -1427,11 +1427,95 @@ object MaintenanceQueries {
            |SELECT * FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1)
            |ORDER BY version, lower""".stripMargin))
 
+  /** FULL SQL WRITE LIFECYCLE for the table format — DDL + DML through
+    * nothing but SQL text: `CREATE TABLE` (empty keyed table,
+    * properties mirroring the Scala create), two `INSERT INTO ...
+    * SELECT`s whose key ranges overlap (so the second exercises the
+    * keyed-MERGE semantics: same-key rows replace, new keys insert),
+    * then reads back EVERY version via `VERSION AS OF` — all through
+    * the [[graft.sources.GraftCatalog]] V1Write bridge into the SAME
+    * `upsert` commit path as the Scala API (pruned copy-on-write, OCC,
+    * sidecars). The oracle replays the logical content per version;
+    * a hash match proves SQL-written commits read back exactly like
+    * Scala-written ones. Catalog name is per-run unique (Spark caches
+    * catalog plugins per session). */
+  val q270SqlTableWrites = GraftQuery(
+    "q270_sql_table_writes",
+    (s, dir) => {
+      val base = newTempDir("graft_sql_writes")
+      val cat = "graft_w_" + java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      Tables.events(s, dir).createOrReplaceTempView("ev_src")
+      s.sql(s"CREATE TABLE $cat.acct (k BIGINT, tier STRING, cents BIGINT) " +
+        "TBLPROPERTIES ('key' = 'k', 'buckets' = '4')")
+      // v1: per-user click value totals
+      s.sql(
+        s"""INSERT INTO $cat.acct
+           |SELECT user_id AS k, 'basic' AS tier,
+           |  CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS cents
+           |FROM ev_src WHERE event_type = 'click' GROUP BY user_id""".stripMargin)
+      // v2: purchase totals MERGE over the same key space (every-3rd
+      // user also upgrades tier) plus synthetic new keys
+      s.sql(
+        s"""INSERT INTO $cat.acct
+           |SELECT user_id + CASE WHEN user_id % 7 = 0 THEN 1000000 ELSE 0 END
+           |    AS k,
+           |  CASE WHEN user_id % 3 = 0 THEN 'premium' ELSE 'basic' END AS tier,
+           |  CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS cents
+           |FROM ev_src WHERE event_type = 'purchase'
+           |GROUP BY user_id""".stripMargin)
+      def one(v: Int) = s.sql(
+        s"""SELECT CAST($v AS BIGINT) AS version, count(*) AS n_rows,
+           |  CAST(COALESCE(sum(cents), 0) AS BIGINT) AS cents_sum,
+           |  CAST(COALESCE(sum(CAST(conv(substring(md5(concat_ws('|',
+           |    CAST(k AS STRING), tier)), 1, 8), 16, 10) AS BIGINT)), 0)
+           |    AS BIGINT) AS row_sum
+           |FROM $cat.acct VERSION AS OF $v""".stripMargin)
+      one(0).unionAll(one(1)).unionAll(one(2)).orderBy("version")
+    },
+    Some("""WITH clicks AS (
+           |  SELECT user_id AS k, 'basic' AS tier,
+           |    CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS cents
+           |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+           |purch AS (
+           |  SELECT user_id + CASE WHEN user_id % 7 = 0 THEN 1000000
+           |      ELSE 0 END AS k,
+           |    CASE WHEN user_id % 3 = 0 THEN 'premium' ELSE 'basic' END
+           |      AS tier,
+           |    CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS cents
+           |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+           |v2 AS (
+           |  SELECT COALESCE(p.k, c.k) AS k,
+           |    COALESCE(p.tier, c.tier) AS tier,
+           |    COALESCE(p.cents, c.cents) AS cents
+           |  FROM clicks c FULL OUTER JOIN purch p ON p.k = c.k),
+           |st AS (
+           |  SELECT 0 AS version, count(*) AS n, CAST(0 AS BIGINT) AS cs,
+           |    CAST(0 AS BIGINT) AS rs FROM (SELECT 1 WHERE 1 = 0)
+           |  UNION ALL
+           |  SELECT 1, count(*),
+           |    CAST(COALESCE(sum(cents), 0) AS BIGINT),
+           |    CAST(COALESCE(sum(('0x' || substr(md5(CAST(k AS VARCHAR) ||
+           |      '|' || tier), 1, 8))::BIGINT), 0) AS BIGINT)
+           |  FROM clicks
+           |  UNION ALL
+           |  SELECT 2, count(*),
+           |    CAST(COALESCE(sum(cents), 0) AS BIGINT),
+           |    CAST(COALESCE(sum(('0x' || substr(md5(CAST(k AS VARCHAR) ||
+           |      '|' || tier), 1, 8))::BIGINT), 0) AS BIGINT)
+           |  FROM v2)
+           |SELECT CAST(version AS BIGINT) AS version,
+           |  CAST(COALESCE(n, 0) AS BIGINT) AS n_rows,
+           |  cs AS cents_sum, rs AS row_sum
+           |FROM st ORDER BY version""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
     q222TableSchemaEvolution, q223BloomPrunedRead, q224TableChanges,
     q236CdfMaintenance, q237ZorderTable, q239TableReplication,
     q242WriteAuditPublish, q249ErasureProof, q251IndexMaintenance,
-    q252SqlTableSurface)
+    q252SqlTableSurface, q270SqlTableWrites)
 }

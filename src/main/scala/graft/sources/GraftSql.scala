@@ -4,11 +4,12 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{Row, SparkSession, SQLContext}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -40,8 +41,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the pruned snapshot DataFrame — the parquet scans inside keep their
   * own predicate pushdown and column pruning, and the file-level
   * skipping decision stays a metadata-only manifest pass (never data
-  * I/O). Writes stay on the Scala API (create/upsert/applyCdcBatch):
-  * the SQL surface is read-only, like most formats' first DSv2 cut.
+  * I/O). Writes ride the symmetric [[org.apache.spark.sql.connector
+  * .write.V1Write]] bridge: `CREATE TABLE` / `INSERT INTO` through
+  * [[GraftCatalog]] land as real versioned commits via the SAME
+  * [[GraftTable.upsert]] path as the Scala API (keyed MERGE, pruned
+  * copy-on-write, OCC retry) — see [[GraftSqlTable.newWriteBuilder]].
   */
 class GraftDataSource extends TableProvider with DataSourceRegister {
 
@@ -78,9 +82,20 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   }
 }
 
-/** A [[GraftTable]] snapshot pinned at `version`, as a DSv2 table. */
-class GraftSqlTable(root: String, snapshotVersion: Int)
-  extends Table with SupportsRead {
+/** A [[GraftTable]] snapshot pinned at `version`, as a DSv2 table.
+  *
+  * Reads serve the pinned snapshot; writes (`INSERT INTO`, or a
+  * DataFrame append) land on the CURRENT table head through the SAME
+  * [[GraftTable.upsert]] the Scala API uses — keyed-MERGE semantics
+  * (same-key rows replace, new keys insert — the only write primitive
+  * a keyed table has), with the full commit machinery intact:
+  * attempt-dir staging, pruned copy-on-write, stats/bloom sidecars,
+  * change-feed preimages, and OCC retry against a racing committer.
+  * `writable = false` (a `VERSION AS OF` load) refuses DML — writing
+  * "into the past" would silently target the head instead. */
+class GraftSqlTable(root: String, snapshotVersion: Int,
+    writable: Boolean = true)
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft.`$root`"
 
@@ -90,10 +105,36 @@ class GraftSqlTable(root: String, snapshotVersion: Int)
     GraftTable.tableSchema(SparkSession.active, root, snapshotVersion)
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, snapshotVersion, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(writable,
+      s"cannot write to a time-travelled graft table (VERSION AS OF " +
+        s"$snapshotVersion); write to the table head instead")
+    new WriteBuilder {
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              require(!overwrite,
+                "graft INSERT OVERWRITE is not supported; deletes are " +
+                  "explicit (GraftTable.delete) so erasure stays auditable")
+              val spark = data.sparkSession
+              val key = GraftTable.keyColumn(spark, root).getOrElse(
+                throw new IllegalStateException(
+                  s"table at $root records no key column"))
+              // V1 insert hands positional columns; restore the table's
+              // names so upsert's column-wise merge aligns correctly
+              val named = data.toDF(schema().fieldNames.toSeq: _*)
+              GraftTable.upsert(spark, root, named, key)
+            }
+          }
+      }
+    }
+  }
 }
 
 /** Scan builder: prunes columns, and mines the pushed predicates for a
@@ -208,8 +249,16 @@ class GraftV1Scan(root: String, version: Int, required: StructType,
 /** Catalog plugin mapping `graft.<name>` to a [[GraftTable]] rooted at
   * `<base>/<name>` (`base` from `spark.sql.catalog.graft.base`), with
   * `VERSION AS OF n` time travel resolving through the same manifest
-  * log as `GraftTable.read(spark, root, Some(n))`. Read-only: DDL and
-  * DML route users to the Scala write API. */
+  * log as `GraftTable.read(spark, root, Some(n))`.
+  *
+  * DDL + DML: `CREATE TABLE graft.t (...) TBLPROPERTIES ('key' = 'k')`
+  * creates an empty keyed table (key defaults to the first column;
+  * optional 'buckets' / 'bloom' properties mirror the Scala create
+  * arguments), and `INSERT INTO graft.t SELECT ...` commits a real
+  * version through [[GraftTable.upsert]] — keyed MERGE, pruned
+  * copy-on-write, OCC — so SQL writers and Scala writers share one
+  * commit path. Destructive ops (DROP, schema evolution, erasure)
+  * stay on the explicit Scala API. */
 class GraftCatalog extends TableCatalog {
 
   private var catalogName: String = _
@@ -260,14 +309,27 @@ class GraftCatalog extends TableCatalog {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"graft time travel takes an integer version, got '$version'")
     }
-    new GraftSqlTable(root, v)
+    new GraftSqlTable(root, v, writable = false)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are created with GraftTable.create(spark, root, df, key)")
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables use range bucketing by key, not partition transforms")
+    val spark = SparkSession.active
+    val root = rootOf(ident)
+    if (exists(root)) throw new TableAlreadyExistsException(ident.toString)
+    val key = Option(properties.get("key")).getOrElse(schema.fieldNames.head)
+    require(schema.fieldNames.contains(key),
+      s"key column '$key' is not in the table schema")
+    val nBuckets = Option(properties.get("buckets")).map(_.toInt).getOrElse(8)
+    val bloom = Option(properties.get("bloom"))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    GraftTable.create(spark, root, empty, key, nBuckets, bloom)
+    new GraftSqlTable(root, 0)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(

@@ -108,6 +108,70 @@ class GraftSqlSpec extends SparkSpec {
     assert(r(IsNotNull("k")) === None)
   }
 
+  test("SQL DDL + DML: CREATE TABLE and INSERT INTO land as real versioned " +
+    "commits with keyed-MERGE semantics") {
+    val base = freshBase()
+    spark.conf.set("spark.sql.catalog.gw", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gw.base", base)
+    spark.sql("CREATE TABLE gw.t (k BIGINT, name STRING, v BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k', 'buckets' = '4')")
+    // version 0 exists and is empty
+    assert(GraftTable.latestVersion(spark, base + "/t") === 0)
+    assert(spark.sql("SELECT count(*) FROM gw.t").as[Long].head() === 0L)
+    assert(GraftTable.keyColumn(spark, base + "/t") === Some("k"))
+    spark.sql("INSERT INTO gw.t SELECT id AS k, concat('r', id) AS name, " +
+      "id * 2 AS v FROM range(1, 101)")
+    assert(GraftTable.latestVersion(spark, base + "/t") === 1)
+    assert(spark.sql("SELECT count(*) FROM gw.t").as[Long].head() === 100L)
+    // keyed MERGE: overlapping keys replace, new keys insert
+    spark.sql("INSERT INTO gw.t SELECT id AS k, 'upd' AS name, -1L AS v " +
+      "FROM range(90, 111)")
+    assert(GraftTable.latestVersion(spark, base + "/t") === 2)
+    assert(spark.sql("SELECT count(*) FROM gw.t").as[Long].head() === 110L)
+    assert(spark.sql("SELECT count(*) FROM gw.t WHERE name = 'upd'")
+      .as[Long].head() === 21L)
+    // the SQL write is the SAME commit path as the Scala API: time
+    // travel sees every version, and the Scala read agrees
+    assert(spark.sql("SELECT count(*) FROM gw.t VERSION AS OF 1")
+      .as[Long].head() === 100L)
+    assert(GraftTable.read(spark, base + "/t").count() === 110L)
+    // writing into the past is refused
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gw.t VERSION AS OF 1 VALUES (1L, 'x', 0L)")
+    }
+    assert(e.getMessage.toLowerCase.contains("version")
+      || e.getMessage.contains("syntax"), e.getMessage)
+    // INSERT OVERWRITE is refused with guidance
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE gw.t SELECT 1L, 'x', 0L")
+    }
+    assert(e2.getMessage.contains("INSERT OVERWRITE") ||
+      e2.getMessage.contains("not supported"), e2.getMessage)
+  }
+
+  test("CREATE TABLE validates key and duplicates; CTAS-style insert " +
+    "round-trips by name not position") {
+    val base = freshBase()
+    spark.conf.set("spark.sql.catalog.gw2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gw2.base", base)
+    val bad = intercept[Exception] {
+      spark.sql("CREATE TABLE gw2.bad (a BIGINT) TBLPROPERTIES ('key'='zz')")
+    }
+    assert(bad.getMessage.contains("key column"), bad.getMessage)
+    spark.sql("CREATE TABLE gw2.t (k BIGINT, v BIGINT)")
+    val dup = intercept[Exception] {
+      spark.sql("CREATE TABLE gw2.t (k BIGINT, v BIGINT)")
+    }
+    assert(dup.getMessage.toLowerCase.contains("exists"), dup.getMessage)
+    // key defaults to the first column
+    assert(GraftTable.keyColumn(spark, base + "/t") === Some("k"))
+    // INSERT by explicit column list (reordered) still merges correctly
+    spark.sql("INSERT INTO gw2.t (v, k) VALUES (10L, 1L), (20L, 2L)")
+    val rows = spark.sql("SELECT k, v FROM gw2.t ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows === Seq((1L, 10L), (2L, 20L)))
+  }
+
   test("catalog lists tables and refuses writes with a clear message") {
     val base = freshBase()
     mk(base + "/t1"); mk(base + "/t2", n = 10, buckets = 1)
