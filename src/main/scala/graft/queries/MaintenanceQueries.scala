@@ -1466,6 +1466,9 @@ object MaintenanceQueries {
            |  CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS cents
            |FROM ev_src WHERE event_type = 'purchase'
            |GROUP BY user_id""".stripMargin)
+      // v3: SQL DELETE — premium rows in the synthetic-key range go
+      // (a real pruned copy-on-write commit through SupportsDelete)
+      s.sql(s"DELETE FROM $cat.acct WHERE k >= 1000000 AND tier = 'premium'")
       def one(v: Int) = s.sql(
         s"""SELECT CAST($v AS BIGINT) AS version, count(*) AS n_rows,
            |  CAST(COALESCE(sum(cents), 0) AS BIGINT) AS cents_sum,
@@ -1473,7 +1476,8 @@ object MaintenanceQueries {
            |    CAST(k AS STRING), tier)), 1, 8), 16, 10) AS BIGINT)), 0)
            |    AS BIGINT) AS row_sum
            |FROM $cat.acct VERSION AS OF $v""".stripMargin)
-      one(0).unionAll(one(1)).unionAll(one(2)).orderBy("version")
+      one(0).unionAll(one(1)).unionAll(one(2)).unionAll(one(3))
+        .orderBy("version")
     },
     Some("""WITH clicks AS (
            |  SELECT user_id AS k, 'basic' AS tier,
@@ -1505,7 +1509,13 @@ object MaintenanceQueries {
            |    CAST(COALESCE(sum(cents), 0) AS BIGINT),
            |    CAST(COALESCE(sum(('0x' || substr(md5(CAST(k AS VARCHAR) ||
            |      '|' || tier), 1, 8))::BIGINT), 0) AS BIGINT)
-           |  FROM v2)
+           |  FROM v2
+           |  UNION ALL
+           |  SELECT 3, count(*),
+           |    CAST(COALESCE(sum(cents), 0) AS BIGINT),
+           |    CAST(COALESCE(sum(('0x' || substr(md5(CAST(k AS VARCHAR) ||
+           |      '|' || tier), 1, 8))::BIGINT), 0) AS BIGINT)
+           |  FROM v2 WHERE NOT (k >= 1000000 AND tier = 'premium'))
            |SELECT CAST(version AS BIGINT) AS version,
            |  CAST(COALESCE(n, 0) AS BIGINT) AS n_rows,
            |  cs AS cents_sum, rs AS row_sum

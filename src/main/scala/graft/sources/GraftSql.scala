@@ -95,7 +95,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   * "into the past" would silently target the head instead. */
 class GraftSqlTable(root: String, snapshotVersion: Int,
     writable: Boolean = true)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = s"graft.`$root`"
 
@@ -109,6 +109,30 @@ class GraftSqlTable(root: String, snapshotVersion: Int,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, snapshotVersion, schema())
+
+  /** `DELETE FROM graft.t WHERE ...`: source filters convert to one
+    * Column predicate and route through [[GraftTable.deleteWhere]] —
+    * the same pruned copy-on-write delete (only files CONTAINING a
+    * match rewrite) the Scala API and the erasure workflow use. A
+    * predicate with any unconvertible conjunct is refused up front
+    * (`canDeleteWhere` false → Spark raises; a partial delete would
+    * silently remove the wrong rows). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    writable && filters.forall(f => GraftSqlTable.filterColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(writable,
+      s"cannot delete from a time-travelled graft table (VERSION AS OF " +
+        s"$snapshotVersion)")
+    val spark = SparkSession.active
+    val key = GraftTable.keyColumn(spark, root).getOrElse(
+      throw new IllegalStateException(s"table at $root records no key column"))
+    val pred = filters.flatMap(GraftSqlTable.filterColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    GraftTable.deleteWhere(spark, root, pred, key)
+    ()
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(writable,
@@ -134,6 +158,38 @@ class GraftSqlTable(root: String, snapshotVersion: Int,
           }
       }
     }
+  }
+}
+
+object GraftSqlTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col => c, lit, not}
+
+  /** Source-Filter → Column translation for DELETE predicates. None
+    * for shapes we can't express EXACTLY — deleting on a misread
+    * predicate is data loss, so unknown shapes refuse rather than
+    * approximate. */
+  private[sources] def filterColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(c(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(c(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(c(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+    case LessThan(a, v) => Some(c(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(c(a) <= lit(v))
+    case In(a, vs) => Some(c(a).isin(vs.toSeq: _*))
+    case IsNull(a) => Some(c(a).isNull)
+    case IsNotNull(a) => Some(c(a).isNotNull)
+    case StringStartsWith(a, v) => Some(c(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(c(a).endsWith(v))
+    case StringContains(a, v) => Some(c(a).contains(v))
+    case And(l, r) =>
+      for { a <- filterColumn(l); b <- filterColumn(r) } yield a && b
+    case Or(l, r) =>
+      for { a <- filterColumn(l); b <- filterColumn(r) } yield a || b
+    case Not(inner) => filterColumn(inner).map(not)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
   }
 }
 

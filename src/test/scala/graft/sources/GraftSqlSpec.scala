@@ -147,6 +147,23 @@ class GraftSqlSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("INSERT OVERWRITE") ||
       e2.getMessage.contains("not supported"), e2.getMessage)
+    // DELETE FROM with convertible filters is a real pruned commit
+    spark.sql("DELETE FROM gw.t WHERE k <= 95 AND name = 'upd'")
+    assert(GraftTable.latestVersion(spark, base + "/t") === 3)
+    assert(spark.sql("SELECT count(*) FROM gw.t").as[Long].head() === 104L)
+    assert(spark.sql("SELECT count(*) FROM gw.t WHERE name = 'upd'")
+      .as[Long].head() === 15L)
+    // time travel still sees the pre-delete version
+    assert(spark.sql("SELECT count(*) FROM gw.t VERSION AS OF 2")
+      .as[Long].head() === 110L)
+    // an unconvertible predicate refuses rather than approximating
+    val e3 = intercept[Exception] {
+      spark.sql("DELETE FROM gw.t WHERE k % 2 = 0")
+    }
+    assert(e3.getMessage.toLowerCase.contains("cannot translate") ||
+      e3.getMessage.toLowerCase.contains("delete"), e3.getMessage)
+    // and the failed attempt committed nothing
+    assert(GraftTable.latestVersion(spark, base + "/t") === 3)
   }
 
   test("CREATE TABLE validates key and duplicates; CTAS-style insert " +
