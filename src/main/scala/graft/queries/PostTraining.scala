@@ -96,6 +96,60 @@ object PostTraining {
            |  round(CAST(sum(pass9) AS DOUBLE) / count(*) / 1e9, 9) AS mean_pass
            |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Shared oracle CTE chain for the Bradley-Terry fit (q259's match
+    * synthesis, directed counts, and 3 MM iterations), ending at
+    * `m(a, b, win_a)`, `tot(i, wins, games)`, and `p9(i, p9)` — the
+    * nano-quantized final strengths. q271 builds on the same chain. */
+  private val btChainSql: String =
+    """e AS (
+      |  SELECT user_id % 8 AS a,
+      |    (user_id % 8 + 1 + event_id % 7) % 8 AS b,
+      |    ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|w'),
+      |      1, 8))::BIGINT AS h
+      |  FROM events),
+      |m AS MATERIALIZED (
+      |  SELECT a, b,
+      |    CASE WHEN h * (a + b + 2) < (a + 1) * 4294967296 THEN 1
+      |         ELSE 0 END AS win_a
+      |  FROM e),
+      |dir AS MATERIALIZED (
+      |  SELECT i, j, count(*) AS n, CAST(sum(wi) AS BIGINT) AS w
+      |  FROM (SELECT a AS i, b AS j, win_a AS wi FROM m
+      |        UNION ALL
+      |        SELECT b AS i, a AS j, 1 - win_a AS wi FROM m)
+      |  GROUP BY 1, 2),
+      |models AS (SELECT CAST(unnest(range(8)) AS BIGINT) AS i),
+      |tot AS MATERIALIZED (
+      |  SELECT models.i,
+      |    CAST(COALESCE(sum(dir.w), 0) AS BIGINT) AS wins,
+      |    CAST(COALESCE(sum(dir.n), 0) AS BIGINT) AS games
+      |  FROM models LEFT JOIN dir ON dir.i = models.i GROUP BY 1),
+      |p0 AS (SELECT i, 1.0 AS p FROM models),
+      |d1 AS (SELECT d.i, CAST(sum(CAST(round(1e9 * d.n /
+      |    (pa.p + pb.p)) AS BIGINT)) AS BIGINT) AS d9
+      |  FROM dir d JOIN p0 pa ON pa.i = d.i JOIN p0 pb ON pb.i = d.j
+      |  GROUP BY 1),
+      |p1 AS MATERIALIZED (SELECT t.i, round(CAST(t.wins AS DOUBLE) * 1e9 /
+      |    CAST(d1.d9 AS DOUBLE), 9) AS p
+      |  FROM tot t JOIN d1 ON d1.i = t.i),
+      |d2 AS (SELECT d.i, CAST(sum(CAST(round(1e9 * d.n /
+      |    (pa.p + pb.p)) AS BIGINT)) AS BIGINT) AS d9
+      |  FROM dir d JOIN p1 pa ON pa.i = d.i JOIN p1 pb ON pb.i = d.j
+      |  GROUP BY 1),
+      |p2 AS MATERIALIZED (SELECT t.i, round(CAST(t.wins AS DOUBLE) * 1e9 /
+      |    CAST(d2.d9 AS DOUBLE), 9) AS p
+      |  FROM tot t JOIN d2 ON d2.i = t.i),
+      |d3 AS (SELECT d.i, CAST(sum(CAST(round(1e9 * d.n /
+      |    (pa.p + pb.p)) AS BIGINT)) AS BIGINT) AS d9
+      |  FROM dir d JOIN p2 pa ON pa.i = d.i JOIN p2 pb ON pb.i = d.j
+      |  GROUP BY 1),
+      |p3 AS MATERIALIZED (SELECT t.i, round(CAST(t.wins AS DOUBLE) * 1e9 /
+      |    CAST(d3.d9 AS DOUBLE), 9) AS p
+      |  FROM tot t JOIN d3 ON d3.i = t.i),
+      |p9 AS MATERIALIZED (
+      |  SELECT i, CAST(round(p * 1e9) AS BIGINT) AS p9 FROM p3)"""
+      .stripMargin
+
   /** BRADLEY-TERRY preference-strength fit via Hunter's MM algorithm:
     * matches between 8 models are synthesized with EXACT integer
     * winner draws (`h·(s_a+s_b) < s_a·2^32` — the true strengths are
@@ -107,105 +161,69 @@ object PostTraining {
     * strength re-quantized to 9 decimals — the oracle replays all
     * three iterations as SQL CTEs and must agree bit-for-bit. Only
     * the roster-sized match matrix ever reaches the driver. */
+  /** The distributed match synthesis + roster-sized MM fit shared by
+    * q259 and q271: returns the match DataFrame (a, b, win_a), the
+    * per-model win/game totals, and the final (9-decimal) strengths
+    * after 3 MM iterations. Only the roster²-sized pair matrix ever
+    * reaches the driver. */
+  private def fitBt(s: SparkSession, dir: String)
+    : (DataFrame, Map[Long, Long], Map[Long, Long], Array[Double]) = {
+    val matches = Tables.events(s, dir).select(
+      (col("user_id") % 8).as("a"),
+      ((col("user_id") % 8 + 1 + col("event_id") % 7) % 8).as("b"),
+      h32(concat_ws("|", col("event_id"), lit("w"))).as("h"))
+      .withColumn("win_a",
+        (col("h") * (col("a") + col("b") + 2) <
+          (col("a") + 1) * lit(4294967296L)).cast("long"))
+    val pairRows = matches
+      .select(col("a").as("i"), col("b").as("j"), col("win_a").as("wi"))
+      .union(matches.select(col("b").as("i"), col("a").as("j"),
+        (lit(1L) - col("win_a")).as("wi")))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum("wi").as("w"))
+      .collect()
+    val nPair = pairRows.map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val winsDir = pairRows.map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val models = (0L to 7L)
+    val wins = models.map(i =>
+      i -> models.filter(_ != i).map(j => winsDir.getOrElse((i, j), 0L)).sum)
+      .toMap
+    val games = models.map(i =>
+      i -> models.filter(_ != i).map(j => nPair.getOrElse((i, j), 0L)).sum)
+      .toMap
+    var p = models.map(_ => 1.0).toArray
+    for (_ <- 1 to 3) {
+      val next = models.map { i =>
+        val denom9 = models.filter(_ != i).map { j =>
+          val nij = nPair.getOrElse((i, j.toLong), 0L)
+          math.round(1e9 * nij / (p(i.toInt) + p(j.toInt)))
+        }.sum
+        round9(wins(i) * 1e9 / denom9.toDouble)
+      }.toArray
+      p = next
+    }
+    (matches, wins, games, p)
+  }
+
   val q259BradleyTerry = GraftQuery(
     "q259_bradley_terry",
     (s, dir) => {
-      val matches = Tables.events(s, dir).select(
-        (col("user_id") % 8).as("a"),
-        ((col("user_id") % 8 + 1 + col("event_id") % 7) % 8).as("b"),
-        h32(concat_ws("|", col("event_id"), lit("w"))).as("h"))
-        .withColumn("win_a",
-          (col("h") * (col("a") + col("b") + 2) <
-            (col("a") + 1) * lit(4294967296L)).cast("long"))
-      // directed → per-model wins and symmetric pair game counts; the
-      // collect is roster²-sized (≤ 64 rows), never data-sized
-      val pairRows = matches
-        .select(col("a").as("i"), col("b").as("j"), col("win_a").as("wi"))
-        .union(matches.select(col("b").as("i"), col("a").as("j"),
-          (lit(1L) - col("win_a")).as("wi")))
-        .groupBy("i", "j")
-        .agg(count(lit(1)).as("n"), sum("wi").as("w"))
-        .collect()
-      val nPair = pairRows.map(r =>
-        (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-      val winsDir = pairRows.map(r =>
-        (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
-      val models = (0L to 7L)
-      val wins = models.map(i =>
-        i -> models.filter(_ != i).map(j => winsDir.getOrElse((i, j), 0L)).sum)
-        .toMap
-      val games = models.map(i =>
-        i -> models.filter(_ != i).map(j => nPair.getOrElse((i, j), 0L)).sum)
-        .toMap
-      var p = models.map(_ => 1.0).toArray
-      for (_ <- 1 to 3) {
-        val next = models.map { i =>
-          val denom9 = models.filter(_ != i).map { j =>
-            val nij = nPair.getOrElse((i, j.toLong), 0L)
-            math.round(1e9 * nij / (p(i.toInt) + p(j.toInt)))
-          }.sum
-          round9(wins(i) * 1e9 / denom9.toDouble)
-        }.toArray
-        p = next
-      }
+      val (_, wins, games, p) = fitBt(s, dir)
       val p9 = p.map(x => math.round(x * 1e9))
       val s9 = p9.sum
       import s.implicits._
-      models.map(i => (i, wins(i), games(i),
+      (0L to 7L).map(i => (i, wins(i), games(i),
         round9(p9(i.toInt).toDouble / s9.toDouble)))
         .toDF("model", "wins", "games", "strength")
         .orderBy("model")
     },
-    Some("""WITH e AS (
-           |  SELECT user_id % 8 AS a,
-           |    (user_id % 8 + 1 + event_id % 7) % 8 AS b,
-           |    ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|w'),
-           |      1, 8))::BIGINT AS h
-           |  FROM events),
-           |m AS (
-           |  SELECT a, b,
-           |    CASE WHEN h * (a + b + 2) < (a + 1) * 4294967296 THEN 1
-           |         ELSE 0 END AS win_a
-           |  FROM e),
-           |dir AS (
-           |  SELECT i, j, count(*) AS n, CAST(sum(wi) AS BIGINT) AS w
-           |  FROM (SELECT a AS i, b AS j, win_a AS wi FROM m
-           |        UNION ALL
-           |        SELECT b AS i, a AS j, 1 - win_a AS wi FROM m)
-           |  GROUP BY 1, 2),
-           |models AS (SELECT CAST(unnest(range(8)) AS BIGINT) AS i),
-           |tot AS MATERIALIZED (
-           |  SELECT models.i,
-           |    CAST(COALESCE(sum(dir.w), 0) AS BIGINT) AS wins,
-           |    CAST(COALESCE(sum(dir.n), 0) AS BIGINT) AS games
-           |  FROM models LEFT JOIN dir ON dir.i = models.i GROUP BY 1),
-           |p0 AS (SELECT i, 1.0 AS p FROM models),
-           |d1 AS (SELECT d.i, CAST(sum(CAST(round(1e9 * d.n /
-           |    (pa.p + pb.p)) AS BIGINT)) AS BIGINT) AS d9
-           |  FROM dir d JOIN p0 pa ON pa.i = d.i JOIN p0 pb ON pb.i = d.j
-           |  GROUP BY 1),
-           |p1 AS (SELECT t.i, round(CAST(t.wins AS DOUBLE) * 1e9 /
-           |    CAST(d1.d9 AS DOUBLE), 9) AS p
-           |  FROM tot t JOIN d1 ON d1.i = t.i),
-           |d2 AS (SELECT d.i, CAST(sum(CAST(round(1e9 * d.n /
-           |    (pa.p + pb.p)) AS BIGINT)) AS BIGINT) AS d9
-           |  FROM dir d JOIN p1 pa ON pa.i = d.i JOIN p1 pb ON pb.i = d.j
-           |  GROUP BY 1),
-           |p2 AS (SELECT t.i, round(CAST(t.wins AS DOUBLE) * 1e9 /
-           |    CAST(d2.d9 AS DOUBLE), 9) AS p
-           |  FROM tot t JOIN d2 ON d2.i = t.i),
-           |d3 AS (SELECT d.i, CAST(sum(CAST(round(1e9 * d.n /
-           |    (pa.p + pb.p)) AS BIGINT)) AS BIGINT) AS d9
-           |  FROM dir d JOIN p2 pa ON pa.i = d.i JOIN p2 pb ON pb.i = d.j
-           |  GROUP BY 1),
-           |p3 AS (SELECT t.i, round(CAST(t.wins AS DOUBLE) * 1e9 /
-           |    CAST(d3.d9 AS DOUBLE), 9) AS p
-           |  FROM tot t JOIN d3 ON d3.i = t.i),
-           |p9 AS (SELECT i, CAST(round(p * 1e9) AS BIGINT) AS p9 FROM p3)
-           |SELECT t.i AS model, t.wins, t.games,
-           |  round(CAST(p9.p9 AS DOUBLE) /
-           |    CAST((SELECT sum(p9) FROM p9) AS DOUBLE), 9) AS strength
-           |FROM tot t JOIN p9 ON p9.i = t.i ORDER BY model""".stripMargin))
+    Some(s"""WITH $btChainSql
+            |SELECT t.i AS model, t.wins, t.games,
+            |  round(CAST(p9.p9 AS DOUBLE) /
+            |    CAST((SELECT sum(p9) FROM p9) AS DOUBLE), 9) AS strength
+            |FROM tot t JOIN p9 ON p9.i = t.i ORDER BY model""".stripMargin))
 
   /** GRPO-style GROUP-RELATIVE ADVANTAGE: rewards normalized within
     * each prompt group — `(r − μ_g)/σ_g` computed in the exact
@@ -330,6 +348,63 @@ object PostTraining {
            |  CAST(sum(abs(vc_gap)) AS BIGINT) AS sum_abs_vc_gap
            |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** COMPOSED POST-TRAINING PIPELINE: fit → audit → harvest. Stage 1
+    * fits Bradley-Terry strengths (the q259 MM chain, shared code and
+    * shared oracle CTEs). Stage 2 AUDITS the fit's calibration: every
+    * match is scored with its fitted win probability
+    * `s_a/(s_a+s_b)`, bucketed by predicted decile, and compared to
+    * the observed win rate — the reliability check a preference model
+    * must pass before its labels are trusted. Stage 3 HARVESTS
+    * training pairs: matches whose relative strength gap is ≥ 0.2
+    * carry a confident preference (the DPO-data filter), counted per
+    * bucket. One distributed pass over the match table against the
+    * broadcast 8-strength map; probabilities nano-quantized before
+    * bucket sums. Round9Spec pins the calibration property itself
+    * (observed ≈ predicted in the populated buckets). */
+  val q271BtCalibrationHarvest = GraftQuery(
+    "q271_bt_calibration_harvest",
+    (s, dir) => {
+      val (matches, _, _, p) = fitBt(s, dir)
+      val pm = map_from_arrays(
+        typedLit((0 until 8).map(_.toLong)), typedLit(p.toSeq))
+      val pa = element_at(pm, col("a"))
+      val pb = element_at(pm, col("b"))
+      val scored = matches
+        .withColumn("pr9",
+          round(lit(1e9) * (pa / (pa + pb)), 0).cast("long"))
+        .withColumn("harv",
+          (abs(pa - pb) / (pa + pb) >= 0.2).cast("long"))
+      scored
+        .withColumn("bucket", least(col("pr9") / 100000000L, lit(9L))
+          .cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_matches"),
+          sum("win_a").as("n_wins_a"),
+          sum("pr9").as("sum_pr9"),
+          sum("harv").as("n_harvested"))
+        .withColumn("mean_pred",
+          round(col("sum_pr9").cast("double") /
+            col("n_matches").cast("double") / 1e9, 9))
+        .select("bucket", "n_matches", "n_wins_a", "sum_pr9",
+          "n_harvested", "mean_pred")
+        .orderBy("bucket")
+    },
+    Some(s"""WITH $btChainSql,
+            |scored AS (
+            |  SELECT m.win_a,
+            |    CAST(round(1e9 * (pa.p / (pa.p + pb.p))) AS BIGINT) AS pr9,
+            |    CASE WHEN abs(pa.p - pb.p) / (pa.p + pb.p) >= 0.2
+            |         THEN 1 ELSE 0 END AS harv
+            |  FROM m JOIN p3 pa ON pa.i = m.a JOIN p3 pb ON pb.i = m.b)
+            |SELECT CAST(least(pr9 // 100000000, 9) AS BIGINT) AS bucket,
+            |  count(*) AS n_matches,
+            |  CAST(sum(win_a) AS BIGINT) AS n_wins_a,
+            |  CAST(sum(pr9) AS BIGINT) AS sum_pr9,
+            |  CAST(sum(harv) AS BIGINT) AS n_harvested,
+            |  round(CAST(sum(pr9) AS DOUBLE) / count(*) / 1e9, 9) AS mean_pred
+            |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(q258PassAtK, q259BradleyTerry, q260GrpoAdvantage, q261DpoPairs)
+    Seq(q258PassAtK, q259BradleyTerry, q260GrpoAdvantage, q261DpoPairs,
+      q271BtCalibrationHarvest)
 }

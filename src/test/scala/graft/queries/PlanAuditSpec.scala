@@ -458,6 +458,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q260/q262/q268: round-9 windows are group-keyed or pid-keyed " +
+    "(no data-sized single-partition window)") {
+    // q260 windows by the prompt group (data-sized cardinality);
+    // q262/q268 ride GlobalRank (every window keys on __pid). The one
+    // allowed unpartitioned window is GlobalRank's offsets sort over
+    // one row per partition — it orders by __pid, so the same
+    // assertion covers it.
+    Seq("q260_grpo_advantage", "q262_sft_loss_mask",
+      "q268_reproducible_shuffle").foreach { q =>
+      val p = plan(q)
+      val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+      assert(windows.nonEmpty, s"$q:\n$p")
+      assert(windows.forall(w => w.contains("__pid") || w.contains("grp")),
+        s"$q has a suspect window:\n" + windows.mkString("\n"))
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
   test("q245/q179: cumulative score-grain ranks are two-phase (no data-sized " +
     "unpartitioned or low-cardinality-partitioned window)") {
     // o_totalprice is near-unique (the 'distinct score grain' is ~99.8%

@@ -99,6 +99,29 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("q271: the fitted preference model is calibrated (observed win rate " +
+    "tracks the predicted probability per bucket)") {
+    val rows = PostTraining.q271BtCalibrationHarvest
+      .run(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    var checked = 0
+    rows.foreach { r =>
+      val n = r.getLong(1); val wins = r.getLong(2)
+      val pred = r.getDouble(5)
+      if (n >= 100) {
+        checked += 1
+        val obs = wins.toDouble / n
+        assert(math.abs(obs - pred) < 0.08,
+          s"bucket ${r.getLong(0)}: observed $obs vs predicted $pred (n=$n)")
+      }
+      // the harvest filter keeps |2p−1| >= 0.2: extreme buckets are
+      // fully harvested, and the exact-tie center cannot be
+      if (r.getLong(0) <= 2 || r.getLong(0) >= 7)
+        assert(r.getLong(4) === n, s"bucket ${r.getLong(0)} under-harvested")
+    }
+    assert(checked >= 3, s"only $checked populated buckets")
+  }
+
   test("q268: the shuffle mixes every source into every shard and is " +
     "partition-invariant") {
     val rows = MlPrep.q268ReproducibleShuffle.run(spark, dir).collect()
