@@ -1521,11 +1521,98 @@ object MaintenanceQueries {
            |  cs AS cents_sum, rs AS row_sum
            |FROM st ORDER BY version""".stripMargin))
 
+  /** VERSION TAGS — named immutable refs (the Iceberg tag pattern):
+    * tag a known-good version `'release'`, keep committing, then
+    * VACUUM past it — the tagged version's manifest, data files, and
+    * pre-evolution SCHEMA stay pinned while untagged history inside
+    * the swept window is reclaimed; `VERSION AS OF 'release'` resolves
+    * through the SQL surface to exactly the logical snapshot that was
+    * tagged. The gate reads the tagged snapshot (post-vacuum) and the
+    * head through SQL text and checksums both; the oracle replays the
+    * two logical states. Proves retention and reproducibility can
+    * coexist — the "pin the eval dataset" workflow. */
+  val q272VersionTags = GraftQuery(
+    "q272_version_tags",
+    (s, dir) => {
+      val base = newTempDir("graft_tags")
+      val root = base + "/tbl"
+      val v0 = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"), lit(0L).as("rev_cents"))
+      GraftTable.create(s, root, v0, "k", nBuckets = 2)
+      // v1: revenue totals land — the "release" state
+      val rev = Tables.orders(s, dir).join(
+          Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("k"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("rev_cents"))
+      GraftTable.upsert(s, root,
+        Tables.nation(s, dir).select(col("n_nationkey").cast("long").as("k"),
+            col("n_name").as("name"))
+          .join(rev, Seq("k"), "left")
+          .select(col("k"), col("name"),
+            coalesce(col("rev_cents"), lit(0L)).as("rev_cents")), "k")
+      GraftTable.tag(s, root, "release", 1)
+      // v2, v3: later mutations the release must not see
+      GraftTable.upsert(s, root, v0.filter(col("k") < 10)
+        .select(col("k"), concat(lit("X-"), col("name")).as("name"),
+          lit(-1L).as("rev_cents")), "k")
+      GraftTable.deleteWhere(s, root, col("k") >= 20, "k")
+      // reclaim untagged history: keeps v3 (head) + pinned v1; v0/v2 go
+      GraftTable.vacuum(s, root, retainVersions = 1)
+      val cat = "graft_tag_" + java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      def one(label: String, ref: String) = s.sql(
+        s"""SELECT '$label' AS snapshot, count(*) AS n_rows,
+           |  CAST(sum(rev_cents) AS BIGINT) AS rev_sum,
+           |  CAST(sum(CAST(conv(substring(md5(concat_ws('|',
+           |    CAST(k AS STRING), name)), 1, 8), 16, 10) AS BIGINT))
+           |    AS BIGINT) AS row_sum
+           |FROM $cat.tbl VERSION AS OF $ref""".stripMargin)
+      one("head", "3").unionAll(one("release", "'release'"))
+        .orderBy("snapshot")
+    },
+    Some("""WITH rev AS (
+           |  SELECT c.c_nationkey AS k,
+           |    CAST(sum(floor(o.o_totalprice * 100 + 0.5)) AS BIGINT)
+           |      AS rev_cents
+           |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           |  GROUP BY 1),
+           |v1 AS (
+           |  SELECT CAST(n.n_nationkey AS BIGINT) AS k, n.n_name AS name,
+           |    CAST(COALESCE(rev.rev_cents, 0) AS BIGINT) AS rev_cents
+           |  FROM nation n LEFT JOIN rev ON rev.k = n.n_nationkey),
+           |v2 AS (
+           |  SELECT k,
+           |    CASE WHEN k < 10 THEN 'X-' || name ELSE name END AS name,
+           |    CASE WHEN k < 10 THEN CAST(-1 AS BIGINT) ELSE rev_cents END
+           |      AS rev_cents
+           |  FROM v1),
+           |v3 AS (SELECT * FROM v2 WHERE NOT (k >= 20)),
+           |st AS (
+           |  SELECT 'head' AS snapshot, count(*) AS n,
+           |    CAST(sum(rev_cents) AS BIGINT) AS rs,
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      name), 1, 8))::BIGINT) AS BIGINT) AS hs
+           |  FROM v3
+           |  UNION ALL
+           |  SELECT 'release', count(*),
+           |    CAST(sum(rev_cents) AS BIGINT),
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      name), 1, 8))::BIGINT) AS BIGINT)
+           |  FROM v1)
+           |SELECT snapshot, CAST(n AS BIGINT) AS n_rows, rs AS rev_sum,
+           |  hs AS row_sum
+           |FROM st ORDER BY snapshot""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
     q222TableSchemaEvolution, q223BloomPrunedRead, q224TableChanges,
     q236CdfMaintenance, q237ZorderTable, q239TableReplication,
     q242WriteAuditPublish, q249ErasureProof, q251IndexMaintenance,
-    q252SqlTableSurface, q270SqlTableWrites)
+    q252SqlTableSurface, q270SqlTableWrites, q272VersionTags)
 }

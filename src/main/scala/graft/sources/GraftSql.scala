@@ -357,14 +357,18 @@ class GraftCatalog extends TableCatalog {
       GraftTable.latestVersion(SparkSession.active, root))
   }
 
-  /** `SELECT ... FROM graft.t VERSION AS OF n`. */
+  /** `SELECT ... FROM graft.t VERSION AS OF n` — or `VERSION AS OF
+    * 'tagname'`: a non-integer reference resolves through the table's
+    * tags ([[GraftTable.tag]]), the Iceberg-style named ref. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident)
     if (!exists(root)) throw new NoSuchTableException(ident)
-    val v = try version.toInt catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft time travel takes an integer version, got '$version'")
-    }
+    val v = GraftTable.resolveRef(SparkSession.active, root, version)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft time travel takes an integer version or a tag name; " +
+          s"'$version' is neither (tags: " +
+          s"${GraftTable.tags(SparkSession.active, root).keys.toSeq.sorted
+            .mkString(", ")})"))
     new GraftSqlTable(root, v, writable = false)
   }
 

@@ -715,10 +715,58 @@ object GraftTable {
       }
   }
 
+  /** Named immutable reference to a version (an Iceberg-style TAG):
+    * `_log/tag-<name>.json` holds the version number. Tagged versions
+    * survive [[vacuum]] (their manifests and data files stay live
+    * regardless of the retention window) and resolve through the SQL
+    * surface as `VERSION AS OF '<name>'`. Re-tagging an existing name
+    * MOVES it (the file overwrites atomically); `deleteTag` releases
+    * the pin, after which the next vacuum may reclaim the version. */
+  def tag(spark: SparkSession, root: String, name: String,
+          version: Int): Unit = {
+    require(name.matches("[A-Za-z][A-Za-z0-9._-]*"),
+      s"tag name must match [A-Za-z][A-Za-z0-9._-]*, got '$name'")
+    val (f, _) = fs(root, spark)
+    require(f.exists(manifestPath(root, version)),
+      s"cannot tag version $version: no manifest (never committed, or " +
+        "already vacuumed)")
+    // re-tag = delete + create (writeAtomic is create-if-absent, the
+    // commit-point contract). A concurrent reader can briefly observe
+    // no tag — acceptable for a metadata ref; each state it CAN see is
+    // a complete, valid file.
+    val p = new org.apache.hadoop.fs.Path(root, s"_log/tag-$name.json")
+    f.delete(p, false)
+    writeAtomic(f, p, version.toString)
+  }
+
+  /** All tags as name → version. Metadata-sized (one `_log` listing). */
+  def tags(spark: SparkSession, root: String): Map[String, Int] = {
+    val (f, _) = fs(root, spark)
+    val log = new org.apache.hadoop.fs.Path(root, "_log")
+    if (!f.exists(log)) Map.empty
+    else f.listStatus(log).map(_.getPath.getName)
+      .collect { case s if s.startsWith("tag-") && s.endsWith(".json") =>
+        val name = s.stripPrefix("tag-").stripSuffix(".json")
+        name -> readFully(f, new org.apache.hadoop.fs.Path(log, s)).trim.toInt
+      }.toMap
+  }
+
+  def deleteTag(spark: SparkSession, root: String, name: String): Boolean = {
+    val (f, _) = fs(root, spark)
+    f.delete(new org.apache.hadoop.fs.Path(root, s"_log/tag-$name.json"), false)
+  }
+
+  /** Resolve a version reference: an integer string, or a tag name. */
+  def resolveRef(spark: SparkSession, root: String, ref: String): Option[Int] =
+    ref.toIntOption.orElse(tags(spark, root).get(ref))
+
   /** Drop manifests older than the last `retainVersions` and every
     * data file no retained manifest references (including orphans
     * from failed commits). Time travel to vacuumed versions is gone —
-    * the retention contract every table format documents.
+    * the retention contract every table format documents. Exception:
+    * TAGGED versions ([[tag]]) are pinned — their manifests and data
+    * files stay live past the retention window until the tag is
+    * deleted.
     *
     * Sidecar lifecycle (so a long-lived table's `_log/` stays bounded):
     * vacuum first writes a [[checkpoint]] at the latest version — which
@@ -736,7 +784,10 @@ object GraftTable {
     val latest = latestVersion(spark, root)
     if (latest >= 0) checkpoint(spark, root)
     val keepFrom = math.max(0, latest - retainVersions + 1)
-    val live = (keepFrom to latest)
+    // tagged versions are pinned: their files and manifests stay live
+    val pinned = tags(spark, root).values.toSet
+      .filter(v => v < keepFrom && f.exists(manifestPath(root, v)))
+    val live = ((keepFrom to latest) ++ pinned).distinct
       .flatMap(v => loadManifest(spark, root, v).map(_.relPath)).toSet
     var removed = 0
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
@@ -756,7 +807,7 @@ object GraftTable {
       }
       doomed.foreach { p => f.delete(p, false); removed += 1 }
     }
-    (0 until keepFrom).foreach { v =>
+    (0 until keepFrom).filterNot(pinned).foreach { v =>
       val m = manifestPath(root, v)
       if (f.exists(m)) f.delete(m, false)
     }
@@ -777,8 +828,17 @@ object GraftTable {
           (s, s.substring(8, 13).toInt) }
       val horizonSchema = schemaVs.map(_._2).filter(_ <= keepFrom)
         .foldLeft(-1)(math.max)
-      schemaVs.filter(_._2 < horizonSchema).foreach { case (s, _) =>
-        f.delete(new org.apache.hadoop.fs.Path(log, s), false) }
+      // a pinned (tagged) version below the horizon still needs the
+      // newest schema file at or below IT, or its time-travel read
+      // would fall back to the create-time schema after evolution
+      val pinnedSchemas = pinned.flatMap { pv =>
+        val vs = schemaVs.map(_._2).filter(_ <= pv)
+        if (vs.isEmpty) None else Some(vs.max)
+      }
+      schemaVs.filter(sv => sv._2 < horizonSchema &&
+          !pinnedSchemas.contains(sv._2))
+        .foreach { case (s, _) =>
+          f.delete(new org.apache.hadoop.fs.Path(log, s), false) }
       val cpVs = names.collect {
         case s if s.matches("checkpoint-v\\d{5}\\.tsv") =>
           (s, s.substring(12, 17).toInt) }

@@ -573,6 +573,57 @@ class GraftTableSpec extends SparkSpec {
     assert(v === 1)
   }
 
+  test("tags: named refs resolve, move on re-tag, and pin versions " +
+    "through vacuum (including their evolved schema)") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(200), "k", nBuckets = 2)
+    GraftTable.upsert(spark, root,
+      base(200).filter($"k" <= 50).withColumn("v", lit(-1L)), "k") // v1
+    GraftTable.tag(spark, root, "stable", 1)
+    assert(GraftTable.tags(spark, root) === Map("stable" -> 1))
+    assert(GraftTable.resolveRef(spark, root, "stable") === Some(1))
+    assert(GraftTable.resolveRef(spark, root, "0") === Some(0))
+    assert(GraftTable.resolveRef(spark, root, "nope") === None)
+    intercept[IllegalArgumentException] {
+      GraftTable.tag(spark, root, "bad name", 1)
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.tag(spark, root, "ghost", 99)
+    }
+    // evolve + more commits past retention
+    GraftTable.evolveAddColumns(spark, root,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.LongType))))             // v2
+    GraftTable.upsert(spark, root, base(10)
+      .withColumn("extra", lit(7L)), "k")                     // v3
+    GraftTable.upsert(spark, root, base(5)
+      .withColumn("extra", lit(8L)), "k")                     // v4
+    GraftTable.vacuum(spark, root, retainVersions = 2)
+    // v0 (untagged, below horizon) is gone; v1 (tagged) survives
+    intercept[Exception] { GraftTable.read(spark, root, Some(0)).count() }
+    val v1 = GraftTable.read(spark, root, Some(1))
+    assert(v1.count() === 200)
+    assert(v1.filter($"v" === -1L).count() === 50)
+    // tagged version's schema is the pre-evolution one
+    assert(!v1.columns.contains("extra"))
+    // SQL surface resolves the tag
+    val b = new java.io.File(root).getParent
+    spark.conf.set("spark.sql.catalog.gtag", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtag.base", b)
+    assert(spark.sql("SELECT count(*) FROM gtag.tbl VERSION AS OF 'stable'")
+      .as[Long].head() === 200L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gtag.tbl VERSION AS OF 'missing'").collect()
+    }
+    assert(e.getMessage.contains("tag"), e.getMessage)
+    // re-tag moves; deleteTag releases the pin for the NEXT vacuum
+    GraftTable.tag(spark, root, "stable", 4)
+    assert(GraftTable.tags(spark, root)("stable") === 4)
+    GraftTable.deleteTag(spark, root, "stable")
+    assert(GraftTable.tags(spark, root).isEmpty)
+  }
+
   private def manifestLines(root: String, v: Int): Seq[String] = {
     val src = scala.io.Source.fromFile(f"$root/_log/v$v%05d.manifest")
     try src.getLines().filter(_.nonEmpty).toList finally src.close()
