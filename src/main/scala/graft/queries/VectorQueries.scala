@@ -645,6 +645,53 @@ object VectorQueries {
             |ORDER BY s.qid, rank""".stripMargin
     }))
 
+  /** INCREMENTAL ANN INDEX MAINTENANCE — the freshness problem every
+    * vector store has: new vectors must become searchable WITHOUT
+    * retraining or rebuilding. The index is a [[graft.sources
+    * .GraftTable]] keyed by `cell·2⁴⁰ + vec_id` — unique per row, yet
+    * range-clustered by IVF cell in the HIGH bits, so per-cell probes
+    * stay file-pruned `readRange`s AND incremental upserts rewrite
+    * only the files whose key interval their cells touch (pruned
+    * copy-on-write, not a rebuild). Centroids train on the INITIAL
+    * half of the corpus and are FROZEN; two later arrival batches
+    * assign against them and upsert. Serving probes all cells (the
+    * q241 exactness trick), so the gate's oracle is the full-corpus
+    * brute force: a hash match proves the maintained index serves
+    * old + new vectors exactly — none lost, none duplicated.
+    * `SimilaritySpec` pins that single-cell probes skip files after
+    * the incremental commits. */
+  val q273IncrementalAnnIndex = GraftQuery(
+    "q273_incremental_ann_index",
+    (s, dir) => {
+      val root = newTempDir("graft_ann_incr") + "/tbl"
+      val emb = Tables.embeddings(s, dir)
+      val cellBase = 1099511627776L // 2^40
+      val old = emb.filter(col("vec_id") % 2 === 0)
+      val cents = Similarity.trainCentroidArrays(
+        old.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        nCentroids = 8)
+      def keyed(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.KMeans.assign(df, cents).select(
+          (col("cluster").cast("long") * cellBase + col("vec_id")).as("k"),
+          col("vec_id"), col("embedding"))
+      graft.sources.GraftTable.create(s, root, keyed(old), "k", nBuckets = 8)
+      graft.sources.GraftTable.upsert(s, root,
+        keyed(emb.filter(col("vec_id") % 4 === 1)), "k")
+      graft.sources.GraftTable.upsert(s, root,
+        keyed(emb.filter(col("vec_id") % 4 === 3)), "k")
+      val served = (0 until 8).map { c =>
+        graft.sources.GraftTable.readRange(s, root, "k",
+          c * cellBase, (c + 1) * cellBase - 1)
+      }.reduce(_ unionAll _)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(queries, served, k = 5)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy("qid", "rank")
+    },
+    Some(topKOracle))
+
   /** MATRYOSHKA (MRL) TRUNCATION EVAL — retrieval recall when only a
     * PREFIX of each embedding is kept (the deployment decision
     * matryoshka-trained models exist for: how many dims can serving
@@ -717,5 +764,5 @@ object VectorQueries {
     q37AnnIvf, q38EmbeddingNearDup, q57EmbeddingQuantize, q103LabelCentroids,
     q109EmbeddingOutliers, q165FilteredAnn, q206QuantizedRecall,
     q218ProductQuantization, q241TableServedAnn, q254IvfPqSearch,
-    q267MatryoshkaRecall)
+    q267MatryoshkaRecall, q273IncrementalAnnIndex)
 }

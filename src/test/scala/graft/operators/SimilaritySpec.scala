@@ -167,6 +167,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("incremental IVF index: upserted vectors land in their cell's key " +
+    "range and single-cell probes still skip files (q273's shape)") {
+    val root = java.nio.file.Files.createTempDirectory("ann_incr_spec")
+      .toString + "/tbl"
+    val cellBase = 1099511627776L
+    val pts = spark.range(0, 400).select(
+      $"id".as("vec_id"),
+      org.apache.spark.sql.functions.array(
+        ($"id" % 4 * 100).cast("float"), ($"id" % 7).cast("float"),
+        ($"id" % 5).cast("float")).as("embedding"))
+    val old = pts.filter($"vec_id" % 2 === 0)
+    val cents = Similarity.trainCentroidArrays(
+      old.select($"vec_id".as("cid"), $"embedding".as("cvec")),
+      nCentroids = 4, iters = 4)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.KMeans.assign(df, cents).select(
+        ($"cluster".cast("long") * cellBase + $"vec_id").as("k"),
+        $"vec_id", $"embedding")
+    graft.sources.GraftTable.create(spark, root, keyed(old), "k", nBuckets = 4)
+    graft.sources.GraftTable.upsert(spark, root,
+      keyed(pts.filter($"vec_id" % 2 === 1)), "k")
+    // all 400 vectors served, none duplicated
+    val all = (0 until 4).map(c =>
+      graft.sources.GraftTable.readRange(spark, root, "k",
+        c * cellBase, (c + 1) * cellBase - 1))
+      .reduce(_ unionAll _)
+    assert(all.select("vec_id").distinct().count() === 400)
+    assert(all.count() === 400)
+    // single-cell probes open a strict file subset post-upsert
+    val total = graft.sources.GraftTable
+      .prunedFileCount(spark, root, Long.MinValue, Long.MaxValue)
+    val cells = keyed(pts).select(($"k" / cellBase).cast("long").as("c"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    assert(cells.length >= 2)
+    cells.foreach { c =>
+      val opened = graft.sources.GraftTable.prunedFileCount(spark, root,
+        c * cellBase, (c + 1) * cellBase - 1)
+      assert(opened >= 1 && opened < total, s"cell $c opened $opened of $total")
+    }
+  }
+
   test("ivf-pq: probe-all + full shortlist is exact; approximate recall holds") {
     // deterministic synthetic corpus: 200 16-dim vectors
     val n = 200; val dims = 16
