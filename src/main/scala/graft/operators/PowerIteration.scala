@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA by POWER ITERATION — the dominant eigenvector of
+  * the (centered, unnormalized) covariance `Zᵀ Z`, computed without
+  * ever materializing a matrix: each iteration is two distributed
+  * matrix-vector products (`y = Z v`, `w = Zᵀ y`) expressed as
+  * explode → broadcast-join → hash-aggregate. At 100 TB the only
+  * state that ever leaves the executors is the dim-sized vector and
+  * two scalar maxima per iteration.
+  *
+  * EXACT cross-engine determinism (the engine-wide discipline applied
+  * to linear algebra): inputs quantize to integer micros
+  * (`x6 = round(x·10⁶)`), centering is done in the n-scaled integer
+  * form `z = n·x6 − Σx6` (no rational means), every product
+  * `z·v6`/`z·y6` stays below 2⁵³ so the double multiply is EXACT, and
+  * each product quantizes to `round(·/10³)` BEFORE the order-free
+  * integer sum. Vectors renormalize to max-abs 10⁶ each half-step.
+  * Every number the oracle sees is therefore bit-reproducible.
+  *
+  * Magnitude budget (|x| < 1, n ≤ 10⁶ rows, d ≤ 1024):
+  * x6 ≤ 10⁶, S ≤ n·10⁶, z ≤ 2n·10⁶, z·v6 ≤ 2n·10¹² (< 2⁵³ for
+  * n ≤ 4·10³; larger corpora should raise the /10³ quantizer — the
+  * scale knob is explicit, not implicit float error). */
+object PowerIteration {
+
+  /** Returns the final max-abs-10⁶-normalized eigenvector estimate as
+    * (dim index → v6) after `iters` iterations from the uniform
+    * vector, plus the per-iteration pre-normalization max |w| (a
+    * growth/convergence diagnostic). `emb` needs (idCol, vecCol). */
+  def dominantEigenvector(emb: DataFrame, dims: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+    : (Array[Long], Seq[Long]) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val x6 = emb.select(col(idCol).as("r"), posexplode(col(vecCol))
+        .as(Seq("i", "x")))
+      .select(col("r"), col("i"),
+        round(col("x").cast("double") * 1e6, 0).cast("long").as("x6"))
+    val n = emb.count()
+    val s = x6.groupBy("i").agg(sum("x6").as("s6"))
+    val z = x6.join(broadcast(s), "i")
+      .select(col("r"), col("i"),
+        (lit(n) * col("x6") - col("s6")).as("z"))
+      .cache()
+    z.count() // materialize once; every iteration reuses it
+    var v6 = Array.fill(dims)(1000000L)
+    val growth = scala.collection.mutable.ListBuffer.empty[Long]
+    for (_ <- 1 to iters) {
+      val vMap = map_from_arrays(
+        typedLit((0 until dims).toList), typedLit(v6.toList))
+      val y = z
+        .select(col("r"),
+          round((col("z") * element_at(vMap, col("i"))).cast("double") / 1e3,
+            0).cast("long").as("t"))
+        .groupBy("r").agg(sum("t").as("y"))
+      val maxY = y.agg(max(abs(col("y")))).as[Long].head()
+      val y6 = y.select(col("r"),
+        round(lit(1e6) * (col("y").cast("double") / lit(maxY.toDouble)), 0)
+          .cast("long").as("y6"))
+      val w = z.join(y6, "r")
+        .select(col("i"),
+          round((col("z") * col("y6")).cast("double") / 1e3, 0)
+            .cast("long").as("t"))
+        .groupBy("i").agg(sum("t").as("w"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val maxW = (0 until dims).map(i => math.abs(w.getOrElse(i, 0L))).max
+      growth += maxW
+      v6 = Array.tabulate(dims)(i =>
+        BigDecimal(1e6 * (w.getOrElse(i, 0L).toDouble / maxW.toDouble))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    z.unpersist()
+    (v6, growth.toList)
+  }
+}

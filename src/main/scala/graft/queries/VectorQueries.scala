@@ -692,6 +692,73 @@ object VectorQueries {
     },
     Some(topKOracle))
 
+  /** DISTRIBUTED PCA BY POWER ITERATION
+    * ([[graft.operators.PowerIteration]]): dominant eigenvector of the
+    * centered covariance via three `y = Zv` / `w = Zᵀy` rounds — each
+    * an explode → broadcast-join → hash-aggregate, never a
+    * materialized matrix; only the dim-sized vector and two scalar
+    * maxima leave the executors per iteration. All arithmetic follows
+    * the integer-micros discipline (products exact below 2⁵³,
+    * quantized before every order-free sum), so the oracle replays
+    * all three iterations as CTE chains and must agree bit-for-bit.
+    * `PowerIterationSpec` pins the semantics: the distributed path
+    * equals a dense local replay, and a planted dominant axis is
+    * recovered. */
+  val q274PowerIterationPca = GraftQuery(
+    "q274_power_iteration_pca",
+    (s, dir) => {
+      val (v6, growth) = graft.operators.PowerIteration
+        .dominantEigenvector(Tables.embeddings(s, dir), dims = 64, iters = 3)
+      import s.implicits._
+      v6.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v, growth.last)
+      }.toSeq.toDF("dim", "v6", "final_max_w")
+        .orderBy("dim")
+    },
+    Some {
+      def iter(k: Int): String = {
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        s"""y$k AS MATERIALIZED (
+           |  SELECT z.r, CAST(sum(CAST(round(CAST(z.z * v.v6 AS DOUBLE)
+           |    / 1e3) AS BIGINT)) AS BIGINT) AS y
+           |  FROM z JOIN $prev v ON v.i = z.i GROUP BY 1),
+           |my$k AS (SELECT max(abs(y)) AS m FROM y$k),
+           |y6_$k AS MATERIALIZED (
+           |  SELECT r, CAST(round(1e6 * (CAST(y AS DOUBLE) /
+           |    CAST((SELECT m FROM my$k) AS DOUBLE))) AS BIGINT) AS y6
+           |  FROM y$k),
+           |w$k AS MATERIALIZED (
+           |  SELECT z.i, CAST(sum(CAST(round(CAST(z.z * y6_$k.y6 AS DOUBLE)
+           |    / 1e3) AS BIGINT)) AS BIGINT) AS w
+           |  FROM z JOIN y6_$k USING (r) GROUP BY 1),
+           |mw$k AS (SELECT max(abs(w)) AS m FROM w$k),
+           |v$k AS MATERIALIZED (
+           |  SELECT i, CAST(round(1e6 * (CAST(w AS DOUBLE) /
+           |    CAST((SELECT m FROM mw$k) AS DOUBLE))) AS BIGINT) AS v6
+           |  FROM w$k)""".stripMargin
+      }
+      s"""WITH x6 AS MATERIALIZED (
+         |  SELECT vec_id AS r, u.u.i - 1 AS i,
+         |    CAST(round(CAST(u.u.x AS DOUBLE) * 1e6) AS BIGINT) AS x6
+         |  FROM (SELECT vec_id, unnest(list_transform(embedding,
+         |      (x, i) -> {'i': i, 'x': x})) AS u FROM embeddings) u),
+         |nn AS (SELECT count(*) AS n FROM embeddings),
+         |s AS MATERIALIZED (
+         |  SELECT i, CAST(sum(x6) AS BIGINT) AS s6 FROM x6 GROUP BY 1),
+         |z AS MATERIALIZED (
+         |  SELECT x6.r, x6.i,
+         |    CAST((SELECT n FROM nn) * x6.x6 - s.s6 AS BIGINT) AS z
+         |  FROM x6 JOIN s ON s.i = x6.i),
+         |v0 AS (SELECT CAST(t.range AS INTEGER) AS i,
+         |  CAST(1000000 AS BIGINT) AS v6 FROM range(64) t),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT CAST(v3.i AS BIGINT) AS dim, v3.v6,
+         |  CAST((SELECT m FROM mw3) AS BIGINT) AS final_max_w
+         |FROM v3 ORDER BY dim""".stripMargin
+    })
+
   /** MATRYOSHKA (MRL) TRUNCATION EVAL — retrieval recall when only a
     * PREFIX of each embedding is kept (the deployment decision
     * matryoshka-trained models exist for: how many dims can serving
@@ -764,5 +831,5 @@ object VectorQueries {
     q37AnnIvf, q38EmbeddingNearDup, q57EmbeddingQuantize, q103LabelCentroids,
     q109EmbeddingOutliers, q165FilteredAnn, q206QuantizedRecall,
     q218ProductQuantization, q241TableServedAnn, q254IvfPqSearch,
-    q267MatryoshkaRecall, q273IncrementalAnnIndex)
+    q267MatryoshkaRecall, q273IncrementalAnnIndex, q274PowerIterationPca)
 }
