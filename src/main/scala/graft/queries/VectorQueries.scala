@@ -759,6 +759,75 @@ object VectorQueries {
          |FROM v3 ORDER BY dim""".stripMargin
     })
 
+  /** FEATURE-CORRELATION AUDIT — exact pairwise Pearson correlation
+    * between embedding dimensions (the redundancy check run before
+    * feature selection / whitening): micro-quantized inputs make
+    * every moment an exact int64 (`n·Σxy`, `Sx·Sy`, and their
+    * difference all bounded inside the budget documented in
+    * [[graft.operators.PowerIteration]]), so the only floats are the
+    * two final square roots — deterministic on both engines. Shape:
+    * per-dim moments are one hash-aggregate; cross moments come from
+    * the position self-join on the row id (per-row work is d², the
+    * aggregated state is d²-sized — independent of corpus size).
+    * Output: the top-10 most-correlated pairs. */
+  val q275CorrelationAudit = GraftQuery(
+    "q275_correlation_audit",
+    (s, dir) => {
+      val x6 = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("r"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("r"), col("i"),
+          round(col("x").cast("double") * 1e6, 0).cast("long").as("x6"))
+      val n = Tables.embeddings(s, dir).count()
+      val mom = x6.groupBy("i").agg(
+        sum("x6").as("sx"), sum(col("x6") * col("x6")).as("sxx"))
+      val cross = x6.as("a").join(x6.as("b"),
+          col("a.r") === col("b.r") && col("a.i") < col("b.i"))
+        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+        .agg(sum(col("a.x6") * col("b.x6")).as("sxy"))
+      val momI = mom.select(col("i"), col("sx").as("sx_i"),
+        col("sxx").as("sxx_i"))
+      val momJ = mom.select(col("i").as("j"), col("sx").as("sx_j"),
+        col("sxx").as("sxx_j"))
+      cross.join(broadcast(momI), "i").join(broadcast(momJ), "j")
+        .withColumn("num", lit(n) * col("sxy") - col("sx_i") * col("sx_j"))
+        .withColumn("d_i", lit(n) * col("sxx_i") - col("sx_i") * col("sx_i"))
+        .withColumn("d_j", lit(n) * col("sxx_j") - col("sx_j") * col("sx_j"))
+        .withColumn("corr", round(col("num").cast("double") /
+          (sqrt(col("d_i").cast("double")) * sqrt(col("d_j").cast("double"))),
+          9))
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("corr"))
+        .orderBy(abs(col("corr")).desc, col("i"), col("j"))
+        .limit(10)
+    },
+    Some("""WITH x6 AS MATERIALIZED (
+           |  SELECT vec_id AS r, u.u.i - 1 AS i,
+           |    CAST(round(CAST(u.u.x AS DOUBLE) * 1e6) AS BIGINT) AS x6
+           |  FROM (SELECT vec_id, unnest(list_transform(embedding,
+           |      (x, i) -> {'i': i, 'x': x})) AS u FROM embeddings) u),
+           |nn AS (SELECT count(*) AS n FROM embeddings),
+           |mom AS MATERIALIZED (
+           |  SELECT i, CAST(sum(x6) AS BIGINT) AS sx,
+           |    CAST(sum(x6 * x6) AS BIGINT) AS sxx
+           |  FROM x6 GROUP BY 1),
+           |cross_m AS MATERIALIZED (
+           |  SELECT a.i AS i, b.i AS j, CAST(sum(a.x6 * b.x6) AS BIGINT) AS sxy
+           |  FROM x6 a JOIN x6 b ON b.r = a.r AND a.i < b.i
+           |  GROUP BY 1, 2),
+           |c AS (
+           |  SELECT cm.i, cm.j,
+           |    round(CAST((SELECT n FROM nn) * cm.sxy - mi.sx * mj.sx
+           |        AS DOUBLE) /
+           |      (sqrt(CAST((SELECT n FROM nn) * mi.sxx - mi.sx * mi.sx
+           |          AS DOUBLE)) *
+           |       sqrt(CAST((SELECT n FROM nn) * mj.sxx - mj.sx * mj.sx
+           |          AS DOUBLE))), 9) AS corr
+           |  FROM cross_m cm JOIN mom mi ON mi.i = cm.i
+           |    JOIN mom mj ON mj.i = cm.j)
+           |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, corr
+           |FROM c ORDER BY abs(corr) DESC, i, j LIMIT 10""".stripMargin))
+
   /** MATRYOSHKA (MRL) TRUNCATION EVAL — retrieval recall when only a
     * PREFIX of each embedding is kept (the deployment decision
     * matryoshka-trained models exist for: how many dims can serving
@@ -831,5 +900,6 @@ object VectorQueries {
     q37AnnIvf, q38EmbeddingNearDup, q57EmbeddingQuantize, q103LabelCentroids,
     q109EmbeddingOutliers, q165FilteredAnn, q206QuantizedRecall,
     q218ProductQuantization, q241TableServedAnn, q254IvfPqSearch,
-    q267MatryoshkaRecall, q273IncrementalAnnIndex, q274PowerIterationPca)
+    q267MatryoshkaRecall, q273IncrementalAnnIndex, q274PowerIterationPca,
+    q275CorrelationAudit)
 }
