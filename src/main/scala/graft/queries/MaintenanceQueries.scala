@@ -1608,11 +1608,85 @@ object MaintenanceQueries {
            |  hs AS row_sum
            |FROM st ORDER BY snapshot""".stripMargin))
 
+  /** RESTORE — the incident-recovery workflow: good commit, bad
+    * commit (a batch that zeroes balances), then
+    * [[graft.sources.GraftTable.restore]] rolls the head back to the
+    * good version as a metadata-only commit (old files re-referenced,
+    * zero data I/O). The gate checksums the head, the good version,
+    * and the bad version through SQL text: head must hash-equal the
+    * good snapshot while the bad version stays time-travelable (the
+    * restore preserves history rather than rewriting it). The oracle
+    * replays the good logical state twice and the bad state once. */
+  val q276TableRestore = GraftQuery(
+    "q276_table_restore",
+    (s, dir) => {
+      val base = newTempDir("graft_restore")
+      val root = base + "/tbl"
+      val v0 = Tables.supplier(s, dir).select(
+        col("s_suppkey").cast("long").as("k"), col("s_name").as("name"),
+        floor(col("s_acctbal") * 100 + lit(0.5)).cast("long").as("bal_cents"))
+      GraftTable.create(s, root, v0, "k", nBuckets = 4)
+      // v1 (good): every 5th supplier gains 1000 cents
+      GraftTable.upsert(s, root,
+        v0.filter(col("k") % 5 === 0)
+          .withColumn("bal_cents", col("bal_cents") + 1000L), "k")
+      // v2 (incident): a runaway job zeroes every balance
+      GraftTable.upsert(s, root,
+        v0.select(col("k"), col("name"), lit(0L).as("bal_cents")), "k")
+      GraftTable.restore(s, root, 1) // v3 == v1 content
+      val cat = "graft_rst_" + java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      def one(label: String, ref: String) = s.sql(
+        s"""SELECT '$label' AS snapshot, count(*) AS n_rows,
+           |  CAST(sum(bal_cents) AS BIGINT) AS bal_sum,
+           |  CAST(sum(CAST(conv(substring(md5(concat_ws('|',
+           |    CAST(k AS STRING), name, CAST(bal_cents AS STRING))), 1, 8),
+           |    16, 10) AS BIGINT)) AS BIGINT) AS row_sum
+           |FROM $cat.tbl VERSION AS OF $ref""".stripMargin)
+      one("a_good_v1", "1").unionAll(one("b_bad_v2", "2"))
+        .unionAll(one("c_restored_head", "3")).orderBy("snapshot")
+    },
+    Some("""WITH v0 AS (
+           |  SELECT CAST(s_suppkey AS BIGINT) AS k, s_name AS name,
+           |    CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+           |  FROM supplier),
+           |v1 AS (
+           |  SELECT k, name,
+           |    CASE WHEN k % 5 = 0 THEN bal_cents + 1000 ELSE bal_cents END
+           |      AS bal_cents
+           |  FROM v0),
+           |v2 AS (SELECT k, name, CAST(0 AS BIGINT) AS bal_cents FROM v0),
+           |st AS (
+           |  SELECT 'a_good_v1' AS snapshot, count(*) AS n,
+           |    CAST(sum(bal_cents) AS BIGINT) AS bs,
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      name || '|' || CAST(bal_cents AS VARCHAR)), 1, 8))::BIGINT)
+           |      AS BIGINT) AS rs
+           |  FROM v1
+           |  UNION ALL
+           |  SELECT 'b_bad_v2', count(*), CAST(sum(bal_cents) AS BIGINT),
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      name || '|' || CAST(bal_cents AS VARCHAR)), 1, 8))::BIGINT)
+           |      AS BIGINT)
+           |  FROM v2
+           |  UNION ALL
+           |  SELECT 'c_restored_head', count(*), CAST(sum(bal_cents) AS BIGINT),
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      name || '|' || CAST(bal_cents AS VARCHAR)), 1, 8))::BIGINT)
+           |      AS BIGINT)
+           |  FROM v1)
+           |SELECT snapshot, CAST(n AS BIGINT) AS n_rows, bs AS bal_sum,
+           |  rs AS row_sum
+           |FROM st ORDER BY snapshot""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
     q222TableSchemaEvolution, q223BloomPrunedRead, q224TableChanges,
     q236CdfMaintenance, q237ZorderTable, q239TableReplication,
     q242WriteAuditPublish, q249ErasureProof, q251IndexMaintenance,
-    q252SqlTableSurface, q270SqlTableWrites, q272VersionTags)
+    q252SqlTableSurface, q270SqlTableWrites, q272VersionTags,
+    q276TableRestore)
 }

@@ -715,6 +715,42 @@ object GraftTable {
       }
   }
 
+  /** RESTORE — make the head equal a prior version's content as a NEW
+    * metadata-only commit (the undo every lakehouse ships): the new
+    * manifest references the restored version's data files BY
+    * REFERENCE (zero data I/O, instantaneous at any table size), and
+    * if schema evolution happened since, the restored version's schema
+    * is re-pinned at the new version so the head reads with exactly
+    * the old column set. History is PRESERVED — the bad versions stay
+    * time-travelable until vacuum; the restore is just one more
+    * commit, visible in `history()` and the change feed like any
+    * other. Requires the target's manifest to still exist (vacuum's
+    * live-set invariant then guarantees its data files do too). */
+  def restore(spark: SparkSession, root: String, toVersion: Int): Int = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"no table at $root")
+    require(toVersion >= 0 && toVersion <= base,
+      s"cannot restore to $toVersion: table is at version $base")
+    val (f, _) = fs(root, spark)
+    require(f.exists(manifestPath(root, toVersion)),
+      s"cannot restore to $toVersion: manifest gone (vacuumed) — tag " +
+        "versions you may need to restore to")
+    val entries = loadManifest(spark, root, toVersion)
+    val v = base + 1
+    val restored = tableSchema(spark, root, toVersion)
+    val head = tableSchema(spark, root, base)
+    val wroteSchema = restored != head
+    if (wroteSchema) {
+      val schemaP =
+        new org.apache.hadoop.fs.Path(root, f"_log/schema-v$v%05d.json")
+      if (f.exists(schemaP) && !f.exists(manifestPath(root, v)))
+        f.delete(schemaP, false)
+      writeAtomic(f, schemaP, restored.json)
+    }
+    commitManifest(f, root, v, entries, wroteSchema = wroteSchema)
+    v
+  }
+
   /** Named immutable reference to a version (an Iceberg-style TAG):
     * `_log/tag-<name>.json` holds the version number. Tagged versions
     * survive [[vacuum]] (their manifests and data files stay live

@@ -624,6 +624,45 @@ class GraftTableSpec extends SparkSpec {
     assert(GraftTable.tags(spark, root).isEmpty)
   }
 
+  test("restore: head returns to a prior version's content and schema, " +
+    "metadata-only, with history preserved") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(100), "k", nBuckets = 2)
+    GraftTable.upsert(spark, root,
+      base(100).filter($"k" <= 20).withColumn("v", lit(1L)), "k")   // v1: good
+    GraftTable.evolveAddColumns(spark, root,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.LongType))))                   // v2
+    GraftTable.upsert(spark, root, base(100)
+      .withColumn("v", lit(-99L)).withColumn("extra", lit(1L)), "k") // v3: bad
+    GraftTable.deleteWhere(spark, root, $"k" > 50, "k")             // v4: worse
+    val dataFilesBefore = new java.io.File(root + "/data")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val v = GraftTable.restore(spark, root, 1)
+    assert(v === 5)
+    // zero data I/O: no new data files were written
+    val dataFilesAfter = new java.io.File(root + "/data")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(dataFilesAfter === dataFilesBefore)
+    // head == v1 content, including the PRE-EVOLUTION schema
+    val head = GraftTable.read(spark, root)
+    assert(head.columns.toSeq === Seq("k", "name", "v"))
+    assert(head.count() === 100)
+    assert(head.filter($"v" === 1L).count() === 20)
+    assert(head.filter($"v" === -99L).count() === 0)
+    // history preserved: the bad versions still time-travel
+    assert(GraftTable.read(spark, root, Some(3)).filter($"v" === -99L)
+      .count() === 100)
+    assert(GraftTable.read(spark, root, Some(4)).count() === 50)
+    // restoring to a vacuumed version refuses with guidance
+    GraftTable.vacuum(spark, root, retainVersions = 2)
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.restore(spark, root, 0)
+    }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+  }
+
   private def manifestLines(root: String, v: Int): Seq[String] = {
     val src = scala.io.Source.fromFile(f"$root/_log/v$v%05d.manifest")
     try src.getLines().filter(_.nonEmpty).toList finally src.close()
