@@ -404,7 +404,86 @@ object PostTraining {
             |  round(CAST(sum(pr9) AS DOUBLE) / count(*) / 1e9, 9) AS mean_pred
             |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** BEST-OF-N REWARD SCALING CURVES — how much does sampling n
+    * candidates and keeping the best buy? For each segment, the exact
+    * expectation of the maximum of n with-replacement draws from the
+    * EMPIRICAL reward distribution:
+    * `E[max_n] = Σ_r x_(r) · ((r/N)ⁿ − ((r−1)/N)ⁿ)` over the sorted
+    * rewards — the curve RLHF papers plot to choose n.
+    *
+    * The scale-relevant construction: per-SEGMENT ranks from the
+    * GLOBAL two-phase [[graft.operators.GlobalRank.rowNumber]] keyed
+    * (segment, reward, id), minus per-segment broadcast offsets — a
+    * 5-value `Window.partitionBy(segment)` would funnel n/5 rows per
+    * task (the q179 cliff); this form scales with the data. Powers
+    * are computed by an identical left-associated product HOF on both
+    * engines; per-rank terms quantize to nanos before the order-free
+    * sums. */
+  val q277BestOfN = GraftQuery(
+    "q277_best_of_n",
+    (s, dir) => {
+      import graft.operators.GlobalRank
+      val o = Tables.orders(s, dir).select(
+        col("o_orderpriority").as("segment"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val ranked = GlobalRank.rowNumber(o, "grn",
+        col("segment"), col("cents"), col("o_orderkey"))
+      // per-segment rank = global rank − rows in lexically-earlier
+      // segments (segment-count-sized aggregate, broadcast back)
+      val counts = o.groupBy("segment").agg(count(lit(1)).as("n_seg"))
+      val offsets = counts
+        .withColumn("off", sum("n_seg").over(
+          org.apache.spark.sql.expressions.Window.orderBy("segment")
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)))
+        .na.fill(0L, Seq("off"))
+      val perSeg = ranked.join(broadcast(offsets), "segment")
+        .withColumn("r", col("grn") - col("off"))
+      val ns = Seq(1, 2, 4, 8, 16)
+      ns.map { n =>
+        val rOverN = col("r").cast("double") / col("n_seg").cast("double")
+        val prevOverN = (col("r") - 1).cast("double") /
+          col("n_seg").cast("double")
+        def powN(x: org.apache.spark.sql.Column) =
+          aggregate(sequence(lit(1), lit(n)), lit(1.0), (acc, _) => acc * x)
+        perSeg.withColumn("t9",
+          round(lit(1e9) * (col("cents").cast("double") *
+            (powN(rOverN) - powN(prevOverN))), 0).cast("long"))
+          .groupBy("segment")
+          .agg(sum("t9").as("e9"))
+          .select(col("segment"), lit(n).cast("long").as("n"),
+            round(col("e9").cast("double") / 1e9 / 100.0, 4)
+              .as("e_best_of_n"))
+      }.reduce(_ unionAll _).orderBy("segment", "n")
+    },
+    Some {
+      def one(n: Int): String =
+        s"""SELECT segment, CAST($n AS BIGINT) AS n,
+           |  round(CAST(CAST(sum(CAST(round(1e9 * (CAST(cents AS DOUBLE) *
+           |    (list_reduce(list_transform(range($n),
+           |       i -> CAST(r AS DOUBLE) / CAST(n_seg AS DOUBLE)),
+           |       (a, b) -> a * b)
+           |     - list_reduce(list_transform(range($n),
+           |       i -> CAST(r - 1 AS DOUBLE) / CAST(n_seg AS DOUBLE)),
+           |       (a, b) -> a * b)))) AS BIGINT)) AS BIGINT) AS DOUBLE)
+           |    / 1e9 / 100.0, 4) AS e_best_of_n
+           |FROM ranked GROUP BY 1""".stripMargin
+      s"""WITH o AS (
+         |  SELECT o_orderpriority AS segment, o_orderkey,
+         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM orders),
+         |ranked AS MATERIALIZED (
+         |  SELECT segment, cents,
+         |    row_number() OVER (PARTITION BY segment
+         |      ORDER BY cents, o_orderkey) AS r,
+         |    count(*) OVER (PARTITION BY segment) AS n_seg
+         |  FROM o)
+         |SELECT * FROM (
+         |  ${Seq(1, 2, 4, 8, 16).map(one).mkString("\n  UNION ALL\n  ")}
+         |) ORDER BY segment, n""".stripMargin
+    })
+
   val all: Seq[GraftQuery] =
     Seq(q258PassAtK, q259BradleyTerry, q260GrpoAdvantage, q261DpoPairs,
-      q271BtCalibrationHarvest)
+      q271BtCalibrationHarvest, q277BestOfN)
 }

@@ -148,6 +148,28 @@ class Round9Spec extends SparkSpec {
     assert(again === rows.map(_.getLong(5)).toSeq)
   }
 
+  test("q277: best-of-n curves are monotone in n, start at the group mean, " +
+    "and stay below the group max") {
+    val rows = PostTraining.q277BestOfN.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val bySeg = rows.groupBy(_._1)
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderpriority").as("seg"),
+      (floor(col("o_totalprice") * 100 + lit(0.5)) / 100).as("d"))
+    val stats = o.groupBy("seg")
+      .agg(avg("d").as("mean"), max("d").as("mx")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    bySeg.foreach { case (seg, curve) =>
+      val byN = curve.sortBy(_._2).map(_._3)
+      byN.zip(byN.tail).foreach { case (a, b) =>
+        assert(b > a, s"$seg: not monotone ($a -> $b)")
+      }
+      val (mean, mx) = stats(seg)
+      assert(math.abs(byN.head - mean) < 0.02, s"$seg: E[best-of-1] $mean")
+      assert(byN.last < mx, s"$seg: exceeded the max")
+    }
+  }
+
   test("q257: centile tiles partition the orders table near-evenly") {
     val rows = Extras.q257GlobalNtilePrank.run(spark, dir).collect()
     assert(rows.length === 100)
