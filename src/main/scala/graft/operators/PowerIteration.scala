@@ -75,4 +75,27 @@ object PowerIteration {
     z.unpersist()
     (v6, growth.toList)
   }
+
+  /** Project every row onto a (nano-quantized) direction: the same
+    * centered integer form and quantization as one E-step of
+    * [[dominantEigenvector]] — `score_r = Σ_i round(z_ri·v6_i/10³)` —
+    * so the scores are bit-reproducible and ready for exact
+    * aggregation. Returns (idCol, score). */
+  def projectScores(emb: DataFrame, v6: Array[Long],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dims = v6.length
+    val x6 = emb.select(col(idCol).as("r"), posexplode(col(vecCol))
+        .as(Seq("i", "x")))
+      .select(col("r"), col("i"),
+        round(col("x").cast("double") * 1e6, 0).cast("long").as("x6"))
+    val n = emb.count()
+    val s = x6.groupBy("i").agg(sum("x6").as("s6"))
+    val vMap = map_from_arrays(
+      typedLit((0 until dims).toList), typedLit(v6.toList))
+    x6.join(broadcast(s), "i")
+      .select(col("r"),
+        round(((lit(n) * col("x6") - col("s6")) * element_at(vMap, col("i")))
+          .cast("double") / 1e3, 0).cast("long").as("t"))
+      .groupBy("r").agg(sum("t").as("score"))
+  }
 }

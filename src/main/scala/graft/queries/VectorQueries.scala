@@ -692,6 +692,52 @@ object VectorQueries {
     },
     Some(topKOracle))
 
+  /** Shared oracle chain for the power-iteration family (q274/q279):
+    * micro-quantized inputs, n-scaled centering, three quantized
+    * y=Zv / w=Zᵀy rounds. Ends at `z(r, i, z)`, `v3(i, v6)`, and
+    * `mw3(m)`. */
+  private def pcaIterSql(k: Int): String = {
+    val prev = if (k == 1) "v0" else s"v${k - 1}"
+    s"""y$k AS MATERIALIZED (
+       |  SELECT z.r, CAST(sum(CAST(round(CAST(z.z * v.v6 AS DOUBLE)
+       |    / 1e3) AS BIGINT)) AS BIGINT) AS y
+       |  FROM z JOIN $prev v ON v.i = z.i GROUP BY 1),
+       |my$k AS (SELECT max(abs(y)) AS m FROM y$k),
+       |y6_$k AS MATERIALIZED (
+       |  SELECT r, CAST(round(1e6 * (CAST(y AS DOUBLE) /
+       |    CAST((SELECT m FROM my$k) AS DOUBLE))) AS BIGINT) AS y6
+       |  FROM y$k),
+       |w$k AS MATERIALIZED (
+       |  SELECT z.i, CAST(sum(CAST(round(CAST(z.z * y6_$k.y6 AS DOUBLE)
+       |    / 1e3) AS BIGINT)) AS BIGINT) AS w
+       |  FROM z JOIN y6_$k USING (r) GROUP BY 1),
+       |mw$k AS (SELECT max(abs(w)) AS m FROM w$k),
+       |v$k AS MATERIALIZED (
+       |  SELECT i, CAST(round(1e6 * (CAST(w AS DOUBLE) /
+       |    CAST((SELECT m FROM mw$k) AS DOUBLE))) AS BIGINT) AS v6
+       |  FROM w$k)""".stripMargin
+  }
+
+  private def pcaChainSql: String =
+    s"""x6 AS MATERIALIZED (
+       |  SELECT vec_id AS r, u.u.i - 1 AS i,
+       |    CAST(round(CAST(u.u.x AS DOUBLE) * 1e6) AS BIGINT) AS x6
+       |  FROM (SELECT vec_id, unnest(list_transform(embedding,
+       |      (x, i) -> {'i': i, 'x': x})) AS u FROM embeddings) u),
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |s AS MATERIALIZED (
+       |  SELECT i, CAST(sum(x6) AS BIGINT) AS s6 FROM x6 GROUP BY 1),
+       |z AS MATERIALIZED (
+       |  SELECT x6.r, x6.i,
+       |    CAST((SELECT n FROM nn) * x6.x6 - s.s6 AS BIGINT) AS z
+       |  FROM x6 JOIN s ON s.i = x6.i),
+       |v0 AS (SELECT CAST(t.range AS INTEGER) AS i,
+       |  CAST(1000000 AS BIGINT) AS v6 FROM range(64) t),
+       |${pcaIterSql(1)},
+       |${pcaIterSql(2)},
+       |${pcaIterSql(3)}"""
+      .stripMargin
+
   /** DISTRIBUTED PCA BY POWER ITERATION
     * ([[graft.operators.PowerIteration]]): dominant eigenvector of the
     * centered covariance via three `y = Zv` / `w = Zᵀy` rounds — each
@@ -715,49 +761,10 @@ object VectorQueries {
       }.toSeq.toDF("dim", "v6", "final_max_w")
         .orderBy("dim")
     },
-    Some {
-      def iter(k: Int): String = {
-        val prev = if (k == 1) "v0" else s"v${k - 1}"
-        s"""y$k AS MATERIALIZED (
-           |  SELECT z.r, CAST(sum(CAST(round(CAST(z.z * v.v6 AS DOUBLE)
-           |    / 1e3) AS BIGINT)) AS BIGINT) AS y
-           |  FROM z JOIN $prev v ON v.i = z.i GROUP BY 1),
-           |my$k AS (SELECT max(abs(y)) AS m FROM y$k),
-           |y6_$k AS MATERIALIZED (
-           |  SELECT r, CAST(round(1e6 * (CAST(y AS DOUBLE) /
-           |    CAST((SELECT m FROM my$k) AS DOUBLE))) AS BIGINT) AS y6
-           |  FROM y$k),
-           |w$k AS MATERIALIZED (
-           |  SELECT z.i, CAST(sum(CAST(round(CAST(z.z * y6_$k.y6 AS DOUBLE)
-           |    / 1e3) AS BIGINT)) AS BIGINT) AS w
-           |  FROM z JOIN y6_$k USING (r) GROUP BY 1),
-           |mw$k AS (SELECT max(abs(w)) AS m FROM w$k),
-           |v$k AS MATERIALIZED (
-           |  SELECT i, CAST(round(1e6 * (CAST(w AS DOUBLE) /
-           |    CAST((SELECT m FROM mw$k) AS DOUBLE))) AS BIGINT) AS v6
-           |  FROM w$k)""".stripMargin
-      }
-      s"""WITH x6 AS MATERIALIZED (
-         |  SELECT vec_id AS r, u.u.i - 1 AS i,
-         |    CAST(round(CAST(u.u.x AS DOUBLE) * 1e6) AS BIGINT) AS x6
-         |  FROM (SELECT vec_id, unnest(list_transform(embedding,
-         |      (x, i) -> {'i': i, 'x': x})) AS u FROM embeddings) u),
-         |nn AS (SELECT count(*) AS n FROM embeddings),
-         |s AS MATERIALIZED (
-         |  SELECT i, CAST(sum(x6) AS BIGINT) AS s6 FROM x6 GROUP BY 1),
-         |z AS MATERIALIZED (
-         |  SELECT x6.r, x6.i,
-         |    CAST((SELECT n FROM nn) * x6.x6 - s.s6 AS BIGINT) AS z
-         |  FROM x6 JOIN s ON s.i = x6.i),
-         |v0 AS (SELECT CAST(t.range AS INTEGER) AS i,
-         |  CAST(1000000 AS BIGINT) AS v6 FROM range(64) t),
-         |${iter(1)},
-         |${iter(2)},
-         |${iter(3)}
-         |SELECT CAST(v3.i AS BIGINT) AS dim, v3.v6,
-         |  CAST((SELECT m FROM mw3) AS BIGINT) AS final_max_w
-         |FROM v3 ORDER BY dim""".stripMargin
-    })
+    Some(s"""WITH $pcaChainSql
+            |SELECT CAST(v3.i AS BIGINT) AS dim, v3.v6,
+            |  CAST((SELECT m FROM mw3) AS BIGINT) AS final_max_w
+            |FROM v3 ORDER BY dim""".stripMargin))
 
   /** FEATURE-CORRELATION AUDIT — exact pairwise Pearson correlation
     * between embedding dimensions (the redundancy check run before
@@ -827,6 +834,99 @@ object VectorQueries {
            |    JOIN mom mj ON mj.i = cm.j)
            |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, corr
            |FROM c ORDER BY abs(corr) DESC, i, j LIMIT 10""".stripMargin))
+
+  /** HARD-NEGATIVE MINING — the triplet-construction step of every
+    * embedding-training pipeline: for each anchor, the most-similar
+    * SAME-label vector is the positive and the most-similar
+    * DIFFERENT-label vector is the hard negative; the triplet margin
+    * `cos(pos) − cos(neg)` and the violation flag (negative within
+    * 0.05 of the positive) are what the training loop consumes. Shape:
+    * anchors broadcast against the corpus scan (the bruteForceTopK
+    * pair generation), then ONE aggregation with conditional struct
+    * extrema — no window, no per-label self-join; at 100 TB the
+    * per-anchor state is two structs. Selection happens on raw cosine
+    * doubles (identical on both engines); rounding is display-only. */
+  val q278HardNegatives = GraftQuery(
+    "q278_hard_negatives",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val anchors = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("cid"),
+        col("label").as("clabel"), col("embedding").as("cvec"))
+      val scored = corpus.crossJoin(broadcast(anchors))
+        .filter(col("qid") =!= col("cid"))
+        .withColumn("cos", Similarity.cosine(col("qvec"), col("cvec")))
+      scored.groupBy("qid", "qlabel")
+        .agg(
+          max(when(col("clabel") === col("qlabel"),
+            struct(col("cos"), col("cid")))).as("pos"),
+          max(when(col("clabel") =!= col("qlabel"),
+            struct(col("cos"), col("cid")))).as("neg"))
+        .select(col("qid"), col("qlabel").cast("long").as("qlabel"),
+          col("pos.cid").as("pos_id"), round(col("pos.cos"), 6).as("pos_cos"),
+          col("neg.cid").as("neg_id"), round(col("neg.cos"), 6).as("neg_cos"),
+          round(col("pos.cos") - col("neg.cos"), 6).as("margin"),
+          (col("neg.cos") + 0.05 > col("pos.cos")).as("violated"))
+        .orderBy("qid")
+    },
+    Some(s"""WITH scored AS (
+            |  SELECT a.vec_id AS qid, a.label AS qlabel,
+            |    b.vec_id AS cid, b.label AS clabel,
+            |    $cosSql AS cos
+            |  FROM (SELECT * FROM embeddings WHERE vec_id < 20) a
+            |  JOIN embeddings b ON b.vec_id <> a.vec_id),
+            |pos AS (
+            |  SELECT qid, qlabel, cid AS pos_id, cos AS pos_cos FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY qid
+            |      ORDER BY cos DESC, cid DESC) AS rn
+            |    FROM scored WHERE clabel = qlabel) WHERE rn = 1),
+            |neg AS (
+            |  SELECT qid, cid AS neg_id, cos AS neg_cos FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY qid
+            |      ORDER BY cos DESC, cid DESC) AS rn
+            |    FROM scored WHERE clabel <> qlabel) WHERE rn = 1)
+            |SELECT p.qid, CAST(p.qlabel AS BIGINT) AS qlabel,
+            |  p.pos_id, round(p.pos_cos, 6) AS pos_cos,
+            |  n.neg_id, round(n.neg_cos, 6) AS neg_cos,
+            |  round(p.pos_cos - n.neg_cos, 6) AS margin,
+            |  n.neg_cos + 0.05 > p.pos_cos AS violated
+            |FROM pos p JOIN neg n ON n.qid = p.qid
+            |ORDER BY p.qid""".stripMargin))
+
+  /** PCA PROJECTION AUDIT — project the corpus onto the trained
+    * dominant component ([[graft.operators.PowerIteration
+    * .projectScores]]: one more quantized E-step, map-only against the
+    * broadcast direction) and profile the scores per label: does the
+    * principal axis of variance carry label structure? Per-label
+    * count, exact integer score mass, and extrema are all order-free
+    * integer sums of the bit-reproducible scores. Oracle: the shared
+    * q274 chain plus the projection and label join. */
+  val q279PcaProjection = GraftQuery(
+    "q279_pca_projection",
+    (s, dir) => {
+      import graft.operators.PowerIteration
+      val emb = Tables.embeddings(s, dir)
+      val (v6, _) = PowerIteration.dominantEigenvector(emb, 64, iters = 3)
+      PowerIteration.projectScores(emb, v6)
+        .join(emb.select(col("vec_id").as("r"), col("label")), "r")
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"),
+          sum("score").as("sum_score"),
+          min("score").as("min_score"), max("score").as("max_score"))
+        .orderBy("label")
+    },
+    Some(s"""WITH $pcaChainSql,
+            |proj AS MATERIALIZED (
+            |  SELECT z.r, CAST(sum(CAST(round(CAST(z.z * v.v6 AS DOUBLE)
+            |    / 1e3) AS BIGINT)) AS BIGINT) AS score
+            |  FROM z JOIN v3 v ON v.i = z.i GROUP BY 1)
+            |SELECT CAST(e.label AS BIGINT) AS label, count(*) AS n,
+            |  CAST(sum(p.score) AS BIGINT) AS sum_score,
+            |  min(p.score) AS min_score, max(p.score) AS max_score
+            |FROM proj p JOIN embeddings e ON e.vec_id = p.r
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** MATRYOSHKA (MRL) TRUNCATION EVAL — retrieval recall when only a
     * PREFIX of each embedding is kept (the deployment decision
@@ -901,5 +1001,5 @@ object VectorQueries {
     q109EmbeddingOutliers, q165FilteredAnn, q206QuantizedRecall,
     q218ProductQuantization, q241TableServedAnn, q254IvfPqSearch,
     q267MatryoshkaRecall, q273IncrementalAnnIndex, q274PowerIterationPca,
-    q275CorrelationAudit)
+    q275CorrelationAudit, q278HardNegatives, q279PcaProjection)
 }
