@@ -33,8 +33,33 @@ object PowerIteration {
   def dominantEigenvector(emb: DataFrame, dims: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding")
     : (Array[Long], Seq[Long]) = {
-    val spark = emb.sparkSession
-    import spark.implicits._
+    val z = buildZ(emb, idCol, vecCol)
+    try iterate(z, dims, iters, orthoTo = None)
+    finally z.unpersist()
+  }
+
+  /** TOP-2 components: the dominant eigenvector, then DEFLATED power
+    * iteration for the second — after each normalization the iterate
+    * is Gram-Schmidt-orthogonalized against the (quantized) first
+    * component and re-normalized, all in the same integer discipline
+    * (the projection coefficient is a ratio of ≤ 64·10¹² integer dot
+    * products; the subtraction quantizes per component). Shares ONE
+    * cached Z materialization across both components. */
+  def topTwoEigenvectors(emb: DataFrame, dims: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+    : (Array[Long], Array[Long]) = {
+    val z = buildZ(emb, idCol, vecCol)
+    try {
+      val (v1, _) = iterate(z, dims, iters, orthoTo = None)
+      val (v2, _) = iterate(z, dims, iters, orthoTo = Some(v1))
+      (v1, v2)
+    } finally z.unpersist()
+  }
+
+  /** Centered, micro-quantized, n-scaled design matrix as (r, i, z),
+    * cached and materialized. Callers unpersist. */
+  private def buildZ(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
     val x6 = emb.select(col(idCol).as("r"), posexplode(col(vecCol))
         .as(Seq("i", "x")))
       .select(col("r"), col("i"),
@@ -46,7 +71,20 @@ object PowerIteration {
         (lit(n) * col("x6") - col("s6")).as("z"))
       .cache()
     z.count() // materialize once; every iteration reuses it
+    z
+  }
+
+  private def roundL(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  private def iterate(z: DataFrame, dims: Int, iters: Int,
+      orthoTo: Option[Array[Long]]): (Array[Long], Seq[Long]) = {
+    val spark = z.sparkSession
+    import spark.implicits._
     var v6 = Array.fill(dims)(1000000L)
+    // a uniform start can be parallel to v1; orthogonalize it first so
+    // the deflated iteration never starts in the removed subspace
+    orthoTo.foreach { v1 => v6 = orthonormalize(v6, v1) }
     val growth = scala.collection.mutable.ListBuffer.empty[Long]
     for (_ <- 1 to iters) {
       val vMap = map_from_arrays(
@@ -69,11 +107,23 @@ object PowerIteration {
       val maxW = (0 until dims).map(i => math.abs(w.getOrElse(i, 0L))).max
       growth += maxW
       v6 = Array.tabulate(dims)(i =>
-        BigDecimal(1e6 * (w.getOrElse(i, 0L).toDouble / maxW.toDouble))
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+        roundL(1e6 * (w.getOrElse(i, 0L).toDouble / maxW.toDouble)))
+      orthoTo.foreach { v1 => v6 = orthonormalize(v6, v1) }
     }
-    z.unpersist()
     (v6, growth.toList)
+  }
+
+  /** Gram-Schmidt step + max-abs-10⁶ renormalization, quantized:
+    * `v − round(((v·v1)/(v1·v1)) · v1_i)`, dot products exact int64
+    * (≤ dims·10¹²). */
+  private def orthonormalize(v: Array[Long], v1: Array[Long]): Array[Long] = {
+    val dv = v.indices.map(i => v(i) * v1(i)).sum
+    val d1 = v1.indices.map(i => v1(i) * v1(i)).sum
+    val coef = dv.toDouble / d1.toDouble
+    val o = Array.tabulate(v.length)(i => v(i) - roundL(coef * v1(i)))
+    val mx = o.map(math.abs).max
+    require(mx > 0, "deflated iterate vanished: input has rank 1")
+    Array.tabulate(v.length)(i => roundL(1e6 * (o(i).toDouble / mx.toDouble)))
   }
 
   /** Project every row onto a (nano-quantized) direction: the same

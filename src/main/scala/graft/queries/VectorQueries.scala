@@ -738,6 +738,82 @@ object VectorQueries {
        |${pcaIterSql(3)}"""
       .stripMargin
 
+  /** One Gram-Schmidt + renormalize step against `pc` (the q280
+    * deflation), reading `src(i, v6)` and emitting `out(i, v6)`. */
+  private def pcaOrthoSql(src: String, pc: String, out: String): String =
+    s"""${out}_d AS (
+       |  SELECT CAST(sum(q.v6 * p.v6) AS BIGINT) AS dv,
+       |    CAST(sum(p.v6 * p.v6) AS BIGINT) AS d1
+       |  FROM $src q JOIN $pc p USING (i)),
+       |${out}_o AS (
+       |  SELECT q.i, q.v6 - CAST(round((CAST((SELECT dv FROM ${out}_d)
+       |    AS DOUBLE) / CAST((SELECT d1 FROM ${out}_d) AS DOUBLE)) * p.v6)
+       |    AS BIGINT) AS vo
+       |  FROM $src q JOIN $pc p USING (i)),
+       |${out}_m AS (SELECT max(abs(vo)) AS m FROM ${out}_o),
+       |$out AS MATERIALIZED (
+       |  SELECT i, CAST(round(1e6 * (CAST(vo AS DOUBLE) /
+       |    CAST((SELECT m FROM ${out}_m) AS DOUBLE))) AS BIGINT) AS v6
+       |  FROM ${out}_o)""".stripMargin
+
+  /** One DEFLATED power-iteration round for q280: y/w against
+    * `$prev(i, v6)`, normalize to `u${k}raw`, then orthogonalize
+    * against `v3` (the first component) into `u$k`. */
+  private def pca2IterSql(k: Int): String = {
+    val prev = if (k == 1) "u0" else s"u${k - 1}"
+    s"""y2_$k AS MATERIALIZED (
+       |  SELECT z.r, CAST(sum(CAST(round(CAST(z.z * v.v6 AS DOUBLE)
+       |    / 1e3) AS BIGINT)) AS BIGINT) AS y
+       |  FROM z JOIN $prev v ON v.i = z.i GROUP BY 1),
+       |my2_$k AS (SELECT max(abs(y)) AS m FROM y2_$k),
+       |y62_$k AS MATERIALIZED (
+       |  SELECT r, CAST(round(1e6 * (CAST(y AS DOUBLE) /
+       |    CAST((SELECT m FROM my2_$k) AS DOUBLE))) AS BIGINT) AS y6
+       |  FROM y2_$k),
+       |w2_$k AS MATERIALIZED (
+       |  SELECT z.i, CAST(sum(CAST(round(CAST(z.z * y62_$k.y6 AS DOUBLE)
+       |    / 1e3) AS BIGINT)) AS BIGINT) AS w
+       |  FROM z JOIN y62_$k USING (r) GROUP BY 1),
+       |mw2_$k AS (SELECT max(abs(w)) AS m FROM w2_$k),
+       |u${k}raw AS MATERIALIZED (
+       |  SELECT i, CAST(round(1e6 * (CAST(w AS DOUBLE) /
+       |    CAST((SELECT m FROM mw2_$k) AS DOUBLE))) AS BIGINT) AS v6
+       |  FROM w2_$k),
+       |${pcaOrthoSql(s"u${k}raw", "v3", s"u$k")}""".stripMargin
+  }
+
+  /** TOP-2 PCA — the dominant component plus DEFLATED power iteration
+    * for the second ([[graft.operators.PowerIteration
+    * .topTwoEigenvectors]]): each second-component iteration
+    * normalizes and then Gram-Schmidt-orthogonalizes against the
+    * quantized first component, all inside the same integer
+    * discipline, sharing one cached Z materialization. The oracle
+    * replays BOTH chains — six distributed mat-vec rounds plus four
+    * orthogonalizations — bit-for-bit. `PowerIterationSpec` pins the
+    * planted two-axis recovery and near-orthogonality. */
+  val q280TopTwoPca = GraftQuery(
+    "q280_top_two_pca",
+    (s, dir) => {
+      val (v1, v2) = graft.operators.PowerIteration
+        .topTwoEigenvectors(Tables.embeddings(s, dir), dims = 64, iters = 3)
+      import s.implicits._
+      (v1.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) } ++
+        v2.zipWithIndex.map { case (v, i) => (2L, i.toLong, v) }).toSeq
+        .toDF("pc", "dim", "v6")
+        .orderBy("pc", "dim")
+    },
+    Some(s"""WITH $pcaChainSql,
+            |uni AS (SELECT CAST(t.range AS INTEGER) AS i,
+            |  CAST(1000000 AS BIGINT) AS v6 FROM range(64) t),
+            |${pcaOrthoSql("uni", "v3", "u0")},
+            |${pca2IterSql(1)},
+            |${pca2IterSql(2)},
+            |${pca2IterSql(3)}
+            |SELECT CAST(pc AS BIGINT) AS pc, CAST(i AS BIGINT) AS dim, v6
+            |FROM (SELECT 1 AS pc, i, v6 FROM v3
+            |      UNION ALL SELECT 2, i, v6 FROM u3)
+            |ORDER BY pc, dim""".stripMargin))
+
   /** DISTRIBUTED PCA BY POWER ITERATION
     * ([[graft.operators.PowerIteration]]): dominant eigenvector of the
     * centered covariance via three `y = Zv` / `w = Zᵀy` rounds — each
@@ -1001,5 +1077,6 @@ object VectorQueries {
     q109EmbeddingOutliers, q165FilteredAnn, q206QuantizedRecall,
     q218ProductQuantization, q241TableServedAnn, q254IvfPqSearch,
     q267MatryoshkaRecall, q273IncrementalAnnIndex, q274PowerIterationPca,
-    q275CorrelationAudit, q278HardNegatives, q279PcaProjection)
+    q275CorrelationAudit, q278HardNegatives, q279PcaProjection,
+    q280TopTwoPca)
 }

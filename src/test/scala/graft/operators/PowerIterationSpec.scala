@@ -47,6 +47,30 @@ class PowerIterationSpec extends SparkSpec {
     assert(growth.length === 3 && growth.forall(_ > 0))
   }
 
+  test("top-2: planted first AND second axes are recovered, near-orthogonal") {
+    val rnd = new scala.util.Random(13)
+    val dims = 8
+    // variance: dim 2 >> dim 5 >> everything else
+    val rows = (0 until 600).map { _ =>
+      val base = Array.fill(dims)(((rnd.nextDouble() - 0.5) * 0.04).toFloat)
+      base(2) = ((rnd.nextDouble() - 0.5) * 0.9).toFloat
+      base(5) = ((rnd.nextDouble() - 0.5) * 0.4).toFloat
+      base
+    }
+    val df = rows.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val (v1, v2) = PowerIteration.topTwoEigenvectors(df, dims, iters = 3)
+    assert(v1.map(math.abs).zipWithIndex.maxBy(_._1)._2 === 2, v1.mkString(","))
+    assert(v2.map(math.abs).zipWithIndex.maxBy(_._1)._2 === 5, v2.mkString(","))
+    // near-orthogonality of the quantized pair
+    val dot = v1.indices.map(i => v1(i).toDouble * v2(i)).sum
+    val n1 = math.sqrt(v1.map(x => x.toDouble * x).sum)
+    val n2 = math.sqrt(v2.map(x => x.toDouble * x).sum)
+    assert(math.abs(dot) / (n1 * n2) < 0.01, (dot / (n1 * n2)).toString)
+  }
+
   test("a planted dominant axis is recovered") {
     val rnd = new scala.util.Random(11)
     val dims = 8
