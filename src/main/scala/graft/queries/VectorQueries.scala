@@ -1004,6 +1004,94 @@ object VectorQueries {
             |FROM proj p JOIN embeddings e ON e.vec_id = p.r
             |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** WHITENED 2-D EMBEDDING COORDINATES — the dimensionality-reduction
+    * payoff of the PCA family: every vector projected onto BOTH
+    * trained components (two quantized map-only E-steps), plus the
+    * EXACT Pearson correlation between the two coordinates, computed
+    * q275-style from integer moments on centi-rescaled scores (the
+    * rescale keeps n·Σs₁s₂ inside int64 — the documented budget
+    * knob). The correlation is the CONVERGENCE DIAGNOSTIC: the
+    * directions are orthogonal by construction, but their projections
+    * decorrelate only as the iterates converge to true eigenvectors —
+    * on this near-flat synthetic spectrum 3 iterations leave a
+    * measured residual (≈ −0.16 at sf0.001), honestly reported; on a
+    * SEPARATED spectrum the same pipeline decorrelates, pinned on
+    * planted data in `Round9Spec`. */
+  val q281WhitenedCoords = GraftQuery(
+    "q281_whitened_coords",
+    (s, dir) => {
+      import graft.operators.PowerIteration
+      val emb = Tables.embeddings(s, dir)
+      val (v1, v2) = PowerIteration
+        .topTwoEigenvectors(emb, dims = 64, iters = 3)
+      val s1 = PowerIteration.projectScores(emb, v1)
+        .withColumnRenamed("score", "s1")
+      val s2 = PowerIteration.projectScores(emb, v2)
+        .withColumnRenamed("score", "s2")
+      val coords = s1.join(s2, "r")
+        .select(col("r"),
+          round(col("s1").cast("double") / 1e8, 0).cast("long").as("c1"),
+          round(col("s2").cast("double") / 1e8, 0).cast("long").as("c2"))
+        .cache()
+      val n = emb.count()
+      val m = coords.agg(
+        sum("c1").as("sx"), sum("c2").as("sy"),
+        sum(col("c1") * col("c1")).as("sxx"),
+        sum(col("c2") * col("c2")).as("syy"),
+        sum(col("c1") * col("c2")).as("sxy")).collect().head
+      val (sx, sy, sxx, syy, sxy) =
+        (m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3), m.getLong(4))
+      val corr = BigDecimal((n * sxy - sx * sy).toDouble /
+          (math.sqrt((n * sxx - sx * sx).toDouble) *
+            math.sqrt((n * syy - sy * sy).toDouble)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      coords.join(emb.select(col("vec_id").as("r"), col("label")), "r")
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"),
+          sum("c1").as("sum_c1"), sum("c2").as("sum_c2"),
+          min("c1").as("min_c1"), max("c1").as("max_c1"))
+        .withColumn("coord_corr", lit(corr))
+        .orderBy("label")
+    },
+    Some(s"""WITH $pcaChainSql,
+            |uni AS (SELECT CAST(t.range AS INTEGER) AS i,
+            |  CAST(1000000 AS BIGINT) AS v6 FROM range(64) t),
+            |${pcaOrthoSql("uni", "v3", "u0")},
+            |${pca2IterSql(1)},
+            |${pca2IterSql(2)},
+            |${pca2IterSql(3)},
+            |p1 AS MATERIALIZED (
+            |  SELECT z.r, CAST(sum(CAST(round(CAST(z.z * v.v6 AS DOUBLE)
+            |    / 1e3) AS BIGINT)) AS BIGINT) AS s1
+            |  FROM z JOIN v3 v ON v.i = z.i GROUP BY 1),
+            |p2 AS MATERIALIZED (
+            |  SELECT z.r, CAST(sum(CAST(round(CAST(z.z * v.v6 AS DOUBLE)
+            |    / 1e3) AS BIGINT)) AS BIGINT) AS s2
+            |  FROM z JOIN u3 v ON v.i = z.i GROUP BY 1),
+            |coords AS MATERIALIZED (
+            |  SELECT p1.r,
+            |    CAST(round(CAST(s1 AS DOUBLE) / 1e8) AS BIGINT) AS c1,
+            |    CAST(round(CAST(s2 AS DOUBLE) / 1e8) AS BIGINT) AS c2
+            |  FROM p1 JOIN p2 ON p2.r = p1.r),
+            |mom AS (
+            |  SELECT CAST(sum(c1) AS BIGINT) AS sx,
+            |    CAST(sum(c2) AS BIGINT) AS sy,
+            |    CAST(sum(c1 * c1) AS BIGINT) AS sxx,
+            |    CAST(sum(c2 * c2) AS BIGINT) AS syy,
+            |    CAST(sum(c1 * c2) AS BIGINT) AS sxy,
+            |    count(*) AS n
+            |  FROM coords)
+            |SELECT CAST(e.label AS BIGINT) AS label, count(*) AS n,
+            |  CAST(sum(c.c1) AS BIGINT) AS sum_c1,
+            |  CAST(sum(c.c2) AS BIGINT) AS sum_c2,
+            |  min(c.c1) AS min_c1, max(c.c1) AS max_c1,
+            |  (SELECT round(CAST(n * sxy - sx * sy AS DOUBLE) /
+            |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+            |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9) FROM mom)
+            |    AS coord_corr
+            |FROM coords c JOIN embeddings e ON e.vec_id = c.r
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** MATRYOSHKA (MRL) TRUNCATION EVAL — retrieval recall when only a
     * PREFIX of each embedding is kept (the deployment decision
     * matryoshka-trained models exist for: how many dims can serving
@@ -1078,5 +1166,5 @@ object VectorQueries {
     q218ProductQuantization, q241TableServedAnn, q254IvfPqSearch,
     q267MatryoshkaRecall, q273IncrementalAnnIndex, q274PowerIterationPca,
     q275CorrelationAudit, q278HardNegatives, q279PcaProjection,
-    q280TopTwoPca)
+    q280TopTwoPca, q281WhitenedCoords)
 }

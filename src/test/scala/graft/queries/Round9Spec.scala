@@ -170,6 +170,42 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("q281: coordinate correlation is an honest convergence diagnostic — " +
+    "bounded on flat spectra, ~0 on separated ones") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // testdata: near-flat spectrum, 3 iterations — the diagnostic is a
+    // bounded nonzero residual, and the spread is genuine
+    val rows = VectorQueries.q281WhitenedCoords.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val corr = rows.head.getDouble(6)
+    assert(math.abs(corr) < 0.6, s"coordinate corr $corr")
+    assert(rows.exists(r => r.getLong(5) - r.getLong(4) > 0))
+    // planted SEPARATED spectrum: the same pipeline decorrelates
+    val rnd = new scala.util.Random(29)
+    val dims = 8
+    val planted = (0 until 600).map { _ =>
+      val base = Array.fill(dims)(((rnd.nextDouble() - 0.5) * 0.04).toFloat)
+      base(2) = ((rnd.nextDouble() - 0.5) * 0.9).toFloat
+      base(5) = ((rnd.nextDouble() - 0.5) * 0.4).toFloat
+      base
+    }
+    val df = planted.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val (v1, v2) = graft.operators.PowerIteration
+      .topTwoEigenvectors(df, dims, iters = 3)
+    val c = graft.operators.PowerIteration.projectScores(df, v1)
+      .withColumnRenamed("score", "s1")
+      .join(graft.operators.PowerIteration.projectScores(df, v2)
+        .withColumnRenamed("score", "s2"), "r")
+      .select(org.apache.spark.sql.functions.corr(
+        $"s1".cast("double"), $"s2".cast("double")))
+      .head().getDouble(0)
+    assert(math.abs(c) < 0.1, s"planted-spectrum corr $c")
+  }
+
   test("q257: centile tiles partition the orders table near-evenly") {
     val rows = Extras.q257GlobalNtilePrank.run(spark, dir).collect()
     assert(rows.length === 100)
