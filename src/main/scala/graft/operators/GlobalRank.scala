@@ -121,6 +121,10 @@ object GlobalRank {
         .rowsBetween(Window.unboundedPreceding, -1)).cast("long"), lit(0L)))
     val offsets = parted
       .groupBy(col("__pid")).agg(sum(value).cast("long").as("__cnt"))
+      // this unpartitioned Window triggers Spark's "No Partition
+      // Defined" warning in the logs — EXPECTED and benign: its input
+      // is one row per shuffle partition (O(#partitions), never
+      // O(data)), the only single-partition state this operator keeps
       .withColumn("__off", coalesce(
         sum(col("__cnt")).over(Window.orderBy(col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -139,6 +143,9 @@ object GlobalRank {
       localRank.over(Window.partitionBy(col("__pid")).orderBy(keys: _*)))
     val offsets = parted
       .groupBy(col("__pid")).agg(perPartitionTotal.cast("long").as("__cnt"))
+      // unpartitioned Window over one row per shuffle partition — the
+      // log's "No Partition Defined" warning here is expected; see
+      // exclusiveCumSum above
       .withColumn("__off", coalesce(
         sum(col("__cnt")).over(Window.orderBy(col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -89,22 +89,35 @@ object PowerIteration {
     for (_ <- 1 to iters) {
       val vMap = map_from_arrays(
         typedLit((0 until dims).toList), typedLit(v6.toList))
+      // cache y for the half-step: the maxY action and the Zᵀy join both
+      // consume it, and without the cache each would recompute y = Zv
+      // from Z (two full passes per iteration instead of one)
       val y = z
         .select(col("r"),
           round((col("z") * element_at(vMap, col("i"))).cast("double") / 1e3,
             0).cast("long").as("t"))
         .groupBy("r").agg(sum("t").as("y"))
-      val maxY = y.agg(max(abs(col("y")))).as[Long].head()
-      val y6 = y.select(col("r"),
-        round(lit(1e6) * (col("y").cast("double") / lit(maxY.toDouble)), 0)
-          .cast("long").as("y6"))
-      val w = z.join(y6, "r")
-        .select(col("i"),
-          round((col("z") * col("y6")).cast("double") / 1e3, 0)
-            .cast("long").as("t"))
-        .groupBy("i").agg(sum("t").as("w"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        .cache()
+      val w = try {
+        val maxY = y.agg(max(abs(col("y")))).as[Long].collect().headOption
+          .getOrElse(throw new IllegalArgumentException(
+            "power iteration needs a non-empty input (0 rows)"))
+        require(maxY > 0,
+          "power iteration degenerate: Zv = 0 — input has zero variance " +
+            "(all rows identical) or v lies in the null space")
+        val y6 = y.select(col("r"),
+          round(lit(1e6) * (col("y").cast("double") / lit(maxY.toDouble)), 0)
+            .cast("long").as("y6"))
+        z.join(y6, "r")
+          .select(col("i"),
+            round((col("z") * col("y6")).cast("double") / 1e3, 0)
+              .cast("long").as("t"))
+          .groupBy("i").agg(sum("t").as("w"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      } finally y.unpersist()
       val maxW = (0 until dims).map(i => math.abs(w.getOrElse(i, 0L))).max
+      require(maxW > 0,
+        "power iteration degenerate: ZᵀZv = 0 — input has zero variance")
       growth += maxW
       v6 = Array.tabulate(dims)(i =>
         roundL(1e6 * (w.getOrElse(i, 0L).toDouble / maxW.toDouble)))

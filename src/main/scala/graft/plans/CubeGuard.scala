@@ -90,7 +90,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => ResolveCubeGuard())
+    // MERGE INTO over graft catalog tables → the CDC commit path
+    ext.injectResolutionRule(_ => graft.sources.RewriteGraftMerge())
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    // manifest statistics for graft DSv2 scans (the V1ScanWrapper
+    // bridge hides SupportsReportStatistics) — see GraftScanStats.scala
+    ext.injectPlannerStrategy(_ => AttachGraftScanStats)
     // SQL surface for the native expressions: `spark.sql(...)` users
     // (the reference's audience writes SQL) get the same codegen'd
     // kernels the DataFrame API uses — no UDF fallback in SQL text.

@@ -1681,6 +1681,94 @@ object MaintenanceQueries {
            |  rs AS row_sum
            |FROM st ORDER BY snapshot""".stripMargin))
 
+  /** MERGE INTO through SQL TEXT — the statement every warehouse
+    * migration actually writes (reference analogue: the SCD2 update
+    * flow, ProductDimension.sql:88-130), over the graft catalog:
+    * mixed `WHEN MATCHED AND … THEN DELETE` / `WHEN MATCHED THEN
+    * UPDATE` / `WHEN NOT MATCHED AND … THEN INSERT` lands as ONE CDC
+    * commit via [[graft.sources.GraftMergeCommand]] →
+    * `GraftTable.applyCdcBatch` (pruned copy-on-write, first-action-
+    * wins guard order, ANSI cardinality check). The gate checksums the
+    * pre-merge and post-merge versions through `VERSION AS OF`; the
+    * oracle replays both logical states relationally. */
+  val q282SqlMergeInto = GraftQuery(
+    "q282_sql_merge_into",
+    (s, dir) => {
+      val base = newTempDir("graft_merge")
+      val cat = "graft_mg_" + java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      Tables.events(s, dir).createOrReplaceTempView("ev_mrg")
+      s.sql(s"CREATE TABLE $cat.acct (k BIGINT, tier STRING, cents BIGINT) " +
+        "TBLPROPERTIES ('key' = 'k', 'buckets' = '4')")
+      // v1: per-user click value totals
+      s.sql(
+        s"""INSERT INTO $cat.acct
+           |SELECT user_id AS k, 'basic' AS tier,
+           |  CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS cents
+           |FROM ev_mrg WHERE event_type = 'click' GROUP BY user_id"""
+          .stripMargin)
+      // v2: ONE MERGE — purchase totals against the click accounts
+      s.sql(
+        """CREATE OR REPLACE TEMP VIEW mrg_src AS
+          |SELECT user_id AS sk,
+          |  CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS scents
+          |FROM ev_mrg WHERE event_type = 'purchase' GROUP BY user_id"""
+          .stripMargin)
+      s.sql(
+        s"""MERGE INTO $cat.acct a USING mrg_src ON a.k = mrg_src.sk
+           |WHEN MATCHED AND mrg_src.scents % 3 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE
+           |  SET tier = 'premium', cents = a.cents + mrg_src.scents
+           |WHEN NOT MATCHED AND mrg_src.scents % 2 = 0 THEN
+           |  INSERT (k, tier, cents) VALUES (mrg_src.sk, 'new', mrg_src.scents)
+           |""".stripMargin).collect()
+      def one(v: Int) = s.sql(
+        s"""SELECT CAST($v AS BIGINT) AS version, count(*) AS n_rows,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  CAST(sum(CAST(conv(substring(md5(concat_ws('|',
+           |    CAST(k AS STRING), tier, CAST(cents AS STRING))), 1, 8),
+           |    16, 10) AS BIGINT)) AS BIGINT) AS row_sum
+           |FROM $cat.acct VERSION AS OF $v""".stripMargin)
+      one(1).unionAll(one(2)).orderBy("version")
+    },
+    Some("""WITH clicks AS (
+           |  SELECT user_id AS k, 'basic' AS tier,
+           |    CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS cents
+           |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+           |src AS (
+           |  SELECT user_id AS sk,
+           |    CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS scents
+           |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+           |merged AS (
+           |  SELECT c.k, c.tier, c.cents
+           |  FROM clicks c LEFT JOIN src s ON s.sk = c.k WHERE s.sk IS NULL
+           |  UNION ALL
+           |  SELECT c.k, 'premium' AS tier,
+           |    CAST(c.cents + s.scents AS BIGINT) AS cents
+           |  FROM clicks c JOIN src s ON s.sk = c.k WHERE s.scents % 3 <> 0
+           |  UNION ALL
+           |  SELECT s.sk AS k, 'new' AS tier, s.scents AS cents
+           |  FROM src s LEFT JOIN clicks c ON c.k = s.sk
+           |  WHERE c.k IS NULL AND s.scents % 2 = 0),
+           |st AS (
+           |  SELECT 1 AS version, count(*) AS n,
+           |    CAST(sum(cents) AS BIGINT) AS cs,
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      tier || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |      AS BIGINT) AS rs
+           |  FROM clicks
+           |  UNION ALL
+           |  SELECT 2, count(*), CAST(sum(cents) AS BIGINT),
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      tier || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |      AS BIGINT)
+           |  FROM merged)
+           |SELECT CAST(version AS BIGINT) AS version,
+           |  CAST(n AS BIGINT) AS n_rows, cs AS cents_sum, rs AS row_sum
+           |FROM st ORDER BY version""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
@@ -1688,5 +1776,5 @@ object MaintenanceQueries {
     q236CdfMaintenance, q237ZorderTable, q239TableReplication,
     q242WriteAuditPublish, q249ErasureProof, q251IndexMaintenance,
     q252SqlTableSurface, q270SqlTableWrites, q272VersionTags,
-    q276TableRestore)
+    q276TableRestore, q282SqlMergeInto)
 }

@@ -940,6 +940,11 @@ object VectorQueries {
             struct(col("cos"), col("cid")))).as("pos"),
           max(when(col("clabel") =!= col("qlabel"),
             struct(col("cos"), col("cid")))).as("neg"))
+        // an anchor whose label has no same-label (or no other-label)
+        // peer has no pos/neg pair; the oracle's INNER JOIN of pos and
+        // neg drops it, so drop it here too — both engines agree by
+        // construction on any label distribution
+        .filter(col("pos").isNotNull && col("neg").isNotNull)
         .select(col("qid"), col("qlabel").cast("long").as("qlabel"),
           col("pos.cid").as("pos_id"), round(col("pos.cos"), 6).as("pos_cos"),
           col("neg.cid").as("neg_id"), round(col("neg.cos"), 6).as("neg_cos"),

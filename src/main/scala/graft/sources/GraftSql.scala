@@ -93,8 +93,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   * change-feed preimages, and OCC retry against a racing committer.
   * `writable = false` (a `VERSION AS OF` load) refuses DML — writing
   * "into the past" would silently target the head instead. */
-class GraftSqlTable(root: String, snapshotVersion: Int,
-    writable: Boolean = true)
+class GraftSqlTable(val root: String, val snapshotVersion: Int,
+    val writable: Boolean = true)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = s"graft.`$root`"
@@ -271,14 +271,54 @@ object GraftScanBuilder {
 }
 
 /** The scan: executes as a v1 relation whose buildScan routes through
-  * the SAME pruned snapshot reads as the Scala API. */
+  * the SAME pruned snapshot reads as the Scala API.
+  *
+  * Reports POST-PRUNING statistics to Catalyst
+  * ([[org.apache.spark.sql.connector.read.SupportsReportStatistics]]):
+  * rowCount and sizeInBytes come from the manifest's per-file ledger,
+  * restricted to the files the key-range predicates keep — so a
+  * selective `WHERE k BETWEEN ...` over a huge graft table reports the
+  * pruned size and the optimizer can pick a BROADCAST join for exactly
+  * the reads the format knows are small. A metadata-only manifest
+  * pass, never data I/O (the decision that matters most at 1000
+  * executors: mis-sizing this join means shuffling 100 TB). */
 class GraftV1Scan(root: String, version: Int, required: StructType,
-    filters: Array[Filter]) extends V1Scan {
+    filters: Array[Filter])
+  extends V1Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
     s"GraftScan root=$root version=$version"
+
+  /** (rowCount, sizeInBytes) of exactly what this scan will read:
+    * manifest rows/bytes restricted to the files the key-range
+    * predicates keep, byte-scaled by the column projection. Lazy: one
+    * manifest read per scan instance, however many times planning
+    * walks the tree. */
+  private[graft] lazy val manifestStats: (Long, Long) = {
+    val spark = SparkSession.active
+    val range = GraftTable.keyColumn(spark, root)
+      .flatMap(k => GraftScanBuilder.keyRange(filters, k))
+    val (rows, bytes) = GraftTable.snapshotStats(spark, root, version, range)
+    // column pruning scales the byte estimate: a 2-column projection
+    // of a 20-column table should not report the full file size
+    val nAll = math.max(1, GraftTable.tableSchema(spark, root, version)
+      .fields.length)
+    (rows, math.max(1L, bytes * math.min(required.fields.length, nAll) / nAll))
+  }
+
+  override def estimateStatistics()
+    : org.apache.spark.sql.connector.read.Statistics = {
+    val (rows, bytes) = manifestStats
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {

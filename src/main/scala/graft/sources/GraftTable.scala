@@ -60,8 +60,15 @@ object GraftTable {
   final class ConcurrentCommitException(msg: String)
     extends IllegalStateException(msg)
 
+  /** One manifest line. `nBytes` is the data file's on-disk size —
+    * recorded at write time since round 10 so scan statistics
+    * ([[snapshotStats]], the DSv2 `SupportsReportStatistics` surface)
+    * are a pure metadata pass; −1 on lines from older manifests (the
+    * parse is format-tolerant), where stats fall back to one
+    * `getFileStatus` per unknown file. */
   private final case class FileEntry(
-      relPath: String, minKey: Long, maxKey: Long, nRows: Long)
+      relPath: String, minKey: Long, maxKey: Long, nRows: Long,
+      nBytes: Long = -1L)
 
   private def fs(root: String, spark: SparkSession) = {
     val p = new org.apache.hadoop.fs.Path(root)
@@ -110,28 +117,62 @@ object GraftTable {
   private def commitManifest(f: org.apache.hadoop.fs.FileSystem,
       root: String, v: Int, entries: Seq[FileEntry],
       wroteSchema: Boolean = false, wroteColStats: Boolean = false): Unit = {
+    // The sweep must survive a RACE with a concurrent sidecar-writing
+    // committer (evolveAddColumns / optimizeZOrder) targeting the same
+    // version: between our exists-check and our manifest rename, the
+    // other committer may WIN the rename — at which point its sidecar
+    // is committed state, not an orphan. A plain delete here would
+    // destroy it (reads at ≥ v silently lose the evolved columns or
+    // the file stats). So instead of deleting, QUARANTINE each orphan
+    // candidate with an atomic rename-aside; delete the quarantined
+    // copy only after we WIN the manifest rename (we are then the
+    // unique committer of v, so nobody else's sidecar can be at v),
+    // and restore it by renaming back if we LOSE (the winner's sidecar
+    // goes back into place, byte-identical).
+    var quarantined: List[(org.apache.hadoop.fs.Path,
+      org.apache.hadoop.fs.Path)] = Nil
     if (!f.exists(manifestPath(root, v))) {
-      if (!wroteSchema) {
-        val p = new org.apache.hadoop.fs.Path(root, f"_log/schema-v$v%05d.json")
-        if (f.exists(p)) f.delete(p, false)
-      }
-      if (!wroteColStats) {
-        val p = colStatsPath(root, v)
-        if (f.exists(p)) f.delete(p, false)
+      val candidates =
+        (if (wroteSchema) Nil
+         else List(new org.apache.hadoop.fs.Path(
+           root, f"_log/schema-v$v%05d.json"))) ++
+        (if (wroteColStats) Nil else List(colStatsPath(root, v)))
+      for (p <- candidates if f.exists(p)) {
+        val q = new org.apache.hadoop.fs.Path(p.getParent,
+          s".quarantine-${p.getName}-${java.util.UUID.randomUUID()}")
+        if (f.rename(p, q)) quarantined ::= (p, q)
       }
     }
-    writeAtomic(f, manifestPath(root, v), renderManifest(entries))
+    try {
+      writeAtomic(f, manifestPath(root, v), renderManifest(entries))
+      quarantined.foreach { case (_, q) => f.delete(q, false) }
+    } catch {
+      case e: ConcurrentCommitException =>
+        // loser: the winner's sidecars (if that's what they were) must
+        // come back before we surface the race to the retry loop
+        quarantined.foreach { case (p, q) =>
+          if (!f.rename(q, p)) f.delete(q, false) // p reappeared: drop copy
+        }
+        throw e
+    }
   }
 
   private def parseManifest(text: String): Seq[FileEntry] =
     text.linesIterator.filter(_.nonEmpty).map { line =>
-      val Array(p, mn, mx, n) = line.split('\t')
-      FileEntry(p, mn.toLong, mx.toLong, n.toLong)
+      line.split('\t') match {
+        case Array(p, mn, mx, n) => // pre-round-10 manifest: no bytes
+          FileEntry(p, mn.toLong, mx.toLong, n.toLong)
+        case Array(p, mn, mx, n, b) =>
+          FileEntry(p, mn.toLong, mx.toLong, n.toLong, b.toLong)
+        case other => throw new IllegalStateException(
+          s"malformed manifest line (${other.length} fields): $line")
+      }
     }.toSeq
 
   private def renderManifest(entries: Seq[FileEntry]): String =
     entries.sortBy(_.relPath)
-      .map(e => s"${e.relPath}\t${e.minKey}\t${e.maxKey}\t${e.nRows}")
+      .map(e =>
+        s"${e.relPath}\t${e.minKey}\t${e.maxKey}\t${e.nRows}\t${e.nBytes}")
       .mkString("", "\n", "\n")
 
   /** Every committed version present in the log — ONE `listStatus`
@@ -151,6 +192,16 @@ object GraftTable {
   def latestVersion(spark: SparkSession, root: String): Int = {
     val (f, _) = fs(root, spark)
     listManifestVersions(f, root).foldLeft(-1)(math.max)
+  }
+
+  /** Every version whose manifest is still PRESENT (vacuum removes
+    * manifests below its horizon), ascending. What a CDF consumer
+    * checks before replaying a checkpointed offset window: a start
+    * version absent from this list was vacuumed while the stream was
+    * down. One `listStatus`. */
+  def availableVersions(spark: SparkSession, root: String): Seq[Int] = {
+    val (f, _) = fs(root, spark)
+    listManifestVersions(f, root)
   }
 
   private def loadManifest(
@@ -264,9 +315,14 @@ object GraftTable {
           count(lit(1)).as("n"))
         .collect()
         .map { r =>
-          val name = new org.apache.hadoop.fs.Path(
-            new java.net.URI(r.getString(0)).getPath).getName
-          FileEntry(s"$rel/$name", r.getLong(1), r.getLong(2), r.getLong(3))
+          val p = new org.apache.hadoop.fs.Path(
+            new java.net.URI(r.getString(0)).getPath)
+          // on-disk size into the manifest line: makes scan statistics
+          // a metadata-only manifest pass (one getFileStatus per NEW
+          // file, here at write time, never at read time)
+          val (f, _) = fs(root, spark)
+          FileEntry(s"$rel/${p.getName}", r.getLong(1), r.getLong(2),
+            r.getLong(3), f.getFileStatus(p).getLen)
         }.toSeq.sortBy(_.relPath)
     bloomColumn(spark, root).filter(df.schema.fieldNames.contains) match {
       case Some(bc) if entries.nonEmpty =>
@@ -352,6 +408,32 @@ object GraftTable {
     }
   }
 
+  /** Snapshot statistics from the MANIFEST alone: (rowCount,
+    * sizeInBytes) at `version`, optionally post-pruning by a key
+    * range (same file-intersection rule as [[readRange]] — so a
+    * `VERSION AS OF` read with a range predicate reports the PRUNED
+    * size, which is what lets Catalyst choose a broadcast join for a
+    * selective read of a huge table). Bytes come from the manifest's
+    * per-file sizes; lines from pre-round-10 manifests (no recorded
+    * size) fall back to one `getFileStatus` each — metadata RPCs
+    * proportional to manifest length, never data I/O. */
+  def snapshotStats(spark: SparkSession, root: String, version: Int,
+      keyRange: Option[(Long, Long)] = None): (Long, Long) = {
+    val all = loadManifest(spark, root, version)
+    val entries = keyRange match {
+      case Some((lo, hi)) =>
+        all.filter(e => e.maxKey >= lo && e.minKey <= hi)
+      case None => all
+    }
+    val (f, _) = fs(root, spark)
+    val bytes = entries.map { e =>
+      if (e.nBytes >= 0) e.nBytes
+      else f.getFileStatus(
+        new org.apache.hadoop.fs.Path(root, e.relPath)).getLen
+    }.sum
+    (entries.map(_.nRows).sum, bytes)
+  }
+
   /** Copy-on-write upsert: batch rows REPLACE same-key table rows
     * column-wise (a NULL batch cell falls back to the target's value —
     * partial-update semantics); unmatched batch keys insert. Only
@@ -375,7 +457,11 @@ object GraftTable {
     while (true) {
       try return upsertOnce(spark, root, batch, key, nBuckets)
       catch {
-        case e: IllegalStateException if attempt < maxRetries =>
+        // ONLY the dedicated commit-race signal retries: a broader
+        // IllegalStateException catch would silently re-run the whole
+        // distributed merge on unrelated failures (corrupted log state,
+        // missing key column) and mask the root cause
+        case e: ConcurrentCommitException if attempt < maxRetries =>
           attempt += 1 // loser: re-read the new latest and redo
         case e: Throwable => throw e
       }
@@ -443,7 +529,8 @@ object GraftTable {
     while (true) {
       try return applyCdcBatchOnce(spark, root, batch, key, opCol, nBuckets)
       catch {
-        case e: IllegalStateException if attempt < maxRetries =>
+        // narrowed to the commit-race signal, same as [[upsert]]
+        case e: ConcurrentCommitException if attempt < maxRetries =>
           attempt += 1
         case e: Throwable => throw e
       }
@@ -881,6 +968,12 @@ object GraftTable {
       val newestCp = cpVs.map(_._2).foldLeft(-1)(math.max)
       cpVs.filter(_._2 < newestCp).foreach { case (s, _) =>
         f.delete(new org.apache.hadoop.fs.Path(log, s), false) }
+      // stranded staging files from crashed commits: `.tmp-*` (an
+      // unpublished writeAtomic payload) and `.quarantine-*` (a sweep
+      // aside whose owner died between quarantine and resolution) are
+      // invisible to every reader — vacuum is their only reaper
+      names.filter(s => s.startsWith(".tmp-") || s.startsWith(".quarantine-"))
+        .foreach(s => f.delete(new org.apache.hadoop.fs.Path(log, s), false))
     }
     removed
   }

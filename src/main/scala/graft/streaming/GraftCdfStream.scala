@@ -81,6 +81,33 @@ class GraftCdfSource(spark: org.apache.spark.sql.classic.SparkSession,
     parameters.get("preimages").forall(_.toBoolean)
   private val startingVersion =
     parameters.get("startingVersion").map(_.toInt).getOrElse(0)
+  /** Delta-style contract: by default a checkpointed offset whose
+    * manifest was vacuumed while the stream was down FAILS with a
+    * dedicated error naming the lost window; `failOnDataLoss=false`
+    * opts into skipping the gap (replay resumes from the earliest
+    * still-available version — the changes inside the gap are LOST,
+    * which is why it is opt-in). */
+  private val failOnDataLoss =
+    parameters.get("failOnDataLoss").forall(_.toBoolean)
+
+  /** The version to diff FROM, honoring the data-loss contract when
+    * `want`'s manifest has been vacuumed. */
+  private def resolveStart(want: Int): Int = {
+    val avail = GraftTable.availableVersions(spark, root)
+    if (avail.contains(want)) want
+    else {
+      val earliest = avail.headOption.getOrElse(
+        sys.error(s"no graft table at $root"))
+      if (failOnDataLoss) throw new IllegalStateException(
+        s"graft-cdf data loss: checkpointed start version $want of $root " +
+          s"was vacuumed while the stream was down (versions " +
+          s"[$want, ${earliest - 1}] are gone; earliest " +
+          s"available is $earliest). Restart from a fresh checkpoint, or " +
+          s"set .option(\"failOnDataLoss\", false) to skip the gap and " +
+          s"resume from version $earliest.")
+      earliest
+    }
+  }
 
   override val schema: StructType = GraftCdfSource.cdfSchema(spark, root)
 
@@ -98,15 +125,16 @@ class GraftCdfSource(spark: org.apache.spark.sql.classic.SparkSession,
       case None =>
         // bootstrap: snapshot at startingVersion, all inserts, plus the
         // changes up to the first observed latest
-        val snap = GraftTable.read(spark, root, Some(startingVersion))
+        val fromV = resolveStart(startingVersion)
+        val snap = GraftTable.read(spark, root, Some(fromV))
           .withColumn("_change", lit("insert"))
-        if (endV > startingVersion)
+        if (endV > fromV)
           snap.unionByName(GraftTable.changes(
-            spark, root, startingVersion, endV, key,
+            spark, root, fromV, endV, key,
             withPreimages = preimages), allowMissingColumns = false)
         else snap
       case Some(s) =>
-        val startV = versionOf(s)
+        val startV = resolveStart(versionOf(s))
         if (endV <= startV)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], schema)

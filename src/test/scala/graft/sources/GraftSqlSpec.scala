@@ -189,6 +189,116 @@ class GraftSqlSpec extends SparkSpec {
     assert(rows === Seq((1L, 10L), (2L, 20L)))
   }
 
+  test("scan reports manifest statistics to Catalyst: a pruned read " +
+    "broadcasts where the unpruned read does not") {
+    val base = freshBase()
+    val root = base + "/stats"
+    mk(root, n = 20000, buckets = 16)
+    spark.conf.set("spark.sql.catalog.gstats", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gstats.base", base)
+    val full = spark.sql("SELECT k, name, v FROM gstats.stats")
+    val pruned = spark.sql(
+      "SELECT k, name, v FROM gstats.stats WHERE k BETWEEN 1 AND 500")
+    // the manifest's byte ledger: pruned reads cover only the
+    // surviving files' rows and bytes
+    val (fullRows, fullBytes) = GraftTable.snapshotStats(spark, root, 0)
+    val (pRows, pBytes) =
+      GraftTable.snapshotStats(spark, root, 0, Some((1L, 500L)))
+    assert(fullRows === 20000L)
+    assert(pRows >= 500L && pRows < fullRows, s"pruned rows $pRows")
+    assert(pBytes > 0 && pBytes < fullBytes / 4,
+      s"pruned bytes $pBytes vs full $fullBytes")
+    // broadcast decision: pick a threshold BETWEEN the two sizes, join
+    // each against a deliberately large probe side — only the pruned
+    // read may broadcast. (The stats are attached during physical
+    // planning on the planner's clone — AttachGraftScanStats — so the
+    // observable contract IS the join strategy, not optimizedPlan
+    // .stats on the original.)
+    val threshold = math.min(pBytes * 3, (pBytes + fullBytes) / 2)
+    assert(threshold > pBytes && threshold < fullBytes,
+      s"fixture broken: $pBytes / $threshold / $fullBytes")
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        threshold.toString)
+      val probe = spark.range(1, 200001).select($"id".as("k"),
+        ($"id" % 7).as("grp"))
+      def planOf(df: org.apache.spark.sql.DataFrame): String = {
+        df.collect(); df.queryExecution.executedPlan.toString
+      }
+      val pPruned = planOf(probe.join(pruned, "k"))
+      val pFull = planOf(probe.join(full, "k"))
+      assert(pPruned.contains("BroadcastHashJoin"),
+        s"pruned graft read ($pBytes bytes < $threshold) should " +
+          s"broadcast:\n$pPruned")
+      assert(!pFull.contains("BroadcastHashJoin"),
+        s"unpruned graft read ($fullBytes bytes > $threshold) must not " +
+          s"broadcast:\n$pFull")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
+  test("MERGE INTO: mixed matched-update / matched-delete / not-matched-" +
+    "insert lands as ONE CDC commit with ANSI cardinality checks") {
+    val base = freshBase()
+    val root = base + "/m"
+    mk(root, n = 100, buckets = 4) // k, name=rowK, v=k*10
+    spark.conf.set("spark.sql.catalog.gm", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gm.base", base)
+    spark.range(0, 30).select(
+      ($"id" + 90).as("sk"), concat(lit("src"), $"id" + 90).as("sname"),
+      lit(7L).as("sv"))
+      .createOrReplaceTempView("msrc")
+    val v0 = GraftTable.latestVersion(spark, root)
+    val res = spark.sql(
+      """MERGE INTO gm.m USING msrc ON m.k = msrc.sk
+        |WHEN MATCHED AND msrc.sk <= 95 THEN UPDATE SET name = msrc.sname, v = m.v + msrc.sv
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED AND msrc.sk <= 115 THEN INSERT (k, name, v) VALUES (msrc.sk, msrc.sname, msrc.sv)
+        |""".stripMargin).collect()
+    // one commit, exactly one version advanced
+    assert(res.length === 1)
+    assert(res(0).getLong(0) === v0 + 1)
+    assert(GraftTable.latestVersion(spark, root) === v0 + 1)
+    val now = GraftTable.read(spark, root).orderBy("k")
+    // matched & sk<=95 → updated (k 90..95)
+    assert(now.filter($"k" === 92).select("name", "v")
+      .as[(String, Long)].head() === (("src92", 92 * 10 + 7)))
+    // matched & sk>95 → deleted (k 96..100)
+    assert(now.filter($"k" >= 96 && $"k" <= 100).count() === 0)
+    // not matched & sk<=115 → inserted (k 101..115)
+    assert(now.filter($"k" === 110).select("name", "v")
+      .as[(String, Long)].head() === (("src110", 7L)))
+    // not matched & sk>115 → no action (k 116..119)
+    assert(now.filter($"k" > 115).count() === 0)
+    assert(now.count() === 89 + 6 + 15) // 1..89 untouched, 90..95, 101..115
+    // untouched rows really untouched
+    assert(now.filter($"k" === 50).select("name").as[String].head() === "row50")
+    // cardinality violation: two source rows hitting one target key
+    spark.range(0, 2).select(lit(5L).as("sk"),
+      concat(lit("dup"), $"id").as("sname"), lit(1L).as("sv"))
+      .createOrReplaceTempView("mdup")
+    val dup = intercept[Exception] {
+      spark.sql("MERGE INTO gm.m USING mdup ON m.k = mdup.sk " +
+        "WHEN MATCHED THEN UPDATE SET name = mdup.sname").collect()
+    }
+    assert(dup.getMessage.contains("more than one merge row"),
+      dup.getMessage)
+    // no partial commit from the failed statement
+    assert(GraftTable.latestVersion(spark, root) === v0 + 1)
+    // NOT MATCHED BY SOURCE refuses with guidance
+    val nbs = intercept[Exception] {
+      spark.sql("MERGE INTO gm.m USING msrc ON m.k = msrc.sk " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE").collect()
+    }
+    assert(nbs.getMessage.contains("NOT MATCHED BY SOURCE"), nbs.getMessage)
+    // key reassignment refuses
+    val keyUpd = intercept[Exception] {
+      spark.sql("MERGE INTO gm.m USING msrc ON m.k = msrc.sk " +
+        "WHEN MATCHED THEN UPDATE SET k = msrc.sk + 1000").collect()
+    }
+    assert(keyUpd.getMessage.contains("reassign the key"), keyUpd.getMessage)
+  }
+
   test("catalog lists tables and refuses writes with a clear message") {
     val base = freshBase()
     mk(base + "/t1"); mk(base + "/t2", n = 10, buckets = 1)
