@@ -1165,11 +1165,113 @@ object VectorQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     })
 
+  /** NSW-FAMILY GRAPH ANN INDEX BUILD ([[graft.operators.Nsw]]) —
+    * layered navigable-small-world adjacency as data: md5-geometric
+    * layer assignment (P(layer ≥ ℓ) = 4^−ℓ, a pure string function),
+    * per-layer cell-blocked top-3 cosine neighbors (k-means cells,
+    * never all-pairs), symmetrized, plus the id-order connectivity
+    * path. The gate outputs per-layer node counts, edge counts, and an
+    * order-free md5 checksum over the full directed edge list — and
+    * the oracle REPLAYS THE ENTIRE BUILD (k-means via the q218/q254
+    * fragments, layer regexes, blocked kNN ranking, path ranks,
+    * symmetrize + dedup) so Spark and DuckDB must agree on every edge
+    * of every layer. */
+  val q283NswIndexBuild = GraftQuery(
+    "q283_nsw_index_build",
+    (s, dir) => {
+      import graft.operators.Nsw
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.select(col("vec_id").as("cid"),
+        col("embedding").as("cvec"))
+      val edges = Nsw.build(corpus, m = 3, nCells = 4, maxLayer = 2,
+        iters = 1)
+      val mem = emb.select(col("vec_id").as("id"))
+        .withColumn("layer", Nsw.layerCol(col("id"), 2))
+        .select(col("id"), explode(sequence(lit(0), col("layer"))).as("l"))
+      val nodeStats = mem.groupBy("l").agg(count(lit(1)).as("n_nodes"))
+      val edgeStats = edges.groupBy(col("layer").as("l"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(conv(substring(md5(concat_ws("|",
+            col("src").cast("string"), col("dst").cast("string"))), 1, 8),
+            16, 10).cast("long")).as("edge_sum"))
+      nodeStats.join(edgeStats, "l")
+        .select(col("l").cast("long").as("layer"), col("n_nodes"),
+          col("n_edges"), col("edge_sum"))
+        .orderBy("layer")
+    },
+    Some(s"""WITH e AS (SELECT vec_id,
+            |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            |  FROM embeddings),
+            |${km1Sql("e", "nsw", 4)},
+            |${assign1Sql("e", "nsw", "cellof", "cell")},
+            |nodes AS (
+            |  SELECT e.vec_id AS id, e.v, c.cell,
+            |    LEAST(2, length(regexp_extract(
+            |      md5(CAST(e.vec_id AS VARCHAR)), '^[0-3]*'))) AS layer,
+            |    sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nrm
+            |  FROM e JOIN cellof c ON c.vec_id = e.vec_id),
+            |lyr AS (SELECT 0 AS l UNION ALL SELECT 1 UNION ALL SELECT 2),
+            |mem AS (SELECT lyr.l, n.* FROM lyr CROSS JOIN nodes n
+            |  WHERE n.layer >= lyr.l),
+            |pairs AS (
+            |  SELECT a.l, a.id AS src, b.id AS dst,
+            |    list_sum(list_transform(a.v, (x, i) -> x * b.v[i]))
+            |      / (a.nrm * b.nrm) AS cos
+            |  FROM mem a JOIN mem b
+            |    ON b.l = a.l AND b.cell = a.cell AND b.id <> a.id),
+            |qual AS (SELECT l, src, dst FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY l, src
+            |      ORDER BY cos DESC, dst) AS rn FROM pairs) WHERE rn <= 3),
+            |rk AS (SELECT l, id,
+            |    row_number() OVER (PARTITION BY l ORDER BY id) AS r
+            |  FROM mem),
+            |path AS (SELECT a.l, a.id AS src, b.id AS dst
+            |  FROM rk a JOIN rk b ON b.l = a.l AND b.r = a.r + 1),
+            |edges AS (SELECT DISTINCT l, src, dst FROM (
+            |  SELECT l, src, dst FROM qual
+            |  UNION ALL SELECT l, dst AS src, src AS dst FROM qual
+            |  UNION ALL SELECT l, src, dst FROM path
+            |  UNION ALL SELECT l, dst AS src, src AS dst FROM path)),
+            |ns AS (SELECT l, count(*) AS n_nodes FROM mem GROUP BY l),
+            |es AS (SELECT l, count(*) AS n_edges,
+            |    CAST(sum(('0x' || substr(md5(CAST(src AS VARCHAR) || '|' ||
+            |      CAST(dst AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT)
+            |      AS edge_sum
+            |  FROM edges GROUP BY l)
+            |SELECT CAST(ns.l AS BIGINT) AS layer, ns.n_nodes, es.n_edges,
+            |  es.edge_sum
+            |FROM ns JOIN es ON es.l = ns.l ORDER BY layer""".stripMargin))
+
+  /** NSW probe-all search — the q32/q37 exactness pattern for the
+    * graph index: `ef ≥ corpus` makes the candidate set the entire
+    * corpus by definition, so [[graft.operators.Nsw.topK]] provably
+    * degenerates to brute force and must reproduce the shared exact
+    * top-5 oracle bit-for-bit (same scoring kernel, same tie-breaks).
+    * Finite-beam recall through the REAL traversal is pinned in
+    * SimilaritySpec on planted clustered data. */
+  val q284NswSearch = GraftQuery(
+    "q284_nsw_search",
+    (s, dir) => {
+      import graft.operators.Nsw
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("cid"),
+        col("embedding").as("cvec"))
+      val edges = Nsw.build(corpus, m = 3, nCells = 4, maxLayer = 2,
+        iters = 1)
+      Nsw.topK(queries, corpus, edges, k = 5, ef = Int.MaxValue,
+        maxLayer = 2)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy("qid", "rank")
+    },
+    Some(topKOracle))
+
   val all: Seq[GraftQuery] = Seq(q30AnnBruteForce, q31CosinePairs, q32AnnLsh,
     q37AnnIvf, q38EmbeddingNearDup, q57EmbeddingQuantize, q103LabelCentroids,
     q109EmbeddingOutliers, q165FilteredAnn, q206QuantizedRecall,
     q218ProductQuantization, q241TableServedAnn, q254IvfPqSearch,
     q267MatryoshkaRecall, q273IncrementalAnnIndex, q274PowerIterationPca,
     q275CorrelationAudit, q278HardNegatives, q279PcaProjection,
-    q280TopTwoPca, q281WhitenedCoords)
+    q280TopTwoPca, q281WhitenedCoords, q283NswIndexBuild, q284NswSearch)
 }

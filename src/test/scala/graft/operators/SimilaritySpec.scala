@@ -233,4 +233,85 @@ class SimilaritySpec extends SparkSpec {
       Seq("qid", "neighbor_id")).count()
     assert(hits >= 20, s"recall@5 over 8 queries: $hits/40 hits")
   }
+
+  // planted clustered corpus for the NSW tests: `nc` well-separated
+  // clusters, `per` members each, deterministic within-cluster jitter
+  private def plantedClusters(nc: Int, per: Int, dims: Int) = {
+    val n = nc * per
+    spark.range(n).select($"id".as("cid"),
+      transform(sequence(lit(0), lit(dims - 1)), d =>
+        (when(d === ($"id" % nc).cast("int"), 10.0).otherwise(0.0)
+          + sin($"id" * 31 + d * 7) * 0.3).cast("float")).as("cvec"))
+  }
+
+  test("nsw build: layers are geometric and deterministic, every layer " +
+    "graph is connected via the id-order path, degrees are bounded") {
+    val corpus = plantedClusters(nc = 6, per = 30, dims = 12)
+    val maxLayer = 2; val m = 3
+    val edges = Nsw.build(corpus, m = m, nCells = 6, maxLayer = maxLayer)
+      .cache()
+    val layers = corpus.select($"cid",
+      Nsw.layerCol($"cid", maxLayer).as("l")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // geometric shrink: layer>=1 members ≈ 1/4 of the corpus
+    val n1 = layers.values.count(_ >= 1)
+    assert(n1 > 0 && n1 < layers.size / 2, s"layer>=1 count $n1")
+    (0 to maxLayer).foreach { l =>
+      val memIds = layers.filter(_._2 >= l).keys.toSeq.sorted
+      val e = edges.filter($"layer" === l)
+        .select($"src", $"dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // members only
+      assert(e.flatMap(p => Seq(p._1, p._2)).toSet.subsetOf(memIds.toSet))
+      // the id-order path edges are present in both directions
+      memIds.sliding(2).filter(_.size == 2).foreach { w =>
+        assert(e.contains((w(0), w(1))) && e.contains((w(1), w(0))),
+          s"layer $l missing path edge ${w(0)}<->${w(1)}")
+      }
+      // connectivity by union-find over the collected edge list
+      val idx = memIds.zipWithIndex.toMap
+      val parent = Array.tabulate(memIds.size)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      e.foreach { case (a, b) =>
+        val (ra, rb) = (find(idx(a)), find(idx(b)))
+        if (ra != rb) parent(ra) = rb
+      }
+      assert(memIds.indices.map(find).distinct.size === 1,
+        s"layer $l graph is disconnected")
+      // out-degree ≤ 2m + 2 (symmetrized top-m can double, path adds 2)
+      val deg = e.groupBy(_._1).map(_._2.length)
+      assert(deg.max <= 2 * m + 2, s"layer $l max degree ${deg.max}")
+    }
+    // determinism: a rebuild is edge-identical
+    val again = Nsw.build(corpus, m = m, nCells = 6, maxLayer = maxLayer)
+    assert(again.collect().toSet === edges.collect().toSet)
+    edges.unpersist()
+  }
+
+  test("nsw search: ef >= corpus is exactly brute force; finite beam " +
+    "keeps a measured recall floor on clustered data") {
+    val corpus = plantedClusters(nc = 6, per = 30, dims = 12)
+    val queries = corpus.filter($"cid" % 37 === 0)
+      .select($"cid".as("qid"), $"cvec".as("qvec"))
+    val maxLayer = 2
+    val edges = Nsw.build(corpus, m = 4, nCells = 6, maxLayer = maxLayer)
+      .cache()
+    val truth = Similarity.bruteForceTopK(queries, corpus, k = 10)
+    // probe-all: candidate set is the whole corpus by definition
+    val exact = Nsw.topK(queries, corpus, edges, k = 10, ef = 200,
+      maxLayer = maxLayer)
+    assert(exact.orderBy("qid", "rank").collect().toSeq ===
+      truth.orderBy("qid", "rank").collect().toSeq)
+    // finite beam: recall@10 over the planted clusters
+    val approx = Nsw.topK(queries, corpus, edges, k = 10, ef = 16,
+      maxLayer = maxLayer, roundsPerLayer = 4)
+    val nq = queries.count()
+    val hits = approx.select($"qid", $"neighbor_id")
+      .join(truth.select($"qid", $"neighbor_id"), Seq("qid", "neighbor_id"))
+      .count()
+    assert(hits >= nq * 10 * 7 / 10,
+      s"nsw recall@10: $hits of ${nq * 10}")
+    edges.unpersist()
+  }
 }
