@@ -1769,6 +1769,92 @@ object MaintenanceQueries {
            |  CAST(n AS BIGINT) AS n_rows, cs AS cents_sum, rs AS row_sum
            |FROM st ORDER BY version""".stripMargin))
 
+  /** PARTITION TRANSFORMS + PARTITION EVOLUTION
+    * ([[graft.sources.PartitionTransform]]) — the Iceberg headline
+    * feature on the graft format: a table created UNPARTITIONED gains
+    * `days(ts)` via a METADATA-ONLY commit
+    * ([[graft.sources.GraftTable.setPartitioning]]); files written
+    * before the transform stay readable forever (no recorded day
+    * range → never skipped), files written after carry per-file day
+    * ranges and prune (pinned physically in GraftTableSpec with a
+    * deleted-file sabotage; this gate pins the CONTENT contract).
+    * Output: full-table checksums at both eras' versions plus one-day
+    * and three-day partition reads at head — each the exact logical
+    * filter, replayed relationally by the oracle. */
+  val q285PartitionedEvents = GraftQuery(
+    "q285_partitioned_events",
+    (s, dir) => {
+      import graft.sources.{DaysPartition, GraftTable}
+      val base = newTempDir("graft_partition")
+      val root = base + "/ev"
+      val ev = Tables.events(s, dir).select(
+        col("event_id").cast("long").as("k"), col("ts"),
+        col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      // era 1 (v0, unpartitioned): clicks
+      GraftTable.create(s, root, ev.filter(col("event_type") === "click"),
+        "k", nBuckets = 4)
+      // v1: days(ts) lands as metadata; era 2 (v2): purchases arrive
+      // under the transform, split day-aligned
+      GraftTable.setPartitioning(s, root, DaysPartition("ts"))
+      GraftTable.upsert(s, root,
+        ev.filter(col("event_type") === "purchase"), "k", nBuckets = 8)
+      val day0 = ev.agg(min(floor(unix_timestamp(col("ts")) / 86400)
+        .cast("long"))).collect()(0).getLong(0)
+      def sum1(label: String, df: org.apache.spark.sql.DataFrame) =
+        df.select(lit(label).as("snapshot"), col("k"), col("event_type"),
+          col("cents"))
+          .groupBy("snapshot")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("cents").as("cents_sum"),
+            sum(conv(substring(md5(concat_ws("|", col("k").cast("string"),
+              col("event_type"), col("cents").cast("string"))), 1, 8),
+              16, 10).cast("long")).as("row_sum"))
+      sum1("a_v0_clicks", GraftTable.read(s, root, Some(0)))
+        .unionAll(sum1("b_head_full", GraftTable.read(s, root)))
+        .unionAll(sum1("c_head_day0",
+          GraftTable.readPartitionRange(s, root, day0, day0)))
+        .unionAll(sum1("d_head_3days",
+          GraftTable.readPartitionRange(s, root, day0, day0 + 2)))
+        .orderBy("snapshot")
+    },
+    Some("""WITH ev AS (
+           |  SELECT CAST(event_id AS BIGINT) AS k, ts, event_type,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+           |  FROM events),
+           |d0 AS (SELECT min(day) AS day0 FROM ev),
+           |head AS (SELECT * FROM ev
+           |  WHERE event_type IN ('click', 'purchase')),
+           |st AS (
+           |  SELECT 'a_v0_clicks' AS snapshot, count(*) AS n,
+           |    CAST(sum(cents) AS BIGINT) AS cs,
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      event_type || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |      AS BIGINT) AS rs
+           |  FROM ev WHERE event_type = 'click'
+           |  UNION ALL
+           |  SELECT 'b_head_full', count(*), CAST(sum(cents) AS BIGINT),
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      event_type || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |      AS BIGINT)
+           |  FROM head
+           |  UNION ALL
+           |  SELECT 'c_head_day0', count(*), CAST(sum(cents) AS BIGINT),
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      event_type || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |      AS BIGINT)
+           |  FROM head, d0 WHERE day = day0
+           |  UNION ALL
+           |  SELECT 'd_head_3days', count(*), CAST(sum(cents) AS BIGINT),
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      event_type || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |      AS BIGINT)
+           |  FROM head, d0 WHERE day BETWEEN day0 AND day0 + 2)
+           |SELECT snapshot, CAST(n AS BIGINT) AS n_rows, cs AS cents_sum,
+           |  rs AS row_sum
+           |FROM st ORDER BY snapshot""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
@@ -1776,5 +1862,5 @@ object MaintenanceQueries {
     q236CdfMaintenance, q237ZorderTable, q239TableReplication,
     q242WriteAuditPublish, q249ErasureProof, q251IndexMaintenance,
     q252SqlTableSurface, q270SqlTableWrites, q272VersionTags,
-    q276TableRestore, q282SqlMergeInto)
+    q276TableRestore, q282SqlMergeInto, q285PartitionedEvents)
 }

@@ -116,7 +116,8 @@ object GraftTable {
     * upserts would then demand them in every batch). */
   private def commitManifest(f: org.apache.hadoop.fs.FileSystem,
       root: String, v: Int, entries: Seq[FileEntry],
-      wroteSchema: Boolean = false, wroteColStats: Boolean = false): Unit = {
+      wroteSchema: Boolean = false, wroteColStats: Boolean = false,
+      wrotePartition: Boolean = false): Unit = {
     // The sweep must survive a RACE with a concurrent sidecar-writing
     // committer (evolveAddColumns / optimizeZOrder) targeting the same
     // version: between our exists-check and our manifest rename, the
@@ -136,7 +137,8 @@ object GraftTable {
         (if (wroteSchema) Nil
          else List(new org.apache.hadoop.fs.Path(
            root, f"_log/schema-v$v%05d.json"))) ++
-        (if (wroteColStats) Nil else List(colStatsPath(root, v)))
+        (if (wroteColStats) Nil else List(colStatsPath(root, v))) ++
+        (if (wrotePartition) Nil else List(partitionSpecPath(root, v)))
       for (p <- candidates if f.exists(p)) {
         val q = new org.apache.hadoop.fs.Path(p.getParent,
           s".quarantine-${p.getName}-${java.util.UUID.randomUUID()}")
@@ -232,6 +234,106 @@ object GraftTable {
       .asInstanceOf[StructType]
   }
 
+  private def partitionSpecPath(root: String, v: Int) =
+    new org.apache.hadoop.fs.Path(root, f"_log/partition-v$v%05d.json")
+
+  /** Partition transform AS OF `version`: the newest
+    * `_log/partition-v{N}.json` at or below it (the [[tableSchema]]
+    * resolution pattern — partitioning is versioned metadata, so a
+    * time-travel read prunes with the transform that was active when
+    * its files were written). None = unpartitioned (every pre-existing
+    * table). */
+  def partitionSpec(spark: SparkSession, root: String,
+      version: Int): Option[PartitionTransform] = {
+    val (f, _) = fs(root, spark)
+    val log = new org.apache.hadoop.fs.Path(root, "_log")
+    if (!f.exists(log)) return None
+    val vs = f.listStatus(log).map(_.getPath.getName)
+      .collect { case s if s.matches("partition-v\\d{5}\\.json") =>
+        s.substring(11, 16).toInt }
+      .filter(_ <= version)
+    if (vs.isEmpty) None
+    else Some(PartitionTransform.parse(
+      readFully(f, partitionSpecPath(root, vs.max))))
+  }
+
+  /** Declare (or change) the table's partition transform as a
+    * METADATA-ONLY commit: the new version carries every data file by
+    * reference and publishes a versioned partition spec. Old files
+    * have no recorded range for the new transform's stats column, so
+    * they are never skipped (stay readable, prune less); files written
+    * from this version on are arranged along the transform and carry
+    * per-file value ranges — the Iceberg partition-evolution
+    * contract. Returns the new version. */
+  def setPartitioning(spark: SparkSession, root: String,
+      transform: PartitionTransform): Int = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"no graft table at $root")
+    require(tableSchema(spark, root, base).fieldNames
+        .contains(transformColumn(transform)),
+      s"partition column '${transformColumn(transform)}' is not in the " +
+        "table schema")
+    val entries = loadManifest(spark, root, base)
+    val v = base + 1
+    val (f, _) = fs(root, spark)
+    val p = partitionSpecPath(root, v)
+    if (f.exists(p) && !f.exists(manifestPath(root, v)))
+      f.delete(p, false) // orphan from a crashed prior attempt
+    writeAtomic(f, p, transform.render)
+    commitManifest(f, root, v, entries, wrotePartition = true)
+    v
+  }
+
+  private def transformColumn(t: PartitionTransform): String = t match {
+    case DaysPartition(c) => c
+    case BucketPartition(_, c) => c
+  }
+
+  /** Partition-pruned snapshot read: only files whose recorded
+    * [min, max] of the ACTIVE transform's value intersects [lo, hi]
+    * are opened; files predating the transform carry no range and are
+    * always kept (pruning is a strict optimization). A residual filter
+    * on the transform value completes the predicate, so the result
+    * equals `read(...).filter(valueCol between lo and hi)` by
+    * construction. For `days(ts)` this is the one-day/one-week event
+    * read that at 100 TB must open one day's files, not the table. */
+  def readPartitionRange(spark: SparkSession, root: String,
+      lo: Long, hi: Long, version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    val spec = partitionSpec(spark, root, v).getOrElse(
+      throw new IllegalStateException(
+        s"table at $root has no partition transform at version $v"))
+    val schema = tableSchema(spark, root, v)
+    val keep = partitionSurvivors(spark, root, spec, lo, hi, v)
+    val df =
+      if (keep.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(keep.map(r => s"$root/$r"): _*)
+    df.filter(spec.valueCol.between(lo, hi))
+  }
+
+  /** How many files a [[readPartitionRange]] with these bounds opens. */
+  def prunedFileCountPartition(spark: SparkSession, root: String,
+      lo: Long, hi: Long, version: Option[Int] = None): Int = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    val spec = partitionSpec(spark, root, v).getOrElse(
+      return loadManifest(spark, root, v).size)
+    partitionSurvivors(spark, root, spec, lo, hi, v).size
+  }
+
+  private def partitionSurvivors(spark: SparkSession, root: String,
+      spec: PartitionTransform, lo: Long, hi: Long, v: Int): Seq[String] = {
+    val rels = loadManifest(spark, root, v).map(_.relPath)
+    val stats = loadColStats(spark, root, v, rels.toSet)
+    rels.filter { rel =>
+      stats.get((rel, spec.statsCol)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // pre-transform file: no range, never skipped
+      }
+    }
+  }
+
   /** The string column per-file bloom sidecars index, if declared at
     * create time (`_log/bloom.json`). */
   private def bloomColumn(spark: SparkSession, root: String): Option[String] = {
@@ -275,30 +377,61 @@ object GraftTable {
       org.apache.spark.unsafe.types.UTF8String.fromString(s),
       org.apache.spark.sql.types.StringType, 42L)
 
+  /** Bucket count for a rewrite-commit: unpartitioned tables cap at
+    * (files rewritten + 1) so small upserts never fragment the layout;
+    * PARTITIONED tables always use the full request — splitting along
+    * the transform value is the point (a multi-day backfill must land
+    * as day-aligned files, not one file spanning every day, or the
+    * one-day read prunes nothing). */
+  private def writeBuckets(spark: SparkSession, root: String, base: Int,
+      nBuckets: Int, nRewritten: Int): Int =
+    if (partitionSpec(spark, root, base + 1).isDefined) math.max(1, nBuckets)
+    else math.max(1, math.min(nBuckets, nRewritten + 1))
+
+  private final case class Written(entries: Seq[FileEntry],
+      wroteColStats: Boolean)
+
   /** Write `df`'s rows as the data files of `version`, range-bucketed
     * by `key` so per-file key intervals are narrow and disjoint, and
     * return their stats entries. One writer task per bucket; the
     * stats pass re-reads ONLY the newly written files (footer-local
-    * column min/max — metadata-grade, not a table scan). */
+    * column min/max — metadata-grade, not a table scan).
+    *
+    * If the table declares a [[PartitionTransform]] (active at
+    * `version`), files are arranged along (transform value, key) —
+    * each file covers a narrow value range — and a per-file
+    * [min, max] of the value is recorded in this version's colstats
+    * sidecar (the [[readPartitionRange]] skipping stats); `Written
+    * .wroteColStats` tells the commit path to protect that sidecar in
+    * [[commitManifest]]'s orphan sweep. */
   private def writeDataFiles(spark: SparkSession, root: String, version: Int,
       df: DataFrame, key: String, nBuckets: Int,
-      zorderBy: Option[org.apache.spark.sql.Column] = None): Seq[FileEntry] = {
+      zorderBy: Option[org.apache.spark.sql.Column] = None): Written = {
     // attempt-unique dir: a FAILED commit's orphan files can never
     // collide with (or be read by) the retry — they sit unreferenced
     // until vacuum sweeps them
     val rel = f"data/v$version%05d-" +
       java.util.UUID.randomUUID().toString.take(8)
     val dir = s"$root/$rel"
-    val arranged = zorderBy match {
+    val spec = partitionSpec(spark, root, version)
+    val arranged = (zorderBy, spec) match {
       // Z-ORDER layout: range-partition AND sort within files by the
       // interleaved curve value instead of the key — multi-column
       // locality for [[readRange2D]] skipping (key-range pruning
       // coarsens correspondingly; that trade IS the feature)
-      case Some(z) => df.withColumn("__zorder", z)
+      case (Some(z), _) => df.withColumn("__zorder", z)
         .repartitionByRange(math.max(1, nBuckets), col("__zorder"))
         .sortWithinPartitions("__zorder")
         .drop("__zorder")
-      case None => df.repartitionByRange(math.max(1, nBuckets), col(key))
+      // partitioned layout: transform value leads, key breaks ties —
+      // files cover narrow value ranges (one day's read opens one
+      // day's files) while staying key-ordered within a value
+      case (None, Some(p)) => df.withColumn("__pval", p.valueCol)
+        .repartitionByRange(math.max(1, nBuckets), col("__pval"), col(key))
+        .sortWithinPartitions("__pval", key)
+        .drop("__pval")
+      case (None, None) =>
+        df.repartitionByRange(math.max(1, nBuckets), col(key))
     }
     arranged.write.mode("errorifexists").parquet(dir)
     // stats per physical file (also covers AQE/empty-bucket merges);
@@ -330,7 +463,34 @@ object GraftTable {
           entries.map(_.nRows).max)
       case _ => ()
     }
-    entries
+    // partition-value ranges into this version's colstats sidecar —
+    // footer-grade scan of ONLY the new files, same as the key stats
+    val wrotePStats = spec match {
+      case Some(p) if entries.nonEmpty =>
+        val byName = entries.map(e =>
+          new org.apache.hadoop.fs.Path(e.relPath).getName -> e.relPath).toMap
+        val lines = spark.read.schema(df.schema).parquet(dir)
+          .groupBy(input_file_name().as("file"))
+          .agg(min(p.valueCol).as("mn"), max(p.valueCol).as("mx"))
+          .collect()
+          .flatMap { r =>
+            val relP = byName(new org.apache.hadoop.fs.Path(
+              new java.net.URI(r.getString(0)).getPath).getName)
+            if (r.isNullAt(1) || r.isNullAt(2)) None
+            else Some(s"$relP\t${p.statsCol}\t${r.getLong(1)}\t${r.getLong(2)}")
+          }.sorted
+        if (lines.isEmpty) false
+        else {
+          val (f, _) = fs(root, spark)
+          val statsP = colStatsPath(root, version)
+          if (f.exists(statsP) && !f.exists(manifestPath(root, version)))
+            f.delete(statsP, false) // orphan from a failed prior attempt
+          writeAtomic(f, statsP, lines.mkString("", "\n", "\n"))
+          true
+        }
+      case _ => false
+    }
+    Written(entries, wrotePStats)
   }
 
   /** Write one `<dataFile>.bloom` sidecar per data file in `dir`: a
@@ -377,7 +537,8 @@ object GraftTable {
     * every subsequent write — the point-lookup skipping column for
     * [[readPoint]], orthogonal to the key's min/max range stats. */
   def create(spark: SparkSession, root: String, df: DataFrame, key: String,
-      nBuckets: Int = 8, bloomCol: Option[String] = None): Unit = {
+      nBuckets: Int = 8, bloomCol: Option[String] = None,
+      partitioning: Option[PartitionTransform] = None): Unit = {
     val (f, rootP) = fs(root, spark)
     require(!f.exists(new org.apache.hadoop.fs.Path(root, "_log")),
       s"table already exists at $root")
@@ -389,8 +550,14 @@ object GraftTable {
       require(df.schema.fieldNames.contains(bc), s"no such column: $bc")
       writeAtomic(f, new org.apache.hadoop.fs.Path(root, "_log/bloom.json"), bc)
     }
-    val entries = writeDataFiles(spark, root, 0, df, key, nBuckets)
-    commitManifest(f, root, 0, entries)
+    partitioning.foreach { t =>
+      require(df.schema.fieldNames.contains(transformColumn(t)),
+        s"partition column '${transformColumn(t)}' is not in the schema")
+      writeAtomic(f, partitionSpecPath(root, 0), t.render)
+    }
+    val w = writeDataFiles(spark, root, 0, df, key, nBuckets)
+    commitManifest(f, root, 0, w.entries, wroteColStats = w.wroteColStats,
+      wrotePartition = partitioning.nonEmpty)
   }
 
   /** Snapshot read at `version` (default: latest). */
@@ -501,10 +668,11 @@ object GraftTable {
       .select(cols.map(c =>
         coalesce(col(s"b.$c"), col(s"t.$c")).as(c)): _*)
     val v = base + 1
-    val fresh = writeDataFiles(spark, root, v, merged, key,
-      math.max(1, math.min(nBuckets, rewrite.size + 1)))
+    val w = writeDataFiles(spark, root, v, merged, key,
+      writeBuckets(spark, root, base, nBuckets, rewrite.size))
     val (f, _) = fs(root, spark)
-    commitManifest(f, root, v, carry ++ fresh)
+    commitManifest(f, root, v, carry ++ w.entries,
+      wroteColStats = w.wroteColStats)
     (v, rewrite.size, carry.size)
   }
 
@@ -580,10 +748,11 @@ object GraftTable {
       .select(cols.map(c => coalesce(col(s"b.$c"), col(s"t.$c")).as(c)): _*)
       .join(dels, col(key).cast("long") === col("__delkey"), "left_anti")
     val v = base + 1
-    val fresh = writeDataFiles(spark, root, v, merged, key,
-      math.max(1, math.min(nBuckets, rewrite.size + 1)))
+    val w = writeDataFiles(spark, root, v, merged, key,
+      writeBuckets(spark, root, base, nBuckets, rewrite.size))
     val (f, _) = fs(root, spark)
-    commitManifest(f, root, v, carry ++ fresh)
+    commitManifest(f, root, v, carry ++ w.entries,
+      wroteColStats = w.wroteColStats)
     (v, rewrite.size, carry.size)
   }
 
@@ -632,8 +801,9 @@ object GraftTable {
     val v = base + 1
     // WRITE (stage): files land under an attempt-unique dir, reachable
     // only through a manifest that may never be published
-    val fresh = writeDataFiles(spark, root, v, merged, key,
-      math.max(1, math.min(nBuckets, rewrite.size + 1)))
+    val w = writeDataFiles(spark, root, v, merged, key,
+      writeBuckets(spark, root, base, nBuckets, rewrite.size))
+    val fresh = w.entries
     // AUDIT: every check in one aggregation over the staged files
     val staged =
       if (fresh.isEmpty)
@@ -652,7 +822,8 @@ object GraftTable {
     else {
       // PUBLISH: the create-if-absent manifest rename, as every commit
       val (f, _) = fs(root, spark)
-      commitManifest(f, root, v, carry ++ fresh)
+      commitManifest(f, root, v, carry ++ fresh,
+        wroteColStats = w.wroteColStats)
       Right((v, rewrite.size, carry.size))
     }
   }
@@ -680,15 +851,16 @@ object GraftTable {
     val (rewrite, carry) =
       entries.partition(e => hit(new org.apache.hadoop.fs.Path(e.relPath).getName))
     val v = base + 1
-    val fresh =
-      if (rewrite.isEmpty) Seq.empty
+    val w =
+      if (rewrite.isEmpty) Written(Seq.empty, wroteColStats = false)
       else writeDataFiles(spark, root, v,
         spark.read.schema(schema)
           .parquet(rewrite.map(e => s"$root/${e.relPath}"): _*)
           .filter(!predicate || predicate.isNull),
         key, math.max(1, rewrite.size))
     val (f, _) = fs(root, spark)
-    commitManifest(f, root, v, carry ++ fresh)
+    commitManifest(f, root, v, carry ++ w.entries,
+      wroteColStats = w.wroteColStats)
     (v, rewrite.size, carry.size)
   }
 
@@ -770,14 +942,15 @@ object GraftTable {
     val carry = singletons.flatten.toSeq
     val rewrite = compactGroups.flatten.toSeq
     val v = base + 1
-    val fresh =
-      if (rewrite.isEmpty) Seq.empty
+    val w =
+      if (rewrite.isEmpty) Written(Seq.empty, wroteColStats = false)
       else writeDataFiles(spark, root, v,
         spark.read.schema(schema)
           .parquet(rewrite.map(e => s"$root/${e.relPath}"): _*),
         key, compactGroups.size)
     val (f, _) = fs(root, spark)
-    commitManifest(f, root, v, carry ++ fresh)
+    commitManifest(f, root, v, carry ++ w.entries,
+      wroteColStats = w.wroteColStats)
     (v, rewrite.size, carry.size)
   }
 
@@ -960,6 +1133,22 @@ object GraftTable {
       }
       schemaVs.filter(sv => sv._2 < horizonSchema &&
           !pinnedSchemas.contains(sv._2))
+        .foreach { case (s, _) =>
+          f.delete(new org.apache.hadoop.fs.Path(log, s), false) }
+      // partition specs retain exactly like schemas: newest ≤ horizon
+      // (resolves every retained version) plus each pinned version's
+      // newest ≤ it
+      val partVs = names.collect {
+        case s if s.matches("partition-v\\d{5}\\.json") =>
+          (s, s.substring(11, 16).toInt) }
+      val horizonPart = partVs.map(_._2).filter(_ <= keepFrom)
+        .foldLeft(-1)(math.max)
+      val pinnedParts = pinned.flatMap { pv =>
+        val vs = partVs.map(_._2).filter(_ <= pv)
+        if (vs.isEmpty) None else Some(vs.max)
+      }
+      partVs.filter(pv => pv._2 < horizonPart &&
+          !pinnedParts.contains(pv._2))
         .foreach { case (s, _) =>
           f.delete(new org.apache.hadoop.fs.Path(log, s), false) }
       val cpVs = names.collect {
@@ -1283,7 +1472,8 @@ object GraftTable {
         lit(mx2 - mn2 + 1), buckets),
       bits)
     val v = base + 1
-    val fresh = writeDataFiles(spark, root, v, snap, key, nBuckets, Some(z))
+    val w = writeDataFiles(spark, root, v, snap, key, nBuckets, Some(z))
+    val fresh = w.entries
     val freshDf = spark.read.schema(schema)
       .parquet(fresh.map(e => s"$root/${e.relPath}"): _*)
     val stats = freshDf.groupBy(input_file_name().as("file"))
@@ -1304,9 +1494,16 @@ object GraftTable {
     }.sorted.mkString("", "\n", "\n")
     val (f, _) = fs(root, spark)
     val statsP = colStatsPath(root, v)
-    if (f.exists(statsP) && !f.exists(manifestPath(root, v)))
-      f.delete(statsP, false) // orphan from a failed prior attempt
-    writeAtomic(f, statsP, lines)
+    // merge with any partition-value stats writeDataFiles just wrote
+    // for this same version (one attempt, sequential — no race)
+    val merged =
+      if (w.wroteColStats) readFully(f, statsP).stripLineEnd + "\n" + lines
+      else lines
+    // drop the pre-merge file (this attempt's partition stats) or a
+    // crashed prior attempt's orphan; if another committer already
+    // PUBLISHED v, the writeAtomic below loses cleanly either way
+    if (f.exists(statsP)) f.delete(statsP, false)
+    writeAtomic(f, statsP, merged)
     commitManifest(f, root, v, fresh, wroteColStats = true)
     (v, fresh.size)
   }

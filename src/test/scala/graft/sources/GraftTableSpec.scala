@@ -663,6 +663,117 @@ class GraftTableSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"), e.getMessage)
   }
 
+  // fixture for the partition-transform tests: 4000 events across 8
+  // calendar days, keyed by event id, ts = day boundary + in-day offset
+  private def eventsFixture(n: Int = 4000) = spark.range(1, n + 1).select(
+    $"id".as("k"),
+    to_timestamp(from_unixtime(
+      lit(1700000000L - 1700000000L % 86400) + ($"id" % 8) * 86400
+        + ($"id" % 7919) % 86400)).as("ts"),
+    ($"id" % 97).as("v"))
+
+  private def dayOf(k: Long): Long =
+    (1700000000L - 1700000000L % 86400 + (k % 8) * 86400) / 86400
+
+  test("days() partition transform: a one-day read opens only that " +
+    "day's files — proven by deleting an out-of-day file") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, eventsFixture(), "k", nBuckets = 16,
+      partitioning = Some(DaysPartition("ts")))
+    val day = dayOf(1) // day of k=1 (and every k ≡ 1 mod 8)
+    val total = GraftTable.prunedFileCountPartition(spark, root,
+      Long.MinValue, Long.MaxValue)
+    val pruned = GraftTable.prunedFileCountPartition(spark, root, day, day)
+    assert(pruned < total, s"no pruning: $pruned of $total")
+    // content equality: partition-pruned read ≡ full read + filter
+    val viaP = GraftTable.readPartitionRange(spark, root, day, day)
+      .agg(count(lit(1)), sum("v")).as[(Long, Long)].head()
+    val viaFull = GraftTable.read(spark, root)
+      .filter(floor(unix_timestamp($"ts") / 86400) === day)
+      .agg(count(lit(1)), sum("v")).as[(Long, Long)].head()
+    assert(viaP === viaFull)
+    assert(viaP._1 === 500) // 4000 / 8 days
+    // sabotage: physically delete a data file whose day range excludes
+    // `day`; the pruned read must never open it
+    val stats = scala.io.Source.fromFile(s"$root/_log/colstats-v00000.tsv")
+    val victim = try stats.getLines().filter(_.nonEmpty)
+      .map(_.split('\t')).find(a => a(1).startsWith("__p_days_") &&
+        (a(3).toLong < day || a(2).toLong > day)).get.head
+    finally stats.close()
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$root/$victim"), false)
+    assert(GraftTable.readPartitionRange(spark, root, day, day)
+      .agg(sum("v")).as[Long].head() === viaP._2)
+  }
+
+  test("partition evolution: adding days() is metadata-only, old files " +
+    "stay readable and are never skipped, new files prune") {
+    val root = freshRoot()
+    // era 1: unpartitioned — 4 files, no partition stats
+    GraftTable.create(spark, root, eventsFixture(2000), "k", nBuckets = 4)
+    val filesV0 = manifestLines(root, 0).size
+    val v1 = GraftTable.setPartitioning(spark, root, DaysPartition("ts"))
+    assert(v1 === 1)
+    // metadata-only: every v0 file carried by reference
+    assert(manifestLines(root, 1).toSet === manifestLines(root, 0).toSet)
+    assert(GraftTable.partitionSpec(spark, root, 1)
+      === Some(DaysPartition("ts")))
+    assert(GraftTable.partitionSpec(spark, root, 0) === None)
+    // era 2: new keys arrive under the transform
+    GraftTable.upsert(spark, root,
+      eventsFixture(4000).filter($"k" > 2000), "k", nBuckets = 8)
+    val day = dayOf(1)
+    val total = GraftTable.prunedFileCountPartition(spark, root,
+      Long.MinValue, Long.MaxValue)
+    val pruned = GraftTable.prunedFileCountPartition(spark, root, day, day)
+    // all era-1 files are kept (no stats — never skipped), era-2 files
+    // outside the day are skipped
+    assert(pruned >= filesV0 && pruned < total,
+      s"pruned $pruned, era-1 $filesV0, total $total")
+    // correctness across both eras
+    val got = GraftTable.readPartitionRange(spark, root, day, day)
+      .agg(count(lit(1)), sum("v")).as[(Long, Long)].head()
+    val want = GraftTable.read(spark, root)
+      .filter(floor(unix_timestamp($"ts") / 86400) === day)
+      .agg(count(lit(1)), sum("v")).as[(Long, Long)].head()
+    assert(got === want)
+    assert(got._1 === 500)
+  }
+
+  test("bucket(n) partition transform prunes point reads and vacuum " +
+    "keeps the resolving spec file") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(2000), "k", nBuckets = 8,
+      partitioning = Some(BucketPartition(4, "name")))
+    val b = BucketPartition(4, "name")
+    // the bucket of one known value, computed through the same engine
+    val bucket = spark.range(0, 1).select(lit("row7").as("name"))
+      .select(b.valueCol.as("b")).as[Long].head()
+    val total = GraftTable.prunedFileCountPartition(spark, root,
+      Long.MinValue, Long.MaxValue)
+    val pruned = GraftTable.prunedFileCountPartition(spark, root,
+      bucket, bucket)
+    assert(pruned < total, s"no pruning: $pruned of $total")
+    val got = GraftTable.readPartitionRange(spark, root, bucket, bucket)
+      .filter($"name" === "row7").select($"k").as[Long].collect().toSeq
+    assert(got === Seq(7L))
+    // a few more versions, then vacuum past the spec's version: the
+    // newest spec ≤ horizon must survive so retained reads still prune
+    GraftTable.upsert(spark, root, base(2000).filter($"k" <= 10)
+      .withColumn("v", lit(-1L)), "k")
+    GraftTable.upsert(spark, root, base(2000).filter($"k" <= 5)
+      .withColumn("v", lit(-2L)), "k")
+    GraftTable.vacuum(spark, root, retainVersions = 1)
+    assert(GraftTable.partitionSpec(spark, root,
+      GraftTable.latestVersion(spark, root)) === Some(b))
+    assert(GraftTable.prunedFileCountPartition(spark, root, bucket, bucket)
+      <= GraftTable.prunedFileCountPartition(spark, root,
+        Long.MinValue, Long.MaxValue))
+    assert(GraftTable.readPartitionRange(spark, root, bucket, bucket)
+      .filter($"name" === "row7").count() === 1)
+  }
+
   private def manifestLines(root: String, v: Int): Seq[String] = {
     val src = scala.io.Source.fromFile(f"$root/_log/v$v%05d.manifest")
     try src.getLines().filter(_.nonEmpty).toList finally src.close()
