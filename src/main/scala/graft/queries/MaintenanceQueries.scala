@@ -1724,6 +1724,10 @@ object MaintenanceQueries {
            |WHEN NOT MATCHED AND mrg_src.scents % 2 = 0 THEN
            |  INSERT (k, tier, cents) VALUES (mrg_src.sk, 'new', mrg_src.scents)
            |""".stripMargin).collect()
+      // v3: row-level UPDATE through SQL text (GraftUpdateCommand →
+      // the same pruned CDC commit path)
+      s.sql(s"UPDATE $cat.acct SET cents = cents + 1 " +
+        "WHERE tier = 'premium'").collect()
       def one(v: Int) = s.sql(
         s"""SELECT CAST($v AS BIGINT) AS version, count(*) AS n_rows,
            |  CAST(sum(cents) AS BIGINT) AS cents_sum,
@@ -1731,7 +1735,7 @@ object MaintenanceQueries {
            |    CAST(k AS STRING), tier, CAST(cents AS STRING))), 1, 8),
            |    16, 10) AS BIGINT)) AS BIGINT) AS row_sum
            |FROM $cat.acct VERSION AS OF $v""".stripMargin)
-      one(1).unionAll(one(2)).orderBy("version")
+      one(1).unionAll(one(2)).unionAll(one(3)).orderBy("version")
     },
     Some("""WITH clicks AS (
            |  SELECT user_id AS k, 'basic' AS tier,
@@ -1752,6 +1756,11 @@ object MaintenanceQueries {
            |  SELECT s.sk AS k, 'new' AS tier, s.scents AS cents
            |  FROM src s LEFT JOIN clicks c ON c.k = s.sk
            |  WHERE c.k IS NULL AND s.scents % 2 = 0),
+           |updated AS (
+           |  SELECT k, tier,
+           |    CASE WHEN tier = 'premium' THEN cents + 1 ELSE cents END
+           |      AS cents
+           |  FROM merged),
            |st AS (
            |  SELECT 1 AS version, count(*) AS n,
            |    CAST(sum(cents) AS BIGINT) AS cs,
@@ -1764,7 +1773,13 @@ object MaintenanceQueries {
            |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
            |      tier || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
            |      AS BIGINT)
-           |  FROM merged)
+           |  FROM merged
+           |  UNION ALL
+           |  SELECT 3, count(*), CAST(sum(cents) AS BIGINT),
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      tier || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |      AS BIGINT)
+           |  FROM updated)
            |SELECT CAST(version AS BIGINT) AS version,
            |  CAST(n AS BIGINT) AS n_rows, cs AS cents_sum, rs AS row_sum
            |FROM st ORDER BY version""".stripMargin))

@@ -872,9 +872,78 @@ object StreamingQueries {
            |    CAST((SELECT count(*) FROM meta) AS DOUBLE), 9) AS w1
            |FROM g ORDER BY bucket""".stripMargin))
 
+  /** UNBOUNDED-SOURCE stateful aggregation — the one streaming shape
+    * the file-fed gates cannot exercise: every other streaming row
+    * drains a FINITE file set (`processAllAvailable` terminates), so
+    * trigger pacing against a producer that never ends was untested.
+    * This gate runs a stateful aggregate against Spark's deterministic
+    * `rate-micro-batch` source (fixed rowsPerBatch per trigger —
+    * bounded-rate backpressure by construction; `value` is the
+    * sequence 0,1,2,…, timestamps advance a fixed step per batch, so
+    * every row is pure arithmetic). The aggregate gates itself on
+    * `value < 4000`: once the 8th micro-batch commits, later batches
+    * change NOTHING, so the query converges to a fixed point while the
+    * source keeps producing — the gate polls the sink to the fixed
+    * point, stops the query gracefully mid-stream, and the result must
+    * equal the batch computation over exactly those 4,000 rows, which
+    * the oracle generates from `range()` with no input table at all.
+    * (`first/last_batch` pin the batch↔timestamp pacing: value⟋500
+    * IS the batch index when timestamps advance 1000 ms per 500-row
+    * batch from epoch 0.) */
+  val q286RateSourceBackpressure = GraftQuery(
+    "q286_rate_source_backpressure",
+    (s, dir) => {
+      val gateRows = 4000L
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val src =
+        try s.readStream.format("rate-micro-batch")
+          .option("rowsPerBatch", 500L)
+          .option("numPartitions", 4)
+          .option("startTimestamp", 0L)
+          .option("advanceMillisPerBatch", 1000L)
+          .load()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val agg = src.filter(col("value") < gateRows)
+        .groupBy((col("value") % 16).as("grp"))
+        .agg(count(lit(1)).as("n"), sum("value").as("value_sum"),
+          min((unix_millis(col("timestamp")) / 1000).cast("long"))
+            .as("first_batch"),
+          max((unix_millis(col("timestamp")) / 1000).cast("long"))
+            .as("last_batch"))
+      val sink = "graft_rate_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try {
+        val deadline = System.currentTimeMillis() + 120000
+        def converged(): Boolean = {
+          val t = s.table(sink).agg(sum("n")).collect()(0)
+          !t.isNullAt(0) && t.getLong(0) == gateRows
+        }
+        while (!converged() && System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+        require(converged(),
+          "rate stream did not reach the gated row count in 120s")
+      } finally q.stop()
+      val result = s.table(sink)
+      val schema = result.schema
+      val rows = result.collect()
+      s.catalog.dropTempView(sink)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy("grp")
+    },
+    Some("""SELECT CAST(v % 16 AS BIGINT) AS grp, count(*) AS n,
+           |  CAST(sum(v) AS BIGINT) AS value_sum,
+           |  CAST(min(v // 500) AS BIGINT) AS first_batch,
+           |  CAST(max(v // 500) AS BIGINT) AS last_batch
+           |FROM range(0, 4000) t(v)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q152StreamCdcState, q153StreamWindowedAggs, q157StreamClickPurchase,
       q159StreamUserTotals, q160RegistryNearDup, q161StreamSessions,
       q167StreamDedup, q168StreamEnrich, q228StreamAbandonedClicks,
-      q248StreamTemporalJoin, q253CdfStreamMaintenance, q269StreamingGradient)
+      q248StreamTemporalJoin, q253CdfStreamMaintenance, q269StreamingGradient,
+      q286RateSourceBackpressure)
 }

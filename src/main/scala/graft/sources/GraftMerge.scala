@@ -160,10 +160,60 @@ case class GraftMergeCommand(
   }
 }
 
-/** Analyzer rewrite: a fully-resolved [[MergeIntoTable]] whose target
-  * is a graft catalog table becomes a [[GraftMergeCommand]]. Non-graft
-  * targets are left for Spark's own row-level-operation machinery (and
-  * its error messages). */
+/** `UPDATE graft.t SET col = expr, ... WHERE ...` — the row-level
+  * UPDATE statement, routed like [[GraftMergeCommand]] onto
+  * `applyCdcBatch`: matching rows re-emitted with assignments applied,
+  * tagged `upsert`, ONE pruned copy-on-write commit (only files whose
+  * key interval contains an updated key rewrite). Key reassignment
+  * refuses — a key change is a delete + insert, exactly as in MERGE. */
+case class GraftUpdateCommand(
+    root: String,
+    key: String,
+    target: LogicalPlan,
+    assignments: Seq[Assignment],
+    condition: Option[Expression]) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_rewritten", IntegerType, nullable = false)(),
+    AttributeReference("files_carried", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = bridge.ofRows(spark, target)
+    val byName = assignments.map { a =>
+      val name = a.key match {
+        case ar: AttributeReference => ar.name
+        case other => throw new UnsupportedOperationException(
+          s"graft UPDATE: cannot assign to $other (nested fields are " +
+            "not supported)")
+      }
+      name -> a.value
+    }.toMap
+    val keyAttr = target.output.find(_.name == key).getOrElse(
+      throw new IllegalStateException(
+        s"graft UPDATE: table at $root has no key column '$key'"))
+    byName.get(key).foreach {
+      case ar: AttributeReference if ar.exprId == keyAttr.exprId => ()
+      case other => throw new UnsupportedOperationException(
+        s"graft UPDATE: must not reassign the key column '$key' " +
+          s"(got $other) — a key change is a delete + insert")
+    }
+    val matched = condition.map(c => t.filter(bridge.column(c))).getOrElse(t)
+    val batch = matched.select(target.output.map { attr =>
+      byName.get(attr.name).map(bridge.column)
+        .getOrElse(bridge.column(attr))
+        .cast(attr.dataType).as(attr.name)
+    } :+ lit("upsert").as("_op"): _*)
+    val (v, rewritten, carried) =
+      GraftTable.applyCdcBatch(spark, root, batch, key)
+    Seq(Row(v.toLong, rewritten, carried))
+  }
+}
+
+/** Analyzer rewrite: a fully-resolved [[MergeIntoTable]] or
+  * [[UpdateTable]] whose target is a graft catalog table becomes the
+  * corresponding graft command. Non-graft targets are left for Spark's
+  * own row-level-operation machinery (and its error messages). */
 case class RewriteGraftMerge() extends Rule[LogicalPlan] {
 
   private def graftTarget(plan: LogicalPlan)
@@ -177,6 +227,20 @@ case class RewriteGraftMerge() extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case u: UpdateTable if u.resolved =>
+      graftTarget(u.table) match {
+        case None => u
+        case Some((g, _)) =>
+          require(g.writable,
+            s"cannot UPDATE a time-travelled graft table " +
+              s"(VERSION AS OF ${g.snapshotVersion})")
+          val spark = SparkSession.active
+          val key = GraftTable.keyColumn(spark, g.root).getOrElse(
+            throw new IllegalStateException(
+              s"table at ${g.root} records no key column"))
+          GraftUpdateCommand(g.root, key, u.table, u.assignments,
+            u.condition)
+      }
     case m: MergeIntoTable if m.resolved =>
       graftTarget(m.targetTable) match {
         case None => m

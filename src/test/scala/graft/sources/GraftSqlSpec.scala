@@ -299,6 +299,38 @@ class GraftSqlSpec extends SparkSpec {
     assert(keyUpd.getMessage.contains("reassign the key"), keyUpd.getMessage)
   }
 
+  test("UPDATE through SQL text: one pruned CDC commit, key " +
+    "reassignment refuses, condition-less UPDATE touches every row") {
+    val base = freshBase()
+    val root = base + "/u"
+    mk(root, n = 1000, buckets = 4)
+    spark.conf.set("spark.sql.catalog.gu", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gu.base", base)
+    val res = spark.sql(
+      "UPDATE gu.u SET name = concat('upd', k), v = v + 1 " +
+        "WHERE k BETWEEN 10 AND 20").collect()
+    assert(res.length === 1 && res(0).getLong(0) === 1L)
+    val now = GraftTable.read(spark, root)
+    assert(now.filter($"name".startsWith("upd")).count() === 11)
+    assert(now.filter($"k" === 15).select("name", "v")
+      .as[(String, Long)].head() === (("upd15", 151L)))
+    assert(now.filter($"k" === 100).select("name").as[String].head()
+      === "row100")
+    // pruning: the narrow update rewrote a file subset
+    val Array(_, rewritten, carried) = res(0).toSeq.toArray
+    assert(rewritten.asInstanceOf[Int] >= 1)
+    assert(carried.asInstanceOf[Int] >= 1, s"no files carried: $carried")
+    // key reassignment refuses
+    val e = intercept[Exception] {
+      spark.sql("UPDATE gu.u SET k = k + 1000 WHERE k = 1").collect()
+    }
+    assert(e.getMessage.contains("reassign the key"), e.getMessage)
+    // condition-less UPDATE = every row
+    spark.sql("UPDATE gu.u SET v = 0").collect()
+    assert(GraftTable.read(spark, root).agg(sum("v")).as[Long].head() === 0L)
+    assert(GraftTable.latestVersion(spark, root) === 2)
+  }
+
   test("catalog lists tables and refuses writes with a clear message") {
     val base = freshBase()
     mk(base + "/t1"); mk(base + "/t2", n = 10, buckets = 1)
