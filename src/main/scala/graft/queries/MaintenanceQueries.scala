@@ -1870,6 +1870,89 @@ object MaintenanceQueries {
            |  rs AS row_sum
            |FROM st ORDER BY snapshot""".stripMargin))
 
+  /** TIMESTAMP AS OF time travel — wall-clock snapshot resolution
+    * ([[graft.sources.GraftTable.resolveTimestamp]]: the manifest's
+    * publish-rename mtime IS the commit instant; no extra metadata).
+    * The gate builds three sleep-separated versions, reads each back
+    * through SQL `TIMESTAMP AS OF` at its own commit instant (plus one
+    * far-future instant that must resolve to head) and checksums the
+    * contents. Wall-clock values are only HANDLES — every compared
+    * output is deterministic content, so the oracle replays the three
+    * logical states relationally. */
+  val q287TimestampTravel = GraftQuery(
+    "q287_timestamp_travel",
+    (s, dir) => {
+      val base = newTempDir("graft_ts_travel")
+      val root = base + "/tbl"
+      val v0 = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("k"), col("n_name").as("name"),
+        lit(0L).as("bal"))
+      GraftTable.create(s, root, v0, "k", nBuckets = 2)
+      Thread.sleep(25) // make commit instants distinguishable at ms grain
+      GraftTable.upsert(s, root,
+        v0.filter(col("k") < 10).withColumn("bal", col("k") * 100), "k")
+      Thread.sleep(25)
+      GraftTable.deleteWhere(s, root, col("k") >= 20, "k")
+      val ts = GraftTable.commitTimestamps(s, root)
+      val cat = "graft_tt_" + java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      def fmtTs(ms: Long): String = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ms))
+      def one(label: String, ms: Long) = s.sql(
+        s"""SELECT '$label' AS snapshot, count(*) AS n_rows,
+           |  CAST(sum(bal) AS BIGINT) AS bal_sum,
+           |  CAST(sum(CAST(conv(substring(md5(concat_ws('|',
+           |    CAST(k AS STRING), name, CAST(bal AS STRING))), 1, 8),
+           |    16, 10) AS BIGINT)) AS BIGINT) AS row_sum
+           |FROM $cat.tbl TIMESTAMP AS OF '${fmtTs(ms)}'""".stripMargin)
+      one("a_at_v0", ts(0)._2)
+        .unionAll(one("b_at_v1", ts(1)._2))
+        .unionAll(one("c_at_v2", ts(2)._2))
+        .unionAll(one("d_future_is_head", ts(2)._2 + 3600000L))
+        .orderBy("snapshot")
+    },
+    Some("""WITH v0 AS (
+           |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+           |    CAST(0 AS BIGINT) AS bal
+           |  FROM nation),
+           |v1 AS (
+           |  SELECT k, name,
+           |    CASE WHEN k < 10 THEN k * 100 ELSE bal END AS bal
+           |  FROM v0),
+           |v2 AS (SELECT * FROM v1 WHERE k < 20),
+           |cs AS (
+           |  SELECT 'a_at_v0' AS snapshot, count(*) AS n,
+           |    CAST(sum(bal) AS BIGINT) AS bs,
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      name || '|' || CAST(bal AS VARCHAR)), 1, 8))::BIGINT)
+           |      AS BIGINT) AS rs
+           |  FROM v0
+           |  UNION ALL
+           |  SELECT 'b_at_v1', count(*), CAST(sum(bal) AS BIGINT),
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      name || '|' || CAST(bal AS VARCHAR)), 1, 8))::BIGINT)
+           |      AS BIGINT)
+           |  FROM v1
+           |  UNION ALL
+           |  SELECT 'c_at_v2', count(*), CAST(sum(bal) AS BIGINT),
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      name || '|' || CAST(bal AS VARCHAR)), 1, 8))::BIGINT)
+           |      AS BIGINT)
+           |  FROM v2
+           |  UNION ALL
+           |  SELECT 'd_future_is_head', count(*), CAST(sum(bal) AS BIGINT),
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      name || '|' || CAST(bal AS VARCHAR)), 1, 8))::BIGINT)
+           |      AS BIGINT)
+           |  FROM v2)
+           |SELECT snapshot, CAST(n AS BIGINT) AS n_rows, bs AS bal_sum,
+           |  rs AS row_sum
+           |FROM cs ORDER BY snapshot""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
@@ -1877,5 +1960,6 @@ object MaintenanceQueries {
     q236CdfMaintenance, q237ZorderTable, q239TableReplication,
     q242WriteAuditPublish, q249ErasureProof, q251IndexMaintenance,
     q252SqlTableSurface, q270SqlTableWrites, q272VersionTags,
-    q276TableRestore, q282SqlMergeInto, q285PartitionedEvents)
+    q276TableRestore, q282SqlMergeInto, q285PartitionedEvents,
+    q287TimestampTravel)
 }

@@ -412,6 +412,28 @@ class GraftCatalog extends TableCatalog {
     new GraftSqlTable(root, v, writable = false)
   }
 
+  /** `SELECT ... FROM graft.t TIMESTAMP AS OF <ts>` — Spark hands the
+    * literal as MICROseconds since epoch; resolution is the largest
+    * version whose manifest was committed at or before it
+    * ([[GraftTable.resolveTimestamp]] over manifest mtimes — the
+    * rename that published each version IS its commit instant).
+    * Vacuumed history is not resolvable, exactly like Delta. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    if (!exists(root)) throw new NoSuchTableException(ident)
+    val spark = SparkSession.active
+    val millis = timestamp / 1000L
+    val v = GraftTable.resolveTimestamp(spark, root, millis)
+      .getOrElse {
+        val earliest = GraftTable.commitTimestamps(spark, root)
+          .headOption.map(_._2).getOrElse(0L)
+        throw new IllegalArgumentException(
+          s"no graft version at or before epoch-millis $millis " +
+            s"(earliest retained commit: $earliest)")
+      }
+    new GraftSqlTable(root, v, writable = false)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {

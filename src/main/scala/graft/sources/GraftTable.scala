@@ -206,6 +206,38 @@ object GraftTable {
     listManifestVersions(f, root)
   }
 
+  /** (version, commit time in epoch millis) for every retained
+    * version, ascending by version. The manifest file's modification
+    * time IS the commit time — the create-if-absent rename that
+    * published it — so no extra metadata is written and the mapping
+    * survives exactly as long as the manifest does (vacuumed history
+    * is not timestamp-resolvable, the Delta/Iceberg contract). One
+    * `listStatus`. */
+  def commitTimestamps(spark: SparkSession, root: String): Seq[(Int, Long)] = {
+    val (f, _) = fs(root, spark)
+    val log = new org.apache.hadoop.fs.Path(root, "_log")
+    if (!f.exists(log)) Seq.empty
+    else f.listStatus(log)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.matches("v\\d{5}\\.manifest"))
+          Some(n.substring(1, 6).toInt -> st.getModificationTime)
+        else None
+      }.toSeq.sortBy(_._1)
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the LARGEST version committed at or
+    * before `tsMillis` — the snapshot a reader at that wall-clock
+    * instant would have seen. None if the table has no version that
+    * old (the caller should name the earliest available commit time in
+    * its error). */
+  def resolveTimestamp(spark: SparkSession, root: String,
+      tsMillis: Long): Option[Int] = {
+    val ts = commitTimestamps(spark, root)
+    val at = ts.filter(_._2 <= tsMillis)
+    if (at.isEmpty) None else Some(at.map(_._1).max)
+  }
+
   private def loadManifest(
       spark: SparkSession, root: String, version: Int): Seq[FileEntry] = {
     val (f, _) = fs(root, spark)

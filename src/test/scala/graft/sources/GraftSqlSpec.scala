@@ -331,6 +331,52 @@ class GraftSqlSpec extends SparkSpec {
     assert(GraftTable.latestVersion(spark, root) === 2)
   }
 
+  test("TIMESTAMP AS OF: commit instants resolve to the snapshot a " +
+    "reader at that wall-clock moment saw; too-early errors; writes refuse") {
+    val base = freshBase()
+    val root = base + "/tt"
+    mk(root, n = 100, buckets = 2)
+    Thread.sleep(25) // commit instants must be distinguishable at ms grain
+    GraftTable.upsert(spark, root,
+      spark.range(1, 11).select($"id".as("k"), lit("u1").as("name"),
+        lit(-1L).as("v")), "k")
+    Thread.sleep(25)
+    GraftTable.deleteWhere(spark, root, $"k" > 50, "k")
+    val ts = GraftTable.commitTimestamps(spark, root)
+    assert(ts.map(_._1) === Seq(0, 1, 2))
+    assert(ts.map(_._2) === ts.map(_._2).sorted, s"non-monotone: $ts")
+    assert(GraftTable.resolveTimestamp(spark, root, ts(1)._2) === Some(1))
+    assert(GraftTable.resolveTimestamp(spark, root, ts(2)._2 + 3600000)
+      === Some(2))
+    assert(GraftTable.resolveTimestamp(spark, root, ts(0)._2 - 1) === None)
+    // SQL surface: the catalog's loadTable(ident, micros) overload
+    spark.conf.set("spark.sql.catalog.gtt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtt.base", base)
+    def fmt(ms: Long): String = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ms))
+    val atV1 = spark.sql("SELECT count(*) AS n, sum(CASE WHEN name = 'u1' " +
+      s"THEN 1 ELSE 0 END) AS u FROM gtt.tt TIMESTAMP AS OF '${fmt(ts(1)._2)}'")
+      .as[(Long, Long)].head()
+    assert(atV1 === ((100L, 10L)))
+    val atV0 = spark.sql("SELECT count(*) AS n, sum(CASE WHEN name = 'u1' " +
+      s"THEN 1 ELSE 0 END) AS u FROM gtt.tt TIMESTAMP AS OF '${fmt(ts(0)._2)}'")
+      .as[(Long, Long)].head()
+    assert(atV0 === ((100L, 0L)))
+    val early = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM gtt.tt TIMESTAMP AS OF " +
+        s"'${fmt(ts(0)._2 - 1000)}'").collect()
+    }
+    assert(early.getMessage.contains("earliest retained"), early.getMessage)
+    val w = intercept[Exception] {
+      spark.sql(s"DELETE FROM gtt.tt TIMESTAMP AS OF '${fmt(ts(1)._2)}' " +
+        "WHERE k = 1")
+    }
+    assert(w.getMessage.nonEmpty) // any refusal shape; must not commit
+    assert(GraftTable.latestVersion(spark, root) === 2)
+  }
+
   test("catalog lists tables and refuses writes with a clear message") {
     val base = freshBase()
     mk(base + "/t1"); mk(base + "/t2", n = 10, buckets = 1)
