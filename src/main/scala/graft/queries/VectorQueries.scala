@@ -1267,11 +1267,141 @@ object VectorQueries {
     },
     Some(topKOracle))
 
+  /** HYBRID RETRIEVAL — reciprocal-rank fusion (RRF, K=60: the
+    * Cormack/Clarke/Buettcher formulation every production hybrid
+    * search ships) of a LEXICAL arm (q169's Okapi BM25 top-20 over the
+    * probe-term postings) and a VECTOR arm (exact cosine top-20 for
+    * the query doc's own embedding — doc_id and vec_id share the 0–499
+    * id space by construction). Each arm contributes
+    * `1/(60 + rank)`; an item missing from an arm's top-20 contributes
+    * nothing. Contributions are quantized to integer nanos BEFORE the
+    * cross-arm sum (the engine-wide order-free-sum convention) and the
+    * fused ranking orders on the integer, so both engines agree
+    * bit-for-bit.
+    *
+    * Scale shape: both arms are the proven components — the BM25 arm
+    * prunes postings with a broadcast probe join and reduces through
+    * the native bounded-heap TopKPerGroup; the vector arm is
+    * [[Similarity.bruteForceTopK]] (swap in the IVF/NSW probe for the
+    * approximate path — same output contract). The fusion itself is a
+    * full-outer equi-join on (query, item) over top-N survivor lists —
+    * O(queries·N) rows regardless of corpus size — and the final
+    * window is keyed by query over ≤ 2N rows per group. */
+  val q288HybridRrf = GraftQuery(
+    "q288_hybrid_rrf",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val probes = Seq((1L, "spark"), (1L, "join"), (2L, "window"),
+        (2L, "agg"), (2L, "stream"), (3L, "hash"), (3L, "table"))
+        .toDF("query_id", "term")
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(graft.functions.Text.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val dfreq = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      val wt = tf.join(broadcast(probes), Seq("term"))
+        .join(dfreq, Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("query_id"), col("doc_id"),
+          round(log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5))) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              col("dl") / col("avgdl"))), 9).as("w"))
+      val bmScored = wt.groupBy("query_id", "doc_id")
+        .agg(round(sum(col("w")), 6).as("score"))
+      val lex = graft.plans.TopK.topKPerGroup(bmScored, Seq(col("query_id")),
+          Seq(col("score").desc, col("doc_id").asc), 20)
+        .withColumn("lex_rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select("query_id", "doc_id", "lex_rank")
+
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val vec = Similarity.bruteForceTopK(queries, corpus, k = 20)
+        .select(col("qid").as("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("vec_rank"))
+
+      val contrib = (r: org.apache.spark.sql.Column) => coalesce(
+        when(r.isNotNull, round(lit(1e9) / (lit(60) + r), 0).cast("long")),
+        lit(0L))
+      val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf9", contrib(col("lex_rank")) + contrib(col("vec_rank")))
+      // bounded by construction: ≤ 40 survivor rows per query feed the window
+      fused.withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("rrf9").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("rrf9").cast("double") / 1e9, 9).as("rrf"),
+          col("lex_rank"), col("vec_rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH probes(query_id, term) AS (VALUES
+            |    (CAST(1 AS BIGINT),'spark'),(1,'join'),(2,'window'),
+            |    (2,'agg'),(2,'stream'),(3,'hash'),(3,'table')),
+            |toks AS (
+            |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+            |  FROM documents),
+            |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            |dfreq AS (SELECT term, count(*) AS df
+            |          FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+            |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            |w AS (
+            |  SELECT p.query_id, tf.doc_id,
+            |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+            |      (tf * 2.2) /
+            |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9) AS w
+            |  FROM tf JOIN probes p USING (term) JOIN dfreq USING (term)
+            |    JOIN dl USING (doc_id) CROSS JOIN stats),
+            |sc AS (SELECT query_id, doc_id, round(sum(w), 6) AS score
+            |       FROM w GROUP BY 1, 2),
+            |lex AS (SELECT query_id, doc_id, lex_rank FROM (
+            |    SELECT query_id, doc_id,
+            |      row_number() OVER (PARTITION BY query_id
+            |        ORDER BY score DESC, doc_id ASC) AS lex_rank
+            |    FROM sc) WHERE lex_rank <= 20),
+            |q AS (SELECT vec_id AS qid, embedding FROM embeddings
+            |      WHERE vec_id IN (1, 2, 3)),
+            |vs AS (
+            |  SELECT a.qid, b.vec_id AS doc_id,
+            |    $cosSql AS cos
+            |  FROM q a JOIN embeddings b ON b.vec_id <> a.qid),
+            |vec AS (SELECT qid AS query_id, doc_id, vec_rank FROM (
+            |    SELECT qid, doc_id,
+            |      row_number() OVER (PARTITION BY qid
+            |        ORDER BY cos DESC, doc_id ASC) AS vec_rank
+            |    FROM vs) WHERE vec_rank <= 20),
+            |f AS (
+            |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+            |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+            |    l.lex_rank, v.vec_rank,
+            |    COALESCE(CAST(round(1e9 / (60 + l.lex_rank)) AS BIGINT), 0) +
+            |    COALESCE(CAST(round(1e9 / (60 + v.vec_rank)) AS BIGINT), 0) AS rrf9
+            |  FROM lex l FULL JOIN vec v
+            |    ON v.query_id = l.query_id AND v.doc_id = l.doc_id)
+            |SELECT query_id, rank, doc_id,
+            |  round(CAST(rrf9 AS DOUBLE) / 1e9, 9) AS rrf, lex_rank, vec_rank
+            |FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY query_id
+            |    ORDER BY rrf9 DESC, doc_id ASC) AS rank
+            |  FROM f)
+            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q30AnnBruteForce, q31CosinePairs, q32AnnLsh,
     q37AnnIvf, q38EmbeddingNearDup, q57EmbeddingQuantize, q103LabelCentroids,
     q109EmbeddingOutliers, q165FilteredAnn, q206QuantizedRecall,
     q218ProductQuantization, q241TableServedAnn, q254IvfPqSearch,
     q267MatryoshkaRecall, q273IncrementalAnnIndex, q274PowerIterationPca,
     q275CorrelationAudit, q278HardNegatives, q279PcaProjection,
-    q280TopTwoPca, q281WhitenedCoords, q283NswIndexBuild, q284NswSearch)
+    q280TopTwoPca, q281WhitenedCoords, q283NswIndexBuild, q284NswSearch,
+    q288HybridRrf)
 }
