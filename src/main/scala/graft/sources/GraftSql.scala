@@ -7,7 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.functions.col
@@ -197,15 +199,35 @@ object GraftSqlTable {
   * key range to file-skip with. All filters are reported back as
   * residual (Spark re-evaluates them — the skipping is a strict
   * optimization, so a filter the range extraction misreads can never
-  * produce wrong rows). */
+  * produce wrong rows).
+  *
+  * Also serves global aggregates from METADATA ALONE
+  * ([[SupportsPushDownAggregates]]): an unfiltered, ungrouped
+  * `count(*)` / `min` / `max` over the key column (manifest per-file
+  * rows + exact key intervals) or over a colstats-covered secondary
+  * column answers as one manifest pass — zero data files opened. At
+  * 100 TB that is the difference between an instant metadata answer
+  * and a full-table scan for the most common sanity queries a
+  * warehouse runs (`SELECT count(*) FROM t`, key-range probes before
+  * a backfill). Pushdown REFUSES (falls back to the data scan)
+  * whenever exactness is not provable: any residual filter (Spark
+  * only offers aggregates when no post-scan filter remains — belt and
+  * braces here), any GROUP BY, a non-integral column, or a secondary
+  * column any of whose live files lacks a recorded range. Partial-
+  * pushdown contract: the scan emits ONE row of exact global
+  * partials; Spark's final aggregate merges it (sum-of-counts,
+  * min-of-mins), so plan shape stays standard. */
 class GraftScanBuilder(root: String, version: Int, fullSchema: StructType)
   extends ScanBuilder
-  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var filters: Array[Filter] = Array.empty
+  private var pushedAgg: Option[(StructType, Seq[Any])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
+    if (pushedAgg.isDefined) return // agg schema is the scan schema
     // preserve table column order; an empty projection (COUNT(*)) keeps
     // one column so the v1 relation still has rows to count
     val want = requiredSchema.fieldNames.toSet
@@ -226,8 +248,62 @@ class GraftScanBuilder(root: String, version: Int, fullSchema: StructType)
       GraftScanBuilder.keyBound(f, k).isDefined))
   }
 
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    import org.apache.spark.sql.types._
+    if (filters.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    val spark = SparkSession.active
+    val key = GraftTable.keyColumn(spark, root)
+    lazy val (rows, keyRange) = GraftTable.snapshotKeyStats(spark, root, version)
+
+    def colNameOf(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    def narrow(v: Long, dt: DataType): Any = dt match {
+      case LongType => java.lang.Long.valueOf(v)
+      case IntegerType => java.lang.Integer.valueOf(v.toInt)
+      case ShortType => java.lang.Short.valueOf(v.toShort)
+      case ByteType => java.lang.Byte.valueOf(v.toByte)
+      case _ => throw new IllegalStateException(s"non-integral $dt")
+    }
+    // Some(None) = empty snapshot (NULL min/max); None = not servable
+    def rangeOf(c: String): Option[Option[(Long, Long)]] =
+      if (rows == 0L) Some(None)
+      else if (key.contains(c)) keyRange.map(r => Some(r))
+      else GraftTable.snapshotColumnRange(spark, root, version, c)
+        .map(r => Some(r))
+    def minMax(e: org.apache.spark.sql.connector.expressions.Expression,
+        isMin: Boolean): Option[(StructField, Any)] = for {
+      c <- colNameOf(e)
+      f <- fullSchema.fields.find(_.name == c)
+      if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == ShortType || f.dataType == ByteType
+      r <- rangeOf(c)
+    } yield {
+      val label = if (isMin) s"min($c)" else s"max($c)"
+      val v = r.map(lohi => narrow(if (isMin) lohi._1 else lohi._2,
+        f.dataType)).orNull
+      (StructField(label, f.dataType, nullable = true), v)
+    }
+
+    val resolved = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some((
+        StructField("count(*)", LongType, nullable = false),
+        java.lang.Long.valueOf(rows): Any))
+      case m: Min => minMax(m.column, isMin = true)
+      case m: Max => minMax(m.column, isMin = false)
+      case _ => None // Sum/Avg/Count(col): the manifest can't serve these
+    }
+    if (resolved.exists(_.isEmpty)) return false
+    val ok = resolved.flatten
+    pushedAgg = Some((StructType(ok.map(_._1)), ok.map(_._2)))
+    true
+  }
+
   override def build(): Scan =
-    new GraftV1Scan(root, version, required, filters)
+    new GraftV1Scan(root, version, required, filters, pushedAgg)
 }
 
 object GraftScanBuilder {
@@ -283,14 +359,18 @@ object GraftScanBuilder {
   * pass, never data I/O (the decision that matters most at 1000
   * executors: mis-sizing this join means shuffling 100 TB). */
 class GraftV1Scan(root: String, version: Int, required: StructType,
-    filters: Array[Filter])
+    filters: Array[Filter],
+    pushedAgg: Option[(StructType, Seq[Any])] = None)
   extends V1Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    pushedAgg.map(_._1).getOrElse(required)
 
   override def description(): String =
-    s"GraftScan root=$root version=$version"
+    s"GraftScan root=$root version=$version" +
+      pushedAgg.map(a =>
+        s" servedAggregates=[${a._1.fieldNames.mkString(", ")}]").getOrElse("")
 
   /** (rowCount, sizeInBytes) of exactly what this scan will read:
     * manifest rows/bytes restricted to the files the key-range
@@ -311,7 +391,9 @@ class GraftV1Scan(root: String, version: Int, required: StructType,
 
   override def estimateStatistics()
     : org.apache.spark.sql.connector.read.Statistics = {
-    val (rows, bytes) = manifestStats
+    val (rows, bytes) =
+      if (pushedAgg.isDefined) (1L, 64L) // one metadata-served agg row
+      else manifestStats
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -324,8 +406,16 @@ class GraftV1Scan(root: String, version: Int, required: StructType,
       context: SQLContext): T = {
     val relation = new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
-      override def schema: StructType = required
-      override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
+      override def schema: StructType = readSchema()
+      override def buildScan(): org.apache.spark.rdd.RDD[Row] = pushedAgg match {
+        case Some((_, values)) =>
+          // metadata-served aggregate: ONE exact global partial row
+          // computed from the manifest at push time — no data I/O here
+          context.sparkContext.parallelize(
+            Seq(Row.fromSeq(values)), numSlices = 1)
+        case None => dataScan()
+      }
+      private def dataScan(): org.apache.spark.rdd.RDD[Row] = {
         val spark = context.sparkSession
         val snap = GraftTable.keyColumn(spark, root)
           .flatMap(k => GraftScanBuilder.keyRange(filters, k).map((k, _)))

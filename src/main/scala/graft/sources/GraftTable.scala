@@ -633,6 +633,47 @@ object GraftTable {
     (entries.map(_.nRows).sum, bytes)
   }
 
+  /** Snapshot aggregate stats from the MANIFEST alone: exact
+    * (rowCount, Option((minKey, maxKey))) at `version`. The per-file
+    * [minKey, maxKey] is recorded from the DATA at write time (see
+    * [[writeDataFiles]]'s footer-grade stats pass), and data files
+    * are immutable copy-on-write, so min-of-mins / max-of-maxes over
+    * the live file set IS the table's exact key min/max — what lets
+    * `SELECT count(*), min(k), max(k)` answer without opening a
+    * single data file. None when the snapshot is empty (SQL min/max
+    * of an empty table is NULL). */
+  def snapshotKeyStats(spark: SparkSession, root: String,
+      version: Int): (Long, Option[(Long, Long)]) = {
+    val entries = loadManifest(spark, root, version)
+    val rows = entries.map(_.nRows).sum
+    val range =
+      if (entries.isEmpty) None
+      else Some((entries.map(_.minKey).min, entries.map(_.maxKey).max))
+    (rows, range)
+  }
+
+  /** Exact snapshot [min, max] of a SECONDARY column from colstats
+    * alone: Some iff EVERY live file at `version` carries a recorded
+    * range for `column` (Z-order or partition-transform stats — both
+    * land in the versioned colstats sidecars). A single uncovered
+    * file makes the metadata answer unsound, so it refuses (None)
+    * rather than approximate — the caller falls back to a data scan.
+    * Files whose recorded range came from `min`/`max` over the data
+    * ignore NULLs exactly like the SQL aggregates they serve; an
+    * all-NULL file writes no stats line and therefore refuses here
+    * (conservative: such a file contributes nothing to min/max, but
+    * absence of a line is indistinguishable from never-collected). */
+  def snapshotColumnRange(spark: SparkSession, root: String, version: Int,
+      column: String): Option[(Long, Long)] = {
+    val entries = loadManifest(spark, root, version)
+    if (entries.isEmpty) return None
+    val rels = entries.map(_.relPath).toSet
+    val stats = loadColStats(spark, root, version, rels)
+    val per = entries.map(e => stats.get((e.relPath, column)))
+    if (per.exists(_.isEmpty)) None
+    else Some((per.flatten.map(_._1).min, per.flatten.map(_._2).max))
+  }
+
   /** Copy-on-write upsert: batch rows REPLACE same-key table rows
     * column-wise (a NULL batch cell falls back to the target's value —
     * partial-update semantics); unmatched batch keys insert. Only
