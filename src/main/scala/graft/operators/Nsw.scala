@@ -48,6 +48,34 @@ object Nsw {
       length(regexp_extract(md5(id.cast("string")), "^[0-3]*", 0)))
       .cast("int")
 
+  /** SKEW GUARD: split every cell above `maxCellSize` members into
+    * ⌈size/maxCellSize⌉ deterministic sub-cells (xxhash64 of the node
+    * id mod the split count — no RNG), exactly as IVF splits oversize
+    * lists. Without it a degenerate [[KMeans]] fit (90% of points in
+    * one cell) sends the within-cell candidate join quadratic in THAT
+    * cell; with it the pair count is ≤ n·maxCellSize by construction,
+    * whatever the fit looks like. Quality edges become more local in
+    * split cells — recall is carried by the per-layer id-order
+    * connectivity path (always present) plus beam rounds, and the
+    * probe-all oracle contract is unaffected (it never touches
+    * cells). Input (id, cell, …) → same rows, `cell` re-keyed to a
+    * string sub-cell id. */
+  private[operators] def capCells(nodes: DataFrame,
+      maxCellSize: Int): DataFrame = {
+    val splits = nodes.groupBy("cell")
+      .agg(count(lit(1)).as("__n"))
+      .select(col("cell"),
+        greatest(lit(1L),
+          ceil(col("__n") / lit(maxCellSize.toDouble)).cast("long"))
+          .as("__splits"))
+    nodes.join(broadcast(splits), "cell")
+      .withColumn("cell",
+        concat(col("cell").cast("string"), lit("#"),
+          pmod(xxhash64(col("id").cast("string")), col("__splits"))
+            .cast("string")))
+      .drop("__splits")
+  }
+
   /** Build the layered graph over `corpus` (cId, cVec). Returns the
     * DIRECTED edge list (layer, src, dst) — quality edges both ways
     * plus the id-order path both ways, deduplicated. Edge count is
@@ -56,13 +84,16 @@ object Nsw {
     * size. */
   def build(corpus: DataFrame, m: Int, nCells: Int, maxLayer: Int,
             iters: Int = 1,
-            cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+            cId: String = "cid", cVec: String = "cvec",
+            maxCellSize: Int = 4096): DataFrame = {
     val cents = KMeans.fit(corpus, nCells, iters, idCol = cId, vecCol = cVec)
-    val nodes = KMeans.assign(corpus, cents, vecCol = cVec)
-      .withColumn("layer", layerCol(col(cId), maxLayer))
-      .withColumn("nrm", Similarity.norm(col(cVec)))
-      .select(col(cId).cast("long").as("id"), col(cVec).as("vec"),
-        col("nrm"), col("cluster").as("cell"), col("layer"))
+    val nodes = capCells(
+      KMeans.assign(corpus, cents, vecCol = cVec)
+        .withColumn("layer", layerCol(col(cId), maxLayer))
+        .withColumn("nrm", Similarity.norm(col(cVec)))
+        .select(col(cId).cast("long").as("id"), col(cVec).as("vec"),
+          col("nrm"), col("cluster").as("cell"), col("layer")),
+      maxCellSize)
       .cache()
     val perLayer = (0 to maxLayer).map { l =>
       val mem = nodes.filter(col("layer") >= l)

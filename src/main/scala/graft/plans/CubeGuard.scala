@@ -93,9 +93,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // MERGE INTO over graft catalog tables → the CDC commit path
     ext.injectResolutionRule(_ => graft.sources.RewriteGraftMerge())
     ext.injectPlannerStrategy(_ => TopKStrategy)
-    // manifest statistics for graft DSv2 scans (the V1ScanWrapper
-    // bridge hides SupportsReportStatistics) — see GraftScanStats.scala
-    ext.injectPlannerStrategy(_ => AttachGraftScanStats)
+    // graft scan statistics need no hook here: GraftBatchScan is a
+    // native DSv2 Batch, so DataSourceV2ScanRelation.computeStats
+    // consumes its SupportsReportStatistics directly
     // SQL surface for the native expressions: `spark.sql(...)` users
     // (the reference's audience writes SQL) get the same codegen'd
     // kernels the DataFrame API uses — no UDF fallback in SQL text.

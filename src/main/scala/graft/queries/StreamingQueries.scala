@@ -894,16 +894,17 @@ object StreamingQueries {
     "q286_rate_source_backpressure",
     (s, dir) => {
       val gateRows = 4000L
+      // shuffle.partitions is read at STREAM START (it sizes the state
+      // store), so the restore must wait until after q.stop() — the
+      // try/finally around the whole query lifecycle below owns it
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val src =
-        try s.readStream.format("rate-micro-batch")
-          .option("rowsPerBatch", 500L)
-          .option("numPartitions", 4)
-          .option("startTimestamp", 0L)
-          .option("advanceMillisPerBatch", 1000L)
-          .load()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val src = s.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 500L)
+        .option("numPartitions", 4)
+        .option("startTimestamp", 0L)
+        .option("advanceMillisPerBatch", 1000L)
+        .load()
       val agg = src.filter(col("value") < gateRows)
         .groupBy((col("value") % 16).as("grp"))
         .agg(count(lit(1)).as("n"), sum("value").as("value_sum"),
@@ -925,7 +926,10 @@ object StreamingQueries {
           Thread.sleep(200)
         require(converged(),
           "rate stream did not reach the gated row count in 120s")
-      } finally q.stop()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       val result = s.table(sink)
       val schema = result.schema
       val rows = result.collect()

@@ -22,12 +22,16 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * analyzed [[MergeIntoTable]] into [[GraftMergeCommand]] via an
   * injected resolution rule ([[RewriteGraftMerge]]). The command
   * computes a keyed CDC batch with ONE outer join — source rows
-  * against the current snapshot on the merge condition, each surviving
-  * row tagged `upsert` or `delete` by the FIRST action whose guard
-  * holds (SQL MERGE's documented order semantics) — then hands it to
+  * against the current snapshot on the merge condition (FULL outer
+  * when `WHEN NOT MATCHED BY SOURCE` actions need the target-only
+  * rows, LEFT outer otherwise), each surviving row tagged `replace`
+  * or `delete` by the FIRST action whose guard holds within its
+  * branch (SQL MERGE's documented order semantics) — then hands it to
   * `applyCdcBatch`, whose file pruning touches only the files whose
   * key interval contains an affected key: a 1,000-row MERGE against a
-  * 100 TB table rewrites a few files, never the table.
+  * 100 TB table rewrites a few files, never the table. The `replace`
+  * op writes assignment results VERBATIM — `SET col = NULL` nulls the
+  * column (ANSI), never the CDC partial-update coalesce.
   *
   * Cardinality contract (ANSI MERGE): a target row matched by MORE
   * than one source row fails the statement (same error Delta raises) —
@@ -40,7 +44,8 @@ case class GraftMergeCommand(
     source: LogicalPlan,
     cond: Expression,
     matchedActions: Seq[MergeAction],
-    notMatchedActions: Seq[MergeAction]) extends LeafRunnableCommand {
+    notMatchedActions: Seq[MergeAction],
+    notMatchedBySourceActions: Seq[MergeAction]) extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
@@ -55,15 +60,27 @@ case class GraftMergeCommand(
     val keyAttr = tByName.getOrElse(key, throw new IllegalStateException(
       s"graft MERGE: table at $root has no key column '$key'"))
 
-    // source LEFT OUTER current-snapshot on the merge condition: keeps
-    // every source row (for NOT MATCHED inserts) and every match (for
-    // MATCHED update/delete). Rows of the target that match nothing
-    // are simply untouched — graft refuses NOT MATCHED BY SOURCE up
-    // front, so they never need to appear.
-    val marker = "__graft_matched"
-    val joined = s.join(t.withColumn(marker, lit(true)),
-      bridge.column(cond), "left_outer")
-    val matched = coalesce(col(marker), lit(false))
+    // source ⟗ current-snapshot on the merge condition. LEFT OUTER
+    // when only MATCHED / NOT MATCHED branches exist (target rows that
+    // match nothing are untouched and need not flow); FULL OUTER when
+    // NOT MATCHED BY SOURCE actions exist — those fire on exactly the
+    // target-only rows, and there is no sound file-level shortcut: a
+    // target row OUTSIDE the source's key range is still "not matched
+    // by source" and must receive the action. The cost stays one scan
+    // + one join; the COMMIT stays pruned — applyCdcBatch rewrites
+    // only the files whose key interval contains an AFFECTED key, and
+    // unmatched target rows whose guards all fail drop out of the
+    // batch before pruning (a guarded close-out touches only the files
+    // holding rows it actually flips).
+    val mMark = "__graft_matched"
+    val sMark = "__graft_from_source"
+    val bySource = notMatchedBySourceActions.nonEmpty
+    val joined = s.withColumn(sMark, lit(true))
+      .join(t.withColumn(mMark, lit(true)),
+        bridge.column(cond), if (bySource) "full_outer" else "left_outer")
+    val fromSource = coalesce(col(sMark), lit(false))
+    val matched = fromSource && coalesce(col(mMark), lit(false))
+    val targetOnly = !fromSource
 
     def guard(a: MergeAction): Column =
       a.condition.map(bridge.column).getOrElse(lit(true))
@@ -74,7 +91,10 @@ case class GraftMergeCommand(
         case ((a, i), els) => when(guard(a), lit(i)).otherwise(els)
       }
     val mSel = when(matched, selector(matchedActions)).otherwise(lit(-1))
-    val nSel = when(!matched, selector(notMatchedActions)).otherwise(lit(-1))
+    val nSel = when(fromSource && !matched, selector(notMatchedActions))
+      .otherwise(lit(-1))
+    val bSel = when(targetOnly, selector(notMatchedBySourceActions))
+      .otherwise(lit(-1))
 
     def assignmentMap(as: Seq[Assignment]): Map[String, Expression] =
       as.map { a =>
@@ -112,30 +132,33 @@ case class GraftMergeCommand(
         s"graft MERGE: unsupported action $other")
     }
 
+    // UPDATE / INSERT rows ride the CDC 'replace' op: the batch row is
+    // the COMPLETE post-action row (unassigned columns already carry
+    // the target's value via valueOf), so an assignment that evaluates
+    // to NULL writes NULL — ANSI UPDATE semantics, NOT the partial-
+    // update coalesce of the 'upsert' CDC op.
     def opOf(a: MergeAction): String = a match {
       case _: DeleteAction => "delete"
-      case _ => "upsert"
+      case _ => "replace"
     }
 
-    val opCol = {
-      val m = matchedActions.zipWithIndex.foldRight(lit(null): Column) {
-        case ((a, i), els) => when(mSel === i, lit(opOf(a))).otherwise(els)
+    def branch(sel: Column, actions: Seq[MergeAction],
+        value: MergeAction => Column): Column =
+      actions.zipWithIndex.foldRight(lit(null): Column) {
+        case ((a, i), els) => when(sel === i, value(a)).otherwise(els)
       }
-      val n = notMatchedActions.zipWithIndex.foldRight(lit(null): Column) {
-        case ((a, i), els) => when(nSel === i, lit(opOf(a))).otherwise(els)
-      }
-      when(matched, m).otherwise(n)
-    }
+
+    val opCol =
+      when(matched, branch(mSel, matchedActions, a => lit(opOf(a))))
+        .when(targetOnly,
+          branch(bSel, notMatchedBySourceActions, a => lit(opOf(a))))
+        .otherwise(branch(nSel, notMatchedActions, a => lit(opOf(a))))
     val valueCols = tAttrs.map { attr =>
-      val m = matchedActions.zipWithIndex.foldRight(lit(null): Column) {
-        case ((a, i), els) =>
-          when(mSel === i, valueOf(a, attr)).otherwise(els)
-      }
-      val n = notMatchedActions.zipWithIndex.foldRight(lit(null): Column) {
-        case ((a, i), els) =>
-          when(nSel === i, valueOf(a, attr)).otherwise(els)
-      }
-      when(matched, m).otherwise(n).cast(attr.dataType).as(attr.name)
+      when(matched, branch(mSel, matchedActions, valueOf(_, attr)))
+        .when(targetOnly,
+          branch(bSel, notMatchedBySourceActions, valueOf(_, attr)))
+        .otherwise(branch(nSel, notMatchedActions, valueOf(_, attr)))
+        .cast(attr.dataType).as(attr.name)
     }
 
     val batch = joined
@@ -163,9 +186,11 @@ case class GraftMergeCommand(
 /** `UPDATE graft.t SET col = expr, ... WHERE ...` — the row-level
   * UPDATE statement, routed like [[GraftMergeCommand]] onto
   * `applyCdcBatch`: matching rows re-emitted with assignments applied,
-  * tagged `upsert`, ONE pruned copy-on-write commit (only files whose
-  * key interval contains an updated key rewrite). Key reassignment
-  * refuses — a key change is a delete + insert, exactly as in MERGE. */
+  * tagged `replace` (assignments land verbatim — `SET col = NULL`
+  * writes NULL, ANSI semantics), ONE pruned copy-on-write commit
+  * (only files whose key interval contains an updated key rewrite).
+  * Key reassignment refuses — a key change is a delete + insert,
+  * exactly as in MERGE. */
 case class GraftUpdateCommand(
     root: String,
     key: String,
@@ -203,7 +228,7 @@ case class GraftUpdateCommand(
       byName.get(attr.name).map(bridge.column)
         .getOrElse(bridge.column(attr))
         .cast(attr.dataType).as(attr.name)
-    } :+ lit("upsert").as("_op"): _*)
+    } :+ lit("replace").as("_op"): _*)
     val (v, rewritten, carried) =
       GraftTable.applyCdcBatch(spark, root, batch, key)
     Seq(Row(v.toLong, rewritten, carried))
@@ -248,11 +273,6 @@ case class RewriteGraftMerge() extends Rule[LogicalPlan] {
           require(g.writable,
             s"cannot MERGE INTO a time-travelled graft table " +
               s"(VERSION AS OF ${g.snapshotVersion})")
-          if (m.notMatchedBySourceActions.nonEmpty)
-            throw new UnsupportedOperationException(
-              "graft MERGE: WHEN NOT MATCHED BY SOURCE is not supported " +
-                "(a full-table anti-scan; run GraftTable.deleteWhere " +
-                "explicitly instead)")
           if (m.schemaEvolutionEnabled)
             throw new UnsupportedOperationException(
               "graft MERGE: WITH SCHEMA EVOLUTION is not supported; run " +
@@ -262,7 +282,8 @@ case class RewriteGraftMerge() extends Rule[LogicalPlan] {
             throw new IllegalStateException(
               s"table at ${g.root} records no key column"))
           GraftMergeCommand(g.root, key, m.targetTable, m.sourceTable,
-            m.mergeCondition, m.matchedActions, m.notMatchedActions)
+            m.mergeCondition, m.matchedActions, m.notMatchedActions,
+            m.notMatchedBySourceActions)
       }
   }
 }

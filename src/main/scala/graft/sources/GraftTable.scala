@@ -130,6 +130,17 @@ object GraftTable {
     // unique committer of v, so nobody else's sidecar can be at v),
     // and restore it by renaming back if we LOSE (the winner's sidecar
     // goes back into place, byte-identical).
+    //
+    // KNOWN WINDOW (accepted): between the winner's manifest rename
+    // and the loser's restore-by-rename, a reader of freshly-committed
+    // v can transiently miss a schema-v/colstats-v sidecar and resolve
+    // an older schema. The window is two metadata ops wide, only
+    // exists when an evolve/zorder commit RACES another commit to the
+    // same version (already a retry path), and heals by itself — the
+    // snapshot is immutable, so a retry of the read sees the restored
+    // sidecar. Closing it entirely needs transactional multi-file
+    // publish (a manifest that embeds its sidecars), noted as the
+    // upgrade path if evolve-under-contention becomes routine.
     var quarantined: List[(org.apache.hadoop.fs.Path,
       org.apache.hadoop.fs.Path)] = Nil
     if (!f.exists(manifestPath(root, v))) {
@@ -146,7 +157,13 @@ object GraftTable {
       }
     }
     try {
-      writeAtomic(f, manifestPath(root, v), renderManifest(entries))
+      // the commit instant is recorded INSIDE the manifest (header
+      // line), not left to the file's mtime: an rsync/restore that
+      // doesn't preserve mtimes must not silently shift every
+      // TIMESTAMP AS OF resolution. Readers of pre-header manifests
+      // fall back to mtime (see commitInstant).
+      val header = s"#commit-ts\t${System.currentTimeMillis()}\n"
+      writeAtomic(f, manifestPath(root, v), header + renderManifest(entries))
       quarantined.foreach { case (_, q) => f.delete(q, false) }
     } catch {
       case e: ConcurrentCommitException =>
@@ -160,16 +177,17 @@ object GraftTable {
   }
 
   private def parseManifest(text: String): Seq[FileEntry] =
-    text.linesIterator.filter(_.nonEmpty).map { line =>
-      line.split('\t') match {
-        case Array(p, mn, mx, n) => // pre-round-10 manifest: no bytes
-          FileEntry(p, mn.toLong, mx.toLong, n.toLong)
-        case Array(p, mn, mx, n, b) =>
-          FileEntry(p, mn.toLong, mx.toLong, n.toLong, b.toLong)
-        case other => throw new IllegalStateException(
-          s"malformed manifest line (${other.length} fields): $line")
-      }
-    }.toSeq
+    text.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { line =>
+        line.split('\t') match {
+          case Array(p, mn, mx, n) => // pre-round-10 manifest: no bytes
+            FileEntry(p, mn.toLong, mx.toLong, n.toLong)
+          case Array(p, mn, mx, n, b) =>
+            FileEntry(p, mn.toLong, mx.toLong, n.toLong, b.toLong)
+          case other => throw new IllegalStateException(
+            s"malformed manifest line (${other.length} fields): $line")
+        }
+      }.toSeq
 
   private def renderManifest(entries: Seq[FileEntry]): String =
     entries.sortBy(_.relPath)
@@ -206,36 +224,63 @@ object GraftTable {
     listManifestVersions(f, root)
   }
 
+  /** The commit instant of `version`, epoch millis: the `#commit-ts`
+    * header the commit wrote INTO its manifest — durable across
+    * rsync/restore/object-store copies that rewrite mtimes — with the
+    * manifest file's modification time as the legacy fallback for
+    * pre-header tables (there the publish rename's mtime WAS the
+    * instant). Reads only the first line, never the file ledger. */
+  private def commitInstant(f: org.apache.hadoop.fs.FileSystem,
+      root: String, version: Int): Long = {
+    val p = manifestPath(root, version)
+    val in = f.open(p)
+    val head = try {
+      val buf = new Array[Byte](64)
+      val n = in.read(buf)
+      if (n <= 0) "" else new String(buf, 0, n, "UTF-8").takeWhile(_ != '\n')
+    } finally in.close()
+    head.split('\t') match {
+      case Array("#commit-ts", ms) => ms.toLong
+      case _ => f.getFileStatus(p).getModificationTime
+    }
+  }
+
   /** (version, commit time in epoch millis) for every retained
-    * version, ascending by version. The manifest file's modification
-    * time IS the commit time — the create-if-absent rename that
-    * published it — so no extra metadata is written and the mapping
-    * survives exactly as long as the manifest does (vacuumed history
-    * is not timestamp-resolvable, the Delta/Iceberg contract). One
-    * `listStatus`. */
+    * version, ascending by version — header instants (durable), mtime
+    * fallback for legacy manifests. The mapping survives exactly as
+    * long as the manifest does (vacuumed history is not
+    * timestamp-resolvable, the Delta/Iceberg contract). One
+    * `listStatus` + one header read per retained version (a history
+    * listing is already O(versions); point resolution uses
+    * [[resolveTimestamp]]'s binary search instead). */
   def commitTimestamps(spark: SparkSession, root: String): Seq[(Int, Long)] = {
     val (f, _) = fs(root, spark)
-    val log = new org.apache.hadoop.fs.Path(root, "_log")
-    if (!f.exists(log)) Seq.empty
-    else f.listStatus(log)
-      .flatMap { st =>
-        val n = st.getPath.getName
-        if (n.matches("v\\d{5}\\.manifest"))
-          Some(n.substring(1, 6).toInt -> st.getModificationTime)
-        else None
-      }.toSeq.sortBy(_._1)
+    listManifestVersions(f, root).map(v => v -> commitInstant(f, root, v))
   }
 
   /** `TIMESTAMP AS OF` resolution: the LARGEST version committed at or
     * before `tsMillis` — the snapshot a reader at that wall-clock
     * instant would have seen. None if the table has no version that
     * old (the caller should name the earliest available commit time in
-    * its error). */
+    * its error). Binary search over the version list (commit instants
+    * are monotone — commits serialize through the publish rename), so
+    * resolution on a 10k-version table costs ~14 header reads, not
+    * 10k. */
   def resolveTimestamp(spark: SparkSession, root: String,
       tsMillis: Long): Option[Int] = {
-    val ts = commitTimestamps(spark, root)
-    val at = ts.filter(_._2 <= tsMillis)
-    if (at.isEmpty) None else Some(at.map(_._1).max)
+    val (f, _) = fs(root, spark)
+    val versions = listManifestVersions(f, root).toIndexedSeq
+    if (versions.isEmpty) return None
+    var lo = 0
+    var hi = versions.length - 1
+    if (commitInstant(f, root, versions(lo)) > tsMillis) return None
+    // invariant: instant(versions(lo)) <= tsMillis
+    while (lo < hi) {
+      val mid = (lo + hi + 1) / 2
+      if (commitInstant(f, root, versions(mid)) <= tsMillis) lo = mid
+      else hi = mid - 1
+    }
+    Some(versions(lo))
   }
 
   private def loadManifest(
@@ -262,8 +307,16 @@ object GraftTable {
     val p =
       if (evolved.isEmpty) new org.apache.hadoop.fs.Path(root, "_log/schema.json")
       else new org.apache.hadoop.fs.Path(root, f"_log/schema-v${evolved.max}%05d.json")
-    org.apache.spark.sql.types.DataType.fromJson(readFully(f, p))
+    // every column is NULLABLE regardless of what the create-time batch
+    // happened to promise: the format's DML can legally write NULL into
+    // any non-key column (UPDATE SET col = NULL, MERGE INSERT with
+    // unassigned columns), so a create-batch-derived non-null flag
+    // would let codegen skip null checks and NPE on a later read —
+    // the Delta contract (columns nullable absent an explicit
+    // constraint)
+    val raw = org.apache.spark.sql.types.DataType.fromJson(readFully(f, p))
       .asInstanceOf[StructType]
+    StructType(raw.fields.map(_.copy(nullable = true)))
   }
 
   private def partitionSpecPath(root: String, v: Int) =
@@ -312,12 +365,27 @@ object GraftTable {
     if (f.exists(p) && !f.exists(manifestPath(root, v)))
       f.delete(p, false) // orphan from a crashed prior attempt
     writeAtomic(f, p, transform.render)
-    commitManifest(f, root, v, entries, wrotePartition = true)
+    try commitManifest(f, root, v, entries, wrotePartition = true)
+    catch {
+      case e: ConcurrentCommitException =>
+        // the race LOSER must not leave its spec file behind at a
+        // version some OTHER committer just won: that committer's
+        // orphan sweep ran before our write landed, so a surviving
+        // spec would activate a transform whose commit never happened
+        // the moment partitionSpec() resolves v. Best-effort delete —
+        // if the winner WAS a setPartitioning of the same transform,
+        // its own quarantine protocol already owns the spec path.
+        f.delete(p, false)
+        throw e
+    }
     v
   }
 
   private def transformColumn(t: PartitionTransform): String = t match {
     case DaysPartition(c) => c
+    case MonthsPartition(c) => c
+    case YearsPartition(c) => c
+    case TruncatePartition(_, c) => c
     case BucketPartition(_, c) => c
   }
 
@@ -471,24 +539,44 @@ object GraftTable {
     // files) yields an empty ledger instead of a schema-inference
     // error
     val written = spark.read.schema(df.schema).parquet(dir)
-    val entries =
-      if (written.isEmpty) Seq.empty[FileEntry]
-      else written
-        .groupBy(input_file_name().as("file"))
-        .agg(min(col(key).cast("long")).as("mn"),
+    // ONE footer-grade pass computes the manifest ledger (key interval,
+    // rows) AND per-column null counts — the null counts land in the
+    // colstats sidecar as `#nulls.<col>` lines and are what lets an
+    // unfiltered `count(col)` answer from metadata (rows − nulls)
+    // without opening a data file
+    val dataCols = df.schema.fieldNames.toSeq
+    val statRows =
+      if (written.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else {
+        val aggExprs = Seq(
+          min(col(key).cast("long")).as("mn"),
           max(col(key).cast("long")).as("mx"),
-          count(lit(1)).as("n"))
-        .collect()
-        .map { r =>
-          val p = new org.apache.hadoop.fs.Path(
-            new java.net.URI(r.getString(0)).getPath)
-          // on-disk size into the manifest line: makes scan statistics
-          // a metadata-only manifest pass (one getFileStatus per NEW
-          // file, here at write time, never at read time)
-          val (f, _) = fs(root, spark)
-          FileEntry(s"$rel/${p.getName}", r.getLong(1), r.getLong(2),
-            r.getLong(3), f.getFileStatus(p).getLen)
-        }.toSeq.sortBy(_.relPath)
+          count(lit(1)).as("n")) ++
+          dataCols.map(c =>
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+        written.groupBy(input_file_name().as("file"))
+          .agg(aggExprs.head, aggExprs.tail: _*)
+          .collect()
+      }
+    val entries = statRows
+      .map { r =>
+        val p = new org.apache.hadoop.fs.Path(
+          new java.net.URI(r.getString(0)).getPath)
+        // on-disk size into the manifest line: makes scan statistics
+        // a metadata-only manifest pass (one getFileStatus per NEW
+        // file, here at write time, never at read time)
+        val (f, _) = fs(root, spark)
+        FileEntry(s"$rel/${p.getName}", r.getLong(1), r.getLong(2),
+          r.getLong(3), f.getFileStatus(p).getLen)
+      }.toSeq.sortBy(_.relPath)
+    val nullLines = statRows.flatMap { r =>
+      val relP = s"$rel/${new org.apache.hadoop.fs.Path(
+        new java.net.URI(r.getString(0)).getPath).getName}"
+      dataCols.zipWithIndex.map { case (c, i) =>
+        val n = r.getLong(4 + i)
+        s"$relP\t#nulls.$c\t$n\t$n"
+      }
+    }.toSeq
     bloomColumn(spark, root).filter(df.schema.fieldNames.contains) match {
       case Some(bc) if entries.nonEmpty =>
         writeBloomSidecars(spark, root, dir, bc, df.schema,
@@ -497,11 +585,11 @@ object GraftTable {
     }
     // partition-value ranges into this version's colstats sidecar —
     // footer-grade scan of ONLY the new files, same as the key stats
-    val wrotePStats = spec match {
+    val pLines = spec match {
       case Some(p) if entries.nonEmpty =>
         val byName = entries.map(e =>
           new org.apache.hadoop.fs.Path(e.relPath).getName -> e.relPath).toMap
-        val lines = spark.read.schema(df.schema).parquet(dir)
+        spark.read.schema(df.schema).parquet(dir)
           .groupBy(input_file_name().as("file"))
           .agg(min(p.valueCol).as("mn"), max(p.valueCol).as("mx"))
           .collect()
@@ -510,19 +598,21 @@ object GraftTable {
               new java.net.URI(r.getString(0)).getPath).getName)
             if (r.isNullAt(1) || r.isNullAt(2)) None
             else Some(s"$relP\t${p.statsCol}\t${r.getLong(1)}\t${r.getLong(2)}")
-          }.sorted
-        if (lines.isEmpty) false
-        else {
-          val (f, _) = fs(root, spark)
-          val statsP = colStatsPath(root, version)
-          if (f.exists(statsP) && !f.exists(manifestPath(root, version)))
-            f.delete(statsP, false) // orphan from a failed prior attempt
-          writeAtomic(f, statsP, lines.mkString("", "\n", "\n"))
-          true
-        }
-      case _ => false
+          }.toSeq
+      case _ => Seq.empty[String]
     }
-    Written(entries, wrotePStats)
+    val statLines = (pLines ++ nullLines).sorted
+    val wroteStats =
+      if (statLines.isEmpty) false
+      else {
+        val (f, _) = fs(root, spark)
+        val statsP = colStatsPath(root, version)
+        if (f.exists(statsP) && !f.exists(manifestPath(root, version)))
+          f.delete(statsP, false) // orphan from a failed prior attempt
+        writeAtomic(f, statsP, statLines.mkString("", "\n", "\n"))
+        true
+      }
+    Written(entries, wroteStats)
   }
 
   /** Write one `<dataFile>.bloom` sidecar per data file in `dir`: a
@@ -633,6 +723,33 @@ object GraftTable {
     (entries.map(_.nRows).sum, bytes)
   }
 
+  /** The pruned snapshot's data files as ready-made `FileStatus`es —
+    * path and EXACT on-disk length straight from the manifest ledger,
+    * so building a scan costs zero filesystem metadata RPCs (the 100 TB
+    * concern: a listing of 100k files on an object store is seconds of
+    * planning; the manifest already recorded every length at commit
+    * time). Same file-intersection rule as [[readRange]]. Legacy
+    * manifest lines without a recorded size (pre-byte-ledger tables)
+    * fall back to one `getFileStatus` each. Block size is nominal —
+    * split planning uses `maxPartitionBytes`, not the block size. */
+  private[sources] def snapshotFileStatuses(spark: SparkSession, root: String,
+      version: Int, keyRange: Option[(Long, Long)] = None)
+    : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val all = loadManifest(spark, root, version)
+    val entries = keyRange match {
+      case Some((lo, hi)) => all.filter(e => e.maxKey >= lo && e.minKey <= hi)
+      case None => all
+    }
+    val (f, _) = fs(root, spark)
+    entries.map { e =>
+      val p = f.makeQualified(new org.apache.hadoop.fs.Path(root, e.relPath))
+      if (e.nBytes >= 0)
+        new org.apache.hadoop.fs.FileStatus(e.nBytes, false, 1,
+          128L * 1024 * 1024, 0L, p)
+      else f.getFileStatus(p)
+    }
+  }
+
   /** Snapshot aggregate stats from the MANIFEST alone: exact
     * (rowCount, Option((minKey, maxKey))) at `version`. The per-file
     * [minKey, maxKey] is recorded from the DATA at write time (see
@@ -672,6 +789,25 @@ object GraftTable {
     val per = entries.map(e => stats.get((e.relPath, column)))
     if (per.exists(_.isEmpty)) None
     else Some((per.flatten.map(_._1).min, per.flatten.map(_._2).max))
+  }
+
+  /** Exact snapshot NULL count of `column` from colstats alone: Some
+    * iff EVERY live file at `version` carries a recorded `#nulls.<col>`
+    * line (written by every post-null-ledger commit's single stats
+    * pass). Data files are immutable, so summing the per-file counts
+    * is exact — what serves `count(col)` (= rows − nulls) as a pure
+    * metadata answer. A single uncovered file (a pre-ledger commit's
+    * survivor) refuses (None): the caller falls back to the data
+    * scan — metadata answers are exact or not given. */
+  def snapshotNullCount(spark: SparkSession, root: String, version: Int,
+      column: String): Option[Long] = {
+    val entries = loadManifest(spark, root, version)
+    if (entries.isEmpty) return Some(0L)
+    val rels = entries.map(_.relPath).toSet
+    val stats = loadColStats(spark, root, version, rels)
+    val per = entries.map(e => stats.get((e.relPath, s"#nulls.$column")))
+    if (per.exists(_.isEmpty)) None
+    else Some(per.flatten.map(_._1).sum)
   }
 
   /** Copy-on-write upsert: batch rows REPLACE same-key table rows
@@ -751,9 +887,13 @@ object GraftTable {
 
   /** Apply a CDC batch in ONE commit — the full MERGE shape (matched
     * delete + matched update + unmatched insert): `batch` carries the
-    * table's columns plus an `opCol` ∈ upsert | delete. Upsert rows
-    * merge column-wise exactly like [[upsert]]; delete rows drop their
-    * key if present (absent keys no-op, the idempotent CDC contract).
+    * table's columns plus an `opCol` ∈ upsert | replace | delete.
+    * Upsert rows merge column-wise exactly like [[upsert]] (NULL batch
+    * cell keeps the target's value); replace rows land VERBATIM,
+    * NULLs included — the op SQL UPDATE / MERGE assignments ride,
+    * where `SET col = NULL` must actually write NULL; delete rows drop
+    * their key if present (absent keys no-op, the idempotent CDC
+    * contract).
     * File pruning covers BOTH op kinds with one ledger interval join —
     * a mixed 1,000-row CDC batch against a 100 TB table still touches
     * only the files whose key interval contains a batch key. This is
@@ -793,11 +933,12 @@ object GraftTable {
     // would silently apply as an upsert — either way the replica
     // diverges with no error. One limit(1) scan over the batch.
     val badOp = batch
-      .filter(col(opCol).isNull || !col(opCol).isin("upsert", "delete"))
+      .filter(col(opCol).isNull ||
+        !col(opCol).isin("upsert", "replace", "delete"))
       .select(col(opCol)).limit(1).collect()
     require(badOp.isEmpty,
       s"applyCdcBatch: unknown $opCol value ${badOp.headOption.map(_.get(0))
-        .orNull} — every row must carry 'upsert' or 'delete'")
+        .orNull} — every row must carry 'upsert', 'replace' or 'delete'")
     import spark.implicits._
     val ledger = entries.map(e => (e.relPath, e.minKey, e.maxKey))
       .toDF("rel_path", "mn", "mx")
@@ -813,12 +954,21 @@ object GraftTable {
       else spark.read.schema(schema)
         .parquet(rewrite.map(e => s"$root/${e.relPath}"): _*)
     val cols = schema.fieldNames
-    val ups = batch.filter(col(opCol) =!= "delete").drop(opCol).as("b")
+    // 'upsert' merges column-wise (NULL batch cell keeps the target's
+    // value — the partial-update CDC contract); 'replace' writes the
+    // batch row VERBATIM, NULLs included — what SQL UPDATE / MERGE
+    // assignment semantics require (`SET col = NULL` must null the
+    // column, not silently keep the old value)
+    val rep = "__graft_replace"
+    val ups = batch.filter(col(opCol) =!= "delete")
+      .withColumn(rep, col(opCol) === "replace").drop(opCol).as("b")
     val dels = batch.filter(col(opCol) === "delete")
       .select(col(key).cast("long").as("__delkey")).distinct()
     val t = current.as("t")
     val merged = t.join(ups, col(s"t.$key") === col(s"b.$key"), "full_outer")
-      .select(cols.map(c => coalesce(col(s"b.$c"), col(s"t.$c")).as(c)): _*)
+      .select(cols.map(c =>
+        when(col(rep) === true, col(s"b.$c"))
+          .otherwise(coalesce(col(s"b.$c"), col(s"t.$c"))).as(c)): _*)
       .join(dels, col(key).cast("long") === col("__delkey"), "left_anti")
     val v = base + 1
     val w = writeDataFiles(spark, root, v, merged, key,

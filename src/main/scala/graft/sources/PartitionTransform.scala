@@ -40,6 +40,40 @@ final case class DaysPartition(column: String) extends PartitionTransform {
   override def render: String = s"days($column)"
 }
 
+/** `months(col)`: months since epoch (year*12 + month−1) of a
+  * timestamp/date column — the long-horizon retention grain (a
+  * month's backfill opens a month's files, and a 10-year table keeps
+  * ~120 partitions instead of ~3,650). */
+final case class MonthsPartition(column: String) extends PartitionTransform {
+  override def statsCol: String = s"__p_months_$column"
+  override def valueCol: Column =
+    (year(col(column)).cast("long") * 12L +
+      month(col(column)).cast("long") - 1L).cast("long")
+  override def render: String = s"months($column)"
+}
+
+/** `years(col)`: calendar year of a timestamp/date column — the
+  * archival grain. */
+final case class YearsPartition(column: String) extends PartitionTransform {
+  override def statsCol: String = s"__p_years_$column"
+  override def valueCol: Column = year(col(column)).cast("long")
+  override def render: String = s"years($column)"
+}
+
+/** `truncate(w, col)`: the value rounded down to a multiple of `w`
+  * (floor-division semantics, negative values round toward −∞ exactly
+  * like Iceberg) — range-style pruning for integral id/amount columns
+  * where a hash bucket would destroy range locality. */
+final case class TruncatePartition(width: Long, column: String)
+  extends PartitionTransform {
+  require(width >= 1, s"truncate width must be >= 1, got $width")
+  override def statsCol: String = s"__p_trunc${width}_$column"
+  override def valueCol: Column =
+    (floor(col(column).cast("long").cast("double") / width.toDouble) *
+      width).cast("long")
+  override def render: String = s"truncate($width,$column)"
+}
+
 /** `bucket(n, col)`: xxhash64 of the column's canonical string form,
   * taken mod n — co-locates equal values without ordering them (the
   * id-heavy join/point-lookup layout). */
@@ -54,13 +88,19 @@ final case class BucketPartition(n: Int, column: String)
 
 object PartitionTransform {
   private val Days = """days\(([^)]+)\)""".r
+  private val Months = """months\(([^)]+)\)""".r
+  private val Years = """years\(([^)]+)\)""".r
+  private val Trunc = """truncate\((\d+),([^)]+)\)""".r
   private val Bucket = """bucket\((\d+),([^)]+)\)""".r
 
   def parse(s: String): PartitionTransform = s.trim match {
     case Days(c) => DaysPartition(c.trim)
+    case Months(c) => MonthsPartition(c.trim)
+    case Years(c) => YearsPartition(c.trim)
+    case Trunc(w, c) => TruncatePartition(w.toLong, c.trim)
     case Bucket(n, c) => BucketPartition(n.toInt, c.trim)
     case other => throw new IllegalArgumentException(
       s"unknown partition transform '$other' (supported: days(col), " +
-        "bucket(n,col))")
+        "months(col), years(col), truncate(w,col), bucket(n,col))")
   }
 }

@@ -76,7 +76,7 @@ class GraftSqlSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lines = scala.io.Source.fromFile(s"$root/_log/v00000.manifest")
-      .getLines().filter(_.nonEmpty).toList
+      .getLines().filter(l => l.nonEmpty && !l.startsWith("#")).toList
     val victim = lines.map(_.split('\t')).filter(_(1).toLong > 1000).head
     fs.delete(new org.apache.hadoop.fs.Path(root, victim(0)), false)
     // NB: catalog plugins are cached by NAME on first use — every test
@@ -88,10 +88,25 @@ class GraftSqlSpec extends SparkSpec {
         "WHERE k >= 1 AND k <= 50").collect()(0)
     assert(got.getLong(1) === 50)
     assert(got.getLong(0) === 10L * 50 * 51 / 2)
-    // sanity: the unpruned read DOES hit the missing file
+    // sanity: an unpruned FULL-ROW read DOES hit the missing file (a
+    // plain `SELECT *` can never be served from metadata, so this stays
+    // a data scan however much aggregate pushdown grows)
     intercept[Exception] {
-      spark.sql("SELECT count(*) FROM gskip.skip").collect()
+      spark.sql("SELECT * FROM gskip.skip").collect()
     }
+    // and the metadata-served count(*) contract: the unfiltered count
+    // answers EXACTLY from the manifest — zero data files opened, which
+    // the deleted file proves (a data scan would throw, as above)
+    assert(spark.sql("SELECT count(*) FROM gskip.skip").as[Long].head()
+      === 2000L)
+    // time travel resolves through the same metadata path
+    assert(spark.sql("SELECT count(*) FROM gskip.skip VERSION AS OF 0")
+      .as[Long].head() === 2000L)
+    // a filtered count is NOT metadata-servable: it must scan, and the
+    // pruned file set keeps it correct despite the sabotage
+    assert(spark.sql(
+      "SELECT count(*) FROM gskip.skip WHERE k BETWEEN 1 AND 50")
+      .as[Long].head() === 50L)
   }
 
   test("key-range extraction handles conjunctions and rejects non-integral shapes") {
@@ -210,10 +225,10 @@ class GraftSqlSpec extends SparkSpec {
       s"pruned bytes $pBytes vs full $fullBytes")
     // broadcast decision: pick a threshold BETWEEN the two sizes, join
     // each against a deliberately large probe side — only the pruned
-    // read may broadcast. (The stats are attached during physical
-    // planning on the planner's clone — AttachGraftScanStats — so the
-    // observable contract IS the join strategy, not optimizedPlan
-    // .stats on the original.)
+    // read may broadcast. (GraftBatchScan is a native DSv2 Batch, so
+    // DataSourceV2ScanRelation.computeStats consumes its
+    // SupportsReportStatistics directly; the observable contract is
+    // the join strategy JoinSelection actually picks.)
     val threshold = math.min(pBytes * 3, (pBytes + fullBytes) / 2)
     assert(threshold > pBytes && threshold < fullBytes,
       s"fixture broken: $pBytes / $threshold / $fullBytes")
@@ -285,12 +300,32 @@ class GraftSqlSpec extends SparkSpec {
       dup.getMessage)
     // no partial commit from the failed statement
     assert(GraftTable.latestVersion(spark, root) === v0 + 1)
-    // NOT MATCHED BY SOURCE refuses with guidance
-    val nbs = intercept[Exception] {
-      spark.sql("MERGE INTO gm.m USING msrc ON m.k = msrc.sk " +
-        "WHEN NOT MATCHED BY SOURCE THEN DELETE").collect()
-    }
-    assert(nbs.getMessage.contains("NOT MATCHED BY SOURCE"), nbs.getMessage)
+    // NOT MATCHED BY SOURCE: the SCD2 close-out idiom — target-only
+    // rows get first-action-wins update-or-delete; matched rows are
+    // untouched (no MATCHED action); guards that all fail leave the
+    // row alone. Table here: k 1..89 original, 90..95 updated,
+    // 101..115 inserted; msrc covers sk 90..119 → target-only = 1..89.
+    val nbs = spark.sql(
+      """MERGE INTO gm.m USING msrc ON m.k = msrc.sk
+        |WHEN NOT MATCHED BY SOURCE AND m.k > 85 THEN UPDATE SET name = 'closed'
+        |WHEN NOT MATCHED BY SOURCE AND m.k <= 3 THEN DELETE
+        |""".stripMargin).collect()
+    assert(nbs.length === 1 && nbs(0).getLong(0) === v0 + 2)
+    val after = GraftTable.read(spark, root)
+    assert(after.count() === (89 - 3) + 6 + 15)
+    assert(after.filter($"k" === 87).select("name", "v")
+      .as[(String, Long)].head() === (("closed", 870L)))
+    assert(after.filter($"k" <= 3).count() === 0)
+    assert(after.filter($"k" === 50).select("name").as[String].head()
+      === "row50") // guard failed → untouched
+    assert(after.filter($"k" === 92).select("name").as[String].head()
+      === "src92") // matched → untouched (no MATCHED branch)
+    // ANSI assignment semantics: SET col = NULL writes NULL (the CDC
+    // 'upsert' coalesce must NOT resurrect the old value)
+    spark.sql("MERGE INTO gm.m USING msrc ON m.k = msrc.sk " +
+      "WHEN MATCHED AND m.k = 95 THEN UPDATE SET name = NULL").collect()
+    assert(GraftTable.read(spark, root).filter($"k" === 95)
+      .select("name").collect()(0).isNullAt(0))
     // key reassignment refuses
     val keyUpd = intercept[Exception] {
       spark.sql("MERGE INTO gm.m USING msrc ON m.k = msrc.sk " +
@@ -320,6 +355,10 @@ class GraftSqlSpec extends SparkSpec {
     val Array(_, rewritten, carried) = res(0).toSeq.toArray
     assert(rewritten.asInstanceOf[Int] >= 1)
     assert(carried.asInstanceOf[Int] >= 1, s"no files carried: $carried")
+    // ANSI: SET col = NULL actually writes NULL
+    spark.sql("UPDATE gu.u SET name = NULL WHERE k = 30").collect()
+    assert(GraftTable.read(spark, root).filter($"k" === 30)
+      .select("name").collect()(0).isNullAt(0))
     // key reassignment refuses
     val e = intercept[Exception] {
       spark.sql("UPDATE gu.u SET k = k + 1000 WHERE k = 1").collect()
@@ -328,7 +367,7 @@ class GraftSqlSpec extends SparkSpec {
     // condition-less UPDATE = every row
     spark.sql("UPDATE gu.u SET v = 0").collect()
     assert(GraftTable.read(spark, root).agg(sum("v")).as[Long].head() === 0L)
-    assert(GraftTable.latestVersion(spark, root) === 2)
+    assert(GraftTable.latestVersion(spark, root) === 3)
   }
 
   test("TIMESTAMP AS OF: commit instants resolve to the snapshot a " +

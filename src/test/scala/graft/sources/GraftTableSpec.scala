@@ -774,8 +774,45 @@ class GraftTableSpec extends SparkSpec {
       .filter($"name" === "row7").count() === 1)
   }
 
+  test("commit instants live IN the manifest: rewriting every mtime " +
+    "(a non-preserving restore) does not shift TIMESTAMP AS OF") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(100), "k", nBuckets = 2)
+    Thread.sleep(25)
+    GraftTable.upsert(spark, root, base(100).filter($"k" <= 5)
+      .withColumn("v", lit(-1L)), "k")
+    Thread.sleep(25)
+    GraftTable.upsert(spark, root, base(100).filter($"k" <= 2)
+      .withColumn("v", lit(-2L)), "k")
+    val before = GraftTable.commitTimestamps(spark, root)
+    assert(before.map(_._1) === Seq(0, 1, 2))
+    assert(before.map(_._2) === before.map(_._2).sorted)
+    // sabotage: shift every manifest's mtime a day forward, as an
+    // rsync/object-store copy without mtime preservation would
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (v <- 0 to 2) {
+      val p = new org.apache.hadoop.fs.Path(root, f"_log/v$v%05d.manifest")
+      fs.setTimes(p, fs.getFileStatus(p).getModificationTime + 86400000L, -1)
+    }
+    // durable instants: identical mapping, resolution unmoved
+    assert(GraftTable.commitTimestamps(spark, root) === before)
+    assert(GraftTable.resolveTimestamp(spark, root, before(1)._2)
+      === Some(1))
+    assert(GraftTable.resolveTimestamp(spark, root, before(0)._2 - 1)
+      === None)
+    assert(GraftTable.resolveTimestamp(spark, root,
+      before(2)._2 + 3600000L) === Some(2))
+    // the v1 snapshot a reader at instant(1) saw
+    assert(GraftTable.read(spark, root, GraftTable.resolveTimestamp(
+      spark, root, before(1)._2)).filter($"v" === -1L).count() === 5)
+  }
+
   private def manifestLines(root: String, v: Int): Seq[String] = {
     val src = scala.io.Source.fromFile(f"$root/_log/v$v%05d.manifest")
-    try src.getLines().filter(_.nonEmpty).toList finally src.close()
+    // skip the #commit-ts header: these helpers compare FILE ledgers
+    try src.getLines()
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toList
+    finally src.close()
   }
 }
