@@ -1953,6 +1953,302 @@ object MaintenanceQueries {
            |  rs AS row_sum
            |FROM cs ORDER BY snapshot""".stripMargin))
 
+  /** MERGE `WHEN NOT MATCHED BY SOURCE` — the SCD2 close-out idiom
+    * (reference analogue: the "older rows → inactive" flip,
+    * ProductDimension.sql:88-130) through SQL text: accounts whose key
+    * the source batch no longer carries are flipped inactive (or
+    * dropped, first-action-wins on the guards), matched accounts
+    * refresh — ONE statement, ONE pruned CDC commit
+    * ([[graft.sources.GraftMergeCommand]]: full-outer source join, the
+    * commit rewrites only files holding affected keys). Checksums at
+    * the pre- and post-merge versions, both replayed relationally. */
+  val q289MergeCloseOut = GraftQuery(
+    "q289_merge_close_out",
+    (s, dir) => {
+      val base = newTempDir("graft_close_out")
+      val cat = "graft_co_" + java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      GraftTable.create(s, base + "/acct",
+        Tables.customer(s, dir).select(
+          col("c_custkey").cast("long").as("k"),
+          col("c_mktsegment").as("seg"),
+          lit(1L).as("active"),
+          floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("cents")),
+        "k", nBuckets = 4)
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey").cast("long").as("sk"))
+        .agg(count(lit(1)).as("n_ord"))
+        .createOrReplaceTempView("co_src")
+      s.sql(
+        s"""MERGE INTO $cat.acct a USING co_src ON a.k = co_src.sk
+           |WHEN MATCHED THEN UPDATE SET cents = a.cents + co_src.n_ord
+           |WHEN NOT MATCHED BY SOURCE AND a.k % 10 = 0 THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET active = 0
+           |""".stripMargin).collect()
+      def one(v: Int) = s.sql(
+        s"""SELECT CAST($v AS BIGINT) AS version, count(*) AS n_rows,
+           |  CAST(sum(active) AS BIGINT) AS active_sum,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  CAST(sum(CAST(conv(substring(md5(concat_ws('|',
+           |    CAST(k AS STRING), seg, CAST(active AS STRING),
+           |    CAST(cents AS STRING))), 1, 8),
+           |    16, 10) AS BIGINT)) AS BIGINT) AS row_sum
+           |FROM $cat.acct VERSION AS OF $v""".stripMargin)
+      one(0).unionAll(one(1)).orderBy("version")
+    },
+    Some("""WITH acct AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg,
+           |    CAST(1 AS BIGINT) AS active,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM customer),
+           |src AS (
+           |  SELECT CAST(o_custkey AS BIGINT) AS sk,
+           |    CAST(count(*) AS BIGINT) AS n_ord
+           |  FROM orders GROUP BY 1),
+           |merged AS (
+           |  SELECT a.k, a.seg, a.active,
+           |    CAST(a.cents + s.n_ord AS BIGINT) AS cents
+           |  FROM acct a JOIN src s ON s.sk = a.k
+           |  UNION ALL
+           |  SELECT a.k, a.seg, CAST(0 AS BIGINT) AS active, a.cents
+           |  FROM acct a LEFT JOIN src s ON s.sk = a.k
+           |  WHERE s.sk IS NULL AND a.k % 10 <> 0),
+           |st AS (
+           |  SELECT 0 AS version, count(*) AS n,
+           |    CAST(sum(active) AS BIGINT) AS a_s,
+           |    CAST(sum(cents) AS BIGINT) AS c_s,
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      seg || '|' || CAST(active AS VARCHAR) || '|' ||
+           |      CAST(cents AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT) AS rs
+           |  FROM acct
+           |  UNION ALL
+           |  SELECT 1, count(*), CAST(sum(active) AS BIGINT),
+           |    CAST(sum(cents) AS BIGINT),
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      seg || '|' || CAST(active AS VARCHAR) || '|' ||
+           |      CAST(cents AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT)
+           |  FROM merged)
+           |SELECT CAST(version AS BIGINT) AS version,
+           |  CAST(n AS BIGINT) AS n_rows, a_s AS active_sum,
+           |  c_s AS cents_sum, rs AS row_sum
+           |FROM st ORDER BY version""".stripMargin))
+
+  /** Metadata-served aggregates incl. the round-11 `count(col)` path:
+    * an unfiltered `count(*) / count(col) / min / max` over a graft
+    * table answers from the manifest + the per-file `#nulls.<col>`
+    * colstats ledger — zero data files opened (proven physically in
+    * GraftSqlSpec by deleting a data file; this gate pins the VALUES,
+    * including NULL-bearing columns and a post-upsert version). */
+  val q290MetadataAggregates = GraftQuery(
+    "q290_metadata_aggregates",
+    (s, dir) => {
+      val base = newTempDir("graft_meta_agg")
+      val cat = "graft_ma_" + java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      val cust = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("k"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"),
+        when(col("c_acctbal") < 0, lit(null))
+          .otherwise(floor(col("c_acctbal") * 100 + lit(0.5)))
+          .cast("long").as("bal"))
+      GraftTable.create(s, base + "/t", cust, "k", nBuckets = 4)
+      // v1: NULL more segments through SQL UPDATE — the ANSI 'replace'
+      // path (SET col = NULL writes NULL; the CDC upsert's coalesce
+      // would keep the old value), and the ledger must track the new
+      // per-file null counts through the copy-on-write rewrite
+      s.sql(s"UPDATE $cat.t SET seg = NULL WHERE k % 7 = 0").collect()
+      def one(label: String, asOf: String) = s.sql(
+        s"""SELECT '$label' AS snapshot, count(*) AS n_all,
+           |  count(seg) AS n_seg, count(bal) AS n_bal,
+           |  min(k) AS min_k, max(k) AS max_k,
+           |  sum(k) AS sum_k, sum(bal) AS sum_bal
+           |FROM $cat.t $asOf""".stripMargin)
+      one("a_v0", "VERSION AS OF 0")
+        .unionAll(one("b_head", ""))
+        .orderBy("snapshot")
+    },
+    Some("""WITH cust AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k,
+           |    nullif(c_mktsegment, 'BUILDING') AS seg,
+           |    CASE WHEN c_acctbal < 0 THEN NULL
+           |      ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+           |      END AS bal
+           |  FROM customer),
+           |head AS (
+           |  SELECT k, CASE WHEN k % 7 = 0 THEN NULL ELSE seg END AS seg,
+           |    bal
+           |  FROM cust),
+           |st AS (
+           |  SELECT 'a_v0' AS snapshot, count(*) AS n_all,
+           |    count(seg) AS n_seg, count(bal) AS n_bal,
+           |    min(k) AS min_k, max(k) AS max_k,
+           |    sum(k) AS sum_k, sum(bal) AS sum_bal
+           |  FROM cust
+           |  UNION ALL
+           |  SELECT 'b_head', count(*), count(seg), count(bal),
+           |    min(k), max(k), sum(k), sum(bal)
+           |  FROM head)
+           |SELECT snapshot, CAST(n_all AS BIGINT) AS n_all,
+           |  CAST(n_seg AS BIGINT) AS n_seg, CAST(n_bal AS BIGINT) AS n_bal,
+           |  CAST(min_k AS BIGINT) AS min_k, CAST(max_k AS BIGINT) AS max_k,
+           |  CAST(sum_k AS BIGINT) AS sum_k, CAST(sum_bal AS BIGINT) AS sum_bal
+           |FROM st ORDER BY snapshot""".stripMargin))
+
+  /** `months(ts)` → `years(ts)` DOUBLE partition evolution (the
+    * round-11 transforms, q285's days() sibling): era 1 unpartitioned,
+    * era 2 month-partitioned, era 3 year-partitioned — each read
+    * resolves the transform that was ACTIVE at its version, old files
+    * are never skipped, and every output is the exact logical filter
+    * replayed relationally (month number = year·12 + month − 1, both
+    * engines UTC). */
+  val q291MonthsYearsEvolution = GraftQuery(
+    "q291_months_years_evolution",
+    (s, dir) => {
+      import graft.sources.{MonthsPartition, YearsPartition}
+      val base = newTempDir("graft_months")
+      val root = base + "/ev"
+      val ev = Tables.events(s, dir).select(
+        col("event_id").cast("long").as("k"), col("ts"),
+        col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, root, ev.filter(col("event_type") === "click"),
+        "k", nBuckets = 4)                                        // v0
+      GraftTable.setPartitioning(s, root, MonthsPartition("ts"))  // v1
+      GraftTable.upsert(s, root,
+        ev.filter(col("event_type") === "purchase"), "k", nBuckets = 8) // v2
+      GraftTable.setPartitioning(s, root, YearsPartition("ts"))   // v3
+      GraftTable.upsert(s, root,
+        ev.filter(col("event_type") === "view"), "k", nBuckets = 8)     // v4
+      val m0 = ev.agg(min(year(col("ts")) * 12 + month(col("ts")) - 1)
+        .cast("long")).collect()(0).getLong(0)
+      val y0 = ev.agg(min(year(col("ts"))).cast("long"))
+        .collect()(0).getLong(0)
+      def sum1(label: String, df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(lit(label).as("snapshot"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum("cents").as("cents_sum"),
+            sum(conv(substring(md5(concat_ws("|", col("k").cast("string"),
+              col("event_type"), col("cents").cast("string"))), 1, 8),
+              16, 10).cast("long")).as("row_sum"))
+      sum1("a_v0_clicks", GraftTable.read(s, root, Some(0)))
+        .unionAll(sum1("b_v2_month0",
+          GraftTable.readPartitionRange(s, root, m0, m0, Some(2))))
+        .unionAll(sum1("c_head_year0",
+          GraftTable.readPartitionRange(s, root, y0, y0)))
+        .unionAll(sum1("d_head_full", GraftTable.read(s, root)))
+        .orderBy("snapshot")
+    },
+    Some("""WITH ev AS (
+           |  SELECT CAST(event_id AS BIGINT) AS k, ts, event_type,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           |    CAST(year(ts) * 12 + month(ts) - 1 AS BIGINT) AS mth,
+           |    CAST(year(ts) AS BIGINT) AS yr
+           |  FROM events),
+           |m0 AS (SELECT min(mth) AS m0 FROM ev),
+           |y0 AS (SELECT min(yr) AS y0 FROM ev),
+           |v2 AS (SELECT * FROM ev WHERE event_type IN ('click','purchase')),
+           |head AS (SELECT * FROM ev
+           |  WHERE event_type IN ('click','purchase','view')),
+           |st AS (
+           |  SELECT 'a_v0_clicks' AS snapshot, count(*) AS n,
+           |    CAST(sum(cents) AS BIGINT) AS cs,
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      event_type || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |      AS BIGINT) AS rs
+           |  FROM ev WHERE event_type = 'click'
+           |  UNION ALL
+           |  SELECT 'b_v2_month0', count(*), CAST(sum(cents) AS BIGINT),
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      event_type || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |      AS BIGINT)
+           |  FROM v2, m0 WHERE mth = m0
+           |  UNION ALL
+           |  SELECT 'c_head_year0', count(*), CAST(sum(cents) AS BIGINT),
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      event_type || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |      AS BIGINT)
+           |  FROM head, y0 WHERE yr = y0
+           |  UNION ALL
+           |  SELECT 'd_head_full', count(*), CAST(sum(cents) AS BIGINT),
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      event_type || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |      AS BIGINT)
+           |  FROM head)
+           |SELECT snapshot, CAST(n AS BIGINT) AS n_rows, cs AS cents_sum,
+           |  rs AS row_sum
+           |FROM st ORDER BY snapshot""".stripMargin))
+
+  /** `truncate(w)` partition transform — range pruning for integral
+    * amount columns (Iceberg's truncate, floor-division semantics):
+    * orders land under truncate(1000000, cents), a one-band read opens
+    * one band's files, and the band picked is itself derived from the
+    * data (the min-cents band) so the oracle replays it exactly. */
+  val q292TruncatePartition = GraftQuery(
+    "q292_truncate_partition",
+    (s, dir) => {
+      import graft.sources.TruncatePartition
+      val base = newTempDir("graft_trunc")
+      val root = base + "/ord"
+      val w = 1000000L
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, root, ord.filter(col("status") === "F"),
+        "k", nBuckets = 4)                                            // v0
+      GraftTable.setPartitioning(s, root, TruncatePartition(w, "cents")) // v1
+      GraftTable.upsert(s, root, ord.filter(col("status") =!= "F"),
+        "k", nBuckets = 8)                                            // v2
+      val band = ord.agg((floor(min(col("cents")) / w) * w).cast("long"))
+        .collect()(0).getLong(0)
+      def sum1(label: String, df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(lit(label).as("snapshot"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum("cents").as("cents_sum"),
+            sum(conv(substring(md5(concat_ws("|", col("k").cast("string"),
+              col("status"), col("cents").cast("string"))), 1, 8),
+              16, 10).cast("long")).as("row_sum"))
+      sum1("a_v0_f_only", GraftTable.read(s, root, Some(0)))
+        .unionAll(sum1("b_head_band0",
+          GraftTable.readPartitionRange(s, root, band, band)))
+        .unionAll(sum1("c_head_full", GraftTable.read(s, root)))
+        .orderBy("snapshot")
+    },
+    Some("""WITH ord AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |    o_orderstatus AS status,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM orders),
+           |b0 AS (SELECT CAST(floor(min(cents) / 1000000) * 1000000
+           |  AS BIGINT) AS band FROM ord),
+           |st AS (
+           |  SELECT 'a_v0_f_only' AS snapshot, count(*) AS n,
+           |    CAST(sum(cents) AS BIGINT) AS cs,
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      status || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |      AS BIGINT) AS rs
+           |  FROM ord WHERE status = 'F'
+           |  UNION ALL
+           |  SELECT 'b_head_band0', count(*), CAST(sum(cents) AS BIGINT),
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      status || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |      AS BIGINT)
+           |  FROM ord, b0
+           |  WHERE CAST(floor(cents / 1000000) * 1000000 AS BIGINT) = band
+           |  UNION ALL
+           |  SELECT 'c_head_full', count(*), CAST(sum(cents) AS BIGINT),
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      status || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |      AS BIGINT)
+           |  FROM ord)
+           |SELECT snapshot, CAST(n AS BIGINT) AS n_rows, cs AS cents_sum,
+           |  rs AS row_sum
+           |FROM st ORDER BY snapshot""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
@@ -1961,5 +2257,6 @@ object MaintenanceQueries {
     q242WriteAuditPublish, q249ErasureProof, q251IndexMaintenance,
     q252SqlTableSurface, q270SqlTableWrites, q272VersionTags,
     q276TableRestore, q282SqlMergeInto, q285PartitionedEvents,
-    q287TimestampTravel)
+    q287TimestampTravel, q289MergeCloseOut, q290MetadataAggregates,
+    q291MonthsYearsEvolution, q292TruncatePartition)
 }

@@ -303,7 +303,23 @@ class GraftScanBuilder(root: String, version: Int, fullSchema: StructType)
           nulls <- GraftTable.snapshotNullCount(spark, root, version, name)
         } yield (StructField(s"count($name)", LongType, nullable = false),
           java.lang.Long.valueOf(rows - nulls): Any)
-      case _ => None // Sum/Avg/count(distinct): the manifest can't serve these
+      case sm: org.apache.spark.sql.connector.expressions.aggregate.Sum
+          if !sm.isDistinct =>
+        // sum(col) from the per-file #sum ledger — exact even under
+        // int64 wrap (addition is associative mod 2⁶⁴); LongType
+        // columns only (Spark's sum result type for them is LongType,
+        // so the partial row merges losslessly; narrower ints sum to
+        // LongType too but their pushed result type must match — serve
+        // those as well, the partial is a long either way)
+        for {
+          name <- colNameOf(sm.column)
+          f <- fullSchema.fields.find(_.name == name)
+          if f.dataType == LongType || f.dataType == IntegerType ||
+            f.dataType == ShortType || f.dataType == ByteType
+          total <- GraftTable.snapshotColumnSum(spark, root, version, name)
+        } yield (StructField(s"sum($name)", LongType, nullable = true),
+          total.map(java.lang.Long.valueOf).orNull: Any)
+      case _ => None // Avg/count(distinct): the manifest can't serve these
     }
     if (resolved.exists(_.isEmpty)) return false
     val ok = resolved.flatten

@@ -545,6 +545,16 @@ object GraftTable {
     // unfiltered `count(col)` answer from metadata (rows − nulls)
     // without opening a data file
     val dataCols = df.schema.fieldNames.toSeq
+    // integral columns additionally ledger their per-file SUM: long
+    // addition is associative mod 2⁶⁴, so Σ(file sums) equals the data
+    // scan's sum EXACTLY (wrap included) — what serves metadata
+    // `sum(col)`. Floating sums are order-dependent and stay data-side.
+    val intCols = df.schema.fields.filter(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+      f.dataType == org.apache.spark.sql.types.IntegerType ||
+      f.dataType == org.apache.spark.sql.types.ShortType ||
+      f.dataType == org.apache.spark.sql.types.ByteType)
+      .map(_.name).toSeq
     val statRows =
       if (written.isEmpty) Array.empty[org.apache.spark.sql.Row]
       else {
@@ -553,7 +563,8 @@ object GraftTable {
           max(col(key).cast("long")).as("mx"),
           count(lit(1)).as("n")) ++
           dataCols.map(c =>
-            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) ++
+          intCols.map(c => sum(col(c).cast("long")).as(s"__sum_$c"))
         written.groupBy(input_file_name().as("file"))
           .agg(aggExprs.head, aggExprs.tail: _*)
           .collect()
@@ -572,10 +583,18 @@ object GraftTable {
     val nullLines = statRows.flatMap { r =>
       val relP = s"$rel/${new org.apache.hadoop.fs.Path(
         new java.net.URI(r.getString(0)).getPath).getName}"
-      dataCols.zipWithIndex.map { case (c, i) =>
+      val nulls = dataCols.zipWithIndex.map { case (c, i) =>
         val n = r.getLong(4 + i)
         s"$relP\t#nulls.$c\t$n\t$n"
       }
+      // an all-NULL file's sum is SQL-NULL: write 0 — the nulls ledger
+      // (nulls == rows) is what decides NULL-ness at serve time
+      val sums = intCols.zipWithIndex.map { case (c, i) =>
+        val idx = 4 + dataCols.size + i
+        val v = if (r.isNullAt(idx)) 0L else r.getLong(idx)
+        s"$relP\t#sum.$c\t$v\t$v"
+      }
+      nulls ++ sums
     }.toSeq
     bloomColumn(spark, root).filter(df.schema.fieldNames.contains) match {
       case Some(bc) if entries.nonEmpty =>
@@ -808,6 +827,27 @@ object GraftTable {
     val per = entries.map(e => stats.get((e.relPath, s"#nulls.$column")))
     if (per.exists(_.isEmpty)) None
     else Some(per.flatten.map(_._1).sum)
+  }
+
+  /** Exact snapshot SUM of an integral `column` from colstats alone:
+    * outer None = not servable (a live file lacks the `#sum`/`#nulls`
+    * ledger); Some(None) = SQL NULL (zero non-null values); long
+    * addition is associative mod 2⁶⁴, so the file-sum total equals the
+    * data scan's sum exactly, wrap included. */
+  def snapshotColumnSum(spark: SparkSession, root: String, version: Int,
+      column: String): Option[Option[Long]] = {
+    val entries = loadManifest(spark, root, version)
+    if (entries.isEmpty) return Some(None)
+    val rels = entries.map(_.relPath).toSet
+    val stats = loadColStats(spark, root, version, rels)
+    val sums = entries.map(e => stats.get((e.relPath, s"#sum.$column")))
+    val nulls = entries.map(e => stats.get((e.relPath, s"#nulls.$column")))
+    if (sums.exists(_.isEmpty) || nulls.exists(_.isEmpty)) None
+    else {
+      val nonNull = entries.map(_.nRows).sum - nulls.flatten.map(_._1).sum
+      if (nonNull == 0L) Some(None)
+      else Some(Some(sums.flatten.map(_._1).sum))
+    }
   }
 
   /** Copy-on-write upsert: batch rows REPLACE same-key table rows

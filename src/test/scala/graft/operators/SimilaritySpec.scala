@@ -314,4 +314,53 @@ class SimilaritySpec extends SparkSpec {
       s"nsw recall@10: $hits of ${nq * 10}")
     edges.unpersist()
   }
+
+  test("nsw skew guard: a degenerate cell assignment (90% in one cell) " +
+    "is split so candidate pairs stay near-linear, and the build still " +
+    "serves exact probe-all search") {
+    // 90% of points share one direction → k-means piles them into one
+    // cell; capCells must split it so the within-cell join is bounded
+    val n = 300
+    val corpus = spark.range(n).select($"id".as("cid"),
+      transform(sequence(lit(0), lit(11)), d =>
+        (when(lit(true) && $"id" % 10 === 0,
+          when(d === ($"id" % 3 + 1).cast("int"), 10.0).otherwise(0.0))
+          .otherwise(when(d === 0, 10.0).otherwise(0.0))
+          + sin($"id" * 13 + d * 5) * 0.05).cast("float")).as("cvec"))
+    val maxCell = 32
+    // the guard itself: no sub-cell may exceed the cap
+    val cents = KMeans.fit(corpus, k = 4, iters = 2,
+      idCol = "cid", vecCol = "cvec")
+    val nodes = KMeans.assign(corpus, cents, vecCol = "cvec")
+      .select($"cid".cast("long").as("id"), $"cluster".as("cell"))
+    val rawMax = nodes.groupBy("cell").count()
+      .agg(max("count")).as[Long].head()
+    assert(rawMax > maxCell,
+      s"fixture broken: biggest raw cell $rawMax not above cap $maxCell")
+    val capped = Nsw.capCells(nodes, maxCell)
+    val sizes = capped.groupBy("cell").count().select($"count".as[Long])
+      .collect()
+    // xxhash64 split is hash-balanced, not exact: allow 2× headroom but
+    // prove the quadratic blowup is gone (raw cell was ~270)
+    assert(sizes.max <= 2L * maxCell,
+      s"sub-cell of ${sizes.max} exceeds cap $maxCell")
+    // candidate-pair bound: Σ size² ≤ (2·cap)·n — near-linear, vs the
+    // ~rawMax² ≈ 73k pairs the unguarded join would do in one cell
+    val pairSum = sizes.map(s => s * s).sum
+    assert(pairSum <= 2L * maxCell * n,
+      s"pair count $pairSum not linear-bounded")
+    // determinism: the split is a pure hash of ids
+    assert(Nsw.capCells(nodes, maxCell).collect().toSet
+      === capped.collect().toSet)
+    // and the guarded build still satisfies the probe-all contract
+    val edges = Nsw.build(corpus, m = 3, nCells = 4, maxLayer = 2,
+      maxCellSize = maxCell)
+    val queries = corpus.filter($"cid" % 97 === 0)
+      .select($"cid".as("qid"), $"cvec".as("qvec"))
+    val exact = Nsw.topK(queries, corpus, edges, k = 5, ef = n + 1,
+      maxLayer = 2)
+    val truth = Similarity.bruteForceTopK(queries, corpus, k = 5)
+    assert(exact.orderBy("qid", "rank").collect().toSeq ===
+      truth.orderBy("qid", "rank").collect().toSeq)
+  }
 }

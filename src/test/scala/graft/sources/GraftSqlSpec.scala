@@ -102,6 +102,13 @@ class GraftSqlSpec extends SparkSpec {
     // time travel resolves through the same metadata path
     assert(spark.sql("SELECT count(*) FROM gskip.skip VERSION AS OF 0")
       .as[Long].head() === 2000L)
+    // count(col) rides the #nulls colstats ledger (rows − nulls) — the
+    // deleted file proves zero data files were opened here too
+    assert(spark.sql("SELECT count(name) FROM gskip.skip")
+      .as[Long].head() === 2000L)
+    // sum(col) rides the #sum ledger (Σ per-file sums, exact mod 2⁶⁴)
+    assert(spark.sql("SELECT sum(v) FROM gskip.skip")
+      .as[Long].head() === 10L * 2000 * 2001 / 2)
     // a filtered count is NOT metadata-servable: it must scan, and the
     // pruned file set keeps it correct despite the sabotage
     assert(spark.sql(
