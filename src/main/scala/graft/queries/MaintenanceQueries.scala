@@ -2249,6 +2249,73 @@ object MaintenanceQueries {
            |  rs AS row_sum
            |FROM st ORDER BY snapshot""".stripMargin))
 
+  /** Iceberg-style METADATA TABLES through SQL
+    * ([[graft.sources.GraftMetaTable]]): `t\$files` / `t\$history` /
+    * `t\$tags` (and the dotted `t.files` form) serve the manifest log
+    * as queryable tables via a DSv2 LocalScan — driver metadata only,
+    * no executor stage, no data I/O (GraftSqlSpec proves it by
+    * deleting a data file under a metadata query). Wall-clock commit
+    * instants and physical file names are HANDLES, so the gate
+    * checksums only the deterministic content: per-version row
+    * totals, file-ledger row conservation across VERSION AS OF, and
+    * the tag mapping — each replayed relationally. */
+  val q293MetadataTables = GraftQuery(
+    "q293_metadata_tables",
+    (s, dir) => {
+      val base = newTempDir("graft_meta_tables")
+      val root = base + "/n"
+      val cat = "graft_mt_" + java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      val v0 = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("k"), col("n_name").as("name"),
+        lit(0L).as("bal"))
+      GraftTable.create(s, root, v0, "k", nBuckets = 2)
+      GraftTable.upsert(s, root,
+        Tables.customer(s, dir)
+          .filter(col("c_custkey") % 100 === 0)
+          .select((col("c_custkey").cast("long") + 1000L).as("k"),
+            col("c_name").as("name"),
+            floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal")),
+        "k")
+      GraftTable.tag(s, root, "gold", 0)
+      s.sql(s"""SELECT 'history_rows' AS metric,
+           |  CAST(version AS STRING) AS ref, n_rows AS value
+           |FROM $cat.`n$$history`""".stripMargin)
+        .unionAll(s.sql(
+          s"""SELECT 'files_rows_head' AS metric, 'head' AS ref,
+             |  CAST(sum(n_rows) AS BIGINT) AS value
+             |FROM $cat.n.files""".stripMargin))
+        .unionAll(s.sql(
+          s"""SELECT 'files_rows_v0' AS metric, 'v0' AS ref,
+             |  CAST(sum(n_rows) AS BIGINT) AS value
+             |FROM $cat.`n$$files` VERSION AS OF 0""".stripMargin))
+        .unionAll(s.sql(
+          s"""SELECT 'tag' AS metric, tag AS ref, version AS value
+             |FROM $cat.`n$$tags`""".stripMargin))
+        .orderBy("metric", "ref")
+    },
+    Some("""WITH v0 AS (
+           |  SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+           |ins AS (
+           |  SELECT CAST(c_custkey + 1000 AS BIGINT) AS k FROM customer
+           |  WHERE c_custkey % 100 = 0),
+           |v1 AS (SELECT k FROM v0 UNION SELECT k FROM ins),
+           |st AS (
+           |  SELECT 'history_rows' AS metric, '0' AS ref,
+           |    (SELECT count(*) FROM v0) AS value
+           |  UNION ALL
+           |  SELECT 'history_rows', '1', (SELECT count(*) FROM v1)
+           |  UNION ALL
+           |  SELECT 'files_rows_head', 'head', (SELECT count(*) FROM v1)
+           |  UNION ALL
+           |  SELECT 'files_rows_v0', 'v0', (SELECT count(*) FROM v0)
+           |  UNION ALL
+           |  SELECT 'tag', 'gold', 0)
+           |SELECT metric, ref, CAST(value AS BIGINT) AS value
+           |FROM st ORDER BY metric, ref""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
@@ -2258,5 +2325,5 @@ object MaintenanceQueries {
     q252SqlTableSurface, q270SqlTableWrites, q272VersionTags,
     q276TableRestore, q282SqlMergeInto, q285PartitionedEvents,
     q287TimestampTravel, q289MergeCloseOut, q290MetadataAggregates,
-    q291MonthsYearsEvolution, q292TruncatePartition)
+    q291MonthsYearsEvolution, q292TruncatePartition, q293MetadataTables)
 }

@@ -944,10 +944,61 @@ object StreamingQueries {
            |FROM range(0, 4000) t(v)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** NATIVE graft streaming sink — `writeStream.format("graft")`
+    * ([[graft.sources.GraftDataSource.createSink]]): a file-fed
+    * micro-batch stream of the events table lands in a versioned graft
+    * table, one keyed-MERGE commit per micro-batch with replay-guard
+    * markers (effective-once). One file per trigger over a 6-way split
+    * ⇒ exactly 6 commits; the FINAL table is the full events content
+    * (event ids are unique, so keyed merge ≡ union), which the oracle
+    * replays relationally; version count and the v0 ⊂ head containment
+    * pin genuine multi-batch incrementality. */
+  val q294NativeGraftSink = GraftQuery(
+    "q294_native_graft_sink",
+    (s, dir) => {
+      val srcDir = splitForStream(s, dir, 6)
+      val root = newTempDir("graft_sink_gate") + "/t"
+      val ckpt = newTempDir("graft_sink_ckpt")
+      val rawSchema = s.read.parquet(srcDir).schema
+      val stream = Tables.toUtcTimestamp(
+        s.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir), "ts")
+        .select(col("event_id").cast("long").as("k"),
+          col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      val q = stream.writeStream.format("graft")
+        .option("path", root).option("key", "k").option("buckets", "4")
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+      val latest = graft.sources.GraftTable.latestVersion(s, root).toLong
+      val head = graft.sources.GraftTable.read(s, root)
+      val v0Rows = graft.sources.GraftTable.read(s, root, Some(0)).count()
+      head.groupBy(lit("head").as("snapshot"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("cents").as("cents_sum"),
+          sum(conv(substring(md5(concat_ws("|", col("k").cast("string"),
+            col("event_type"), col("cents").cast("string"))), 1, 8),
+            16, 10).cast("long")).as("row_sum"),
+          lit(latest + 1).as("n_versions"),
+          (lit(v0Rows) > 0 && lit(v0Rows) < head.count())
+            .as("incremental"))
+    },
+    Some("""SELECT 'head' AS snapshot, count(*) AS n_rows,
+           |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+           |    AS BIGINT) AS cents_sum,
+           |  CAST(sum(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+           |    || '|' || event_type || '|' ||
+           |    CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)),
+           |    1, 8))::BIGINT) AS BIGINT) AS row_sum,
+           |  CAST(6 AS BIGINT) AS n_versions,
+           |  true AS incremental
+           |FROM events""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q152StreamCdcState, q153StreamWindowedAggs, q157StreamClickPurchase,
       q159StreamUserTotals, q160RegistryNearDup, q161StreamSessions,
       q167StreamDedup, q168StreamEnrich, q228StreamAbandonedClicks,
       q248StreamTemporalJoin, q253CdfStreamMaintenance, q269StreamingGradient,
-      q286RateSourceBackpressure)
+      q286RateSourceBackpressure, q294NativeGraftSink)
 }

@@ -48,7 +48,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[GraftTable.upsert]] path as the Scala API (keyed MERGE, pruned
   * copy-on-write, OCC retry) — see [[GraftSqlTable.newWriteBuilder]].
   */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+  with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
@@ -64,14 +65,25 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   private def versionOf(spark: SparkSession, root: String,
       options: CaseInsensitiveStringMap): Int = {
     val latest = GraftTable.latestVersion(spark, root)
-    require(latest >= 0, s"no graft table at $root")
+    require(latest >= 0, s"no graft table at $root (a streaming sink " +
+      "creating a new table needs .option(\"key\", keyColumn))")
     Option(options.get("versionAsOf")).map(_.toInt).getOrElse(latest)
   }
+
+  // a not-yet-existing table is tolerated ONLY on the streaming-sink
+  // creation path (signalled by the sink's mandatory 'key' option):
+  // DataStreamWriter probes the provider for table capabilities before
+  // falling back to the V1 StreamSinkProvider, and that probe must not
+  // throw just because the sink will CREATE the table on first batch
+  private def creatableSink(spark: SparkSession, root: String,
+      options: CaseInsensitiveStringMap): Boolean =
+    options.containsKey("key") && GraftTable.latestVersion(spark, root) < 0
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val root = rootOf(options)
-    GraftTable.tableSchema(spark, root, versionOf(spark, root, options))
+    if (creatableSink(spark, root, options)) new StructType()
+    else GraftTable.tableSchema(spark, root, versionOf(spark, root, options))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -79,7 +91,51 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     val options = new CaseInsensitiveStringMap(properties)
     val spark = SparkSession.active
     val root = rootOf(options)
-    new GraftSqlTable(root, versionOf(spark, root, options))
+    if (creatableSink(spark, root, options))
+      new GraftSqlTable(root, -1, writable = false)
+    else new GraftSqlTable(root, versionOf(spark, root, options))
+  }
+
+  /** NATIVE streaming sink — `df.writeStream.format("graft")
+    * .option("path", root).option("key", k)`: each micro-batch lands
+    * through [[GraftTable.ingestBatch]], the SAME commit path as the
+    * Scala API (create on first batch, keyed-MERGE upsert after, one
+    * version per batch) with `_log/ingest-<batchId>.marker` replay
+    * guards — a batch re-delivered after a failure between sink commit
+    * and checkpoint advance does not grow the version log (the
+    * effective-once contract production sinks document; content
+    * idempotent either way, upsert is last-write-wins per key).
+    * GraftSqlTable deliberately does NOT claim STREAMING_WRITE, so
+    * DataStreamWriter routes here (the V1 sink bridge): the commit is
+    * driver-ORCHESTRATED metadata (manifest publish) while the data
+    * plane stays a distributed write job — the Delta sink shape. */
+  override def createSink(ctx: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+    : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft sink: use the table's partition transform, not partitionBy")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append()
+      || outputMode == org.apache.spark.sql.streaming.OutputMode.Update(),
+      s"graft sink supports Append/Update (keyed upsert), got $outputMode")
+    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft sink needs .option(\"path\", tableRoot)"))
+    val key = parameters.getOrElse("key", throw new IllegalArgumentException(
+      "graft sink needs .option(\"key\", keyColumn)"))
+    val nBuckets = parameters.get("buckets").map(_.toInt).getOrElse(8)
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        val spark = data.sparkSession
+        // re-wrap + pin: the keyed merge joins the batch against the
+        // current snapshot (a streaming-flagged plan refuses that),
+        // and the commit path takes several actions over the batch —
+        // cache so the micro-batch computes once
+        val batch = org.apache.spark.sql.graft.bridge.asBatch(data).cache()
+        try GraftTable.ingestBatch(spark, root, batch, key, batchId, nBuckets)
+        finally batch.unpersist()
+      }
+      override def toString: String = s"GraftSink[$root]"
+    }
   }
 }
 
@@ -577,6 +633,91 @@ private[sources] class GraftParquetScanBuilder(spark: SparkSession,
   }
 }
 
+/** Iceberg-style METADATA TABLES over a graft table, served entirely
+  * from the log — `SELECT * FROM cat.t\$files / t\$history / t\$tags`:
+  *
+  *  - `\$files`:   (file, min_key, max_key, n_rows, n_bytes) of the
+  *                 snapshot — what OPTIMIZE planning, skew audits, and
+  *                 small-file reports query;
+  *  - `\$history`: (version, committed_at millis, n_files, n_rows) —
+  *                 the commit log (instants from the durable manifest
+  *                 header);
+  *  - `\$tags`:    (tag, version) named refs.
+  *
+  * Execution is a DSv2 [[org.apache.spark.sql.connector.read
+  * .LocalScan]]: the rows ARE driver metadata (file counts, never
+  * data), so a metadata query costs manifest reads only — no executor
+  * launch, no data I/O. `VERSION AS OF` composes (`t\$files VERSION AS
+  * OF 2` lists that snapshot's ledger). */
+class GraftMetaTable(root: String, kind: String, version: Int)
+  extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+
+  override def name(): String = s"graft.`$root`$$$kind"
+
+  override def schema(): StructType = kind match {
+    case "files" => StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("min_key", LongType, nullable = false),
+      StructField("max_key", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false)))
+    case "history" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("committed_at", LongType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false)))
+    case "tags" => StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+    case other => throw new IllegalArgumentException(
+      s"unknown graft metadata table '$$$other' (files, history, tags)")
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema(): StructType = schema()
+          override def description(): String = name()
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+            import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+            import org.apache.spark.unsafe.types.UTF8String
+            val spark = SparkSession.active
+            kind match {
+              case "files" =>
+                GraftTable.snapshotFileLedger(spark, root, version)
+                  .sortBy(_._1)
+                  .map { case (p, mn, mx, n, b) =>
+                    new GenericInternalRow(Array[Any](
+                      UTF8String.fromString(p), mn, mx, n, b))
+                      : org.apache.spark.sql.catalyst.InternalRow
+                  }.toArray
+              case "history" =>
+                val ts = GraftTable.commitTimestamps(spark, root).toMap
+                GraftTable.history(spark, root)
+                  .filter(h => h._1 <= version && ts.contains(h._1))
+                  .map { case (v, nf, nr) =>
+                    new GenericInternalRow(Array[Any](
+                      v.toLong, ts(v), nf.toLong, nr))
+                      : org.apache.spark.sql.catalyst.InternalRow
+                  }.toArray
+              case _ =>
+                GraftTable.tags(spark, root).toSeq.sortBy(_._1)
+                  .map { case (t, v) =>
+                    new GenericInternalRow(Array[Any](
+                      UTF8String.fromString(t), v.toLong))
+                      : org.apache.spark.sql.catalyst.InternalRow
+                  }.toArray
+            }
+          }
+        }
+    }
+}
+
 /** Catalog plugin mapping `graft.<name>` to a [[GraftTable]] rooted at
   * `<base>/<name>` (`base` from `spark.sql.catalog.graft.base`), with
   * `VERSION AS OF n` time travel resolving through the same manifest
@@ -625,11 +766,36 @@ class GraftCatalog extends TableCatalog {
 
   override def tableExists(ident: Identifier): Boolean = exists(rootOf(ident))
 
+  /** `cat.\`t$files\`` / `cat.t.files` (Iceberg style) → the metadata
+    * table over `t`, pinned at `v` (head if None). None when the
+    * identifier isn't a metadata reference over an existing table. */
+  private def metaTable(ident: Identifier, v: Option[Int]): Option[Table] = {
+    val kinds = Set("files", "history", "tags")
+    val n = ident.name()
+    val dollar = n.lastIndexOf('$')
+    val resolved =
+      if (dollar > 0 && kinds(n.substring(dollar + 1)))
+        Some((Identifier.of(ident.namespace(), n.substring(0, dollar)),
+          n.substring(dollar + 1)))
+      else if (kinds(n) && ident.namespace().nonEmpty)
+        Some((Identifier.of(ident.namespace().init,
+          ident.namespace().last), n))
+      else None
+    resolved.flatMap { case (baseIdent, kind) =>
+      val root = rootOf(baseIdent)
+      if (!exists(root)) None
+      else Some(new GraftMetaTable(root, kind, v.getOrElse(
+        GraftTable.latestVersion(SparkSession.active, root))))
+    }
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val root = rootOf(ident)
-    if (!exists(root)) throw new NoSuchTableException(ident)
-    new GraftSqlTable(root,
-      GraftTable.latestVersion(SparkSession.active, root))
+    if (exists(root))
+      new GraftSqlTable(root,
+        GraftTable.latestVersion(SparkSession.active, root))
+    else metaTable(ident, None)
+      .getOrElse(throw new NoSuchTableException(ident))
   }
 
   /** `SELECT ... FROM graft.t VERSION AS OF n` — or `VERSION AS OF
@@ -637,7 +803,13 @@ class GraftCatalog extends TableCatalog {
     * tags ([[GraftTable.tag]]), the Iceberg-style named ref. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident)
-    if (!exists(root)) throw new NoSuchTableException(ident)
+    if (!exists(root)) {
+      // metadata tables compose with VERSION AS OF (integer only —
+      // the base table's tags are resolvable through `t$tags` itself)
+      version.toIntOption.foreach(v =>
+        metaTable(ident, Some(v)).foreach(t => return t))
+      throw new NoSuchTableException(ident)
+    }
     val v = GraftTable.resolveRef(SparkSession.active, root, version)
       .getOrElse(throw new IllegalArgumentException(
         s"graft time travel takes an integer version or a tag name; " +

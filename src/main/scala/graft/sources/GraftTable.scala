@@ -810,6 +810,21 @@ object GraftTable {
     else Some((per.flatten.map(_._1).min, per.flatten.map(_._2).max))
   }
 
+  /** The pruned snapshot's file ledger for the `$files` metadata table:
+    * (relPath, minKey, maxKey, rows, bytes) straight from the manifest
+    * (legacy unknown sizes resolve with one getFileStatus each). */
+  private[sources] def snapshotFileLedger(spark: SparkSession, root: String,
+      version: Int): Seq[(String, Long, Long, Long, Long)] = {
+    val (f, _) = fs(root, spark)
+    loadManifest(spark, root, version).map { e =>
+      val bytes =
+        if (e.nBytes >= 0) e.nBytes
+        else f.getFileStatus(
+          new org.apache.hadoop.fs.Path(root, e.relPath)).getLen
+      (e.relPath, e.minKey, e.maxKey, e.nRows, bytes)
+    }
+  }
+
   /** Exact snapshot NULL count of `column` from colstats alone: Some
     * iff EVERY live file at `version` carries a recorded `#nulls.<col>`
     * line (written by every post-null-ledger commit's single stats

@@ -22,4 +22,15 @@ object bridge {
   /** A DataFrame's analyzed logical plan. */
   def analyzed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+
+  /** Re-wrap a streaming micro-batch DataFrame (as handed to
+    * `Sink.addBatch`) as a PLAIN batch DataFrame over its computed
+    * RDD — the standard sink pattern (a streaming-flagged plan refuses
+    * batch-only operations like joins against static snapshots, which
+    * a table-format sink's keyed merge needs). */
+  def asBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    classic.sparkSession.internalCreateDataFrame(
+      classic.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

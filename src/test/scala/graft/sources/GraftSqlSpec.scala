@@ -116,6 +116,111 @@ class GraftSqlSpec extends SparkSpec {
       .as[Long].head() === 50L)
   }
 
+  test("metadata tables: $files/$history/$tags serve the log through " +
+    "SQL with zero data I/O, and VERSION AS OF composes") {
+    val base = freshBase()
+    val root = base + "/mt"
+    mk(root, n = 1000, buckets = 4)
+    GraftTable.upsert(spark, root,
+      spark.range(1, 21).select($"id".as("k"), lit("u").as("name"),
+        lit(-1L).as("v")), "k")
+    GraftTable.tag(spark, root, "gold", 0)
+    spark.conf.set("spark.sql.catalog.gmeta", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmeta.base", base)
+    // $files agrees with the manifest ledger, rows and bytes included
+    val files = spark.sql(
+      "SELECT file, min_key, max_key, n_rows, n_bytes FROM gmeta.`mt$files` " +
+        "ORDER BY file").collect()
+    val ledger = GraftTable.snapshotFileLedger(spark, root,
+      GraftTable.latestVersion(spark, root)).sortBy(_._1)
+    assert(files.length === ledger.length)
+    files.zip(ledger).foreach { case (r, (p, mn, mx, n, b)) =>
+      assert(r.getString(0) === p && r.getLong(1) === mn &&
+        r.getLong(2) === mx && r.getLong(3) === n && r.getLong(4) === b)
+    }
+    assert(files.map(_.getLong(3)).sum === 1000L)
+    // Iceberg-style dotted form resolves to the same table
+    assert(spark.sql("SELECT sum(n_rows) FROM gmeta.mt.files")
+      .as[Long].head() === 1000L)
+    // VERSION AS OF composes: v0's ledger, not head's
+    assert(spark.sql(
+      "SELECT sum(n_rows) FROM gmeta.`mt$files` VERSION AS OF 0")
+      .as[Long].head() === 1000L)
+    // $history: both commits, instants monotone, from the durable header
+    val hist = spark.sql(
+      "SELECT version, committed_at, n_files, n_rows FROM " +
+        "gmeta.`mt$history` ORDER BY version").collect()
+    assert(hist.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    assert(hist(0).getLong(1) <= hist(1).getLong(1))
+    assert(hist.map(r => r.getLong(0) -> r.getLong(1)).toSeq ===
+      GraftTable.commitTimestamps(spark, root)
+        .map(t => t._1.toLong -> t._2))
+    // $tags
+    assert(spark.sql("SELECT tag, version FROM gmeta.`mt$tags`")
+      .as[(String, Long)].collect().toSeq === Seq(("gold", 0L)))
+    // unknown kind refuses; meta over a missing table refuses
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gmeta.`mt$nope`").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gmeta.`ghost$files`").collect()
+    }
+    // the LocalScan means no executor stage: a deleted data file
+    // cannot break a metadata query
+    val victim = ledger.head._1
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$root/$victim"), false)
+    assert(spark.sql("SELECT count(*) FROM gmeta.`mt$files`")
+      .as[Long].head() === ledger.length.toLong)
+  }
+
+  test("native streaming sink: writeStream.format(\"graft\") creates " +
+    "the table on first batch, commits one keyed-MERGE version per " +
+    "micro-batch, and replayed batch ids are skipped") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = freshBase() + "/sink"
+    val ckpt = Files.createTempDirectory("graft_sink_ckpt").toString
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val q = in.toDF().toDF("k", "name", "v").writeStream.format("graft")
+      .option("path", root).option("key", "k").option("buckets", "2")
+      .option("checkpointLocation", ckpt).start()
+    in.addData((1L, "a", 10L), (2L, "b", 20L))
+    q.processAllAvailable()
+    in.addData((2L, "b2", 21L), (3L, "c", 30L))
+    q.processAllAvailable()
+    q.stop()
+    assert(GraftTable.latestVersion(spark, root) === 1)
+    val now = GraftTable.read(spark, root).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(now === Array((1L, "a", 10L), (2L, "b2", 21L), (3L, "c", 30L)))
+    assert(GraftTable.read(spark, root, Some(0)).count() === 2)
+    // effective-once: a re-delivered batch id is a marker no-op
+    GraftTable.ingestBatch(spark, root,
+      spark.range(1).select(lit(9L).as("k"), lit("dup").as("name"),
+        lit(0L).as("v")), "k", batchId = 1L)
+    assert(GraftTable.latestVersion(spark, root) === 1)
+    // and a RESUMED stream continues committing past the replay guard
+    val q2 = in.toDF().toDF("k", "name", "v").writeStream.format("graft")
+      .option("path", root).option("key", "k")
+      .option("checkpointLocation", ckpt).start()
+    in.addData((4L, "d", 40L))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(GraftTable.latestVersion(spark, root) === 2)
+    assert(GraftTable.read(spark, root).count() === 4)
+    // missing key option refuses with guidance
+    val e = intercept[Exception] {
+      in.toDF().toDF("k", "name", "v").writeStream.format("graft")
+        .option("path", freshBase() + "/nope")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_sink_bad").toString)
+        .start()
+    }
+    assert(e.getMessage.contains("key"), e.getMessage)
+  }
+
   test("key-range extraction handles conjunctions and rejects non-integral shapes") {
     import org.apache.spark.sql.sources._
     def r(fs: Filter*) = GraftScanBuilder.keyRange(fs.toArray, "k")

@@ -774,6 +774,64 @@ class GraftTableSpec extends SparkSpec {
       .filter($"name" === "row7").count() === 1)
   }
 
+  test("months()/years()/truncate(w) transforms: one-value reads open " +
+    "a file subset, proven by deleting an out-of-range file") {
+    import graft.sources.{MonthsPartition, TruncatePartition, YearsPartition}
+    val fsys = new org.apache.hadoop.fs.Path(freshRoot())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sabotage(root: String, statsPrefix: String, keep: Long): Unit = {
+      // delete a data file whose recorded transform-value range
+      // EXCLUDES `keep`; the pruned read must never open it
+      val stats = scala.io.Source.fromFile(s"$root/_log/colstats-v00000.tsv")
+      val victim = try stats.getLines().filter(_.nonEmpty)
+        .map(_.split('\t')).find(a => a(1).startsWith(statsPrefix) &&
+          (a(3).toLong < keep || a(2).toLong > keep)).get.head
+      finally stats.close()
+      fsys.delete(new org.apache.hadoop.fs.Path(s"$root/$victim"), false)
+    }
+    def check(root: String, transformVal: org.apache.spark.sql.Column,
+        keep: Long, statsPrefix: String): Unit = {
+      val total = GraftTable.prunedFileCountPartition(spark, root,
+        Long.MinValue, Long.MaxValue)
+      val pruned = GraftTable.prunedFileCountPartition(spark, root,
+        keep, keep)
+      assert(pruned < total, s"$statsPrefix no pruning: $pruned of $total")
+      val viaP = GraftTable.readPartitionRange(spark, root, keep, keep)
+        .agg(count(lit(1)), sum("v")).as[(Long, Long)].head()
+      val viaFull = GraftTable.read(spark, root)
+        .filter(transformVal === keep)
+        .agg(count(lit(1)), sum("v")).as[(Long, Long)].head()
+      assert(viaP === viaFull, s"$statsPrefix content: $viaP vs $viaFull")
+      sabotage(root, statsPrefix, keep)
+      assert(GraftTable.readPartitionRange(spark, root, keep, keep)
+        .agg(sum("v")).as[Long].head() === viaP._2,
+        s"$statsPrefix pruned read touched the deleted file")
+    }
+    // ts spans 8 distinct ~35-day-spaced instants → many months, 2 years
+    def fx(n: Int) = spark.range(1, n + 1).select(
+      $"id".as("k"),
+      to_timestamp(from_unixtime(lit(1700000000L) +
+        ($"id" % 8) * lit(35L * 86400))).as("ts"),
+      ($"id" % 40 * 100000).as("v"))
+    val mRoot = freshRoot()
+    GraftTable.create(spark, mRoot, fx(4000), "k", nBuckets = 16,
+      partitioning = Some(MonthsPartition("ts")))
+    val m0 = fx(1).select((year($"ts") * 12 + month($"ts") - 1)
+      .cast("long")).as[Long].head()
+    check(mRoot, (year($"ts") * 12 + month($"ts") - 1).cast("long"),
+      m0, "__p_months_")
+    val yRoot = freshRoot()
+    GraftTable.create(spark, yRoot, fx(4000), "k", nBuckets = 16,
+      partitioning = Some(YearsPartition("ts")))
+    val y1 = fx(4000).agg(max(year($"ts")).cast("long")).as[Long].head()
+    check(yRoot, year($"ts").cast("long"), y1, "__p_years_")
+    val tRoot = freshRoot()
+    GraftTable.create(spark, tRoot, fx(4000), "k", nBuckets = 16,
+      partitioning = Some(TruncatePartition(1000000L, "v")))
+    check(tRoot, (floor($"v" / 1000000L) * 1000000L).cast("long"),
+      2000000L, "__p_trunc")
+  }
+
   test("commit instants live IN the manifest: rewriting every mtime " +
     "(a non-preserving restore) does not shift TIMESTAMP AS OF") {
     val root = freshRoot()
