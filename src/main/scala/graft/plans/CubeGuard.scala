@@ -92,6 +92,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => ResolveCubeGuard())
     // MERGE INTO over graft catalog tables → the CDC commit path
     ext.injectResolutionRule(_ => graft.sources.RewriteGraftMerge())
+    // OPTIMIZE / VACUUM statements for graft tables — everything else
+    // delegates to Spark's parser untouched
+    ext.injectParser((_, delegate) =>
+      new graft.sources.GraftMaintenanceParser(delegate))
     ext.injectPlannerStrategy(_ => TopKStrategy)
     // graft scan statistics need no hook here: GraftBatchScan is a
     // native DSv2 Batch, so DataSourceV2ScanRelation.computeStats

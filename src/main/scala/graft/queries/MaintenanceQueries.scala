@@ -2316,6 +2316,78 @@ object MaintenanceQueries {
            |SELECT metric, ref, CAST(value AS BIGINT) AS value
            |FROM st ORDER BY metric, ref""".stripMargin))
 
+  /** SQL MAINTENANCE statements ([[graft.sources
+    * .GraftMaintenanceParser]], the injected-parser seam): `OPTIMIZE`
+    * bin-packs small files (q221's executed compaction through SQL
+    * text), `OPTIMIZE … ZORDER BY` lays out along the curve, `VACUUM
+    * … RETAIN n VERSIONS` sweeps expired files — all logical no-ops,
+    * which is exactly what the gate pins: identical content checksums
+    * at every stage (replayed relationally), with version arithmetic
+    * proving each statement really committed. File-count deltas are
+    * physical (not oracle-replayable) and are pinned in
+    * GraftSqlSpec instead. */
+  val q295SqlMaintenance = GraftQuery(
+    "q295_sql_maintenance",
+    (s, dir) => {
+      val base = newTempDir("graft_sql_maint")
+      val root = base + "/t"
+      val cat = "graft_mx_" + java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      val cust = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("cents"))
+      // several small commits → a compactable file layout
+      GraftTable.create(s, root, cust.filter(col("k") % 3 === 0), "k",
+        nBuckets = 4)
+      GraftTable.upsert(s, root, cust.filter(col("k") % 3 === 1), "k",
+        nBuckets = 2)
+      GraftTable.upsert(s, root, cust.filter(col("k") % 3 === 2), "k",
+        nBuckets = 2)
+      def sum1(label: String) = s.sql(
+        s"""SELECT '$label' AS stage, count(*) AS n_rows,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  CAST(sum(CAST(conv(substring(md5(concat_ws('|',
+           |    CAST(k AS STRING), seg, CAST(cents AS STRING))), 1, 8),
+           |    16, 10) AS BIGINT)) AS BIGINT) AS row_sum
+           |FROM $cat.t""".stripMargin)
+      val before = sum1("a_before")
+      val vOpt = s.sql(s"OPTIMIZE $cat.t TARGET 2000 ROWS")
+        .collect()(0).getLong(0)
+      val afterOpt = sum1("b_after_optimize")
+      s.sql(s"VACUUM $cat.t RETAIN 1 VERSIONS").collect()
+      val afterVac = sum1("c_after_vacuum")
+      val vZ = s.sql(s"OPTIMIZE $cat.t TARGET 2000 ROWS ZORDER BY (k, cents)")
+        .collect()(0).getLong(0)
+      val afterZ = sum1("d_after_zorder")
+        .withColumn("n_rows",
+          // version arithmetic folded into a gated column: optimize at
+          // v3, zorder at v4 — wrong version numbering would corrupt
+          // the row count and fail the hash
+          when(lit(vOpt) === 3L && lit(vZ) === 4L, col("n_rows"))
+            .otherwise(lit(-1L)))
+      before.unionAll(afterOpt).unionAll(afterVac).unionAll(afterZ)
+        .orderBy("stage")
+    },
+    Some("""WITH cust AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k,
+           |    c_mktsegment AS seg,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM customer),
+           |one AS (
+           |  SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cs,
+           |    CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |      seg || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |      AS BIGINT) AS rs
+           |  FROM cust)
+           |SELECT stage, CAST(n AS BIGINT) AS n_rows, cs AS cents_sum,
+           |  rs AS row_sum
+           |FROM one, (VALUES ('a_before'), ('b_after_optimize'),
+           |  ('c_after_vacuum'), ('d_after_zorder')) stages(stage)
+           |ORDER BY stage""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
@@ -2325,5 +2397,6 @@ object MaintenanceQueries {
     q252SqlTableSurface, q270SqlTableWrites, q272VersionTags,
     q276TableRestore, q282SqlMergeInto, q285PartitionedEvents,
     q287TimestampTravel, q289MergeCloseOut, q290MetadataAggregates,
-    q291MonthsYearsEvolution, q292TruncatePartition, q293MetadataTables)
+    q291MonthsYearsEvolution, q292TruncatePartition, q293MetadataTables,
+    q295SqlMaintenance)
 }

@@ -1,0 +1,143 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+
+/** SQL MAINTENANCE statements for the graft format — the operational
+  * verbs every lakehouse ships next to its DML (Delta's `OPTIMIZE` /
+  * `VACUUM`):
+  *
+  * {{{
+  *   OPTIMIZE cat.t                       -- bin-pack small files
+  *   OPTIMIZE cat.t TARGET 500000 ROWS
+  *   OPTIMIZE cat.t ZORDER BY (c1, c2)    -- space-filling-curve layout
+  *   VACUUM cat.t                         -- sweep unreferenced files
+  *   VACUUM cat.t RETAIN 5 VERSIONS
+  * }}}
+  *
+  * Spark's grammar has no such statements, so they arrive through the
+  * LAST extension seam the engine hadn't used: an injected PARSER
+  * ([[org.apache.spark.sql.SparkSessionExtensions.injectParser]]).
+  * [[GraftMaintenanceParser]] recognizes exactly these two statement
+  * shapes and delegates EVERYTHING else to Spark's own parser
+  * untouched — zero cost and zero behavior change for normal SQL. The
+  * commands resolve `cat` through the session's catalog manager and
+  * refuse non-graft catalogs with guidance; execution routes onto the
+  * SAME Scala-API maintenance paths (`GraftTable.optimize` /
+  * `optimizeZOrder` / `vacuum`), so SQL operators and Scala operators
+  * share one commit/retention machinery. */
+class GraftMaintenanceParser(delegate: ParserInterface)
+  extends ParserInterface {
+
+  private val Optimize =
+    ("""(?is)\s*OPTIMIZE\s+([\w.`]+)""" +
+      """(?:\s+TARGET\s+(\d+)\s+ROWS)?""" +
+      """(?:\s+ZORDER\s+BY\s*\(\s*([\w`]+)\s*,\s*([\w`]+)\s*\))?\s*;?\s*""").r
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+([\w.`]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+
+  private def parts(ident: String): Seq[String] =
+    ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case Optimize(ident, target, z1, z2) =>
+      GraftOptimizeCommand(parts(ident),
+        Option(target).map(_.toLong).getOrElse(1000000L),
+        (Option(z1), Option(z2)) match {
+          case (Some(a), Some(b)) => Some((a, b))
+          case _ => None
+        })
+    case Vacuum(ident, retain) =>
+      GraftVacuumCommand(parts(ident),
+        Option(retain).map(_.toInt).getOrElse(3))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String)
+    : org.apache.spark.sql.types.DataType = delegate.parseDataType(sqlText)
+}
+
+private[sources] object GraftMaintenance {
+  /** Resolve `cat.ns….table` to the graft table root via the session's
+    * registered [[GraftCatalog]]; refuse anything else with guidance. */
+  def rootOf(spark: SparkSession, parts: Seq[String],
+      verb: String): String = {
+    require(parts.length >= 2,
+      s"$verb takes a catalog-qualified graft table (cat.t), got " +
+        parts.mkString("."))
+    val base = Option(spark.conf.getOption(
+      s"spark.sql.catalog.${parts.head}.base").orNull).getOrElse(
+      throw new IllegalArgumentException(
+        s"$verb target must live in a graft catalog " +
+          s"(spark.sql.catalog.${parts.head} is not configured)"))
+    val cls = spark.conf.getOption(s"spark.sql.catalog.${parts.head}")
+    require(cls.contains(classOf[GraftCatalog].getName),
+      s"$verb supports graft catalog tables only; " +
+        s"'${parts.head}' is ${cls.getOrElse("unset")}")
+    (parts.tail.foldLeft(base)(_ + "/" + _))
+  }
+
+  def keyOf(spark: SparkSession, root: String, verb: String): String =
+    GraftTable.keyColumn(spark, root).getOrElse(throw new IllegalStateException(
+      s"$verb: table at $root records no key column"))
+}
+
+/** `OPTIMIZE cat.t [TARGET n ROWS] [ZORDER BY (c1, c2)]` — bin-pack
+  * (or curve-layout) through the Scala API's commit machinery. */
+case class GraftOptimizeCommand(parts: Seq[String], targetRows: Long,
+    zorder: Option[(String, String)]) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_rewritten", IntegerType, nullable = false)(),
+    AttributeReference("files_carried", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftMaintenance.rootOf(spark, parts, "OPTIMIZE")
+    val key = GraftMaintenance.keyOf(spark, root, "OPTIMIZE")
+    zorder match {
+      case Some((c1, c2)) =>
+        val (v, written) =
+          GraftTable.optimizeZOrder(spark, root, key, c1, c2, targetRows)
+        Seq(Row(v.toLong, written, 0))
+      case None =>
+        val (v, rewritten, carried) =
+          GraftTable.optimize(spark, root, key, targetRows)
+        Seq(Row(v.toLong, rewritten, carried))
+    }
+  }
+}
+
+/** `VACUUM cat.t [RETAIN n VERSIONS]` — sweep unreferenced data files
+  * and expired manifests (default horizon 3 versions; tagged versions
+  * stay pinned, exactly like the Scala API). */
+case class GraftVacuumCommand(parts: Seq[String], retainVersions: Int)
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("files_removed", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftMaintenance.rootOf(spark, parts, "VACUUM")
+    Seq(Row(GraftTable.vacuum(spark, root, retainVersions)))
+  }
+}

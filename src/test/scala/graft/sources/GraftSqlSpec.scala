@@ -221,6 +221,54 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("key"), e.getMessage)
   }
 
+  test("SQL OPTIMIZE/VACUUM: injected-parser maintenance statements " +
+    "route onto the Scala maintenance paths; normal SQL is untouched") {
+    val base = freshBase()
+    val root = base + "/mx"
+    // many tiny commits → many small files worth compacting
+    mk(root, n = 200, buckets = 4)
+    for (i <- 1 to 3)
+      GraftTable.upsert(spark, root,
+        spark.range(i * 1000, i * 1000 + 50).select($"id".as("k"),
+          lit(s"b$i").as("name"), lit(0L).as("v")), "k", nBuckets = 2)
+    spark.conf.set("spark.sql.catalog.gmx", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmx.base", base)
+    val filesBefore = GraftTable.prunedFileCount(spark, root,
+      Long.MinValue, Long.MaxValue)
+    val contentBefore = spark.sql(
+      "SELECT sum(v), sum(k), count(*) FROM gmx.mx").collect()(0)
+    // OPTIMIZE compacts: fewer files, identical content, one version
+    val opt = spark.sql("OPTIMIZE gmx.mx TARGET 1000 ROWS").collect()(0)
+    assert(opt.getLong(0) === 4L) // v4 after create + 3 upserts
+    assert(opt.getInt(1) > 0, s"nothing rewritten: $opt")
+    val filesAfter = GraftTable.prunedFileCount(spark, root,
+      Long.MinValue, Long.MaxValue)
+    assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter")
+    assert(spark.sql("SELECT sum(v), sum(k), count(*) FROM gmx.mx")
+      .collect()(0) === contentBefore)
+    // VACUUM sweeps pre-optimize files beyond the horizon
+    val removed = spark.sql("VACUUM gmx.mx RETAIN 1 VERSIONS")
+      .collect()(0).getInt(0)
+    assert(removed > 0, "vacuum swept nothing")
+    assert(spark.sql("SELECT count(*) FROM gmx.mx").as[Long].head()
+      === contentBefore.getLong(2))
+    // ZORDER form parses and commits
+    val z = spark.sql("OPTIMIZE gmx.mx TARGET 1000 ROWS ZORDER BY (k, v)")
+      .collect()(0)
+    assert(z.getLong(0) === 5L && z.getInt(1) > 0)
+    assert(spark.sql("SELECT sum(v), sum(k), count(*) FROM gmx.mx")
+      .collect()(0) === contentBefore)
+    // non-graft targets refuse with guidance
+    val e = intercept[Exception] {
+      spark.sql("OPTIMIZE nosuch.t").collect()
+    }
+    assert(e.getMessage.contains("graft catalog"), e.getMessage)
+    // ordinary SQL still parses through the delegate (keyword inside
+    // a query is not intercepted)
+    assert(spark.sql("SELECT 'OPTIMIZE gmx.mx' AS s").as[String].head()
+      === "OPTIMIZE gmx.mx")
+  }
+
   test("key-range extraction handles conjunctions and rejects non-integral shapes") {
     import org.apache.spark.sql.sources._
     def r(fs: Filter*) = GraftScanBuilder.keyRange(fs.toArray, "k")
