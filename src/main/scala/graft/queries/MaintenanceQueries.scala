@@ -2388,6 +2388,81 @@ object MaintenanceQueries {
            |  ('c_after_vacuum'), ('d_after_zorder')) stages(stage)
            |ORDER BY stage""".stripMargin))
 
+  /** Declared CHECK constraints ([[graft.sources.GraftTable
+    * .addConstraint]]) — the write-side quality gate DECLARED ON THE
+    * TABLE rather than per-call (auditedUpsert's one-shot checks,
+    * promoted to standing metadata; the Delta CHECK contract):
+    * declaration validates the full snapshot and refuses if existing
+    * data violates; every later write enforces inside its existing
+    * stats pass and a violating commit aborts with the head unchanged.
+    * The gate encodes each refusal as a flag column and checksums the
+    * content after every stage — unchanged-after-abort is the
+    * property, replayed relationally. */
+  val q296CheckConstraints = GraftQuery(
+    "q296_check_constraints",
+    (s, dir) => {
+      import graft.sources.GraftTable.ConstraintViolationException
+      val root = newTempDir("graft_check") + "/t"
+      val cust = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, root, cust, "k", nBuckets = 4)
+      // 1: a constraint existing data violates refuses to declare
+      val declareRefused =
+        try { GraftTable.addConstraint(s, root, "nonneg", "cents >= 0"); 0L }
+        catch { case _: ConstraintViolationException => 1L }
+      val declared = GraftTable.constraints(s, root).size.toLong
+      // 2: a satisfiable constraint declares and blocks a bad write
+      GraftTable.addConstraint(s, root, "floor", "cents >= -100000")
+      val writeRefused =
+        try {
+          GraftTable.upsert(s, root,
+            s.range(0, 3).select((col("id") + 900000L).as("k"),
+              lit("bad").as("seg"), lit(-200000L).as("cents")), "k")
+          0L
+        } catch { case _: ConstraintViolationException => 1L }
+      val vAfterBad = GraftTable.latestVersion(s, root).toLong
+      // 3: a valid write commits through the standing constraint
+      GraftTable.upsert(s, root,
+        cust.filter(col("k") % 50 === 0)
+          .select((col("k") + 500000L).as("k"), col("seg"),
+            (col("cents") + abs(col("cents")) + lit(1L)).as("cents")), "k")
+      val vAfterGood = GraftTable.latestVersion(s, root).toLong
+      GraftTable.read(s, root)
+        .groupBy(lit("final").as("stage"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("cents").as("cents_sum"),
+          sum(conv(substring(md5(concat_ws("|", col("k").cast("string"),
+            col("seg"), col("cents").cast("string"))), 1, 8),
+            16, 10).cast("long")).as("row_sum"),
+          lit(declareRefused).as("declare_refused"),
+          lit(declared).as("n_after_refusal"),
+          lit(writeRefused).as("write_refused"),
+          lit(vAfterBad).as("v_after_bad"),
+          lit(vAfterGood).as("v_after_good"))
+    },
+    Some("""WITH cust AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM customer),
+           |ins AS (
+           |  SELECT CAST(k + 500000 AS BIGINT) AS k, seg,
+           |    CAST(cents + abs(cents) + 1 AS BIGINT) AS cents
+           |  FROM cust WHERE k % 50 = 0),
+           |fin AS (SELECT * FROM cust UNION ALL SELECT * FROM ins)
+           |SELECT 'final' AS stage, count(*) AS n_rows,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |    seg || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |    AS BIGINT) AS row_sum,
+           |  CAST(1 AS BIGINT) AS declare_refused,
+           |  CAST(0 AS BIGINT) AS n_after_refusal,
+           |  CAST(1 AS BIGINT) AS write_refused,
+           |  CAST(0 AS BIGINT) AS v_after_bad,
+           |  CAST(1 AS BIGINT) AS v_after_good
+           |FROM fin""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
@@ -2398,5 +2473,5 @@ object MaintenanceQueries {
     q276TableRestore, q282SqlMergeInto, q285PartitionedEvents,
     q287TimestampTravel, q289MergeCloseOut, q290MetadataAggregates,
     q291MonthsYearsEvolution, q292TruncatePartition, q293MetadataTables,
-    q295SqlMaintenance)
+    q295SqlMaintenance, q296CheckConstraints)
 }

@@ -1274,13 +1274,89 @@ object MlPrep {
     },
     Some(q265OracleSql))
 
+  /** FIM (fill-in-the-middle) transform — the code-training objective
+    * formatter (Bavarian et al. 2022): each document splits into
+    * (prefix, middle, suffix) at DETERMINISTIC cut points (two md5
+    * words of the doc id — the engine's no-RNG discipline; training
+    * runs re-derive identical spans, and the DuckDB oracle replays
+    * them byte-for-byte) and re-assembles in PSM or SPM order with
+    * sentinel tokens, 50/50 by id parity — the joint distribution the
+    * paper trains on. A pure map-only projection: one codegen'd pass,
+    * no shuffle, scales trivially. Gate pins per-mode counts, exact
+    * character conservation (output = input + 15 sentinel chars), and
+    * a content checksum over every transformed document. */
+  val q297FimTransform = GraftQuery(
+    "q297_fim_transform",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+        .filter(length(col("text")) >= 3)
+      val h1 = conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+      val h2 = conv(substring(md5(col("id").cast("string")), 9, 8), 16, 10)
+        .cast("long")
+      val len = length(col("text")).cast("long")
+      val a = (lit(1L) + pmod(h1, len - 1)).cast("int")
+      val b = (a + pmod(h2, len - a + 1)).cast("int")
+      val prefix = substring(col("text"), lit(1), a)
+      val middle = col("text").substr(a + 1, b - a)
+      val suffix = col("text").substr(b + 1, len.cast("int") - b)
+      val fim = when(col("id") % 2 === 0,
+        concat(lit("<PRE>"), prefix, lit("<SUF>"), suffix,
+          lit("<MID>"), middle))
+        .otherwise(concat(lit("<PRE>"), lit("<SUF>"), suffix,
+          lit("<MID>"), prefix, middle))
+      docs.select(col("id"), len.as("len"), fim.as("fim"))
+        .groupBy(when(col("id") % 2 === 0, "psm").otherwise("spm")
+          .as("mode"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(length(col("fim")).cast("long") === col("len") + 15L,
+            0L).otherwise(1L)).as("n_length_violations"),
+          sum(conv(substring(md5(col("fim")), 1, 8), 16, 10)
+            .cast("long")).as("fim_checksum"))
+        .orderBy("mode")
+    },
+    Some("""WITH d AS (
+           |  SELECT CAST(doc_id AS BIGINT) AS id, text,
+           |    CAST(length(text) AS BIGINT) AS len,
+           |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           |      AS h1,
+           |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT
+           |      AS h2
+           |  FROM documents WHERE length(text) >= 3),
+           |cut AS (
+           |  SELECT id, text, len,
+           |    CAST(1 + (h1 % (len - 1)) AS BIGINT) AS a,
+           |    CAST(1 + (h1 % (len - 1))
+           |      + (h2 % (len - (1 + (h1 % (len - 1))) + 1)) AS BIGINT) AS b
+           |  FROM d),
+           |fimmed AS (
+           |  SELECT id, len,
+           |    CASE WHEN id % 2 = 0 THEN
+           |      '<PRE>' || substr(text, 1, a) || '<SUF>'
+           |        || substr(text, b + 1) || '<MID>'
+           |        || substr(text, a + 1, b - a)
+           |    ELSE
+           |      '<PRE>' || '<SUF>' || substr(text, b + 1) || '<MID>'
+           |        || substr(text, 1, a) || substr(text, a + 1, b - a)
+           |    END AS fim
+           |  FROM cut)
+           |SELECT CASE WHEN id % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode,
+           |  count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN length(fim) = len + 15 THEN 0 ELSE 1 END)
+           |    AS BIGINT) AS n_length_violations,
+           |  CAST(sum(('0x' || substr(md5(fim), 1, 8))::BIGINT) AS BIGINT)
+           |    AS fim_checksum
+           |FROM fimmed GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q50TrainTestSplit, q51VocabTopK, q52Tfidf,
     q53Contamination, q70PretrainPipeline, q86SequencePacking, q87MixtureSample,
     q92QuantileBinning, q93FeatureHash, q100StratifiedSample, q106WeightedSample,
     q110DecontaminatedSplit, q169Bm25Retrieval, q182CorpusShards,
     q191VocabTopP, q192SkewDiagnostic, q198OovRate, q205GroupQuantiles,
     q209TemperatureMixture, q246SpanCorruption, q262SftLossMask,
-    q263TokenBudget, q265ClassifierTrain, q268ReproducibleShuffle)
+    q263TokenBudget, q265ClassifierTrain, q268ReproducibleShuffle,
+    q297FimTransform)
 
   /** REPRODUCIBLE GLOBAL SHUFFLE — the training-data ordering step:
     * every epoch must visit the corpus in a "random" order that is (a)

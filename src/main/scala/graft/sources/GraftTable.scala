@@ -60,6 +60,12 @@ object GraftTable {
   final class ConcurrentCommitException(msg: String)
     extends IllegalStateException(msg)
 
+  /** Thrown when a write's rows violate a declared CHECK constraint —
+    * the commit never publishes (head unchanged, staged files are
+    * vacuum-swept orphans). NOT a retry signal. */
+  final class ConstraintViolationException(msg: String)
+    extends IllegalStateException(msg)
+
   /** One manifest line. `nBytes` is the data file's on-disk size —
     * recorded at write time since round 10 so scan statistics
     * ([[snapshotStats]], the DSv2 `SupportsReportStatistics` surface)
@@ -544,6 +550,12 @@ object GraftTable {
     // colstats sidecar as `#nulls.<col>` lines and are what lets an
     // unfiltered `count(col)` answer from metadata (rows − nulls)
     // without opening a data file
+    // declared CHECK constraints ride the SAME stats pass (no extra
+    // scan): per-file violation counts aggregate next to min/max/nulls,
+    // and ANY violation aborts BEFORE the manifest publish — the
+    // staged files are unreferenced orphans for vacuum, the table's
+    // head never moves (Delta's CHECK-constraint write contract)
+    val constraintList = constraints(spark, root).toSeq.sortBy(_._1)
     val dataCols = df.schema.fieldNames.toSeq
     // integral columns additionally ledger their per-file SUM: long
     // addition is associative mod 2⁶⁴, so Σ(file sums) equals the data
@@ -564,11 +576,24 @@ object GraftTable {
           count(lit(1)).as("n")) ++
           dataCols.map(c =>
             sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) ++
-          intCols.map(c => sum(col(c).cast("long")).as(s"__sum_$c"))
+          intCols.map(c => sum(col(c).cast("long")).as(s"__sum_$c")) ++
+          constraintList.map { case (name, ex) =>
+            val p = expr(ex)
+            // false OR NULL counts as a violation, the SQL CHECK rule
+            sum(when(p.isNull || !p, 1L).otherwise(0L)).as(s"__ck_$name")
+          }
         written.groupBy(input_file_name().as("file"))
           .agg(aggExprs.head, aggExprs.tail: _*)
           .collect()
       }
+    constraintList.zipWithIndex.foreach { case ((name, ex), i) =>
+      val idx = 4 + dataCols.size + intCols.size + i
+      val bad = statRows.map(_.getLong(idx)).sum
+      if (bad > 0) throw new ConstraintViolationException(
+        s"CHECK constraint '$name' ($ex) violated by $bad row(s) — " +
+          "commit aborted, table head unchanged (staged files are " +
+          "unreferenced orphans; vacuum sweeps them)")
+    }
     val entries = statRows
       .map { r =>
         val p = new org.apache.hadoop.fs.Path(
@@ -1296,6 +1321,52 @@ object GraftTable {
     * surface as `VERSION AS OF '<name>'`. Re-tagging an existing name
     * MOVES it (the file overwrites atomically); `deleteTag` releases
     * the pin, after which the next vacuum may reclaim the version. */
+  /** Declare a CHECK constraint (SQL boolean expression over the
+    * table's columns): validated against the FULL current snapshot
+    * first (one aggregation — declaring a constraint existing data
+    * violates is refused, the Delta contract), then every later write
+    * enforces it inside its existing stats pass — a violating commit
+    * aborts BEFORE the manifest publish with per-constraint counts.
+    * Tag-style storage: one `_log/check-<name>.json` per constraint
+    * (complete files only; add/drop are metadata ops). */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+      expression: String): Unit = {
+    require(name.matches("[A-Za-z][A-Za-z0-9._-]*"),
+      s"constraint name must match [A-Za-z][A-Za-z0-9._-]*, got '$name'")
+    val p = expr(expression)
+    val bad = read(spark, root)
+      .agg(sum(when(p.isNull || !p, 1L).otherwise(0L))).collect()(0)
+    if (!bad.isNullAt(0) && bad.getLong(0) > 0)
+      throw new ConstraintViolationException(
+        s"cannot add CHECK constraint '$name' ($expression): " +
+          s"${bad.getLong(0)} existing row(s) violate it")
+    val (f, _) = fs(root, spark)
+    val path = new org.apache.hadoop.fs.Path(root, s"_log/check-$name.json")
+    f.delete(path, false)
+    writeAtomic(f, path, expression)
+  }
+
+  /** Remove a declared CHECK constraint (no-op if absent). */
+  def dropConstraint(spark: SparkSession, root: String,
+      name: String): Unit = {
+    val (f, _) = fs(root, spark)
+    f.delete(new org.apache.hadoop.fs.Path(root, s"_log/check-$name.json"),
+      false)
+    ()
+  }
+
+  /** All declared CHECK constraints, name → expression. */
+  def constraints(spark: SparkSession, root: String): Map[String, String] = {
+    val (f, _) = fs(root, spark)
+    val log = new org.apache.hadoop.fs.Path(root, "_log")
+    if (!f.exists(log)) Map.empty
+    else f.listStatus(log).map(_.getPath.getName)
+      .collect { case s if s.startsWith("check-") && s.endsWith(".json") =>
+        s.stripPrefix("check-").stripSuffix(".json") ->
+          readFully(f, new org.apache.hadoop.fs.Path(log, s))
+      }.toMap
+  }
+
   def tag(spark: SparkSession, root: String, name: String,
           version: Int): Unit = {
     require(name.matches("[A-Za-z][A-Za-z0-9._-]*"),

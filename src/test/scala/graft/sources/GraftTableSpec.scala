@@ -832,6 +832,56 @@ class GraftTableSpec extends SparkSpec {
       2000000L, "__p_trunc")
   }
 
+  test("CHECK constraints: violating writes abort before the manifest " +
+    "publish, declaration validates existing data, drop re-opens") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(500), "k", nBuckets = 2)
+    // declaring a constraint existing data violates is refused
+    val e0 = intercept[GraftTable.ConstraintViolationException] {
+      GraftTable.addConstraint(spark, root, "big_v", "v > 100")
+    }
+    assert(e0.getMessage.contains("existing row"), e0.getMessage)
+    assert(GraftTable.constraints(spark, root).isEmpty)
+    // a satisfiable constraint declares; valid writes commit
+    GraftTable.addConstraint(spark, root, "pos_v", "v >= 0 AND v IS NOT NULL")
+    assert(GraftTable.constraints(spark, root)
+      === Map("pos_v" -> "v >= 0 AND v IS NOT NULL"))
+    GraftTable.upsert(spark, root,
+      spark.range(600, 611).select($"id".as("k"), lit("ok").as("name"),
+        lit(5L).as("v")), "k")
+    assert(GraftTable.latestVersion(spark, root) === 1)
+    // a violating write aborts: head unchanged, content unchanged,
+    // staged orphans swept by vacuum
+    val e1 = intercept[GraftTable.ConstraintViolationException] {
+      GraftTable.upsert(spark, root,
+        spark.range(700, 703).select($"id".as("k"), lit("bad").as("name"),
+          lit(-1L).as("v")), "k")
+    }
+    assert(e1.getMessage.contains("pos_v") &&
+      e1.getMessage.contains("3 row(s)"), e1.getMessage)
+    assert(GraftTable.latestVersion(spark, root) === 1)
+    assert(GraftTable.read(spark, root).count() === 511)
+    // NULL in the constrained column counts as a violation (SQL CHECK)
+    intercept[GraftTable.ConstraintViolationException] {
+      GraftTable.upsert(spark, root,
+        spark.range(1).select(lit(999L).as("k"), lit("n").as("name"),
+          lit(null).cast("long").as("v")), "k")
+    }
+    // the CDC path enforces too
+    intercept[GraftTable.ConstraintViolationException] {
+      GraftTable.applyCdcBatch(spark, root,
+        spark.range(1).select(lit(42L).as("k"), lit("c").as("name"),
+          lit(-9L).as("v"), lit("replace").as("_op")), "k")
+    }
+    assert(GraftTable.latestVersion(spark, root) === 1)
+    // drop re-opens the gate
+    GraftTable.dropConstraint(spark, root, "pos_v")
+    GraftTable.upsert(spark, root,
+      spark.range(1).select(lit(700L).as("k"), lit("neg").as("name"),
+        lit(-1L).as("v")), "k")
+    assert(GraftTable.latestVersion(spark, root) === 2)
+  }
+
   test("commit instants live IN the manifest: rewriting every mtime " +
     "(a non-preserving restore) does not shift TIMESTAMP AS OF") {
     val root = freshRoot()
