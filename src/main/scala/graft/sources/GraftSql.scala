@@ -164,6 +164,21 @@ class GraftSqlTable(val root: String, val snapshotVersion: Int,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
+  /** Table metadata surfaced to `SHOW TBLPROPERTIES` / `DESCRIBE
+    * TABLE EXTENDED`: the key column, the active partition transform,
+    * and every declared CHECK constraint (as `check.<name>`). */
+  override def properties(): util.Map[String, String] = {
+    val spark = SparkSession.active
+    val m = new util.HashMap[String, String]()
+    GraftTable.keyColumn(spark, root).foreach(m.put("key", _))
+    if (snapshotVersion >= 0)
+      GraftTable.partitionSpec(spark, root, snapshotVersion)
+        .foreach(t => m.put("partitioning", t.render))
+    GraftTable.constraints(spark, root)
+      .foreach { case (n, e) => m.put(s"check.$n", e) }
+    m
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, snapshotVersion, schema())
 
@@ -861,9 +876,31 @@ class GraftCatalog extends TableCatalog {
     new GraftSqlTable(root, 0)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "schema evolution runs through GraftTable.evolveAddColumns")
+  /** `ALTER TABLE cat.t ADD COLUMNS (x BIGINT, …)` — the one schema
+    * evolution the format supports (nullable adds, metadata-only,
+    * version-scoped: time travel below the evolution keeps the old
+    * column set), routed onto [[GraftTable.evolveAddColumns]]. Every
+    * other change (drop/rename/retype needs column mapping the format
+    * deliberately doesn't carry) refuses with guidance. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!exists(root)) throw new NoSuchTableException(ident)
+    val spark = SparkSession.active
+    val added = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft ADD COLUMNS takes top-level columns only, got " +
+            a.fieldNames.mkString("."))
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE supports ADD COLUMNS only (got $other); " +
+          "drop/rename/retype would need column mapping, which the " +
+          "format deliberately does not carry")
+    }
+    GraftTable.evolveAddColumns(spark, root, added)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(

@@ -269,6 +269,62 @@ class GraftSqlSpec extends SparkSpec {
       === "OPTIMIZE gmx.mx")
   }
 
+  test("scan plan shape: a native DSv2 BatchScan with vectorized " +
+    "columnar parquet reads; metadata-served aggregates show in the scan") {
+    val base = freshBase()
+    val root = base + "/ps"
+    mk(root, n = 100000, buckets = 8)
+    spark.conf.set("spark.sql.catalog.gps", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gps.base", base)
+    val df = spark.sql(
+      "SELECT k, v FROM gps.ps WHERE k BETWEEN 100 AND 500 AND v > 2000")
+    assert(df.count() === 300) // v = k*10 > 2000 → k ∈ [201, 500]
+    val plan = df.queryExecution.executedPlan.toString
+    // native DSv2 (BatchScanExec), NOT the V1 bridge's RowDataSourceScan
+    assert(plan.contains("BatchScan"), plan)
+    assert(!plan.contains("RowDataSourceScan"), plan)
+    // vectorized parquet: the scan is columnar, converted above it
+    assert(plan.contains("ColumnarToRow"), plan)
+    // a metadata-served aggregate names its served columns in the scan
+    val agg = spark.sql("SELECT count(*), sum(v) FROM gps.ps")
+    assert(agg.collect()(0) === org.apache.spark.sql.Row(
+      100000L, 10L * 100000L * 100001L / 2))
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(aggPlan.contains("servedAggregates"), aggPlan)
+    assert(!aggPlan.contains("ColumnarToRow"), aggPlan) // no data scan
+  }
+
+  test("ALTER TABLE ADD COLUMNS evolves through the catalog; other " +
+    "changes refuse; SHOW TBLPROPERTIES surfaces key/partitioning/checks") {
+    val base = freshBase()
+    val root = base + "/alt"
+    mk(root, n = 100, buckets = 2)
+    GraftTable.addConstraint(spark, root, "pos_v", "v >= 0")
+    spark.conf.set("spark.sql.catalog.galt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.galt.base", base)
+    spark.sql("ALTER TABLE galt.alt ADD COLUMNS (tag STRING, score BIGINT)")
+    assert(GraftTable.latestVersion(spark, root) === 1)
+    // evolved columns surface NULL-filled; v0 keeps the old column set
+    assert(spark.sql("SELECT count(*) FROM galt.alt WHERE tag IS NULL")
+      .as[Long].head() === 100L)
+    assert(spark.sql("SELECT * FROM galt.alt VERSION AS OF 0").columns.toSeq
+      === Seq("k", "name", "v"))
+    // writes after the evolution carry the new columns
+    spark.sql("INSERT INTO galt.alt VALUES (200L, 'x', 1L, 't', 9L)")
+    assert(spark.sql("SELECT tag, score FROM galt.alt WHERE k = 200")
+      .as[(String, Long)].head() === (("t", 9L)))
+    // unsupported change shapes refuse with guidance
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE galt.alt DROP COLUMN tag")
+    }
+    assert(e.getMessage.contains("ADD COLUMNS only"), e.getMessage)
+    // properties surface through SQL
+    val props = spark.sql("SHOW TBLPROPERTIES galt.alt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("key") === Some("k"))
+    assert(props.get("check.pos_v") === Some("v >= 0"))
+  }
+
   test("key-range extraction handles conjunctions and rejects non-integral shapes") {
     import org.apache.spark.sql.sources._
     def r(fs: Filter*) = GraftScanBuilder.keyRange(fs.toArray, "k")
