@@ -995,10 +995,82 @@ object StreamingQueries {
            |  true AS incremental
            |FROM events""".stripMargin))
 
+  /** BROKER-SHAPED streaming source ([[graft.streaming.GraftLog]]):
+    * the Kafka data model — partitioned, offset-addressed, append-only
+    * segments, `{pid: offset}` checkpoints — on plain files, so the
+    * at-least-once source integration is gate-testable without a
+    * broker process. Events are PRODUCED in three appends (clicks,
+    * purchases, views; partition = user_id % 4, in-partition order =
+    * event_id), then CONSUMED from `earliest` through the DSv2
+    * micro-batch stream. Offsets are therefore a pure function of the
+    * produce order, and the oracle replays them with one window:
+    * offset = rank by (append#, event_id) within partition. The
+    * offset-weighted checksum binds every row to ITS offset — a
+    * source that dropped, duplicated, or reordered a single record
+    * fails the hash. */
+  val q298BrokerLogSource = GraftQuery(
+    "q298_broker_log_source",
+    (s, dir) => {
+      val topic = newTempDir("graft_log_gate") + "/events"
+      val ev = Tables.events(s, dir).select(
+        col("event_id").cast("long").as("event_id"),
+        (col("user_id") % 4).cast("int").as("partition"),
+        col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+        (unix_timestamp(col("ts")) * 1000).cast("long").as("ts"))
+      def produce(eventType: String): Unit = {
+        graft.streaming.GraftLog.append(s, topic,
+          ev.filter(col("event_type") === eventType).select(
+            col("partition"), col("event_id").as("seq"),
+            col("event_id").cast("string").as("key"),
+            concat(col("event_type"), lit("|"),
+              col("cents").cast("string")).as("value"),
+            col("ts")))
+        ()
+      }
+      produce("click"); produce("purchase"); produce("view")
+      val sink = "graft_log_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val agg = s.readStream.format("graftlog").load(topic)
+        .select(col("partition"), col("offset"),
+          split(col("value"), "\\|").getItem(1).cast("long").as("cents"))
+        .groupBy("partition")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("cents").as("cents_sum"),
+          sum(col("offset") * col("cents")).as("offset_weighted"),
+          max("offset").as("max_offset"))
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val result = s.table(sink)
+      val schema = result.schema
+      val rows = result.collect()
+      s.catalog.dropTempView(sink)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy("partition")
+    },
+    Some("""WITH ev AS (
+           |  SELECT CAST(event_id AS BIGINT) AS event_id,
+           |    CAST(user_id % 4 AS INTEGER) AS partition,
+           |    CASE event_type WHEN 'click' THEN 0 WHEN 'purchase' THEN 1
+           |      ELSE 2 END AS appendno,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM events
+           |  WHERE event_type IN ('click', 'purchase', 'view')),
+           |ofs AS (
+           |  SELECT *, row_number() OVER (PARTITION BY partition
+           |      ORDER BY appendno, event_id) - 1 AS pos
+           |  FROM ev)
+           |SELECT partition, count(*) AS n_rows,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  CAST(sum(pos * cents) AS BIGINT) AS offset_weighted,
+           |  CAST(max(pos) AS BIGINT) AS max_offset
+           |FROM ofs GROUP BY partition ORDER BY partition""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q152StreamCdcState, q153StreamWindowedAggs, q157StreamClickPurchase,
       q159StreamUserTotals, q160RegistryNearDup, q161StreamSessions,
       q167StreamDedup, q168StreamEnrich, q228StreamAbandonedClicks,
       q248StreamTemporalJoin, q253CdfStreamMaintenance, q269StreamingGradient,
-      q286RateSourceBackpressure, q294NativeGraftSink)
+      q286RateSourceBackpressure, q294NativeGraftSink, q298BrokerLogSource)
 }

@@ -18,6 +18,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *   OPTIMIZE cat.t ZORDER BY (c1, c2)    -- space-filling-curve layout
   *   VACUUM cat.t                         -- sweep unreferenced files
   *   VACUUM cat.t RETAIN 5 VERSIONS
+  *   VACUUM cat.t RETAIN 7 DAYS           -- durable-instant horizon
   * }}}
   *
   * Spark's grammar has no such statements, so they arrive through the
@@ -39,7 +40,8 @@ class GraftMaintenanceParser(delegate: ParserInterface)
       """(?:\s+TARGET\s+(\d+)\s+ROWS)?""" +
       """(?:\s+ZORDER\s+BY\s*\(\s*([\w`]+)\s*,\s*([\w`]+)\s*\))?\s*;?\s*""").r
   private val Vacuum =
-    """(?is)\s*VACUUM\s+([\w.`]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+    ("""(?is)\s*VACUUM\s+([\w.`]+)""" +
+      """(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|DAYS|HOURS))?\s*;?\s*""").r
 
   private def parts(ident: String): Seq[String] =
     ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
@@ -52,9 +54,16 @@ class GraftMaintenanceParser(delegate: ParserInterface)
           case (Some(a), Some(b)) => Some((a, b))
           case _ => None
         })
-    case Vacuum(ident, retain) =>
-      GraftVacuumCommand(parts(ident),
-        Option(retain).map(_.toInt).getOrElse(3))
+    case Vacuum(ident, retain, unit) =>
+      (Option(retain), Option(unit).map(_.toUpperCase)) match {
+        case (Some(n), Some("DAYS")) =>
+          GraftVacuumCommand(parts(ident), Right(n.toLong * 86400000L))
+        case (Some(n), Some("HOURS")) =>
+          GraftVacuumCommand(parts(ident), Right(n.toLong * 3600000L))
+        case (Some(n), _) =>
+          GraftVacuumCommand(parts(ident), Left(n.toInt))
+        case _ => GraftVacuumCommand(parts(ident), Left(3))
+      }
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -127,17 +136,23 @@ case class GraftOptimizeCommand(parts: Seq[String], targetRows: Long,
   }
 }
 
-/** `VACUUM cat.t [RETAIN n VERSIONS]` — sweep unreferenced data files
-  * and expired manifests (default horizon 3 versions; tagged versions
-  * stay pinned, exactly like the Scala API). */
-case class GraftVacuumCommand(parts: Seq[String], retainVersions: Int)
-  extends LeafRunnableCommand {
+/** `VACUUM cat.t [RETAIN n VERSIONS | RETAIN n DAYS | RETAIN n HOURS]`
+  * — sweep unreferenced data files and expired manifests (default
+  * horizon 3 versions; tagged versions stay pinned, exactly like the
+  * Scala API). Time-based retention resolves through the durable
+  * in-manifest commit instants. */
+case class GraftVacuumCommand(parts: Seq[String],
+    retention: Either[Int, Long]) extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Seq(
     AttributeReference("files_removed", IntegerType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftMaintenance.rootOf(spark, parts, "VACUUM")
-    Seq(Row(GraftTable.vacuum(spark, root, retainVersions)))
+    val removed = retention match {
+      case Left(versions) => GraftTable.vacuum(spark, root, versions)
+      case Right(millis) => GraftTable.vacuumOlderThan(spark, root, millis)
+    }
+    Seq(Row(removed))
   }
 }

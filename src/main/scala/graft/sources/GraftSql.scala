@@ -465,7 +465,9 @@ private[sources] class ManifestFileIndex(spark: SparkSession,
     : org.apache.spark.sql.execution.datasources.PartitionSpec =
     org.apache.spark.sql.execution.datasources.PartitionSpec.emptySpec
 
-  override protected def leafFiles: scala.collection.mutable.LinkedHashMap[
+  // computed ONCE (planning asks for the file listing repeatedly;
+  // rebuilding an O(files) map per call would tax large snapshots)
+  override protected lazy val leafFiles: scala.collection.mutable.LinkedHashMap[
       org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileStatus] = {
     val m = new scala.collection.mutable.LinkedHashMap[
       org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileStatus]()
@@ -473,7 +475,7 @@ private[sources] class ManifestFileIndex(spark: SparkSession,
     m
   }
 
-  override protected def leafDirToChildrenFiles: Map[
+  override protected lazy val leafDirToChildrenFiles: Map[
       org.apache.hadoop.fs.Path, Array[org.apache.hadoop.fs.FileStatus]] =
     statuses.groupBy(_.getPath.getParent)
       .map { case (dir, fs) => dir -> fs.toArray }

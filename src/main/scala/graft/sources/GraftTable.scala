@@ -1423,6 +1423,26 @@ object GraftTable {
     * a retained old version and latest degrade to "no stats → never
     * skip" on time-travel reads — pruning loss only, never
     * correctness. */
+  /** Time-based retention: sweep history older than `retainMillis`
+    * before `now` — resolved through the DURABLE commit instants (the
+    * manifest `#commit-ts` headers, so a restore that rewrote mtimes
+    * retains exactly the same horizon). The latest version is always
+    * kept whatever its age; tag pins apply as in the version form. */
+  def vacuumOlderThan(spark: SparkSession, root: String,
+      retainMillis: Long, nowMillis: Long = System.currentTimeMillis())
+    : Int = {
+    require(retainMillis >= 0, "retention must be non-negative")
+    val horizon = nowMillis - retainMillis
+    val ts = commitTimestamps(spark, root)
+    require(ts.nonEmpty, s"no table at $root")
+    // keep every version committed at/after the horizon, and always
+    // the latest
+    val latest = ts.map(_._1).max
+    val keepFrom = ts.filter(_._2 >= horizon).map(_._1)
+      .minOption.getOrElse(latest)
+    vacuum(spark, root, retainVersions = latest - keepFrom + 1)
+  }
+
   def vacuum(spark: SparkSession, root: String, retainVersions: Int): Int = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val (f, _) = fs(root, spark)

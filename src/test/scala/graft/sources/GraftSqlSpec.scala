@@ -258,6 +258,11 @@ class GraftSqlSpec extends SparkSpec {
     assert(z.getLong(0) === 5L && z.getInt(1) > 0)
     assert(spark.sql("SELECT sum(v), sum(k), count(*) FROM gmx.mx")
       .collect()(0) === contentBefore)
+    // time-based retention parses and (fresh commits) sweeps only the
+    // pre-optimize orphans already gone — content intact either way
+    spark.sql("VACUUM gmx.mx RETAIN 1000 DAYS").collect()
+    assert(spark.sql("SELECT sum(v), sum(k), count(*) FROM gmx.mx")
+      .collect()(0) === contentBefore)
     // non-graft targets refuse with guidance
     val e = intercept[Exception] {
       spark.sql("OPTIMIZE nosuch.t").collect()

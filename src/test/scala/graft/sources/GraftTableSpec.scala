@@ -882,6 +882,32 @@ class GraftTableSpec extends SparkSpec {
     assert(GraftTable.latestVersion(spark, root) === 2)
   }
 
+  test("time-based vacuum resolves its horizon through the durable " +
+    "commit instants, latest always kept") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(300), "k", nBuckets = 2)
+    Thread.sleep(25)
+    GraftTable.upsert(spark, root, base(300).filter($"k" <= 5)
+      .withColumn("v", lit(-1L)), "k")
+    Thread.sleep(25)
+    GraftTable.upsert(spark, root, base(300).filter($"k" <= 2)
+      .withColumn("v", lit(-2L)), "k")
+    val ts = GraftTable.commitTimestamps(spark, root)
+    // horizon BEFORE v0's instant: everything retained (only true
+    // orphans would sweep), all three versions stay readable
+    GraftTable.vacuumOlderThan(spark, root, retainMillis = 3600000L,
+      nowMillis = ts(0)._2 + 10)
+    assert(GraftTable.availableVersions(spark, root) === Seq(0, 1, 2))
+    // horizon BETWEEN v1 and v2: v2 retained, v0/v1 swept
+    val mid = (ts(1)._2 + ts(2)._2) / 2
+    val removed = GraftTable.vacuumOlderThan(spark, root,
+      retainMillis = 0L, nowMillis = mid)
+    assert(removed > 0)
+    assert(GraftTable.availableVersions(spark, root) === Seq(2))
+    assert(GraftTable.read(spark, root).count() === 300)
+    assert(GraftTable.read(spark, root).filter($"v" === -2L).count() === 2)
+  }
+
   test("commit instants live IN the manifest: rewriting every mtime " +
     "(a non-preserving restore) does not shift TIMESTAMP AS OF") {
     val root = freshRoot()
