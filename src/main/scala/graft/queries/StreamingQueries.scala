@@ -1067,10 +1067,80 @@ object StreamingQueries {
            |  CAST(max(pos) AS BIGINT) AS max_offset
            |FROM ofs GROUP BY partition ORDER BY partition""".stripMargin))
 
+  /** END-TO-END streaming integration: broker-shaped source → typed
+    * transform → versioned-table sink, with a mid-pipeline RESTART —
+    * the full production topology this engine's streaming pieces
+    * compose into ([[graft.streaming.GraftLog]] `{pid: offset}`
+    * checkpoints feeding `writeStream.format("graft")`'s replay-guard
+    * markers: at-least-once upstream, effective-once into the table).
+    * Click events are produced in two eras; the stream is STOPPED
+    * between them and resumed on the same checkpoint, so the final
+    * table content equals the relational answer ONLY IF the restart
+    * neither replayed nor dropped an offset. Version count pins
+    * genuine incrementality (one commit per era's batch). */
+  val q299LogToTablePipeline = GraftQuery(
+    "q299_log_to_table_pipeline",
+    (s, dir) => {
+      val topic = newTempDir("graft_e2e_log") + "/clicks"
+      val tbl = newTempDir("graft_e2e_tbl") + "/t"
+      val ckpt = newTempDir("graft_e2e_ckpt")
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").cast("long").as("event_id"),
+          (col("user_id") % 3).cast("int").as("partition"),
+          col("user_id").cast("long").as("user_id"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      def produce(pred: org.apache.spark.sql.Column): Unit = {
+        graft.streaming.GraftLog.append(s, topic, ev.filter(pred).select(
+          col("partition"), col("event_id").as("seq"),
+          col("event_id").cast("string").as("key"),
+          concat(col("user_id").cast("string"), lit("|"),
+            col("cents").cast("string")).as("value"),
+          col("event_id").as("ts")))
+        ()
+      }
+      def run(): Unit = {
+        val q = s.readStream.format("graftlog").load(topic)
+          .select(col("key").cast("long").as("k"),
+            split(col("value"), "\\|").getItem(0).cast("long").as("user_id"),
+            split(col("value"), "\\|").getItem(1).cast("long").as("cents"))
+          .writeStream.format("graft")
+          .option("path", tbl).option("key", "k").option("buckets", "2")
+          .option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      // era 1: even event ids → one micro-batch → table v0
+      produce(col("event_id") % 2 === 0)
+      run()
+      // era 2 lands while the pipeline is DOWN; the resumed stream
+      // must pick up exactly the new offsets → table v1
+      produce(col("event_id") % 2 === 1)
+      run()
+      val latest = graft.sources.GraftTable.latestVersion(s, tbl).toLong
+      graft.sources.GraftTable.read(s, tbl)
+        .groupBy(lit("final").as("stage"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("cents").as("cents_sum"),
+          sum(conv(substring(md5(concat_ws("|", col("k").cast("string"),
+            col("user_id").cast("string"), col("cents").cast("string"))),
+            1, 8), 16, 10).cast("long")).as("row_sum"),
+          lit(latest + 1).as("n_versions"))
+    },
+    Some("""SELECT 'final' AS stage, count(*) AS n_rows,
+           |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+           |    AS BIGINT) AS cents_sum,
+           |  CAST(sum(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+           |    || '|' || CAST(user_id AS VARCHAR) || '|' ||
+           |    CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)),
+           |    1, 8))::BIGINT) AS BIGINT) AS row_sum,
+           |  CAST(2 AS BIGINT) AS n_versions
+           |FROM events WHERE event_type = 'click'""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q152StreamCdcState, q153StreamWindowedAggs, q157StreamClickPurchase,
       q159StreamUserTotals, q160RegistryNearDup, q161StreamSessions,
       q167StreamDedup, q168StreamEnrich, q228StreamAbandonedClicks,
       q248StreamTemporalJoin, q253CdfStreamMaintenance, q269StreamingGradient,
-      q286RateSourceBackpressure, q294NativeGraftSink, q298BrokerLogSource)
+      q286RateSourceBackpressure, q294NativeGraftSink, q298BrokerLogSource,
+      q299LogToTablePipeline)
 }
