@@ -60,19 +60,30 @@ object FactBuilder {
         col("street"), col("city"), col("state"), col("postal"))
 
     // Stage 2 — ⋈ location on the 4-part natural key (FactTable.sql:46-53).
-    val loc = locationDim.select("location_id", "street_name", "city_name",
-      "state_name", "postal")
+    // The right leg's columns are renamed EXPLICITLY (loc_*): locationDim
+    // shares lineage with cleansed, so `s1("postal") === loc("postal")`
+    // can self-resolve both sides to ONE attribute — today a benign
+    // "trivially true equals predicate" warning, but the exact pattern
+    // that silently becomes a cross-join + post-filter if the analyzer
+    // ever collapses them. Unique names make the join unambiguous.
+    val loc = locationDim.select(col("location_id").as("loc_location_id"),
+      col("street_name").as("loc_street"), col("city_name").as("loc_city"),
+      col("state_name").as("loc_state"), col("postal").as("loc_postal"))
     val s2 = s1.join(broadcast(loc),
-      s1("street") === loc("street_name") and s1("city") === loc("city_name") and
-        s1("state") === loc("state_name") and s1("postal") === loc("postal"),
+      s1("street") === col("loc_street") and s1("city") === col("loc_city") and
+        s1("state") === col("loc_state") and s1("postal") === col("loc_postal"),
       "inner")
       .select(s1("order_id"), s1("product_id"), s1("product"), s1("price_each"),
         s1("quantity_ordered"), s1("order_date").cast("date").as("order_date"),
-        loc("location_id"), s1("street"), s1("city"), s1("state"), s1("postal"))
+        col("loc_location_id").as("location_id"),
+        s1("street"), s1("city"), s1("state"), s1("postal"))
 
-    // Stage 3 — ⋈ time on the day (FactTable.sql:70-75).
-    val t = timeDim.select(col("time_id").as("t_time_id"), col("time_desc"))
-    val s3 = s2.join(broadcast(t), s2("order_date") === t("time_desc"), "inner")
+    // Stage 3 — ⋈ time on the day (FactTable.sql:70-75); time_desc
+    // renamed for the same self-lineage reason as stage 2.
+    val t = timeDim.select(col("time_id").as("t_time_id"),
+      col("time_desc").as("t_time_desc"))
+    val s3 = s2.join(broadcast(t), s2("order_date") === col("t_time_desc"),
+      "inner")
       .select(col("order_id"), col("product_id"), col("product"),
         col("price_each"), col("quantity_ordered"),
         col("t_time_id").as("time_id"), col("order_date"), col("location_id"),

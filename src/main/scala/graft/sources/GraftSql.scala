@@ -100,7 +100,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     * .option("path", root).option("key", k)`: each micro-batch lands
     * through [[GraftTable.ingestBatch]], the SAME commit path as the
     * Scala API (create on first batch, keyed-MERGE upsert after, one
-    * version per batch) with `_log/ingest-<batchId>.marker` replay
+    * version per batch) with `_log/ingest-<queryId>-<batchId>.marker` replay
     * guards — a batch re-delivered after a failure between sink commit
     * and checkpoint advance does not grow the version log (the
     * effective-once contract production sinks document; content
@@ -126,12 +126,21 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         val spark = data.sparkSession
+        // the stream's queryId scopes the replay guard: batchId alone
+        // is global per table, and a second query (or a fresh
+        // checkpoint) restarting at batchId 0 would be silently
+        // skipped. StreamExecution publishes the id as a driver-local
+        // property during addBatch — stable across restarts of the
+        // same checkpoint, new for a new one (the Delta sink rule).
+        val queryId = Option(spark.sparkContext
+          .getLocalProperty("sql.streaming.queryId")).getOrElse("")
         // re-wrap + pin: the keyed merge joins the batch against the
         // current snapshot (a streaming-flagged plan refuses that),
         // and the commit path takes several actions over the batch —
         // cache so the micro-batch computes once
         val batch = org.apache.spark.sql.graft.bridge.asBatch(data).cache()
-        try GraftTable.ingestBatch(spark, root, batch, key, batchId, nBuckets)
+        try GraftTable.ingestBatch(spark, root, batch, key, batchId,
+          nBuckets, queryId)
         finally batch.unpersist()
       }
       override def toString: String = s"GraftSink[$root]"

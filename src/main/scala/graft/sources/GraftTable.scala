@@ -168,7 +168,19 @@ object GraftTable {
       // doesn't preserve mtimes must not silently shift every
       // TIMESTAMP AS OF resolution. Readers of pre-header manifests
       // fall back to mtime (see commitInstant).
-      val header = s"#commit-ts\t${System.currentTimeMillis()}\n"
+      //
+      // The instant is CLAMPED to strictly exceed the previous
+      // version's (Delta's in-commit-timestamp rule): resolveTimestamp
+      // binary-searches on the premise that instants are monotone over
+      // versions, and multi-writer clock skew (or a clock step) would
+      // otherwise let a later version record an earlier instant and
+      // make the search resolve the wrong snapshot. v−1 always exists
+      // here (we commit latest+1 and vacuum keeps a contiguous tail).
+      val prevInstant =
+        if (v == 0 || !f.exists(manifestPath(root, v - 1))) Long.MinValue
+        else commitInstant(f, root, v - 1)
+      val instant = math.max(prevInstant + 1, System.currentTimeMillis())
+      val header = s"#commit-ts\t$instant\n"
       writeAtomic(f, manifestPath(root, v), header + renderManifest(entries))
       quarantined.foreach { case (_, q) => f.delete(q, false) }
     } catch {
@@ -237,18 +249,46 @@ object GraftTable {
     * pre-header tables (there the publish rename's mtime WAS the
     * instant). Reads only the first line, never the file ledger. */
   private def commitInstant(f: org.apache.hadoop.fs.FileSystem,
-      root: String, version: Int): Long = {
-    val p = manifestPath(root, version)
+      root: String, version: Int): Long =
+    commitInstantOpt(f, root, version).getOrElse(
+      f.getFileStatus(manifestPath(root, version)).getModificationTime)
+
+  /** The manifest's first `max` bytes, read with a FILL LOOP: a single
+    * `in.read(buf)` may legally return fewer bytes than requested
+    * (object-store streams routinely short-read), and a header line
+    * truncated mid-number would parse as a WRONG instant — silently
+    * corrupting `TIMESTAMP AS OF` and, worse, `vacuumOlderThan`'s
+    * horizon. Loop until the buffer is full or EOF. */
+  private def readHead(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, max: Int = 256): String = {
     val in = f.open(p)
-    val head = try {
-      val buf = new Array[Byte](64)
-      val n = in.read(buf)
-      if (n <= 0) "" else new String(buf, 0, n, "UTF-8").takeWhile(_ != '\n')
+    try {
+      val buf = new Array[Byte](max)
+      var off = 0
+      var n = 0
+      while (off < max && { n = in.read(buf, off, max - off); n > 0 }) off += n
+      new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
-    head.split('\t') match {
-      case Array("#commit-ts", ms) => ms.toLong
-      case _ => f.getFileStatus(p).getModificationTime
-    }
+  }
+
+  /** The durable `#commit-ts` header instant of `version`, or None for
+    * a legacy pre-header manifest (caller falls back to mtime). A
+    * header line that is PRESENT but not fully read (no newline inside
+    * the head window) is an error, never a silent mtime fallback. */
+  private def commitInstantOpt(f: org.apache.hadoop.fs.FileSystem,
+      root: String, version: Int): Option[Long] = {
+    val p = manifestPath(root, version)
+    val head = readHead(f, p)
+    val nl = head.indexOf('\n')
+    if (head.startsWith("#commit-ts\t")) {
+      // complete iff newline seen, or EOF landed inside the window
+      // (head shorter than the window means the whole file was read)
+      if (nl < 0 && head.length >= 256)
+        throw new IllegalStateException(
+          s"malformed manifest header (no newline in first 256 bytes): $p")
+      val line = if (nl >= 0) head.substring(0, nl) else head
+      Some(line.split('\t')(1).trim.toLong)
+    } else None
   }
 
   /** (version, commit time in epoch millis) for every retained
@@ -277,6 +317,20 @@ object GraftTable {
     val (f, _) = fs(root, spark)
     val versions = listManifestVersions(f, root).toIndexedSeq
     if (versions.isEmpty) return None
+    // The binary search is sound only if instants are monotone over
+    // versions — guaranteed for header-bearing manifests (commit-time
+    // clamp in commitManifest), NOT for legacy pre-header manifests
+    // whose mtime fallback an rsync'd restore can set to "now", above
+    // every later header instant. Headers were adopted at one point
+    // and written by every commit since, so if the OLDEST retained
+    // manifest has a header, all of them do; if it doesn't, take the
+    // skew-robust linear max-filter instead of the search.
+    if (commitInstantOpt(f, root, versions.head).isEmpty) {
+      return versions
+        .map(v => v -> commitInstant(f, root, v))
+        .filter(_._2 <= tsMillis)
+        .maxByOption(_._1).map(_._1)
+    }
     var lo = 0
     var hi = versions.length - 1
     if (commitInstant(f, root, versions(lo)) > tsMillis) return None
@@ -1201,18 +1255,32 @@ object GraftTable {
   }
 
   /** Streaming-ingest commit: create the table on the first batch,
-    * upsert on every later one, and SKIP batches whose id has already
-    * committed (a `_log/ingest-<id>.marker` written after the
+    * upsert on every later one, and SKIP batches whose (queryId,
+    * batchId) has already committed (a
+    * `_log/ingest-<queryId>-<batchId>.marker` written after the
     * manifest publish) — so a micro-batch replayed by the streaming
     * engine after a failure between sink write and checkpoint commit
     * does not grow the version log. A failure BETWEEN manifest and
     * marker re-runs the upsert, which is content-idempotent
     * (last-write-wins on the same keys) — the same effective-once
-    * contract production foreachBatch sinks document. */
+    * contract production foreachBatch sinks document.
+    *
+    * The marker is keyed on BOTH ids (Delta's sink dedup rule): batchId
+    * alone is global per table, so a SECOND streaming query — or the
+    * same query restarted with a fresh checkpoint — restarts batchIds
+    * at 0 and would have its batches SILENTLY skipped (data loss, no
+    * error). queryId is stable across restarts of the same checkpoint
+    * (it lives in checkpoint metadata), which is exactly the replay
+    * scope the guard must cover. An empty queryId keeps the legacy
+    * single-writer marker name. */
   def ingestBatch(spark: SparkSession, root: String, batch: DataFrame,
-      key: String, batchId: Long, nBuckets: Int = 8): Unit = {
+      key: String, batchId: Long, nBuckets: Int = 8,
+      queryId: String = ""): Unit = {
     val (f, _) = fs(root, spark)
-    val marker = new org.apache.hadoop.fs.Path(root, s"_log/ingest-$batchId.marker")
+    val markerName =
+      if (queryId.isEmpty) s"_log/ingest-$batchId.marker"
+      else s"_log/ingest-$queryId-$batchId.marker"
+    val marker = new org.apache.hadoop.fs.Path(root, markerName)
     if (f.exists(marker)) return
     if (latestVersion(spark, root) < 0) create(spark, root, batch, key, nBuckets)
     else upsert(spark, root, batch, key, nBuckets)

@@ -68,9 +68,12 @@ final case class TruncatePartition(width: Long, column: String)
   extends PartitionTransform {
   require(width >= 1, s"truncate width must be >= 1, got $width")
   override def statsCol: String = s"__p_trunc${width}_$column"
+  // exact integer floor-truncation (v − pmod(v, w)), Iceberg's own
+  // formula: routing the division through a double loses precision at
+  // |v| ≥ 2^53 and can band a value wrongly vs the documented spec
   override def valueCol: Column =
-    (floor(col(column).cast("long").cast("double") / width.toDouble) *
-      width).cast("long")
+    (col(column).cast("long") -
+      pmod(col(column).cast("long"), lit(width))).cast("long")
   override def render: String = s"truncate($width,$column)"
 }
 
