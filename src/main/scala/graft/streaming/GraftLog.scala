@@ -4,10 +4,12 @@ import java.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -25,12 +27,25 @@ import org.apache.spark.unsafe.types.UTF8String
   *     (`base64(key) \t base64(value) \t tsMillis`) — binary-safe,
   *     splittable by line, and the end offset of a partition is a
   *     pure LISTING computation (max of start+count), no file reads.
-  *   - PRODUCE ([[GraftLog.append]]): each batch appends ONE segment
-  *     per partition via create-if-absent rename — two racing
-  *     producers to the same partition cannot interleave or clobber
-  *     (the loser's rename fails and retries at the new end offset).
-  *     Offsets within a segment follow the producer's explicit
-  *     `seq` ordering, so a replayed append is byte-identical.
+  *   - PRODUCE: each appended segment claims its START OFFSET with a
+  *     create-exclusive `.claim-<start>` file BEFORE publishing — two
+  *     racing producers to the same partition always collide on the
+  *     SAME claim name whatever their row counts, so the loser retries
+  *     at the new end offset and offsets stay dense and disjoint (a
+  *     name keyed on (start, count) would let different-sized racers
+  *     pass an exists-check and publish overlapping segments). The
+  *     claim releases after the publish rename; an abandoned claim (a
+  *     producer that died mid-write) is taken over after a staleness
+  *     window. [[GraftLog.append]] is the driver-side producer harness
+  *     (batch-sized payloads, the Kafka-client contract);
+  *     `df.write.format("graftlog").mode("append")` is the
+  *     DISTRIBUTED producer — a DSv2 batch write that requires
+  *     clustering by `partition` and ordering by (partition, offset),
+  *     so every partition's rows land executor-side, in order, through
+  *     the same claim protocol, and the driver never materializes the
+  *     frame. Produce is at-least-once under task retry (a retried
+  *     task re-appends its chunk — the non-idempotent Kafka producer
+  *     contract); consumers dedup by key where that matters.
   *   - CONSUME: `spark.readStream.format("graftlog").load(dir)` — a
   *     DSv2 [[MicroBatchStream]] whose offsets are per-partition end
   *     positions (the Kafka checkpoint shape: the engine checkpoints
@@ -38,9 +53,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *     re-planned after a crash re-reads the SAME offset range —
   *     at-least-once upstream, exactly-once downstream when the sink
   *     dedups, which the graft table sink's keyed merge does).
-  *     `startingOffsets` = earliest (default) | latest. Batch reads
-  *     (`spark.read.format("graftlog")`) serve the whole log with the
-  *     same schema: (partition, offset, key, value, ts).
+  *     `startingOffsets` = earliest (default) | latest.
+  *     `maxOffsetsPerTrigger` (Kafka semantics) caps each micro-batch
+  *     at N records, split across partitions proportionally to their
+  *     lag — without it a stream started from `earliest` on a large
+  *     topic plans ONE batch spanning the entire log, the 100 TB
+  *     scale-killer. `Trigger.AvailableNow` is honored: the end is
+  *     pinned once at start and drained in capped batches, then the
+  *     query stops. Batch reads (`spark.read.format("graftlog")`)
+  *     serve the whole log with the same schema:
+  *     (partition, offset, key, value, ts).
   *
   * Segment readers stream lines and skip by COUNT to the requested
   * offset — executor-side, one pass, no driver materialization; a
@@ -71,7 +93,7 @@ object GraftLog {
 
   /** Per-partition segment list: (path, startOffset, rowCount),
     * ascending by startOffset. Pure listing. */
-  private def segments(f: org.apache.hadoop.fs.FileSystem,
+  private[streaming] def segments(f: org.apache.hadoop.fs.FileSystem,
       dir: String, pid: Int): Seq[(String, Long, Long)] = {
     val pDir = new org.apache.hadoop.fs.Path(dir, s"p=$pid")
     if (!f.exists(pDir)) Seq.empty
@@ -104,15 +126,118 @@ object GraftLog {
     }.toMap
   }
 
-  /** PRODUCE: append `batch` — columns (partition INT, seq LONG,
-    * key STRING, value STRING, ts LONG); rows land in `seq` order
-    * within their partition — as one segment per non-empty partition.
-    * Create-if-absent rename per segment = OCC against racing
-    * producers (loser retries at the new end offset). Returns the new
+  /** Atomic create-exclusive of `p`: true iff THIS call created it.
+    * The local filesystem goes through java.nio (O_CREAT|O_EXCL — a
+    * genuine kernel-level atomic, where Hadoop's LocalFileSystem
+    * create(overwrite=false) is an exists-check-then-create TOCTOU);
+    * remote stores use the FileSystem contract (HDFS create-if-absent
+    * is atomic on the namenode). */
+  private[streaming] def createExclusive(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean = {
+    val scheme = Option(p.toUri.getScheme).getOrElse(f.getScheme)
+    if (scheme == "file" || (scheme == null && f.getScheme == "file")) {
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(p.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try { f.create(p, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException
+          if Option(e.getMessage).exists(_.contains("already exists")) => false
+      }
+    }
+  }
+
+  /** Append `lines` (already encoded, already in order) as ONE segment
+    * at the current end of partition `pid`, through the claim
+    * protocol; callable from executors (no SparkSession). Returns
+    * (startOffset, rowCount).
+    *
+    * Commit protocol, per attempt:
+    *   1. `start` = end offset from the segment LISTING.
+    *   2. Claim `start` by create-exclusive of `p=<pid>/.claim-<start>`
+    *      — the single name every racer for this offset collides on.
+    *      Loser: if the claim is fresher than `staleClaimMs`, wait for
+    *      the owner's segment to land (the claim releases right after
+    *      the publish rename) and retry at the NEW end; if staler,
+    *      the owner died mid-write — delete the claim and retry.
+    *   3. Owner writes a temp file and renames onto
+    *      `seg-<start>-<count>.log` — uncontended (we own `start`),
+    *      so rename-overwrite semantics on local FS cannot clobber a
+    *      racer's data.
+    *   4. Release the claim (also on failure — a failed attempt left
+    *      no segment, so the offset is simply re-claimable). */
+  private[streaming] def appendPartition(f: org.apache.hadoop.fs.FileSystem,
+      dir: String, pid: Int, lines: Seq[String],
+      staleClaimMs: Long = 30000L): (Long, Long) = {
+    require(lines.nonEmpty, "appendPartition with no rows")
+    val pDir = new org.apache.hadoop.fs.Path(dir, s"p=$pid")
+    f.mkdirs(pDir)
+    while (true) {
+      val start = segments(f, dir, pid).lastOption
+        .map(s => s._2 + s._3).getOrElse(0L)
+      val claim = new org.apache.hadoop.fs.Path(pDir, f".claim-$start%012d")
+      if (createExclusive(f, claim)) {
+        try {
+          // RE-VERIFY under the claim: our `start` came from a listing
+          // taken BEFORE the claim — a racer may have claimed this
+          // offset, published, and released in between, making our
+          // start stale (the ABA the claim alone can't see). Holding
+          // the claim freezes this offset, so a fresh listing is
+          // authoritative: if the end moved, release and retry there.
+          val endNow = segments(f, dir, pid).lastOption
+            .map(s => s._2 + s._3).getOrElse(0L)
+          if (endNow != start) {
+            // fall through to the finally-release and loop again
+          } else {
+          val dest = new org.apache.hadoop.fs.Path(pDir,
+            f"seg-$start%012d-${lines.length}%08d.log")
+          val tmp = new org.apache.hadoop.fs.Path(pDir,
+            s".tmp-${dest.getName}-${java.util.UUID.randomUUID()}")
+          val os = f.create(tmp, false)
+          try os.write(lines.mkString("", "\n", "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally os.close()
+          if (!f.rename(tmp, dest)) {
+            f.delete(tmp, false)
+            throw new IllegalStateException(
+              s"graftlog publish rename failed for claimed offset: $dest")
+          }
+          return (start, lines.length.toLong)
+          }
+        } finally f.delete(claim, false)
+      } else {
+        // another producer owns this start: wait for its publish (the
+        // common case) or take over a stale claim (a crashed producer)
+        val st =
+          try Some(f.getFileStatus(claim))
+          catch { case _: java.io.FileNotFoundException => None }
+        st match {
+          case Some(s) if System.currentTimeMillis() - s.getModificationTime >
+              staleClaimMs =>
+            f.delete(claim, false)
+          case Some(_) => Thread.sleep(5)
+          case None => () // released between our claim attempt and stat: retry
+        }
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** PRODUCE (driver-side harness): append `batch` — columns
+    * (partition INT, seq LONG, key STRING, value STRING, ts LONG);
+    * rows land in `seq` order within their partition — as one segment
+    * per non-empty partition, through the claim protocol (so racing
+    * appends from other processes interleave safely). Returns the new
     * end offsets. Rows cross the driver ONCE per append (a producer
-    * harness writes batch-sized payloads, the Kafka client contract;
-    * the distributed path into a topic is `foreachBatch` over many
-    * appends). */
+    * harness writes batch-sized payloads, the Kafka client contract);
+    * the DISTRIBUTED produce path is
+    * `df.write.format("graftlog").mode("append")`. */
   def append(spark: SparkSession, dir: String, batch: DataFrame)
     : Map[Int, Long] = {
     require(batch.columns.toSet == Set("partition", "seq", "key", "value", "ts"),
@@ -130,23 +255,8 @@ object GraftLog {
         val k = if (r.isNullAt(2)) null else r.getString(2)
         val v = if (r.isNullAt(3)) null else r.getString(3)
         s"${b64(k)}\t${b64(v)}\t${r.getLong(4)}"
-      }
-      var committed = false
-      while (!committed) {
-        val start = segments(f, dir, pid).lastOption
-          .map(s => s._2 + s._3).getOrElse(0L)
-        val dest = new org.apache.hadoop.fs.Path(dir,
-          f"p=$pid/seg-$start%012d-${lines.length}%08d.log")
-        f.mkdirs(dest.getParent)
-        val tmp = new org.apache.hadoop.fs.Path(dest.getParent,
-          s".tmp-${dest.getName}-${java.util.UUID.randomUUID()}")
-        val os = f.create(tmp, false)
-        try os.write(lines.mkString("", "\n", "\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally os.close()
-        if (!f.exists(dest) && f.rename(tmp, dest)) committed = true
-        else f.delete(tmp, false) // racing producer won: retry at new end
-      }
+      }.toSeq
+      appendPartition(f, dir, pid, lines)
     }
     endOffsets(spark, dir)
   }
@@ -167,6 +277,30 @@ object GraftLogOffset {
       val Array(k, v) = kv.split(':')
       k.trim.stripPrefix("\"").stripSuffix("\"").toInt -> v.trim.toLong
     }.toMap)
+  }
+
+  /** Cap `head` at `maxRows` records above `from`, split across
+    * partitions PROPORTIONALLY to their lag (Kafka's
+    * maxOffsetsPerTrigger rule): each partition gets
+    * floor(lag_p × maxRows / totalLag), and the remainder goes to the
+    * largest lags first (ties by partition id — deterministic, so a
+    * re-planned batch reads the identical range). */
+  private[streaming] def capped(from: Map[Int, Long], head: Map[Int, Long],
+      maxRows: Long): Map[Int, Long] = {
+    val lags = head.map { case (p, h) =>
+      p -> math.max(0L, h - from.getOrElse(p, 0L)) }
+    val total = lags.values.sum
+    if (total <= maxRows) head
+    else {
+      val base = lags.map { case (p, l) => p -> l * maxRows / total }
+      val rem = (maxRows - base.values.sum).toInt
+      val extra = lags.toSeq.sortBy { case (p, l) => (-l, p) }
+        .take(rem).map(_._1).toSet
+      head.map { case (p, h) =>
+        val take = base(p) + (if (extra(p)) 1L else 0L)
+        p -> math.min(h, from.getOrElse(p, 0L) + take)
+      }
+    }
   }
 }
 
@@ -236,6 +370,7 @@ class GraftLogReaderFactory extends PartitionReaderFactory {
 /** The scan: micro-batch stream AND batch read over the same
   * partition/offset reader. */
 class GraftLogScan(dir: String, startingOffsets: String,
+    maxOffsetsPerTrigger: Option[Long],
     spark: SparkSession) extends Scan with Batch {
 
   private def hconfMap: Map[String, String] = {
@@ -260,24 +395,8 @@ class GraftLogScan(dir: String, startingOffsets: String,
     untilEnds.toSeq.sortBy(_._1).flatMap { case (pid, until) =>
       val from = fromEnds.getOrElse(pid, 0L)
       if (until <= from) None
-      else {
-        // per-partition segment listing (metadata only)
-        val segs = {
-          val pDir = new org.apache.hadoop.fs.Path(dir, s"p=$pid")
-          if (!f.exists(pDir)) Seq.empty[(String, Long, Long)]
-          else f.listStatus(pDir).map(_.getPath)
-            .flatMap { p =>
-              p.getName match {
-                case s if s.matches("seg-\\d{12}-\\d{8}\\.log") =>
-                  Some((p.toString, s.substring(4, 16).toLong,
-                    s.substring(17, 25).toLong))
-                case _ => None
-              }
-            }.sortBy(_._2).toSeq
-        }
-        Some(GraftLogInputPartition(pid, segs, from, until, hm)
-          : InputPartition)
-      }
+      else Some(GraftLogInputPartition(pid,
+        GraftLog.segments(f, dir, pid), from, until, hm): InputPartition)
     }.toArray
   }
 
@@ -290,7 +409,14 @@ class GraftLogScan(dir: String, startingOffsets: String,
 
   // ---- micro-batch stream ----
   override def toMicroBatchStream(checkpointLocation: String)
-    : MicroBatchStream = new MicroBatchStream {
+    : MicroBatchStream = new MicroBatchStream
+      with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+    // Trigger.AvailableNow pins the topic head ONCE at query start;
+    // capped batches then drain toward that fixed end and the query
+    // stops — the bounded-catch-up contract (rows produced after the
+    // pin wait for the next run).
+    private var availableNowEnd: Option[Map[Int, Long]] = None
 
     override def initialOffset(): Offset = startingOffsets match {
       case "latest" => GraftLogOffset(GraftLog.endOffsets(spark, dir))
@@ -298,6 +424,34 @@ class GraftLogScan(dir: String, startingOffsets: String,
         GraftLog.endOffsets(spark, dir).map { case (p, _) => p -> 0L })
     }
 
+    override def getDefaultReadLimit: ReadLimit =
+      maxOffsetsPerTrigger.map(ReadLimit.maxRows)
+        .getOrElse(ReadLimit.allAvailable())
+
+    override def prepareForTriggerAvailableNow(): Unit =
+      availableNowEnd = Some(GraftLog.endOffsets(spark, dir))
+
+    /** The admission-controlled end of the next micro-batch: the topic
+      * head (or the AvailableNow pin), capped at the limit's row count
+      * above `start`, split proportionally to per-partition lag. This
+      * is what keeps batch 0 of an `earliest` start on a huge topic
+      * from spanning the whole log. */
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val from = start.asInstanceOf[GraftLogOffset].ends
+      val head = availableNowEnd.getOrElse(GraftLog.endOffsets(spark, dir))
+      limit match {
+        case r: ReadMaxRows =>
+          GraftLogOffset(GraftLogOffset.capped(from, head, r.maxRows()))
+        case _ => GraftLogOffset(head)
+      }
+    }
+
+    override def reportLatestOffset(): Offset =
+      GraftLogOffset(GraftLog.endOffsets(spark, dir))
+
+    // the engine calls the admission-controlled form above when the
+    // source implements SupportsAdmissionControl; this uncapped form
+    // survives for the base-interface contract
     override def latestOffset(): Offset =
       GraftLogOffset(GraftLog.endOffsets(spark, dir))
 
@@ -317,20 +471,139 @@ class GraftLogScan(dir: String, startingOffsets: String,
   }
 }
 
+/** Per-task commit message: the (pid, start, count) segments this task
+  * published — metadata-sized. */
+case class GraftLogWriteCommit(segments: Seq[(Int, Long, Long)])
+  extends WriterCommitMessage
+
+/** Executor-side producer task: rows arrive CLUSTERED by `partition`
+  * and SORTED by (partition, offset) — the Write declares that
+  * requirement, Spark plans the shuffle/sort — so each partition's
+  * payload is contiguous and ordered, and one task owns each
+  * partition per job. Segments publish through the same claim
+  * protocol as the driver harness, in bounded chunks
+  * (`maxRowsPerSegment`), so task memory never holds more than one
+  * segment. Task retry re-appends already-published chunks —
+  * at-least-once, the non-idempotent Kafka producer contract. */
+class GraftLogDataWriter(dir: String, hconf: Map[String, String],
+    pIdx: Int, oIdx: Int, kIdx: Int, vIdx: Int, tIdx: Int,
+    maxRowsPerSegment: Int) extends DataWriter[InternalRow] {
+
+  private lazy val fsys = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    hconf.foreach { case (k, v) => c.set(k, v) }
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(c)
+  }
+  private var curPid: Int = Int.MinValue
+  private var started = false
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val published = Seq.newBuilder[(Int, Long, Long)]
+
+  private def flush(): Unit = if (buf.nonEmpty) {
+    val (start, n) = GraftLog.appendPartition(fsys, dir, curPid, buf.toSeq)
+    published += ((curPid, start, n))
+    buf.clear()
+  }
+
+  override def write(r: InternalRow): Unit = {
+    val pid = r.getInt(pIdx)
+    if (started && pid != curPid) flush()
+    started = true
+    curPid = pid
+    val k = if (r.isNullAt(kIdx)) null else r.getUTF8String(kIdx).toString
+    val v = if (r.isNullAt(vIdx)) null else r.getUTF8String(vIdx).toString
+    buf += s"${GraftLog.b64(k)}\t${GraftLog.b64(v)}\t${r.getLong(tIdx)}"
+    if (buf.size >= maxRowsPerSegment) flush()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    GraftLogWriteCommit(published.result())
+  }
+
+  // chunks already published stay (append-only log, at-least-once);
+  // nothing staged to clean
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}
+
+class GraftLogWriterFactory(dir: String, hconf: Map[String, String],
+    pIdx: Int, oIdx: Int, kIdx: Int, vIdx: Int, tIdx: Int,
+    maxRowsPerSegment: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+    : DataWriter[InternalRow] =
+    new GraftLogDataWriter(dir, hconf, pIdx, oIdx, kIdx, vIdx, tIdx,
+      maxRowsPerSegment)
+}
+
 class GraftLogTable(dir: String, options: CaseInsensitiveStringMap)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graftlog.`$dir`"
   override def schema(): StructType = GraftLog.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new GraftLogScan(dir,
-        Option(opts.get("startingOffsets")).getOrElse(
-          Option(options.get("startingOffsets")).getOrElse("earliest")),
-        SparkSession.active)
+      override def build(): Scan = {
+        def opt(k: String) = Option(opts.get(k)).orElse(Option(options.get(k)))
+        new GraftLogScan(dir,
+          opt("startingOffsets").getOrElse("earliest"),
+          opt("maxOffsetsPerTrigger").map(_.toLong),
+          SparkSession.active)
+      }
     }
+
+  /** `df.write.format("graftlog").mode("append").save(dir)`: the
+    * distributed producer. The frame must carry the log's own schema
+    * (partition, offset, key, value, ts) — `offset` here is the
+    * PRODUCER SEQUENCE (in-partition ordering), re-assigned to real
+    * log offsets at append, exactly like [[GraftLog.append]]'s `seq`. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val s = info.schema()
+    require(s.fieldNames.toSet == GraftLog.schema.fieldNames.toSet,
+      "graftlog write needs columns (partition, offset, key, value, ts); " +
+        s"got ${s.fieldNames.mkString(", ")}")
+    def idx(n: String) = s.fieldIndex(n)
+    require(s(idx("partition")).dataType == IntegerType &&
+        s(idx("offset")).dataType == LongType &&
+        s(idx("ts")).dataType == LongType,
+      "graftlog write needs partition INT, offset LONG, ts LONG " +
+        "(cast before writing)")
+    val maxRows = Option(options.get("maxRowsPerSegment"))
+      .map(_.toInt).getOrElse(1 << 20)
+    new WriteBuilder {
+      override def build(): Write = new Write with RequiresDistributionAndOrdering {
+        // one task per topic-partition (clustered), rows in producer
+        // order within it (sorted) — the layout that makes each task's
+        // payload one contiguous ordered segment run
+        override def requiredDistribution(): Distribution =
+          Distributions.clustered(Array(Expressions.identity("partition")))
+        override def requiredOrdering(): Array[SortOrder] = Array(
+          Expressions.sort(Expressions.identity("partition"),
+            SortDirection.ASCENDING),
+          Expressions.sort(Expressions.identity("offset"),
+            SortDirection.ASCENDING))
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(pi: PhysicalWriteInfo)
+            : DataWriterFactory = {
+            val spark = SparkSession.active
+            val c = spark.sparkContext.hadoopConfiguration.iterator()
+            val b = Map.newBuilder[String, String]
+            while (c.hasNext) { val e = c.next(); b += (e.getKey -> e.getValue) }
+            new GraftLogWriterFactory(dir, b.result(),
+              idx("partition"), idx("offset"), idx("key"), idx("value"),
+              idx("ts"), maxRows)
+          }
+          // segments published executor-side through the claim protocol
+          // are already durable and readable — job commit is a no-op
+          // (the Kafka producer has no job-level commit either)
+          override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+  }
 }
 
 class GraftLogDataSource extends TableProvider with DataSourceRegister {

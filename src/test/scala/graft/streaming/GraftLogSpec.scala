@@ -123,4 +123,186 @@ class GraftLogSpec extends SparkSpec {
       .select("offset").as[Long].collect().sorted
     assert(offs.toSeq === Seq(0L, 1L, 2L))
   }
+
+  test("GENUINELY concurrent producers to one partition: the claim " +
+    "protocol keeps offsets dense and disjoint whatever the row counts") {
+    val dir = freshDir()
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // 8 threads × 5 appends each, DIFFERENT row counts per thread —
+    // the exact shape that broke the old (start, count)-keyed rename:
+    // same-start racers with different counts got different names,
+    // both exists-checks passed, and the partition ended up with
+    // overlapping segments. The claim file is keyed on start alone.
+    val threads = 8
+    val appendsEach = 5
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    (0 until threads).foreach { t =>
+      pool.submit(new Runnable {
+        override def run(): Unit = try {
+          latch.await()
+          (0 until appendsEach).foreach { i =>
+            val n = 1 + (t + i) % 3 // 1..3 rows, varies per attempt
+            val lines = (0 until n).map(j =>
+              s"${GraftLog.b64(s"t$t-a$i-r$j")}\t${GraftLog.b64("v")}\t1")
+            GraftLog.appendPartition(f, dir, 0, lines)
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    latch.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"producer thread failed: ${errs.peek()}")
+    val expectRows = (0 until threads).flatMap(t =>
+      (0 until appendsEach).map(i => 1 + (t + i) % 3)).sum
+    val rows = spark.read.format("graftlog").load(dir)
+      .select("offset", "key").collect()
+    // every offset exactly once, dense from 0 — overlap or loss fails
+    assert(rows.map(_.getLong(0)).sorted.toSeq ===
+      (0L until expectRows.toLong))
+    // every producer's every row arrived exactly once
+    assert(rows.map(_.getString(1)).distinct.length === expectRows)
+    // segment ledger itself is non-overlapping and dense
+    val pDir = new org.apache.hadoop.fs.Path(dir, "p=0")
+    val segs = f.listStatus(pDir).map(_.getPath.getName)
+      .filter(_.matches("seg-\\d{12}-\\d{8}\\.log"))
+      .map(s => (s.substring(4, 16).toLong, s.substring(17, 25).toLong))
+      .sortBy(_._1)
+    segs.foldLeft(0L) { case (expectStart, (start, n)) =>
+      assert(start === expectStart, s"segment gap/overlap at $start")
+      start + n
+    }
+  }
+
+  test("capped offset split: proportional to lag, deterministic " +
+    "remainder, never past the head") {
+    import GraftLogOffset.capped
+    // total lag 10 (6 + 3 + 1), cap 5 → floor shares (3, 1, 0),
+    // remainder 1 goes to the largest lag (p0)
+    val from = Map(0 -> 0L, 1 -> 0L, 2 -> 0L)
+    val head = Map(0 -> 6L, 1 -> 3L, 2 -> 1L)
+    assert(capped(from, head, 5) === Map(0 -> 4L, 1 -> 1L, 2 -> 0L))
+    // cap at/above total lag returns the head verbatim
+    assert(capped(from, head, 10) === head)
+    assert(capped(from, head, 100) === head)
+    // mid-stream: lags (2, 3, 1), cap 4 → floors (1, 2, 0), rem 1 →
+    // p1 (the largest lag) → takes (1, 3, 0)
+    val from2 = Map(0 -> 4L, 1 -> 0L, 2 -> 0L)
+    assert(capped(from2, head, 4) === Map(0 -> 5L, 1 -> 3L, 2 -> 0L))
+    // remainder ties break by partition id (deterministic re-planning)
+    assert(capped(Map(0 -> 0L, 1 -> 0L), Map(0 -> 4L, 1 -> 4L), 3)
+      === Map(0 -> 2L, 1 -> 1L))
+  }
+
+  test("maxOffsetsPerTrigger paces the stream: a 12-row topic at cap 4 " +
+    "takes 3 micro-batches and loses nothing") {
+    val dir = freshDir()
+    val ckpt = Files.createTempDirectory("graft_log_cap_ckpt").toString
+    GraftLog.append(spark, dir, batch(
+      (0 until 8).map(i => (0, i.toLong, s"a$i", i.toString, 1L)) ++
+        (0 until 4).map(i => (1, i.toLong, s"b$i", i.toString, 1L))))
+    val sink = "graftlog_cap_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format("graftlog")
+      .option("maxOffsetsPerTrigger", "4").load(dir)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table(sink).count() === 12)
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches === 3, s"expected 3 capped batches, saw $batches")
+    // per-batch admission never exceeded the cap
+    assert(q.recentProgress.forall(_.numInputRows <= 4))
+    spark.catalog.dropTempView(sink)
+  }
+
+  test("Trigger.AvailableNow pins the head at start, drains in capped " +
+    "batches, stops, and leaves later appends for the next run") {
+    val dir = freshDir()
+    val ckpt = Files.createTempDirectory("graft_log_an_ckpt").toString
+    val out = Files.createTempDirectory("graft_log_an_out").toString + "/sink"
+    GraftLog.append(spark, dir, batch(
+      (0 until 9).map(i => (0, i.toLong, s"k$i", i.toString, 1L))))
+    def run(): Unit = {
+      val q = spark.readStream.format("graftlog")
+        .option("maxOffsetsPerTrigger", "4").load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow query did not stop")
+    }
+    run()
+    assert(spark.read.parquet(out).count() === 9)
+    // rows landing after the run wait for the NEXT run (bounded catch-up)
+    GraftLog.append(spark, dir, batch(Seq((0, 0L, "late", "x", 2L))))
+    run()
+    assert(spark.read.parquet(out).count() === 10)
+  }
+
+  test("distributed producer: df.write.format(\"graftlog\") appends " +
+    "executor-side in (partition, offset) order; a second write continues") {
+    val dir = freshDir()
+    val rows = (0 until 100).map(i =>
+      (i % 4, i.toLong, s"k$i", s"v$i", 1000L + i))
+    rows.toDF("partition", "offset", "key", "value", "ts")
+      .select(col("partition").cast("int"), col("offset").cast("long"),
+        col("key"), col("value"), col("ts").cast("long"))
+      .repartition(8) // writer's required clustering re-plans this
+      .write.format("graftlog").mode("append").save(dir)
+    val got = spark.read.format("graftlog").load(dir)
+      .orderBy("partition", "offset")
+      .select("partition", "offset", "key").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    val expect = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (pid, rs) => rs.sortBy(_._2).zipWithIndex.map {
+        case ((_, _, k, _, _), j) => (pid, j.toLong, k) }
+    }
+    assert(got.toSeq === expect)
+    // second write continues each partition's offsets
+    Seq((0, 0L, "extra", "e", 1L))
+      .toDF("partition", "offset", "key", "value", "ts")
+      .select(col("partition").cast("int"), col("offset").cast("long"),
+        col("key"), col("value"), col("ts").cast("long"))
+      .write.format("graftlog").mode("append").save(dir)
+    assert(spark.read.format("graftlog").load(dir)
+      .filter(col("partition") === 0).count() === 26)
+  }
+
+  test("RACING distributed writers to the same topic: both land " +
+    "completely, offsets stay dense per partition") {
+    val dir = freshDir()
+    def frame(tag: String) = (0 until 40).map(i =>
+        (i % 2, i.toLong, s"$tag-$i", tag, 1L))
+      .toDF("partition", "offset", "key", "value", "ts")
+      .select(col("partition").cast("int"), col("offset").cast("long"),
+        col("key"), col("value"), col("ts").cast("long"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    Seq("w1", "w2").foreach { tag =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try frame(tag).write.format("graftlog").mode("append").save(dir)
+          catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(180, java.util.concurrent.TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"racing writer failed: ${errs.peek()}")
+    val got = spark.read.format("graftlog").load(dir)
+    assert(got.count() === 80)
+    assert(got.select("key").distinct().count() === 80)
+    // offsets dense per partition: max = count − 1 and all distinct
+    val perPid = got.groupBy("partition")
+      .agg(count(lit(1)).as("n"), max("offset").as("mx"),
+        countDistinct("offset").as("d")).collect()
+    perPid.foreach { r =>
+      assert(r.getLong(3) === r.getLong(1), "duplicate offsets")
+      assert(r.getLong(2) === r.getLong(1) - 1, "offset gap")
+    }
+  }
 }
