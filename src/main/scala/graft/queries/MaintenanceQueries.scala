@@ -2463,6 +2463,73 @@ object MaintenanceQueries {
            |  CAST(1 AS BIGINT) AS v_after_good
            |FROM fin""".stripMargin))
 
+  /** OPTIMIZE under concurrent MERGE ([[GraftTable.optimizeWithHook]]'s
+    * test seam firing a real upsert between the compaction's staging
+    * and its manifest publish): the Delta conflict-matrix contract,
+    * proven relationally. The table is built as five one-file commits
+    * over disjoint key blocks (deterministic layout), the compaction
+    * groups the first four and CARRIES the fifth, and the interleaved
+    * merge touches only fifth-file keys — disjoint from the
+    * compaction's inputs — so the rebase arm fires: the compaction
+    * re-publishes against the merge's head with zero data re-I/O.
+    * The oracle replays the surviving content (merge applied, column-
+    * wise NULL-keeps-name semantics) and pins the version arithmetic
+    * (create + 4 loads + merge + rebased optimize = 7 versions) plus
+    * the rebase's own return values (4 rewritten, 1 carried). The
+    * overlapping-files arm (clean abort, never lost update) is pinned
+    * deterministically in GraftTableSpec. */
+  val q302OptimizeMergeConcurrency = GraftQuery(
+    "q302_optimize_merge_concurrency",
+    (s, dir) => {
+      val root = newTempDir("graft_opt_conc") + "/tbl"
+      val part = Tables.part(s, dir).select(
+        col("p_partkey").cast("long").as("k"),
+        col("p_name").as("name"),
+        floor(col("p_retailprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val mm = part.agg(min("k"), max("k"), count(lit(1))).collect()(0)
+      val (lo, n) = (mm.getLong(0), mm.getLong(2))
+      val block = n / 5 // p_partkey is dense and 5 | n at all SFs
+      def blockDf(i: Long) = part.filter(
+        col("k") >= lo + block * (i - 1) && col("k") < lo + block * i)
+      GraftTable.create(s, root, blockDf(1), "k", nBuckets = 1)
+      (2L to 5L).foreach(i =>
+        GraftTable.upsert(s, root, blockDf(i), "k", nBuckets = 1))
+      // the interleaved merge: top-10 keys (fifth file only); NULL name
+      // keeps the target's value (column-wise merge), cents overwritten
+      val merge = s.range(lo + n - 10, lo + n).select(col("id").as("k"),
+        lit(null).cast("string").as("name"), lit(-1L).as("cents"))
+      val (v, rewritten, carried) = GraftTable.optimizeWithHook(s, root,
+        "k", targetRows = 2 * block, maxRebases = 2,
+        beforeCommit = () => {
+          GraftTable.upsert(s, root, merge, "k", nBuckets = 1); () })
+      GraftTable.read(s, root)
+        .groupBy(lit("final").as("stage"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("cents").as("cents_sum"),
+          sum(conv(substring(md5(concat_ws("|", col("k").cast("string"),
+            col("name"), col("cents").cast("string"))), 1, 8), 16, 10)
+            .cast("long")).as("row_sum"),
+          lit((v + 1).toLong).as("n_versions"),
+          lit(rewritten.toLong).as("n_rewritten"),
+          lit(carried.toLong).as("n_carried"))
+    },
+    Some("""WITH t AS (
+           |  SELECT CAST(p_partkey AS BIGINT) AS k, p_name AS name,
+           |    CASE WHEN p_partkey > (SELECT max(p_partkey) - 10 FROM part)
+           |      THEN CAST(-1 AS BIGINT)
+           |      ELSE CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+           |    END AS cents
+           |  FROM part)
+           |SELECT 'final' AS stage, count(*) AS n_rows,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |    name || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |    AS BIGINT) AS row_sum,
+           |  CAST(7 AS BIGINT) AS n_versions,
+           |  CAST(4 AS BIGINT) AS n_rewritten,
+           |  CAST(1 AS BIGINT) AS n_carried
+           |FROM t""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
@@ -2473,5 +2540,5 @@ object MaintenanceQueries {
     q276TableRestore, q282SqlMergeInto, q285PartitionedEvents,
     q287TimestampTravel, q289MergeCloseOut, q290MetadataAggregates,
     q291MonthsYearsEvolution, q292TruncatePartition, q293MetadataTables,
-    q295SqlMaintenance, q296CheckConstraints)
+    q295SqlMaintenance, q296CheckConstraints, q302OptimizeMergeConcurrency)
 }

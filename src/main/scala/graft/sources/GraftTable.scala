@@ -549,7 +549,10 @@ object GraftTable {
     else math.max(1, math.min(nBuckets, nRewritten + 1))
 
   private final case class Written(entries: Seq[FileEntry],
-      wroteColStats: Boolean)
+      statLines: Seq[String]) {
+    /** Whether this write staged a colstats sidecar at its version. */
+    def wroteColStats: Boolean = statLines.nonEmpty
+  }
 
   /** Write `df`'s rows as the data files of `version`, range-bucketed
     * by `key` so per-file key intervals are narrow and disjoint, and
@@ -700,17 +703,24 @@ object GraftTable {
       case _ => Seq.empty[String]
     }
     val statLines = (pLines ++ nullLines).sorted
-    val wroteStats =
-      if (statLines.isEmpty) false
-      else {
-        val (f, _) = fs(root, spark)
-        val statsP = colStatsPath(root, version)
-        if (f.exists(statsP) && !f.exists(manifestPath(root, version)))
-          f.delete(statsP, false) // orphan from a failed prior attempt
-        writeAtomic(f, statsP, statLines.mkString("", "\n", "\n"))
-        true
-      }
-    Written(entries, wroteStats)
+    if (statLines.nonEmpty) {
+      val (f, _) = fs(root, spark)
+      writeColStatsAt(f, root, version, statLines)
+    }
+    Written(entries, statLines)
+  }
+
+  /** Stage a colstats sidecar at `version` (replacing an orphan from a
+    * failed prior attempt at the same version). Data files are
+    * immutable, so stat lines are valid at ANY version whose manifest
+    * references their files — which is what lets a rebased commit
+    * re-pin the same lines at its new version number. */
+  private def writeColStatsAt(f: org.apache.hadoop.fs.FileSystem,
+      root: String, version: Int, statLines: Seq[String]): Unit = {
+    val statsP = colStatsPath(root, version)
+    if (f.exists(statsP) && !f.exists(manifestPath(root, version)))
+      f.delete(statsP, false) // orphan from a failed prior attempt
+    writeAtomic(f, statsP, statLines.mkString("", "\n", "\n"))
   }
 
   /** Write one `<dataFile>.bloom` sidecar per data file in `dir`: a
@@ -1209,7 +1219,7 @@ object GraftTable {
       entries.partition(e => hit(new org.apache.hadoop.fs.Path(e.relPath).getName))
     val v = base + 1
     val w =
-      if (rewrite.isEmpty) Written(Seq.empty, wroteColStats = false)
+      if (rewrite.isEmpty) Written(Seq.empty, Seq.empty)
       else writeDataFiles(spark, root, v,
         spark.read.schema(schema)
           .parquet(rewrite.map(e => s"$root/${e.relPath}"): _*)
@@ -1297,9 +1307,37 @@ object GraftTable {
     * multi-file group is rewritten as one range-bucketed unit. A pure
     * metadata+rewrite operation: logical content is identical before
     * and after, which is exactly what the q221 gate checksums.
+    *
+    * CONCURRENCY (the Delta conflict matrix, compaction row): a
+    * commit that lands between our snapshot read and our manifest
+    * publish raises the OCC race. The resolution is decided by FILE
+    * OVERLAP — compaction only re-encodes the rows of its input
+    * files, so:
+    *   - if every input file is STILL LIVE at the new head (the
+    *     concurrent DML touched disjoint files), the staged output is
+    *     still byte-equivalent to live content → REBASE: re-publish
+    *     against the new head (new head's ledger minus our inputs plus
+    *     our outputs; the stats sidecar re-pins at the rebased
+    *     version), zero data re-I/O, up to `maxRebases` times;
+    *   - if any input was rewritten or removed (the DML changed rows
+    *     we compacted), our output is STALE → clean
+    *     [[ConcurrentCommitException]], table head untouched, staged
+    *     files left as vacuum-swept orphans. The DML's update is never
+    *     lost in either arm — compaction either re-expresses live
+    *     bytes or gets out of the way.
     * Returns (newVersion, nFilesRewritten, nFilesCarried). */
   def optimize(spark: SparkSession, root: String,
-      key: String, targetRows: Long): (Int, Int, Int) = {
+      key: String, targetRows: Long, maxRebases: Int = 2): (Int, Int, Int) =
+    optimizeWithHook(spark, root, key, targetRows, maxRebases, () => ())
+
+  /** [[optimize]] with a test seam: `beforeCommit` runs after the
+    * compacted files are staged and before the manifest publish — the
+    * window a concurrent committer races into. Deterministic
+    * interleaving for the concurrency spec/gate; production calls the
+    * public form (no-op hook). */
+  private[graft] def optimizeWithHook(spark: SparkSession, root: String,
+      key: String, targetRows: Long, maxRebases: Int,
+      beforeCommit: () => Unit): (Int, Int, Int) = {
     val base = latestVersion(spark, root)
     val entries = loadManifest(spark, root, base).sortBy(e => (e.minKey, e.relPath))
     val schema = tableSchema(spark, root, base)
@@ -1312,17 +1350,48 @@ object GraftTable {
     val (compactGroups, singletons) = grouped.partition(_.size >= 2)
     val carry = singletons.flatten.toSeq
     val rewrite = compactGroups.flatten.toSeq
+    val rewriteSet = rewrite.map(_.relPath).toSet
     val v = base + 1
     val w =
-      if (rewrite.isEmpty) Written(Seq.empty, wroteColStats = false)
+      if (rewrite.isEmpty) Written(Seq.empty, Seq.empty)
       else writeDataFiles(spark, root, v,
         spark.read.schema(schema)
           .parquet(rewrite.map(e => s"$root/${e.relPath}"): _*),
         key, compactGroups.size)
+    beforeCommit()
     val (f, _) = fs(root, spark)
-    commitManifest(f, root, v, carry ++ w.entries,
-      wroteColStats = w.wroteColStats)
-    (v, rewrite.size, carry.size)
+    var commitBase = base
+    var carryNow = carry
+    var rebases = 0
+    while (true) {
+      val cv = commitBase + 1
+      try {
+        // a rebased commit re-pins the staged stats at ITS version
+        // (the original version's sidecar was consumed by whoever won
+        // that version — their orphan sweep or their own sidecar)
+        if (cv != v && w.statLines.nonEmpty)
+          writeColStatsAt(f, root, cv, w.statLines)
+        commitManifest(f, root, cv, carryNow ++ w.entries,
+          wroteColStats = w.wroteColStats)
+        return (cv, rewrite.size, carryNow.size)
+      } catch {
+        case e: ConcurrentCommitException =>
+          if (rebases >= maxRebases) throw e
+          rebases += 1
+          val nb = latestVersion(spark, root)
+          val ne = loadManifest(spark, root, nb)
+          val live = ne.map(_.relPath).toSet
+          if (!rewriteSet.forall(live)) throw new ConcurrentCommitException(
+            s"OPTIMIZE conflicts with a concurrent commit at $root: " +
+              "compaction input files were rewritten or removed — " +
+              "aborting cleanly (head unchanged; staged files are " +
+              "vacuum-swept orphans). Re-run OPTIMIZE against the new " +
+              "snapshot.")
+          commitBase = nb
+          carryNow = ne.filterNot(en => rewriteSet(en.relPath))
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Version history: (version, nFiles, nRows) from manifests only —

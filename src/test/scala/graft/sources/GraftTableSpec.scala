@@ -942,6 +942,98 @@ class GraftTableSpec extends SparkSpec {
       spark, root, before(1)._2)).filter($"v" === -1L).count() === 5)
   }
 
+  /** Seven one-file commits over disjoint key blocks of 100: a
+    * DETERMINISTIC file layout (file i spans exactly
+    * [100(i−1)+1, 100i]) for the optimize-concurrency interleavings —
+    * at targetRows = 300 the grouping is {f1,f2,f3}, {f4,f5,f6}, {f7
+    * carried}. */
+  private def sevenBlockTable(root: String): Unit = {
+    def block(i: Int) = spark.range(100L * (i - 1) + 1, 100L * i + 1)
+      .select($"id".as("k"), concat(lit("row"), $"id").as("name"),
+        ($"id" * 10).as("v"))
+    GraftTable.create(spark, root, block(1), "k", nBuckets = 1)
+    (2 to 7).foreach(i => GraftTable.upsert(spark, root, block(i), "k",
+      nBuckets = 1))
+    assert(manifestLines(root, 6).size === 7)
+  }
+
+  test("OPTIMIZE vs concurrent MERGE on DISJOINT files: the compaction " +
+    "rebases onto the new head, zero lost updates, stats re-pinned") {
+    val root = freshRoot()
+    sevenBlockTable(root)
+    // the interleaved merge touches ONLY f7 (keys 650-660) — a file
+    // optimize carries, not an input — so the rebase arm must fire
+    val merge = spark.range(650, 661).select($"id".as("k"),
+      lit(null).cast("string").as("name"), lit(-7L).as("v"))
+    val (v, rewritten, carried) = GraftTable.optimizeWithHook(spark, root,
+      "k", targetRows = 300, maxRebases = 2,
+      beforeCommit = () => { GraftTable.upsert(spark, root, merge, "k"); () })
+    // v7 = the interleaved merge, v8 = the rebased compaction
+    assert(v === 8 && rewritten === 6)
+    assert(GraftTable.latestVersion(spark, root) === 8)
+    val head = GraftTable.read(spark, root)
+    assert(head.count() === 700)
+    // the merge's update SURVIVED the compaction commit (no lost update)
+    assert(head.filter($"v" === -7L).count() === 11)
+    // column-wise merge kept names; everything else untouched
+    assert(head.filter($"name".startsWith("row")).count() === 700)
+    assert(head.agg(sum("v")).as[Long].head() ===
+      (1L to 700).map(_ * 10).sum - (650L to 660).map(_ * 10).sum - 7 * 11)
+    // compaction really happened at the head: 6 inputs → 2 packed files
+    // (+ the merge's rewrite of f7)
+    assert(manifestLines(root, 8).size < 7)
+    // the rebased version re-pinned its stats sidecar: metadata
+    // count(col) stays servable over the compacted files
+    assert(GraftTable.snapshotNullCount(spark, root, 8, "v") === Some(0L))
+  }
+
+  test("OPTIMIZE vs concurrent MERGE on the SAME files: clean " +
+    "ConcurrentCommitException, head keeps the merge, vacuum sweeps " +
+    "the staged orphans") {
+    val root = freshRoot()
+    sevenBlockTable(root)
+    // the interleaved merge rewrites f2 (keys 150-160) — one of the
+    // compaction's INPUT files — so the staged output is stale
+    val merge = spark.range(150, 161).select($"id".as("k"),
+      lit(null).cast("string").as("name"), lit(-7L).as("v"))
+    val e = intercept[GraftTable.ConcurrentCommitException] {
+      GraftTable.optimizeWithHook(spark, root, "k", targetRows = 300,
+        maxRebases = 2,
+        beforeCommit = () => { GraftTable.upsert(spark, root, merge, "k"); () })
+    }
+    assert(e.getMessage.contains("OPTIMIZE conflicts"))
+    // head = the merge's commit; the merge is never lost
+    assert(GraftTable.latestVersion(spark, root) === 7)
+    val head = GraftTable.read(spark, root)
+    assert(head.count() === 700)
+    assert(head.filter($"v" === -7L).count() === 11)
+    // the aborted compaction's staged files are unreferenced orphans:
+    // vacuum reclaims them, content unchanged
+    val removed = GraftTable.vacuum(spark, root, retainVersions = 1)
+    assert(removed > 0)
+    assert(GraftTable.read(spark, root).count() === 700)
+    assert(GraftTable.read(spark, root).filter($"v" === -7L).count() === 11)
+  }
+
+  test("OPTIMIZE retries through a conflicting TAG-style metadata " +
+    "commit and aborts past maxRebases") {
+    val root = freshRoot()
+    sevenBlockTable(root)
+    // a hook that keeps committing metadata-only versions exhausts the
+    // rebase budget — the loop must abort, not spin
+    val e = intercept[GraftTable.ConcurrentCommitException] {
+      GraftTable.optimizeWithHook(spark, root, "k", targetRows = 300,
+        maxRebases = 0,
+        beforeCommit = () => {
+          GraftTable.upsert(spark, root,
+            spark.range(650, 652).select($"id".as("k"),
+              lit(null).cast("string").as("name"), lit(-1L).as("v")), "k")
+          ()
+        })
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+  }
+
   private def manifestLines(root: String, v: Int): Seq[String] = {
     val src = scala.io.Source.fromFile(f"$root/_log/v$v%05d.manifest")
     // skip the #commit-ts header: these helpers compare FILE ledgers
