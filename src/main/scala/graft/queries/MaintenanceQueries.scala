@@ -2530,6 +2530,208 @@ object MaintenanceQueries {
            |  CAST(1 AS BIGINT) AS n_carried
            |FROM t""".stripMargin))
 
+  /** RENAME COLUMN via name-mode COLUMN MAPPING
+    * ([[GraftTable.renameColumn]], surfaced as SQL
+    * `ALTER TABLE cat.t RENAME COLUMN a TO b`): a metadata-only commit
+    * — the parquet files keep the column's frozen PHYSICAL name, so
+    * renaming a 100 TB table touches zero data files and TIME TRAVEL
+    * across the rename still resolves (the v0 read surfaces the OLD
+    * logical name over the same bytes the head serves under the new
+    * one). The gate reads three stages — v0 pre-rename, the head, and
+    * a filtered SQL read THROUGH the DSv2 scan on the renamed column
+    * (physical-schema translation under the hood) — and writes through
+    * the new name after the rename; every stage hash-matches the
+    * relational oracle. */
+  val q303ColumnRename = GraftQuery(
+    "q303_column_rename",
+    (s, dir) => {
+      val tmp = newTempDir("graft_col_rename")
+      val root = tmp + "/t"
+      val cat = "graft_cr_" + java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", tmp)
+      val cust = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_name").as("name"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, root, cust, "k", nBuckets = 4)
+      s.sql(s"ALTER TABLE $cat.t RENAME COLUMN cents TO balance")
+      // writes after the rename speak the NEW name (physical frozen)
+      GraftTable.upsert(s, root, s.range(0, 100).select(col("id").as("k"),
+        lit(null).cast("string").as("name"), lit(-1L).as("balance")), "k")
+      def agg(stage: String, df: org.apache.spark.sql.DataFrame,
+          valCol: String) =
+        df.groupBy(lit(stage).as("stage"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(valCol).as("val_sum"),
+            sum(conv(substring(md5(concat_ws("|", col("k").cast("string"),
+              col("name"), col(valCol).cast("string"))), 1, 8), 16, 10)
+              .cast("long")).as("row_sum"))
+      val head = agg("a_head", GraftTable.read(s, root), "balance")
+      val v0 = agg("b_v0_pre_rename",
+        GraftTable.read(s, root, Some(0)), "cents")
+      // the DSv2 SQL path: projection + filter on the RENAMED column
+      val filtered = agg("c_head_filtered",
+        s.sql(s"SELECT k, name, balance FROM $cat.t WHERE balance = -1"),
+        "balance")
+      head.unionAll(v0).unionAll(filtered).orderBy("stage")
+    },
+    Some("""WITH c AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM customer),
+           |head AS (
+           |  SELECT k, name,
+           |    CASE WHEN k < 100 THEN CAST(-1 AS BIGINT) ELSE cents END
+           |      AS v
+           |  FROM c),
+           |v0 AS (SELECT k, name, cents AS v FROM c),
+           |f AS (SELECT * FROM head WHERE v = -1),
+           |stages AS (
+           |  SELECT 'a_head' AS stage, * FROM head
+           |  UNION ALL SELECT 'b_v0_pre_rename', * FROM v0
+           |  UNION ALL SELECT 'c_head_filtered', * FROM f)
+           |SELECT stage, count(*) AS n_rows,
+           |  CAST(sum(v) AS BIGINT) AS val_sum,
+           |  CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |    name || '|' || CAST(v AS VARCHAR)), 1, 8))::BIGINT)
+           |    AS BIGINT) AS row_sum
+           |FROM stages GROUP BY stage ORDER BY stage""".stripMargin))
+
+  /** DROP COLUMN + re-ADD under column mapping
+    * ([[GraftTable.dropColumn]]'s physical-name TOMBSTONES): dropping
+    * is metadata-only (old files keep the bytes; reads at or after the
+    * drop never see them; time travel below still does), and re-adding
+    * the SAME logical name maps to a FRESH physical column — the gate's
+    * teeth: without the tombstone, every pre-drop row would resurrect
+    * its old segment value through the surviving parquet bytes, and
+    * `n_filled` would be the row count instead of exactly the 50 rows
+    * written after the re-add. Both ALTERs ride the SQL surface. */
+  val q304ColumnDropReadd = GraftQuery(
+    "q304_column_drop_readd",
+    (s, dir) => {
+      val tmp = newTempDir("graft_col_drop")
+      val root = tmp + "/t"
+      val cat = "graft_cd_" + java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", tmp)
+      val cust = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_name").as("name"),
+        col("c_mktsegment").as("seg"))
+      GraftTable.create(s, root, cust, "k", nBuckets = 4)
+      s.sql(s"ALTER TABLE $cat.t DROP COLUMN seg")
+      s.sql(s"ALTER TABLE $cat.t ADD COLUMNS (seg STRING)")
+      GraftTable.upsert(s, root, s.range(0, 50).select(col("id").as("k"),
+        lit(null).cast("string").as("name"),
+        lit("RESTORED").as("seg")), "k")
+      def agg(stage: String, df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(lit(stage).as("stage"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("seg")).as("n_filled"),
+            sum(conv(substring(md5(concat_ws("|", col("k").cast("string"),
+              col("name"), coalesce(col("seg"), lit("@NULL@")))), 1, 8),
+              16, 10).cast("long")).as("row_sum"))
+      agg("a_head", GraftTable.read(s, root))
+        .unionAll(agg("b_v0_pre_drop", GraftTable.read(s, root, Some(0))))
+        .orderBy("stage")
+    },
+    Some("""WITH c AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+           |    c_mktsegment AS seg
+           |  FROM customer),
+           |head AS (
+           |  SELECT k, name,
+           |    CASE WHEN k < 50 THEN 'RESTORED' ELSE NULL END AS seg
+           |  FROM c),
+           |stages AS (
+           |  SELECT 'a_head' AS stage, * FROM head
+           |  UNION ALL SELECT 'b_v0_pre_drop', * FROM c)
+           |SELECT stage, count(*) AS n_rows,
+           |  count(seg) AS n_filled,
+           |  CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |    name || '|' || coalesce(seg, '@NULL@')), 1, 8))::BIGINT)
+           |    AS BIGINT) AS row_sum
+           |FROM stages GROUP BY stage ORDER BY stage""".stripMargin))
+
+  /** MULTI-TABLE ATOMIC PUBLISH ([[graft.sources.GraftTxn]]) — the
+    * reference's all-or-nothing `CALL etl` orchestration
+    * (MotherProcedure.sql:2-25: dims + fact land in one transaction)
+    * re-expressed for a lakehouse where each table owns its commit
+    * log. Transaction 1 stages BOTH tables' upserts and "crashes"
+    * before the coordinator marker: the `after_crash` stages prove a
+    * reader sees BOTH tables' original snapshots (never table A new +
+    * table B old — staged manifests are invisible until the single
+    * marker file exists). After [[GraftTxn.abort]] recovery,
+    * transaction 2 publishes the same writes atomically; the `final`
+    * stages replay relationally and the per-table version counts pin
+    * that the crashed transaction never consumed a version. */
+  val q305MultiTablePublish = GraftQuery(
+    "q305_multi_table_publish",
+    (s, dir) => {
+      val tmp = newTempDir("graft_txn_gate")
+      val dimRoot = tmp + "/dim"
+      val factRoot = tmp + "/fact"
+      val txnDir = tmp + "/txn"
+      val dim = Tables.part(s, dir).select(
+        col("p_partkey").cast("long").as("k"), col("p_name").as("name"))
+      val fact = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, dimRoot, dim, "k", nBuckets = 4)
+      GraftTable.create(s, factRoot, fact, "k", nBuckets = 4)
+      val dimBatch = dim.filter(col("k") < 100)
+        .withColumn("name", lit("TXNED"))
+      val factBatch = fact.filter(col("k") < 100)
+        .withColumn("cents", lit(-1L))
+      def writes = Seq(
+        graft.sources.GraftTxn.TableWrite(dimRoot, dimBatch, "k"),
+        graft.sources.GraftTxn.TableWrite(factRoot, factBatch, "k"))
+      // txn 1: staged on BOTH tables, coordinator dies before the marker
+      val crashed = graft.sources.GraftTxn.stageAll(s, txnDir, writes)
+      def snap(stage: String, tbl: String, root: String, valCol: String) =
+        GraftTable.read(s, root)
+          .groupBy(lit(stage).as("stage"), lit(tbl).as("tbl"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(conv(substring(md5(concat_ws("|", col("k").cast("string"),
+              col(valCol).cast("string"))), 1, 8), 16, 10).cast("long"))
+              .as("row_sum"),
+            lit(GraftTable.latestVersion(s, root) + 1L).as("n_versions"))
+      val afterCrash = snap("a_crash", "dim", dimRoot, "name")
+        .unionAll(snap("a_crash", "fact", factRoot, "cents"))
+      // recovery, then txn 2 publishes the same writes atomically
+      graft.sources.GraftTxn.abort(s, txnDir, crashed,
+        Seq(dimRoot, factRoot))
+      graft.sources.GraftTxn.publishAll(s, txnDir, writes)
+      val fin = snap("b_final", "dim", dimRoot, "name")
+        .unionAll(snap("b_final", "fact", factRoot, "cents"))
+      afterCrash.unionAll(fin).orderBy("stage", "tbl")
+    },
+    Some("""WITH dim0 AS (
+           |  SELECT CAST(p_partkey AS BIGINT) AS k,
+           |    p_name AS v FROM part),
+           |fact0 AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |    CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+           |      AS VARCHAR) AS v
+           |  FROM orders),
+           |dim1 AS (SELECT k,
+           |    CASE WHEN k < 100 THEN 'TXNED' ELSE v END AS v FROM dim0),
+           |fact1 AS (SELECT k,
+           |    CASE WHEN k < 100 THEN '-1' ELSE v END AS v FROM fact0),
+           |stages AS (
+           |  SELECT 'a_crash' AS stage, 'dim' AS tbl, 1 AS nv, * FROM dim0
+           |  UNION ALL SELECT 'a_crash', 'fact', 1, * FROM fact0
+           |  UNION ALL SELECT 'b_final', 'dim', 2, * FROM dim1
+           |  UNION ALL SELECT 'b_final', 'fact', 2, * FROM fact1)
+           |SELECT stage, tbl, count(*) AS n_rows,
+           |  CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || v),
+           |    1, 8))::BIGINT) AS BIGINT) AS row_sum,
+           |  CAST(max(nv) AS BIGINT) AS n_versions
+           |FROM stages GROUP BY stage, tbl ORDER BY stage, tbl""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
@@ -2540,5 +2742,6 @@ object MaintenanceQueries {
     q276TableRestore, q282SqlMergeInto, q285PartitionedEvents,
     q287TimestampTravel, q289MergeCloseOut, q290MetadataAggregates,
     q291MonthsYearsEvolution, q292TruncatePartition, q293MetadataTables,
-    q295SqlMaintenance, q296CheckConstraints, q302OptimizeMergeConcurrency)
+    q295SqlMaintenance, q296CheckConstraints, q302OptimizeMergeConcurrency,
+    q303ColumnRename, q304ColumnDropReadd, q305MultiTablePublish)
 }

@@ -609,12 +609,22 @@ class GraftBatchScan(val root: String, val version: Int,
     val spark = SparkSession.active
     val statuses = GraftTable.snapshotFileStatuses(spark, root, version, keyRange)
     val schema = GraftTable.tableSchema(spark, root, version)
+    // COLUMN MAPPING: parquet stores PHYSICAL names, so the underlying
+    // file scan plans under the physical schema (same field order —
+    // rows map back to the logical readSchema positionally). Filters
+    // referencing a RENAMED column are dropped from the row-group
+    // pushdown (they're all residual anyway — Spark re-evaluates; the
+    // renamed column just loses page skipping, never correctness).
+    val physFull = GraftTable.physicalSchema(schema)
+    val renamed = schema.fields
+      .filter(f => GraftTable.physName(f) != f.name).map(_.name).toSet
     val index = new ManifestFileIndex(spark,
-      new org.apache.hadoop.fs.Path(root), statuses, schema)
-    val sb = new GraftParquetScanBuilder(spark, index, schema,
+      new org.apache.hadoop.fs.Path(root), statuses, physFull)
+    val sb = new GraftParquetScanBuilder(spark, index, physFull,
       CaseInsensitiveStringMap.empty())
-    sb.pruneColumns(required)
-    sb.pushSourceFilters(filters) // parquet row-group/page skipping
+    sb.pruneColumns(GraftTable.physicalSchema(required))
+    sb.pushSourceFilters(filters.filter(
+      _.references.forall(r => !renamed.contains(r))))
     sb.build()
   }
 
@@ -887,29 +897,42 @@ class GraftCatalog extends TableCatalog {
     new GraftSqlTable(root, 0)
   }
 
-  /** `ALTER TABLE cat.t ADD COLUMNS (x BIGINT, …)` — the one schema
-    * evolution the format supports (nullable adds, metadata-only,
-    * version-scoped: time travel below the evolution keeps the old
-    * column set), routed onto [[GraftTable.evolveAddColumns]]. Every
-    * other change (drop/rename/retype needs column mapping the format
-    * deliberately doesn't carry) refuses with guidance. */
+  /** `ALTER TABLE cat.t ADD COLUMNS (x BIGINT, …) | RENAME COLUMN a TO
+    * b | DROP COLUMN c` — all METADATA-ONLY commits. Adds route onto
+    * [[GraftTable.evolveAddColumns]]; rename/drop ride the format's
+    * name-mode COLUMN MAPPING ([[GraftTable.renameColumn]] /
+    * [[GraftTable.dropColumn]]): the parquet files keep their frozen
+    * physical names, time travel across the change still resolves, and
+    * a re-added name maps to a fresh physical column (tombstones).
+    * Retype refuses — widening would need per-file read casts the
+    * format deliberately doesn't carry. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!exists(root)) throw new NoSuchTableException(ident)
     val spark = SparkSession.active
-    val added = changes.map {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          "graft ADD COLUMNS takes top-level columns only, got " +
-            a.fieldNames.mkString("."))
-        org.apache.spark.sql.types.StructField(
-          a.fieldNames()(0), a.dataType, nullable = true)
-      case other => throw new UnsupportedOperationException(
-        s"graft ALTER TABLE supports ADD COLUMNS only (got $other); " +
-          "drop/rename/retype would need column mapping, which the " +
-          "format deliberately does not carry")
+    def top(names: Array[String], what: String): String = {
+      require(names.length == 1,
+        s"graft $what takes top-level columns only, got " +
+          names.mkString("."))
+      names(0)
     }
-    GraftTable.evolveAddColumns(spark, root, added)
+    val added = changes.collect { case a: TableChange.AddColumn =>
+      org.apache.spark.sql.types.StructField(
+        top(a.fieldNames, "ADD COLUMNS"), a.dataType, nullable = true)
+    }
+    if (added.nonEmpty) GraftTable.evolveAddColumns(spark, root, added.toSeq)
+    changes.foreach {
+      case _: TableChange.AddColumn => () // applied above, as one commit
+      case r: TableChange.RenameColumn =>
+        GraftTable.renameColumn(spark, root,
+          top(r.fieldNames, "RENAME COLUMN"), r.newName)
+      case d: TableChange.DeleteColumn =>
+        GraftTable.dropColumn(spark, root, top(d.fieldNames, "DROP COLUMN"))
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE supports ADD COLUMNS / RENAME COLUMN / " +
+          s"DROP COLUMN (got $other); retype would need per-file read " +
+          "casts the format deliberately does not carry")
+    }
     loadTable(ident)
   }
 

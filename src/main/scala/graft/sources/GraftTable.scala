@@ -120,10 +120,21 @@ object GraftTable {
     * later commit publishing manifest N would otherwise silently adopt
     * it — reads at ≥ N would gain never-committed ghost columns (and
     * upserts would then demand them in every batch). */
+  /** A cross-table transaction reference: staged manifests carry
+    * `#txn <id> <coordinatorDir>` and stay INVISIBLE to every reader
+    * until `<coordinatorDir>/txn-<id>.commit` exists — the single
+    * atomic file creation that publishes every participating table's
+    * new version simultaneously (see [[GraftTxn]]). */
+  private[sources] final case class TxnRef(id: String, dir: String) {
+    require(id.matches("[A-Za-z0-9-]{1,64}"), s"bad txn id: $id")
+    require(dir.length < 300,
+      "txn coordinator dir too long for the manifest header window")
+  }
+
   private def commitManifest(f: org.apache.hadoop.fs.FileSystem,
       root: String, v: Int, entries: Seq[FileEntry],
       wroteSchema: Boolean = false, wroteColStats: Boolean = false,
-      wrotePartition: Boolean = false): Unit = {
+      wrotePartition: Boolean = false, txn: Option[TxnRef] = None): Unit = {
     // The sweep must survive a RACE with a concurrent sidecar-writing
     // committer (evolveAddColumns / optimizeZOrder) targeting the same
     // version: between our exists-check and our manifest rename, the
@@ -180,7 +191,8 @@ object GraftTable {
         if (v == 0 || !f.exists(manifestPath(root, v - 1))) Long.MinValue
         else commitInstant(f, root, v - 1)
       val instant = math.max(prevInstant + 1, System.currentTimeMillis())
-      val header = s"#commit-ts\t$instant\n"
+      val header = s"#commit-ts\t$instant\n" +
+        txn.map(t => s"#txn\t${t.id}\t${t.dir}\n").getOrElse("")
       writeAtomic(f, manifestPath(root, v), header + renderManifest(entries))
       quarantined.foreach { case (_, q) => f.delete(q, false) }
     } catch {
@@ -226,10 +238,55 @@ object GraftTable {
         s.substring(1, 6).toInt }.toSeq.sorted
   }
 
+  /** Whether `version`'s manifest is a STAGED cross-table-transaction
+    * commit whose coordinator marker has not (yet) appeared — invisible
+    * to every reader until the marker lands ([[TxnRef]]). Legacy and
+    * single-table manifests carry no `#txn` header and are never
+    * pending. One bounded header read. */
+  private def isPending(f: org.apache.hadoop.fs.FileSystem,
+      root: String, version: Int): Boolean =
+    txnOf(readHead(f, manifestPath(root, version), 512)).exists {
+      case (id, dir) =>
+        !f.exists(new org.apache.hadoop.fs.Path(dir, s"txn-$id.commit"))
+    }
+
+  /** Parse a `#txn <id> <dir>` header line out of a manifest head
+    * window, if present. A txn line cut off by the window is an error
+    * (treating it as absent could surface a half-published
+    * transaction; as present-forever would brick the table). */
+  private def txnOf(head: String): Option[(String, String)] = {
+    val lines = head.split('\n')
+    lines.iterator.takeWhile(_.startsWith("#")).flatMap { l =>
+      if (!l.startsWith("#txn\t")) Iterator.empty
+      else {
+        val complete = head.indexOf(l) + l.length < head.length ||
+          head.length < 512 // newline follows, or EOF inside the window
+        if (!complete) throw new IllegalStateException(
+          "manifest #txn header truncated beyond the 512-byte window")
+        val parts = l.split('\t')
+        Iterator.single((parts(1), parts(2)))
+      }
+    }.nextOption()
+  }
+
+  /** Every version a reader may serve: the manifest listing minus the
+    * TRAILING run of pending (staged, unconfirmed) cross-table-txn
+    * manifests. Pending manifests can only exist as a contiguous tail:
+    * a later version can only be committed by a writer that saw the
+    * pending one as absent from its base resolution, and the
+    * create-if-absent publish makes that a collision instead. In the
+    * common case (top version committed) this costs ONE header read on
+    * top of the listing. */
+  private def committedVersions(f: org.apache.hadoop.fs.FileSystem,
+      root: String): Seq[Int] = {
+    val vs = listManifestVersions(f, root)
+    vs.reverse.dropWhile(v => isPending(f, root, v)).reverse
+  }
+
   /** Largest committed version, or -1 if the table does not exist. */
   def latestVersion(spark: SparkSession, root: String): Int = {
     val (f, _) = fs(root, spark)
-    listManifestVersions(f, root).foldLeft(-1)(math.max)
+    committedVersions(f, root).foldLeft(-1)(math.max)
   }
 
   /** Every version whose manifest is still PRESENT (vacuum removes
@@ -239,7 +296,7 @@ object GraftTable {
     * down. One `listStatus`. */
   def availableVersions(spark: SparkSession, root: String): Seq[Int] = {
     val (f, _) = fs(root, spark)
-    listManifestVersions(f, root)
+    committedVersions(f, root)
   }
 
   /** The commit instant of `version`, epoch millis: the `#commit-ts`
@@ -301,7 +358,7 @@ object GraftTable {
     * [[resolveTimestamp]]'s binary search instead). */
   def commitTimestamps(spark: SparkSession, root: String): Seq[(Int, Long)] = {
     val (f, _) = fs(root, spark)
-    listManifestVersions(f, root).map(v => v -> commitInstant(f, root, v))
+    committedVersions(f, root).map(v => v -> commitInstant(f, root, v))
   }
 
   /** `TIMESTAMP AS OF` resolution: the LARGEST version committed at or
@@ -315,7 +372,7 @@ object GraftTable {
   def resolveTimestamp(spark: SparkSession, root: String,
       tsMillis: Long): Option[Int] = {
     val (f, _) = fs(root, spark)
-    val versions = listManifestVersions(f, root).toIndexedSeq
+    val versions = committedVersions(f, root).toIndexedSeq
     if (versions.isEmpty) return None
     // The binary search is sound only if instants are monotone over
     // versions — guaranteed for header-bearing manifests (commit-time
@@ -348,7 +405,21 @@ object GraftTable {
     val (f, _) = fs(root, spark)
     val p = manifestPath(root, version)
     require(f.exists(p), s"version $version does not exist under $root")
-    parseManifest(readFully(f, p))
+    val text = readFully(f, p)
+    // a STAGED cross-table-txn version is not readable until its
+    // coordinator marker lands — explicit time travel to it must
+    // refuse, or a reader could see one table's half of a transaction
+    text.linesIterator.takeWhile(_.startsWith("#"))
+      .find(_.startsWith("#txn\t")).foreach { l =>
+        val parts = l.split('\t')
+        if (!f.exists(new org.apache.hadoop.fs.Path(
+            parts(2), s"txn-${parts(1)}.commit")))
+          throw new IllegalStateException(
+            s"version $version of $root is a STAGED transaction " +
+              s"(txn ${parts(1)}, uncommitted) — not readable; commit " +
+              "or abort the transaction (GraftTxn)")
+      }
+    parseManifest(text)
   }
 
   /** Schema AS OF `version`: the newest `_log/schema-vNNNNN.json` at or
@@ -377,6 +448,60 @@ object GraftTable {
     val raw = org.apache.spark.sql.types.DataType.fromJson(readFully(f, p))
       .asInstanceOf[StructType]
     StructType(raw.fields.map(_.copy(nullable = true)))
+  }
+
+  // ---- COLUMN MAPPING (Delta's name-mode contract) ----------------
+  //
+  // Every column has a LOGICAL name (what users see, what the schema
+  // file's field name carries) and a PHYSICAL name (what the parquet
+  // files store, recorded in the field's metadata under
+  // `graft.physical`; absent = identical). RENAME changes only the
+  // logical name — the physical name is frozen at birth — so a
+  // metadata-only commit renames a 100 TB table instantly and TIME
+  // TRAVEL across the rename still resolves: each version's schema
+  // file maps its era's logical names onto the same physical columns.
+  // DROP removes the field from the schema (old files keep the
+  // physical column; new writes omit it) and tombstones the physical
+  // name so a later ADD of the same logical name gets a FRESH physical
+  // name — re-adding a dropped column must surface NULLs, never
+  // resurrect pre-drop bytes from surviving files.
+  //
+  // Internal ledgers (colstats `#nulls.<c>`/`#sum.<c>`/z-order ranges)
+  // are keyed by PHYSICAL name — invariant across renames, consistent
+  // with every line written before mapping existed (logical ==
+  // physical then).
+
+  private val PhysicalKey = "graft.physical"
+
+  /** The parquet-file column name behind a schema field. */
+  private[sources] def physName(f: org.apache.spark.sql.types.StructField)
+    : String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  private[sources] def physicalSchema(schema: StructType): StructType =
+    StructType(schema.fields.map(f => f.copy(name = physName(f))))
+
+  private def physMap(schema: StructType): Map[String, String] =
+    schema.fields.map(f => f.name -> physName(f)).toMap
+
+  /** logical → physical for one column at `version` (identity for
+    * unmapped/unknown names — synthetic stats columns pass through). */
+  private def toPhys(spark: SparkSession, root: String, version: Int,
+      column: String): String =
+    physMap(tableSchema(spark, root, version)).getOrElse(column, column)
+
+  /** Read this table's immutable data files and surface LOGICAL names:
+    * the parquet scan runs under the PHYSICAL schema (files written
+    * before a rename store the physical name — reading the logical
+    * name would silently return NULLs), then columns are renamed
+    * positionally. */
+  private def readLogical(spark: SparkSession, schema: StructType,
+      paths: Seq[String]): DataFrame = {
+    val phys = physicalSchema(schema)
+    val df = spark.read.schema(phys).parquet(paths: _*)
+    if (phys.fieldNames.sameElements(schema.fieldNames)) df
+    else df.toDF(schema.fieldNames.toSeq: _*)
   }
 
   private def partitionSpecPath(root: String, v: Int) =
@@ -469,7 +594,7 @@ object GraftTable {
       if (keep.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(keep.map(r => s"$root/$r"): _*)
+      else readLogical(spark, schema, keep.map(r => s"$root/$r"))
     df.filter(spec.valueCol.between(lo, hi))
   }
 
@@ -596,12 +721,32 @@ object GraftTable {
       case (None, None) =>
         df.repartitionByRange(math.max(1, nBuckets), col(key))
     }
-    arranged.write.mode("errorifexists").parquet(dir)
+    // COLUMN MAPPING: files store PHYSICAL names (frozen at column
+    // birth), so writes rename logical → physical as the last step and
+    // the stats read-back aliases them straight back — everything in
+    // between (key bucketing, constraints, null ledger) sees logical
+    // names. The mapping comes from the base snapshot's schema file
+    // (field metadata survives nothing else — joins strip it from
+    // df.schema).
+    val mapping = physMap(tableSchema(spark, root, version - 1))
+    def physOf(c: String) = mapping.getOrElse(c, c)
+    val logicalNames = df.schema.fieldNames.toSeq
+    val needRename = logicalNames.exists(c => physOf(c) != c)
+    val toWrite =
+      if (needRename) arranged.toDF(logicalNames.map(physOf): _*)
+      else arranged
+    toWrite.write.mode("errorifexists").parquet(dir)
+    val physSchemaOfDf = StructType(df.schema.fields.map(f =>
+      f.copy(name = physOf(f.name))))
+    def readBack(): DataFrame = {
+      val raw = spark.read.schema(physSchemaOfDf).parquet(dir)
+      if (needRename) raw.toDF(logicalNames: _*) else raw
+    }
     // stats per physical file (also covers AQE/empty-bucket merges);
     // schema-pinned read so an all-rows-deleted commit (zero data
     // files) yields an empty ledger instead of a schema-inference
     // error
-    val written = spark.read.schema(df.schema).parquet(dir)
+    val written = readBack()
     // ONE footer-grade pass computes the manifest ledger (key interval,
     // rows) AND per-column null counts — the null counts land in the
     // colstats sidecar as `#nulls.<col>` lines and are what lets an
@@ -665,23 +810,25 @@ object GraftTable {
     val nullLines = statRows.flatMap { r =>
       val relP = s"$rel/${new org.apache.hadoop.fs.Path(
         new java.net.URI(r.getString(0)).getPath).getName}"
+      // ledger keys are PHYSICAL names — invariant across renames, so
+      // a line written in any era serves every era's metadata reads
       val nulls = dataCols.zipWithIndex.map { case (c, i) =>
         val n = r.getLong(4 + i)
-        s"$relP\t#nulls.$c\t$n\t$n"
+        s"$relP\t#nulls.${physOf(c)}\t$n\t$n"
       }
       // an all-NULL file's sum is SQL-NULL: write 0 — the nulls ledger
       // (nulls == rows) is what decides NULL-ness at serve time
       val sums = intCols.zipWithIndex.map { case (c, i) =>
         val idx = 4 + dataCols.size + i
         val v = if (r.isNullAt(idx)) 0L else r.getLong(idx)
-        s"$relP\t#sum.$c\t$v\t$v"
+        s"$relP\t#sum.${physOf(c)}\t$v\t$v"
       }
       nulls ++ sums
     }.toSeq
     bloomColumn(spark, root).filter(df.schema.fieldNames.contains) match {
       case Some(bc) if entries.nonEmpty =>
-        writeBloomSidecars(spark, root, dir, bc, df.schema,
-          entries.map(_.nRows).max)
+        writeBloomSidecars(spark, root, dir, bc, physSchemaOfDf,
+          logicalNames, entries.map(_.nRows).max)
       case _ => ()
     }
     // partition-value ranges into this version's colstats sidecar —
@@ -690,7 +837,7 @@ object GraftTable {
       case Some(p) if entries.nonEmpty =>
         val byName = entries.map(e =>
           new org.apache.hadoop.fs.Path(e.relPath).getName -> e.relPath).toMap
-        spark.read.schema(df.schema).parquet(dir)
+        readBack()
           .groupBy(input_file_name().as("file"))
           .agg(min(p.valueCol).as("mn"), max(p.valueCol).as("mx"))
           .collect()
@@ -732,11 +879,11 @@ object GraftTable {
     * files, so the create-if-absent manifest publish covers them and a
     * failed commit's sidecars are vacuum-swept with their data files. */
   private def writeBloomSidecars(spark: SparkSession, root: String,
-      dir: String, bloomCol: String, schema: StructType,
-      maxRowsPerFile: Long): Unit = {
+      dir: String, bloomCol: String, physSchema: StructType,
+      logicalNames: Seq[String], maxRowsPerFile: Long): Unit = {
     val nBits = math.max(1024L, 10L * maxRowsPerFile)
     val hconf = confMap(spark)
-    spark.read.schema(schema).parquet(dir)
+    spark.read.schema(physSchema).parquet(dir).toDF(logicalNames: _*)
       .groupBy(input_file_name().as("file"))
       .agg(graft.functions.Bloom.filterAgg(
         xxhash64(col(bloomCol).cast("string")),
@@ -801,7 +948,7 @@ object GraftTable {
     } else {
       // pin the schema so a snapshot's column set never depends on
       // which subset of files survived the commits
-      spark.read.schema(schema).parquet(entries.map(e => s"$root/${e.relPath}"): _*)
+      readLogical(spark, schema, entries.map(e => s"$root/${e.relPath}"))
     }
   }
 
@@ -894,7 +1041,8 @@ object GraftTable {
     if (entries.isEmpty) return None
     val rels = entries.map(_.relPath).toSet
     val stats = loadColStats(spark, root, version, rels)
-    val per = entries.map(e => stats.get((e.relPath, column)))
+    val phys = toPhys(spark, root, version, column)
+    val per = entries.map(e => stats.get((e.relPath, phys)))
     if (per.exists(_.isEmpty)) None
     else Some((per.flatten.map(_._1).min, per.flatten.map(_._2).max))
   }
@@ -928,7 +1076,8 @@ object GraftTable {
     if (entries.isEmpty) return Some(0L)
     val rels = entries.map(_.relPath).toSet
     val stats = loadColStats(spark, root, version, rels)
-    val per = entries.map(e => stats.get((e.relPath, s"#nulls.$column")))
+    val phys = toPhys(spark, root, version, column)
+    val per = entries.map(e => stats.get((e.relPath, s"#nulls.$phys")))
     if (per.exists(_.isEmpty)) None
     else Some(per.flatten.map(_._1).sum)
   }
@@ -944,8 +1093,9 @@ object GraftTable {
     if (entries.isEmpty) return Some(None)
     val rels = entries.map(_.relPath).toSet
     val stats = loadColStats(spark, root, version, rels)
-    val sums = entries.map(e => stats.get((e.relPath, s"#sum.$column")))
-    val nulls = entries.map(e => stats.get((e.relPath, s"#nulls.$column")))
+    val phys = toPhys(spark, root, version, column)
+    val sums = entries.map(e => stats.get((e.relPath, s"#sum.$phys")))
+    val nulls = entries.map(e => stats.get((e.relPath, s"#nulls.$phys")))
     if (sums.exists(_.isEmpty) || nulls.exists(_.isEmpty)) None
     else {
       val nonNull = entries.map(_.nRows).sum - nulls.flatten.map(_._1).sum
@@ -989,8 +1139,9 @@ object GraftTable {
     sys.error("unreachable")
   }
 
-  private def upsertOnce(spark: SparkSession, root: String, batch: DataFrame,
-      key: String, nBuckets: Int): (Int, Int, Int) = {
+  private[sources] def upsertOnce(spark: SparkSession, root: String,
+      batch: DataFrame, key: String, nBuckets: Int,
+      txn: Option[TxnRef] = None): (Int, Int, Int) = {
     val base = latestVersion(spark, root)
     val entries = loadManifest(spark, root, base)
     val schema = tableSchema(spark, root, base)
@@ -1011,8 +1162,7 @@ object GraftTable {
       if (rewrite.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(rewrite.map(e => s"$root/${e.relPath}"): _*)
+      else readLogical(spark, schema, rewrite.map(e => s"$root/${e.relPath}"))
     // MERGE: one hash full-outer join on the key (q204's shape) —
     // batch wins where matched, inserts where not
     val cols = schema.fieldNames
@@ -1025,7 +1175,7 @@ object GraftTable {
       writeBuckets(spark, root, base, nBuckets, rewrite.size))
     val (f, _) = fs(root, spark)
     commitManifest(f, root, v, carry ++ w.entries,
-      wroteColStats = w.wroteColStats)
+      wroteColStats = w.wroteColStats, txn = txn)
     (v, rewrite.size, carry.size)
   }
 
@@ -1095,8 +1245,7 @@ object GraftTable {
       if (rewrite.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(rewrite.map(e => s"$root/${e.relPath}"): _*)
+      else readLogical(spark, schema, rewrite.map(e => s"$root/${e.relPath}"))
     val cols = schema.fieldNames
     // 'upsert' merges column-wise (NULL batch cell keeps the target's
     // value — the partial-update CDC contract); 'replace' writes the
@@ -1158,8 +1307,7 @@ object GraftTable {
       if (rewrite.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(rewrite.map(e => s"$root/${e.relPath}"): _*)
+      else readLogical(spark, schema, rewrite.map(e => s"$root/${e.relPath}"))
     val cols = schema.fieldNames
     val t = current.as("t"); val b = batch.as("b")
     val merged = t.join(b, col(s"t.$key") === col(s"b.$key"), "full_outer")
@@ -1176,8 +1324,7 @@ object GraftTable {
       if (fresh.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(fresh.map(e => s"$root/${e.relPath}"): _*)
+      else readLogical(spark, schema, fresh.map(e => s"$root/${e.relPath}"))
     val aggs = checks.map { case (name, pred) =>
       sum(when(pred.isNull || !pred, 1L).otherwise(0L)).as(name)
     }
@@ -1208,7 +1355,7 @@ object GraftTable {
     val paths = entries.map(e => s"$root/${e.relPath}")
     val hit: Set[String] =
       if (paths.isEmpty) Set.empty
-      else spark.read.schema(schema).parquet(paths: _*)
+      else readLogical(spark, schema, paths)
         .filter(predicate)
         .select(input_file_name().as("file")).distinct()
         .collect()
@@ -1221,8 +1368,7 @@ object GraftTable {
     val w =
       if (rewrite.isEmpty) Written(Seq.empty, Seq.empty)
       else writeDataFiles(spark, root, v,
-        spark.read.schema(schema)
-          .parquet(rewrite.map(e => s"$root/${e.relPath}"): _*)
+        readLogical(spark, schema, rewrite.map(e => s"$root/${e.relPath}"))
           .filter(!predicate || predicate.isNull),
         key, math.max(1, rewrite.size))
     val (f, _) = fs(root, spark)
@@ -1251,8 +1397,7 @@ object GraftTable {
       if (entries.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(entries.map(e => s"$root/${e.relPath}"): _*)
+      else readLogical(spark, schema, entries.map(e => s"$root/${e.relPath}"))
     df.filter(col(key).cast("long") >= lower && col(key).cast("long") <= upper)
   }
 
@@ -1355,8 +1500,7 @@ object GraftTable {
     val w =
       if (rewrite.isEmpty) Written(Seq.empty, Seq.empty)
       else writeDataFiles(spark, root, v,
-        spark.read.schema(schema)
-          .parquet(rewrite.map(e => s"$root/${e.relPath}"): _*),
+        readLogical(spark, schema, rewrite.map(e => s"$root/${e.relPath}")),
         key, compactGroups.size)
     beforeCommit()
     val (f, _) = fs(root, spark)
@@ -1404,7 +1548,7 @@ object GraftTable {
     * directory listing — not O(all commits). */
   def history(spark: SparkSession, root: String): Seq[(Int, Int, Long)] = {
     val (f, _) = fs(root, spark)
-    val versions = listManifestVersions(f, root)
+    val versions = committedVersions(f, root)
     val cp = loadCheckpoint(spark, root)
     val cpV = cp.map(_._1).getOrElse(-1)
     cp.map(_._2).getOrElse(Seq.empty)
@@ -1589,8 +1733,16 @@ object GraftTable {
     // tagged versions are pinned: their files and manifests stay live
     val pinned = tags(spark, root).values.toSet
       .filter(v => v < keepFrom && f.exists(manifestPath(root, v)))
-    val live = ((keepFrom to latest) ++ pinned).distinct
-      .flatMap(v => loadManifest(spark, root, v).map(_.relPath)).toSet
+    // STAGED cross-table-txn versions sit ABOVE the committed latest:
+    // their data files must survive a vacuum that runs while the
+    // transaction is in flight (the marker may land a moment later),
+    // so they pin exactly like tags until committed or aborted
+    val stagedLive = listManifestVersions(f, root).filter(_ > latest)
+      .flatMap(v => parseManifest(readFully(f, manifestPath(root, v)))
+        .map(_.relPath))
+    val live = (((keepFrom to latest) ++ pinned).distinct
+      .flatMap(v => loadManifest(spark, root, v).map(_.relPath)) ++
+      stagedLive).toSet
     var removed = 0
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
     if (f.exists(dataDir)) {
@@ -1691,17 +1843,137 @@ object GraftTable {
       "added columns must be nullable")
     require(added.forall(a => !schema.fieldNames.contains(a.name)),
       "added column name collides with an existing column")
-    val v = base + 1
     val (f, _) = fs(root, spark)
+    // PHYSICAL-NAME hygiene: a new column whose name matches a DROPPED
+    // column's physical name (or a surviving physical name behind a
+    // rename) must get a FRESH physical name — otherwise reading old
+    // files under the new schema would resurrect pre-drop bytes (or
+    // duplicate a renamed column's storage). Delta's column-mapping
+    // id/physical-name rule, name-mode form.
+    val taken = schema.fields.map(physName).toSet ++ droppedPhysicals(f, root)
+    val mapped = added.map { a =>
+      if (!taken(a.name)) a
+      else a.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(a.metadata)
+        .putString(PhysicalKey,
+          s"${a.name}__${java.util.UUID.randomUUID().toString.take(8)}")
+        .build())
+    }
+    val v = base + 1
+    commitSchema(f, spark, root, v, StructType(schema.fields ++ mapped))
+    v
+  }
+
+  /** Publish `newSchema` as a METADATA-ONLY commit at `v` (versioned
+    * schema file + manifest carrying every data file of v−1 by
+    * reference) — the shared tail of ADD/RENAME/DROP COLUMN. */
+  private def commitSchema(f: org.apache.hadoop.fs.FileSystem,
+      spark: SparkSession, root: String, v: Int,
+      newSchema: StructType): Unit = {
     val schemaP = new org.apache.hadoop.fs.Path(root, f"_log/schema-v$v%05d.json")
     // an orphan schema file for an uncommitted version (a failed prior
     // evolve) is safe to replace: tableSchema ignores versions beyond
     // the manifest log, and the manifest publish below is the commit
     if (f.exists(schemaP) && !f.exists(manifestPath(root, v)))
       f.delete(schemaP, false)
-    writeAtomic(f, schemaP, StructType(schema.fields ++ added).json)
-    commitManifest(f, root, v, loadManifest(spark, root, base),
+    writeAtomic(f, schemaP, newSchema.json)
+    commitManifest(f, root, v, loadManifest(spark, root, v - 1),
       wroteSchema = true)
+  }
+
+  /** Physical names of every column ever dropped — the tombstone list
+    * that keeps a later ADD of the same name from resurrecting old
+    * bytes. `_log/dropped.json`, newline-separated. */
+  private def droppedPhysicals(f: org.apache.hadoop.fs.FileSystem,
+      root: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(root, "_log/dropped.json")
+    if (!f.exists(p)) Set.empty
+    else readFully(f, p).linesIterator.filter(_.nonEmpty).toSet
+  }
+
+  /** Refuse RENAME/DROP of a column the table's own metadata machinery
+    * references by name — the key (file-skipping stats), the bloom
+    * column, the partition transform, and any CHECK constraint
+    * expression (Delta refuses constraint-referenced renames the same
+    * way; textually rewriting arbitrary SQL would be guesswork). The
+    * constraint check is conservative: a word-boundary match refuses,
+    * never silently proceeds. */
+  private def refuseMappedUse(spark: SparkSession, root: String,
+      base: Int, column: String, op: String): Unit = {
+    require(!keyColumn(spark, root).contains(column),
+      s"cannot $op '$column': it is the table's key column")
+    require(!bloomColumn(spark, root).contains(column),
+      s"cannot $op '$column': it is the declared bloom column")
+    require(!partitionSpec(spark, root, base)
+        .exists(t => transformColumn(t) == column),
+      s"cannot $op '$column': the active partition transform uses it")
+    val rx = ("(?s).*\\b" + java.util.regex.Pattern.quote(column) + "\\b.*").r
+    constraints(spark, root).find(c => rx.matches(c._2)).foreach { c =>
+      throw new IllegalArgumentException(
+        s"cannot $op '$column': CHECK constraint '${c._1}' (${c._2}) " +
+          "references it — drop the constraint first")
+    }
+  }
+
+  /** RENAME COLUMN as a METADATA-ONLY commit (Delta's name-mode column
+    * mapping): the logical name changes in the versioned schema, the
+    * PHYSICAL name — what every parquet file stores — is frozen at the
+    * column's birth, so zero data files are touched at any table size
+    * and TIME TRAVEL across the rename still resolves (a v_old read
+    * surfaces the old logical name, a head read the new one, both over
+    * the same physical bytes). Columns the table references by name
+    * (key, bloom, partition transform, CHECK constraints) refuse — see
+    * [[refuseMappedUse]]. Returns the new version. */
+  def renameColumn(spark: SparkSession, root: String,
+      oldName: String, newName: String): Int = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"no table at $root")
+    val schema = tableSchema(spark, root, base)
+    require(schema.fieldNames.contains(oldName), s"no such column: $oldName")
+    require(!schema.fieldNames.contains(newName),
+      s"column '$newName' already exists")
+    refuseMappedUse(spark, root, base, oldName, "rename")
+    val (f, _) = fs(root, spark)
+    val renamed = StructType(schema.fields.map { fld =>
+      if (fld.name != oldName) fld
+      else fld.copy(name = newName,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(fld.metadata)
+          .putString(PhysicalKey, physName(fld)) // freeze the birth name
+          .build())
+    })
+    val v = base + 1
+    commitSchema(f, spark, root, v, renamed)
+    v
+  }
+
+  /** DROP COLUMN as a METADATA-ONLY commit: the field leaves the
+    * schema (reads at or after this version never see it; time travel
+    * below still does), old files keep the physical column as dead
+    * bytes until natural rewrite, and the physical name is TOMBSTONED
+    * so a later ADD of the same logical name maps to a fresh physical
+    * name — re-added columns surface NULLs, never resurrected
+    * pre-drop values. Referenced columns refuse exactly like rename.
+    * Returns the new version. */
+  def dropColumn(spark: SparkSession, root: String, name: String): Int = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"no table at $root")
+    val schema = tableSchema(spark, root, base)
+    require(schema.fieldNames.contains(name), s"no such column: $name")
+    require(schema.fields.length > 1, "cannot drop the only column")
+    refuseMappedUse(spark, root, base, name, "drop")
+    val (f, _) = fs(root, spark)
+    // tombstone BEFORE the commit: a crash in between leaves a stray
+    // tombstone (a later re-add just gets a needlessly-fresh physical
+    // name — safe), where the reverse order could resurrect bytes
+    val dropped = droppedPhysicals(f, root) +
+      physName(schema.fields.find(_.name == name).get)
+    val dp = new org.apache.hadoop.fs.Path(root, "_log/dropped.json")
+    f.delete(dp, false)
+    writeAtomic(f, dp, dropped.toSeq.sorted.mkString("", "\n", "\n"))
+    val v = base + 1
+    commitSchema(f, spark, root, v,
+      StructType(schema.fields.filterNot(_.name == name)))
     v
   }
 
@@ -1732,8 +2004,7 @@ object GraftTable {
       if (survivors.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(survivors.map(r => s"$root/$r"): _*)
+      else readLogical(spark, schema, survivors.map(r => s"$root/$r"))
     df.filter(col(column).cast("string") === value)
   }
 
@@ -1804,7 +2075,7 @@ object GraftTable {
       if (es.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(es.map(e => s"$root/${e.relPath}"): _*)
+      else readLogical(spark, schema, es.map(e => s"$root/${e.relPath}"))
     val cols = schema.fieldNames.toSeq
     def rowHash(alias: String) = md5(concat_ws("\u0001",
       cols.map(c => coalesce(col(s"$alias.$c").cast("string"), lit("\u0000"))): _*))
@@ -1882,7 +2153,7 @@ object GraftTable {
     * checkpointed version. */
   def checkpoint(spark: SparkSession, root: String): Int = {
     val (f, _) = fs(root, spark)
-    val versions = listManifestVersions(f, root)
+    val versions = committedVersions(f, root)
     require(versions.nonEmpty, s"no table at $root")
     val latest = versions.max
     val cpP = checkpointPath(root, latest)
@@ -1980,8 +2251,8 @@ object GraftTable {
     val v = base + 1
     val w = writeDataFiles(spark, root, v, snap, key, nBuckets, Some(z))
     val fresh = w.entries
-    val freshDf = spark.read.schema(schema)
-      .parquet(fresh.map(e => s"$root/${e.relPath}"): _*)
+    val freshDf = readLogical(spark, schema,
+      fresh.map(e => s"$root/${e.relPath}"))
     val stats = freshDf.groupBy(input_file_name().as("file"))
       .agg(min(col(c1).cast("long")).as("mn1"), max(col(c1).cast("long")).as("mx1"),
         min(col(c2).cast("long")).as("mn2"), max(col(c2).cast("long")).as("mx2"))
@@ -1996,7 +2267,9 @@ object GraftTable {
       def line(c: String, mnIdx: Int): Option[String] =
         if (r.isNullAt(mnIdx) || r.isNullAt(mnIdx + 1)) None
         else Some(s"$rel\t$c\t${r.getLong(mnIdx)}\t${r.getLong(mnIdx + 1)}")
-      line(c1, 1).toSeq ++ line(c2, 3).toSeq
+      // ledger keys are physical (rename-invariant), like every sidecar
+      line(toPhys(spark, root, base, c1), 1).toSeq ++
+        line(toPhys(spark, root, base, c2), 3).toSeq
     }.sorted.mkString("", "\n", "\n")
     val (f, _) = fs(root, spark)
     val statsP = colStatsPath(root, v)
@@ -2034,7 +2307,7 @@ object GraftTable {
       if (keep.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(keep.map(r => s"$root/$r"): _*)
+      else readLogical(spark, schema, keep.map(r => s"$root/$r"))
     df.filter(col(c1).cast("long").between(lo1, hi1) &&
       col(c2).cast("long").between(lo2, hi2))
   }
@@ -2053,8 +2326,9 @@ object GraftTable {
       c2: String, lo2: Long, hi2: Long, v: Int): Seq[String] = {
     val rels = loadManifest(spark, root, v).map(_.relPath)
     val stats = loadColStats(spark, root, v, rels.toSet)
+    val (p1, p2) = (toPhys(spark, root, v, c1), toPhys(spark, root, v, c2))
     rels.filter { rel =>
-      Seq((c1, lo1, hi1), (c2, lo2, hi2)).forall { case (c, lo, hi) =>
+      Seq((p1, lo1, hi1), (p2, lo2, hi2)).forall { case (c, lo, hi) =>
         stats.get((rel, c)) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
           case None => true

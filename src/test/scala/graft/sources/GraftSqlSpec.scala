@@ -196,11 +196,21 @@ class GraftSqlSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(now === Array((1L, "a", 10L), (2L, "b2", 21L), (3L, "c", 30L)))
     assert(GraftTable.read(spark, root, Some(0)).count() === 2)
-    // effective-once: a re-delivered batch id is a marker no-op
+    // effective-once: the SAME stream identity re-delivering batch 1
+    // is a marker no-op (markers key on (queryId, batchId))
     GraftTable.ingestBatch(spark, root,
       spark.range(1).select(lit(9L).as("k"), lit("dup").as("name"),
-        lit(0L).as("v")), "k", batchId = 1L)
+        lit(0L).as("v")), "k", batchId = 1L, queryId = q.id.toString)
     assert(GraftTable.latestVersion(spark, root) === 1)
+    // but a DIFFERENT writer reusing batch id 1 is NOT silently
+    // skipped — the pre-round-12 data-loss bug: a second query (or a
+    // fresh checkpoint) restarts batch ids at 0 and its batches
+    // vanished under batchId-only markers
+    GraftTable.ingestBatch(spark, root,
+      spark.range(1).select(lit(9L).as("k"), lit("other").as("name"),
+        lit(90L).as("v")), "k", batchId = 1L, queryId = "other-query")
+    assert(GraftTable.latestVersion(spark, root) === 2)
+    assert(GraftTable.read(spark, root).filter($"k" === 9L).count() === 1)
     // and a RESUMED stream continues committing past the replay guard
     val q2 = in.toDF().toDF("k", "name", "v").writeStream.format("graft")
       .option("path", root).option("key", "k")
@@ -208,8 +218,8 @@ class GraftSqlSpec extends SparkSpec {
     in.addData((4L, "d", 40L))
     q2.processAllAvailable()
     q2.stop()
-    assert(GraftTable.latestVersion(spark, root) === 2)
-    assert(GraftTable.read(spark, root).count() === 4)
+    assert(GraftTable.latestVersion(spark, root) === 3)
+    assert(GraftTable.read(spark, root).count() === 5)
     // missing key option refuses with guidance
     val e = intercept[Exception] {
       in.toDF().toDF("k", "name", "v").writeStream.format("graft")
@@ -318,11 +328,17 @@ class GraftSqlSpec extends SparkSpec {
     spark.sql("INSERT INTO galt.alt VALUES (200L, 'x', 1L, 't', 9L)")
     assert(spark.sql("SELECT tag, score FROM galt.alt WHERE k = 200")
       .as[(String, Long)].head() === (("t", 9L)))
-    // unsupported change shapes refuse with guidance
+    // RENAME and DROP ride column mapping through the same catalog verb
+    spark.sql("ALTER TABLE galt.alt RENAME COLUMN score TO points")
+    assert(spark.sql("SELECT points FROM galt.alt WHERE k = 200")
+      .as[Long].head() === 9L)
+    spark.sql("ALTER TABLE galt.alt DROP COLUMN tag")
+    assert(!spark.sql("SELECT * FROM galt.alt").columns.contains("tag"))
+    // retype refuses with guidance (needs per-file read casts)
     val e = intercept[Exception] {
-      spark.sql("ALTER TABLE galt.alt DROP COLUMN tag")
+      spark.sql("ALTER TABLE galt.alt ALTER COLUMN v TYPE STRING")
     }
-    assert(e.getMessage.contains("ADD COLUMNS only"), e.getMessage)
+    assert(e.getMessage.contains("retype"), e.getMessage)
     // properties surface through SQL
     val props = spark.sql("SHOW TBLPROPERTIES galt.alt").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap

@@ -1034,6 +1034,104 @@ class GraftTableSpec extends SparkSpec {
     assert(e.getMessage.contains("concurrent commit"))
   }
 
+  test("RENAME COLUMN is metadata-only: same files, head reads the new " +
+    "name, time travel below the rename reads the old one") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(200), "k", nBuckets = 2)
+    GraftTable.upsert(spark, root, base(200).filter($"k" <= 5)
+      .withColumn("v", lit(-1L)), "k")
+    val v = GraftTable.renameColumn(spark, root, "v", "amount")
+    assert(v === 2)
+    // metadata-only: the rename's manifest carries every file by reference
+    assert(manifestLines(root, 2) === manifestLines(root, 1))
+    val head = GraftTable.read(spark, root)
+    assert(head.columns.toSeq === Seq("k", "name", "amount"))
+    // the same physical bytes serve the new logical name
+    assert(head.filter($"amount" === -1L).count() === 5)
+    assert(head.agg(sum("amount")).as[Long].head() ===
+      (1L to 200).map(_ * 10).sum - (1L to 5).map(_ * 10).sum - 5)
+    // time travel BELOW the rename: old logical name, same values
+    val v1 = GraftTable.read(spark, root, Some(1))
+    assert(v1.columns.toSeq === Seq("k", "name", "v"))
+    assert(v1.filter($"v" === -1L).count() === 5)
+    // writes after the rename use the new name; physical stays frozen
+    GraftTable.upsert(spark, root, spark.range(6, 11).select($"id".as("k"),
+      lit(null).cast("string").as("name"), lit(-2L).as("amount")), "k")
+    assert(GraftTable.read(spark, root).filter($"amount" === -2L).count() === 5)
+    // metadata aggregates keep working across the rename: old files'
+    // ledger lines (physical name) serve the new logical name
+    val latest = GraftTable.latestVersion(spark, root)
+    assert(GraftTable.snapshotNullCount(spark, root, latest, "amount")
+      === Some(0L))
+    assert(GraftTable.snapshotColumnSum(spark, root, latest, "amount")
+      .flatten.isDefined)
+    // the SQL/DataSource surface resolves the mapping too
+    val sqlHead = spark.read.format("graft").load(root)
+    assert(sqlHead.columns.toSeq === Seq("k", "name", "amount"))
+    assert(sqlHead.filter($"amount" === -2L).count() === 5)
+  }
+
+  test("RENAME refuses columns the table references by name: key, " +
+    "bloom, partition transform, CHECK constraints") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(50), "k", nBuckets = 1,
+      bloomCol = Some("name"))
+    GraftTable.addConstraint(spark, root, "v_pos", "v > 0")
+    intercept[IllegalArgumentException] {
+      GraftTable.renameColumn(spark, root, "k", "key2") }
+    intercept[IllegalArgumentException] {
+      GraftTable.renameColumn(spark, root, "name", "label") }
+    intercept[IllegalArgumentException] {
+      GraftTable.renameColumn(spark, root, "v", "amount") }
+    intercept[IllegalArgumentException] {
+      GraftTable.dropColumn(spark, root, "v") }
+    // dropping the constraint unblocks the rename
+    GraftTable.dropConstraint(spark, root, "v_pos")
+    assert(GraftTable.renameColumn(spark, root, "v", "amount") === 1)
+  }
+
+  test("DROP COLUMN tombstones the physical name: a re-added column " +
+    "surfaces NULLs, never resurrected pre-drop bytes") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(100), "k", nBuckets = 2)
+    val vDrop = GraftTable.dropColumn(spark, root, "v")
+    assert(vDrop === 1)
+    assert(manifestLines(root, 1) === manifestLines(root, 0)) // metadata-only
+    assert(GraftTable.read(spark, root).columns.toSeq === Seq("k", "name"))
+    // time travel below the drop still has the column
+    assert(GraftTable.read(spark, root, Some(0))
+      .agg(sum("v")).as[Long].head() === 10L * 100 * 101 / 2)
+    // re-add the same logical name: fresh physical → all NULL, even
+    // though every v0 file still physically stores the old 'v' bytes
+    GraftTable.evolveAddColumns(spark, root, Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    val readded = GraftTable.read(spark, root)
+    assert(readded.columns.toSeq === Seq("k", "name", "v"))
+    assert(readded.filter($"v".isNotNull).count() === 0)
+    // and it is writable under the new identity
+    GraftTable.upsert(spark, root, spark.range(1, 4).select($"id".as("k"),
+      lit(null).cast("string").as("name"), lit(77L).as("v")), "k")
+    val head = GraftTable.read(spark, root)
+    assert(head.filter($"v" === 77L).count() === 3)
+    assert(head.filter($"v".isNotNull).count() === 3)
+  }
+
+  test("rename + drop compose: changes() and CDF replay stay coherent " +
+    "across the mapping commits") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(60), "k", nBuckets = 1)
+    GraftTable.renameColumn(spark, root, "v", "amount")
+    GraftTable.upsert(spark, root, spark.range(1, 6).select($"id".as("k"),
+      lit(null).cast("string").as("name"), lit(-9L).as("amount")), "k")
+    // feed across the rename: v0→head under the head's schema/names
+    val feed = GraftTable.changes(spark, root, 0,
+      GraftTable.latestVersion(spark, root), "k")
+    assert(feed.columns.contains("amount"))
+    assert(feed.filter($"_change" === "update").count() === 5)
+    assert(feed.filter($"amount" === -9L).count() === 5)
+  }
+
   private def manifestLines(root: String, v: Int): Seq[String] = {
     val src = scala.io.Source.fromFile(f"$root/_log/v$v%05d.manifest")
     // skip the #commit-ts header: these helpers compare FILE ledgers

@@ -1,0 +1,117 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Cross-table atomic publish: readers see every table's old snapshot
+  * until the single marker file lands, then every table's new one —
+  * never a mix; crashes before the marker never publish; abort
+  * recovers; vacuum spares in-flight staging. */
+class GraftTxnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): (String, String, String) = {
+    val base = Files.createTempDirectory("graft_txn_spec").toString
+    (s"$base/dim", s"$base/fact", s"$base/txn")
+  }
+
+  private def dim(n: Int) = spark.range(1, n + 1).select(
+    $"id".as("k"), concat(lit("p"), $"id").as("name"))
+  private def fact(n: Int) = spark.range(1, n + 1).select(
+    $"id".as("k"), ($"id" % 7).as("product"), ($"id" * 100).as("cents"))
+
+  test("publishAll: both tables flip in one atomic step; a reader " +
+    "between stagings sees BOTH old snapshots") {
+    val (dimRoot, factRoot, txnDir) = fresh()
+    GraftTable.create(spark, dimRoot, dim(50), "k", nBuckets = 1)
+    GraftTable.create(spark, factRoot, fact(500), "k", nBuckets = 2)
+    val dimBatch = spark.range(1, 4).select($"id".as("k"),
+      lit("UPDATED").as("name"))
+    val factBatch = spark.range(1, 11).select($"id".as("k"),
+      lit(0L).as("product"), lit(-1L).as("cents"))
+    // stage only (the crash window): NOTHING is visible on either table
+    val id = GraftTxn.stageAll(spark, txnDir, Seq(
+      GraftTxn.TableWrite(dimRoot, dimBatch, "k", 1),
+      GraftTxn.TableWrite(factRoot, factBatch, "k", 1)))
+    assert(GraftTable.latestVersion(spark, dimRoot) === 0)
+    assert(GraftTable.latestVersion(spark, factRoot) === 0)
+    assert(GraftTable.read(spark, dimRoot)
+      .filter($"name" === "UPDATED").count() === 0)
+    assert(GraftTable.read(spark, factRoot)
+      .filter($"cents" === -1L).count() === 0)
+    // explicit time travel to the staged version refuses
+    val e = intercept[IllegalStateException] {
+      GraftTable.read(spark, dimRoot, Some(1)).count() }
+    assert(e.getMessage.contains("STAGED transaction"))
+    // the marker is the atomic point: both tables flip together
+    GraftTxn.commit(spark, txnDir, id)
+    assert(GraftTable.latestVersion(spark, dimRoot) === 1)
+    assert(GraftTable.latestVersion(spark, factRoot) === 1)
+    assert(GraftTable.read(spark, dimRoot)
+      .filter($"name" === "UPDATED").count() === 3)
+    assert(GraftTable.read(spark, factRoot)
+      .filter($"cents" === -1L).count() === 10)
+    // committed txn refuses abort
+    intercept[IllegalArgumentException] {
+      GraftTxn.abort(spark, txnDir, id, Seq(dimRoot, factRoot)) }
+  }
+
+  test("a crashed transaction never publishes: abort removes the " +
+    "staging, a fresh transaction then lands cleanly") {
+    val (dimRoot, factRoot, txnDir) = fresh()
+    GraftTable.create(spark, dimRoot, dim(50), "k", nBuckets = 1)
+    GraftTable.create(spark, factRoot, fact(200), "k", nBuckets = 1)
+    val id = GraftTxn.stageAll(spark, txnDir, Seq(
+      GraftTxn.TableWrite(dimRoot,
+        spark.range(1, 3).select($"id".as("k"), lit("DOOMED").as("name")),
+        "k", 1),
+      GraftTxn.TableWrite(factRoot,
+        spark.range(1, 3).select($"id".as("k"), lit(0L).as("product"),
+          lit(-9L).as("cents")), "k", 1)))
+    // an abandoned staging BLOCKS ordinary writers (serialization, not
+    // silent interleaving)
+    intercept[GraftTable.ConcurrentCommitException] {
+      GraftTable.upsert(spark, dimRoot,
+        spark.range(5, 6).select($"id".as("k"), lit("X").as("name")),
+        "k", maxRetries = 0)
+    }
+    // vacuum during the in-flight window spares the staged files
+    GraftTable.vacuum(spark, factRoot, retainVersions = 1)
+    GraftTxn.abort(spark, txnDir, id, Seq(dimRoot, factRoot))
+    assert(GraftTable.latestVersion(spark, dimRoot) === 0)
+    assert(GraftTable.read(spark, dimRoot)
+      .filter($"name" === "DOOMED").count() === 0)
+    // after abort, ordinary writes land again and content is intact
+    GraftTable.upsert(spark, dimRoot,
+      spark.range(5, 6).select($"id".as("k"), lit("X").as("name")), "k")
+    assert(GraftTable.read(spark, dimRoot)
+      .filter($"name" === "X").count() === 1)
+    assert(GraftTable.read(spark, factRoot).count() === 200)
+    // the aborted staging's files are orphans; vacuum reclaims them
+    assert(GraftTable.vacuum(spark, factRoot, retainVersions = 1) > 0)
+    assert(GraftTable.read(spark, factRoot).count() === 200)
+  }
+
+  test("a failing member aborts the WHOLE transaction: no table " +
+    "publishes alone") {
+    val (dimRoot, factRoot, txnDir) = fresh()
+    GraftTable.create(spark, dimRoot, dim(20), "k", nBuckets = 1)
+    GraftTable.create(spark, factRoot, fact(20), "k", nBuckets = 1)
+    GraftTable.addConstraint(spark, factRoot, "cents_pos", "cents > 0")
+    intercept[GraftTable.ConstraintViolationException] {
+      GraftTxn.publishAll(spark, txnDir, Seq(
+        GraftTxn.TableWrite(dimRoot,
+          spark.range(1, 3).select($"id".as("k"), lit("NEW").as("name")),
+          "k", 1),
+        GraftTxn.TableWrite(factRoot, // violates the CHECK → whole txn dies
+          spark.range(1, 3).select($"id".as("k"), lit(0L).as("product"),
+            lit(-5L).as("cents")), "k", 1)))
+    }
+    // the dim staged FIRST and was un-staged by the failure
+    assert(GraftTable.latestVersion(spark, dimRoot) === 0)
+    assert(GraftTable.read(spark, dimRoot)
+      .filter($"name" === "NEW").count() === 0)
+    assert(GraftTable.latestVersion(spark, factRoot) === 0)
+  }
+}
