@@ -167,12 +167,36 @@ object Bench {
         name -> timeOne(byName(name))
       } else name -> t
     }
+    // HEAVY-SET repeat-min adjudication (round-11 verdict #6): the
+    // top-5 slowest queries — plus any query >2× its best prior — get
+    // SPARK_GRAFT_HEAVY_REPEAT (default 1) extra timed runs, and the
+    // artifact reports min-of-all-runs WITH the per-run times, so
+    // in-suite contention noise on the big queries (q193's 42→49 s on
+    // unchanged code in round 11) can't mask or fake a regression.
+    val heavyExtra = sys.env.getOrElse("SPARK_GRAFT_HEAVY_REPEAT", "1").toInt
+    val heavySet =
+      retried.filterNot(r => failed.contains(r._1))
+        .sortBy(-_._2).take(5).map(_._1).toSet ++
+      retried.collect { case (name, t)
+        if priors.get(short(name)).exists(p => t > 2 * p) &&
+          !failed.contains(name) => name }
+    val heavyRuns: Map[String, Seq[Double]] =
+      if (heavyExtra <= 0) Map.empty
+      else retried.collect { case (name, t) if heavySet(name) =>
+        val extra = (1 to heavyExtra).map(_ => timeOne(byName(name)))
+        System.err.println(f"[bench] heavy $name%s: first ${t}%.3f, " +
+          s"re-runs ${extra.map(x => f"$x%.3f").mkString(", ")}")
+        name -> (t +: extra)
+      }.toMap
+    val adjudicated = retried.map { case (name, t) =>
+      name -> heavyRuns.get(name).map(rs => math.min(t, rs.min)).getOrElse(t)
+    }
     // "anomalous" = still slower than 3× a KNOWN prior after the
     // retry — a contradiction against history worth a human look. A
     // query with no prior that is merely >5 s gets the insurance
     // re-run above but is not reportable as anomalous (there is
     // nothing to contradict).
-    val anomalous = retried.collect {
+    val anomalous = adjudicated.collect {
       case (name, t) if priors.contains(short(name)) && t > threshold(name) &&
         !failed.contains(name) => name
     }
@@ -182,7 +206,7 @@ object Bench {
     // measurement and poisonous as a prior (a 0.2s analysis failure
     // would make the fixed query's real 2.5s look anomalous next
     // round). Failed queries appear ONLY in the failed list.
-    val timed = retried.filterNot { case (name, _) => failed.contains(name) }
+    val timed = adjudicated.filterNot { case (name, _) => failed.contains(name) }
     // Bounded stdout line: the full per-query map lives in
     // BENCH_DETAIL.json (committed, md5-stamped below); the printed line
     // carries only the TOP-K slowest queries, so its length is
@@ -205,8 +229,13 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
     val detail = timed.map { case (k, v) => "\"" + k + "\":" + fmt6(v) }
       .mkString("{", ",", "}")
+    def runsJson(m: Map[String, Seq[Double]], nameOf: String => String,
+        f: Double => String): String =
+      m.toSeq.sortBy(_._1).map { case (k, rs) =>
+        "\"" + nameOf(k) + "\":" + rs.map(f).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"total":${fmt6(total)},"queries":$detail,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"anomalous":${anomalous.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"total":${fmt6(total)},"queries":$detail,"heavy_runs":${runsJson(heavyRuns, identity, fmt6)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"anomalous":${anomalous.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // md5 of the detail file goes into the stdout line so a reader can
     // confirm the committed BENCH_DETAIL.json is the one this run wrote
     val detailMd5 = {
@@ -218,7 +247,7 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_DETAIL.json write failed: ${e.getMessage}")
     }
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timed.size},"queries":$qs,"failed":$failedJson,"anomalous":$anomalousJson,"detail":"BENCH_DETAIL.json","detail_md5":"$detailMd5","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timed.size},"queries":$qs,"heavy_runs":${runsJson(heavyRuns, short, fmt)},"failed":$failedJson,"anomalous":$anomalousJson,"detail":"BENCH_DETAIL.json","detail_md5":"$detailMd5","sf":"$sfDir"}"""
     // the driver's stdout tail buffer is 2000 chars — if this trips, the
     // artifact is about to be lost; shrink topK or the failed lists
     if (line.length > 1900)
