@@ -2732,6 +2732,69 @@ object MaintenanceQueries {
            |  CAST(max(nv) AS BIGINT) AS n_versions
            |FROM stages GROUP BY stage, tbl ORDER BY stage, tbl""".stripMargin))
 
+  /** SHALLOW CLONE ([[GraftTable.cloneTable]], Delta's zero-copy
+    * fork): the clone's v0 manifest references the source snapshot's
+    * immutable files by ABSOLUTE PATH — no data I/O at any table
+    * size — and the tables then diverge independently (copy-on-write
+    * keeps every shared file immutable). The `zero_copy` flag pins
+    * that every v0 reference points into the source; the three stages
+    * prove divergence: the source head carries ONLY its own
+    * post-clone update, the clone head ONLY its own, and the clone's
+    * v0 still serves the original snapshot byte-for-byte. */
+  val q306ShallowClone = GraftQuery(
+    "q306_shallow_clone",
+    (s, dir) => {
+      val tmp = newTempDir("graft_clone_gate")
+      val src = tmp + "/src"
+      val dst = tmp + "/dst"
+      val cust = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_name").as("name"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, src, cust, "k", nBuckets = 4)
+      GraftTable.cloneTable(s, src, dst)
+      val zeroCopy = GraftTable.snapshotFileLedger(s, dst, 0)
+        .forall(_._1.startsWith(src + "/"))
+      // diverge: disjoint updates on each side
+      GraftTable.upsert(s, dst, s.range(0, 100).select(col("id").as("k"),
+        lit(null).cast("string").as("name"), lit(-1L).as("cents")), "k")
+      GraftTable.upsert(s, src, s.range(0, 50).select(col("id").as("k"),
+        lit(null).cast("string").as("name"), lit(-2L).as("cents")), "k")
+      def agg(stage: String, df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(lit(stage).as("stage"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum("cents").as("cents_sum"),
+            sum(conv(substring(md5(concat_ws("|", col("k").cast("string"),
+              col("name"), col("cents").cast("string"))), 1, 8), 16, 10)
+              .cast("long")).as("row_sum"),
+            lit(zeroCopy).as("zero_copy"))
+      agg("a_src_head", GraftTable.read(s, src))
+        .unionAll(agg("b_clone_head", GraftTable.read(s, dst)))
+        .unionAll(agg("c_clone_v0", GraftTable.read(s, dst, Some(0))))
+        .orderBy("stage")
+    },
+    Some("""WITH c AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM customer),
+           |src AS (SELECT k, name,
+           |    CASE WHEN k < 50 THEN CAST(-2 AS BIGINT) ELSE cents END AS v
+           |  FROM c),
+           |dst AS (SELECT k, name,
+           |    CASE WHEN k < 100 THEN CAST(-1 AS BIGINT) ELSE cents END AS v
+           |  FROM c),
+           |stages AS (
+           |  SELECT 'a_src_head' AS stage, * FROM src
+           |  UNION ALL SELECT 'b_clone_head', * FROM dst
+           |  UNION ALL SELECT 'c_clone_v0', k, name, cents FROM c)
+           |SELECT stage, count(*) AS n_rows,
+           |  CAST(sum(v) AS BIGINT) AS cents_sum,
+           |  CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |    name || '|' || CAST(v AS VARCHAR)), 1, 8))::BIGINT)
+           |    AS BIGINT) AS row_sum,
+           |  true AS zero_copy
+           |FROM stages GROUP BY stage ORDER BY stage""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
@@ -2743,5 +2806,6 @@ object MaintenanceQueries {
     q287TimestampTravel, q289MergeCloseOut, q290MetadataAggregates,
     q291MonthsYearsEvolution, q292TruncatePartition, q293MetadataTables,
     q295SqlMaintenance, q296CheckConstraints, q302OptimizeMergeConcurrency,
-    q303ColumnRename, q304ColumnDropReadd, q305MultiTablePublish)
+    q303ColumnRename, q304ColumnDropReadd, q305MultiTablePublish,
+    q306ShallowClone)
 }

@@ -1247,11 +1247,67 @@ object StreamingQueries {
            |  CAST(max(pos) AS BIGINT) AS max_offset
            |FROM ofs GROUP BY partition ORDER BY partition""".stripMargin))
 
+  /** OFFSET-WINDOW batch reads over the broker log — Kafka's
+    * `startingOffsets`/`endingOffsets` JSON maps without a streaming
+    * checkpoint: reprocessing an EXACT per-partition offset range (the
+    * backfill/audit verb at 100 TB — re-run three hours of one
+    * partition, not the topic), here composed with `minPartitions`
+    * read-splitting so one hot partition can't cap parallelism (the
+    * split changes plan shape only; the checksum proves content is
+    * range-exact either way). Offsets are a pure function of the
+    * single produce (rank by event_id within partition), so the
+    * oracle replays the window with one SQL window function. */
+  val q307LogOffsetWindow = GraftQuery(
+    "q307_log_offset_window",
+    (s, dir) => {
+      val topic = newTempDir("graft_log_window") + "/events"
+      val ev = Tables.events(s, dir).select(
+        (col("user_id") % 4).cast("int").as("partition"),
+        col("event_id").cast("long").as("seq"),
+        col("event_id").cast("string").as("key"),
+        floor(col("value") * 100 + lit(0.5)).cast("long")
+          .cast("string").as("value"),
+        col("event_id").as("ts"))
+      graft.streaming.GraftLog.append(s, topic, ev)
+      s.read.format("graftlog")
+        .option("startingOffsets", """{"0":10,"2":5}""")
+        .option("endingOffsets", "latest")
+        .option("minPartitions", "16")
+        .load(topic)
+        .select(col("partition"), col("offset"),
+          col("value").cast("long").as("cents"))
+        .groupBy("partition")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("cents").as("cents_sum"),
+          sum(col("offset") * col("cents")).as("offset_weighted"),
+          min("offset").as("min_offset"))
+        .orderBy("partition")
+    },
+    Some("""WITH ev AS (
+           |  SELECT CAST(user_id % 4 AS INTEGER) AS partition,
+           |    CAST(event_id AS BIGINT) AS event_id,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM events),
+           |ofs AS (
+           |  SELECT *, row_number() OVER (PARTITION BY partition
+           |      ORDER BY event_id) - 1 AS pos
+           |  FROM ev),
+           |win AS (
+           |  SELECT * FROM ofs
+           |  WHERE pos >= CASE partition WHEN 0 THEN 10 WHEN 2 THEN 5
+           |    ELSE 0 END)
+           |SELECT partition, count(*) AS n_rows,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  CAST(sum(pos * cents) AS BIGINT) AS offset_weighted,
+           |  CAST(min(pos) AS BIGINT) AS min_offset
+           |FROM win GROUP BY partition ORDER BY partition""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q152StreamCdcState, q153StreamWindowedAggs, q157StreamClickPurchase,
       q159StreamUserTotals, q160RegistryNearDup, q161StreamSessions,
       q167StreamDedup, q168StreamEnrich, q228StreamAbandonedClicks,
       q248StreamTemporalJoin, q253CdfStreamMaintenance, q269StreamingGradient,
       q286RateSourceBackpressure, q294NativeGraftSink, q298BrokerLogSource,
-      q299LogToTablePipeline, q300CappedLogStream, q301DistributedLogProduce)
+      q299LogToTablePipeline, q300CappedLogStream, q301DistributedLogProduce,
+      q307LogOffsetWindow)
 }

@@ -84,6 +84,15 @@ object GraftTable {
   private def manifestPath(root: String, v: Int) =
     new org.apache.hadoop.fs.Path(root, f"_log/v$v%05d.manifest")
 
+  /** Resolve a manifest file reference: table-relative (`data/v…/…`,
+    * the normal case) or ABSOLUTE (`/…` or `scheme://…`) — how a
+    * SHALLOW CLONE references its source's immutable files without
+    * copying a byte ([[cloneTable]]). Vacuum only ever deletes under
+    * its own root, so absolute (foreign) references are naturally
+    * outside its reach. */
+  private[sources] def dataPath(root: String, rel: String): String =
+    if (rel.startsWith("/") || rel.contains("://")) rel else s"$root/$rel"
+
   private def readFully(
       f: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): String = {
@@ -594,7 +603,7 @@ object GraftTable {
       if (keep.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readLogical(spark, schema, keep.map(r => s"$root/$r"))
+      else readLogical(spark, schema, keep.map(r => dataPath(root, r)))
     df.filter(spec.valueCol.between(lo, hi))
   }
 
@@ -937,6 +946,58 @@ object GraftTable {
       wrotePartition = partitioning.nonEmpty)
   }
 
+  /** SHALLOW CLONE (Delta's zero-copy fork): create `dstRoot` as a new
+    * table whose v0 manifest references `srcRoot`'s data files BY
+    * ABSOLUTE PATH — no data I/O at any table size, instant. The clone
+    * carries the source snapshot's schema (column mapping included),
+    * key, bloom declaration, active partition transform, CHECK
+    * constraints, physical-name tombstones, and the colstats ledger
+    * for every referenced file (re-keyed to the absolute references),
+    * so pruning/metadata aggregates work on the clone from commit 0.
+    * Writes to either table NEVER affect the other (files are
+    * immutable copy-on-write; the clone's rewrites land under its own
+    * root and progressively localize it). CAVEAT (Delta documents the
+    * same): VACUUMing the SOURCE can delete files the clone still
+    * references — pin the cloned version with a [[tag]] on the source,
+    * or OPTIMIZE the clone to localize it, before source retention
+    * passes the cloned snapshot. */
+  def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String,
+      version: Option[Int] = None): Unit = {
+    val (f, _) = fs(dstRoot, spark)
+    require(!f.exists(new org.apache.hadoop.fs.Path(dstRoot, "_log")),
+      s"table already exists at $dstRoot")
+    val v = version.getOrElse(latestVersion(spark, srcRoot))
+    require(v >= 0, s"no graft table at $srcRoot")
+    val entries = loadManifest(spark, srcRoot, v)
+    f.mkdirs(new org.apache.hadoop.fs.Path(dstRoot, "_log"))
+    writeAtomic(f, new org.apache.hadoop.fs.Path(dstRoot, "_log/schema.json"),
+      tableSchema(spark, srcRoot, v).json)
+    keyColumn(spark, srcRoot).foreach(k => writeAtomic(f,
+      new org.apache.hadoop.fs.Path(dstRoot, "_log/key.json"), k))
+    bloomColumn(spark, srcRoot).foreach(b => writeAtomic(f,
+      new org.apache.hadoop.fs.Path(dstRoot, "_log/bloom.json"), b))
+    partitionSpec(spark, srcRoot, v).foreach(t =>
+      writeAtomic(f, partitionSpecPath(dstRoot, 0), t.render))
+    constraints(spark, srcRoot).foreach { case (name, ex) =>
+      writeAtomic(f, new org.apache.hadoop.fs.Path(dstRoot,
+        s"_log/check-$name.json"), ex) }
+    val (sf, _) = fs(srcRoot, spark)
+    val dropped = droppedPhysicals(sf, srcRoot)
+    if (dropped.nonEmpty) writeAtomic(f,
+      new org.apache.hadoop.fs.Path(dstRoot, "_log/dropped.json"),
+      dropped.toSeq.sorted.mkString("", "\n", "\n"))
+    // re-key the referenced files' stats ledger onto the absolute refs
+    val rels = entries.map(_.relPath).toSet
+    val statLines = loadColStats(spark, srcRoot, v, rels).toSeq
+      .map { case ((rel, c), (mn, mx)) =>
+        s"${dataPath(srcRoot, rel)}\t$c\t$mn\t$mx" }.sorted
+    if (statLines.nonEmpty) writeColStatsAt(f, dstRoot, 0, statLines)
+    val cloned = entries.map(e => e.copy(relPath = dataPath(srcRoot, e.relPath)))
+    commitManifest(f, dstRoot, 0, cloned,
+      wroteColStats = statLines.nonEmpty,
+      wrotePartition = partitionSpec(spark, srcRoot, v).isDefined)
+  }
+
   /** Snapshot read at `version` (default: latest). */
   def read(spark: SparkSession, root: String,
       version: Option[Int] = None): DataFrame = {
@@ -948,7 +1009,7 @@ object GraftTable {
     } else {
       // pin the schema so a snapshot's column set never depends on
       // which subset of files survived the commits
-      readLogical(spark, schema, entries.map(e => s"$root/${e.relPath}"))
+      readLogical(spark, schema, entries.map(e => dataPath(root, e.relPath)))
     }
   }
 
@@ -973,7 +1034,7 @@ object GraftTable {
     val bytes = entries.map { e =>
       if (e.nBytes >= 0) e.nBytes
       else f.getFileStatus(
-        new org.apache.hadoop.fs.Path(root, e.relPath)).getLen
+        new org.apache.hadoop.fs.Path(dataPath(root, e.relPath))).getLen
     }.sum
     (entries.map(_.nRows).sum, bytes)
   }
@@ -997,7 +1058,7 @@ object GraftTable {
     }
     val (f, _) = fs(root, spark)
     entries.map { e =>
-      val p = f.makeQualified(new org.apache.hadoop.fs.Path(root, e.relPath))
+      val p = f.makeQualified(new org.apache.hadoop.fs.Path(dataPath(root, e.relPath)))
       if (e.nBytes >= 0)
         new org.apache.hadoop.fs.FileStatus(e.nBytes, false, 1,
           128L * 1024 * 1024, 0L, p)
@@ -1050,14 +1111,14 @@ object GraftTable {
   /** The pruned snapshot's file ledger for the `$files` metadata table:
     * (relPath, minKey, maxKey, rows, bytes) straight from the manifest
     * (legacy unknown sizes resolve with one getFileStatus each). */
-  private[sources] def snapshotFileLedger(spark: SparkSession, root: String,
+  private[graft] def snapshotFileLedger(spark: SparkSession, root: String,
       version: Int): Seq[(String, Long, Long, Long, Long)] = {
     val (f, _) = fs(root, spark)
     loadManifest(spark, root, version).map { e =>
       val bytes =
         if (e.nBytes >= 0) e.nBytes
         else f.getFileStatus(
-          new org.apache.hadoop.fs.Path(root, e.relPath)).getLen
+          new org.apache.hadoop.fs.Path(dataPath(root, e.relPath))).getLen
       (e.relPath, e.minKey, e.maxKey, e.nRows, bytes)
     }
   }
@@ -1162,7 +1223,7 @@ object GraftTable {
       if (rewrite.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readLogical(spark, schema, rewrite.map(e => s"$root/${e.relPath}"))
+      else readLogical(spark, schema, rewrite.map(e => dataPath(root, e.relPath)))
     // MERGE: one hash full-outer join on the key (q204's shape) —
     // batch wins where matched, inserts where not
     val cols = schema.fieldNames
@@ -1245,7 +1306,7 @@ object GraftTable {
       if (rewrite.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readLogical(spark, schema, rewrite.map(e => s"$root/${e.relPath}"))
+      else readLogical(spark, schema, rewrite.map(e => dataPath(root, e.relPath)))
     val cols = schema.fieldNames
     // 'upsert' merges column-wise (NULL batch cell keeps the target's
     // value — the partial-update CDC contract); 'replace' writes the
@@ -1307,7 +1368,7 @@ object GraftTable {
       if (rewrite.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readLogical(spark, schema, rewrite.map(e => s"$root/${e.relPath}"))
+      else readLogical(spark, schema, rewrite.map(e => dataPath(root, e.relPath)))
     val cols = schema.fieldNames
     val t = current.as("t"); val b = batch.as("b")
     val merged = t.join(b, col(s"t.$key") === col(s"b.$key"), "full_outer")
@@ -1324,7 +1385,7 @@ object GraftTable {
       if (fresh.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readLogical(spark, schema, fresh.map(e => s"$root/${e.relPath}"))
+      else readLogical(spark, schema, fresh.map(e => dataPath(root, e.relPath)))
     val aggs = checks.map { case (name, pred) =>
       sum(when(pred.isNull || !pred, 1L).otherwise(0L)).as(name)
     }
@@ -1352,7 +1413,7 @@ object GraftTable {
     val base = latestVersion(spark, root)
     val entries = loadManifest(spark, root, base)
     val schema = tableSchema(spark, root, base)
-    val paths = entries.map(e => s"$root/${e.relPath}")
+    val paths = entries.map(e => dataPath(root, e.relPath))
     val hit: Set[String] =
       if (paths.isEmpty) Set.empty
       else readLogical(spark, schema, paths)
@@ -1368,7 +1429,7 @@ object GraftTable {
     val w =
       if (rewrite.isEmpty) Written(Seq.empty, Seq.empty)
       else writeDataFiles(spark, root, v,
-        readLogical(spark, schema, rewrite.map(e => s"$root/${e.relPath}"))
+        readLogical(spark, schema, rewrite.map(e => dataPath(root, e.relPath)))
           .filter(!predicate || predicate.isNull),
         key, math.max(1, rewrite.size))
     val (f, _) = fs(root, spark)
@@ -1397,7 +1458,7 @@ object GraftTable {
       if (entries.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readLogical(spark, schema, entries.map(e => s"$root/${e.relPath}"))
+      else readLogical(spark, schema, entries.map(e => dataPath(root, e.relPath)))
     df.filter(col(key).cast("long") >= lower && col(key).cast("long") <= upper)
   }
 
@@ -1500,7 +1561,7 @@ object GraftTable {
     val w =
       if (rewrite.isEmpty) Written(Seq.empty, Seq.empty)
       else writeDataFiles(spark, root, v,
-        readLogical(spark, schema, rewrite.map(e => s"$root/${e.relPath}")),
+        readLogical(spark, schema, rewrite.map(e => dataPath(root, e.relPath))),
         key, compactGroups.size)
     beforeCommit()
     val (f, _) = fs(root, spark)
@@ -2004,7 +2065,7 @@ object GraftTable {
       if (survivors.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readLogical(spark, schema, survivors.map(r => s"$root/$r"))
+      else readLogical(spark, schema, survivors.map(r => dataPath(root, r)))
     df.filter(col(column).cast("string") === value)
   }
 
@@ -2028,7 +2089,7 @@ object GraftTable {
           math.max(1, math.min(entries.size, 32)))
         .mapPartitions { rels =>
           rels.filter { rel =>
-            val p = new org.apache.hadoop.fs.Path(rootStr, rel + ".bloom")
+            val p = new org.apache.hadoop.fs.Path(dataPath(rootStr, rel) + ".bloom")
             val f = p.getFileSystem(confFrom(hconf))
             if (!f.exists(p)) true // no sidecar: cannot skip
             else {
@@ -2075,7 +2136,7 @@ object GraftTable {
       if (es.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readLogical(spark, schema, es.map(e => s"$root/${e.relPath}"))
+      else readLogical(spark, schema, es.map(e => dataPath(root, e.relPath)))
     val cols = schema.fieldNames.toSeq
     def rowHash(alias: String) = md5(concat_ws("\u0001",
       cols.map(c => coalesce(col(s"$alias.$c").cast("string"), lit("\u0000"))): _*))
@@ -2252,7 +2313,7 @@ object GraftTable {
     val w = writeDataFiles(spark, root, v, snap, key, nBuckets, Some(z))
     val fresh = w.entries
     val freshDf = readLogical(spark, schema,
-      fresh.map(e => s"$root/${e.relPath}"))
+      fresh.map(e => dataPath(root, e.relPath)))
     val stats = freshDf.groupBy(input_file_name().as("file"))
       .agg(min(col(c1).cast("long")).as("mn1"), max(col(c1).cast("long")).as("mx1"),
         min(col(c2).cast("long")).as("mn2"), max(col(c2).cast("long")).as("mx2"))
@@ -2307,7 +2368,7 @@ object GraftTable {
       if (keep.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readLogical(spark, schema, keep.map(r => s"$root/$r"))
+      else readLogical(spark, schema, keep.map(r => dataPath(root, r)))
     df.filter(col(c1).cast("long").between(lo1, hi1) &&
       col(c2).cast("long").between(lo2, hi2))
   }

@@ -368,9 +368,19 @@ class GraftLogReaderFactory extends PartitionReaderFactory {
 }
 
 /** The scan: micro-batch stream AND batch read over the same
-  * partition/offset reader. */
+  * partition/offset reader.
+  *
+  * Batch reads honor Kafka-shaped slicing options:
+  * `startingOffsets` / `endingOffsets` = earliest | latest | a
+  * per-partition JSON map (`{"0":5,"1":0}`) — reprocessing an exact
+  * offset window without a streaming checkpoint; `minPartitions`
+  * splits big topic-partitions into multiple contiguous offset-range
+  * input partitions, so ONE hot partition no longer caps read
+  * parallelism at 100 TB (chunks inside a segment skip to their start
+  * by line count — bounded re-read, never wrong rows). */
 class GraftLogScan(dir: String, startingOffsets: String,
-    maxOffsetsPerTrigger: Option[Long],
+    endingOffsets: String, maxOffsetsPerTrigger: Option[Long],
+    minPartitions: Option[Int],
     spark: SparkSession) extends Scan with Batch {
 
   private def hconfMap: Map[String, String] = {
@@ -400,9 +410,41 @@ class GraftLogScan(dir: String, startingOffsets: String,
     }.toArray
   }
 
-  // ---- batch read: the whole log ----
-  override def planInputPartitions(): Array[InputPartition] =
-    slices(Map.empty, GraftLog.endOffsets(spark, dir))
+  /** Split slices into ≥ `minParts` contiguous offset-range chunks:
+    * each slice gets ceil(len × minParts / total) splits — the sum of
+    * ceilings is ≥ minParts whatever the skew — sized evenly within
+    * the slice. Deterministic (a re-planned batch splits identically). */
+  private def chunked(parts: Array[InputPartition]): Array[InputPartition] =
+    minPartitions match {
+      case Some(minParts) if parts.length < minParts && parts.nonEmpty =>
+        val ps = parts.map(_.asInstanceOf[GraftLogInputPartition])
+        val total = math.max(1L, ps.map(p => p.until - p.from).sum)
+        ps.flatMap { p =>
+          val len = p.until - p.from
+          val n = math.max(1L, (len * minParts + total - 1) / total)
+          // exact proportional boundaries (floor(i·len/n)): exactly n
+          // non-empty chunks whenever n ≤ len, sizes within one row
+          (0L until n).map { i =>
+            p.copy(from = p.from + i * len / n,
+              until = p.from + (i + 1) * len / n)
+          }.filter(c => c.until > c.from).map(c => c: InputPartition)
+        }
+      case _ => parts
+    }
+
+  private def boundOf(opt: String, head: Map[Int, Long]): Map[Int, Long] =
+    opt match {
+      case "earliest" => Map.empty
+      case "latest" => head
+      case json => GraftLogOffset.parse(json).ends
+    }
+
+  // ---- batch read: the configured offset window (whole log default) --
+  override def planInputPartitions(): Array[InputPartition] = {
+    val head = GraftLog.endOffsets(spark, dir)
+    chunked(slices(boundOf(startingOffsets, head),
+      boundOf(endingOffsets, head)))
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory
@@ -420,8 +462,9 @@ class GraftLogScan(dir: String, startingOffsets: String,
 
     override def initialOffset(): Offset = startingOffsets match {
       case "latest" => GraftLogOffset(GraftLog.endOffsets(spark, dir))
-      case _ => GraftLogOffset(
+      case "earliest" => GraftLogOffset(
         GraftLog.endOffsets(spark, dir).map { case (p, _) => p -> 0L })
+      case json => GraftLogOffset.parse(json) // explicit {pid: offset}
     }
 
     override def getDefaultReadLimit: ReadLimit =
@@ -460,8 +503,8 @@ class GraftLogScan(dir: String, startingOffsets: String,
 
     override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] =
-      slices(start.asInstanceOf[GraftLogOffset].ends,
-        end.asInstanceOf[GraftLogOffset].ends)
+      chunked(slices(start.asInstanceOf[GraftLogOffset].ends,
+        end.asInstanceOf[GraftLogOffset].ends))
 
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftLogReaderFactory
@@ -549,7 +592,9 @@ class GraftLogTable(dir: String, options: CaseInsensitiveStringMap)
         def opt(k: String) = Option(opts.get(k)).orElse(Option(options.get(k)))
         new GraftLogScan(dir,
           opt("startingOffsets").getOrElse("earliest"),
+          opt("endingOffsets").getOrElse("latest"),
           opt("maxOffsetsPerTrigger").map(_.toLong),
+          opt("minPartitions").map(_.toInt),
           SparkSession.active)
       }
     }

@@ -1132,6 +1132,47 @@ class GraftTableSpec extends SparkSpec {
     assert(feed.filter($"amount" === -9L).count() === 5)
   }
 
+  test("SHALLOW CLONE: zero-copy fork — clone reads the source's " +
+    "files by absolute reference, then the tables diverge independently") {
+    val tmp = Files.createTempDirectory("graft_clone_spec").toString
+    val src = s"$tmp/src"; val dst = s"$tmp/dst"
+    GraftTable.create(spark, src, base(300), "k", nBuckets = 3)
+    GraftTable.addConstraint(spark, src, "v_pos", "v >= -100")
+    GraftTable.cloneTable(spark, src, dst)
+    // every clone manifest entry is an absolute reference into src —
+    // zero data files copied
+    assert(manifestLines(dst, 0).map(_.split('\t')(0))
+      .forall(_.startsWith(s"$src/")))
+    assert(GraftTable.read(spark, dst).count() === 300)
+    assert(GraftTable.read(spark, dst).agg(sum("v")).as[Long].head()
+      === 10L * 300 * 301 / 2)
+    // metadata aggregates work on the clone from commit 0 (stats
+    // ledger re-keyed onto the absolute references)
+    assert(GraftTable.snapshotNullCount(spark, dst, 0, "v") === Some(0L))
+    // divergence: writes to one never touch the other
+    GraftTable.upsert(spark, dst, spark.range(1, 6).select($"id".as("k"),
+      lit(null).cast("string").as("name"), lit(-1L).as("v")), "k")
+    GraftTable.upsert(spark, src, spark.range(10, 13).select($"id".as("k"),
+      lit(null).cast("string").as("name"), lit(-2L).as("v")), "k")
+    assert(GraftTable.read(spark, dst).filter($"v" === -1L).count() === 5)
+    assert(GraftTable.read(spark, dst).filter($"v" === -2L).count() === 0)
+    assert(GraftTable.read(spark, src).filter($"v" === -1L).count() === 0)
+    assert(GraftTable.read(spark, src).filter($"v" === -2L).count() === 3)
+    // constraints traveled with the clone
+    intercept[GraftTable.ConstraintViolationException] {
+      GraftTable.upsert(spark, dst, spark.range(1, 2).select($"id".as("k"),
+        lit(null).cast("string").as("name"), lit(-999L).as("v")), "k")
+    }
+    // OPTIMIZE localizes the clone: compacted entries live under dst
+    GraftTable.optimize(spark, dst, "k", targetRows = 1000000L)
+    assert(manifestLines(dst, 2).map(_.split('\t')(0))
+      .forall(_.startsWith("data/")))
+    assert(GraftTable.read(spark, dst).count() === 300)
+    // clone vacuum never reaches into the source
+    GraftTable.vacuum(spark, dst, retainVersions = 1)
+    assert(GraftTable.read(spark, src).count() === 300)
+  }
+
   private def manifestLines(root: String, v: Int): Seq[String] = {
     val src = scala.io.Source.fromFile(f"$root/_log/v$v%05d.manifest")
     // skip the #commit-ts header: these helpers compare FILE ledgers

@@ -273,6 +273,32 @@ class GraftLogSpec extends SparkSpec {
       .filter(col("partition") === 0).count() === 26)
   }
 
+  test("batch offset windows: startingOffsets/endingOffsets JSON maps " +
+    "slice an exact per-partition range; minPartitions splits a hot " +
+    "partition without changing content") {
+    val dir = freshDir()
+    GraftLog.append(spark, dir, batch(
+      (0 until 10).map(i => (0, i.toLong, s"a$i", i.toString, 1L)) ++
+        (0 until 4).map(i => (1, i.toLong, s"b$i", i.toString, 1L))))
+    // window [2, 7) on p0, [1, latest) on p1
+    val win = spark.read.format("graftlog")
+      .option("startingOffsets", """{"0":2,"1":1}""")
+      .option("endingOffsets", """{"0":7,"1":4}""")
+      .load(dir)
+      .select("partition", "offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted
+    assert(win.toSeq ===
+      (2L until 7).map(o => (0, o)) ++ (1L until 4).map(o => (1, o)))
+    // minPartitions: a 2-partition topic fans out to >= 8 read splits,
+    // content identical (chunks skip to their offset by line count)
+    val wide = spark.read.format("graftlog")
+      .option("minPartitions", "8").load(dir)
+    assert(wide.rdd.getNumPartitions >= 8)
+    assert(wide.count() === 14)
+    assert(wide.select("offset").as[Long].collect().sum ===
+      (0L until 10).sum + (0L until 4).sum)
+  }
+
   test("RACING distributed writers to the same topic: both land " +
     "completely, offsets stay dense per partition") {
     val dir = freshDir()
