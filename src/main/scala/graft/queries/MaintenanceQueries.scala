@@ -2795,6 +2795,63 @@ object MaintenanceQueries {
            |  true AS zero_copy
            |FROM stages GROUP BY stage ORDER BY stage""".stripMargin))
 
+  /** ATOMIC CTAS through the staging catalog
+    * ([[graft.sources.GraftCatalog.stageCreate]]): `CREATE TABLE …
+    * AS SELECT` lands the query result as the table's SINGLE
+    * version-0 commit — no empty-create + append pair, no window
+    * where a reader sees an empty table — and composes with the rest
+    * of the SQL surface (the gate reads back through the catalog,
+    * updates through keyed INSERT, and time-travels to the CTAS
+    * commit). `n_versions = 2` after the post-CTAS insert is the
+    * atomicity arithmetic: CTAS consumed exactly one version. */
+  val q308SqlCtas = GraftQuery(
+    "q308_sql_ctas",
+    (s, dir) => {
+      val tmp = newTempDir("graft_ctas")
+      val cat = "graft_ct_" + java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", tmp)
+      Tables.supplier(s, dir).createOrReplaceTempView("ctas_src")
+      s.sql(s"""CREATE TABLE $cat.s TBLPROPERTIES('key'='k') AS
+               |SELECT CAST(s_suppkey AS BIGINT) AS k, s_name AS name,
+               |  CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS cents
+               |FROM ctas_src""".stripMargin)
+      val root = tmp + "/s"
+      s.sql(s"INSERT INTO $cat.s VALUES " +
+        "(CAST(-1 AS BIGINT), 'extra', CAST(-1 AS BIGINT))")
+      val latest = GraftTable.latestVersion(s, root).toLong
+      def agg(stage: String, df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(lit(stage).as("stage"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum("cents").as("cents_sum"),
+            sum(conv(substring(md5(concat_ws("|", col("k").cast("string"),
+              col("name"), col("cents").cast("string"))), 1, 8), 16, 10)
+              .cast("long")).as("row_sum"),
+            lit(latest + 1).as("n_versions"))
+      agg("a_head", s.sql(s"SELECT * FROM $cat.s"))
+        .unionAll(agg("b_ctas_v0",
+          s.sql(s"SELECT * FROM $cat.s VERSION AS OF 0")))
+        .orderBy("stage")
+    },
+    Some("""WITH v0 AS (
+           |  SELECT CAST(s_suppkey AS BIGINT) AS k, s_name AS name,
+           |    CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM supplier),
+           |head AS (
+           |  SELECT * FROM v0
+           |  UNION ALL SELECT -1, 'extra', -1),
+           |stages AS (
+           |  SELECT 'a_head' AS stage, * FROM head
+           |  UNION ALL SELECT 'b_ctas_v0', * FROM v0)
+           |SELECT stage, count(*) AS n_rows,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |    name || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |    AS BIGINT) AS row_sum,
+           |  CAST(2 AS BIGINT) AS n_versions
+           |FROM stages GROUP BY stage ORDER BY stage""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
@@ -2807,5 +2864,5 @@ object MaintenanceQueries {
     q291MonthsYearsEvolution, q292TruncatePartition, q293MetadataTables,
     q295SqlMaintenance, q296CheckConstraints, q302OptimizeMergeConcurrency,
     q303ColumnRename, q304ColumnDropReadd, q305MultiTablePublish,
-    q306ShallowClone)
+    q306ShallowClone, q308SqlCtas)
 }

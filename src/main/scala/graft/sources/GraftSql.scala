@@ -767,7 +767,7 @@ class GraftMetaTable(root: String, kind: String, version: Int)
   * copy-on-write, OCC — so SQL writers and Scala writers share one
   * commit path. Destructive ops (DROP, schema evolution, erasure)
   * stay on the explicit Scala API. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var base: String = _
@@ -936,10 +936,89 @@ class GraftCatalog extends TableCatalog {
     loadTable(ident)
   }
 
+  /** ATOMIC CTAS — `CREATE TABLE cat.t AS SELECT …`: Spark routes
+    * table-plus-data creation through the staging protocol, the query
+    * result lands as the table's SINGLE version-0 commit (the
+    * create-if-absent manifest rename is the atomic point — no
+    * empty-create + append pair, no window where readers see an empty
+    * table), and a failed job's staging is torn down whole by
+    * [[StagedGraftTable.abortStagedChanges]]. TBLPROPERTIES carry
+    * `key` (default: first column), `buckets`, `bloom` exactly like
+    * plain CREATE TABLE. */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    require(partitions.isEmpty,
+      "graft tables use range bucketing by key, not partition transforms")
+    val root = rootOf(ident)
+    if (exists(root)) throw new TableAlreadyExistsException(ident.toString)
+    new StagedGraftTable(root, schema, properties)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    throw new UnsupportedOperationException(
+      "graft REPLACE TABLE is not supported; versions are immutable " +
+        "history — RESTORE or write a new table instead")
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stageReplace(ident, schema, partitions, properties)
+
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(
       "graft tables are dropped by deleting the table root")
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft tables cannot be renamed")
+}
+
+/** The staging half of atomic CTAS: the CTAS query's rows arrive
+  * through the V1 write bridge and become the table's version-0
+  * commit directly ([[GraftTable.create]] — schema, key, data files,
+  * and the manifest publish in one creation); `commitStagedChanges`
+  * is then a no-op (the manifest rename already was the atomic
+  * point), and `abortStagedChanges` removes the whole root so a
+  * failed CTAS leaves nothing behind. */
+class StagedGraftTable(root: String, createSchema: StructType,
+    properties: util.Map[String, String])
+  extends StagedTable with SupportsWrite {
+
+  override def name(): String = s"graft.`$root` (staged)"
+  override def schema(): StructType = createSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              val spark = data.sparkSession
+              val key = Option(properties.get("key"))
+                .getOrElse(createSchema.fieldNames.head)
+              require(createSchema.fieldNames.contains(key),
+                s"key column '$key' is not in the table schema")
+              val nBuckets = Option(properties.get("buckets"))
+                .map(_.toInt).getOrElse(8)
+              val bloom = Option(properties.get("bloom"))
+              val named = data.toDF(createSchema.fieldNames.toSeq: _*)
+              GraftTable.create(spark, root, named, key, nBuckets, bloom)
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = ()
+
+  override def abortStagedChanges(): Unit = {
+    val spark = SparkSession.active
+    val p = new org.apache.hadoop.fs.Path(root)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    ()
+  }
 }

@@ -231,6 +231,38 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("key"), e.getMessage)
   }
 
+  test("atomic CTAS: the query result IS version 0; a failed staging " +
+    "tears down whole; REPLACE refuses") {
+    val base = freshBase()
+    spark.conf.set("spark.sql.catalog.gctas", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gctas.base", base)
+    spark.range(1, 101).selectExpr("id AS k", "CAST(id * 2 AS BIGINT) AS v")
+      .createOrReplaceTempView("ctas_spec_src")
+    spark.sql("CREATE TABLE gctas.t TBLPROPERTIES('key'='k') AS " +
+      "SELECT * FROM ctas_spec_src")
+    // one commit: the data landed AS v0, never an empty table
+    assert(GraftTable.latestVersion(spark, s"$base/t") === 0)
+    assert(spark.sql("SELECT sum(v) FROM gctas.t").as[Long].head()
+      === 2L * 100 * 101 / 2)
+    // CTAS onto an existing table refuses
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gctas.t AS SELECT * FROM ctas_spec_src") }
+    // an aborted staging removes everything it wrote
+    val cat = spark.sessionState.catalogManager.catalog("gctas")
+      .asInstanceOf[GraftCatalog]
+    val staged = cat.stageCreate(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty[String], "doomed"),
+      spark.table("ctas_spec_src").schema,
+      Array.empty, new java.util.HashMap[String, String]())
+    staged.asInstanceOf[StagedGraftTable].abortStagedChanges()
+    assert(GraftTable.latestVersion(spark, s"$base/doomed") === -1)
+    // REPLACE TABLE refuses: versions are immutable history
+    val e = intercept[Exception] {
+      spark.sql("REPLACE TABLE gctas.t AS SELECT * FROM ctas_spec_src") }
+    assert(e.getMessage.contains("RESTORE"), e.getMessage)
+  }
+
   test("SQL OPTIMIZE/VACUUM: injected-parser maintenance statements " +
     "route onto the Scala maintenance paths; normal SQL is untouched") {
     val base = freshBase()
