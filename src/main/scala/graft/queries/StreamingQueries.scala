@@ -1142,12 +1142,14 @@ object StreamingQueries {
     * consumed from `earliest` with a 500-record cap per trigger into
     * the versioned-table sink. Without the cap, batch 0 spans the
     * entire topic (the 100 TB scale-killer the round-11 verdict
-    * named); with it, the engine plans ceil(T / 500) batches, each one
+    * named); with it, the engine plans ceil(T / cap) batches, each one
     * keyed-MERGE commit — so the TABLE VERSION COUNT equals the batch
-    * count and the oracle pins the pacing arithmetic relationally
-    * (ceil(count/500)), not just the final content. The row hash
-    * proves capped re-slicing neither dropped, duplicated, nor
-    * reordered a record across batch boundaries. */
+    * count and the oracle pins the pacing arithmetic relationally,
+    * not just the final content. The cap scales with the data
+    * (ceil(T/6) → exactly 6 capped batches at every SF, so the gate's
+    * cost is 6 commits, not O(SF) commits). The row hash proves
+    * capped re-slicing neither dropped, duplicated, nor reordered a
+    * record across batch boundaries. */
   val q300CappedLogStream = GraftQuery(
     "q300_capped_log_stream",
     (s, dir) => {
@@ -1166,8 +1168,10 @@ object StreamingQueries {
         concat(col("user_id").cast("string"), lit("|"),
           col("cents").cast("string")).as("value"),
         col("event_id").as("ts")))
+      val total = ev.count()
+      val cap = math.max(1L, (total + 5) / 6)
       val q = s.readStream.format("graftlog")
-        .option("maxOffsetsPerTrigger", "500").load(topic)
+        .option("maxOffsetsPerTrigger", cap.toString).load(topic)
         .select(col("key").cast("long").as("k"),
           split(col("value"), "\\|").getItem(0).cast("long").as("user_id"),
           split(col("value"), "\\|").getItem(1).cast("long").as("cents"))
@@ -1192,7 +1196,8 @@ object StreamingQueries {
            |    || '|' || CAST(user_id AS VARCHAR) || '|' ||
            |    CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)),
            |    1, 8))::BIGINT) AS BIGINT) AS row_sum,
-           |  CAST(ceil(count(*) / 500.0) AS BIGINT) AS n_batches
+           |  CAST(ceil(count(*) / ceil(count(*) / 6.0)) AS BIGINT)
+           |    AS n_batches
            |FROM events WHERE event_type = 'click'""".stripMargin))
 
   /** DISTRIBUTED produce — `df.write.format("graftlog")`
@@ -1302,6 +1307,65 @@ object StreamingQueries {
            |  CAST(min(pos) AS BIGINT) AS min_offset
            |FROM win GROUP BY partition ORDER BY partition""".stripMargin))
 
+  /** BROKER-LOG RETENTION ([[graft.streaming.GraftLog.truncateBefore]],
+    * Kafka's log truncation): three appends land three segments per
+    * partition; truncating at the first append's end offsets deletes
+    * exactly the first segment of each partition — whole immutable
+    * files, offsets NEVER renumbered — so the batch read serves the
+    * survivors at their ORIGINAL offsets (the offset-weighted checksum
+    * would catch any renumbering) and `min_offset` per partition
+    * equals the count of retired append-0 rows, which the oracle
+    * derives relationally. The newest segment always survives, so the
+    * end offset (and future produces) are unaffected. */
+  val q309LogRetention = GraftQuery(
+    "q309_log_retention",
+    (s, dir) => {
+      val topic = newTempDir("graft_log_retention") + "/events"
+      val ev = Tables.events(s, dir).select(
+        col("event_id").cast("long").as("event_id"),
+        (col("user_id") % 4).cast("int").as("partition"),
+        col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+        (unix_timestamp(col("ts")) * 1000).cast("long").as("ts"))
+      def produce(eventType: String): Map[Int, Long] =
+        graft.streaming.GraftLog.append(s, topic,
+          ev.filter(col("event_type") === eventType).select(
+            col("partition"), col("event_id").as("seq"),
+            col("event_id").cast("string").as("key"),
+            col("cents").cast("string").as("value"),
+            col("ts")))
+      val afterClicks = produce("click")
+      produce("purchase"); produce("view")
+      graft.streaming.GraftLog.truncateBefore(s, topic, afterClicks)
+      s.read.format("graftlog").load(topic)
+        .select(col("partition"), col("offset"),
+          col("value").cast("long").as("cents"))
+        .groupBy("partition")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("cents").as("cents_sum"),
+          sum(col("offset") * col("cents")).as("offset_weighted"),
+          min("offset").as("min_offset"))
+        .orderBy("partition")
+    },
+    Some("""WITH ev AS (
+           |  SELECT CAST(event_id AS BIGINT) AS event_id,
+           |    CAST(user_id % 4 AS INTEGER) AS partition,
+           |    CASE event_type WHEN 'click' THEN 0 WHEN 'purchase' THEN 1
+           |      ELSE 2 END AS appendno,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM events
+           |  WHERE event_type IN ('click', 'purchase', 'view')),
+           |ofs AS (
+           |  SELECT *, row_number() OVER (PARTITION BY partition
+           |      ORDER BY appendno, event_id) - 1 AS pos
+           |  FROM ev)
+           |SELECT partition, count(*) AS n_rows,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  CAST(sum(pos * cents) AS BIGINT) AS offset_weighted,
+           |  CAST(min(pos) AS BIGINT) AS min_offset
+           |FROM ofs WHERE appendno >= 1
+           |GROUP BY partition ORDER BY partition""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q152StreamCdcState, q153StreamWindowedAggs, q157StreamClickPurchase,
       q159StreamUserTotals, q160RegistryNearDup, q161StreamSessions,
@@ -1309,5 +1373,5 @@ object StreamingQueries {
       q248StreamTemporalJoin, q253CdfStreamMaintenance, q269StreamingGradient,
       q286RateSourceBackpressure, q294NativeGraftSink, q298BrokerLogSource,
       q299LogToTablePipeline, q300CappedLogStream, q301DistributedLogProduce,
-      q307LogOffsetWindow)
+      q307LogOffsetWindow, q309LogRetention)
 }

@@ -126,6 +126,45 @@ object GraftLog {
     }.toMap
   }
 
+  /** Earliest still-available offset per partition (the first
+    * surviving segment's start — moves up as [[truncateBefore]]
+    * retires history). */
+  def earliestOffsets(spark: SparkSession, dir: String): Map[Int, Long] = {
+    val (f, _) = fs(dir, spark)
+    partitionIds(f, dir).map { pid =>
+      pid -> segments(f, dir, pid).headOption.map(_._2).getOrElse(0L)
+    }.toMap
+  }
+
+  /** RETENTION (Kafka's log truncation): delete every segment lying
+    * ENTIRELY below its partition's watermark — whole immutable files,
+    * no rewrite, so retiring a year of history from a 100 TB topic is
+    * a metadata-sized delete pass. A segment SPANNING the watermark
+    * survives whole (offsets are never renumbered), and the NEWEST
+    * segment of a partition always survives (it carries the end
+    * offset, so produced offsets can never restart and collide with
+    * consumed history — Kafka keeps its active segment for the same
+    * reason). Readers degrade gracefully: a request below the earliest
+    * surviving offset serves from the first surviving row (Kafka's
+    * `auto.offset.reset=earliest` behavior — a checkpointed stream
+    * whose offsets were truncated away resumes at the survivors).
+    * Returns the number of segments deleted. */
+  def truncateBefore(spark: SparkSession, dir: String,
+      watermarks: Map[Int, Long]): Int = {
+    val (f, _) = fs(dir, spark)
+    var removed = 0
+    watermarks.foreach { case (pid, wm) =>
+      val segs = segments(f, dir, pid)
+      segs.dropRight(1).foreach { case (path, start, count) =>
+        if (start + count <= wm) {
+          if (f.delete(new org.apache.hadoop.fs.Path(path), false))
+            removed += 1
+        }
+      }
+    }
+    removed
+  }
+
   /** Atomic create-exclusive of `p`: true iff THIS call created it.
     * The local filesystem goes through java.nio (O_CREAT|O_EXCL — a
     * genuine kernel-level atomic, where Hadoop's LocalFileSystem

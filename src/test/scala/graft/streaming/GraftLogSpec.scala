@@ -299,6 +299,45 @@ class GraftLogSpec extends SparkSpec {
       (0L until 10).sum + (0L until 4).sum)
   }
 
+  test("retention: truncateBefore retires whole segments below the " +
+    "watermark, never the newest; offsets stay stable; produce continues") {
+    val dir = freshDir()
+    GraftLog.append(spark, dir, batch(
+      (0 until 3).map(i => (0, i.toLong, s"a$i", "old", 1L))))
+    val afterFirst = GraftLog.endOffsets(spark, dir)
+    GraftLog.append(spark, dir, batch(
+      (0 until 2).map(i => (0, i.toLong, s"b$i", "mid", 2L))))
+    GraftLog.append(spark, dir, batch(
+      (0 until 2).map(i => (0, i.toLong, s"c$i", "new", 3L))))
+    assert(GraftLog.truncateBefore(spark, dir, afterFirst) === 1)
+    assert(GraftLog.earliestOffsets(spark, dir) === Map(0 -> 3L))
+    assert(GraftLog.endOffsets(spark, dir) === Map(0 -> 7L))
+    // survivors keep their ORIGINAL offsets; reads serve from them
+    val rows = spark.read.format("graftlog").load(dir)
+      .orderBy("offset").select("offset", "key").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq === Seq((3L, "b0"), (4L, "b1"), (5L, "c0"), (6L, "c1")))
+    // a watermark at the head still spares the newest segment (the end
+    // offset must survive so produced offsets never collide)
+    assert(GraftLog.truncateBefore(spark, dir, Map(0 -> 100L)) === 1)
+    assert(GraftLog.endOffsets(spark, dir) === Map(0 -> 7L))
+    // produce continues past retirement, offsets dense from the end
+    GraftLog.append(spark, dir, batch(Seq((0, 0L, "d", "x", 4L))))
+    assert(GraftLog.endOffsets(spark, dir) === Map(0 -> 8L))
+    // a stream from earliest serves exactly the survivors
+    val ckpt = Files.createTempDirectory("graft_log_ret_ckpt").toString
+    val sink = "graftlog_ret_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format("graftlog").load(dir)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table(sink).select("key").as[String].collect().sorted
+      .toSeq === Seq("c0", "c1", "d"))
+    spark.catalog.dropTempView(sink)
+  }
+
   test("RACING distributed writers to the same topic: both land " +
     "completely, offsets stay dense per partition") {
     val dir = freshDir()
