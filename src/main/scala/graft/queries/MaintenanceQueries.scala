@@ -2364,10 +2364,12 @@ object MaintenanceQueries {
       val afterZ = sum1("d_after_zorder")
         .withColumn("n_rows",
           // version arithmetic folded into a gated column: optimize at
-          // v3, zorder at v4 — wrong version numbering would corrupt
-          // the row count and fail the hash
-          when(lit(vOpt) === 3L && lit(vZ) === 4L, col("n_rows"))
-            .otherwise(lit(-1L)))
+          // v3, zorder at v4 — wrong version numbering corrupts the
+          // row count and fails the hash. The versions are driver
+          // scalars, so the gate is a plain scala comparison — a
+          // lit(v) === 3L column would build a literal==literal
+          // predicate and trip Spark's trivially-true warning.
+          if (vOpt == 3L && vZ == 4L) col("n_rows") else lit(-1L))
       before.unionAll(afterOpt).unionAll(afterVac).unionAll(afterZ)
         .orderBy("stage")
     },
