@@ -1366,6 +1366,74 @@ object StreamingQueries {
            |FROM ofs WHERE appendno >= 1
            |GROUP BY partition ORDER BY partition""".stripMargin))
 
+  /** LOG→LOG streaming pipeline — broker source feeding the NATIVE
+    * broker SINK (`writeStream.format("graftlog")`, the Kafka-sink
+    * contract: each micro-batch's rows append executor-side through
+    * the claim protocol; epoch commit is a no-op because segments are
+    * already durable) with a mid-pipeline RESTART on the same
+    * checkpoint. The transform doubles the payload en route. Because
+    * intra-partition arrival order at the sink is a scheduling detail
+    * (exactly as with Kafka), the oracle checks ORDER-INSENSITIVE
+    * invariants that any loss, duplication, or misrouting breaks:
+    * per-partition row counts, transformed payload sums, distinct
+    * keys, and DENSE end offsets (max_offset = n−1 — the claim
+    * protocol's gap/overlap guarantee). */
+  val q310LogToLogPipeline = GraftQuery(
+    "q310_log_to_log_pipeline",
+    (s, dir) => {
+      val src = newTempDir("graft_l2l_src") + "/in"
+      val dst = newTempDir("graft_l2l_dst") + "/out"
+      val ckpt = newTempDir("graft_l2l_ckpt")
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").cast("long").as("event_id"),
+          (col("user_id") % 3).cast("int").as("partition"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      def produce(pred: org.apache.spark.sql.Column): Unit = {
+        graft.streaming.GraftLog.append(s, src, ev.filter(pred).select(
+          col("partition"), col("event_id").as("seq"),
+          col("event_id").cast("string").as("key"),
+          col("cents").cast("string").as("value"),
+          col("event_id").as("ts")))
+        ()
+      }
+      def run(): Unit = {
+        val q = s.readStream.format("graftlog").load(src)
+          .select(col("partition"), col("offset"), col("key"),
+            (col("value").cast("long") * 2).cast("string").as("value"),
+            col("ts"))
+          .writeStream.format("graftlog")
+          .option("path", dst).option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      produce(col("event_id") % 2 === 0)
+      run()
+      // era 2 lands while the pipeline is DOWN; the restart must pick
+      // up exactly the new offsets (no replay → no duplicate appends)
+      produce(col("event_id") % 2 === 1)
+      run()
+      s.read.format("graftlog").load(dst)
+        .select(col("partition"), col("offset"), col("key"),
+          col("value").cast("long").as("cents2"))
+        .groupBy("partition")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("cents2").as("cents2_sum"),
+          countDistinct("key").as("n_keys"),
+          max("offset").as("max_offset"))
+        .orderBy("partition")
+    },
+    Some("""WITH ev AS (
+           |  SELECT CAST(user_id % 3 AS INTEGER) AS partition,
+           |    CAST(event_id AS BIGINT) AS event_id,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM events WHERE event_type = 'purchase')
+           |SELECT partition, count(*) AS n_rows,
+           |  CAST(sum(cents * 2) AS BIGINT) AS cents2_sum,
+           |  count(DISTINCT event_id) AS n_keys,
+           |  CAST(count(*) - 1 AS BIGINT) AS max_offset
+           |FROM ev GROUP BY partition ORDER BY partition""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q152StreamCdcState, q153StreamWindowedAggs, q157StreamClickPurchase,
       q159StreamUserTotals, q160RegistryNearDup, q161StreamSessions,
@@ -1373,5 +1441,5 @@ object StreamingQueries {
       q248StreamTemporalJoin, q253CdfStreamMaintenance, q269StreamingGradient,
       q286RateSourceBackpressure, q294NativeGraftSink, q298BrokerLogSource,
       q299LogToTablePipeline, q300CappedLogStream, q301DistributedLogProduce,
-      q307LogOffsetWindow, q309LogRetention)
+      q307LogOffsetWindow, q309LogRetention, q310LogToLogPipeline)
 }

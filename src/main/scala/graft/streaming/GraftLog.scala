@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, S
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -624,7 +625,8 @@ class GraftLogTable(dir: String, options: CaseInsensitiveStringMap)
   override def schema(): StructType = GraftLog.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = {
@@ -668,22 +670,47 @@ class GraftLogTable(dir: String, options: CaseInsensitiveStringMap)
             SortDirection.ASCENDING),
           Expressions.sort(Expressions.identity("offset"),
             SortDirection.ASCENDING))
+        private def factory(): GraftLogWriterFactory = {
+          val spark = SparkSession.active
+          val c = spark.sparkContext.hadoopConfiguration.iterator()
+          val b = Map.newBuilder[String, String]
+          while (c.hasNext) { val e = c.next(); b += (e.getKey -> e.getValue) }
+          new GraftLogWriterFactory(dir, b.result(),
+            idx("partition"), idx("offset"), idx("key"), idx("value"),
+            idx("ts"), maxRows)
+        }
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(pi: PhysicalWriteInfo)
-            : DataWriterFactory = {
-            val spark = SparkSession.active
-            val c = spark.sparkContext.hadoopConfiguration.iterator()
-            val b = Map.newBuilder[String, String]
-            while (c.hasNext) { val e = c.next(); b += (e.getKey -> e.getValue) }
-            new GraftLogWriterFactory(dir, b.result(),
-              idx("partition"), idx("offset"), idx("key"), idx("value"),
-              idx("ts"), maxRows)
-          }
+            : DataWriterFactory = factory()
           // segments published executor-side through the claim protocol
           // are already durable and readable — job commit is a no-op
           // (the Kafka producer has no job-level commit either)
           override def commit(messages: Array[WriterCommitMessage]): Unit = ()
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+        /** Streaming PRODUCE (`df.writeStream.format("graftlog")`) —
+          * the Kafka-sink contract: every micro-batch's rows append
+          * executor-side through the same claim-protocol writers as
+          * the batch path; epoch commit is a no-op (segments are
+          * already durable), and a batch re-delivered after a failure
+          * between sink write and checkpoint advance RE-APPENDS —
+          * at-least-once, exactly like a non-idempotent Kafka
+          * producer; consumers dedup by key where that matters (the
+          * graft table sink's keyed merge does). */
+        override def toStreaming: StreamingWrite = new StreamingWrite {
+          override def createStreamingWriterFactory(pi: PhysicalWriteInfo)
+            : StreamingDataWriterFactory = {
+            val f = factory()
+            new StreamingDataWriterFactory {
+              override def createWriter(partitionId: Int, taskId: Long,
+                  epochId: Long): DataWriter[InternalRow] =
+                f.createWriter(partitionId, taskId)
+            }
+          }
+          override def commit(epochId: Long,
+              messages: Array[WriterCommitMessage]): Unit = ()
+          override def abort(epochId: Long,
+              messages: Array[WriterCommitMessage]): Unit = ()
         }
       }
     }

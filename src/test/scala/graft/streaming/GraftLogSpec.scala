@@ -338,6 +338,37 @@ class GraftLogSpec extends SparkSpec {
     spark.catalog.dropTempView(sink)
   }
 
+  test("streaming producer: writeStream.format(\"graftlog\") appends " +
+    "each micro-batch executor-side; a checkpointed restart continues") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = freshDir()
+    val ckpt = Files.createTempDirectory("graft_log_sink_ckpt").toString
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Int, Long, String, String, Long)]
+    def start() = in.toDF()
+      .toDF("partition", "offset", "key", "value", "ts")
+      .writeStream.format("graftlog")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q = start()
+    in.addData((0, 0L, "a", "1", 1L), (1, 0L, "b", "2", 2L))
+    q.processAllAvailable()
+    in.addData((0, 1L, "c", "3", 3L))
+    q.processAllAvailable()
+    q.stop()
+    assert(GraftLog.endOffsets(spark, dir) === Map(0 -> 2L, 1 -> 1L))
+    // restart on the same checkpoint: no replay, produce continues
+    val q2 = start()
+    in.addData((1, 1L, "d", "4", 4L))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.format("graftlog").load(dir)
+      .orderBy("partition", "offset").select("partition", "offset", "key")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    assert(rows.toSeq === Seq((0, 0L, "a"), (0, 1L, "c"),
+      (1, 0L, "b"), (1, 1L, "d")))
+  }
+
   test("RACING distributed writers to the same topic: both land " +
     "completely, offsets stay dense per partition") {
     val dir = freshDir()
