@@ -220,6 +220,47 @@ class GraftLogSpec extends SparkSpec {
     spark.catalog.dropTempView(sink)
   }
 
+  test("a capped stream stopped MID-CATCH-UP resumes at the " +
+    "checkpointed capped offset: no replay, no gap, caps still honored") {
+    // MicroBatchStream-contract level (Trigger.Once bypasses admission
+    // control by design, so an engine-driven mid-catch-up stop isn't
+    // deterministic): drive the offsets exactly like the engine does,
+    // with a NEW stream instance per "restart" fed only the serialized
+    // checkpoint JSON.
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = freshDir()
+    GraftLog.append(spark, dir, batch(
+      (0 until 12).map(i => (0, i.toLong, s"k$i", i.toString, 1L))))
+    def freshStream() = new GraftLogScan(dir, "earliest", "latest",
+      Some(5L), None, spark).toMicroBatchStream("unused")
+    val s1 = freshStream()
+    val o0 = s1.initialOffset()
+    assert(o0.json() === """{"0":0}""")
+    val s1ac = s1.asInstanceOf[
+      org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]
+    val o1 = s1ac.latestOffset(o0, s1ac.getDefaultReadLimit)
+    assert(o1.json() === """{"0":5}""", "first capped batch = 5 rows")
+    // CRASH after committing batch 1: only o1's JSON survives (the
+    // checkpoint). A new instance must resume exactly there.
+    val s2 = freshStream()
+    val o1r = s2.deserializeOffset(o1.json())
+    val s2ac = s2.asInstanceOf[
+      org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]
+    val o2 = s2ac.latestOffset(o1r, s2ac.getDefaultReadLimit)
+    assert(o2.json() === """{"0":10}""", "resume honors the cap, no replay")
+    val o3 = s2ac.latestOffset(o2, s2ac.getDefaultReadLimit)
+    assert(o3.json() === """{"0":12}""", "final remainder batch")
+    // the re-planned (o1, o2] window reads EXACTLY rows 5..9
+    val parts = s2.planInputPartitions(o1r, o2)
+    val reader = new GraftLogReaderFactory
+    val got = parts.flatMap { p =>
+      val r = reader.createReader(p)
+      Iterator.continually(r).takeWhile(_.next())
+        .map(_.get().getLong(1)).toList
+    }.sorted
+    assert(got.toSeq === (5L until 10L))
+  }
+
   test("Trigger.AvailableNow pins the head at start, drains in capped " +
     "batches, stops, and leaves later appends for the next run") {
     val dir = freshDir()
