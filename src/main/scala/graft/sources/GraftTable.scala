@@ -248,16 +248,55 @@ object GraftTable {
   }
 
   /** Whether `version`'s manifest is a STAGED cross-table-transaction
-    * commit whose coordinator marker has not (yet) appeared — invisible
-    * to every reader until the marker lands ([[TxnRef]]). Legacy and
-    * single-table manifests carry no `#txn` header and are never
-    * pending. One bounded header read. */
+    * commit whose verdict has not (yet) landed — invisible to every
+    * reader until then ([[TxnRef]]). Legacy and single-table manifests
+    * carry no `#txn` header and are never pending. One bounded header
+    * read plus one local-marker probe in the common case. */
   private def isPending(f: org.apache.hadoop.fs.FileSystem,
       root: String, version: Int): Boolean =
     txnOf(readHead(f, manifestPath(root, version), 512)).exists {
-      case (id, dir) =>
-        !f.exists(new org.apache.hadoop.fs.Path(dir, s"txn-$id.commit"))
+      case (id, dir) => !txnCommitted(f, root, id, dir)
     }
+
+  private def localTxnMarker(root: String, id: String) =
+    new org.apache.hadoop.fs.Path(root, s"_log/txn-$id.committed")
+
+  /** Whether transaction `id` COMMITTED, resolved durability-first:
+    * the table's own `_log/txn-<id>.committed` marker (written by the
+    * commit, self-healed below) decides without touching the
+    * coordinator; otherwise the coordinator marker is consulted — it
+    * must exist AND not carry the abort tombstone — and a positive
+    * verdict is immediately LOCALIZED, so committed history stops
+    * depending on the coordinator directory's retention after the
+    * first read that resolves it (cleaning up `coordinatorDir` can
+    * then never revert committed versions to 'pending'). */
+  private def txnCommitted(f: org.apache.hadoop.fs.FileSystem,
+      root: String, id: String, dir: String): Boolean = {
+    if (f.exists(localTxnMarker(root, id))) true
+    else {
+      val marker = new org.apache.hadoop.fs.Path(dir, s"txn-$id.commit")
+      val mf = marker.getFileSystem(f.getConf)
+      val committed = mf.exists(marker) &&
+        readFully(mf, marker) != GraftTxn.AbortedVerdict
+      if (committed) {
+        try writeAtomic(f, localTxnMarker(root, id), id)
+        catch { case _: ConcurrentCommitException => () } // racer localized it
+      }
+      committed
+    }
+  }
+
+  /** Localize a committed transaction's verdict into this table's own
+    * log (idempotent) — called by [[GraftTxn.commit]] right after the
+    * coordinator marker lands, and self-healed by [[txnCommitted]]. */
+  private[sources] def localizeTxnCommit(spark: SparkSession, root: String,
+      id: String): Unit = {
+    val (f, _) = fs(root, spark)
+    if (!f.exists(localTxnMarker(root, id))) {
+      try writeAtomic(f, localTxnMarker(root, id), id)
+      catch { case _: ConcurrentCommitException => () }
+    }
+  }
 
   /** Parse a `#txn <id> <dir>` header line out of a manifest head
     * window, if present. A txn line cut off by the window is an error
@@ -421,8 +460,7 @@ object GraftTable {
     text.linesIterator.takeWhile(_.startsWith("#"))
       .find(_.startsWith("#txn\t")).foreach { l =>
         val parts = l.split('\t')
-        if (!f.exists(new org.apache.hadoop.fs.Path(
-            parts(2), s"txn-${parts(1)}.commit")))
+        if (!txnCommitted(f, root, parts(1), parts(2)))
           throw new IllegalStateException(
             s"version $version of $root is a STAGED transaction " +
               s"(txn ${parts(1)}, uncommitted) — not readable; commit " +
@@ -961,8 +999,21 @@ object GraftTable {
     * references — pin the cloned version with a [[tag]] on the source,
     * or OPTIMIZE the clone to localize it, before source retention
     * passes the cloned snapshot. */
-  def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String,
+  def cloneTable(spark: SparkSession, srcRoot0: String, dstRoot: String,
       version: Option[Int] = None): Unit = {
+    // QUALIFY the source root before building absolute references: a
+    // relative srcRoot (no leading '/' or scheme) would otherwise
+    // produce v0 manifest lines [[dataPath]] resolves under the
+    // CLONE's root — reads failing or silently hitting wrong files.
+    // For the file scheme the plain absolute path is kept (it already
+    // satisfies dataPath's absolute test and stays byte-stable across
+    // Path render variants); other schemes keep the full URI form.
+    val srcRoot = {
+      val (sf0, sp0) = fs(srcRoot0, spark)
+      val q = sf0.makeQualified(sp0)
+      if (Option(q.toUri.getScheme).contains("file")) q.toUri.getPath
+      else q.toString
+    }
     val (f, _) = fs(dstRoot, spark)
     require(!f.exists(new org.apache.hadoop.fs.Path(dstRoot, "_log")),
       s"table already exists at $dstRoot")
@@ -1944,12 +1995,25 @@ object GraftTable {
 
   /** Physical names of every column ever dropped — the tombstone list
     * that keeps a later ADD of the same name from resurrecting old
-    * bytes. `_log/dropped.json`, newline-separated. */
+    * bytes. The UNION of the legacy `_log/dropped.json` (complete-set
+    * snapshots from older drops / clones) and every per-drop
+    * `_log/dropped-<uuid>.json` (one WRITE-ONCE file per DROP COLUMN,
+    * newline-separated physical names). Per-drop files make the ledger
+    * append-only with no read-modify-write: two concurrent DROPs each
+    * create their own uniquely-named tombstone, so neither can lose
+    * the other's entry whatever order their manifest commits land in.
+    * A tombstone whose drop commit lost the version race is harmless
+    * over-approximation (a later ADD of that name just gets a
+    * needlessly-fresh physical name). */
   private def droppedPhysicals(f: org.apache.hadoop.fs.FileSystem,
       root: String): Set[String] = {
-    val p = new org.apache.hadoop.fs.Path(root, "_log/dropped.json")
-    if (!f.exists(p)) Set.empty
-    else readFully(f, p).linesIterator.filter(_.nonEmpty).toSet
+    val log = new org.apache.hadoop.fs.Path(root, "_log")
+    if (!f.exists(log)) return Set.empty
+    f.listStatus(log).map(_.getPath)
+      .filter(p => p.getName == "dropped.json" ||
+        (p.getName.startsWith("dropped-") && p.getName.endsWith(".json")))
+      .flatMap(p => readFully(f, p).linesIterator.filter(_.nonEmpty))
+      .toSet
   }
 
   /** Refuse RENAME/DROP of a column the table's own metadata machinery
@@ -2026,12 +2090,14 @@ object GraftTable {
     val (f, _) = fs(root, spark)
     // tombstone BEFORE the commit: a crash in between leaves a stray
     // tombstone (a later re-add just gets a needlessly-fresh physical
-    // name — safe), where the reverse order could resurrect bytes
-    val dropped = droppedPhysicals(f, root) +
-      physName(schema.fields.find(_.name == name).get)
-    val dp = new org.apache.hadoop.fs.Path(root, "_log/dropped.json")
-    f.delete(dp, false)
-    writeAtomic(f, dp, dropped.toSeq.sorted.mkString("", "\n", "\n"))
+    // name — safe), where the reverse order could resurrect bytes.
+    // One WRITE-ONCE file per drop (no read-modify-write): concurrent
+    // DROPs can never lose each other's tombstones — see
+    // [[droppedPhysicals]].
+    val dp = new org.apache.hadoop.fs.Path(root,
+      s"_log/dropped-${java.util.UUID.randomUUID().toString.take(8)}.json")
+    writeAtomic(f, dp,
+      physName(schema.fields.find(_.name == name).get) + "\n")
     val v = base + 1
     commitSchema(f, spark, root, v,
       StructType(schema.fields.filterNot(_.name == name)))

@@ -34,9 +34,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[GraftTable.ConcurrentCommitException]] and retries/aborts —
   * staged transactions serialize against ordinary DML instead of
   * silently interleaving with it. An abandoned staging (crashed
-  * coordinator) blocks that table's writers until [[abort]] — the
-  * deliberate trade (Iceberg's REST-catalog multi-table txns make the
-  * same one): write availability is refused rather than atomicity.
+  * coordinator) blocks that table's writers until [[abort]] — or, past
+  * the staleness horizon, until a blocked writer reaps it itself
+  * ([[GraftTable]]'s stale-staging takeover) — the same
+  * death-detection rule the broker-log producer claims use.
+  *
+  * COMMIT-vs-ABORT is decided by ONE atomic file creation: both verbs
+  * race create-if-absent on the SAME `txn-<id>.commit` path — commit
+  * writes the txn id, abort writes the `aborted` tombstone — so a
+  * recovery abort running concurrently with a slow coordinator's
+  * commit can never yield the half-published state (marker present,
+  * some staged manifests deleted): whichever creation wins decides,
+  * and the loser reads the verdict and conforms. Staged manifests are
+  * only ever deleted AFTER the abort tombstone is durably the verdict.
+  *
+  * A COMMITTED transaction's visibility must not depend on the
+  * coordinator directory's retention forever (a later cleanup of
+  * `coordinatorDir` would silently revert committed head versions to
+  * 'pending' — readers rolling back, writers colliding): commit
+  * LOCALIZES the verdict by copying a `_log/txn-<id>.committed` marker
+  * into each participating table's own log, and any reader that
+  * resolves the coordinator marker self-heals the local copy — after
+  * which the coordinator directory is garbage.
   *
   * Scale shape: the data plane is each table's ordinary distributed
   * upsert; the coordinator adds exactly one metadata file per
@@ -64,7 +83,7 @@ object GraftTxn {
   def publishAll(spark: SparkSession, coordinatorDir: String,
       writes: Seq[TableWrite]): String = {
     val id = stageAll(spark, coordinatorDir, writes)
-    commit(spark, coordinatorDir, id)
+    commit(spark, coordinatorDir, id, writes.map(_.root))
     id
   }
 
@@ -96,23 +115,71 @@ object GraftTxn {
     id
   }
 
-  /** Phase 2: the atomic commit point (create-if-absent marker). */
+  /** The tombstone content an abort writes into the marker path — the
+    * losing-creation reader's verdict discriminator. A txn id never
+    * matches it ([A-Za-z0-9-], and ids are UUID prefixes). */
+  private[sources] val AbortedVerdict = "aborted"
+
+  /** Phase 2: the atomic commit point — create-if-absent of the SAME
+    * marker path [[abort]] races for. Losing the creation to a
+    * concurrent abort surfaces as an error (the transaction is dead;
+    * its staging is being cleaned); losing it to an identical commit
+    * (a retried coordinator) is idempotent success. After winning,
+    * the verdict is LOCALIZED into each table's own `_log` so
+    * committed history never depends on the coordinator directory's
+    * retention ([[GraftTable]] self-heals the same marker on read). */
   private[graft] def commit(spark: SparkSession, coordinatorDir: String,
-      id: String): Unit = {
+      id: String, roots: Seq[String] = Seq.empty): Unit = {
     val (f, _) = fsOf(coordinatorDir, spark)
-    GraftTable.writeAtomic(f, markerPath(coordinatorDir, id), id)
+    try GraftTable.writeAtomic(f, markerPath(coordinatorDir, id), id)
+    catch {
+      case e: GraftTable.ConcurrentCommitException =>
+        val verdict = readMarker(f, markerPath(coordinatorDir, id))
+        if (verdict.contains(AbortedVerdict))
+          throw new IllegalStateException(
+            s"txn $id was ABORTED by a concurrent recovery — its staged " +
+              "manifests are gone; re-stage and retry", e)
+        // else: an identical commit already won — idempotent success
+    }
+    roots.foreach(r => GraftTable.localizeTxnCommit(spark, r, id))
   }
+
+  private def readMarker(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = f.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+        Some(new String(out.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
 
   /** Remove an UNCOMMITTED transaction's staged manifests from the
     * named tables (their data files become ordinary vacuum-swept
     * orphans) — the recovery verb for a coordinator that died between
-    * staging and commit. Refuses if the marker exists: a committed
-    * transaction is immutable history. */
+    * staging and commit. The abort-vs-commit race is decided by ONE
+    * atomic creation: abort writes the `aborted` tombstone into the
+    * same marker path commit creates, and only the winner's verdict
+    * stands — staged manifests are deleted strictly AFTER the
+    * tombstone is durable, so a commit marker can never coexist with
+    * partially-deleted staging. Refuses if the transaction already
+    * committed; idempotent if it was already aborted (a crashed
+    * abort's cleanup just re-runs). */
   def abort(spark: SparkSession, coordinatorDir: String, id: String,
       roots: Seq[String]): Unit = {
     val (cf, _) = fsOf(coordinatorDir, spark)
-    require(!cf.exists(markerPath(coordinatorDir, id)),
-      s"txn $id is COMMITTED — cannot abort")
+    try GraftTable.writeAtomic(cf, markerPath(coordinatorDir, id),
+      AbortedVerdict)
+    catch {
+      case e: GraftTable.ConcurrentCommitException =>
+        val verdict = readMarker(cf, markerPath(coordinatorDir, id))
+        if (!verdict.contains(AbortedVerdict))
+          throw new IllegalStateException(
+            s"txn $id is COMMITTED — cannot abort", e)
+        // else: already aborted — proceed with (idempotent) cleanup
+    }
     roots.foreach { root =>
       val (f, _) = fsOf(root, spark)
       val log = new org.apache.hadoop.fs.Path(root, "_log")

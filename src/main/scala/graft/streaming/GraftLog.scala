@@ -166,25 +166,33 @@ object GraftLog {
     removed
   }
 
-  /** Atomic create-exclusive of `p`: true iff THIS call created it.
-    * The local filesystem goes through java.nio (O_CREAT|O_EXCL — a
-    * genuine kernel-level atomic, where Hadoop's LocalFileSystem
-    * create(overwrite=false) is an exists-check-then-create TOCTOU);
-    * remote stores use the FileSystem contract (HDFS create-if-absent
-    * is atomic on the namenode). */
+  /** Atomic create-exclusive of `p` with `content`: true iff THIS call
+    * created it. The local filesystem goes through java.nio
+    * (O_CREAT|O_EXCL — a genuine kernel-level atomic, where Hadoop's
+    * LocalFileSystem create(overwrite=false) is an
+    * exists-check-then-create TOCTOU); remote stores use the
+    * FileSystem contract (HDFS create-if-absent is atomic on the
+    * namenode). */
   private[streaming] def createExclusive(f: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Boolean = {
+      p: org.apache.hadoop.fs.Path, content: String = ""): Boolean = {
+    val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val scheme = Option(p.toUri.getScheme).getOrElse(f.getScheme)
     if (scheme == "file" || (scheme == null && f.getScheme == "file")) {
       try {
-        java.nio.file.Files.createFile(
-          java.nio.file.Paths.get(p.toUri.getPath))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(p.toUri.getPath), bytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
       }
     } else {
-      try { f.create(p, false).close(); true }
+      try {
+        val os = f.create(p, false)
+        try os.write(bytes) finally os.close()
+        true
+      }
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         case e: java.io.IOException
@@ -193,36 +201,111 @@ object GraftLog {
     }
   }
 
+  /** Atomically REPLACE `p`'s content (the takeover primitive: a stale
+    * claim's owner token is overwritten, never deleted, so the
+    * zombie's pre-publish ownership check fails instead of finding the
+    * claim gone). Local FS uses an atomic rename-over; stores without
+    * rename-overwrite fall back to delete+create (the takeover window
+    * widens by one metadata op — still bounded by the staleness
+    * horizon that gates entry here). */
+  private def replaceClaim(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, content: String): Boolean = {
+    val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val scheme = Option(p.toUri.getScheme).getOrElse(f.getScheme)
+    if (scheme == "file" || (scheme == null && f.getScheme == "file")) {
+      try {
+        val dir = java.nio.file.Paths.get(p.getParent.toUri.getPath)
+        val tmp = java.nio.file.Files.createTempFile(dir, ".claimswap-", "")
+        java.nio.file.Files.write(tmp, bytes)
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(p.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        true
+      } catch { case _: java.io.IOException => false }
+    } else {
+      f.delete(p, false)
+      createExclusive(f, p, content)
+    }
+  }
+
+  /** The claim file's current content, or None if it vanished. */
+  private def readClaim(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = f.open(p)
+      try {
+        val buf = new Array[Byte](256)
+        var off = 0; var n = 0
+        while (off < buf.length &&
+          { n = in.read(buf, off, buf.length - off); n > 0 }) off += n
+        Some(new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+
   /** Append `lines` (already encoded, already in order) as ONE segment
-    * at the current end of partition `pid`, through the claim
+    * at the current end of partition `pid`, through the FENCED claim
     * protocol; callable from executors (no SparkSession). Returns
     * (startOffset, rowCount).
     *
     * Commit protocol, per attempt:
     *   1. `start` = end offset from the segment LISTING.
     *   2. Claim `start` by create-exclusive of `p=<pid>/.claim-<start>`
-    *      — the single name every racer for this offset collides on.
-    *      Loser: if the claim is fresher than `staleClaimMs`, wait for
-    *      the owner's segment to land (the claim releases right after
-    *      the publish rename) and retry at the NEW end; if staler,
-    *      the owner died mid-write — delete the claim and retry.
-    *   3. Owner writes a temp file and renames onto
-    *      `seg-<start>-<count>.log` — uncontended (we own `start`),
-    *      so rename-overwrite semantics on local FS cannot clobber a
-    *      racer's data.
-    *   4. Release the claim (also on failure — a failed attempt left
-    *      no segment, so the offset is simply re-claimable). */
+    *      — the single name every racer for this offset collides on —
+    *      whose CONTENT is `<ownerToken>\t<rowCount>`. Loser: if the
+    *      claim is fresher than the staleness horizon, wait for the
+    *      owner's segment to land and retry at the NEW end; if staler,
+    *      the owner died mid-write — take over by atomically REPLACING
+    *      the claim content with our own token (never deleting it:
+    *      the zombie's pre-publish ownership check must find a claim
+    *      that is no longer its own, not an absent file it could
+    *      mistake for a clean release). The horizon scales with the
+    *      CLAIMED payload size (a live-but-slow producer uploading a
+    *      1M-row segment to an object store legitimately exceeds a
+    *      flat 30 s), so takeover triggers on death, not on size.
+    *   3. Owner writes a temp file, RE-READS the claim to verify its
+    *      token still owns the offset (the fence: a taken-over zombie
+    *      aborts here instead of publishing a second segment at the
+    *      same start), then renames onto `seg-<start>-<count>.log`.
+    *   4. Release the claim ONLY if still owned (a zombie must not
+    *      delete the taker's claim out from under it). */
   private[streaming] def appendPartition(f: org.apache.hadoop.fs.FileSystem,
       dir: String, pid: Int, lines: Seq[String],
-      staleClaimMs: Long = 30000L): (Long, Long) = {
+      staleClaimMs: Long = 30000L,
+      beforePublish: () => Unit = () => ()): (Long, Long) = {
     require(lines.nonEmpty, "appendPartition with no rows")
     val pDir = new org.apache.hadoop.fs.Path(dir, s"p=$pid")
     f.mkdirs(pDir)
+    val token = java.util.UUID.randomUUID().toString
+    val claimBody = s"$token\t${lines.length}"
+    // the staleness horizon for a claim advertising n rows: base plus
+    // ~10 µs/row of upload allowance (1 M rows → +10 s)
+    def horizon(rows: Long): Long = staleClaimMs + rows / 100
     while (true) {
       val start = segments(f, dir, pid).lastOption
         .map(s => s._2 + s._3).getOrElse(0L)
       val claim = new org.apache.hadoop.fs.Path(pDir, f".claim-$start%012d")
-      if (createExclusive(f, claim)) {
+      var owned = createExclusive(f, claim, claimBody)
+      if (!owned) {
+        // another producer owns this start: wait for its publish (the
+        // common case) or take over a stale claim (a dead producer) by
+        // REPLACING its token — the zombie's fence check then fails
+        val st =
+          try Some(f.getFileStatus(claim))
+          catch { case _: java.io.FileNotFoundException => None }
+        st match {
+          case Some(s) =>
+            val claimedRows = readClaim(f, claim)
+              .flatMap(_.split('\t').lift(1)).flatMap(_.trim.toLongOption)
+              .getOrElse(0L)
+            if (System.currentTimeMillis() - s.getModificationTime >
+                horizon(claimedRows))
+              owned = replaceClaim(f, claim, claimBody)
+            else Thread.sleep(5)
+          case None => () // released between claim attempt and stat: retry
+        }
+      }
+      if (owned) {
+        var lost = false
         try {
           // RE-VERIFY under the claim: our `start` came from a listing
           // taken BEFORE the claim — a racer may have claimed this
@@ -232,38 +315,34 @@ object GraftLog {
           // authoritative: if the end moved, release and retry there.
           val endNow = segments(f, dir, pid).lastOption
             .map(s => s._2 + s._3).getOrElse(0L)
-          if (endNow != start) {
-            // fall through to the finally-release and loop again
-          } else {
-          val dest = new org.apache.hadoop.fs.Path(pDir,
-            f"seg-$start%012d-${lines.length}%08d.log")
-          val tmp = new org.apache.hadoop.fs.Path(pDir,
-            s".tmp-${dest.getName}-${java.util.UUID.randomUUID()}")
-          val os = f.create(tmp, false)
-          try os.write(lines.mkString("", "\n", "\n")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally os.close()
-          if (!f.rename(tmp, dest)) {
-            f.delete(tmp, false)
-            throw new IllegalStateException(
-              s"graftlog publish rename failed for claimed offset: $dest")
+          if (endNow == start) {
+            val dest = new org.apache.hadoop.fs.Path(pDir,
+              f"seg-$start%012d-${lines.length}%08d.log")
+            val tmp = new org.apache.hadoop.fs.Path(pDir,
+              s".tmp-${dest.getName}-${java.util.UUID.randomUUID()}")
+            val os = f.create(tmp, false)
+            try os.write(lines.mkString("", "\n", "\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally os.close()
+            beforePublish()
+            // THE FENCE: publish only while the claim still carries our
+            // token — a replaced (taken-over) claim means some taker
+            // now owns this offset and our segment must not land
+            lost = !readClaim(f, claim).exists(_.startsWith(token))
+            if (lost) f.delete(tmp, false)
+            else if (!f.rename(tmp, dest)) {
+              f.delete(tmp, false)
+              throw new IllegalStateException(
+                s"graftlog publish rename failed for claimed offset: $dest")
+            } else return (start, lines.length.toLong)
           }
-          return (start, lines.length.toLong)
-          }
-        } finally f.delete(claim, false)
-      } else {
-        // another producer owns this start: wait for its publish (the
-        // common case) or take over a stale claim (a crashed producer)
-        val st =
-          try Some(f.getFileStatus(claim))
-          catch { case _: java.io.FileNotFoundException => None }
-        st match {
-          case Some(s) if System.currentTimeMillis() - s.getModificationTime >
-              staleClaimMs =>
-            f.delete(claim, false)
-          case Some(_) => Thread.sleep(5)
-          case None => () // released between our claim attempt and stat: retry
+        } finally {
+          // release only if still ours (a zombie deleting the taker's
+          // claim would re-open the offset to a third producer)
+          if (!lost && readClaim(f, claim).exists(_.startsWith(token)))
+            f.delete(claim, false): Unit
         }
+        if (lost) Thread.sleep(5) // taken over: re-enter at the new end
       }
     }
     sys.error("unreachable")

@@ -1173,6 +1173,74 @@ class GraftTableSpec extends SparkSpec {
     assert(GraftTable.read(spark, src).count() === 300)
   }
 
+  test("CONCURRENT DROP COLUMNs: neither tombstone is lost (per-drop " +
+    "write-once files, no read-modify-write) — re-adding either name " +
+    "surfaces NULLs, never pre-drop bytes") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, spark.range(1, 101).select(
+      $"id".as("k"), lit("A").as("a"), lit("B").as("b"),
+      lit("C").as("c")), "k", nBuckets = 1)
+    def dropWithRetry(name: String): Unit = {
+      var done = false
+      while (!done) {
+        try { GraftTable.dropColumn(spark, root, name); done = true }
+        catch { case _: GraftTable.ConcurrentCommitException => () }
+      }
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    Seq("a", "b").foreach { c =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try { latch.await(); dropWithRetry(c) }
+          catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    latch.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"drop thread failed: ${errs.peek()}")
+    // both drops committed
+    assert(GraftTable.read(spark, root).columns.sorted.toSeq ===
+      Seq("c", "k"))
+    // both physical names are tombstoned: re-adds map to FRESH
+    // physicals, so pre-drop bytes in surviving files never resurface
+    GraftTable.evolveAddColumns(spark, root, Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.StringType)))
+    val readd = GraftTable.read(spark, root)
+    assert(readd.filter($"a".isNotNull || $"b".isNotNull).count() === 0)
+    assert(readd.filter($"c" === "C").count() === 100)
+  }
+
+  test("cloneTable from a RELATIVE source path: references are " +
+    "qualified absolute, so clone reads resolve under the SOURCE root") {
+    // a relative path (resolved against the process working dir) —
+    // the shape that used to write clone-relative references
+    val relSrc = "target/tmp-clone-src-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val dst = freshRoot()
+    try {
+      GraftTable.create(spark, relSrc, base(300), "k", nBuckets = 2)
+      GraftTable.cloneTable(spark, relSrc, dst)
+      // every v0 reference is absolute (never clone-relative)
+      assert(GraftTable.snapshotFileLedger(spark, dst, 0)
+        .forall(e => e._1.startsWith("/") || e._1.contains("://")))
+      // and the clone actually serves the source's rows
+      assert(GraftTable.read(spark, dst).count() === 300)
+      assert(GraftTable.read(spark, dst).agg(sum($"v")).as[Long].head ===
+        (1L to 300L).map(_ * 10).sum)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(
+        new java.io.File(relSrc).getAbsolutePath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+  }
+
   private def manifestLines(root: String, v: Int): Seq[String] = {
     val src = scala.io.Source.fromFile(f"$root/_log/v$v%05d.manifest")
     // skip the #commit-ts header: these helpers compare FILE ledgers

@@ -53,8 +53,67 @@ class GraftTxnSpec extends SparkSpec {
     assert(GraftTable.read(spark, factRoot)
       .filter($"cents" === -1L).count() === 10)
     // committed txn refuses abort
-    intercept[IllegalArgumentException] {
+    intercept[IllegalStateException] {
       GraftTxn.abort(spark, txnDir, id, Seq(dimRoot, factRoot)) }
+  }
+
+  test("abort-vs-commit is ONE atomic creation: an abort that wins the " +
+    "marker race makes the late commit fail — never a committed marker " +
+    "next to half-deleted staging") {
+    val (dimRoot, factRoot, txnDir) = fresh()
+    GraftTable.create(spark, dimRoot, dim(20), "k", nBuckets = 1)
+    GraftTable.create(spark, factRoot, fact(60), "k", nBuckets = 1)
+    val id = GraftTxn.stageAll(spark, txnDir, Seq(
+      GraftTxn.TableWrite(dimRoot, dim(20).withColumn("name", lit("X")), "k", 1),
+      GraftTxn.TableWrite(factRoot, fact(60).withColumn("cents", lit(-9L)), "k", 1)))
+    // recovery abort wins the marker
+    GraftTxn.abort(spark, txnDir, id, Seq(dimRoot, factRoot))
+    // the slow coordinator's commit now LOSES — and says so
+    val e = intercept[IllegalStateException] {
+      GraftTxn.commit(spark, txnDir, id, Seq(dimRoot, factRoot)) }
+    assert(e.getMessage.contains("ABORTED"))
+    // no table ever published; staging is gone
+    assert(GraftTable.latestVersion(spark, dimRoot) === 0)
+    assert(GraftTable.latestVersion(spark, factRoot) === 0)
+    assert(GraftTable.read(spark, dimRoot)
+      .filter($"name" === "X").count() === 0)
+    // a second abort is idempotent (crashed-abort cleanup re-runs)
+    GraftTxn.abort(spark, txnDir, id, Seq(dimRoot, factRoot))
+  }
+
+  test("committed history does NOT depend on the coordinator directory: " +
+    "after cleanup of txnDir, committed versions stay committed " +
+    "(explicit localization and read-side self-heal)") {
+    val (dimRoot, factRoot, txnDir) = fresh()
+    GraftTable.create(spark, dimRoot, dim(20), "k", nBuckets = 1)
+    GraftTable.create(spark, factRoot, fact(60), "k", nBuckets = 1)
+    // path 1: publishAll localizes the verdict eagerly
+    GraftTxn.publishAll(spark, txnDir, Seq(
+      GraftTxn.TableWrite(dimRoot,
+        dim(5).withColumn("name", lit("T1")), "k", 1),
+      GraftTxn.TableWrite(factRoot,
+        fact(5).withColumn("cents", lit(-1L)), "k", 1)))
+    // path 2: a bare commit (no roots) relies on read-side self-heal
+    val id2 = GraftTxn.stageAll(spark, txnDir, Seq(
+      GraftTxn.TableWrite(dimRoot,
+        dim(3).withColumn("name", lit("T2")), "k", 1)))
+    GraftTxn.commit(spark, txnDir, id2)
+    // one read while the coordinator marker still exists → self-heals
+    assert(GraftTable.latestVersion(spark, dimRoot) === 2)
+    // coordinator directory is cleaned up entirely
+    val cp = new org.apache.hadoop.fs.Path(txnDir)
+    cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(cp, true)
+    // committed versions never revert to pending: heads intact,
+    // reads serve the txn'd content, time travel to them works
+    assert(GraftTable.latestVersion(spark, dimRoot) === 2)
+    assert(GraftTable.latestVersion(spark, factRoot) === 1)
+    assert(GraftTable.read(spark, dimRoot)
+      .filter($"name" === "T2").count() === 3)
+    assert(GraftTable.read(spark, factRoot)
+      .filter($"cents" === -1L).count() === 5)
+    assert(GraftTable.read(spark, dimRoot, Some(1))
+      .filter($"name" === "T1").count() === 5)
   }
 
   test("a crashed transaction never publishes: abort removes the " +

@@ -177,6 +177,47 @@ class GraftLogSpec extends SparkSpec {
     }
   }
 
+  test("stale-claim takeover is FENCED: a live-but-slow producer whose " +
+    "claim was taken over must NOT publish — offsets stay dense and " +
+    "no two segments share a start") {
+    val dir = freshDir()
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def enc(k: String) = s"${GraftLog.b64(k)}\t${GraftLog.b64("v")}\t1"
+    val takerRan = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // the zombie: pauses between staging its temp file and the fence
+    // check — exactly the upload-took-too-long window. While paused,
+    // its claim goes stale and a taker REPLACES it and publishes.
+    val zombiePause: () => Unit = () => {
+      if (takerRan.compareAndSet(false, true)) {
+        val claim = new org.apache.hadoop.fs.Path(dir,
+          "p=0/" + f".claim-${0L}%012d")
+        // age the zombie's claim past the horizon
+        f.setTimes(claim, System.currentTimeMillis() - 600000L, -1)
+        // the taker: sees a stale claim, replaces the token, publishes
+        val (s, n) = GraftLog.appendPartition(f, dir, 0,
+          Seq(enc("taker")), staleClaimMs = 1000L)
+        assert((s, n) === (0L, 1L))
+      }
+    }
+    val (zStart, zN) = GraftLog.appendPartition(f, dir, 0,
+      Seq(enc("zombie")), staleClaimMs = 1000L,
+      beforePublish = zombiePause)
+    // the zombie's first publish was fenced off; it retried and landed
+    // AFTER the taker — dense, disjoint offsets
+    assert((zStart, zN) === (1L, 1L))
+    val rows = spark.read.format("graftlog").load(dir)
+      .orderBy("offset").select("offset", "key").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq === Seq((0L, "taker"), (1L, "zombie")))
+    // exactly one segment per start offset
+    val starts = f.listStatus(new org.apache.hadoop.fs.Path(dir, "p=0"))
+      .map(_.getPath.getName)
+      .filter(_.matches("seg-\\d{12}-\\d{8}\\.log"))
+      .map(_.substring(4, 16).toLong)
+    assert(starts.sorted.toSeq === Seq(0L, 1L))
+  }
+
   test("capped offset split: proportional to lag, deterministic " +
     "remainder, never past the head") {
     import GraftLogOffset.capped
