@@ -2854,6 +2854,81 @@ object MaintenanceQueries {
            |  CAST(2 AS BIGINT) AS n_versions
            |FROM stages GROUP BY stage ORDER BY stage""".stripMargin))
 
+  /** DELETION VECTORS ([[GraftTable.deleteWhereDv]] — merge-on-read
+    * DML, the Delta-DV/Iceberg-position-delete shape): two narrow
+    * row-level DELETEs commit POSITION SIDECARS with ZERO data files
+    * rewritten — the `ok` flag on stage `a` pins the manifest proof
+    * (the post-delete version references exactly the create version's
+    * data files) — while every read surface masks: stage `a` reads
+    * the DV'd head through the DSv2 `format("graft")` scan (the
+    * row-index masked path), `b` time-travels below the deletes, `c`
+    * replays the CDF (DV deletes surface as ordinary `delete` rows),
+    * and `d` reads back after OPTIMIZE absorbed the DVs into clean
+    * files (content identical, head DV-free). At 100 TB this is THE
+    * row-level-DML cost model: a k-row erasure writes O(k) positions,
+    * not O(touched-file bytes) — CoW's write amplification removed. */
+  val q311DeletionVectors = GraftQuery(
+    "q311_deletion_vectors",
+    (s, dir) => {
+      val root = newTempDir("graft_dv_gate") + "/t"
+      val part = Tables.part(s, dir).select(
+        col("p_partkey").cast("long").as("k"),
+        col("p_name").as("name"),
+        floor(col("p_retailprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, root, part, "k", nBuckets = 4)
+      val files0 = GraftTable.snapshotFileLedger(s, root, 0)
+        .map(_._1).toSet
+      GraftTable.deleteWhereDv(s, root, col("k") % 37 === 0)
+      val (v2, _, _) = GraftTable.deleteWhereDv(s, root, col("k") % 41 === 0)
+      val files2 = GraftTable.snapshotFileLedger(s, root, v2)
+        .map(_._1).toSet
+      val zeroRewrites = files2 == files0 &&
+        GraftTable.hasDeletionVectors(s, root, v2) &&
+        !GraftTable.hasDeletionVectors(s, root, 0)
+      val feed = GraftTable.changes(s, root, 0, v2, "k")
+      val feedClean = feed.filter(col("_change") =!= "delete").isEmpty
+      val (v3, _, _) = GraftTable.optimize(s, root, "k", targetRows = 4000)
+      val absorbed = !GraftTable.hasDeletionVectors(s, root, v3)
+      def agg(stage: String, df: org.apache.spark.sql.DataFrame,
+          ok: Boolean) =
+        df.groupBy(lit(stage).as("stage"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum("cents").as("cents_sum"),
+            sum(conv(substring(md5(concat_ws("|", col("k").cast("string"),
+              col("name"), col("cents").cast("string"))), 1, 8), 16, 10)
+              .cast("long")).as("row_sum"),
+            lit(ok).as("ok"))
+      agg("a_dv_head", s.read.format("graft")
+          .option("versionAsOf", v2).load(root), zeroRewrites)
+        .unionAll(agg("b_time_travel",
+          GraftTable.read(s, root, Some(0)), true))
+        .unionAll(agg("c_cdf_deletes",
+          feed.select("k", "name", "cents"), feedClean))
+        .unionAll(agg("d_absorbed",
+          GraftTable.read(s, root, Some(v3)), absorbed))
+        .orderBy("stage")
+    },
+    Some("""WITH p AS (
+           |  SELECT CAST(p_partkey AS BIGINT) AS k, p_name AS name,
+           |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM part),
+           |live AS (
+           |  SELECT * FROM p WHERE NOT (k % 37 = 0 OR k % 41 = 0)),
+           |dels AS (
+           |  SELECT * FROM p WHERE k % 37 = 0 OR k % 41 = 0),
+           |stages AS (
+           |  SELECT 'a_dv_head' AS stage, * FROM live
+           |  UNION ALL SELECT 'b_time_travel', * FROM p
+           |  UNION ALL SELECT 'c_cdf_deletes', * FROM dels
+           |  UNION ALL SELECT 'd_absorbed', * FROM live)
+           |SELECT stage, count(*) AS n_rows,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |    name || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |    AS BIGINT) AS row_sum,
+           |  true AS ok
+           |FROM stages GROUP BY stage ORDER BY stage""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
@@ -2866,5 +2941,5 @@ object MaintenanceQueries {
     q291MonthsYearsEvolution, q292TruncatePartition, q293MetadataTables,
     q295SqlMaintenance, q296CheckConstraints, q302OptimizeMergeConcurrency,
     q303ColumnRename, q304ColumnDropReadd, q305MultiTablePublish,
-    q306ShallowClone, q308SqlCtas)
+    q306ShallowClone, q308SqlCtas, q311DeletionVectors)
 }

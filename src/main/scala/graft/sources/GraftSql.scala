@@ -601,13 +601,18 @@ class GraftBatchScan(val root: String, val version: Int,
     }
   }
 
-  /** Spark's parquet scan over the pruned file set, built ONCE per
-    * scan instance (planning may ask for partitions and the reader
-    * factory separately). */
-  @transient private lazy val parquetScan
+  /** The pruned snapshot's files, split by DELETION-VECTOR presence:
+    * clean files keep the exact fast parquet plan; DV'd files go
+    * through the masked merge-on-read path below. */
+  @transient private lazy val prunedFiles
+    : Seq[(org.apache.hadoop.fs.FileStatus, String, Long)] =
+    GraftTable.snapshotFilesWithDvs(
+      SparkSession.active, root, version, keyRange)
+
+  private def buildParquetScan(spark: SparkSession,
+      statuses: Seq[org.apache.hadoop.fs.FileStatus],
+      withRowIndex: Boolean)
     : org.apache.spark.sql.execution.datasources.v2.FileScan = {
-    val spark = SparkSession.active
-    val statuses = GraftTable.snapshotFileStatuses(spark, root, version, keyRange)
     val schema = GraftTable.tableSchema(spark, root, version)
     // COLUMN MAPPING: parquet stores PHYSICAL names, so the underlying
     // file scan plans under the physical schema (same field order —
@@ -618,28 +623,105 @@ class GraftBatchScan(val root: String, val version: Int,
     val physFull = GraftTable.physicalSchema(schema)
     val renamed = schema.fields
       .filter(f => GraftTable.physName(f) != f.name).map(_.name).toSet
+    // the DV-masked scan appends Spark's parquet ROW-INDEX temporary
+    // column: the reader GENERATES per-file row positions (split- and
+    // row-group-skip-aware) instead of reading a column — the join
+    // key against the deletion vector's position list
+    val rowIdx = org.apache.spark.sql.types.StructField(
+      org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+        .ROW_INDEX_TEMPORARY_COLUMN_NAME,
+      org.apache.spark.sql.types.LongType, nullable = true)
+    val dataSchema =
+      if (withRowIndex) StructType(physFull.fields :+ rowIdx) else physFull
+    val wanted =
+      if (withRowIndex)
+        StructType(GraftTable.physicalSchema(required).fields :+ rowIdx)
+      else GraftTable.physicalSchema(required)
     val index = new ManifestFileIndex(spark,
-      new org.apache.hadoop.fs.Path(root), statuses, physFull)
-    val sb = new GraftParquetScanBuilder(spark, index, physFull,
+      new org.apache.hadoop.fs.Path(root), statuses, dataSchema)
+    val sb = new GraftParquetScanBuilder(spark, index, dataSchema,
       CaseInsensitiveStringMap.empty())
-    sb.pruneColumns(GraftTable.physicalSchema(required))
-    sb.pushSourceFilters(filters.filter(
-      _.references.forall(r => !renamed.contains(r))))
+    sb.pruneColumns(wanted)
+    // the masked path pushes nothing (row-group pruning is a pure
+    // optimization; the masked subset is deleted-rows-sized anyway)
+    if (!withRowIndex)
+      sb.pushSourceFilters(filters.filter(
+        _.references.forall(r => !renamed.contains(r))))
     sb.build()
+  }
+
+  /** Spark's parquet scan over the CLEAN pruned file set, built ONCE
+    * per scan instance (planning may ask for partitions and the
+    * reader factory separately). */
+  @transient private lazy val parquetScan
+    : org.apache.spark.sql.execution.datasources.v2.FileScan =
+    buildParquetScan(SparkSession.active,
+      prunedFiles.filter(_._2.isEmpty).map(_._1), withRowIndex = false)
+
+  /** The masked scan over DV'd files (None when the snapshot has no
+    * DVs — zero overhead on the common path). */
+  @transient private lazy val dvScan
+    : Option[org.apache.spark.sql.execution.datasources.v2.FileScan] = {
+    val dvd = prunedFiles.filter(_._2.nonEmpty)
+    if (dvd.isEmpty) None
+    else Some(buildParquetScan(SparkSession.active, dvd.map(_._1),
+      withRowIndex = true))
+  }
+
+  private def hconfMap: Map[String, String] = {
+    val it = SparkSession.active.sparkContext.hadoopConfiguration.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.result()
   }
 
   override def planInputPartitions()
     : Array[org.apache.spark.sql.connector.read.InputPartition] =
     pushedAgg match {
       case Some((_, values)) => Array(GraftAggPartition(values))
-      case None => parquetScan.toBatch.planInputPartitions()
+      case None =>
+        val clean =
+          if (prunedFiles.exists(_._2.isEmpty))
+            parquetScan.toBatch.planInputPartitions()
+          else Array
+            .empty[org.apache.spark.sql.connector.read.InputPartition]
+        val masked = dvScan.map { s =>
+          val dvByName = prunedFiles.filter(_._2.nonEmpty)
+            .map(t => t._1.getPath.getName -> t._2).toMap
+          val hm = hconfMap
+          // one wrapped partition per SPLIT (file identity must be
+          // unambiguous inside a partition — the DV is per file)
+          s.toBatch.planInputPartitions().flatMap {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              fp.files.zipWithIndex.map { case (pf, i) =>
+                val name = pf.toPath.getName
+                GraftDvPartition(
+                  org.apache.spark.sql.execution.datasources.FilePartition(
+                    fp.index * 10000 + i, Array(pf)),
+                  dvByName(name), hm)
+                  : org.apache.spark.sql.connector.read.InputPartition
+              }
+          }
+        }.getOrElse(Array.empty[
+          org.apache.spark.sql.connector.read.InputPartition])
+        clean ++ masked
     }
 
   override def createReaderFactory()
     : org.apache.spark.sql.connector.read.PartitionReaderFactory =
     pushedAgg match {
       case Some(_) => new GraftAggReaderFactory
-      case None => parquetScan.toBatch.createReaderFactory()
+      case None =>
+        val dvF = dvScan.map(_.toBatch.createReaderFactory())
+        // the clean factory also serves the no-files case (an empty
+        // snapshot plans zero partitions but still needs a factory)
+        val cleanF =
+          if (prunedFiles.exists(_._2.isEmpty) || dvF.isEmpty)
+            Some(parquetScan.toBatch.createReaderFactory())
+          else None
+        if (dvF.isEmpty) cleanF.get
+        else new GraftDvAwareReaderFactory(cleanF, dvF.get,
+          GraftTable.physicalSchema(required).fields.map(_.dataType))
     }
 
   // value equality so exchange/scan reuse keys on WHAT is read, not on
@@ -667,6 +749,95 @@ private[sources] class GraftParquetScanBuilder(spark: SparkSession,
   def pushSourceFilters(fs: Array[Filter]): Unit = {
     pushedDataFilters = pushDataFilters(fs)
   }
+}
+
+/** One DV-masked split: a single-file [[org.apache.spark.sql.execution
+  * .datasources.FilePartition]] (file identity must be unambiguous —
+  * the deletion vector is per file) plus its DV sidecar path and the
+  * serialized Hadoop conf the executor needs to open it. */
+private[sources] case class GraftDvPartition(
+    inner: org.apache.spark.sql.execution.datasources.FilePartition,
+    dvPath: String, hconf: Map[String, String])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+/** Composite reader factory: clean splits flow untouched through
+  * Spark's parquet factory (columnar and all); DV'd splits read
+  * row-based with the generated ROW-INDEX column last, drop rows
+  * whose index the sidecar lists, and project the index column away.
+  * The sidecar loads once per split, executor-side, into a sorted
+  * long array (binary-search membership — a 1M-row DV is 8 MB). */
+private[sources] class GraftDvAwareReaderFactory(
+    clean: Option[org.apache.spark.sql.connector.read.PartitionReaderFactory],
+    dv: org.apache.spark.sql.connector.read.PartitionReaderFactory,
+    dataTypes: Array[org.apache.spark.sql.types.DataType])
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+
+  // Spark refuses MIXED row/columnar partitions in one scan
+  // (DataSourceRDD asserts uniformity), so a snapshot with any DV
+  // reads row-based throughout — the price of merge-on-read until
+  // OPTIMIZE absorbs the DVs back to the vectorized fast path
+  // (Delta's pre-columnar-DV readers made the same trade)
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createColumnarReader(p: InputPartition)
+    : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    clean.get.createColumnarReader(p)
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case d: GraftDvPartition =>
+        val inner = dv.createReader(d.inner)
+        new PartitionReader[InternalRow] {
+          private lazy val deleted: Array[Long] = {
+            val c = new org.apache.hadoop.conf.Configuration(false)
+            d.hconf.foreach { case (k, v) => c.set(k, v) }
+            val hp = new org.apache.hadoop.fs.Path(d.dvPath)
+            val in = new java.io.BufferedReader(
+              new java.io.InputStreamReader(hp.getFileSystem(c).open(hp),
+                java.nio.charset.StandardCharsets.UTF_8))
+            try {
+              val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+              var line = in.readLine()
+              while (line != null) {
+                if (line.nonEmpty) buf += line.toLong
+                line = in.readLine()
+              }
+              val a = buf.toArray
+              java.util.Arrays.sort(a)
+              a
+            } finally in.close()
+          }
+          // project the trailing row-index column away — a codegen'd
+          // UnsafeProjection over ordinals 0..n-1 (exactly the clean
+          // scan's output shape); the result buffer is reused per row,
+          // the standard reader contract (consumers copy to buffer)
+          private lazy val proj =
+            org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+              .create(dataTypes.zipWithIndex.map { case (dt, i) =>
+                org.apache.spark.sql.catalyst.expressions
+                  .BoundReference(i, dt, nullable = true)
+                  : org.apache.spark.sql.catalyst.expressions.Expression
+              }.toSeq)
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            while (inner.next()) {
+              val r = inner.get()
+              val idx = r.getLong(dataTypes.length)
+              if (java.util.Arrays.binarySearch(deleted, idx) < 0) {
+                cur = proj(r)
+                return true
+              }
+            }
+            false
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = inner.close()
+        }
+      case other => clean.get.createReader(other)
+    }
 }
 
 /** Iceberg-style METADATA TABLES over a graft table, served entirely

@@ -71,10 +71,22 @@ object GraftTable {
     * ([[snapshotStats]], the DSv2 `SupportsReportStatistics` surface)
     * are a pure metadata pass; −1 on lines from older manifests (the
     * parse is format-tolerant), where stats fall back to one
-    * `getFileStatus` per unknown file. */
+    * `getFileStatus` per unknown file.
+    *
+    * `dvPath`/`dvRows` (round 13): a DELETION VECTOR reference — a
+    * sidecar of this file's DELETED row positions (merge-on-read DML:
+    * the Delta-DV/Iceberg-position-delete answer to copy-on-write
+    * write amplification). Empty = no DV (every pre-DV line). `nRows`
+    * stays the file's PHYSICAL row count; live rows = nRows − dvRows.
+    * Key min/max remain SUPERSET bounds under a DV (pruning stays
+    * sound, metadata min/max answers degrade — see
+    * [[snapshotKeyStats]]). */
   private final case class FileEntry(
       relPath: String, minKey: Long, maxKey: Long, nRows: Long,
-      nBytes: Long = -1L)
+      nBytes: Long = -1L, dvPath: String = "", dvRows: Long = 0L) {
+    def liveRows: Long = nRows - dvRows
+    def hasDv: Boolean = dvPath.nonEmpty
+  }
 
   private def fs(root: String, spark: SparkSession) = {
     val p = new org.apache.hadoop.fs.Path(root)
@@ -223,6 +235,9 @@ object GraftTable {
             FileEntry(p, mn.toLong, mx.toLong, n.toLong)
           case Array(p, mn, mx, n, b) =>
             FileEntry(p, mn.toLong, mx.toLong, n.toLong, b.toLong)
+          case Array(p, mn, mx, n, b, dv, dvN) => // deletion-vector line
+            FileEntry(p, mn.toLong, mx.toLong, n.toLong, b.toLong,
+              dv, dvN.toLong)
           case other => throw new IllegalStateException(
             s"malformed manifest line (${other.length} fields): $line")
         }
@@ -230,8 +245,11 @@ object GraftTable {
 
   private def renderManifest(entries: Seq[FileEntry]): String =
     entries.sortBy(_.relPath)
-      .map(e =>
-        s"${e.relPath}\t${e.minKey}\t${e.maxKey}\t${e.nRows}\t${e.nBytes}")
+      .map { e =>
+        val base =
+          s"${e.relPath}\t${e.minKey}\t${e.maxKey}\t${e.nRows}\t${e.nBytes}"
+        if (e.hasDv) s"$base\t${e.dvPath}\t${e.dvRows}" else base
+      }
       .mkString("", "\n", "\n")
 
   /** Every committed version present in the log — ONE `listStatus`
@@ -551,6 +569,98 @@ object GraftTable {
     else df.toDF(schema.fieldNames.toSeq: _*)
   }
 
+  // ---- DELETION VECTORS (merge-on-read DML) -----------------------
+  //
+  // A DV is a sidecar listing a data file's DELETED row positions —
+  // `data/dv-v{N}-{uuid}/<dataFileName>.dv`, newline-separated base-10
+  // positions (one per deleted row, ascending). A row-level DELETE
+  // commits new DVs instead of rewriting data files (the Delta-DV /
+  // Iceberg-position-delete shape): write cost tracks DELETED ROWS,
+  // not touched-file bytes — the answer to copy-on-write write
+  // amplification, where a 10-row delete in a 1 GB file re-encodes
+  // the gigabyte. Reads anti-join DV'd files' rows against their DV
+  // positions (parquet's per-file `_metadata.row_index` is the join
+  // key — split-aware, row-group-skip-aware); clean files keep
+  // today's exact plan. OPTIMIZE absorbs DVs (a rewritten group's
+  // fresh files carry none); vacuum sweeps superseded DVs with the
+  // same live-set rule as data files.
+
+  private val DvNameCol = "__graft_dv_file"
+  private val DvPosCol = "__graft_dv_pos"
+
+  /** The DV'd subset of `entries` as (positions frame of the LIVE-set
+    * complement): (fileName, position) of every DELETED row. Read
+    * distributedly (spark.read.text over the sidecars — DV bytes
+    * never cross the driver); broadcast when the manifest's recorded
+    * DV cardinality is modest, shuffle otherwise. */
+  private def dvPositions(spark: SparkSession, root: String,
+      entries: Seq[FileEntry], forJoin: Boolean = true): DataFrame = {
+    val paths = entries.filter(_.hasDv).map(e => dataPath(root, e.dvPath))
+    val dv = spark.read.textFile(paths: _*)
+      .select(
+        regexp_replace(element_at(split(input_file_name(), "/"), -1),
+          "\\.dv$", "").as(DvNameCol),
+        col("value").cast("long").as(DvPosCol))
+    if (forJoin && entries.map(_.dvRows).sum <= 4L * 1000 * 1000)
+      broadcast(dv)
+    else dv
+  }
+
+  /** Read `entries` with DV masking, keeping a `__graft_dv_file`
+    * column (the data file's NAME) for per-file operations — LOGICAL
+    * column names plus the name column. Row positions come from
+    * parquet's `_metadata.row_index` (exact per-file indexes however
+    * Spark splits or skips row groups); deleted (file, pos) pairs are
+    * anti-joined away. */
+  private def readMaskedWithName(spark: SparkSession, root: String,
+      schema: StructType, entries: Seq[FileEntry]): DataFrame = {
+    val phys = physicalSchema(schema)
+    val raw = spark.read.schema(phys)
+      .parquet(entries.map(e => dataPath(root, e.relPath)): _*)
+      .select(col("*"),
+        element_at(split(col("_metadata.file_path"), "/"), -1)
+          .as(DvNameCol),
+        col("_metadata.row_index").as(DvPosCol))
+    val logical = raw.toDF(
+      (schema.fieldNames.toSeq :+ DvNameCol :+ DvPosCol): _*)
+    val dvd = entries.filter(_.hasDv)
+    val masked =
+      if (dvd.isEmpty) logical
+      else logical.join(dvPositions(spark, root, dvd),
+        Seq(DvNameCol, DvPosCol), "left_anti")
+    masked
+  }
+
+  /** Snapshot-correct read of `entries`: DV-less files take the exact
+    * pre-DV plan (plain pinned-schema parquet scan); DV'd files read
+    * masked and union in. EVERY internal consumer of a manifest's
+    * rows goes through here, so merge-on-read correctness is by
+    * construction on every path (read, range/point/2D reads, CDF,
+    * rewrite inputs of UPSERT/DELETE/MERGE/OPTIMIZE). */
+  private def readEntries(spark: SparkSession, root: String,
+      schema: StructType, entries: Seq[FileEntry]): DataFrame = {
+    val (dvd, clean) = entries.partition(_.hasDv)
+    if (entries.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else if (dvd.isEmpty)
+      readLogical(spark, schema, clean.map(e => dataPath(root, e.relPath)))
+    else {
+      val masked = readMaskedWithName(spark, root, schema, dvd)
+        .drop(DvNameCol, DvPosCol)
+      if (clean.isEmpty) masked
+      else readLogical(spark, schema,
+        clean.map(e => dataPath(root, e.relPath))).unionByName(masked)
+    }
+  }
+
+  /** Whether any live file at `version` carries a deletion vector —
+    * the guard metadata-exact answers check before trusting per-file
+    * ledgers that describe PHYSICAL file content. */
+  def hasDeletionVectors(spark: SparkSession, root: String,
+      version: Int): Boolean =
+    loadManifest(spark, root, version).exists(_.hasDv)
+
   private def partitionSpecPath(root: String, v: Int) =
     new org.apache.hadoop.fs.Path(root, f"_log/partition-v$v%05d.json")
 
@@ -636,13 +746,10 @@ object GraftTable {
       throw new IllegalStateException(
         s"table at $root has no partition transform at version $v"))
     val schema = tableSchema(spark, root, v)
-    val keep = partitionSurvivors(spark, root, spec, lo, hi, v)
-    val df =
-      if (keep.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readLogical(spark, schema, keep.map(r => dataPath(root, r)))
-    df.filter(spec.valueCol.between(lo, hi))
+    val keep = partitionSurvivors(spark, root, spec, lo, hi, v).toSet
+    val entries = loadManifest(spark, root, v).filter(e => keep(e.relPath))
+    readEntries(spark, root, schema, entries)
+      .filter(spec.valueCol.between(lo, hi))
   }
 
   /** How many files a [[readPartitionRange]] with these bounds opens. */
@@ -1043,7 +1150,9 @@ object GraftTable {
       .map { case ((rel, c), (mn, mx)) =>
         s"${dataPath(srcRoot, rel)}\t$c\t$mn\t$mx" }.sorted
     if (statLines.nonEmpty) writeColStatsAt(f, dstRoot, 0, statLines)
-    val cloned = entries.map(e => e.copy(relPath = dataPath(srcRoot, e.relPath)))
+    val cloned = entries.map(e => e.copy(
+      relPath = dataPath(srcRoot, e.relPath),
+      dvPath = if (e.hasDv) dataPath(srcRoot, e.dvPath) else ""))
     commitManifest(f, dstRoot, 0, cloned,
       wroteColStats = statLines.nonEmpty,
       wrotePartition = partitionSpec(spark, srcRoot, v).isDefined)
@@ -1055,13 +1164,10 @@ object GraftTable {
     val v = version.getOrElse(latestVersion(spark, root))
     val entries = loadManifest(spark, root, v)
     val schema = tableSchema(spark, root, v)
-    if (entries.isEmpty) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else {
-      // pin the schema so a snapshot's column set never depends on
-      // which subset of files survived the commits
-      readLogical(spark, schema, entries.map(e => dataPath(root, e.relPath)))
-    }
+    // pin the schema so a snapshot's column set never depends on
+    // which subset of files survived the commits; DV'd files read
+    // masked (merge-on-read)
+    readEntries(spark, root, schema, entries)
   }
 
   /** Snapshot statistics from the MANIFEST alone: (rowCount,
@@ -1087,7 +1193,10 @@ object GraftTable {
       else f.getFileStatus(
         new org.apache.hadoop.fs.Path(dataPath(root, e.relPath))).getLen
     }.sum
-    (entries.map(_.nRows).sum, bytes)
+    // LIVE rows (physical − DV'd): what the scan will actually emit.
+    // Bytes stay the physical file sizes — an over-estimate on DV'd
+    // files that errs AGAINST broadcasting, the safe direction.
+    (entries.map(_.liveRows).sum, bytes)
   }
 
   /** The pruned snapshot's data files as ready-made `FileStatus`es —
@@ -1117,6 +1226,31 @@ object GraftTable {
     }
   }
 
+  /** [[snapshotFileStatuses]] plus each file's DELETION-VECTOR
+    * reference — (status, absolute dvPath or "", dvRows) — what the
+    * DSv2 scan needs to split the snapshot into the clean fast path
+    * and the masked merge-on-read path. */
+  private[sources] def snapshotFilesWithDvs(spark: SparkSession,
+      root: String, version: Int, keyRange: Option[(Long, Long)] = None)
+    : Seq[(org.apache.hadoop.fs.FileStatus, String, Long)] = {
+    val all = loadManifest(spark, root, version)
+    val entries = keyRange match {
+      case Some((lo, hi)) => all.filter(e => e.maxKey >= lo && e.minKey <= hi)
+      case None => all
+    }
+    val (f, _) = fs(root, spark)
+    entries.map { e =>
+      val p = f.makeQualified(
+        new org.apache.hadoop.fs.Path(dataPath(root, e.relPath)))
+      val st =
+        if (e.nBytes >= 0)
+          new org.apache.hadoop.fs.FileStatus(e.nBytes, false, 1,
+            128L * 1024 * 1024, 0L, p)
+        else f.getFileStatus(p)
+      (st, if (e.hasDv) dataPath(root, e.dvPath) else "", e.dvRows)
+    }
+  }
+
   /** Snapshot aggregate stats from the MANIFEST alone: exact
     * (rowCount, Option((minKey, maxKey))) at `version`. The per-file
     * [minKey, maxKey] is recorded from the DATA at write time (see
@@ -1125,13 +1259,18 @@ object GraftTable {
     * the live file set IS the table's exact key min/max — what lets
     * `SELECT count(*), min(k), max(k)` answer without opening a
     * single data file. None when the snapshot is empty (SQL min/max
-    * of an empty table is NULL). */
+    * of an empty table is NULL) — and also when any live file carries
+    * a DELETION VECTOR: a DV may have masked the extreme row, making
+    * the recorded interval a superset bound (sound for pruning, NOT
+    * exact) — the metadata-or-nothing contract refuses, callers fall
+    * back to the scan. Row count stays exact under DVs
+    * (`nRows − dvRows` per file). */
   def snapshotKeyStats(spark: SparkSession, root: String,
       version: Int): (Long, Option[(Long, Long)]) = {
     val entries = loadManifest(spark, root, version)
-    val rows = entries.map(_.nRows).sum
+    val rows = entries.map(_.liveRows).sum
     val range =
-      if (entries.isEmpty) None
+      if (entries.isEmpty || entries.exists(_.hasDv)) None
       else Some((entries.map(_.minKey).min, entries.map(_.maxKey).max))
     (rows, range)
   }
@@ -1150,7 +1289,9 @@ object GraftTable {
   def snapshotColumnRange(spark: SparkSession, root: String, version: Int,
       column: String): Option[(Long, Long)] = {
     val entries = loadManifest(spark, root, version)
-    if (entries.isEmpty) return None
+    // a DV'd file's recorded range is a SUPERSET bound (the extreme
+    // row may be deleted) — refuse rather than approximate
+    if (entries.isEmpty || entries.exists(_.hasDv)) return None
     val rels = entries.map(_.relPath).toSet
     val stats = loadColStats(spark, root, version, rels)
     val phys = toPhys(spark, root, version, column)
@@ -1186,6 +1327,9 @@ object GraftTable {
       column: String): Option[Long] = {
     val entries = loadManifest(spark, root, version)
     if (entries.isEmpty) return Some(0L)
+    // per-file null ledgers describe PHYSICAL content; a DV may have
+    // masked null or non-null rows — refuse, callers scan
+    if (entries.exists(_.hasDv)) return None
     val rels = entries.map(_.relPath).toSet
     val stats = loadColStats(spark, root, version, rels)
     val phys = toPhys(spark, root, version, column)
@@ -1203,6 +1347,9 @@ object GraftTable {
       column: String): Option[Option[Long]] = {
     val entries = loadManifest(spark, root, version)
     if (entries.isEmpty) return Some(None)
+    // the #sum ledger sums PHYSICAL rows — a DV'd file's live sum
+    // differs; refuse (metadata answers are exact or not given)
+    if (entries.exists(_.hasDv)) return None
     val rels = entries.map(_.relPath).toSet
     val stats = loadColStats(spark, root, version, rels)
     val phys = toPhys(spark, root, version, column)
@@ -1270,11 +1417,7 @@ object GraftTable {
         col("k") >= col("mn") && col("k") <= col("mx"))
       .select("rel_path").distinct().collect().map(_.getString(0)).toSet
     val (rewrite, carry) = entries.partition(e => hit(e.relPath))
-    val current =
-      if (rewrite.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readLogical(spark, schema, rewrite.map(e => dataPath(root, e.relPath)))
+    val current = readEntries(spark, root, schema, rewrite)
     // MERGE: one hash full-outer join on the key (q204's shape) —
     // batch wins where matched, inserts where not
     val cols = schema.fieldNames
@@ -1353,11 +1496,7 @@ object GraftTable {
         col("k") >= col("mn") && col("k") <= col("mx"))
       .select("rel_path").distinct().collect().map(_.getString(0)).toSet
     val (rewrite, carry) = entries.partition(e => hit(e.relPath))
-    val current =
-      if (rewrite.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readLogical(spark, schema, rewrite.map(e => dataPath(root, e.relPath)))
+    val current = readEntries(spark, root, schema, rewrite)
     val cols = schema.fieldNames
     // 'upsert' merges column-wise (NULL batch cell keeps the target's
     // value — the partial-update CDC contract); 'replace' writes the
@@ -1415,11 +1554,7 @@ object GraftTable {
         col("k") >= col("mn") && col("k") <= col("mx"))
       .select("rel_path").distinct().collect().map(_.getString(0)).toSet
     val (rewrite, carry) = entries.partition(e => hit(e.relPath))
-    val current =
-      if (rewrite.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readLogical(spark, schema, rewrite.map(e => dataPath(root, e.relPath)))
+    val current = readEntries(spark, root, schema, rewrite)
     val cols = schema.fieldNames
     val t = current.as("t"); val b = batch.as("b")
     val merged = t.join(b, col(s"t.$key") === col(s"b.$key"), "full_outer")
@@ -1432,11 +1567,7 @@ object GraftTable {
       writeBuckets(spark, root, base, nBuckets, rewrite.size))
     val fresh = w.entries
     // AUDIT: every check in one aggregation over the staged files
-    val staged =
-      if (fresh.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readLogical(spark, schema, fresh.map(e => dataPath(root, e.relPath)))
+    val staged = readEntries(spark, root, schema, fresh)
     val aggs = checks.map { case (name, pred) =>
       sum(when(pred.isNull || !pred, 1L).otherwise(0L)).as(name)
     }
@@ -1464,29 +1595,137 @@ object GraftTable {
     val base = latestVersion(spark, root)
     val entries = loadManifest(spark, root, base)
     val schema = tableSchema(spark, root, base)
-    val paths = entries.map(e => dataPath(root, e.relPath))
+    // hit detection over the MASKED rows: a row already deleted by a
+    // DV must neither trigger a rewrite nor — worse — survive the
+    // keep-filter below and resurrect
     val hit: Set[String] =
-      if (paths.isEmpty) Set.empty
-      else readLogical(spark, schema, paths)
+      if (entries.isEmpty) Set.empty
+      else readMaskedWithName(spark, root, schema, entries)
         .filter(predicate)
-        .select(input_file_name().as("file")).distinct()
-        .collect()
-        .map(r => new org.apache.hadoop.fs.Path(
-          new java.net.URI(r.getString(0)).getPath).getName)
-        .toSet
+        .select(col(DvNameCol)).distinct()
+        .collect().map(_.getString(0)).toSet
     val (rewrite, carry) =
       entries.partition(e => hit(new org.apache.hadoop.fs.Path(e.relPath).getName))
     val v = base + 1
     val w =
       if (rewrite.isEmpty) Written(Seq.empty, Seq.empty)
       else writeDataFiles(spark, root, v,
-        readLogical(spark, schema, rewrite.map(e => dataPath(root, e.relPath)))
+        readEntries(spark, root, schema, rewrite)
           .filter(!predicate || predicate.isNull),
         key, math.max(1, rewrite.size))
     val (f, _) = fs(root, spark)
     commitManifest(f, root, v, carry ++ w.entries,
       wroteColStats = w.wroteColStats)
     (v, rewrite.size, carry.size)
+  }
+
+  /** MERGE-ON-READ delete: commit DELETION VECTORS for the rows
+    * matching `predicate` — ZERO data files rewritten whatever the
+    * table size (the manifest proves it: every surviving entry keeps
+    * its relPath; only DV references change). The 100 TB shape CoW
+    * [[deleteWhere]] cannot give: a narrow DELETE's write cost is
+    * proportional to the DELETED ROWS (position lists), not to the
+    * bytes of every touched file. Reads, CDF, and time travel
+    * hash-match the CoW equivalent by construction — every reader
+    * masks through the same [[readEntries]]. Files whose every live
+    * row is deleted drop out of the manifest entirely (their bytes
+    * become vacuum-sweepable once history passes). A file deleted
+    * from twice accumulates into ONE fresh DV (the old sidecar is
+    * superseded and vacuum-swept); OPTIMIZE absorbs DVs into plain
+    * rewrites. Metadata-exact aggregate serving degrades honestly on
+    * DV'd files (count stays exact from `nRows − dvRows`; min/max/
+    * null/sum answers refuse and fall back to the scan).
+    * Returns (newVersion, nFilesDvd, nFilesCarried). */
+  def deleteWhereDv(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column): (Int, Int, Int) = {
+    val base = latestVersion(spark, root)
+    val entries = loadManifest(spark, root, base)
+    val schema = tableSchema(spark, root, base)
+    val v = base + 1
+    val (f, _) = fs(root, spark)
+    if (entries.isEmpty) {
+      commitManifest(f, root, v, entries)
+      return (v, 0, 0)
+    }
+    val byName = entries.map(e =>
+      new org.apache.hadoop.fs.Path(e.relPath).getName -> e).toMap
+    // the NEW deletions: masked rows (already-deleted positions can't
+    // re-delete) matching the predicate, as (fileName, position) —
+    // FALSE-or-NULL rows survive, the SQL DELETE rule
+    val masked = readMaskedWithName(spark, root, schema, entries)
+    val newDel = masked.filter(predicate)
+      .select(col(DvNameCol), col(DvPosCol))
+    // per-file deletion counts: metadata-sized (≤ one row per file)
+    val newCounts = newDel.groupBy(DvNameCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (newCounts.isEmpty) { // nothing matched: metadata-only commit
+      commitManifest(f, root, v, entries)
+      return (v, 0, entries.size)
+    }
+    val hitEntries = entries.filter(e =>
+      newCounts.contains(new org.apache.hadoop.fs.Path(e.relPath).getName))
+    // fresh DV = new positions ∪ the hit files' EXISTING DV positions
+    // (a sidecar fully describes its file's deletions — readers never
+    // chain DVs)
+    val priorDvd = hitEntries.filter(_.hasDv)
+    val allPos =
+      if (priorDvd.isEmpty) newDel
+      else newDel.unionByName(
+        dvPositions(spark, root, priorDvd, forJoin = false)
+          .select(col(DvNameCol), col(DvPosCol)))
+    val dvRel = f"data/dv-v$v%05d-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    writeDvSidecars(spark, s"$root/$dvRel", allPos)
+    val totals = hitEntries.map { e =>
+      val name = new org.apache.hadoop.fs.Path(e.relPath).getName
+      name -> (newCounts(name) + e.dvRows)
+    }.toMap
+    val updated = entries.flatMap { e =>
+      val name = new org.apache.hadoop.fs.Path(e.relPath).getName
+      totals.get(name) match {
+        case None => Some(e)
+        case Some(total) if total >= e.nRows => None // fully dead file
+        case Some(total) =>
+          Some(e.copy(dvPath = s"$dvRel/$name.dv", dvRows = total))
+      }
+    }
+    commitManifest(f, root, v, updated)
+    (v, hitEntries.size, entries.size - hitEntries.size)
+  }
+
+  /** Write one `<dataFileName>.dv` sidecar per distinct file in
+    * `positions` (columns `__graft_dv_file`, `__graft_dv_pos`) under
+    * `dir` — EXECUTOR-SIDE (position lists are data-shaped in
+    * aggregate and never cross the driver), ascending, newline-
+    * separated base-10. One file's positions are bounded by its row
+    * count — the same per-task memory bound every DV implementation
+    * carries (Delta's RoaringBitmap sidecars cap the same way). */
+  private def writeDvSidecars(spark: SparkSession, dir: String,
+      positions: DataFrame): Unit = {
+    val hconf = confMap(spark)
+    positions
+      .groupBy(DvNameCol)
+      .agg(sort_array(collect_list(col(DvPosCol))).as("ps"))
+      .foreach { r =>
+        val name = r.getString(0)
+        val ps = r.getSeq[Long](1)
+        val dest = new org.apache.hadoop.fs.Path(dir, s"$name.dv")
+        val f = dest.getFileSystem(confFrom(hconf))
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          s".tmp-$name-${java.util.UUID.randomUUID()}")
+        val os = f.create(tmp, false)
+        try {
+          val w = new java.io.BufferedOutputStream(os, 1 << 16)
+          ps.foreach { p =>
+            w.write(p.toString.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            w.write('\n')
+          }
+          w.flush()
+        } finally os.close()
+        // create-if-absent publish; a speculative twin loses quietly
+        if (!f.rename(tmp, dest)) f.delete(tmp, false): Unit
+      }
   }
 
   /** Key-range snapshot read with FILE SKIPPING: only data files whose
@@ -1505,12 +1744,8 @@ object GraftTable {
     val entries = loadManifest(spark, root, v)
       .filter(e => e.maxKey >= lower && e.minKey <= upper)
     val schema = tableSchema(spark, root, v)
-    val df =
-      if (entries.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readLogical(spark, schema, entries.map(e => dataPath(root, e.relPath)))
-    df.filter(col(key).cast("long") >= lower && col(key).cast("long") <= upper)
+    readEntries(spark, root, schema, entries)
+      .filter(col(key).cast("long") >= lower && col(key).cast("long") <= upper)
   }
 
   /** How many data files a `readRange(lower, upper)` call would open. */
@@ -1599,20 +1834,29 @@ object GraftTable {
     val entries = loadManifest(spark, root, base).sortBy(e => (e.minKey, e.relPath))
     val schema = tableSchema(spark, root, base)
     // contiguous cumulative-row binning (the q186 rule): a file's group
-    // is floor(rowsBefore / targetRows)
+    // is floor(rowsBefore / targetRows). Binning weighs LIVE rows, so
+    // heavily-DV'd files pack together like the small files they
+    // logically are.
     var acc = 0L
     val grouped = entries.map { e =>
-      val g = acc / math.max(1L, targetRows); acc += e.nRows; (g, e)
+      val g = acc / math.max(1L, targetRows); acc += e.liveRows; (g, e)
     }.groupBy(_._1).values.map(_.map(_._2)).toSeq
-    val (compactGroups, singletons) = grouped.partition(_.size >= 2)
+    // a group rewrites if it has ≥2 files (bin-packing) OR any DV to
+    // ABSORB — merge-on-read deletes materialize here, returning the
+    // file to the clean fast read path and freeing the masked bytes
+    val (compactGroups, singletons) =
+      grouped.partition(g => g.size >= 2 || g.exists(_.hasDv))
     val carry = singletons.flatten.toSeq
     val rewrite = compactGroups.flatten.toSeq
-    val rewriteSet = rewrite.map(_.relPath).toSet
+    // conflict identity includes the DV: a concurrent merge-on-read
+    // DELETE on one of our inputs makes our staged rewrite stale
+    // exactly like a CoW rewrite of it would
+    val rewriteSet = rewrite.map(e => (e.relPath, e.dvPath)).toSet
     val v = base + 1
     val w =
       if (rewrite.isEmpty) Written(Seq.empty, Seq.empty)
       else writeDataFiles(spark, root, v,
-        readLogical(spark, schema, rewrite.map(e => dataPath(root, e.relPath))),
+        readEntries(spark, root, schema, rewrite),
         key, compactGroups.size)
     beforeCommit()
     val (f, _) = fs(root, spark)
@@ -1636,7 +1880,7 @@ object GraftTable {
           rebases += 1
           val nb = latestVersion(spark, root)
           val ne = loadManifest(spark, root, nb)
-          val live = ne.map(_.relPath).toSet
+          val live = ne.map(e => (e.relPath, e.dvPath)).toSet
           if (!rewriteSet.forall(live)) throw new ConcurrentCommitException(
             s"OPTIMIZE conflicts with a concurrent commit at $root: " +
               "compaction input files were rewritten or removed — " +
@@ -1644,7 +1888,7 @@ object GraftTable {
               "vacuum-swept orphans). Re-run OPTIMIZE against the new " +
               "snapshot.")
           commitBase = nb
-          carryNow = ne.filterNot(en => rewriteSet(en.relPath))
+          carryNow = ne.filterNot(en => rewriteSet((en.relPath, en.dvPath)))
       }
     }
     sys.error("unreachable")
@@ -1667,7 +1911,7 @@ object GraftTable {
       .filter(h => versions.contains(h._1)) ++
       versions.filter(_ > cpV).map { v =>
         val es = loadManifest(spark, root, v)
-        (v, es.size, es.map(_.nRows).sum)
+        (v, es.size, es.map(_.liveRows).sum)
       }
   }
 
@@ -1849,11 +2093,15 @@ object GraftTable {
     // their data files must survive a vacuum that runs while the
     // transaction is in flight (the marker may land a moment later),
     // so they pin exactly like tags until committed or aborted
+    // DV sidecars are live exactly like the data files referencing
+    // them: a retained manifest's (relPath, dvPath) pairs both pin
+    def refs(e: FileEntry): Seq[String] =
+      if (e.hasDv) Seq(e.relPath, e.dvPath) else Seq(e.relPath)
     val stagedLive = listManifestVersions(f, root).filter(_ > latest)
       .flatMap(v => parseManifest(readFully(f, manifestPath(root, v)))
-        .map(_.relPath))
+        .flatMap(refs))
     val live = (((keepFrom to latest) ++ pinned).distinct
-      .flatMap(v => loadManifest(spark, root, v).map(_.relPath)) ++
+      .flatMap(v => loadManifest(spark, root, v).flatMap(refs)) ++
       stagedLive).toSet
     var removed = 0
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
@@ -2126,13 +2374,10 @@ object GraftTable {
       value: String, version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(spark, root))
     val schema = tableSchema(spark, root, v)
-    val survivors = bloomSurvivors(spark, root, column, value, v)
-    val df =
-      if (survivors.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readLogical(spark, schema, survivors.map(r => dataPath(root, r)))
-    df.filter(col(column).cast("string") === value)
+    val survivors = bloomSurvivors(spark, root, column, value, v).toSet
+    val entries = loadManifest(spark, root, v).filter(e => survivors(e.relPath))
+    readEntries(spark, root, schema, entries)
+      .filter(col(column).cast("string") === value)
   }
 
   /** How many data files a `readPoint(column, value)` would open. */
@@ -2193,16 +2438,17 @@ object GraftTable {
     require(fromV < toV, "changes requires fromV < toV")
     val fromEntries = loadManifest(spark, root, fromV)
     val toEntries = loadManifest(spark, root, toV)
-    val fromPaths = fromEntries.map(_.relPath).toSet
-    val toPaths = toEntries.map(_.relPath).toSet
-    val removed = fromEntries.filterNot(e => toPaths(e.relPath))
-    val added = toEntries.filterNot(e => fromPaths(e.relPath))
+    // diff identity is (file, deletion vector): a file carried with
+    // the SAME DV is bit-identical content on both sides and
+    // contributes nothing; a file whose DV changed re-enters the diff
+    // on both sides and its newly-masked rows surface as deletes —
+    // merge-on-read DELETEs feed CDF exactly like CoW ones
+    val fromPaths = fromEntries.map(e => (e.relPath, e.dvPath)).toSet
+    val toPaths = toEntries.map(e => (e.relPath, e.dvPath)).toSet
+    val removed = fromEntries.filterNot(e => toPaths((e.relPath, e.dvPath)))
+    val added = toEntries.filterNot(e => fromPaths((e.relPath, e.dvPath)))
     val schema = tableSchema(spark, root, toV)
-    def side(es: Seq[FileEntry]) =
-      if (es.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readLogical(spark, schema, es.map(e => dataPath(root, e.relPath)))
+    def side(es: Seq[FileEntry]) = readEntries(spark, root, schema, es)
     val cols = schema.fieldNames.toSeq
     def rowHash(alias: String) = md5(concat_ws("\u0001",
       cols.map(c => coalesce(col(s"$alias.$c").cast("string"), lit("\u0000"))): _*))
@@ -2293,7 +2539,7 @@ object GraftTable {
       .filter(h => versions.contains(h._1)) ++
       versions.filter(_ > priorV).map { v =>
         val es = loadManifest(spark, root, v)
-        (v, es.size, es.map(_.nRows).sum)
+        (v, es.size, es.map(_.liveRows).sum)
       }
     val liveRels = loadManifest(spark, root, latest).map(_.relPath).toSet
     val stats = loadColStats(spark, root, latest, liveRels)
@@ -2429,14 +2675,11 @@ object GraftTable {
       version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(spark, root))
     val schema = tableSchema(spark, root, v)
-    val keep = survivors2D(spark, root, c1, lo1, hi1, c2, lo2, hi2, v)
-    val df =
-      if (keep.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readLogical(spark, schema, keep.map(r => dataPath(root, r)))
-    df.filter(col(c1).cast("long").between(lo1, hi1) &&
-      col(c2).cast("long").between(lo2, hi2))
+    val keep = survivors2D(spark, root, c1, lo1, hi1, c2, lo2, hi2, v).toSet
+    val entries = loadManifest(spark, root, v).filter(e => keep(e.relPath))
+    readEntries(spark, root, schema, entries)
+      .filter(col(c1).cast("long").between(lo1, hi1) &&
+        col(c2).cast("long").between(lo2, hi2))
   }
 
   /** How many files a `readRange2D` with these bounds would open. */

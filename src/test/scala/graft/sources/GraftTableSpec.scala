@@ -1241,6 +1241,131 @@ class GraftTableSpec extends SparkSpec {
     }
   }
 
+  test("DELETION VECTORS: a narrow merge-on-read DELETE rewrites ZERO " +
+    "data files (manifest proves it); reads, time travel, and CDF " +
+    "hash-match the CoW equivalent") {
+    val rootDv = freshRoot(); val rootCow = freshRoot() + "cow"
+    GraftTable.create(spark, rootDv, base(4000), "k", nBuckets = 4)
+    GraftTable.create(spark, rootCow, base(4000), "k", nBuckets = 4)
+    val pred = $"k" % 37 === 0 // narrow, spread across every file
+    val (v1, nDvd, nCarried) = GraftTable.deleteWhereDv(spark, rootDv, pred)
+    GraftTable.deleteWhere(spark, rootCow, pred, "k")
+    assert(v1 === 1 && nDvd === 4 && nCarried === 0)
+    // ZERO data files rewritten: v1 references exactly v0's files
+    val files0 = manifestLines(rootDv, 0).map(_.split('\t')(0)).sorted
+    val files1 = manifestLines(rootDv, 1).map(_.split('\t')(0)).sorted
+    assert(files1 === files0)
+    // every v1 line carries a DV reference (7 fields)
+    assert(manifestLines(rootDv, 1).forall(_.split('\t').length === 7))
+    // reads hash-match the CoW equivalent
+    def digest(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(conv(substring(md5(concat_ws("|", $"k", $"name", $"v")),
+          1, 8), 16, 10).cast("long"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(digest(GraftTable.read(spark, rootDv)) ===
+      digest(GraftTable.read(spark, rootCow)))
+    assert(GraftTable.read(spark, rootDv).filter(pred).count() === 0)
+    // time travel to v0 still serves every row
+    assert(GraftTable.read(spark, rootDv, Some(0)).count() === 4000)
+    // range/point-style reads mask too
+    assert(GraftTable.readRange(spark, rootDv, "k", 1, 200)
+      .filter($"k" % 37 === 0).count() === 0)
+    // CDF: the DV commit surfaces exactly the deleted keys as deletes
+    val feed = GraftTable.changes(spark, rootDv, 0, 1, "k")
+    assert(feed.filter($"_change" =!= "delete").count() === 0)
+    assert(feed.select($"k").as[Long].collect().sorted.toSeq ===
+      (1L to 4000L).filter(_ % 37 == 0))
+    // metadata honesty under DVs: live count exact, min/max refuses
+    val (rows, range) = GraftTable.snapshotKeyStats(spark, rootDv, 1)
+    assert(rows === GraftTable.read(spark, rootDv).count())
+    assert(range.isEmpty)
+    assert(GraftTable.snapshotNullCount(spark, rootDv, 1, "v").isEmpty)
+    assert(GraftTable.hasDeletionVectors(spark, rootDv, 1))
+    assert(!GraftTable.hasDeletionVectors(spark, rootDv, 0))
+  }
+
+  test("DELETION VECTORS compose: a second DV delete accumulates into " +
+    "ONE fresh sidecar; a fully-emptied file drops from the manifest; " +
+    "upsert and OPTIMIZE absorb DVs back to clean files") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(2000), "k", nBuckets = 4)
+    GraftTable.deleteWhereDv(spark, root, $"k" % 10 === 1)
+    GraftTable.deleteWhereDv(spark, root, $"k" % 10 === 2)
+    // both generations masked
+    assert(GraftTable.read(spark, root).count() === 1600)
+    assert(GraftTable.read(spark, root)
+      .filter($"k" % 10 === 1 || $"k" % 10 === 2).count() === 0)
+    // exactly one DV per file, describing BOTH deletes (no chaining)
+    val dvFields = manifestLines(root, 2).map(_.split('\t'))
+    assert(dvFields.forall(f => f.length === 7 && f(6).toLong === 100L))
+    // a delete that empties whole files drops them: kill every k in
+    // the first file's range via a predicate matching all its rows
+    val (v3, _, _) = GraftTable.deleteWhereDv(spark, root, $"k" <= 500)
+    val after = manifestLines(root, v3)
+    assert(after.size < dvFields.size)
+    assert(GraftTable.read(spark, root).count() === 1200)
+    // upsert absorbs the touched file's DV (fresh rewrite, no DV line)
+    val (v4, nRw, _) = GraftTable.upsert(spark, root,
+      Seq((600L, "UPD", -1L)).toDF("k", "name", "v"), "k")
+    val rewritten = manifestLines(root, v4).filter(_.split('\t').length == 5)
+    assert(nRw >= 1 && rewritten.nonEmpty)
+    // OPTIMIZE absorbs every remaining DV; content is checksummed equal
+    def digest(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(conv(substring(md5(concat_ws("|", $"k", $"name", $"v")),
+          1, 8), 16, 10).cast("long"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val before = digest(GraftTable.read(spark, root))
+    val (v5, _, _) = GraftTable.optimize(spark, root, "k", targetRows = 2000)
+    assert(manifestLines(root, v5).forall(_.split('\t').length === 5))
+    assert(digest(GraftTable.read(spark, root)) === before)
+    assert(!GraftTable.hasDeletionVectors(spark, root, v5))
+    // vacuum: superseded DV sidecars die with their history; the
+    // absorbed head needs none
+    GraftTable.vacuum(spark, root, retainVersions = 1)
+    val dataDir = new java.io.File(root, "data")
+    def dvCount(d: java.io.File): Int =
+      if (!d.exists) 0
+      else d.listFiles.map(f =>
+        if (f.isDirectory) dvCount(f)
+        else if (f.getName.endsWith(".dv")) 1 else 0).sum
+    assert(dvCount(dataDir) === 0)
+    assert(digest(GraftTable.read(spark, root)) === before)
+  }
+
+  test("DELETION VECTORS through the SQL/DSv2 surface: format(\"graft\") " +
+    "and catalog SQL mask deleted rows (clean files keep the fast " +
+    "path; DV'd splits filter by generated row index)") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(3000), "k", nBuckets = 3)
+    // DV only SOME files: mixed clean+masked plan
+    GraftTable.deleteWhereDv(spark, root, $"k" <= 700 && $"k" % 3 === 0)
+    val expect = (1L to 3000L).filterNot(k => k <= 700 && k % 3 == 0)
+    val viaDs = spark.read.format("graft").load(root)
+    assert(viaDs.count() === expect.size)
+    assert(viaDs.agg(sum($"v")).as[Long].head === expect.map(_ * 10).sum)
+    // column pruning + filters still correct through the masked path
+    assert(viaDs.filter($"k" <= 700).select($"name").count() ===
+      (1L to 700L).count(_ % 3 != 0))
+    // catalog SQL + VERSION AS OF across the DV commit
+    val cat = "graft_dv_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base",
+      new java.io.File(root).getParent)
+    val t = s"$cat.`${new java.io.File(root).getName}`"
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").as[Long].head ===
+      expect.size)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM $t VERSION AS OF 0").as[Long].head === 3000)
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $t WHERE k <= 700")
+      .as[Long].head ===
+      (1L to 700L).filter(_ % 3 != 0).map(_ * 10).sum)
+  }
+
   private def manifestLines(root: String, v: Int): Seq[String] = {
     val src = scala.io.Source.fromFile(f"$root/_log/v$v%05d.manifest")
     // skip the #commit-ts header: these helpers compare FILE ledgers
