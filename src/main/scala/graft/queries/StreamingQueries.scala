@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 import graft.streaming.Streaming
+import graft.sources.GraftTable
 
 /** Streaming operators promoted into the DuckDB correctness gate.
   *
@@ -1434,6 +1435,95 @@ object StreamingQueries {
            |  CAST(count(*) - 1 AS BIGINT) AS max_offset
            |FROM ev GROUP BY partition ORDER BY partition""".stripMargin))
 
+  /** TABLE STREAMING SOURCE (`readStream.format("graft")` —
+    * snapshot-then-tail, the Delta-source rows view): a downstream
+    * graft table is maintained ENTIRELY by a stream over the upstream
+    * one — batch 0 ships the snapshot, each later micro-batch ships
+    * only the version window's upserted rows into the keyed sink.
+    * The stream is STOPPED mid-history and resumed on the same
+    * checkpoint with `maxVersionsPerTrigger=1`, so the final
+    * replica content equals the relational answer ONLY IF the restart
+    * neither replayed the snapshot nor dropped a window, and the
+    * catch-up drained version-by-version. `n_versions = 4` on both
+    * tables pins genuine incrementality: one downstream commit per
+    * upstream window, never a re-shipped snapshot. At 100 TB this is
+    * the replica-maintenance cost model: steady-state shipping is
+    * proportional to CHANGED ROWS (the CDF diff), the snapshot paid
+    * once. */
+  val q312TableStreamReplica = GraftQuery(
+    "q312_table_stream_replica",
+    (s, dir) => {
+      val srcRoot = newTempDir("graft_tsrc") + "/src"
+      val dstRoot = newTempDir("graft_tdst") + "/dst"
+      val ckpt = newTempDir("graft_ts_ckpt")
+      val cust = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_name").as("name"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, srcRoot, cust, "k", nBuckets = 4)
+      def run(maxV: Option[Int]): Unit = {
+        val r = s.readStream.format("graft").option("path", srcRoot)
+        val q = maxV.fold(r)(n =>
+          r.option("maxVersionsPerTrigger", n.toString)).load()
+          .writeStream.format("graft")
+          .option("path", dstRoot).option("key", "k")
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      run(None) // era 0: snapshot ships
+      // era 1 (stream live logically; same run covers it via restart)
+      GraftTable.upsert(s, srcRoot, cust.filter(col("k") < 100).select(
+        col("k"), lit(null).cast("string").as("name"),
+        lit(-1L).as("cents")), "k")
+      run(None)
+      // eras 2+3 land while the stream is DOWN; capped catch-up
+      GraftTable.upsert(s, srcRoot,
+        s.range(100, 151).select(col("id").as("k"),
+          lit("LATE").as("name"), lit(null).cast("long").as("cents")), "k")
+      GraftTable.upsert(s, srcRoot,
+        s.range(9000, 9010).select(col("id").as("k"),
+          lit("NEW").as("name"), lit(-7L).as("cents")), "k")
+      run(Some(1))
+      val nSrc = GraftTable.latestVersion(s, srcRoot) + 1L
+      val nDst = GraftTable.latestVersion(s, dstRoot) + 1L
+      def agg(stage: String, df: org.apache.spark.sql.DataFrame, nv: Long) =
+        df.groupBy(lit(stage).as("stage"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum("cents").as("cents_sum"),
+            sum(conv(substring(md5(concat_ws("|", col("k").cast("string"),
+              col("name"), col("cents").cast("string"))), 1, 8), 16, 10)
+              .cast("long")).as("row_sum"),
+            lit(nv).as("n_versions"))
+      agg("a_replica_head", GraftTable.read(s, dstRoot), nDst)
+        .unionAll(agg("b_source_head", GraftTable.read(s, srcRoot), nSrc))
+        .orderBy("stage")
+    },
+    Some("""WITH c AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM customer),
+           |fin AS (
+           |  SELECT k,
+           |    CASE WHEN k BETWEEN 100 AND 150 THEN 'LATE'
+           |         ELSE name END AS name,
+           |    CASE WHEN k < 100 THEN CAST(-1 AS BIGINT)
+           |         ELSE cents END AS cents
+           |  FROM c
+           |  UNION ALL
+           |  SELECT 9000 + i, 'NEW', CAST(-7 AS BIGINT)
+           |  FROM range(10) AS t(i)),
+           |stages AS (
+           |  SELECT 'a_replica_head' AS stage, * FROM fin
+           |  UNION ALL SELECT 'b_source_head', * FROM fin)
+           |SELECT stage, count(*) AS n_rows,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |    name || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |    AS BIGINT) AS row_sum,
+           |  CAST(4 AS BIGINT) AS n_versions
+           |FROM stages GROUP BY stage ORDER BY stage""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q152StreamCdcState, q153StreamWindowedAggs, q157StreamClickPurchase,
       q159StreamUserTotals, q160RegistryNearDup, q161StreamSessions,
@@ -1441,5 +1531,6 @@ object StreamingQueries {
       q248StreamTemporalJoin, q253CdfStreamMaintenance, q269StreamingGradient,
       q286RateSourceBackpressure, q294NativeGraftSink, q298BrokerLogSource,
       q299LogToTablePipeline, q300CappedLogStream, q301DistributedLogProduce,
-      q307LogOffsetWindow, q309LogRetention, q310LogToLogPipeline)
+      q307LogOffsetWindow, q309LogRetention, q310LogToLogPipeline,
+      q312TableStreamReplica)
 }

@@ -49,9 +49,35 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * copy-on-write, OCC retry) — see [[GraftSqlTable.newWriteBuilder]].
   */
 class GraftDataSource extends TableProvider with DataSourceRegister
-  with org.apache.spark.sql.sources.StreamSinkProvider {
+  with org.apache.spark.sql.sources.StreamSinkProvider
+  with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft"
+
+  /** STREAMING SOURCE (`spark.readStream.format("graft")`): the
+    * snapshot-then-tail rows view — [[graft.streaming
+    * .GraftTableSource]]. GraftSqlTable deliberately claims no
+    * MICRO_BATCH_READ, so DataStreamReader routes here (the same V1
+    * bridge the sink uses). */
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val spark = sqlContext.sparkSession
+    val root = parameters.getOrElse("path",
+      sys.error("graft streaming source needs .option(\"path\", root)"))
+    val latest = GraftTable.latestVersion(spark, root)
+    require(latest >= 0, s"no graft table at $root")
+    ("graft", GraftTable.tableSchema(spark, root, latest))
+  }
+
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+      metadataPath: String, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+    : org.apache.spark.sql.execution.streaming.Source =
+    new graft.streaming.GraftTableSource(
+      sqlContext.sparkSession
+        .asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      parameters)
 
   override def supportsExternalMetadata(): Boolean = false
 
