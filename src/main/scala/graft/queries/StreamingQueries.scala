@@ -1524,6 +1524,80 @@ object StreamingQueries {
            |  CAST(4 AS BIGINT) AS n_versions
            |FROM stages GROUP BY stage ORDER BY stage""".stripMargin))
 
+  /** BROKER-LOG KEY COMPACTION ([[graft.streaming.GraftLog.compact]]
+    * — Kafka compacted-topic semantics): clicks and views land as two
+    * eras of keyed updates, purchases as the protected newest
+    * segment; compaction below the purchase watermark keeps ONLY each
+    * user's latest pre-purchase record, with offsets PRESERVED (never
+    * renumbered). The oracle replays the greedy per-key rule
+    * relationally, and the OFFSET-WEIGHTED checksum proves the
+    * surviving rows kept their exact original offsets — renumbering
+    * or off-by-one survivors shift the sum. At 100 TB this is what
+    * bounds a CDC topic between retention horizons: replay from
+    * `earliest` costs O(live keys), not O(all history). */
+  val q313LogCompaction = GraftQuery(
+    "q313_log_compaction",
+    (s, dir) => {
+      val topic = newTempDir("graft_compact_gate") + "/events"
+      val ev = Tables.events(s, dir).select(
+        col("event_id").cast("long").as("event_id"),
+        (col("user_id") % 4).cast("int").as("partition"),
+        col("user_id").cast("string").as("key"),
+        col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+        (unix_timestamp(col("ts")) * 1000).cast("long").as("ts"))
+      def produce(eventType: String): Unit = {
+        graft.streaming.GraftLog.append(s, topic,
+          ev.filter(col("event_type") === eventType).select(
+            col("partition"), col("event_id").as("seq"), col("key"),
+            col("cents").cast("string").as("value"), col("ts")))
+        ()
+      }
+      produce("click"); produce("view")
+      val watermark = graft.streaming.GraftLog.endOffsets(s, topic)
+      produce("purchase")
+      graft.streaming.GraftLog.compact(s, topic, watermark)
+      s.read.format("graftlog").load(topic)
+        .select(col("partition"), col("offset"), col("key"),
+          col("value").cast("long").as("cents"))
+        .groupBy("partition")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("key").as("n_keys"),
+          sum("cents").as("cents_sum"),
+          sum(col("offset") * col("cents")).as("offset_weighted"),
+          max("offset").as("max_offset"))
+        .orderBy("partition")
+    },
+    Some("""WITH ev AS (
+           |  SELECT CAST(event_id AS BIGINT) AS event_id,
+           |    CAST(user_id % 4 AS INTEGER) AS partition,
+           |    CAST(user_id AS VARCHAR) AS key,
+           |    CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+           |      ELSE 2 END AS era,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM events
+           |  WHERE event_type IN ('click', 'view', 'purchase')),
+           |ofs AS (
+           |  SELECT *, row_number() OVER (PARTITION BY partition
+           |      ORDER BY era, event_id) - 1 AS pos
+           |  FROM ev),
+           |surv AS (
+           |  SELECT * FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY partition, key
+           |        ORDER BY pos DESC) AS rn
+           |    FROM ofs WHERE era <= 1)
+           |  WHERE rn = 1),
+           |kept AS (
+           |  SELECT partition, key, cents, pos FROM surv
+           |  UNION ALL
+           |  SELECT partition, key, cents, pos FROM ofs WHERE era = 2)
+           |SELECT partition, count(*) AS n_rows,
+           |  CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  CAST(sum(pos * cents) AS BIGINT) AS offset_weighted,
+           |  CAST(max(pos) AS BIGINT) AS max_offset
+           |FROM kept GROUP BY partition ORDER BY partition""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q152StreamCdcState, q153StreamWindowedAggs, q157StreamClickPurchase,
       q159StreamUserTotals, q160RegistryNearDup, q161StreamSessions,
@@ -1532,5 +1606,5 @@ object StreamingQueries {
       q286RateSourceBackpressure, q294NativeGraftSink, q298BrokerLogSource,
       q299LogToTablePipeline, q300CappedLogStream, q301DistributedLogProduce,
       q307LogOffsetWindow, q309LogRetention, q310LogToLogPipeline,
-      q312TableStreamReplica)
+      q312TableStreamReplica, q313LogCompaction)
 }

@@ -92,22 +92,52 @@ object GraftLog {
     else new String(java.util.Base64.getDecoder.decode(s),
       java.nio.charset.StandardCharsets.UTF_8)
 
-  /** Per-partition segment list: (path, startOffset, rowCount),
-    * ascending by startOffset. Pure listing. */
+  /** Per-partition segment list: (path, startOffset, offsetSpan),
+    * ascending by startOffset. Pure listing. Two segment kinds:
+    *
+    *   - DENSE `seg-<start12>-<count8>.log`: count consecutive
+    *     offsets, one per line (`key \t value \t ts`);
+    *   - SPARSE `cseg-<start12>-<span8>.log` (written by [[compact]]):
+    *     covers the offset RANGE [start, start+span) but holds only
+    *     the SURVIVING records, each line carrying its explicit
+    *     offset (`offset \t key \t value \t ts`) — offsets are never
+    *     renumbered by compaction, Kafka's rule.
+    *
+    * SHADOWING: a dense (or older sparse) segment lying ENTIRELY
+    * inside a sparse segment's range is superseded — compaction
+    * publishes the cseg first and deletes the old files after, so a
+    * crash in between leaves both on disk; the listing resolves the
+    * overlap deterministically (the cseg wins) and reads stay exact.
+    * End-offset math is unchanged: max(start + span) over the listing. */
   private[streaming] def segments(f: org.apache.hadoop.fs.FileSystem,
       dir: String, pid: Int): Seq[(String, Long, Long)] = {
     val pDir = new org.apache.hadoop.fs.Path(dir, s"p=$pid")
-    if (!f.exists(pDir)) Seq.empty
-    else f.listStatus(pDir).map(_.getPath)
+    if (!f.exists(pDir)) return Seq.empty
+    val all = f.listStatus(pDir).map(_.getPath)
       .flatMap { p =>
         p.getName match {
           case s if s.matches("seg-\\d{12}-\\d{8}\\.log") =>
             Some((p.toString, s.substring(4, 16).toLong,
               s.substring(17, 25).toLong))
+          case s if s.matches("cseg-\\d{12}-\\d{8}\\.log") =>
+            Some((p.toString, s.substring(5, 17).toLong,
+              s.substring(18, 26).toLong))
           case _ => None
         }
-      }.sortBy(_._2).toSeq
+      }.toSeq
+    val csegs = all.filter(t => isSparse(t._1))
+    all.filter { case (path, start, span) =>
+      // shadowed iff contained in a cseg's range AND either dense or a
+      // strictly narrower cseg (re-compaction: the widest cseg wins)
+      !csegs.exists { case (cp, cs, csp) =>
+        cp != path && cs <= start && start + span <= cs + csp &&
+          (!isSparse(path) || csp > span)
+      }
+    }.sortBy(_._2)
   }
+
+  private[streaming] def isSparse(path: String): Boolean =
+    new org.apache.hadoop.fs.Path(path).getName.startsWith("cseg-")
 
   private[streaming] def partitionIds(f: org.apache.hadoop.fs.FileSystem,
       dir: String): Seq[Int] = {
@@ -137,6 +167,79 @@ object GraftLog {
     }.toMap
   }
 
+  // ---- SPARSE OFFSET INDEX (`.idx` sidecars) ----------------------
+  //
+  // `seg-*.log.idx`: lines `offset \t bytePosition`, every Nth offset
+  // of the owning DENSE segment. A replayed offset window entering a
+  // fat segment mid-way seeks to the nearest indexed position and
+  // walks at most N lines, instead of skipping O(offset − start)
+  // lines. Strictly an optimization: lost/corrupt sidecars degrade to
+  // the plain line skip.
+
+  private[streaming] val IndexEvery = 4096
+
+  /** The (offset, bytePos) to seek to for reading `from` onward, from
+    * the segment's `.idx` sidecar: the LARGEST indexed offset ≤ from.
+    * None = no usable sidecar / nothing below from. */
+  private[streaming] def indexSeek(f: org.apache.hadoop.fs.FileSystem,
+      segPath: String, from: Long): Option[(Long, Long)] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(segPath + ".idx")
+      if (!f.exists(p)) None
+      else {
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          f.open(p), java.nio.charset.StandardCharsets.UTF_8))
+        try {
+          var best: Option[(Long, Long)] = None
+          var line = in.readLine()
+          while (line != null) {
+            val Array(o, b) = line.split('\t')
+            val off = o.toLong
+            if (off <= from && best.forall(_._1 < off))
+              best = Some((off, b.toLong))
+            line = in.readLine()
+          }
+          best
+        } finally in.close()
+      }
+    } catch { case _: Exception => None } // degrade, never fail a read
+
+  /** (Re)build the `.idx` sidecar for a dense segment — the
+    * maintenance form (the produce path writes one inline for big
+    * segments). Atomic replace; readers tolerate both absence and
+    * the transient delete window. */
+  private[streaming] def writeOffsetIndex(f: org.apache.hadoop.fs.FileSystem,
+      segPath: String, every: Int = IndexEvery): Unit = {
+    require(!isSparse(segPath), "sparse segments carry explicit offsets")
+    val name = new org.apache.hadoop.fs.Path(segPath).getName
+    val start = name.substring(4, 16).toLong
+    val in = f.open(new org.apache.hadoop.fs.Path(segPath))
+    val entries = Seq.newBuilder[String]
+    try {
+      val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+        in, java.nio.charset.StandardCharsets.UTF_8))
+      var bytePos = 0L
+      var i = 0L
+      var line = r.readLine()
+      while (line != null) {
+        if (i > 0 && i % every == 0) entries += s"${start + i}\t$bytePos"
+        bytePos += line.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8).length + 1L
+        i += 1
+        line = r.readLine()
+      }
+    } finally in.close()
+    val dest = new org.apache.hadoop.fs.Path(segPath + ".idx")
+    val tmp = new org.apache.hadoop.fs.Path(
+      dest.getParent, s".tmp-${dest.getName}-${java.util.UUID.randomUUID()}")
+    val os = f.create(tmp, false)
+    try os.write(entries.result().mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    f.delete(dest, false)
+    if (!f.rename(tmp, dest)) f.delete(tmp, false): Unit
+  }
+
   /** RETENTION (Kafka's log truncation): delete every segment lying
     * ENTIRELY below its partition's watermark — whole immutable files,
     * no rewrite, so retiring a year of history from a 100 TB topic is
@@ -158,10 +261,147 @@ object GraftLog {
       val segs = segments(f, dir, pid)
       segs.dropRight(1).foreach { case (path, start, count) =>
         if (start + count <= wm) {
-          if (f.delete(new org.apache.hadoop.fs.Path(path), false))
+          if (f.delete(new org.apache.hadoop.fs.Path(path), false)) {
+            f.delete(new org.apache.hadoop.fs.Path(path + ".idx"), false)
             removed += 1
+          }
         }
       }
+    }
+    removed
+  }
+
+  /** KEY COMPACTION (Kafka compacted-topic semantics): rewrite each
+    * partition's history below its watermark keeping only the LATEST
+    * record per key — offsets PRESERVED (never renumbered), the
+    * newest segment always protected (it carries the end offset), so
+    * consumers, checkpoints, and [[truncateBefore]] compose
+    * unchanged. A CDC topic replayed from `earliest` then costs
+    * O(live keys), not O(all history) — unbounded growth between
+    * retention horizons removed.
+    *
+    * Mechanics: the eligible run (contiguous whole segments from the
+    * front, entirely below the watermark, never the newest) is read
+    * as ONE distributed offset-window batch across all partitions,
+    * deduplicated per (partition, key) by max offset (NULL-key
+    * records always survive — Kafka requires keys on compacted
+    * topics; keeping is the safe analogue), and rewritten
+    * executor-side as one SPARSE segment per partition
+    * (`cseg-<start>-<span>.log`, explicit per-line offsets).
+    * Publication order makes crashes safe: the cseg lands first
+    * (create-if-absent rename), the superseded files are deleted
+    * after — in between, the listing's SHADOWING rule ([[segments]])
+    * already serves the cseg and ignores the contained files. Like
+    * Kafka's log cleaner, one compaction per topic at a time (racing
+    * compactions of the same range publish identical content and the
+    * rename dedups them).
+    *
+    * Returns the number of superseded segment files removed. */
+  def compact(spark: SparkSession, dir: String,
+      watermarks: Map[Int, Long]): Int = {
+    import org.apache.spark.sql.expressions.Window
+    val (f, _) = fs(dir, spark)
+    // sweep files a crashed earlier compaction left shadowed
+    var removed = gcShadowed(f, dir)
+    val ranges: Map[Int, (Long, Long)] = watermarks.flatMap {
+      case (pid, wm) =>
+        val segs = segments(f, dir, pid)
+        val eligible = segs.dropRight(1).takeWhile(s => s._2 + s._3 <= wm)
+        // idempotence: a run that is already one sparse segment has
+        // nothing to fold
+        if (eligible.isEmpty ||
+          (eligible.size == 1 && isSparse(eligible.head._1))) None
+        else Some(pid ->
+          (eligible.head._2, eligible.last._2 + eligible.last._3))
+    }
+    if (ranges.isEmpty) return removed
+    def json(m: Map[Int, Long]) = m.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+    val window = spark.read.format("graftlog")
+      .option("startingOffsets", json(ranges.map { case (p, r) => p -> r._1 }))
+      .option("endingOffsets", json(ranges.map { case (p, r) => p -> r._2 }))
+      .load(dir)
+    val w = Window.partitionBy(col("partition"), col("key"))
+      .orderBy(col("offset").desc)
+    val survivors = window.filter(col("key").isNotNull)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .unionByName(window.filter(col("key").isNull))
+    val hconf = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    val rangeB = ranges
+    val dirB = dir
+    // one writer task per partition: the per-partition survivor set
+    // streams through in offset order and lands as one sparse segment
+    survivors
+      .repartition(math.max(1, ranges.size), col("partition"))
+      .sortWithinPartitions("partition", "offset")
+      .foreachPartition {
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+          val c = new org.apache.hadoop.conf.Configuration(false)
+          hconf.foreach { case (k, v) => c.set(k, v) }
+          val fsys = new org.apache.hadoop.fs.Path(dirB).getFileSystem(c)
+          var curPid = Int.MinValue
+          var started = false
+          val buf = new StringBuilder
+          def flush(): Unit = if (started) {
+            val (lo, hi) = rangeB(curPid)
+            val pDir = new org.apache.hadoop.fs.Path(dirB, s"p=$curPid")
+            val dest = new org.apache.hadoop.fs.Path(pDir,
+              f"cseg-$lo%012d-${hi - lo}%08d.log")
+            val tmp = new org.apache.hadoop.fs.Path(pDir,
+              s".tmp-${dest.getName}-${java.util.UUID.randomUUID()}")
+            val os = fsys.create(tmp, false)
+            try os.write(buf.toString.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            finally os.close()
+            // create-if-absent: a racing identical compaction loses
+            // quietly (same range → same content)
+            if (!fsys.rename(tmp, dest)) fsys.delete(tmp, false): Unit
+            buf.clear()
+          }
+          it.foreach { r =>
+            val pid = r.getInt(r.fieldIndex("partition"))
+            if (started && pid != curPid) flush()
+            started = true
+            curPid = pid
+            val k = if (r.isNullAt(r.fieldIndex("key"))) null
+              else r.getString(r.fieldIndex("key"))
+            val v = if (r.isNullAt(r.fieldIndex("value"))) null
+              else r.getString(r.fieldIndex("value"))
+            buf.append(r.getLong(r.fieldIndex("offset"))).append('\t')
+              .append(b64(k)).append('\t').append(b64(v)).append('\t')
+              .append(r.getLong(r.fieldIndex("ts"))).append('\n')
+          }
+          flush()
+      }
+    removed + gcShadowed(f, dir)
+  }
+
+  /** Delete every segment file (and its `.idx`) that the SHADOWING
+    * rule hides — the cleanup half of [[compact]]'s
+    * publish-then-delete, also run up front to reap a crashed
+    * compaction's leftovers. */
+  private def gcShadowed(f: org.apache.hadoop.fs.FileSystem,
+      dir: String): Int = {
+    var removed = 0
+    partitionIds(f, dir).foreach { pid =>
+      val visible = segments(f, dir, pid).map(_._1).toSet
+      val pDir = new org.apache.hadoop.fs.Path(dir, s"p=$pid")
+      f.listStatus(pDir).map(_.getPath)
+        .filter(p => p.getName.matches("c?seg-\\d{12}-\\d{8}\\.log"))
+        .filterNot(p => visible(p.toString))
+        .foreach { p =>
+          if (f.delete(p, false)) {
+            f.delete(new org.apache.hadoop.fs.Path(p.toString + ".idx"),
+              false)
+            removed += 1
+          }
+        }
     }
     removed
   }
@@ -334,7 +574,37 @@ object GraftLog {
               f.delete(tmp, false)
               throw new IllegalStateException(
                 s"graftlog publish rename failed for claimed offset: $dest")
-            } else return (start, lines.length.toLong)
+            } else {
+              // big segments get an inline `.idx` sidecar (byte
+              // positions are already known from the payload) so
+              // replayed offset windows seek instead of line-skip;
+              // best-effort — the sidecar is never load-bearing
+              if (lines.length >= 2 * IndexEvery) {
+                try {
+                  val b = new StringBuilder
+                  var pos = 0L
+                  var i = 0
+                  lines.foreach { l =>
+                    if (i > 0 && i % IndexEvery == 0)
+                      b.append(start + i).append('\t').append(pos)
+                        .append('\n')
+                    pos += l.getBytes(
+                      java.nio.charset.StandardCharsets.UTF_8).length + 1L
+                    i += 1
+                  }
+                  val ip = new org.apache.hadoop.fs.Path(
+                    dest.toString + ".idx")
+                  val itmp = new org.apache.hadoop.fs.Path(pDir,
+                    s".tmp-${ip.getName}-${java.util.UUID.randomUUID()}")
+                  val os2 = f.create(itmp, false)
+                  try os2.write(b.toString.getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8))
+                  finally os2.close()
+                  if (!f.rename(itmp, ip)) f.delete(itmp, false): Unit
+                } catch { case _: Exception => () }
+              }
+              return (start, lines.length.toLong)
+            }
           }
         } finally {
           // release only if still ours (a zombie deleting the taker's
@@ -441,39 +711,78 @@ class GraftLogReaderFactory extends PartitionReaderFactory {
       private val segIter = part.segs.iterator
       private var reader: java.io.BufferedReader = _
       private var segOffset = 0L
+      private var sparse = false
       private var current: InternalRow = _
 
       private def openNext(): Boolean = {
         if (reader != null) { reader.close(); reader = null }
         while (segIter.hasNext) {
           val (path, start, count) = segIter.next()
-          // segment entirely below the slice: skip without opening
+          // segment entirely outside the slice: skip without opening
           if (start + count > part.from && start < part.until) {
             val hp = new org.apache.hadoop.fs.Path(path)
-            val in = hp.getFileSystem(conf).open(hp)
-            reader = new java.io.BufferedReader(new java.io.InputStreamReader(
-              in, java.nio.charset.StandardCharsets.UTF_8))
-            segOffset = start
-            // skip lines below `from` by count — offsets are dense
-            while (segOffset < part.from) { reader.readLine(); segOffset += 1 }
+            val fsys = hp.getFileSystem(conf)
+            val in = fsys.open(hp)
+            sparse = GraftLog.isSparse(path)
+            if (!sparse) {
+              segOffset = start
+              // mid-segment entry: the optional `.idx` sidecar (every
+              // Nth offset → byte position) turns the O(skip) line
+              // walk into one seek + a bounded tail walk; a missing
+              // or unreadable sidecar degrades to the plain skip,
+              // never correctness
+              if (part.from > start) {
+                GraftLog.indexSeek(fsys, path, part.from).foreach {
+                  case (off, bytePos) =>
+                    try { in.seek(bytePos); segOffset = off }
+                    catch { case _: java.io.IOException => in.seek(0L) }
+                }
+              }
+              reader = new java.io.BufferedReader(
+                new java.io.InputStreamReader(
+                  in, java.nio.charset.StandardCharsets.UTF_8))
+              while (segOffset < part.from) {
+                reader.readLine(); segOffset += 1
+              }
+            } else {
+              // sparse (compacted) segment: explicit per-line offsets,
+              // the reader filters to the slice
+              reader = new java.io.BufferedReader(
+                new java.io.InputStreamReader(
+                  in, java.nio.charset.StandardCharsets.UTF_8))
+            }
             return true
           }
         }
         false
       }
 
+      private def row(off: Long, k: String, v: String, ts: String)
+        : InternalRow =
+        InternalRow(part.pid, off,
+          Option(GraftLog.unb64(k)).map(UTF8String.fromString).orNull,
+          Option(GraftLog.unb64(v)).map(UTF8String.fromString).orNull,
+          ts.toLong)
+
       override def next(): Boolean = {
         while (true) {
           if (reader == null && !openNext()) return false
-          if (segOffset >= part.until) { reader.close(); reader = null; return false }
+          if (!sparse && segOffset >= part.until) {
+            reader.close(); reader = null; return false
+          }
           val line = reader.readLine()
           if (line == null) { reader.close(); reader = null }
-          else {
+          else if (sparse) {
+            val Array(o, k, v, ts) = line.split('\t')
+            val off = o.toLong
+            if (off >= part.until) {
+              // lines ascend; later segments start later still — done
+              reader.close(); reader = null; return false
+            }
+            if (off >= part.from) { current = row(off, k, v, ts); return true }
+          } else {
             val Array(k, v, ts) = line.split('\t')
-            current = InternalRow(part.pid, segOffset,
-              Option(GraftLog.unb64(k)).map(UTF8String.fromString).orNull,
-              Option(GraftLog.unb64(v)).map(UTF8String.fromString).orNull,
-              ts.toLong)
+            current = row(segOffset, k, v, ts)
             segOffset += 1
             return true
           }

@@ -218,6 +218,122 @@ class GraftLogSpec extends SparkSpec {
     assert(starts.sorted.toSeq === Seq(0L, 1L))
   }
 
+  test("KEY COMPACTION: latest record per key survives below the " +
+    "watermark, offsets preserved, newest segment protected; batch " +
+    "reads, offset windows, and a checkpointed consumer resume " +
+    "compose across the compaction") {
+    val dir = freshDir()
+    // pid 0: three eras of keyed updates + a protected newest segment
+    GraftLog.append(spark, dir, batch(Seq(
+      (0, 0L, "k1", "a1", 1L), (0, 1L, "k2", "b1", 2L))))
+    GraftLog.append(spark, dir, batch(Seq(
+      (0, 0L, "k1", "a2", 3L), (0, 1L, "k3", "c1", 4L))))
+    GraftLog.append(spark, dir, batch(Seq(
+      (0, 0L, "k2", "b2", 5L), (0, 1L, "k1", "a3", 6L))))
+    GraftLog.append(spark, dir, batch(Seq((0, 0L, "k4", "d1", 7L))))
+    // pid 1: one key updated twice, one never updated
+    GraftLog.append(spark, dir, batch(Seq(
+      (1, 0L, "x", "x1", 1L), (1, 1L, "y", "y1", 2L))))
+    GraftLog.append(spark, dir, batch(Seq((1, 0L, "x", "x2", 3L))))
+    GraftLog.append(spark, dir, batch(Seq((1, 0L, "z", "z1", 4L))))
+    // a consumer drains everything BEFORE compaction (checkpoint at
+    // the head: {0:7, 1:4})
+    val ckpt = Files.createTempDirectory("graft_compact_ckpt").toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, String)]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlog").load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val rows = b.select("partition", "offset", "value").collect()
+              .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+            out.synchronized { out ++= rows }
+            ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    drain()
+    assert(out.size === 11)
+    // COMPACT below the end of each partition's eligible history
+    val removed = GraftLog.compact(spark, dir, Map(0 -> 7L, 1 -> 4L))
+    assert(removed === 5) // 3 dense segs folded on pid 0, 2 on pid 1
+    // whole-log batch read: survivors + protected newest, original
+    // offsets — k1 keeps ONLY a3@5, k2 ONLY b2@4, x ONLY x2@2
+    val got = spark.read.format("graftlog").load(dir)
+      .select("partition", "offset", "key", "value").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq === Seq(
+      (0, 3L, "k3", "c1"), (0, 4L, "k2", "b2"), (0, 5L, "k1", "a3"),
+      (0, 6L, "k4", "d1"),
+      (1, 1L, "y", "y1"), (1, 2L, "x", "x2"), (1, 3L, "z", "z1")))
+    // end offsets unchanged (offsets never renumber)
+    assert(GraftLog.endOffsets(spark, dir) === Map(0 -> 7L, 1 -> 4L))
+    // a mid-compacted-range offset window serves exactly its slice
+    val win = spark.read.format("graftlog")
+      .option("startingOffsets", """{"0":4}""")
+      .option("endingOffsets", """{"0":6}""").load(dir)
+      .select("offset", "key").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(win.toSeq === Seq((4L, "k2"), (5L, "k1")))
+    // the checkpointed consumer resumes ACROSS the compaction: only
+    // NEW records arrive, nothing replays, nothing is lost
+    GraftLog.append(spark, dir, batch(Seq((0, 0L, "k5", "e1", 9L))))
+    out.clear()
+    drain()
+    assert(out.toSeq === Seq((0, 7L, "e1")))
+    // RE-COMPACTION: the new watermark folds the old cseg + later
+    // segments into one WIDER cseg (shadowing resolves mid-crash too)
+    GraftLog.compact(spark, dir, Map(0 -> 8L))
+    val segs0 = GraftLog.segments(
+      new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration), dir, 0)
+    assert(segs0.count(s => GraftLog.isSparse(s._1)) === 1)
+    val got2 = spark.read.format("graftlog").load(dir)
+      .filter($"partition" === 0)
+      .select("offset", "key").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got2.toSeq === Seq((3L, "k3"), (4L, "k2"), (5L, "k1"),
+      (6L, "k4"), (7L, "k5")))
+  }
+
+  test("OFFSET INDEX sidecar: mid-segment reads are identical with " +
+    "and without the .idx (seek + bounded tail walk vs full skip); " +
+    "a corrupt sidecar degrades, never corrupts") {
+    val dir = freshDir()
+    val n = 20000
+    GraftLog.append(spark, dir, batch(
+      (0 until n).map(i => (0, i.toLong, s"k$i", s"v$i", i.toLong))))
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seg = GraftLog.segments(f, dir, 0).head._1
+    // the produce path already wrote an inline sidecar (n ≥ 2×4096)
+    assert(f.exists(new org.apache.hadoop.fs.Path(seg + ".idx")))
+    // indexSeek lands on the largest indexed offset ≤ from
+    val hit = GraftLog.indexSeek(f, seg, 9000L)
+    assert(hit.exists(_._1 === 8192L))
+    assert(GraftLog.indexSeek(f, seg, 100L) === None) // below first entry
+    def readWindow(): Seq[(Long, String)] =
+      spark.read.format("graftlog")
+        .option("startingOffsets", """{"0":8995}""")
+        .option("endingOffsets", """{"0":9005}""").load(dir)
+        .select("offset", "value").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val expect = (8995L until 9005L).map(o => (o, s"v$o"))
+    assert(readWindow() === expect)          // seeked via the sidecar
+    // rebuild at a different stride — same rows
+    GraftLog.writeOffsetIndex(f, seg, every = 1000)
+    assert(GraftLog.indexSeek(f, seg, 9000L).exists(_._1 === 9000L))
+    assert(readWindow() === expect)
+    // corrupt sidecar: reads degrade to the plain line skip
+    val os = f.create(new org.apache.hadoop.fs.Path(seg + ".idx"), true)
+    os.write("garbage\twith\textra\tfields\n".getBytes); os.close()
+    assert(readWindow() === expect)
+    // no sidecar at all: still identical
+    f.delete(new org.apache.hadoop.fs.Path(seg + ".idx"), false)
+    assert(readWindow() === expect)
+  }
+
   test("capped offset split: proportional to lag, deterministic " +
     "remainder, never past the head") {
     import GraftLogOffset.capped
