@@ -304,6 +304,54 @@ object GraftTable {
     }
   }
 
+  /** STALE-STAGING TAKEOVER (the producer-claim staleness rule,
+    * transaction form): a writer blocked by a staged cross-table-txn
+    * manifest whose coordinator has been dead longer than `staleMs`
+    * may ABORT the transaction and proceed — write availability
+    * stops being hostage to a crashed coordinator, without ever
+    * racing a LIVE one (the abort is decided by the same single
+    * atomic marker creation [[GraftTxn.commit]] races for, so a
+    * coordinator that wakes up and commits concurrently either wins
+    * — staging stays — or loses and is told its txn died).
+    *
+    * Staleness is measured from the staged manifest's own durable
+    * `#commit-ts` header; a FRESH staging is never touched. Only
+    * THIS table's staged manifest is deleted here — the transaction's
+    * other tables carry the same tombstoned txn id and their own
+    * blocked writers (or a manual [[GraftTxn.abort]]) reap them with
+    * the same rule, already past the horizon by construction.
+    * Returns true iff a staged manifest was removed. */
+  def reapStaleStaging(spark: SparkSession, root: String,
+      staleMs: Long, nowMillis: Long = System.currentTimeMillis())
+    : Boolean = {
+    val (f, _) = fs(root, spark)
+    val latest = committedVersions(f, root).foldLeft(-1)(math.max)
+    var reaped = false
+    listManifestVersions(f, root).filter(_ > latest).foreach { v =>
+      txnOf(readHead(f, manifestPath(root, v), 512)).foreach {
+        case (id, dir) =>
+          if (!txnCommitted(f, root, id, dir) &&
+            commitInstantOpt(f, root, v)
+              .exists(ts => nowMillis - ts > staleMs)) {
+            val marker = new org.apache.hadoop.fs.Path(dir, s"txn-$id.commit")
+            val mf = marker.getFileSystem(f.getConf)
+            mf.mkdirs(marker.getParent)
+            val aborted =
+              try { writeAtomic(mf, marker, GraftTxn.AbortedVerdict); true }
+              catch {
+                case _: ConcurrentCommitException =>
+                  // lost the race: either an earlier reap's tombstone
+                  // (proceed) or the coordinator's commit (back off)
+                  readFully(mf, marker) == GraftTxn.AbortedVerdict
+              }
+            if (aborted && f.delete(manifestPath(root, v), false))
+              reaped = true
+          }
+      }
+    }
+    reaped
+  }
+
   /** Localize a committed transaction's verdict into this table's own
     * log (idempotent) — called by [[GraftTxn.commit]] right after the
     * coordinator marker lands, and self-healed by [[txnCommitted]]. */
@@ -1381,7 +1429,8 @@ object GraftTable {
     *
     * Returns (newVersion, nFilesRewritten, nFilesCarried). */
   def upsert(spark: SparkSession, root: String, batch: DataFrame,
-      key: String, nBuckets: Int = 8, maxRetries: Int = 2): (Int, Int, Int) = {
+      key: String, nBuckets: Int = 8, maxRetries: Int = 2,
+      staleTxnMs: Long = 600000L): (Int, Int, Int) = {
     var attempt = 0
     while (true) {
       try return upsertOnce(spark, root, batch, key, nBuckets)
@@ -1392,6 +1441,11 @@ object GraftTable {
         // missing key column) and mask the root cause
         case e: ConcurrentCommitException if attempt < maxRetries =>
           attempt += 1 // loser: re-read the new latest and redo
+          // a collision against an ABANDONED cross-table staging is
+          // not a liveness sentence: past the staleness horizon the
+          // blocked writer aborts the dead transaction (atomic
+          // marker race — a live coordinator still wins) and retries
+          if (staleTxnMs > 0) reapStaleStaging(spark, root, staleTxnMs)
         case e: Throwable => throw e
       }
     }
