@@ -2929,6 +2929,296 @@ object MaintenanceQueries {
            |  true AS ok
            |FROM stages GROUP BY stage ORDER BY stage""".stripMargin))
 
+  /** DELETION VECTORS THROUGH PURE SQL DML (round 14 — the surface
+    * users actually hit): `DELETE FROM` and `MERGE INTO` route through
+    * the `graft.dml.mode = auto` policy (dirty-ratio routed
+    * merge-on-read), so a narrow SQL delete commits position sidecars
+    * with the manifest's data-file set UNCHANGED, and a MERGE's
+    * matched-delete/matched-update retire old positions via DVs while
+    * postimages and inserts land in ONE fresh file — zero existing
+    * files rewritten, proved by manifest file-set algebra (`ok`).
+    * Stage `a` reads the head back through SQL, `b` time-travels to
+    * the pre-DML snapshot, `c` reads the post-DELETE version, `d`
+    * reads after OPTIMIZE absorbed every DV (head DV-free, content
+    * identical). Right-to-erasure tables opt OUT with
+    * `graft.dml.mode = cow` (q249 stays physical removal — a DV would
+    * leave erased bytes readable in the data file). */
+  val q314SqlDvDml = GraftQuery(
+    "q314_sql_dv_dml",
+    (s, dir) => {
+      val base = newTempDir("graft_sql_dv_dml")
+      val root = base + "/t"
+      val cat = "graft_dv_" + java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      Tables.part(s, dir).select(
+        col("p_partkey").cast("long").as("k"),
+        col("p_name").as("name"),
+        floor(col("p_retailprice") * 100 + lit(0.5)).cast("long").as("cents"))
+        .createOrReplaceTempView("dvdml_src")
+      s.sql(s"CREATE TABLE $cat.t (k BIGINT, name STRING, cents BIGINT) " +
+        "TBLPROPERTIES ('key' = 'k', 'buckets' = '4')")
+      s.sql(s"INSERT INTO $cat.t SELECT k, name, cents FROM dvdml_src") // v1
+      val files1 = GraftTable.snapshotFileLedger(s, root, 1).map(_._1).toSet
+      // narrow SQL DELETE → pure merge-on-read: data-file set unchanged
+      s.sql(s"DELETE FROM $cat.t WHERE name LIKE '%red%'") // v2
+      val files2 = GraftTable.snapshotFileLedger(s, root, 2).map(_._1).toSet
+      val deleteZeroRewrites = files2 == files1 &&
+        GraftTable.hasDeletionVectors(s, root, 2)
+      // SQL MERGE: matched-delete + matched-update retire old positions
+      // via DVs; the guarded insert lands in one fresh file
+      s.sql(
+        s"""SELECT k AS sk,
+           |  CASE WHEN k % 97 = 0 THEN 'del' ELSE 'upd' END AS act,
+           |  -k AS new_cents
+           |FROM dvdml_src WHERE k % 97 = 0 OR k % 89 = 0
+           |UNION ALL
+           |SELECT k + 1000000, 'ins', k FROM dvdml_src WHERE k % 101 = 0
+           |""".stripMargin).createOrReplaceTempView("dvdml_merge_src")
+      s.sql(
+        s"""MERGE INTO $cat.t a USING dvdml_merge_src s ON a.k = s.sk
+           |WHEN MATCHED AND s.act = 'del' THEN DELETE
+           |WHEN MATCHED AND s.act = 'upd' THEN UPDATE SET cents = s.new_cents
+           |WHEN NOT MATCHED AND s.act = 'ins' THEN
+           |  INSERT (k, name, cents) VALUES (s.sk, 'inserted', s.new_cents)
+           |""".stripMargin) // v3
+      val files3 = GraftTable.snapshotFileLedger(s, root, 3).map(_._1).toSet
+      val mergeZeroRewrites = files2.subsetOf(files3) &&
+        GraftTable.hasDeletionVectors(s, root, 3)
+      val (v4, _, _) = GraftTable.optimize(s, root, "k", targetRows = 8000)
+      val absorbed = !GraftTable.hasDeletionVectors(s, root, v4)
+      def agg(stage: String, df: org.apache.spark.sql.DataFrame,
+          ok: Boolean) =
+        df.groupBy(lit(stage).as("stage"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum("cents").as("cents_sum"),
+            sum(conv(substring(md5(concat_ws("|", col("k").cast("string"),
+              col("name"), col("cents").cast("string"))), 1, 8), 16, 10)
+              .cast("long")).as("row_sum"),
+            lit(ok).as("ok"))
+      agg("a_sql_head", s.sql(s"SELECT k, name, cents FROM $cat.t"),
+          mergeZeroRewrites)
+        .unionAll(agg("b_time_travel",
+          s.sql(s"SELECT k, name, cents FROM $cat.t VERSION AS OF 1"), true))
+        .unionAll(agg("c_post_delete",
+          s.sql(s"SELECT k, name, cents FROM $cat.t VERSION AS OF 2"),
+          deleteZeroRewrites))
+        .unionAll(agg("d_absorbed",
+          GraftTable.read(s, root, Some(v4)), absorbed))
+        .orderBy("stage")
+    },
+    Some("""WITH p AS (
+           |  SELECT CAST(p_partkey AS BIGINT) AS k, p_name AS name,
+           |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM part),
+           |v2 AS (SELECT * FROM p WHERE name NOT LIKE '%red%'),
+           |src AS (
+           |  SELECT k AS sk,
+           |    CASE WHEN k % 97 = 0 THEN 'del' ELSE 'upd' END AS act,
+           |    -k AS new_cents
+           |  FROM p WHERE k % 97 = 0 OR k % 89 = 0
+           |  UNION ALL
+           |  SELECT k + 1000000, 'ins', k FROM p WHERE k % 101 = 0),
+           |v3 AS (
+           |  SELECT t.k, t.name,
+           |    CASE WHEN s.sk IS NOT NULL AND s.act = 'upd'
+           |      THEN s.new_cents ELSE t.cents END AS cents
+           |  FROM v2 t LEFT JOIN src s ON t.k = s.sk
+           |  WHERE s.sk IS NULL OR s.act <> 'del'
+           |  UNION ALL
+           |  SELECT s.sk, 'inserted', s.new_cents
+           |  FROM src s LEFT JOIN v2 t ON t.k = s.sk
+           |  WHERE t.k IS NULL AND s.act = 'ins'),
+           |stages AS (
+           |  SELECT 'a_sql_head' AS stage, * FROM v3
+           |  UNION ALL SELECT 'b_time_travel', * FROM p
+           |  UNION ALL SELECT 'c_post_delete', * FROM v2
+           |  UNION ALL SELECT 'd_absorbed', * FROM v3)
+           |SELECT stage, count(*) AS n_rows,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |    name || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |    AS BIGINT) AS row_sum,
+           |  true AS ok
+           |FROM stages GROUP BY stage ORDER BY stage""".stripMargin))
+
+  /** NDV COLUMN STATISTICS FEEDING THE CBO (round 14): every write
+    * ledgers per-file KMV digests (k = 128 minimum xxhash64 values per
+    * column — O(k) write-side memory, ~2 KB/col/file of metadata);
+    * [[GraftTable.estimateDistinct]] merges them into a snapshot
+    * distinct-count in one `_log` pass, and the DSv2 scan surfaces
+    * them as column statistics. With CBO on, the planner then sizes a
+    * GROUP BY at its output's TRUE cardinality: the gate's aggregate
+    * over `brand` (25 distinct among thousands of rows) is estimated
+    * at 25 rows and the join above it plans a BROADCAST — the `ok`
+    * flag pins `BroadcastHashJoin` in the static plan (AQE off for the
+    * check; at 1000 executors this static decision is the difference
+    * between shipping 25 rows and shuffling the table). `ok` also pins
+    * estimator accuracy: EXACT below k (brand), within KMV error above
+    * it (the key column). The SMJ↔BHJ flip on NDV evidence is pinned
+    * with controlled sizes in GraftSqlSpec. */
+  val q315NdvCbo = GraftQuery(
+    "q315_ndv_cbo",
+    (s, dir) => {
+      val base = newTempDir("graft_ndv_cbo")
+      val root = base + "/p"
+      val cat = "graft_ndv_" + java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      val part = Tables.part(s, dir).select(
+        col("p_partkey").cast("long").as("k"),
+        col("p_brand").as("brand"),
+        floor(col("p_retailprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, root, part, "k", nBuckets = 4)
+      // estimator accuracy against exact distincts
+      val exactBrand = part.select("brand").distinct().count()
+      val exactK = part.select("k").distinct().count()
+      val estBrand = GraftTable.estimateDistinct(s, root, 0, "brand")
+      val estK = GraftTable.estimateDistinct(s, root, 0, "k")
+      val ndvOk = estBrand.contains(exactBrand) && // < k ⇒ EXACT
+        estK.exists(e => math.abs(e - exactK).toDouble / exactK <= 0.30)
+      // plan shape under CBO: the 25-row aggregate broadcasts
+      val cboOld = s.conf.getOption("spark.sql.cbo.enabled")
+      val aqeOld = s.conf.getOption("spark.sql.adaptive.enabled")
+      val thrOld = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      val (rows, planOk) =
+        try {
+          s.conf.set("spark.sql.cbo.enabled", "true")
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+          val df = s.sql(
+            s"""SELECT t.brand, count(*) AS n_rows,
+               |  CAST(sum(t.cents) AS BIGINT) AS cents_sum, max(b.n_brand)
+               |  AS n_brand
+               |FROM $cat.p t
+               |JOIN (SELECT brand, count(*) AS n_brand FROM $cat.p
+               |      GROUP BY brand) b
+               |  ON t.brand = b.brand
+               |GROUP BY t.brand""".stripMargin)
+          (df.collect().toSeq,
+            df.queryExecution.executedPlan.toString
+              .contains("BroadcastHashJoin"))
+        } finally {
+          def restore(k: String, v: Option[String]): Unit =
+            v.fold(s.conf.unset(k))(s.conf.set(k, _))
+          restore("spark.sql.cbo.enabled", cboOld)
+          restore("spark.sql.adaptive.enabled", aqeOld)
+          restore("spark.sql.autoBroadcastJoinThreshold", thrOld)
+        }
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("brand",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_rows",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cents_sum",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_brand",
+            org.apache.spark.sql.types.LongType))))
+        .withColumn("ok", lit(ndvOk && planOk))
+        .orderBy("brand")
+    },
+    Some("""WITH p AS (
+           |  SELECT CAST(p_partkey AS BIGINT) AS k, p_brand AS brand,
+           |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM part)
+           |SELECT brand, count(*) AS n_rows,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  count(*) AS n_brand, true AS ok
+           |FROM p GROUP BY brand ORDER BY brand""".stripMargin))
+
+  /** WRITABLE BRANCHES + FAST-FORWARD PUBLISH (round 14): the
+    * generalization of tags (q272, immutable refs) and WAP (q242, one
+    * staged commit) into the Iceberg branch-audit-publish workflow —
+    * TWO keyed-MERGE commits land on branch `wip`'s own manifest
+    * lineage (data files in the shared dir, zero copies) while main
+    * serves its old snapshot untouched (stage `a` pins main's version
+    * AND content hash mid-branch); an audit guards the publish
+    * (a poisoned expectation refuses, main untouched); then
+    * [[GraftTable.fastForward]] replays the branch VERSION FOR VERSION
+    * onto main — history preserved, each an atomic manifest rename.
+    * Stages: `a` main head before publish (= v0 content), `b` the
+    * branch head read through the branch ref, `c` main after publish
+    * (hash-equals `b`), `d` time travel at published base+1 (=
+    * branch@1 — intermediate branch history is real main history). */
+  val q316BranchPublish = GraftQuery(
+    "q316_branch_publish",
+    (s, dir) => {
+      val root = newTempDir("graft_branch") + "/t"
+      val cust = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_name").as("name"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, root, cust, "k", nBuckets = 4)
+      val base = GraftTable.createBranch(s, root, "wip")
+      // branch commit 1: every 11th customer's cents negated
+      val b1 = cust.filter(col("k") % 11 === 0)
+        .withColumn("cents", -col("cents"))
+      GraftTable.upsertBranch(s, root, "wip", b1, "k")
+      // branch commit 2: synthetic inserts
+      val b2 = cust.filter(col("k") % 13 === 0)
+        .select((col("k") + 1000000).as("k"),
+          lit("branch_insert").as("name"), col("cents"))
+      GraftTable.upsertBranch(s, root, "wip", b2, "k")
+      // main is untouched mid-branch — version AND content
+      val mainStill = GraftTable.latestVersion(s, root) == base
+      // a poisoned audit refuses and main stays put
+      val rejected = GraftTable.fastForward(s, root, "wip",
+        audits = Seq("no_negatives" -> (col("cents") >= 0)))
+      val auditOk = rejected.isLeft &&
+        GraftTable.latestVersion(s, root) == base
+      // the real audit passes → publish, history preserved
+      val Right((vAfter, nPub)) = GraftTable.fastForward(s, root, "wip",
+        audits = Seq("keys_present" -> col("k").isNotNull)) : @unchecked
+      val ffOk = vAfter == base + 2 && nPub == 2 &&
+        GraftTable.latestVersion(s, root) == base + 2
+      def agg(stage: String, df: org.apache.spark.sql.DataFrame,
+          ok: Boolean) =
+        df.groupBy(lit(stage).as("stage"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum("cents").as("cents_sum"),
+            sum(conv(substring(md5(concat_ws("|", col("k").cast("string"),
+              col("name"), col("cents").cast("string"))), 1, 8), 16, 10)
+              .cast("long")).as("row_sum"),
+            lit(ok).as("ok"))
+      agg("a_main_before", GraftTable.read(s, root, Some(base)),
+          mainStill && auditOk)
+        .unionAll(agg("b_branch_head",
+          GraftTable.readBranch(s, root, "wip"), true))
+        .unionAll(agg("c_main_after", GraftTable.read(s, root), ffOk))
+        .unionAll(agg("d_mid_history",
+          GraftTable.read(s, root, Some(base + 1)), true))
+        .orderBy("stage")
+    },
+    Some("""WITH c AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM customer),
+           |v1 AS ( -- branch commit 1: every 11th cents negated
+           |  SELECT k, name,
+           |    CASE WHEN k % 11 = 0 THEN -cents ELSE cents END AS cents
+           |  FROM c),
+           |v2 AS ( -- branch commit 2: synthetic inserts appended
+           |  SELECT * FROM v1
+           |  UNION ALL
+           |  SELECT k + 1000000, 'branch_insert', cents
+           |  FROM c WHERE k % 13 = 0),
+           |stages AS (
+           |  SELECT 'a_main_before' AS stage, * FROM c
+           |  UNION ALL SELECT 'b_branch_head', * FROM v2
+           |  UNION ALL SELECT 'c_main_after', * FROM v2
+           |  UNION ALL SELECT 'd_mid_history', * FROM v1)
+           |SELECT stage, count(*) AS n_rows,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |    name || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |    AS BIGINT) AS row_sum,
+           |  true AS ok
+           |FROM stages GROUP BY stage ORDER BY stage""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
@@ -2941,5 +3231,6 @@ object MaintenanceQueries {
     q291MonthsYearsEvolution, q292TruncatePartition, q293MetadataTables,
     q295SqlMaintenance, q296CheckConstraints, q302OptimizeMergeConcurrency,
     q303ColumnRename, q304ColumnDropReadd, q305MultiTablePublish,
-    q306ShallowClone, q308SqlCtas, q311DeletionVectors)
+    q306ShallowClone, q308SqlCtas, q311DeletionVectors, q314SqlDvDml,
+    q315NdvCbo, q316BranchPublish)
 }

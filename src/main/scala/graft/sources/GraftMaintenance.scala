@@ -42,6 +42,9 @@ class GraftMaintenanceParser(delegate: ParserInterface)
   private val Vacuum =
     ("""(?is)\s*VACUUM\s+([\w.`]+)""" +
       """(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|DAYS|HOURS))?\s*;?\s*""").r
+  private val CompactLog =
+    ("""(?is)\s*COMPACT\s+LOG\s+'([^']+)'""" +
+      """(?:\s+DIRTY\s+RATIO\s+([0-9.]+))?\s*;?\s*""").r
 
   private def parts(ident: String): Seq[String] =
     ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
@@ -64,6 +67,9 @@ class GraftMaintenanceParser(delegate: ParserInterface)
           GraftVacuumCommand(parts(ident), Left(n.toInt))
         case _ => GraftVacuumCommand(parts(ident), Left(3))
       }
+    case CompactLog(dir, ratio) =>
+      GraftCompactLogCommand(dir,
+        Option(ratio).map(_.toDouble).getOrElse(0.5))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -133,6 +139,27 @@ case class GraftOptimizeCommand(parts: Seq[String], targetRows: Long,
           GraftTable.optimize(spark, root, key, targetRows)
         Seq(Row(v.toLong, rewritten, carried))
     }
+  }
+}
+
+/** `COMPACT LOG '<topicDir>' [DIRTY RATIO r]` — key-compact a broker
+  * log topic's partitions whose eligible run is dirtier than `r`
+  * (default 0.5, Kafka's `min.cleanable.dirty.ratio` shape) — the SQL
+  * maintenance verb next to OPTIMIZE/VACUUM that closes the
+  * compacted-topic operational loop. The probe is a pure listing;
+  * under-ratio topics no-op for free. */
+case class GraftCompactLogCommand(dir: String, minDirtyRatio: Double)
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("partitions_compacted", IntegerType,
+      nullable = false)(),
+    AttributeReference("files_removed", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (parts, removed) =
+      graft.streaming.GraftLog.compactIfDirty(spark, dir, minDirtyRatio)
+    Seq(Row(parts, removed))
   }
 }
 

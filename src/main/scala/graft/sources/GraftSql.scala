@@ -211,6 +211,8 @@ class GraftSqlTable(val root: String, val snapshotVersion: Int,
         .foreach(t => m.put("partitioning", t.render))
     GraftTable.constraints(spark, root)
       .foreach { case (n, e) => m.put(s"check.$n", e) }
+    GraftTable.tableProperties(spark, root)
+      .foreach { case (n, v) => m.put(n, v) }
     m
   }
 
@@ -218,12 +220,18 @@ class GraftSqlTable(val root: String, val snapshotVersion: Int,
     new GraftScanBuilder(root, snapshotVersion, schema())
 
   /** `DELETE FROM graft.t WHERE ...`: source filters convert to one
-    * Column predicate and route through [[GraftTable.deleteWhere]] —
-    * the same pruned copy-on-write delete (only files CONTAINING a
-    * match rewrite) the Scala API and the erasure workflow use. A
-    * predicate with any unconvertible conjunct is refused up front
-    * (`canDeleteWhere` false → Spark raises; a partial delete would
-    * silently remove the wrong rows). */
+    * Column predicate and route through [[GraftTable.deleteWhereAuto]]
+    * — the `graft.dml.mode` policy (default `auto`): barely-touched
+    * files commit DELETION-VECTOR sidecars (write cost ∝ deleted rows
+    * — the merge-on-read shape a narrow SQL DELETE against a 100 TB
+    * table needs), files past the dirty-ratio threshold rewrite, fully
+    * dead files drop. Set `graft.dml.mode = cow` for right-to-erasure
+    * tables — physical byte removal is the point there, and a DV would
+    * leave the erased rows readable inside the data file (q249's
+    * workflow documents this exception). A predicate with any
+    * unconvertible conjunct is refused up front (`canDeleteWhere`
+    * false → Spark raises; a partial delete would silently remove the
+    * wrong rows). */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     writable && filters.forall(f => GraftSqlTable.filterColumn(f).isDefined)
 
@@ -237,7 +245,7 @@ class GraftSqlTable(val root: String, val snapshotVersion: Int,
     val pred = filters.flatMap(GraftSqlTable.filterColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    GraftTable.deleteWhere(spark, root, pred, key)
+    GraftTable.deleteWhereAuto(spark, root, pred, key)
     ()
   }
 
@@ -614,6 +622,59 @@ class GraftBatchScan(val root: String, val version: Int,
     (rows, math.max(1L, bytes * math.min(required.fields.length, nAll) / nAll))
   }
 
+  /** Per-column DISTINCT COUNTS from the table's KMV digest sidecars
+    * (restricted to the pruned file set), surfaced through the DSv2
+    * column-statistics map — Spark's `transformV2Stats` turns these
+    * into catalyst attribute stats, so with CBO enabled an aggregate
+    * over a low-NDV column is estimated at NDV rows instead of input
+    * rows and the planner BROADCASTS the join above it (the decision
+    * that matters at 1000 executors: without it, a 25-row group-by
+    * output gets shuffle-joined like a table). Columns without full
+    * digest coverage (pre-NDV history, DV'd files, clones) simply
+    * don't appear — no estimate beats a wrong one. Lazy: computed once
+    * per scan instance, a pure metadata pass. */
+  private lazy val columnStatsMap: java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    val m = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    if (pushedAgg.isEmpty) {
+      val spark = SparkSession.active
+      required.fieldNames.foreach { c =>
+        val ndvOpt = GraftTable.estimateDistinct(
+          spark, root, version, c, keyRange).filter(_ > 0L)
+        // catalyst's hasCountStats demands BOTH distinct and null
+        // counts before group-by estimation trusts a column — serve
+        // the null count from the existing #nulls ledger
+        val nullsOpt = GraftTable.snapshotNullCount(
+          spark, root, version, c, keyRange)
+        (ndvOpt, nullsOpt) match {
+          case (Some(ndv), Some(nulls)) =>
+            // transformV2Stats matches attributes by describe() — a
+            // plain top-level column reference (FieldReference itself
+            // is private[sql])
+            val ref = new org.apache.spark.sql.connector.expressions
+              .NamedReference {
+                override def fieldNames(): Array[String] = Array(c)
+                override def describe(): String = c
+                override def toString: String = c
+              }
+            m.put(ref,
+              new org.apache.spark.sql.connector.read.colstats
+                .ColumnStatistics {
+                  override def distinctCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(ndv)
+                  override def nullCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(nulls)
+                })
+          case _ => () // partial evidence: no estimate beats a wrong one
+        }
+      }
+    }
+    m
+  }
+
   override def estimateStatistics()
     : org.apache.spark.sql.connector.read.Statistics = {
     val (rows, bytes) =
@@ -624,6 +685,10 @@ class GraftBatchScan(val root: String, val version: Int,
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        columnStatsMap
     }
   }
 
@@ -787,11 +852,23 @@ private[sources] case class GraftDvPartition(
   extends org.apache.spark.sql.connector.read.InputPartition
 
 /** Composite reader factory: clean splits flow untouched through
-  * Spark's parquet factory (columnar and all); DV'd splits read
-  * row-based with the generated ROW-INDEX column last, drop rows
-  * whose index the sidecar lists, and project the index column away.
-  * The sidecar loads once per split, executor-side, into a sorted
-  * long array (binary-search membership — a 1M-row DV is 8 MB). */
+  * Spark's parquet factory (columnar and all); DV'd splits read with
+  * the generated ROW-INDEX column last, drop rows whose index the
+  * sidecar lists, and project the index column away. The sidecar
+  * loads once per split, executor-side, into a sorted long array
+  * (binary-search membership — a 1M-row DV is 8 MB).
+  *
+  * COLUMNAR UNDER DVs (round 14): when every projected type is
+  * vector-copyable, DV'd splits serve MASKED `ColumnarBatch`es — a
+  * batch containing no deleted row is re-wrapped over the same column
+  * vectors minus the row-index column (ZERO copy, the overwhelmingly
+  * common case for a sparse DV); a batch with deletions copies only
+  * its survivors into fresh on-heap vectors. The whole scan then
+  * stays columnar (`ColumnarToRow` + whole-stage codegen above it)
+  * with one DV'd file among thousands of clean ones — Delta's
+  * columnar-DV answer. Non-copyable projections (nested types) fall
+  * back to the row path for the whole scan (Spark ANDs per-partition
+  * columnar support), which was round 13's behavior for everything. */
 private[sources] class GraftDvAwareReaderFactory(
     clean: Option[org.apache.spark.sql.connector.read.PartitionReaderFactory],
     dv: org.apache.spark.sql.connector.read.PartitionReaderFactory,
@@ -800,42 +877,131 @@ private[sources] class GraftDvAwareReaderFactory(
 
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
-  // Spark refuses MIXED row/columnar partitions in one scan
-  // (DataSourceRDD asserts uniformity), so a snapshot with any DV
-  // reads row-based throughout — the price of merge-on-read until
-  // OPTIMIZE absorbs the DVs back to the vectorized fast path
-  // (Delta's pre-columnar-DV readers made the same trade)
-  override def supportColumnarReads(p: InputPartition): Boolean = false
+  private def loadDv(d: GraftDvPartition): Array[Long] = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    d.hconf.foreach { case (k, v) => c.set(k, v) }
+    val hp = new org.apache.hadoop.fs.Path(d.dvPath)
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(hp.getFileSystem(c).open(hp),
+        java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var line = in.readLine()
+      while (line != null) {
+        if (line.nonEmpty) buf += line.toLong
+        line = in.readLine()
+      }
+      val a = buf.toArray
+      java.util.Arrays.sort(a)
+      a
+    } finally in.close()
+  }
+
+  /** Types the survivor-copy path can write into a fresh vector. */
+  private val columnarCopyable: Boolean = dataTypes.forall {
+    case BooleanType | ByteType | ShortType | IntegerType | DateType |
+         LongType | TimestampType | TimestampNTZType | FloatType |
+         DoubleType | StringType | BinaryType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    // Spark ANDs per-partition support into one whole-scan decision:
+    // all-capable → fully columnar; any incapable → uniformly row
+    case d: GraftDvPartition =>
+      columnarCopyable && dv.supportColumnarReads(d.inner)
+    case other => clean.exists(_.supportColumnarReads(other))
+  }
+
+  private def copyValue(dt: DataType, from: ColumnVector, row: Int,
+      to: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      o: Int): Unit =
+    if (from.isNullAt(row)) to.putNull(o)
+    else dt match {
+      case BooleanType => to.putBoolean(o, from.getBoolean(row))
+      case ByteType => to.putByte(o, from.getByte(row))
+      case ShortType => to.putShort(o, from.getShort(row))
+      case IntegerType | DateType => to.putInt(o, from.getInt(row))
+      case LongType | TimestampType | TimestampNTZType =>
+        to.putLong(o, from.getLong(row))
+      case FloatType => to.putFloat(o, from.getFloat(row))
+      case DoubleType => to.putDouble(o, from.getDouble(row))
+      case StringType =>
+        val b = from.getUTF8String(row).getBytes
+        to.putByteArray(o, b, 0, b.length): Unit
+      case BinaryType =>
+        val b = from.getBinary(row)
+        to.putByteArray(o, b, 0, b.length): Unit
+      case d: DecimalType =>
+        to.putDecimal(o, from.getDecimal(row, d.precision, d.scale),
+          d.precision)
+      case other => throw new UnsupportedOperationException(
+        s"unreachable: $other is guarded by columnarCopyable")
+    }
 
   override def createColumnarReader(p: InputPartition)
-    : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    clean.get.createColumnarReader(p)
+    : PartitionReader[ColumnarBatch] = p match {
+    case d: GraftDvPartition =>
+      val inner = dv.createColumnarReader(d.inner)
+      new PartitionReader[ColumnarBatch] {
+        private lazy val deleted: Array[Long] = loadDv(d)
+        private var cur: ColumnarBatch = _
+        override def next(): Boolean = {
+          if (!inner.next()) return false
+          val b = inner.get()
+          val n = b.numRows()
+          val idxCol = b.column(dataTypes.length) // trailing row index
+          val keep = new Array[Boolean](n)
+          var kept = 0
+          var i = 0
+          while (i < n) {
+            keep(i) = java.util.Arrays
+              .binarySearch(deleted, idxCol.getLong(i)) < 0
+            if (keep(i)) kept += 1
+            i += 1
+          }
+          val dataCols =
+            Array.tabulate[ColumnVector](dataTypes.length)(b.column)
+          cur =
+            if (kept == n) // no deletion in this batch: ZERO-copy rewrap
+              new ColumnarBatch(dataCols, n)
+            else {
+              val out = dataTypes.map(dt =>
+                new org.apache.spark.sql.execution.vectorized
+                  .OnHeapColumnVector(math.max(1, kept), dt))
+              var o = 0
+              i = 0
+              while (i < n) {
+                if (keep(i)) {
+                  var c = 0
+                  while (c < dataTypes.length) {
+                    copyValue(dataTypes(c), dataCols(c), i, out(c), o)
+                    c += 1
+                  }
+                  o += 1
+                }
+                i += 1
+              }
+              new ColumnarBatch(out.map(v => v: ColumnVector), kept)
+            }
+          true
+        }
+        override def get(): ColumnarBatch = cur
+        override def close(): Unit = inner.close()
+      }
+    case other => clean.get.createColumnarReader(other)
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case d: GraftDvPartition =>
         val inner = dv.createReader(d.inner)
         new PartitionReader[InternalRow] {
-          private lazy val deleted: Array[Long] = {
-            val c = new org.apache.hadoop.conf.Configuration(false)
-            d.hconf.foreach { case (k, v) => c.set(k, v) }
-            val hp = new org.apache.hadoop.fs.Path(d.dvPath)
-            val in = new java.io.BufferedReader(
-              new java.io.InputStreamReader(hp.getFileSystem(c).open(hp),
-                java.nio.charset.StandardCharsets.UTF_8))
-            try {
-              val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-              var line = in.readLine()
-              while (line != null) {
-                if (line.nonEmpty) buf += line.toLong
-                line = in.readLine()
-              }
-              val a = buf.toArray
-              java.util.Arrays.sort(a)
-              a
-            } finally in.close()
-          }
+          private lazy val deleted: Array[Long] = loadDv(d)
           // project the trailing row-index column away — a codegen'd
           // UnsafeProjection over ordinals 0..n-1 (exactly the clean
           // scan's output shape); the result buffer is reused per row,
@@ -1125,10 +1291,17 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
           top(r.fieldNames, "RENAME COLUMN"), r.newName)
       case d: TableChange.DeleteColumn =>
         GraftTable.dropColumn(spark, root, top(d.fieldNames, "DROP COLUMN"))
+      // SET/UNSET TBLPROPERTIES: operational knobs (DML routing,
+      // maintenance policy) — metadata files, never a table version
+      case p: TableChange.SetProperty =>
+        GraftTable.setTableProperty(spark, root, p.property, p.value)
+      case p: TableChange.RemoveProperty =>
+        GraftTable.unsetTableProperty(spark, root, p.property): Unit
       case other => throw new UnsupportedOperationException(
         s"graft ALTER TABLE supports ADD COLUMNS / RENAME COLUMN / " +
-          s"DROP COLUMN (got $other); retype would need per-file read " +
-          "casts the format deliberately does not carry")
+          s"DROP COLUMN / SET-UNSET TBLPROPERTIES (got $other); retype " +
+          "would need per-file read casts the format deliberately does " +
+          "not carry")
     }
     loadTable(ident)
   }

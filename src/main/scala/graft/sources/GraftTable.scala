@@ -323,7 +323,16 @@ object GraftTable {
     * Returns true iff a staged manifest was removed. */
   def reapStaleStaging(spark: SparkSession, root: String,
       staleMs: Long, nowMillis: Long = System.currentTimeMillis())
-    : Boolean = {
+    : Boolean =
+    reapStaleStagingWithHook(spark, root, staleMs, nowMillis, () => ())
+
+  /** [[reapStaleStaging]] with a test seam invoked between the
+    * liveness check and the abort-marker race — the window a SLOW
+    * coordinator's concurrent commit can land in (the spec drives the
+    * race deterministically; production callers use the public verb). */
+  private[sources] def reapStaleStagingWithHook(spark: SparkSession,
+      root: String, staleMs: Long, nowMillis: Long,
+      beforeMarkerRace: () => Unit): Boolean = {
     val (f, _) = fs(root, spark)
     val latest = committedVersions(f, root).foldLeft(-1)(math.max)
     var reaped = false
@@ -333,6 +342,7 @@ object GraftTable {
           if (!txnCommitted(f, root, id, dir) &&
             commitInstantOpt(f, root, v)
               .exists(ts => nowMillis - ts > staleMs)) {
+            beforeMarkerRace()
             val marker = new org.apache.hadoop.fs.Path(dir, s"txn-$id.commit")
             val mf = marker.getFileSystem(f.getConf)
             mf.mkdirs(marker.getParent)
@@ -876,7 +886,7 @@ object GraftTable {
     else math.max(1, math.min(nBuckets, nRewritten + 1))
 
   private final case class Written(entries: Seq[FileEntry],
-      statLines: Seq[String]) {
+      statLines: Seq[String], kmvLines: Seq[String] = Seq.empty) {
     /** Whether this write staged a colstats sidecar at its version. */
     def wroteColStats: Boolean = statLines.nonEmpty
   }
@@ -896,7 +906,8 @@ object GraftTable {
     * [[commitManifest]]'s orphan sweep. */
   private def writeDataFiles(spark: SparkSession, root: String, version: Int,
       df: DataFrame, key: String, nBuckets: Int,
-      zorderBy: Option[org.apache.spark.sql.Column] = None): Written = {
+      zorderBy: Option[org.apache.spark.sql.Column] = None,
+      sidecars: Boolean = true): Written = {
     // attempt-unique dir: a FAILED commit's orphan files can never
     // collide with (or be read by) the retry — they sit unreferenced
     // until vacuum sweeps them
@@ -971,6 +982,22 @@ object GraftTable {
       f.dataType == org.apache.spark.sql.types.ShortType ||
       f.dataType == org.apache.spark.sql.types.ByteType)
       .map(_.name).toSeq
+    // NDV (KMV) digests ride the SAME pass: the k smallest distinct
+    // xxhash64 values per (file, column) — O(k) aggregation memory per
+    // group whatever the file's cardinality (graft.functions.KmvBuffer,
+    // never a collect_set), fixed-width hex so lexicographic order is
+    // numeric order. These feed the CBO's distinct counts
+    // ([[estimateDistinct]] → the DSv2 column-statistics surface).
+    val kmvCols = df.schema.fields.filter(f => f.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType => true
+      case _ => false
+    }).map(_.name).toSeq
     val statRows =
       if (written.isEmpty) Array.empty[org.apache.spark.sql.Row]
       else {
@@ -985,7 +1012,10 @@ object GraftTable {
             val p = expr(ex)
             // false OR NULL counts as a violation, the SQL CHECK rule
             sum(when(p.isNull || !p, 1L).otherwise(0L)).as(s"__ck_$name")
-          }
+          } ++
+          kmvCols.map(c => graft.functions.Kmv.kmvDigests(
+            when(col(c).isNotNull,
+              lpad(hex(xxhash64(col(c))), 16, "0")), KmvK).as(s"__kmv_$c"))
         written.groupBy(input_file_name().as("file"))
           .agg(aggExprs.head, aggExprs.tail: _*)
           .collect()
@@ -1051,12 +1081,30 @@ object GraftTable {
           }.toSeq
       case _ => Seq.empty[String]
     }
+    val kmvLines = statRows.flatMap { r =>
+      val relP = s"$rel/${new org.apache.hadoop.fs.Path(
+        new java.net.URI(r.getString(0)).getPath).getName}"
+      kmvCols.zipWithIndex.map { case (c, j) =>
+        val idx = 4 + dataCols.size + intCols.size + constraintList.size + j
+        val ds = r.getSeq[String](idx)
+        // an all-NULL file's digest list is empty: the line still
+        // lands (0 distinct is information; a MISSING line means
+        // unknown and makes the estimator refuse)
+        s"$relP\t#kmv.${physOf(c)}\t${ds.mkString(",")}"
+      }
+    }.toSeq.sorted
     val statLines = (pLines ++ nullLines).sorted
-    if (statLines.nonEmpty) {
+    // sidecars = false: a BRANCH commit — its stat/digest lines live in
+    // the branch's own log until fast-forward re-pins them on main
+    if (sidecars && statLines.nonEmpty) {
       val (f, _) = fs(root, spark)
       writeColStatsAt(f, root, version, statLines)
     }
-    Written(entries, statLines)
+    if (sidecars && kmvLines.nonEmpty) {
+      val (f, _) = fs(root, spark)
+      writeKmvAt(f, root, version, kmvLines)
+    }
+    Written(entries, statLines, kmvLines)
   }
 
   /** Stage a colstats sidecar at `version` (replacing an orphan from a
@@ -1070,6 +1118,98 @@ object GraftTable {
     if (f.exists(statsP) && !f.exists(manifestPath(root, version)))
       f.delete(statsP, false) // orphan from a failed prior attempt
     writeAtomic(f, statsP, statLines.mkString("", "\n", "\n"))
+  }
+
+  /** KMV sketch size: 128 minimum hashes per (file, column). Standard
+    * error ≈ 1/√k ≈ 9% — join-sizing grade, and a column with < 128
+    * distinct values is counted EXACTLY (the sketch IS its distinct
+    * hash set). ~2 KB per column per file in the sidecar. */
+  private[sources] val KmvK = 128
+
+  private def kmvPath(root: String, v: Int) =
+    new org.apache.hadoop.fs.Path(root, f"_log/kmv-v$v%05d.tsv")
+
+  /** Stage the NDV digest sidecar at `version` (`_log/kmv-v{N}.tsv`,
+    * lines `rel \t #kmv.<physCol> \t h1,h2,…`). Same orphan rule as
+    * colstats. Digests are ADVISORY (CBO input, never correctness):
+    * they are not checkpointed, so [[vacuum]] ages them out with their
+    * sidecars and estimates refuse afterwards rather than lie. */
+  private def writeKmvAt(f: org.apache.hadoop.fs.FileSystem,
+      root: String, version: Int, lines: Seq[String]): Unit = {
+    val p = kmvPath(root, version)
+    if (f.exists(p) && !f.exists(manifestPath(root, version)))
+      f.delete(p, false) // orphan from a failed prior attempt
+    writeAtomic(f, p, lines.mkString("", "\n", "\n"))
+  }
+
+  /** Digest lines for `rels`, (rel, statKey) → ascending hex digests —
+    * the [[loadColStats]] resolution rule over `kmv-v*.tsv` sidecars
+    * (files are immutable, so a digest is valid wherever recorded). */
+  private def loadKmvDigests(spark: SparkSession, root: String,
+      version: Int, rels: Set[String]): Map[(String, String), Seq[String]] = {
+    val (f, _) = fs(root, spark)
+    val log = new org.apache.hadoop.fs.Path(root, "_log")
+    if (!f.exists(log)) return Map.empty
+    val vs = f.listStatus(log).map(_.getPath.getName)
+      .collect { case s if s.matches("kmv-v\\d{5}\\.tsv") =>
+        s.substring(5, 10).toInt }.toSeq.filter(_ <= version)
+    vs.flatMap { v =>
+      readFully(f, kmvPath(root, v)).linesIterator
+        .filter(_.nonEmpty).flatMap { line =>
+          line.split('\t') match {
+            case Array(rel, c, ds) if rels(rel) =>
+              Some((rel, c) -> ds.split(',').filter(_.nonEmpty).toSeq)
+            case Array(rel, c) if rels(rel) => // all-NULL file: 0 distinct
+              Some((rel, c) -> Seq.empty[String])
+            case _ => None
+          }
+        }.toSeq
+    }.toMap
+  }
+
+  /** APPROXIMATE DISTINCT COUNT of `column` over `version`'s live
+    * files (optionally restricted to a key range) — a pure METADATA
+    * pass: per-file KMV digests union into one k-minimum sketch
+    * (truncated-sketch union is itself a valid KMV of the union), so
+    * the estimate costs one `_log` listing however large the table.
+    * Exact when the union holds fewer than k distinct hashes.
+    *
+    * Returns None — no estimate, never a wrong one — when any covered
+    * file lacks a digest line (pre-round-14 history, vacuumed
+    * sidecars, shallow clones) or carries a deletion vector (digests
+    * describe PHYSICAL file content; the live subset's NDV is lower).
+    * This is the CBO analogue of the metadata-aggregate refuse rule. */
+  def estimateDistinct(spark: SparkSession, root: String, version: Int,
+      column: String, keyRange: Option[(Long, Long)] = None): Option[Long] = {
+    val all = loadManifest(spark, root, version)
+    val entries = keyRange match {
+      case Some((lo, hi)) => all.filter(e => e.maxKey >= lo && e.minKey <= hi)
+      case None => all
+    }
+    if (entries.isEmpty) return Some(0L)
+    if (entries.exists(_.hasDv)) return None
+    val phys = physMap(tableSchema(spark, root, version))
+      .getOrElse(column, column)
+    val digests = loadKmvDigests(spark, root, version,
+      entries.map(_.relPath).toSet)
+    val merged = new java.util.TreeSet[String]()
+    entries.foreach { e =>
+      digests.get((e.relPath, s"#kmv.$phys")) match {
+        case None => return None // uncovered file: refuse, don't lie
+        case Some(ds) => ds.foreach { d =>
+          merged.add(d)
+          if (merged.size > KmvK) { merged.pollLast(); () }
+        }
+      }
+    }
+    if (merged.size < KmvK) Some(merged.size.toLong)
+    else {
+      // (k−1)/frac(h_k), frac from the k-th digest's first 48 bits —
+      // the Kmv.kmvEstimate formula, driver-side
+      val frac = java.lang.Long.parseLong(merged.last.take(12), 16)
+        .toDouble / math.pow(2.0, 48)
+      Some(math.max(KmvK.toLong, math.round((KmvK - 1).toDouble / frac)))
+    }
   }
 
   /** Write one `<dataFile>.bloom` sidecar per data file in `dir`: a
@@ -1372,8 +1512,12 @@ object GraftTable {
     * survivor) refuses (None): the caller falls back to the data
     * scan — metadata answers are exact or not given. */
   def snapshotNullCount(spark: SparkSession, root: String, version: Int,
-      column: String): Option[Long] = {
-    val entries = loadManifest(spark, root, version)
+      column: String, keyRange: Option[(Long, Long)] = None): Option[Long] = {
+    val all = loadManifest(spark, root, version)
+    val entries = keyRange match {
+      case Some((lo, hi)) => all.filter(e => e.maxKey >= lo && e.minKey <= hi)
+      case None => all
+    }
     if (entries.isEmpty) return Some(0L)
     // per-file null ledgers describe PHYSICAL content; a DV may have
     // masked null or non-null rows — refuse, callers scan
@@ -1550,6 +1694,15 @@ object GraftTable {
         col("k") >= col("mn") && col("k") <= col("mx"))
       .select("rel_path").distinct().collect().map(_.getString(0)).toSet
     val (rewrite, carry) = entries.partition(e => hit(e.relPath))
+    // policy routing (`graft.dml.mode`, see [[dmlMode]]): `dv` / `auto`
+    // take the merge-on-read path — deletes and update PREIMAGES become
+    // position sidecars, postimages and inserts land in fresh files,
+    // zero barely-touched data files rewritten
+    val (mode, maxDirty) = dmlMode(spark, root)
+    if (mode != "cow")
+      return applyCdcBatchMoR(spark, root, batch, key, opCol, nBuckets,
+        schema, rewrite, carry, base,
+        if (mode == "dv") 1.0 else maxDirty)
     val current = readEntries(spark, root, schema, rewrite)
     val cols = schema.fieldNames
     // 'upsert' merges column-wise (NULL batch cell keeps the target's
@@ -1575,6 +1728,104 @@ object GraftTable {
     commitManifest(f, root, v, carry ++ w.entries,
       wroteColStats = w.wroteColStats)
     (v, rewrite.size, carry.size)
+  }
+
+  /** MERGE-ON-READ CDC apply (the `dv`/`auto` half of
+    * [[applyCdcBatchOnce]]): matched rows retire their OLD POSITION
+    * via a deletion-vector sidecar (delete and update alike — an
+    * update is delete + insert, the Iceberg MoR shape); postimages,
+    * column-wise upsert merges, and plain inserts land in FRESH data
+    * files. Per-file dirty-ratio classification as in
+    * [[deleteWhereHybrid]]: a file past `maxDirty` rewrites outright
+    * (its survivors flow into the fresh files too), a fully-dead file
+    * drops. ONE commit; at 100 TB a k-row MERGE writes O(k) positions
+    * + O(k) fresh rows, never the touched files' bytes. */
+  private def applyCdcBatchMoR(spark: SparkSession, root: String,
+      batch: DataFrame, key: String, opCol: String, nBuckets: Int,
+      schema: StructType, hit: Seq[FileEntry], carry: Seq[FileEntry],
+      base: Int, maxDirty: Double): (Int, Int, Int) = {
+    val v = base + 1
+    val (f, _) = fs(root, spark)
+    def nameOf(e: FileEntry) =
+      new org.apache.hadoop.fs.Path(e.relPath).getName
+    val cols = schema.fieldNames
+    val tMark = "__graft_t"; val bMark = "__graft_b"
+    val old = readMaskedWithName(spark, root, schema, hit)
+      .withColumn(tMark, lit(true)).as("t")
+    val b = batch.withColumn(bMark, lit(true)).as("b")
+    // ONE evaluation feeds the counts, the sidecars, AND the written
+    // rows — a nondeterministic source can't diverge between them
+    val j = old.join(b, col(s"t.$key") === col(s"b.$key"), "full_outer")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val matched = col(tMark).isNotNull && col(bMark).isNotNull
+      // distinct positions: the ledger's dvRows must equal the
+      // sidecar's line count even if a batch carries a duplicate key
+      val touched = j.filter(matched).groupBy(col(DvNameCol))
+        .agg(countDistinct(col(DvPosCol)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val (hitTouched, hitClean) =
+        hit.partition(e => touched.contains(nameOf(e)))
+      // fully-dead files (every live row retired) drop from the
+      // manifest — neither a rewrite nor a sidecar
+      val alive = hitTouched.filter(e =>
+        touched(nameOf(e)) + e.dvRows < e.nRows)
+      val (cow, dv) = alive.partition(e =>
+        (touched(nameOf(e)) + e.dvRows).toDouble / e.nRows > maxDirty)
+      val cowNames = cow.map(nameOf)
+      val inCow =
+        if (cowNames.isEmpty) lit(false)
+        else col(DvNameCol).isin(cowNames: _*)
+      val bPresent = col(bMark).isNotNull
+      val tOnly = col(tMark).isNotNull && col(bMark).isNull
+      val rep = col(s"b.$opCol") === "replace"
+      val valueCols = cols.map(c =>
+        when(bPresent, when(rep, col(s"b.$c"))
+          .otherwise(coalesce(col(s"b.$c"), col(s"t.$c"))))
+          .otherwise(col(s"t.$c")).as(c))
+      // fresh files: every post-action row (never deletes) plus the
+      // untouched survivors of files being rewritten outright. The
+      // trailing anti-join keeps the CoW path's tie rule: a key both
+      // upserted AND deleted in one batch DELETES (its position is
+      // retired above; its postimage must not land)
+      val delKeys = batch.filter(col(opCol) === "delete")
+        .select(col(key).cast("long").as("__graft_delkey")).distinct()
+      val writeRows = j.filter(
+        (bPresent && col(s"b.$opCol") =!= "delete") || (tOnly && inCow))
+        .select(valueCols.toSeq: _*)
+        .join(delKeys, col(key).cast("long") === col("__graft_delkey"),
+          "left_anti")
+      // bucket the fresh files by how many files' CONTENT is being
+      // re-laid (rewrites + fully-dead replacements) — a narrow MERGE
+      // lands one small file, a wholesale replace keeps the layout
+      val nRetired = cow.size + (hitTouched.size - alive.size)
+      val w =
+        if (writeRows.limit(1).count() == 0) Written(Seq.empty, Seq.empty)
+        else writeDataFiles(spark, root, v, writeRows, key,
+          writeBuckets(spark, root, base, nBuckets, nRetired))
+      val dvUpdated: Seq[FileEntry] =
+        if (dv.isEmpty) Seq.empty
+        else {
+          val dvNames = dv.map(nameOf)
+          val pos0 = j.filter(matched && col(DvNameCol).isin(dvNames: _*))
+            .select(col(DvNameCol), col(DvPosCol)).distinct()
+          val priorDvd = dv.filter(_.hasDv)
+          val allPos =
+            if (priorDvd.isEmpty) pos0
+            else pos0.unionByName(
+              dvPositions(spark, root, priorDvd, forJoin = false)
+                .select(col(DvNameCol), col(DvPosCol)))
+          val dvRel = f"data/dv-v$v%05d-" +
+            java.util.UUID.randomUUID().toString.take(8)
+          writeDvSidecars(spark, s"$root/$dvRel", allPos)
+          dv.map(e => e.copy(dvPath = s"$dvRel/${nameOf(e)}.dv",
+            dvRows = e.dvRows + touched(nameOf(e))))
+        }
+      commitManifest(f, root, v,
+        carry ++ hitClean ++ dvUpdated ++ w.entries,
+        wroteColStats = w.wroteColStats)
+      (v, cow.size, carry.size + hitClean.size + dv.size)
+    } finally j.unpersist()
   }
 
   /** WRITE-AUDIT-PUBLISH upsert: stage the commit's data files, audit
@@ -1707,44 +1958,142 @@ object GraftTable {
     // re-delete) matching the predicate, as (fileName, position) —
     // FALSE-or-NULL rows survive, the SQL DELETE rule
     val masked = readMaskedWithName(spark, root, schema, entries)
+    // persist: ONE evaluation must feed both the per-file counts and
+    // the sidecar contents — with a nondeterministic predicate (e.g.
+    // rand()-sampled erasure) two runs could diverge, committing
+    // manifest dvRows that disagree with the sidecars' actual
+    // positions, which would corrupt the metadata-exact count(*)
+    // (liveRows) pushdown
     val newDel = masked.filter(predicate)
       .select(col(DvNameCol), col(DvPosCol))
-    // per-file deletion counts: metadata-sized (≤ one row per file)
-    val newCounts = newDel.groupBy(DvNameCol).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (newCounts.isEmpty) { // nothing matched: metadata-only commit
-      commitManifest(f, root, v, entries)
-      return (v, 0, entries.size)
-    }
-    val hitEntries = entries.filter(e =>
-      newCounts.contains(new org.apache.hadoop.fs.Path(e.relPath).getName))
-    // fresh DV = new positions ∪ the hit files' EXISTING DV positions
-    // (a sidecar fully describes its file's deletions — readers never
-    // chain DVs)
-    val priorDvd = hitEntries.filter(_.hasDv)
-    val allPos =
-      if (priorDvd.isEmpty) newDel
-      else newDel.unionByName(
-        dvPositions(spark, root, priorDvd, forJoin = false)
-          .select(col(DvNameCol), col(DvPosCol)))
-    val dvRel = f"data/dv-v$v%05d-" +
-      java.util.UUID.randomUUID().toString.take(8)
-    writeDvSidecars(spark, s"$root/$dvRel", allPos)
-    val totals = hitEntries.map { e =>
-      val name = new org.apache.hadoop.fs.Path(e.relPath).getName
-      name -> (newCounts(name) + e.dvRows)
-    }.toMap
-    val updated = entries.flatMap { e =>
-      val name = new org.apache.hadoop.fs.Path(e.relPath).getName
-      totals.get(name) match {
-        case None => Some(e)
-        case Some(total) if total >= e.nRows => None // fully dead file
-        case Some(total) =>
-          Some(e.copy(dvPath = s"$dvRel/$name.dv", dvRows = total))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per-file deletion counts: metadata-sized (≤ one row per file)
+      val newCounts = newDel.groupBy(DvNameCol).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (newCounts.isEmpty) { // nothing matched: metadata-only commit
+        commitManifest(f, root, v, entries)
+        return (v, 0, entries.size)
       }
+      val hitEntries = entries.filter(e =>
+        newCounts.contains(new org.apache.hadoop.fs.Path(e.relPath).getName))
+      // fresh DV = new positions ∪ the hit files' EXISTING DV positions
+      // (a sidecar fully describes its file's deletions — readers never
+      // chain DVs)
+      val priorDvd = hitEntries.filter(_.hasDv)
+      val allPos =
+        if (priorDvd.isEmpty) newDel
+        else newDel.unionByName(
+          dvPositions(spark, root, priorDvd, forJoin = false)
+            .select(col(DvNameCol), col(DvPosCol)))
+      val dvRel = f"data/dv-v$v%05d-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      writeDvSidecars(spark, s"$root/$dvRel", allPos)
+      val totals = hitEntries.map { e =>
+        val name = new org.apache.hadoop.fs.Path(e.relPath).getName
+        name -> (newCounts(name) + e.dvRows)
+      }.toMap
+      val updated = entries.flatMap { e =>
+        val name = new org.apache.hadoop.fs.Path(e.relPath).getName
+        totals.get(name) match {
+          case None => Some(e)
+          case Some(total) if total >= e.nRows => None // fully dead file
+          case Some(total) =>
+            Some(e.copy(dvPath = s"$dvRel/$name.dv", dvRows = total))
+        }
+      }
+      commitManifest(f, root, v, updated)
+      (v, hitEntries.size, entries.size - hitEntries.size)
+    } finally newDel.unpersist()
+  }
+
+  /** POLICY-ROUTED delete — what SQL `DELETE FROM` actually hits
+    * (`graft.dml.mode` table property; see [[dmlMode]]): `cow` →
+    * [[deleteWhere]] (physical removal — the right-to-erasure mode,
+    * q249's contract); `dv` → [[deleteWhereDv]] (zero rewrites
+    * always); `auto` (default) → per-file dirty-ratio hybrid in ONE
+    * commit — barely-touched files take position sidecars (write cost
+    * ∝ deleted rows), files past `graft.dml.maxDirtyRatio` rewrite
+    * outright, fully-dead files drop from the manifest. Returns
+    * (newVersion, nFilesDvd, nFilesRewritten, nFilesCarried). */
+  def deleteWhereAuto(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column, key: String)
+    : (Int, Int, Int, Int) =
+    dmlMode(spark, root) match {
+      case ("cow", _) =>
+        val (v, rw, ca) = deleteWhere(spark, root, predicate, key)
+        (v, 0, rw, ca)
+      case ("dv", _) =>
+        val (v, dvd, ca) = deleteWhereDv(spark, root, predicate)
+        (v, dvd, 0, ca)
+      case (_, maxDirty) =>
+        deleteWhereHybrid(spark, root, predicate, key, maxDirty)
     }
-    commitManifest(f, root, v, updated)
-    (v, hitEntries.size, entries.size - hitEntries.size)
+
+  private def deleteWhereHybrid(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column, key: String,
+      maxDirty: Double): (Int, Int, Int, Int) = {
+    val base = latestVersion(spark, root)
+    val entries = loadManifest(spark, root, base)
+    val schema = tableSchema(spark, root, base)
+    val v = base + 1
+    val (f, _) = fs(root, spark)
+    if (entries.isEmpty) {
+      commitManifest(f, root, v, entries)
+      return (v, 0, 0, 0)
+    }
+    def nameOf(e: FileEntry) =
+      new org.apache.hadoop.fs.Path(e.relPath).getName
+    // ONE evaluation of the predicate feeds the counts, the sidecars,
+    // AND the rewrite survivors (anti-join below) — the
+    // nondeterministic-predicate consistency rule of [[deleteWhereDv]]
+    val newDel = readMaskedWithName(spark, root, schema, entries)
+      .filter(predicate)
+      .select(col(DvNameCol), col(DvPosCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val newCounts = newDel.groupBy(DvNameCol).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (newCounts.isEmpty) { // nothing matched: metadata-only commit
+        commitManifest(f, root, v, entries)
+        return (v, 0, 0, entries.size)
+      }
+      val (hit, carried) =
+        entries.partition(e => newCounts.contains(nameOf(e)))
+      // classify per file: drop the fully dead, rewrite the mostly
+      // dead, DV the barely touched
+      val (dead, alive) = hit.partition(e =>
+        newCounts(nameOf(e)) + e.dvRows >= e.nRows)
+      val (cow, dv) = alive.partition(e =>
+        (newCounts(nameOf(e)) + e.dvRows).toDouble / e.nRows > maxDirty)
+      val dvUpdated: Seq[FileEntry] =
+        if (dv.isEmpty) Seq.empty
+        else {
+          val dvNames = dv.map(nameOf)
+          val pos0 = newDel.filter(col(DvNameCol).isin(dvNames: _*))
+          val priorDvd = dv.filter(_.hasDv)
+          val allPos =
+            if (priorDvd.isEmpty) pos0
+            else pos0.unionByName(
+              dvPositions(spark, root, priorDvd, forJoin = false)
+                .select(col(DvNameCol), col(DvPosCol)))
+          val dvRel = f"data/dv-v$v%05d-" +
+            java.util.UUID.randomUUID().toString.take(8)
+          writeDvSidecars(spark, s"$root/$dvRel", allPos)
+          dv.map(e => e.copy(dvPath = s"$dvRel/${nameOf(e)}.dv",
+            dvRows = e.dvRows + newCounts(nameOf(e))))
+        }
+      val w =
+        if (cow.isEmpty) Written(Seq.empty, Seq.empty)
+        else writeDataFiles(spark, root, v,
+          readMaskedWithName(spark, root, schema, cow)
+            .join(newDel, Seq(DvNameCol, DvPosCol), "left_anti")
+            .drop(DvNameCol, DvPosCol),
+          key, math.max(1, cow.size))
+      commitManifest(f, root, v, carried ++ dvUpdated ++ w.entries,
+        wroteColStats = w.wroteColStats)
+      (v, dv.size, cow.size, carried.size)
+    } finally newDel.unpersist()
   }
 
   /** Write one `<dataFileName>.dv` sidecar per distinct file in
@@ -1925,6 +2274,8 @@ object GraftTable {
         // that version — their orphan sweep or their own sidecar)
         if (cv != v && w.statLines.nonEmpty)
           writeColStatsAt(f, root, cv, w.statLines)
+        if (cv != v && w.kmvLines.nonEmpty)
+          writeKmvAt(f, root, cv, w.kmvLines)
         commitManifest(f, root, cv, carryNow ++ w.entries,
           wroteColStats = w.wroteColStats)
         return (cv, rewrite.size, carryNow.size)
@@ -2058,6 +2409,68 @@ object GraftTable {
       }.toMap
   }
 
+  // ---- TABLE PROPERTIES -------------------------------------------
+
+  /** Set a table property (`_log/prop-<name>.json`) — operational
+    * knobs (DML routing, maintenance policy), NOT versioned data:
+    * last writer wins, snapshots don't capture them, and readers never
+    * depend on one for correctness (same storage shape as CHECK
+    * constraints — one complete file per property, atomic replace). */
+  def setTableProperty(spark: SparkSession, root: String, name: String,
+      value: String): Unit = {
+    require(name.matches("[A-Za-z][A-Za-z0-9._-]*"),
+      s"property name must match [A-Za-z][A-Za-z0-9._-]*, got '$name'")
+    val (f, _) = fs(root, spark)
+    val p = new org.apache.hadoop.fs.Path(root, s"_log/prop-$name.json")
+    f.delete(p, false)
+    writeAtomic(f, p, value)
+  }
+
+  /** Remove a table property (no-op if absent). */
+  def unsetTableProperty(spark: SparkSession, root: String,
+      name: String): Boolean = {
+    val (f, _) = fs(root, spark)
+    f.delete(new org.apache.hadoop.fs.Path(root, s"_log/prop-$name.json"),
+      false)
+  }
+
+  /** All declared table properties, name → value (one `_log` listing). */
+  def tableProperties(spark: SparkSession, root: String): Map[String, String] = {
+    val (f, _) = fs(root, spark)
+    val log = new org.apache.hadoop.fs.Path(root, "_log")
+    if (!f.exists(log)) Map.empty
+    else f.listStatus(log).map(_.getPath.getName)
+      .collect { case s if s.startsWith("prop-") && s.endsWith(".json") =>
+        s.stripPrefix("prop-").stripSuffix(".json") ->
+          readFully(f, new org.apache.hadoop.fs.Path(log, s)).trim
+      }.toMap
+  }
+
+  /** DML routing knobs: `graft.dml.mode` ∈ `cow` | `dv` | `auto`
+    * (default `auto`) and `graft.dml.maxDirtyRatio` ∈ [0,1] (default
+    * 0.5) — the deletion-vector policy SQL `DELETE FROM` / `MERGE` /
+    * `UPDATE` route through. `auto` decides PER FILE by dirty ratio
+    * ((newly deleted + already-DV'd rows) / physical rows): a file
+    * losing few rows gets a position sidecar (write cost ∝ deleted
+    * rows — the 100 TB shape); a file losing more than the ratio
+    * rewrites outright (a mostly-dead file's DV would just defer an
+    * inevitable rewrite and tax every read's anti-join); a fully-dead
+    * file simply drops from the manifest. `cow` forces today's
+    * copy-on-write everywhere — REQUIRED for right-to-erasure
+    * workflows (q249), where physically removing the bytes is the
+    * point and a DV would leave them readable in the data file. */
+  private def dmlMode(spark: SparkSession, root: String): (String, Double) = {
+    val props = tableProperties(spark, root)
+    val mode = props.getOrElse("graft.dml.mode", "auto").toLowerCase
+    require(Set("cow", "dv", "auto")(mode),
+      s"graft.dml.mode must be cow | dv | auto, got '$mode'")
+    val ratio = props.get("graft.dml.maxDirtyRatio")
+      .map(_.toDouble).getOrElse(0.5)
+    require(ratio >= 0.0 && ratio <= 1.0,
+      s"graft.dml.maxDirtyRatio must be in [0, 1], got $ratio")
+    (mode, ratio)
+  }
+
   def tag(spark: SparkSession, root: String, name: String,
           version: Int): Unit = {
     require(name.matches("[A-Za-z][A-Za-z0-9._-]*"),
@@ -2095,6 +2508,248 @@ object GraftTable {
   /** Resolve a version reference: an integer string, or a tag name. */
   def resolveRef(spark: SparkSession, root: String, ref: String): Option[Int] =
     ref.toIntOption.orElse(tags(spark, root).get(ref))
+
+  // ---- BRANCHES (writable refs + fast-forward publish) -------------
+  //
+  // A branch generalizes the two halves the format already had — tags
+  // (immutable refs, q272) and write-audit-publish (one staged commit,
+  // q242) — into a WRITABLE ref: commits land on the branch's own
+  // manifest lineage (`_log/branch-<name>/vNNNNN.manifest`, data files
+  // under the shared `data/` dir — zero copying), completely invisible
+  // on main; when audits pass, [[fastForward]] publishes the branch's
+  // commits onto main VERSION FOR VERSION (history preserved, each an
+  // atomic create-if-absent manifest rename). The Iceberg
+  // branch-audit-publish workflow on the graft log layout. The branch
+  // schema is FROZEN at the base version; fast-forward requires main
+  // still AT the base (the definition of fast-forwardable — a main
+  // that advanced needs a rebase or a MERGE, not a silent overwrite).
+
+  private def branchMetaPath(root: String, name: String) =
+    new org.apache.hadoop.fs.Path(root, s"_log/branch-$name.json")
+
+  private def branchDir(root: String, name: String) =
+    new org.apache.hadoop.fs.Path(root, s"_log/branch-$name")
+
+  private def branchManifestPath(root: String, name: String, bv: Int) =
+    new org.apache.hadoop.fs.Path(branchDir(root, name),
+      f"v$bv%05d.manifest")
+
+  /** Create branch `name` at the current head; returns the BASE
+    * version the branch forks from. Create-if-absent: a duplicate
+    * branch name refuses. */
+  def createBranch(spark: SparkSession, root: String, name: String): Int = {
+    require(name.matches("[A-Za-z][A-Za-z0-9._-]*"),
+      s"branch name must match [A-Za-z][A-Za-z0-9._-]*, got '$name'")
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"no table at $root")
+    val (f, _) = fs(root, spark)
+    writeAtomic(f, branchMetaPath(root, name), s"""{"base":$base}""")
+    base
+  }
+
+  /** The main version branch `name` forked from. */
+  def branchBase(spark: SparkSession, root: String, name: String): Int = {
+    val (f, _) = fs(root, spark)
+    val p = branchMetaPath(root, name)
+    require(f.exists(p), s"no branch '$name' at $root")
+    val txt = readFully(f, p)
+    """"base"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+      .getOrElse(sys.error(s"malformed branch meta for '$name': $txt"))
+  }
+
+  /** All branches at `root` (one `_log` listing). */
+  def listBranches(spark: SparkSession, root: String): Seq[String] = {
+    val (f, _) = fs(root, spark)
+    val log = new org.apache.hadoop.fs.Path(root, "_log")
+    if (!f.exists(log)) Seq.empty
+    else f.listStatus(log).map(_.getPath.getName)
+      .collect { case s if s.startsWith("branch-") && s.endsWith(".json") =>
+        s.stripPrefix("branch-").stripSuffix(".json")
+      }.toSeq.sorted
+  }
+
+  private def branchVersions(f: org.apache.hadoop.fs.FileSystem,
+      root: String, name: String): Seq[Int] = {
+    val dir = branchDir(root, name)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .collect { case s if s.matches("v\\d{5}\\.manifest") =>
+        s.substring(1, 6).toInt }.toSeq.sorted
+  }
+
+  /** Branch head version in BRANCH numbering: 0 is the base snapshot
+    * itself, k is the branch's k-th commit. */
+  def branchHeadVersion(spark: SparkSession, root: String,
+      name: String): Int = {
+    val (f, _) = fs(root, spark)
+    branchVersions(f, root, name).lastOption.getOrElse(0)
+  }
+
+  private def branchEntries(spark: SparkSession, root: String,
+      name: String, bv: Int): Seq[FileEntry] = {
+    val (f, _) = fs(root, spark)
+    if (bv == 0) loadManifest(spark, root, branchBase(spark, root, name))
+    else parseManifest(readFully(f, branchManifestPath(root, name, bv)))
+  }
+
+  /** Read branch `name` at its head, or time-travel it at a branch
+    * version (0 = the base snapshot). Same masked/pruned read path as
+    * main ([[readEntries]]). */
+  def readBranch(spark: SparkSession, root: String, name: String,
+      branchVersion: Option[Int] = None): DataFrame = {
+    val bv = branchVersion.getOrElse(branchHeadVersion(spark, root, name))
+    val schema = tableSchema(spark, root, branchBase(spark, root, name))
+    readEntries(spark, root, schema, branchEntries(spark, root, name, bv))
+  }
+
+  /** Keyed-MERGE upsert onto branch `name` — the same pruned
+    * copy-on-write merge as [[upsert]], committed to the BRANCH
+    * lineage: main readers see nothing, main writers never collide
+    * (separate manifest namespaces), and the written files sit in the
+    * shared `data/` dir pinned by the branch against [[vacuum]] until
+    * published or the branch is deleted. Racing writers to the SAME
+    * branch collide on the branch manifest rename
+    * ([[ConcurrentCommitException]]) exactly like main commits.
+    * Returns the new branch version. */
+  def upsertBranch(spark: SparkSession, root: String, name: String,
+      batch: DataFrame, key: String, nBuckets: Int = 8): Int = {
+    val base = branchBase(spark, root, name)
+    val schema = tableSchema(spark, root, base)
+    require(batch.schema.fieldNames.sorted
+      .sameElements(schema.fieldNames.sorted),
+      "batch schema must match the branch's (base-version) schema")
+    val (f, _) = fs(root, spark)
+    val bvPrev = branchHeadVersion(spark, root, name)
+    val entries = branchEntries(spark, root, name, bvPrev)
+    import spark.implicits._
+    val ledger = entries.map(e => (e.relPath, e.minKey, e.maxKey))
+      .toDF("rel_path", "mn", "mx")
+    val hit = batch.select(col(key).cast("long").as("k")).distinct()
+      .join(broadcast(ledger),
+        col("k") >= col("mn") && col("k") <= col("mx"))
+      .select("rel_path").distinct().collect().map(_.getString(0)).toSet
+    val (rewrite, carry) = entries.partition(e => hit(e.relPath))
+    val current = readEntries(spark, root, schema, rewrite)
+    val cols = schema.fieldNames
+    val t = current.as("t"); val b = batch.as("b")
+    val merged = t.join(b, col(s"t.$key") === col(s"b.$key"), "full_outer")
+      .select(cols.map(c =>
+        coalesce(col(s"b.$c"), col(s"t.$c")).as(c)): _*)
+    // version base+1 pins NAMING + column mapping + partition spec to
+    // the branch's frozen era; sidecar lines stay branch-local
+    val w = writeDataFiles(spark, root, base + 1, merged, key,
+      math.max(1, math.min(nBuckets, rewrite.size + 1)), sidecars = false)
+    val bv = bvPrev + 1
+    f.mkdirs(branchDir(root, name))
+    if (w.statLines.nonEmpty)
+      writeAtomic(f, new org.apache.hadoop.fs.Path(branchDir(root, name),
+        f"colstats-v$bv%05d.tsv"), w.statLines.mkString("", "\n", "\n"))
+    if (w.kmvLines.nonEmpty)
+      writeAtomic(f, new org.apache.hadoop.fs.Path(branchDir(root, name),
+        f"kmv-v$bv%05d.tsv"), w.kmvLines.mkString("", "\n", "\n"))
+    // branch commit point: create-if-absent rename, instants clamped
+    // monotone within the branch (same TIMESTAMP-resolution rule)
+    val prevInstant =
+      if (bv <= 1) Long.MinValue
+      else readHead(f, branchManifestPath(root, name, bv - 1), 128)
+        .linesIterator.find(_.startsWith("#commit-ts\t"))
+        .map(_.split('\t')(1).toLong).getOrElse(Long.MinValue)
+    val instant = math.max(prevInstant + 1, System.currentTimeMillis())
+    writeAtomic(f, branchManifestPath(root, name, bv),
+      s"#commit-ts\t$instant\n" + renderManifest(carry ++ w.entries))
+    bv
+  }
+
+  /** FAST-FORWARD PUBLISH: audit the branch head, then replay the
+    * branch's commits onto main VERSION FOR VERSION (base+1 … base+k,
+    * each an atomic create-if-absent manifest rename; branch-local
+    * stat/digest sidecars re-pin at the published numbers). Requires
+    * main still AT the branch base — a main that advanced refuses (the
+    * fast-forwardable definition; a racing main commit surfaces as the
+    * same refusal through the rename). A crash mid-publish leaves main
+    * at an intermediate branch snapshot — every prefix is a consistent
+    * snapshot by construction — and a re-run RESUMES idempotently
+    * (already-published versions with identical content are skipped).
+    * Returns Left(violations) if the audit rejects (nothing publishes),
+    * Right((mainVersionAfter, nPublished)) otherwise. */
+  def fastForward(spark: SparkSession, root: String, name: String,
+      audits: Seq[(String, org.apache.spark.sql.Column)] = Seq.empty)
+    : Either[Map[String, Long], (Int, Int)] = {
+    val base = branchBase(spark, root, name)
+    val (f, _) = fs(root, spark)
+    val bvs = branchVersions(f, root, name)
+    if (bvs.isEmpty) return Right((latestVersion(spark, root), 0))
+    require(bvs == (1 to bvs.max), s"branch '$name' lineage has gaps: $bvs")
+    if (audits.nonEmpty) {
+      val head = readBranch(spark, root, name)
+      val aggs = audits.map { case (n, p) =>
+        sum(when(p.isNull || !p, 1L).otherwise(0L)).as(n) }
+      val counts = head.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val violations = audits.zipWithIndex.collect {
+        case ((n, _), i) if !counts.isNullAt(i) && counts.getLong(i) > 0 =>
+          n -> counts.getLong(i)
+      }.toMap
+      if (violations.nonEmpty) return Left(violations)
+    }
+    val mainLatest = latestVersion(spark, root)
+    require(mainLatest >= base && mainLatest <= base + bvs.max,
+      s"not fast-forwardable: main advanced past branch base $base — " +
+        "rebase the branch (or publish through a MERGE) instead")
+    // a main prefix above the base is only acceptable if it IS this
+    // branch's prefix (a crashed or re-run earlier publish); any
+    // foreign commit refuses the same way
+    ((base + 1) to mainLatest).foreach { v =>
+      require(parseManifest(readFully(f, manifestPath(root, v))) ==
+        branchEntries(spark, root, name, v - base),
+        s"not fast-forwardable: main advanced past branch base $base " +
+          "with commits that are not this branch's — rebase the branch " +
+          "(or publish through a MERGE) instead")
+    }
+    bvs.foreach { bv =>
+      val v = base + bv
+      val entries = branchEntries(spark, root, name, bv)
+      if (f.exists(manifestPath(root, v))) {
+        // already published (the verified prefix, or a crashed earlier
+        // publish): skip — its sidecars landed with it
+        if (parseManifest(readFully(f, manifestPath(root, v))) != entries)
+          throw new ConcurrentCommitException(
+            s"fast-forward of '$name' raced a foreign commit at $v")
+      } else {
+        Seq("colstats" ->
+              ((ls: Seq[String]) => writeColStatsAt(f, root, v, ls)),
+            "kmv" -> ((ls: Seq[String]) => writeKmvAt(f, root, v, ls)))
+          .foreach { case (kind, write) =>
+            val p = new org.apache.hadoop.fs.Path(branchDir(root, name),
+              f"$kind-v$bv%05d.tsv")
+            if (f.exists(p)) {
+              val ls = readFully(f, p).linesIterator.filter(_.nonEmpty).toSeq
+              if (ls.nonEmpty) write(ls)
+            }
+          }
+        try commitManifest(f, root, v, entries)
+        catch {
+          case e: ConcurrentCommitException =>
+            // a racer landed between our exists-probe and the rename:
+            // acceptable only if it published THIS branch version
+            if (parseManifest(readFully(f, manifestPath(root, v)))
+                != entries)
+              throw e
+        }
+      }
+    }
+    Right((base + bvs.max, bvs.size))
+  }
+
+  /** Drop branch `name`: its meta, manifests, and branch-local
+    * sidecars. Unpublished branch data files become ordinary
+    * unreferenced orphans that [[vacuum]] sweeps. */
+  def deleteBranch(spark: SparkSession, root: String,
+      name: String): Boolean = {
+    val (f, _) = fs(root, spark)
+    val dir = branchDir(root, name)
+    if (f.exists(dir)) f.delete(dir, true)
+    f.delete(branchMetaPath(root, name), false)
+  }
 
   /** Drop manifests older than the last `retainVersions` and every
     * data file no retained manifest references (including orphans
@@ -2140,9 +2795,22 @@ object GraftTable {
     val latest = latestVersion(spark, root)
     if (latest >= 0) checkpoint(spark, root)
     val keepFrom = math.max(0, latest - retainVersions + 1)
-    // tagged versions are pinned: their files and manifests stay live
-    val pinned = tags(spark, root).values.toSet
+    // tagged versions are pinned: their files and manifests stay live.
+    // BRANCH BASES pin the same way (a branch read resolves its base
+    // manifest and base-era schema), and every branch manifest's refs
+    // join the live set below — an unpublished branch must never lose
+    // files to a main-side vacuum.
+    val branches = listBranches(spark, root)
+    val pinned = (tags(spark, root).values.toSet ++
+      branches.map(b => branchBase(spark, root, b)))
       .filter(v => v < keepFrom && f.exists(manifestPath(root, v)))
+    val branchLive = branches.flatMap { b =>
+      branchVersions(f, root, b).flatMap { bv =>
+        parseManifest(readFully(f, branchManifestPath(root, b, bv)))
+          .flatMap(e =>
+            if (e.hasDv) Seq(e.relPath, e.dvPath) else Seq(e.relPath))
+      }
+    }
     // STAGED cross-table-txn versions sit ABOVE the committed latest:
     // their data files must survive a vacuum that runs while the
     // transaction is in flight (the marker may land a moment later),
@@ -2156,7 +2824,7 @@ object GraftTable {
         .flatMap(refs))
     val live = (((keepFrom to latest) ++ pinned).distinct
       .flatMap(v => loadManifest(spark, root, v).flatMap(refs)) ++
-      stagedLive).toSet
+      stagedLive ++ branchLive).toSet
     var removed = 0
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
     if (f.exists(dataDir)) {

@@ -297,6 +297,47 @@ object GraftLog {
     * rename dedups them).
     *
     * Returns the number of superseded segment files removed. */
+  /** POLICY-TRIGGERED compaction — the Kafka log-cleaner rule
+    * (`min.cleanable.dirty.ratio`) on the graft log: a partition
+    * compacts when its eligible run (whole segments below the newest)
+    * is dirtier than `minDirtyRatio`, where DIRTY is the row count
+    * sitting in not-yet-compacted segments and CLEAN is the offset
+    * span already folded into sparse `cseg`s. The decision is a PURE
+    * LISTING pass — segment names carry their counts — so probing a
+    * quiet topic costs one `listStatus` per partition and compaction
+    * I/O only happens when the ratio says it pays for itself.
+    * Returns (partitionsTriggered, supersededFilesRemoved). */
+  def compactIfDirty(spark: SparkSession, dir: String,
+      minDirtyRatio: Double = 0.5): (Int, Int) = {
+    require(minDirtyRatio >= 0.0 && minDirtyRatio <= 1.0,
+      s"minDirtyRatio must be in [0, 1], got $minDirtyRatio")
+    val (f, _) = fs(dir, spark)
+    val wm = partitionIds(f, dir).flatMap { pid =>
+      val eligible = segments(f, dir, pid).dropRight(1)
+      if (eligible.isEmpty) None
+      else {
+        val dirty = eligible.filterNot(s => isSparse(s._1))
+          .map(_._3).sum.toDouble
+        val clean = eligible.filter(s => isSparse(s._1))
+          .map(_._3).sum.toDouble
+        if (dirty > 0 && dirty / (dirty + clean) >= minDirtyRatio)
+          Some(pid -> (eligible.last._2 + eligible.last._3))
+        else None
+      }
+    }
+    if (wm.isEmpty) (0, 0)
+    else (wm.size, compact(spark, dir, wm.toMap))
+  }
+
+  /** Test seam: the largest single byte[] the most recent [[compact]]
+    * handed its segment output stream. The writer streams ROW-SIZED
+    * writes by construction, so this stays at one record's encoding; a
+    * reintroduced whole-partition buffer (the pre-round-14 shape)
+    * would surface here as the partition's full survivor byte count.
+    * Shared-JVM visible in local mode — test instrumentation only. */
+  private[streaming] val lastCompactMaxWriteBytes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   def compact(spark: SparkSession, dir: String,
       watermarks: Map[Int, Long]): Int = {
     import org.apache.spark.sql.expressions.Window
@@ -335,8 +376,13 @@ object GraftLog {
     }
     val rangeB = ranges
     val dirB = dir
+    lastCompactMaxWriteBytes.set(0L)
     // one writer task per partition: the per-partition survivor set
-    // streams through in offset order and lands as one sparse segment
+    // STREAMS through in offset order, each row written to the tmp
+    // file's output stream as it arrives — memory is one row plus a
+    // fixed 64 KiB buffer, NOT O(live keys per partition) (Kafka's
+    // log cleaner streams its cleaned segment the same way). The
+    // tmp-then-rename publish keeps atomicity.
     survivors
       .repartition(math.max(1, ranges.size), col("partition"))
       .sortWithinPartitions("partition", "offset")
@@ -346,38 +392,46 @@ object GraftLog {
           hconf.foreach { case (k, v) => c.set(k, v) }
           val fsys = new org.apache.hadoop.fs.Path(dirB).getFileSystem(c)
           var curPid = Int.MinValue
-          var started = false
-          val buf = new StringBuilder
-          def flush(): Unit = if (started) {
+          var tmp: org.apache.hadoop.fs.Path = null
+          var os: java.io.OutputStream = null
+          def close(): Unit = if (os != null) {
+            os.close()
             val (lo, hi) = rangeB(curPid)
             val pDir = new org.apache.hadoop.fs.Path(dirB, s"p=$curPid")
             val dest = new org.apache.hadoop.fs.Path(pDir,
               f"cseg-$lo%012d-${hi - lo}%08d.log")
-            val tmp = new org.apache.hadoop.fs.Path(pDir,
-              s".tmp-${dest.getName}-${java.util.UUID.randomUUID()}")
-            val os = fsys.create(tmp, false)
-            try os.write(buf.toString.getBytes(
-              java.nio.charset.StandardCharsets.UTF_8))
-            finally os.close()
             // create-if-absent: a racing identical compaction loses
             // quietly (same range → same content)
             if (!fsys.rename(tmp, dest)) fsys.delete(tmp, false): Unit
-            buf.clear()
+            os = null; tmp = null
           }
+          val line = new StringBuilder // reused, row-sized
           it.foreach { r =>
             val pid = r.getInt(r.fieldIndex("partition"))
-            if (started && pid != curPid) flush()
-            started = true
+            if (os != null && pid != curPid) close()
             curPid = pid
+            if (os == null) {
+              val pDir = new org.apache.hadoop.fs.Path(dirB, s"p=$pid")
+              tmp = new org.apache.hadoop.fs.Path(pDir,
+                s".tmp-cseg-$pid-${java.util.UUID.randomUUID()}")
+              os = new java.io.BufferedOutputStream(
+                fsys.create(tmp, false), 1 << 16)
+            }
             val k = if (r.isNullAt(r.fieldIndex("key"))) null
               else r.getString(r.fieldIndex("key"))
             val v = if (r.isNullAt(r.fieldIndex("value"))) null
               else r.getString(r.fieldIndex("value"))
-            buf.append(r.getLong(r.fieldIndex("offset"))).append('\t')
+            line.setLength(0)
+            line.append(r.getLong(r.fieldIndex("offset"))).append('\t')
               .append(b64(k)).append('\t').append(b64(v)).append('\t')
               .append(r.getLong(r.fieldIndex("ts"))).append('\n')
+            val bytes = line.toString.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)
+            lastCompactMaxWriteBytes.accumulateAndGet(bytes.length.toLong,
+              (a, b) => math.max(a, b))
+            os.write(bytes)
           }
-          flush()
+          close()
       }
     removed + gcShadowed(f, dir)
   }
@@ -574,7 +628,27 @@ object GraftLog {
               f.delete(tmp, false)
               throw new IllegalStateException(
                 s"graftlog publish rename failed for claimed offset: $dest")
-            } else {
+            } else if ({
+              // POST-PUBLISH RE-VERIFY: the pre-rename fence and the
+              // rename are two FS ops, so a takeover landing between
+              // them would let both the zombie and the taker publish
+              // at this start offset. Re-checking AFTER the rename and
+              // RETRACTING our own segment on loss closes that window:
+              // a taker that replaced the claim after this read lists
+              // the log after its replace, sees our segment, and moves
+              // to the new end. The irreducible residue on a
+              // non-CAS filesystem is a taker whose takeover AND
+              // listing both land inside our rename→delete
+              // microsecond window (takeover itself already requires
+              // this producer to have stalled past the payload-scaled
+              // staleness horizon mid-publish) — that taker can
+              // publish past a segment we then retract, leaving a gap
+              // where overlap used to be possible.
+              lost = !readClaim(f, claim).exists(_.startsWith(token))
+              if (lost) f.delete(dest, false): Unit
+              lost
+            }) { /* retracted: fall through to retry at the new end */ }
+            else {
               // big segments get an inline `.idx` sidecar (byte
               // positions are already known from the payload) so
               // replayed offset windows seek instead of line-skip;

@@ -168,10 +168,18 @@ class GraftTableSource(spark: org.apache.spark.sql.classic.SparkSession,
     lastServed = Some(math.max(endV, lastServed.getOrElse(endV)))
     val batch: DataFrame = start match {
       case None =>
-        val fromV = resolveStart(startingVersion)
-        val snap = align(GraftTable.read(spark, root, Some(fromV)), fromV)
-        if (endV > fromV) snap.unionByName(windowRows(fromV, endV))
-        else snap
+        // Snapshot at the REPLAYED offset, not this instance's
+        // startingVersion: on a fresh run getOffset pins batch 0's end
+        // to startingVersion so the two agree, but a query restarted
+        // after logging batch 0 (and before committing it) constructs
+        // a NEW source whose default startingVersion is the CURRENT
+        // latest — snapshotting there would ship rows beyond the
+        // logged offset and the next window would re-ship the overlap.
+        // Keying the snapshot off `end` keeps a replayed batch 0
+        // byte-identical to the original plan (Delta's source
+        // snapshots at its reserved version for the same reason).
+        val fromV = resolveStart(endV)
+        align(GraftTable.read(spark, root, Some(fromV)), fromV)
       case Some(s) =>
         val startV = resolveStart(versionOf(s))
         if (endV <= startV)

@@ -17,4 +17,19 @@ object StreamingFrame {
   def create(spark: SparkSession, rdd: RDD[InternalRow],
       schema: StructType): DataFrame =
     spark.internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** Test aid: re-mark a [[create]]d frame as a PLAIN batch frame over
+    * the same already-planned RDD. Specs that drive `Source.getBatch`
+    * directly (outside MicroBatchExecution — the only engine allowed
+    * to execute a streaming-marked plan) need this to inspect the
+    * batch's rows. */
+  def toBatch(df: DataFrame): DataFrame = {
+    val classic =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val leaf = classic.queryExecution.logical.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r
+    }.getOrElse(sys.error("toBatch expects a frame built by create()"))
+    classic.sparkSession.internalCreateDataFrame(
+      leaf.rdd, df.schema, isStreaming = false)
+  }
 }

@@ -620,9 +620,11 @@ class GraftSqlSpec extends SparkSpec {
       .as[(String, Long)].head() === (("upd15", 151L)))
     assert(now.filter($"k" === 100).select("name").as[String].head()
       === "row100")
-    // pruning: the narrow update rewrote a file subset
+    // merge-on-read (the auto-mode default since round 14): the narrow
+    // update retires old positions via DVs — ZERO files rewritten
     val Array(_, rewritten, carried) = res(0).toSeq.toArray
-    assert(rewritten.asInstanceOf[Int] >= 1)
+    assert(rewritten.asInstanceOf[Int] === 0,
+      s"narrow UPDATE must be merge-on-read, rewrote $rewritten")
     assert(carried.asInstanceOf[Int] >= 1, s"no files carried: $carried")
     // ANSI: SET col = NULL actually writes NULL
     spark.sql("UPDATE gu.u SET name = NULL WHERE k = 30").collect()
@@ -697,5 +699,181 @@ class GraftSqlSpec extends SparkSpec {
       spark.sql("DROP TABLE glist.t2")
     }
     assert(e.getMessage.contains("deleting the table root"))
+  }
+
+  test("graft.dml.mode: auto's PER-FILE dirty-ratio flip point — one " +
+    "DELETE statement DVs the barely-touched file and rewrites the " +
+    "mostly-dead one; dv and cow modes force each path") {
+    val base = freshBase()
+    val root = base + "/dml"
+    mk(root, n = 100, buckets = 2) // two ~50-row files, dense keys 1..100
+    spark.conf.set("spark.sql.catalog.gdml", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdml.base", base)
+    val led0 = GraftTable.snapshotFileLedger(spark, root, 0).sortBy(_._2)
+    assert(led0.size === 2)
+    val (fA, fB) = (led0.head, led0(1)) // (rel, minKey, maxKey, nRows, bytes)
+    // ONE statement, hybrid commit: 60% of file A (past the default
+    // 0.5 ratio → rewrite outright) plus ~10% of file B (→ sidecar).
+    // Dense keys make the per-file counts exact.
+    val aHi = fA._2 + (fA._4 * 6) / 10 - 1
+    val bHi = fB._2 + math.max(1L, fB._4 / 10) - 1
+    spark.sql(s"DELETE FROM gdml.dml WHERE (k >= ${fA._2} AND k <= $aHi)" +
+      s" OR (k >= ${fB._2} AND k <= $bHi)")
+    val rels1 = GraftTable.snapshotFileLedger(spark, root, 1).map(_._1).toSet
+    assert(!rels1.contains(fA._1),
+      "a file past maxDirtyRatio must rewrite, not defer behind a DV")
+    assert(rels1.contains(fB._1),
+      "a barely-touched file must keep its bytes (deletion vector)")
+    assert(GraftTable.hasDeletionVectors(spark, root, 1))
+    val deleted = (aHi - fA._2 + 1) + (bHi - fB._2 + 1)
+    assert(spark.sql("SELECT count(*) FROM gdml.dml").as[Long].head() ===
+      100L - deleted)
+    // dv mode: even a MOSTLY-DEAD file takes a sidecar (never rewrites)
+    spark.sql(
+      "ALTER TABLE gdml.dml SET TBLPROPERTIES ('graft.dml.mode' = 'dv')")
+    assert(GraftTable.tableProperties(spark, root)
+      .get("graft.dml.mode") === Some("dv"))
+    val rels1b = GraftTable.snapshotFileLedger(spark, root, 1).map(_._1).toSet
+    spark.sql(s"DELETE FROM gdml.dml WHERE k >= ${fB._2} AND k <= ${fB._3}")
+    val rels2 = GraftTable.snapshotFileLedger(spark, root, 2).map(_._1).toSet
+    // fB is now FULLY dead → drops; every other file keeps its bytes
+    assert(rels2 === rels1b - fB._1)
+    // cow mode — the right-to-erasure setting: physical rewrite only
+    spark.sql(
+      "ALTER TABLE gdml.dml SET TBLPROPERTIES ('graft.dml.mode' = 'cow')")
+    val survivorRel = GraftTable.snapshotFileLedger(spark, root, 2)
+      .sortBy(_._2).head
+    spark.sql(s"DELETE FROM gdml.dml WHERE k = ${survivorRel._3}")
+    val rels3 = GraftTable.snapshotFileLedger(spark, root, 3).map(_._1).toSet
+    assert(!rels3.contains(survivorRel._1),
+      "cow mode must physically rewrite the touched file")
+    // UNSET restores the default (auto)
+    spark.sql(
+      "ALTER TABLE gdml.dml UNSET TBLPROPERTIES ('graft.dml.mode')")
+    assert(!GraftTable.tableProperties(spark, root).contains("graft.dml.mode"))
+    // logical content stayed exact through every mode
+    assert(spark.sql("SELECT count(*) FROM gdml.dml").as[Long].head() ===
+      100L - deleted - (fB._3 - fB._2 + 1 - (bHi - fB._2 + 1)) - 1)
+  }
+
+  test("SQL UPDATE and MERGE under auto mode are merge-on-read: zero " +
+    "existing data files rewritten, DVs + one fresh file per commit") {
+    val base = freshBase()
+    val root = base + "/mor"
+    mk(root, n = 100, buckets = 2)
+    spark.conf.set("spark.sql.catalog.gmor", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmor.base", base)
+    val files0 = GraftTable.snapshotFileLedger(spark, root, 0).map(_._1).toSet
+    // narrow UPDATE: old images retire via DV, postimages land fresh
+    spark.sql("UPDATE gmor.mor SET v = -5 WHERE k >= 3 AND k <= 7")
+    val files1 = GraftTable.snapshotFileLedger(spark, root, 1).map(_._1).toSet
+    assert(files0.subsetOf(files1), "UPDATE must not rewrite existing files")
+    assert(GraftTable.hasDeletionVectors(spark, root, 1))
+    assert(spark.sql("SELECT count(*) FROM gmor.mor").as[Long].head() === 100L)
+    assert(spark.sql("SELECT sum(v) FROM gmor.mor WHERE k >= 3 AND k <= 7")
+      .as[Long].head() === -25L)
+    // MERGE: matched-delete + matched-update via DVs, guarded insert
+    Seq((10L, "del"), (20L, "upd"), (500L, "ins"))
+      .toDF("sk", "act").createOrReplaceTempView("mor_src")
+    spark.sql(
+      """MERGE INTO gmor.mor a USING mor_src s ON a.k = s.sk
+        |WHEN MATCHED AND s.act = 'del' THEN DELETE
+        |WHEN MATCHED AND s.act = 'upd' THEN UPDATE SET v = -99
+        |WHEN NOT MATCHED AND s.act = 'ins' THEN
+        |  INSERT (k, name, v) VALUES (s.sk, 'fresh', 0)
+        |""".stripMargin)
+    val files2 = GraftTable.snapshotFileLedger(spark, root, 2).map(_._1).toSet
+    assert(files1.subsetOf(files2), "MERGE must not rewrite existing files")
+    assert(spark.sql("SELECT count(*) FROM gmor.mor").as[Long].head() === 100L)
+    assert(spark.sql("SELECT v FROM gmor.mor WHERE k = 20")
+      .as[Long].head() === -99L)
+    assert(spark.sql("SELECT count(*) FROM gmor.mor WHERE k = 10")
+      .as[Long].head() === 0L)
+    assert(spark.sql("SELECT name FROM gmor.mor WHERE k = 500")
+      .as[String].head() === "fresh")
+    // OPTIMIZE absorbs every DV; content identical
+    val (v3, _, _) = GraftTable.optimize(spark, root, "k", targetRows = 1000)
+    assert(!GraftTable.hasDeletionVectors(spark, root, v3))
+    assert(spark.sql("SELECT count(*) FROM gmor.mor").as[Long].head() === 100L)
+  }
+
+  test("columnar reads survive deletion vectors: one DV'd file among " +
+    "clean ones keeps the whole scan vectorized (ColumnarToRow), " +
+    "masked rows exact") {
+    val base = freshBase()
+    val root = base + "/cdv"
+    mk(root, n = 1000, buckets = 4) // four ~250-row files
+    // one narrow merge-on-read delete: a single file carries a DV
+    GraftTable.deleteWhereDv(spark, root, $"k" >= 10 && $"k" <= 19)
+    assert(GraftTable.hasDeletionVectors(spark, root, 1))
+    val df = spark.read.format("graft").load(root)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"DV'd snapshot must stay vectorized; got:\n${plan.take(1500)}")
+    // the masked scan is exact through the columnar path: row count,
+    // per-range absence, and a string column survive the copy
+    assert(df.count() === 990)
+    assert(df.filter($"k" >= 10 && $"k" <= 19).count() === 0)
+    assert(df.agg(sum("v")).as[Long].head() ===
+      (1 to 1000).map(_ * 10L).sum - (10 to 19).map(_ * 10L).sum)
+    assert(df.filter($"k" === 20L).select("name").as[String].head()
+      === "row20")
+    // SQL surface too (the catalog resolves the same scan)
+    spark.conf.set("spark.sql.catalog.gcdv", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcdv.base", base)
+    assert(spark.sql("SELECT count(*) FROM gcdv.cdv WHERE k <= 100")
+      .as[Long].head() === 90L)
+  }
+
+  test("KMV NDV stats flip a join's build side: the low-NDV aggregate " +
+    "BROADCASTS exactly when digest evidence exists (CBO on), " +
+    "sort-merges without it; estimates exact below k, bounded above") {
+    val base = freshBase()
+    val root = base + "/ndv"
+    // 20k rows, 50-distinct category: the aggregate's TRUE output is
+    // 50 rows — tiny with NDV evidence, input-sized without
+    GraftTable.create(spark, root,
+      spark.range(1, 20001).select($"id".as("k"),
+        concat(lit("cat"), $"id" % 50).as("cat"), ($"id" * 3).as("v")),
+      "k", nBuckets = 4)
+    spark.conf.set("spark.sql.catalog.gndv", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gndv.base", base)
+    // estimator contract: EXACT below k=128; within KMV error above
+    assert(GraftTable.estimateDistinct(spark, root, 0, "cat") === Some(50L))
+    val estK = GraftTable.estimateDistinct(spark, root, 0, "k").get
+    assert(math.abs(estK - 20000L).toDouble / 20000 <= 0.30, s"estK=$estK")
+    def q(t: String) =
+      s"""SELECT t.cat, count(*) AS n FROM gndv.$t t
+         |JOIN (SELECT cat, count(*) AS nc FROM gndv.$t GROUP BY cat) b
+         |  ON t.cat = b.cat
+         |GROUP BY t.cat""".stripMargin
+    def planOf(table: String, cbo: Boolean): String = {
+      val olds = Seq("spark.sql.cbo.enabled", "spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")
+        .map(k => k -> spark.conf.getOption(k))
+      try {
+        spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        // between the NDV-sized aggregate (50 rows ≈ 1.8 KB) and the
+        // stats-free estimate (input-sized, tens of KB)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+        spark.sql(q(table)).queryExecution.executedPlan.toString
+      } finally olds.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+    assert(planOf("ndv", cbo = true).contains("BroadcastHashJoin"),
+      "NDV evidence must size the 50-row aggregate below the threshold")
+    assert(planOf("ndv", cbo = false).contains("SortMergeJoin"),
+      "without column stats the aggregate is input-sized: no broadcast")
+    // the evidence control: a shallow CLONE shares the data but not
+    // the digests — same query, same CBO confs, SMJ (refused estimate)
+    GraftTable.cloneTable(spark, root, base + "/ndv2")
+    assert(GraftTable.estimateDistinct(spark, base + "/ndv2", 0, "cat")
+      === None)
+    assert(planOf("ndv2", cbo = true).contains("SortMergeJoin"),
+      "no digest coverage must refuse the estimate, not guess")
+    // DV'd snapshots refuse too (digests describe PHYSICAL content)
+    GraftTable.deleteWhereDv(spark, root, $"k" <= 5)
+    assert(GraftTable.estimateDistinct(spark, root, 1, "cat") === None)
   }
 }

@@ -383,6 +383,10 @@ class GraftTableSpec extends SparkSpec {
   test("applyCdcBatch: mixed ops in one pruned commit; deletes idempotent and win ties") {
     val root = freshRoot()
     GraftTable.create(spark, root, base(1000), "k", nBuckets = 4)
+    // this test pins the COPY-ON-WRITE invariants (manifest-line
+    // identity of carried files); the merge-on-read default has its
+    // own test below
+    GraftTable.setTableProperty(spark, root, "graft.dml.mode", "cow")
     val m0 = manifestLines(root, 0)
     val batch = Seq(
       (5L, "upd5", -1L, "upsert"),       // update
@@ -403,6 +407,111 @@ class GraftTableSpec extends SparkSpec {
     assert(now.filter($"k" === 5L).select("v").as[Long].head() === -1L)
     assert(now.filter($"k" === 2000L).count() === 1)
     assert(now.filter($"k".isin(10L, 20L)).count() === 0)
+  }
+
+  test("applyCdcBatch MERGE-ON-READ (the auto default): mixed ops " +
+    "commit DVs + fresh files with ZERO rewrites; delete still wins ties") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(1000), "k", nBuckets = 4)
+    val files0 = GraftTable.snapshotFileLedger(spark, root, 0).map(_._1).toSet
+    val batch = Seq(
+      (5L, "upd5", -1L, "upsert"),       // update: old position retires
+      (2000L, "new", 7L, "upsert"),      // insert: fresh file only
+      (10L, "gone", 0L, "delete"),       // delete existing: DV position
+      (99999L, "ghost", 0L, "delete"),   // delete absent: no-op
+      (20L, "both", 1L, "upsert"),       // same key upserted AND...
+      (20L, "both", 1L, "delete"))       // ...deleted: delete wins
+      .toDF("k", "name", "v", "_op")
+    val (v, rewritten, _) = GraftTable.applyCdcBatch(spark, root, batch, "k")
+    assert(v === 1)
+    assert(rewritten === 0, s"merge-on-read must rewrite nothing")
+    val files1 = GraftTable.snapshotFileLedger(spark, root, 1).map(_._1).toSet
+    assert(files0.subsetOf(files1), "every original data file keeps its bytes")
+    assert(GraftTable.hasDeletionVectors(spark, root, 1))
+    val now = GraftTable.read(spark, root)
+    assert(now.count() === 1000 - 2 + 1) // -10, -20, +2000
+    assert(now.filter($"k" === 5L).select("v").as[Long].head() === -1L)
+    assert(now.filter($"k" === 2000L).count() === 1)
+    assert(now.filter($"k".isin(10L, 20L)).count() === 0)
+    // the change feed sees the same logical edits as a CoW commit
+    val feed = GraftTable.changes(spark, root, 0, 1, "k")
+    assert(feed.filter($"_change" === "delete").select("k").as[Long]
+      .collect().sorted.toSeq === Seq(10L, 20L))
+    assert(feed.filter($"_change" === "insert").select("k").as[Long]
+      .collect().toSeq === Seq(2000L))
+    assert(feed.filter($"_change" === "update").select("k").as[Long]
+      .collect().toSeq === Seq(5L))
+  }
+
+  test("branches: commits invisible on main; fast-forward refuses when " +
+    "main advanced; vacuum pins branch-reachable files; delete orphans") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(200), "k", nBuckets = 2)
+    val b = GraftTable.createBranch(spark, root, "exp")
+    assert(b === 0)
+    // duplicate branch name refuses (create-if-absent meta)
+    intercept[GraftTable.ConcurrentCommitException] {
+      GraftTable.createBranch(spark, root, "exp") }
+    GraftTable.upsertBranch(spark, root, "exp",
+      Seq((5L, "branched", -1L)).toDF("k", "name", "v"), "k")
+    // invisible on main, visible on the ref; branch time travel works
+    assert(GraftTable.latestVersion(spark, root) === 0)
+    assert(GraftTable.read(spark, root)
+      .filter($"name" === "branched").count() === 0)
+    assert(GraftTable.readBranch(spark, root, "exp")
+      .filter($"name" === "branched").count() === 1)
+    assert(GraftTable.readBranch(spark, root, "exp", Some(0))
+      .filter($"name" === "branched").count() === 0)
+    // vacuum while the branch is unpublished: its files stay live
+    GraftTable.upsert(spark, root,
+      Seq((7L, "main7", 70L)).toDF("k", "name", "v"), "k") // main → v1
+    assert(GraftTable.vacuum(spark, root, retainVersions = 1) >= 0)
+    assert(GraftTable.readBranch(spark, root, "exp")
+      .filter($"name" === "branched").count() === 1)
+    assert(GraftTable.readBranch(spark, root, "exp").count() === 200)
+    // main advanced past the base: fast-forward refuses
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.fastForward(spark, root, "exp") }
+    assert(e.getMessage.contains("not fast-forwardable"))
+    // deleting the branch turns its files into vacuum-sweepable orphans
+    assert(GraftTable.deleteBranch(spark, root, "exp"))
+    assert(GraftTable.listBranches(spark, root).isEmpty)
+    val swept = GraftTable.vacuum(spark, root, retainVersions = 1)
+    assert(swept > 0, "unpublished branch files must become orphans")
+    assert(GraftTable.read(spark, root).count() === 200)
+  }
+
+  test("fast-forward publish: version-for-version history, audits gate " +
+    "it, resume after a partial publish is idempotent") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(100), "k", nBuckets = 1)
+    GraftTable.createBranch(spark, root, "rel")
+    GraftTable.upsertBranch(spark, root, "rel",
+      Seq((1L, "u1", -5L)).toDF("k", "name", "v"), "k")
+    GraftTable.upsertBranch(spark, root, "rel",
+      Seq((2L, "u2", 22L)).toDF("k", "name", "v"), "k")
+    // audit rejection publishes nothing
+    val rej = GraftTable.fastForward(spark, root, "rel",
+      audits = Seq("v_nonneg" -> ($"v" >= 0L)))
+    assert(rej === Left(Map("v_nonneg" -> 1L)))
+    assert(GraftTable.latestVersion(spark, root) === 0)
+    // simulate a CRASHED earlier publish that landed only base+1:
+    // a re-run must resume past it, not die on the rename collision
+    val Right((v1only, _)) = GraftTable.fastForward(spark, root, "rel",
+      audits = Seq("k_pos" -> ($"k" > 0L))) : @unchecked
+    assert(v1only === 2)
+    // (full publish happened; re-running is a no-op resume)
+    val Right((again, n2)) = GraftTable.fastForward(spark, root, "rel")
+      : @unchecked
+    assert(again === 2 && n2 === 2)
+    assert(GraftTable.read(spark, root, Some(1))
+      .filter($"name" === "u1").count() === 1)
+    assert(GraftTable.read(spark, root, Some(1))
+      .filter($"name" === "u2").count() === 0)
+    assert(GraftTable.read(spark, root)
+      .filter($"name".isin("u1", "u2")).count() === 2)
+    // published files carried their NDV digests: estimates still serve
+    assert(GraftTable.estimateDistinct(spark, root, 2, "name").isDefined)
   }
 
   test("auditedUpsert: rejection publishes nothing; vacuum sweeps the staged orphans") {

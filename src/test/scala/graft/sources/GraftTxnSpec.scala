@@ -173,4 +173,80 @@ class GraftTxnSpec extends SparkSpec {
       .filter($"name" === "NEW").count() === 0)
     assert(GraftTable.latestVersion(spark, factRoot) === 0)
   }
+
+  test("reapStaleStaging: a crashed coordinator's stale staging is " +
+    "aborted by a blocked upsert, which then succeeds") {
+    val (dimRoot, factRoot, txnDir) = fresh()
+    GraftTable.create(spark, dimRoot, dim(20), "k", nBuckets = 1)
+    GraftTable.create(spark, factRoot, fact(200), "k", nBuckets = 1)
+    // stage, never commit — the coordinator 'crashed' here
+    val id = GraftTxn.stageAll(spark, txnDir, Seq(
+      GraftTxn.TableWrite(dimRoot,
+        spark.range(1, 3).select($"id".as("k"), lit("GHOST").as("name")),
+        "k", 1),
+      GraftTxn.TableWrite(factRoot,
+        spark.range(1, 3).select($"id".as("k"), lit(0L).as("product"),
+          lit(-1L).as("cents")), "k", 1)))
+    Thread.sleep(50) // age the staging past the (tiny) horizon below
+    // a blocked writer reaps the dead txn itself and lands its commit
+    val (v, _, _) = GraftTable.upsert(spark, dimRoot,
+      spark.range(1, 2).select($"id".as("k"), lit("MINE").as("name")),
+      "k", nBuckets = 1, staleTxnMs = 1L)
+    assert(v === 1)
+    assert(GraftTable.read(spark, dimRoot)
+      .filter($"name" === "MINE").count() === 1)
+    assert(GraftTable.read(spark, dimRoot)
+      .filter($"name" === "GHOST").count() === 0)
+    // the abort tombstone is durable: the woken coordinator is TOLD
+    // its transaction died instead of half-publishing
+    val e = intercept[IllegalStateException] {
+      GraftTxn.commit(spark, txnDir, id, Seq(dimRoot, factRoot)) }
+    assert(e.getMessage.contains("ABORTED"))
+    // the txn's OTHER table reaps with the same rule on its next write
+    val (fv, _, _) = GraftTable.upsert(spark, factRoot,
+      spark.range(1, 2).select($"id".as("k"), lit(9L).as("product"),
+        lit(900L).as("cents")), "k", nBuckets = 1, staleTxnMs = 1L)
+    assert(fv === 1)
+    assert(GraftTable.read(spark, factRoot)
+      .filter($"cents" === -1L).count() === 0)
+  }
+
+  test("reapStaleStaging: a FRESH (in-flight) staging is never touched") {
+    val (dimRoot, factRoot, txnDir) = fresh()
+    GraftTable.create(spark, dimRoot, dim(20), "k", nBuckets = 1)
+    GraftTable.create(spark, factRoot, fact(20), "k", nBuckets = 1)
+    val id = GraftTxn.stageAll(spark, txnDir, Seq(
+      GraftTxn.TableWrite(dimRoot,
+        spark.range(1, 3).select($"id".as("k"), lit("TXN").as("name")),
+        "k", 1)))
+    // an hour-long horizon: this seconds-old staging is live, not stale
+    assert(!GraftTable.reapStaleStaging(spark, dimRoot, staleMs = 3600000L))
+    // the staging survived intact — the coordinator commits normally
+    GraftTxn.commit(spark, txnDir, id, Seq(dimRoot))
+    assert(GraftTable.latestVersion(spark, dimRoot) === 1)
+    assert(GraftTable.read(spark, dimRoot)
+      .filter($"name" === "TXN").count() === 2)
+  }
+
+  test("reapStaleStaging: a live coordinator's commit winning the " +
+    "marker race makes the reaper back off") {
+    val (dimRoot, factRoot, txnDir) = fresh()
+    GraftTable.create(spark, dimRoot, dim(20), "k", nBuckets = 1)
+    GraftTable.create(spark, factRoot, fact(20), "k", nBuckets = 1)
+    val id = GraftTxn.stageAll(spark, txnDir, Seq(
+      GraftTxn.TableWrite(dimRoot,
+        spark.range(1, 3).select($"id".as("k"), lit("SLOW").as("name")),
+        "k", 1)))
+    // the staging LOOKS stale (far-future clock), but the coordinator
+    // is merely slow: its commit lands INSIDE the reaper's window,
+    // between the liveness check and the abort-marker creation
+    val reaped = GraftTable.reapStaleStagingWithHook(spark, dimRoot,
+      staleMs = 1000L, nowMillis = System.currentTimeMillis() + 10000000L,
+      beforeMarkerRace = () => GraftTxn.commit(spark, txnDir, id))
+    assert(!reaped) // lost the single atomic marker race → conformed
+    // the committed transaction stands, staging intact
+    assert(GraftTable.latestVersion(spark, dimRoot) === 1)
+    assert(GraftTable.read(spark, dimRoot)
+      .filter($"name" === "SLOW").count() === 2)
+  }
 }

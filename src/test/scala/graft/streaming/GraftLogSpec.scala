@@ -297,6 +297,77 @@ class GraftLogSpec extends SparkSpec {
       (6L, "k4"), (7L, "k5")))
   }
 
+  test("compaction STREAMS the segment writer: a fat partition's " +
+    "survivor set never materializes in memory (writes stay row-sized)") {
+    val dir = freshDir()
+    val fat = "x" * 1000
+    // 1000 keys × 3 versions over three segments — survivor bytes
+    // (~1.4 MB, the latest 1000 records) dwarf any single record
+    (0 until 3).foreach { gen =>
+      GraftLog.append(spark, dir, batch(
+        (0 until 1000).map(i =>
+          (0, i.toLong, s"k$i", s"$fat-g$gen-k$i", (gen * 1000 + i).toLong))))
+    }
+    val removed = GraftLog.compact(spark, dir, Map(0 -> 2000L))
+    assert(removed === 2)
+    // row-sized writes by construction: the largest single byte[] the
+    // writer handed its stream is one record's encoding, nowhere near
+    // the partition's full survivor byte count (the pre-round-14
+    // whole-partition StringBuilder would surface here as ~1.4 MB)
+    val maxWrite = GraftLog.lastCompactMaxWriteBytes.get()
+    assert(maxWrite > 1000 && maxWrite < 4096,
+      s"expected row-sized writes, saw max single write of $maxWrite B")
+    val cseg = new java.io.File(s"$dir/p=0")
+      .listFiles().filter(_.getName.startsWith("cseg-"))
+    assert(cseg.length === 1)
+    assert(cseg.head.length() > 1000000L,
+      s"cseg holds the full survivor set (${cseg.head.length()} B)")
+    // replay correctness: latest record per key below the watermark,
+    // offsets preserved, the protected newest segment untouched
+    val got = spark.read.format("graftlog").load(dir)
+    assert(got.count() === 2000)
+    assert(got.filter(col("offset") < 1000).count() === 0)
+    val v1 = got.filter(col("offset") === 1500L).select("key", "value")
+      .collect().head
+    assert(v1.getString(0) === "k500" && v1.getString(1) === s"$fat-g1-k500")
+  }
+
+  test("COMPACT LOG through SQL: the dirty-ratio trigger compacts only " +
+    "when the eligible run is dirty enough; offsets preserved") {
+    val dir = freshDir()
+    def gen(g: Int, n: Int): Unit = {
+      GraftLog.append(spark, dir, batch(
+        (0 until n).map(i => (0, i.toLong, s"k$i", s"g$g-k$i", i.toLong))))
+      ()
+    }
+    gen(0, 100); gen(1, 100); gen(2, 10)
+    // eligible run (segments 0+1) carries no cseg yet: ratio 1.0 → the
+    // default 0.5 trigger fires and folds both
+    val r1 = spark.sql(s"COMPACT LOG '$dir'").collect()(0)
+    assert(r1.getInt(0) === 1 && r1.getInt(1) === 2)
+    gen(3, 10)
+    // now eligible = cseg(span 200) + the 10-row segment: dirty ratio
+    // 10/210 ≈ 0.05 — under the default threshold the probe NO-OPS
+    // (pure listing, no I/O)
+    val r2 = spark.sql(s"COMPACT LOG '$dir'").collect()(0)
+    assert(r2.getInt(0) === 0 && r2.getInt(1) === 0)
+    // an explicit lower ratio re-triggers and folds cseg + segment
+    val r3 = spark.sql(s"COMPACT LOG '$dir' DIRTY RATIO 0.04").collect()(0)
+    assert(r3.getInt(0) === 1 && r3.getInt(1) >= 2)
+    // replay correctness: offsets preserved, latest record per key
+    // below the watermark, the protected newest segment untouched
+    val got = spark.read.format("graftlog").load(dir)
+    assert(got.count() === 110) // 100 live keys + the newest 10-row seg
+    val k50 = got.filter(col("key") === "k50")
+      .select("offset", "value").collect()
+    assert(k50.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((150L, "g1-k50")))
+    val k5 = got.filter(col("key") === "k5").orderBy("offset")
+      .select("offset", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(k5 === Seq((205L, "g2-k5"), (215L, "g3-k5")))
+  }
+
   test("OFFSET INDEX sidecar: mid-segment reads are identical with " +
     "and without the .idx (seek + bounded tail walk vs full skip); " +
     "a corrupt sidecar degrades, never corrupts") {

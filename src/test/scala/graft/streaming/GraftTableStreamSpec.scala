@@ -153,6 +153,34 @@ class GraftTableStreamSpec extends SparkSpec {
       .collect().toSeq === Seq(200L))
   }
 
+  test("batch-0 REPLAY is deterministic: a replayed snapshot pins to " +
+    "the replayed offset, not the restarted instance's startingVersion") {
+    val root = tmp("gts_replay") + "/tbl"
+    mk(root, 50) // v0
+    // scenario: the original query logged batch 0 (end = v0) and
+    // crashed before committing it; the upstream table advances
+    GraftTable.upsert(spark, root,
+      Seq((1000L, 0L, 1L)).toDF("k", "bucket", "v"), "k") // v1
+    // the restarted query constructs a NEW source whose DEFAULT
+    // startingVersion is the current latest (v1) — the engine then
+    // replays batch 0 with the LOGGED offset
+    val src = new GraftTableSource(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      Map("path" -> root, "key" -> "k"))
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    import org.apache.spark.sql.graftshim.StreamingFrame
+    val replayed = StreamingFrame.toBatch(
+      src.getBatch(None, LongOffset(0L)).toDF())
+    // byte-identical to the original batch 0: the v0 snapshot, no
+    // rows from beyond the logged offset
+    assert(replayed.count() === 50)
+    assert(replayed.filter($"k" === 1000L).count() === 0)
+    // the next window then ships exactly the overlap-free delta
+    val next = StreamingFrame.toBatch(
+      src.getBatch(Some(LongOffset(0L)), LongOffset(1L)).toDF())
+    assert(next.select("k").as[Long].collect().toSeq === Seq(1000L))
+  }
+
   test("incompatible history refuses at start: a column dropped below " +
     "the starting version has no single output schema") {
     val root = tmp("gts_drop") + "/tbl"
