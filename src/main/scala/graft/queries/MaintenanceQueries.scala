@@ -3219,6 +3219,88 @@ object MaintenanceQueries {
            |  true AS ok
            |FROM stages GROUP BY stage ORDER BY stage""".stripMargin))
 
+  /** RUNTIME FILE PRUNING (round 14): the graft scan reports its key
+    * column through `SupportsRuntimeFiltering`, so a broadcast join
+    * against a selective dimension injects a dynamic-pruning subquery
+    * — once the build side completes, the OBSERVED join keys re-plan
+    * the scan's partitions and files whose [minKey, maxKey] interval
+    * contains none of them NEVER OPEN. The dimension's keys cluster in
+    * the fact's lowest key range, so of the fact's range-bucketed
+    * files at most two survive (`ok` pins the post-filter file count
+    * AND the `dynamicpruning` subscription in the plan). At 1000
+    * executors this is a 3-key lookup join opening three files of a
+    * 100 TB fact instead of scanning it — static manifest skipping
+    * cannot do it because the keys exist only at run time. */
+  val q317RuntimePrunedJoin = GraftQuery(
+    "q317_runtime_pruned_join",
+    (s, dir) => {
+      val base = newTempDir("graft_runtime_prune")
+      val root = base + "/fact"
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, root, orders, "k", nBuckets = 8)
+      val nFiles = GraftTable.snapshotFileLedger(s, root, 0).size
+      val nOrders = orders.count()
+      // the dimension: keys in the fact's LOWEST eighth, every 97th —
+      // a real source with a surviving selective filter (DPP wants one)
+      val dim = Tables.orders(s, dir)
+        .select(col("o_orderkey").cast("long").as("sk"))
+        .filter(col("sk") < nOrders / 8 && col("sk") % 97 === 0)
+      val aqeOld = s.conf.getOption("spark.sql.adaptive.enabled")
+      val (rows, ok) =
+        try {
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          val fact = s.read.format("graft").load(root)
+          val joined = fact.join(broadcast(dim), col("k") === col("sk"))
+            .groupBy(lit(1).as("grp"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum("cents").as("cents_sum"),
+              sum(conv(substring(md5(concat_ws("|",
+                col("k").cast("string"), col("prio"),
+                col("cents").cast("string"))), 1, 8), 16, 10)
+                .cast("long")).as("row_sum"))
+            .drop("grp")
+          val collected = joined.collect().toSeq
+          val plan = joined.queryExecution.executedPlan
+          val scan = plan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec => b.scan
+          }.collectFirst { case g: graft.sources.GraftBatchScan => g }
+          val pruned = scan.map(_.runtimePrunedTo).getOrElse(-1)
+          (collected,
+            plan.toString.contains("dynamicpruning") &&
+              pruned >= 1 && pruned <= math.max(2, nFiles / 4))
+        } finally aqeOld.fold(s.conf.unset("spark.sql.adaptive.enabled"))(
+          s.conf.set("spark.sql.adaptive.enabled", _))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_rows",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cents_sum",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("row_sum",
+            org.apache.spark.sql.types.LongType))))
+        .withColumn("ok", lit(ok))
+    },
+    Some("""WITH o AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |    o_orderpriority AS prio,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM orders),
+           |n AS (SELECT count(*) AS c FROM o),
+           |dim AS (
+           |  SELECT k AS sk FROM o, n WHERE k < c / 8 AND k % 97 = 0)
+           |SELECT count(*) AS n_rows,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |    prio || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |    AS BIGINT) AS row_sum,
+           |  true AS ok
+           |FROM o JOIN dim ON o.k = dim.sk""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
@@ -3232,5 +3314,5 @@ object MaintenanceQueries {
     q295SqlMaintenance, q296CheckConstraints, q302OptimizeMergeConcurrency,
     q303ColumnRename, q304ColumnDropReadd, q305MultiTablePublish,
     q306ShallowClone, q308SqlCtas, q311DeletionVectors, q314SqlDvDml,
-    q315NdvCbo, q316BranchPublish)
+    q315NdvCbo, q316BranchPublish, q317RuntimePrunedJoin)
 }

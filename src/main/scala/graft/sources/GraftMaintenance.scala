@@ -45,6 +45,12 @@ class GraftMaintenanceParser(delegate: ParserInterface)
   private val CompactLog =
     ("""(?is)\s*COMPACT\s+LOG\s+'([^']+)'""" +
       """(?:\s+DIRTY\s+RATIO\s+([0-9.]+))?\s*;?\s*""").r
+  private val CreateBranch =
+    """(?is)\s*CREATE\s+BRANCH\s+([A-Za-z][\w.-]*)\s+ON\s+([\w.`]+)\s*;?\s*""".r
+  private val DropBranch =
+    """(?is)\s*DROP\s+BRANCH\s+([A-Za-z][\w.-]*)\s+ON\s+([\w.`]+)\s*;?\s*""".r
+  private val FastForward =
+    """(?is)\s*FAST\s*FORWARD\s+([\w.`]+)\s+FROM\s+([A-Za-z][\w.-]*)\s*;?\s*""".r
 
   private def parts(ident: String): Seq[String] =
     ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
@@ -70,6 +76,12 @@ class GraftMaintenanceParser(delegate: ParserInterface)
     case CompactLog(dir, ratio) =>
       GraftCompactLogCommand(dir,
         Option(ratio).map(_.toDouble).getOrElse(0.5))
+    case CreateBranch(name, ident) =>
+      GraftBranchCommand(parts(ident), name, "create")
+    case DropBranch(name, ident) =>
+      GraftBranchCommand(parts(ident), name, "drop")
+    case FastForward(ident, name) =>
+      GraftBranchCommand(parts(ident), name, "fastforward")
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -160,6 +172,41 @@ case class GraftCompactLogCommand(dir: String, minDirtyRatio: Double)
     val (parts, removed) =
       graft.streaming.GraftLog.compactIfDirty(spark, dir, minDirtyRatio)
     Seq(Row(parts, removed))
+  }
+}
+
+/** Branch workflow verbs: `CREATE BRANCH w ON cat.t` (fork at the
+  * current head), `FAST FORWARD cat.t FROM w` (publish the branch's
+  * commits version-for-version; refuses if main advanced), `DROP
+  * BRANCH w ON cat.t`. Branch WRITES are the Scala `upsertBranch`
+  * verb — a branch is a pipeline workspace, and pipelines write
+  * through the API; the SQL verbs cover the human half (fork, publish,
+  * clean up). Returns (version, published): create → (base, 0), drop →
+  * (head at drop, 0), fastforward → (new main head, commits
+  * published). */
+case class GraftBranchCommand(parts: Seq[String], name: String,
+    verb: String) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("published", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftMaintenance.rootOf(spark, parts, "BRANCH")
+    verb match {
+      case "create" =>
+        Seq(Row(GraftTable.createBranch(spark, root, name).toLong, 0))
+      case "drop" =>
+        val head = GraftTable.latestVersion(spark, root)
+        GraftTable.deleteBranch(spark, root, name)
+        Seq(Row(head.toLong, 0))
+      case "fastforward" =>
+        GraftTable.fastForward(spark, root, name) match {
+          case Right((v, n)) => Seq(Row(v.toLong, n))
+          case Left(violations) => throw new IllegalStateException(
+            s"FAST FORWARD refused by audits: $violations")
+        }
+    }
   }
 }
 

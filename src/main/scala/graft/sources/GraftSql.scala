@@ -591,7 +591,8 @@ class GraftBatchScan(val root: String, val version: Int,
     val required: StructType, val filters: Array[Filter],
     val pushedAgg: Option[(StructType, Seq[Any])] = None)
   extends Scan with org.apache.spark.sql.connector.read.Batch
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType =
     pushedAgg.map(_._1).getOrElse(required)
@@ -692,13 +693,84 @@ class GraftBatchScan(val root: String, val version: Int,
     }
   }
 
+  // ---- RUNTIME FILE PRUNING (SupportsRuntimeFiltering) -------------
+  //
+  // The key column is reported as a runtime-filterable attribute, so
+  // a broadcast join against a selective dimension injects a
+  // dynamic-pruning subquery: once the build side completes, Spark
+  // hands the observed join-key values to [[filter]] and THIS scan
+  // re-plans its partitions — files whose [minKey, maxKey] interval
+  // contains none of the values never open. At 1000 executors this is
+  // the difference between scanning a 100 TB fact for a 3-key lookup
+  // join and opening three files; the static manifest skip can't do
+  // it because the keys are only known at run time.
+
+  /** Runtime join-key values (sorted), set by [[filter]]. Excluded
+    * from equals/hashCode — exchange reuse must key on WHAT the scan
+    * statically reads. */
+  @transient @volatile private var runtimeKeys: Option[Array[Long]] = None
+  /** Post-runtime-filter file count — test/gate observability. */
+  @transient @volatile private[graft] var runtimePrunedTo: Int = -1
+
+  override def filterAttributes()
+    : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    GraftTable.keyColumn(SparkSession.active, root)
+      .filter(k => required.fieldNames.contains(k))
+      .map { k =>
+        new org.apache.spark.sql.connector.expressions.NamedReference {
+          override def fieldNames(): Array[String] = Array(k)
+          override def describe(): String = k
+          override def toString: String = k
+        }: org.apache.spark.sql.connector.expressions.NamedReference
+      }.toArray
+
+  override def filter(runtime: Array[Filter]): Unit = {
+    val key = GraftTable.keyColumn(SparkSession.active, root).orNull
+    if (key == null) return
+    def longOf(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    // IN / = on the key column prune; anything else is ignored (the
+    // runtime filter is a pure optimization — Spark re-evaluates the
+    // join anyway, so dropping an unconvertible filter is safe)
+    val values = runtime.flatMap {
+      case In(a, vs) if a == key =>
+        val ls = vs.flatMap(longOf)
+        if (ls.length == vs.length) Some(ls) else None
+      case EqualTo(a, v) if a == key => longOf(v).map(Array(_))
+      case _ => None
+    }.flatten
+    if (values.nonEmpty) synchronized {
+      val sorted = values.distinct.sorted
+      runtimeKeys = Some(sorted)
+      prunedFilesCache = null // re-plan partitions under the new keys
+      parquetScanCache = null
+      dvScanCache = None
+      dvScanBuilt = false
+    }
+  }
+
   /** The pruned snapshot's files, split by DELETION-VECTOR presence:
     * clean files keep the exact fast parquet plan; DV'd files go
-    * through the masked merge-on-read path below. */
-  @transient private lazy val prunedFiles
-    : Seq[(org.apache.hadoop.fs.FileStatus, String, Long)] =
-    GraftTable.snapshotFilesWithDvs(
-      SparkSession.active, root, version, keyRange)
+    * through the masked merge-on-read path below. Cached per scan
+    * instance but INVALIDATED by a runtime filter (the DSv2
+    * runtime-filtering contract re-plans partitions after
+    * [[filter]]). */
+  @transient private var prunedFilesCache
+    : Seq[(org.apache.hadoop.fs.FileStatus, String, Long)] = null
+  private def prunedFiles
+    : Seq[(org.apache.hadoop.fs.FileStatus, String, Long)] = synchronized {
+    if (prunedFilesCache == null) {
+      prunedFilesCache = GraftTable.snapshotFilesWithDvs(
+        SparkSession.active, root, version, keyRange, runtimeKeys)
+      if (runtimeKeys.isDefined) runtimePrunedTo = prunedFilesCache.size
+    }
+    prunedFilesCache
+  }
 
   private def buildParquetScan(spark: SparkSession,
       statuses: Seq[org.apache.hadoop.fs.FileStatus],
@@ -741,23 +813,38 @@ class GraftBatchScan(val root: String, val version: Int,
     sb.build()
   }
 
-  /** Spark's parquet scan over the CLEAN pruned file set, built ONCE
-    * per scan instance (planning may ask for partitions and the
-    * reader factory separately). */
-  @transient private lazy val parquetScan
+  /** Spark's parquet scan over the CLEAN pruned file set, built once
+    * per (scan instance, runtime-filter state) — invalidated with
+    * [[prunedFiles]]. */
+  @transient private var parquetScanCache
+    : org.apache.spark.sql.execution.datasources.v2.FileScan = null
+  private def parquetScan
     : org.apache.spark.sql.execution.datasources.v2.FileScan =
-    buildParquetScan(SparkSession.active,
-      prunedFiles.filter(_._2.isEmpty).map(_._1), withRowIndex = false)
+    synchronized {
+      if (parquetScanCache == null)
+        parquetScanCache = buildParquetScan(SparkSession.active,
+          prunedFiles.filter(_._2.isEmpty).map(_._1), withRowIndex = false)
+      parquetScanCache
+    }
 
   /** The masked scan over DV'd files (None when the snapshot has no
     * DVs — zero overhead on the common path). */
-  @transient private lazy val dvScan
-    : Option[org.apache.spark.sql.execution.datasources.v2.FileScan] = {
-    val dvd = prunedFiles.filter(_._2.nonEmpty)
-    if (dvd.isEmpty) None
-    else Some(buildParquetScan(SparkSession.active, dvd.map(_._1),
-      withRowIndex = true))
-  }
+  @transient private var dvScanCache
+    : Option[org.apache.spark.sql.execution.datasources.v2.FileScan] = None
+  @transient private var dvScanBuilt: Boolean = false
+  private def dvScan
+    : Option[org.apache.spark.sql.execution.datasources.v2.FileScan] =
+    synchronized {
+      if (!dvScanBuilt) {
+        val dvd = prunedFiles.filter(_._2.nonEmpty)
+        dvScanCache =
+          if (dvd.isEmpty) None
+          else Some(buildParquetScan(SparkSession.active, dvd.map(_._1),
+            withRowIndex = true))
+        dvScanBuilt = true
+      }
+      dvScanCache
+    }
 
   private def hconfMap: Map[String, String] = {
     val it = SparkSession.active.sparkContext.hadoopConfiguration.iterator()

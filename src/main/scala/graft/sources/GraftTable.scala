@@ -1150,21 +1150,33 @@ object GraftTable {
     val (f, _) = fs(root, spark)
     val log = new org.apache.hadoop.fs.Path(root, "_log")
     if (!f.exists(log)) return Map.empty
-    val vs = f.listStatus(log).map(_.getPath.getName)
+    def parse(text: String): Seq[((String, String), Seq[String])] =
+      text.linesIterator.filter(_.nonEmpty).flatMap { line =>
+        line.split('\t') match {
+          case Array("K", rel, c, ds) if rels(rel) => // checkpoint form
+            Some((rel, c) -> ds.split(',').filter(_.nonEmpty).toSeq)
+          case Array("K", rel, c) if rels(rel) =>
+            Some((rel, c) -> Seq.empty[String])
+          case Array(rel, c, ds) if rels(rel) =>
+            Some((rel, c) -> ds.split(',').filter(_.nonEmpty).toSeq)
+          case Array(rel, c) if rels(rel) => // all-NULL file: 0 distinct
+            Some((rel, c) -> Seq.empty[String])
+          case _ => None
+        }
+      }.toSeq
+    // the newest checkpoint first: digests of files whose sidecars
+    // vacuum already swept live on inside it (the colstats rule)
+    val names = f.listStatus(log).map(_.getPath.getName)
+    val fromCp = names
+      .collect { case s if s.matches("checkpoint-v\\d{5}\\.tsv") =>
+        s.substring(12, 17).toInt }
+      .sorted.lastOption.map(cpV =>
+        parse(readFully(f, checkpointPath(root, cpV))))
+      .getOrElse(Seq.empty)
+    val vs = names
       .collect { case s if s.matches("kmv-v\\d{5}\\.tsv") =>
         s.substring(5, 10).toInt }.toSeq.filter(_ <= version)
-    vs.flatMap { v =>
-      readFully(f, kmvPath(root, v)).linesIterator
-        .filter(_.nonEmpty).flatMap { line =>
-          line.split('\t') match {
-            case Array(rel, c, ds) if rels(rel) =>
-              Some((rel, c) -> ds.split(',').filter(_.nonEmpty).toSeq)
-            case Array(rel, c) if rels(rel) => // all-NULL file: 0 distinct
-              Some((rel, c) -> Seq.empty[String])
-            case _ => None
-          }
-        }.toSeq
-    }.toMap
+    (fromCp ++ vs.flatMap(v => parse(readFully(f, kmvPath(root, v))))).toMap
   }
 
   /** APPROXIMATE DISTINCT COUNT of `column` over `version`'s live
@@ -1419,12 +1431,24 @@ object GraftTable {
     * DSv2 scan needs to split the snapshot into the clean fast path
     * and the masked merge-on-read path. */
   private[sources] def snapshotFilesWithDvs(spark: SparkSession,
-      root: String, version: Int, keyRange: Option[(Long, Long)] = None)
+      root: String, version: Int, keyRange: Option[(Long, Long)] = None,
+      keyValues: Option[Array[Long]] = None)
     : Seq[(org.apache.hadoop.fs.FileStatus, String, Long)] = {
     val all = loadManifest(spark, root, version)
-    val entries = keyRange match {
+    val ranged = keyRange match {
       case Some((lo, hi)) => all.filter(e => e.maxKey >= lo && e.minKey <= hi)
       case None => all
+    }
+    // RUNTIME key-value pruning (sorted values; a file survives iff
+    // some value lands inside its [minKey, maxKey] interval) — the
+    // join-time file-skipping the DSv2 runtime-filter surface feeds
+    val entries = keyValues match {
+      case Some(vs) if vs.nonEmpty => ranged.filter { e =>
+        var i = java.util.Arrays.binarySearch(vs, e.minKey)
+        if (i < 0) i = -i - 1
+        i < vs.length && vs(i) <= e.maxKey
+      }
+      case _ => ranged
     }
     val (f, _) = fs(root, spark)
     entries.map { e =>
@@ -2859,6 +2883,13 @@ object GraftTable {
         .filter(_._2 < keepFrom)
         .foreach { case (s, _) =>
           f.delete(new org.apache.hadoop.fs.Path(log, s), false) }
+      // NDV digest sidecars sweep on the same horizon — live files'
+      // digests were folded into the checkpoint written above
+      names.collect { case s if s.matches("kmv-v\\d{5}\\.tsv") =>
+        (s, s.substring(5, 10).toInt) }
+        .filter(_._2 < keepFrom)
+        .foreach { case (s, _) =>
+          f.delete(new org.apache.hadoop.fs.Path(log, s), false) }
       val schemaVs = names.collect {
         case s if s.matches("schema-v\\d{5}\\.json") =>
           (s, s.substring(8, 13).toInt) }
@@ -3265,10 +3296,16 @@ object GraftTable {
       }
     val liveRels = loadManifest(spark, root, latest).map(_.relPath).toSet
     val stats = loadColStats(spark, root, latest, liveRels)
+    // NDV digests of live files ride the checkpoint too (`K` lines),
+    // so CBO distinct counts survive vacuum's sidecar sweep exactly
+    // like colstats do
+    val digests = loadKmvDigests(spark, root, latest, liveRels)
     val lines =
       hist.sortBy(_._1).map { case (v, n, r) => s"H\t$v\t$n\t$r" } ++
         stats.toSeq.sortBy(_._1).map { case ((rel, c), (mn, mx)) =>
-          s"C\t$rel\t$c\t$mn\t$mx" }
+          s"C\t$rel\t$c\t$mn\t$mx" } ++
+        digests.toSeq.sortBy(_._1).map { case ((rel, c), ds) =>
+          s"K\t$rel\t$c\t${ds.mkString(",")}" }
     writeAtomic(f, cpP, lines.mkString("", "\n", "\n"))
     latest
   }

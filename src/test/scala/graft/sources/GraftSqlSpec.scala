@@ -797,6 +797,64 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gmor.mor").as[Long].head() === 100L)
   }
 
+  test("branch SQL verbs: CREATE BRANCH / FAST FORWARD / DROP BRANCH " +
+    "drive the whole workflow through the maintenance parser") {
+    val base = freshBase()
+    mk(base + "/t", n = 100, buckets = 1)
+    spark.conf.set("spark.sql.catalog.gbr", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbr.base", base)
+    val created = spark.sql("CREATE BRANCH wip ON gbr.t").collect()(0)
+    assert(created.getLong(0) === 0L)
+    GraftTable.upsertBranch(spark, base + "/t",
+      "wip", Seq((7L, "branched", -7L)).toDF("k", "name", "v"), "k")
+    assert(spark.sql("SELECT count(*) FROM gbr.t WHERE name = 'branched'")
+      .as[Long].head() === 0L) // invisible on main
+    val ff = spark.sql("FAST FORWARD gbr.t FROM wip").collect()(0)
+    assert(ff.getLong(0) === 1L && ff.getInt(1) === 1)
+    assert(spark.sql("SELECT v FROM gbr.t WHERE k = 7")
+      .as[Long].head() === -7L)
+    spark.sql("DROP BRANCH wip ON gbr.t").collect()
+    assert(GraftTable.listBranches(spark, base + "/t").isEmpty)
+    // normal SQL still flows through the delegate untouched
+    assert(spark.sql("SELECT 1 + 1").as[Int].head() === 2)
+  }
+
+  test("runtime file pruning: a broadcast join's observed keys prune " +
+    "manifest files at execution — files outside the key set never open") {
+    val base = freshBase()
+    val root = base + "/rf"
+    mk(root, n = 100000, buckets = 8) // 8 range-bucketed files
+    val fact = spark.read.format("graft").load(root)
+    // a selective dimension: 3 keys landing in at most 3 of 8 files.
+    // (A Range source, not a LocalRelation — ConvertToLocalRelation
+    // would fold the selective filter away before the DPP rule looks
+    // for one.)
+    val dim = spark.range(0, 200000)
+      .select($"id".as("k"), ($"id" % 97).as("tag"))
+      .filter($"k".isin(5L, 50000L, 99999L))
+    val olds = Seq("spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = fact.join(broadcast(dim), "k")
+      val rows = joined.collect()
+      assert(rows.length === 3)
+      val plan = joined.queryExecution.executedPlan
+      // the scan subscribed to the join's runtime filter...
+      assert(plan.toString.contains("RuntimeFilters: [dynamicpruning"),
+        plan.toString.take(1200))
+      // ...and actually pruned: of 8 files, at most 3 survived
+      val scan = plan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b.scan
+      }.collectFirst { case g: GraftBatchScan => g }.get
+      assert(scan.runtimePrunedTo >= 1 && scan.runtimePrunedTo <= 3,
+        s"expected ≤3 of 8 files after runtime pruning, " +
+          s"got ${scan.runtimePrunedTo}")
+    } finally olds.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("columnar reads survive deletion vectors: one DV'd file among " +
     "clean ones keeps the whole scan vectorized (ColumnarToRow), " +
     "masked rows exact") {

@@ -443,6 +443,25 @@ class GraftTableSpec extends SparkSpec {
       .collect().toSeq === Seq(5L))
   }
 
+  test("NDV digests survive vacuum: live files' KMV lines fold into " +
+    "the checkpoint; swept sidecars don't lose the estimate") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(500), "k", nBuckets = 2)
+    assert(GraftTable.estimateDistinct(spark, root, 0, "name").isDefined)
+    GraftTable.upsert(spark, root,
+      Seq((1L, "u1", -1L)).toDF("k", "name", "v"), "k") // v1
+    GraftTable.upsert(spark, root,
+      Seq((2L, "u2", -2L)).toDF("k", "name", "v"), "k") // v2
+    GraftTable.vacuum(spark, root, retainVersions = 1)
+    // the v0 digest sidecar is swept below the horizon...
+    assert(!new java.io.File(root, "_log/kmv-v00000.tsv").exists())
+    // ...but carried files' digests live on in the checkpoint: the
+    // estimate still serves instead of refusing
+    val est = GraftTable.estimateDistinct(spark, root, 2, "name")
+    assert(est.isDefined && est.get >= 490 && est.get <= 560,
+      s"post-vacuum NDV should still serve (≈500+2 names), got $est")
+  }
+
   test("branches: commits invisible on main; fast-forward refuses when " +
     "main advanced; vacuum pins branch-reachable files; delete orphans") {
     val root = freshRoot()
