@@ -51,6 +51,8 @@ class GraftMaintenanceParser(delegate: ParserInterface)
     """(?is)\s*DROP\s+BRANCH\s+([A-Za-z][\w.-]*)\s+ON\s+([\w.`]+)\s*;?\s*""".r
   private val FastForward =
     """(?is)\s*FAST\s*FORWARD\s+([\w.`]+)\s+FROM\s+([A-Za-z][\w.-]*)\s*;?\s*""".r
+  private val Restore =
+    """(?is)\s*RESTORE\s+([\w.`]+)\s+TO\s+VERSION\s+([\w.-]+)\s*;?\s*""".r
 
   private def parts(ident: String): Seq[String] =
     ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
@@ -82,6 +84,8 @@ class GraftMaintenanceParser(delegate: ParserInterface)
       GraftBranchCommand(parts(ident), name, "drop")
     case FastForward(ident, name) =>
       GraftBranchCommand(parts(ident), name, "fastforward")
+    case Restore(ident, ref) =>
+      GraftRestoreCommand(parts(ident), ref)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -207,6 +211,25 @@ case class GraftBranchCommand(parts: Seq[String], name: String,
             s"FAST FORWARD refused by audits: $violations")
         }
     }
+  }
+}
+
+/** `RESTORE cat.t TO VERSION <n | tag>` — publish an old snapshot as
+  * the NEW head (one metadata-only commit, history preserved — the
+  * Delta RESTORE verb, SQL form of [[GraftTable.restore]]); the
+  * reference resolves through tags exactly like `VERSION AS OF`. */
+case class GraftRestoreCommand(parts: Seq[String], ref: String)
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftMaintenance.rootOf(spark, parts, "RESTORE")
+    val to = GraftTable.resolveRef(spark, root, ref).getOrElse(
+      throw new IllegalArgumentException(
+        s"RESTORE: '$ref' is neither a version number nor a tag of $root"))
+    Seq(Row(GraftTable.restore(spark, root, to).toLong))
   }
 }
 

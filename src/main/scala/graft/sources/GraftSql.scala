@@ -715,6 +715,9 @@ class GraftBatchScan(val root: String, val version: Int,
   override def filterAttributes()
     : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     GraftTable.keyColumn(SparkSession.active, root)
+      // a metadata-served aggregate's row is precomputed at push time:
+      // never advertise it as runtime-filterable
+      .filter(_ => pushedAgg.isEmpty)
       .filter(k => required.fieldNames.contains(k))
       .map { k =>
         new org.apache.spark.sql.connector.expressions.NamedReference {
@@ -1156,8 +1159,16 @@ class GraftMetaTable(root: String, kind: String, version: Int)
     case "tags" => StructType(Seq(
       StructField("tag", StringType, nullable = false),
       StructField("version", LongType, nullable = false)))
+    case "branches" => StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("base_version", LongType, nullable = false),
+      StructField("head_branch_version", LongType, nullable = false)))
+    case "properties" => StructType(Seq(
+      StructField("property", StringType, nullable = false),
+      StructField("value", StringType, nullable = false)))
     case other => throw new IllegalArgumentException(
-      s"unknown graft metadata table '$$$other' (files, history, tags)")
+      s"unknown graft metadata table '$$$other' " +
+        "(files, history, tags, branches, properties)")
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -1189,6 +1200,22 @@ class GraftMetaTable(root: String, kind: String, version: Int)
                   .map { case (v, nf, nr) =>
                     new GenericInternalRow(Array[Any](
                       v.toLong, ts(v), nf.toLong, nr))
+                      : org.apache.spark.sql.catalyst.InternalRow
+                  }.toArray
+              case "branches" =>
+                GraftTable.listBranches(spark, root).sorted
+                  .map { b =>
+                    new GenericInternalRow(Array[Any](
+                      UTF8String.fromString(b),
+                      GraftTable.branchBase(spark, root, b).toLong,
+                      GraftTable.branchHeadVersion(spark, root, b).toLong))
+                      : org.apache.spark.sql.catalyst.InternalRow
+                  }.toArray
+              case "properties" =>
+                GraftTable.tableProperties(spark, root).toSeq.sortBy(_._1)
+                  .map { case (k, v) =>
+                    new GenericInternalRow(Array[Any](
+                      UTF8String.fromString(k), UTF8String.fromString(v)))
                       : org.apache.spark.sql.catalyst.InternalRow
                   }.toArray
               case _ =>
@@ -1256,7 +1283,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     * table over `t`, pinned at `v` (head if None). None when the
     * identifier isn't a metadata reference over an existing table. */
   private def metaTable(ident: Identifier, v: Option[Int]): Option[Table] = {
-    val kinds = Set("files", "history", "tags")
+    val kinds = Set("files", "history", "tags", "branches", "properties")
     val n = ident.name()
     val dollar = n.lastIndexOf('$')
     val resolved =

@@ -819,6 +819,54 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT 1 + 1").as[Int].head() === 2)
   }
 
+  test("$branches and $properties metadata tables serve the ref and " +
+    "policy state through SQL, zero data I/O") {
+    val base = freshBase()
+    val root = base + "/m"
+    mk(root, n = 20, buckets = 1)
+    spark.conf.set("spark.sql.catalog.gmt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmt.base", base)
+    spark.sql("CREATE BRANCH exp ON gmt.m").collect()
+    GraftTable.upsertBranch(spark, root, "exp",
+      Seq((1L, "b", 0L)).toDF("k", "name", "v"), "k")
+    spark.sql(
+      "ALTER TABLE gmt.m SET TBLPROPERTIES ('graft.dml.mode' = 'dv')")
+    val br = spark.sql("SELECT * FROM gmt.`m$branches`").collect()
+    assert(br.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq(("exp", 0L, 1L)))
+    val props = spark.sql(
+      "SELECT value FROM gmt.`m$properties` WHERE property = 'graft.dml.mode'")
+      .as[String].collect().toSeq
+    assert(props === Seq("dv"))
+    // dotted Iceberg-style form resolves too
+    assert(spark.sql("SELECT count(*) FROM gmt.m.branches")
+      .as[Long].head() === 1L)
+  }
+
+  test("RESTORE through SQL: an old snapshot (by number or tag) " +
+    "republishes as the new head; history preserved") {
+    val base = freshBase()
+    val root = base + "/r"
+    mk(root, n = 50, buckets = 1)
+    GraftTable.tag(spark, root, "golden", 0)
+    spark.conf.set("spark.sql.catalog.grs", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grs.base", base)
+    spark.sql("DELETE FROM grs.r WHERE k <= 40") // v1
+    assert(spark.sql("SELECT count(*) FROM grs.r").as[Long].head() === 10L)
+    val v = spark.sql("RESTORE grs.r TO VERSION golden").collect()(0)
+    assert(v.getLong(0) === 2L)
+    assert(spark.sql("SELECT count(*) FROM grs.r").as[Long].head() === 50L)
+    // history preserved: the delete's snapshot is still addressable
+    assert(spark.sql("SELECT count(*) FROM grs.r VERSION AS OF 1")
+      .as[Long].head() === 10L)
+    // numeric form + unknown-ref refusal
+    assert(spark.sql("RESTORE grs.r TO VERSION 1").collect()(0)
+      .getLong(0) === 3L)
+    val e = intercept[Exception] {
+      spark.sql("RESTORE grs.r TO VERSION nope").collect() }
+    assert(e.getMessage.contains("neither a version number nor a tag"))
+  }
+
   test("runtime file pruning: a broadcast join's observed keys prune " +
     "manifest files at execution — files outside the key set never open") {
     val base = freshBase()
