@@ -13,31 +13,37 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   * `VACUUM`):
   *
   * {{{
-  *   OPTIMIZE cat.t                       -- bin-pack small files
+  *   OPTIMIZE cat.t                        -- bin-pack small files
   *   OPTIMIZE cat.t TARGET 500000 ROWS
-  *   OPTIMIZE cat.t ZORDER BY (c1, c2)    -- space-filling-curve layout
-  *   VACUUM cat.t                         -- sweep unreferenced files
+  *   OPTIMIZE cat.t WHERE k BETWEEN a AND b -- SCOPED compaction
+  *   OPTIMIZE cat.t ZORDER BY (c1, c2)     -- space-filling-curve layout
+  *   VACUUM cat.t                          -- sweep unreferenced files
   *   VACUUM cat.t RETAIN 5 VERSIONS
-  *   VACUUM cat.t RETAIN 7 DAYS           -- durable-instant horizon
+  *   VACUUM cat.t RETAIN 7 DAYS            -- durable-instant horizon
+  *   COMPACT LOG '/topic' [DIRTY RATIO r]  -- broker-log key compaction
+  *   CREATE BRANCH w ON cat.t              -- fork at the head
+  *   FAST FORWARD cat.t FROM w             -- audited branch publish
+  *   DROP BRANCH w ON cat.t
+  *   RESTORE cat.t TO VERSION <n | tag>    -- republish an old snapshot
   * }}}
   *
   * Spark's grammar has no such statements, so they arrive through the
   * LAST extension seam the engine hadn't used: an injected PARSER
   * ([[org.apache.spark.sql.SparkSessionExtensions.injectParser]]).
-  * [[GraftMaintenanceParser]] recognizes exactly these two statement
+  * [[GraftMaintenanceParser]] recognizes exactly these statement
   * shapes and delegates EVERYTHING else to Spark's own parser
   * untouched — zero cost and zero behavior change for normal SQL. The
   * commands resolve `cat` through the session's catalog manager and
   * refuse non-graft catalogs with guidance; execution routes onto the
-  * SAME Scala-API maintenance paths (`GraftTable.optimize` /
-  * `optimizeZOrder` / `vacuum`), so SQL operators and Scala operators
-  * share one commit/retention machinery. */
+  * SAME Scala-API maintenance paths, so SQL operators and Scala
+  * operators share one commit/retention machinery. */
 class GraftMaintenanceParser(delegate: ParserInterface)
   extends ParserInterface {
 
   private val Optimize =
     ("""(?is)\s*OPTIMIZE\s+([\w.`]+)""" +
       """(?:\s+TARGET\s+(\d+)\s+ROWS)?""" +
+      """(?:\s+WHERE\s+([\w`]+)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+))?""" +
       """(?:\s+ZORDER\s+BY\s*\(\s*([\w`]+)\s*,\s*([\w`]+)\s*\))?\s*;?\s*""").r
   private val Vacuum =
     ("""(?is)\s*VACUUM\s+([\w.`]+)""" +
@@ -58,13 +64,15 @@ class GraftMaintenanceParser(delegate: ParserInterface)
     ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Optimize(ident, target, z1, z2) =>
+    case Optimize(ident, target, wcol, wlo, whi, z1, z2) =>
       GraftOptimizeCommand(parts(ident),
         Option(target).map(_.toLong).getOrElse(1000000L),
         (Option(z1), Option(z2)) match {
           case (Some(a), Some(b)) => Some((a, b))
           case _ => None
-        })
+        },
+        Option(wcol).map(c =>
+          (c.stripPrefix("`").stripSuffix("`"), wlo.toLong, whi.toLong)))
     case Vacuum(ident, retain, unit) =>
       (Option(retain), Option(unit).map(_.toUpperCase)) match {
         case (Some(n), Some("DAYS")) =>
@@ -135,7 +143,8 @@ private[sources] object GraftMaintenance {
 /** `OPTIMIZE cat.t [TARGET n ROWS] [ZORDER BY (c1, c2)]` — bin-pack
   * (or curve-layout) through the Scala API's commit machinery. */
 case class GraftOptimizeCommand(parts: Seq[String], targetRows: Long,
-    zorder: Option[(String, String)]) extends LeafRunnableCommand {
+    zorder: Option[(String, String)],
+    range: Option[(String, Long, Long)] = None) extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
@@ -145,6 +154,20 @@ case class GraftOptimizeCommand(parts: Seq[String], targetRows: Long,
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftMaintenance.rootOf(spark, parts, "OPTIMIZE")
     val key = GraftMaintenance.keyOf(spark, root, "OPTIMIZE")
+    // WHERE col BETWEEN lo AND hi — SCOPED compaction: only files
+    // whose key interval intersects the range rewrite (the
+    // maintain-yesterday's-span verb at 100 TB). Key column only —
+    // the manifest's skipping dimension — and incompatible with
+    // ZORDER (a whole-table layout).
+    val keyRange = range.map { case (c, lo, hi) =>
+      require(c == key,
+        s"OPTIMIZE ... WHERE supports the key column '$key' only " +
+          s"(got '$c') — the manifest skips on key intervals")
+      require(zorder.isEmpty,
+        "OPTIMIZE ZORDER BY is a whole-table layout; drop the WHERE " +
+          "range or the ZORDER clause")
+      (lo, hi)
+    }
     zorder match {
       case Some((c1, c2)) =>
         val (v, written) =
@@ -152,7 +175,8 @@ case class GraftOptimizeCommand(parts: Seq[String], targetRows: Long,
         Seq(Row(v.toLong, written, 0))
       case None =>
         val (v, rewritten, carried) =
-          GraftTable.optimize(spark, root, key, targetRows)
+          GraftTable.optimize(spark, root, key, targetRows,
+            keyRange = keyRange)
         Seq(Row(v.toLong, rewritten, carried))
     }
   }

@@ -2246,8 +2246,10 @@ object GraftTable {
     *     bytes or gets out of the way.
     * Returns (newVersion, nFilesRewritten, nFilesCarried). */
   def optimize(spark: SparkSession, root: String,
-      key: String, targetRows: Long, maxRebases: Int = 2): (Int, Int, Int) =
-    optimizeWithHook(spark, root, key, targetRows, maxRebases, () => ())
+      key: String, targetRows: Long, maxRebases: Int = 2,
+      keyRange: Option[(Long, Long)] = None): (Int, Int, Int) =
+    optimizeWithHook(spark, root, key, targetRows, maxRebases, () => (),
+      keyRange)
 
   /** [[optimize]] with a test seam: `beforeCommit` runs after the
     * compacted files are staged and before the manifest publish — the
@@ -2256,10 +2258,20 @@ object GraftTable {
     * public form (no-op hook). */
   private[graft] def optimizeWithHook(spark: SparkSession, root: String,
       key: String, targetRows: Long, maxRebases: Int,
-      beforeCommit: () => Unit): (Int, Int, Int) = {
+      beforeCommit: () => Unit,
+      keyRange: Option[(Long, Long)] = None): (Int, Int, Int) = {
     val base = latestVersion(spark, root)
-    val entries = loadManifest(spark, root, base).sortBy(e => (e.minKey, e.relPath))
+    val all = loadManifest(spark, root, base).sortBy(e => (e.minKey, e.relPath))
     val schema = tableSchema(spark, root, base)
+    // SCOPED compaction (`keyRange`): only files whose key interval
+    // intersects the range participate — the operational shape at
+    // 100 TB, where maintenance compacts yesterday's key span, never
+    // the table. Everything outside the scope carries untouched.
+    val (entries, outOfScope) = keyRange match {
+      case Some((lo, hi)) =>
+        all.partition(e => e.maxKey >= lo && e.minKey <= hi)
+      case None => (all, Seq.empty[FileEntry])
+    }
     // contiguous cumulative-row binning (the q186 rule): a file's group
     // is floor(rowsBefore / targetRows). Binning weighs LIVE rows, so
     // heavily-DV'd files pack together like the small files they
@@ -2273,7 +2285,7 @@ object GraftTable {
     // file to the clean fast read path and freeing the masked bytes
     val (compactGroups, singletons) =
       grouped.partition(g => g.size >= 2 || g.exists(_.hasDv))
-    val carry = singletons.flatten.toSeq
+    val carry = singletons.flatten.toSeq ++ outOfScope
     val rewrite = compactGroups.flatten.toSeq
     // conflict identity includes the DV: a concurrent merge-on-read
     // DELETE on one of our inputs makes our staged rewrite stale

@@ -843,6 +843,45 @@ class GraftSqlSpec extends SparkSpec {
       .as[Long].head() === 1L)
   }
 
+  test("OPTIMIZE ... WHERE k BETWEEN: scoped compaction rewrites only " +
+    "the range's files; out-of-scope files carry untouched") {
+    val base = freshBase()
+    val root = base + "/opt"
+    GraftTable.create(spark, root,
+      spark.range(1, 1001).select($"id".as("k"),
+        concat(lit("row"), $"id").as("name"), ($"id" * 2).as("v")),
+      "k", nBuckets = 4) // four range files over 1..1000
+    // fragment the HIGH key range: three singleton-file inserts
+    (1 to 3).foreach { i =>
+      GraftTable.upsert(spark, root,
+        Seq((1100L + i, s"hi$i", 0L)).toDF("k", "name", "v"), "k",
+        nBuckets = 1)
+    }
+    val led3 = GraftTable.snapshotFileLedger(spark, root, 3)
+    assert(led3.size === 7) // 4 originals + 3 singletons
+    val lowFiles = led3.filter(_._3 <= 1000).map(_._1).toSet
+    spark.conf.set("spark.sql.catalog.gopt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gopt.base", base)
+    val r = spark.sql("OPTIMIZE gopt.opt TARGET 100000 ROWS " +
+      "WHERE k BETWEEN 1050 AND 1300").collect()(0)
+    assert(r.getInt(1) === 3 && r.getInt(2) === 4,
+      s"expected the 3 fragments rewritten, 4 originals carried: $r")
+    val led4 = GraftTable.snapshotFileLedger(spark, root, 4)
+    assert(lowFiles.subsetOf(led4.map(_._1).toSet),
+      "out-of-scope files must carry byte-identically")
+    assert(led4.size === 5) // 4 carried + 1 packed
+    assert(spark.sql("SELECT count(*) FROM gopt.opt").as[Long].head()
+      === 1003L)
+    // refusals: non-key range column; ZORDER + WHERE
+    val e1 = intercept[Exception] {
+      spark.sql("OPTIMIZE gopt.opt WHERE v BETWEEN 0 AND 10").collect() }
+    assert(e1.getMessage.contains("key column"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("OPTIMIZE gopt.opt WHERE k BETWEEN 0 AND 10 " +
+        "ZORDER BY (k, v)").collect() }
+    assert(e2.getMessage.contains("whole-table layout"), e2.getMessage)
+  }
+
   test("RESTORE through SQL: an old snapshot (by number or tag) " +
     "republishes as the new head; history preserved") {
     val base = freshBase()
