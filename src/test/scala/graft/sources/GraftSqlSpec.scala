@@ -756,6 +756,31 @@ class GraftSqlSpec extends SparkSpec {
       100L - deleted - (fB._3 - fB._2 + 1 - (bHi - fB._2 + 1)) - 1)
   }
 
+  test("hybrid delete ACCUMULATES prior DVs: a second narrow SQL " +
+    "DELETE on an already-DV'd file folds old + new positions into " +
+    "one fresh sidecar, and metadata count(*) stays exact throughout") {
+    val base = freshBase()
+    val root = base + "/acc"
+    mk(root, n = 100, buckets = 1) // one file — both deletes hit it
+    spark.conf.set("spark.sql.catalog.gacc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gacc.base", base)
+    val rel0 = GraftTable.snapshotFileLedger(spark, root, 0).map(_._1).toSet
+    spark.sql("DELETE FROM gacc.acc WHERE k <= 5")  // 5% → DV
+    spark.sql("DELETE FROM gacc.acc WHERE k >= 96") // 5% more, same file
+    val rel2 = GraftTable.snapshotFileLedger(spark, root, 2).map(_._1).toSet
+    assert(rel2 === rel0, "both deletes must keep the data file's bytes")
+    assert(GraftTable.hasDeletionVectors(spark, root, 2))
+    // metadata-served count(*) = nRows − dvRows: exact iff the second
+    // commit's ledger carried the FIRST delete's positions forward
+    assert(spark.sql("SELECT count(*) FROM gacc.acc").as[Long].head()
+      === 90L)
+    assert(spark.sql("SELECT count(*) FROM gacc.acc WHERE k <= 5 " +
+      "OR k >= 96").as[Long].head() === 0L)
+    // intermediate version still serves its own mask
+    assert(spark.sql("SELECT count(*) FROM gacc.acc VERSION AS OF 1")
+      .as[Long].head() === 95L)
+  }
+
   test("SQL UPDATE and MERGE under auto mode are merge-on-read: zero " +
     "existing data files rewritten, DVs + one fresh file per commit") {
     val base = freshBase()

@@ -500,6 +500,36 @@ class GraftTableSpec extends SparkSpec {
     assert(GraftTable.read(spark, root).count() === 200)
   }
 
+  test("branches fork DV'd bases correctly: branch reads mask the " +
+    "base's deletion vectors; published history keeps them masked") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(100), "k", nBuckets = 2)
+    GraftTable.deleteWhereDv(spark, root, $"k" <= 10) // v1 carries a DV
+    assert(GraftTable.hasDeletionVectors(spark, root, 1))
+    val b = GraftTable.createBranch(spark, root, "dvb")
+    assert(b === 1)
+    // branch reads go through the same masked readEntries
+    assert(GraftTable.readBranch(spark, root, "dvb").count() === 90)
+    GraftTable.upsertBranch(spark, root, "dvb",
+      Seq((50L, "patched", -1L)).toDF("k", "name", "v"), "k")
+    val head = GraftTable.readBranch(spark, root, "dvb")
+    assert(head.count() === 90)
+    assert(head.filter($"name" === "patched").count() === 1)
+    // the branch merge must not resurrect DV-deleted rows
+    assert(head.filter($"k" <= 10).count() === 0)
+    // main untouched; publish keeps the mask on every published version
+    assert(GraftTable.read(spark, root).count() === 90)
+    assert(GraftTable.read(spark, root)
+      .filter($"name" === "patched").count() === 0)
+    val Right((v, n)) = GraftTable.fastForward(spark, root, "dvb")
+      : @unchecked
+    assert(v === 2 && n === 1)
+    val pub = GraftTable.read(spark, root)
+    assert(pub.count() === 90)
+    assert(pub.filter($"name" === "patched").count() === 1)
+    assert(pub.filter($"k" <= 10).count() === 0)
+  }
+
   test("fast-forward publish: version-for-version history, audits gate " +
     "it, resume after a partial publish is idempotent") {
     val root = freshRoot()
