@@ -2677,12 +2677,20 @@ object GraftTable {
       math.max(1, math.min(nBuckets, rewrite.size + 1)), sidecars = false)
     val bv = bvPrev + 1
     f.mkdirs(branchDir(root, name))
-    if (w.statLines.nonEmpty)
-      writeAtomic(f, new org.apache.hadoop.fs.Path(branchDir(root, name),
-        f"colstats-v$bv%05d.tsv"), w.statLines.mkString("", "\n", "\n"))
-    if (w.kmvLines.nonEmpty)
-      writeAtomic(f, new org.apache.hadoop.fs.Path(branchDir(root, name),
-        f"kmv-v$bv%05d.tsv"), w.kmvLines.mkString("", "\n", "\n"))
+    // sidecars stage BEFORE the manifest rename, so a CRASHED attempt
+    // can leave orphans at this bv — replace them (the writeColStatsAt
+    // orphan rule) or the branch would be permanently stuck on the
+    // create-if-absent collision
+    def stageSidecar(kind: String, lines: Seq[String]): Unit =
+      if (lines.nonEmpty) {
+        val p = new org.apache.hadoop.fs.Path(branchDir(root, name),
+          f"$kind-v$bv%05d.tsv")
+        if (f.exists(p) && !f.exists(branchManifestPath(root, name, bv)))
+          f.delete(p, false) // orphan from a failed prior attempt
+        writeAtomic(f, p, lines.mkString("", "\n", "\n"))
+      }
+    stageSidecar("colstats", w.statLines)
+    stageSidecar("kmv", w.kmvLines)
     // branch commit point: create-if-absent rename, instants clamped
     // monotone within the branch (same TIMESTAMP-resolution rule)
     val prevInstant =

@@ -500,6 +500,32 @@ class GraftTableSpec extends SparkSpec {
     assert(GraftTable.read(spark, root).count() === 200)
   }
 
+  test("a CRASHED branch commit's orphan sidecar never wedges the " +
+    "branch: the retry replaces it and lands") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(50), "k", nBuckets = 1)
+    GraftTable.createBranch(spark, root, "cr")
+    // simulate a writer that staged its bv=1 sidecar and died before
+    // the manifest rename
+    val (f, _) = (new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), ())
+    val orphan = new org.apache.hadoop.fs.Path(root,
+      "_log/branch-cr/colstats-v00001.tsv")
+    f.mkdirs(orphan.getParent)
+    val os = f.create(orphan, false)
+    os.write("data/ghost\t#nulls.x\t0\t0\n".getBytes("UTF-8")); os.close()
+    // the next commit at bv=1 must replace the orphan, not collide
+    val bv = GraftTable.upsertBranch(spark, root, "cr",
+      Seq((1L, "retry", 0L)).toDF("k", "name", "v"), "k")
+    assert(bv === 1)
+    assert(GraftTable.readBranch(spark, root, "cr")
+      .filter($"name" === "retry").count() === 1)
+    // and the orphan's ghost line is gone (replaced, not appended)
+    val txt = new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+      f.open(orphan)), "UTF-8")
+    assert(!txt.contains("ghost"))
+  }
+
   test("branches fork DV'd bases correctly: branch reads mask the " +
     "base's deletion vectors; published history keeps them masked") {
     val root = freshRoot()
