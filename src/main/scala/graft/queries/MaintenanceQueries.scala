@@ -3080,10 +3080,10 @@ object MaintenanceQueries {
       val ndvOk = estBrand.contains(exactBrand) && // < k ⇒ EXACT
         estK.exists(e => math.abs(e - exactK).toDouble / exactK <= 0.30)
       // plan shape under CBO: the 25-row aggregate broadcasts
-      val cboOld = s.conf.getOption("spark.sql.cbo.enabled")
-      val aqeOld = s.conf.getOption("spark.sql.adaptive.enabled")
-      val thrOld = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-      val (rows, planOk) =
+      def runPinned(): (Seq[org.apache.spark.sql.Row], Boolean) = {
+        val cboOld = s.conf.getOption("spark.sql.cbo.enabled")
+        val aqeOld = s.conf.getOption("spark.sql.adaptive.enabled")
+        val thrOld = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
         try {
           s.conf.set("spark.sql.cbo.enabled", "true")
           s.conf.set("spark.sql.adaptive.enabled", "false")
@@ -3107,6 +3107,16 @@ object MaintenanceQueries {
           restore("spark.sql.adaptive.enabled", aqeOld)
           restore("spark.sql.autoBroadcastJoinThreshold", thrOld)
         }
+      }
+      val (_, planOk) = runPinned()
+      // the capability must SURVIVE the default merge-on-read DML
+      // mode: a DV'd MERGE/DELETE no longer blacks out the digests —
+      // estimateDistinct serves an UPPER BOUND from the physical
+      // digests, and the BHJ stays pinned on the DV'd snapshot
+      GraftTable.deleteWhereDv(s, root, col("k") < lit(5))
+      val estBrandDv = GraftTable.estimateDistinct(s, root, 1, "brand")
+      val dvServes = estBrandDv.contains(exactBrand) // 25 < k ⇒ still exact
+      val (rows, planOkDv) = runPinned() // rows now from the DV'd snapshot
       import scala.jdk.CollectionConverters._
       s.createDataFrame(rows.asJava,
         org.apache.spark.sql.types.StructType(Seq(
@@ -3118,17 +3128,21 @@ object MaintenanceQueries {
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("n_brand",
             org.apache.spark.sql.types.LongType))))
-        .withColumn("ok", lit(ndvOk && planOk))
+        .withColumn("ok", lit(ndvOk && planOk && dvServes && planOkDv))
         .orderBy("brand")
     },
     Some("""WITH p AS (
            |  SELECT CAST(p_partkey AS BIGINT) AS k, p_brand AS brand,
            |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
-           |  FROM part)
-           |SELECT brand, count(*) AS n_rows,
-           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
-           |  count(*) AS n_brand, true AS ok
-           |FROM p GROUP BY brand ORDER BY brand""".stripMargin))
+           |  FROM part),
+           |live AS (SELECT * FROM p WHERE k >= 5),
+           |b AS (SELECT brand, count(*) AS n_brand FROM live
+           |      GROUP BY brand)
+           |SELECT live.brand, count(*) AS n_rows,
+           |  CAST(sum(live.cents) AS BIGINT) AS cents_sum,
+           |  max(b.n_brand) AS n_brand, true AS ok
+           |FROM live JOIN b ON live.brand = b.brand
+           |GROUP BY live.brand ORDER BY live.brand""".stripMargin))
 
   /** WRITABLE BRANCHES + FAST-FORWARD PUBLISH (round 14): the
     * generalization of tags (q272, immutable refs) and WAP (q242, one

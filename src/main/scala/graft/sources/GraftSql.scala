@@ -631,9 +631,12 @@ class GraftBatchScan(val root: String, val version: Int,
     * rows and the planner BROADCASTS the join above it (the decision
     * that matters at 1000 executors: without it, a 25-row group-by
     * output gets shuffle-joined like a table). Columns without full
-    * digest coverage (pre-NDV history, DV'd files, clones) simply
-    * don't appear — no estimate beats a wrong one. Lazy: computed once
-    * per scan instance, a pure metadata pass. */
+    * digest coverage (pre-NDV history, clones) simply don't appear —
+    * no estimate beats a wrong one. DV'd files DO serve: their digests
+    * and null ledgers describe physical content, an upper bound on the
+    * live rows — sound for estimation, so the capability survives the
+    * default merge-on-read DML mode. Lazy: computed once per scan
+    * instance, a pure metadata pass. */
   private lazy val columnStatsMap: java.util.Map[
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
@@ -647,8 +650,10 @@ class GraftBatchScan(val root: String, val version: Int,
           spark, root, version, c, keyRange).filter(_ > 0L)
         // catalyst's hasCountStats demands BOTH distinct and null
         // counts before group-by estimation trusts a column — serve
-        // the null count from the existing #nulls ledger
-        val nullsOpt = GraftTable.snapshotNullCount(
+        // the null count from the existing #nulls ledger (the ADVISORY
+        // form: a DV'd file's physical nulls are an upper bound on its
+        // live nulls — this surface estimates, it never answers)
+        val nullsOpt = GraftTable.estimateNullCount(
           spark, root, version, c, keyRange)
         (ndvOpt, nullsOpt) match {
           case (Some(ndv), Some(nulls)) =>

@@ -20,11 +20,19 @@ import org.apache.spark.sql.types.StructType
   *   data/v00000-x/part-*.parquet.bloom  per-file bloom sidecar (opt-in)
   *   data/v00001-y/part-*.parquet   only files CHANGED by commit 1
   *   _log/schema.json               create-time Spark schema
-  *   _log/schema-v00002.json        schema AS OF an evolution commit
+  *   _log/schema-v00002-ab12cd34.json  schema AS OF an evolution commit
   *   _log/bloom.json                the declared bloom column (opt-in)
   *   _log/v00000.manifest           snapshot 0: one line per live file
   *   _log/v00001.manifest           snapshot 1: carried + new files
   * }}}
+  *
+  * Versioned SIDECARS (schema / colstats / NDV digests / partition
+  * spec) are staged under ATTEMPT-UNIQUE token names recorded in the
+  * owning manifest's `#sidecar <tok>` header and resolved only through
+  * it — two racing commits can never touch each other's staged files,
+  * and a loser's (or crashed attempt's) leftovers are unreachable junk
+  * that vacuum reaps. Legacy un-suffixed sidecar names remain readable
+  * for manifests without the header.
   *
   * A manifest line is `relPath<TAB>minKey<TAB>maxKey<TAB>nRows` — the
   * per-file key-range statistics that make MERGE prune: a commit
@@ -124,23 +132,44 @@ object GraftTable {
     val os = f.create(tmp, false)
     try os.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
-    // create-if-absent publish: the rename is the commit point
-    if (f.exists(dest) || !f.rename(tmp, dest)) {
+    // create-if-absent publish: an ATOMIC create-exclusive is the
+    // commit point. On the local filesystem this MUST be link(2) —
+    // POSIX rename(2) OVERWRITES an existing destination, so the
+    // exists-precheck + rename idiom lets two racing committers BOTH
+    // "win" (measured ~25% of tight races): the second silently
+    // replaces the first's committed manifest and neither learns it
+    // lost — a lost-update on the commit log itself. link(2) fails
+    // with EEXIST atomically, exactly the semantics the protocol
+    // needs. Non-local filesystems keep exists+rename: HDFS rename
+    // refuses an existing destination (atomic there); object stores
+    // need a CAS-capable log, the documented Delta contract.
+    if (Option(f.getUri.getScheme).contains("file")) {
+      val d = java.nio.file.Paths.get(f.makeQualified(dest).toUri.getPath)
+      val t = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
+      try java.nio.file.Files.createLink(d, t)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false)
+          throw new ConcurrentCommitException(
+            s"concurrent commit: $dest already exists")
+      }
+      // the winner carries the checksum sidecar over (ChecksumFileSystem
+      // pairs `.name.crc` with name); best-effort — a missing crc only
+      // skips verification, never fails a read
+      val tcrc = t.getParent.resolve("." + t.getFileName.toString + ".crc")
+      val dcrc = d.getParent.resolve("." + d.getFileName.toString + ".crc")
+      if (java.nio.file.Files.exists(tcrc)) {
+        try { java.nio.file.Files.createLink(dcrc, tcrc); () }
+        catch { case _: java.io.IOException => () }
+      }
+      f.delete(tmp, false)
+    } else if (f.exists(dest) || !f.rename(tmp, dest)) {
       f.delete(tmp, false)
       throw new ConcurrentCommitException(
         s"concurrent commit: $dest already exists")
     }
   }
 
-  /** Publish `version`'s manifest — the commit point of every write
-    * path. Before the create-if-absent rename, sweep orphan SIDECARS
-    * for this same version (`schema-v{N}.json` / `colstats-v{N}.tsv`)
-    * left behind by a crashed or race-losing [[evolveAddColumns]] /
-    * [[optimizeZOrder]] attempt, unless THIS commit wrote them itself:
-    * an orphan sidecar describes a commit that never happened, and a
-    * later commit publishing manifest N would otherwise silently adopt
-    * it — reads at ≥ N would gain never-committed ghost columns (and
-    * upserts would then demand them in every batch). */
   /** A cross-table transaction reference: staged manifests carry
     * `#txn <id> <coordinatorDir>` and stay INVISIBLE to every reader
     * until `<coordinatorDir>/txn-<id>.commit` exists — the single
@@ -152,49 +181,64 @@ object GraftTable {
       "txn coordinator dir too long for the manifest header window")
   }
 
+  /** An attempt-unique sidecar token: 8 hex chars naming every sidecar
+    * THIS commit attempt stages. Tokens make sidecar staging
+    * contention-free by construction — two attempts at the same
+    * version stage under different names, so neither can replace (or
+    * even see) the other's files. */
+  private def newToken(): String =
+    java.util.UUID.randomUUID().toString.take(8)
+
+  /** The `#sidecar <token>` header of the manifest at `p`, if present
+    * (absent on pre-token manifests — their sidecars use the legacy
+    * un-suffixed names). */
+  private def sidecarTokenOf(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    readHead(f, p, 512).linesIterator.takeWhile(_.startsWith("#"))
+      .find(_.startsWith("#sidecar\t")).map(_.split('\t')(1).trim)
+
+  private def sidecarToken(f: org.apache.hadoop.fs.FileSystem,
+      root: String, v: Int): Option[String] =
+    sidecarTokenOf(f, manifestPath(root, v))
+
+  /** Publish `version`'s manifest — the commit point of every write
+    * path — together with its sidecars (versioned schema / colstats /
+    * NDV digests / partition spec), staged here under ATTEMPT-UNIQUE
+    * token names (`schema-v{N}-<tok>.json`, …) recorded in the
+    * manifest header as `#sidecar <tok>`. The token protocol is what
+    * makes concurrent DDL safe: staging can never collide with —
+    * let alone replace — another attempt's files, and version-keyed
+    * resolution ([[tableSchema]] / [[partitionSpec]]) only accepts the
+    * file the WINNING manifest names, so a race loser's or crashed
+    * attempt's leftovers are invisible junk (the loser deletes its own
+    * on the spot; vacuum reaps crash orphans). This replaces the old
+    * sweep-then-quarantine machinery, whose pre-delete let a losing
+    * DDL writer replace a winner's already-staged sidecar in the
+    * window before the winner's manifest rename. */
   private def commitManifest(f: org.apache.hadoop.fs.FileSystem,
       root: String, v: Int, entries: Seq[FileEntry],
-      wroteSchema: Boolean = false, wroteColStats: Boolean = false,
-      wrotePartition: Boolean = false, txn: Option[TxnRef] = None): Unit = {
-    // The sweep must survive a RACE with a concurrent sidecar-writing
-    // committer (evolveAddColumns / optimizeZOrder) targeting the same
-    // version: between our exists-check and our manifest rename, the
-    // other committer may WIN the rename — at which point its sidecar
-    // is committed state, not an orphan. A plain delete here would
-    // destroy it (reads at ≥ v silently lose the evolved columns or
-    // the file stats). So instead of deleting, QUARANTINE each orphan
-    // candidate with an atomic rename-aside; delete the quarantined
-    // copy only after we WIN the manifest rename (we are then the
-    // unique committer of v, so nobody else's sidecar can be at v),
-    // and restore it by renaming back if we LOSE (the winner's sidecar
-    // goes back into place, byte-identical).
-    //
-    // KNOWN WINDOW (accepted): between the winner's manifest rename
-    // and the loser's restore-by-rename, a reader of freshly-committed
-    // v can transiently miss a schema-v/colstats-v sidecar and resolve
-    // an older schema. The window is two metadata ops wide, only
-    // exists when an evolve/zorder commit RACES another commit to the
-    // same version (already a retry path), and heals by itself — the
-    // snapshot is immutable, so a retry of the read sees the restored
-    // sidecar. Closing it entirely needs transactional multi-file
-    // publish (a manifest that embeds its sidecars), noted as the
-    // upgrade path if evolve-under-contention becomes routine.
-    var quarantined: List[(org.apache.hadoop.fs.Path,
-      org.apache.hadoop.fs.Path)] = Nil
-    if (!f.exists(manifestPath(root, v))) {
-      val candidates =
-        (if (wroteSchema) Nil
-         else List(new org.apache.hadoop.fs.Path(
-           root, f"_log/schema-v$v%05d.json"))) ++
-        (if (wroteColStats) Nil else List(colStatsPath(root, v))) ++
-        (if (wrotePartition) Nil else List(partitionSpecPath(root, v)))
-      for (p <- candidates if f.exists(p)) {
-        val q = new org.apache.hadoop.fs.Path(p.getParent,
-          s".quarantine-${p.getName}-${java.util.UUID.randomUUID()}")
-        if (f.rename(p, q)) quarantined ::= (p, q)
-      }
+      schemaJson: Option[String] = None,
+      statLines: Seq[String] = Seq.empty,
+      kmvLines: Seq[String] = Seq.empty,
+      partitionJson: Option[String] = None,
+      txn: Option[TxnRef] = None,
+      beforePublish: () => Unit = () => ()): Unit = {
+    val tok = newToken()
+    val staged = scala.collection.mutable.ListBuffer[org.apache.hadoop.fs.Path]()
+    def stage(p: org.apache.hadoop.fs.Path, content: String): Unit = {
+      writeAtomic(f, p, content); staged += p
     }
     try {
+      schemaJson.foreach(s => stage(schemaSidecarPath(root, v, Some(tok)), s))
+      if (statLines.nonEmpty) stage(colStatsPath(root, v, Some(tok)),
+        statLines.mkString("", "\n", "\n"))
+      if (kmvLines.nonEmpty) stage(kmvPath(root, v, Some(tok)),
+        kmvLines.mkString("", "\n", "\n"))
+      partitionJson.foreach(s => stage(partitionSpecPath(root, v, Some(tok)), s))
+      // test seam: the window between sidecar staging and the manifest
+      // rename — where a concurrent committer of the same version can
+      // land first (the interleaving behind the round-14 corruption)
+      beforePublish()
       // the commit instant is recorded INSIDE the manifest (header
       // line), not left to the file's mtime: an rsync/restore that
       // doesn't preserve mtimes must not silently shift every
@@ -212,17 +256,14 @@ object GraftTable {
         if (v == 0 || !f.exists(manifestPath(root, v - 1))) Long.MinValue
         else commitInstant(f, root, v - 1)
       val instant = math.max(prevInstant + 1, System.currentTimeMillis())
-      val header = s"#commit-ts\t$instant\n" +
+      val header = s"#commit-ts\t$instant\n#sidecar\t$tok\n" +
         txn.map(t => s"#txn\t${t.id}\t${t.dir}\n").getOrElse("")
       writeAtomic(f, manifestPath(root, v), header + renderManifest(entries))
-      quarantined.foreach { case (_, q) => f.delete(q, false) }
     } catch {
-      case e: ConcurrentCommitException =>
-        // loser: the winner's sidecars (if that's what they were) must
-        // come back before we surface the race to the retry loop
-        quarantined.foreach { case (p, q) =>
-          if (!f.rename(q, p)) f.delete(q, false) // p reappeared: drop copy
-        }
+      case e: Throwable =>
+        // loser (or failed stage): remove OUR OWN staged files — names
+        // are attempt-unique, so this can never touch a winner's state
+        staged.foreach(p => f.delete(p, false))
         throw e
     }
   }
@@ -545,22 +586,39 @@ object GraftTable {
     parseManifest(text)
   }
 
-  /** Schema AS OF `version`: the newest `_log/schema-vNNNNN.json` at or
-    * below it, falling back to the create-time `_log/schema.json`.
-    * Versioning the schema alongside the manifest is what lets time
-    * travel return each snapshot with the column set it committed
-    * under (a v0 read of an evolved table has no ghost columns). */
+  /** `(version, tokenOption)` for every listed sidecar name of the
+    * given kind — both the token form (`kind-vNNNNN-<tok>.<ext>`) and
+    * the legacy un-suffixed form. */
+  private def sidecarVersions(names: Seq[String], kind: String,
+      ext: String): Seq[(Int, Option[String])] = {
+    val rx = (java.util.regex.Pattern.quote(kind) +
+      "-v(\\d{5})(?:-([0-9a-f]{8}))?\\." +
+      java.util.regex.Pattern.quote(ext)).r
+    names.collect { case rx(v, tok) => (v.toInt, Option(tok)) }
+  }
+
+  /** Schema AS OF `version`: the newest authoritative versioned schema
+    * sidecar at or below it, falling back to the create-time
+    * `_log/schema.json`. Versioning the schema alongside the manifest
+    * is what lets time travel return each snapshot with the column set
+    * it committed under (a v0 read of an evolved table has no ghost
+    * columns). Per candidate version, only the sidecar the winning
+    * manifest's `#sidecar` token names is accepted — a race-losing
+    * DDL attempt's leftover can never serve (the round-14 concurrent
+    * DROP COLUMN corruption). */
   private[graft] def tableSchema(
       spark: SparkSession, root: String, version: Int): StructType = {
     val (f, _) = fs(root, spark)
     val log = new org.apache.hadoop.fs.Path(root, "_log")
-    val evolved = f.listStatus(log).map(_.getPath.getName)
-      .collect { case s if s.matches("schema-v\\d{5}\\.json") =>
-        s.substring(8, 13).toInt }
-      .filter(_ <= version)
-    val p =
-      if (evolved.isEmpty) new org.apache.hadoop.fs.Path(root, "_log/schema.json")
-      else new org.apache.hadoop.fs.Path(root, f"_log/schema-v${evolved.max}%05d.json")
+    val cands = sidecarVersions(
+      f.listStatus(log).map(_.getPath.getName).toSeq, "schema", "json")
+      .filter(_._1 <= version)
+    val p = cands.groupBy(_._1).toSeq.sortBy(-_._1).iterator
+      .flatMap { case (v, files) =>
+        authoritativeSidecar(f, root, v, files.map(_._2),
+          tok => schemaSidecarPath(root, v, tok))
+      }.nextOption()
+      .getOrElse(new org.apache.hadoop.fs.Path(root, "_log/schema.json"))
     // every column is NULLABLE regardless of what the create-time batch
     // happened to promise: the format's DML can legally write NULL into
     // any non-key column (UPDATE SET col = NULL, MERGE INSERT with
@@ -719,8 +777,39 @@ object GraftTable {
       version: Int): Boolean =
     loadManifest(spark, root, version).exists(_.hasDv)
 
-  private def partitionSpecPath(root: String, v: Int) =
-    new org.apache.hadoop.fs.Path(root, f"_log/partition-v$v%05d.json")
+  /** `-<tok>` suffix for token-named sidecars; empty for the legacy
+    * (pre-token) un-suffixed names. */
+  private def tokSuffix(tok: Option[String]): String = tok.fold("")("-" + _)
+
+  private def partitionSpecPath(root: String, v: Int,
+      tok: Option[String] = None) =
+    new org.apache.hadoop.fs.Path(root,
+      f"_log/partition-v$v%05d${tokSuffix(tok)}.json")
+
+  private def schemaSidecarPath(root: String, v: Int,
+      tok: Option[String] = None) =
+    new org.apache.hadoop.fs.Path(root,
+      f"_log/schema-v$v%05d${tokSuffix(tok)}.json")
+
+  /** Among the sidecar files staged at `v` (`toks` = the token options
+    * present in the listing, None = the legacy un-suffixed name), the
+    * AUTHORITATIVE one: the file the winning manifest's `#sidecar`
+    * header names (legacy name for pre-token manifests). A leftover
+    * from a race-losing or crashed attempt never resolves. When the
+    * manifest itself was vacuumed, the surviving file is trusted —
+    * vacuum's token-verified sweep removed non-authoritative leftovers
+    * before it dropped the manifest. */
+  private def authoritativeSidecar(f: org.apache.hadoop.fs.FileSystem,
+      root: String, v: Int, toks: Seq[Option[String]],
+      path: Option[String] => org.apache.hadoop.fs.Path)
+    : Option[org.apache.hadoop.fs.Path] =
+    if (f.exists(manifestPath(root, v))) {
+      val want = sidecarToken(f, root, v)
+      if (toks.contains(want)) Some(path(want)) else None
+    } else {
+      // vacuumed manifest: prefer the legacy name deterministically
+      toks.sortBy(_.isDefined).headOption.map(path)
+    }
 
   /** Partition transform AS OF `version`: the newest
     * `_log/partition-v{N}.json` at or below it (the [[tableSchema]]
@@ -733,13 +822,17 @@ object GraftTable {
     val (f, _) = fs(root, spark)
     val log = new org.apache.hadoop.fs.Path(root, "_log")
     if (!f.exists(log)) return None
-    val vs = f.listStatus(log).map(_.getPath.getName)
-      .collect { case s if s.matches("partition-v\\d{5}\\.json") =>
-        s.substring(11, 16).toInt }
-      .filter(_ <= version)
-    if (vs.isEmpty) None
-    else Some(PartitionTransform.parse(
-      readFully(f, partitionSpecPath(root, vs.max))))
+    val cands = sidecarVersions(
+      f.listStatus(log).map(_.getPath.getName).toSeq, "partition", "json")
+      .filter(_._1 <= version)
+    // newest authoritative spec wins (tableSchema's token-verified
+    // resolution — a losing setPartitioning's leftover never activates)
+    cands.groupBy(_._1).toSeq.sortBy(-_._1).iterator
+      .flatMap { case (v, files) =>
+        authoritativeSidecar(f, root, v, files.map(_._2),
+          tok => partitionSpecPath(root, v, tok))
+      }.nextOption()
+      .map(p => PartitionTransform.parse(readFully(f, p)))
   }
 
   /** Declare (or change) the table's partition transform as a
@@ -761,23 +854,11 @@ object GraftTable {
     val entries = loadManifest(spark, root, base)
     val v = base + 1
     val (f, _) = fs(root, spark)
-    val p = partitionSpecPath(root, v)
-    if (f.exists(p) && !f.exists(manifestPath(root, v)))
-      f.delete(p, false) // orphan from a crashed prior attempt
-    writeAtomic(f, p, transform.render)
-    try commitManifest(f, root, v, entries, wrotePartition = true)
-    catch {
-      case e: ConcurrentCommitException =>
-        // the race LOSER must not leave its spec file behind at a
-        // version some OTHER committer just won: that committer's
-        // orphan sweep ran before our write landed, so a surviving
-        // spec would activate a transform whose commit never happened
-        // the moment partitionSpec() resolves v. Best-effort delete —
-        // if the winner WAS a setPartitioning of the same transform,
-        // its own quarantine protocol already owns the spec path.
-        f.delete(p, false)
-        throw e
-    }
+    // the spec stages inside commitManifest under this attempt's token
+    // name — a race loser's file is self-deleted and could never have
+    // resolved anyway (token-verified resolution)
+    commitManifest(f, root, v, entries,
+      partitionJson = Some(transform.render))
     v
   }
 
@@ -886,10 +967,7 @@ object GraftTable {
     else math.max(1, math.min(nBuckets, nRewritten + 1))
 
   private final case class Written(entries: Seq[FileEntry],
-      statLines: Seq[String], kmvLines: Seq[String] = Seq.empty) {
-    /** Whether this write staged a colstats sidecar at its version. */
-    def wroteColStats: Boolean = statLines.nonEmpty
-  }
+      statLines: Seq[String], kmvLines: Seq[String] = Seq.empty)
 
   /** Write `df`'s rows as the data files of `version`, range-bucketed
     * by `key` so per-file key intervals are narrow and disjoint, and
@@ -900,21 +978,24 @@ object GraftTable {
     * If the table declares a [[PartitionTransform]] (active at
     * `version`), files are arranged along (transform value, key) —
     * each file covers a narrow value range — and a per-file
-    * [min, max] of the value is recorded in this version's colstats
-    * sidecar (the [[readPartitionRange]] skipping stats); `Written
-    * .wroteColStats` tells the commit path to protect that sidecar in
-    * [[commitManifest]]'s orphan sweep. */
+    * [min, max] of the value is returned in `Written.statLines` (the
+    * [[readPartitionRange]] skipping stats) for the caller to hand to
+    * [[commitManifest]], which stages them token-named with the
+    * publish. */
   private def writeDataFiles(spark: SparkSession, root: String, version: Int,
       df: DataFrame, key: String, nBuckets: Int,
       zorderBy: Option[org.apache.spark.sql.Column] = None,
-      sidecars: Boolean = true): Written = {
+      specOverride: Option[Option[PartitionTransform]] = None): Written = {
     // attempt-unique dir: a FAILED commit's orphan files can never
     // collide with (or be read by) the retry — they sit unreferenced
     // until vacuum sweeps them
     val rel = f"data/v$version%05d-" +
       java.util.UUID.randomUUID().toString.take(8)
     val dir = s"$root/$rel"
-    val spec = partitionSpec(spark, root, version)
+    // specOverride: CREATE arranges by its declared transform before
+    // any spec sidecar is committed (the spec publishes WITH v0's
+    // manifest, so disk resolution can't see it yet)
+    val spec = specOverride.getOrElse(partitionSpec(spark, root, version))
     val arranged = (zorderBy, spec) match {
       // Z-ORDER layout: range-partition AND sort within files by the
       // interleaved curve value instead of the key — multi-column
@@ -1094,30 +1175,12 @@ object GraftTable {
       }
     }.toSeq.sorted
     val statLines = (pLines ++ nullLines).sorted
-    // sidecars = false: a BRANCH commit — its stat/digest lines live in
-    // the branch's own log until fast-forward re-pins them on main
-    if (sidecars && statLines.nonEmpty) {
-      val (f, _) = fs(root, spark)
-      writeColStatsAt(f, root, version, statLines)
-    }
-    if (sidecars && kmvLines.nonEmpty) {
-      val (f, _) = fs(root, spark)
-      writeKmvAt(f, root, version, kmvLines)
-    }
+    // sidecars are NOT staged here: the caller hands the lines to
+    // [[commitManifest]], which stages them under its attempt-unique
+    // token — data files are immutable, so stat lines are valid at ANY
+    // version whose manifest references their files (what lets a
+    // rebased commit re-pin the same lines at its new version number)
     Written(entries, statLines, kmvLines)
-  }
-
-  /** Stage a colstats sidecar at `version` (replacing an orphan from a
-    * failed prior attempt at the same version). Data files are
-    * immutable, so stat lines are valid at ANY version whose manifest
-    * references their files — which is what lets a rebased commit
-    * re-pin the same lines at its new version number. */
-  private def writeColStatsAt(f: org.apache.hadoop.fs.FileSystem,
-      root: String, version: Int, statLines: Seq[String]): Unit = {
-    val statsP = colStatsPath(root, version)
-    if (f.exists(statsP) && !f.exists(manifestPath(root, version)))
-      f.delete(statsP, false) // orphan from a failed prior attempt
-    writeAtomic(f, statsP, statLines.mkString("", "\n", "\n"))
   }
 
   /** KMV sketch size: 128 minimum hashes per (file, column). Standard
@@ -1126,21 +1189,10 @@ object GraftTable {
     * hash set). ~2 KB per column per file in the sidecar. */
   private[sources] val KmvK = 128
 
-  private def kmvPath(root: String, v: Int) =
-    new org.apache.hadoop.fs.Path(root, f"_log/kmv-v$v%05d.tsv")
-
-  /** Stage the NDV digest sidecar at `version` (`_log/kmv-v{N}.tsv`,
-    * lines `rel \t #kmv.<physCol> \t h1,h2,…`). Same orphan rule as
-    * colstats. Digests are ADVISORY (CBO input, never correctness):
-    * they are not checkpointed, so [[vacuum]] ages them out with their
-    * sidecars and estimates refuse afterwards rather than lie. */
-  private def writeKmvAt(f: org.apache.hadoop.fs.FileSystem,
-      root: String, version: Int, lines: Seq[String]): Unit = {
-    val p = kmvPath(root, version)
-    if (f.exists(p) && !f.exists(manifestPath(root, version)))
-      f.delete(p, false) // orphan from a failed prior attempt
-    writeAtomic(f, p, lines.mkString("", "\n", "\n"))
-  }
+  private def kmvPath(root: String, v: Int,
+      tok: Option[String] = None) =
+    new org.apache.hadoop.fs.Path(root,
+      f"_log/kmv-v$v%05d${tokSuffix(tok)}.tsv")
 
   /** Digest lines for `rels`, (rel, statKey) → ascending hex digests —
     * the [[loadColStats]] resolution rule over `kmv-v*.tsv` sidecars
@@ -1173,10 +1225,14 @@ object GraftTable {
       .sorted.lastOption.map(cpV =>
         parse(readFully(f, checkpointPath(root, cpV))))
       .getOrElse(Seq.empty)
-    val vs = names
-      .collect { case s if s.matches("kmv-v\\d{5}\\.tsv") =>
-        s.substring(5, 10).toInt }.toSeq.filter(_ <= version)
-    (fromCp ++ vs.flatMap(v => parse(readFully(f, kmvPath(root, v))))).toMap
+    // every sidecar at or below `version` is read regardless of token:
+    // digest lines are facts about IMMUTABLE files, filtered by `rels`
+    // (the target manifest's live set) — a race loser's leftover either
+    // describes files that never committed (filtered out) or restates
+    // facts the winner's own lines carry
+    val vs = sidecarVersions(names.toSeq, "kmv", "tsv").filter(_._1 <= version)
+    (fromCp ++ vs.flatMap { case (v, tok) =>
+      parse(readFully(f, kmvPath(root, v, tok))) }).toMap
   }
 
   /** APPROXIMATE DISTINCT COUNT of `column` over `version`'s live
@@ -1188,9 +1244,19 @@ object GraftTable {
     *
     * Returns None — no estimate, never a wrong one — when any covered
     * file lacks a digest line (pre-round-14 history, vacuumed
-    * sidecars, shallow clones) or carries a deletion vector (digests
-    * describe PHYSICAL file content; the live subset's NDV is lower).
-    * This is the CBO analogue of the metadata-aggregate refuse rule. */
+    * sidecars, shallow clones). This per-FILE refusal is the CBO
+    * analogue of the metadata-aggregate refuse rule.
+    *
+    * Files carrying a DELETION VECTOR keep serving their digest: a
+    * digest describes the file's PHYSICAL content, of which the live
+    * subset is a ⊆, so the union estimate is a valid UPPER BOUND on
+    * the live NDV. Overestimating NDV is the safe bias for both uses
+    * of this number — a broadcast decision sized on it only gets MORE
+    * conservative, and an aggregate-cardinality estimate only grows —
+    * so one narrow MERGE under the default merge-on-read DML policy no
+    * longer blacks out the table's statistics until an OPTIMIZE
+    * absorbs the DVs (it merely widens them upward by at most the
+    * deleted rows' share of distinct values). */
   def estimateDistinct(spark: SparkSession, root: String, version: Int,
       column: String, keyRange: Option[(Long, Long)] = None): Option[Long] = {
     val all = loadManifest(spark, root, version)
@@ -1199,7 +1265,6 @@ object GraftTable {
       case None => all
     }
     if (entries.isEmpty) return Some(0L)
-    if (entries.exists(_.hasDv)) return None
     val phys = physMap(tableSchema(spark, root, version))
       .getOrElse(column, column)
     val digests = loadKmvDigests(spark, root, version,
@@ -1284,11 +1349,14 @@ object GraftTable {
     partitioning.foreach { t =>
       require(df.schema.fieldNames.contains(transformColumn(t)),
         s"partition column '${transformColumn(t)}' is not in the schema")
-      writeAtomic(f, partitionSpecPath(root, 0), t.render)
     }
-    val w = writeDataFiles(spark, root, 0, df, key, nBuckets)
-    commitManifest(f, root, 0, w.entries, wroteColStats = w.wroteColStats,
-      wrotePartition = partitioning.nonEmpty)
+    // the declared transform is passed straight to the writer (the
+    // spec sidecar only publishes WITH v0's manifest below)
+    val w = writeDataFiles(spark, root, 0, df, key, nBuckets,
+      specOverride = partitioning.map(Some(_)))
+    commitManifest(f, root, 0, w.entries,
+      statLines = w.statLines, kmvLines = w.kmvLines,
+      partitionJson = partitioning.map(_.render))
   }
 
   /** SHALLOW CLONE (Delta's zero-copy fork): create `dstRoot` as a new
@@ -1334,8 +1402,6 @@ object GraftTable {
       new org.apache.hadoop.fs.Path(dstRoot, "_log/key.json"), k))
     bloomColumn(spark, srcRoot).foreach(b => writeAtomic(f,
       new org.apache.hadoop.fs.Path(dstRoot, "_log/bloom.json"), b))
-    partitionSpec(spark, srcRoot, v).foreach(t =>
-      writeAtomic(f, partitionSpecPath(dstRoot, 0), t.render))
     constraints(spark, srcRoot).foreach { case (name, ex) =>
       writeAtomic(f, new org.apache.hadoop.fs.Path(dstRoot,
         s"_log/check-$name.json"), ex) }
@@ -1349,13 +1415,12 @@ object GraftTable {
     val statLines = loadColStats(spark, srcRoot, v, rels).toSeq
       .map { case ((rel, c), (mn, mx)) =>
         s"${dataPath(srcRoot, rel)}\t$c\t$mn\t$mx" }.sorted
-    if (statLines.nonEmpty) writeColStatsAt(f, dstRoot, 0, statLines)
     val cloned = entries.map(e => e.copy(
       relPath = dataPath(srcRoot, e.relPath),
       dvPath = if (e.hasDv) dataPath(srcRoot, e.dvPath) else ""))
     commitManifest(f, dstRoot, 0, cloned,
-      wroteColStats = statLines.nonEmpty,
-      wrotePartition = partitionSpec(spark, srcRoot, v).isDefined)
+      statLines = statLines,
+      partitionJson = partitionSpec(spark, srcRoot, v).map(_.render))
   }
 
   /** Snapshot read at `version` (default: latest). */
@@ -1554,6 +1619,30 @@ object GraftTable {
     else Some(per.flatten.map(_._1).sum)
   }
 
+  /** ADVISORY null count for the CBO surface: like
+    * [[snapshotNullCount]] but a DV'd file serves its PHYSICAL null
+    * count — an UPPER BOUND on its live nulls (a DV can only mask
+    * rows). The exact metadata-aggregate path keeps the strict form
+    * (its answers must be exact or not given); the optimizer only
+    * needs a sound estimate, and refusing would black out the whole
+    * NDV→CBO capability the moment the default merge-on-read DML
+    * policy lands one deletion vector. */
+  def estimateNullCount(spark: SparkSession, root: String, version: Int,
+      column: String, keyRange: Option[(Long, Long)] = None): Option[Long] = {
+    val all = loadManifest(spark, root, version)
+    val entries = keyRange match {
+      case Some((lo, hi)) => all.filter(e => e.maxKey >= lo && e.minKey <= hi)
+      case None => all
+    }
+    if (entries.isEmpty) return Some(0L)
+    val rels = entries.map(_.relPath).toSet
+    val stats = loadColStats(spark, root, version, rels)
+    val phys = toPhys(spark, root, version, column)
+    val per = entries.map(e => stats.get((e.relPath, s"#nulls.$phys")))
+    if (per.exists(_.isEmpty)) None
+    else Some(per.flatten.map(_._1).sum)
+  }
+
   /** Exact snapshot SUM of an integral `column` from colstats alone:
     * outer None = not servable (a live file lacks the `#sum`/`#nulls`
     * ledger); Some(None) = SQL NULL (zero non-null values); long
@@ -1652,7 +1741,7 @@ object GraftTable {
       writeBuckets(spark, root, base, nBuckets, rewrite.size))
     val (f, _) = fs(root, spark)
     commitManifest(f, root, v, carry ++ w.entries,
-      wroteColStats = w.wroteColStats, txn = txn)
+      statLines = w.statLines, kmvLines = w.kmvLines, txn = txn)
     (v, rewrite.size, carry.size)
   }
 
@@ -1750,7 +1839,7 @@ object GraftTable {
       writeBuckets(spark, root, base, nBuckets, rewrite.size))
     val (f, _) = fs(root, spark)
     commitManifest(f, root, v, carry ++ w.entries,
-      wroteColStats = w.wroteColStats)
+      statLines = w.statLines, kmvLines = w.kmvLines)
     (v, rewrite.size, carry.size)
   }
 
@@ -1823,10 +1912,11 @@ object GraftTable {
       // re-laid (rewrites + fully-dead replacements) — a narrow MERGE
       // lands one small file, a wholesale replace keeps the layout
       val nRetired = cow.size + (hitTouched.size - alive.size)
-      val w =
-        if (writeRows.limit(1).count() == 0) Written(Seq.empty, Seq.empty)
-        else writeDataFiles(spark, root, v, writeRows, key,
-          writeBuckets(spark, root, base, nBuckets, nRetired))
+      // no emptiness pre-probe: the write itself is the one action —
+      // an all-delete batch writes zero data files and the schema-
+      // pinned read-back yields an empty ledger (readBack contract)
+      val w = writeDataFiles(spark, root, v, writeRows, key,
+        writeBuckets(spark, root, base, nBuckets, nRetired))
       val dvUpdated: Seq[FileEntry] =
         if (dv.isEmpty) Seq.empty
         else {
@@ -1847,7 +1937,7 @@ object GraftTable {
         }
       commitManifest(f, root, v,
         carry ++ hitClean ++ dvUpdated ++ w.entries,
-        wroteColStats = w.wroteColStats)
+        statLines = w.statLines, kmvLines = w.kmvLines)
       (v, cow.size, carry.size + hitClean.size + dv.size)
     } finally j.unpersist()
   }
@@ -1909,7 +1999,7 @@ object GraftTable {
       // PUBLISH: the create-if-absent manifest rename, as every commit
       val (f, _) = fs(root, spark)
       commitManifest(f, root, v, carry ++ fresh,
-        wroteColStats = w.wroteColStats)
+        statLines = w.statLines, kmvLines = w.kmvLines)
       Right((v, rewrite.size, carry.size))
     }
   }
@@ -1944,7 +2034,7 @@ object GraftTable {
         key, math.max(1, rewrite.size))
     val (f, _) = fs(root, spark)
     commitManifest(f, root, v, carry ++ w.entries,
-      wroteColStats = w.wroteColStats)
+      statLines = w.statLines, kmvLines = w.kmvLines)
     (v, rewrite.size, carry.size)
   }
 
@@ -2115,7 +2205,7 @@ object GraftTable {
             .drop(DvNameCol, DvPosCol),
           key, math.max(1, cow.size))
       commitManifest(f, root, v, carried ++ dvUpdated ++ w.entries,
-        wroteColStats = w.wroteColStats)
+        statLines = w.statLines, kmvLines = w.kmvLines)
       (v, dv.size, cow.size, carried.size)
     } finally newDel.unpersist()
   }
@@ -2212,7 +2302,23 @@ object GraftTable {
     val marker = new org.apache.hadoop.fs.Path(root, markerName)
     if (f.exists(marker)) return
     if (latestVersion(spark, root) < 0) create(spark, root, batch, key, nBuckets)
-    else upsert(spark, root, batch, key, nBuckets)
+    else {
+      // the sink honors the table's DML policy (`graft.dml.mode`): under
+      // `dv`/`auto` a micro-batch upsert takes the MERGE-ON-READ path —
+      // touched files get position sidecars, postimages land in fresh
+      // files — instead of rewriting every touched file every trigger.
+      // That is the write-amplification difference between a continuous
+      // CDC stream being O(changed rows) per minute and re-copying
+      // terabytes of barely-touched files at 100 TB. `cow` restores the
+      // old behavior per table.
+      val (mode, _) = dmlMode(spark, root)
+      if (mode == "cow") upsert(spark, root, batch, key, nBuckets)
+      else {
+        val op = "__graft_ingest_op"
+        applyCdcBatch(spark, root, batch.withColumn(op, lit("upsert")),
+          key, op, nBuckets)
+      }
+    }
     val os = f.create(marker, true)
     os.close()
   }
@@ -2305,15 +2411,11 @@ object GraftTable {
     while (true) {
       val cv = commitBase + 1
       try {
-        // a rebased commit re-pins the staged stats at ITS version
-        // (the original version's sidecar was consumed by whoever won
-        // that version — their orphan sweep or their own sidecar)
-        if (cv != v && w.statLines.nonEmpty)
-          writeColStatsAt(f, root, cv, w.statLines)
-        if (cv != v && w.kmvLines.nonEmpty)
-          writeKmvAt(f, root, cv, w.kmvLines)
+        // commitManifest stages the stat/digest lines fresh at EVERY
+        // attempt (token-named, self-cleaned on loss) — a rebased
+        // commit naturally re-pins them at its version
         commitManifest(f, root, cv, carryNow ++ w.entries,
-          wroteColStats = w.wroteColStats)
+          statLines = w.statLines, kmvLines = w.kmvLines)
         return (cv, rewrite.size, carryNow.size)
       } catch {
         case e: ConcurrentCommitException =>
@@ -2381,14 +2483,8 @@ object GraftTable {
     val restored = tableSchema(spark, root, toVersion)
     val head = tableSchema(spark, root, base)
     val wroteSchema = restored != head
-    if (wroteSchema) {
-      val schemaP =
-        new org.apache.hadoop.fs.Path(root, f"_log/schema-v$v%05d.json")
-      if (f.exists(schemaP) && !f.exists(manifestPath(root, v)))
-        f.delete(schemaP, false)
-      writeAtomic(f, schemaP, restored.json)
-    }
-    commitManifest(f, root, v, entries, wroteSchema = wroteSchema)
+    commitManifest(f, root, v, entries,
+      schemaJson = if (wroteSchema) Some(restored.json) else None)
     v
   }
 
@@ -2672,35 +2768,45 @@ object GraftTable {
       .select(cols.map(c =>
         coalesce(col(s"b.$c"), col(s"t.$c")).as(c)): _*)
     // version base+1 pins NAMING + column mapping + partition spec to
-    // the branch's frozen era; sidecar lines stay branch-local
+    // the branch's frozen era; sidecar lines stay branch-local (the
+    // writeDataFiles contract leaves staging to the committer — here
+    // the branch manifest write below)
     val w = writeDataFiles(spark, root, base + 1, merged, key,
-      math.max(1, math.min(nBuckets, rewrite.size + 1)), sidecars = false)
+      math.max(1, math.min(nBuckets, rewrite.size + 1)))
     val bv = bvPrev + 1
     f.mkdirs(branchDir(root, name))
-    // sidecars stage BEFORE the manifest rename, so a CRASHED attempt
-    // can leave orphans at this bv — replace them (the writeColStatsAt
-    // orphan rule) or the branch would be permanently stuck on the
-    // create-if-absent collision
+    // the branch commit follows the main-log token protocol: sidecars
+    // stage under THIS attempt's token name (never colliding with a
+    // crashed or racing attempt's), the branch manifest header records
+    // the token, and a loser deletes its own staged files
+    val tok = newToken()
+    val stagedB = scala.collection.mutable.ListBuffer[org.apache.hadoop.fs.Path]()
     def stageSidecar(kind: String, lines: Seq[String]): Unit =
       if (lines.nonEmpty) {
         val p = new org.apache.hadoop.fs.Path(branchDir(root, name),
-          f"$kind-v$bv%05d.tsv")
-        if (f.exists(p) && !f.exists(branchManifestPath(root, name, bv)))
-          f.delete(p, false) // orphan from a failed prior attempt
+          f"$kind-v$bv%05d-$tok.tsv")
         writeAtomic(f, p, lines.mkString("", "\n", "\n"))
+        stagedB += p
       }
-    stageSidecar("colstats", w.statLines)
-    stageSidecar("kmv", w.kmvLines)
-    // branch commit point: create-if-absent rename, instants clamped
-    // monotone within the branch (same TIMESTAMP-resolution rule)
-    val prevInstant =
-      if (bv <= 1) Long.MinValue
-      else readHead(f, branchManifestPath(root, name, bv - 1), 128)
-        .linesIterator.find(_.startsWith("#commit-ts\t"))
-        .map(_.split('\t')(1).toLong).getOrElse(Long.MinValue)
-    val instant = math.max(prevInstant + 1, System.currentTimeMillis())
-    writeAtomic(f, branchManifestPath(root, name, bv),
-      s"#commit-ts\t$instant\n" + renderManifest(carry ++ w.entries))
+    try {
+      stageSidecar("colstats", w.statLines)
+      stageSidecar("kmv", w.kmvLines)
+      // branch commit point: create-if-absent rename, instants clamped
+      // monotone within the branch (same TIMESTAMP-resolution rule)
+      val prevInstant =
+        if (bv <= 1) Long.MinValue
+        else readHead(f, branchManifestPath(root, name, bv - 1), 128)
+          .linesIterator.find(_.startsWith("#commit-ts\t"))
+          .map(_.split('\t')(1).toLong).getOrElse(Long.MinValue)
+      val instant = math.max(prevInstant + 1, System.currentTimeMillis())
+      writeAtomic(f, branchManifestPath(root, name, bv),
+        s"#commit-ts\t$instant\n#sidecar\t$tok\n" +
+          renderManifest(carry ++ w.entries))
+    } catch {
+      case e: Throwable =>
+        stagedB.foreach(p => f.delete(p, false))
+        throw e
+    }
     bv
   }
 
@@ -2759,18 +2865,18 @@ object GraftTable {
           throw new ConcurrentCommitException(
             s"fast-forward of '$name' raced a foreign commit at $v")
       } else {
-        Seq("colstats" ->
-              ((ls: Seq[String]) => writeColStatsAt(f, root, v, ls)),
-            "kmv" -> ((ls: Seq[String]) => writeKmvAt(f, root, v, ls)))
-          .foreach { case (kind, write) =>
-            val p = new org.apache.hadoop.fs.Path(branchDir(root, name),
-              f"$kind-v$bv%05d.tsv")
-            if (f.exists(p)) {
-              val ls = readFully(f, p).linesIterator.filter(_.nonEmpty).toSeq
-              if (ls.nonEmpty) write(ls)
-            }
-          }
-        try commitManifest(f, root, v, entries)
+        // the branch's stat/digest lines re-pin on main THROUGH the
+        // main commit (token-staged with it); branch sidecars resolve
+        // by the branch manifest's own `#sidecar` token
+        def branchLines(kind: String): Seq[String] = {
+          val btok = sidecarTokenOf(f, branchManifestPath(root, name, bv))
+          val p = new org.apache.hadoop.fs.Path(branchDir(root, name),
+            f"$kind-v$bv%05d${tokSuffix(btok)}.tsv")
+          if (!f.exists(p)) Seq.empty
+          else readFully(f, p).linesIterator.filter(_.nonEmpty).toSeq
+        }
+        try commitManifest(f, root, v, entries,
+          statLines = branchLines("colstats"), kmvLines = branchLines("kmv"))
         catch {
           case e: ConcurrentCommitException =>
             // a racer landed between our exists-probe and the rename:
@@ -2782,6 +2888,113 @@ object GraftTable {
       }
     }
     Right((base + bvs.max, bvs.size))
+  }
+
+  /** Row-level NET DELTA between two snapshots of the same schema era,
+    * as (changed-or-new rows at `to`, deleted keys) — FILE-PRUNED:
+    * files shared by both manifests (same path AND same DV) hold
+    * identical rows, contribute no delta, and are never read, so the
+    * diff of a 100 TB table costs only the files the two lineages
+    * actually diverged on. Both sides read DV-masked ([[readEntries]]).
+    * A key is in at most one live file per snapshot (the keyed-table
+    * invariant), so a row that merely MOVED files unchanged joins
+    * equal on every column and drops out. */
+  private def snapshotDelta(spark: SparkSession, root: String,
+      schema: StructType, key: String,
+      from: Seq[FileEntry], to: Seq[FileEntry]): (DataFrame, DataFrame) = {
+    val fromSet = from.map(e => (e.relPath, e.dvPath)).toSet
+    val toSet = to.map(e => (e.relPath, e.dvPath)).toSet
+    val oldOnly = from.filterNot(e => toSet((e.relPath, e.dvPath)))
+    val newOnly = to.filterNot(e => fromSet((e.relPath, e.dvPath)))
+    val cols = schema.fieldNames
+    val o = readEntries(spark, root, schema, oldOnly).as("o")
+    val n = readEntries(spark, root, schema, newOnly).as("n")
+    val j = o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
+    val changed = cols.map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .reduce(_ || _)
+    val ups = j.filter(col(s"n.$key").isNotNull && changed)
+      .select(cols.map(c => col(s"n.$c").as(c)).toSeq: _*)
+    val dels = j.filter(col(s"n.$key").isNull)
+      .select(col(s"o.$key").as(key))
+    (ups, dels)
+  }
+
+  /** MERGE PUBLISH: land branch `name`'s net changes (base → head) on
+    * a main that has ADVANCED past the branch base — the workflow
+    * [[fastForward]] correctly refuses. One keyed-MERGE commit replays
+    * the branch's row-level delta (changed/new rows as verbatim
+    * replacements, branch-deleted keys as deletes — the delete-wins
+    * rule of the q239 replication pattern) onto main's head through
+    * [[applyCdcBatch]]'s existing machinery.
+    *
+    * CONFLICT RULE (Iceberg cherry-pick semantics, key-level): if any
+    * key the branch changed was ALSO changed by main since the base,
+    * the merge refuses with the conflicting-key count — a silent
+    * last-writer-wins would lose one side's update. The check (and the
+    * deltas) are file-pruned snapshot diffs: O(diverged files), never
+    * a table scan. A main commit racing the merge itself re-checks
+    * conflicts against the new head before retrying (the TOCTOU the
+    * plain OCC retry would miss). Schema divergence (DDL on main since
+    * the base) refuses — the branch writes base-era columns.
+    *
+    * Returns Left(conflictingKeyCount) on refusal,
+    * Right((newMainVersion, changedKeys)) on publish. The clean
+    * fast-forwardable case still prefers [[fastForward]] (pure
+    * metadata, history preserved); merge collapses the branch into
+    * one commit. */
+  def mergeBranch(spark: SparkSession, root: String, name: String,
+      nBuckets: Int = 8, maxRetries: Int = 2): Either[Long, (Int, Long)] = {
+    val base = branchBase(spark, root, name)
+    val key = keyColumn(spark, root).getOrElse(
+      sys.error(s"mergeBranch needs a keyed table at $root"))
+    val bv = branchHeadVersion(spark, root, name)
+    val baseEntries = loadManifest(spark, root, base)
+    val headEntries = branchEntries(spark, root, name, bv)
+    val schema = tableSchema(spark, root, base)
+    val cols = schema.fieldNames
+    val op = "__graft_merge_op"
+    // the branch's net delta is fixed; main's is re-derived per attempt
+    val (bUps, bDel) = snapshotDelta(spark, root, schema, key,
+      baseEntries, headEntries)
+    val batch = bUps.withColumn(op, lit("replace"))
+      .unionByName(bDel.select(cols.map(c =>
+        (if (c == key) col(key) else lit(null).cast(schema(c).dataType))
+          .as(c)).toSeq: _*)
+        .withColumn(op, lit("delete")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val branchKeys = batch.select(col(key).cast("long").as("__k")).distinct()
+      val nChanged = branchKeys.count()
+      if (nChanged == 0L)
+        return Right((latestVersion(spark, root), 0L))
+      var attempt = 0
+      while (true) {
+        val mainV = latestVersion(spark, root)
+        require(tableSchema(spark, root, mainV) == schema,
+          s"cannot MERGE branch '$name': main's schema changed since " +
+            s"base $base — recreate the branch from the current head")
+        // main's own post-base changes: the conflict set
+        val (mUps, mDel) = snapshotDelta(spark, root, schema, key,
+          baseEntries, loadManifest(spark, root, mainV))
+        val mainKeys = mUps.select(col(key).cast("long").as("__k"))
+          .unionByName(mDel.select(col(key).cast("long").as("__k")))
+          .distinct()
+        val conflicts = branchKeys.join(mainKeys, Seq("__k"), "inner").count()
+        if (conflicts > 0) return Left(conflicts)
+        try {
+          val (v, _, _) = applyCdcBatch(spark, root, batch, key, op,
+            nBuckets, maxRetries = 0)
+          return Right((v, nChanged))
+        } catch {
+          // a main commit raced the apply: re-derive main's delta and
+          // RE-CHECK conflicts against the new head before retrying
+          case e: ConcurrentCommitException =>
+            if (attempt >= maxRetries) throw e
+            attempt += 1
+        }
+      }
+      sys.error("unreachable")
+    } finally batch.unpersist()
   }
 
   /** Drop branch `name`: its meta, manifests, and branch-local
@@ -2887,6 +3100,30 @@ object GraftTable {
       }
       doomed.foreach { p => f.delete(p, false); removed += 1 }
     }
+    // token-verified ORPHAN SWEEP, run while every manifest is still
+    // present: a sidecar at a committed version whose token is NOT the
+    // one that version's manifest header names is a race-losing or
+    // crashed attempt's leftover — unreachable by resolution, reaped
+    // here. After this sweep, every surviving sidecar below the
+    // horizon is authoritative, which is what lets resolution trust
+    // files whose manifests the deletion below removes. Versions with
+    // no manifest yet are left alone (an in-flight commit may be
+    // staging there right now).
+    val log = new org.apache.hadoop.fs.Path(root, "_log")
+    if (f.exists(log)) {
+      val present = listManifestVersions(f, root).toSet
+      val names0 = f.listStatus(log).map(_.getPath.getName).toSeq
+      val wantCache = scala.collection.mutable.Map[Int, Option[String]]()
+      Seq(("schema", "json"), ("partition", "json"),
+          ("colstats", "tsv"), ("kmv", "tsv")).foreach { case (kind, ext) =>
+        sidecarVersions(names0, kind, ext).foreach { case (sv, tok) =>
+          if (present(sv) &&
+              tok != wantCache.getOrElseUpdate(sv, sidecarToken(f, root, sv)))
+            f.delete(new org.apache.hadoop.fs.Path(log,
+              f"$kind%s-v$sv%05d${tokSuffix(tok)}%s.$ext%s"), false)
+        }
+      }
+    }
     (0 until keepFrom).filterNot(pinned).foreach { v =>
       val m = manifestPath(root, v)
       if (f.exists(m)) f.delete(m, false)
@@ -2895,53 +3132,46 @@ object GraftTable {
     // live files) inside the checkpoint written above; schema files
     // keep only the newest ≤ horizon (the one resolving every retained
     // version); superseded checkpoints go entirely
-    val log = new org.apache.hadoop.fs.Path(root, "_log")
     if (f.exists(log)) {
-      val names = f.listStatus(log).map(_.getPath.getName)
-      names.collect { case s if s.matches("colstats-v\\d{5}\\.tsv") =>
-        (s, s.substring(10, 15).toInt) }
-        .filter(_._2 < keepFrom)
-        .foreach { case (s, _) =>
-          f.delete(new org.apache.hadoop.fs.Path(log, s), false) }
+      val names = f.listStatus(log).map(_.getPath.getName).toSeq
+      sidecarVersions(names, "colstats", "tsv")
+        .filter(_._1 < keepFrom)
+        .foreach { case (v, tok) =>
+          f.delete(colStatsPath(root, v, tok), false) }
       // NDV digest sidecars sweep on the same horizon — live files'
       // digests were folded into the checkpoint written above
-      names.collect { case s if s.matches("kmv-v\\d{5}\\.tsv") =>
-        (s, s.substring(5, 10).toInt) }
-        .filter(_._2 < keepFrom)
-        .foreach { case (s, _) =>
-          f.delete(new org.apache.hadoop.fs.Path(log, s), false) }
-      val schemaVs = names.collect {
-        case s if s.matches("schema-v\\d{5}\\.json") =>
-          (s, s.substring(8, 13).toInt) }
-      val horizonSchema = schemaVs.map(_._2).filter(_ <= keepFrom)
+      sidecarVersions(names, "kmv", "tsv")
+        .filter(_._1 < keepFrom)
+        .foreach { case (v, tok) =>
+          f.delete(kmvPath(root, v, tok), false) }
+      val schemaVs = sidecarVersions(names, "schema", "json")
+      val horizonSchema = schemaVs.map(_._1).filter(_ <= keepFrom)
         .foldLeft(-1)(math.max)
       // a pinned (tagged) version below the horizon still needs the
       // newest schema file at or below IT, or its time-travel read
       // would fall back to the create-time schema after evolution
       val pinnedSchemas = pinned.flatMap { pv =>
-        val vs = schemaVs.map(_._2).filter(_ <= pv)
+        val vs = schemaVs.map(_._1).filter(_ <= pv)
         if (vs.isEmpty) None else Some(vs.max)
       }
-      schemaVs.filter(sv => sv._2 < horizonSchema &&
-          !pinnedSchemas.contains(sv._2))
-        .foreach { case (s, _) =>
-          f.delete(new org.apache.hadoop.fs.Path(log, s), false) }
+      schemaVs.filter(sv => sv._1 < horizonSchema &&
+          !pinnedSchemas.contains(sv._1))
+        .foreach { case (v, tok) =>
+          f.delete(schemaSidecarPath(root, v, tok), false) }
       // partition specs retain exactly like schemas: newest ≤ horizon
       // (resolves every retained version) plus each pinned version's
       // newest ≤ it
-      val partVs = names.collect {
-        case s if s.matches("partition-v\\d{5}\\.json") =>
-          (s, s.substring(11, 16).toInt) }
-      val horizonPart = partVs.map(_._2).filter(_ <= keepFrom)
+      val partVs = sidecarVersions(names, "partition", "json")
+      val horizonPart = partVs.map(_._1).filter(_ <= keepFrom)
         .foldLeft(-1)(math.max)
       val pinnedParts = pinned.flatMap { pv =>
-        val vs = partVs.map(_._2).filter(_ <= pv)
+        val vs = partVs.map(_._1).filter(_ <= pv)
         if (vs.isEmpty) None else Some(vs.max)
       }
-      partVs.filter(pv => pv._2 < horizonPart &&
-          !pinnedParts.contains(pv._2))
-        .foreach { case (s, _) =>
-          f.delete(new org.apache.hadoop.fs.Path(log, s), false) }
+      partVs.filter(pv => pv._1 < horizonPart &&
+          !pinnedParts.contains(pv._1))
+        .foreach { case (v, tok) =>
+          f.delete(partitionSpecPath(root, v, tok), false) }
       val cpVs = names.collect {
         case s if s.matches("checkpoint-v\\d{5}\\.tsv") =>
           (s, s.substring(12, 17).toInt) }
@@ -2949,9 +3179,9 @@ object GraftTable {
       cpVs.filter(_._2 < newestCp).foreach { case (s, _) =>
         f.delete(new org.apache.hadoop.fs.Path(log, s), false) }
       // stranded staging files from crashed commits: `.tmp-*` (an
-      // unpublished writeAtomic payload) and `.quarantine-*` (a sweep
-      // aside whose owner died between quarantine and resolution) are
-      // invisible to every reader — vacuum is their only reaper
+      // unpublished writeAtomic payload) and `.quarantine-*` (a
+      // pre-token-era sweep aside) are invisible to every reader —
+      // vacuum is their only reaper
       names.filter(s => s.startsWith(".tmp-") || s.startsWith(".quarantine-"))
         .foreach(s => f.delete(new org.apache.hadoop.fs.Path(log, s), false))
     }
@@ -3002,16 +3232,14 @@ object GraftTable {
     * reference) — the shared tail of ADD/RENAME/DROP COLUMN. */
   private def commitSchema(f: org.apache.hadoop.fs.FileSystem,
       spark: SparkSession, root: String, v: Int,
-      newSchema: StructType): Unit = {
-    val schemaP = new org.apache.hadoop.fs.Path(root, f"_log/schema-v$v%05d.json")
-    // an orphan schema file for an uncommitted version (a failed prior
-    // evolve) is safe to replace: tableSchema ignores versions beyond
-    // the manifest log, and the manifest publish below is the commit
-    if (f.exists(schemaP) && !f.exists(manifestPath(root, v)))
-      f.delete(schemaP, false)
-    writeAtomic(f, schemaP, newSchema.json)
+      newSchema: StructType,
+      beforePublish: () => Unit = () => ()): Unit = {
+    // the schema stages inside commitManifest under this attempt's
+    // token — a race-losing DDL writer can no longer replace the
+    // winner's staged schema (the round-14 corruption), because no
+    // two attempts ever share a sidecar file name
     commitManifest(f, root, v, loadManifest(spark, root, v - 1),
-      wroteSchema = true)
+      schemaJson = Some(newSchema.json), beforePublish = beforePublish)
   }
 
   /** Physical names of every column ever dropped — the tombstone list
@@ -3101,7 +3329,17 @@ object GraftTable {
     * name — re-added columns surface NULLs, never resurrected
     * pre-drop values. Referenced columns refuse exactly like rename.
     * Returns the new version. */
-  def dropColumn(spark: SparkSession, root: String, name: String): Int = {
+  def dropColumn(spark: SparkSession, root: String, name: String): Int =
+    dropColumnWithHook(spark, root, name, () => ())
+
+  /** [[dropColumn]] with a test seam: `beforePublish` runs after this
+    * drop's schema sidecar is STAGED and before its manifest rename —
+    * the window a concurrent committer of the same version races into
+    * (the [[optimizeWithHook]] idiom). The concurrency spec drives a
+    * full racing DROP inside the hook to prove a loser can neither
+    * replace nor leak into the winner's staged sidecar. */
+  private[graft] def dropColumnWithHook(spark: SparkSession, root: String,
+      name: String, beforePublish: () => Unit): Int = {
     val base = latestVersion(spark, root)
     require(base >= 0, s"no table at $root")
     val schema = tableSchema(spark, root, base)
@@ -3121,7 +3359,7 @@ object GraftTable {
       physName(schema.fields.find(_.name == name).get) + "\n")
     val v = base + 1
     commitSchema(f, spark, root, v,
-      StructType(schema.fields.filterNot(_.name == name)))
+      StructType(schema.fields.filterNot(_.name == name)), beforePublish)
     v
   }
 
@@ -3251,8 +3489,10 @@ object GraftTable {
     }
   }
 
-  private def colStatsPath(root: String, v: Int) =
-    new org.apache.hadoop.fs.Path(root, f"_log/colstats-v$v%05d.tsv")
+  private def colStatsPath(root: String, v: Int,
+      tok: Option[String] = None) =
+    new org.apache.hadoop.fs.Path(root,
+      f"_log/colstats-v$v%05d${tokSuffix(tok)}.tsv")
 
   private def checkpointPath(root: String, v: Int) =
     new org.apache.hadoop.fs.Path(root, f"_log/checkpoint-v$v%05d.tsv")
@@ -3343,13 +3583,14 @@ object GraftTable {
     val fromCp = loadCheckpoint(spark, root).map(_._3).getOrElse(Seq.empty)
       .collect { case (rel, c, mn, mx) if rels(rel) => (rel, c) -> (mn, mx) }
     val log = new org.apache.hadoop.fs.Path(root, "_log")
+    // token-agnostic read (the loadKmvDigests rule): stat lines are
+    // facts about immutable files, rels-filtered — orphans are inert
     val sidecarVs =
-      if (!f.exists(log)) Seq.empty[Int]
-      else f.listStatus(log).map(_.getPath.getName)
-        .collect { case s if s.matches("colstats-v\\d{5}\\.tsv") =>
-          s.substring(10, 15).toInt }.toSeq.filter(_ <= version)
-    val fromSidecars = sidecarVs.flatMap { v =>
-      readFully(f, colStatsPath(root, v)).linesIterator
+      if (!f.exists(log)) Seq.empty[(Int, Option[String])]
+      else sidecarVersions(f.listStatus(log).map(_.getPath.getName).toSeq,
+        "colstats", "tsv").filter(_._1 <= version)
+    val fromSidecars = sidecarVs.flatMap { case (v, tok) =>
+      readFully(f, colStatsPath(root, v, tok)).linesIterator
         .filter(_.nonEmpty).flatMap { line =>
           val Array(rel, c, mn, mx) = line.split('\t')
           if (rels(rel)) Some((rel, c) -> (mn.toLong, mx.toLong)) else None
@@ -3422,20 +3663,13 @@ object GraftTable {
       // ledger keys are physical (rename-invariant), like every sidecar
       line(toPhys(spark, root, base, c1), 1).toSeq ++
         line(toPhys(spark, root, base, c2), 3).toSeq
-    }.sorted.mkString("", "\n", "\n")
+    }.toSeq
     val (f, _) = fs(root, spark)
-    val statsP = colStatsPath(root, v)
-    // merge with any partition-value stats writeDataFiles just wrote
-    // for this same version (one attempt, sequential — no race)
-    val merged =
-      if (w.wroteColStats) readFully(f, statsP).stripLineEnd + "\n" + lines
-      else lines
-    // drop the pre-merge file (this attempt's partition stats) or a
-    // crashed prior attempt's orphan; if another committer already
-    // PUBLISHED v, the writeAtomic below loses cleanly either way
-    if (f.exists(statsP)) f.delete(statsP, false)
-    writeAtomic(f, statsP, merged)
-    commitManifest(f, root, v, fresh, wroteColStats = true)
+    // z-order ranges merge with the write's own stat lines in memory;
+    // commitManifest stages the union under its attempt token
+    commitManifest(f, root, v, fresh,
+      statLines = (w.statLines ++ lines).sorted,
+      kmvLines = w.kmvLines)
     (v, fresh.size)
   }
 

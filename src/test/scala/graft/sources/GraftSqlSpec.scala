@@ -1042,8 +1042,21 @@ class GraftSqlSpec extends SparkSpec {
       === None)
     assert(planOf("ndv2", cbo = true).contains("SortMergeJoin"),
       "no digest coverage must refuse the estimate, not guess")
-    // DV'd snapshots refuse too (digests describe PHYSICAL content)
+    // DV'd snapshots KEEP serving: a digest describes physical content,
+    // a superset of the live rows, so the estimate is a valid UPPER
+    // BOUND — one narrow MoR delete must not black out the table's CBO
     GraftTable.deleteWhereDv(spark, root, $"k" <= 5)
-    assert(GraftTable.estimateDistinct(spark, root, 1, "cat") === None)
+    assert(GraftTable.estimateDistinct(spark, root, 1, "cat") === Some(50L),
+      "DV'd file digests still serve (upper bound on live NDV)")
+    val estKdv = GraftTable.estimateDistinct(spark, root, 1, "k").get
+    // upper-bound contract: the estimate covers the physical 20000 keys
+    // (live = 19995) within KMV error — never below the live count by
+    // more than sketch error, never refused
+    assert(math.abs(estKdv - 20000L).toDouble / 20000 <= 0.30,
+      s"estKdv=$estKdv")
+    // and the BHJ flip stays pinned on the DV'd snapshot — the q315
+    // capability survives the default merge-on-read DML mode
+    assert(planOf("ndv", cbo = true).contains("BroadcastHashJoin"),
+      "NDV evidence must keep sizing the aggregate after a MoR delete")
   }
 }

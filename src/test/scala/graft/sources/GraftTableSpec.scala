@@ -15,6 +15,15 @@ class GraftTableSpec extends SparkSpec {
   private def freshRoot(): String =
     Files.createTempDirectory("graft_table_spec").toString + "/tbl"
 
+  /** Sidecar files in `dir` whose name starts with `prefix` — sidecars
+    * are token-named (`colstats-v00000-<tok>.tsv`), so specs locate
+    * them by version prefix instead of a fixed name. */
+  private def sidecarFiles(dir: String, prefix: String): Seq[java.io.File] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.getName.startsWith(prefix))
+  }
+
   private def base(n: Int) = spark.range(1, n + 1).select(
     $"id".as("k"),
     concat(lit("row"), $"id").as("name"),
@@ -454,7 +463,7 @@ class GraftTableSpec extends SparkSpec {
       Seq((2L, "u2", -2L)).toDF("k", "name", "v"), "k") // v2
     GraftTable.vacuum(spark, root, retainVersions = 1)
     // the v0 digest sidecar is swept below the horizon...
-    assert(!new java.io.File(root, "_log/kmv-v00000.tsv").exists())
+    assert(sidecarFiles(s"$root/_log", "kmv-v00000").isEmpty)
     // ...but carried files' digests live on in the checkpoint: the
     // estimate still serves instead of refusing
     val est = GraftTable.estimateDistinct(spark, root, 2, "name")
@@ -501,29 +510,93 @@ class GraftTableSpec extends SparkSpec {
   }
 
   test("a CRASHED branch commit's orphan sidecar never wedges the " +
-    "branch: the retry replaces it and lands") {
+    "branch: the retry stages under its own token and lands") {
     val root = freshRoot()
     GraftTable.create(spark, root, base(50), "k", nBuckets = 1)
     GraftTable.createBranch(spark, root, "cr")
-    // simulate a writer that staged its bv=1 sidecar and died before
-    // the manifest rename
+    // simulate writers that staged bv=1 sidecars (a pre-token legacy
+    // name AND a foreign token name) and died before the manifest
+    // rename — neither may collide with nor leak into the retry
     val (f, _) = (new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration), ())
-    val orphan = new org.apache.hadoop.fs.Path(root,
-      "_log/branch-cr/colstats-v00001.tsv")
-    f.mkdirs(orphan.getParent)
-    val os = f.create(orphan, false)
-    os.write("data/ghost\t#nulls.x\t0\t0\n".getBytes("UTF-8")); os.close()
-    // the next commit at bv=1 must replace the orphan, not collide
+    val bdir = new org.apache.hadoop.fs.Path(root, "_log/branch-cr")
+    f.mkdirs(bdir)
+    Seq("colstats-v00001.tsv", "colstats-v00001-deadbeef.tsv").foreach { n =>
+      val os = f.create(new org.apache.hadoop.fs.Path(bdir, n), false)
+      os.write("data/ghost\t#nulls.x\t0\t0\n".getBytes("UTF-8")); os.close()
+    }
+    // the next commit at bv=1 stages under its OWN token: no collision
     val bv = GraftTable.upsertBranch(spark, root, "cr",
       Seq((1L, "retry", 0L)).toDF("k", "name", "v"), "k")
     assert(bv === 1)
     assert(GraftTable.readBranch(spark, root, "cr")
       .filter($"name" === "retry").count() === 1)
-    // and the orphan's ghost line is gone (replaced, not appended)
-    val txt = new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(
-      f.open(orphan)), "UTF-8")
-    assert(!txt.contains("ghost"))
+    // publish: only the AUTHORITATIVE sidecar (the branch manifest's
+    // token) re-pins on main — the orphans' ghost line never leaks
+    assert(GraftTable.fastForward(spark, root, "cr").isRight)
+    val mainV = GraftTable.latestVersion(spark, root)
+    val pub = sidecarFiles(s"$root/_log", f"colstats-v$mainV%05d")
+    assert(pub.nonEmpty, "published commit should carry a colstats sidecar")
+    pub.foreach { fl =>
+      val src = scala.io.Source.fromFile(fl)
+      val txt = try src.mkString finally src.close()
+      assert(!txt.contains("ghost"), s"orphan line leaked into $fl")
+    }
+  }
+
+  test("mergeBranch: a branch whose main ADVANCED publishes as one " +
+    "keyed-MERGE commit — disjoint changes from both sides survive, " +
+    "main's deletes are not resurrected, fastForward still refuses") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(100), "k", nBuckets = 4)
+    GraftTable.createBranch(spark, root, "mb")
+    // branch work: update k=10, insert k=101
+    GraftTable.upsertBranch(spark, root, "mb",
+      Seq((10L, "b-upd", -1L), (101L, "b-new", -2L)).toDF("k", "name", "v"),
+      "k")
+    // main advances independently: update k=50, insert k=102, delete 60
+    GraftTable.upsert(spark, root,
+      Seq((50L, "m-upd", -3L), (102L, "m-new", -4L)).toDF("k", "name", "v"),
+      "k")
+    GraftTable.deleteWhere(spark, root, $"k" === 60, "k")
+    // the fast-forwardable contract is unchanged: foreign main commits
+    // refuse
+    assertThrows[IllegalArgumentException] {
+      GraftTable.fastForward(spark, root, "mb")
+    }
+    val r = GraftTable.mergeBranch(spark, root, "mb")
+    assert(r.isRight, s"merge refused: $r")
+    assert(r.toOption.get._2 === 2L) // k=10 replaced, k=101 inserted
+    // relational replay: base, minus main's delete, with both sides'
+    // updates and inserts
+    val got = GraftTable.read(spark, root)
+      .select("k", "name", "v").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    val expect = ((1L to 100L).filter(_ != 60).map {
+      case 10L => (10L, "b-upd", -1L)
+      case 50L => (50L, "m-upd", -3L)
+      case k => (k, s"row$k", k * 10)
+    } ++ Seq((101L, "b-new", -2L), (102L, "m-new", -4L))).sortBy(_._1)
+    assert(got === expect)
+  }
+
+  test("mergeBranch CONFLICT: a key changed by BOTH main and branch " +
+    "since the base refuses with the conflicting-key count — no " +
+    "silent last-writer-wins") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(50), "k", nBuckets = 2)
+    GraftTable.createBranch(spark, root, "cfl")
+    GraftTable.upsertBranch(spark, root, "cfl",
+      Seq((7L, "branch-side", -1L), (30L, "branch-only", -5L))
+        .toDF("k", "name", "v"), "k")
+    GraftTable.upsert(spark, root,
+      Seq((7L, "main-side", -2L)).toDF("k", "name", "v"), "k")
+    assert(GraftTable.mergeBranch(spark, root, "cfl") === Left(1L))
+    // refusal leaves main untouched: main's own update serves
+    val head = GraftTable.read(spark, root)
+    assert(head.filter($"name" === "main-side").count() === 1)
+    assert(head.filter($"name" === "branch-side").count() === 0)
+    assert(head.filter($"name" === "branch-only").count() === 0)
   }
 
   test("branches fork DV'd bases correctly: branch reads mask the " +
@@ -661,28 +734,38 @@ class GraftTableSpec extends SparkSpec {
     assert(now.filter($"name" === "high").count() === 10)
   }
 
-  test("orphan sidecars of a failed evolve are swept by the next commit") {
+  test("orphan sidecars of a failed evolve never resolve, and vacuum " +
+    "reaps them") {
     val root = freshRoot()
     GraftTable.create(spark, root, base(100), "k", nBuckets = 2)
-    // simulate an evolve that wrote its schema sidecar for version 1
-    // and crashed before the manifest rename
+    // simulate evolve attempts that staged schema sidecars for version
+    // 1 (one legacy-named, one under a foreign token) and crashed
+    // before the manifest rename
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val orphan = new org.apache.hadoop.fs.Path(root, "_log/schema-v00001.json")
-    GraftTable.writeAtomic(fs, orphan,
-      org.apache.spark.sql.types.StructType(
-        base(1).schema.fields :+ org.apache.spark.sql.types.StructField(
-          "ghost", org.apache.spark.sql.types.StringType, nullable = true)).json)
+    val ghostJson = org.apache.spark.sql.types.StructType(
+      base(1).schema.fields :+ org.apache.spark.sql.types.StructField(
+        "ghost", org.apache.spark.sql.types.StringType, nullable = true)).json
+    val orphans = Seq("_log/schema-v00001.json",
+      "_log/schema-v00001-deadbeef.json")
+      .map(n => new org.apache.hadoop.fs.Path(root, n))
+    orphans.foreach(p => GraftTable.writeAtomic(fs, p, ghostJson))
     // an unrelated upsert publishes manifest 1: it must NOT adopt the
-    // ghost column — the orphan is deleted before the commit point
+    // ghost column — resolution accepts only the sidecar the winning
+    // manifest's token header names, and this commit staged none
     val batch = spark.range(1, 3).select(
       $"id".as("k"), lit("u").as("name"), lit(0L).as("v"))
     val (v, _, _) = GraftTable.upsert(spark, root, batch, "k")
     assert(v === 1)
-    assert(!fs.exists(orphan), "orphan schema sidecar should be swept")
     assert(GraftTable.read(spark, root).columns.toSeq === Seq("k", "name", "v"))
     // and a later upsert does not demand the ghost column either
     GraftTable.upsert(spark, root, batch, "k")
+    assert(GraftTable.read(spark, root).columns.toSeq === Seq("k", "name", "v"))
+    // vacuum's token-verified sweep reaps the unreachable orphans even
+    // though every version is retained
+    GraftTable.vacuum(spark, root, retainVersions = 10)
+    orphans.foreach(p =>
+      assert(!fs.exists(p), s"vacuum should reap orphan sidecar $p"))
     assert(GraftTable.read(spark, root).columns.toSeq === Seq("k", "name", "v"))
   }
 
@@ -714,8 +797,8 @@ class GraftTableSpec extends SparkSpec {
     GraftTable.vacuum(spark, root, retainVersions = 2)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(root,
-      "_log/colstats-v00001.tsv")), "swept colstats sidecar should be gone")
+    assert(sidecarFiles(s"$root/_log", "colstats-v00001").isEmpty,
+      "swept colstats sidecar should be gone")
     assert(GraftTable.prunedFileCount2D(spark, root,
       "x", 10, 20, "y", 10, 20) === prunedBefore)
     val box = GraftTable.readRange2D(spark, root, "x", 10, 20, "y", 10, 20)
@@ -879,7 +962,8 @@ class GraftTableSpec extends SparkSpec {
     assert(viaP._1 === 500) // 4000 / 8 days
     // sabotage: physically delete a data file whose day range excludes
     // `day`; the pruned read must never open it
-    val stats = scala.io.Source.fromFile(s"$root/_log/colstats-v00000.tsv")
+    val stats = scala.io.Source.fromFile(
+      sidecarFiles(s"$root/_log", "colstats-v00000").head)
     val victim = try stats.getLines().filter(_.nonEmpty)
       .map(_.split('\t')).find(a => a(1).startsWith("__p_days_") &&
         (a(3).toLong < day || a(2).toLong > day)).get.head
@@ -966,7 +1050,8 @@ class GraftTableSpec extends SparkSpec {
     def sabotage(root: String, statsPrefix: String, keep: Long): Unit = {
       // delete a data file whose recorded transform-value range
       // EXCLUDES `keep`; the pruned read must never open it
-      val stats = scala.io.Source.fromFile(s"$root/_log/colstats-v00000.tsv")
+      val stats = scala.io.Source.fromFile(
+      sidecarFiles(s"$root/_log", "colstats-v00000").head)
       val victim = try stats.getLines().filter(_.nonEmpty)
         .map(_.split('\t')).find(a => a(1).startsWith(statsPrefix) &&
           (a(3).toLong < keep || a(2).toLong > keep)).get.head
@@ -1398,6 +1483,91 @@ class GraftTableSpec extends SparkSpec {
     val readd = GraftTable.read(spark, root)
     assert(readd.filter($"a".isNotNull || $"b".isNotNull).count() === 0)
     assert(readd.filter($"c" === "C").count() === 100)
+  }
+
+  test("CONCURRENT DROP COLUMNs ×50: the token-named sidecar protocol " +
+    "never publishes a loser's schema under a winner's commit") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, spark.range(1, 4).select(
+      $"id".as("k"), lit("C").as("c")), "k", nBuckets = 1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      (1 to 50).foreach { i =>
+        // each round adds two fresh columns (one metadata commit), then
+        // drops them CONCURRENTLY — the exact interleaving that used to
+        // let a race-losing drop replace the winner's staged schema and
+        // durably corrupt the winning version's column set
+        val (ca, cb) = (s"a$i", s"b$i")
+        GraftTable.evolveAddColumns(spark, root, Seq(
+          org.apache.spark.sql.types.StructField(ca,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(cb,
+            org.apache.spark.sql.types.StringType)))
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val latch = new java.util.concurrent.CountDownLatch(1)
+        val done = new java.util.concurrent.CountDownLatch(2)
+        Seq(ca, cb).foreach { c =>
+          pool.submit(new Runnable {
+            override def run(): Unit =
+              try {
+                latch.await()
+                var ok = false
+                while (!ok) {
+                  try { GraftTable.dropColumn(spark, root, c); ok = true }
+                  catch { case _: GraftTable.ConcurrentCommitException => () }
+                }
+              } catch { case e: Throwable => errs.add(e) }
+              finally done.countDown()
+          })
+        }
+        latch.countDown()
+        assert(done.await(60, java.util.concurrent.TimeUnit.SECONDS),
+          s"round $i timed out")
+        assert(errs.isEmpty, s"round $i drop failed: ${errs.peek()}")
+        // the corruption signature was: one drop's column surviving its
+        // own committed drop (or a column vanishing without its commit)
+        assert(GraftTable.tableSchema(spark, root,
+          GraftTable.latestVersion(spark, root)).fieldNames.sorted.toSeq
+          === Seq("c", "k"), s"round $i corrupted the schema")
+      }
+    } finally pool.shutdown()
+    assert(GraftTable.read(spark, root).columns.sorted.toSeq ===
+      Seq("c", "k"))
+  }
+
+  test("HOOK-DRIVEN sidecar race: a DDL writer that loses the version " +
+    "to a commit landing inside its stage→rename window can neither " +
+    "replace nor leak into the winner's schema") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, spark.range(1, 4).select(
+      $"id".as("k"), lit("A").as("a"), lit("B").as("b"),
+      lit("C").as("c")), "k", nBuckets = 1)
+    // writer A (DROP a) stages its schema sidecar for v1; INSIDE the
+    // window before A's manifest rename, writer B (DROP b) runs to
+    // completion and WINS v1 — the deterministic form of the race the
+    // old pre-delete turned into permanent corruption
+    var fired = false
+    intercept[GraftTable.ConcurrentCommitException] {
+      GraftTable.dropColumnWithHook(spark, root, "a", () => {
+        if (!fired) { fired = true; GraftTable.dropColumn(spark, root, "b") }
+      })
+    }
+    assert(fired)
+    // v1 is B's commit and serves EXACTLY B's schema {k, a, c}: A's
+    // staged sidecar (still on disk or self-deleted, either way a
+    // foreign token) must be invisible to resolution
+    assert(GraftTable.tableSchema(spark, root, 1).fieldNames.sorted.toSeq
+      === Seq("a", "c", "k"),
+      "the losing writer's schema leaked into the winning commit")
+    assert(GraftTable.read(spark, root, Some(1)).columns.sorted.toSeq ===
+      Seq("a", "c", "k"))
+    // A's clean retry lands as v2 with both drops applied
+    assert(GraftTable.dropColumn(spark, root, "a") === 2)
+    assert(GraftTable.read(spark, root).columns.sorted.toSeq ===
+      Seq("c", "k"))
+    // and v1 time travel STILL serves B's era after A's retry
+    assert(GraftTable.read(spark, root, Some(1)).columns.sorted.toSeq ===
+      Seq("a", "c", "k"))
   }
 
   test("cloneTable from a RELATIVE source path: references are " +
