@@ -3315,6 +3315,320 @@ object MaintenanceQueries {
            |  true AS ok
            |FROM o JOIN dim ON o.k = dim.sk""".stripMargin))
 
+  /** BRANCH MERGE ONTO AN ADVANCED MAIN (round 15): the workflow gap
+    * fast-forward correctly refuses — both main AND branch advance
+    * from the base (disjoint keys), then [[GraftTable.mergeBranch]]
+    * replays the branch's file-pruned row delta onto main's head as
+    * ONE keyed-MERGE commit: branch updates/inserts land, main's own
+    * updates and deletes survive, and a branch that never touched a
+    * key can never resurrect main's delete of it. `ok` additionally
+    * pins the conflict rule (a second branch overlapping main's keys
+    * REFUSES with the conflicting-key count, main untouched) and that
+    * fastForward still refuses the advanced main. At 100 TB both
+    * deltas are file-pruned snapshot diffs — O(diverged files). */
+  val q318BranchMerge = GraftQuery(
+    "q318_branch_merge",
+    (s, dir) => {
+      val base = newTempDir("graft_branch_merge")
+      val root = base + "/c"
+      val cust = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_name").as("name"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, root, cust, "k", nBuckets = 4)
+      GraftTable.createBranch(s, root, "wip")
+      // branch work: update k%100==7 rows, insert one new key
+      val bUpd = cust.filter(col("k") % 100 === 7)
+        .withColumn("name", lit("branch-upd"))
+        .withColumn("cents", lit(-1L))
+        .unionByName(s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(999999L,
+            "branch-new", 0L)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("name",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("cents",
+              org.apache.spark.sql.types.LongType)))))
+      GraftTable.upsertBranch(s, root, "wip", bUpd, "k")
+      // a SECOND branch, also at base 0, touching a key main will
+      // change too — the conflict-control fixture
+      GraftTable.createBranch(s, root, "cfl")
+      GraftTable.upsertBranch(s, root, "cfl",
+        cust.filter(col("k") === 13)
+          .withColumn("name", lit("conflict"))
+          .withColumn("cents", lit(-9L)), "k")
+      // main advances independently: update k%100==13, delete k%100==29
+      GraftTable.upsert(s, root,
+        cust.filter(col("k") % 100 === 13)
+          .withColumn("name", lit("main-upd"))
+          .withColumn("cents", lit(-2L)), "k")
+      GraftTable.deleteWhere(s, root, col("k") % 100 === 29, "k")
+      val ffRefused =
+        try { GraftTable.fastForward(s, root, "wip"); false }
+        catch { case _: IllegalArgumentException => true }
+      // conflict control FIRST: cfl changed k=13, main changed every
+      // k%100==13 — key overlap refuses, main untouched
+      val conflictRefused =
+        GraftTable.mergeBranch(s, root, "cfl").isLeft
+      val merged = GraftTable.mergeBranch(s, root, "wip")
+      val ok = ffRefused && merged.isRight && conflictRefused
+      GraftTable.read(s, root)
+        .withColumn("bucket", col("k") % 10)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("cents").as("cents_sum"),
+          sum(conv(substring(md5(concat_ws("|", col("k").cast("string"),
+            col("name"), col("cents").cast("string"))), 1, 8), 16, 10)
+            .cast("long")).as("row_sum"))
+        .withColumn("ok", lit(ok))
+        .orderBy("bucket")
+    },
+    Some("""WITH c AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM customer),
+           |merged AS (
+           |  SELECT k,
+           |    CASE WHEN k % 100 = 7 THEN 'branch-upd'
+           |         WHEN k % 100 = 13 THEN 'main-upd' ELSE name END AS name,
+           |    CASE WHEN k % 100 = 7 THEN CAST(-1 AS BIGINT)
+           |         WHEN k % 100 = 13 THEN CAST(-2 AS BIGINT)
+           |         ELSE cents END AS cents
+           |  FROM c WHERE k % 100 <> 29
+           |  UNION ALL SELECT 999999, 'branch-new', 0)
+           |SELECT k % 10 AS bucket, count(*) AS n_rows,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |    name || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |    AS BIGINT) AS row_sum,
+           |  true AS ok
+           |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** STREAMING SINK UNDER THE DML POLICY (round 15): the continuous
+    * CDC upsert pattern — N micro-batches through
+    * [[GraftTable.ingestBatch]] against a table in the default
+    * `graft.dml.mode = auto` — now takes the MERGE-ON-READ path:
+    * `ok` pins, by manifest FILE-SET ARITHMETIC, that every
+    * pre-existing data file is STILL live after all batches (zero
+    * rewrites — under CoW each touched file would be replaced every
+    * trigger: the write amplification that kills minute-trigger CDC
+    * at 100 TB), that DVs accumulated, that a REPLAYED batch is a
+    * no-op (the effective-once marker guard is mode-independent), and
+    * that [[GraftTable.absorbDvs]] closes the loop back to zero DV'd
+    * files without changing content. */
+  val q319SinkMor = GraftQuery(
+    "q319_sink_mor",
+    (s, dir) => {
+      val base = newTempDir("graft_sink_mor")
+      val root = base + "/t"
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, root, orders, "k", nBuckets = 8)
+      def rels(v: Int): Set[String] =
+        GraftTable.snapshotFileLedger(s, root, v).map(_._1).toSet
+      val files0 = rels(0)
+      (1 to 3).foreach { b =>
+        val batch = orders.filter(col("k") % 500 === b)
+          .withColumn("prio", lit(s"u$b"))
+          .withColumn("cents", lit(-b.toLong))
+        GraftTable.ingestBatch(s, root, batch, "k", batchId = b.toLong)
+      }
+      val v3 = GraftTable.latestVersion(s, root)
+      val zeroRewrites = files0.subsetOf(rels(v3))
+      val dvd = GraftTable.hasDeletionVectors(s, root, v3)
+      // replayed batch: the marker guard makes it a no-op in any mode
+      GraftTable.ingestBatch(s, root,
+        orders.filter(col("k") % 500 === 2)
+          .withColumn("prio", lit("ghost")), "k", batchId = 2L)
+      val replayNoop = GraftTable.latestVersion(s, root) == v3
+      GraftTable.absorbDvs(s, root, "k")
+      val absorbed = !GraftTable.hasDeletionVectors(s, root,
+        GraftTable.latestVersion(s, root))
+      val ok = zeroRewrites && dvd && replayNoop && absorbed
+      GraftTable.read(s, root)
+        .withColumn("bucket", col("k") % 10)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("cents").as("cents_sum"),
+          sum(conv(substring(md5(concat_ws("|", col("k").cast("string"),
+            col("prio"), col("cents").cast("string"))), 1, 8), 16, 10)
+            .cast("long")).as("row_sum"))
+        .withColumn("ok", lit(ok))
+        .orderBy("bucket")
+    },
+    Some("""WITH o AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |    o_orderpriority AS prio,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM orders),
+           |merged AS (
+           |  SELECT k,
+           |    CASE WHEN k % 500 IN (1, 2, 3)
+           |      THEN 'u' || CAST(k % 500 AS VARCHAR) ELSE prio END AS prio,
+           |    CASE WHEN k % 500 IN (1, 2, 3) THEN -(k % 500)
+           |      ELSE cents END AS cents
+           |  FROM o)
+           |SELECT k % 10 AS bucket, count(*) AS n_rows,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |    prio || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |    AS BIGINT) AS row_sum,
+           |  true AS ok
+           |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** SQL-ONLY BRANCH WORKFLOW (round 15): the q316 fork→write→publish
+    * cycle with the WRITE in SQL too — `INSERT INTO cat.t.branch_<w>`
+    * resolves the Iceberg-style `branch_` identifier to a writable
+    * branch table ([[graft.sources.GraftBranchSqlTable]]): reads of
+    * the ref serve the branch HEAD through the same pruned DV-masked
+    * scan as main, the INSERT routes through upsertBranch, and main
+    * serves its old snapshot untouched until `FAST FORWARD` publishes.
+    * `ok` pins main's mid-branch isolation (count AND a spot row). */
+  val q320BranchSqlWrites = GraftQuery(
+    "q320_branch_sql_writes",
+    (s, dir) => {
+      val base = newTempDir("graft_branch_sqlw")
+      val root = base + "/p"
+      val cat = "graft_bw_" + java.util.UUID.randomUUID().toString.take(8)
+      val part = Tables.part(s, dir).select(
+        col("p_partkey").cast("long").as("k"),
+        col("p_brand").as("brand"),
+        floor(col("p_retailprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, root, part, "k", nBuckets = 4)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      val n0 = part.count()
+      s.sql(s"CREATE BRANCH wip ON $cat.p")
+      // the branch write, in SQL: update every k%97==3 row's brand
+      part.filter(col("k") % 97 === 3)
+        .withColumn("brand", lit("BR-WIP"))
+        .createOrReplaceTempView("branch_updates")
+      s.sql(s"INSERT INTO $cat.p.branch_wip SELECT * FROM branch_updates")
+      val mainIsolated =
+        s.sql(s"SELECT count(*) FROM $cat.p WHERE brand = 'BR-WIP'")
+          .collect()(0).getLong(0) == 0L &&
+        s.sql(s"SELECT count(*) FROM $cat.p").collect()(0).getLong(0) == n0
+      val branchServes =
+        s.sql(s"SELECT count(*) FROM $cat.p.branch_wip " +
+          "WHERE brand = 'BR-WIP'").collect()(0).getLong(0) > 0L
+      s.sql(s"FAST FORWARD $cat.p FROM wip")
+      val ok = mainIsolated && branchServes
+      s.sql(s"SELECT k, brand, cents FROM $cat.p")
+        .withColumn("bucket", col("k") % 10)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("cents").as("cents_sum"),
+          sum(conv(substring(md5(concat_ws("|", col("k").cast("string"),
+            col("brand"), col("cents").cast("string"))), 1, 8), 16, 10)
+            .cast("long")).as("row_sum"))
+        .withColumn("ok", lit(ok))
+        .orderBy("bucket")
+    },
+    Some("""WITH p AS (
+           |  SELECT CAST(p_partkey AS BIGINT) AS k,
+           |    CASE WHEN p_partkey % 97 = 3 THEN 'BR-WIP'
+           |         ELSE p_brand END AS brand,
+           |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM part)
+           |SELECT k % 10 AS bucket, count(*) AS n_rows,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |    brand || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |    AS BIGINT) AS row_sum,
+           |  true AS ok
+           |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** RUNTIME PRUNING ON THE PARTITION-TRANSFORM COLUMN (round 15):
+    * q317 proved key-column DPP; this is the TIME-DIMENSION form a
+    * 100 TB event fact actually needs — the fact is `days(ts)`
+    * partitioned, the join is on `ts` itself, and the scan reports
+    * the transform's INPUT column as runtime-filterable: the observed
+    * join timestamps map through the transform (the exact write-side
+    * function, evaluated on a LocalRelation) and prune by the
+    * per-file value ranges in the colstats sidecar. `ok` pins the
+    * `dynamicpruning` subscription AND the post-filter file count
+    * (one day of a 30-day table → ≤2 of ~8 files). */
+  val q321TransformDpp = GraftQuery(
+    "q321_transform_dpp",
+    (s, dir) => {
+      import graft.sources.DaysPartition
+      val base = newTempDir("graft_transform_dpp")
+      val root = base + "/ev"
+      val ev = Tables.events(s, dir).select(
+        col("event_id").cast("long").as("k"), col("ts"),
+        col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, root, ev, "k", nBuckets = 8,
+        partitioning = Some(DaysPartition("ts")))
+      val nFiles = GraftTable.snapshotFileLedger(s, root, 0).size
+      val day0 = ev.agg(min(floor(unix_timestamp(col("ts")) / 86400)
+        .cast("long"))).collect()(0).getLong(0)
+      // the time dimension: day-0 timestamps of every 7th event — a
+      // real source with a surviving selective filter
+      val dim = Tables.events(s, dir).select(
+        col("event_id").cast("long").as("dk"), col("ts").as("dts"))
+        .filter(floor(unix_timestamp(col("dts")) / 86400) === day0 &&
+          col("dk") % 7 === 0)
+        .select("dts").distinct()
+      val aqeOld = s.conf.getOption("spark.sql.adaptive.enabled")
+      val (rows, ok) =
+        try {
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          val fact = s.read.format("graft").load(root)
+          val joined = fact.join(broadcast(dim), col("ts") === col("dts"))
+            .groupBy(lit(1).as("grp"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum("cents").as("cents_sum"),
+              sum(conv(substring(md5(concat_ws("|",
+                col("k").cast("string"), col("event_type"),
+                col("cents").cast("string"))), 1, 8), 16, 10)
+                .cast("long")).as("row_sum"))
+            .drop("grp")
+          val collected = joined.collect().toSeq
+          val plan = joined.queryExecution.executedPlan
+          val scan = plan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec => b.scan
+          }.collectFirst { case g: graft.sources.GraftBatchScan => g }
+          val pruned = scan.map(_.runtimePrunedTo).getOrElse(-1)
+          (collected,
+            plan.toString.contains("dynamicpruning") &&
+              pruned >= 1 && pruned <= math.max(2, nFiles / 4))
+        } finally aqeOld.fold(s.conf.unset("spark.sql.adaptive.enabled"))(
+          s.conf.set("spark.sql.adaptive.enabled", _))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_rows",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cents_sum",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("row_sum",
+            org.apache.spark.sql.types.LongType))))
+        .withColumn("ok", lit(ok))
+    },
+    Some("""WITH ev AS (
+           |  SELECT CAST(event_id AS BIGINT) AS k, ts, event_type,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+           |  FROM events),
+           |d0 AS (SELECT min(day) AS day0 FROM ev),
+           |dim AS (
+           |  SELECT DISTINCT ts AS dts FROM ev, d0
+           |  WHERE day = day0 AND k % 7 = 0)
+           |SELECT count(*) AS n_rows,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |    event_type || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |    AS BIGINT) AS row_sum,
+           |  true AS ok
+           |FROM ev JOIN dim ON ev.ts = dim.dts""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
@@ -3328,5 +3642,6 @@ object MaintenanceQueries {
     q295SqlMaintenance, q296CheckConstraints, q302OptimizeMergeConcurrency,
     q303ColumnRename, q304ColumnDropReadd, q305MultiTablePublish,
     q306ShallowClone, q308SqlCtas, q311DeletionVectors, q314SqlDvDml,
-    q315NdvCbo, q316BranchPublish, q317RuntimePrunedJoin)
+    q315NdvCbo, q316BranchPublish, q317RuntimePrunedJoin, q318BranchMerge,
+    q319SinkMor, q320BranchSqlWrites, q321TransformDpp)
 }

@@ -21,8 +21,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *   VACUUM cat.t RETAIN 5 VERSIONS
   *   VACUUM cat.t RETAIN 7 DAYS            -- durable-instant horizon
   *   COMPACT LOG '/topic' [DIRTY RATIO r]  -- broker-log key compaction
+  *   ABSORB DELETES cat.t [DIRTY RATIO r]  -- DV-absorption probe
   *   CREATE BRANCH w ON cat.t              -- fork at the head
   *   FAST FORWARD cat.t FROM w             -- audited branch publish
+  *   MERGE BRANCH w INTO cat.t             -- publish onto an advanced main
   *   DROP BRANCH w ON cat.t
   *   RESTORE cat.t TO VERSION <n | tag>    -- republish an old snapshot
   * }}}
@@ -51,6 +53,11 @@ class GraftMaintenanceParser(delegate: ParserInterface)
   private val CompactLog =
     ("""(?is)\s*COMPACT\s+LOG\s+'([^']+)'""" +
       """(?:\s+DIRTY\s+RATIO\s+([0-9.]+))?\s*;?\s*""").r
+  private val AbsorbDeletes =
+    ("""(?is)\s*ABSORB\s+DELETES\s+([\w.`]+)""" +
+      """(?:\s+DIRTY\s+RATIO\s+([0-9.]+))?\s*;?\s*""").r
+  private val MergeBranch =
+    """(?is)\s*MERGE\s+BRANCH\s+([A-Za-z][\w.-]*)\s+INTO\s+([\w.`]+)\s*;?\s*""".r
   private val CreateBranch =
     """(?is)\s*CREATE\s+BRANCH\s+([A-Za-z][\w.-]*)\s+ON\s+([\w.`]+)\s*;?\s*""".r
   private val DropBranch =
@@ -86,6 +93,10 @@ class GraftMaintenanceParser(delegate: ParserInterface)
     case CompactLog(dir, ratio) =>
       GraftCompactLogCommand(dir,
         Option(ratio).map(_.toDouble).getOrElse(0.5))
+    case AbsorbDeletes(ident, ratio) =>
+      GraftAbsorbCommand(parts(ident), Option(ratio).map(_.toDouble))
+    case MergeBranch(name, ident) =>
+      GraftBranchCommand(parts(ident), name, "merge")
     case CreateBranch(name, ident) =>
       GraftBranchCommand(parts(ident), name, "create")
     case DropBranch(name, ident) =>
@@ -203,6 +214,35 @@ case class GraftCompactLogCommand(dir: String, minDirtyRatio: Double)
   }
 }
 
+/** `ABSORB DELETES cat.t [DIRTY RATIO r]` — the table-side
+  * DV-absorption probe ([[GraftTable.absorbDvsIfDirty]]): a pure
+  * manifest listing compares the table's dirty ratio (DV'd rows /
+  * physical rows) against `r`, the `graft.dv.maxTableDirtyRatio`
+  * property, or the 0.2 default, and rewrites ONLY the DV'd files
+  * when over — the scheduled verb that bounds merge-on-read read
+  * debt without anyone remembering to OPTIMIZE. Under-ratio tables
+  * no-op for free (fired = 0, version unchanged). */
+case class GraftAbsorbCommand(parts: Seq[String],
+    ratio: Option[Double]) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("fired", IntegerType, nullable = false)(),
+    AttributeReference("files_absorbed", IntegerType, nullable = false)(),
+    AttributeReference("files_carried", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftMaintenance.rootOf(spark, parts, "ABSORB DELETES")
+    val key = GraftMaintenance.keyOf(spark, root, "ABSORB DELETES")
+    GraftTable.absorbDvsIfDirty(spark, root, key, ratio) match {
+      case Some((v, absorbed, carried)) =>
+        Seq(Row(v.toLong, 1, absorbed, carried))
+      case None =>
+        Seq(Row(GraftTable.latestVersion(spark, root).toLong, 0, 0, 0))
+    }
+  }
+}
+
 /** Branch workflow verbs: `CREATE BRANCH w ON cat.t` (fork at the
   * current head), `FAST FORWARD cat.t FROM w` (publish the branch's
   * commits version-for-version; refuses if main advanced), `DROP
@@ -233,6 +273,17 @@ case class GraftBranchCommand(parts: Seq[String], name: String,
           case Right((v, n)) => Seq(Row(v.toLong, n))
           case Left(violations) => throw new IllegalStateException(
             s"FAST FORWARD refused by audits: $violations")
+        }
+      case "merge" =>
+        // `MERGE BRANCH w INTO cat.t` — the advanced-main publish
+        // ([[GraftTable.mergeBranch]]): one keyed-MERGE commit of the
+        // branch's net delta; key-overlap conflicts refuse loudly
+        GraftTable.mergeBranch(spark, root, name) match {
+          case Right((v, n)) => Seq(Row(v.toLong, n.toInt))
+          case Left(conflicts) => throw new IllegalStateException(
+            s"MERGE BRANCH refused: $conflicts key(s) were changed by " +
+              "BOTH main and the branch since the base — resolve on the " +
+              "branch (or recreate it from the current head) and retry")
         }
     }
   }

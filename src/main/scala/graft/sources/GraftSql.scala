@@ -266,9 +266,14 @@ class GraftSqlTable(val root: String, val snapshotVersion: Int,
                 throw new IllegalStateException(
                   s"table at $root records no key column"))
               // V1 insert hands positional columns; restore the table's
-              // names so upsert's column-wise merge aligns correctly
+              // names so upsert's column-wise merge aligns correctly.
+              // The write honors the table's DML policy like every
+              // other surface: under `dv`/`auto` a key-hitting INSERT
+              // takes the merge-on-read path (position sidecars +
+              // fresh files) instead of rewriting touched files; a
+              // pure append writes fresh files either way.
               val named = data.toDF(schema().fieldNames.toSeq: _*)
-              GraftTable.upsert(spark, root, named, key)
+              GraftTable.insertBatch(spark, root, named, key)
             }
           }
       }
@@ -308,6 +313,54 @@ object GraftSqlTable {
   }
 }
 
+/** SQL surface for a WRITABLE BRANCH (`cat.t.branch_<name>` or
+  * `` cat.`t$branch_<name>` `` — the Iceberg `branch_` identifier
+  * idiom): reads serve the BRANCH HEAD through the same pruned,
+  * DV-masked scan machinery as main (schema and partition spec pinned
+  * to the branch's base era; metadata-served aggregates and NDV stats
+  * stay off — branch ledgers are branch-local); `INSERT INTO` routes
+  * through [[GraftTable.upsertBranch]], the keyed merge onto the
+  * branch lineage. Publication stays an explicit verb (`FAST FORWARD`
+  * SQL / [[GraftTable.mergeBranch]]), so the q316 audit-then-publish
+  * workflow is SQL-only end to end: fork → INSERT → FF. */
+class GraftBranchSqlTable(val root: String, val branchName: String)
+  extends Table with SupportsRead with SupportsWrite {
+
+  private def baseVersion: Int =
+    GraftTable.branchBase(SparkSession.active, root, branchName)
+
+  override def name(): String = s"graft.`$root` branch $branchName"
+
+  override def schema(): StructType =
+    GraftTable.tableSchema(SparkSession.active, root, baseVersion)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, baseVersion, schema(), Some(branchName))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              require(!overwrite,
+                "graft INSERT OVERWRITE is not supported on branches")
+              val spark = data.sparkSession
+              val key = GraftTable.keyColumn(spark, root).getOrElse(
+                throw new IllegalStateException(
+                  s"table at $root records no key column"))
+              val named = data.toDF(schema().fieldNames.toSeq: _*)
+              GraftTable.upsertBranch(spark, root, branchName, named, key)
+              ()
+            }
+          }
+      }
+    }
+}
+
 /** Scan builder: prunes columns, and mines the pushed predicates for a
   * key range to file-skip with. All filters are reported back as
   * residual (Spark re-evaluates them — the skipping is a strict
@@ -331,7 +384,8 @@ object GraftSqlTable {
   * pushdown contract: the scan emits ONE row of exact global
   * partials; Spark's final aggregate merges it (sum-of-counts,
   * min-of-mins), so plan shape stays standard. */
-class GraftScanBuilder(root: String, version: Int, fullSchema: StructType)
+class GraftScanBuilder(root: String, version: Int, fullSchema: StructType,
+    branch: Option[String] = None)
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates {
@@ -365,6 +419,9 @@ class GraftScanBuilder(root: String, version: Int, fullSchema: StructType)
   override def pushAggregation(agg: Aggregation): Boolean = {
     import org.apache.spark.sql.types._
     if (filters.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    // branch scans never metadata-serve: the snapshot ledgers are
+    // main-versioned; the branch's stat lines live in its own log
+    if (branch.isDefined) return false
     val spark = SparkSession.active
     val key = GraftTable.keyColumn(spark, root)
     lazy val (rows, keyRange) = GraftTable.snapshotKeyStats(spark, root, version)
@@ -442,7 +499,7 @@ class GraftScanBuilder(root: String, version: Int, fullSchema: StructType)
   }
 
   override def build(): Scan =
-    new GraftBatchScan(root, version, required, filters, pushedAgg)
+    new GraftBatchScan(root, version, required, filters, pushedAgg, branch)
 }
 
 object GraftScanBuilder {
@@ -589,7 +646,8 @@ private[sources] class GraftAggReaderFactory
   * exact global partial row computed at push time — no data I/O. */
 class GraftBatchScan(val root: String, val version: Int,
     val required: StructType, val filters: Array[Filter],
-    val pushedAgg: Option[(StructType, Seq[Any])] = None)
+    val pushedAgg: Option[(StructType, Seq[Any])] = None,
+    val branch: Option[String] = None)
   extends Scan with org.apache.spark.sql.connector.read.Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -601,6 +659,7 @@ class GraftBatchScan(val root: String, val version: Int,
 
   override def description(): String =
     s"GraftScan root=$root version=$version" +
+      branch.map(b => s" branch=$b").getOrElse("") +
       pushedAgg.map(a =>
         s" servedAggregates=[${a._1.fieldNames.mkString(", ")}]").getOrElse("")
 
@@ -615,7 +674,10 @@ class GraftBatchScan(val root: String, val version: Int,
     * walks the tree. */
   private[graft] lazy val manifestStats: (Long, Long) = {
     val spark = SparkSession.active
-    val (rows, bytes) = GraftTable.snapshotStats(spark, root, version, keyRange)
+    val (rows, bytes) =
+      if (branch.isDefined)
+        GraftTable.branchStats(spark, root, branch.get)
+      else GraftTable.snapshotStats(spark, root, version, keyRange)
     // column pruning scales the byte estimate: a 2-column projection
     // of a 20-column table should not report the full file size
     val nAll = math.max(1, GraftTable.tableSchema(spark, root, version)
@@ -643,7 +705,7 @@ class GraftBatchScan(val root: String, val version: Int,
     val m = new java.util.HashMap[
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-    if (pushedAgg.isEmpty) {
+    if (pushedAgg.isEmpty && branch.isEmpty) {
       val spark = SparkSession.active
       required.fieldNames.foreach { c =>
         val ndvOpt = GraftTable.estimateDistinct(
@@ -714,27 +776,46 @@ class GraftBatchScan(val root: String, val version: Int,
     * from equals/hashCode — exchange reuse must key on WHAT the scan
     * statically reads. */
   @transient @volatile private var runtimeKeys: Option[Array[Long]] = None
+  /** Runtime PARTITION-TRANSFORM values (sorted transform outputs of
+    * the observed join values on the transform's input column), set by
+    * [[filter]] — the second pruning axis. */
+  @transient @volatile private var runtimePvals: Option[Array[Long]] = None
   /** Post-runtime-filter file count — test/gate observability. */
   @transient @volatile private[graft] var runtimePrunedTo: Int = -1
 
+  private def namedRef(c: String)
+    : org.apache.spark.sql.connector.expressions.NamedReference =
+    new org.apache.spark.sql.connector.expressions.NamedReference {
+      override def fieldNames(): Array[String] = Array(c)
+      override def describe(): String = c
+      override def toString: String = c
+    }
+
   override def filterAttributes()
-    : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    GraftTable.keyColumn(SparkSession.active, root)
-      // a metadata-served aggregate's row is precomputed at push time:
-      // never advertise it as runtime-filterable
-      .filter(_ => pushedAgg.isEmpty)
+    : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    if (pushedAgg.isDefined) return Array.empty
+    // a metadata-served aggregate's row is precomputed at push time:
+    // never advertise it as runtime-filterable
+    val spark = SparkSession.active
+    val key = GraftTable.keyColumn(spark, root)
       .filter(k => required.fieldNames.contains(k))
-      .map { k =>
-        new org.apache.spark.sql.connector.expressions.NamedReference {
-          override def fieldNames(): Array[String] = Array(k)
-          override def describe(): String = k
-          override def toString: String = k
-        }: org.apache.spark.sql.connector.expressions.NamedReference
-      }.toArray
+    // the active partition transform's INPUT column is the second
+    // runtime-filterable axis: a broadcast join on the time dimension
+    // hands its observed values to [[filter]], which maps them through
+    // the transform and prunes by the per-file value ranges — the
+    // days()/bucket() DPP a 100 TB fact lives by
+    val pcol = GraftTable.partitionSpec(spark, root, version)
+      .map(GraftTable.transformColumn)
+      .filter(c => required.fieldNames.contains(c))
+      .filterNot(c => key.contains(c))
+    (key.toSeq ++ pcol.toSeq).map(namedRef).toArray
+  }
 
   override def filter(runtime: Array[Filter]): Unit = {
-    val key = GraftTable.keyColumn(SparkSession.active, root).orNull
-    if (key == null) return
+    val spark = SparkSession.active
+    val key = GraftTable.keyColumn(spark, root).orNull
+    val spec = GraftTable.partitionSpec(spark, root, version)
+    val pcol = spec.map(GraftTable.transformColumn).orNull
     def longOf(v: Any): Option[Long] = v match {
       case l: Long => Some(l)
       case i: Int => Some(i.toLong)
@@ -752,9 +833,35 @@ class GraftBatchScan(val root: String, val version: Int,
       case EqualTo(a, v) if a == key => longOf(v).map(Array(_))
       case _ => None
     }.flatten
-    if (values.nonEmpty) synchronized {
-      val sorted = values.distinct.sorted
-      runtimeKeys = Some(sorted)
+    // IN / = on the transform's input column: map the observed values
+    // through the transform ITSELF (a LocalRelation evaluation — the
+    // exact write-side function, so days/months/bucket semantics can
+    // never drift) and prune by per-file transform-value ranges
+    val rawPvals = runtime.flatMap {
+      case In(a, vs) if pcol != null && a == pcol => vs.toSeq
+      case EqualTo(a, v) if pcol != null && a == pcol => Seq(v)
+      case _ => Seq.empty
+    }
+    val pvals: Array[Long] =
+      if (rawPvals.isEmpty) Array.empty
+      else try {
+        val dt = GraftTable.tableSchema(spark, root, version)
+          .find(_.name == pcol).map(_.dataType).getOrElse(
+            org.apache.spark.sql.types.StringType)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(pcol, dt, nullable = true)))
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(
+          rawPvals.toSeq.map(v => org.apache.spark.sql.Row(v)).asJava, schema)
+          .select(spec.get.valueCol.as("__pv"))
+          .collect().map(_.getLong(0))
+      } catch {
+        // value/type mismatch: skip this axis — pruning is optional
+        case _: Exception => Array.empty[Long]
+      }
+    if (values.nonEmpty || pvals.nonEmpty) synchronized {
+      if (values.nonEmpty) runtimeKeys = Some(values.distinct.sorted)
+      if (pvals.nonEmpty) runtimePvals = Some(pvals.distinct.sorted)
       prunedFilesCache = null // re-plan partitions under the new keys
       parquetScanCache = null
       dvScanCache = None
@@ -774,8 +881,10 @@ class GraftBatchScan(val root: String, val version: Int,
     : Seq[(org.apache.hadoop.fs.FileStatus, String, Long)] = synchronized {
     if (prunedFilesCache == null) {
       prunedFilesCache = GraftTable.snapshotFilesWithDvs(
-        SparkSession.active, root, version, keyRange, runtimeKeys)
-      if (runtimeKeys.isDefined) runtimePrunedTo = prunedFilesCache.size
+        SparkSession.active, root, version, keyRange, runtimeKeys,
+        runtimePvals, branch)
+      if (runtimeKeys.isDefined || runtimePvals.isDefined)
+        runtimePrunedTo = prunedFilesCache.size
     }
     prunedFilesCache
   }
@@ -916,11 +1025,11 @@ class GraftBatchScan(val root: String, val version: Int,
     case o: GraftBatchScan =>
       root == o.root && version == o.version &&
         required == o.required && filters.toSeq == o.filters.toSeq &&
-        pushedAgg == o.pushedAgg
+        pushedAgg == o.pushedAgg && branch == o.branch
     case _ => false
   }
   override def hashCode(): Int =
-    (root, version, required, filters.toSeq, pushedAgg).hashCode()
+    (root, version, required, filters.toSeq, pushedAgg, branch).hashCode()
 }
 
 /** Thin subclass purely to feed already-translated source filters into
@@ -1307,12 +1416,37 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     }
   }
 
+  /** `cat.t.branch_<w>` / `` cat.`t$branch_<w>` `` → the writable
+    * branch table over `t` (the metaTable resolution shape). None when
+    * the identifier isn't a branch reference over an existing table
+    * and branch. */
+  private def branchTable(ident: Identifier): Option[Table] = {
+    val n = ident.name()
+    val dollar = n.lastIndexOf('$')
+    val resolved =
+      if (dollar > 0 && n.substring(dollar + 1).startsWith("branch_"))
+        Some((Identifier.of(ident.namespace(), n.substring(0, dollar)),
+          n.substring(dollar + 1).stripPrefix("branch_")))
+      else if (n.startsWith("branch_") && ident.namespace().nonEmpty)
+        Some((Identifier.of(ident.namespace().init,
+          ident.namespace().last), n.stripPrefix("branch_")))
+      else None
+    resolved.flatMap { case (baseIdent, bname) =>
+      val root = rootOf(baseIdent)
+      if (!exists(root) || bname.isEmpty ||
+          !GraftTable.listBranches(SparkSession.active, root).contains(bname))
+        None
+      else Some(new GraftBranchSqlTable(root, bname))
+    }
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val root = rootOf(ident)
     if (exists(root))
       new GraftSqlTable(root,
         GraftTable.latestVersion(SparkSession.active, root))
-    else metaTable(ident, None)
+    else branchTable(ident)
+      .orElse(metaTable(ident, None))
       .getOrElse(throw new NoSuchTableException(ident))
   }
 

@@ -862,7 +862,7 @@ object GraftTable {
     v
   }
 
-  private def transformColumn(t: PartitionTransform): String = t match {
+  private[sources] def transformColumn(t: PartitionTransform): String = t match {
     case DaysPartition(c) => c
     case MonthsPartition(c) => c
     case YearsPartition(c) => c
@@ -1495,11 +1495,28 @@ object GraftTable {
     * reference — (status, absolute dvPath or "", dvRows) — what the
     * DSv2 scan needs to split the snapshot into the clean fast path
     * and the masked merge-on-read path. */
+  /** Live rows and bytes of branch `name`'s head snapshot — the
+    * planner sizing for a branch-ref SQL scan. */
+  private[sources] def branchStats(spark: SparkSession, root: String,
+      name: String): (Long, Long) = {
+    val es = branchEntries(spark, root, name,
+      branchHeadVersion(spark, root, name))
+    (es.map(_.liveRows).sum, math.max(1L, es.map(_.nBytes).sum))
+  }
+
   private[sources] def snapshotFilesWithDvs(spark: SparkSession,
       root: String, version: Int, keyRange: Option[(Long, Long)] = None,
-      keyValues: Option[Array[Long]] = None)
+      keyValues: Option[Array[Long]] = None,
+      pvalValues: Option[Array[Long]] = None,
+      branch: Option[String] = None)
     : Seq[(org.apache.hadoop.fs.FileStatus, String, Long)] = {
-    val all = loadManifest(spark, root, version)
+    // a branch-ref scan reads the BRANCH head's file set; `version`
+    // stays the branch base (the schema/partition-spec era)
+    val all = branch match {
+      case Some(b) => branchEntries(spark, root, b,
+        branchHeadVersion(spark, root, b))
+      case None => loadManifest(spark, root, version)
+    }
     val ranged = keyRange match {
       case Some((lo, hi)) => all.filter(e => e.maxKey >= lo && e.minKey <= hi)
       case None => all
@@ -1507,13 +1524,38 @@ object GraftTable {
     // RUNTIME key-value pruning (sorted values; a file survives iff
     // some value lands inside its [minKey, maxKey] interval) — the
     // join-time file-skipping the DSv2 runtime-filter surface feeds
-    val entries = keyValues match {
+    val keyed = keyValues match {
       case Some(vs) if vs.nonEmpty => ranged.filter { e =>
         var i = java.util.Arrays.binarySearch(vs, e.minKey)
         if (i < 0) i = -i - 1
         i < vs.length && vs(i) <= e.maxKey
       }
       case _ => ranged
+    }
+    // RUNTIME partition-transform pruning (the second DPP axis): the
+    // sorted TRANSFORM VALUES of the observed join keys, tested
+    // against each file's recorded [min, max] of the active
+    // transform's value in the colstats sidecar — a join on a time
+    // dimension opens one day's files of a 100 TB fact. Files with no
+    // recorded range (written before the transform) are always kept.
+    val entries = pvalValues match {
+      case Some(vs) if vs.nonEmpty =>
+        partitionSpec(spark, root, version) match {
+          case Some(t) =>
+            val stats = loadColStats(spark, root, version,
+              keyed.map(_.relPath).toSet)
+            keyed.filter { e =>
+              stats.get((e.relPath, t.statsCol)) match {
+                case Some((mn, mx)) =>
+                  var i = java.util.Arrays.binarySearch(vs, mn)
+                  if (i < 0) i = -i - 1
+                  i < vs.length && vs(i) <= mx
+                case None => true // no recorded range: never skip
+              }
+            }
+          case None => keyed
+        }
+      case _ => keyed
     }
     val (f, _) = fs(root, spark)
     entries.map { e =>
@@ -2302,25 +2344,32 @@ object GraftTable {
     val marker = new org.apache.hadoop.fs.Path(root, markerName)
     if (f.exists(marker)) return
     if (latestVersion(spark, root) < 0) create(spark, root, batch, key, nBuckets)
-    else {
-      // the sink honors the table's DML policy (`graft.dml.mode`): under
-      // `dv`/`auto` a micro-batch upsert takes the MERGE-ON-READ path —
-      // touched files get position sidecars, postimages land in fresh
-      // files — instead of rewriting every touched file every trigger.
-      // That is the write-amplification difference between a continuous
-      // CDC stream being O(changed rows) per minute and re-copying
-      // terabytes of barely-touched files at 100 TB. `cow` restores the
-      // old behavior per table.
-      val (mode, _) = dmlMode(spark, root)
-      if (mode == "cow") upsert(spark, root, batch, key, nBuckets)
-      else {
-        val op = "__graft_ingest_op"
-        applyCdcBatch(spark, root, batch.withColumn(op, lit("upsert")),
-          key, op, nBuckets)
-      }
-    }
+    else insertBatch(spark, root, batch, key, nBuckets)
     val os = f.create(marker, true)
     os.close()
+  }
+
+  /** Keyed upsert of a full-schema batch THROUGH THE DML POLICY
+    * (`graft.dml.mode`) — the shared write path of the streaming sink
+    * and SQL `INSERT INTO`: under `dv`/`auto` a key-hitting batch
+    * takes the MERGE-ON-READ route (old positions retire via DV
+    * sidecars, postimages land in fresh files — O(changed rows) per
+    * micro-batch instead of rewriting every touched file every
+    * trigger, the write-amplification difference that decides whether
+    * minute-trigger CDC is viable at 100 TB); `cow` restores the
+    * rewrite path per table. Pure appends write only fresh files in
+    * either mode. Upsert semantics are identical across modes
+    * (column-wise coalesce merge). */
+  def insertBatch(spark: SparkSession, root: String, batch: DataFrame,
+      key: String, nBuckets: Int = 8): Unit = {
+    val (mode, _) = dmlMode(spark, root)
+    if (mode == "cow") { upsert(spark, root, batch, key, nBuckets); () }
+    else {
+      val op = "__graft_ingest_op"
+      applyCdcBatch(spark, root, batch.withColumn(op, lit("upsert")),
+        key, op, nBuckets)
+      ()
+    }
   }
 
   /** OPTIMIZE: bin-pack small files into ~`targetRows`-sized rewrites
@@ -2601,6 +2650,55 @@ object GraftTable {
     require(ratio >= 0.0 && ratio <= 1.0,
       s"graft.dml.maxDirtyRatio must be in [0, 1], got $ratio")
     (mode, ratio)
+  }
+
+  /** Absorb every DELETION VECTOR back into clean data files: ONLY
+    * the DV'd files rewrite (masked read → fresh files, a scoped
+    * OPTIMIZE over exactly the merge-on-read debt), everything clean
+    * carries by reference. Logical content is unchanged; the payoffs
+    * compound — reads lose the anti-join tax, columnar scans return
+    * to zero-copy, and metadata answers (exact aggregates, NDV
+    * exactness) sharpen back up. Returns (version, filesAbsorbed,
+    * filesCarried); a DV-free table no-ops at the current version. */
+  def absorbDvs(spark: SparkSession, root: String, key: String)
+    : (Int, Int, Int) = {
+    val base = latestVersion(spark, root)
+    val all = loadManifest(spark, root, base)
+    val (dvd, clean) = all.partition(_.hasDv)
+    if (dvd.isEmpty) return (base, 0, all.size)
+    val schema = tableSchema(spark, root, base)
+    val v = base + 1
+    val w = writeDataFiles(spark, root, v,
+      readEntries(spark, root, schema, dvd), key, math.max(1, dvd.size))
+    val (f, _) = fs(root, spark)
+    commitManifest(f, root, v, clean ++ w.entries,
+      statLines = w.statLines, kmvLines = w.kmvLines)
+    (v, dvd.size, clean.size)
+  }
+
+  /** AUTOMATED DV ABSORPTION — the table analog of the broker log's
+    * `compactIfDirty`: a PURE-METADATA probe (one manifest read —
+    * free at any table size) fires [[absorbDvs]] only when the
+    * table-wide dirty ratio (DV'd rows / physical rows over the live
+    * set) exceeds `graft.dv.maxTableDirtyRatio` (table property;
+    * `ratioOverride` wins when given; default 0.2). Under the default
+    * merge-on-read DML policy every MERGE/DELETE accrues read-side
+    * debt; this is the loop-closer a maintenance schedule calls so
+    * the debt is bounded without anyone remembering to OPTIMIZE.
+    * Returns None when below threshold (free no-op), Some(absorb
+    * result) when it fired. */
+  def absorbDvsIfDirty(spark: SparkSession, root: String, key: String,
+      ratioOverride: Option[Double] = None): Option[(Int, Int, Int)] = {
+    val ratio = ratioOverride.orElse(
+      tableProperties(spark, root).get("graft.dv.maxTableDirtyRatio")
+        .map(_.toDouble)).getOrElse(0.2)
+    require(ratio > 0.0 && ratio <= 1.0,
+      s"graft.dv.maxTableDirtyRatio must be in (0, 1], got $ratio")
+    val entries = loadManifest(spark, root, latestVersion(spark, root))
+    val phys = entries.map(_.nRows).sum
+    val dirty = entries.map(_.dvRows).sum
+    if (phys == 0L || dirty.toDouble / phys <= ratio) None
+    else Some(absorbDvs(spark, root, key))
   }
 
   def tag(spark: SparkSession, root: String, name: String,

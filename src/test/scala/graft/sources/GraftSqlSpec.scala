@@ -967,6 +967,108 @@ class GraftSqlSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("SQL-only branch workflow: CREATE BRANCH → INSERT INTO the " +
+    "branch_ ref → branch reads serve the branch head, main untouched " +
+    "→ FAST FORWARD publishes; MERGE BRANCH covers the advanced-main " +
+    "case") {
+    val base = freshBase()
+    mk(base + "/bt", n = 100, buckets = 2)
+    spark.conf.set("spark.sql.catalog.gbw", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbw.base", base)
+    spark.sql("CREATE BRANCH wip ON gbw.bt")
+    // pure-SQL branch write through the Iceberg-style branch_ ref:
+    // one keyed UPDATE of k=50 and one INSERT of k=101
+    spark.sql("INSERT INTO gbw.bt.branch_wip VALUES " +
+      "(50, 'b-upd', -1), (101, 'b-new', -2)")
+    // main untouched; the branch ref serves the branch HEAD
+    assert(spark.sql("SELECT count(*) FROM gbw.bt").as[Long].head() === 100)
+    assert(spark.sql("SELECT count(*) FROM gbw.bt.branch_wip")
+      .as[Long].head() === 101)
+    assert(spark.sql(
+      "SELECT name FROM gbw.bt.branch_wip WHERE k = 50")
+      .as[String].head() === "b-upd")
+    assert(spark.sql("SELECT name FROM gbw.bt WHERE k = 50")
+      .as[String].head() === "row50")
+    // publish: clean fast-forward in SQL
+    val ff = spark.sql("FAST FORWARD gbw.bt FROM wip").collect()(0)
+    assert(ff.getInt(1) === 1)
+    assert(spark.sql("SELECT count(*) FROM gbw.bt").as[Long].head() === 101)
+    assert(spark.sql("SELECT name FROM gbw.bt WHERE k = 50")
+      .as[String].head() === "b-upd")
+    // advanced-main case: new branch, main moves, MERGE BRANCH lands it
+    spark.sql("CREATE BRANCH wip2 ON gbw.bt")
+    spark.sql("INSERT INTO gbw.bt.branch_wip2 VALUES (500, 'merge-me', -3)")
+    spark.sql("INSERT INTO gbw.bt VALUES (600, 'main-side', -4)")
+    val mg = spark.sql("MERGE BRANCH wip2 INTO gbw.bt").collect()(0)
+    assert(mg.getInt(1) === 1)
+    val head = spark.sql("SELECT name FROM gbw.bt WHERE k IN (500, 600) " +
+      "ORDER BY k").as[String].collect().toSeq
+    assert(head === Seq("merge-me", "main-side"))
+  }
+
+  test("ABSORB DELETES SQL verb: under-ratio no-ops for free; past " +
+    "the ratio only DV'd files rewrite and the table returns to zero " +
+    "deletion vectors") {
+    val base = freshBase()
+    mk(base + "/ab", n = 1000, buckets = 4)
+    spark.conf.set("spark.sql.catalog.gab", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gab.base", base)
+    spark.sql("DELETE FROM gab.ab WHERE k <= 100")
+    assert(GraftTable.hasDeletionVectors(spark, base + "/ab", 1))
+    // 10% dirty < default 0.2: free no-op
+    val r0 = spark.sql("ABSORB DELETES gab.ab").collect()(0)
+    assert(r0.getInt(1) === 0 && r0.getLong(0) === 1L)
+    // explicit ratio fires it
+    val r1 = spark.sql("ABSORB DELETES gab.ab DIRTY RATIO 0.05").collect()(0)
+    assert(r1.getInt(1) === 1 && r1.getInt(2) >= 1)
+    assert(!GraftTable.hasDeletionVectors(spark, base + "/ab",
+      r1.getLong(0).toInt))
+    assert(spark.sql("SELECT count(*) FROM gab.ab").as[Long].head() === 900)
+  }
+
+  test("runtime file pruning on the PARTITION-TRANSFORM column: a " +
+    "broadcast join on the days() input column prunes to that day's " +
+    "files via the colstats value ranges") {
+    val base = freshBase()
+    val root = base + "/rfp"
+    // 8 calendar days × ~1000 rows, partitioned days(ts): the layout
+    // arranges ~one file per day with per-file value ranges recorded
+    val df = spark.range(0, 8000).select(
+      $"id".as("k"),
+      timestamp_seconds(lit(86400L * 19000) + ($"id" % 8) * 86400L +
+        floor($"id" / 8)).as("ts"),
+      ($"id" * 3).as("v"))
+    GraftTable.create(spark, root, df, "k", nBuckets = 8,
+      partitioning = Some(DaysPartition("ts")))
+    val fact = spark.read.format("graft").load(root)
+    // a selective time dimension: 3 timestamps, ALL inside day
+    // 19002 (ids ≡ 2 mod 8). Range-derived so the selective filter
+    // survives to the DPP rule.
+    val dim = spark.range(0, 8000)
+      .filter($"id".isin(2L, 10L, 18L))
+      .select(timestamp_seconds(lit(86400L * 19000) + ($"id" % 8) * 86400L +
+        floor($"id" / 8)).as("ts"), lit("d").as("tag"))
+    val olds = Seq("spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = fact.join(broadcast(dim), "ts")
+      val rows = joined.collect()
+      assert(rows.length === 3)
+      val plan = joined.queryExecution.executedPlan
+      assert(plan.toString.contains("RuntimeFilters: [dynamicpruning"),
+        plan.toString.take(1200))
+      val scan = plan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b.scan
+      }.collectFirst { case g: GraftBatchScan => g }.get
+      assert(scan.runtimePrunedTo >= 1 && scan.runtimePrunedTo <= 2,
+        s"expected ~1 of ~8 day-files after transform-value pruning, " +
+          s"got ${scan.runtimePrunedTo}")
+    } finally olds.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("columnar reads survive deletion vectors: one DV'd file among " +
     "clean ones keeps the whole scan vectorized (ColumnarToRow), " +
     "masked rows exact") {

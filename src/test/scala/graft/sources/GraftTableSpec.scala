@@ -544,6 +544,99 @@ class GraftTableSpec extends SparkSpec {
     }
   }
 
+  test("absorbDvsIfDirty: under the ratio it's a free no-op; past it " +
+    "ONLY DV'd files rewrite (clean files carry by reference), zero " +
+    "DV'd files after, content checksums unchanged") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(1000), "k", nBuckets = 4)
+    // DV-delete 20% of the rows of the two LOW-key files only
+    GraftTable.deleteWhereDv(spark, root, $"k" <= 500 && $"k" % 5 === 0)
+    assert(GraftTable.hasDeletionVectors(spark, root, 1))
+    val before = GraftTable.read(spark, root)
+      .agg(sum(hash($"k", $"name", $"v").cast("long")), count(lit(1)))
+      .as[(Long, Long)].head()
+    // table dirty ratio = 100/1000 = 10%: below a 0.2 threshold the
+    // probe is a pure listing and must not commit anything
+    assert(GraftTable.absorbDvsIfDirty(spark, root, "k") === None)
+    assert(GraftTable.latestVersion(spark, root) === 1)
+    // past the (overridden) threshold it fires: only the 2 DV'd files
+    // rewrite, the 2 clean files carry BY REFERENCE
+    val m1 = manifestLines(root, 1).map(_.split('\t')(0)).toSet
+    val Some((v, absorbed, carried)) =
+      GraftTable.absorbDvsIfDirty(spark, root, "k", Some(0.05))
+    assert(v === 2 && absorbed === 2 && carried === 2)
+    assert(!GraftTable.hasDeletionVectors(spark, root, 2))
+    val m2 = manifestLines(root, 2).map(_.split('\t')(0)).toSet
+    assert((m1 intersect m2).size === 2, "clean files must carry by ref")
+    val after = GraftTable.read(spark, root)
+      .agg(sum(hash($"k", $"name", $"v").cast("long")), count(lit(1)))
+      .as[(Long, Long)].head()
+    assert(after === before, "absorption must not change logical content")
+    // property-driven form: set the table property, accumulate more
+    // DVs, and the UN-overridden probe fires from the property
+    GraftTable.setTableProperty(spark, root, "graft.dv.maxTableDirtyRatio",
+      "0.01")
+    GraftTable.deleteWhereDv(spark, root, $"k" > 900 && $"k" % 7 === 0)
+    val fired = GraftTable.absorbDvsIfDirty(spark, root, "k")
+    assert(fired.isDefined && !GraftTable.hasDeletionVectors(spark, root,
+      GraftTable.latestVersion(spark, root)))
+  }
+
+  test("streaming sink honors the DML policy: micro-batch upserts " +
+    "rewrite ZERO pre-existing data files (merge-on-read), the replay " +
+    "guard is unchanged, and absorption closes the loop") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(1000), "k", nBuckets = 4)
+    val files0 = manifestLines(root, 0).map(_.split('\t')(0)).toSet
+    // three micro-batches, each updating 5 existing keys + 1 insert —
+    // the continuous CDC upsert shape (default graft.dml.mode = auto)
+    (1 to 3).foreach { b =>
+      val batch = spark.range(5).select(
+        ($"id" * 97 + b).as("k"), concat(lit(s"u$b-"), $"id").as("name"),
+        lit(-b.toLong).as("v"))
+        .union(Seq((1000L + b, s"new$b", 0L)).toDF("k", "name", "v"))
+      GraftTable.ingestBatch(spark, root, batch, "k", batchId = b.toLong)
+    }
+    val latest = GraftTable.latestVersion(spark, root)
+    assert(latest === 3)
+    val relsNow = manifestLines(root, latest).map(_.split('\t')(0)).toSet
+    // ZERO rewritten pre-existing files: every original data file is
+    // STILL live (possibly DV'd) — under CoW each touched file would
+    // have been replaced by a fresh rel
+    assert(files0.subsetOf(relsNow),
+      s"original files rewritten: ${files0 -- relsNow}")
+    assert(GraftTable.hasDeletionVectors(spark, root, latest),
+      "MoR upserts should retire old positions via DVs")
+    // replay guard unchanged: re-delivering batch 2 is a no-op
+    GraftTable.ingestBatch(spark, root,
+      Seq((1L, "ghost", 9L)).toDF("k", "name", "v"), "k", batchId = 2L)
+    assert(GraftTable.latestVersion(spark, root) === latest)
+    assert(GraftTable.read(spark, root).filter($"name" === "ghost")
+      .count() === 0)
+    // content: last writer per key wins, inserts present
+    val head = GraftTable.read(spark, root)
+    assert(head.count() === 1003)
+    assert(head.filter($"k" === 1000L + 3).count() === 1)
+    // absorption closes the loop: zero DV'd files, content unchanged
+    val cks = head.agg(sum(hash($"k", $"name", $"v").cast("long")))
+      .as[Long].head()
+    GraftTable.absorbDvs(spark, root, "k")
+    val v2 = GraftTable.latestVersion(spark, root)
+    assert(!GraftTable.hasDeletionVectors(spark, root, v2))
+    assert(GraftTable.read(spark, root)
+      .agg(sum(hash($"k", $"name", $"v").cast("long"))).as[Long].head()
+      === cks)
+    // and `cow` mode still restores the old per-trigger rewrite path
+    GraftTable.setTableProperty(spark, root, "graft.dml.mode", "cow")
+    val filesPre = manifestLines(root, v2).map(_.split('\t')(0)).toSet
+    GraftTable.ingestBatch(spark, root,
+      Seq((1L, "cowed", 1L)).toDF("k", "name", "v"), "k", batchId = 99L)
+    val filesPost = manifestLines(root,
+      GraftTable.latestVersion(spark, root)).map(_.split('\t')(0)).toSet
+    assert((filesPre -- filesPost).size === 1,
+      "cow mode should rewrite the touched file")
+  }
+
   test("mergeBranch: a branch whose main ADVANCED publishes as one " +
     "keyed-MERGE commit — disjoint changes from both sides survive, " +
     "main's deletes are not resurrected, fastForward still refuses") {
