@@ -149,6 +149,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     val key = parameters.getOrElse("key", throw new IllegalArgumentException(
       "graft sink needs .option(\"key\", keyColumn)"))
     val nBuckets = parameters.get("buckets").map(_.toInt).getOrElse(8)
+    // .option("mode", "eqdel"): micro-batches land as APPEND-ONLY
+    // upserts (fresh files + equality-delete key list, zero base
+    // reads per trigger) — the write-amplification floor for
+    // continuous CDC; resolveEqDels/maintenance retires the key sets
+    val sinkMode = parameters.getOrElse("mode", "")
+    require(sinkMode.isEmpty || sinkMode == "eqdel",
+      s"graft sink mode must be 'eqdel' when set, got '$sinkMode'")
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         val spark = data.sparkSession
@@ -166,7 +173,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         // cache so the micro-batch computes once
         val batch = org.apache.spark.sql.graft.bridge.asBatch(data).cache()
         try GraftTable.ingestBatch(spark, root, batch, key, batchId,
-          nBuckets, queryId)
+          nBuckets, queryId, sinkMode)
         finally batch.unpersist()
       }
       override def toString: String = s"GraftSink[$root]"
@@ -423,6 +430,10 @@ class GraftScanBuilder(root: String, version: Int, fullSchema: StructType,
     // main-versioned; the branch's stat lines live in its own log
     if (branch.isDefined) return false
     val spark = SparkSession.active
+    // pending EQUALITY DELETES make live-row arithmetic unknowable
+    // from metadata (an unresolved key may or may not hit) — refuse,
+    // the scan path masks correctly
+    if (GraftTable.hasLiveEqDels(spark, root, version)) return false
     val key = GraftTable.keyColumn(spark, root)
     lazy val (rows, keyRange) = GraftTable.snapshotKeyStats(spark, root, version)
 
@@ -866,15 +877,52 @@ class GraftBatchScan(val root: String, val version: Int,
       parquetScanCache = null
       dvScanCache = None
       dvScanBuilt = false
+      eqScanCache = None
+      eqScanBuilt = false
     }
+  }
+
+  /** Pending EQUALITY DELETES of this snapshot as (version, absolute
+    * key dir, nKeys) — branch lineages are eqdel-free (fork refuses).
+    * Empty on the common path: zero plan overhead. */
+  @transient private lazy val eqdels: Seq[(Int, String, Long)] =
+    if (branch.isDefined) Seq.empty
+    else GraftTable.pendingEqDelDirs(SparkSession.active, root, version)
+
+  /** Whether any pending eqdel applies to this file (committed after
+    * the file's `data/vNNNNN-…/` birth directory). */
+  private def appliesEq(st: org.apache.hadoop.fs.FileStatus): Boolean =
+    eqdels.nonEmpty && {
+      val av = GraftTable.addedVersion(st.getPath.toString)
+      eqdels.exists(_._1 > av)
+    }
+
+  /** Key column plumbing for the eqdel-masked path: (physical field,
+    * ordinal of the key in the masked scan's output, whether the key
+    * was APPENDED beyond `required` and must be projected away). */
+  @transient private lazy val eqKeyInfo
+    : (org.apache.spark.sql.types.StructField, Int, Boolean) = {
+    val spark = SparkSession.active
+    val k = GraftTable.keyColumn(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"table at $root has pending equality deletes but no " +
+          "recorded key column"))
+    val schema = GraftTable.tableSchema(spark, root, version)
+    val i = schema.fieldNames.indexOf(k)
+    require(i >= 0, s"key column '$k' missing from schema at $root")
+    val physField = GraftTable.physicalSchema(schema).fields(i)
+    val inReq = required.fieldNames.indexOf(k)
+    if (inReq >= 0) (physField, inReq, false)
+    else (physField, required.fields.length, true)
   }
 
   /** The pruned snapshot's files, split by DELETION-VECTOR presence:
     * clean files keep the exact fast parquet plan; DV'd files go
-    * through the masked merge-on-read path below. Cached per scan
-    * instance but INVALIDATED by a runtime filter (the DSv2
-    * runtime-filtering contract re-plans partitions after
-    * [[filter]]). */
+    * through the masked merge-on-read path below (files a pending
+    * EQUALITY DELETE applies to — DV'd or not — go through the
+    * key-masked variant). Cached per scan instance but INVALIDATED
+    * by a runtime filter (the DSv2 runtime-filtering contract
+    * re-plans partitions after [[filter]]). */
   @transient private var prunedFilesCache
     : Seq[(org.apache.hadoop.fs.FileStatus, String, Long)] = null
   private def prunedFiles
@@ -891,7 +939,8 @@ class GraftBatchScan(val root: String, val version: Int,
 
   private def buildParquetScan(spark: SparkSession,
       statuses: Seq[org.apache.hadoop.fs.FileStatus],
-      withRowIndex: Boolean)
+      withRowIndex: Boolean,
+      extraKey: Option[org.apache.spark.sql.types.StructField] = None)
     : org.apache.spark.sql.execution.datasources.v2.FileScan = {
     val schema = GraftTable.tableSchema(spark, root, version)
     // COLUMN MAPPING: parquet stores PHYSICAL names, so the underlying
@@ -913,9 +962,13 @@ class GraftBatchScan(val root: String, val version: Int,
       org.apache.spark.sql.types.LongType, nullable = true)
     val dataSchema =
       if (withRowIndex) StructType(physFull.fields :+ rowIdx) else physFull
+    // the eqdel-masked path needs the KEY VALUE per row even when the
+    // projection pruned it — append it (physical name) before the
+    // generated row index; the reader projects both away
     val wanted =
       if (withRowIndex)
-        StructType(GraftTable.physicalSchema(required).fields :+ rowIdx)
+        StructType(GraftTable.physicalSchema(required).fields ++
+          extraKey.toSeq :+ rowIdx)
       else GraftTable.physicalSchema(required)
     val index = new ManifestFileIndex(spark,
       new org.apache.hadoop.fs.Path(root), statuses, dataSchema)
@@ -935,12 +988,18 @@ class GraftBatchScan(val root: String, val version: Int,
     * [[prunedFiles]]. */
   @transient private var parquetScanCache
     : org.apache.spark.sql.execution.datasources.v2.FileScan = null
+  private def cleanFiles = prunedFiles.filter(t =>
+    t._2.isEmpty && !appliesEq(t._1))
+  private def dvOnlyFiles = prunedFiles.filter(t =>
+    t._2.nonEmpty && !appliesEq(t._1))
+  private def eqMaskedFiles = prunedFiles.filter(t => appliesEq(t._1))
+
   private def parquetScan
     : org.apache.spark.sql.execution.datasources.v2.FileScan =
     synchronized {
       if (parquetScanCache == null)
         parquetScanCache = buildParquetScan(SparkSession.active,
-          prunedFiles.filter(_._2.isEmpty).map(_._1), withRowIndex = false)
+          cleanFiles.map(_._1), withRowIndex = false)
       parquetScanCache
     }
 
@@ -953,7 +1012,7 @@ class GraftBatchScan(val root: String, val version: Int,
     : Option[org.apache.spark.sql.execution.datasources.v2.FileScan] =
     synchronized {
       if (!dvScanBuilt) {
-        val dvd = prunedFiles.filter(_._2.nonEmpty)
+        val dvd = dvOnlyFiles
         dvScanCache =
           if (dvd.isEmpty) None
           else Some(buildParquetScan(SparkSession.active, dvd.map(_._1),
@@ -961,6 +1020,29 @@ class GraftBatchScan(val root: String, val version: Int,
         dvScanBuilt = true
       }
       dvScanCache
+    }
+
+  /** The key-masked scan over files a pending EQUALITY DELETE applies
+    * to (None when no eqdel pends — the common case). Reads with the
+    * row index AND (when pruned away) the key column appended; the
+    * reader drops rows whose key the pending set retired after the
+    * file's birth version, then rows the file's own DV masks. */
+  @transient private var eqScanCache
+    : Option[org.apache.spark.sql.execution.datasources.v2.FileScan] = None
+  @transient private var eqScanBuilt: Boolean = false
+  private def eqScan
+    : Option[org.apache.spark.sql.execution.datasources.v2.FileScan] =
+    synchronized {
+      if (!eqScanBuilt) {
+        val eqd = eqMaskedFiles
+        eqScanCache =
+          if (eqd.isEmpty) None
+          else Some(buildParquetScan(SparkSession.active, eqd.map(_._1),
+            withRowIndex = true,
+            extraKey = if (eqKeyInfo._3) Some(eqKeyInfo._1) else None))
+        eqScanBuilt = true
+      }
+      eqScanCache
     }
 
   private def hconfMap: Map[String, String] = {
@@ -976,12 +1058,12 @@ class GraftBatchScan(val root: String, val version: Int,
       case Some((_, values)) => Array(GraftAggPartition(values))
       case None =>
         val clean =
-          if (prunedFiles.exists(_._2.isEmpty))
+          if (cleanFiles.nonEmpty)
             parquetScan.toBatch.planInputPartitions()
           else Array
             .empty[org.apache.spark.sql.connector.read.InputPartition]
         val masked = dvScan.map { s =>
-          val dvByName = prunedFiles.filter(_._2.nonEmpty)
+          val dvByName = dvOnlyFiles
             .map(t => t._1.getPath.getName -> t._2).toMap
           val hm = hconfMap
           // one wrapped partition per SPLIT (file identity must be
@@ -999,7 +1081,29 @@ class GraftBatchScan(val root: String, val version: Int,
           }
         }.getOrElse(Array.empty[
           org.apache.spark.sql.connector.read.InputPartition])
-        clean ++ masked
+        val eqMasked = eqScan.map { s =>
+          val byName = eqMaskedFiles
+            .map(t => t._1.getPath.getName -> t._2).toMap
+          val hm = hconfMap
+          val dirs = eqdels.map(t => (t._1, t._2))
+          val (keyField, keyOrd, appended) = eqKeyInfo
+          s.toBatch.planInputPartitions().flatMap {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              fp.files.zipWithIndex.map { case (pf, i) =>
+                val name = pf.toPath.getName
+                GraftEqPartition(
+                  org.apache.spark.sql.execution.datasources.FilePartition(
+                    fp.index * 10000 + 5000 + i, Array(pf)),
+                  byName(name),
+                  GraftTable.addedVersion(pf.toPath.toString),
+                  dirs, keyOrd, appended,
+                  keyField.dataType.typeName, hm)
+                  : org.apache.spark.sql.connector.read.InputPartition
+              }
+          }
+        }.getOrElse(Array.empty[
+          org.apache.spark.sql.connector.read.InputPartition])
+        clean ++ masked ++ eqMasked
     }
 
   override def createReaderFactory()
@@ -1008,14 +1112,15 @@ class GraftBatchScan(val root: String, val version: Int,
       case Some(_) => new GraftAggReaderFactory
       case None =>
         val dvF = dvScan.map(_.toBatch.createReaderFactory())
+        val eqF = eqScan.map(_.toBatch.createReaderFactory())
         // the clean factory also serves the no-files case (an empty
         // snapshot plans zero partitions but still needs a factory)
         val cleanF =
-          if (prunedFiles.exists(_._2.isEmpty) || dvF.isEmpty)
+          if (cleanFiles.nonEmpty || (dvF.isEmpty && eqF.isEmpty))
             Some(parquetScan.toBatch.createReaderFactory())
           else None
-        if (dvF.isEmpty) cleanF.get
-        else new GraftDvAwareReaderFactory(cleanF, dvF.get,
+        if (dvF.isEmpty && eqF.isEmpty) cleanF.get
+        else new GraftDvAwareReaderFactory(cleanF, dvF, eqF,
           GraftTable.physicalSchema(required).fields.map(_.dataType))
     }
 
@@ -1055,6 +1160,68 @@ private[sources] case class GraftDvPartition(
     dvPath: String, hconf: Map[String, String])
   extends org.apache.spark.sql.connector.read.InputPartition
 
+/** One EQUALITY-DELETE-masked split: a single-file partition plus the
+  * file's optional DV sidecar, its birth version, the pending eqdel
+  * key directories (version, absolute dir), and where the key sits in
+  * the masked scan's output (`keyOrdinal`; `keyAppended` = the key was
+  * pruned from the projection and rides as an extra trailing column
+  * the reader drops). */
+private[sources] case class GraftEqPartition(
+    inner: org.apache.spark.sql.execution.datasources.FilePartition,
+    dvPath: String, addedV: Int, eqDirs: Seq[(Int, String)],
+    keyOrdinal: Int, keyAppended: Boolean, keyTypeName: String,
+    hconf: Map[String, String])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+/** Executor-side cache of pending-eqdel key sets: key → newest
+  * retiring version, loaded ONCE per executor per pending set (the
+  * sidecar lines are `key\tversion` text, written by appendUpsert).
+  * Bounded by the resolve thresholds (`graft.eqdel.maxPendingKeys`
+  * default 4M ≈ 100 MB of map) — [[GraftTable.resolveEqDels]] is the
+  * pressure valve, exactly like DV absorption. */
+private[sources] object GraftEqKeySets {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.HashMap[java.lang.Long, java.lang.Integer]]()
+
+  def get(dirs: Seq[(Int, String)], hconf: Map[String, String])
+    : java.util.HashMap[java.lang.Long, java.lang.Integer] =
+    cache.computeIfAbsent(dirs.map(_._2).sorted.mkString("|"),
+      _ => load(dirs, hconf))
+
+  private def load(dirs: Seq[(Int, String)], hconf: Map[String, String])
+    : java.util.HashMap[java.lang.Long, java.lang.Integer] = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    hconf.foreach { case (k, v) => c.set(k, v) }
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+    dirs.foreach { case (_, dir) =>
+      val dp = new org.apache.hadoop.fs.Path(dir)
+      val fs = dp.getFileSystem(c)
+      if (fs.exists(dp)) fs.listStatus(dp).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(fs.open(st.getPath),
+              java.nio.charset.StandardCharsets.UTF_8))
+          try {
+            var line = in.readLine()
+            while (line != null) {
+              if (line.nonEmpty) {
+                val t = line.indexOf('\t')
+                val k = java.lang.Long.valueOf(line.substring(0, t))
+                val v = Integer.valueOf(line.substring(t + 1).trim.toInt)
+                val prev = m.get(k)
+                if (prev == null || v > prev) m.put(k, v)
+              }
+              line = in.readLine()
+            }
+          } finally in.close()
+        }
+      }
+    }
+    m
+  }
+}
+
 /** Composite reader factory: clean splits flow untouched through
   * Spark's parquet factory (columnar and all); DV'd splits read with
   * the generated ROW-INDEX column last, drop rows whose index the
@@ -1075,7 +1242,8 @@ private[sources] case class GraftDvPartition(
   * columnar support), which was round 13's behavior for everything. */
 private[sources] class GraftDvAwareReaderFactory(
     clean: Option[org.apache.spark.sql.connector.read.PartitionReaderFactory],
-    dv: org.apache.spark.sql.connector.read.PartitionReaderFactory,
+    dv: Option[org.apache.spark.sql.connector.read.PartitionReaderFactory],
+    eq: Option[org.apache.spark.sql.connector.read.PartitionReaderFactory],
     dataTypes: Array[org.apache.spark.sql.types.DataType])
   extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
 
@@ -1084,10 +1252,14 @@ private[sources] class GraftDvAwareReaderFactory(
   import org.apache.spark.sql.types._
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
-  private def loadDv(d: GraftDvPartition): Array[Long] = {
+  private def loadDv(d: GraftDvPartition): Array[Long] =
+    loadDvPath(d.dvPath, d.hconf)
+
+  private def loadDvPath(dvPath: String,
+      hconf: Map[String, String]): Array[Long] = {
     val c = new org.apache.hadoop.conf.Configuration(false)
-    d.hconf.foreach { case (k, v) => c.set(k, v) }
-    val hp = new org.apache.hadoop.fs.Path(d.dvPath)
+    hconf.foreach { case (k, v) => c.set(k, v) }
+    val hp = new org.apache.hadoop.fs.Path(dvPath)
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(hp.getFileSystem(c).open(hp),
         java.nio.charset.StandardCharsets.UTF_8))
@@ -1113,13 +1285,18 @@ private[sources] class GraftDvAwareReaderFactory(
     case _ => false
   }
 
-  override def supportColumnarReads(p: InputPartition): Boolean = p match {
-    // Spark ANDs per-partition support into one whole-scan decision:
-    // all-capable → fully columnar; any incapable → uniformly row
-    case d: GraftDvPartition =>
-      columnarCopyable && dv.supportColumnarReads(d.inner)
-    case other => clean.exists(_.supportColumnarReads(other))
-  }
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    // Spark REQUIRES one uniform answer across a scan's partitions
+    // (DataSourceV2ScanExecBase refuses a mix): when any eqdel-masked
+    // split is present the whole scan reads row-wise — the key lookup
+    // per row is a hash probe either way, and the pending window is
+    // transient by design (resolveEqDels restores the columnar plan)
+    if (eq.isDefined) false
+    else p match {
+      case d: GraftDvPartition =>
+        columnarCopyable && dv.exists(_.supportColumnarReads(d.inner))
+      case other => clean.exists(_.supportColumnarReads(other))
+    }
 
   private def copyValue(dt: DataType, from: ColumnVector, row: Int,
       to: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
@@ -1150,7 +1327,7 @@ private[sources] class GraftDvAwareReaderFactory(
   override def createColumnarReader(p: InputPartition)
     : PartitionReader[ColumnarBatch] = p match {
     case d: GraftDvPartition =>
-      val inner = dv.createColumnarReader(d.inner)
+      val inner = dv.get.createColumnarReader(d.inner)
       new PartitionReader[ColumnarBatch] {
         private lazy val deleted: Array[Long] = loadDv(d)
         private var cur: ColumnarBatch = _
@@ -1202,8 +1379,61 @@ private[sources] class GraftDvAwareReaderFactory(
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
+      case ep: GraftEqPartition =>
+        val inner = eq.get.createReader(ep.inner)
+        new PartitionReader[InternalRow] {
+          private lazy val deleted: Array[Long] =
+            if (ep.dvPath.isEmpty) Array.emptyLongArray
+            else loadDvPath(ep.dvPath, ep.hconf)
+          private lazy val keys = GraftEqKeySets.get(ep.eqDirs, ep.hconf)
+          // output width = required ++ (appended key?) ++ row index
+          private val width =
+            dataTypes.length + (if (ep.keyAppended) 1 else 0) + 1
+          private val idxOrd = width - 1
+          private lazy val proj =
+            org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+              .create(dataTypes.zipWithIndex.map { case (dt, i) =>
+                org.apache.spark.sql.catalyst.expressions
+                  .BoundReference(i, dt, nullable = true)
+                  : org.apache.spark.sql.catalyst.expressions.Expression
+              }.toSeq)
+          private def keyOf(r: InternalRow): java.lang.Long =
+            if (r.isNullAt(ep.keyOrdinal)) null
+            else ep.keyTypeName match {
+              case "long" => r.getLong(ep.keyOrdinal)
+              case "integer" | "date" => r.getInt(ep.keyOrdinal).toLong
+              case "short" => r.getShort(ep.keyOrdinal).toLong
+              case "byte" => r.getByte(ep.keyOrdinal).toLong
+              case "string" =>
+                val s = r.getUTF8String(ep.keyOrdinal).toString
+                try java.lang.Long.valueOf(s.trim)
+                catch { case _: NumberFormatException => null }
+              case other => throw new UnsupportedOperationException(
+                s"eqdel masking over a '$other'-typed key")
+            }
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            while (inner.next()) {
+              val r = inner.get()
+              val alive =
+                (deleted.length == 0 ||
+                  java.util.Arrays.binarySearch(
+                    deleted, r.getLong(idxOrd)) < 0) && {
+                  val k = keyOf(r)
+                  k == null || {
+                    val v = keys.get(k)
+                    v == null || v <= ep.addedV
+                  }
+                }
+              if (alive) { cur = proj(r); return true }
+            }
+            false
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = inner.close()
+        }
       case d: GraftDvPartition =>
-        val inner = dv.createReader(d.inner)
+        val inner = dv.get.createReader(d.inner)
         new PartitionReader[InternalRow] {
           private lazy val deleted: Array[Long] = loadDv(d)
           // project the trailing row-index column away — a codegen'd

@@ -96,6 +96,68 @@ object GraftTable {
     def hasDv: Boolean = dvPath.nonEmpty
   }
 
+  /** A pending EQUALITY DELETE: a set of `nKeys` key values written
+    * under `data/<relDir>/` at commit `version`, retiring every
+    * same-key row in files ADDED BEFORE that commit (Iceberg v2's
+    * equality-delete sequencing: the delete applies to data files
+    * with a smaller sequence number — here, the version embedded in
+    * the file's `data/vNNNNN-…/` directory name). The ingest side of
+    * merge-on-read taken to its limit: [[appendUpsert]] lands a CDC
+    * batch as fresh files + one key list, ZERO base files read —
+    * position lookup is deferred to [[resolveEqDels]], which pays the
+    * read once instead of once per micro-batch. Pending eqdels ride
+    * the manifest HEADER (`#eqdel` lines), so the set is atomic with
+    * the commit and carried forward explicitly by every writer. */
+  private[sources] final case class EqDel(
+      version: Int, relDir: String, nKeys: Long)
+
+  /** Parse `#eqdel\tversion\trelDir\tnKeys` header lines. */
+  private def parseEqDels(text: String): Seq[EqDel] =
+    text.linesIterator.takeWhile(_.startsWith("#"))
+      .filter(_.startsWith("#eqdel\t"))
+      .map { l =>
+        val p = l.split('\t')
+        EqDel(p(1).toInt, p(2), p(3).toLong)
+      }.toSeq
+
+  /** The pending equality deletes of `version`'s snapshot (empty for
+    * eqdel-free tables — the common case costs one header read). */
+  private[sources] def pendingEqDels(spark: SparkSession, root: String,
+      version: Int): Seq[EqDel] = {
+    val (f, _) = fs(root, spark)
+    val p = manifestPath(root, version)
+    if (!f.exists(p)) Seq.empty else parseEqDels(readFully(f, p))
+  }
+
+  /** The commit version a data file was ADDED at, parsed from its
+    * `data/vNNNNN-xxxxxxxx/` directory segment (stable across
+    * carry-forward — a carried file keeps its birth directory; a
+    * rewritten file gets the rewriting commit's). Works for
+    * table-relative and absolute (shallow-clone) references alike.
+    * Only consulted when equality deletes pend, so legacy paths that
+    * predate the naming scheme fail loud rather than mask wrongly. */
+  private[sources] def addedVersion(relPath: String): Int =
+    AddedVersionRx.findFirstMatchIn(relPath) match {
+      case Some(m) => m.group(1).toInt
+      case None => throw new IllegalStateException(
+        s"cannot derive the added-version of '$relPath' — equality " +
+          "deletes require version-named data directories")
+    }
+  private val AddedVersionRx = """(?:^|/)data/v(\d{5})-[0-9a-f]{8}/""".r
+
+  /** Pending eqdels of `version` with ABSOLUTE key-directory paths —
+    * what the DSv2 scan hands its executor-side key-set loader. */
+  private[sources] def pendingEqDelDirs(spark: SparkSession, root: String,
+      version: Int): Seq[(Int, String, Long)] =
+    pendingEqDels(spark, root, version)
+      .map(e => (e.version, dataPath(root, e.relDir), e.nKeys))
+
+  /** The eqdels of `eqdels` that actually APPLY to `e` (committed
+    * after the file was added). */
+  private def eqDelsApplying(e: FileEntry, eqdels: Seq[EqDel]): Seq[EqDel] =
+    if (eqdels.isEmpty) Seq.empty
+    else eqdels.filter(_.version > addedVersion(e.relPath))
+
   private def fs(root: String, spark: SparkSession) = {
     val p = new org.apache.hadoop.fs.Path(root)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -222,7 +284,8 @@ object GraftTable {
       kmvLines: Seq[String] = Seq.empty,
       partitionJson: Option[String] = None,
       txn: Option[TxnRef] = None,
-      beforePublish: () => Unit = () => ()): Unit = {
+      beforePublish: () => Unit = () => (),
+      eqdels: Option[Seq[EqDel]] = None): Unit = {
     val tok = newToken()
     val staged = scala.collection.mutable.ListBuffer[org.apache.hadoop.fs.Path]()
     def stage(p: org.apache.hadoop.fs.Path, content: String): Unit = {
@@ -256,8 +319,19 @@ object GraftTable {
         if (v == 0 || !f.exists(manifestPath(root, v - 1))) Long.MinValue
         else commitInstant(f, root, v - 1)
       val instant = math.max(prevInstant + 1, System.currentTimeMillis())
+      // pending EQUALITY DELETES carry forward by default (None): a
+      // plain upsert/OPTIMIZE between an eqdel ingest and its resolve
+      // must not silently un-delete keys. Writers that change the set
+      // (appendUpsert adds, resolveEqDels clears) pass it explicitly.
+      val eqLines = eqdels.getOrElse {
+        if (v == 0 || !f.exists(manifestPath(root, v - 1))) Seq.empty
+        else parseEqDels(readFully(f, manifestPath(root, v - 1)))
+      }.map(e => s"#eqdel\t${e.version}\t${e.relDir}\t${e.nKeys}\n")
+        .mkString
+      // eqdel lines go LAST: #sidecar/#txn are resolved via bounded
+      // readHead probes and must stay within the first bytes
       val header = s"#commit-ts\t$instant\n#sidecar\t$tok\n" +
-        txn.map(t => s"#txn\t${t.id}\t${t.dir}\n").getOrElse("")
+        txn.map(t => s"#txn\t${t.id}\t${t.dir}\n").getOrElse("") + eqLines
       writeAtomic(f, manifestPath(root, v), header + renderManifest(entries))
     } catch {
       case e: Throwable =>
@@ -729,23 +803,68 @@ object GraftTable {
     * Spark splits or skips row groups); deleted (file, pos) pairs are
     * anti-joined away. */
   private def readMaskedWithName(spark: SparkSession, root: String,
-      schema: StructType, entries: Seq[FileEntry]): DataFrame = {
+      schema: StructType, entries: Seq[FileEntry],
+      eqdels: Seq[EqDel] = Seq.empty): DataFrame = {
     val phys = physicalSchema(schema)
     val raw = spark.read.schema(phys)
       .parquet(entries.map(e => dataPath(root, e.relPath)): _*)
       .select(col("*"),
         element_at(split(col("_metadata.file_path"), "/"), -1)
           .as(DvNameCol),
-        col("_metadata.row_index").as(DvPosCol))
+        col("_metadata.row_index").as(DvPosCol),
+        col("_metadata.file_path").as(EqPathCol))
     val logical = raw.toDF(
-      (schema.fieldNames.toSeq :+ DvNameCol :+ DvPosCol): _*)
+      (schema.fieldNames.toSeq :+ DvNameCol :+ DvPosCol :+ EqPathCol): _*)
     val dvd = entries.filter(_.hasDv)
     val masked =
       if (dvd.isEmpty) logical
       else logical.join(dvPositions(spark, root, dvd),
         Seq(DvNameCol, DvPosCol), "left_anti")
-    masked
+    eqMask(spark, root, masked, eqdels).drop(EqPathCol)
   }
+
+  private val EqPathCol = "__graft_eq_path"
+
+  /** The accumulated key set of `eqdels` as (key → newest retiring
+    * version): a key deleted at v₁ and re-inserted later is retired
+    * only from files older than v₁ — keeping the MAX version per key
+    * makes one anti-join implement the full sequencing rule.
+    * Broadcast under the same cardinality bound as DV position
+    * lists. */
+  private def eqDelKeys(spark: SparkSession, root: String,
+      eqdels: Seq[EqDel]): DataFrame = {
+    val keys = spark.read
+      .textFile(eqdels.map(e => dataPath(root, e.relDir)): _*)
+      .select(
+        split(col("value"), "\t").getItem(0).cast("long").as("__eq_k"),
+        split(col("value"), "\t").getItem(1).cast("int").as("__eq_v"))
+      .groupBy("__eq_k").agg(max("__eq_v").as("__eq_v"))
+    if (eqdels.map(_.nKeys).sum <= 4L * 1000 * 1000) broadcast(keys)
+    else keys
+  }
+
+  /** Apply pending EQUALITY DELETES to rows carrying [[EqPathCol]]:
+    * a row dies iff its key was retired by an eqdel committed AFTER
+    * the row's file was added (version parsed from the file's
+    * `data/vNNNNN-…/` directory — exactly [[addedVersion]], evaluated
+    * distributedly). No-op (and no plan change) when `eqdels` is
+    * empty. */
+  private def eqMask(spark: SparkSession, root: String, rows: DataFrame,
+      eqdels: Seq[EqDel]): DataFrame =
+    if (eqdels.isEmpty) rows
+    else {
+      val key = keyColumn(spark, root).getOrElse(throw new IllegalStateException(
+        s"table at $root has pending equality deletes but no recorded " +
+          "key column — cannot resolve masking"))
+      val av = regexp_extract(col(EqPathCol),
+        "/data/v(\\d{5})-[0-9a-f]{8}/", 1).cast("int")
+      val keys = eqDelKeys(spark, root, eqdels)
+      rows.withColumn("__eq_av", av)
+        .join(keys,
+          col(key).cast("long") === col("__eq_k") &&
+            col("__eq_v") > col("__eq_av"), "left_anti")
+        .drop("__eq_av")
+    }
 
   /** Snapshot-correct read of `entries`: DV-less files take the exact
     * pre-DV plan (plain pinned-schema parquet scan); DV'd files read
@@ -754,21 +873,38 @@ object GraftTable {
     * construction on every path (read, range/point/2D reads, CDF,
     * rewrite inputs of UPSERT/DELETE/MERGE/OPTIMIZE). */
   private def readEntries(spark: SparkSession, root: String,
-      schema: StructType, entries: Seq[FileEntry]): DataFrame = {
-    val (dvd, clean) = entries.partition(_.hasDv)
-    if (entries.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else if (dvd.isEmpty)
-      readLogical(spark, schema, clean.map(e => dataPath(root, e.relPath)))
-    else {
-      val masked = readMaskedWithName(spark, root, schema, dvd)
-        .drop(DvNameCol, DvPosCol)
-      if (clean.isEmpty) masked
-      else readLogical(spark, schema,
-        clean.map(e => dataPath(root, e.relPath))).unionByName(masked)
-    }
+      schema: StructType, entries: Seq[FileEntry],
+      eqdels: Seq[EqDel]): DataFrame = {
+    // files untouched by any pending eqdel (added at or after the
+    // newest one — or no eqdels at all) keep the exact pre-eqdel plan
+    val (subject, exempt) =
+      entries.partition(e => eqDelsApplying(e, eqdels).nonEmpty)
+    val (dvd, clean) = exempt.partition(_.hasDv)
+    val base =
+      if (exempt.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else if (dvd.isEmpty)
+        readLogical(spark, schema, clean.map(e => dataPath(root, e.relPath)))
+      else {
+        val masked = readMaskedWithName(spark, root, schema, dvd)
+          .drop(DvNameCol, DvPosCol)
+        if (clean.isEmpty) masked
+        else readLogical(spark, schema,
+          clean.map(e => dataPath(root, e.relPath))).unionByName(masked)
+      }
+    if (subject.isEmpty) base
+    else base.unionByName(
+      readMaskedWithName(spark, root, schema, subject, eqdels)
+        .drop(DvNameCol, DvPosCol))
   }
+
+  /** [[readEntries]] for an eqdel-free context (branch lineages —
+    * fork refuses under pending eqdels; staged-file audits — fresh
+    * files postdate every pending eqdel by construction). */
+  private def readEntriesNoEq(spark: SparkSession, root: String,
+      schema: StructType, entries: Seq[FileEntry]): DataFrame =
+    readEntries(spark, root, schema, entries, Seq.empty)
 
   /** Whether any live file at `version` carries a deletion vector —
     * the guard metadata-exact answers check before trusting per-file
@@ -776,6 +912,20 @@ object GraftTable {
   def hasDeletionVectors(spark: SparkSession, root: String,
       version: Int): Boolean =
     loadManifest(spark, root, version).exists(_.hasDv)
+
+  /** Whether any PENDING EQUALITY DELETE still applies to a live file
+    * at `version` — the guard in front of every metadata-exact answer
+    * (row counts, sums, null ledgers): an unresolved key set makes
+    * live-row arithmetic unknowable without a scan. Self-heals: once
+    * every subject file is rewritten (or [[resolveEqDels]] runs), a
+    * stale pending list stops tripping the guard. */
+  def hasLiveEqDels(spark: SparkSession, root: String,
+      version: Int): Boolean = {
+    val eq = pendingEqDels(spark, root, version)
+    eq.nonEmpty &&
+      loadManifest(spark, root, version)
+        .exists(e => eqDelsApplying(e, eq).nonEmpty)
+  }
 
   /** `-<tok>` suffix for token-named sidecars; empty for the legacy
     * (pre-token) un-suffixed names. */
@@ -887,7 +1037,7 @@ object GraftTable {
     val schema = tableSchema(spark, root, v)
     val keep = partitionSurvivors(spark, root, spec, lo, hi, v).toSet
     val entries = loadManifest(spark, root, v).filter(e => keep(e.relPath))
-    readEntries(spark, root, schema, entries)
+    readEntries(spark, root, schema, entries, pendingEqDels(spark, root, v))
       .filter(spec.valueCol.between(lo, hi))
   }
 
@@ -1394,6 +1544,12 @@ object GraftTable {
       s"table already exists at $dstRoot")
     val v = version.getOrElse(latestVersion(spark, srcRoot))
     require(v >= 0, s"no graft table at $srcRoot")
+    // a shallow clone re-renders the manifest WITHOUT headers — a
+    // pending eqdel key set would silently drop and un-delete keys
+    // in the clone; resolve first
+    require(!hasLiveEqDels(spark, srcRoot, v),
+      s"cannot clone $srcRoot at version $v: pending equality " +
+        "deletes — run resolveEqDels first")
     val entries = loadManifest(spark, srcRoot, v)
     f.mkdirs(new org.apache.hadoop.fs.Path(dstRoot, "_log"))
     writeAtomic(f, new org.apache.hadoop.fs.Path(dstRoot, "_log/schema.json"),
@@ -1431,8 +1587,8 @@ object GraftTable {
     val schema = tableSchema(spark, root, v)
     // pin the schema so a snapshot's column set never depends on
     // which subset of files survived the commits; DV'd files read
-    // masked (merge-on-read)
-    readEntries(spark, root, schema, entries)
+    // masked (merge-on-read); pending equality deletes anti-join
+    readEntries(spark, root, schema, entries, pendingEqDels(spark, root, v))
   }
 
   /** Snapshot statistics from the MANIFEST alone: (rowCount,
@@ -1586,6 +1742,9 @@ object GraftTable {
     * (`nRows − dvRows` per file). */
   def snapshotKeyStats(spark: SparkSession, root: String,
       version: Int): (Long, Option[(Long, Long)]) = {
+    // NOTE: rows is exact only absent pending equality deletes —
+    // callers serving count(*) must check [[hasLiveEqDels]] first
+    // (the SQL pushAggregation guard does)
     val entries = loadManifest(spark, root, version)
     val rows = entries.map(_.liveRows).sum
     val range =
@@ -1609,8 +1768,10 @@ object GraftTable {
       column: String): Option[(Long, Long)] = {
     val entries = loadManifest(spark, root, version)
     // a DV'd file's recorded range is a SUPERSET bound (the extreme
-    // row may be deleted) — refuse rather than approximate
-    if (entries.isEmpty || entries.exists(_.hasDv)) return None
+    // row may be deleted) — refuse rather than approximate; pending
+    // equality deletes mask rows the same way
+    if (entries.isEmpty || entries.exists(_.hasDv) ||
+        hasLiveEqDels(spark, root, version)) return None
     val rels = entries.map(_.relPath).toSet
     val stats = loadColStats(spark, root, version, rels)
     val phys = toPhys(spark, root, version, column)
@@ -1650,9 +1811,11 @@ object GraftTable {
       case None => all
     }
     if (entries.isEmpty) return Some(0L)
-    // per-file null ledgers describe PHYSICAL content; a DV may have
-    // masked null or non-null rows — refuse, callers scan
-    if (entries.exists(_.hasDv)) return None
+    // per-file null ledgers describe PHYSICAL content; a DV (or a
+    // pending equality delete) may have masked null or non-null rows
+    // — refuse, callers scan
+    if (entries.exists(_.hasDv) ||
+        hasLiveEqDels(spark, root, version)) return None
     val rels = entries.map(_.relPath).toSet
     val stats = loadColStats(spark, root, version, rels)
     val phys = toPhys(spark, root, version, column)
@@ -1694,9 +1857,11 @@ object GraftTable {
       column: String): Option[Option[Long]] = {
     val entries = loadManifest(spark, root, version)
     if (entries.isEmpty) return Some(None)
-    // the #sum ledger sums PHYSICAL rows — a DV'd file's live sum
-    // differs; refuse (metadata answers are exact or not given)
-    if (entries.exists(_.hasDv)) return None
+    // the #sum ledger sums PHYSICAL rows — a DV'd (or eqdel-masked)
+    // file's live sum differs; refuse (metadata answers are exact or
+    // not given)
+    if (entries.exists(_.hasDv) ||
+        hasLiveEqDels(spark, root, version)) return None
     val rels = entries.map(_.relPath).toSet
     val stats = loadColStats(spark, root, version, rels)
     val phys = toPhys(spark, root, version, column)
@@ -1770,7 +1935,8 @@ object GraftTable {
         col("k") >= col("mn") && col("k") <= col("mx"))
       .select("rel_path").distinct().collect().map(_.getString(0)).toSet
     val (rewrite, carry) = entries.partition(e => hit(e.relPath))
-    val current = readEntries(spark, root, schema, rewrite)
+    val current = readEntries(spark, root, schema, rewrite,
+      pendingEqDels(spark, root, base))
     // MERGE: one hash full-outer join on the key (q204's shape) —
     // batch wins where matched, inserts where not
     val cols = schema.fieldNames
@@ -1786,6 +1952,232 @@ object GraftTable {
       statLines = w.statLines, kmvLines = w.kmvLines, txn = txn)
     (v, rewrite.size, carry.size)
   }
+
+  /** APPEND-ONLY UPSERT via EQUALITY DELETES — the streaming-ingest
+    * limit of merge-on-read: the batch lands as fresh data files plus
+    * ONE key list (`#eqdel` manifest header → `data/eqdel-v…/`), and
+    * NO base file is read OR rewritten — not even to find positions.
+    * Same-key rows in older files are retired lazily: reads anti-join
+    * the pending key set ([[readEntries]]/the SQL scan), and
+    * [[resolveEqDels]] later converts the keys to position deletion
+    * vectors in one pruned pass — paying the base read ONCE instead
+    * of once per micro-batch (a minute-trigger CDC stream onto a
+    * 100 TB table does 1,440 O(batch) commits a day and ONE position
+    * resolve, vs 1,440 position joins). The write-side cost model of
+    * Iceberg v2 equality deletes / Paimon's changelog inserts.
+    *
+    * Semantics: rows land VERBATIM (full-row replace per key — the
+    * Debezium-style full-image CDC contract). `opCol`, when given,
+    * must hold `replace` or `delete` per row; column-wise
+    * partial-update "upsert" is deliberately NOT offered here — it
+    * needs the old row, which this path never reads (use
+    * [[applyCdcBatch]] for that). A batch may carry AT MOST ONE row
+    * per key: two same-batch rows with one key would both survive
+    * (both postdate the batch's own eqdel).
+    *
+    * Returns (newVersion, nEqDelKeysRecorded). */
+  def appendUpsert(spark: SparkSession, root: String, batch: DataFrame,
+      key: String, opCol: Option[String] = None, nBuckets: Int = 8,
+      maxRetries: Int = 2): (Int, Long) = {
+    var attempt = 0
+    while (true) {
+      try return appendUpsertOnce(spark, root, batch, key, opCol, nBuckets)
+      catch {
+        case e: ConcurrentCommitException if attempt < maxRetries =>
+          attempt += 1 // redo against the winner's snapshot; our
+          // staged data/eqdel files orphan and vacuum sweeps them
+        case e: Throwable => throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def appendUpsertOnce(spark: SparkSession, root: String,
+      batch: DataFrame, key: String, opCol: Option[String],
+      nBuckets: Int): (Int, Long) = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"no graft table at $root (appendUpsert needs " +
+      "an existing table — create() the first batch)")
+    require(keyColumn(spark, root).nonEmpty,
+      s"appendUpsert needs the table's recorded key column at $root")
+    val entries = loadManifest(spark, root, base)
+    val schema = tableSchema(spark, root, base)
+    opCol match {
+      case Some(oc) =>
+        require((batch.columns.toSet - oc) == schema.fieldNames.toSet,
+          "batch schema must be table schema + the op column")
+        val bad = batch.filter(col(oc).isNull ||
+          !col(oc).isin("replace", "delete")).select(col(oc))
+          .limit(1).collect()
+        require(bad.isEmpty, s"appendUpsert: op must be 'replace' or " +
+          s"'delete', got ${bad.headOption.map(_.get(0)).orNull} " +
+          "('upsert' partial-merge needs the old row — this path " +
+          "never reads it; use applyCdcBatch)")
+      case None =>
+        require(batch.schema.fieldNames.sorted
+          .sameElements(schema.fieldNames.sorted),
+          "batch schema must match table schema")
+    }
+    val v = base + 1
+    import spark.implicits._
+    // keys to retire = every batch key that COULD exist in the base
+    // snapshot — a pure metadata interval probe against the file
+    // ledger (no data read); an append-mostly stream records few or
+    // zero keys, and a zero-key batch commits as a plain append
+    val ledger = broadcast(entries.map(e => (e.minKey, e.maxKey))
+      .toDF("mn", "mx"))
+    val eqRel = f"data/eqdel-v$v%05d-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    batch.select(col(key).cast("long").as("k")).distinct()
+      .join(ledger, col("k") >= col("mn") && col("k") <= col("mx"),
+        "left_semi")
+      .select(concat_ws("\t", col("k"), lit(v)).as("value"))
+      .write.mode("overwrite").text(s"$root/$eqRel")
+    val (f, _) = fs(root, spark)
+    val nKeys = spark.read.textFile(s"$root/$eqRel").count()
+    val rows = opCol.fold(batch)(oc =>
+      batch.filter(col(oc) =!= "delete").drop(oc))
+    val w = writeDataFiles(spark, root, v, rows.select(
+      schema.fieldNames.map(col): _*), key,
+      writeBuckets(spark, root, base, nBuckets, 0))
+    if (w.entries.isEmpty && nKeys == 0L) {
+      // nothing inserted, nothing retired: leave the table untouched
+      f.delete(new org.apache.hadoop.fs.Path(root, eqRel), true)
+      return (base, 0L)
+    }
+    val pend = pendingEqDels(spark, root, base) ++
+      (if (nKeys > 0) Seq(EqDel(v, eqRel, nKeys)) else Seq.empty)
+    commitManifest(f, root, v, entries ++ w.entries,
+      statLines = w.statLines, kmvLines = w.kmvLines,
+      eqdels = Some(pend))
+    (v, nKeys)
+  }
+
+  /** RESOLVE pending equality deletes into position deletion vectors
+    * — the deferred half of [[appendUpsert]]'s bargain, run once per
+    * maintenance window instead of once per micro-batch. One pruned
+    * pass: only files whose key interval contains a retired key (and
+    * that predate its eqdel) are read; matched positions fold into
+    * the files' DV sidecars (accumulating atop existing DVs exactly
+    * like the MoR DML path), fully-dead files drop, and the pending
+    * list clears. Content is logically unchanged — reads lose the
+    * key anti-join tax, and [[absorbDvs]]/OPTIMIZE then retire the
+    * DVs on their own schedule (the two-tier debt ladder:
+    * eqdel → DV → rewrite). Returns (newVersion, filesTouched,
+    * keysResolved); a table with nothing pending no-ops. */
+  def resolveEqDels(spark: SparkSession, root: String, key: String)
+    : (Int, Int, Long) = {
+    val base = latestVersion(spark, root)
+    val eq = pendingEqDels(spark, root, base)
+    if (eq.isEmpty) return (base, 0, 0L)
+    val entries = loadManifest(spark, root, base)
+    val schema = tableSchema(spark, root, base)
+    val subject = entries.filter(e => eqDelsApplying(e, eq).nonEmpty)
+    val v = base + 1
+    val (f, _) = fs(root, spark)
+    if (subject.isEmpty) { // stale pending list (e.g. full rewrite
+      // since) — clear it with a metadata-only commit
+      commitManifest(f, root, v, entries, eqdels = Some(Seq.empty))
+      return (v, 0, 0L)
+    }
+    import spark.implicits._
+    val keys = eqDelKeys(spark, root, eq) // (__eq_k, __eq_v max)
+    // interval-prune: a subject file is HIT iff some retired key (of
+    // a NEWER eqdel than the file) falls in its key interval
+    val ledger = subject.map(e =>
+      (nameOfEntry(e), e.minKey, e.maxKey, addedVersion(e.relPath)))
+      .toDF("__f", "mn", "mx", "av")
+    val hitNames = keys.join(broadcast(ledger),
+        col("__eq_k") >= col("mn") && col("__eq_k") <= col("mx") &&
+          col("__eq_v") > col("av"))
+      .select("__f").distinct().collect().map(_.getString(0)).toSet
+    val hit = subject.filter(e => hitNames(nameOfEntry(e)))
+    if (hit.isEmpty) {
+      commitManifest(f, root, v, entries, eqdels = Some(Seq.empty))
+      return (v, 0, 0L)
+    }
+    // positions of doomed rows in hit files: raw read with per-file
+    // name/position/added-version, existing DV positions excluded
+    // (they are already dead — re-recording them would double-count
+    // dvRows and break the exact liveRows ledger)
+    val phys = physicalSchema(schema)
+    val keyPhys = toPhys(spark, root, base, key)
+    val raw = spark.read.schema(phys)
+      .parquet(hit.map(e => dataPath(root, e.relPath)): _*)
+      .select(
+        col(keyPhys).cast("long").as("__k"),
+        element_at(split(col("_metadata.file_path"), "/"), -1)
+          .as(DvNameCol),
+        col("_metadata.row_index").as(DvPosCol),
+        regexp_extract(col("_metadata.file_path"),
+          "/data/v(\\d{5})-[0-9a-f]{8}/", 1).cast("int").as("__av"))
+    val priorDvd = hit.filter(_.hasDv)
+    val live =
+      if (priorDvd.isEmpty) raw
+      else raw.join(dvPositions(spark, root, priorDvd),
+        Seq(DvNameCol, DvPosCol), "left_anti")
+    val doomed = live.join(keys,
+        col("__k") === col("__eq_k") && col("__eq_v") > col("__av"),
+        "left_semi")
+      .select(col(DvNameCol), col(DvPosCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = doomed.groupBy(col(DvNameCol)).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val allPos =
+        if (priorDvd.isEmpty) doomed
+        else doomed.unionByName(
+          dvPositions(spark, root, priorDvd, forJoin = false)
+            .select(col(DvNameCol), col(DvPosCol)))
+      val dvRel = f"data/dv-v$v%05d-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      writeDvSidecars(spark, s"$root/$dvRel", allPos)
+      val untouched = entries.filterNot(e => hitNames(nameOfEntry(e)))
+      val updated = hit.flatMap { e =>
+        val n = counts.getOrElse(nameOfEntry(e), 0L)
+        val dvRows = e.dvRows + n
+        if (dvRows >= e.nRows) None // fully dead: drop from manifest
+        else if (n == 0 && !e.hasDv) Some(e) // probed, nothing matched
+        else Some(e.copy(dvPath = s"$dvRel/${nameOfEntry(e)}.dv",
+          dvRows = dvRows))
+      }
+      commitManifest(f, root, v, untouched ++ updated,
+        eqdels = Some(Seq.empty))
+      (v, hit.size, counts.values.sum)
+    } finally doomed.unpersist()
+  }
+
+  /** AUTOMATED EQDEL RESOLUTION — the eqdel tier of the maintenance
+    * ladder (sibling of [[absorbDvsIfDirty]]): a free header probe
+    * fires [[resolveEqDels]] when the pending key count exceeds
+    * `graft.eqdel.maxPendingRatio` × live rows (table property,
+    * default 0.02) OR `graft.eqdel.maxPendingKeys` (default
+    * 4,000,000 — the broadcast bound: past it every read's anti-join
+    * shuffles, and the SQL scan's per-executor key set stops being
+    * small). Returns None below both thresholds. */
+  def resolveEqDelsIfPending(spark: SparkSession, root: String,
+      key: String, ratioOverride: Option[Double] = None)
+    : Option[(Int, Int, Long)] = {
+    val base = latestVersion(spark, root)
+    val eq = pendingEqDels(spark, root, base)
+    if (eq.isEmpty) return None
+    val props = tableProperties(spark, root)
+    val ratio = ratioOverride.orElse(
+      props.get("graft.eqdel.maxPendingRatio").map(_.toDouble))
+      .getOrElse(0.02)
+    require(ratio > 0.0 && ratio <= 1.0,
+      s"graft.eqdel.maxPendingRatio must be in (0, 1], got $ratio")
+    val maxKeys = props.get("graft.eqdel.maxPendingKeys").map(_.toLong)
+      .getOrElse(4L * 1000 * 1000)
+    val pend = eq.map(_.nKeys).sum
+    val rows = loadManifest(spark, root, base).map(_.liveRows).sum
+    if (pend > maxKeys || (rows > 0 && pend.toDouble / rows > ratio))
+      Some(resolveEqDels(spark, root, key))
+    else None
+  }
+
+  private def nameOfEntry(e: FileEntry): String =
+    new org.apache.hadoop.fs.Path(e.relPath).getName
 
   /** Apply a CDC batch in ONE commit — the full MERGE shape (matched
     * delete + matched update + unmatched insert): `batch` carries the
@@ -1858,7 +2250,8 @@ object GraftTable {
       return applyCdcBatchMoR(spark, root, batch, key, opCol, nBuckets,
         schema, rewrite, carry, base,
         if (mode == "dv") 1.0 else maxDirty)
-    val current = readEntries(spark, root, schema, rewrite)
+    val current = readEntries(spark, root, schema, rewrite,
+      pendingEqDels(spark, root, base))
     val cols = schema.fieldNames
     // 'upsert' merges column-wise (NULL batch cell keeps the target's
     // value — the partial-update CDC contract); 'replace' writes the
@@ -1905,7 +2298,8 @@ object GraftTable {
       new org.apache.hadoop.fs.Path(e.relPath).getName
     val cols = schema.fieldNames
     val tMark = "__graft_t"; val bMark = "__graft_b"
-    val old = readMaskedWithName(spark, root, schema, hit)
+    val old = readMaskedWithName(spark, root, schema, hit,
+      pendingEqDels(spark, root, base))
       .withColumn(tMark, lit(true)).as("t")
     val b = batch.withColumn(bMark, lit(true)).as("b")
     // ONE evaluation feeds the counts, the sidecars, AND the written
@@ -2015,7 +2409,8 @@ object GraftTable {
         col("k") >= col("mn") && col("k") <= col("mx"))
       .select("rel_path").distinct().collect().map(_.getString(0)).toSet
     val (rewrite, carry) = entries.partition(e => hit(e.relPath))
-    val current = readEntries(spark, root, schema, rewrite)
+    val current = readEntries(spark, root, schema, rewrite,
+      pendingEqDels(spark, root, base))
     val cols = schema.fieldNames
     val t = current.as("t"); val b = batch.as("b")
     val merged = t.join(b, col(s"t.$key") === col(s"b.$key"), "full_outer")
@@ -2028,7 +2423,7 @@ object GraftTable {
       writeBuckets(spark, root, base, nBuckets, rewrite.size))
     val fresh = w.entries
     // AUDIT: every check in one aggregation over the staged files
-    val staged = readEntries(spark, root, schema, fresh)
+    val staged = readEntriesNoEq(spark, root, schema, fresh)
     val aggs = checks.map { case (name, pred) =>
       sum(when(pred.isNull || !pred, 1L).otherwise(0L)).as(name)
     }
@@ -2061,7 +2456,8 @@ object GraftTable {
     // keep-filter below and resurrect
     val hit: Set[String] =
       if (entries.isEmpty) Set.empty
-      else readMaskedWithName(spark, root, schema, entries)
+      else readMaskedWithName(spark, root, schema, entries,
+          pendingEqDels(spark, root, base))
         .filter(predicate)
         .select(col(DvNameCol)).distinct()
         .collect().map(_.getString(0)).toSet
@@ -2071,7 +2467,8 @@ object GraftTable {
     val w =
       if (rewrite.isEmpty) Written(Seq.empty, Seq.empty)
       else writeDataFiles(spark, root, v,
-        readEntries(spark, root, schema, rewrite)
+        readEntries(spark, root, schema, rewrite,
+          pendingEqDels(spark, root, base))
           .filter(!predicate || predicate.isNull),
         key, math.max(1, rewrite.size))
     val (f, _) = fs(root, spark)
@@ -2113,7 +2510,8 @@ object GraftTable {
     // the NEW deletions: masked rows (already-deleted positions can't
     // re-delete) matching the predicate, as (fileName, position) —
     // FALSE-or-NULL rows survive, the SQL DELETE rule
-    val masked = readMaskedWithName(spark, root, schema, entries)
+    val masked = readMaskedWithName(spark, root, schema, entries,
+      pendingEqDels(spark, root, base))
     // persist: ONE evaluation must feed both the per-file counts and
     // the sidecar contents — with a nondeterministic predicate (e.g.
     // rand()-sampled erasure) two runs could diverge, committing
@@ -2203,7 +2601,8 @@ object GraftTable {
     // ONE evaluation of the predicate feeds the counts, the sidecars,
     // AND the rewrite survivors (anti-join below) — the
     // nondeterministic-predicate consistency rule of [[deleteWhereDv]]
-    val newDel = readMaskedWithName(spark, root, schema, entries)
+    val newDel = readMaskedWithName(spark, root, schema, entries,
+      pendingEqDels(spark, root, base))
       .filter(predicate)
       .select(col(DvNameCol), col(DvPosCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2242,7 +2641,8 @@ object GraftTable {
       val w =
         if (cow.isEmpty) Written(Seq.empty, Seq.empty)
         else writeDataFiles(spark, root, v,
-          readMaskedWithName(spark, root, schema, cow)
+          readMaskedWithName(spark, root, schema, cow,
+            pendingEqDels(spark, root, base))
             .join(newDel, Seq(DvNameCol, DvPosCol), "left_anti")
             .drop(DvNameCol, DvPosCol),
           key, math.max(1, cow.size))
@@ -2303,7 +2703,7 @@ object GraftTable {
     val entries = loadManifest(spark, root, v)
       .filter(e => e.maxKey >= lower && e.minKey <= upper)
     val schema = tableSchema(spark, root, v)
-    readEntries(spark, root, schema, entries)
+    readEntries(spark, root, schema, entries, pendingEqDels(spark, root, v))
       .filter(col(key).cast("long") >= lower && col(key).cast("long") <= upper)
   }
 
@@ -2336,7 +2736,7 @@ object GraftTable {
     * single-writer marker name. */
   def ingestBatch(spark: SparkSession, root: String, batch: DataFrame,
       key: String, batchId: Long, nBuckets: Int = 8,
-      queryId: String = ""): Unit = {
+      queryId: String = "", mode: String = ""): Unit = {
     val (f, _) = fs(root, spark)
     val markerName =
       if (queryId.isEmpty) s"_log/ingest-$batchId.marker"
@@ -2344,6 +2744,12 @@ object GraftTable {
     val marker = new org.apache.hadoop.fs.Path(root, markerName)
     if (f.exists(marker)) return
     if (latestVersion(spark, root) < 0) create(spark, root, batch, key, nBuckets)
+    // mode "eqdel": the APPEND-ONLY upsert — fresh files + a key list,
+    // zero base files read per trigger (see [[appendUpsert]]); rows
+    // land verbatim (full-image CDC). Anything else takes the
+    // graft.dml.mode policy route ([[insertBatch]]).
+    else if (mode == "eqdel") appendUpsert(spark, root, batch, key,
+      nBuckets = nBuckets)
     else insertBatch(spark, root, batch, key, nBuckets)
     val os = f.create(marker, true)
     os.close()
@@ -2450,7 +2856,8 @@ object GraftTable {
     val w =
       if (rewrite.isEmpty) Written(Seq.empty, Seq.empty)
       else writeDataFiles(spark, root, v,
-        readEntries(spark, root, schema, rewrite),
+        readEntries(spark, root, schema, rewrite,
+          pendingEqDels(spark, root, base)),
         key, compactGroups.size)
     beforeCommit()
     val (f, _) = fs(root, spark)
@@ -2669,7 +3076,8 @@ object GraftTable {
     val schema = tableSchema(spark, root, base)
     val v = base + 1
     val w = writeDataFiles(spark, root, v,
-      readEntries(spark, root, schema, dvd), key, math.max(1, dvd.size))
+      readEntries(spark, root, schema, dvd,
+        pendingEqDels(spark, root, base)), key, math.max(1, dvd.size))
     val (f, _) = fs(root, spark)
     commitManifest(f, root, v, clean ++ w.entries,
       statLines = w.statLines, kmvLines = w.kmvLines)
@@ -2772,6 +3180,13 @@ object GraftTable {
       s"branch name must match [A-Za-z][A-Za-z0-9._-]*, got '$name'")
     val base = latestVersion(spark, root)
     require(base >= 0, s"no table at $root")
+    // pending equality deletes don't fork: branch reads resolve the
+    // BASE manifest's header, but every later branch lineage rule
+    // (publish, merge, vacuum pinning) assumes branch files need no
+    // main-log key sets — resolve first, fork clean
+    require(!hasLiveEqDels(spark, root, base),
+      s"cannot create branch '$name': table has pending equality " +
+        "deletes — run resolveEqDels first")
     val (f, _) = fs(root, spark)
     writeAtomic(f, branchMetaPath(root, name), s"""{"base":$base}""")
     base
@@ -2829,7 +3244,9 @@ object GraftTable {
       branchVersion: Option[Int] = None): DataFrame = {
     val bv = branchVersion.getOrElse(branchHeadVersion(spark, root, name))
     val schema = tableSchema(spark, root, branchBase(spark, root, name))
-    readEntries(spark, root, schema, branchEntries(spark, root, name, bv))
+    readEntries(spark, root, schema, branchEntries(spark, root, name, bv),
+      if (bv == 0) pendingEqDels(spark, root, branchBase(spark, root, name))
+      else Seq.empty)
   }
 
   /** Keyed-MERGE upsert onto branch `name` — the same pruned
@@ -2859,7 +3276,7 @@ object GraftTable {
         col("k") >= col("mn") && col("k") <= col("mx"))
       .select("rel_path").distinct().collect().map(_.getString(0)).toSet
     val (rewrite, carry) = entries.partition(e => hit(e.relPath))
-    val current = readEntries(spark, root, schema, rewrite)
+    val current = readEntriesNoEq(spark, root, schema, rewrite)
     val cols = schema.fieldNames
     val t = current.as("t"); val b = batch.as("b")
     val merged = t.join(b, col(s"t.$key") === col(s"b.$key"), "full_outer")
@@ -2999,14 +3416,18 @@ object GraftTable {
     * equal on every column and drops out. */
   private def snapshotDelta(spark: SparkSession, root: String,
       schema: StructType, key: String,
-      from: Seq[FileEntry], to: Seq[FileEntry]): (DataFrame, DataFrame) = {
-    val fromSet = from.map(e => (e.relPath, e.dvPath)).toSet
-    val toSet = to.map(e => (e.relPath, e.dvPath)).toSet
-    val oldOnly = from.filterNot(e => toSet((e.relPath, e.dvPath)))
-    val newOnly = to.filterNot(e => fromSet((e.relPath, e.dvPath)))
+      from: Seq[FileEntry], to: Seq[FileEntry],
+      fromEq: Seq[EqDel] = Seq.empty, toEq: Seq[EqDel] = Seq.empty)
+    : (DataFrame, DataFrame) = {
+    def fp(e: FileEntry, eqs: Seq[EqDel]): Set[Int] =
+      eqDelsApplying(e, eqs).map(_.version).toSet
+    val fromSet = from.map(e => (e.relPath, e.dvPath, fp(e, fromEq))).toSet
+    val toSet = to.map(e => (e.relPath, e.dvPath, fp(e, toEq))).toSet
+    val oldOnly = from.filterNot(e => toSet((e.relPath, e.dvPath, fp(e, fromEq))))
+    val newOnly = to.filterNot(e => fromSet((e.relPath, e.dvPath, fp(e, toEq))))
     val cols = schema.fieldNames
-    val o = readEntries(spark, root, schema, oldOnly).as("o")
-    val n = readEntries(spark, root, schema, newOnly).as("n")
+    val o = readEntries(spark, root, schema, oldOnly, fromEq).as("o")
+    val n = readEntries(spark, root, schema, newOnly, toEq).as("n")
     val j = o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
     val changed = cols.map(c => !(col(s"o.$c") <=> col(s"n.$c")))
       .reduce(_ || _)
@@ -3053,7 +3474,9 @@ object GraftTable {
     val op = "__graft_merge_op"
     // the branch's net delta is fixed; main's is re-derived per attempt
     val (bUps, bDel) = snapshotDelta(spark, root, schema, key,
-      baseEntries, headEntries)
+      baseEntries, headEntries,
+      pendingEqDels(spark, root, base),
+      if (bv == 0) pendingEqDels(spark, root, base) else Seq.empty)
     val batch = bUps.withColumn(op, lit("replace"))
       .unionByName(bDel.select(cols.map(c =>
         (if (c == key) col(key) else lit(null).cast(schema(c).dataType))
@@ -3073,7 +3496,9 @@ object GraftTable {
             s"base $base — recreate the branch from the current head")
         // main's own post-base changes: the conflict set
         val (mUps, mDel) = snapshotDelta(spark, root, schema, key,
-          baseEntries, loadManifest(spark, root, mainV))
+          baseEntries, loadManifest(spark, root, mainV),
+          pendingEqDels(spark, root, base),
+          pendingEqDels(spark, root, mainV))
         val mainKeys = mUps.select(col(key).cast("long").as("__k"))
           .unionByName(mDel.select(col(key).cast("long").as("__k")))
           .distinct()
@@ -3174,12 +3599,21 @@ object GraftTable {
     // them: a retained manifest's (relPath, dvPath) pairs both pin
     def refs(e: FileEntry): Seq[String] =
       if (e.hasDv) Seq(e.relPath, e.dvPath) else Seq(e.relPath)
-    val stagedLive = listManifestVersions(f, root).filter(_ > latest)
+    val stagedVs = listManifestVersions(f, root).filter(_ > latest)
+    val stagedLive = stagedVs
       .flatMap(v => parseManifest(readFully(f, manifestPath(root, v)))
         .flatMap(refs))
     val live = (((keepFrom to latest) ++ pinned).distinct
       .flatMap(v => loadManifest(spark, root, v).flatMap(refs)) ++
       stagedLive ++ branchLive).toSet
+    // EQDEL KEY DIRECTORIES pin by manifest-header reference exactly
+    // like data files — a retained (or pinned, or staged) version
+    // whose header lists an eqdel keeps that key set readable; a
+    // resolved eqdel's directory outlives its last retaining
+    // manifest and sweeps here
+    val liveEqDirs = ((keepFrom to latest) ++ pinned ++ stagedVs)
+      .distinct.flatMap(v => pendingEqDels(spark, root, v))
+      .map(_.relDir).toSet
     var removed = 0
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
     if (f.exists(dataDir)) {
@@ -3193,10 +3627,18 @@ object GraftTable {
           // a bloom sidecar is live iff its data file is live
           val owner =
             if (rel.endsWith(".bloom")) rel.stripSuffix(".bloom") else rel
-          if (!live(owner)) doomed += st.getPath
+          val inLiveEqDir = liveEqDirs.exists(d => rel.startsWith(d + "/"))
+          if (!live(owner) && !inLiveEqDir) doomed += st.getPath
         }
       }
       doomed.foreach { p => f.delete(p, false); removed += 1 }
+      // dead EQDEL KEY DIRECTORIES go whole (their files just swept
+      // above; the empty dir would otherwise linger forever)
+      f.listStatus(dataDir).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith("eqdel-") &&
+            !liveEqDirs("data/" + st.getPath.getName))
+          f.delete(st.getPath, true)
+      }
     }
     // token-verified ORPHAN SWEEP, run while every manifest is still
     // present: a sidecar at a committed version whose token is NOT the
@@ -3485,7 +3927,7 @@ object GraftTable {
     val schema = tableSchema(spark, root, v)
     val survivors = bloomSurvivors(spark, root, column, value, v).toSet
     val entries = loadManifest(spark, root, v).filter(e => survivors(e.relPath))
-    readEntries(spark, root, schema, entries)
+    readEntries(spark, root, schema, entries, pendingEqDels(spark, root, v))
       .filter(col(column).cast("string") === value)
   }
 
@@ -3547,22 +3989,37 @@ object GraftTable {
     require(fromV < toV, "changes requires fromV < toV")
     val fromEntries = loadManifest(spark, root, fromV)
     val toEntries = loadManifest(spark, root, toV)
-    // diff identity is (file, deletion vector): a file carried with
-    // the SAME DV is bit-identical content on both sides and
-    // contributes nothing; a file whose DV changed re-enters the diff
-    // on both sides and its newly-masked rows surface as deletes —
-    // merge-on-read DELETEs feed CDF exactly like CoW ones
-    val fromPaths = fromEntries.map(e => (e.relPath, e.dvPath)).toSet
-    val toPaths = toEntries.map(e => (e.relPath, e.dvPath)).toSet
-    val removed = fromEntries.filterNot(e => toPaths((e.relPath, e.dvPath)))
-    val added = toEntries.filterNot(e => fromPaths((e.relPath, e.dvPath)))
+    // diff identity is (file, deletion vector, applying eqdels): a
+    // file carried with the SAME DV and the SAME set of applicable
+    // equality deletes is identical live content on both sides and
+    // contributes nothing; a file whose DV changed — or that a NEW
+    // eqdel started applying to — re-enters the diff on both sides
+    // and its newly-masked rows surface as deletes. An eqdel ingest
+    // therefore feeds CDF its retirements without the ingest itself
+    // ever having read the base (the read happens here, on the
+    // CONSUMER's clock — and only over the files whose mask changed).
+    val fromEq = pendingEqDels(spark, root, fromV)
+    val toEq = pendingEqDels(spark, root, toV)
+    def eqFp(e: FileEntry, eqs: Seq[EqDel]): Set[Int] =
+      eqDelsApplying(e, eqs).map(_.version).toSet
+    val fromPaths = fromEntries
+      .map(e => (e.relPath, e.dvPath, eqFp(e, fromEq))).toSet
+    val toPaths = toEntries
+      .map(e => (e.relPath, e.dvPath, eqFp(e, toEq))).toSet
+    val removed = fromEntries
+      .filterNot(e => toPaths((e.relPath, e.dvPath, eqFp(e, fromEq))))
+    val added = toEntries
+      .filterNot(e => fromPaths((e.relPath, e.dvPath, eqFp(e, toEq))))
     val schema = tableSchema(spark, root, toV)
-    def side(es: Seq[FileEntry]) = readEntries(spark, root, schema, es)
+    // each side masks with ITS version's pending set — the delta is
+    // between the two snapshots' LIVE contents
+    def side(es: Seq[FileEntry], eqs: Seq[EqDel]) =
+      readEntries(spark, root, schema, es, eqs)
     val cols = schema.fieldNames.toSeq
     def rowHash(alias: String) = md5(concat_ws("\u0001",
       cols.map(c => coalesce(col(s"$alias.$c").cast("string"), lit("\u0000"))): _*))
-    val o = side(removed).as("o")
-    val n = side(added).as("n")
+    val o = side(removed, fromEq).as("o")
+    val n = side(added, toEq).as("n")
     val joined = o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
       .withColumn("_kind",
         when(col(s"o.$key").isNull, "insert")
@@ -3788,7 +4245,7 @@ object GraftTable {
     val schema = tableSchema(spark, root, v)
     val keep = survivors2D(spark, root, c1, lo1, hi1, c2, lo2, hi2, v).toSet
     val entries = loadManifest(spark, root, v).filter(e => keep(e.relPath))
-    readEntries(spark, root, schema, entries)
+    readEntries(spark, root, schema, entries, pendingEqDels(spark, root, v))
       .filter(col(c1).cast("long").between(lo1, hi1) &&
         col(c2).cast("long").between(lo2, hi2))
   }
