@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.Observation
 import graft.{GraftQuery, Tables}
-import graft.sources.GraftTable
+import graft.sources.{GraftMv, GraftTable, MvAgg}
 
 /** Table-maintenance operators: the jobs a lakehouse runs BETWEEN
   * queries to keep 100 TB readable — small-file compaction planning
@@ -3629,6 +3629,278 @@ object MaintenanceQueries {
            |  true AS ok
            |FROM ev JOIN dim ON ev.ts = dim.dts""".stripMargin))
 
+  /** EQUALITY-DELETE INGEST (round 15): the APPEND-ONLY upsert —
+    * [[GraftTable.appendUpsert]] / the sink's `mode=eqdel` — lands
+    * each CDC batch as fresh files plus a key list in the manifest
+    * header, with ZERO base files read or rewritten (merge-on-read
+    * taken past DVs: even the position lookup is deferred). `ok`
+    * pins, by manifest arithmetic: every pre-existing file still
+    * live AND un-DV'd after 3 streamed replace batches + 1 delete
+    * batch (the eqdel ingest writes no position sidecars at all);
+    * pending eqdels recorded; a replayed batch a no-op; then
+    * [[GraftTable.resolveEqDels]] (keys → position DVs, one pruned
+    * pass) and [[GraftTable.absorbDvs]] close the debt ladder with
+    * logical content byte-identical at each step. At 100 TB this is
+    * the write-amplification floor for minute-trigger CDC: 1,440
+    * O(batch) commits a day and ONE deferred position resolve. */
+  val q322EqdelIngest = GraftQuery(
+    "q322_eqdel_ingest",
+    (s, dir) => {
+      val base = newTempDir("graft_eqdel_ingest")
+      val root = base + "/t"
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, root, orders, "k", nBuckets = 8)
+      def rels(v: Int): Set[String] =
+        GraftTable.snapshotFileLedger(s, root, v).map(_._1).toSet
+      def chk(): (Long, Long) = {
+        val r = GraftTable.read(s, root)
+          .agg(count(lit(1)),
+            sum(conv(substring(md5(concat_ws("|", col("k").cast("string"),
+              col("prio"), col("cents").cast("string"))), 1, 8), 16, 10)
+              .cast("long"))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val files0 = rels(0)
+      // 3 streamed replace batches through the SINK path
+      (1 to 3).foreach { b =>
+        val batch = orders.filter(col("k") % 500 === b)
+          .withColumn("prio", lit(s"u$b"))
+          .withColumn("cents", lit(-b.toLong))
+        GraftTable.ingestBatch(s, root, batch, "k", batchId = b.toLong,
+          queryId = "q322", mode = "eqdel")
+      }
+      // one delete batch through the API (opCol shape)
+      GraftTable.appendUpsert(s, root,
+        orders.filter(col("k") % 500 === 4)
+          .withColumn("_op", lit("delete")), "k", opCol = Some("_op"))
+      val v4 = GraftTable.latestVersion(s, root)
+      // the heart of the gate: every base file carried VERBATIM and
+      // NOT EVEN A DV written — the ingest never located positions
+      val zeroTouch = files0.subsetOf(rels(v4)) &&
+        !GraftTable.hasDeletionVectors(s, root, v4) &&
+        GraftTable.hasLiveEqDels(s, root, v4)
+      // replayed sink batch: marker no-op in eqdel mode too
+      GraftTable.ingestBatch(s, root,
+        orders.filter(col("k") % 500 === 2)
+          .withColumn("prio", lit("ghost")), "k", batchId = 2L,
+        queryId = "q322", mode = "eqdel")
+      val replayNoop = GraftTable.latestVersion(s, root) == v4
+      val c0 = chk()
+      val (_, touched, resolved) = GraftTable.resolveEqDels(s, root, "k")
+      val c1 = chk()
+      GraftTable.absorbDvs(s, root, "k")
+      val c2 = chk()
+      val vF = GraftTable.latestVersion(s, root)
+      val closed = !GraftTable.hasLiveEqDels(s, root, vF) &&
+        !GraftTable.hasDeletionVectors(s, root, vF)
+      val ok = zeroTouch && replayNoop && touched > 0 && resolved > 0 &&
+        c0 == c1 && c1 == c2 && closed
+      GraftTable.read(s, root)
+        .withColumn("bucket", col("k") % 10)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("cents").as("cents_sum"),
+          sum(conv(substring(md5(concat_ws("|", col("k").cast("string"),
+            col("prio"), col("cents").cast("string"))), 1, 8), 16, 10)
+            .cast("long")).as("row_sum"))
+        .withColumn("ok", lit(ok))
+        .orderBy("bucket")
+    },
+    Some("""WITH o AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |    o_orderpriority AS prio,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM orders),
+           |merged AS (
+           |  SELECT k,
+           |    CASE WHEN k % 500 IN (1, 2, 3)
+           |      THEN 'u' || CAST(k % 500 AS VARCHAR) ELSE prio END AS prio,
+           |    CASE WHEN k % 500 IN (1, 2, 3) THEN -(k % 500)
+           |      ELSE cents END AS cents
+           |  FROM o WHERE k % 500 <> 4)
+           |SELECT k % 10 AS bucket, count(*) AS n_rows,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |    prio || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |    AS BIGINT) AS row_sum,
+           |  true AS ok
+           |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** EQUALITY-DELETE LIFECYCLE (round 15): the consumer-side half of
+    * q322 — TIME TRAVEL reads each version with ITS pending key set
+    * (v0 clean, v1 masked), and CDF ([[GraftTable.changes]]) surfaces
+    * an eqdel commit's retirements as ordinary update/delete events
+    * (diff identity = file × DV × applying eqdels), so a replica
+    * replaying the feed CONVERGES — even though the ingest itself
+    * never read the rows it retired. `ok` pins the travel reads, the
+    * feed's event-kind counts, and main ≡ replica by checksum. */
+  val q323EqdelCdf = GraftQuery(
+    "q323_eqdel_cdf",
+    (s, dir) => {
+      val base = newTempDir("graft_eqdel_cdf")
+      val root = base + "/p"
+      val replica = base + "/r"
+      val part = Tables.part(s, dir).select(
+        col("p_partkey").cast("long").as("k"),
+        col("p_brand").as("brand"),
+        floor(col("p_retailprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, root, part, "k", nBuckets = 4)
+      GraftTable.cloneTable(s, root, replica) // fork the replica at v0
+      val n0 = part.count()
+      // v1: replaces (brand) — an eqdel ingest
+      GraftTable.appendUpsert(s, root,
+        part.filter(col("k") % 97 === 3)
+          .withColumn("brand", lit("EQ-1")), "k")
+      // v2: replaces (cents) + deletes, disjoint key sets
+      GraftTable.appendUpsert(s, root,
+        part.filter(col("k") % 193 === 5 && col("k") % 97 =!= 10)
+          .withColumn("cents", lit(-1L)).withColumn("_op", lit("replace"))
+          .unionByName(part.filter(col("k") % 97 === 10)
+            .withColumn("_op", lit("delete"))),
+        "k", opCol = Some("_op"))
+      // time travel: each version under its own mask
+      val tt0 = GraftTable.read(s, root, Some(0))
+      val tt1 = GraftTable.read(s, root, Some(1))
+      val travelOk =
+        tt0.count() == n0 &&
+        tt0.filter(col("brand") === "EQ-1").count() == 0L &&
+        tt1.count() == n0 &&
+        tt1.filter(col("brand") === "EQ-1").count() > 0L
+      // CDF v0→v2 feeds the replica
+      val feed = GraftTable.changes(s, root, 0, 2, "k")
+      val kinds = feed.groupBy(col("_change")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val feedOk = kinds.getOrElse("delete", 0L) > 0L &&
+        kinds.getOrElse("update", 0L) > 0L &&
+        kinds.getOrElse("insert", 0L) == 0L
+      GraftTable.applyCdcBatch(s, replica,
+        feed.withColumn("_op",
+          when(col("_change") === "delete", "delete")
+            .otherwise("replace")).drop("_change"), "k")
+      def chk(r: String): Seq[org.apache.spark.sql.Row] =
+        GraftTable.read(s, r)
+          .agg(count(lit(1)),
+            sum(conv(substring(md5(concat_ws("|", col("k").cast("string"),
+              col("brand"), col("cents").cast("string"))), 1, 8), 16, 10)
+              .cast("long"))).collect().toSeq
+      val converged = chk(root) == chk(replica)
+      val ok = travelOk && feedOk && converged
+      GraftTable.read(s, root)
+        .withColumn("bucket", col("k") % 8)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("cents").as("cents_sum"),
+          sum(conv(substring(md5(concat_ws("|", col("k").cast("string"),
+            col("brand"), col("cents").cast("string"))), 1, 8), 16, 10)
+            .cast("long")).as("row_sum"))
+        .withColumn("ok", lit(ok))
+        .orderBy("bucket")
+    },
+    Some("""WITH p AS (
+           |  SELECT CAST(p_partkey AS BIGINT) AS k,
+           |    p_brand AS brand,
+           |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM part),
+           |merged AS (
+           |  -- replace is VERBATIM full-row: the v2 batch (built from
+           |  -- the original rows) overrides v1's brand for a key hit
+           |  -- by both — last write wins whole-row, not column-wise
+           |  SELECT k,
+           |    CASE WHEN k % 97 = 3 AND k % 193 <> 5
+           |      THEN 'EQ-1' ELSE brand END AS brand,
+           |    CASE WHEN k % 193 = 5 AND k % 97 <> 10 THEN -1
+           |      ELSE cents END AS cents
+           |  FROM p WHERE k % 97 <> 10)
+           |SELECT k % 8 AS bucket, count(*) AS n_rows,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |    brand || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |    AS BIGINT) AS row_sum,
+           |  true AS ok
+           |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** INCREMENTAL MATERIALIZED VIEWS (round 15): [[GraftMv]] keeps a
+    * GROUP BY fresh by CHANGE-FEED DELTA instead of recompute — the
+    * scale-path replacement for the reference's rebuilt-wholesale
+    * rollup tables (analysis_summary.sql). Two MVs over one source
+    * exercise both refresh planes: count/sum advances by PURE ±
+    * MERGE (the source is never read — cost O(feed) at any source
+    * size), min/max re-aggregates only the DIRTY groups (a deleted
+    * maximum must surface its runner-up — not delta-able, so the
+    * engine reads exactly the groups the feed touched). `ok` pins:
+    * both MVs ≡ the full recompute after upserts + inserts + deletes
+    * (checksum equality), a second refresh is a zero-dirty no-op,
+    * and the MV itself is an ordinary graft table (versioned,
+    * time-travelable). */
+  val q324IncrementalMv = GraftQuery(
+    "q324_incremental_mv",
+    (s, dir) => {
+      val base = newTempDir("graft_mv")
+      val src = base + "/src"
+      // a half-slice keeps the lifecycle gate proportionate: the
+      // refresh cost model (O(feed), O(dirty groups)) is scale-free
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("cust"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+        .filter(col("k") % 2 === 0)
+      GraftTable.create(s, src, orders, "k", nBuckets = 4)
+      GraftMv.create(s, base + "/mv_ds", src, "cust",
+        Seq(MvAgg("count", "", "n_orders"), MvAgg("sum", "cents", "cents_sum")),
+        nBuckets = 4)
+      GraftMv.create(s, base + "/mv_mm", src, "cust",
+        Seq(MvAgg("max", "cents", "max_cents"),
+          MvAgg("min", "cents", "min_cents")), nBuckets = 4)
+      // source moves on: reprice, brand-new orders, deletions
+      GraftTable.upsert(s, src,
+        orders.filter(col("k") % 211 === 7)
+          .withColumn("cents", lit(-50L)), "k")
+      GraftTable.upsert(s, src,
+        orders.filter(col("k") % 307 === 11)
+          .withColumn("k", col("k") + 3000000L), "k")
+      GraftTable.deleteWhere(s, src, col("k") % 173 === 11, "k")
+      val (_, dirtyDs) = GraftMv.refresh(s, base + "/mv_ds", nBuckets = 4)
+      val (_, dirtyMm) = GraftMv.refresh(s, base + "/mv_mm", nBuckets = 4)
+      // convergence itself is the ORACLE's job: the output frame IS
+      // the refreshed MV content, hash-compared against DuckDB's full
+      // GROUP BY over the mutated source — an internal recompute here
+      // would duplicate that check at 4 extra aggregation jobs
+      val noop = GraftMv.refresh(s, base + "/mv_ds")._2 == 0L &&
+        GraftMv.refresh(s, base + "/mv_mm")._2 == 0L
+      val versioned =
+        GraftTable.latestVersion(s, base + "/mv_ds") == 1 // create + 1 delta
+      val ok = dirtyDs > 0 && dirtyMm > 0 && noop && versioned
+      GraftMv.read(s, base + "/mv_ds").as("d")
+        .join(GraftMv.read(s, base + "/mv_mm").as("m"), Seq("cust"))
+        .filter(col("cust") % 10 === 3)
+        .select(col("cust"), col("n_orders"), col("cents_sum"),
+          col("max_cents"), col("min_cents"))
+        .withColumn("ok", lit(ok))
+        .orderBy("cust")
+    },
+    Some("""WITH o AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |    CAST(o_custkey AS BIGINT) AS cust,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM orders WHERE o_orderkey % 2 = 0),
+           |mutated AS (
+           |  SELECT k, cust,
+           |    CASE WHEN k % 211 = 7 THEN -50 ELSE cents END AS cents
+           |  FROM o
+           |  UNION ALL
+           |  SELECT k + 3000000, cust, cents FROM o WHERE k % 307 = 11),
+           |live AS (SELECT * FROM mutated WHERE k % 173 <> 11)
+           |SELECT cust, count(*) AS n_orders,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  CAST(max(cents) AS BIGINT) AS max_cents,
+           |  CAST(min(cents) AS BIGINT) AS min_cents,
+           |  true AS ok
+           |FROM live WHERE cust % 10 = 3
+           |GROUP BY cust ORDER BY cust""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
@@ -3643,5 +3915,6 @@ object MaintenanceQueries {
     q303ColumnRename, q304ColumnDropReadd, q305MultiTablePublish,
     q306ShallowClone, q308SqlCtas, q311DeletionVectors, q314SqlDvDml,
     q315NdvCbo, q316BranchPublish, q317RuntimePrunedJoin, q318BranchMerge,
-    q319SinkMor, q320BranchSqlWrites, q321TransformDpp)
+    q319SinkMor, q320BranchSqlWrites, q321TransformDpp,
+    q322EqdelIngest, q323EqdelCdf, q324IncrementalMv)
 }

@@ -22,6 +22,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *   VACUUM cat.t RETAIN 7 DAYS            -- durable-instant horizon
   *   COMPACT LOG '/topic' [DIRTY RATIO r]  -- broker-log key compaction
   *   ABSORB DELETES cat.t [DIRTY RATIO r]  -- DV-absorption probe
+  *   RESOLVE DELETES cat.t [PENDING RATIO r] -- eqdel→DV resolution
+  *   CREATE MATERIALIZED VIEW cat.mv AS
+  *     SELECT g, count(*) AS n, … FROM cat.t GROUP BY g
+  *   REFRESH MATERIALIZED VIEW cat.mv      -- change-feed delta refresh
   *   CREATE BRANCH w ON cat.t              -- fork at the head
   *   FAST FORWARD cat.t FROM w             -- audited branch publish
   *   MERGE BRANCH w INTO cat.t             -- publish onto an advanced main
@@ -56,6 +60,14 @@ class GraftMaintenanceParser(delegate: ParserInterface)
   private val AbsorbDeletes =
     ("""(?is)\s*ABSORB\s+DELETES\s+([\w.`]+)""" +
       """(?:\s+DIRTY\s+RATIO\s+([0-9.]+))?\s*;?\s*""").r
+  private val ResolveDeletes =
+    ("""(?is)\s*RESOLVE\s+DELETES\s+([\w.`]+)""" +
+      """(?:\s+PENDING\s+RATIO\s+([0-9.]+))?\s*;?\s*""").r
+  private val CreateMv =
+    ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+AS\s+""" +
+      """SELECT\s+(.+?)\s+FROM\s+([\w.`]+)\s+GROUP\s+BY\s+([\w`]+)\s*;?\s*""").r
+  private val RefreshMv =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*""".r
   private val MergeBranch =
     """(?is)\s*MERGE\s+BRANCH\s+([A-Za-z][\w.-]*)\s+INTO\s+([\w.`]+)\s*;?\s*""".r
   private val CreateBranch =
@@ -95,6 +107,15 @@ class GraftMaintenanceParser(delegate: ParserInterface)
         Option(ratio).map(_.toDouble).getOrElse(0.5))
     case AbsorbDeletes(ident, ratio) =>
       GraftAbsorbCommand(parts(ident), Option(ratio).map(_.toDouble))
+    case ResolveDeletes(ident, ratio) =>
+      GraftResolveCommand(parts(ident), Option(ratio).map(_.toDouble))
+    case CreateMv(mvIdent, selectList, srcIdent, group) =>
+      GraftMvCreateCommand(parts(mvIdent), parts(srcIdent),
+        group.stripPrefix("`").stripSuffix("`"),
+        GraftMaintenance.parseMvSelect(selectList,
+          group.stripPrefix("`").stripSuffix("`")))
+    case RefreshMv(ident) =>
+      GraftMvRefreshCommand(parts(ident))
     case MergeBranch(name, ident) =>
       GraftBranchCommand(parts(ident), name, "merge")
     case CreateBranch(name, ident) =>
@@ -149,6 +170,26 @@ private[sources] object GraftMaintenance {
   def keyOf(spark: SparkSession, root: String, verb: String): String =
     GraftTable.keyColumn(spark, root).getOrElse(throw new IllegalStateException(
       s"$verb: table at $root records no key column"))
+
+  /** Parse the constrained MV select list: the group column plus
+    * `count(*|1) AS a` / `sum|min|max(col) AS a` items — the shapes
+    * [[GraftMv]] maintains incrementally. Anything else refuses with
+    * the supported grammar (an MV that silently dropped an expression
+    * would serve wrong answers forever). */
+  def parseMvSelect(selectList: String, group: String): Seq[MvAgg] = {
+    val CountItem = """(?i)count\s*\(\s*(?:\*|1)\s*\)\s+AS\s+(\w+)""".r
+    val AggItem = """(?i)(sum|min|max)\s*\(\s*`?(\w+)`?\s*\)\s+AS\s+(\w+)""".r
+    val GroupItem = """`?(\w+)`?""".r
+    selectList.split(',').map(_.trim).toSeq.flatMap {
+      case CountItem(alias) => Some(MvAgg("count", "", alias))
+      case AggItem(kind, c, alias) => Some(MvAgg(kind.toLowerCase, c, alias))
+      case GroupItem(g) if g == group => None // the group column itself
+      case other => throw new IllegalArgumentException(
+        s"CREATE MATERIALIZED VIEW: unsupported select item '$other' — " +
+          "supported: the GROUP BY column, count(*) AS a, " +
+          "sum(col) AS a, min(col) AS a, max(col) AS a")
+    }
+  }
 }
 
 /** `OPTIMIZE cat.t [TARGET n ROWS] [ZORDER BY (c1, c2)]` — bin-pack
@@ -240,6 +281,78 @@ case class GraftAbsorbCommand(parts: Seq[String],
       case None =>
         Seq(Row(GraftTable.latestVersion(spark, root).toLong, 0, 0, 0))
     }
+  }
+}
+
+/** `RESOLVE DELETES cat.t [PENDING RATIO r]` — equality-delete
+  * resolution ([[GraftTable.resolveEqDels]]): pending key sets from
+  * append-only upserts convert to position deletion vectors in one
+  * interval-pruned pass (the deferred read the eqdel ingest never
+  * paid). Without a ratio it resolves unconditionally; with
+  * `PENDING RATIO r` it is the scheduled probe
+  * ([[GraftTable.resolveEqDelsIfPending]]) — under-threshold tables
+  * no-op for free. */
+case class GraftResolveCommand(parts: Seq[String],
+    ratio: Option[Double]) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("fired", IntegerType, nullable = false)(),
+    AttributeReference("files_touched", IntegerType, nullable = false)(),
+    AttributeReference("keys_resolved", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftMaintenance.rootOf(spark, parts, "RESOLVE DELETES")
+    val key = GraftMaintenance.keyOf(spark, root, "RESOLVE DELETES")
+    ratio match {
+      case Some(_) =>
+        GraftTable.resolveEqDelsIfPending(spark, root, key, ratio) match {
+          case Some((v, touched, keys)) => Seq(Row(v.toLong, 1, touched, keys))
+          case None => Seq(Row(
+            GraftTable.latestVersion(spark, root).toLong, 0, 0, 0L))
+        }
+      case None =>
+        val (v, touched, keys) = GraftTable.resolveEqDels(spark, root, key)
+        Seq(Row(v.toLong, 1, touched, keys))
+    }
+  }
+}
+
+/** `CREATE MATERIALIZED VIEW cat.mv AS SELECT g, aggs… FROM cat.t
+  * GROUP BY g` — defines + fully builds a [[GraftMv]]. The MV is an
+  * ordinary graft table under the same catalog: `SELECT * FROM
+  * cat.mv` works immediately, with the bookkeeping columns visible
+  * (SQL surfaces the physical table; [[GraftMv.read]] hides them). */
+case class GraftMvCreateCommand(mvParts: Seq[String],
+    srcParts: Seq[String], group: String, aggs: Seq[MvAgg])
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("source_version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mvRoot = GraftMaintenance.rootOf(spark, mvParts,
+      "CREATE MATERIALIZED VIEW")
+    val srcRoot = GraftMaintenance.rootOf(spark, srcParts,
+      "CREATE MATERIALIZED VIEW")
+    Seq(Row(GraftMv.create(spark, mvRoot, srcRoot, group, aggs).toLong))
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW cat.mv` — advance the MV to its
+  * source's head by change-feed delta ([[GraftMv.refresh]]). */
+case class GraftMvRefreshCommand(parts: Seq[String])
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("source_version", LongType, nullable = false)(),
+    AttributeReference("dirty_groups", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftMaintenance.rootOf(spark, parts,
+      "REFRESH MATERIALIZED VIEW")
+    val (v, dirty) = GraftMv.refresh(spark, root)
+    Seq(Row(v.toLong, dirty))
   }
 }
 

@@ -1,0 +1,169 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Incremental materialized-view contracts: a [[GraftMv]] refresh
+  * converges to the full GROUP BY recompute by CHANGE-FEED DELTA
+  * (count/sum: source never read; min/max: dirty groups re-agg), and
+  * the write-ahead cursor makes an interrupted refresh impossible to
+  * double-apply. */
+class GraftMvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_mv_spec").toString
+
+  /** keyed rows: k unique, g = group (k/10), v with NULLs on k%7==3 */
+  private def src(n: Int) = spark.range(1, n + 1).select(
+    $"id".as("k"),
+    ($"id" / 10).cast("long").as("g"),
+    when($"id" % 7 === 3, lit(null).cast("long"))
+      .otherwise($"id" * 3).as("v"))
+
+  private def fullAgg(root: String) =
+    GraftTable.read(spark, root).groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+
+  test("create materializes the full GROUP BY; no-op refresh is free") {
+    val d = freshDir()
+    GraftTable.create(spark, s"$d/src", src(500), "k", nBuckets = 4)
+    GraftMv.create(spark, s"$d/mv", s"$d/src", "g",
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv")))
+    val got = GraftMv.read(spark, s"$d/mv").orderBy("g").collect().toSeq
+    val want = fullAgg(s"$d/src").orderBy("g").collect().toSeq
+    assert(got === want)
+    assert(GraftMv.refresh(spark, s"$d/mv")._2 === 0L)
+  }
+
+  test("delta refresh (count/sum): converges over upserts, deletes, " +
+      "group birth and group death — without reading the source") {
+    val d = freshDir()
+    GraftTable.create(spark, s"$d/src", src(500), "k", nBuckets = 4)
+    GraftMv.create(spark, s"$d/mv", s"$d/src", "g",
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv")))
+    // commit 1: updates in existing groups + a brand-new group 99
+    GraftTable.upsert(spark, s"$d/src",
+      spark.range(1, 21).select($"id".as("k"), lit(5L).as("g"),
+        ($"id" * 1000).as("v"))
+        .unionByName(spark.range(990, 995).select($"id".as("k"),
+          lit(99L).as("g"), lit(7L).as("v"))), "k")
+    // commit 2: kill group 3 entirely (keys 30..39)
+    GraftTable.deleteWhere(spark, s"$d/src",
+      col("k").between(30, 39), "k")
+    val (caughtUp, dirty) = GraftMv.refresh(spark, s"$d/mv")
+    assert(caughtUp === 2 && dirty > 0)
+    val got = GraftMv.read(spark, s"$d/mv").orderBy("g").collect().toSeq
+    val want = fullAgg(s"$d/src").orderBy("g").collect().toSeq
+    assert(got === want)
+    // group death: g=3 must be GONE, not a zero row
+    assert(!got.exists(_.getLong(0) == 3L))
+    assert(got.exists(_.getLong(0) == 99L))
+  }
+
+  test("sum NULL-exactness: a group whose last non-null value leaves " +
+      "returns to SQL NULL, not 0") {
+    val d = freshDir()
+    // group 1 = keys 1..3, all NULL v except key 2
+    val rows = Seq((1L, 1L, null.asInstanceOf[java.lang.Long]),
+      (2L, 1L, java.lang.Long.valueOf(42L)),
+      (3L, 1L, null.asInstanceOf[java.lang.Long]),
+      (10L, 2L, java.lang.Long.valueOf(5L)))
+      .toDF("k", "g", "v")
+    GraftTable.create(spark, s"$d/src", rows, "k", nBuckets = 1)
+    GraftMv.create(spark, s"$d/mv", s"$d/src", "g",
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv")))
+    GraftTable.deleteWhere(spark, s"$d/src", col("k") === 2, "k")
+    GraftMv.refresh(spark, s"$d/mv")
+    val g1 = GraftMv.read(spark, s"$d/mv").filter($"g" === 1)
+      .collect()(0)
+    assert(g1.getLong(1) === 2L) // n
+    assert(g1.isNullAt(2), "sum over zero non-null inputs must be NULL")
+  }
+
+  test("min/max MV: deleted maximum surfaces the runner-up via " +
+      "dirty-group re-aggregation") {
+    val d = freshDir()
+    GraftTable.create(spark, s"$d/src", src(300).filter($"v".isNotNull),
+      "k", nBuckets = 2)
+    GraftMv.create(spark, s"$d/mv", s"$d/src", "g",
+      Seq(MvAgg("max", "v", "mx"), MvAgg("min", "v", "mn"),
+        MvAgg("sum", "v", "sv")))
+    // delete each group-20 row holding the current max (k=209 → v=627)
+    GraftTable.deleteWhere(spark, s"$d/src", col("k") === 209, "k")
+    // and bump a value far above any existing max in group 10
+    GraftTable.upsert(spark, s"$d/src",
+      Seq((105L, 10L, 1000000L)).toDF("k", "g", "v"), "k")
+    GraftMv.refresh(spark, s"$d/mv")
+    val got = GraftMv.read(spark, s"$d/mv").orderBy("g").collect().toSeq
+    val want = GraftTable.read(spark, s"$d/src").groupBy("g")
+      .agg(max("v").as("mx"), min("v").as("mn"), sum("v").as("sv"))
+      .orderBy("g").collect().toSeq
+    assert(got === want)
+  }
+
+  test("crash-safety: an intent whose apply COMMITTED is finalized, " +
+      "never re-applied; one that didn't is redone") {
+    val d = freshDir()
+    GraftTable.create(spark, s"$d/src", src(200), "k", nBuckets = 2)
+    GraftMv.create(spark, s"$d/mv", s"$d/src", "g",
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv")))
+    GraftTable.upsert(spark, s"$d/src",
+      Seq((5L, 0L, 777L)).toDF("k", "g", "v"), "k")
+    val want = fullAgg(s"$d/src").orderBy("g").collect().toSeq
+    val defFile = new java.io.File(s"$d/mv/_log/mv.def")
+    // Hadoop's local FS keeps a checksum sidecar; a direct rewrite of
+    // the def file must drop it or reads fail on CRC mismatch
+    def dropCrc(): Unit =
+      new java.io.File(s"$d/mv/_log/.mv.def.crc").delete(): Unit
+    def rewrite(f: String => String): Unit = {
+      val sc = scala.io.Source.fromFile(defFile)
+      val txt = try sc.mkString finally sc.close()
+      java.nio.file.Files.writeString(defFile.toPath, f(txt))
+      dropCrc()
+    }
+    // CASE 1: crash BEFORE the apply commit — the intent is planted
+    // (expecting MV v1) but the window never landed; recovery drops
+    // the intent and redoes the window exactly once
+    val mvHead = GraftTable.latestVersion(spark, s"$d/mv")
+    rewrite(txt => txt + s"pending\t0\t1\t${mvHead + 1}\n")
+    val (v1, dirty1) = GraftMv.refresh(spark, s"$d/mv")
+    assert(v1 === 1 && dirty1 > 0L, "uncommitted window must redo")
+    assert(GraftMv.read(spark, s"$d/mv").orderBy("g").collect().toSeq
+      === want)
+    // CASE 2: crash AFTER the apply commit, BEFORE cursor finalize —
+    // rewind lastv and plant an intent expecting the version that IS
+    // now the head: recovery must finalize WITHOUT re-applying (a
+    // redo would double-count the delta)
+    val applied = GraftTable.latestVersion(spark, s"$d/mv")
+    rewrite(txt => txt.replaceAll("(?m)^lastv\t1$", "lastv\t0") +
+      s"pending\t0\t1\t$applied\n")
+    val (v2, dirty2) = GraftMv.refresh(spark, s"$d/mv")
+    assert(v2 === 1 && dirty2 === 0L, "committed window must not redo")
+    assert(GraftMv.read(spark, s"$d/mv").orderBy("g").collect().toSeq
+      === want)
+  }
+
+  test("multiple refreshes across many source commits stay exact") {
+    val d = freshDir()
+    GraftTable.create(spark, s"$d/src", src(400), "k", nBuckets = 4)
+    GraftMv.create(spark, s"$d/mv", s"$d/src", "g",
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv")))
+    (1 to 4).foreach { i =>
+      GraftTable.upsert(spark, s"$d/src",
+        spark.range(i * 50, i * 50 + 10).select($"id".as("k"),
+          ($"id" / 10).cast("long").as("g"),
+          lit(i.toLong * 11).as("v")), "k")
+      if (i % 2 == 0) {
+        GraftMv.refresh(spark, s"$d/mv")
+        assert(GraftMv.read(spark, s"$d/mv").orderBy("g").collect().toSeq
+          === fullAgg(s"$d/src").orderBy("g").collect().toSeq,
+          s"diverged after refresh $i")
+      }
+    }
+    GraftMv.refresh(spark, s"$d/mv")
+    assert(GraftMv.read(spark, s"$d/mv").orderBy("g").collect().toSeq
+      === fullAgg(s"$d/src").orderBy("g").collect().toSeq)
+  }
+}

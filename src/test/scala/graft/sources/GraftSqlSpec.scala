@@ -1006,6 +1006,63 @@ class GraftSqlSpec extends SparkSpec {
     assert(head === Seq("merge-me", "main-side"))
   }
 
+  test("RESOLVE DELETES SQL verb: pending eqdel keys convert to DVs; " +
+    "the PENDING RATIO form is a free probe below threshold") {
+    val base = freshBase()
+    mk(base + "/rq", n = 1000, buckets = 4)
+    spark.conf.set("spark.sql.catalog.grq", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grq.base", base)
+    GraftTable.appendUpsert(spark, base + "/rq",
+      spark.range(1, 6).select($"id".as("k"), lit("eq").as("name"),
+        lit(0L).as("v")), "k")
+    // 5 / 1000 = 0.5% < 2% default: the probe no-ops
+    val r0 = spark.sql("RESOLVE DELETES grq.rq PENDING RATIO 0.02")
+      .collect()(0)
+    assert(r0.getInt(1) === 0)
+    assert(GraftTable.hasLiveEqDels(spark, base + "/rq", 1))
+    // unconditional form resolves
+    val r1 = spark.sql("RESOLVE DELETES grq.rq").collect()(0)
+    assert(r1.getInt(1) === 1 && r1.getLong(3) === 5L)
+    assert(!GraftTable.hasLiveEqDels(spark, base + "/rq",
+      r1.getLong(0).toInt))
+    assert(spark.sql("SELECT count(*) FROM grq.rq").as[Long].head() === 1000)
+    assert(spark.sql("SELECT name FROM grq.rq WHERE k = 3").as[String]
+      .head() === "eq")
+  }
+
+  test("CREATE/REFRESH MATERIALIZED VIEW SQL verbs: the MV is a " +
+    "queryable catalog table that a refresh advances by delta") {
+    val base = freshBase()
+    GraftTable.create(spark, base + "/msrc",
+      spark.range(1, 501).select($"id".as("k"),
+        ($"id" % 20).as("g"), ($"id" * 3).as("v")),
+      "k", nBuckets = 4)
+    spark.conf.set("spark.sql.catalog.gmv", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmv.base", base)
+    val created = spark.sql("CREATE MATERIALIZED VIEW gmv.mv AS " +
+      "SELECT g, count(*) AS n, sum(v) AS sv FROM gmv.msrc GROUP BY g")
+      .collect()(0)
+    assert(created.getLong(0) === 0L)
+    // the MV is an ordinary catalog table immediately
+    assert(spark.sql("SELECT count(*) FROM gmv.mv").as[Long].head() === 20L)
+    val sv7 = spark.sql("SELECT sv FROM gmv.mv WHERE g = 7").as[Long].head()
+    assert(sv7 === (1 to 500).filter(_ % 20 == 7).map(_ * 3L).sum)
+    // source advances; refresh catches up by delta (range predicate:
+    // modulo filters don't translate to DSv2 DELETE source filters)
+    spark.sql("DELETE FROM gmv.msrc WHERE k >= 7 AND k <= 10")
+    val r = spark.sql("REFRESH MATERIALIZED VIEW gmv.mv").collect()(0)
+    assert(r.getLong(1) === 4L) // groups 7, 8, 9, 10 dirty
+    val sv7b = spark.sql("SELECT sv FROM gmv.mv WHERE g = 7").as[Long].head()
+    assert(sv7b === (1 to 500).filter(i => i % 20 == 7 && i != 7)
+      .map(_ * 3L).sum)
+    // unsupported select item refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("CREATE MATERIALIZED VIEW gmv.mv2 AS " +
+        "SELECT g, avg(v) AS a FROM gmv.msrc GROUP BY g")
+    }
+    assert(e.getMessage.contains("unsupported select item"))
+  }
+
   test("ABSORB DELETES SQL verb: under-ratio no-ops for free; past " +
     "the ratio only DV'd files rewrite and the table returns to zero " +
     "deletion vectors") {
