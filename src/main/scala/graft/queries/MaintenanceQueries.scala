@@ -3901,6 +3901,223 @@ object MaintenanceQueries {
            |FROM live WHERE cust % 10 = 3
            |GROUP BY cust ORDER BY cust""".stripMargin))
 
+  /** STORAGE-PARTITIONED JOIN over HASH-LAYOUT tables (round 15): the
+    * orders and lineitem slices land as co-bucketed graft tables
+    * (`hashLayout = true`, 8 buckets on the order key — mono-bucket
+    * files, `_log/layout.json`), the DSv2 scans report
+    * `KeyGroupedPartitioning(bucket(8, k))` resolved through the
+    * catalog's V2 `bucket` function, and the fact⋈fact join executes
+    * with ZERO exchanges under either side (pinned by walking the
+    * SortMergeJoin's subtree for ShuffleExchange nodes). This is the
+    * join shape broadcast can't save — two big keyed tables — and at
+    * 100 TB the layout turns every such join from "exchange both
+    * sides across the cluster" into "zip co-located buckets". The
+    * aggregate above the join hash-compares against DuckDB's plain
+    * relational join, proving the zero-shuffle plan changes nothing
+    * but the wire bytes. */
+  val q325SpjJoin = GraftQuery(
+    "q325_spj_join",
+    (s, dir) => {
+      val base = newTempDir("graft_spj")
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey").cast("long").as("k"),
+        col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+          .as("ext_cents"))
+      GraftTable.create(s, base + "/ord", ord, "k", nBuckets = 8,
+        hashLayout = true)
+      GraftTable.create(s, base + "/li", li, "k", nBuckets = 8,
+        hashLayout = true)
+      s.conf.set("spark.sql.catalog.gspjq", classOf[graft.sources
+        .GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gspjq.base", base)
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false")
+      val old = confs.map { case (kk, _) => kk -> s.conf.getOption(kk) }
+      try {
+        confs.foreach { case (kk, vv) => s.conf.set(kk, vv) }
+        val j = s.sql(
+          "SELECT o.prio, count(*) AS n_items, sum(l.qty) AS qty_sum, " +
+            "sum(l.ext_cents) AS ext_sum, sum(o.cents) AS ord_sum " +
+            "FROM gspjq.ord o JOIN gspjq.li l ON o.k = l.k " +
+            "GROUP BY o.prio ORDER BY o.prio")
+        val rows = j.collect().toSeq
+        val plan = j.queryExecution.executedPlan
+        // the pin: the join subtree holds NO shuffle — both inputs
+        // arrive key-grouped straight from storage
+        val smjs = plan.collect {
+          case jn: org.apache.spark.sql.execution.joins.SortMergeJoinExec => jn
+        }
+        val ok = smjs.nonEmpty && smjs.forall(_.collect {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => e
+        }.isEmpty)
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, org.apache.spark.sql.types
+          .StructType(Seq(
+            org.apache.spark.sql.types.StructField("prio",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_items",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("qty_sum",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ext_sum",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ord_sum",
+              org.apache.spark.sql.types.LongType))))
+          .withColumn("ok", lit(ok))
+      } finally old.foreach {
+        case (kk, Some(vv)) => s.conf.set(kk, vv)
+        case (kk, None) => s.conf.unset(kk)
+      }
+    },
+    Some("""WITH o AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |    o_orderpriority AS prio,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM orders),
+           |l AS (
+           |  SELECT CAST(l_orderkey AS BIGINT) AS k,
+           |    CAST(l_quantity AS BIGINT) AS qty,
+           |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           |      AS ext_cents
+           |  FROM lineitem)
+           |SELECT prio, count(*) AS n_items,
+           |  CAST(sum(qty) AS BIGINT) AS qty_sum,
+           |  CAST(sum(ext_cents) AS BIGINT) AS ext_sum,
+           |  CAST(sum(cents) AS BIGINT) AS ord_sum, true AS ok
+           |FROM o JOIN l ON o.k = l.k
+           |GROUP BY prio ORDER BY prio""".stripMargin))
+
+  /** HASH-LAYOUT POINT LOOKUP (round 15): under hash layout, per-file
+    * key intervals go domain-wide (the documented range-pruning
+    * trade), but an equality predicate maps to its ONE bucket
+    * driver-side — `k = x` on a 16-bucket table opens ~1/16 of the
+    * files, pinned here by [[GraftTable.prunedFileCountKeys]] against
+    * the full ledger, alongside a 3-key IN set (≤ 3 buckets). The
+    * looked-up rows themselves hash-compare against DuckDB. At 100 TB
+    * this is the primary-key-read story a CDC consumer or serving
+    * layer lives by when the table is laid out for joins instead of
+    * ranges. */
+  val q326BucketPointLookup = GraftQuery(
+    "q326_bucket_point_lookup",
+    (s, dir) => {
+      val base = newTempDir("graft_bucket_point")
+      val root = base + "/cust"
+      val cust = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_name").as("name"),
+        col("c_nationkey").cast("long").as("nation"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, root, cust, "k", nBuckets = 16,
+        hashLayout = true)
+      val nAll = GraftTable.snapshotFileLedger(s, root, 0).size
+      val one = GraftTable.prunedFileCountKeys(s, root, Seq(777L))
+      val three = GraftTable.prunedFileCountKeys(s, root,
+        Seq(777L, 1500L, 42L))
+      // one key → one bucket's files; three keys → at most three
+      // buckets' — both a small fraction of the ledger
+      val ok = nAll >= 16 && one <= math.max(1, nAll / 8) &&
+        three <= math.max(3, 3 * nAll / 16) && one <= three
+      s.conf.set("spark.sql.catalog.gbpq", classOf[graft.sources
+        .GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gbpq.base", base)
+      s.sql("SELECT k, name, nation, cents FROM gbpq.cust " +
+          "WHERE k IN (42, 777, 1500) ORDER BY k")
+        .withColumn("ok", lit(ok))
+    },
+    Some("""SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+           |  CAST(c_nationkey AS BIGINT) AS nation,
+           |  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+           |  true AS ok
+           |FROM customer WHERE c_custkey IN (42, 777, 1500)
+           |ORDER BY k""".stripMargin))
+
+  /** FILTERED + AVG MATERIALIZED VIEW (round 15): the MV aggregates a
+    * PREDICATE's row subset (`WHERE cents >= 2000000`) and serves an
+    * exact delta-maintained `avg` — stored as a hidden (sum, non-null
+    * count) pair, quotient computed at read so no float drift ever
+    * accumulates across refreshes. The source then moves rows ACROSS
+    * the predicate boundary in both directions (reprices up into the
+    * relation, down out of it), deletes, and inserts; one change-feed
+    * refresh must converge to DuckDB's full recompute of the filtered
+    * GROUP BY. The predicate commutes with the feed's retraction form
+    * (each feed row carries full values), so the refresh stays O(feed
+    * + dirty groups) — the 100 TB shape: a filtered daily rollup
+    * refreshes from the day's feed, never the decade's scan. */
+  val q327FilteredAvgMv = GraftQuery(
+    "q327_filtered_avg_mv",
+    (s, dir) => {
+      val base = newTempDir("graft_mv_filtered")
+      val src = base + "/src"
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("cust"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, src, orders, "k", nBuckets = 4)
+      s.conf.set("spark.sql.catalog.gmvf", classOf[graft.sources
+        .GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gmvf.base", base)
+      s.sql("CREATE MATERIALIZED VIEW gmvf.mv AS " +
+        "SELECT cust, count(*) AS n_big, avg(cents) AS avg_cents, " +
+        "sum(cents) AS cents_sum FROM gmvf.src " +
+        "WHERE cents >= 20000000 GROUP BY cust")
+      // cross the boundary both ways + delete + insert
+      GraftTable.upsert(s, src,
+        orders.filter(col("k") % 97 === 5)
+          .withColumn("cents", lit(25000000L)), "k")
+      GraftTable.upsert(s, src,
+        orders.filter(col("k") % 89 === 7)
+          .withColumn("cents", lit(100L)), "k")
+      GraftTable.deleteWhere(s, src, col("k") % 131 === 11, "k")
+      GraftTable.upsert(s, src,
+        orders.filter(col("k") % 151 === 13)
+          .withColumn("k", col("k") + 9000000L)
+          .withColumn("cents", lit(30000000L)), "k")
+      val dirty = s.sql("REFRESH MATERIALIZED VIEW gmvf.mv")
+        .collect()(0).getLong(1)
+      val noop = s.sql("REFRESH MATERIALIZED VIEW gmvf.mv")
+        .collect()(0).getLong(1) == 0L
+      val ok = dirty > 0 && noop
+      GraftMv.read(s, base + "/mv")
+        .filter(col("cust") % 5 === 2)
+        .select(col("cust"), col("n_big"),
+          round(col("avg_cents"), 4).as("avg_cents"), col("cents_sum"))
+        .withColumn("ok", lit(ok))
+        .orderBy("cust")
+    },
+    Some("""WITH o AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |    CAST(o_custkey AS BIGINT) AS cust,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM orders),
+           |-- upserts apply in order: the 89-reprice lands LAST, so a
+           |-- key hit by both takes 100 (its CASE branch leads); the
+           |-- delete ran BEFORE the +9000000 inserts, so it filters
+           |-- only original keys
+           |mut AS (
+           |  SELECT k, cust,
+           |    CASE WHEN k % 89 = 7 THEN 100
+           |         WHEN k % 97 = 5 THEN 25000000 ELSE cents END AS cents
+           |  FROM o WHERE k % 131 <> 11),
+           |live AS (
+           |  SELECT * FROM mut
+           |  UNION ALL
+           |  SELECT k + 9000000, cust, 30000000 FROM o WHERE k % 151 = 13),
+           |big AS (SELECT * FROM live WHERE cents >= 20000000)
+           |SELECT cust, count(*) AS n_big,
+           |  round(avg(cents), 4) AS avg_cents,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum, true AS ok
+           |FROM big WHERE cust % 5 = 2
+           |GROUP BY cust ORDER BY cust""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
@@ -3916,5 +4133,6 @@ object MaintenanceQueries {
     q306ShallowClone, q308SqlCtas, q311DeletionVectors, q314SqlDvDml,
     q315NdvCbo, q316BranchPublish, q317RuntimePrunedJoin, q318BranchMerge,
     q319SinkMor, q320BranchSqlWrites, q321TransformDpp,
-    q322EqdelIngest, q323EqdelCdf, q324IncrementalMv)
+    q322EqdelIngest, q323EqdelCdf, q324IncrementalMv, q325SpjJoin,
+    q326BucketPointLookup, q327FilteredAvgMv)
 }

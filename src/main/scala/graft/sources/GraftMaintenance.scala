@@ -65,7 +65,8 @@ class GraftMaintenanceParser(delegate: ParserInterface)
       """(?:\s+PENDING\s+RATIO\s+([0-9.]+))?\s*;?\s*""").r
   private val CreateMv =
     ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+AS\s+""" +
-      """SELECT\s+(.+?)\s+FROM\s+([\w.`]+)\s+GROUP\s+BY\s+([\w`]+)\s*;?\s*""").r
+      """SELECT\s+(.+?)\s+FROM\s+([\w.`]+)""" +
+      """(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+([\w`]+)\s*;?\s*""").r
   private val RefreshMv =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*""".r
   private val MergeBranch =
@@ -109,11 +110,12 @@ class GraftMaintenanceParser(delegate: ParserInterface)
       GraftAbsorbCommand(parts(ident), Option(ratio).map(_.toDouble))
     case ResolveDeletes(ident, ratio) =>
       GraftResolveCommand(parts(ident), Option(ratio).map(_.toDouble))
-    case CreateMv(mvIdent, selectList, srcIdent, group) =>
+    case CreateMv(mvIdent, selectList, srcIdent, where, group) =>
       GraftMvCreateCommand(parts(mvIdent), parts(srcIdent),
         group.stripPrefix("`").stripSuffix("`"),
         GraftMaintenance.parseMvSelect(selectList,
-          group.stripPrefix("`").stripSuffix("`")))
+          group.stripPrefix("`").stripSuffix("`")),
+        Option(where).map(_.trim))
     case RefreshMv(ident) =>
       GraftMvRefreshCommand(parts(ident))
     case MergeBranch(name, ident) =>
@@ -178,7 +180,8 @@ private[sources] object GraftMaintenance {
     * would serve wrong answers forever). */
   def parseMvSelect(selectList: String, group: String): Seq[MvAgg] = {
     val CountItem = """(?i)count\s*\(\s*(?:\*|1)\s*\)\s+AS\s+(\w+)""".r
-    val AggItem = """(?i)(sum|min|max)\s*\(\s*`?(\w+)`?\s*\)\s+AS\s+(\w+)""".r
+    val AggItem =
+      """(?i)(sum|min|max|avg)\s*\(\s*`?(\w+)`?\s*\)\s+AS\s+(\w+)""".r
     val GroupItem = """`?(\w+)`?""".r
     selectList.split(',').map(_.trim).toSeq.flatMap {
       case CountItem(alias) => Some(MvAgg("count", "", alias))
@@ -187,7 +190,7 @@ private[sources] object GraftMaintenance {
       case other => throw new IllegalArgumentException(
         s"CREATE MATERIALIZED VIEW: unsupported select item '$other' — " +
           "supported: the GROUP BY column, count(*) AS a, " +
-          "sum(col) AS a, min(col) AS a, max(col) AS a")
+          "sum(col) AS a, min(col) AS a, max(col) AS a, avg(col) AS a")
     }
   }
 }
@@ -324,7 +327,8 @@ case class GraftResolveCommand(parts: Seq[String],
   * cat.mv` works immediately, with the bookkeeping columns visible
   * (SQL surfaces the physical table; [[GraftMv.read]] hides them). */
 case class GraftMvCreateCommand(mvParts: Seq[String],
-    srcParts: Seq[String], group: String, aggs: Seq[MvAgg])
+    srcParts: Seq[String], group: String, aggs: Seq[MvAgg],
+    filter: Option[String] = None)
   extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Seq(
@@ -335,7 +339,8 @@ case class GraftMvCreateCommand(mvParts: Seq[String],
       "CREATE MATERIALIZED VIEW")
     val srcRoot = GraftMaintenance.rootOf(spark, srcParts,
       "CREATE MATERIALIZED VIEW")
-    Seq(Row(GraftMv.create(spark, mvRoot, srcRoot, group, aggs).toLong))
+    Seq(Row(GraftMv.create(spark, mvRoot, srcRoot, group, aggs,
+      filter = filter).toLong))
   }
 }
 

@@ -4,15 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One aggregate column of a materialized view: `kind` ∈
-  * count | sum | min | max (`col` ignored for count). Values are
-  * maintained as longs — the engine-wide cents/epoch idiom, exact
+  * count | sum | min | max | avg (`col` ignored for count). Values
+  * are maintained as longs — the engine-wide cents/epoch idiom, exact
   * under delta arithmetic (no float drift across refreshes). `avg`
-  * is deliberately absent: it is `sum/count` at read time, and
-  * materializing a quotient would turn an exact delta into a lossy
-  * one. */
+  * never materializes the quotient (that would turn an exact delta
+  * into a lossy one): the MV stores a hidden exact (sum, non-null
+  * count) pair and [[GraftMv.read]] serves `sum / count` — a
+  * delta-maintained avg with zero drift. */
 final case class MvAgg(kind: String, col: String, alias: String) {
-  require(Set("count", "sum", "min", "max")(kind),
-    s"MvAgg kind must be count|sum|min|max, got '$kind'")
+  require(Set("count", "sum", "min", "max", "avg")(kind),
+    s"MvAgg kind must be count|sum|min|max|avg, got '$kind'")
 }
 
 /** INCREMENTAL MATERIALIZED VIEWS over a graft table — the engine's
@@ -52,13 +53,15 @@ object GraftMv {
 
   private final case class MvDef(source: String, sourceKey: String,
       group: String, aggs: Seq[MvAgg], lastV: Int,
-      pending: Option[(Int, Int, Int)]) // (from, to, expectedMvVersion)
+      pending: Option[(Int, Int, Int)], // (from, to, expectedMvVersion)
+      filter: Option[String] = None) // row predicate (SQL expression)
 
   private def render(d: MvDef): String = {
     val b = new StringBuilder
     b ++= s"source\t${d.source}\n"
     b ++= s"sourceKey\t${d.sourceKey}\n"
     b ++= s"group\t${d.group}\n"
+    d.filter.foreach(f => b ++= s"filter\t$f\n")
     d.aggs.foreach(a => b ++= s"agg\t${a.kind}\t${a.col}\t${a.alias}\n")
     b ++= s"lastv\t${d.lastV}\n"
     d.pending.foreach { case (f, t, e) => b ++= s"pending\t$f\t$t\t$e\n" }
@@ -88,11 +91,13 @@ object GraftMv {
     var source = ""; var sourceKey = ""; var group = ""
     val aggs = Seq.newBuilder[MvAgg]
     var lastV = -1; var pending: Option[(Int, Int, Int)] = None
+    var filt: Option[String] = None
     text.linesIterator.filter(_.nonEmpty).foreach { l =>
       l.split('\t') match {
         case Array("source", v) => source = v
         case Array("sourceKey", v) => sourceKey = v
         case Array("group", v) => group = v
+        case Array("filter", v) => filt = Some(v)
         case Array("agg", k, c, a) => aggs += MvAgg(k, c, a)
         case Array("lastv", v) => lastV = v.toInt
         case Array("pending", f0, t, e) =>
@@ -100,57 +105,92 @@ object GraftMv {
         case _ => () // forward compatibility
       }
     }
-    MvDef(source, sourceKey, group, aggs.result(), lastV, pending)
+    MvDef(source, sourceKey, group, aggs.result(), lastV, pending, filt)
   }
 
   private val HiddenN = "__mv_n"
   private def nnOf(alias: String) = s"__mv_nn_$alias"
+  private def sOf(alias: String) = s"__mv_s_$alias"
+
+  /** The STORED user-visible aggregate aliases — avg stores only its
+    * hidden (sum, count) pair and is computed at [[read]] time. */
+  private def visibleStored(aggs: Seq[MvAgg]): Seq[String] =
+    aggs.filterNot(_.kind == "avg").map(_.alias)
 
   /** Full-aggregation columns: the user's aggregates, plus a NON-NULL
     * count per sum column (SQL sum of zero non-null inputs is NULL —
     * a pure ± delta can't know when the last non-null contribution
-    * left, so the MV carries the count), plus the live-row count. */
+    * left, so the MV carries the count), plus avg's exact hidden
+    * (sum, non-null count) pair, plus the live-row count. */
   private def aggCols(aggs: Seq[MvAgg]): Seq[org.apache.spark.sql.Column] =
-    (aggs.map {
-      case MvAgg("count", _, alias) => count(lit(1)).as(alias)
-      case MvAgg("sum", c, alias) => sum(col(c).cast("long")).as(alias)
-      case MvAgg("min", c, alias) => min(col(c).cast("long")).as(alias)
-      case MvAgg("max", c, alias) => max(col(c).cast("long")).as(alias)
+    (aggs.flatMap {
+      case MvAgg("count", _, alias) => Seq(count(lit(1)).as(alias))
+      case MvAgg("sum", c, alias) => Seq(sum(col(c).cast("long")).as(alias))
+      case MvAgg("min", c, alias) => Seq(min(col(c).cast("long")).as(alias))
+      case MvAgg("max", c, alias) => Seq(max(col(c).cast("long")).as(alias))
+      case MvAgg("avg", _, _) => Seq.empty // hidden pair below
       case a => sys.error(s"unreachable: $a")
-    }) ++ aggs.collect {
-      case MvAgg("sum", c, alias) => count(col(c)).as(nnOf(alias))
+    }) ++ aggs.flatMap {
+      case MvAgg("sum", c, alias) => Seq(count(col(c)).as(nnOf(alias)))
+      case MvAgg("avg", c, alias) => Seq(
+        sum(col(c).cast("long")).as(sOf(alias)),
+        count(col(c)).as(nnOf(alias)))
+      case _ => Seq.empty
     } :+ count(lit(1)).as(HiddenN)
 
   private def hiddenCols(aggs: Seq[MvAgg]): Seq[String] =
-    aggs.collect { case MvAgg("sum", _, alias) => nnOf(alias) } :+ HiddenN
+    aggs.flatMap {
+      case MvAgg("sum", _, alias) => Seq(nnOf(alias))
+      case MvAgg("avg", _, alias) => Seq(sOf(alias), nnOf(alias))
+      case _ => Seq.empty
+    } :+ HiddenN
 
   /** Define + fully build a materialized view of
     * `SELECT group, aggs… FROM source GROUP BY group` at `mvRoot`.
     * `group` must be the source's long-castable grouping column
     * (the MV's table key — group identity IS row identity). */
   def create(spark: SparkSession, mvRoot: String, sourceRoot: String,
-      group: String, aggs: Seq[MvAgg], nBuckets: Int = 8): Int = {
+      group: String, aggs: Seq[MvAgg], nBuckets: Int = 8,
+      filter: Option[String] = None): Int = {
     require(aggs.nonEmpty, "an MV needs at least one aggregate")
     require(aggs.map(_.alias).distinct.size == aggs.size,
       "MV aliases must be distinct")
     require(!aggs.exists(_.alias == HiddenN), s"$HiddenN is reserved")
+    filter.foreach(f => require(!f.exists(c => c == '\t' || c == '\n'),
+      "MV filter must be a single-line SQL expression"))
     val srcV = GraftTable.latestVersion(spark, sourceRoot)
     require(srcV >= 0, s"no source table at $sourceRoot")
     val srcKey = GraftTable.keyColumn(spark, sourceRoot).getOrElse(
       sys.error(s"MV source at $sourceRoot needs a recorded key column"))
-    val full = GraftTable.read(spark, sourceRoot, Some(srcV))
+    // a FILTERED MV aggregates the predicate's row subset; the same
+    // predicate applied per change-feed row keeps the delta exact (a
+    // row-level predicate commutes with the feed's ± retraction form —
+    // an update crossing the boundary is exactly one −old/+new pair)
+    val src0 = GraftTable.read(spark, sourceRoot, Some(srcV))
+    val src = filter.map(f => src0.filter(expr(f))).getOrElse(src0)
+    val full = src
       .groupBy(col(group)).agg(aggCols(aggs).head, aggCols(aggs).tail: _*)
     GraftTable.create(spark, mvRoot, full, group, nBuckets)
     writeDef(spark, mvRoot,
-      MvDef(sourceRoot, srcKey, group, aggs, srcV, None))
+      MvDef(sourceRoot, srcKey, group, aggs, srcV, None, filter))
     srcV
   }
 
-  /** The MV's rows WITHOUT the bookkeeping column — what a reader
-    * (or the gate's oracle compare) consumes. */
+  /** The MV's rows WITHOUT the bookkeeping columns — avg aliases are
+    * served here as `sum / count` from the hidden exact pair (NULL
+    * when no non-null contribution lives, the SQL avg rule). */
   def read(spark: SparkSession, mvRoot: String): DataFrame = {
     val d = readDef(spark, mvRoot)
-    GraftTable.read(spark, mvRoot).drop(hiddenCols(d.aggs): _*)
+    var df = GraftTable.read(spark, mvRoot)
+    d.aggs.foreach {
+      case MvAgg("avg", _, a) =>
+        df = df.withColumn(a,
+          when(col(nnOf(a)) > 0L,
+            col(sOf(a)).cast("double") / col(nnOf(a)).cast("double"))
+            .otherwise(lit(null).cast("double")))
+      case _ => ()
+    }
+    df.select((col(d.group) +: d.aggs.map(a => col(a.alias))): _*)
   }
 
   /** Advance the MV to the source's current head by change-feed
@@ -172,14 +212,20 @@ object GraftMv {
     if (srcHead == d.lastV) return (d.lastV, 0L)
     require(srcHead > d.lastV,
       s"source at ${d.source} went backwards ($srcHead < ${d.lastV})")
-    val feed = GraftTable.changes(spark, d.source, d.lastV, srcHead,
+    // a filtered MV sees only the feed rows its predicate keeps: the
+    // predicate commutes with retraction form, so an update moving a
+    // row across the boundary arrives as exactly the −old or +new
+    // side that crossed
+    val feed0 = GraftTable.changes(spark, d.source, d.lastV, srcHead,
       d.sourceKey, withPreimages = true)
+    val feed = d.filter.map(f => feed0.filter(expr(f))).getOrElse(feed0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val g = d.group
       val dirty = feed.select(col(g)).distinct()
-      val deltaable = d.aggs.forall(a => a.kind == "count" || a.kind == "sum")
-      val mvCols = d.aggs.map(_.alias) ++ hiddenCols(d.aggs)
+      val deltaable = d.aggs.forall(a =>
+        a.kind == "count" || a.kind == "sum" || a.kind == "avg")
+      val mvCols = visibleStored(d.aggs) ++ hiddenCols(d.aggs)
       // rows the MV currently stores for the dirty groups
       val old = GraftTable.read(spark, mvRoot)
         .join(dirty, Seq(g), "left_semi").as("o")
@@ -188,17 +234,24 @@ object GraftMv {
           // PURE DELTA: ± contributions per group, source never read
           val sign = when(col("_change").isin("insert", "update_postimage"),
             lit(1L)).otherwise(lit(-1L))
-          val dAggs = (d.aggs.map {
-            case MvAgg("count", _, alias) => sum(sign).as(alias)
+          val dAggs = (d.aggs.flatMap {
+            case MvAgg("count", _, alias) => Seq(sum(sign).as(alias))
             case MvAgg("sum", c, alias) =>
               // sum skips NULL contributions; the nn delta tracks them
-              sum(when(col(c).isNotNull, sign).otherwise(lit(0L)) *
-                coalesce(col(c).cast("long"), lit(0L))).as(alias)
+              Seq(sum(when(col(c).isNotNull, sign).otherwise(lit(0L)) *
+                coalesce(col(c).cast("long"), lit(0L))).as(alias))
+            case MvAgg("avg", _, _) => Seq.empty // hidden pair below
             case a => sys.error(s"unreachable: $a")
-          }) ++ d.aggs.collect {
+          }) ++ d.aggs.flatMap {
             case MvAgg("sum", c, alias) =>
+              Seq(sum(when(col(c).isNotNull, sign).otherwise(lit(0L)))
+                .as(nnOf(alias)))
+            case MvAgg("avg", c, alias) => Seq(
+              sum(when(col(c).isNotNull, sign).otherwise(lit(0L)) *
+                coalesce(col(c).cast("long"), lit(0L))).as(sOf(alias)),
               sum(when(col(c).isNotNull, sign).otherwise(lit(0L)))
-                .as(nnOf(alias))
+                .as(nnOf(alias)))
+            case _ => Seq.empty
           } :+ sum(sign).as(HiddenN)
           val deltas = feed.groupBy(col(g))
             .agg(dAggs.head, dAggs.tail: _*).as("d")
@@ -217,7 +270,10 @@ object GraftMv {
               }: _*)
         } else {
           // RE-AGG the dirty groups from a group-pruned source read
-          GraftTable.read(spark, d.source, Some(srcHead))
+          // (the MV's filter applies here too — it defines the
+          // aggregated relation)
+          val src0 = GraftTable.read(spark, d.source, Some(srcHead))
+          d.filter.map(f => src0.filter(expr(f))).getOrElse(src0)
             .join(dirty, Seq(g), "left_semi")
             .groupBy(col(g))
             .agg(aggCols(d.aggs).head, aggCols(d.aggs).tail: _*)

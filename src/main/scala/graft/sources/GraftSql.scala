@@ -156,6 +156,14 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     val sinkMode = parameters.getOrElse("mode", "")
     require(sinkMode.isEmpty || sinkMode == "eqdel",
       s"graft sink mode must be 'eqdel' when set, got '$sinkMode'")
+    // .option("layout", "hash"): a sink-created table is born with the
+    // hash-bucket layout (`buckets` buckets) — a CDC replica that will
+    // be storage-partition-joined declares it at the stream, not in a
+    // separate create step. No-op on an existing table (layout is a
+    // create-time contract).
+    val sinkLayout = parameters.getOrElse("layout", "")
+    require(sinkLayout.isEmpty || sinkLayout == "hash",
+      s"graft sink layout must be 'hash' when set, got '$sinkLayout'")
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         val spark = data.sparkSession
@@ -173,7 +181,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         // cache so the micro-batch computes once
         val batch = org.apache.spark.sql.graft.bridge.asBatch(data).cache()
         try GraftTable.ingestBatch(spark, root, batch, key, batchId,
-          nBuckets, queryId, sinkMode)
+          nBuckets, queryId, sinkMode,
+          createHashLayout = sinkLayout == "hash")
         finally batch.unpersist()
       }
       override def toString: String = s"GraftSink[$root]"
@@ -661,7 +670,8 @@ class GraftBatchScan(val root: String, val version: Int,
     val branch: Option[String] = None)
   extends Scan with org.apache.spark.sql.connector.read.Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
-  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   override def readSchema(): StructType =
     pushedAgg.map(_._1).getOrElse(required)
@@ -1052,6 +1062,100 @@ class GraftBatchScan(val root: String, val version: Int,
     b.result()
   }
 
+  // ---- STORAGE-PARTITIONED JOIN (SupportsReportPartitioning) -------
+  //
+  // A hash-layout table's files are mono-bucket by construction
+  // ([[GraftTable.writeDataFiles]]), so the scan truthfully reports
+  // `KeyGroupedPartitioning(bucket(n, key))` and wraps every split
+  // with its bucket id as the partition key. Two graft tables created
+  // with the same (n, hash) layout then join on their keys with ZERO
+  // shuffle on either side — Spark groups same-bucket splits into one
+  // task and zips the two sides bucket-by-bucket (the Iceberg SPJ
+  // shape, `spark.sql.sources.v2.bucketing.enabled`). At 100 TB this
+  // is the difference between exchanging both join sides across the
+  // cluster every query and exchanging nothing, forever, for every
+  // join on the layout's key.
+
+  /** (bucket count, logical key column) when this scan can truthfully
+    * report key-grouped partitioning: table declares a hash layout,
+    * the scan is a plain data read (no served aggregate; branch heads
+    * keep the layout too but stay conservative — their scans are
+    * maintenance-sized), and the key survives the projection (Spark
+    * must resolve `bucket(n, key)` against the scan's own output). */
+  @transient private lazy val spjInfo: Option[(Int, String)] =
+    if (pushedAgg.isDefined || branch.isDefined) None
+    else {
+      val spark = SparkSession.active
+      GraftTable.hashLayout(spark, root).flatMap { n =>
+        GraftTable.keyColumn(spark, root)
+          .filter(k => required.fieldNames.contains(k))
+          .map(k => (n, k))
+      }
+    }
+
+  /** The bucket count, iff EVERY pruned file parses a bucket id — one
+    * unparseable file and the scan must not report a partitioning it
+    * can't prove. Recomputed against the current pruned set (runtime
+    * filtering only ever shrinks it, so reported values stay a subset
+    * of the planning-time values — the DSv2 runtime-filter contract
+    * for key-grouped scans). */
+  private def spjActive: Option[(Int, String)] = spjInfo.filter { _ =>
+    val fs = prunedFiles
+    fs.nonEmpty && fs.forall(t =>
+      GraftTable.fileBucket(t._1.getPath.toUri.getPath).isDefined)
+  }
+
+  override def outputPartitioning()
+    : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjActive match {
+      case Some((n, k)) =>
+        val ids = prunedFiles.flatMap(t =>
+          GraftTable.fileBucket(t._1.getPath.toUri.getPath)).distinct
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, k)), ids.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
+  /** Under an active hash layout, attach each split's bucket id as its
+    * partition key (one wrapped partition per SPLIT — parquet's own
+    * bin-packing mixes buckets, so packing is re-done by Spark's
+    * key-grouping instead). No-op otherwise. */
+  private def withBucketKeys(
+      ps: Array[org.apache.spark.sql.connector.read.InputPartition])
+    : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    spjActive match {
+      case Some(_) => ps.flatMap {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.zipWithIndex.map { case (pf, i) =>
+            val b = GraftTable.fileBucket(pf.urlEncodedPath).getOrElse(
+              throw new IllegalStateException(
+                s"hash-layout file without a bucket segment: ${pf.toPath}"))
+            GraftBucketedPartition(b,
+              org.apache.spark.sql.execution.datasources.FilePartition(
+                fp.index * 10000 + i, Array(pf)))
+              : org.apache.spark.sql.connector.read.InputPartition
+          }
+        case dv: GraftDvPartition =>
+          Array(GraftBucketedPartition(bucketOfSingle(dv.inner), dv)
+            : org.apache.spark.sql.connector.read.InputPartition)
+        case eq: GraftEqPartition =>
+          Array(GraftBucketedPartition(bucketOfSingle(eq.inner), eq)
+            : org.apache.spark.sql.connector.read.InputPartition)
+        case other => Array(other)
+      }
+      case None => ps
+    }
+
+  private def bucketOfSingle(
+      fp: org.apache.spark.sql.execution.datasources.FilePartition): Int =
+    GraftTable.fileBucket(fp.files.head.urlEncodedPath).getOrElse(
+      throw new IllegalStateException(
+        s"hash-layout file without a bucket segment: ${fp.files.head.toPath}"))
+
   override def planInputPartitions()
     : Array[org.apache.spark.sql.connector.read.InputPartition] =
     pushedAgg match {
@@ -1103,7 +1207,7 @@ class GraftBatchScan(val root: String, val version: Int,
           }
         }.getOrElse(Array.empty[
           org.apache.spark.sql.connector.read.InputPartition])
-        clean ++ masked ++ eqMasked
+        withBucketKeys(clean ++ masked ++ eqMasked)
     }
 
   override def createReaderFactory()
@@ -1119,9 +1223,15 @@ class GraftBatchScan(val root: String, val version: Int,
           if (cleanFiles.nonEmpty || (dvF.isEmpty && eqF.isEmpty))
             Some(parquetScan.toBatch.createReaderFactory())
           else None
-        if (dvF.isEmpty && eqF.isEmpty) cleanF.get
-        else new GraftDvAwareReaderFactory(cleanF, dvF, eqF,
-          GraftTable.physicalSchema(required).fields.map(_.dataType))
+        val inner =
+          if (dvF.isEmpty && eqF.isEmpty) cleanF.get
+          else new GraftDvAwareReaderFactory(cleanF, dvF, eqF,
+            GraftTable.physicalSchema(required).fields.map(_.dataType))
+        // bucket-keyed partitions are a transparent carrier: strip the
+        // key before the underlying factory dispatches on its own
+        // partition types
+        if (spjActive.isDefined) new GraftBucketUnwrapFactory(inner)
+        else inner
     }
 
   // value equality so exchange/scan reuse keys on WHAT is read, not on
@@ -1172,6 +1282,45 @@ private[sources] case class GraftEqPartition(
     keyOrdinal: Int, keyAppended: Boolean, keyTypeName: String,
     hconf: Map[String, String])
   extends org.apache.spark.sql.connector.read.InputPartition
+
+/** A split of a HASH-LAYOUT table, carrying its bucket id as the
+  * partition key — what lets Spark group same-bucket splits of two
+  * co-layout tables into one task and join them with zero shuffle
+  * (storage-partitioned join). A pure transparent carrier: the reader
+  * factory strips it before dispatch. */
+private[sources] case class GraftBucketedPartition(bucketId: Int,
+    inner: org.apache.spark.sql.connector.read.InputPartition)
+  extends org.apache.spark.sql.connector.read.InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucketId))
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
+}
+
+/** Strips the [[GraftBucketedPartition]] carrier so the wrapped
+  * factory dispatches on its own partition types (parquet
+  * FilePartition / GraftDvPartition / GraftEqPartition) — columnar
+  * capability reporting included. */
+private[sources] class GraftBucketUnwrapFactory(
+    inner: org.apache.spark.sql.connector.read.PartitionReaderFactory)
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  private def un(p: org.apache.spark.sql.connector.read.InputPartition)
+    : org.apache.spark.sql.connector.read.InputPartition = p match {
+    case b: GraftBucketedPartition => b.inner
+    case p => p
+  }
+  override def createReader(
+      p: org.apache.spark.sql.connector.read.InputPartition) =
+    inner.createReader(un(p))
+  override def createColumnarReader(
+      p: org.apache.spark.sql.connector.read.InputPartition) =
+    inner.createColumnarReader(un(p))
+  override def supportColumnarReads(
+      p: org.apache.spark.sql.connector.read.InputPartition): Boolean =
+    inner.supportColumnarReads(un(p))
+}
 
 /** Executor-side cache of pending-eqdel key sets: key → newest
   * retiring version, loaded ONCE per executor per pending set (the
@@ -1556,7 +1705,13 @@ class GraftMetaTable(root: String, kind: String, version: Int)
                       : org.apache.spark.sql.catalyst.InternalRow
                   }.toArray
               case "properties" =>
-                GraftTable.tableProperties(spark, root).toSeq.sortBy(_._1)
+                // declared layout surfaces as a synthetic read-only row
+                // (it is a create-time physical contract, not a settable
+                // property — shown so DESCRIBE-style tooling sees it)
+                val layoutRow = GraftTable.hashLayout(spark, root)
+                  .map(n => "graft.layout" -> s"hash($n)").toSeq
+                (GraftTable.tableProperties(spark, root).toSeq ++ layoutRow)
+                  .sortBy(_._1)
                   .map { case (k, v) =>
                     new GenericInternalRow(Array[Any](
                       UTF8String.fromString(k), UTF8String.fromString(v)))
@@ -1588,10 +1743,75 @@ class GraftMetaTable(root: String, kind: String, version: Int)
   * copy-on-write, OCC — so SQL writers and Scala writers share one
   * commit path. Destructive ops (DROP, schema evolution, erasure)
   * stay on the explicit Scala API. */
-class GraftCatalog extends TableCatalog with StagingTableCatalog {
+/** The `bucket(n, key)` V2 function backing hash-layout partition
+  * reporting: `pmod(xxhash64(key as long), n)` — bit-identical to the
+  * write side's bucket column ([[GraftTable.writeDataFiles]], seed 42
+  * is Spark's xxhash64 default). Spark resolves the scan's reported
+  * `bucket` transform through the table's catalog (the Iceberg
+  * FunctionCatalog shape); two scans are SPJ-compatible iff their
+  * bound functions share `canonicalName`, so the name pins the hash
+  * contract. */
+private[sources] object GraftBucketFunction
+  extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, key): pmod(xxhash64(key as long), n) — the graft " +
+      "hash-layout bucket id"
+  override def bind(inputType: StructType)
+    : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket takes (numBuckets, key), got ${inputType.simpleString}")
+    val keyType = inputType.fields(1).dataType
+    val ok = keyType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    require(ok, s"bucket key must be integral, got ${keyType.simpleString}")
+    new org.apache.spark.sql.connector.catalog.functions
+      .ScalarFunction[Integer] {
+      override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+        Array(org.apache.spark.sql.types.IntegerType, keyType)
+      override def resultType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(
+          input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+        val n = input.getInt(0)
+        val k: Long = keyType match {
+          case org.apache.spark.sql.types.LongType => input.getLong(1)
+          case org.apache.spark.sql.types.IntegerType => input.getInt(1).toLong
+          case org.apache.spark.sql.types.ShortType => input.getShort(1).toLong
+          case _ => input.getByte(1).toLong
+        }
+        Integer.valueOf(GraftTable.bucketOfKey(k, n))
+      }
+    }
+  }
+}
+
+class GraftCatalog extends TableCatalog with StagingTableCatalog
+  with FunctionCatalog {
 
   private var catalogName: String = _
   private var base: String = _
+
+  /** The catalog-level function registry (`FunctionCatalog`): just
+    * `bucket` — what V2ScanPartitioningAndOrdering resolves the
+    * scan's reported `bucket(n, key)` transform through, the
+    * load-bearing piece of the storage-partitioned join. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
+  override def loadFunction(ident: Identifier)
+    : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -1737,9 +1957,16 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       s"key column '$key' is not in the table schema")
     val nBuckets = Option(properties.get("buckets")).map(_.toInt).getOrElse(8)
     val bloom = Option(properties.get("bloom"))
+    // TBLPROPERTIES ('layout' = 'hash'): hash-bucket layout with
+    // `buckets` buckets — the storage-partitioned-join declaration
+    val hashLayout = Option(properties.get("layout")).exists { m =>
+      require(m == "hash", s"unknown layout '$m' (supported: hash)")
+      true
+    }
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
-    GraftTable.create(spark, root, empty, key, nBuckets, bloom)
+    GraftTable.create(spark, root, empty, key, nBuckets, bloom,
+      hashLayout = hashLayout)
     new GraftSqlTable(root, 0)
   }
 
@@ -1858,8 +2085,13 @@ class StagedGraftTable(root: String, createSchema: StructType,
               val nBuckets = Option(properties.get("buckets"))
                 .map(_.toInt).getOrElse(8)
               val bloom = Option(properties.get("bloom"))
+              val hashLayout = Option(properties.get("layout")).exists { m =>
+                require(m == "hash", s"unknown layout '$m' (supported: hash)")
+                true
+              }
               val named = data.toDF(createSchema.fieldNames.toSeq: _*)
-              GraftTable.create(spark, root, named, key, nBuckets, bloom)
+              GraftTable.create(spark, root, named, key, nBuckets, bloom,
+                hashLayout = hashLayout)
             }
           }
       }

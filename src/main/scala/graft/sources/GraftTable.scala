@@ -997,6 +997,9 @@ object GraftTable {
       transform: PartitionTransform): Int = {
     val base = latestVersion(spark, root)
     require(base >= 0, s"no graft table at $root")
+    require(hashLayout(spark, root).isEmpty,
+      "partition transform and hash layout are mutually exclusive " +
+        "(both dictate file placement)")
     require(tableSchema(spark, root, base).fieldNames
         .contains(transformColumn(transform)),
       s"partition column '${transformColumn(transform)}' is not in the " +
@@ -1068,6 +1071,56 @@ object GraftTable {
     val (f, _) = fs(root, spark)
     val p = new org.apache.hadoop.fs.Path(root, "_log/bloom.json")
     if (!f.exists(p)) None else Some(readFully(f, p).trim)
+  }
+
+  /** HASH-BUCKET LAYOUT declaration (`_log/layout.json`, written once
+    * at [[create]], immutable for the table's lifetime): the bucket
+    * count `n` of `bucket(n, key) = pmod(xxhash64(key as long), n)`.
+    * Every data file of a hash-layout table holds exactly one bucket's
+    * rows (mono-bucket files under `data/vNNNNN-x/b<id>/`), which is
+    * what lets the DSv2 scan report `KeyGroupedPartitioning` and two
+    * co-bucketed tables join with ZERO shuffle on either side (Spark's
+    * storage-partitioned join, the Iceberg `bucket` transform shape) —
+    * at 100 TB the difference between a fact⋈fact join that moves both
+    * tables across the network and one that moves nothing. The trade
+    * (documented, Iceberg's too): per-file key intervals go wide, so
+    * RANGE scans lose file pruning; EQUALITY lookups prune to the one
+    * bucket instead ([[bucketOfKey]]). */
+  private[sources] def hashLayout(spark: SparkSession, root: String): Option[Int] = {
+    val (f, _) = fs(root, spark)
+    val p = new org.apache.hadoop.fs.Path(root, "_log/layout.json")
+    if (!f.exists(p)) None else readFully(f, p).trim.split('\t') match {
+      case Array("hash", n) => Some(n.toInt)
+      case _ => None
+    }
+  }
+
+  /** The bucket id of key value `k` under an `n`-bucket hash layout —
+    * the exact long the write side computes with
+    * `pmod(xxhash64(key.cast("long")), n)`, evaluated driver-side for
+    * file pruning (seed 42 is Spark's `xxhash64` default). */
+  private[sources] def bucketOfKey(k: Long, n: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(k, org.apache.spark.sql.types.LongType, 42L)
+    val m = (h % n).toInt
+    if (m < 0) m + n else m
+  }
+
+  /** The bucket id a hash-layout data file holds, parsed from its
+    * `data/vNNNNN-x/b<id>/part-*.parquet` path segment. None for files
+    * outside the bucketed naming (never written by a hash-layout
+    * table, but treated as "always keep / never partition-report" for
+    * defense in depth). */
+  private[sources] def fileBucket(relOrAbs: String): Option[Int] = {
+    val i = relOrAbs.lastIndexOf('/')
+    if (i <= 0) None
+    else {
+      val j = relOrAbs.lastIndexOf('/', i - 1)
+      val seg = relOrAbs.substring(j + 1, i)
+      if (seg.length > 1 && seg.charAt(0) == 'b' &&
+          seg.drop(1).forall(_.isDigit)) Some(seg.drop(1).toInt)
+      else None
+    }
   }
 
   /** The table's declared key column (`_log/key.json`, recorded by
@@ -1146,6 +1199,18 @@ object GraftTable {
     // any spec sidecar is committed (the spec publishes WITH v0's
     // manifest, so disk resolution can't see it yet)
     val spec = specOverride.getOrElse(partitionSpec(spark, root, version))
+    // HASH LAYOUT: every write of the table's lifetime lands
+    // mono-bucket files (one `b<id>/` dir per bucket under the
+    // attempt-unique dir) so the scan's reported KeyGroupedPartitioning
+    // is true of every snapshot — rewrites, MoR fresh files, and
+    // compactions re-bucket identically
+    val hashN = hashLayout(spark, root)
+    require(zorderBy.isEmpty || hashN.isEmpty,
+      "Z-ORDER and hash layout are mutually exclusive: both dictate " +
+        "file placement (hash layout trades range locality for " +
+        "shuffle-free storage-partitioned joins)")
+    require(spec.isEmpty || hashN.isEmpty,
+      "partition transform and hash layout are mutually exclusive")
     val arranged = (zorderBy, spec) match {
       // Z-ORDER layout: range-partition AND sort within files by the
       // interleaved curve value instead of the key — multi-column
@@ -1162,8 +1227,22 @@ object GraftTable {
         .repartitionByRange(math.max(1, nBuckets), col("__pval"), col(key))
         .sortWithinPartitions("__pval", key)
         .drop("__pval")
-      case (None, None) =>
-        df.repartitionByRange(math.max(1, nBuckets), col(key))
+      case (None, None) => hashN match {
+        // hash layout: the bucket column drives BOTH the shuffle (a
+        // bucket never splits across writer tasks) and the directory
+        // fan-out at write time; rows stay key-sorted within each
+        // bucket file for row-group locality. NULL keys hash to the
+        // seed (42) — deterministic placement; joins never match NULLs
+        // so their bucket is irrelevant to the storage-partitioned
+        // join.
+        case Some(hn) => df
+          .withColumn("__bucket",
+            pmod(xxhash64(col(key).cast("long")), lit(hn)).cast("int"))
+          .repartition(math.max(1, nBuckets), col("__bucket"))
+          .sortWithinPartitions(col("__bucket"), col(key))
+        case None =>
+          df.repartitionByRange(math.max(1, nBuckets), col(key))
+      }
     }
     // COLUMN MAPPING: files store PHYSICAL names (frozen at column
     // birth), so writes rename logical → physical as the last step and
@@ -1176,14 +1255,73 @@ object GraftTable {
     def physOf(c: String) = mapping.getOrElse(c, c)
     val logicalNames = df.schema.fieldNames.toSeq
     val needRename = logicalNames.exists(c => physOf(c) != c)
+    // select (not toDF) so the hash layout's extra __bucket column
+    // rides through the rename untouched
     val toWrite =
-      if (needRename) arranged.toDF(logicalNames.map(physOf): _*)
+      if (needRename) arranged.select(arranged.schema.fieldNames.map(c =>
+        col(c).as(physOf(c))): _*)
       else arranged
-    toWrite.write.mode("errorifexists").parquet(dir)
+    val writer = toWrite.write.mode("errorifexists")
+    (if (hashN.isDefined) writer.partitionBy("__bucket") else writer)
+      .parquet(dir)
+    if (hashN.isDefined) {
+      // Hive-style `__bucket=K` dirs would make every multi-file read
+      // sprout a phantom partition column (Spark appends discovered
+      // partition columns even under a pinned schema) — rename to plain
+      // `bK` segments, which partition discovery ignores. The dir is
+      // attempt-unique: no concurrent writer ever touches it.
+      val (f0, _) = fs(root, spark)
+      val dP = new org.apache.hadoop.fs.Path(dir)
+      f0.listStatus(dP).filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("__bucket=")).foreach { s =>
+        val id = s.getPath.getName.stripPrefix("__bucket=")
+        require(id.forall(_.isDigit), s"unexpected bucket dir: ${s.getPath}")
+        val bDir = new org.apache.hadoop.fs.Path(dP, s"b$id")
+        require(f0.rename(s.getPath, bDir),
+          s"bucket dir rename failed under $dir")
+        // basenames must stay GLOBALLY unique: one writer task reuses
+        // its task-file name in every bucket dir it fans out to, and
+        // the DV/eqdel machinery is name-keyed (a DV for
+        // b0/part-00000-x must never mask b3/part-00000-x) — prefix
+        // the bucket id into the file name itself
+        f0.listStatus(bDir).filter(st => st.isFile &&
+            st.getPath.getName.endsWith(".parquet")).foreach { st =>
+          require(f0.rename(st.getPath, new org.apache.hadoop.fs.Path(
+            bDir, s"b$id-${st.getPath.getName}")),
+            s"bucket file rename failed under $bDir")
+        }
+      }
+    }
     val physSchemaOfDf = StructType(df.schema.fields.map(f =>
       f.copy(name = physOf(f.name))))
+    /** The new data files, enumerated from the attempt-unique dir —
+      * nested one level under `b<id>/` for hash layout, flat
+      * otherwise. */
+    def listWrittenFiles(): Seq[String] = {
+      val (f0, _) = fs(root, spark)
+      val it = f0.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          b += st.getPath.toString
+      }
+      b.result()
+    }
     def readBack(): DataFrame = {
-      val raw = spark.read.schema(physSchemaOfDf).parquet(dir)
+      val raw =
+        if (hashN.isDefined) {
+          // a dir-level read does not recurse into plain subdirs —
+          // enumerate the bucket files explicitly (an empty write has
+          // none: pinned-schema empty frame, same contract as the flat
+          // read of a _SUCCESS-only dir)
+          val files = listWrittenFiles()
+          if (files.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              physSchemaOfDf)
+          else spark.read.schema(physSchemaOfDf).parquet(files: _*)
+        } else spark.read.schema(physSchemaOfDf).parquet(dir)
       if (needRename) raw.toDF(logicalNames: _*) else raw
     }
     // stats per physical file (also covers AQE/empty-bucket merges);
@@ -1259,6 +1397,17 @@ object GraftTable {
           "commit aborted, table head unchanged (staged files are " +
           "unreferenced orphans; vacuum sweeps them)")
     }
+    // rel path of a written file from its absolute URI — suffix-based
+    // so the hash layout's `b<id>/` level rides into the manifest line
+    // (every downstream path: dataPath resolution, DV sidecars, vacuum's
+    // recursive sweep, addedVersion's dir-segment parse, handles nested
+    // rels already)
+    def relOf(uriStr: String): String = {
+      val p = new java.net.URI(uriStr).getPath
+      val i = p.indexOf(rel)
+      require(i >= 0, s"written file $p is outside its staging dir $rel")
+      p.substring(i)
+    }
     val entries = statRows
       .map { r =>
         val p = new org.apache.hadoop.fs.Path(
@@ -1267,12 +1416,11 @@ object GraftTable {
         // a metadata-only manifest pass (one getFileStatus per NEW
         // file, here at write time, never at read time)
         val (f, _) = fs(root, spark)
-        FileEntry(s"$rel/${p.getName}", r.getLong(1), r.getLong(2),
+        FileEntry(relOf(r.getString(0)), r.getLong(1), r.getLong(2),
           r.getLong(3), f.getFileStatus(p).getLen)
       }.toSeq.sortBy(_.relPath)
     val nullLines = statRows.flatMap { r =>
-      val relP = s"$rel/${new org.apache.hadoop.fs.Path(
-        new java.net.URI(r.getString(0)).getPath).getName}"
+      val relP = relOf(r.getString(0))
       // ledger keys are PHYSICAL names — invariant across renames, so
       // a line written in any era serves every era's metadata reads
       val nulls = dataCols.zipWithIndex.map { case (c, i) =>
@@ -1291,7 +1439,8 @@ object GraftTable {
     bloomColumn(spark, root).filter(df.schema.fieldNames.contains) match {
       case Some(bc) if entries.nonEmpty =>
         writeBloomSidecars(spark, root, dir, bc, physSchemaOfDf,
-          logicalNames, entries.map(_.nRows).max)
+          logicalNames, entries.map(_.nRows).max,
+          files = if (hashN.isDefined) listWrittenFiles() else Seq.empty)
       case _ => ()
     }
     // partition-value ranges into this version's colstats sidecar —
@@ -1313,8 +1462,7 @@ object GraftTable {
       case _ => Seq.empty[String]
     }
     val kmvLines = statRows.flatMap { r =>
-      val relP = s"$rel/${new org.apache.hadoop.fs.Path(
-        new java.net.URI(r.getString(0)).getPath).getName}"
+      val relP = relOf(r.getString(0))
       kmvCols.zipWithIndex.map { case (c, j) =>
         val idx = 4 + dataCols.size + intCols.size + constraintList.size + j
         val ds = r.getSeq[String](idx)
@@ -1449,10 +1597,16 @@ object GraftTable {
     * failed commit's sidecars are vacuum-swept with their data files. */
   private def writeBloomSidecars(spark: SparkSession, root: String,
       dir: String, bloomCol: String, physSchema: StructType,
-      logicalNames: Seq[String], maxRowsPerFile: Long): Unit = {
+      logicalNames: Seq[String], maxRowsPerFile: Long,
+      files: Seq[String] = Seq.empty): Unit = {
     val nBits = math.max(1024L, 10L * maxRowsPerFile)
     val hconf = confMap(spark)
-    spark.read.schema(physSchema).parquet(dir).toDF(logicalNames: _*)
+    // hash-layout writes enumerate their nested bucket files (a
+    // dir-level read does not recurse into plain subdirs)
+    val raw =
+      if (files.nonEmpty) spark.read.schema(physSchema).parquet(files: _*)
+      else spark.read.schema(physSchema).parquet(dir)
+    raw.toDF(logicalNames: _*)
       .groupBy(input_file_name().as("file"))
       .agg(graft.functions.Bloom.filterAgg(
         xxhash64(col(bloomCol).cast("string")),
@@ -1484,14 +1638,39 @@ object GraftTable {
     * [[readPoint]], orthogonal to the key's min/max range stats. */
   def create(spark: SparkSession, root: String, df: DataFrame, key: String,
       nBuckets: Int = 8, bloomCol: Option[String] = None,
-      partitioning: Option[PartitionTransform] = None): Unit = {
+      partitioning: Option[PartitionTransform] = None,
+      hashLayout: Boolean = false): Unit = {
     val (f, rootP) = fs(root, spark)
     require(!f.exists(new org.apache.hadoop.fs.Path(root, "_log")),
       s"table already exists at $root")
+    if (hashLayout) {
+      // the layout is a physical contract every subsequent write obeys
+      // and the scan's reported partitioning relies on — declared once,
+      // immutable (changing n would need a full rewrite: that's what
+      // creating a new table and INSERT-selecting into it is for)
+      require(partitioning.isEmpty,
+        "hash layout and a partition transform are mutually exclusive " +
+          "(both dictate file placement)")
+      val kt = df.schema.fields.find(_.name == key).map(_.dataType)
+      require(kt.exists {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }, s"hash layout needs an integral key column (got $key: " +
+        s"${kt.map(_.simpleString).getOrElse("missing")}) — the bucket " +
+        "function hashes the key as a long on both the write and the " +
+        "join side")
+      require(nBuckets >= 1, s"hash layout needs >= 1 bucket, got $nBuckets")
+    }
     f.mkdirs(new org.apache.hadoop.fs.Path(rootP, "_log"))
     writeAtomic(f, new org.apache.hadoop.fs.Path(root, "_log/schema.json"),
       df.schema.json)
     writeAtomic(f, new org.apache.hadoop.fs.Path(root, "_log/key.json"), key)
+    if (hashLayout)
+      writeAtomic(f, new org.apache.hadoop.fs.Path(root, "_log/layout.json"),
+        s"hash\t$nBuckets")
     bloomCol.foreach { bc =>
       require(df.schema.fieldNames.contains(bc), s"no such column: $bc")
       writeAtomic(f, new org.apache.hadoop.fs.Path(root, "_log/bloom.json"), bc)
@@ -1558,6 +1737,12 @@ object GraftTable {
       new org.apache.hadoop.fs.Path(dstRoot, "_log/key.json"), k))
     bloomColumn(spark, srcRoot).foreach(b => writeAtomic(f,
       new org.apache.hadoop.fs.Path(dstRoot, "_log/bloom.json"), b))
+    // hash layout carries: the clone's absolute-ref files are already
+    // mono-bucket (immutable), and the clone's own rewrites must keep
+    // bucketing or its reported partitioning would lie
+    hashLayout(spark, srcRoot).foreach(n => writeAtomic(f,
+      new org.apache.hadoop.fs.Path(dstRoot, "_log/layout.json"),
+      s"hash\t$n"))
     constraints(spark, srcRoot).foreach { case (name, ex) =>
       writeAtomic(f, new org.apache.hadoop.fs.Path(dstRoot,
         s"_log/check-$name.json"), ex) }
@@ -1677,16 +1862,39 @@ object GraftTable {
       case Some((lo, hi)) => all.filter(e => e.maxKey >= lo && e.minKey <= hi)
       case None => all
     }
+    // HASH-LAYOUT BUCKET PRUNING: under hash layout per-file key
+    // intervals are domain-wide (the documented range-pruning trade),
+    // but an EQUALITY lookup or a runtime key set maps to exact bucket
+    // ids — a `k = x` point read opens 1/n of the table's files, and a
+    // DPP join prunes to the build side's buckets. Files outside the
+    // bucketed naming are always kept (defense in depth).
+    val bucketed = hashLayout(spark, root) match {
+      case Some(n) =>
+        val wanted: Option[Set[Int]] = keyValues match {
+          case Some(vs) if vs.nonEmpty =>
+            Some(vs.map(bucketOfKey(_, n)).toSet)
+          case _ => keyRange match {
+            case Some((lo, hi)) if lo == hi => Some(Set(bucketOfKey(lo, n)))
+            case _ => None
+          }
+        }
+        wanted match {
+          case Some(bs) => ranged.filter(e =>
+            fileBucket(e.relPath).forall(bs.contains))
+          case None => ranged
+        }
+      case None => ranged
+    }
     // RUNTIME key-value pruning (sorted values; a file survives iff
     // some value lands inside its [minKey, maxKey] interval) — the
     // join-time file-skipping the DSv2 runtime-filter surface feeds
     val keyed = keyValues match {
-      case Some(vs) if vs.nonEmpty => ranged.filter { e =>
+      case Some(vs) if vs.nonEmpty => bucketed.filter { e =>
         var i = java.util.Arrays.binarySearch(vs, e.minKey)
         if (i < 0) i = -i - 1
         i < vs.length && vs(i) <= e.maxKey
       }
-      case _ => ranged
+      case _ => bucketed
     }
     // RUNTIME partition-transform pruning (the second DPP axis): the
     // sorted TRANSFORM VALUES of the observed join keys, tested
@@ -2715,6 +2923,17 @@ object GraftTable {
       .count(e => e.maxKey >= lower && e.minKey <= upper)
   }
 
+  /** Files an exact-key lookup set opens — key-interval AND (under a
+    * hash layout) bucket pruning, the same rule the DSv2 scan plans
+    * by. Test/gate observability for the hash layout's point-lookup
+    * story: `k = x` on an n-bucket table opens ~1/n of its files. */
+  def prunedFileCountKeys(spark: SparkSession, root: String,
+      keys: Seq[Long], version: Option[Int] = None): Int = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    snapshotFilesWithDvs(spark, root, v,
+      keyValues = Some(keys.sorted.toArray)).size
+  }
+
   /** Streaming-ingest commit: create the table on the first batch,
     * upsert on every later one, and SKIP batches whose (queryId,
     * batchId) has already committed (a
@@ -2736,14 +2955,17 @@ object GraftTable {
     * single-writer marker name. */
   def ingestBatch(spark: SparkSession, root: String, batch: DataFrame,
       key: String, batchId: Long, nBuckets: Int = 8,
-      queryId: String = "", mode: String = ""): Unit = {
+      queryId: String = "", mode: String = "",
+      createHashLayout: Boolean = false): Unit = {
     val (f, _) = fs(root, spark)
     val markerName =
       if (queryId.isEmpty) s"_log/ingest-$batchId.marker"
       else s"_log/ingest-$queryId-$batchId.marker"
     val marker = new org.apache.hadoop.fs.Path(root, markerName)
     if (f.exists(marker)) return
-    if (latestVersion(spark, root) < 0) create(spark, root, batch, key, nBuckets)
+    if (latestVersion(spark, root) < 0)
+      create(spark, root, batch, key, nBuckets,
+        hashLayout = createHashLayout)
     // mode "eqdel": the APPEND-ONLY upsert — fresh files + a key list,
     // zero base files read per trigger (see [[appendUpsert]]); rows
     // land verbatim (full-image CDC). Anything else takes the

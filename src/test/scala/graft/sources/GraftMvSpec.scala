@@ -145,6 +145,90 @@ class GraftMvSpec extends SparkSpec {
       === want)
   }
 
+  test("avg MV: delta-maintained exact (sum, count) pair, quotient " +
+      "served at read — NULL when no non-null contribution lives") {
+    val d = freshDir()
+    GraftTable.create(spark, s"$d/src", src(500), "k", nBuckets = 4)
+    GraftMv.create(spark, s"$d/mv", s"$d/src", "g",
+      Seq(MvAgg("avg", "v", "av"), MvAgg("count", "", "n")))
+    def want = GraftTable.read(spark, s"$d/src").groupBy("g")
+      .agg(avg("v").as("av"), count(lit(1)).as("n"))
+      .orderBy("g").collect().toSeq
+    assert(GraftMv.read(spark, s"$d/mv").orderBy("g").collect().toSeq
+      === want)
+    // updates, NULL-ing values, deletes — avg must track via ± deltas
+    GraftTable.upsert(spark, s"$d/src",
+      spark.range(40, 60).select($"id".as("k"),
+        ($"id" / 10).cast("long").as("g"),
+        when($"id" % 2 === 0, lit(null).cast("long"))
+          .otherwise($"id" * 100).as("v")), "k")
+    GraftTable.deleteWhere(spark, s"$d/src", col("k").between(100, 140), "k")
+    val (_, dirty) = GraftMv.refresh(spark, s"$d/mv")
+    assert(dirty > 0)
+    assert(GraftMv.read(spark, s"$d/mv").orderBy("g").collect().toSeq
+      === want)
+    // a group with rows but zero non-null values: avg is SQL NULL
+    GraftTable.upsert(spark, s"$d/src",
+      Seq((9001L, 900L, null.asInstanceOf[java.lang.Long]),
+        (9002L, 900L, null.asInstanceOf[java.lang.Long]))
+        .toDF("k", "g", "v"), "k")
+    GraftMv.refresh(spark, s"$d/mv")
+    val g900 = GraftMv.read(spark, s"$d/mv").filter($"g" === 900)
+      .collect()(0)
+    assert(g900.isNullAt(1), "avg over zero non-null inputs must be NULL")
+    assert(g900.getLong(2) === 2L)
+  }
+
+  test("filtered MV: the predicate defines the relation — updates " +
+      "crossing the boundary enter and leave the aggregate") {
+    val d = freshDir()
+    GraftTable.create(spark, s"$d/src", src(300).filter($"v".isNotNull),
+      "k", nBuckets = 2)
+    GraftMv.create(spark, s"$d/mv", s"$d/src", "g",
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv")),
+      filter = Some("v >= 300"))
+    def want = GraftTable.read(spark, s"$d/src").filter($"v" >= 300)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("g").collect().toSeq
+    assert(GraftMv.read(spark, s"$d/mv").orderBy("g").collect().toSeq
+      === want)
+    // cross the boundary BOTH ways: k=150 (v=450, inside) drops to 10
+    // (leaves); k=20 (v=60, outside) jumps to 9000 (enters); and a
+    // whole group's surviving rows fall below (group death in the
+    // FILTERED relation while rows live on in the source)
+    GraftTable.upsert(spark, s"$d/src",
+      Seq((150L, 15L, 10L), (20L, 2L, 9000L)).toDF("k", "g", "v"), "k")
+    GraftTable.upsert(spark, s"$d/src",
+      spark.range(110, 120).select($"id".as("k"), lit(11L).as("g"),
+        lit(5L).as("v")), "k")
+    val (_, dirty) = GraftMv.refresh(spark, s"$d/mv")
+    assert(dirty > 0)
+    val got = GraftMv.read(spark, s"$d/mv").orderBy("g").collect().toSeq
+    assert(got === want)
+    assert(!got.exists(_.getLong(0) == 11L),
+      "group 11's rows all left the filtered relation: the MV row dies")
+  }
+
+  test("SQL surface: CREATE MATERIALIZED VIEW with WHERE and avg, " +
+      "REFRESH converges against the live source") {
+    val d = freshDir()
+    GraftTable.create(spark, s"$d/src", src(400), "k", nBuckets = 2)
+    spark.conf.set("spark.sql.catalog.gmv2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmv2.base", d)
+    spark.sql("CREATE MATERIALIZED VIEW gmv2.mvf AS " +
+      "SELECT g, count(*) AS n, avg(v) AS av FROM gmv2.src " +
+      "WHERE k % 2 = 0 GROUP BY g")
+    GraftTable.upsert(spark, s"$d/src",
+      spark.range(50, 90).select($"id".as("k"),
+        ($"id" / 10).cast("long").as("g"), ($"id" * 13).as("v")), "k")
+    spark.sql("REFRESH MATERIALIZED VIEW gmv2.mvf")
+    val got = GraftMv.read(spark, s"$d/mvf").orderBy("g").collect().toSeq
+    val want = GraftTable.read(spark, s"$d/src").filter($"k" % 2 === 0)
+      .groupBy("g").agg(count(lit(1)).as("n"), avg("v").as("av"))
+      .orderBy("g").collect().toSeq
+    assert(got === want)
+  }
+
   test("multiple refreshes across many source commits stay exact") {
     val d = freshDir()
     GraftTable.create(spark, s"$d/src", src(400), "k", nBuckets = 4)
