@@ -92,6 +92,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => ResolveCubeGuard())
     // MERGE INTO over graft catalog tables → the CDC commit path
     ext.injectResolutionRule(_ => graft.sources.RewriteGraftMerge())
+    // transparent MV rewrite: a GROUP BY over a graft table answers
+    // from a registered FRESH materialized view (opt-in via
+    // spark.graft.mv.rewrite.views; no-op when unset)
+    ext.injectOptimizerRule(session => graft.sources.GraftMvRewrite(session))
     // OPTIMIZE / VACUUM statements for graft tables — everything else
     // delegates to Spark's parser untouched
     ext.injectParser((_, delegate) =>

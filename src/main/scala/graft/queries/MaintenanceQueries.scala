@@ -4118,6 +4118,142 @@ object MaintenanceQueries {
            |FROM big WHERE cust % 5 = 2
            |GROUP BY cust ORDER BY cust""".stripMargin))
 
+  /** SCHEMA AUTO-MERGE (round 15): the ingest-keeps-flowing story —
+    * with `graft.schema.autoMerge = true` a batch carrying a column
+    * the table lacks EVOLVES the table (metadata-only add: old files
+    * read NULL, nothing rewrites) and a NARROW batch NULL-fills, the
+    * coalesce merge keeping target values for matched rows. Off (the
+    * default) the same batch REFUSES naming the property — pinned in
+    * `ok` — because silent widening would let one typo'd producer
+    * mutate the schema forever. The oracle replays the evolution
+    * relationally: wide upsert (new `channel` + repriced cents), then
+    * a narrow reprice whose untouched columns must survive. At 100 TB
+    * the add is O(metadata) and the next micro-batch lands populated —
+    * no migration, no rewrite. */
+  val q328SchemaAutoMerge = GraftQuery(
+    "q328_schema_automerge",
+    (s, dir) => {
+      val base = newTempDir("graft_automerge")
+      val root = base + "/o"
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("cust"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, root, orders, "k", nBuckets = 4)
+      // OFF: the wider batch must refuse, naming the property
+      val refused =
+        try {
+          GraftTable.upsert(s, root,
+            orders.filter(col("k") % 59 === 3)
+              .withColumn("channel", lit("web")), "k")
+          false
+        } catch {
+          case e: IllegalArgumentException =>
+            e.getMessage.contains("graft.schema.autoMerge")
+        }
+      GraftTable.setTableProperty(s, root, "graft.schema.autoMerge", "true")
+      // ON: wide upsert evolves; narrow upsert null-fills (and, for
+      // matched rows, keeps every column it doesn't carry)
+      GraftTable.upsert(s, root,
+        orders.filter(col("k") % 59 === 3)
+          .withColumn("cents", col("cents") + 1000L)
+          .withColumn("channel", lit("web")), "k")
+      GraftTable.upsert(s, root,
+        orders.filter(col("k") % 61 === 7)
+          .select(col("k"), lit(77L).as("cents")), "k")
+      val t = GraftTable.read(s, root)
+      val ok = refused &&
+        t.columns.toSeq == Seq("k", "cust", "cents", "channel")
+      t.filter(col("k") % 13 === 1)
+        .select(col("k"), col("cust"), col("cents"), col("channel"))
+        .withColumn("ok", lit(ok))
+        .orderBy("k")
+    },
+    Some("""WITH o AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |    CAST(o_custkey AS BIGINT) AS cust,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM orders)
+           |SELECT k, cust,
+           |  CASE WHEN k % 61 = 7 THEN 77
+           |       WHEN k % 59 = 3 THEN cents + 1000 ELSE cents END AS cents,
+           |  CASE WHEN k % 59 = 3 THEN 'web' ELSE NULL END AS channel,
+           |  true AS ok
+           |FROM o WHERE k % 13 = 1 ORDER BY k""".stripMargin))
+
+  /** TRANSPARENT MV REWRITE (round 15): a registered, FRESH
+    * materialized view answers a matching `GROUP BY` over its source
+    * without the query text changing — the Catalyst rule
+    * ([[graft.sources.GraftMvRewrite]], opt-in via
+    * `spark.graft.mv.rewrite.views`) swaps the Aggregate for a
+    * projection of the MV under the aggregate's own expression ids.
+    * `ok` pins BOTH plan directions: the fresh query's executed plan
+    * reads the MV's files (a 100 TB fact's GROUP BY becomes a read of
+    * the groups-sized answer), and after one more source commit the
+    * STALE MV is left alone — the same query then reads the source
+    * (wrong is worse than slow; `REFRESH` re-arms). The emitted rows
+    * come from the REWRITTEN query and hash-compare against DuckDB's
+    * direct aggregation — proving the swap changes bytes read, not
+    * answers. */
+  val q329MvRewrite = GraftQuery(
+    "q329_mv_rewrite",
+    (s, dir) => {
+      val base = newTempDir("graft_mv_rewrite")
+      val src = base + "/src"
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("cust"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, src, orders, "k", nBuckets = 4)
+      GraftMv.create(s, base + "/mv", src, "cust",
+        Seq(MvAgg("count", "", "n"), MvAgg("sum", "cents", "sv"),
+          MvAgg("avg", "cents", "av")), nBuckets = 4)
+      s.conf.set("spark.sql.catalog.gmvrw", classOf[graft.sources
+        .GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gmvrw.base", base)
+      s.conf.set("spark.graft.mv.rewrite.views", base + "/mv")
+      try {
+        val q = s.sql(
+          "SELECT cust, count(*) AS n_orders, sum(cents) AS cents_sum, " +
+            "round(avg(cents), 4) AS cents_avg " +
+            "FROM gmvrw.src GROUP BY cust")
+        val servedFromMv =
+          q.queryExecution.executedPlan.toString.contains(base + "/mv")
+        val rows = q.filter(col("cust") % 10 === 4).orderBy("cust")
+          .collect().toSeq
+        // staleness control: one more source commit, same query text —
+        // the rule must now leave the plan alone
+        GraftTable.upsert(s, src,
+          orders.limit(1).withColumn("k", lit(99999999L)), "k")
+        val q2 = s.sql(
+          "SELECT cust, count(*) AS n FROM gmvrw.src GROUP BY cust")
+        val staleLeftAlone =
+          !q2.queryExecution.executedPlan.toString.contains(base + "/mv")
+        val ok = servedFromMv && staleLeftAlone
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, org.apache.spark.sql.types
+          .StructType(Seq(
+            org.apache.spark.sql.types.StructField("cust",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_orders",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("cents_sum",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("cents_avg",
+              org.apache.spark.sql.types.DoubleType))))
+          .withColumn("ok", lit(ok))
+      } finally s.conf.unset("spark.graft.mv.rewrite.views")
+    },
+    Some("""WITH o AS (
+           |  SELECT CAST(o_custkey AS BIGINT) AS cust,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM orders)
+           |SELECT cust, count(*) AS n_orders,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  round(avg(cents), 4) AS cents_avg, true AS ok
+           |FROM o WHERE cust % 10 = 4
+           |GROUP BY cust ORDER BY cust""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
@@ -4134,5 +4270,5 @@ object MaintenanceQueries {
     q315NdvCbo, q316BranchPublish, q317RuntimePrunedJoin, q318BranchMerge,
     q319SinkMor, q320BranchSqlWrites, q321TransformDpp,
     q322EqdelIngest, q323EqdelCdf, q324IncrementalMv, q325SpjJoin,
-    q326BucketPointLookup, q327FilteredAvgMv)
+    q326BucketPointLookup, q327FilteredAvgMv, q328SchemaAutoMerge, q329MvRewrite)
 }

@@ -176,6 +176,24 @@ object GraftMv {
     srcV
   }
 
+  /** Definition facts the TRANSPARENT REWRITE rule needs:
+    * (sourceRoot, group, aggs, lastVersionCaughtUpTo, filter). None if
+    * no MV lives at `mvRoot`. */
+  private[sources] def defFor(spark: SparkSession, mvRoot: String)
+    : Option[(String, String, Seq[MvAgg], Int, Option[String])] = {
+    val p = defPath(mvRoot)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else {
+      val d = readDef(spark, mvRoot)
+      // an UNRESOLVED crash intent means the cursor may understate
+      // lastV — the conservative read for freshness is "not fresh";
+      // refresh() recovery will settle it
+      val lastV = if (d.pending.isDefined) -1 else d.lastV
+      Some((d.source, d.group, d.aggs, lastV, d.filter))
+    }
+  }
+
   /** The MV's rows WITHOUT the bookkeeping columns — avg aliases are
     * served here as `sum / count` from the hidden exact pair (NULL
     * when no non-null contribution lives, the SQL avg rule). */

@@ -2100,9 +2100,57 @@ object GraftTable {
     * the raw fail-fast behavior back.
     *
     * Returns (newVersion, nFilesRewritten, nFilesCarried). */
-  def upsert(spark: SparkSession, root: String, batch: DataFrame,
+  /** SCHEMA AUTO-MERGE (`graft.schema.autoMerge = true`, the Delta
+    * `mergeSchema` idiom): when the property is on, a batch whose
+    * schema drifts from the table's is ALIGNED instead of refused —
+    * columns the table lacks are added first (a metadata-only
+    * [[evolveAddColumns]] commit: old files read NULL for them,
+    * nothing rewrites), and columns the batch lacks ride as NULLs
+    * (the keyed merge's column-wise coalesce then keeps the target's
+    * value for matched rows — a narrow CDC producer can't erase
+    * columns it doesn't know about). OFF by default: silent widening
+    * would let one typo'd producer mutate the schema forever; the
+    * refusal message names the property. `keep` columns (the CDC op
+    * column) pass through untouched.
+    *
+    * At 100 TB this is the difference between "the upstream service
+    * added a field, the ingest stream keeps flowing" and "every
+    * consumer pages someone to run a migration": the evolve commit is
+    * O(metadata) and the very next micro-batch lands with the new
+    * column populated. */
+  private def autoMergeAlign(spark: SparkSession, root: String,
+      batch: DataFrame, keep: Seq[String]): DataFrame = {
+    val tbl = tableSchema(spark, root, latestVersion(spark, root))
+    val dataFields = batch.schema.fields.filterNot(f => keep.contains(f.name))
+    val sameSet = dataFields.map(_.name).sorted
+      .sameElements(tbl.fieldNames.sorted)
+    if (sameSet) return batch // the normal path: zero overhead
+    val on = tableProperties(spark, root)
+      .get("graft.schema.autoMerge").exists(_.equalsIgnoreCase("true"))
+    require(on, {
+      val extra = dataFields.map(_.name).filterNot(tbl.fieldNames.contains)
+      val missing = tbl.fieldNames.filterNot(n =>
+        dataFields.exists(_.name == n))
+      "batch schema must match table schema (batch adds " +
+        s"[${extra.mkString(", ")}], lacks [${missing.mkString(", ")}]) — " +
+        "set TBLPROPERTIES ('graft.schema.autoMerge' = 'true') to evolve " +
+        "the table and NULL-fill narrow batches automatically"
+    })
+    val extra = dataFields.filterNot(f => tbl.fieldNames.contains(f.name))
+    if (extra.nonEmpty)
+      evolveAddColumns(spark, root, extra.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, f.dataType,
+          nullable = true)).toSeq)
+    val evolved = tableSchema(spark, root, latestVersion(spark, root))
+    batch.select(evolved.fields.map(f =>
+      if (batch.schema.fieldNames.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)) ++ keep.map(col): _*)
+  }
+
+  def upsert(spark: SparkSession, root: String, batch0: DataFrame,
       key: String, nBuckets: Int = 8, maxRetries: Int = 2,
       staleTxnMs: Long = 600000L): (Int, Int, Int) = {
+    val batch = autoMergeAlign(spark, root, batch0, Seq.empty)
     var attempt = 0
     while (true) {
       try return upsertOnce(spark, root, batch, key, nBuckets)
@@ -2405,9 +2453,12 @@ object GraftTable {
     * semantics are per-key against the current snapshot, so a redo
     * against the winner's snapshot is correct).
     * Returns (newVersion, nFilesRewritten, nFilesCarried). */
-  def applyCdcBatch(spark: SparkSession, root: String, batch: DataFrame,
+  def applyCdcBatch(spark: SparkSession, root: String, batch0: DataFrame,
       key: String, opCol: String = "_op", nBuckets: Int = 8,
       maxRetries: Int = 2): (Int, Int, Int) = {
+    // schema auto-merge applies to the CDC path too — the op column
+    // rides through the alignment untouched (see [[autoMergeAlign]])
+    val batch = autoMergeAlign(spark, root, batch0, Seq(opCol))
     var attempt = 0
     while (true) {
       try return applyCdcBatchOnce(spark, root, batch, key, opCol, nBuckets)

@@ -1,0 +1,137 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** TRANSPARENT MV REWRITE: a registered, FRESH [[GraftMv]] answers a
+  * matching GROUP BY over its source without the query changing — and
+  * never answers when stale, unregistered, or structurally different
+  * (wrong is worse than slow). */
+class GraftMvRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_mv_rewrite_spec").toString
+
+  private def src(n: Int) = spark.range(1, n + 1).select(
+    $"id".as("k"), ($"id" % 20).as("g"), ($"id" * 3).as("v"))
+
+  private def setup(): (String, String, String) = {
+    val d = freshDir()
+    GraftTable.create(spark, s"$d/src", src(400), "k", nBuckets = 2)
+    GraftMv.create(spark, s"$d/mv", s"$d/src", "g",
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv"),
+        MvAgg("avg", "v", "av")))
+    val cat = "gmvr" + math.abs(d.hashCode % 1000)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", d)
+    (d, cat, s"$d/mv")
+  }
+
+  private def withViews[T](mvRoot: String)(f: => T): T = {
+    spark.conf.set("spark.graft.mv.rewrite.views", mvRoot)
+    try f finally spark.conf.unset("spark.graft.mv.rewrite.views")
+  }
+
+  test("a fresh registered MV answers the GROUP BY — plan reads the " +
+      "MV, not the source; aliases are the query's own") {
+    val (d, cat, mv) = setup()
+    withViews(mv) {
+      val q = spark.sql(s"SELECT g, count(*) AS cnt, sum(v) AS total, " +
+        s"avg(v) AS mean FROM $cat.src GROUP BY g")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains(s"$d/mv"), s"plan must read the MV:\n$plan")
+      assert(!plan.contains(s"$cat.src"), s"plan must not read the source:\n$plan")
+      val got = q.orderBy("g").collect().toSeq
+      val want = src(400).groupBy("g")
+        .agg(count(lit(1)).as("cnt"), sum("v").as("total"),
+          avg("v").as("mean")).orderBy("g").collect().toSeq
+      assert(got === want)
+    }
+  }
+
+  test("staleness guard: a source commit without refresh disables the " +
+      "rewrite; REFRESH re-arms it") {
+    val (d, cat, mv) = setup()
+    GraftTable.upsert(spark, s"$d/src",
+      Seq((1000L, 7L, 999L)).toDF("k", "g", "v"), "k")
+    withViews(mv) {
+      val q = spark.sql(s"SELECT g, count(*) AS cnt FROM $cat.src GROUP BY g")
+      assert(q.queryExecution.optimizedPlan.toString.contains(s"$cat.src"),
+        "one version behind: the rule must leave the plan alone")
+      // the answer reflects the NEW row (correctness before speed)
+      assert(q.filter($"g" === 7).select("cnt").as[Long].head() === 21L)
+      GraftMv.refresh(spark, s"$d/mv")
+      val q2 = spark.sql(s"SELECT g, count(*) AS cnt FROM $cat.src GROUP BY g")
+      assert(q2.queryExecution.executedPlan.toString.contains(s"$d/mv"))
+      assert(q2.filter($"g" === 7).select("cnt").as[Long].head() === 21L)
+    }
+  }
+
+  test("no registration, wrong structure, or a filter: never rewrites") {
+    val (d, cat, mv) = setup()
+    // unregistered
+    val q0 = spark.sql(s"SELECT g, count(*) AS c FROM $cat.src GROUP BY g")
+    assert(q0.queryExecution.optimizedPlan.toString.contains(s"$cat.src"))
+    withViews(mv) {
+      // aggregate the MV does not maintain (sum of a different column)
+      val q1 = spark.sql(s"SELECT g, sum(k) AS sk FROM $cat.src GROUP BY g")
+      assert(q1.queryExecution.optimizedPlan.toString.contains(s"$cat.src"))
+      // a WHERE the MV doesn't carry
+      val q2 = spark.sql(s"SELECT g, count(*) AS c FROM $cat.src " +
+        "WHERE v > 100 GROUP BY g")
+      assert(q2.queryExecution.optimizedPlan.toString.contains(s"$cat.src"))
+      // grouping on a different column
+      val q3 = spark.sql(s"SELECT k, count(*) AS c FROM $cat.src GROUP BY k")
+      assert(q3.queryExecution.optimizedPlan.toString.contains(s"$cat.src"))
+      // min: not maintained by THIS mv
+      val q4 = spark.sql(s"SELECT g, min(v) AS m FROM $cat.src GROUP BY g")
+      assert(q4.queryExecution.optimizedPlan.toString.contains(s"$cat.src"))
+    }
+  }
+
+  test("filtered MV: an exactly-equal WHERE rewrites (commuted AND " +
+      "included); a different predicate never does") {
+    val d = freshDir()
+    GraftTable.create(spark, s"$d/src", src(400), "k", nBuckets = 2)
+    GraftMv.create(spark, s"$d/mvf", s"$d/src", "g",
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv")),
+      filter = Some("v >= 300 AND k % 2 = 0"))
+    val cat = "gmvrf" + math.abs(d.hashCode % 1000)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", d)
+    withViews(s"$d/mvf") {
+      // same predicate, commuted conjuncts, different literal spelling
+      val q = spark.sql(s"SELECT g, count(*) AS c, sum(v) AS s " +
+        s"FROM $cat.src WHERE k % 2 = 0 AND v >= 300 GROUP BY g")
+      assert(q.queryExecution.executedPlan.toString.contains(s"$d/mvf"),
+        "an exactly-equal filter must serve from the filtered MV")
+      val want = src(400).filter($"v" >= 300 && $"k" % 2 === 0)
+        .groupBy("g").agg(count(lit(1)).as("c"), sum("v").as("s"))
+        .orderBy("g").collect().toSeq
+      assert(q.orderBy("g").collect().toSeq === want)
+      // a DIFFERENT predicate must not
+      val q2 = spark.sql(s"SELECT g, count(*) AS c FROM $cat.src " +
+        "WHERE k % 2 = 0 AND v >= 400 GROUP BY g")
+      assert(q2.queryExecution.optimizedPlan.toString.contains(s"$cat.src"))
+      // and an UNFILTERED query must not serve from a filtered MV
+      val q3 = spark.sql(s"SELECT g, count(*) AS c FROM $cat.src GROUP BY g")
+      assert(q3.queryExecution.optimizedPlan.toString.contains(s"$cat.src"))
+    }
+  }
+
+  test("the rewrite composes: downstream operators consume the " +
+      "substituted plan unchanged") {
+    val (d, cat, mv) = setup()
+    withViews(mv) {
+      val q = spark.sql(
+        s"SELECT g, cnt FROM (SELECT g, count(*) AS cnt, sum(v) AS sv " +
+          s"FROM $cat.src GROUP BY g) WHERE cnt > 0 ORDER BY g DESC LIMIT 5")
+      assert(q.queryExecution.executedPlan.toString.contains(s"$d/mv"))
+      val got = q.collect().toSeq
+      assert(got.map(_.getLong(0)) === Seq(19L, 18L, 17L, 16L, 15L))
+      assert(got.forall(_.getLong(1) === 20L))
+    }
+  }
+}

@@ -184,6 +184,29 @@ class GraftSpjSpec extends SparkSpec {
     }
   }
 
+  test("partition-value mismatch: one side pruned to a bucket subset " +
+      "still joins shuffle-free (pushPartValues fills the gaps)") {
+    val base = freshBase()
+    mkHash(base + "/a", n = 8, rows = 800, buckets = 8)
+    mkHash(base + "/b", n = 8, rows = 800, buckets = 8)
+    spark.conf.set("spark.sql.catalog.gspj6", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gspj6.base", base)
+    bucketConfs {
+      // the IN list statically prunes side a to ≤3 buckets; side b
+      // keeps all 8 — partition values diverge and
+      // pushPartValues.enabled must reconcile them without a shuffle
+      val j = spark.sql(
+        "SELECT a.k, b.v AS bv FROM gspj6.a a JOIN gspj6.b b " +
+          "ON a.k = b.k WHERE a.k IN (10, 20, 30)")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucket-subset SPJ must not shuffle:\n$plan")
+      val rows = j.collect().sortBy(_.getLong(0))
+      assert(rows.map(_.getLong(0)).toSeq === Seq(10L, 20L, 30L))
+      assert(rows.forall(r => r.getLong(1) == r.getLong(0) * 7))
+    }
+  }
+
   test("GROUP BY on the layout key aggregates without a shuffle") {
     val base = freshBase()
     mkHash(base + "/t", n = 4, rows = 600)

@@ -1055,10 +1055,11 @@ class GraftSqlSpec extends SparkSpec {
     val sv7b = spark.sql("SELECT sv FROM gmv.mv WHERE g = 7").as[Long].head()
     assert(sv7b === (1 to 500).filter(i => i % 20 == 7 && i != 7)
       .map(_ * 3L).sum)
-    // unsupported select item refuses loudly
+    // avg is a supported MV aggregate since round 15 (hidden exact
+    // sum/count pair); a genuinely unsupported item still refuses loudly
     val e = intercept[IllegalArgumentException] {
       spark.sql("CREATE MATERIALIZED VIEW gmv.mv2 AS " +
-        "SELECT g, avg(v) AS a FROM gmv.msrc GROUP BY g")
+        "SELECT g, median(v) AS a FROM gmv.msrc GROUP BY g")
     }
     assert(e.getMessage.contains("unsupported select item"))
   }
