@@ -17,6 +17,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *   OPTIMIZE cat.t TARGET 500000 ROWS
   *   OPTIMIZE cat.t WHERE k BETWEEN a AND b -- SCOPED compaction
   *   OPTIMIZE cat.t ZORDER BY (c1, c2)     -- space-filling-curve layout
+  *   OPTIMIZE cat.t IF FRAGMENTED [RATIO r] -- small-file probe (free no-op)
   *   VACUUM cat.t                          -- sweep unreferenced files
   *   VACUUM cat.t RETAIN 5 VERSIONS
   *   VACUUM cat.t RETAIN 7 DAYS            -- durable-instant horizon
@@ -50,7 +51,8 @@ class GraftMaintenanceParser(delegate: ParserInterface)
     ("""(?is)\s*OPTIMIZE\s+([\w.`]+)""" +
       """(?:\s+TARGET\s+(\d+)\s+ROWS)?""" +
       """(?:\s+WHERE\s+([\w`]+)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+))?""" +
-      """(?:\s+ZORDER\s+BY\s*\(\s*([\w`]+)\s*,\s*([\w`]+)\s*\))?\s*;?\s*""").r
+      """(?:\s+ZORDER\s+BY\s*\(\s*([\w`]+)\s*,\s*([\w`]+)\s*\))?""" +
+      """(?:\s+(IF\s+FRAGMENTED)(?:\s+RATIO\s+([0-9.]+))?)?\s*;?\s*""").r
   private val Vacuum =
     ("""(?is)\s*VACUUM\s+([\w.`]+)""" +
       """(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|DAYS|HOURS))?\s*;?\s*""").r
@@ -84,7 +86,7 @@ class GraftMaintenanceParser(delegate: ParserInterface)
     ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Optimize(ident, target, wcol, wlo, whi, z1, z2) =>
+    case Optimize(ident, target, wcol, wlo, whi, z1, z2, ifFrag, fragRatio) =>
       GraftOptimizeCommand(parts(ident),
         Option(target).map(_.toLong).getOrElse(1000000L),
         (Option(z1), Option(z2)) match {
@@ -92,7 +94,9 @@ class GraftMaintenanceParser(delegate: ParserInterface)
           case _ => None
         },
         Option(wcol).map(c =>
-          (c.stripPrefix("`").stripSuffix("`"), wlo.toLong, whi.toLong)))
+          (c.stripPrefix("`").stripSuffix("`"), wlo.toLong, whi.toLong)),
+        ifFragmented = ifFrag != null,
+        fragRatio = Option(fragRatio).map(_.toDouble))
     case Vacuum(ident, retain, unit) =>
       (Option(retain), Option(unit).map(_.toUpperCase)) match {
         case (Some(n), Some("DAYS")) =>
@@ -199,7 +203,9 @@ private[sources] object GraftMaintenance {
   * (or curve-layout) through the Scala API's commit machinery. */
 case class GraftOptimizeCommand(parts: Seq[String], targetRows: Long,
     zorder: Option[(String, String)],
-    range: Option[(String, Long, Long)] = None) extends LeafRunnableCommand {
+    range: Option[(String, Long, Long)] = None,
+    ifFragmented: Boolean = false,
+    fragRatio: Option[Double] = None) extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
@@ -225,9 +231,26 @@ case class GraftOptimizeCommand(parts: Seq[String], targetRows: Long,
     }
     zorder match {
       case Some((c1, c2)) =>
+        require(!ifFragmented,
+          "OPTIMIZE ... IF FRAGMENTED is the bin-pack probe; drop the " +
+            "ZORDER clause")
         val (v, written) =
           GraftTable.optimizeZOrder(spark, root, key, c1, c2, targetRows)
         Seq(Row(v.toLong, written, 0))
+      case None if ifFragmented =>
+        // `IF FRAGMENTED [RATIO r]`: the small-file probe — one
+        // manifest listing; under-ratio tables no-op for free (the
+        // ABSORB DELETES / COMPACT LOG idiom)
+        require(keyRange.isEmpty,
+          "OPTIMIZE ... IF FRAGMENTED probes the whole table; drop " +
+            "the WHERE range or the IF FRAGMENTED clause")
+        GraftTable.optimizeIfFragmented(spark, root, key, targetRows,
+            fragRatio) match {
+          case Some((v, rewritten, carried)) =>
+            Seq(Row(v.toLong, rewritten, carried))
+          case None =>
+            Seq(Row(GraftTable.latestVersion(spark, root).toLong, 0, 0))
+        }
       case None =>
         val (v, rewritten, carried) =
           GraftTable.optimize(spark, root, key, targetRows,

@@ -43,10 +43,81 @@ import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, Data
   * materialized views" (SIGMOD '01) for the containment framing. */
 case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 
-  private def registered: Seq[String] =
-    session.conf.getOption("spark.graft.mv.rewrite.views")
+  private def registered: Seq[String] = {
+    val explicit = session.conf.getOption("spark.graft.mv.rewrite.views")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    // DISCOVERY mode: point at warehouse base dir(s) — every child
+    // table carrying an MV definition becomes a rewrite candidate, so
+    // `CREATE MATERIALIZED VIEW cat.mv AS …` is immediately servable
+    // with zero further registration (the Snowflake UX). One listing
+    // per TTL window per base; the per-MV def/freshness checks below
+    // are unchanged.
+    val discovered = session.conf
+      .getOption("spark.graft.mv.rewrite.discover")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+      .flatMap(memoDiscover)
+    (explicit ++ discovered).distinct
+  }
+
+  private val discoverMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Seq[String])]()
+
+  private def memoDiscover(base: String): Seq[String] = {
+    val now = System.currentTimeMillis()
+    val hit = discoverMemo.get(base)
+    if (hit != null && now - hit._1 < memoTtlMs) hit._2
+    else {
+      val v = try {
+        val p = new org.apache.hadoop.fs.Path(base)
+        val f = p.getFileSystem(session.sparkContext.hadoopConfiguration)
+        if (!f.exists(p)) Seq.empty
+        else f.listStatus(p).filter(_.isDirectory).map(_.getPath)
+          .filter(d => f.exists(
+            new org.apache.hadoop.fs.Path(d, "_log/mv.def")))
+          .map(_.toUri.getPath).toSeq
+      } catch { case _: Exception => Seq.empty }
+      discoverMemo.put(base, (now, v))
+      v
+    }
+  }
+
+  /** PLANNING-TAX guard: the operator-optimization batch runs to a
+    * fixed point, re-visiting every non-matching Aggregate each
+    * iteration — without a memo each visit would re-read the MV def
+    * and re-list the source's version log. A sub-second TTL keeps
+    * those at ~one metadata read per QUERY while still observing a
+    * refresh that lands between queries (planning of a single query
+    * is far shorter than the TTL). */
+  private val memoTtlMs = 500L
+  private val defMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Option[(String, String, Seq[MvAgg], Int, Option[String])])]()
+  private val headMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Int)]()
+
+  private def memoDef(mvRoot: String)
+    : Option[(String, String, Seq[MvAgg], Int, Option[String])] = {
+    val now = System.currentTimeMillis()
+    val hit = defMemo.get(mvRoot)
+    if (hit != null && now - hit._1 < memoTtlMs) hit._2
+    else {
+      val v = GraftMv.defFor(session, mvRoot)
+      defMemo.put(mvRoot, (now, v))
+      v
+    }
+  }
+
+  private def memoHead(root: String): Int = {
+    val now = System.currentTimeMillis()
+    val hit = headMemo.get(root)
+    if (hit != null && now - hit._1 < memoTtlMs) hit._2
+    else {
+      val v = GraftTable.latestVersion(session, root)
+      headMemo.put(root, (now, v))
+      v
+    }
+  }
 
   /** The graft table root a plan node scans, if it is a plain
     * (unfiltered, unprojected-or-attr-only) read of one. */
@@ -199,11 +270,11 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         val (cond, rel) = peel(child0)
         val srcRoot = rootOf(rel).get
         val candidate = views.iterator.flatMap { mvRoot =>
-          GraftMv.defFor(session, mvRoot) match {
+          memoDef(mvRoot) match {
             case Some((source, group, mvAggs, lastV, mvFilter))
                 if source == srcRoot && group == g.name &&
                   lastV >= 0 &&
-                  lastV == GraftTable.latestVersion(session, source) &&
+                  lastV == memoHead(source) &&
                   // unfiltered query ↔ unfiltered MV; filtered query ↔
                   // an MV whose predicate means exactly the same
                   ((cond, mvFilter) match {

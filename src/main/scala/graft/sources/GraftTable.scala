@@ -3368,6 +3368,35 @@ object GraftTable {
     * the debt is bounded without anyone remembering to OPTIMIZE.
     * Returns None when below threshold (free no-op), Some(absorb
     * result) when it fired. */
+  /** AUTO-COMPACTION probe — the small-file analog of
+    * [[absorbDvsIfDirty]]: one manifest listing decides, and the
+    * table compacts only when fragmentation crossed the line. A file
+    * is "small" below `targetRows / 2` live rows (half the compaction
+    * target — files the binning would merge anyway); the probe fires
+    * a full [[optimize]] when the SMALL-FILE share of the file count
+    * exceeds `graft.compact.maxSmallFileRatio` (property, default
+    * 0.5, overridable per call) AND at least two small files exist
+    * (one can't compact with itself). Below the line it is a free
+    * no-op — safe to run after every streaming batch or on a
+    * maintenance cron, which is the point: minute-trigger ingest
+    * produces a file per trigger, and THIS is the closed loop that
+    * keeps the file count O(data / target) instead of O(triggers). */
+  def optimizeIfFragmented(spark: SparkSession, root: String, key: String,
+      targetRows: Long, ratioOverride: Option[Double] = None)
+    : Option[(Int, Int, Int)] = {
+    val ratio = ratioOverride.orElse(
+      tableProperties(spark, root).get("graft.compact.maxSmallFileRatio")
+        .map(_.toDouble)).getOrElse(0.5)
+    require(ratio > 0.0 && ratio <= 1.0,
+      s"graft.compact.maxSmallFileRatio must be in (0, 1], got $ratio")
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val entries = loadManifest(spark, root, latestVersion(spark, root))
+    if (entries.isEmpty) return None
+    val small = entries.count(_.liveRows < targetRows / 2)
+    if (small < 2 || small.toDouble / entries.size <= ratio) None
+    else Some(optimize(spark, root, key, targetRows))
+  }
+
   def absorbDvsIfDirty(spark: SparkSession, root: String, key: String,
       ratioOverride: Option[Double] = None): Option[(Int, Int, Int)] = {
     val ratio = ratioOverride.orElse(

@@ -121,6 +121,21 @@ class GraftMvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("discovery mode: pointing at the warehouse base serves every " +
+      "MV in it with zero per-view registration") {
+    val (d, cat, _) = setup()
+    spark.conf.set("spark.graft.mv.rewrite.discover", d)
+    try {
+      // memoDiscover TTL is sub-second; the MV existed before the conf
+      val q = spark.sql(s"SELECT g, count(*) AS c FROM $cat.src GROUP BY g")
+      assert(q.queryExecution.executedPlan.toString.contains(s"$d/mv"),
+        "the discovered MV must serve")
+      assert(q.orderBy("g").collect().toSeq ===
+        src(400).groupBy("g").agg(count(lit(1)).as("c"))
+          .orderBy("g").collect().toSeq)
+    } finally spark.conf.unset("spark.graft.mv.rewrite.discover")
+  }
+
   test("the rewrite composes: downstream operators consume the " +
       "substituted plan unchanged") {
     val (d, cat, mv) = setup()

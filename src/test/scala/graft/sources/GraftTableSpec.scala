@@ -582,6 +582,58 @@ class GraftTableSpec extends SparkSpec {
       GraftTable.latestVersion(spark, root)))
   }
 
+  test("optimizeIfFragmented: a defragmented table no-ops for free; a " +
+    "fragmented one compacts once and the probe goes quiet again") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, base(1000), "k", nBuckets = 2)
+    // a healthy layout (2 big files) must NOT fire at target 800:
+    // files hold ~500 live rows ≥ target/2
+    assert(GraftTable.optimizeIfFragmented(spark, root, "k", 800L) === None)
+    assert(GraftTable.latestVersion(spark, root) === 0)
+    // fragment it: 6 tiny inserts, one file each (the per-trigger
+    // streaming shape)
+    (1 to 6).foreach { i =>
+      GraftTable.upsert(spark, root,
+        Seq((2000L + i, s"frag$i", 0L)).toDF("k", "name", "v"),
+        "k", nBuckets = 1)
+    }
+    val vFrag = GraftTable.latestVersion(spark, root)
+    val nFiles = manifestLines(root, vFrag).size
+    assert(nFiles >= 8)
+    val before = GraftTable.read(spark, root)
+      .agg(sum(hash($"k", $"name", $"v").cast("long")), count(lit(1)))
+      .as[(Long, Long)].head()
+    // 6 of 8 files are tiny: past the default 0.5 ratio → compacts
+    val Some((v, rewritten, _)) =
+      GraftTable.optimizeIfFragmented(spark, root, "k", 800L)
+    assert(v === vFrag + 1 && rewritten >= 6)
+    assert(manifestLines(root, v).size < nFiles)
+    val after = GraftTable.read(spark, root)
+      .agg(sum(hash($"k", $"name", $"v").cast("long")), count(lit(1)))
+      .as[(Long, Long)].head()
+    assert(after === before, "compaction must not change logical content")
+    // and the probe is quiet again — idempotent maintenance loop
+    assert(GraftTable.optimizeIfFragmented(spark, root, "k", 800L) === None)
+    // the SQL form: fragment again, IF FRAGMENTED fires; a second
+    // run reports zero rewrites (version unchanged)
+    (1 to 6).foreach { i =>
+      GraftTable.upsert(spark, root,
+        Seq((3000L + i, s"f2$i", 0L)).toDF("k", "name", "v"),
+        "k", nBuckets = 1)
+    }
+    val baseDir = new java.io.File(root).getParent
+    spark.conf.set("spark.sql.catalog.gfrag", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfrag.base", baseDir)
+    val name = new java.io.File(root).getName
+    val r1 = spark.sql(
+      s"OPTIMIZE gfrag.$name TARGET 800 ROWS IF FRAGMENTED").collect()(0)
+    assert(r1.getInt(1) >= 6)
+    val r2 = spark.sql(
+      s"OPTIMIZE gfrag.$name TARGET 800 ROWS IF FRAGMENTED RATIO 0.5")
+      .collect()(0)
+    assert(r2.getInt(1) === 0, "a compacted table must no-op")
+  }
+
   test("streaming sink honors the DML policy: micro-batch upserts " +
     "rewrite ZERO pre-existing data files (merge-on-read), the replay " +
     "guard is unchanged, and absorption closes the loop") {
