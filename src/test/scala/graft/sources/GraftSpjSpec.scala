@@ -226,6 +226,57 @@ class GraftSpjSpec extends SparkSpec {
     }
   }
 
+  test("equality deletes on a hash table: pending keys mask through " +
+      "the SPJ read; resolution restores the clean plan") {
+    val base = freshBase()
+    mkHash(base + "/a", n = 4, rows = 300)
+    mkHash(base + "/b", n = 4, rows = 300)
+    // append-only upsert: fresh bucketed files + a pending key list
+    GraftTable.appendUpsert(spark, base + "/a",
+      Seq((7L, "eq7", -7L), (301L, "new301", 1L)).toDF("k", "name", "v"),
+      "k")
+    spark.conf.set("spark.sql.catalog.gspj7", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gspj7.base", base)
+    bucketConfs {
+      val j = spark.sql("SELECT a.k, a.name AS an FROM gspj7.a a " +
+        "JOIN gspj7.b b ON a.k = b.k")
+      // the eqdel-masked split still carries its bucket key: the join
+      // stays shuffle-free even while keys pend
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"SPJ must survive pending equality deletes:\n$plan")
+      val rows = j.collect().sortBy(_.getLong(0))
+      assert(rows.length === 300) // 301 is not in b
+      assert(rows.find(_.getLong(0) == 7L).get.getString(1) === "eq7",
+        "the eqdel upsert's postimage must serve; the retired row must not")
+    }
+    // resolve + absorb: layout intact, content identical
+    GraftTable.resolveEqDels(spark, base + "/a", "k")
+    GraftTable.absorbDvs(spark, base + "/a", "k")
+    val v = GraftTable.latestVersion(spark, base + "/a")
+    assert(GraftTable.snapshotFilesWithDvs(spark, base + "/a", v).forall(t =>
+      GraftTable.fileBucket(t._1.getPath.toUri.getPath).isDefined))
+    assert(GraftTable.read(spark, base + "/a")
+      .filter($"k" === 7).select("name").as[String].head() === "eq7")
+  }
+
+  test("change feed over a hash table: the CDC stream a replica " +
+      "replays is exact across bucketed rewrites") {
+    val base = freshBase()
+    mkHash(base + "/t", n = 4, rows = 200)
+    GraftTable.upsert(spark, base + "/t",
+      Seq((5L, "u5", -5L), (201L, "new", 1L)).toDF("k", "name", "v"), "k")
+    GraftTable.deleteWhereDv(spark, base + "/t", $"k" === 10)
+    val feed = GraftTable.changes(spark, base + "/t", 0, 2, "k")
+    val byOp = feed.groupBy("_change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byOp.getOrElse("insert", 0L) === 1L)
+    assert(byOp.getOrElse("update", 0L) === 1L)
+    assert(byOp.getOrElse("delete", 0L) === 1L)
+    assert(feed.filter($"_change" === "update")
+      .select("name").as[String].head() === "u5")
+  }
+
   test("metadata-served aggregates and SQL CREATE carry the layout") {
     val base = freshBase()
     spark.conf.set("spark.sql.catalog.gspj4", classOf[GraftCatalog].getName)
