@@ -1710,7 +1710,23 @@ class GraftMetaTable(root: String, kind: String, version: Int)
                 // property — shown so DESCRIBE-style tooling sees it)
                 val layoutRow = GraftTable.hashLayout(spark, root)
                   .map(n => "graft.layout" -> s"hash($n)").toSeq
-                (GraftTable.tableProperties(spark, root).toSeq ++ layoutRow)
+                // a materialized view's definition rows make the MV
+                // self-describing: source, group, aggregates, filter,
+                // and the refresh cursor (what freshness tooling and
+                // the rewrite rule key on)
+                val mvRows = GraftMv.defFor(spark, root).toSeq.flatMap {
+                  case (source, group, aggs, lastV, filter) =>
+                    Seq("graft.mv.source" -> source,
+                      "graft.mv.group" -> group,
+                      "graft.mv.aggs" -> aggs.map(a =>
+                        if (a.kind == "count") s"count(*) AS ${a.alias}"
+                        else s"${a.kind}(${a.col}) AS ${a.alias}")
+                        .mkString(", "),
+                      "graft.mv.lastSourceVersion" -> lastV.toString) ++
+                      filter.map("graft.mv.filter" -> _).toSeq
+                }
+                (GraftTable.tableProperties(spark, root).toSeq ++
+                  layoutRow ++ mvRows)
                   .sortBy(_._1)
                   .map { case (k, v) =>
                     new GenericInternalRow(Array[Any](

@@ -136,6 +136,26 @@ class GraftMvRewriteSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.mv.rewrite.discover")
   }
 
+  test("$properties makes an MV self-describing: source, group, " +
+      "aggs, and the refresh cursor") {
+    val (d, cat, _) = setup()
+    val props = spark.sql(
+      s"SELECT property, value FROM $cat.`mv$$properties` " +
+        "WHERE property LIKE 'graft.mv.%'")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.mv.source") === s"$d/src")
+    assert(props("graft.mv.group") === "g")
+    assert(props("graft.mv.aggs") ===
+      "count(*) AS n, sum(v) AS sv, avg(v) AS av")
+    assert(props("graft.mv.lastSourceVersion") === "0")
+    GraftTable.upsert(spark, s"$d/src",
+      Seq((999L, 3L, 1L)).toDF("k", "g", "v"), "k")
+    GraftMv.refresh(spark, s"$d/mv")
+    assert(spark.sql(s"SELECT value FROM $cat.`mv$$properties` " +
+        "WHERE property = 'graft.mv.lastSourceVersion'")
+      .as[String].head() === "1")
+  }
+
   test("the rewrite composes: downstream operators consume the " +
       "substituted plan unchanged") {
     val (d, cat, mv) = setup()
