@@ -3825,7 +3825,8 @@ object MaintenanceQueries {
   /** INCREMENTAL MATERIALIZED VIEWS (round 15): [[GraftMv]] keeps a
     * GROUP BY fresh by CHANGE-FEED DELTA instead of recompute — the
     * scale-path replacement for the reference's rebuilt-wholesale
-    * rollup tables (analysis_summary.sql). Two MVs over one source
+    * rollup relations (the `fact_staging1..3` CTAS chain,
+    * FactTable.sql:15-110). Two MVs over one source
     * exercise both refresh planes: count/sum advances by PURE ±
     * MERGE (the source is never read — cost O(feed) at any source
     * size), min/max re-aggregates only the DIRTY groups (a deleted

@@ -44,8 +44,10 @@ final case class MvAgg(kind: String, col: String, alias: String) {
   * double-applies a delta window. Single concurrent refresher
   * assumed (it is a maintenance job, like OPTIMIZE).
   *
-  * Refs: reference rollup tables are rebuilt wholesale
-  * (analysis_summary.sql); this is the scale-path replacement. */
+  * Refs: the reference's rollup relations are rebuilt wholesale — the
+  * `fact_staging1..3` CTAS chain (FactTable.sql:15-110) recomputes
+  * every aggregation level from scratch on each run; this is the
+  * scale-path replacement. */
 object GraftMv {
 
   private def defPath(mvRoot: String) =
@@ -75,6 +77,9 @@ object GraftMv {
     val os = f.create(p, true)
     try os.write(render(d).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
+    // a cursor advance changes rewrite-visible freshness exactly like
+    // a table commit — invalidate same-session planning memos
+    GraftTable.commitEpoch.incrementAndGet()
   }
 
   private def readDef(spark: SparkSession, mvRoot: String): MvDef = {
@@ -155,7 +160,11 @@ object GraftMv {
     require(aggs.nonEmpty, "an MV needs at least one aggregate")
     require(aggs.map(_.alias).distinct.size == aggs.size,
       "MV aliases must be distinct")
-    require(!aggs.exists(_.alias == HiddenN), s"$HiddenN is reserved")
+    require(!aggs.exists(_.alias.startsWith("__mv_")),
+      "MV aliases must not start with the reserved '__mv_' prefix " +
+        "(it names the hidden bookkeeping columns)")
+    require(!group.startsWith("__mv_"),
+      "MV group column must not start with the reserved '__mv_' prefix")
     filter.foreach(f => require(!f.exists(c => c == '\t' || c == '\n'),
       "MV filter must be a single-line SQL expression"))
     val srcV = GraftTable.latestVersion(spark, sourceRoot)

@@ -88,47 +88,61 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     * iteration — without a memo each visit would re-read the MV def
     * and re-list the source's version log. A sub-second TTL keeps
     * those at ~one metadata read per QUERY while still observing a
-    * refresh that lands between queries (planning of a single query
-    * is far shorter than the TTL). */
+    * refresh that lands between queries. Every memo additionally
+    * carries the [[GraftTable.commitEpoch]] it was read at and is
+    * DEAD the instant any same-session commit (table write or MV
+    * cursor advance) lands — read-your-writes freshness is exact
+    * in-process; only cross-process writers see the TTL window, which
+    * is equivalent to the unavoidable plan-to-execute TOCTOU any
+    * planning-time freshness check carries. */
   private val memoTtlMs = 500L
   private val defMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, Option[(String, String, Seq[MvAgg], Int, Option[String])])]()
+    String, (Long, Long, Option[(String, String, Seq[MvAgg], Int, Option[String])])]()
   private val headMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, Int)]()
+    String, (Long, Long, Int)]()
 
   private def memoDef(mvRoot: String)
     : Option[(String, String, Seq[MvAgg], Int, Option[String])] = {
     val now = System.currentTimeMillis()
+    val epoch = GraftTable.commitEpoch.get()
     val hit = defMemo.get(mvRoot)
-    if (hit != null && now - hit._1 < memoTtlMs) hit._2
+    if (hit != null && hit._1 == epoch && now - hit._2 < memoTtlMs) hit._3
     else {
       val v = GraftMv.defFor(session, mvRoot)
-      defMemo.put(mvRoot, (now, v))
+      defMemo.put(mvRoot, (epoch, now, v))
       v
     }
   }
 
   private def memoHead(root: String): Int = {
     val now = System.currentTimeMillis()
+    val epoch = GraftTable.commitEpoch.get()
     val hit = headMemo.get(root)
-    if (hit != null && now - hit._1 < memoTtlMs) hit._2
+    if (hit != null && hit._1 == epoch && now - hit._2 < memoTtlMs) hit._3
     else {
       val v = GraftTable.latestVersion(session, root)
-      headMemo.put(root, (now, v))
+      headMemo.put(root, (epoch, now, v))
       v
     }
   }
 
-  /** The graft table root a plan node scans, if it is a plain
-    * (unfiltered, unprojected-or-attr-only) read of one. */
-  private def rootOf(plan: LogicalPlan): Option[String] = plan match {
+  /** The graft table root a plan node scans — WITH the snapshot
+    * version the scan is pinned to — if it is a plain (unfiltered,
+    * unprojected-or-attr-only) read of one. The version matters:
+    * `.option("versionAsOf", v)` loads stay `writable = true`, so a
+    * GROUP BY over a HISTORICAL snapshot reaches here too, and
+    * serving it from an MV sitting at the source's head would be
+    * silently wrong — the caller requires the pinned version to equal
+    * the MV's refresh cursor before rewriting. */
+  private def rootOf(plan: LogicalPlan): Option[(String, Int)] = plan match {
     case r: DataSourceV2Relation => r.table match {
-      case t: GraftSqlTable if t.writable => Some(t.root)
+      case t: GraftSqlTable if t.writable =>
+        Some((t.root, t.snapshotVersion))
       case _ => None
     }
     case s: DataSourceV2ScanRelation => s.scan match {
       case g: GraftBatchScan if g.pushedAgg.isEmpty && g.branch.isEmpty =>
-        Some(g.root)
+        Some((g.root, g.version))
       case _ => None
     }
     // a column-pruning Project of plain attributes is transparent
@@ -226,20 +240,40 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       // conjunct-SET comparison: the optimizer's
       // InferFiltersFromConstraints decorates the plan's filter with
       // `isnotnull` conjuncts IMPLIED by its null-intolerant
-      // predicates — those are discardable iff the attribute is
-      // referenced by an MV-side conjunct (which, being the same
-      // null-intolerant predicate, rejects NULLs identically at the
-      // MV's own build/refresh filter)
+      // predicates — those are discardable iff some MV-side conjunct
+      // referencing the attribute is itself NULL-INTOLERANT in it
+      // (then the MV's own build/refresh filter rejected NULLs
+      // identically, so the isnotnull adds nothing). Reference alone
+      // is NOT enough: an MV filter like `v IS NULL OR v > 3`
+      // references v but KEEPS its NULL rows — discarding the query's
+      // `v IS NOT NULL` against it would serve rows the query
+      // excludes.
       def conjuncts(e: Expression): Seq[Expression] = e match {
         case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
           conjuncts(l) ++ conjuncts(r)
         case x => Seq(x)
       }
+      // conservatively null-intolerant: the tree contains NO node that
+      // can evaluate to TRUE while a referenced input is NULL — any
+      // Or / null-test / coalesce / conditional / negation anywhere
+      // disqualifies (over-refusing only skips a rewrite, never
+      // serves a wrong row)
+      def nullIntolerant(e: Expression): Boolean = {
+        import org.apache.spark.sql.catalyst.expressions._
+        def tolerant(x: Expression): Boolean = x match {
+          case _: Or | _: Not | _: IsNull | _: IsNotNull |
+               _: EqualNullSafe | _: Coalesce | _: CaseWhen | _: If |
+               _: AtLeastNNonNulls | _: Nvl2 | _: NullIf => true
+          case _ => x.children.exists(tolerant)
+        }
+        !tolerant(e)
+      }
       val mvCs = conjuncts(coerced)
-      val mvRefIds = mvCs.flatMap(_.references.toSeq).map(_.exprId).toSet
+      val mvStrictIds = mvCs.filter(nullIntolerant)
+        .flatMap(_.references.toSeq).map(_.exprId).toSet
       val planCs = conjuncts(cond).filterNot {
         case org.apache.spark.sql.catalyst.expressions
-          .IsNotNull(a: AttributeReference) => mvRefIds.contains(a.exprId)
+          .IsNotNull(a: AttributeReference) => mvStrictIds.contains(a.exprId)
         case _ => false
       }
       planCs.size == mvCs.size &&
@@ -268,12 +302,18 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child0, _)
           if rootOf(peel(child0)._2).isDefined =>
         val (cond, rel) = peel(child0)
-        val srcRoot = rootOf(rel).get
+        val (srcRoot, scanV) = rootOf(rel).get
         val candidate = views.iterator.flatMap { mvRoot =>
           memoDef(mvRoot) match {
             case Some((source, group, mvAggs, lastV, mvFilter))
                 if source == srcRoot && group == g.name &&
                   lastV >= 0 &&
+                  // the scan's PINNED snapshot must be the exact
+                  // version the MV is refreshed to (a versionAsOf
+                  // historical read must never serve from a
+                  // head-fresh MV), and that version must be the
+                  // source's current head
+                  scanV == lastV &&
                   lastV == memoHead(source) &&
                   // unfiltered query ↔ unfiltered MV; filtered query ↔
                   // an MV whose predicate means exactly the same

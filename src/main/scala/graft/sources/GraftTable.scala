@@ -68,6 +68,17 @@ object GraftTable {
   final class ConcurrentCommitException(msg: String)
     extends IllegalStateException(msg)
 
+  /** Monotone counter bumped on EVERY in-process manifest publish (all
+    * write paths funnel through [[commitManifest]]) — the
+    * read-your-writes invalidation signal for planning-time memos
+    * ([[GraftMvRewrite]]): a memo stamped with an older epoch is stale
+    * the instant this session commits anywhere, so a same-session
+    * write can never be served a pre-write cached head. Cross-process
+    * writers are bounded by the memo TTL instead (equivalent to the
+    * unavoidable plan-to-execute TOCTOU window). */
+  private[sources] val commitEpoch =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Thrown when a write's rows violate a declared CHECK constraint —
     * the commit never publishes (head unchanged, staged files are
     * vacuum-swept orphans). NOT a retry signal. */
@@ -333,6 +344,7 @@ object GraftTable {
       val header = s"#commit-ts\t$instant\n#sidecar\t$tok\n" +
         txn.map(t => s"#txn\t${t.id}\t${t.dir}\n").getOrElse("") + eqLines
       writeAtomic(f, manifestPath(root, v), header + renderManifest(entries))
+      commitEpoch.incrementAndGet()
     } catch {
       case e: Throwable =>
         // loser (or failed stage): remove OUR OWN staged files — names

@@ -156,6 +156,90 @@ class GraftMvRewriteSpec extends SparkSpec {
       .as[String].head() === "1")
   }
 
+  test("a versionAsOf-pinned historical read NEVER serves from the " +
+      "head-fresh MV — the scan's snapshot must equal the cursor") {
+    val (d, cat, mv) = setup()
+    // advance the source AND the MV so both sit at head v1, leaving
+    // v0 as a historical snapshot the MV no longer describes
+    GraftTable.upsert(spark, s"$d/src",
+      Seq((2000L, 7L, 5L)).toDF("k", "g", "v"), "k")
+    GraftMv.refresh(spark, s"$d/mv")
+    withViews(mv) {
+      // head read: rewrites (control)
+      val qHead = spark.sql(s"SELECT g, count(*) AS c FROM $cat.src GROUP BY g")
+      assert(qHead.queryExecution.executedPlan.toString.contains(s"$d/mv"))
+      // pinned v0 read: the MV (cursor at 1) must NOT answer it
+      val q0 = spark.read.format("graft").option("versionAsOf", 0)
+        .load(s"$d/src").groupBy("g").agg(count(lit(1)).as("c"))
+      assert(!q0.queryExecution.executedPlan.toString.contains(s"$d/mv"),
+        "a historical snapshot must never be served from a newer MV")
+      assert(q0.filter($"g" === 7).select("c").as[Long].head() === 20L,
+        "v0 has 20 rows in group 7 — the head's 21 would be wrong")
+    }
+  }
+
+  test("read-your-writes: a same-session commit disables the rewrite " +
+      "IMMEDIATELY — no memo-TTL staleness window") {
+    val (d, cat, mv) = setup()
+    withViews(mv) {
+      // prime every memo within the TTL window
+      val warm = spark.sql(s"SELECT g, count(*) AS c FROM $cat.src GROUP BY g")
+      assert(warm.queryExecution.executedPlan.toString.contains(s"$d/mv"))
+      // commit and re-plan back-to-back (well inside 500ms of the
+      // memo fill) — the epoch bump must kill the cached head
+      GraftTable.upsert(spark, s"$d/src",
+        Seq((3000L, 4L, 9L)).toDF("k", "g", "v"), "k")
+      val q = spark.sql(s"SELECT g, count(*) AS c FROM $cat.src GROUP BY g")
+      assert(!q.queryExecution.optimizedPlan.toString.contains(s"$d/mv"),
+        "a pre-commit cached head must not serve the stale MV")
+      assert(q.filter($"g" === 4).select("c").as[Long].head() === 21L)
+    }
+  }
+
+  test("a NULL-TOLERANT MV predicate never absolves the query's " +
+      "IS NOT NULL conjunct") {
+    val d = freshDir()
+    // v is NULL on every 7th key — the MV keeps those rows
+    GraftTable.create(spark, s"$d/src",
+      src(400).withColumn("v", when($"k" % 7 === 0, lit(null).cast("long"))
+        .otherwise($"v")), "k", nBuckets = 2)
+    GraftMv.create(spark, s"$d/mvt", s"$d/src", "g",
+      Seq(MvAgg("count", "", "n")),
+      filter = Some("v IS NULL OR v > 3"))
+    val cat = "gmvrn" + math.abs(d.hashCode % 1000)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", d)
+    withViews(s"$d/mvt") {
+      // the query EXCLUDES NULL-v rows; the MV includes them — the
+      // isnotnull conjunct is load-bearing and must not be discarded
+      val q = spark.sql(s"SELECT g, count(*) AS c FROM $cat.src " +
+        "WHERE (v IS NULL OR v > 3) AND v IS NOT NULL GROUP BY g")
+      assert(q.queryExecution.optimizedPlan.toString.contains(s"$cat.src"),
+        "null-tolerant MV predicate: the rewrite must refuse")
+      // the exactly-equal predicate still serves (control)
+      val q2 = spark.sql(s"SELECT g, count(*) AS c FROM $cat.src " +
+        "WHERE v IS NULL OR v > 3 GROUP BY g")
+      assert(q2.queryExecution.executedPlan.toString.contains(s"$d/mvt"))
+      val want = src(400)
+        .withColumn("v", when($"k" % 7 === 0, lit(null).cast("long"))
+          .otherwise($"v"))
+        .filter($"v".isNull || $"v" > 3)
+        .groupBy("g").agg(count(lit(1)).as("c")).orderBy("g").collect().toSeq
+      assert(q2.orderBy("g").collect().toSeq === want)
+    }
+  }
+
+  test("aliases colliding with the hidden __mv_ bookkeeping prefix " +
+      "refuse at create") {
+    val d = freshDir()
+    GraftTable.create(spark, s"$d/src", src(40), "k", nBuckets = 2)
+    val e = intercept[IllegalArgumentException] {
+      GraftMv.create(spark, s"$d/mvx", s"$d/src", "g",
+        Seq(MvAgg("sum", "v", "x"), MvAgg("count", "", "__mv_nn_x")))
+    }
+    assert(e.getMessage.contains("__mv_"))
+  }
+
   test("the rewrite composes: downstream operators consume the " +
       "substituted plan unchanged") {
     val (d, cat, mv) = setup()
