@@ -4255,6 +4255,112 @@ object MaintenanceQueries {
            |FROM o WHERE cust % 10 = 4
            |GROUP BY cust ORDER BY cust""".stripMargin))
 
+  /** NON-INTEGRAL (string) TABLE KEYS (round 16): real CDC streams key
+    * on UUIDs and natural identifiers, not longs — the table format
+    * now takes a STRING key by HASH-LEDGERING it: per-file stats hold
+    * `xxhash64(key)`, files range-bucket by hash (narrow disjoint
+    * intervals — point/IN pruning stays sharp with no key order),
+    * the hash layout buckets the string directly, and the eqdel
+    * sidecars store the RAW key so every row-level comparison is
+    * exact — a collision can cost an extra file read, never a wrong
+    * row. The gate drives the full lifecycle on a `c-<custkey>`-keyed
+    * customer table: create (hash layout) → CoW upsert → CDC
+    * apply (MoR deletes/replaces) → append-only eqdel ingest →
+    * masked read → resolveEqDels; `ok` pins the pending-eqdel
+    * transitions, read-equality across the resolve, the ~1/bucket
+    * point-probe fraction, a catalog point lookup, and that
+    * [[GraftTable.readRange]] refuses (ranges over hashes are
+    * meaningless — the documented degradation). DuckDB replays the
+    * mutations relationally over the raw keys. */
+  val q330StringKeys = GraftQuery(
+    "q330_string_keys",
+    (s, dir) => {
+      val base = newTempDir("graft_strkey")
+      val root = base + "/cust"
+      val cust = Tables.customer(s, dir).select(
+        concat(lit("c-"), lpad(col("c_custkey").cast("string"), 9, "0"))
+          .as("k"),
+        col("c_name").as("name"),
+        col("c_nationkey").cast("long").as("nation"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, root, cust, "k", nBuckets = 16,
+        hashLayout = true)
+      // CoW upsert: reprice nations {3,10,17,24}
+      GraftTable.upsert(s, root,
+        cust.filter(col("nation") % 7 === 3)
+          .withColumn("cents", col("cents") + 1000L), "k")
+      // CDC apply (auto MoR policy): delete nations {5,16}, replace
+      // {7,20} verbatim at cents = −77
+      GraftTable.applyCdcBatch(s, root,
+        cust.filter(col("nation") % 11 === 5)
+          .withColumn("_op", lit("delete"))
+          .unionByName(cust.filter(col("nation") % 13 === 7)
+            .withColumn("cents", lit(-77L))
+            .withColumn("_op", lit("replace"))), "k")
+      // append-only EQDEL ingest: replace nation 15, delete nation 12
+      // — zero base files read, raw keys in the sidecar
+      GraftTable.appendUpsert(s, root,
+        cust.filter(col("nation") === 15)
+          .withColumn("cents", lit(123456L))
+          .withColumn("_op", lit("replace"))
+          .unionByName(cust.filter(col("nation") === 12)
+            .withColumn("_op", lit("delete"))), "k",
+        opCol = Some("_op"))
+      def chk(): Long = GraftTable.read(s, root)
+        .agg(sum(xxhash64(col("k"), col("name"), col("nation"),
+          col("cents")))).first().getLong(0)
+      val eqPending = GraftTable.hasLiveEqDels(s, root,
+        GraftTable.latestVersion(s, root))
+      val preResolve = chk()
+      GraftTable.resolveEqDels(s, root, "k")
+      val eqGone = !GraftTable.hasLiveEqDels(s, root,
+        GraftTable.latestVersion(s, root))
+      val postResolve = chk()
+      // hash-range bucketing + bucket layout: one key opens a small
+      // fraction of the 16-bucket ledger
+      val all0 = GraftTable.snapshotFileLedger(s, root, 0).size
+      // probe a key that survives every mutation (nation ≡ 0 mod 5 is
+      // untouched by the delete sets) — deterministic: smallest such
+      val probe = GraftTable.read(s, root)
+        .filter(col("nation") === 0).select(col("k"))
+        .orderBy(col("k")).limit(1).collect()(0).getString(0)
+      val opened = GraftTable.prunedFileCountKeysAny(s, root, Seq(probe))
+      val pointPruned = all0 >= 16 && opened <= math.max(1, all0 / 4)
+      // catalog point lookup by the raw string key
+      s.conf.set("spark.sql.catalog.gq330", classOf[graft.sources
+        .GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq330.base", base)
+      val pointRow = s.sql(
+        s"SELECT cents FROM gq330.cust WHERE k = '$probe'")
+        .collect().map(_.getLong(0)).toSeq
+      val rangeRefused =
+        try { GraftTable.readRange(s, root, "k", 0L, 10L); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("hash-ledgered") }
+      val ok = eqPending && eqGone && preResolve == postResolve &&
+        pointPruned && pointRow.length == 1 && rangeRefused
+      GraftTable.read(s, root)
+        .filter(col("nation") % 5 === 0 || col("nation") === 12)
+        .select(col("k"), col("name"), col("nation"), col("cents"))
+        .withColumn("ok", lit(ok))
+        .orderBy("k")
+    },
+    Some("""WITH c AS (
+           |  SELECT 'c-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS k,
+           |    c_name AS name, CAST(c_nationkey AS BIGINT) AS nation,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM customer),
+           |m AS (
+           |  SELECT k, name, nation,
+           |    CASE WHEN nation = 15 THEN 123456
+           |         WHEN nation % 13 = 7 THEN -77
+           |         WHEN nation % 7 = 3 THEN cents + 1000
+           |         ELSE cents END AS cents
+           |  FROM c WHERE nation % 11 <> 5 AND nation <> 12)
+           |SELECT k, name, nation, cents, true AS ok
+           |FROM m WHERE nation % 5 = 0 OR nation = 12
+           |ORDER BY k""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
@@ -4271,5 +4377,6 @@ object MaintenanceQueries {
     q315NdvCbo, q316BranchPublish, q317RuntimePrunedJoin, q318BranchMerge,
     q319SinkMor, q320BranchSqlWrites, q321TransformDpp,
     q322EqdelIngest, q323EqdelCdf, q324IncrementalMv, q325SpjJoin,
-    q326BucketPointLookup, q327FilteredAvgMv, q328SchemaAutoMerge, q329MvRewrite)
+    q326BucketPointLookup, q327FilteredAvgMv, q328SchemaAutoMerge,
+    q329MvRewrite, q330StringKeys)
 }

@@ -688,6 +688,30 @@ class GraftBatchScan(val root: String, val version: Int,
     GraftTable.keyColumn(SparkSession.active, root)
       .flatMap(k => GraftScanBuilder.keyRange(filters, k))
 
+  /** Planning-time POINT pruning for a hash-ledgered (string) key:
+    * `k = 'x'` / `k IN (…)` filters convert to their stat hashes and
+    * prune files by interval containment (plus bucket id under a hash
+    * layout) — [[GraftScanBuilder.keyRange]] rightly refuses string
+    * comparands, so without this a string-keyed point lookup would
+    * open every file. None for integral keys (ranges cover them). */
+  @transient private lazy val pushedStatKeys: Option[Array[Long]] = {
+    val spark = SparkSession.active
+    GraftTable.keyColumn(spark, root)
+      .filter(_ => GraftTable.keyHashMode(spark, root))
+      .flatMap { k =>
+        val vals: Seq[String] = filters.toSeq.flatMap {
+          case EqualTo(a, s: String) if a == k => Seq(s)
+          case In(a, vs) if a == k && vs.nonEmpty &&
+              vs.forall(_.isInstanceOf[String]) =>
+            vs.toSeq.map(_.asInstanceOf[String])
+          case _ => Seq.empty
+        }
+        if (vals.isEmpty) None
+        else Some(vals.map(GraftTable.keyStatValue)
+          .distinct.sorted.toArray)
+      }
+  }
+
   /** (rowCount, sizeInBytes) of exactly what this scan will read:
     * manifest rows/bytes restricted to the files the key-range
     * predicates keep, byte-scaled by the column projection. Lazy: one
@@ -837,11 +861,18 @@ class GraftBatchScan(val root: String, val version: Int,
     val key = GraftTable.keyColumn(spark, root).orNull
     val spec = GraftTable.partitionSpec(spark, root, version)
     val pcol = spec.map(GraftTable.transformColumn).orNull
+    lazy val hashMode = GraftTable.keyHashMode(spark, root)
     def longOf(v: Any): Option[Long] = v match {
       case l: Long => Some(l)
       case i: Int => Some(i.toLong)
       case s: Short => Some(s.toLong)
       case b: Byte => Some(b.toLong)
+      // hash-ledgered key: the observed string probes convert to
+      // their stat hashes — the same domain the file intervals (and
+      // hash-layout buckets) live in
+      case s: String if hashMode => Some(GraftTable.keyStatValue(s))
+      case u: org.apache.spark.unsafe.types.UTF8String if hashMode =>
+        Some(GraftTable.keyStatValue(u))
       case _ => None
     }
     // IN / = on the key column prune; anything else is ignored (the
@@ -938,9 +969,21 @@ class GraftBatchScan(val root: String, val version: Int,
   private def prunedFiles
     : Seq[(org.apache.hadoop.fs.FileStatus, String, Long)] = synchronized {
     if (prunedFilesCache == null) {
-      prunedFilesCache = GraftTable.snapshotFilesWithDvs(
-        SparkSession.active, root, version, keyRange, runtimeKeys,
-        runtimePvals, branch)
+      // static string-point stats and runtime-observed stats are
+      // CONJUNCTIVE predicates — intersect when both exist (a file
+      // needed by the query must satisfy each)
+      val statKeys = (runtimeKeys, pushedStatKeys) match {
+        case (Some(r), Some(p)) =>
+          Some(r.toSet.intersect(p.toSet).toArray.sorted)
+        case (r, p) => r.orElse(p)
+      }
+      prunedFilesCache =
+        // an EMPTY intersection proves no file is needed (an empty
+        // keyValues array would read as "no pruning" downstream)
+        if (statKeys.exists(_.isEmpty)) Seq.empty
+        else GraftTable.snapshotFilesWithDvs(
+          SparkSession.active, root, version, keyRange, statKeys,
+          runtimePvals, branch)
       if (runtimeKeys.isDefined || runtimePvals.isDefined)
         runtimePrunedTo = prunedFilesCache.size
     }
@@ -1191,6 +1234,8 @@ class GraftBatchScan(val root: String, val version: Int,
           val hm = hconfMap
           val dirs = eqdels.map(t => (t._1, t._2))
           val (keyField, keyOrd, appended) = eqKeyInfo
+          val rawStr =
+            GraftTable.keyHashMode(SparkSession.active, root)
           s.toBatch.planInputPartitions().flatMap {
             case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
               fp.files.zipWithIndex.map { case (pf, i) =>
@@ -1201,7 +1246,7 @@ class GraftBatchScan(val root: String, val version: Int,
                   byName(name),
                   GraftTable.addedVersion(pf.toPath.toString),
                   dirs, keyOrd, appended,
-                  keyField.dataType.typeName, hm)
+                  keyField.dataType.typeName, hm, rawStr)
                   : org.apache.spark.sql.connector.read.InputPartition
               }
           }
@@ -1280,7 +1325,11 @@ private[sources] case class GraftEqPartition(
     inner: org.apache.spark.sql.execution.datasources.FilePartition,
     dvPath: String, addedV: Int, eqDirs: Seq[(Int, String)],
     keyOrdinal: Int, keyAppended: Boolean, keyTypeName: String,
-    hconf: Map[String, String])
+    hconf: Map[String, String],
+    // hash-ledgered (string) key: the sidecar stores the RAW key and
+    // masking compares it exactly; legacy numeric-string tables keep
+    // the parse-to-long path (false)
+    rawStringKey: Boolean = false)
   extends org.apache.spark.sql.connector.read.InputPartition
 
 /** A split of a HASH-LAYOUT table, carrying its bucket id as the
@@ -1330,18 +1379,26 @@ private[sources] class GraftBucketUnwrapFactory(
   * pressure valve, exactly like DV absorption. */
 private[sources] object GraftEqKeySets {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.HashMap[java.lang.Long, java.lang.Integer]]()
+    String, java.util.HashMap[AnyRef, java.lang.Integer]]()
 
-  def get(dirs: Seq[(Int, String)], hconf: Map[String, String])
-    : java.util.HashMap[java.lang.Long, java.lang.Integer] =
-    cache.computeIfAbsent(dirs.map(_._2).sorted.mkString("|"),
-      _ => load(dirs, hconf))
+  /** `rawString` = hash-ledgered table: keys stay the raw sidecar
+    * strings (exact masking); otherwise they parse to longs (the
+    * integral and legacy numeric-string key modes). The mode rides
+    * the cache key so two tables sharing an executor can't cross
+    * contaminate. */
+  def get(dirs: Seq[(Int, String)], hconf: Map[String, String],
+      rawString: Boolean)
+    : java.util.HashMap[AnyRef, java.lang.Integer] =
+    cache.computeIfAbsent(
+      (if (rawString) "s|" else "l|") + dirs.map(_._2).sorted.mkString("|"),
+      _ => load(dirs, hconf, rawString))
 
-  private def load(dirs: Seq[(Int, String)], hconf: Map[String, String])
-    : java.util.HashMap[java.lang.Long, java.lang.Integer] = {
+  private def load(dirs: Seq[(Int, String)], hconf: Map[String, String],
+      rawString: Boolean)
+    : java.util.HashMap[AnyRef, java.lang.Integer] = {
     val c = new org.apache.hadoop.conf.Configuration(false)
     hconf.foreach { case (k, v) => c.set(k, v) }
-    val m = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+    val m = new java.util.HashMap[AnyRef, java.lang.Integer]()
     dirs.foreach { case (_, dir) =>
       val dp = new org.apache.hadoop.fs.Path(dir)
       val fs = dp.getFileSystem(c)
@@ -1356,7 +1413,9 @@ private[sources] object GraftEqKeySets {
             while (line != null) {
               if (line.nonEmpty) {
                 val t = line.indexOf('\t')
-                val k = java.lang.Long.valueOf(line.substring(0, t))
+                val k: AnyRef =
+                  if (rawString) line.substring(0, t)
+                  else java.lang.Long.valueOf(line.substring(0, t))
                 val v = Integer.valueOf(line.substring(t + 1).trim.toInt)
                 val prev = m.get(k)
                 if (prev == null || v > prev) m.put(k, v)
@@ -1534,7 +1593,8 @@ private[sources] class GraftDvAwareReaderFactory(
           private lazy val deleted: Array[Long] =
             if (ep.dvPath.isEmpty) Array.emptyLongArray
             else loadDvPath(ep.dvPath, ep.hconf)
-          private lazy val keys = GraftEqKeySets.get(ep.eqDirs, ep.hconf)
+          private lazy val keys =
+            GraftEqKeySets.get(ep.eqDirs, ep.hconf, ep.rawStringKey)
           // output width = required ++ (appended key?) ++ row index
           private val width =
             dataTypes.length + (if (ep.keyAppended) 1 else 0) + 1
@@ -1546,14 +1606,23 @@ private[sources] class GraftDvAwareReaderFactory(
                   .BoundReference(i, dt, nullable = true)
                   : org.apache.spark.sql.catalyst.expressions.Expression
               }.toSeq)
-          private def keyOf(r: InternalRow): java.lang.Long =
+          private def keyOf(r: InternalRow): AnyRef =
             if (r.isNullAt(ep.keyOrdinal)) null
+            else if (ep.rawStringKey)
+              // hash-ledgered table: compare the RAW string key (the
+              // sidecar stores it verbatim — exact masking, never a
+              // hash that could retire a colliding innocent row)
+              r.getUTF8String(ep.keyOrdinal).toString
             else ep.keyTypeName match {
-              case "long" => r.getLong(ep.keyOrdinal)
-              case "integer" | "date" => r.getInt(ep.keyOrdinal).toLong
-              case "short" => r.getShort(ep.keyOrdinal).toLong
-              case "byte" => r.getByte(ep.keyOrdinal).toLong
+              case "long" => java.lang.Long.valueOf(r.getLong(ep.keyOrdinal))
+              case "integer" | "date" =>
+                java.lang.Long.valueOf(r.getInt(ep.keyOrdinal).toLong)
+              case "short" =>
+                java.lang.Long.valueOf(r.getShort(ep.keyOrdinal).toLong)
+              case "byte" =>
+                java.lang.Long.valueOf(r.getByte(ep.keyOrdinal).toLong)
               case "string" =>
+                // legacy numeric-string key (pre-hash-ledger tables)
                 val s = r.getUTF8String(ep.keyOrdinal).toString
                 try java.lang.Long.valueOf(s.trim)
                 catch { case _: NumberFormatException => null }
@@ -1782,10 +1851,12 @@ private[sources] object GraftBucketFunction
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.ByteType => true
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.StringType => true
       case _ => false
     }
-    require(ok, s"bucket key must be integral, got ${keyType.simpleString}")
+    require(ok,
+      s"bucket key must be integral or string, got ${keyType.simpleString}")
     new org.apache.spark.sql.connector.catalog.functions
       .ScalarFunction[Integer] {
       override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
@@ -1796,16 +1867,27 @@ private[sources] object GraftBucketFunction
       override def canonicalName(): String = "graft.bucket"
       override def isResultNullable: Boolean = false
       override def produceResult(
-          input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
-        val n = input.getInt(0)
-        val k: Long = keyType match {
-          case org.apache.spark.sql.types.LongType => input.getLong(1)
-          case org.apache.spark.sql.types.IntegerType => input.getInt(1).toLong
-          case org.apache.spark.sql.types.ShortType => input.getShort(1).toLong
-          case _ => input.getByte(1).toLong
+          input: org.apache.spark.sql.catalyst.InternalRow): Integer =
+        keyType match {
+          case org.apache.spark.sql.types.StringType =>
+            // the write side buckets string keys by pmod(xxhash64(s), n)
+            // (hash-ledgered keys, [[GraftTable.keyHashMode]]) — same
+            // hash, same modulus, bit-identical
+            Integer.valueOf(java.lang.Math.floorMod(
+              GraftTable.keyStatValue(input.getUTF8String(1)),
+              input.getInt(0).toLong).toInt)
+          case _ =>
+            val n = input.getInt(0)
+            val k: Long = keyType match {
+              case org.apache.spark.sql.types.LongType => input.getLong(1)
+              case org.apache.spark.sql.types.IntegerType =>
+                input.getInt(1).toLong
+              case org.apache.spark.sql.types.ShortType =>
+                input.getShort(1).toLong
+              case _ => input.getByte(1).toLong
+            }
+            Integer.valueOf(GraftTable.bucketOfKey(k, n))
         }
-        Integer.valueOf(GraftTable.bucketOfKey(k, n))
-      }
     }
   }
 }

@@ -844,11 +844,15 @@ object GraftTable {
     * Broadcast under the same cardinality bound as DV position
     * lists. */
   private def eqDelKeys(spark: SparkSession, root: String,
-      eqdels: Seq[EqDel]): DataFrame = {
+      eqdels: Seq[EqDel], hashMode: Boolean): DataFrame = {
+    // hash-ledgered tables store the RAW string key in the sidecar —
+    // row masking compares it exactly (a hash-equality mask could
+    // delete an innocent colliding row)
+    val k0 = split(col("value"), "\t").getItem(0)
     val keys = spark.read
       .textFile(eqdels.map(e => dataPath(root, e.relDir)): _*)
       .select(
-        split(col("value"), "\t").getItem(0).cast("long").as("__eq_k"),
+        (if (hashMode) k0 else k0.cast("long")).as("__eq_k"),
         split(col("value"), "\t").getItem(1).cast("int").as("__eq_v"))
       .groupBy("__eq_k").agg(max("__eq_v").as("__eq_v"))
     if (eqdels.map(_.nKeys).sum <= 4L * 1000 * 1000) broadcast(keys)
@@ -868,13 +872,15 @@ object GraftTable {
       val key = keyColumn(spark, root).getOrElse(throw new IllegalStateException(
         s"table at $root has pending equality deletes but no recorded " +
           "key column — cannot resolve masking"))
+      val hashMode = keyHashMode(spark, root)
       val av = regexp_extract(col(EqPathCol),
         "/data/v(\\d{5})-[0-9a-f]{8}/", 1).cast("int")
-      val keys = eqDelKeys(spark, root, eqdels)
+      val keys = eqDelKeys(spark, root, eqdels, hashMode)
+      val keyEq =
+        if (hashMode) col(key) === col("__eq_k")
+        else col(key).cast("long") === col("__eq_k")
       rows.withColumn("__eq_av", av)
-        .join(keys,
-          col(key).cast("long") === col("__eq_k") &&
-            col("__eq_v") > col("__eq_av"), "left_anti")
+        .join(keys, keyEq && col("__eq_v") > col("__eq_av"), "left_anti")
         .drop("__eq_av")
     }
 
@@ -1139,11 +1145,61 @@ object GraftTable {
     * [[create]]) — what lets the SQL/DataSource surface file-skip on
     * key predicates without the caller naming the key. Absent on
     * tables created before the file existed: reads stay correct,
-    * skipping just doesn't bite. */
+    * skipping just doesn't bite. Since round 16 the file may carry a
+    * second tab-separated field `hash` marking a HASH-LEDGERED key
+    * (see [[keyHashMode]]); the column name is always the first
+    * field. */
   def keyColumn(spark: SparkSession, root: String): Option[String] = {
     val (f, _) = fs(root, spark)
     val p = new org.apache.hadoop.fs.Path(root, "_log/key.json")
-    if (!f.exists(p)) None else Some(readFully(f, p).trim)
+    if (!f.exists(p)) None
+    else Some(readFully(f, p).trim.split('\t')(0))
+  }
+
+  /** Whether the table's key is HASH-LEDGERED (`_log/key.json` second
+    * field `hash`, recorded at [[create]] for STRING keys): the
+    * manifest's per-file [minKey, maxKey] then holds `xxhash64(key)`
+    * instead of the order-preserving long cast. Point/equality/IN
+    * pruning keeps working (probe values hash driver-side and test
+    * interval containment — files are RANGE-BUCKETED BY HASH at write
+    * time, so intervals stay narrow and disjoint); RANGE predicates
+    * over the key are meaningless and refuse ([[readRange]]). Every
+    * ROW-LEVEL operation (merge joins, CDC deletes, eqdel masking)
+    * compares the RAW key — hashes only ever decide which FILES to
+    * open, so a collision can cost an extra file read, never a wrong
+    * row. Tables created before round 16 with numeric-string keys
+    * keep the legacy cast ledger (no marker → false) — their on-disk
+    * stats stay coherent. */
+  private[sources] def keyHashMode(spark: SparkSession,
+      root: String): Boolean = {
+    val (f, _) = fs(root, spark)
+    val p = new org.apache.hadoop.fs.Path(root, "_log/key.json")
+    f.exists(p) && {
+      val fields = readFully(f, p).trim.split('\t')
+      fields.length > 1 && fields(1) == "hash"
+    }
+  }
+
+  /** The LEDGER (stat) value of a key expression: the order-preserving
+    * long cast for integral keys, `xxhash64` for hash-ledgered string
+    * keys — the single definition both the write-side stats pass and
+    * every driver-side probe share, so pruning can never disagree with
+    * the recorded intervals. */
+  private def keyStatExpr(c: org.apache.spark.sql.Column,
+      hashMode: Boolean): org.apache.spark.sql.Column =
+    if (hashMode) xxhash64(c) else c.cast("long")
+
+  /** Driver-side [[keyStatExpr]] for one probe value. */
+  private[sources] def keyStatValue(v: Any): Long = v match {
+    case s: String => xxhash64String(s)
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case u: org.apache.spark.unsafe.types.UTF8String =>
+      xxhash64String(u.toString)
+    case other => throw new IllegalArgumentException(
+      s"unsupported key probe type: ${other.getClass.getName}")
   }
 
   /** Hadoop conf as a serializable property map, rebuilt inside tasks
@@ -1217,6 +1273,10 @@ object GraftTable {
     // is true of every snapshot — rewrites, MoR fresh files, and
     // compactions re-bucket identically
     val hashN = hashLayout(spark, root)
+    // hash-ledgered (string) key: stats AND range-bucketing run over
+    // xxhash64(key) — files then cover narrow, disjoint HASH intervals,
+    // which is what keeps point/IN pruning sharp without key order
+    val hashKey = keyHashMode(spark, root)
     require(zorderBy.isEmpty || hashN.isEmpty,
       "Z-ORDER and hash layout are mutually exclusive: both dictate " +
         "file placement (hash layout trades range locality for " +
@@ -1249,9 +1309,19 @@ object GraftTable {
         // join.
         case Some(hn) => df
           .withColumn("__bucket",
-            pmod(xxhash64(col(key).cast("long")), lit(hn)).cast("int"))
+            pmod(xxhash64(
+              if (hashKey) col(key) else col(key).cast("long")),
+              lit(hn)).cast("int"))
           .repartition(math.max(1, nBuckets), col("__bucket"))
           .sortWithinPartitions(col("__bucket"), col(key))
+        case None if hashKey =>
+          // range-bucket (and sort) by the HASH so per-file stat
+          // intervals are narrow and disjoint — the point-pruning
+          // contract, hash-domain edition
+          df.withColumn("__kstat", xxhash64(col(key)))
+            .repartitionByRange(math.max(1, nBuckets), col("__kstat"))
+            .sortWithinPartitions("__kstat")
+            .drop("__kstat")
         case None =>
           df.repartitionByRange(math.max(1, nBuckets), col(key))
       }
@@ -1383,8 +1453,8 @@ object GraftTable {
       if (written.isEmpty) Array.empty[org.apache.spark.sql.Row]
       else {
         val aggExprs = Seq(
-          min(col(key).cast("long")).as("mn"),
-          max(col(key).cast("long")).as("mx"),
+          min(keyStatExpr(col(key), hashKey)).as("mn"),
+          max(keyStatExpr(col(key), hashKey)).as("mx"),
           count(lit(1)).as("n")) ++
           dataCols.map(c =>
             sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) ++
@@ -1668,18 +1738,26 @@ object GraftTable {
         case org.apache.spark.sql.types.LongType |
              org.apache.spark.sql.types.IntegerType |
              org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.ByteType => true
+             org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.StringType => true
         case _ => false
-      }, s"hash layout needs an integral key column (got $key: " +
-        s"${kt.map(_.simpleString).getOrElse("missing")}) — the bucket " +
-        "function hashes the key as a long on both the write and the " +
+      }, s"hash layout needs an integral or string key column (got " +
+        s"$key: ${kt.map(_.simpleString).getOrElse("missing")}) — the " +
+        "bucket function hashes the key on both the write and the " +
         "join side")
       require(nBuckets >= 1, s"hash layout needs >= 1 bucket, got $nBuckets")
     }
     f.mkdirs(new org.apache.hadoop.fs.Path(rootP, "_log"))
     writeAtomic(f, new org.apache.hadoop.fs.Path(root, "_log/schema.json"),
       df.schema.json)
-    writeAtomic(f, new org.apache.hadoop.fs.Path(root, "_log/key.json"), key)
+    // STRING keys ledger as xxhash64 (the `hash` marker — see
+    // [[keyHashMode]]); real CDC streams key on UUIDs and natural
+    // identifiers, and hashing folds them into the long-based
+    // stats/bucket machinery unchanged
+    val stringKey = df.schema.fields.find(_.name == key)
+      .exists(_.dataType == org.apache.spark.sql.types.StringType)
+    writeAtomic(f, new org.apache.hadoop.fs.Path(root, "_log/key.json"),
+      if (stringKey) s"$key\thash" else key)
     if (hashLayout)
       writeAtomic(f, new org.apache.hadoop.fs.Path(root, "_log/layout.json"),
         s"hash\t$nBuckets")
@@ -1745,8 +1823,16 @@ object GraftTable {
     f.mkdirs(new org.apache.hadoop.fs.Path(dstRoot, "_log"))
     writeAtomic(f, new org.apache.hadoop.fs.Path(dstRoot, "_log/schema.json"),
       tableSchema(spark, srcRoot, v).json)
-    keyColumn(spark, srcRoot).foreach(k => writeAtomic(f,
-      new org.apache.hadoop.fs.Path(dstRoot, "_log/key.json"), k))
+    // raw file copy, not keyColumn(): the hash-ledger marker (second
+    // tab field) must survive the clone or its probes would misread
+    // the inherited hash stats as plain key values
+    locally {
+      val (sf0, _) = fs(srcRoot, spark)
+      val kp = new org.apache.hadoop.fs.Path(srcRoot, "_log/key.json")
+      if (sf0.exists(kp)) writeAtomic(f,
+        new org.apache.hadoop.fs.Path(dstRoot, "_log/key.json"),
+        readFully(sf0, kp).trim)
+    }
     bloomColumn(spark, srcRoot).foreach(b => writeAtomic(f,
       new org.apache.hadoop.fs.Path(dstRoot, "_log/bloom.json"), b))
     // hash layout carries: the clone's absolute-ref files are already
@@ -1882,11 +1968,18 @@ object GraftTable {
     // bucketed naming are always kept (defense in depth).
     val bucketed = hashLayout(spark, root) match {
       case Some(n) =>
+        // hash-ledgered keys: the stat value IS xxhash64(key), and the
+        // write-side bucket is pmod(xxhash64(key), n) — so the bucket
+        // of a probe is pmod of its stat directly (integral keys hash
+        // the key value itself, the original rule)
+        val bucketOfStat: Long => Int =
+          if (keyHashMode(spark, root)) s => java.lang.Math.floorMod(s, n.toLong).toInt
+          else bucketOfKey(_, n)
         val wanted: Option[Set[Int]] = keyValues match {
           case Some(vs) if vs.nonEmpty =>
-            Some(vs.map(bucketOfKey(_, n)).toSet)
+            Some(vs.map(bucketOfStat).toSet)
           case _ => keyRange match {
-            case Some((lo, hi)) if lo == hi => Some(Set(bucketOfKey(lo, n)))
+            case Some((lo, hi)) if lo == hi => Some(Set(bucketOfStat(lo)))
             case _ => None
           }
         }
@@ -1968,7 +2061,10 @@ object GraftTable {
     val entries = loadManifest(spark, root, version)
     val rows = entries.map(_.liveRows).sum
     val range =
-      if (entries.isEmpty || entries.exists(_.hasDv)) None
+      if (entries.isEmpty || entries.exists(_.hasDv) ||
+          // hash-ledgered key: the recorded interval is over
+          // xxhash64(key) — sound for pruning, NEVER a key min/max
+          keyHashMode(spark, root)) None
       else Some((entries.map(_.minKey).min, entries.map(_.maxKey).max))
     (rows, range)
   }
@@ -2198,7 +2294,8 @@ object GraftTable {
     import spark.implicits._
     val ledger = entries.map(e => (e.relPath, e.minKey, e.maxKey))
       .toDF("rel_path", "mn", "mx")
-    val hit = batch.select(col(key).cast("long").as("k")).distinct()
+    val hit = batch.select(
+        keyStatExpr(col(key), keyHashMode(spark, root)).as("k")).distinct()
       .join(broadcast(ledger),
         col("k") >= col("mn") && col("k") <= col("mx"))
       .select("rel_path").distinct().collect().map(_.getString(0)).toSet
@@ -2288,18 +2385,34 @@ object GraftTable {
     }
     val v = base + 1
     import spark.implicits._
+    val hashKey = keyHashMode(spark, root)
+    // the eqdel sidecar is tab-separated `key\tversion` text — a
+    // string key carrying the separator or a newline would corrupt
+    // the list silently, so refuse up front (CDC keys are UUIDs and
+    // natural identifiers; control characters have no business there)
+    if (hashKey) {
+      val bad = batch.filter(col(key).contains("\t") ||
+        col(key).contains("\n") || col(key).contains("\r"))
+        .select(col(key)).limit(1).collect()
+      require(bad.isEmpty, "appendUpsert: string keys must not contain " +
+        s"tab/newline (got ${bad.headOption.map(_.get(0)).orNull}) — " +
+        "the equality-delete key list is line/tab-delimited text")
+    }
     // keys to retire = every batch key that COULD exist in the base
     // snapshot — a pure metadata interval probe against the file
     // ledger (no data read); an append-mostly stream records few or
-    // zero keys, and a zero-key batch commits as a plain append
+    // zero keys, and a zero-key batch commits as a plain append.
+    // The sidecar stores the RAW key (row-level masking compares it
+    // exactly); the probe runs on the ledger's stat domain.
     val ledger = broadcast(entries.map(e => (e.minKey, e.maxKey))
       .toDF("mn", "mx"))
     val eqRel = f"data/eqdel-v$v%05d-" +
       java.util.UUID.randomUUID().toString.take(8)
-    batch.select(col(key).cast("long").as("k")).distinct()
+    batch.select(col(key).as("__rawk"),
+        keyStatExpr(col(key), hashKey).as("k")).distinct()
       .join(ledger, col("k") >= col("mn") && col("k") <= col("mx"),
         "left_semi")
-      .select(concat_ws("\t", col("k"), lit(v)).as("value"))
+      .select(concat_ws("\t", col("__rawk"), lit(v)).as("value"))
       .write.mode("overwrite").text(s"$root/$eqRel")
     val (f, _) = fs(root, spark)
     val nKeys = spark.read.textFile(s"$root/$eqRel").count()
@@ -2349,14 +2462,17 @@ object GraftTable {
       return (v, 0, 0L)
     }
     import spark.implicits._
-    val keys = eqDelKeys(spark, root, eq) // (__eq_k, __eq_v max)
+    val hashMode = keyHashMode(spark, root)
+    val keys = eqDelKeys(spark, root, eq, hashMode) // (__eq_k, __eq_v max)
     // interval-prune: a subject file is HIT iff some retired key (of
-    // a NEWER eqdel than the file) falls in its key interval
+    // a NEWER eqdel than the file) falls in its key interval — probed
+    // in the ledger's STAT domain (the raw key hashes for string keys)
     val ledger = subject.map(e =>
       (nameOfEntry(e), e.minKey, e.maxKey, addedVersion(e.relPath)))
       .toDF("__f", "mn", "mx", "av")
+    val probeK = keyStatExpr(col("__eq_k"), hashMode)
     val hitNames = keys.join(broadcast(ledger),
-        col("__eq_k") >= col("mn") && col("__eq_k") <= col("mx") &&
+        probeK >= col("mn") && probeK <= col("mx") &&
           col("__eq_v") > col("av"))
       .select("__f").distinct().collect().map(_.getString(0)).toSet
     val hit = subject.filter(e => hitNames(nameOfEntry(e)))
@@ -2373,7 +2489,10 @@ object GraftTable {
     val raw = spark.read.schema(phys)
       .parquet(hit.map(e => dataPath(root, e.relPath)): _*)
       .select(
-        col(keyPhys).cast("long").as("__k"),
+        // RAW key for string keys: the doomed-row join must be exact
+        // (hash equality could kill a colliding innocent row)
+        (if (hashMode) col(keyPhys) else col(keyPhys).cast("long"))
+          .as("__k"),
         element_at(split(col("_metadata.file_path"), "/"), -1)
           .as(DvNameCol),
         col("_metadata.row_index").as(DvPosCol),
@@ -2507,7 +2626,8 @@ object GraftTable {
     import spark.implicits._
     val ledger = entries.map(e => (e.relPath, e.minKey, e.maxKey))
       .toDF("rel_path", "mn", "mx")
-    val hit = batch.select(col(key).cast("long").as("k")).distinct()
+    val hit = batch.select(
+        keyStatExpr(col(key), keyHashMode(spark, root)).as("k")).distinct()
       .join(broadcast(ledger),
         col("k") >= col("mn") && col("k") <= col("mx"))
       .select("rel_path").distinct().collect().map(_.getString(0)).toSet
@@ -2532,14 +2652,17 @@ object GraftTable {
     val rep = "__graft_replace"
     val ups = batch.filter(col(opCol) =!= "delete")
       .withColumn(rep, col(opCol) === "replace").drop(opCol).as("b")
+    // RAW-key anti-join (type-agnostic: batch schema equals table
+    // schema, so the equality is exact for integral and string keys
+    // alike — never a hash, which could delete a colliding row)
     val dels = batch.filter(col(opCol) === "delete")
-      .select(col(key).cast("long").as("__delkey")).distinct()
+      .select(col(key).as("__delkey")).distinct()
     val t = current.as("t")
     val merged = t.join(ups, col(s"t.$key") === col(s"b.$key"), "full_outer")
       .select(cols.map(c =>
         when(col(rep) === true, col(s"b.$c"))
           .otherwise(coalesce(col(s"b.$c"), col(s"t.$c"))).as(c)): _*)
-      .join(dels, col(key).cast("long") === col("__delkey"), "left_anti")
+      .join(dels, col(key) === col("__delkey"), "left_anti")
     val v = base + 1
     val w = writeDataFiles(spark, root, v, merged, key,
       writeBuckets(spark, root, base, nBuckets, rewrite.size))
@@ -2609,12 +2732,11 @@ object GraftTable {
       // upserted AND deleted in one batch DELETES (its position is
       // retired above; its postimage must not land)
       val delKeys = batch.filter(col(opCol) === "delete")
-        .select(col(key).cast("long").as("__graft_delkey")).distinct()
+        .select(col(key).as("__graft_delkey")).distinct()
       val writeRows = j.filter(
         (bPresent && col(s"b.$opCol") =!= "delete") || (tOnly && inCow))
         .select(valueCols.toSeq: _*)
-        .join(delKeys, col(key).cast("long") === col("__graft_delkey"),
-          "left_anti")
+        .join(delKeys, col(key) === col("__graft_delkey"), "left_anti")
       // bucket the fresh files by how many files' CONTENT is being
       // re-laid (rewrites + fully-dead replacements) — a narrow MERGE
       // lands one small file, a wholesale replace keeps the layout
@@ -2675,7 +2797,8 @@ object GraftTable {
     import spark.implicits._
     val ledger = entries.map(e => (e.relPath, e.minKey, e.maxKey))
       .toDF("rel_path", "mn", "mx")
-    val hit = batch.select(col(key).cast("long").as("k")).distinct()
+    val hit = batch.select(
+        keyStatExpr(col(key), keyHashMode(spark, root)).as("k")).distinct()
       .join(broadcast(ledger),
         col("k") >= col("mn") && col("k") <= col("mx"))
       .select("rel_path").distinct().collect().map(_.getString(0)).toSet
@@ -2970,6 +3093,10 @@ object GraftTable {
     * `prunedFileCount` exposes how many files survived for tests. */
   def readRange(spark: SparkSession, root: String, key: String,
       lower: Long, upper: Long, version: Option[Int] = None): DataFrame = {
+    require(!keyHashMode(spark, root),
+      "readRange is undefined over a hash-ledgered (string) key — " +
+        "ranges over hashes are meaningless; use readPointKeys / a " +
+        "filtered read instead")
     val v = version.getOrElse(latestVersion(spark, root))
     val entries = loadManifest(spark, root, v)
       .filter(e => e.maxKey >= lower && e.minKey <= upper)
@@ -2995,6 +3122,44 @@ object GraftTable {
     val v = version.getOrElse(latestVersion(spark, root))
     snapshotFilesWithDvs(spark, root, v,
       keyValues = Some(keys.sorted.toArray)).size
+  }
+
+  /** [[prunedFileCountKeys]] for ANY key type: probe values convert to
+    * the ledger's stat domain ([[keyStatValue]] — raw longs for
+    * integral keys, xxhash64 for hash-ledgered string keys) before the
+    * interval/bucket test. */
+  def prunedFileCountKeysAny(spark: SparkSession, root: String,
+      keys: Seq[Any], version: Option[Int] = None): Int = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    snapshotFilesWithDvs(spark, root, v,
+      keyValues = Some(keys.map(keyStatValue).sorted.toArray)).size
+  }
+
+  /** Exact-key-set snapshot read with FILE SKIPPING for ANY key type —
+    * the point-lookup verb of a hash-ledgered (string-keyed) table,
+    * where [[readRange]] is undefined: only files whose stat interval
+    * (and bucket, under a hash layout) can hold a probe are opened;
+    * the RAW-key IN filter inside them completes the predicate
+    * exactly, so a hash collision costs a file read, never a wrong
+    * row. Integral keys work identically (stat = key). */
+  def readPointKeys(spark: SparkSession, root: String, key: String,
+      keys: Seq[Any], version: Option[Int] = None): DataFrame = {
+    require(keys.nonEmpty, "readPointKeys needs at least one key")
+    val v = version.getOrElse(latestVersion(spark, root))
+    val stats = keys.map(keyStatValue).toSet
+    val hashMode = keyHashMode(spark, root)
+    val hashN = hashLayout(spark, root)
+    val buckets: Option[Set[Int]] = hashN.map { n =>
+      if (hashMode) stats.map(s => java.lang.Math.floorMod(s, n.toLong).toInt)
+      else keys.map(k => bucketOfKey(keyStatValue(k), n)).toSet
+    }
+    val entries = loadManifest(spark, root, v).filter { e =>
+      stats.exists(s => s >= e.minKey && s <= e.maxKey) &&
+        buckets.forall(bs => fileBucket(e.relPath).forall(bs.contains))
+    }
+    val schema = tableSchema(spark, root, v)
+    readEntries(spark, root, schema, entries, pendingEqDels(spark, root, v))
+      .filter(col(key).isin(keys: _*))
   }
 
   /** Streaming-ingest commit: create the table on the first batch,
@@ -3585,7 +3750,8 @@ object GraftTable {
     import spark.implicits._
     val ledger = entries.map(e => (e.relPath, e.minKey, e.maxKey))
       .toDF("rel_path", "mn", "mx")
-    val hit = batch.select(col(key).cast("long").as("k")).distinct()
+    val hit = batch.select(
+        keyStatExpr(col(key), keyHashMode(spark, root)).as("k")).distinct()
       .join(broadcast(ledger),
         col("k") >= col("mn") && col("k") <= col("mx"))
       .select("rel_path").distinct().collect().map(_.getString(0)).toSet
@@ -3798,7 +3964,11 @@ object GraftTable {
         .withColumn(op, lit("delete")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val branchKeys = batch.select(col(key).cast("long").as("__k")).distinct()
+      // conflict sets compare in the STAT domain (hashes for string
+      // keys): a collision can only manufacture a FALSE conflict —
+      // conservative refusal, never a silently merged lost update
+      val kStat = keyStatExpr(col(key), keyHashMode(spark, root))
+      val branchKeys = batch.select(kStat.as("__k")).distinct()
       val nChanged = branchKeys.count()
       if (nChanged == 0L)
         return Right((latestVersion(spark, root), 0L))
@@ -3813,8 +3983,8 @@ object GraftTable {
           baseEntries, loadManifest(spark, root, mainV),
           pendingEqDels(spark, root, base),
           pendingEqDels(spark, root, mainV))
-        val mainKeys = mUps.select(col(key).cast("long").as("__k"))
-          .unionByName(mDel.select(col(key).cast("long").as("__k")))
+        val mainKeys = mUps.select(kStat.as("__k"))
+          .unionByName(mDel.select(kStat.as("__k")))
           .distinct()
         val conflicts = branchKeys.join(mainKeys, Seq("__k"), "inner").count()
         if (conflicts > 0) return Left(conflicts)
