@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.Observation
 import graft.{GraftQuery, Tables}
-import graft.sources.{GraftMv, GraftTable, MvAgg}
+import graft.sources.{GraftMv, GraftTable, MvAgg, MvGroup}
 
 /** Table-maintenance operators: the jobs a lakehouse runs BETWEEN
   * queries to keep 100 TB readable — small-file compaction planning
@@ -4361,6 +4361,248 @@ object MaintenanceQueries {
            |FROM m WHERE nation % 5 = 0 OR nation = 12
            |ORDER BY k""".stripMargin))
 
+  /** MULTI-COLUMN + GRAIN MATERIALIZED VIEWS (round 16): the MV group
+    * key generalizes past one bare column — `GROUP BY cust, days(ts)`
+    * is the first MV any warehouse user writes, and the reference's
+    * own fact cube is three-dimensional (time×product×location,
+    * FactTable.sql:78-110). The group tuple keys the MV table through
+    * a hidden composite STRING key (unit-separator join of the group
+    * values — exact tuple identity on the hash-ledgered string-key
+    * machinery, no collision merging), and both refresh planes stay
+    * tuple-keyed: count/sum advances by pure ± delta (source never
+    * read), min/max re-aggregates only the dirty (cust, day) tuples.
+    * Created through SQL (`GROUP BY cust, days(ts)` with the grain
+    * aliased in the select list), mutated, refreshed — DuckDB replays
+    * the mutations and the full two-dimensional GROUP BY. */
+  val q331MultiGroupMv = GraftQuery(
+    "q331_multi_group_mv",
+    (s, dir) => {
+      val base = newTempDir("graft_mv_multi")
+      val src = base + "/src"
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("cust"),
+        col("o_orderdate").as("ts"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+        .filter(col("k") % 3 === 0)
+      GraftTable.create(s, src, orders, "k", nBuckets = 4)
+      s.conf.set("spark.sql.catalog.gmvmg", classOf[graft.sources
+        .GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gmvmg.base", base)
+      s.sql("CREATE MATERIALIZED VIEW gmvmg.mv AS " +
+        "SELECT cust, months(ts) AS mon, count(*) AS n_orders, " +
+        "sum(cents) AS cents_sum FROM gmvmg.src GROUP BY cust, months(ts)")
+      GraftMv.createGrouped(s, base + "/mvm", src,
+        Seq(MvGroup("cust", "cust"), MvGroup("mon", "months(ts)")),
+        Seq(MvAgg("max", "cents", "max_cents"),
+          MvAgg("min", "cents", "min_cents")), nBuckets = 4)
+      // reprice, insert shifted keys, delete a slice — dirty tuples
+      // span months and customers
+      GraftTable.upsert(s, src,
+        orders.filter(col("k") % 131 === 9)
+          .withColumn("cents", lit(-200L)), "k")
+      GraftTable.upsert(s, src,
+        orders.filter(col("k") % 151 === 6)
+          .withColumn("k", col("k") + 7000000L), "k")
+      GraftTable.deleteWhere(s, src, col("k") % 113 === 21, "k")
+      val dirty = s.sql("REFRESH MATERIALIZED VIEW gmvmg.mv")
+        .collect()(0).getLong(1)
+      val (_, dirtyMm) = GraftMv.refresh(s, base + "/mvm", nBuckets = 4)
+      val noop = s.sql("REFRESH MATERIALIZED VIEW gmvmg.mv")
+        .collect()(0).getLong(1) == 0L &&
+        GraftMv.refresh(s, base + "/mvm")._2 == 0L
+      val ok = dirty > 0 && dirtyMm > 0 && noop
+      GraftMv.read(s, base + "/mv").as("d")
+        .join(GraftMv.read(s, base + "/mvm").as("m"), Seq("cust", "mon"))
+        .filter(col("cust") % 7 === 2)
+        .select(col("cust"), col("mon"), col("n_orders"),
+          col("cents_sum"), col("max_cents"), col("min_cents"))
+        .withColumn("ok", lit(ok))
+        .orderBy("cust", "mon")
+    },
+    Some("""WITH o AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |    CAST(o_custkey AS BIGINT) AS cust,
+           |    o_orderdate AS ts,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM orders WHERE o_orderkey % 3 = 0),
+           |mutated AS (
+           |  SELECT k, cust, ts,
+           |    CASE WHEN k % 131 = 9 THEN -200 ELSE cents END AS cents
+           |  FROM o
+           |  UNION ALL
+           |  SELECT k + 7000000, cust, ts, cents FROM o WHERE k % 151 = 6),
+           |live AS (SELECT * FROM mutated WHERE k % 113 <> 21)
+           |SELECT cust,
+           |  CAST(year(ts) * 12 + month(ts) - 1 AS BIGINT) AS mon,
+           |  count(*) AS n_orders,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  CAST(max(cents) AS BIGINT) AS max_cents,
+           |  CAST(min(cents) AS BIGINT) AS min_cents,
+           |  true AS ok
+           |FROM live WHERE cust % 7 = 2
+           |GROUP BY cust, mon ORDER BY cust, mon""".stripMargin))
+
+  /** GRAIN-AWARE TRANSPARENT REWRITE + the provably-safe WIDENING
+    * (round 16): a `GROUP BY cust, floor(unix_timestamp(ts)/86400.0D)`
+    * over the source serves from a `(cust, days(ts))` MV — the rule
+    * matches the grain by analyzing the transform against the
+    * relation and comparing semantically (the analyzer's pulled-out
+    * `_groupingexpression` aliases are inlined back first). EXTRA
+    * WHERE conjuncts referencing only BARE group columns post-filter
+    * the MV read (group predicates commute with GROUP BY — the one
+    * safe subsumption step); `ok` pins served-from-MV for both the
+    * exact and the widened query, refusal for a non-group residual,
+    * and stale-left-alone after one more source commit. Rows come
+    * from the REWRITTEN plans and hash-compare against DuckDB's
+    * direct aggregation. */
+  val q332MvRewriteGrain = GraftQuery(
+    "q332_mv_rewrite_grain",
+    (s, dir) => {
+      val base = newTempDir("graft_mv_rwg")
+      val src = base + "/src"
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("cust"),
+        col("o_orderdate").as("ts"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+        .filter(col("k") % 4 === 0)
+      GraftTable.create(s, src, orders, "k", nBuckets = 4)
+      GraftMv.createGrouped(s, base + "/mv", src,
+        Seq(MvGroup("cust", "cust"), MvGroup("day", "days(ts)")),
+        Seq(MvAgg("count", "", "n"), MvAgg("sum", "cents", "sv")),
+        nBuckets = 4)
+      s.conf.set("spark.sql.catalog.gmvrg", classOf[graft.sources
+        .GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gmvrg.base", base)
+      s.conf.set("spark.graft.mv.rewrite.views", base + "/mv")
+      try {
+        val grain = "floor(unix_timestamp(ts) / 86400.0D)"
+        val q = s.sql(s"SELECT cust, $grain AS day, count(*) AS n_ord, " +
+          s"sum(cents) AS cents_sum FROM gmvrg.src " +
+          s"WHERE cust % 9 = 4 GROUP BY cust, $grain")
+        val servedWidened =
+          q.queryExecution.executedPlan.toString.contains(base + "/mv")
+        val rows = q.orderBy("cust", "day").collect().toSeq
+        // a residual on a NON-group column must leave the plan alone
+        val q2 = s.sql(s"SELECT cust, count(*) AS n FROM gmvrg.src " +
+          s"WHERE cents > 1000 GROUP BY cust, $grain")
+        val refusedNonGroup = !q2.queryExecution.executedPlan.toString
+          .contains(base + "/mv")
+        // stale: one more commit, same widened query — left alone
+        GraftTable.upsert(s, src,
+          orders.limit(1).withColumn("k", lit(88888888L)), "k")
+        val q3 = s.sql(s"SELECT cust, count(*) AS n FROM gmvrg.src " +
+          s"WHERE cust % 9 = 4 GROUP BY cust, $grain")
+        val staleLeftAlone = !q3.queryExecution.executedPlan.toString
+          .contains(base + "/mv")
+        val ok = servedWidened && refusedNonGroup && staleLeftAlone
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, org.apache.spark.sql.types
+          .StructType(Seq(
+            org.apache.spark.sql.types.StructField("cust",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("day",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_ord",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("cents_sum",
+              org.apache.spark.sql.types.LongType))))
+          .withColumn("ok", lit(ok))
+      } finally s.conf.unset("spark.graft.mv.rewrite.views")
+    },
+    Some("""WITH o AS (
+           |  SELECT CAST(o_custkey AS BIGINT) AS cust,
+           |    o_orderdate AS ts,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM orders WHERE o_orderkey % 4 = 0)
+           |SELECT cust,
+           |  CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+           |  count(*) AS n_ord,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum, true AS ok
+           |FROM o WHERE cust % 9 = 4
+           |GROUP BY cust, day ORDER BY cust, day""".stripMargin))
+
+  /** AUTO-MAINTENANCE ON THE STREAMING SINK (round 16): the probe
+    * ladder gets its scheduler — with `graft.maintenance.auto = true`
+    * (table property; `.option("maintenance", "auto")` on the stream
+    * is the other spelling) every Nth committed version runs the
+    * three FREE probes post-commit: pending equality deletes resolve
+    * to DVs, dirty DVs absorb into rewrites, small files bin-pack.
+    * Twelve eqdel-mode CDC batches land with NO manual verbs; `ok`
+    * pins that maintenance commits interleaved (version count >
+    * batch count), that the eqdel debt was actually retired along
+    * the way (some recent version is pending-free), and that the
+    * live file count stays BOUNDED (vs one-plus files per batch
+    * forever without compaction). Content hash-compares against
+    * DuckDB's replay of all twelve replace batches. This is the
+    * difference between "the probes exist" and "a continuous 100 TB
+    * CDC sink can run for a year unattended". */
+  val q333AutoMaintenance = GraftQuery(
+    "q333_auto_maintenance",
+    (s, dir) => {
+      val base = newTempDir("graft_auto_maint")
+      val root = base + "/t"
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, root, orders, "k", nBuckets = 4)
+      // gate-scale thresholds: fire the ladder at KB sizes the way the
+      // defaults fire it at TB sizes
+      GraftTable.setTableProperty(s, root, "graft.maintenance.auto", "true")
+      GraftTable.setTableProperty(s, root,
+        "graft.maintenance.everyBatches", "4")
+      GraftTable.setTableProperty(s, root,
+        "graft.eqdel.maxPendingRatio", "0.001")
+      GraftTable.setTableProperty(s, root,
+        "graft.dv.maxTableDirtyRatio", "0.001")
+      (1 to 12).foreach { b =>
+        val batch = orders.filter(col("k") % 997 === b)
+          .withColumn("cents", lit(-b.toLong))
+        GraftTable.ingestBatch(s, root, batch, "k", batchId = b.toLong,
+          mode = "eqdel")
+      }
+      val head = GraftTable.latestVersion(s, root)
+      // maintenance commits interleaved: more versions than batches
+      val maintained = head > 12 + 2 // create is v0; props are metadata
+      // the eqdel debt was retired at least once along the way
+      val retired = (math.max(0, head - 6) to head)
+        .exists(v => !GraftTable.hasLiveEqDels(s, root, v))
+      // bounded layout: without compaction 12 batches leave ≥ 16 live
+      // files and growing; the ladder keeps the ledger small
+      val files = GraftTable.snapshotFileLedger(s, root, head).size
+      val bounded = files <= 10
+      val ok = maintained && retired && bounded
+      GraftTable.read(s, root)
+        .withColumn("bucket", col("k") % 10)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("cents").as("cents_sum"),
+          sum(conv(substring(md5(concat_ws("|", col("k").cast("string"),
+            col("prio"), col("cents").cast("string"))), 1, 8), 16, 10)
+            .cast("long")).as("row_sum"))
+        .withColumn("ok", lit(ok))
+        .orderBy("bucket")
+    },
+    Some("""WITH o AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |    o_orderpriority AS prio,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM orders),
+           |merged AS (
+           |  SELECT k, prio,
+           |    CASE WHEN k % 997 BETWEEN 1 AND 12 THEN -(k % 997)
+           |      ELSE cents END AS cents
+           |  FROM o)
+           |SELECT k % 10 AS bucket, count(*) AS n_rows,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+           |    prio || '|' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT)
+           |    AS BIGINT) AS row_sum,
+           |  true AS ok
+           |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
@@ -4378,5 +4620,6 @@ object MaintenanceQueries {
     q319SinkMor, q320BranchSqlWrites, q321TransformDpp,
     q322EqdelIngest, q323EqdelCdf, q324IncrementalMv, q325SpjJoin,
     q326BucketPointLookup, q327FilteredAvgMv, q328SchemaAutoMerge,
-    q329MvRewrite, q330StringKeys)
+    q329MvRewrite, q330StringKeys, q331MultiGroupMv, q332MvRewriteGrain,
+    q333AutoMaintenance)
 }

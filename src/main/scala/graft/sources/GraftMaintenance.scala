@@ -68,7 +68,7 @@ class GraftMaintenanceParser(delegate: ParserInterface)
   private val CreateMv =
     ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+AS\s+""" +
       """SELECT\s+(.+?)\s+FROM\s+([\w.`]+)""" +
-      """(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+([\w`]+)\s*;?\s*""").r
+      """(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+?)\s*;?\s*""").r
   private val RefreshMv =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*""".r
   private val MergeBranch =
@@ -114,12 +114,11 @@ class GraftMaintenanceParser(delegate: ParserInterface)
       GraftAbsorbCommand(parts(ident), Option(ratio).map(_.toDouble))
     case ResolveDeletes(ident, ratio) =>
       GraftResolveCommand(parts(ident), Option(ratio).map(_.toDouble))
-    case CreateMv(mvIdent, selectList, srcIdent, where, group) =>
+    case CreateMv(mvIdent, selectList, srcIdent, where, groupBy) =>
+      val (groups, aggs) =
+        GraftMaintenance.parseMvDef(selectList, groupBy)
       GraftMvCreateCommand(parts(mvIdent), parts(srcIdent),
-        group.stripPrefix("`").stripSuffix("`"),
-        GraftMaintenance.parseMvSelect(selectList,
-          group.stripPrefix("`").stripSuffix("`")),
-        Option(where).map(_.trim))
+        groups, aggs, Option(where).map(_.trim))
     case RefreshMv(ident) =>
       GraftMvRefreshCommand(parts(ident))
     case MergeBranch(name, ident) =>
@@ -177,25 +176,63 @@ private[sources] object GraftMaintenance {
     GraftTable.keyColumn(spark, root).getOrElse(throw new IllegalStateException(
       s"$verb: table at $root records no key column"))
 
-  /** Parse the constrained MV select list: the group column plus
-    * `count(*|1) AS a` / `sum|min|max(col) AS a` items — the shapes
+  /** Canonical form of a grain transform expression: whitespace
+    * stripped, function name lowercased — so `DAYS( ts )` in GROUP BY
+    * matches `days(ts) AS day` in the select list and round-trips
+    * [[PartitionTransform.parse]]. */
+  private def normalizeGrain(e: String): String = {
+    val s = e.replaceAll("\\s+", "")
+    val i = s.indexOf('(')
+    if (i <= 0) s else s.substring(0, i).toLowerCase + s.substring(i)
+  }
+
+  /** Parse the constrained MV definition: GROUP BY entries (bare
+    * columns and `days(ts)`-style grains — grains must appear in the
+    * select list with an alias) plus `count(*|1) AS a` /
+    * `sum|min|max|avg(col) AS a` aggregate items — the shapes
     * [[GraftMv]] maintains incrementally. Anything else refuses with
     * the supported grammar (an MV that silently dropped an expression
     * would serve wrong answers forever). */
-  def parseMvSelect(selectList: String, group: String): Seq[MvAgg] = {
+  def parseMvDef(selectList: String, groupBy: String)
+    : (Seq[MvGroup], Seq[MvAgg]) = {
+    val gEntries = groupBy.split(',').map(
+      _.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+    require(gEntries.nonEmpty, "CREATE MATERIALIZED VIEW needs GROUP BY")
+    val bare = gEntries.filter(_.matches("""\w+""")).toSet
     val CountItem = """(?i)count\s*\(\s*(?:\*|1)\s*\)\s+AS\s+(\w+)""".r
     val AggItem =
       """(?i)(sum|min|max|avg)\s*\(\s*`?(\w+)`?\s*\)\s+AS\s+(\w+)""".r
+    val GrainItem =
+      ("""(?i)((?:days|months|years)\s*\(\s*\w+\s*\)|""" +
+        """truncate\s*\(\s*\d+\s*,\s*\w+\s*\)|""" +
+        """bucket\s*\(\s*\d+\s*,\s*\w+\s*\))\s+AS\s+(\w+)""").r
     val GroupItem = """`?(\w+)`?""".r
-    selectList.split(',').map(_.trim).toSeq.flatMap {
+    val grainAlias = scala.collection.mutable.LinkedHashMap[String, String]()
+    val aggs = selectList.split(',').map(_.trim).toSeq.flatMap {
+      case GrainItem(expr, alias) =>
+        grainAlias += normalizeGrain(expr) -> alias; None
       case CountItem(alias) => Some(MvAgg("count", "", alias))
       case AggItem(kind, c, alias) => Some(MvAgg(kind.toLowerCase, c, alias))
-      case GroupItem(g) if g == group => None // the group column itself
+      case GroupItem(g) if bare.contains(g) => None // a group column
       case other => throw new IllegalArgumentException(
         s"CREATE MATERIALIZED VIEW: unsupported select item '$other' — " +
-          "supported: the GROUP BY column, count(*) AS a, " +
+          "supported: the GROUP BY columns, days|months|years(col) AS a " +
+          "(when grouped by the same grain), count(*) AS a, " +
           "sum(col) AS a, min(col) AS a, max(col) AS a, avg(col) AS a")
     }
+    val groups = gEntries.map { e =>
+      if (e.matches("""\w+""")) MvGroup(e, e)
+      else {
+        val n = normalizeGrain(e)
+        grainAlias.get(n) match {
+          case Some(alias) => MvGroup(alias, n)
+          case None => throw new IllegalArgumentException(
+            s"CREATE MATERIALIZED VIEW: grain group '$e' must appear " +
+              "in the select list with an alias (e.g. days(ts) AS day)")
+        }
+      }
+    }
+    (groups, aggs)
   }
 }
 
@@ -350,7 +387,7 @@ case class GraftResolveCommand(parts: Seq[String],
   * cat.mv` works immediately, with the bookkeeping columns visible
   * (SQL surfaces the physical table; [[GraftMv.read]] hides them). */
 case class GraftMvCreateCommand(mvParts: Seq[String],
-    srcParts: Seq[String], group: String, aggs: Seq[MvAgg],
+    srcParts: Seq[String], groups: Seq[MvGroup], aggs: Seq[MvAgg],
     filter: Option[String] = None)
   extends LeafRunnableCommand {
 
@@ -362,7 +399,7 @@ case class GraftMvCreateCommand(mvParts: Seq[String],
       "CREATE MATERIALIZED VIEW")
     val srcRoot = GraftMaintenance.rootOf(spark, srcParts,
       "CREATE MATERIALIZED VIEW")
-    Seq(Row(GraftMv.create(spark, mvRoot, srcRoot, group, aggs,
+    Seq(Row(GraftMv.createGrouped(spark, mvRoot, srcRoot, groups, aggs,
       filter = filter).toLong))
   }
 }

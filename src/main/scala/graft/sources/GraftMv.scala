@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One aggregate column of a materialized view: `kind` ∈
@@ -16,9 +16,26 @@ final case class MvAgg(kind: String, col: String, alias: String) {
     s"MvAgg kind must be count|sum|min|max|avg, got '$kind'")
 }
 
+/** One GROUP BY column of a materialized view: a bare source column
+  * (`alias == expr`) or a DERIVED GRAIN — a [[PartitionTransform]]
+  * expression (`days(ts)`, `months(ts)`, `years(ts)`,
+  * `truncate(w,c)`, `bucket(n,c)`) evaluated to its long value and
+  * served under `alias`. The transform set is exactly the DPP/layout
+  * machinery's, so write-side grouping, refresh-side feed grouping,
+  * and the rewrite matcher all share one evaluation and can never
+  * drift. */
+final case class MvGroup(alias: String, expr: String) {
+  require(alias.nonEmpty && !alias.startsWith("__mv_"),
+    s"bad MV group alias '$alias'")
+  def isBare: Boolean = expr == alias
+  /** The group value of a row (the transform's long for grains). */
+  def valueCol: Column =
+    if (isBare) col(alias) else PartitionTransform.parse(expr).valueCol
+}
+
 /** INCREMENTAL MATERIALIZED VIEWS over a graft table — the engine's
   * answer to "keep this GROUP BY fresh without recomputing it": the
-  * MV is itself a graft table (keyed by the group column — every
+  * MV is itself a graft table (keyed by the group tuple — every
   * read/time-travel/SQL capability applies), its definition and
   * refresh cursor live next to its log, and [[refresh]] advances it
   * by reading the SOURCE's change feed ([[GraftTable.changes]] in
@@ -34,6 +51,15 @@ final case class MvAgg(kind: String, col: String, alias: String) {
   *    SEMI-JOIN-pruned to those groups — cost O(rows of dirty
   *    groups), still never O(source). The standard retractable-agg
   *    trade, documented rather than hidden.
+  *
+  * GROUP keys: one or more columns, each a bare column or a derived
+  * GRAIN (`days(ts)` — the reference's own fact cube is
+  * time×product×location, FactTable.sql:78-110). A single bare group
+  * keys the MV table on that column directly; a composite (or
+  * grained) group synthesizes a hidden `__mv_g` STRING key — the
+  * group values joined with a unit separator — and rides the
+  * hash-ledgered string-key machinery ([[GraftTable.keyHashMode]]):
+  * exact tuple identity, no hash-collision group merging.
   *
   * A hidden `__mv_n` live-row count rides every MV (delta-able group
   * death is `__mv_n → 0` — those groups DELETE from the MV rather
@@ -53,8 +79,12 @@ object GraftMv {
   private def defPath(mvRoot: String) =
     new org.apache.hadoop.fs.Path(mvRoot, "_log/mv.def")
 
+  /** Definition facts as the rewrite rule and tooling consume them. */
+  final case class MvFacts(source: String, groups: Seq[MvGroup],
+      aggs: Seq[MvAgg], lastV: Int, filter: Option[String])
+
   private final case class MvDef(source: String, sourceKey: String,
-      group: String, aggs: Seq[MvAgg], lastV: Int,
+      groups: Seq[MvGroup], aggs: Seq[MvAgg], lastV: Int,
       pending: Option[(Int, Int, Int)], // (from, to, expectedMvVersion)
       filter: Option[String] = None) // row predicate (SQL expression)
 
@@ -62,7 +92,12 @@ object GraftMv {
     val b = new StringBuilder
     b ++= s"source\t${d.source}\n"
     b ++= s"sourceKey\t${d.sourceKey}\n"
-    b ++= s"group\t${d.group}\n"
+    // legacy 2-field form for a single bare column (older readers keep
+    // working); 3-field `group\talias\texpr` for grains/composites
+    d.groups.foreach { g =>
+      if (d.groups.size == 1 && g.isBare) b ++= s"group\t${g.alias}\n"
+      else b ++= s"group\t${g.alias}\t${g.expr}\n"
+    }
     d.filter.foreach(f => b ++= s"filter\t$f\n")
     d.aggs.foreach(a => b ++= s"agg\t${a.kind}\t${a.col}\t${a.alias}\n")
     b ++= s"lastv\t${d.lastV}\n"
@@ -93,7 +128,8 @@ object GraftMv {
         org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
         new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
       } finally in.close()
-    var source = ""; var sourceKey = ""; var group = ""
+    var source = ""; var sourceKey = ""
+    val groups = Seq.newBuilder[MvGroup]
     val aggs = Seq.newBuilder[MvAgg]
     var lastV = -1; var pending: Option[(Int, Int, Int)] = None
     var filt: Option[String] = None
@@ -101,7 +137,8 @@ object GraftMv {
       l.split('\t') match {
         case Array("source", v) => source = v
         case Array("sourceKey", v) => sourceKey = v
-        case Array("group", v) => group = v
+        case Array("group", v) => groups += MvGroup(v, v)
+        case Array("group", a, e) => groups += MvGroup(a, e)
         case Array("filter", v) => filt = Some(v)
         case Array("agg", k, c, a) => aggs += MvAgg(k, c, a)
         case Array("lastv", v) => lastV = v.toInt
@@ -110,12 +147,39 @@ object GraftMv {
         case _ => () // forward compatibility
       }
     }
-    MvDef(source, sourceKey, group, aggs.result(), lastV, pending, filt)
+    MvDef(source, sourceKey, groups.result(), aggs.result(), lastV,
+      pending, filt)
   }
 
   private val HiddenN = "__mv_n"
+  private val HiddenG = "__mv_g"
   private def nnOf(alias: String) = s"__mv_nn_$alias"
   private def sOf(alias: String) = s"__mv_s_$alias"
+
+  /** Whether the MV needs the synthesized composite key (anything but
+    * a single bare group column). */
+  private def composite(groups: Seq[MvGroup]): Boolean =
+    groups.size > 1 || !groups.head.isBare
+
+  /** The MV table's key column name. */
+  private def keyOf(groups: Seq[MvGroup]): String =
+    if (composite(groups)) HiddenG else groups.head.alias
+
+  /** The hidden composite key value from the (already materialized)
+    * group ALIAS columns: group values joined with the unit separator,
+    * NULLs encoded distinctly — exact tuple identity (it rides the
+    * hash-ledgered string-key machinery; the ledger hashes, row
+    * operations compare the full string). */
+  private def gidCol(groups: Seq[MvGroup]): Column =
+    concat_ws("\u001F", groups.map(g =>
+      when(col(g.alias).isNull, lit("\u0000"))
+        .otherwise(col(g.alias).cast("string"))): _*)
+
+  /** Materialize every group column (bare passthrough; grains compute
+    * the transform value under the alias). */
+  private def withGroups(df: DataFrame, groups: Seq[MvGroup]): DataFrame =
+    groups.foldLeft(df)((d, g) =>
+      if (g.isBare) d else d.withColumn(g.alias, g.valueCol))
 
   /** The STORED user-visible aggregate aliases — avg stores only its
     * hidden (sum, count) pair and is computed at [[read]] time. */
@@ -151,20 +215,35 @@ object GraftMv {
     } :+ HiddenN
 
   /** Define + fully build a materialized view of
-    * `SELECT group, aggs… FROM source GROUP BY group` at `mvRoot`.
-    * `group` must be the source's long-castable grouping column
-    * (the MV's table key — group identity IS row identity). */
+    * `SELECT groups…, aggs… FROM source GROUP BY groups…` at
+    * `mvRoot`. Single-bare-group form — see the [[MvGroup]] overload
+    * for multi-column / grained groups. */
   def create(spark: SparkSession, mvRoot: String, sourceRoot: String,
       group: String, aggs: Seq[MvAgg], nBuckets: Int = 8,
-      filter: Option[String] = None): Int = {
+      filter: Option[String] = None): Int =
+    createGrouped(spark, mvRoot, sourceRoot, Seq(MvGroup(group, group)),
+      aggs, nBuckets, filter)
+
+  /** [[create]] for MULTI-COLUMN and GRAIN group keys — the
+    * reference's own cube shape (time×product×location,
+    * FactTable.sql:78-110): `Seq(MvGroup("cust","cust"),
+    * MvGroup("day","days(ts)"))`. */
+  def createGrouped(spark: SparkSession, mvRoot: String,
+      sourceRoot: String, groups: Seq[MvGroup], aggs: Seq[MvAgg],
+      nBuckets: Int = 8, filter: Option[String] = None): Int = {
+    require(groups.nonEmpty, "an MV needs at least one group column")
+    require(groups.map(_.alias).distinct.size == groups.size,
+      "MV group aliases must be distinct")
     require(aggs.nonEmpty, "an MV needs at least one aggregate")
     require(aggs.map(_.alias).distinct.size == aggs.size,
       "MV aliases must be distinct")
     require(!aggs.exists(_.alias.startsWith("__mv_")),
       "MV aliases must not start with the reserved '__mv_' prefix " +
         "(it names the hidden bookkeeping columns)")
-    require(!group.startsWith("__mv_"),
-      "MV group column must not start with the reserved '__mv_' prefix")
+    require(groups.map(_.alias).intersect(aggs.map(_.alias)).isEmpty,
+      "MV group and aggregate aliases must not collide")
+    // grains must parse up front (fail at create, not first refresh)
+    groups.filterNot(_.isBare).foreach(g => PartitionTransform.parse(g.expr))
     filter.foreach(f => require(!f.exists(c => c == '\t' || c == '\n'),
       "MV filter must be a single-line SQL expression"))
     val srcV = GraftTable.latestVersion(spark, sourceRoot)
@@ -176,20 +255,25 @@ object GraftMv {
     // row-level predicate commutes with the feed's ± retraction form —
     // an update crossing the boundary is exactly one −old/+new pair)
     val src0 = GraftTable.read(spark, sourceRoot, Some(srcV))
-    val src = filter.map(f => src0.filter(expr(f))).getOrElse(src0)
-    val full = src
-      .groupBy(col(group)).agg(aggCols(aggs).head, aggCols(aggs).tail: _*)
-    GraftTable.create(spark, mvRoot, full, group, nBuckets)
+    val src = withGroups(
+      filter.map(f => src0.filter(expr(f))).getOrElse(src0), groups)
+    val gCols = groups.map(g => col(g.alias))
+    val full0 = src.groupBy(gCols: _*)
+      .agg(aggCols(aggs).head, aggCols(aggs).tail: _*)
+    val (full, key) =
+      if (composite(groups))
+        (full0.withColumn(HiddenG, gidCol(groups)), HiddenG)
+      else (full0, groups.head.alias)
+    GraftTable.create(spark, mvRoot, full, key, nBuckets)
     writeDef(spark, mvRoot,
-      MvDef(sourceRoot, srcKey, group, aggs, srcV, None, filter))
+      MvDef(sourceRoot, srcKey, groups, aggs, srcV, None, filter))
     srcV
   }
 
-  /** Definition facts the TRANSPARENT REWRITE rule needs:
-    * (sourceRoot, group, aggs, lastVersionCaughtUpTo, filter). None if
-    * no MV lives at `mvRoot`. */
+  /** Definition facts the TRANSPARENT REWRITE rule needs. None if no
+    * MV lives at `mvRoot`. */
   private[sources] def defFor(spark: SparkSession, mvRoot: String)
-    : Option[(String, String, Seq[MvAgg], Int, Option[String])] = {
+    : Option[MvFacts] = {
     val p = defPath(mvRoot)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(p)) None
@@ -199,7 +283,7 @@ object GraftMv {
       // lastV — the conservative read for freshness is "not fresh";
       // refresh() recovery will settle it
       val lastV = if (d.pending.isDefined) -1 else d.lastV
-      Some((d.source, d.group, d.aggs, lastV, d.filter))
+      Some(MvFacts(d.source, d.groups, d.aggs, lastV, d.filter))
     }
   }
 
@@ -217,7 +301,8 @@ object GraftMv {
             .otherwise(lit(null).cast("double")))
       case _ => ()
     }
-    df.select((col(d.group) +: d.aggs.map(a => col(a.alias))): _*)
+    df.select((d.groups.map(g => col(g.alias)) ++
+      d.aggs.map(a => col(a.alias))): _*)
   }
 
   /** Advance the MV to the source's current head by change-feed
@@ -245,17 +330,22 @@ object GraftMv {
     // side that crossed
     val feed0 = GraftTable.changes(spark, d.source, d.lastV, srcHead,
       d.sourceKey, withPreimages = true)
-    val feed = d.filter.map(f => feed0.filter(expr(f))).getOrElse(feed0)
+    val feed = withGroups(
+      d.filter.map(f => feed0.filter(expr(f))).getOrElse(feed0), d.groups)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val g = d.group
-      val dirty = feed.select(col(g)).distinct()
+      val groups = d.groups
+      val gNames = groups.map(_.alias)
+      val gCols = gNames.map(col)
+      val mvKey = keyOf(groups)
+      val dirty = feed.select(gCols: _*).distinct()
       val deltaable = d.aggs.forall(a =>
         a.kind == "count" || a.kind == "sum" || a.kind == "avg")
       val mvCols = visibleStored(d.aggs) ++ hiddenCols(d.aggs)
-      // rows the MV currently stores for the dirty groups
+      // rows the MV currently stores for the dirty groups — the
+      // multi-column Seq join unifies the group columns on both sides
       val old = GraftTable.read(spark, mvRoot)
-        .join(dirty, Seq(g), "left_semi").as("o")
+        .join(dirty, gNames, "left_semi").as("o")
       val rebuilt: DataFrame =
         if (deltaable) {
           // PURE DELTA: ± contributions per group, source never read
@@ -280,12 +370,12 @@ object GraftMv {
                 .as(nnOf(alias)))
             case _ => Seq.empty
           } :+ sum(sign).as(HiddenN)
-          val deltas = feed.groupBy(col(g))
+          val deltas = feed.groupBy(gCols: _*)
             .agg(dAggs.head, dAggs.tail: _*).as("d")
           def merged(c: String) =
             coalesce(col(s"o.$c"), lit(0L)) + coalesce(col(s"d.$c"), lit(0L))
-          old.join(deltas, Seq(g), "full_outer")
-            .select(col(g) +:
+          old.join(deltas, gNames, "full_outer")
+            .select(gCols ++
               mvCols.map { c =>
                 val isSum = d.aggs.exists(a =>
                   a.kind == "sum" && a.alias == c)
@@ -300,25 +390,30 @@ object GraftMv {
           // (the MV's filter applies here too — it defines the
           // aggregated relation)
           val src0 = GraftTable.read(spark, d.source, Some(srcHead))
-          d.filter.map(f => src0.filter(expr(f))).getOrElse(src0)
-            .join(dirty, Seq(g), "left_semi")
-            .groupBy(col(g))
+          withGroups(
+            d.filter.map(f => src0.filter(expr(f))).getOrElse(src0), groups)
+            .join(dirty, gNames, "left_semi")
+            .groupBy(gCols: _*)
             .agg(aggCols(d.aggs).head, aggCols(d.aggs).tail: _*)
             // groups whose rows ALL disappeared produce nothing here;
             // re-attach them via the dirty list so they delete below
-            .join(dirty, Seq(g), "full_outer")
+            .join(dirty, gNames, "full_outer")
         }
       val op = "__mv_op"
-      val batch = rebuilt.withColumn(op,
+      val batch0 = rebuilt.withColumn(op,
           when(coalesce(col(HiddenN), lit(0L)) <= 0L, "delete")
             .otherwise("replace"))
-        .select((col(g) +: mvCols.map(col) :+ col(op)): _*)
+      val batch =
+        (if (composite(groups)) batch0.withColumn(HiddenG, gidCol(groups))
+         else batch0)
+          .select(((if (composite(groups)) Seq(col(HiddenG)) else Seq.empty)
+            ++ gCols ++ mvCols.map(col) :+ col(op)): _*)
       val nDirty = dirty.count()
       // WRITE-AHEAD INTENT, then apply, then finalize the cursor
       val expectV = GraftTable.latestVersion(spark, mvRoot) + 1
       writeDef(spark, mvRoot,
         d.copy(pending = Some((d.lastV, srcHead, expectV))))
-      GraftTable.applyCdcBatch(spark, mvRoot, batch, g, op, nBuckets)
+      GraftTable.applyCdcBatch(spark, mvRoot, batch, mvKey, op, nBuckets)
       writeDef(spark, mvRoot, d.copy(lastV = srcHead, pending = None))
       (srcHead, nDirty)
     } finally feed.unpersist()

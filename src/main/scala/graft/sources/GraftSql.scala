@@ -164,6 +164,15 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     val sinkLayout = parameters.getOrElse("layout", "")
     require(sinkLayout.isEmpty || sinkLayout == "hash",
       s"graft sink layout must be 'hash' when set, got '$sinkLayout'")
+    // .option("maintenance", "auto"): every Nth committed version
+    // (graft.maintenance.everyBatches, default 8) runs the free probe
+    // ladder post-commit — pending eqdels resolve, dirty DVs absorb,
+    // small files bin-pack — so a continuous CDC sink's merge-on-read
+    // debt stays bounded with NO manual verbs ('off' suppresses a
+    // table-property opt-in)
+    val sinkMaint = parameters.getOrElse("maintenance", "")
+    require(Set("", "auto", "off")(sinkMaint),
+      s"graft sink maintenance must be 'auto' or 'off', got '$sinkMaint'")
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         val spark = data.sparkSession
@@ -182,7 +191,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         val batch = org.apache.spark.sql.graft.bridge.asBatch(data).cache()
         try GraftTable.ingestBatch(spark, root, batch, key, batchId,
           nBuckets, queryId, sinkMode,
-          createHashLayout = sinkLayout == "hash")
+          createHashLayout = sinkLayout == "hash",
+          maintenance = sinkMaint)
         finally batch.unpersist()
       }
       override def toString: String = s"GraftSink[$root]"
@@ -1784,15 +1794,18 @@ class GraftMetaTable(root: String, kind: String, version: Int)
                 // and the refresh cursor (what freshness tooling and
                 // the rewrite rule key on)
                 val mvRows = GraftMv.defFor(spark, root).toSeq.flatMap {
-                  case (source, group, aggs, lastV, filter) =>
-                    Seq("graft.mv.source" -> source,
-                      "graft.mv.group" -> group,
-                      "graft.mv.aggs" -> aggs.map(a =>
+                  facts =>
+                    Seq("graft.mv.source" -> facts.source,
+                      "graft.mv.group" -> facts.groups.map(g =>
+                        if (g.isBare) g.alias
+                        else s"${g.expr} AS ${g.alias}").mkString(", "),
+                      "graft.mv.aggs" -> facts.aggs.map(a =>
                         if (a.kind == "count") s"count(*) AS ${a.alias}"
                         else s"${a.kind}(${a.col}) AS ${a.alias}")
                         .mkString(", "),
-                      "graft.mv.lastSourceVersion" -> lastV.toString) ++
-                      filter.map("graft.mv.filter" -> _).toSeq
+                      "graft.mv.lastSourceVersion" ->
+                        facts.lastV.toString) ++
+                      facts.filter.map("graft.mv.filter" -> _).toSeq
                 }
                 (GraftTable.tableProperties(spark, root).toSeq ++
                   layoutRow ++ mvRows)

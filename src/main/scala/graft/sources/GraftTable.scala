@@ -3184,7 +3184,8 @@ object GraftTable {
   def ingestBatch(spark: SparkSession, root: String, batch: DataFrame,
       key: String, batchId: Long, nBuckets: Int = 8,
       queryId: String = "", mode: String = "",
-      createHashLayout: Boolean = false): Unit = {
+      createHashLayout: Boolean = false,
+      maintenance: String = ""): Unit = {
     val (f, _) = fs(root, spark)
     val markerName =
       if (queryId.isEmpty) s"_log/ingest-$batchId.marker"
@@ -3203,6 +3204,45 @@ object GraftTable {
     else insertBatch(spark, root, batch, key, nBuckets)
     val os = f.create(marker, true)
     os.close()
+    // AUTO-MAINTENANCE: a continuous sink with no maintenance loop
+    // accumulates merge-on-read debt without limit (pending eqdel key
+    // sets, DV'd files, small files). With `.option("maintenance",
+    // "auto")` — or the `graft.maintenance.auto = true` table
+    // property — every Nth committed version runs the free probe
+    // ladder ([[maintainIfDue]]): under-threshold tables pay one
+    // metadata listing per probe and no-op, so the steady state costs
+    // nothing and the debt stays bounded with NO manual verbs.
+    val auto = maintenance == "auto" || (maintenance.isEmpty &&
+      tableProperties(spark, root)
+        .get("graft.maintenance.auto").contains("true"))
+    if (auto) {
+      val every = tableProperties(spark, root)
+        .get("graft.maintenance.everyBatches").map(_.toInt).getOrElse(8)
+      require(every >= 1,
+        s"graft.maintenance.everyBatches must be >= 1, got $every")
+      val v = latestVersion(spark, root)
+      if (v > 0 && v % every == 0) { maintainIfDue(spark, root, key); () }
+    }
+  }
+
+  /** The AUTO-MAINTENANCE tick — the scheduler the probe ladder was
+    * missing: run the three free probes in DEBT ORDER (pending
+    * equality deletes resolve to DVs → dirty DVs absorb into plain
+    * rewrites → small files bin-pack). Each probe is one metadata
+    * listing when under its threshold, so a caller can tick every few
+    * commits and pay nothing in the steady state; thresholds come
+    * from the table's own properties (`graft.eqdel.maxPendingRatio` /
+    * `graft.dv.maxTableDirtyRatio` / `graft.compact.maxSmallFileRatio`
+    * and `graft.compact.targetRows`). Returns which tiers fired as
+    * (eqdelResolved, dvsAbsorbed, compacted). */
+  def maintainIfDue(spark: SparkSession, root: String, key: String)
+    : (Boolean, Boolean, Boolean) = {
+    val eq = resolveEqDelsIfPending(spark, root, key).isDefined
+    val dv = absorbDvsIfDirty(spark, root, key).isDefined
+    val target = tableProperties(spark, root)
+      .get("graft.compact.targetRows").map(_.toLong).getOrElse(1000000L)
+    val opt = optimizeIfFragmented(spark, root, key, target).isDefined
+    (eq, dv, opt)
   }
 
   /** Keyed upsert of a full-schema batch THROUGH THE DML POLICY

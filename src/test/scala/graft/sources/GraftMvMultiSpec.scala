@@ -1,0 +1,245 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** MULTI-COLUMN and GRAIN group keys for materialized views — the
+  * reference's own cube shape (time×product×location) — plus the
+  * provably-safe rewrite widening: residual conjuncts over bare group
+  * columns post-filter the MV read. */
+class GraftMvMultiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_mv_multi_spec").toString
+
+  /** 4 rows per calendar day, 8 customers. */
+  private def src(n: Int): DataFrame = spark.range(1, n + 1).select(
+    $"id".as("k"),
+    ($"id" % 8).as("cust"),
+    timestamp_seconds($"id" * 21600).as("ts"),
+    ($"id" * 3).as("cents"))
+
+  private def recompute(df: DataFrame): Seq[(Long, Long, Long, Long)] =
+    df.groupBy($"cust",
+        floor(unix_timestamp($"ts").cast("double") / 86400.0).cast("long")
+          .as("day"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sv"))
+      .select("cust", "day", "n", "sv")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+
+  test("multi-column + grain group (cust, days(ts)): delta refresh " +
+      "converges over upserts, inserts, deletes, group birth and death") {
+    val d = freshDir()
+    val data = src(400)
+    GraftTable.create(spark, s"$d/src", data, "k", nBuckets = 2)
+    GraftMv.createGrouped(spark, s"$d/mv", s"$d/src",
+      Seq(MvGroup("cust", "cust"), MvGroup("day", "days(ts)")),
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "cents", "sv")))
+    // reprice, insert a new day, kill one (cust, day) group entirely
+    GraftTable.upsert(spark, s"$d/src",
+      data.filter($"k" % 13 === 2).withColumn("cents", lit(-5L)), "k")
+    GraftTable.upsert(spark, s"$d/src",
+      data.filter($"k" % 17 === 3)
+        .withColumn("k", $"k" + 100000L)
+        .withColumn("ts", timestamp_seconds(lit(999L * 86400))), "k")
+    GraftTable.deleteWhere(spark, s"$d/src", $"k" <= 4, "k")
+    val (_, dirty) = GraftMv.refresh(spark, s"$d/mv")
+    assert(dirty > 0)
+    assert(GraftMv.refresh(spark, s"$d/mv")._2 === 0L, "no-op must be free")
+    val got = GraftMv.read(spark, s"$d/mv")
+      .select("cust", "day", "n", "sv")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got === recompute(GraftTable.read(spark, s"$d/src")))
+  }
+
+  test("multi-group min/max: dirty-tuple re-aggregation surfaces the " +
+      "runner-up per (cust, day)") {
+    val d = freshDir()
+    val data = src(200)
+    GraftTable.create(spark, s"$d/src", data, "k", nBuckets = 2)
+    GraftMv.createGrouped(spark, s"$d/mvm", s"$d/src",
+      Seq(MvGroup("cust", "cust"), MvGroup("day", "days(ts)")),
+      Seq(MvAgg("max", "cents", "mx"), MvAgg("min", "cents", "mn")))
+    // delete each (cust, day)'s current maximum row: k ≡ 3 (mod 4) is
+    // the largest id of each day-quarter — drop a slice of them
+    GraftTable.deleteWhere(spark, s"$d/src",
+      $"k" % 4 === 3 && $"k" < 100, "k")
+    GraftMv.refresh(spark, s"$d/mvm")
+    val got = GraftMv.read(spark, s"$d/mvm")
+      .select("cust", "day", "mx", "mn")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val want = GraftTable.read(spark, s"$d/src")
+      .groupBy($"cust",
+        floor(unix_timestamp($"ts").cast("double") / 86400.0).cast("long")
+          .as("day"))
+      .agg(max("cents").as("mx"), min("cents").as("mn"))
+      .select("cust", "day", "mx", "mn")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got === want)
+  }
+
+  test("SQL surface: CREATE MATERIALIZED VIEW ... GROUP BY cust, " +
+      "days(ts) — grain aliased in the select list; REFRESH converges") {
+    val d = freshDir()
+    val data = src(300)
+    GraftTable.create(spark, s"$d/src", data, "k", nBuckets = 2)
+    val cat = "gmvm" + math.abs(d.hashCode % 1000)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", d)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv AS " +
+      s"SELECT cust, days(ts) AS day, count(*) AS n, sum(cents) AS sv " +
+      s"FROM $cat.src GROUP BY cust, days(ts)")
+    GraftTable.upsert(spark, s"$d/src",
+      data.filter($"k" % 11 === 5).withColumn("cents", lit(7L)), "k")
+    val dirty = spark.sql(s"REFRESH MATERIALIZED VIEW $cat.mv")
+      .collect()(0).getLong(1)
+    assert(dirty > 0)
+    val got = GraftMv.read(spark, s"$d/mv")
+      .select("cust", "day", "n", "sv")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got === recompute(GraftTable.read(spark, s"$d/src")))
+    // a grain group missing its select-list alias refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv2 AS " +
+        s"SELECT cust, count(*) AS n FROM $cat.src GROUP BY cust, days(ts)")
+    }
+    assert(e.getMessage.contains("alias"))
+  }
+
+  test("transparent rewrite serves a multi-column (bare) grouping " +
+      "set in any order; group-count mismatch never rewrites") {
+    val d = freshDir()
+    val data = src(300).withColumn("region", $"k" % 3)
+    GraftTable.create(spark, s"$d/src", data, "k", nBuckets = 2)
+    GraftMv.createGrouped(spark, s"$d/mv", s"$d/src",
+      Seq(MvGroup("cust", "cust"), MvGroup("region", "region")),
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "cents", "sv")))
+    val cat = "gmvr2" + math.abs(d.hashCode % 1000)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", d)
+    spark.conf.set("spark.graft.mv.rewrite.views", s"$d/mv")
+    try {
+      // REVERSED group order in the query — grouping sets are sets
+      val q = spark.sql(s"SELECT region, cust, count(*) AS c, " +
+        s"sum(cents) AS s FROM $cat.src GROUP BY region, cust")
+      assert(q.queryExecution.executedPlan.toString.contains(s"$d/mv"))
+      val want = data.groupBy("region", "cust")
+        .agg(count(lit(1)).as("c"), sum("cents").as("s"))
+        .orderBy("region", "cust").collect().toSeq
+      assert(q.orderBy("region", "cust").collect().toSeq === want)
+      // grouping by a SUBSET must not serve (would double-count)
+      val q2 = spark.sql(
+        s"SELECT cust, count(*) AS c FROM $cat.src GROUP BY cust")
+      assert(q2.queryExecution.optimizedPlan.toString.contains(s"$cat.src"))
+    } finally spark.conf.unset("spark.graft.mv.rewrite.views")
+  }
+
+  test("transparent rewrite matches a GRAIN group expression " +
+      "(floor(unix_timestamp/86400)) and stays off when stale") {
+    val d = freshDir()
+    val data = src(300)
+    GraftTable.create(spark, s"$d/src", data, "k", nBuckets = 2)
+    GraftMv.createGrouped(spark, s"$d/mv", s"$d/src",
+      Seq(MvGroup("cust", "cust"), MvGroup("day", "days(ts)")),
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "cents", "sv")))
+    val cat = "gmvr3" + math.abs(d.hashCode % 1000)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", d)
+    spark.conf.set("spark.graft.mv.rewrite.views", s"$d/mv")
+    try {
+      // 86400.0D: the D suffix keeps the division in DOUBLE — a bare
+      // 86400.0 parses as DECIMAL in SQL and floors to a decimal,
+      // which is a different (and differently-typed) expression than
+      // the days() transform computes
+      val grain = "floor(unix_timestamp(ts) / 86400.0D)"
+      val q = spark.sql(s"SELECT cust, $grain AS day, count(*) AS c, " +
+        s"sum(cents) AS s FROM $cat.src GROUP BY cust, $grain")
+      assert(q.queryExecution.executedPlan.toString.contains(s"$d/mv"),
+        "the grain grouping must serve from the MV:\n" +
+          q.queryExecution.optimizedPlan.toString)
+      val want = recompute(data)
+      assert(q.select($"cust", $"day".cast("long"), $"c", $"s")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted === want)
+      // stale: one more commit, same query — left alone
+      GraftTable.upsert(spark, s"$d/src",
+        data.limit(1).withColumn("k", lit(777777L)), "k")
+      val q2 = spark.sql(s"SELECT cust, $grain AS day, count(*) AS c " +
+        s"FROM $cat.src GROUP BY cust, $grain")
+      assert(!q2.queryExecution.optimizedPlan.toString.contains(s"$d/mv"))
+    } finally spark.conf.unset("spark.graft.mv.rewrite.views")
+  }
+
+  test("rewrite widening: extra conjuncts over BARE group columns " +
+      "post-filter the MV read; anything else refuses") {
+    val d = freshDir()
+    val data = src(300)
+    GraftTable.create(spark, s"$d/src", data, "k", nBuckets = 2)
+    GraftMv.createGrouped(spark, s"$d/mv", s"$d/src",
+      Seq(MvGroup("cust", "cust")),
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "cents", "sv")))
+    GraftMv.createGrouped(spark, s"$d/mvf", s"$d/src",
+      Seq(MvGroup("cust", "cust")),
+      Seq(MvAgg("count", "", "n")), filter = Some("cents > 60"))
+    val cat = "gmvw" + math.abs(d.hashCode % 1000)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", d)
+    spark.conf.set("spark.graft.mv.rewrite.views", s"$d/mv,$d/mvf")
+    try {
+      // UNFILTERED MV + group-column WHERE → served with a post-filter
+      val q = spark.sql(s"SELECT cust, count(*) AS c, sum(cents) AS s " +
+        s"FROM $cat.src WHERE cust IN (2, 5, 7) GROUP BY cust")
+      assert(q.queryExecution.executedPlan.toString.contains(s"$d/mv"),
+        "group-column residual must serve from the MV")
+      val want = data.filter($"cust".isin(2, 5, 7)).groupBy("cust")
+        .agg(count(lit(1)).as("c"), sum("cents").as("s"))
+        .orderBy("cust").collect().toSeq
+      assert(q.orderBy("cust").collect().toSeq === want)
+      // FILTERED MV + its own predicate + a group-column conjunct →
+      // served from the filtered MV with the residual applied
+      val q2 = spark.sql(s"SELECT cust, count(*) AS c FROM $cat.src " +
+        s"WHERE cents > 60 AND cust = 3 GROUP BY cust")
+      assert(q2.queryExecution.executedPlan.toString.contains(s"$d/mvf"),
+        "filtered MV + group residual must serve:\n" +
+          q2.queryExecution.optimizedPlan.toString)
+      val want2 = data.filter($"cents" > 60 && $"cust" === 3)
+        .groupBy("cust").agg(count(lit(1)).as("c")).collect().toSeq
+      assert(q2.collect().toSeq === want2)
+      // a NON-group-column residual must never serve
+      val q3 = spark.sql(s"SELECT cust, count(*) AS c FROM $cat.src " +
+        s"WHERE k % 2 = 0 GROUP BY cust")
+      assert(q3.queryExecution.optimizedPlan.toString.contains(s"$cat.src"))
+      // and a filtered MV whose predicate the query does NOT carry
+      // must never serve, residual or not
+      val q4 = spark.sql(s"SELECT cust, count(*) AS c FROM $cat.src " +
+        s"WHERE cust = 3 GROUP BY cust")
+      assert(!q4.queryExecution.optimizedPlan.toString.contains(s"$d/mvf"),
+        "the filtered MV must not serve a query missing its predicate")
+    } finally spark.conf.unset("spark.graft.mv.rewrite.views")
+  }
+
+  test("composite MV key is exact tuple identity: adjacent string " +
+      "group values never merge") {
+    val d = freshDir()
+    // groups ("ab","c") vs ("a","bc") — a naive concat would collide
+    val data = Seq(
+      (1L, "ab", "c", 10L), (2L, "a", "bc", 20L), (3L, "ab", "c", 30L))
+      .toDF("k", "g1", "g2", "v")
+    GraftTable.create(spark, s"$d/src", data, "k", nBuckets = 1)
+    GraftMv.createGrouped(spark, s"$d/mv", s"$d/src",
+      Seq(MvGroup("g1", "g1"), MvGroup("g2", "g2")),
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv")))
+    val got = GraftMv.read(spark, s"$d/mv")
+      .as[(String, String, Long, Long)].collect().toSeq.sorted
+    assert(got === Seq(("a", "bc", 1L, 20L), ("ab", "c", 2L, 40L)))
+    // and the delta plane keeps them apart
+    GraftTable.upsert(spark, s"$d/src",
+      Seq((4L, "a", "bc", 5L)).toDF("k", "g1", "g2", "v"), "k")
+    GraftMv.refresh(spark, s"$d/mv")
+    val got2 = GraftMv.read(spark, s"$d/mv")
+      .as[(String, String, Long, Long)].collect().toSeq.sorted
+    assert(got2 === Seq(("a", "bc", 2L, 25L), ("ab", "c", 2L, 40L)))
+  }
+}
