@@ -4603,6 +4603,248 @@ object MaintenanceQueries {
            |  true AS ok
            |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** BUCKET-COUNT EVOLUTION (round 16): `ALTER TABLE … SET LAYOUT
+    * HASH BUCKETS n` re-lays the table at a new bucket count in ONE
+    * commit — the verb a 100×-grown table needs instead of a manual
+    * copy. The new count publishes as a VERSIONED, token-named layout
+    * sidecar atomic with the manifest: `ok` pins that the
+    * pre-rebucket snapshot still resolves the OLD count (time travel
+    * never sees a mixed layout), that the post-rebucket
+    * fact⋈fact join runs with ZERO exchanges at the new count (both
+    * sides re-bucketed — the SPJ contract survives evolution), and
+    * that a point probe opens ~1/32 of the files. Rows hash-compare
+    * against DuckDB through the whole lifecycle. */
+  val q334BucketEvolution = GraftQuery(
+    "q334_bucket_evolution",
+    (s, dir) => {
+      val base = newTempDir("graft_rebucket")
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey").cast("long").as("k"),
+        col("l_quantity").cast("long").as("qty"))
+      GraftTable.create(s, base + "/ord", ord, "k", nBuckets = 8,
+        hashLayout = true)
+      GraftTable.create(s, base + "/li", li, "k", nBuckets = 8,
+        hashLayout = true)
+      // mutate before evolving: a DV and a reprice must fold in
+      GraftTable.deleteWhereDv(s, base + "/ord", col("k") % 201 === 7)
+      GraftTable.upsert(s, base + "/ord",
+        ord.filter(col("k") % 301 === 5)
+          .withColumn("cents", lit(-99L)), "k")
+      val vOld = GraftTable.latestVersion(s, base + "/ord")
+      s.conf.set("spark.sql.catalog.grbke", classOf[graft.sources
+        .GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.grbke.base", base)
+      s.sql("ALTER TABLE grbke.ord SET LAYOUT HASH BUCKETS 32")
+      s.sql("ALTER TABLE grbke.li SET LAYOUT HASH BUCKETS 32")
+      val vNew = GraftTable.latestVersion(s, base + "/ord")
+      val layered =
+        GraftTable.hashLayout(s, base + "/ord", vNew).contains(32) &&
+        GraftTable.hashLayout(s, base + "/ord", vOld).contains(8)
+      val all0 = GraftTable.snapshotFileLedger(s, base + "/ord", vNew).size
+      val pruned = GraftTable.prunedFileCountKeys(s, base + "/ord",
+        Seq(96L)) <= math.max(1, all0 / 16) && all0 >= 32
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false")
+      val old = confs.map { case (kk, _) => kk -> s.conf.getOption(kk) }
+      try {
+        confs.foreach { case (kk, vv) => s.conf.set(kk, vv) }
+        val j = s.sql(
+          "SELECT o.prio, count(*) AS n_items, sum(l.qty) AS qty_sum, " +
+            "sum(o.cents) AS ord_sum " +
+            "FROM grbke.ord o JOIN grbke.li l ON o.k = l.k " +
+            "GROUP BY o.prio ORDER BY o.prio")
+        val rows = j.collect().toSeq
+        val smjs = j.queryExecution.executedPlan.collect {
+          case jn: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+            jn
+        }
+        val spj = smjs.nonEmpty && smjs.forall(_.collect {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => e
+        }.isEmpty)
+        val ok = layered && pruned && spj
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, org.apache.spark.sql.types
+          .StructType(Seq(
+            org.apache.spark.sql.types.StructField("prio",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_items",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("qty_sum",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ord_sum",
+              org.apache.spark.sql.types.LongType))))
+          .withColumn("ok", lit(ok))
+      } finally old.foreach {
+        case (kk, Some(vv)) => s.conf.set(kk, vv)
+        case (kk, None) => s.conf.unset(kk)
+      }
+    },
+    Some("""WITH o AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |    o_orderpriority AS prio,
+           |    CASE WHEN o_orderkey % 301 = 5 THEN -99
+           |      ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+           |      END AS cents
+           |  FROM orders WHERE o_orderkey % 201 <> 7),
+           |l AS (
+           |  SELECT CAST(l_orderkey AS BIGINT) AS k,
+           |    CAST(l_quantity AS BIGINT) AS qty
+           |  FROM lineitem)
+           |SELECT prio, count(*) AS n_items,
+           |  CAST(sum(qty) AS BIGINT) AS qty_sum,
+           |  CAST(sum(cents) AS BIGINT) AS ord_sum, true AS ok
+           |FROM o JOIN l ON o.k = l.k
+           |GROUP BY prio ORDER BY prio""".stripMargin))
+
+  /** CONFLICTED BRANCH MERGE — the OVERWRITE strategy (round 16):
+    * [[GraftTable.mergeBranch]] rightly refuses when a key was
+    * changed by BOTH main and the branch since the base, but the
+    * workflow dead-ended there — the branch could never land without
+    * recreating it. `MERGE BRANCH w INTO t OVERWRITE` is the
+    * deliberate escape hatch (Iceberg cherry-pick semantics): branch
+    * wins on every key it changed, main's updates to OTHER keys
+    * survive. `ok` pins the default still refusing (naming the
+    * OVERWRITE spelling) and the relational outcome hash-compares
+    * against DuckDB's replay of branch-wins-over-main. */
+  val q335BranchMergeOverwrite = GraftQuery(
+    "q335_branch_merge_overwrite",
+    (s, dir) => {
+      val base = newTempDir("graft_merge_ow")
+      val root = base + "/t"
+      val cust = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_nationkey").cast("long").as("nation"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, root, cust, "k", nBuckets = 4)
+      GraftTable.createBranch(s, root, "wip")
+      // branch: reprice k%7==1 (includes k%21==1 — the conflict set);
+      // main: reprice k%21==1 and delete k%23==3
+      GraftTable.upsertBranch(s, root, "wip",
+        cust.filter(col("k") % 7 === 1)
+          .withColumn("cents", lit(-111L)), "k")
+      GraftTable.upsert(s, root,
+        cust.filter(col("k") % 21 === 1)
+          .withColumn("cents", lit(-222L)), "k")
+      GraftTable.deleteWhere(s, root, col("k") % 23 === 3, "k")
+      val refused = GraftTable.mergeBranch(s, root, "wip").isLeft
+      s.conf.set("spark.sql.catalog.gmow", classOf[graft.sources
+        .GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gmow.base", base)
+      val sqlRefused =
+        try { s.sql("MERGE BRANCH wip INTO gmow.t").collect(); false }
+        catch { case e: IllegalStateException =>
+          e.getMessage.contains("OVERWRITE") }
+      s.sql("MERGE BRANCH wip INTO gmow.t OVERWRITE").collect()
+      val ok = refused && sqlRefused
+      GraftTable.read(s, root)
+        .filter(col("k") % 11 === 1)
+        .select(col("k"), col("nation"), col("cents"))
+        .withColumn("ok", lit(ok))
+        .orderBy("k")
+    },
+    Some("""WITH c AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k,
+           |    CAST(c_nationkey AS BIGINT) AS nation,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM customer),
+           |-- branch wins on every key it changed (k%7==1, including
+           |-- the conflicted k%21==1); main's delete of k%23==3
+           |-- survives UNLESS the branch re-upserted that key (the
+           |-- branch's replace re-inserts it — branch wins)
+           |merged AS (
+           |  SELECT k, nation,
+           |    CASE WHEN k % 7 = 1 THEN -111
+           |         WHEN k % 21 = 1 THEN -222 ELSE cents END AS cents
+           |  FROM c
+           |  WHERE k % 23 <> 3 OR k % 7 = 1)
+           |SELECT k, nation, cents, true AS ok
+           |FROM merged WHERE k % 11 = 1 ORDER BY k""".stripMargin))
+
+  /** PLUGGABLE COMMIT-LOG STORE (round 16): every manifest publish
+    * reduces to one conditional-put, and the seam now makes that
+    * explicit — [[LocalFsLogStore]] (link(2) / exists+rename, the
+    * default) and [[InMemoryCasLogStore]] (the compare-and-swap
+    * contract an OBJECT-STORE deployment must supply, the documented
+    * Delta LogStore shape). The gate runs a full upsert/delete/read
+    * lifecycle UNDER the CAS store — proving the whole commit
+    * protocol needs nothing the CAS primitive doesn't give — and
+    * races 4 publishers at one path under BOTH stores; `ok` pins
+    * exactly-one-winner every round (a both-win was the round-14
+    * corruption class). Content hash-compares against DuckDB. */
+  val q336CasCommitLog = GraftQuery(
+    "q336_cas_commit_log",
+    (s, dir) => {
+      val base = newTempDir("graft_cas")
+      val root = base + "/t"
+      val cust = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_nationkey").cast("long").as("nation"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("cents"))
+      val lifecycleOk = GraftTable.withLogStore(
+        new graft.sources.InMemoryCasLogStore) {
+        GraftTable.create(s, root, cust, "k", nBuckets = 4)
+        GraftTable.upsert(s, root,
+          cust.filter(col("k") % 31 === 2)
+            .withColumn("cents", lit(-5L)), "k")
+        GraftTable.deleteWhere(s, root, col("k") % 41 === 3, "k")
+        GraftTable.latestVersion(s, root) == 2
+      }
+      // the publish primitive: 4 racers, one path, both stores
+      val hconf = s.sparkContext.hadoopConfiguration
+      val raceOk = Seq(graft.sources.LocalFsLogStore,
+        new graft.sources.InMemoryCasLogStore).forall { store =>
+        (1 to 10).forall { round =>
+          val dest = new org.apache.hadoop.fs.Path(base,
+            f"race-${store.getClass.getSimpleName}-$round%03d.pub")
+          val fsys = dest.getFileSystem(hconf)
+          val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+          val latch = new java.util.concurrent.CountDownLatch(1)
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+          (1 to 4).foreach { i =>
+            pool.submit(new Runnable {
+              override def run(): Unit = {
+                latch.await()
+                try { store.publish(fsys, dest, s"w$i")
+                  wins.incrementAndGet(); () }
+                catch {
+                  case _: GraftTable.ConcurrentCommitException => ()
+                }
+              }
+            })
+          }
+          latch.countDown()
+          pool.shutdown()
+          pool.awaitTermination(30,
+            java.util.concurrent.TimeUnit.SECONDS) && wins.get() == 1
+        }
+      }
+      val ok = lifecycleOk && raceOk
+      GraftTable.read(s, root)
+        .filter(col("k") % 9 === 4)
+        .select(col("k"), col("nation"), col("cents"))
+        .withColumn("ok", lit(ok))
+        .orderBy("k")
+    },
+    Some("""WITH c AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k,
+           |    CAST(c_nationkey AS BIGINT) AS nation,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM customer),
+           |merged AS (
+           |  SELECT k, nation,
+           |    CASE WHEN k % 31 = 2 THEN -5 ELSE cents END AS cents
+           |  FROM c WHERE k % 41 <> 3)
+           |SELECT k, nation, cents, true AS ok
+           |FROM merged WHERE k % 9 = 4 ORDER BY k""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
@@ -4621,5 +4863,6 @@ object MaintenanceQueries {
     q322EqdelIngest, q323EqdelCdf, q324IncrementalMv, q325SpjJoin,
     q326BucketPointLookup, q327FilteredAvgMv, q328SchemaAutoMerge,
     q329MvRewrite, q330StringKeys, q331MultiGroupMv, q332MvRewriteGrain,
-    q333AutoMaintenance)
+    q333AutoMaintenance, q334BucketEvolution, q335BranchMergeOverwrite,
+    q336CasCommitLog)
 }

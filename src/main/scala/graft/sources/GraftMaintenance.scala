@@ -30,8 +30,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *   CREATE BRANCH w ON cat.t              -- fork at the head
   *   FAST FORWARD cat.t FROM w             -- audited branch publish
   *   MERGE BRANCH w INTO cat.t             -- publish onto an advanced main
+  *   MERGE BRANCH w INTO cat.t OVERWRITE   -- conflicted publish, branch wins
   *   DROP BRANCH w ON cat.t
   *   RESTORE cat.t TO VERSION <n | tag>    -- republish an old snapshot
+  *   ALTER TABLE cat.t SET LAYOUT HASH BUCKETS n  -- bucket evolution
   * }}}
   *
   * Spark's grammar has no such statements, so they arrive through the
@@ -72,7 +74,11 @@ class GraftMaintenanceParser(delegate: ParserInterface)
   private val RefreshMv =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*""".r
   private val MergeBranch =
-    """(?is)\s*MERGE\s+BRANCH\s+([A-Za-z][\w.-]*)\s+INTO\s+([\w.`]+)\s*;?\s*""".r
+    ("""(?is)\s*MERGE\s+BRANCH\s+([A-Za-z][\w.-]*)\s+INTO\s+([\w.`]+)""" +
+      """(?:\s+(OVERWRITE))?\s*;?\s*""").r
+  private val AlterLayout =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+SET\s+LAYOUT\s+HASH\s+""" +
+      """BUCKETS\s+(\d+)\s*;?\s*""").r
   private val CreateBranch =
     """(?is)\s*CREATE\s+BRANCH\s+([A-Za-z][\w.-]*)\s+ON\s+([\w.`]+)\s*;?\s*""".r
   private val DropBranch =
@@ -121,8 +127,11 @@ class GraftMaintenanceParser(delegate: ParserInterface)
         groups, aggs, Option(where).map(_.trim))
     case RefreshMv(ident) =>
       GraftMvRefreshCommand(parts(ident))
-    case MergeBranch(name, ident) =>
-      GraftBranchCommand(parts(ident), name, "merge")
+    case MergeBranch(name, ident, overwrite) =>
+      GraftBranchCommand(parts(ident), name,
+        if (overwrite != null) "merge-overwrite" else "merge")
+    case AlterLayout(ident, n) =>
+      GraftRebucketCommand(parts(ident), n.toInt)
     case CreateBranch(name, ident) =>
       GraftBranchCommand(parts(ident), name, "create")
     case DropBranch(name, ident) =>
@@ -452,18 +461,45 @@ case class GraftBranchCommand(parts: Seq[String], name: String,
           case Left(violations) => throw new IllegalStateException(
             s"FAST FORWARD refused by audits: $violations")
         }
-      case "merge" =>
-        // `MERGE BRANCH w INTO cat.t` — the advanced-main publish
-        // ([[GraftTable.mergeBranch]]): one keyed-MERGE commit of the
-        // branch's net delta; key-overlap conflicts refuse loudly
-        GraftTable.mergeBranch(spark, root, name) match {
+      case "merge" | "merge-overwrite" =>
+        // `MERGE BRANCH w INTO cat.t [OVERWRITE]` — the advanced-main
+        // publish ([[GraftTable.mergeBranch]]): one keyed-MERGE commit
+        // of the branch's net delta. Key-overlap conflicts refuse
+        // loudly by default; OVERWRITE is the deliberate escape hatch
+        // (branch wins on conflicted keys, cherry-pick semantics).
+        GraftTable.mergeBranch(spark, root, name,
+          strategy = if (verb == "merge-overwrite") "overwrite"
+            else "refuse") match {
           case Right((v, n)) => Seq(Row(v.toLong, n.toInt))
           case Left(conflicts) => throw new IllegalStateException(
             s"MERGE BRANCH refused: $conflicts key(s) were changed by " +
               "BOTH main and the branch since the base — resolve on the " +
-              "branch (or recreate it from the current head) and retry")
+              "branch, recreate it from the current head, or publish " +
+              "deliberately with MERGE BRANCH ... OVERWRITE")
         }
     }
+  }
+}
+
+/** `ALTER TABLE cat.t SET LAYOUT HASH BUCKETS n` — bucket-count
+  * evolution ([[GraftTable.setHashBuckets]]): one full re-bucketing
+  * commit whose versioned layout sidecar publishes atomically with
+  * the manifest, so old snapshots keep their old count and no reader
+  * ever sees a mixed layout. Also adopts the layout on a
+  * range-bucketed table. */
+case class GraftRebucketCommand(parts: Seq[String], n: Int)
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftMaintenance.rootOf(spark, parts, "ALTER TABLE")
+    val key = GraftMaintenance.keyOf(spark, root, "ALTER TABLE")
+    val v = GraftTable.setHashBuckets(spark, root, key, n)
+    Seq(Row(v.toLong,
+      GraftTable.snapshotFileLedger(spark, root, v).size))
   }
 }
 

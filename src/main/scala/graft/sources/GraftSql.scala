@@ -1139,7 +1139,7 @@ class GraftBatchScan(val root: String, val version: Int,
     if (pushedAgg.isDefined || branch.isDefined) None
     else {
       val spark = SparkSession.active
-      GraftTable.hashLayout(spark, root).flatMap { n =>
+      GraftTable.hashLayout(spark, root, version).flatMap { n =>
         GraftTable.keyColumn(spark, root)
           .filter(k => required.fieldNames.contains(k))
           .map(k => (n, k))

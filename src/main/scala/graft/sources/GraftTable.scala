@@ -197,51 +197,50 @@ object GraftTable {
     } finally in.close()
   }
 
+  /** The installed commit-log store — the PUBLISH primitive every
+    * `_log` write routes through ([[GraftLogStore]]). Default:
+    * [[LocalFsLogStore]] (link(2) locally, exists+rename on HDFS-like
+    * schemes — the behavior the format always had). An object-store
+    * deployment installs a CAS-capable store here; the spec harness
+    * runs the same race loops against [[InMemoryCasLogStore]] to
+    * prove the protocol needs exactly one conditional-put. */
+  private val logStoreRef = new java.util.concurrent.atomic
+    .AtomicReference[GraftLogStore](LocalFsLogStore)
+
+  /** Install a commit-log store process-wide (`null` restores the
+    * default filesystem store). */
+  def setLogStore(s: GraftLogStore): Unit =
+    logStoreRef.set(Option(s).getOrElse(LocalFsLogStore))
+
+  /** Run `body` with `s` installed, restoring the previous store
+    * after — the spec harness verb. */
+  def withLogStore[T](s: GraftLogStore)(body: => T): T = {
+    val prev = logStoreRef.get()
+    logStoreRef.set(s)
+    try body finally logStoreRef.set(prev)
+  }
+
+  /** Create-if-absent publish — the commit point of every write path,
+    * delegated to the installed [[GraftLogStore]]. Two racing
+    * committers of one path: exactly one wins; the loser throws
+    * [[ConcurrentCommitException]] (see the round-14/15 history: a
+    * publish that can silently overwrite is a lost-update on the
+    * commit log itself). */
   private[sources] def writeAtomic(
       f: org.apache.hadoop.fs.FileSystem,
-      dest: org.apache.hadoop.fs.Path, content: String): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(
-      dest.getParent, s".tmp-${dest.getName}-${java.util.UUID.randomUUID()}")
-    val os = f.create(tmp, false)
-    try os.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally os.close()
-    // create-if-absent publish: an ATOMIC create-exclusive is the
-    // commit point. On the local filesystem this MUST be link(2) —
-    // POSIX rename(2) OVERWRITES an existing destination, so the
-    // exists-precheck + rename idiom lets two racing committers BOTH
-    // "win" (measured ~25% of tight races): the second silently
-    // replaces the first's committed manifest and neither learns it
-    // lost — a lost-update on the commit log itself. link(2) fails
-    // with EEXIST atomically, exactly the semantics the protocol
-    // needs. Non-local filesystems keep exists+rename: HDFS rename
-    // refuses an existing destination (atomic there); object stores
-    // need a CAS-capable log, the documented Delta contract.
-    if (Option(f.getUri.getScheme).contains("file")) {
-      val d = java.nio.file.Paths.get(f.makeQualified(dest).toUri.getPath)
-      val t = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
-      try java.nio.file.Files.createLink(d, t)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          f.delete(tmp, false)
-          throw new ConcurrentCommitException(
-            s"concurrent commit: $dest already exists")
-      }
-      // the winner carries the checksum sidecar over (ChecksumFileSystem
-      // pairs `.name.crc` with name); best-effort — a missing crc only
-      // skips verification, never fails a read
-      val tcrc = t.getParent.resolve("." + t.getFileName.toString + ".crc")
-      val dcrc = d.getParent.resolve("." + d.getFileName.toString + ".crc")
-      if (java.nio.file.Files.exists(tcrc)) {
-        try { java.nio.file.Files.createLink(dcrc, tcrc); () }
-        catch { case _: java.io.IOException => () }
-      }
-      f.delete(tmp, false)
-    } else if (f.exists(dest) || !f.rename(tmp, dest)) {
-      f.delete(tmp, false)
-      throw new ConcurrentCommitException(
-        s"concurrent commit: $dest already exists")
-    }
-  }
+      dest: org.apache.hadoop.fs.Path, content: String): Unit =
+    logStoreRef.get().publish(f, dest, content)
+
+  /** Publish a MUTABLE metadata ref (table property, tag, CHECK
+    * constraint): these are delete-then-create last-writer-wins by
+    * design, so they bypass the installed CAS store — whose write-once
+    * arbitration would refuse a legitimate second SET of the same
+    * name — and keep the filesystem-native create-exclusive. Commit
+    * correctness never rides these files; the manifests do. */
+  private def writeAtomicMutable(
+      f: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path, content: String): Unit =
+    LocalFsLogStore.publish(f, dest, content)
 
   /** A cross-table transaction reference: staged manifests carry
     * `#txn <id> <coordinatorDir>` and stay INVISIBLE to every reader
@@ -296,7 +295,8 @@ object GraftTable {
       partitionJson: Option[String] = None,
       txn: Option[TxnRef] = None,
       beforePublish: () => Unit = () => (),
-      eqdels: Option[Seq[EqDel]] = None): Unit = {
+      eqdels: Option[Seq[EqDel]] = None,
+      layoutJson: Option[String] = None): Unit = {
     val tok = newToken()
     val staged = scala.collection.mutable.ListBuffer[org.apache.hadoop.fs.Path]()
     def stage(p: org.apache.hadoop.fs.Path, content: String): Unit = {
@@ -309,6 +309,7 @@ object GraftTable {
       if (kmvLines.nonEmpty) stage(kmvPath(root, v, Some(tok)),
         kmvLines.mkString("", "\n", "\n"))
       partitionJson.foreach(s => stage(partitionSpecPath(root, v, Some(tok)), s))
+      layoutJson.foreach(s => stage(layoutSidecarPath(root, v, Some(tok)), s))
       // test seam: the window between sidecar staging and the manifest
       // rename — where a concurrent committer of the same version can
       // land first (the interleaving behind the round-14 corruption)
@@ -1104,12 +1105,42 @@ object GraftTable {
     * (documented, Iceberg's too): per-file key intervals go wide, so
     * RANGE scans lose file pruning; EQUALITY lookups prune to the one
     * bucket instead ([[bucketOfKey]]). */
-  private[sources] def hashLayout(spark: SparkSession, root: String): Option[Int] = {
+  private def layoutSidecarPath(root: String, v: Int,
+      tok: Option[String] = None) =
+    new org.apache.hadoop.fs.Path(root,
+      f"_log/layout-v$v%05d${tokSuffix(tok)}.json")
+
+  /** The hash layout AS OF `version` (default: the latest era): the
+    * newest authoritative `_log/layout-v{N}.json` sidecar at or below
+    * `version` — staged token-named WITH a re-bucketing commit
+    * ([[setHashBuckets]]), so layout evolution is atomic with the
+    * manifest that re-laid the files and a time-travel read of an
+    * OLD snapshot buckets/prunes with the count its files were
+    * actually written at (never a mixed-layout view) — falling back
+    * to the create-time `_log/layout.json`. */
+  def hashLayout(spark: SparkSession, root: String,
+      version: Int = Int.MaxValue): Option[Int] = {
     val (f, _) = fs(root, spark)
-    val p = new org.apache.hadoop.fs.Path(root, "_log/layout.json")
-    if (!f.exists(p)) None else readFully(f, p).trim.split('\t') match {
-      case Array("hash", n) => Some(n.toInt)
-      case _ => None
+    val log = new org.apache.hadoop.fs.Path(root, "_log")
+    if (!f.exists(log)) return None
+    val names = f.listStatus(log).map(_.getPath.getName).toSeq
+    val fromSidecar = sidecarVersions(names, "layout", "json")
+      .filter(_._1 <= version)
+      .groupBy(_._1).toSeq.sortBy(-_._1).iterator
+      .flatMap { case (v0, files) =>
+        authoritativeSidecar(f, root, v0, files.map(_._2),
+          tok => layoutSidecarPath(root, v0, tok))
+      }.nextOption()
+      .map(p => readFully(f, p).trim)
+    fromSidecar.orElse {
+      val p = new org.apache.hadoop.fs.Path(root, "_log/layout.json")
+      if (!f.exists(p)) None else Some(readFully(f, p).trim)
+    } match {
+      case Some(s) => s.split('\t') match {
+        case Array("hash", n) => Some(n.toInt)
+        case _ => None
+      }
+      case None => None
     }
   }
 
@@ -1256,7 +1287,8 @@ object GraftTable {
   private def writeDataFiles(spark: SparkSession, root: String, version: Int,
       df: DataFrame, key: String, nBuckets: Int,
       zorderBy: Option[org.apache.spark.sql.Column] = None,
-      specOverride: Option[Option[PartitionTransform]] = None): Written = {
+      specOverride: Option[Option[PartitionTransform]] = None,
+      layoutOverride: Option[Option[Int]] = None): Written = {
     // attempt-unique dir: a FAILED commit's orphan files can never
     // collide with (or be read by) the retry — they sit unreferenced
     // until vacuum sweeps them
@@ -1272,7 +1304,11 @@ object GraftTable {
     // attempt-unique dir) so the scan's reported KeyGroupedPartitioning
     // is true of every snapshot — rewrites, MoR fresh files, and
     // compactions re-bucket identically
-    val hashN = hashLayout(spark, root)
+    // the era being WRITTEN: the layout sidecar for `version`
+    // publishes with its manifest (not visible yet) — a re-bucketing
+    // commit passes the new count as an override, every other write
+    // resolves the layout active at its base
+    val hashN = layoutOverride.getOrElse(hashLayout(spark, root, version))
     // hash-ledgered (string) key: stats AND range-bucketing run over
     // xxhash64(key) — files then cover narrow, disjoint HASH intervals,
     // which is what keeps point/IN pruning sharp without key order
@@ -1838,7 +1874,7 @@ object GraftTable {
     // hash layout carries: the clone's absolute-ref files are already
     // mono-bucket (immutable), and the clone's own rewrites must keep
     // bucketing or its reported partitioning would lie
-    hashLayout(spark, srcRoot).foreach(n => writeAtomic(f,
+    hashLayout(spark, srcRoot, v).foreach(n => writeAtomic(f,
       new org.apache.hadoop.fs.Path(dstRoot, "_log/layout.json"),
       s"hash\t$n"))
     constraints(spark, srcRoot).foreach { case (name, ex) =>
@@ -1966,7 +2002,7 @@ object GraftTable {
     // ids — a `k = x` point read opens 1/n of the table's files, and a
     // DPP join prunes to the build side's buckets. Files outside the
     // bucketed naming are always kept (defense in depth).
-    val bucketed = hashLayout(spark, root) match {
+    val bucketed = hashLayout(spark, root, version) match {
       case Some(n) =>
         // hash-ledgered keys: the stat value IS xxhash64(key), and the
         // write-side bucket is pmod(xxhash64(key), n) — so the bucket
@@ -3148,7 +3184,7 @@ object GraftTable {
     val v = version.getOrElse(latestVersion(spark, root))
     val stats = keys.map(keyStatValue).toSet
     val hashMode = keyHashMode(spark, root)
-    val hashN = hashLayout(spark, root)
+    val hashN = hashLayout(spark, root, v)
     val buckets: Option[Set[Int]] = hashN.map { n =>
       if (hashMode) stats.map(s => java.lang.Math.floorMod(s, n.toLong).toInt)
       else keys.map(k => bucketOfKey(keyStatValue(k), n)).toSet
@@ -3266,6 +3302,57 @@ object GraftTable {
         key, op, nBuckets)
       ()
     }
+  }
+
+  /** BUCKET-COUNT EVOLUTION — `ALTER TABLE … SET LAYOUT HASH BUCKETS
+    * n` in Scala form: re-lay the whole table under an `n`-bucket
+    * hash layout in ONE commit. A growing table's create-time count
+    * stops fitting (8 buckets at 100× the data is one enormous task
+    * per bucket), and without this verb the only escape is a manual
+    * copy into a new table. The rewrite is total by construction
+    * (every row re-lands mono-bucket at `n` through the same
+    * [[writeDataFiles]] contract every write obeys) and the new count
+    * publishes as a VERSIONED, token-named layout sidecar atomically
+    * with the manifest — so a reader of any OLDER snapshot still
+    * buckets/prunes at the count its files were actually written
+    * with, and no reader ever observes a mixed layout (the
+    * correctness trap of mutating the create-time `layout.json` in
+    * place). DVs and pending equality deletes fold in: the rewrite
+    * reads masked content and the fresh files carry no debt. Also
+    * ADOPTS the layout on a previously range-bucketed table — the
+    * co-locate-me-for-joins migration. Racing writers arbitrate
+    * through the usual OCC manifest rename. Returns the new
+    * version. */
+  def setHashBuckets(spark: SparkSession, root: String, key: String,
+      n: Int): Int = {
+    require(n >= 1, s"hash layout needs >= 1 bucket, got $n")
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"no table at $root")
+    val schema = tableSchema(spark, root, base)
+    val kt = schema.fields.find(_.name == key).map(_.dataType)
+    require(kt.exists {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }, s"hash layout needs an integral or string key column (got " +
+      s"$key: ${kt.map(_.simpleString).getOrElse("missing")})")
+    require(partitionSpec(spark, root, base).isEmpty,
+      "partition transform and hash layout are mutually exclusive " +
+        "(both dictate file placement)")
+    val entries = loadManifest(spark, root, base)
+    val rows = readEntries(spark, root, schema, entries,
+      pendingEqDels(spark, root, base))
+    val v = base + 1
+    val w = writeDataFiles(spark, root, v, rows, key, nBuckets = n,
+      layoutOverride = Some(Some(n)))
+    val (f, _) = fs(root, spark)
+    commitManifest(f, root, v, w.entries, statLines = w.statLines,
+      kmvLines = w.kmvLines, eqdels = Some(Seq.empty),
+      layoutJson = Some(s"hash\t$n"))
+    v
   }
 
   /** OPTIMIZE: bin-pack small files into ~`targetRows`-sized rewrites
@@ -3463,7 +3550,7 @@ object GraftTable {
     val (f, _) = fs(root, spark)
     val path = new org.apache.hadoop.fs.Path(root, s"_log/check-$name.json")
     f.delete(path, false)
-    writeAtomic(f, path, expression)
+    writeAtomicMutable(f, path, expression)
   }
 
   /** Remove a declared CHECK constraint (no-op if absent). */
@@ -3501,7 +3588,7 @@ object GraftTable {
     val (f, _) = fs(root, spark)
     val p = new org.apache.hadoop.fs.Path(root, s"_log/prop-$name.json")
     f.delete(p, false)
-    writeAtomic(f, p, value)
+    writeAtomicMutable(f, p, value)
   }
 
   /** Remove a table property (no-op if absent). */
@@ -3642,7 +3729,7 @@ object GraftTable {
     // a complete, valid file.
     val p = new org.apache.hadoop.fs.Path(root, s"_log/tag-$name.json")
     f.delete(p, false)
-    writeAtomic(f, p, version.toString)
+    writeAtomicMutable(f, p, version.toString)
   }
 
   /** All tags as name → version. Metadata-sized (one `_log` listing). */
@@ -3982,7 +4069,17 @@ object GraftTable {
     * metadata, history preserved); merge collapses the branch into
     * one commit. */
   def mergeBranch(spark: SparkSession, root: String, name: String,
-      nBuckets: Int = 8, maxRetries: Int = 2): Either[Long, (Int, Long)] = {
+      nBuckets: Int = 8, maxRetries: Int = 2,
+      strategy: String = "refuse"): Either[Long, (Int, Long)] = {
+    // `overwrite`: the deliberate escape hatch for a CONFLICTED merge
+    // — branch wins on every key it changed (Iceberg cherry-pick
+    // semantics), main's updates to those keys are knowingly
+    // replaced, main's changes to OTHER keys survive untouched. The
+    // default stays refusal: a silent last-writer-wins would lose one
+    // side's update without anyone choosing that.
+    require(Set("refuse", "overwrite")(strategy),
+      s"mergeBranch strategy must be 'refuse' or 'overwrite', got " +
+        s"'$strategy'")
     val base = branchBase(spark, root, name)
     val key = keyColumn(spark, root).getOrElse(
       sys.error(s"mergeBranch needs a keyed table at $root"))
@@ -4027,7 +4124,7 @@ object GraftTable {
           .unionByName(mDel.select(kStat.as("__k")))
           .distinct()
         val conflicts = branchKeys.join(mainKeys, Seq("__k"), "inner").count()
-        if (conflicts > 0) return Left(conflicts)
+        if (conflicts > 0 && strategy != "overwrite") return Left(conflicts)
         try {
           val (v, _, _) = applyCdcBatch(spark, root, batch, key, op,
             nBuckets, maxRetries = 0)

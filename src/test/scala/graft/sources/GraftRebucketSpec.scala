@@ -1,0 +1,129 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Bucket-count evolution (`ALTER TABLE … SET LAYOUT HASH BUCKETS n`)
+  * and the deliberate conflicted branch merge
+  * (`MERGE BRANCH … OVERWRITE`). */
+class GraftRebucketSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshBase(): String =
+    Files.createTempDirectory("graft_rebucket_spec").toString
+
+  private def rows(n: Int) = spark.range(1, n + 1)
+    .select($"id".as("k"), ($"id" % 13).as("g"), ($"id" * 3).as("v"))
+
+  private def checksum(root: String): Long =
+    GraftTable.read(spark, root)
+      .agg(sum(xxhash64($"k", $"g", $"v"))).first().getLong(0)
+
+  test("8 -> 32 rebucket: checksums preserved, point lookup prunes " +
+      "to ~1/32, old snapshots keep the OLD count (no mixed layout)") {
+    val base = freshBase()
+    val root = s"$base/t"
+    GraftTable.create(spark, root, rows(20000), "k", nBuckets = 8,
+      hashLayout = true)
+    // a DV and a pending eqdel must FOLD IN, not leak through
+    GraftTable.deleteWhereDv(spark, root, $"k" % 97 === 5)
+    GraftTable.appendUpsert(spark, root,
+      rows(20000).filter($"k" % 89 === 7).withColumn("v", lit(-1L)), "k")
+    val before = checksum(root)
+    val vOld = GraftTable.latestVersion(spark, root)
+    val cat = "grbk" + math.abs(base.hashCode % 1000)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    val res = spark.sql(
+      s"ALTER TABLE $cat.t SET LAYOUT HASH BUCKETS 32").collect()(0)
+    val vNew = res.getLong(0).toInt
+    assert(checksum(root) === before, "content must survive the rebucket")
+    assert(GraftTable.hashLayout(spark, root, vNew) === Some(32))
+    assert(GraftTable.hashLayout(spark, root, vOld) === Some(8),
+      "an old snapshot must keep the count its files were written at")
+    assert(!GraftTable.hasLiveEqDels(spark, root, vNew),
+      "the rewrite resolves pending eqdels")
+    val all = GraftTable.snapshotFileLedger(spark, root, vNew).size
+    assert(all >= 32, s"expected >= 32 mono-bucket files, got $all")
+    val one = GraftTable.prunedFileCountKeys(spark, root, Seq(777L))
+    assert(one <= math.max(1, all / 16),
+      s"a point probe opened $one of $all files after rebucket")
+    assert(spark.sql(s"SELECT v FROM $cat.t WHERE k = 777")
+      .as[Long].head() === 777L * 3)
+  }
+
+  test("rebucketed tables SPJ-join with zero exchanges at the new " +
+      "count; a range-bucketed table can ADOPT the layout") {
+    val base = freshBase()
+    // `l` is born hash(4); `r` is born RANGE-bucketed — both end at 16
+    GraftTable.create(spark, s"$base/l", rows(8000), "k", nBuckets = 4,
+      hashLayout = true)
+    GraftTable.create(spark, s"$base/r",
+      rows(8000).withColumnRenamed("v", "w").drop("g"), "k", nBuckets = 4)
+    GraftTable.setHashBuckets(spark, s"$base/l", "k", 16)
+    GraftTable.setHashBuckets(spark, s"$base/r", "k", 16)
+    val cat = "grbj" + math.abs(base.hashCode % 1000)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val j = spark.sql(s"SELECT l.g, count(*) AS n, sum(l.v + r.w) AS s " +
+        s"FROM $cat.l l JOIN $cat.r r ON l.k = r.k GROUP BY l.g")
+      val got = j.orderBy("g").collect().toSeq
+      val smjs = j.queryExecution.executedPlan.collect {
+        case jn: org.apache.spark.sql.execution.joins.SortMergeJoinExec => jn
+      }
+      assert(smjs.nonEmpty)
+      assert(smjs.forall(_.collect {
+        case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e
+      }.isEmpty), "post-rebucket SPJ must run with zero exchanges")
+      val l = rows(8000); val r = rows(8000).withColumnRenamed("v", "w")
+      val want = l.as("l").join(r.as("r"), $"l.k" === $"r.k")
+        .groupBy($"l.g".as("g"))
+        .agg(count(lit(1)).as("n"), sum($"l.v" + $"r.w").as("s"))
+        .orderBy("g").collect().toSeq
+      assert(got === want)
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("MERGE BRANCH ... OVERWRITE: the conflicted merge refuses by " +
+      "default and publishes branch-wins when asked") {
+    val base = freshBase()
+    val root = s"$base/t"
+    val data = rows(2000)
+    GraftTable.create(spark, root, data, "k", nBuckets = 2)
+    GraftTable.createBranch(spark, root, "wip")
+    // branch and main BOTH change key 42 (conflict), each changes a
+    // private key too
+    GraftTable.upsertBranch(spark, root, "wip",
+      data.filter($"k".isin(42L, 100L)).withColumn("v", lit(-42L)), "k")
+    GraftTable.upsert(spark, root,
+      data.filter($"k".isin(42L, 200L)).withColumn("v", lit(-7L)), "k")
+    assert(GraftTable.mergeBranch(spark, root, "wip") ===
+      Left(1L), "the default must refuse the conflicted key")
+    val cat = "grbm" + math.abs(base.hashCode % 1000)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    val e = intercept[IllegalStateException] {
+      spark.sql(s"MERGE BRANCH wip INTO $cat.t")
+    }
+    assert(e.getMessage.contains("OVERWRITE"))
+    spark.sql(s"MERGE BRANCH wip INTO $cat.t OVERWRITE")
+    // branch wins on 42 and 100; main's own 200 survives
+    val got = GraftTable.read(spark, root)
+      .filter($"k".isin(42L, 100L, 200L))
+      .select("k", "v").as[(Long, Long)].collect().toMap
+    assert(got === Map(42L -> -42L, 100L -> -42L, 200L -> -7L))
+  }
+}
