@@ -4543,21 +4543,24 @@ object MaintenanceQueries {
     (s, dir) => {
       val base = newTempDir("graft_auto_maint")
       val root = base + "/t"
+      // a half-slice keeps the lifecycle gate proportionate (the q324
+      // rule): the ladder's cost model is scale-free
       val orders = Tables.orders(s, dir).select(
         col("o_orderkey").cast("long").as("k"),
         col("o_orderpriority").as("prio"),
         floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+        .filter(col("k") % 2 === 0)
       GraftTable.create(s, root, orders, "k", nBuckets = 4)
       // gate-scale thresholds: fire the ladder at KB sizes the way the
       // defaults fire it at TB sizes
       GraftTable.setTableProperty(s, root, "graft.maintenance.auto", "true")
       GraftTable.setTableProperty(s, root,
-        "graft.maintenance.everyBatches", "4")
+        "graft.maintenance.everyBatches", "5")
       GraftTable.setTableProperty(s, root,
         "graft.eqdel.maxPendingRatio", "0.001")
       GraftTable.setTableProperty(s, root,
         "graft.dv.maxTableDirtyRatio", "0.001")
-      (1 to 12).foreach { b =>
+      (1 to 10).foreach { b =>
         val batch = orders.filter(col("k") % 997 === b)
           .withColumn("cents", lit(-b.toLong))
         GraftTable.ingestBatch(s, root, batch, "k", batchId = b.toLong,
@@ -4565,11 +4568,11 @@ object MaintenanceQueries {
       }
       val head = GraftTable.latestVersion(s, root)
       // maintenance commits interleaved: more versions than batches
-      val maintained = head > 12 + 2 // create is v0; props are metadata
+      val maintained = head > 10 + 2 // create is v0; props are metadata
       // the eqdel debt was retired at least once along the way
       val retired = (math.max(0, head - 6) to head)
         .exists(v => !GraftTable.hasLiveEqDels(s, root, v))
-      // bounded layout: without compaction 12 batches leave ≥ 16 live
+      // bounded layout: without compaction 10 batches leave ≥ 14 live
       // files and growing; the ladder keeps the ledger small
       val files = GraftTable.snapshotFileLedger(s, root, head).size
       val bounded = files <= 10
@@ -4589,10 +4592,10 @@ object MaintenanceQueries {
            |  SELECT CAST(o_orderkey AS BIGINT) AS k,
            |    o_orderpriority AS prio,
            |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-           |  FROM orders),
+           |  FROM orders WHERE o_orderkey % 2 = 0),
            |merged AS (
            |  SELECT k, prio,
-           |    CASE WHEN k % 997 BETWEEN 1 AND 12 THEN -(k % 997)
+           |    CASE WHEN k % 997 BETWEEN 1 AND 10 THEN -(k % 997)
            |      ELSE cents END AS cents
            |  FROM o)
            |SELECT k % 10 AS bucket, count(*) AS n_rows,

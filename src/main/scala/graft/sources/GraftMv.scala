@@ -337,15 +337,28 @@ object GraftMv {
       val groups = d.groups
       val gNames = groups.map(_.alias)
       val gCols = gNames.map(col)
+      val comp = composite(groups)
       val mvKey = keyOf(groups)
-      val dirty = feed.select(gCols: _*).distinct()
+      // COMPOSITE tuples join on the NON-NULL encoded key: a grain
+      // over a nullable column yields NULL group values, and a plain
+      // column equi-join treats NULL ≠ NULL — the stored row and its
+      // delta would miss each other and the apply batch would carry
+      // one key twice (the NULL-group corruption a null-safe identity
+      // column prevents by construction). Single bare groups keep the
+      // direct column join (their value IS the table key, which is
+      // non-null by the write path's stats contract).
+      val keyed = if (comp) feed.withColumn(HiddenG, gidCol(groups))
+        else feed
+      val joinKeys = if (comp) Seq(HiddenG) else gNames
+      val grpKeys = (joinKeys ++ gNames).distinct
+      val dirty = keyed.select(grpKeys.map(col): _*).distinct()
       val deltaable = d.aggs.forall(a =>
         a.kind == "count" || a.kind == "sum" || a.kind == "avg")
       val mvCols = visibleStored(d.aggs) ++ hiddenCols(d.aggs)
-      // rows the MV currently stores for the dirty groups — the
-      // multi-column Seq join unifies the group columns on both sides
+      // rows the MV currently stores for the dirty groups
       val old = GraftTable.read(spark, mvRoot)
-        .join(dirty, gNames, "left_semi").as("o")
+        .join(dirty.select(joinKeys.map(col): _*).distinct(),
+          joinKeys, "left_semi").as("o")
       val rebuilt: DataFrame =
         if (deltaable) {
           // PURE DELTA: ± contributions per group, source never read
@@ -370,12 +383,20 @@ object GraftMv {
                 .as(nnOf(alias)))
             case _ => Seq.empty
           } :+ sum(sign).as(HiddenN)
-          val deltas = feed.groupBy(gCols: _*)
+          val deltas = keyed.groupBy(grpKeys.map(col): _*)
             .agg(dAggs.head, dAggs.tail: _*).as("d")
           def merged(c: String) =
             coalesce(col(s"o.$c"), lit(0L)) + coalesce(col(s"d.$c"), lit(0L))
-          old.join(deltas, gNames, "full_outer")
-            .select(gCols ++
+          // group VALUE columns: unified by the Seq join for bare
+          // single groups; coalesced across sides for composite (the
+          // encoded key is the join identity, the values describe it)
+          val groupOut =
+            if (comp) groups.map(g =>
+              coalesce(col(s"d.${g.alias}"), col(s"o.${g.alias}"))
+                .as(g.alias))
+            else gCols
+          old.join(deltas, joinKeys, "full_outer")
+            .select((joinKeys.filter(_ == HiddenG).map(col) ++ groupOut ++
               mvCols.map { c =>
                 val isSum = d.aggs.exists(a =>
                   a.kind == "sum" && a.alias == c)
@@ -384,30 +405,38 @@ object GraftMv {
                 (if (isSum) when(merged(nnOf(c)) <= 0L,
                     lit(null).cast("long")).otherwise(merged(c))
                  else merged(c)).as(c)
-              }: _*)
+              }): _*)
         } else {
           // RE-AGG the dirty groups from a group-pruned source read
           // (the MV's filter applies here too — it defines the
           // aggregated relation)
           val src0 = GraftTable.read(spark, d.source, Some(srcHead))
-          withGroups(
+          val srcG = withGroups(
             d.filter.map(f => src0.filter(expr(f))).getOrElse(src0), groups)
-            .join(dirty, gNames, "left_semi")
-            .groupBy(gCols: _*)
+          val srcK = if (comp) srcG.withColumn(HiddenG, gidCol(groups))
+            else srcG
+          val agged = srcK
+            .join(dirty.select(joinKeys.map(col): _*).distinct(),
+              joinKeys, "left_semi")
+            .groupBy(grpKeys.map(col): _*)
             .agg(aggCols(d.aggs).head, aggCols(d.aggs).tail: _*)
-            // groups whose rows ALL disappeared produce nothing here;
-            // re-attach them via the dirty list so they delete below
-            .join(dirty, gNames, "full_outer")
+          // groups whose rows ALL disappeared produce nothing here;
+          // re-attach them via the dirty list so they delete below
+          if (comp) {
+            val a = agged.as("a"); val dd = dirty.as("dd")
+            a.join(dd, joinKeys, "full_outer")
+              .select((Seq(col(HiddenG)) ++
+                groups.map(g => coalesce(col(s"a.${g.alias}"),
+                  col(s"dd.${g.alias}")).as(g.alias)) ++
+                mvCols.map(col)): _*)
+          } else agged.join(dirty, gNames, "full_outer")
         }
       val op = "__mv_op"
-      val batch0 = rebuilt.withColumn(op,
+      val batch = rebuilt.withColumn(op,
           when(coalesce(col(HiddenN), lit(0L)) <= 0L, "delete")
             .otherwise("replace"))
-      val batch =
-        (if (composite(groups)) batch0.withColumn(HiddenG, gidCol(groups))
-         else batch0)
-          .select(((if (composite(groups)) Seq(col(HiddenG)) else Seq.empty)
-            ++ gCols ++ mvCols.map(col) :+ col(op)): _*)
+        .select(((if (comp) Seq(col(HiddenG)) else Seq.empty)
+          ++ gCols ++ mvCols.map(col) :+ col(op)): _*)
       val nDirty = dirty.count()
       // WRITE-AHEAD INTENT, then apply, then finalize the cursor
       val expectV = GraftTable.latestVersion(spark, mvRoot) + 1

@@ -3256,8 +3256,16 @@ object GraftTable {
         .get("graft.maintenance.everyBatches").map(_.toInt).getOrElse(8)
       require(every >= 1,
         s"graft.maintenance.everyBatches must be >= 1, got $every")
-      val v = latestVersion(spark, root)
-      if (v > 0 && v % every == 0) { maintainIfDue(spark, root, key); () }
+      // cadence counts INGESTED BATCHES (the persisted replay markers
+      // — restart-stable), not versions: the ladder's own commits
+      // advance the version, and a version-modulo tick would re-align
+      // onto every batch once maintenance commits shift the count
+      val nIngested = f.listStatus(
+        new org.apache.hadoop.fs.Path(root, "_log"))
+        .count(_.getPath.getName.startsWith("ingest-"))
+      if (nIngested > 0 && nIngested % every == 0) {
+        maintainIfDue(spark, root, key); ()
+      }
     }
   }
 
@@ -4275,7 +4283,7 @@ object GraftTable {
       val present = listManifestVersions(f, root).toSet
       val names0 = f.listStatus(log).map(_.getPath.getName).toSeq
       val wantCache = scala.collection.mutable.Map[Int, Option[String]]()
-      Seq(("schema", "json"), ("partition", "json"),
+      Seq(("schema", "json"), ("partition", "json"), ("layout", "json"),
           ("colstats", "tsv"), ("kmv", "tsv")).foreach { case (kind, ext) =>
         sidecarVersions(names0, kind, ext).foreach { case (sv, tok) =>
           if (present(sv) &&
@@ -4333,6 +4341,21 @@ object GraftTable {
           !pinnedParts.contains(pv._1))
         .foreach { case (v, tok) =>
           f.delete(partitionSpecPath(root, v, tok), false) }
+      // layout sidecars retain by the same rule (bucket evolution):
+      // the newest ≤ horizon resolves every retained version; pinned
+      // versions keep theirs — a tagged pre-rebucket snapshot must
+      // keep pruning at its own bucket count
+      val layVs = sidecarVersions(names, "layout", "json")
+      val horizonLay = layVs.map(_._1).filter(_ <= keepFrom)
+        .foldLeft(-1)(math.max)
+      val pinnedLays = pinned.flatMap { pv =>
+        val vs = layVs.map(_._1).filter(_ <= pv)
+        if (vs.isEmpty) None else Some(vs.max)
+      }
+      layVs.filter(lv => lv._1 < horizonLay &&
+          !pinnedLays.contains(lv._1))
+        .foreach { case (v, tok) =>
+          f.delete(layoutSidecarPath(root, v, tok), false) }
       val cpVs = names.collect {
         case s if s.matches("checkpoint-v\\d{5}\\.tsv") =>
           (s, s.substring(12, 17).toInt) }

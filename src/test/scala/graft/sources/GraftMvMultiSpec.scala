@@ -220,6 +220,44 @@ class GraftMvMultiSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.mv.rewrite.views")
   }
 
+  test("NULL group values (a grain over a nullable ts) refresh " +
+      "correctly through BOTH planes — the encoded key joins where " +
+      "a plain column join would treat NULL ≠ NULL") {
+    val d = freshDir()
+    // every 5th row has NULL ts → NULL day grain
+    val data = src(200).withColumn("ts",
+      when($"k" % 5 === 0, lit(null).cast("timestamp")).otherwise($"ts"))
+    GraftTable.create(spark, s"$d/src", data, "k", nBuckets = 2)
+    GraftMv.createGrouped(spark, s"$d/mv", s"$d/src",
+      Seq(MvGroup("cust", "cust"), MvGroup("day", "days(ts)")),
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "cents", "sv")))
+    GraftMv.createGrouped(spark, s"$d/mvm", s"$d/src",
+      Seq(MvGroup("cust", "cust"), MvGroup("day", "days(ts)")),
+      Seq(MvAgg("max", "cents", "mx")))
+    // mutate rows INSIDE the null-day groups and around them
+    GraftTable.upsert(spark, s"$d/src",
+      data.filter($"k" % 10 === 0).withColumn("cents", lit(-3L)), "k")
+    GraftTable.deleteWhere(spark, s"$d/src", $"k" % 25 === 5, "k")
+    GraftMv.refresh(spark, s"$d/mv")
+    GraftMv.refresh(spark, s"$d/mvm")
+    def want(agg: String): Seq[(Long, Option[Long], Long)] =
+      GraftTable.read(spark, s"$d/src")
+        .groupBy($"cust",
+          floor(unix_timestamp($"ts").cast("double") / 86400.0)
+            .cast("long").as("day"))
+        .agg((if (agg == "n") count(lit(1)) else max("cents")).as("x"))
+        .select("cust", "day", "x")
+        .as[(Long, Option[Long], Long)].collect().toSeq.sorted
+    assert(GraftMv.read(spark, s"$d/mv").select("cust", "day", "n")
+      .as[(Long, Option[Long], Long)].collect().toSeq.sorted === want("n"),
+      "delta plane diverged on NULL-day groups")
+    assert(GraftMv.read(spark, s"$d/mvm").select("cust", "day", "mx")
+      .as[(Long, Option[Long], Long)].collect().toSeq.sorted === want("mx"),
+      "re-agg plane diverged on NULL-day groups")
+    // and a second refresh is still a no-op (no phantom dirty tuples)
+    assert(GraftMv.refresh(spark, s"$d/mv")._2 === 0L)
+  }
+
   test("composite MV key is exact tuple identity: adjacent string " +
       "group values never merge") {
     val d = freshDir()

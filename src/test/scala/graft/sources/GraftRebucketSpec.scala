@@ -97,6 +97,30 @@ class GraftRebucketSpec extends SparkSpec {
     }
   }
 
+  test("layout sidecars survive vacuum by the schema rule: the head " +
+      "count resolves, a TAGGED pre-rebucket snapshot keeps its own") {
+    val base = freshBase()
+    val root = s"$base/t"
+    GraftTable.create(spark, root, rows(3000), "k", nBuckets = 4,
+      hashLayout = true)
+    GraftTable.tag(spark, root, "old", 0)
+    GraftTable.setHashBuckets(spark, root, "k", 16) // v1
+    // churn past the retention horizon
+    (1 to 4).foreach { i =>
+      GraftTable.upsert(spark, root,
+        rows(3000).filter($"k" % 50 === i).withColumn("v", lit(-i.toLong)),
+        "k")
+    }
+    GraftTable.vacuum(spark, root, retainVersions = 2)
+    assert(GraftTable.hashLayout(spark, root,
+      GraftTable.latestVersion(spark, root)) === Some(16),
+      "the head must keep resolving the evolved count after vacuum")
+    assert(GraftTable.hashLayout(spark, root, 0) === Some(4),
+      "the tagged pre-rebucket snapshot must keep its create count")
+    assert(GraftTable.read(spark, root, Some(0)).count() === 3000,
+      "the pinned snapshot stays readable")
+  }
+
   test("MERGE BRANCH ... OVERWRITE: the conflicted merge refuses by " +
       "default and publishes branch-wins when asked") {
     val base = freshBase()
