@@ -97,6 +97,64 @@ class GraftRebucketSpec extends SparkSpec {
     }
   }
 
+  test("an incremental MV over a STRING-keyed source refreshes " +
+      "exactly (the change feed joins raw string keys)") {
+    val base = freshBase()
+    val src = s"$base/src"
+    val data = spark.range(1, 2001).select(
+      concat(lit("u-"), lpad($"id".cast("string"), 8, "0")).as("k"),
+      ($"id" % 9).as("g"), ($"id" * 5).as("v"))
+    GraftTable.create(spark, src, data, "k", nBuckets = 4)
+    GraftMv.create(spark, s"$base/mv", src, "g",
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv")))
+    GraftTable.upsert(spark, src,
+      data.filter($"g" === 4).withColumn("v", lit(-1L)), "k")
+    GraftTable.deleteWhere(spark, src, $"g" === 7, "k")
+    val (_, dirty) = GraftMv.refresh(spark, s"$base/mv")
+    assert(dirty > 0)
+    val got = GraftMv.read(spark, s"$base/mv")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val want = GraftTable.read(spark, src).groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got === want)
+  }
+
+  test("a branch forked BEFORE a rebucket keeps writing its base-era " +
+      "layout; its merge lands at the evolved count") {
+    val base = freshBase()
+    val root = s"$base/t"
+    val data = rows(4000)
+    GraftTable.create(spark, root, data, "k", nBuckets = 4,
+      hashLayout = true)
+    GraftTable.createBranch(spark, root, "wip")
+    GraftTable.setHashBuckets(spark, root, "k", 16) // main evolves
+    // the branch writes against its FROZEN base era (old count) —
+    // version-aware layout resolution keeps its files consistent
+    GraftTable.upsertBranch(spark, root, "wip",
+      data.filter($"k" % 97 === 1).withColumn("v", lit(-1L)), "k")
+    assert(GraftTable.readBranch(spark, root, "wip")
+      .filter($"v" === -1L).count() ===
+      data.filter($"k" % 97 === 1).count())
+    // merge onto the evolved main: one CDC commit, files at the NEW
+    // count (no conflicts — main's rebucket changed no row values)
+    GraftTable.mergeBranch(spark, root, "wip") match {
+      case Right((v, n)) =>
+        assert(n > 0)
+        assert(GraftTable.hashLayout(spark, root, v) === Some(16))
+        // every live file still parses a bucket id — the SPJ contract
+        // survives a branch merge across the evolution
+        assert(GraftTable.snapshotFileLedger(spark, root, v).forall(e =>
+          GraftTable.fileBucket(e._1).isDefined))
+      case Left(c) => fail(s"unexpected conflicts: $c")
+    }
+    val want = data.withColumn("v",
+      when($"k" % 97 === 1, -1L).otherwise($"v"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(GraftTable.read(spark, root)
+      .as[(Long, Long, Long)].collect().toSeq.sorted === want)
+  }
+
   test("layout sidecars survive vacuum by the schema rule: the head " +
       "count resolves, a TAGGED pre-rebucket snapshot keeps its own") {
     val base = freshBase()
