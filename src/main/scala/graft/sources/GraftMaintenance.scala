@@ -27,6 +27,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *   CREATE MATERIALIZED VIEW cat.mv AS
   *     SELECT g, count(*) AS n, … FROM cat.t GROUP BY g
   *   REFRESH MATERIALIZED VIEW cat.mv      -- change-feed delta refresh
+  *   DROP MATERIALIZED VIEW cat.mv         -- definition + backing table
   *   CREATE BRANCH w ON cat.t              -- fork at the head
   *   FAST FORWARD cat.t FROM w             -- audited branch publish
   *   MERGE BRANCH w INTO cat.t             -- publish onto an advanced main
@@ -73,6 +74,8 @@ class GraftMaintenanceParser(delegate: ParserInterface)
       """(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+?)\s*;?\s*""").r
   private val RefreshMv =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*""".r
+  private val DropMv =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*""".r
   private val MergeBranch =
     ("""(?is)\s*MERGE\s+BRANCH\s+([A-Za-z][\w.-]*)\s+INTO\s+([\w.`]+)""" +
       """(?:\s+(OVERWRITE))?\s*;?\s*""").r
@@ -127,6 +130,8 @@ class GraftMaintenanceParser(delegate: ParserInterface)
         groups, aggs, Option(where).map(_.trim))
     case RefreshMv(ident) =>
       GraftMvRefreshCommand(parts(ident))
+    case DropMv(ident) =>
+      GraftMvDropCommand(parts(ident))
     case MergeBranch(name, ident, overwrite) =>
       GraftBranchCommand(parts(ident), name,
         if (overwrite != null) "merge-overwrite" else "merge")
@@ -427,6 +432,25 @@ case class GraftMvRefreshCommand(parts: Seq[String])
       "REFRESH MATERIALIZED VIEW")
     val (v, dirty) = GraftMv.refresh(spark, root)
     Seq(Row(v.toLong, dirty))
+  }
+}
+
+/** `DROP MATERIALIZED VIEW cat.mv` — remove the MV: its definition,
+  * refresh cursor, and backing graft table (log + data). Refuses on a
+  * plain table (no `_log/mv.def`) — dropping a base table through the
+  * MV verb would be a category error; this verb completes the MV
+  * lifecycle (create → refresh → read/rewrite → drop). A registered
+  * rewrite candidate simply stops resolving (`defFor` → None). */
+case class GraftMvDropCommand(parts: Seq[String])
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("dropped", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftMaintenance.rootOf(spark, parts,
+      "DROP MATERIALIZED VIEW")
+    Seq(Row(if (GraftMv.drop(spark, root)) 1 else 0))
   }
 }
 

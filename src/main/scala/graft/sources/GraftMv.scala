@@ -305,6 +305,23 @@ object GraftMv {
       d.aggs.map(a => col(a.alias))): _*)
   }
 
+  /** Drop the MV at `mvRoot`: its definition, cursor, and backing
+    * table (log + data, recursively). REFUSES a root without an MV
+    * definition — a plain table must never be deletable through the
+    * MV verb. Returns true (throws on a non-MV root); idempotent
+    * callers should check [[defFor]] first. Invalidates same-session
+    * rewrite memos via the commit epoch. */
+  def drop(spark: SparkSession, mvRoot: String): Boolean = {
+    val p = defPath(mvRoot)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(f.exists(p),
+      s"no materialized view at $mvRoot (DROP MATERIALIZED VIEW " +
+        "refuses plain tables)")
+    val removed = f.delete(new org.apache.hadoop.fs.Path(mvRoot), true)
+    GraftTable.commitEpoch.incrementAndGet()
+    removed
+  }
+
   /** Advance the MV to the source's current head by change-feed
     * delta. Returns (sourceVersionCaughtUpTo, dirtyGroups) —
     * (lastV, 0) when already fresh. Crash-safe: see class doc. */

@@ -258,6 +258,41 @@ class GraftMvMultiSpec extends SparkSpec {
     assert(GraftMv.refresh(spark, s"$d/mv")._2 === 0L)
   }
 
+  test("DROP MATERIALIZED VIEW removes definition + backing table, " +
+      "un-arms the rewrite, refuses plain tables, allows re-create") {
+    val d = freshDir()
+    GraftTable.create(spark, s"$d/src", src(100), "k", nBuckets = 2)
+    GraftMv.create(spark, s"$d/mv", s"$d/src", "cust",
+      Seq(MvAgg("count", "", "n")))
+    val cat = "gmvd" + math.abs(d.hashCode % 1000)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", d)
+    spark.conf.set("spark.graft.mv.rewrite.views", s"$d/mv")
+    try {
+      assert(spark.sql(s"SELECT cust, count(*) AS c FROM $cat.src " +
+        "GROUP BY cust").queryExecution.executedPlan.toString
+        .contains(s"$d/mv"))
+      assert(spark.sql(s"DROP MATERIALIZED VIEW $cat.mv")
+        .collect()(0).getInt(0) === 1)
+      // the registered candidate stops resolving; the query re-plans
+      // against the source — never an error
+      val q = spark.sql(s"SELECT cust, count(*) AS c FROM $cat.src " +
+        "GROUP BY cust")
+      assert(!q.queryExecution.executedPlan.toString.contains(s"$d/mv"))
+      assert(q.count() === 8)
+      // a plain table refuses through the MV verb
+      val e = intercept[Exception] {
+        spark.sql(s"DROP MATERIALIZED VIEW $cat.src")
+      }
+      assert(e.getMessage.contains("refuses plain tables"))
+      assert(GraftTable.read(spark, s"$d/src").count() === 100)
+      // same path is re-creatable
+      GraftMv.create(spark, s"$d/mv", s"$d/src", "cust",
+        Seq(MvAgg("sum", "cents", "sv")))
+      assert(GraftMv.read(spark, s"$d/mv").count() === 8)
+    } finally spark.conf.unset("spark.graft.mv.rewrite.views")
+  }
+
   test("composite MV key is exact tuple identity: adjacent string " +
       "group values never merge") {
     val d = freshDir()
