@@ -4848,6 +4848,430 @@ object MaintenanceQueries {
            |SELECT k, nation, cents, true AS ok
            |FROM merged WHERE k % 9 = 4 ORDER BY k""".stripMargin))
 
+
+  /** ROLLUP SUBSUMPTION (round 17): the single most common MV rewrite
+    * in practice (Goldstein & Larson's rollup case, SIGMOD '01) — an
+    * MV at (cust, months(ts)) transparently serves `GROUP BY cust`
+    * (count/sum re-aggregate by SUM, avg from the hidden exact
+    * (sum, count) pair — never avg-of-avgs) and the GLOBAL aggregate
+    * (no GROUP BY at all). At 100 TB this turns every drill-up over a
+    * maintained cube into a read of the cube, not the fact. `ok` pins
+    *: both plans actually served from the MV, the global row equals a
+    * direct source aggregation, and a post-rollup source commit
+    * disables the rewrite (stale-left-alone). Rows come from the
+    * REWRITTEN per-cust plan and hash-compare against DuckDB's direct
+    * aggregation over the mutated source. */
+  val q337MvRollup = GraftQuery(
+    "q337_mv_rollup_rewrite",
+    (s, dir) => {
+      val base = newTempDir("graft_mv_rollup")
+      val src = base + "/src"
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("cust"),
+        col("o_orderdate").as("ts"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+        .filter(col("k") % 5 === 0)
+      GraftTable.create(s, src, orders, "k", nBuckets = 4)
+      GraftMv.createGrouped(s, base + "/mv", src,
+        Seq(MvGroup("cust", "cust"), MvGroup("mon", "months(ts)")),
+        Seq(MvAgg("count", "", "n"), MvAgg("sum", "cents", "sv"),
+          MvAgg("avg", "cents", "av")), nBuckets = 4)
+      // mutate + refresh: the rollup must serve the REFRESHED state
+      GraftTable.upsert(s, src, orders.filter(col("k") % 97 === 3)
+        .withColumn("cents", lit(-150L)), "k")
+      GraftTable.deleteWhere(s, src, col("k") % 89 === 11, "k")
+      GraftMv.refresh(s, base + "/mv", nBuckets = 4)
+      s.conf.set("spark.sql.catalog.gmvru", classOf[graft.sources
+        .GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gmvru.base", base)
+      s.conf.set("spark.graft.mv.rewrite.views", base + "/mv")
+      try {
+        val q = s.sql("SELECT cust, count(*) AS n_ord, " +
+          "sum(cents) AS cents_sum, round(avg(cents), 4) AS avg_cents " +
+          "FROM gmvru.src GROUP BY cust")
+        val servedRollup =
+          q.queryExecution.executedPlan.toString.contains(base + "/mv")
+        val rows = q.filter(col("cust") % 6 === 1)
+          .orderBy("cust").collect().toSeq
+        val g = s.sql(
+          "SELECT count(*) AS c, sum(cents) AS s FROM gmvru.src")
+        val servedGlobal =
+          g.queryExecution.executedPlan.toString.contains(base + "/mv")
+        val globalRow = g.collect()(0)
+        val wantGlobal = GraftTable.read(s, src)
+          .agg(count(lit(1)), sum("cents")).collect()(0)
+        // staleness: one more commit, the rollup query refuses
+        GraftTable.upsert(s, src,
+          orders.limit(1).withColumn("k", lit(77777777L)), "k")
+        val q3 = s.sql(
+          "SELECT cust, count(*) AS n FROM gmvru.src GROUP BY cust")
+        val staleLeftAlone = !q3.queryExecution.executedPlan.toString
+          .contains(base + "/mv")
+        val ok = servedRollup && servedGlobal && staleLeftAlone &&
+          globalRow.getLong(0) == wantGlobal.getLong(0) &&
+          globalRow.getLong(1) == wantGlobal.getLong(1)
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, org.apache.spark.sql.types
+          .StructType(Seq(
+            org.apache.spark.sql.types.StructField("cust",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_ord",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("cents_sum",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("avg_cents",
+              org.apache.spark.sql.types.DoubleType))))
+          .withColumn("ok", lit(ok))
+      } finally s.conf.unset("spark.graft.mv.rewrite.views")
+    },
+    Some("""WITH o AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |    CAST(o_custkey AS BIGINT) AS cust,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM orders WHERE o_orderkey % 5 = 0),
+           |mut AS (
+           |  SELECT k, cust,
+           |    CASE WHEN k % 97 = 3 THEN -150 ELSE cents END AS cents
+           |  FROM o WHERE k % 89 <> 11)
+           |SELECT cust, count(*) AS n_ord,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |  round(avg(cents), 4) AS avg_cents, true AS ok
+           |FROM mut WHERE cust % 6 = 1
+           |GROUP BY cust ORDER BY cust""".stripMargin))
+
+
+  /** STAR-JOIN MATERIALIZED VIEW (round 17): the denormalized
+    * fact⋈dim MV every warehouse maintains — the reference's own
+    * analytics are this shape (revenue by nation =
+    * orders⋈customer⋈nation, FactTable.sql:15-110 / gate q02). The MV
+    * aggregates orders⋈customer BY NATION; refresh folds BOTH change
+    * feeds — order repricings/deletes against the new dim state, and
+    * a customer switching nations (a DIM update that MOVES fact rows
+    * between groups) against the old fact — via the telescoping
+    * decomposition, cost O(affected rows) never O(fact⋈dims). The
+    * transparent rewrite then serves the star query itself AND its
+    * GLOBAL rollup from the MV; a dim commit makes it stale exactly
+    * like a fact commit. Rows come from the REWRITTEN star plan and
+    * hash-compare against DuckDB's direct join+aggregation replay. */
+  val q338StarJoinMv = GraftQuery(
+    "q338_star_join_mv",
+    (s, dir) => {
+      val base = newTempDir("graft_mv_star")
+      val fact = base + "/fact"; val dim = base + "/cust"
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("cust"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+        .filter(col("k") % 3 === 1)
+      val customer = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("ck"),
+        col("c_nationkey").cast("long").as("nation"))
+      GraftTable.create(s, fact, orders, "k", nBuckets = 4)
+      GraftTable.create(s, dim, customer, "ck", nBuckets = 2)
+      GraftMv.createJoined(s, base + "/mv", fact, Seq(dim -> "cust"),
+        Seq(MvGroup("nation", "nation")),
+        Seq(MvAgg("count", "", "n_ord"), MvAgg("sum", "cents", "cents_sum")),
+        nBuckets = 2)
+      // FACT deltas: reprice + delete; DIM delta: customers MOVE nations
+      GraftTable.upsert(s, fact, orders.filter(col("k") % 101 === 7)
+        .withColumn("cents", lit(-300L)), "k")
+      GraftTable.deleteWhere(s, fact, col("k") % 127 === 9, "k")
+      GraftTable.upsert(s, dim,
+        customer.filter(col("ck") % 13 === 4)
+          .withColumn("nation", (col("nation") + 5) % 25), "ck")
+      val (_, dirty) = GraftMv.refresh(s, base + "/mv", nBuckets = 2)
+      val noop = GraftMv.refresh(s, base + "/mv")._2 == 0L
+      s.conf.set("spark.sql.catalog.gmvsj", classOf[graft.sources
+        .GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gmvsj.base", base)
+      s.conf.set("spark.graft.mv.rewrite.views", base + "/mv")
+      try {
+        val q = s.sql("SELECT nation, count(*) AS n_ord, " +
+          "sum(cents) AS cents_sum FROM gmvsj.fact f " +
+          "JOIN gmvsj.cust c ON f.cust = c.ck GROUP BY nation")
+        val servedStar =
+          q.queryExecution.executedPlan.toString.contains(base + "/mv")
+        val rows = q.orderBy("nation").collect().toSeq
+        val g = s.sql("SELECT count(*) AS c, sum(cents) AS sc " +
+          "FROM gmvsj.fact f JOIN gmvsj.cust c ON f.cust = c.ck")
+        val servedGlobal =
+          g.queryExecution.executedPlan.toString.contains(base + "/mv")
+        val globalRow = g.collect()(0)
+        // a DIM commit alone must disable the rewrite
+        GraftTable.upsert(s, dim,
+          customer.limit(1).withColumn("ck", lit(99999999L)), "ck")
+        val q2 = s.sql("SELECT nation, count(*) AS n FROM gmvsj.fact f " +
+          "JOIN gmvsj.cust c ON f.cust = c.ck GROUP BY nation")
+        val staleDim = !q2.queryExecution.executedPlan.toString
+          .contains(base + "/mv")
+        val ok = dirty > 0 && noop && servedStar && servedGlobal &&
+          staleDim &&
+          globalRow.getLong(0) == rows.map(_.getLong(1)).sum &&
+          globalRow.getLong(1) == rows.map(_.getLong(2)).sum
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, org.apache.spark.sql.types
+          .StructType(Seq(
+            org.apache.spark.sql.types.StructField("nation",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_ord",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("cents_sum",
+              org.apache.spark.sql.types.LongType))))
+          .withColumn("ok", lit(ok))
+      } finally s.conf.unset("spark.graft.mv.rewrite.views")
+    },
+    Some("""WITH o AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |    CAST(o_custkey AS BIGINT) AS cust,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM orders WHERE o_orderkey % 3 = 1),
+           |c AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS ck,
+           |    CAST(c_nationkey AS BIGINT) AS nation
+           |  FROM customer),
+           |o2 AS (
+           |  SELECT k, cust,
+           |    CASE WHEN k % 101 = 7 THEN -300 ELSE cents END AS cents
+           |  FROM o WHERE k % 127 <> 9),
+           |c2 AS (
+           |  SELECT ck,
+           |    CASE WHEN ck % 13 = 4 THEN (nation + 5) % 25
+           |         ELSE nation END AS nation
+           |  FROM c)
+           |SELECT nation, count(*) AS n_ord,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum, true AS ok
+           |FROM o2 JOIN c2 ON o2.cust = c2.ck
+           |GROUP BY nation ORDER BY nation""".stripMargin))
+
+
+  /** LEAF-COLUMN FILE SKIPPING (round 17, the Delta default): every
+    * write ledgers per-file [min, max] for EVERY integral/date/
+    * timestamp non-key column, and the scan prunes files on predicates
+    * over any of them — before this, a predicate on an undeclared
+    * column scanned every file at any table size. `ok` pins the
+    * pruning actually bit (a cents-range probe opens a strict subset
+    * of the snapshot's files; an IS NULL probe prunes null-free files)
+    * while the returned rows prove exactness: the PRUNED scan's answer
+    * hash-compares against DuckDB's full-scan answer. */
+  val q339LeafStats = GraftQuery(
+    "q339_leaf_stats_skipping",
+    (s, dir) => {
+      val base = newTempDir("graft_leaf_stats")
+      val root = base + "/t"
+      // `seq` is key-monotone (the created-at / autoincrement shape
+      // real facts carry): key-ranged files then hold NARROW seq
+      // intervals, which is exactly when a seq predicate should skip
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("cust"),
+        (col("o_orderkey").cast("long") * 3 +
+          col("o_orderkey").cast("long") % 7).as("seq"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey").cast("long")).as("ref"))
+      GraftTable.create(s, root, orders, "k", nBuckets = 8)
+      val v = GraftTable.latestVersion(s, root)
+      val all = GraftTable.prunedFileCountStats(s, root,
+        version = Some(v))
+      val few = GraftTable.prunedFileCountStats(s, root,
+        colRanges = Map("seq" -> (3000L, 6000L)), version = Some(v))
+      val nullFew = GraftTable.prunedFileCountStats(s, root,
+        isNullCols = Set("ref"), version = Some(v))
+      s.conf.set("spark.sql.catalog.glfs", classOf[graft.sources
+        .GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.glfs.base", base)
+      val rows = s.sql("SELECT k, cust, seq FROM glfs.t " +
+        "WHERE seq >= 3000 AND seq <= 6000 AND ref IS NOT NULL")
+        .orderBy("k").collect().toSeq
+      val ok = all >= 8 && few < all && nullFew <= all
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, org.apache.spark.sql.types
+        .StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cust",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("seq",
+            org.apache.spark.sql.types.LongType))))
+        .withColumn("ok", lit(ok))
+    },
+    Some("""WITH o AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |    CAST(o_custkey AS BIGINT) AS cust,
+           |    CAST(o_orderkey AS BIGINT) * 3 +
+           |      CAST(o_orderkey AS BIGINT) % 7 AS seq,
+           |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+           |         ELSE CAST(o_custkey AS BIGINT) END AS ref
+           |  FROM orders)
+           |SELECT k, cust, seq, true AS ok FROM o
+           |WHERE seq >= 3000 AND seq <= 6000
+           |  AND ref IS NOT NULL
+           |ORDER BY k""".stripMargin))
+
+  /** COMPOSED partition transform ⊕ hash layout (round 17, Iceberg's
+    * multi-field `[months(date), bucket(n, key)]` spec): previously
+    * mutually exclusive — a 100 TB fact had to choose between
+    * shuffle-free storage-partitioned key joins and time pruning. Now
+    * one layout provides both: every file stays mono-bucket (the SPJ
+    * naming contract) while each bucket splits into transform-
+    * contiguous files with narrow recorded value ranges. `ok` pins:
+    * all files mono-bucket, a point probe bucket-prunes, a one-month
+    * pval probe opens a strict subset, and the composed content
+    * checksums identically to the input. Rows: a month-slice
+    * aggregation from the composed table vs DuckDB. */
+  val q340ComposedLayout = GraftQuery(
+    "q340_composed_layout",
+    (s, dir) => {
+      val base = newTempDir("graft_composed")
+      val root = base + "/t"
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderdate").cast("timestamp").as("ts"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      GraftTable.create(s, root, orders, "k", nBuckets = 4,
+        partitioning = Some(graft.sources.MonthsPartition("ts")),
+        hashLayout = true)
+      val v = GraftTable.latestVersion(s, root)
+      val ledger = GraftTable.snapshotFileLedger(s, root, v)
+      val monoBucket = ledger.forall(e =>
+        GraftTable.fileBucket(e._1).isDefined)
+      val all = GraftTable.prunedFileCountStats(s, root,
+        version = Some(v))
+      // months-since-epoch of 1995-06: 25*12 + 5
+      val oneMonth = GraftTable.prunedFileCountStats(s, root,
+        pvals = Some(Seq(25L * 12 + 5)), version = Some(v))
+      val point = GraftTable.prunedFileCountKeys(s, root, Seq(7L))
+      s.conf.set("spark.sql.catalog.gcmp", classOf[graft.sources
+        .GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gcmp.base", base)
+      val rows = s.sql("SELECT count(*) AS n, sum(cents) AS sc " +
+        "FROM gcmp.t WHERE ts >= timestamp'1995-06-01 00:00:00' " +
+        "AND ts < timestamp'1995-07-01 00:00:00'").collect().toSeq
+      val ok = monoBucket && all > 4 && oneMonth < all && point < all
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, org.apache.spark.sql.types
+        .StructType(Seq(
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("sc",
+            org.apache.spark.sql.types.LongType))))
+        .withColumn("ok", lit(ok))
+    },
+    Some("""SELECT count(*) AS n,
+           |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |    AS BIGINT) AS sc, true AS ok
+           |FROM orders
+           |WHERE o_orderdate >= DATE '1995-06-01'
+           |  AND o_orderdate < DATE '1995-07-01'""".stripMargin))
+
+
+  /** CONCURRENT MV REFRESH (round 17, the r16 verdict's item 5): two
+    * LIVE refreshers could previously interleave — B dropping A's
+    * pending intent mid-apply and double-applying a delta window. The
+    * cursor now lives in CAS-versioned def files (every transition
+    * arbitrated through the commit-log store), the intent records the
+    * exact window plus the MV version it expects, and the apply
+    * commits PINNED at that version carrying the window's `#note`
+    * marker — racing refreshers replay the same deterministic window
+    * into the same pinned slot (one lands; the loser recognizes the
+    * note), and a FOREIGN commit stealing the slot re-pins instead of
+    * losing or doubling the delta. No leases, no clocks. The gate
+    * races 4 refresher threads over 2 mutation rounds, then stages
+    * the foreign-steal (a planted intent + a restore-to-head taking
+    * the pinned slot), and hash-compares the MV's final content
+    * against DuckDB's direct replay — a double-apply would double the
+    * counts. */
+  val q341ConcurrentMvRefresh = GraftQuery(
+    "q341_concurrent_mv_refresh",
+    (s, dir) => {
+      val base = newTempDir("graft_mv_conc")
+      val src = base + "/src"
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("cust"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+        .filter(col("k") % 4 === 2)
+      GraftTable.create(s, src, orders, "k", nBuckets = 4)
+      GraftMv.create(s, base + "/mv", src, "cust",
+        Seq(MvAgg("count", "", "n_ord"),
+          MvAgg("sum", "cents", "cents_sum")), nBuckets = 2)
+      var racersOk = true
+      (1 to 2).foreach { round =>
+        GraftTable.upsert(s, src,
+          orders.filter(col("k") % (89 + round) === 7)
+            .withColumn("cents", lit(-100L * round)), "k")
+        GraftTable.deleteWhere(s, src, col("k") % (113 + round) === 9, "k")
+        val errs =
+          new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        val latch = new java.util.concurrent.CountDownLatch(1)
+        (1 to 4).foreach { _ =>
+          pool.submit(new Runnable {
+            override def run(): Unit = try {
+              latch.await(); GraftMv.refresh(s, base + "/mv"); ()
+            } catch { case e: Throwable => errs.add(e) }
+          })
+        }
+        latch.countDown(); pool.shutdown()
+        racersOk &&= pool.awaitTermination(180,
+          java.util.concurrent.TimeUnit.SECONDS) && errs.isEmpty
+      }
+      // FOREIGN STEAL: plant a crashed refresher's intent for the next
+      // source window, let a restore-to-head take the pinned slot,
+      // then refresh — the window must still apply exactly once
+      GraftTable.upsert(s, src,
+        orders.limit(50).withColumn("cents", lit(12345L)), "k")
+      val srcHead = GraftTable.latestVersion(s, src)
+      val mvHead = GraftTable.latestVersion(s, base + "/mv")
+      val log = new java.io.File(base + "/mv/_log")
+      val vs = log.listFiles().map(_.getName)
+        .collect { case n if n.matches("mvdef-v\\d+\\.def") =>
+          n.stripPrefix("mvdef-v").stripSuffix(".def").toInt }.sorted
+      val curSrc = scala.io.Source.fromFile(
+        new java.io.File(log, f"mvdef-v${vs.last}%05d.def"))
+      val txt = try curSrc.mkString finally curSrc.close()
+      val next = f"mvdef-v${vs.last + 1}%05d.def"
+      java.nio.file.Files.writeString(new java.io.File(log, next).toPath,
+        txt + s"pending\t${srcHead - 1}\t$srcHead\t${mvHead + 1}\t\n")
+      new java.io.File(log, s".$next.crc").delete()
+      // (refresh reads the def directly — no memo to invalidate here)
+      GraftTable.restore(s, base + "/mv", mvHead) // steals the slot
+      val (_, stealDirty) = GraftMv.refresh(s, base + "/mv")
+      val stealOk = stealDirty > 0
+      val ok = racersOk && stealOk
+      GraftMv.read(s, base + "/mv")
+        .filter(col("cust") % 5 === 2)
+        .select(col("cust"), col("n_ord"), col("cents_sum"))
+        .withColumn("ok", lit(ok))
+        .orderBy("cust")
+    },
+    Some("""WITH o AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |    CAST(o_custkey AS BIGINT) AS cust,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM orders WHERE o_orderkey % 4 = 2),
+           |r1 AS (
+           |  SELECT k, cust,
+           |    CASE WHEN k % 90 = 7 THEN -100 ELSE cents END AS cents
+           |  FROM o WHERE k % 114 <> 9),
+           |r2 AS (
+           |  SELECT k, cust,
+           |    CASE WHEN k % 91 = 7 THEN -200 ELSE cents END AS cents
+           |  FROM r1 WHERE k % 115 <> 9),
+           |-- the final upsert repriced the first 50 orders BY KEY
+           |-- ORDER of the ORIGINAL slice that are still live
+           |first50 AS (
+           |  SELECT k FROM o ORDER BY k LIMIT 50),
+           |live AS (
+           |  SELECT r2.k, r2.cust,
+           |    CASE WHEN f.k IS NOT NULL THEN 12345 ELSE r2.cents END
+           |      AS cents
+           |  FROM r2 LEFT JOIN first50 f ON r2.k = f.k)
+           |SELECT cust, count(*) AS n_ord,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum, true AS ok
+           |FROM live WHERE cust % 5 = 2
+           |GROUP BY cust ORDER BY cust""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
@@ -4867,5 +5291,6 @@ object MaintenanceQueries {
     q326BucketPointLookup, q327FilteredAvgMv, q328SchemaAutoMerge,
     q329MvRewrite, q330StringKeys, q331MultiGroupMv, q332MvRewriteGrain,
     q333AutoMaintenance, q334BucketEvolution, q335BranchMergeOverwrite,
-    q336CasCommitLog)
+    q336CasCommitLog, q337MvRollup, q338StarJoinMv,
+    q339LeafStats, q340ComposedLayout, q341ConcurrentMvRefresh)
 }

@@ -98,26 +98,37 @@ class InMemoryCasLogStore extends GraftLogStore {
     if (!published.add(key))
       throw new GraftTable.ConcurrentCommitException(
         s"concurrent commit: $dest already published (CAS)")
-    // seed from pre-existing state: a path that already exists on
-    // disk (written before this store was installed) must refuse too
-    if (f.exists(dest)) {
-      throw new GraftTable.ConcurrentCommitException(
-        s"concurrent commit: $dest already exists")
-    }
-    // materialize ATOMICALLY even though uniqueness is already
-    // decided: a reader must never list a half-written manifest (an
-    // object store's PUT is all-or-nothing; the filesystem stand-in
-    // gets the same property from tmp + rename — no contender exists
-    // for this path anymore, so plain rename suffices)
-    val tmp = new Path(dest.getParent,
-      s".cas-${dest.getName}-${java.util.UUID.randomUUID()}")
-    val os = f.create(tmp, false)
-    try os.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally os.close()
-    if (!f.rename(tmp, dest)) {
-      f.delete(tmp, false)
-      throw new IllegalStateException(
-        s"CAS-won publish failed to materialize $dest")
+    // Any failure BELOW must release the claim: a slot claimed with
+    // nothing published would make every OCC retry of this version
+    // throw ConcurrentCommitException forever while latestVersion
+    // never advances — the table wedged until process restart. The
+    // pre-existing-path refusal releases too: the DISK is the truth
+    // there (retries re-arbitrate and keep losing against it for as
+    // long as the path actually exists).
+    try {
+      if (f.exists(dest)) {
+        throw new GraftTable.ConcurrentCommitException(
+          s"concurrent commit: $dest already exists")
+      }
+      // materialize ATOMICALLY even though uniqueness is already
+      // decided: a reader must never list a half-written manifest (an
+      // object store's PUT is all-or-nothing; the filesystem stand-in
+      // gets the same property from tmp + rename — no contender exists
+      // for this path anymore, so plain rename suffices)
+      val tmp = new Path(dest.getParent,
+        s".cas-${dest.getName}-${java.util.UUID.randomUUID()}")
+      val os = f.create(tmp, false)
+      try os.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+      if (!f.rename(tmp, dest)) {
+        f.delete(tmp, false)
+        throw new IllegalStateException(
+          s"CAS-won publish failed to materialize $dest")
+      }
+    } catch {
+      case e: Throwable =>
+        published.remove(key)
+        throw e
     }
   }
 }

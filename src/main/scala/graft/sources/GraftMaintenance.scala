@@ -200,6 +200,25 @@ private[sources] object GraftMaintenance {
     if (i <= 0) s else s.substring(0, i).toLowerCase + s.substring(i)
   }
 
+  /** Split a select-list / GROUP BY fragment on TOP-LEVEL commas only
+    * (paren-depth counting): `truncate(4, c), count(*) AS n` is two
+    * entries, not three — a bare `split(',')` would cut the
+    * advertised `truncate(w,col)` / `bucket(n,col)` grains
+    * mid-expression and make the documented grammar unreachable. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.result()
+  }
+
   /** Parse the constrained MV definition: GROUP BY entries (bare
     * columns and `days(ts)`-style grains — grains must appear in the
     * select list with an alias) plus `count(*|1) AS a` /
@@ -209,7 +228,7 @@ private[sources] object GraftMaintenance {
     * would serve wrong answers forever). */
   def parseMvDef(selectList: String, groupBy: String)
     : (Seq[MvGroup], Seq[MvAgg]) = {
-    val gEntries = groupBy.split(',').map(
+    val gEntries = splitTopLevel(groupBy).map(
       _.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
     require(gEntries.nonEmpty, "CREATE MATERIALIZED VIEW needs GROUP BY")
     val bare = gEntries.filter(_.matches("""\w+""")).toSet
@@ -222,7 +241,7 @@ private[sources] object GraftMaintenance {
         """bucket\s*\(\s*\d+\s*,\s*\w+\s*\))\s+AS\s+(\w+)""").r
     val GroupItem = """`?(\w+)`?""".r
     val grainAlias = scala.collection.mutable.LinkedHashMap[String, String]()
-    val aggs = selectList.split(',').map(_.trim).toSeq.flatMap {
+    val aggs = splitTopLevel(selectList).map(_.trim).flatMap {
       case GrainItem(expr, alias) =>
         grainAlias += normalizeGrain(expr) -> alias; None
       case CountItem(alias) => Some(MvAgg("count", "", alias))

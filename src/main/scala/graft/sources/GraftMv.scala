@@ -33,6 +33,22 @@ final case class MvGroup(alias: String, expr: String) {
     if (isBare) col(alias) else PartitionTransform.parse(expr).valueCol
 }
 
+/** One DIMENSION of a STAR-JOIN materialized view: the MV's relation
+  * is `fact INNER JOIN dim ON fact.fk = dim.dimKey` folded over every
+  * join — the standard warehouse denormalization (the reference's own
+  * fact cube joins product/location/time dims the same way,
+  * FactTable.sql:15-110). `dimKey` is the dim table's RECORDED key, so
+  * each fact row matches at most one dim row (the keyed-table
+  * uniqueness invariant is what makes the join N:1 and the aggregate
+  * deltas exact). `cols` is the dim's projected NON-KEY column set —
+  * exactly the columns the MV's groups/aggregates/filter reference,
+  * frozen at create so every refresh enriches identically. `lastV` is
+  * the dim version the MV is refreshed to (each dim gets its own
+  * cursor — a dim commit makes the MV stale exactly like a fact
+  * commit). */
+final case class MvJoin(dim: String, fk: String, dimKey: String,
+    lastV: Int, cols: Seq[String])
+
 /** INCREMENTAL MATERIALIZED VIEWS over a graft table — the engine's
   * answer to "keep this GROUP BY fresh without recomputing it": the
   * MV is itself a graft table (keyed by the group tuple — every
@@ -63,12 +79,16 @@ final case class MvGroup(alias: String, expr: String) {
   *
   * A hidden `__mv_n` live-row count rides every MV (delta-able group
   * death is `__mv_n → 0` — those groups DELETE from the MV rather
-  * than linger as zeros). Refresh is CRASH-SAFE via a write-ahead
-  * intent in the cursor file: the apply commits to the MV table
-  * first, the cursor advances second, and recovery decides by
-  * comparing the MV's version against the intent — a re-run never
-  * double-applies a delta window. Single concurrent refresher
-  * assumed (it is a maintenance job, like OPTIMIZE).
+  * than linger as zeros). Refresh is CRASH-SAFE **and CONCURRENT-SAFE**
+  * (round 17): the cursor lives in CAS-versioned def files (every
+  * transition arbitrated through the commit-log store — see
+  * [[GraftLogStore]]), a write-ahead intent records the exact delta
+  * window plus the MV version it expects to commit at, and the apply
+  * is PINNED at that version carrying the window's `#note` marker.
+  * Racing refreshers replay the same deterministic window into the
+  * same pinned slot — exactly one lands; crashes recover by the note
+  * scan; a foreign commit stealing the slot re-pins and recomputes.
+  * No leases, no clocks.
   *
   * Refs: the reference's rollup relations are rebuilt wholesale — the
   * `fact_staging1..3` CTAS chain (FactTable.sql:15-110) recomputes
@@ -79,14 +99,52 @@ object GraftMv {
   private def defPath(mvRoot: String) =
     new org.apache.hadoop.fs.Path(mvRoot, "_log/mv.def")
 
+  /** CAS-VERSIONED definition/cursor files (round 17):
+    * `_log/mvdef-v{N}.def`, each published create-if-absent through
+    * the table's [[GraftLogStore]] seam — every cursor advance,
+    * crash intent, and recovery decision is an ARBITRATED transition
+    * (exactly one writer wins each def version; losers re-read and
+    * re-decide), which is what makes concurrent refreshers safe. The
+    * legacy overwrite-in-place `_log/mv.def` is still READ when no
+    * versioned file exists (pre-round-17 MVs migrate on their next
+    * write). */
+  private def defVPath(mvRoot: String, n: Int) =
+    new org.apache.hadoop.fs.Path(mvRoot, f"_log/mvdef-v$n%05d.def")
+
+  private val DefVName = """mvdef-v(\d+)\.def""".r
+
+  private def defVersions(f: org.apache.hadoop.fs.FileSystem,
+      mvRoot: String): Seq[Int] = {
+    val log = new org.apache.hadoop.fs.Path(mvRoot, "_log")
+    if (!f.exists(log)) Seq.empty
+    else f.listStatus(log).map(_.getPath.getName).collect {
+      case DefVName(n) => n.toInt
+    }.sorted.toSeq
+  }
+
+  /** Whether an MV definition lives at `mvRoot` — versioned def files
+    * (round 17+) or the legacy overwrite file. */
+  private[sources] def defExists(f: org.apache.hadoop.fs.FileSystem,
+      mvRoot: String): Boolean =
+    defVersions(f, mvRoot).nonEmpty || f.exists(defPath(mvRoot))
+
   /** Definition facts as the rewrite rule and tooling consume them. */
   final case class MvFacts(source: String, groups: Seq[MvGroup],
-      aggs: Seq[MvAgg], lastV: Int, filter: Option[String])
+      aggs: Seq[MvAgg], lastV: Int, filter: Option[String],
+      joins: Seq[MvJoin] = Seq.empty)
 
   private final case class MvDef(source: String, sourceKey: String,
       groups: Seq[MvGroup], aggs: Seq[MvAgg], lastV: Int,
-      pending: Option[(Int, Int, Int)], // (from, to, expectedMvVersion)
-      filter: Option[String] = None) // row predicate (SQL expression)
+      // (fromFactV, toFactV, expectedMvVersion, target dim versions)
+      pending: Option[(Int, Int, Int, Seq[Int])],
+      filter: Option[String] = None, // row predicate (SQL expression)
+      // whether the MV table is keyed by the synthesized __mv_g string
+      // (None on legacy defs → derive from the group shape)
+      keymode: Option[Boolean] = None,
+      joins: Seq[MvJoin] = Seq.empty) {
+    /** Whether this MV keys on the encoded `__mv_g` tuple string. */
+    def encodedKey: Boolean = keymode.getOrElse(composite(groups))
+  }
 
   private def render(d: MvDef): String = {
     val b = new StringBuilder
@@ -98,88 +156,180 @@ object GraftMv {
       if (d.groups.size == 1 && g.isBare) b ++= s"group\t${g.alias}\n"
       else b ++= s"group\t${g.alias}\t${g.expr}\n"
     }
+    d.joins.foreach(j => b ++= s"join\t${j.dim}\t${j.fk}\t${j.dimKey}\t" +
+      s"${j.lastV}\t${j.cols.mkString(",")}\n")
+    d.keymode.foreach(e =>
+      b ++= s"keymode\t${if (e) "encoded" else "direct"}\n")
     d.filter.foreach(f => b ++= s"filter\t$f\n")
     d.aggs.foreach(a => b ++= s"agg\t${a.kind}\t${a.col}\t${a.alias}\n")
     b ++= s"lastv\t${d.lastV}\n"
-    d.pending.foreach { case (f, t, e) => b ++= s"pending\t$f\t$t\t$e\n" }
+    d.pending.foreach { case (f, t, e, dv) =>
+      // legacy 3-field form when there are no joins (older readers)
+      if (dv.isEmpty) b ++= s"pending\t$f\t$t\t$e\n"
+      else b ++= s"pending\t$f\t$t\t$e\t${dv.mkString(",")}\n"
+    }
     b.result()
   }
 
-  private def writeDef(spark: SparkSession, mvRoot: String,
-      d: MvDef): Unit = {
-    val p = defPath(mvRoot)
+  /** Publish the def at version `prev + 1` — a CAS transition: throws
+    * [[GraftTable.ConcurrentCommitException]] when another writer
+    * advanced the def first (the caller re-reads and re-decides;
+    * every refresh-protocol def write goes through here). `prev = -1`
+    * migrates a legacy overwrite-file MV to its first versioned def. */
+  private def writeDefCas(spark: SparkSession, mvRoot: String,
+      d: MvDef, prev: Int): Unit = {
+    val p = defVPath(mvRoot, prev + 1)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val os = f.create(p, true)
-    try os.write(render(d).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally os.close()
+    GraftTable.writeAtomic(f, p, render(d))
     // a cursor advance changes rewrite-visible freshness exactly like
     // a table commit — invalidate same-session planning memos
     GraftTable.commitEpoch.incrementAndGet()
   }
 
-  private def readDef(spark: SparkSession, mvRoot: String): MvDef = {
+  private def readDef(spark: SparkSession, mvRoot: String): MvDef =
+    readDefV(spark, mvRoot)._1
+
+  /** The newest def plus its version (−1 when only the legacy
+    * overwrite file exists — its pendings predate the note protocol). */
+  private def readDefV(spark: SparkSession, mvRoot: String): (MvDef, Int) = {
     val p = defPath(mvRoot)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(f.exists(p), s"no materialized view at $mvRoot")
+    val (text, dv) = defVersions(f, mvRoot).lastOption match {
+      case Some(n) => (readFullyText(f, defVPath(mvRoot, n)), n)
+      case None =>
+        require(f.exists(p), s"no materialized view at $mvRoot")
+        (readFullyText(f, p), -1)
+    }
+    (parseDef(text), dv)
+  }
+
+  private def readFullyText(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
     val in = f.open(p)
-    val text =
-      try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-        new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-      } finally in.close()
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  private def parseDef(text: String): MvDef = {
     var source = ""; var sourceKey = ""
     val groups = Seq.newBuilder[MvGroup]
     val aggs = Seq.newBuilder[MvAgg]
-    var lastV = -1; var pending: Option[(Int, Int, Int)] = None
+    val joins = Seq.newBuilder[MvJoin]
+    var lastV = -1; var pending: Option[(Int, Int, Int, Seq[Int])] = None
     var filt: Option[String] = None
+    var keymode: Option[Boolean] = None
     text.linesIterator.filter(_.nonEmpty).foreach { l =>
       l.split('\t') match {
         case Array("source", v) => source = v
         case Array("sourceKey", v) => sourceKey = v
         case Array("group", v) => groups += MvGroup(v, v)
         case Array("group", a, e) => groups += MvGroup(a, e)
+        case Array("join", dim, fk, dk, v, cols) =>
+          joins += MvJoin(dim, fk, dk, v.toInt,
+            cols.split(',').filter(_.nonEmpty).toSeq)
+        case Array("join", dim, fk, dk, v) => // zero projected columns
+          joins += MvJoin(dim, fk, dk, v.toInt, Seq.empty)
+        case Array("keymode", v) => keymode = Some(v == "encoded")
         case Array("filter", v) => filt = Some(v)
         case Array("agg", k, c, a) => aggs += MvAgg(k, c, a)
         case Array("lastv", v) => lastV = v.toInt
         case Array("pending", f0, t, e) =>
-          pending = Some((f0.toInt, t.toInt, e.toInt))
+          pending = Some((f0.toInt, t.toInt, e.toInt, Seq.empty))
+        case Array("pending", f0, t, e, dv) =>
+          pending = Some((f0.toInt, t.toInt, e.toInt,
+            dv.split(',').filter(_.nonEmpty).map(_.toInt).toSeq))
         case _ => () // forward compatibility
       }
     }
     MvDef(source, sourceKey, groups.result(), aggs.result(), lastV,
-      pending, filt)
+      pending, filt, keymode, joins.result())
   }
 
   private val HiddenN = "__mv_n"
   private val HiddenG = "__mv_g"
-  private def nnOf(alias: String) = s"__mv_nn_$alias"
-  private def sOf(alias: String) = s"__mv_s_$alias"
+  private[sources] def nnOf(alias: String) = s"__mv_nn_$alias"
+  private[sources] def sOf(alias: String) = s"__mv_s_$alias"
+
+  /** The MV's STORED rows with every bookkeeping column — what the
+    * rewrite's ROLLUP path re-aggregates (a coarser grouping needs
+    * avg's hidden exact (sum, count) pair and sum's non-null ledger,
+    * which [[read]] deliberately hides). */
+  private[sources] def readRaw(spark: SparkSession,
+      mvRoot: String): DataFrame = GraftTable.read(spark, mvRoot)
 
   /** Whether the MV needs the synthesized composite key (anything but
     * a single bare group column). */
   private def composite(groups: Seq[MvGroup]): Boolean =
     groups.size > 1 || !groups.head.isBare
 
+  /** Escape one group value for the composite key: the encoding must
+    * be INJECTIVE over arbitrary strings, so the separator (U+001F),
+    * the NULL marker (U+0000), and the string-key machinery's refused
+    * line-structure characters (tab/newline/CR) are all escaped behind
+    * U+0010 (DLE) — a raw separator/NUL/DLE can then never appear in
+    * an escaped value, so distinct group tuples can never encode to
+    * the same key (('a<US>b','c') vs ('a','b<US>c')). */
+  private def escGroupVal(c: Column): Column =
+    replace(replace(replace(replace(replace(replace(c,
+      lit("\u0010"), lit("\u0010\u0010")),
+      lit("\u0000"), lit("\u0010z")),
+      lit("\u001F"), lit("\u0010u")),
+      lit("\t"), lit("\u0010t")),
+      lit("\n"), lit("\u0010n")),
+      lit("\r"), lit("\u0010r"))
+
   /** The MV table's key column name. */
-  private def keyOf(groups: Seq[MvGroup]): String =
-    if (composite(groups)) HiddenG else groups.head.alias
+  private def keyOf(d: MvDef): String =
+    if (d.encodedKey) HiddenG else d.groups.head.alias
 
   /** The hidden composite key value from the (already materialized)
-    * group ALIAS columns: group values joined with the unit separator,
-    * NULLs encoded distinctly — exact tuple identity (it rides the
-    * hash-ledgered string-key machinery; the ledger hashes, row
-    * operations compare the full string). */
+    * group ALIAS columns: ESCAPED group values joined with the unit
+    * separator, NULLs encoded distinctly — exact tuple identity (it
+    * rides the hash-ledgered string-key machinery; the ledger hashes,
+    * row operations compare the full string). */
   private def gidCol(groups: Seq[MvGroup]): Column =
     concat_ws("\u001F", groups.map(g =>
       when(col(g.alias).isNull, lit("\u0000"))
-        .otherwise(col(g.alias).cast("string"))): _*)
+        .otherwise(escGroupVal(col(g.alias).cast("string")))): _*)
 
   /** Materialize every group column (bare passthrough; grains compute
     * the transform value under the alias). */
   private def withGroups(df: DataFrame, groups: Seq[MvGroup]): DataFrame =
     groups.foldLeft(df)((d, g) =>
       if (g.isBare) d else d.withColumn(g.alias, g.valueCol))
+
+  /** Temp name the dim's key joins under (dropped after the join) —
+    * sidesteps fk/dimKey name collisions without frame aliases. */
+  private val JoinKeyTmp = "__mv_join_key"
+
+  /** One dim's PROJECTED relation at a pinned version: its key plus
+    * the MV-referenced columns. */
+  private def dimProjected(spark: SparkSession, j: MvJoin,
+      v: Int): DataFrame =
+    GraftTable.read(spark, j.dim, Some(v))
+      .select((j.dimKey +: j.cols).map(col): _*)
+
+  /** INNER N:1 join of `acc` to one dim relation (`dimDf` must carry
+    * `j.dimKey` + projected cols; extra columns — a change feed's
+    * `_change` — ride through). */
+  private def joinOne(acc: DataFrame, dimDf: DataFrame,
+      j: MvJoin): DataFrame = {
+    val keyed = dimDf.withColumnRenamed(j.dimKey, JoinKeyTmp)
+    acc.join(keyed, acc(j.fk) === keyed(JoinKeyTmp), "inner")
+      .drop(JoinKeyTmp)
+  }
+
+  /** The ENRICHED relation: fact joined to every dim at the given
+    * versions — what a star-join MV's groups/aggregates/filter are
+    * defined over. */
+  private def enrich(spark: SparkSession, fact: DataFrame,
+      joins: Seq[MvJoin], dimVs: Seq[Int]): DataFrame =
+    joins.zip(dimVs).foldLeft(fact) { case (acc, (j, v)) =>
+      joinOne(acc, dimProjected(spark, j, v), j)
+    }
 
   /** The STORED user-visible aggregate aliases — avg stores only its
     * hidden (sum, count) pair and is computed at [[read]] time. */
@@ -230,7 +380,81 @@ object GraftMv {
     * MvGroup("day","days(ts)"))`. */
   def createGrouped(spark: SparkSession, mvRoot: String,
       sourceRoot: String, groups: Seq[MvGroup], aggs: Seq[MvAgg],
-      nBuckets: Int = 8, filter: Option[String] = None): Int = {
+      nBuckets: Int = 8, filter: Option[String] = None): Int =
+    createImpl(spark, mvRoot, sourceRoot, Seq.empty, groups, aggs,
+      nBuckets, filter)
+
+  /** [[createGrouped]] over a STAR JOIN — the denormalized
+    * fact⋈dim(s) MV every warehouse maintains (the reference's own
+    * analytics are this shape: revenue by nation is
+    * orders⋈customer⋈nation). `dims` pairs each dim's table root with
+    * the FACT's foreign-key column; the join lands on the dim's
+    * recorded key (N:1 by the keyed-table uniqueness invariant), so
+    * groups and the filter may reference dim columns while aggregates
+    * stay exact under delta maintenance. Each dim gets its own refresh
+    * cursor: a dim commit makes the MV stale exactly like a fact
+    * commit, and [[refresh]] folds BOTH sides' change feeds. */
+  def createJoined(spark: SparkSession, mvRoot: String,
+      factRoot: String, dims: Seq[(String, String)], groups: Seq[MvGroup],
+      aggs: Seq[MvAgg], nBuckets: Int = 8,
+      filter: Option[String] = None): Int = {
+    require(dims.nonEmpty, "createJoined needs at least one dim " +
+      "(use createGrouped for a single-table MV)")
+    // resolve each dim's recorded key and figure the PROJECTED column
+    // set: every name the MV references (bare group aliases, grain
+    // inputs, aggregate columns, filter identifiers) must live in
+    // EXACTLY ONE of fact/dims — ambiguity refuses at create, never
+    // guesses (the enriched relation must be deterministic forever)
+    val factSchema = {
+      val v = GraftTable.latestVersion(spark, factRoot)
+      require(v >= 0, s"no fact table at $factRoot")
+      GraftTable.read(spark, factRoot, Some(v)).schema
+    }
+    val needed: Seq[String] = (
+      groups.map(g => if (g.isBare) g.alias
+        else PartitionTransform.parse(g.expr) match {
+          case DaysPartition(c) => c
+          case MonthsPartition(c) => c
+          case YearsPartition(c) => c
+          case TruncatePartition(_, c) => c
+          case BucketPartition(_, c) => c
+        }) ++
+      aggs.filterNot(_.kind == "count").map(_.col) ++
+      filter.toSeq.flatMap(f =>
+        "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(f).toSeq)
+    ).distinct
+    val joins = dims.map { case (dimRoot, fk) =>
+      val dv = GraftTable.latestVersion(spark, dimRoot)
+      require(dv >= 0, s"no dim table at $dimRoot")
+      val dimKey = GraftTable.keyColumn(spark, dimRoot).getOrElse(
+        sys.error(s"MV dim at $dimRoot needs a recorded key column"))
+      require(factSchema.fieldNames.contains(fk),
+        s"foreign key '$fk' is not a fact column")
+      val dimSchema = GraftTable.read(spark, dimRoot, Some(dv)).schema
+      val cols = needed.filter(n => n != dimKey &&
+        dimSchema.fieldNames.contains(n))
+      MvJoin(dimRoot, fk, dimKey, dv, cols)
+    }
+    // ambiguity check over the NEEDED names only
+    needed.foreach { n =>
+      val holders = (if (factSchema.fieldNames.contains(n))
+        Seq("fact") else Seq.empty) ++
+        joins.filter(_.cols.contains(n)).map(_.dim)
+      require(holders.size <= 1,
+        s"MV column '$n' is ambiguous across ${holders.mkString(", ")} — " +
+          "rename it in one of the tables (the enriched relation must " +
+          "resolve every referenced name uniquely)")
+    }
+    require(!factSchema.fieldNames.contains(JoinKeyTmp) &&
+      joins.forall(j => !j.cols.contains(JoinKeyTmp)),
+      s"'$JoinKeyTmp' is reserved by the star-join machinery")
+    createImpl(spark, mvRoot, factRoot, joins, groups, aggs, nBuckets,
+      filter)
+  }
+
+  private def createImpl(spark: SparkSession, mvRoot: String,
+      sourceRoot: String, joins: Seq[MvJoin], groups: Seq[MvGroup],
+      aggs: Seq[MvAgg], nBuckets: Int, filter: Option[String]): Int = {
     require(groups.nonEmpty, "an MV needs at least one group column")
     require(groups.map(_.alias).distinct.size == groups.size,
       "MV group aliases must be distinct")
@@ -253,20 +477,42 @@ object GraftMv {
     // a FILTERED MV aggregates the predicate's row subset; the same
     // predicate applied per change-feed row keeps the delta exact (a
     // row-level predicate commutes with the feed's ± retraction form —
-    // an update crossing the boundary is exactly one −old/+new pair)
-    val src0 = GraftTable.read(spark, sourceRoot, Some(srcV))
-    val src = withGroups(
-      filter.map(f => src0.filter(expr(f))).getOrElse(src0), groups)
+    // an update crossing the boundary is exactly one −old/+new pair).
+    // Star joins ENRICH first: the MV's relation is fact⋈dims.
+    val src0 = enrich(spark,
+      GraftTable.read(spark, sourceRoot, Some(srcV)), joins,
+      joins.map(_.lastV))
+    val filtered = filter.map(f => src0.filter(expr(f))).getOrElse(src0)
+    // a NONDETERMINISTIC predicate (rand() < p, …) cannot define an
+    // MV: create, every refresh, and the rewrite's query side would
+    // each see a DIFFERENT row subset — refuse at create, loudly.
+    // Checked on the ANALYZED condition (the unresolved tree's
+    // `deterministic` is vacuously true before function resolution).
+    if (filter.isDefined) {
+      val cond = filtered.queryExecution.analyzed.collectFirst {
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => c
+      }
+      require(cond.forall(_.deterministic),
+        s"MV filter must be deterministic, got '${filter.get}'")
+    }
+    val src = withGroups(filtered, groups)
     val gCols = groups.map(g => col(g.alias))
+    // the MV table's key must be non-null (NULL keys break every keyed
+    // merge join — NULL never equals NULL); a single bare group over a
+    // NULLABLE column can produce a NULL group, so it keys through the
+    // encoded __mv_g string (NULL → the distinct marker) like
+    // composites do. Persisted as `keymode` so refresh/read agree.
+    val enc = composite(groups) ||
+      src.schema.fields.find(_.name == groups.head.alias).forall(_.nullable)
     val full0 = src.groupBy(gCols: _*)
       .agg(aggCols(aggs).head, aggCols(aggs).tail: _*)
     val (full, key) =
-      if (composite(groups))
-        (full0.withColumn(HiddenG, gidCol(groups)), HiddenG)
+      if (enc) (full0.withColumn(HiddenG, gidCol(groups)), HiddenG)
       else (full0, groups.head.alias)
     GraftTable.create(spark, mvRoot, full, key, nBuckets)
-    writeDef(spark, mvRoot,
-      MvDef(sourceRoot, srcKey, groups, aggs, srcV, None, filter))
+    writeDefCas(spark, mvRoot,
+      MvDef(sourceRoot, srcKey, groups, aggs, srcV, None, filter,
+        keymode = Some(enc), joins = joins), prev = -1)
     srcV
   }
 
@@ -276,14 +522,14 @@ object GraftMv {
     : Option[MvFacts] = {
     val p = defPath(mvRoot)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(p)) None
+    if (!defExists(f, mvRoot)) None
     else {
       val d = readDef(spark, mvRoot)
       // an UNRESOLVED crash intent means the cursor may understate
       // lastV — the conservative read for freshness is "not fresh";
       // refresh() recovery will settle it
       val lastV = if (d.pending.isDefined) -1 else d.lastV
-      Some(MvFacts(d.source, d.groups, d.aggs, lastV, d.filter))
+      Some(MvFacts(d.source, d.groups, d.aggs, lastV, d.filter, d.joins))
     }
   }
 
@@ -314,7 +560,7 @@ object GraftMv {
   def drop(spark: SparkSession, mvRoot: String): Boolean = {
     val p = defPath(mvRoot)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(f.exists(p),
+    require(defExists(f, mvRoot),
       s"no materialized view at $mvRoot (DROP MATERIALIZED VIEW " +
         "refuses plain tables)")
     val removed = f.delete(new org.apache.hadoop.fs.Path(mvRoot), true)
@@ -322,31 +568,127 @@ object GraftMv {
     removed
   }
 
-  /** Advance the MV to the source's current head by change-feed
-    * delta. Returns (sourceVersionCaughtUpTo, dirtyGroups) —
-    * (lastV, 0) when already fresh. Crash-safe: see class doc. */
+  /** The `#note` identity of one refresh window — what lets a racer
+    * (or a recovery) RECOGNIZE whether a specific delta window already
+    * landed on the MV table, independent of who applied it. */
+  private def windowNote(from: Int, to: Int, dimTargets: Seq[Int]): String =
+    s"mvwindow $from $to ${dimTargets.mkString(",")}"
+
+  /** Advance the MV to the source's (and every dim's) current head by
+    * change-feed delta. Returns (sourceVersionCaughtUpTo, dirtyGroups)
+    * — (lastV, 0) when already fresh.
+    *
+    * CONCURRENT-SAFE and CRASH-SAFE (round 17): every cursor
+    * transition is a CAS def publish, the window intent records the
+    * exact (fact, dims) version window plus the MV version it expects
+    * to commit at, and the apply is PINNED at that version with the
+    * window's `#note` marker. Two live refreshers therefore replay the
+    * SAME deterministic window racing the SAME pinned slot — exactly
+    * one manifest lands, the loser recognizes the winner's note and
+    * treats it as success; a FOREIGN commit stealing the slot (an
+    * OPTIMIZE on the MV table) carries no matching note, so the
+    * protocol re-pins and recomputes rather than wrongly advancing the
+    * cursor. A crashed refresher leaves an intent any later refresh
+    * settles by the same note scan — never by wall clocks or leases. */
   def refresh(spark: SparkSession, mvRoot: String,
       nBuckets: Int = 8): (Int, Long) = {
-    var d = readDef(spark, mvRoot)
-    // RECOVERY: an interrupted refresh left an intent. If the MV's
-    // version reached the intent's expectation the window WAS
-    // applied — finalize the cursor; otherwise drop the intent and
-    // redo the window.
-    d.pending.foreach { case (from, to, expectV) =>
-      val applied = GraftTable.latestVersion(spark, mvRoot) >= expectV
-      d = d.copy(lastV = if (applied) to else from, pending = None)
-      writeDef(spark, mvRoot, d)
+    var attempts = 0
+    while (true) {
+      try return refreshOnce(spark, mvRoot, nBuckets)
+      catch {
+        // a lost CAS (def publish or pinned apply): a twin moved the
+        // protocol forward — re-read and re-decide from its state
+        case _: GraftTable.ConcurrentCommitException if attempts < 10 =>
+          attempts += 1
+      }
     }
-    val srcHead = GraftTable.latestVersion(spark, d.source)
-    if (srcHead == d.lastV) return (d.lastV, 0L)
-    require(srcHead > d.lastV,
-      s"source at ${d.source} went backwards ($srcHead < ${d.lastV})")
-    // a filtered MV sees only the feed rows its predicate keeps: the
-    // predicate commutes with retraction form, so an update moving a
-    // row across the boundary arrives as exactly the −old or +new
-    // side that crossed
-    val feed0 = GraftTable.changes(spark, d.source, d.lastV, srcHead,
-      d.sourceKey, withPreimages = true)
+    sys.error("unreachable")
+  }
+
+  private def refreshOnce(spark: SparkSession, mvRoot: String,
+      nBuckets: Int): (Int, Long) = {
+    val (d, dv) = readDefV(spark, mvRoot)
+    d.pending match {
+      case Some((from, to, expectV, dimTargets)) =>
+        val head = GraftTable.latestVersion(spark, mvRoot)
+        val note = windowNote(from, to, dimTargets)
+        val applied = (expectV to head).exists(v =>
+          GraftTable.manifestNote(spark, mvRoot, v).contains(note)) ||
+          // a LEGACY (overwrite-file) pending predates the note
+          // protocol: fall back to its original single-refresher rule
+          (dv == -1 && head >= expectV)
+        if (applied) {
+          // finalize the cursor(s); a racing finalize loses the CAS
+          // and re-reads the advanced def (exactly-once either way)
+          writeDefCas(spark, mvRoot, d.copy(lastV = to, pending = None,
+            joins = if (dimTargets.size == d.joins.size)
+              d.joins.zip(dimTargets).map { case (j, v) => j.copy(lastV = v) }
+            else d.joins), dv)
+          refreshOnce(spark, mvRoot, nBuckets)
+        } else if (head + 1 > expectV) {
+          // the pinned slot was STOLEN by a foreign commit (no note):
+          // re-pin the SAME window at the new head — CAS'd so only one
+          // refresher moves the pin, and the replay below recomputes
+          // against post-steal state
+          writeDefCas(spark, mvRoot,
+            d.copy(pending = Some((from, to, head + 1, dimTargets))), dv)
+          refreshOnce(spark, mvRoot, nBuckets)
+        } else {
+          // head + 1 == expectV: REPLAY the recorded window, pinned.
+          // The window is version-pinned on the source side and the
+          // pin guarantees the MV-side inputs were read below expectV,
+          // so any twin computing this window lands identical content
+          // — whoever wins the slot, the delta applies exactly once.
+          val dirty = applyWindow(spark, mvRoot, d, from, to, dimTargets,
+            expectV, nBuckets, note)
+          writeDefCas(spark, mvRoot, d.copy(lastV = to, pending = None,
+            joins = if (dimTargets.size == d.joins.size)
+              d.joins.zip(dimTargets).map { case (j, v) => j.copy(lastV = v) }
+            else d.joins), dv)
+          val (v2, more) = refreshOnce(spark, mvRoot, nBuckets)
+          (v2, dirty + more)
+        }
+      case None =>
+        val srcHead = GraftTable.latestVersion(spark, d.source)
+        val dimHeads = d.joins.map(j =>
+          GraftTable.latestVersion(spark, j.dim))
+        if (srcHead == d.lastV && dimHeads == d.joins.map(_.lastV))
+          return (d.lastV, 0L)
+        require(srcHead >= d.lastV,
+          s"source at ${d.source} went backwards ($srcHead < ${d.lastV})")
+        d.joins.zip(dimHeads).foreach { case (j, h) =>
+          require(h >= j.lastV,
+            s"dim at ${j.dim} went backwards ($h < ${j.lastV})")
+        }
+        // WRITE-AHEAD INTENT (CAS): record the exact window and the
+        // pinned MV slot before any work — a racer publishing first
+        // wins the window; we re-read and JOIN its replay
+        val expectV = GraftTable.latestVersion(spark, mvRoot) + 1
+        writeDefCas(spark, mvRoot,
+          d.copy(pending = Some((d.lastV, srcHead, expectV, dimHeads))),
+          dv)
+        refreshOnce(spark, mvRoot, nBuckets)
+    }
+  }
+
+  /** Compute and apply ONE recorded delta window — fact feed
+    * (from → to) and dim feeds (each join's cursor → its recorded
+    * target) — committed to the MV table PINNED at `expectV` with the
+    * window's note. Throws [[GraftTable.ConcurrentCommitException]]
+    * when the slot is taken (the caller's retry re-reads the def and
+    * decides applied/stolen from the note). Returns the dirty-group
+    * count. */
+  private def applyWindow(spark: SparkSession, mvRoot: String, d: MvDef,
+      from: Int, to: Int, dimTargets: Seq[Int], expectV: Int,
+      nBuckets: Int, note: String): Long = {
+    val dimHeads =
+      if (dimTargets.size == d.joins.size) dimTargets
+      else d.joins.map(_.lastV)
+    val feed0 =
+      if (d.joins.isEmpty)
+        GraftTable.changes(spark, d.source, from, to,
+          d.sourceKey, withPreimages = true)
+      else starFeed(spark, d, to, dimHeads)
     val feed = withGroups(
       d.filter.map(f => feed0.filter(expr(f))).getOrElse(feed0), d.groups)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -354,16 +696,17 @@ object GraftMv {
       val groups = d.groups
       val gNames = groups.map(_.alias)
       val gCols = gNames.map(col)
-      val comp = composite(groups)
-      val mvKey = keyOf(groups)
-      // COMPOSITE tuples join on the NON-NULL encoded key: a grain
-      // over a nullable column yields NULL group values, and a plain
+      val comp = d.encodedKey
+      val mvKey = keyOf(d)
+      // ENCODED-KEY MVs join on the NON-NULL encoded key: a grain (or
+      // bare nullable column) yields NULL group values, and a plain
       // column equi-join treats NULL ≠ NULL — the stored row and its
       // delta would miss each other and the apply batch would carry
       // one key twice (the NULL-group corruption a null-safe identity
-      // column prevents by construction). Single bare groups keep the
-      // direct column join (their value IS the table key, which is
-      // non-null by the write path's stats contract).
+      // column prevents by construction). Only an MV created over a
+      // provably NON-NULLABLE single bare group keeps the direct
+      // column join (its value IS the table key; `keymode` records
+      // the create-time decision so the planes can never drift).
       val keyed = if (comp) feed.withColumn(HiddenG, gidCol(groups))
         else feed
       val joinKeys = if (comp) Seq(HiddenG) else gNames
@@ -426,8 +769,11 @@ object GraftMv {
         } else {
           // RE-AGG the dirty groups from a group-pruned source read
           // (the MV's filter applies here too — it defines the
-          // aggregated relation)
-          val src0 = GraftTable.read(spark, d.source, Some(srcHead))
+          // aggregated relation; star joins re-enrich at the WINDOW'S
+          // fact+dim versions)
+          val src0 = enrich(spark,
+            GraftTable.read(spark, d.source, Some(to)), d.joins,
+            dimHeads)
           val srcG = withGroups(
             d.filter.map(f => src0.filter(expr(f))).getOrElse(src0), groups)
           val srcK = if (comp) srcG.withColumn(HiddenG, gidCol(groups))
@@ -455,13 +801,55 @@ object GraftMv {
         .select(((if (comp) Seq(col(HiddenG)) else Seq.empty)
           ++ gCols ++ mvCols.map(col) :+ col(op)): _*)
       val nDirty = dirty.count()
-      // WRITE-AHEAD INTENT, then apply, then finalize the cursor
-      val expectV = GraftTable.latestVersion(spark, mvRoot) + 1
-      writeDef(spark, mvRoot,
-        d.copy(pending = Some((d.lastV, srcHead, expectV))))
-      GraftTable.applyCdcBatch(spark, mvRoot, batch, mvKey, op, nBuckets)
-      writeDef(spark, mvRoot, d.copy(lastV = srcHead, pending = None))
-      (srcHead, nDirty)
+      GraftTable.applyCdcBatchAt(spark, mvRoot, batch, mvKey, op,
+        nBuckets, expectV, note)
+      nDirty
     } finally feed.unpersist()
+  }
+
+  /** The combined RETRACTION-FORM change feed of a star-join MV's
+    * ENRICHED relation between (factLastV, dim lastVs) and (srcHead,
+    * dimHeads) — the telescoping decomposition
+    *
+    *   Δenriched = Σ_i [fact@OLD ⋈ dims_{<i}@NEW ⋈ Δdim_i ⋈ dims_{>i}@OLD]
+    *             + [Δfact ⋈ dims@NEW]
+    *
+    * Each term's rows carry the driving feed's `_change` marker, so
+    * one union folds through the same ± delta (or dirty-group re-agg)
+    * machinery as a single-table feed. Cost: O(fact rows referencing
+    * changed dim keys + fact feed) — never O(fact) when only small
+    * dims changed, never O(dims) when only the fact changed. The N:1
+    * key-unique join keeps every term a pure retraction pair: a dim
+    * UPDATE contributes exactly one −old/+new row per affected fact
+    * row. */
+  private def starFeed(spark: SparkSession, d: MvDef, srcHead: Int,
+      dimHeads: Seq[Int]): DataFrame = {
+    val chg = "_change"
+    val outCols: Seq[String] =
+      (GraftTable.read(spark, d.source, Some(d.lastV)).schema.fieldNames
+        .toSeq ++ d.joins.flatMap(_.cols)) :+ chg
+    // dim-delta terms against the OLD fact
+    val f0 = GraftTable.read(spark, d.source, Some(d.lastV))
+    val dimTerms = d.joins.zipWithIndex
+      .filter { case (j, i) => dimHeads(i) != j.lastV }
+      .map { case (ji, i) =>
+        val dFeed = GraftTable.changes(spark, ji.dim, ji.lastV,
+          dimHeads(i), ji.dimKey, withPreimages = true)
+          .select(((ji.dimKey +: ji.cols) :+ chg).map(col): _*)
+        d.joins.zipWithIndex.foldLeft(f0) { case (acc, (j, k)) =>
+          if (k == i) joinOne(acc, dFeed, j) // brings _change + sign
+          else joinOne(acc, dimProjected(spark, j,
+            if (k < i) dimHeads(k) else j.lastV), j)
+        }
+      }
+    // fact-delta term against the NEW dims
+    val factTerm =
+      if (srcHead == d.lastV) Seq.empty
+      else Seq(enrich(spark,
+        GraftTable.changes(spark, d.source, d.lastV, srcHead,
+          d.sourceKey, withPreimages = true), d.joins, dimHeads))
+    (dimTerms ++ factTerm)
+      .map(_.select(outCols.map(col): _*))
+      .reduce(_.unionByName(_))
   }
 }

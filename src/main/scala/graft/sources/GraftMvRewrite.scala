@@ -2,9 +2,10 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BinaryOperator, Cast, Expression, ExprId, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BinaryOperator, Cast, EqualTo, Expression, ExprId, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 
@@ -25,12 +26,19 @@ import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, Data
   *    historical read — is never served; `REFRESH MATERIALIZED VIEW`
   *    re-arms). A crash-pending cursor reads as not-fresh until
   *    refresh recovery settles it.
-  *  - STRUCTURE must match exactly: the query's grouping SET must
-  *    biject onto the MV's group columns — bare columns by attribute,
-  *    derived GRAINS (`days(ts)`) by semantic equality against the
+  *  - STRUCTURE: the query's grouping SET must map INJECTIVELY into
+  *    the MV's group columns — bare columns by attribute, derived
+  *    GRAINS (`days(ts)`) by semantic equality against the
   *    transform's analyzed expression — and every aggregate must be
   *    one of the MV's maintained ones (by kind + input column, not by
-  *    alias). Result data types identical.
+  *    alias). Result data types identical. A BIJECTION serves the
+  *    stored rows by projection; a PROPER SUBSET (including the empty
+  *    set — a global aggregate) serves by ROLLUP: the MV's groups
+  *    partition the source's rows, so re-aggregating MV rows at the
+  *    query's coarser grain is exact — count/sum roll up by SUM
+  *    (NULL-exact via the hidden non-null ledgers), min/max by
+  *    MIN/MAX, avg from its hidden exact (sum, count) pair, never
+  *    avg-of-avgs (Goldstein & Larson's rollup case).
   *  - FILTERS: a filtered MV serves a query whose WHERE is
   *    semantically EQUAL to the MV's stored predicate; additionally,
   *    EXTRA conjuncts referencing ONLY the MV's bare group columns
@@ -80,8 +88,7 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         val f = p.getFileSystem(session.sparkContext.hadoopConfiguration)
         if (!f.exists(p)) Seq.empty
         else f.listStatus(p).filter(_.isDirectory).map(_.getPath)
-          .filter(d => f.exists(
-            new org.apache.hadoop.fs.Path(d, "_log/mv.def")))
+          .filter(d => GraftMv.defExists(f, d.toString))
           .map(_.toUri.getPath).toSeq
       } catch { case _: Exception => Seq.empty }
       discoverMemo.put(base, (now, v))
@@ -156,6 +163,86 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** One scan leaf of a (possibly join-shaped) relation tree:
+    * (table root, pinned snapshot version, the scan's attributes). */
+  private type StarLeaf = (String, Int, Seq[Attribute])
+
+  /** Flatten an INNER equi-join tree over graft scans into its leaves,
+    * join-key attribute pairs, and any filter conjuncts sitting INSIDE
+    * the tree (they commute to the top across inner joins). Only
+    * attr-only Projects, Filters, and Inner joins whose condition is a
+    * conjunction of attribute equalities are transparent — anything
+    * else (outer joins, non-equi conditions, cross joins, subqueries)
+    * returns None and the rewrite refuses. A single plain scan returns
+    * one leaf with no pairs — the single-table case rides the same
+    * path. */
+  private def flattenStar(p: LogicalPlan): Option[(Seq[StarLeaf],
+      Seq[(AttributeReference, AttributeReference)], Seq[Expression])] =
+    p match {
+      case Project(ps, c) if ps.forall(_.isInstanceOf[Attribute]) =>
+        flattenStar(c)
+      case Filter(cond, c) =>
+        flattenStar(c).map { case (l, e, f) =>
+          (l, e, f ++ conjuncts(cond))
+        }
+      case j: Join if j.joinType == Inner && j.condition.isDefined =>
+        val pairs0 = conjuncts(j.condition.get).map {
+          case EqualTo(a: AttributeReference, b: AttributeReference) =>
+            Some((a, b))
+          case _ => None
+        }
+        if (!pairs0.forall(_.isDefined)) None
+        else for {
+          (ll, le, lf) <- flattenStar(j.left)
+          (rl, re, rf) <- flattenStar(j.right)
+        } yield (ll ++ rl, le ++ re ++ pairs0.flatten, lf ++ rf)
+      case other => rootOf(other).map { case (root, v) =>
+        (Seq((root, v, other.output)), Seq.empty, Seq.empty)
+      }
+    }
+
+  /** Match the flattened relation against an MV definition's star
+    * shape: exactly one leaf per table (fact + each dim, all distinct
+    * roots), every def join realized by exactly one equi pair
+    * connecting the FACT's `fk` attribute to that dim's `dimKey`
+    * attribute (either operand order), no extra leaves and no extra
+    * equi pairs. Returns the pinned scan versions in def-join order
+    * (fact first) plus the set of join-key exprIds (whose inferred
+    * `isnotnull` decorations an inner equi-join makes vacuous). */
+  private def matchStarShape(facts: GraftMv.MvFacts, leaves: Seq[StarLeaf],
+      pairs: Seq[(AttributeReference, AttributeReference)])
+    : Option[(Int, Seq[Int], Set[ExprId])] = {
+    if (leaves.size != facts.joins.size + 1) return None
+    if (pairs.size != facts.joins.size) return None
+    val factLeaves = leaves.filter(_._1 == facts.source)
+    if (factLeaves.size != 1) return None
+    val fact = factLeaves.head
+    val factIds = fact._3.map(a => a.name -> a.exprId).toMap
+    var remainingPairs = pairs
+    val keyIds = Set.newBuilder[ExprId]
+    val dimVs = facts.joins.map { j =>
+      val dimLeaves = leaves.filter(_._1 == j.dim)
+      if (dimLeaves.size != 1) return None
+      val dim = dimLeaves.head
+      val dimIds = dim._3.map(a => a.name -> a.exprId).toMap
+      val (fkId, dkId) = (factIds.get(j.fk), dimIds.get(j.dimKey)) match {
+        case (Some(a), Some(b)) => (a, b)
+        case _ => return None
+      }
+      val hit = remainingPairs.indexWhere { case (a, b) =>
+        (a.exprId == fkId && b.exprId == dkId) ||
+          (a.exprId == dkId && b.exprId == fkId)
+      }
+      if (hit < 0) return None
+      remainingPairs = remainingPairs.patch(hit, Nil, 1)
+      keyIds += fkId; keyIds += dkId
+      dim._2
+    }
+    if (remainingPairs.nonEmpty) None
+    else if (leaves.map(_._1).distinct.size != leaves.size) None
+    else Some((fact._2, dimVs, keyIds.result()))
+  }
+
   /** Strip no-op casts (`Cast(e, e.dataType)`) everywhere in a tree —
     * the analyzer and `functions.*` builders sprinkle them
     * differently, and SimplifyCasts may or may not have run before
@@ -205,14 +292,20 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Biject the query's grouping expressions onto the MV's group
-    * columns: bare groups match a plan attribute by name (over this
-    * relation), grains match by semantic equality with the analyzed
-    * transform. Returns the (planExpr, mvGroupAlias) substitution
-    * pairs in plan order, or None. */
+  /** Map the query's grouping expressions INTO the MV's group columns
+    * (injectively): bare groups match a plan attribute by name (over
+    * this relation), grains match by semantic equality with the
+    * analyzed transform. Returns the (planExpr, mvGroup) substitution
+    * pairs in plan order PLUS the MV groups left unmatched — empty for
+    * an exact (bijective) match, non-empty when the query groups
+    * COARSER than the MV and the read must re-aggregate (ROLLUP
+    * subsumption: sound because the MV's groups partition the source's
+    * rows, so re-aggregating MV rows aggregates exactly the source's).
+    * None when any query grouping expression has no MV counterpart. */
   private def matchGroups(planGs: Seq[Expression], groups: Seq[MvGroup],
-      out: Seq[Attribute]): Option[Seq[(Expression, MvGroup)]] = {
-    if (planGs.size != groups.size) return None
+      out: Seq[Attribute])
+    : Option[(Seq[(Expression, MvGroup)], Seq[MvGroup])] = {
+    if (planGs.size > groups.size) return None
     val outIds = out.map(_.exprId).toSet
     val remaining = scala.collection.mutable.ArrayBuffer(groups: _*)
     val pairs = planGs.map { pg =>
@@ -229,7 +322,8 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         case None => None
       }
     }
-    if (pairs.forall(_.isDefined)) Some(pairs.flatten) else None
+    if (pairs.forall(_.isDefined)) Some((pairs.flatten, remaining.toSeq))
+    else None
   }
 
   /** The MV alias serving one aggregate function call, if maintained
@@ -251,24 +345,86 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** The RE-AGGREGATION expression serving one query aggregate from
+    * the MV's stored columns when the query groups COARSER than the MV
+    * (rollup subsumption). Every maintained kind re-aggregates
+    * exactly:
+    *  - count(*) → coalesce(sum(n), 0) — the coalesce is load-bearing
+    *    for the GLOBAL (no GROUP BY) rollup over an empty MV, where
+    *    SQL's count is 0 but sum is NULL;
+    *  - sum(c)   → sum(sv): stored sv is NULL iff its group had zero
+    *    non-null inputs, and SUM skips NULLs, so the rollup is NULL
+    *    exactly when every input was NULL — SQL's rule;
+    *  - min/max  → min(mn) / max(mx) (NULL-skipping composes);
+    *  - avg(c)   → sum(hidden s) / sum(hidden nn) from the exact pair
+    *    (NEVER avg-of-avgs — unweighted rollup of quotients is the
+    *    classic wrong answer this refuses by construction).
+    * None when the aggregate isn't maintained or a data type differs. */
+  private def rollupExpr(fn: org.apache.spark.sql.catalyst.expressions
+      .aggregate.AggregateFunction, aggs: Seq[MvAgg],
+      byName: Map[String, Attribute]): Option[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{Coalesce, Divide, GreaterThan, If}
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val found: Option[MvAgg] = fn match {
+      case Count(Seq(Literal(1, _))) => aggs.find(_.kind == "count")
+      case Sum(c: AttributeReference, _) =>
+        aggs.find(a => a.kind == "sum" && a.col == c.name)
+      case Min(c: AttributeReference) =>
+        aggs.find(a => a.kind == "min" && a.col == c.name)
+      case Max(c: AttributeReference) =>
+        aggs.find(a => a.kind == "max" && a.col == c.name)
+      case Average(c: AttributeReference, _) =>
+        aggs.find(a => a.kind == "avg" && a.col == c.name)
+      case _ => None
+    }
+    found.flatMap { a =>
+      a.kind match {
+        case "count" => byName.get(a.alias).map(x =>
+          Coalesce(Seq(Sum(x).toAggregateExpression(), Literal(0L))))
+        case "sum" => byName.get(a.alias)
+          .map(x => Sum(x).toAggregateExpression())
+        case "min" => byName.get(a.alias)
+          .map(x => Min(x).toAggregateExpression())
+        case "max" => byName.get(a.alias)
+          .map(x => Max(x).toAggregateExpression())
+        case "avg" => for {
+          s <- byName.get(sOfAlias(a.alias))
+          n <- byName.get(nnOfAlias(a.alias))
+        } yield {
+          val sumN = Coalesce(Seq(Sum(n).toAggregateExpression(),
+            Literal(0L)))
+          If(GreaterThan(sumN, Literal(0L)),
+            Divide(Cast(Sum(s).toAggregateExpression(), DoubleType),
+              Cast(sumN, DoubleType)),
+            Literal(null, DoubleType))
+        }
+        case _ => None
+      }
+    }
+  }
+
+  private def sOfAlias(a: String) = GraftMv.sOf(a)
+  private def nnOfAlias(a: String) = GraftMv.nnOf(a)
+
   /** Rewrite one output expression of the Aggregate onto the MV's
     * columns: every [[AggregateExpression]] in the tree substitutes
-    * with its served MV attribute (same data type required — a swap
-    * that widened or narrowed would corrupt downstream arithmetic),
-    * each matched grouping expression substitutes with its MV group
-    * column, and any scalar expression AROUND them (round,
-    * arithmetic, casts) rides along unchanged — `round(avg(v), 4)`
-    * serves from the MV's avg. None if any aggregate in the tree is
-    * not maintained. */
+    * through `sub` — the served MV attribute for an exact grouping
+    * match, the [[rollupExpr]] re-aggregation for a coarser one; a
+    * same data type is required in both (a swap that widened or
+    * narrowed would corrupt downstream arithmetic) — each matched
+    * grouping expression substitutes with its MV group column, and any
+    * scalar expression AROUND them (round, arithmetic, casts) rides
+    * along unchanged — `round(avg(v), 4)` serves from the MV's avg.
+    * None if any aggregate in the tree is not maintained. */
   private def rewriteOutput(e: NamedExpression,
-      groupSub: Seq[(Expression, MvGroup)], aggs: Seq[MvAgg],
-      byName: Map[String, Attribute]): Option[Expression] = {
+      groupSub: Seq[(Expression, MvGroup)],
+      byName: Map[String, Attribute],
+      sub: AggregateExpression => Option[Expression]): Option[Expression] = {
     var ok = true
     val t = e.transformUp {
-      case ae @ AggregateExpression(fn, _, false, None, _) =>
-        servedAlias(fn, aggs).flatMap(byName.get)
-          .filter(_.dataType == ae.dataType) match {
-          case Some(attr) => attr
+      case ae @ AggregateExpression(_, _, false, None, _) =>
+        sub(ae).filter(_.dataType == ae.dataType) match {
+          case Some(served) => served
           case None => ok = false; ae
         }
       case x if groupSub.exists(p => p._1.semanticEquals(x) ||
@@ -280,7 +436,14 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           case _ => ok = false; x
         }
     }
-    if (ok) Some(t) else None
+    // every reference of the rewritten tree must be an MV column: an
+    // aggregate shape the substitution case does NOT cover — DISTINCT,
+    // FILTER (WHERE …) clauses, anything future — would otherwise ride
+    // through with dangling SOURCE references and break (or corrupt)
+    // the substituted plan instead of refusing the rewrite
+    val mvIds = byName.values.map(_.exprId).toSet
+    if (ok && t.references.forall(r => mvIds.contains(r.exprId))) Some(t)
+    else None
   }
 
   /** Literal coerced to `dt` at plan time — how the analyzer's type
@@ -363,8 +526,9 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     *  - every remaining plan conjunct must reference only bare group
     *    columns → residual. Anything else refuses. */
   private def filterResidual(mvFilter: Option[String],
-      cond: Option[Expression], out: Seq[Attribute],
-      bareGroupIds: Set[ExprId]): Option[Seq[Expression]] = {
+      planCs: Seq[Expression], out: Seq[Attribute],
+      bareGroupIds: Set[ExprId],
+      joinKeyIds: Set[ExprId]): Option[Seq[Expression]] = {
     val mvCs: Seq[Expression] = mvFilter match {
       case None => Seq.empty
       case Some(txt) => resolvedMvFilter(txt, out) match {
@@ -372,7 +536,6 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         case None => return None
       }
     }
-    val planCs = cond.map(conjuncts).getOrElse(Seq.empty)
     // every MV conjunct must appear in the plan (else the query asks
     // for MORE rows than the MV aggregated)
     if (!mvCs.forall(m => planCs.exists(_.semanticEquals(m)))) return None
@@ -381,14 +544,21 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     val leftovers = planCs.filterNot(p => mvCs.exists(_.semanticEquals(p)))
       .filterNot {
         // inferred isnotnull absolved by a null-intolerant MV conjunct
+        // — or by INNER-equi-join membership (the join itself discards
+        // NULL keys, so the MV aggregated exactly the non-null rows)
         case org.apache.spark.sql.catalyst.expressions
-          .IsNotNull(a: AttributeReference) => mvStrictIds.contains(a.exprId)
+          .IsNotNull(a: AttributeReference) =>
+          mvStrictIds.contains(a.exprId) || joinKeyIds.contains(a.exprId)
         case _ => false
       }
-    // residual admissibility: bare group columns only (group-column
-    // predicates commute with GROUP BY; anything touching aggregated
-    // columns or grain INPUTS does not)
+    // residual admissibility: DETERMINISTIC predicates over bare group
+    // columns only (group-column predicates commute with GROUP BY;
+    // anything touching aggregated columns or grain INPUTS does not,
+    // and a nondeterministic predicate — `g > rand()` — commutes with
+    // nothing: filtering the MV's one-row-per-group output samples a
+    // different population than filtering the source's rows)
     if (leftovers.forall(l =>
+        l.deterministic &&
         l.references.nonEmpty &&
         l.references.forall(r => bareGroupIds.contains(r.exprId))))
       Some(leftovers)
@@ -427,9 +597,10 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case other => (None, Map.empty, other)
     }
     plan.transformUp {
+      // groupingExprs0 may be EMPTY: a global aggregate (SELECT
+      // count(*) FROM t) rolls up from ANY fresh MV over the table
       case agg @ Aggregate(groupingExprs0, aggExprs0, child0, _)
-          if groupingExprs0.nonEmpty &&
-            rootOf(peel(child0)._3).isDefined =>
+          if flattenStar(peel(child0)._3).isDefined =>
         val (cond0, aliasMap, rel) = peel(child0)
         def inline(e: Expression): Expression = e.transformUp {
           case a: AttributeReference if aliasMap.contains(a.exprId) =>
@@ -442,32 +613,57 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         }
         val groupingExprs = groupingExprs0.map(inline)
         val aggExprs = aggExprs0.map(inlineNamed)
-        val cond = cond0.map(inline)
-        val (srcRoot, scanV) = rootOf(rel).get
-        val relByName = rel.output.map(a => a.name -> a).toMap
+        val (leaves, equiPairs, innerConds) = flattenStar(rel).get
+        // plan-side filter conjuncts: peeled (above the relation,
+        // alias-inlined) plus any sitting INSIDE the join tree
+        val planCs = cond0.map(inline).toSeq.flatMap(conjuncts) ++
+          innerConds
+        // every leaf attribute, resolvable by UNIQUE name only — an
+        // ambiguous name across fact/dims refuses conservatively
+        val allOut: Seq[Attribute] = leaves.flatMap(_._3)
+        val relByName: Map[String, Attribute] =
+          allOut.groupBy(_.name).collect {
+            case (n, as) if as.size == 1 => n -> as.head
+          }.toMap
         val candidate = views.iterator.flatMap { mvRoot =>
           memoDef(mvRoot) match {
-            case Some(facts)
-                if facts.source == srcRoot && facts.lastV >= 0 &&
-                  // the scan's PINNED snapshot must be the exact
-                  // version the MV is refreshed to (a versionAsOf
-                  // historical read must never serve from a
-                  // head-fresh MV), and that version must be the
-                  // source's current head
-                  scanV == facts.lastV &&
-                  facts.lastV == memoHead(facts.source) =>
+            case Some(facts) if facts.lastV >= 0 =>
+              // the relation must BE the MV's star (fact + each dim,
+              // joined fk→dimKey), every scan PINNED at the exact
+              // version its cursor is refreshed to (a versionAsOf
+              // historical read must never serve from a head-fresh
+              // MV), and every cursor at its table's current head
+              matchStarShape(facts, leaves, equiPairs) match {
+                case Some((factV, dimVs, joinKeyIds))
+                    if factV == facts.lastV &&
+                      facts.lastV == memoHead(facts.source) &&
+                      facts.joins.zip(dimVs).forall { case (j, v) =>
+                        v == j.lastV && j.lastV == memoHead(j.dim) } =>
               val bareGroupIds = facts.groups.filter(_.isBare)
                 .flatMap(g => relByName.get(g.alias)).map(_.exprId).toSet
-              (matchGroups(groupingExprs, facts.groups, rel.output),
-                filterResidual(facts.filter, cond, rel.output,
-                  bareGroupIds)) match {
-                case (Some(groupSub), Some(residual)) =>
-                  val mvPlan = GraftMv.read(session, mvRoot)
-                    .queryExecution.analyzed
+              (matchGroups(groupingExprs, facts.groups, allOut),
+                filterResidual(facts.filter, planCs, allOut,
+                  bareGroupIds, joinKeyIds)) match {
+                case (Some((groupSub, rolledUp)), Some(residual)) =>
+                  // EXACT (bijective) match serves the stored rows by
+                  // projection; a COARSER grouping set re-aggregates
+                  // the raw rows (which carry avg's hidden exact pair)
+                  val exact = rolledUp.isEmpty
+                  val mvPlan =
+                    (if (exact) GraftMv.read(session, mvRoot)
+                     else GraftMv.readRaw(session, mvRoot))
+                      .queryExecution.analyzed
                   val byName = mvPlan.output.map(a => a.name -> a).toMap
+                  val sub: AggregateExpression => Option[Expression] =
+                    if (exact)
+                      ae => servedAlias(ae.aggregateFunction, facts.aggs)
+                        .flatMap(byName.get)
+                    else
+                      ae => rollupExpr(ae.aggregateFunction, facts.aggs,
+                        byName)
                   // every output must rewrite onto the MV's columns
                   val mapped = aggExprs.map(e =>
-                    rewriteOutput(e, groupSub, facts.aggs, byName))
+                    rewriteOutput(e, groupSub, byName, sub))
                   // the residual re-binds onto the MV's group columns
                   // (same names, the MV's exprIds)
                   var resOk = true
@@ -478,16 +674,29 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
                         case _ => resOk = false; a
                       }
                   })
-                  if (mapped.forall(_.isDefined) && resOk)
-                    Some((mvPlan, mapped, boundResidual))
+                  // rollup grouping columns: the KEPT MV groups
+                  val keepAttrs = groupSub.map { case (pg, g) =>
+                    byName.get(g.alias).filter(_.dataType == pg.dataType)
+                  }
+                  if (mapped.forall(_.isDefined) && resOk &&
+                      (exact || keepAttrs.forall(_.isDefined)))
+                    Some((mvPlan, mapped, boundResidual,
+                      if (exact) None else Some(keepAttrs.flatten)))
                   else None
+                case _ => None
+              }
                 case _ => None
               }
             case _ => None
           }
         }.take(1).toSeq.headOption
         candidate match {
-          case Some((mvPlan, mapped, boundResidual)) =>
+          case Some((mvPlan, mapped, boundResidual, rollupKeep)) =>
+            // the residual post-filters the MV's STORED rows — for a
+            // rollup it must sit BELOW the re-aggregation (filtering a
+            // rolled-up dimension, e.g. MV (cust, day) serving
+            // `WHERE day-slice GROUP BY cust`, is only sound against
+            // the partitioned rows, not the coarsened output)
             val base =
               if (boundResidual.isEmpty) mvPlan
               else Filter(boundResidual.reduce(
@@ -495,12 +704,21 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
                 mvPlan)
             // re-alias under the Aggregate's exprIds so downstream
             // references stay resolved
-            Project(agg.output.zip(mapped).map { case (out, Some(t)) =>
+            val outExprs = agg.output.zip(mapped).map { case (out, Some(t)) =>
               t match {
                 case ne: NamedExpression if ne.exprId == out.exprId => ne
                 case other => Alias(other, out.name)(exprId = out.exprId)
               }
-            }, base)
+            }
+            rollupKeep match {
+              case None => Project(outExprs, base)
+              case Some(keep) =>
+                // re-aggregate the (group-partitioned) MV rows at the
+                // query's coarser grain — agg.copy keeps every other
+                // Aggregate field as the analyzer left it
+                agg.copy(groupingExpressions = keep,
+                  aggregateExpressions = outExprs, child = base)
+            }
           case None => agg
         }
     }

@@ -570,6 +570,85 @@ object GraftScanBuilder {
     filters.flatMap(keyBound(_, key)).reduceOption { (a, b) =>
       (math.max(a._1, b._1), math.min(a._2, b._2))
     }
+
+  /** Comparand → the leaf-column LEDGER's long domain for one ledgered
+    * data type (integral value, date epoch-day, timestamp epoch-micros
+    * — exactly what the write pass records). None for unledgered
+    * types. */
+  private[sources] def ledgerConv(dt: org.apache.spark.sql.types.DataType)
+    : Option[Any => Option[Long]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => Some({
+        case n: Long => Some(n)
+        case n: Int => Some(n.toLong)
+        case n: Short => Some(n.toLong)
+        case n: Byte => Some(n.toLong)
+        case _ => None
+      })
+      case DateType => Some({
+        case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+        case d: java.time.LocalDate => Some(d.toEpochDay)
+        case _ => None
+      })
+      case TimestampType => Some({
+        case t: java.sql.Timestamp =>
+          Some(java.lang.Math.floorDiv(t.getTime, 1000L) * 1000000L +
+            t.getNanos.toLong / 1000L)
+        case t: java.time.Instant =>
+          Some(t.getEpochSecond * 1000000L + t.getNano.toLong / 1000L)
+        case _ => None
+      })
+      case _ => None
+    }
+  }
+
+  /** [[keyBound]] for an arbitrary ledgered column: the (lo, hi)
+    * contribution of one Filter in the ledger's long domain. */
+  private[sources] def colBound(f: Filter, c: String,
+      conv: Any => Option[Long]): Option[(Long, Long)] = f match {
+    case EqualTo(`c`, v) => conv(v).map(n => (n, n))
+    case GreaterThan(`c`, v) if conv(v).exists(_ < Long.MaxValue) =>
+      conv(v).map(n => (n + 1, Long.MaxValue))
+    case GreaterThanOrEqual(`c`, v) => conv(v).map(n => (n, Long.MaxValue))
+    case LessThan(`c`, v) if conv(v).exists(_ > Long.MinValue) =>
+      conv(v).map(n => (Long.MinValue, n - 1))
+    case LessThanOrEqual(`c`, v) => conv(v).map(n => (Long.MinValue, n))
+    case In(`c`, vs) if vs.nonEmpty =>
+      val ns = vs.map(conv)
+      if (ns.exists(_.isEmpty)) None
+      else Some((ns.flatten.min, ns.flatten.max))
+    case And(l, r) =>
+      (colBound(l, c, conv), colBound(r, c, conv)) match {
+        case (Some((a1, b1)), Some((a2, b2))) =>
+          Some((math.max(a1, a2), math.min(b1, b2)))
+        case (one, other) => one.orElse(other)
+      }
+    case _ => None
+  }
+
+  /** Per-column [lo, hi] intervals mined from the pushed (conjunctive)
+    * predicates, for every LEDGERED non-key column — what feeds the
+    * `#minmax` file-skipping axis. */
+  private[sources] def colRanges(filters: Array[Filter],
+      schema: StructType, key: Option[String]): Map[String, (Long, Long)] =
+    schema.fields.filter(f => !key.contains(f.name)).flatMap { f =>
+      ledgerConv(f.dataType).flatMap { conv =>
+        filters.flatMap(colBound(_, f.name, conv))
+          .reduceOption { (a, b) =>
+            (math.max(a._1, b._1), math.min(a._2, b._2))
+          }.map(f.name -> _)
+      }
+    }.toMap
+
+  /** Top-level IS NULL / IS NOT NULL conjunct columns (non-key) — the
+    * `#nulls` ledger can skip files for both. */
+  private[sources] def nullPrunes(filters: Array[Filter],
+      schema: StructType, key: Option[String]): (Set[String], Set[String]) = {
+    val cols = schema.fieldNames.toSet -- key
+    (filters.collect { case IsNull(c) if cols(c) => c }.toSet,
+      filters.collect { case IsNotNull(c) if cols(c) => c }.toSet)
+  }
 }
 
 /** A [[org.apache.spark.sql.execution.datasources
@@ -987,13 +1066,22 @@ class GraftBatchScan(val root: String, val version: Int,
           Some(r.toSet.intersect(p.toSet).toArray.sorted)
         case (r, p) => r.orElse(p)
       }
+      // SECONDARY-COLUMN static skipping (round 17): every ledgered
+      // non-key column's predicate interval + IS (NOT) NULL conjuncts
+      // prune against the per-file #minmax/#nulls ledgers
+      val spark = SparkSession.active
+      val schema = GraftTable.tableSchema(spark, root, version)
+      val keyOpt = GraftTable.keyColumn(spark, root)
+      val colRanges = GraftScanBuilder.colRanges(filters, schema, keyOpt)
+      val (isNullC, isNotNullC) =
+        GraftScanBuilder.nullPrunes(filters, schema, keyOpt)
       prunedFilesCache =
         // an EMPTY intersection proves no file is needed (an empty
         // keyValues array would read as "no pruning" downstream)
         if (statKeys.exists(_.isEmpty)) Seq.empty
         else GraftTable.snapshotFilesWithDvs(
-          SparkSession.active, root, version, keyRange, statKeys,
-          runtimePvals, branch)
+          spark, root, version, keyRange, statKeys,
+          runtimePvals, branch, colRanges, isNullC, isNotNullC)
       if (runtimeKeys.isDefined || runtimePvals.isDefined)
         runtimePrunedTo = prunedFilesCache.size
     }

@@ -273,6 +273,18 @@ object GraftTable {
       root: String, v: Int): Option[String] =
     sidecarTokenOf(f, manifestPath(root, v))
 
+  /** The `#note` marker of `v`'s manifest, if present and if the
+    * manifest exists — the commit-identity probe refresh protocols key
+    * on (bounded header read, no body parse). */
+  private[sources] def manifestNote(spark: SparkSession, root: String,
+      v: Int): Option[String] = {
+    val (f, _) = fs(root, spark)
+    val p = manifestPath(root, v)
+    if (!f.exists(p)) None
+    else readHead(f, p, 512).linesIterator
+      .find(_.startsWith("#note\t")).map(_.split('\t')(1))
+  }
+
   /** Publish `version`'s manifest — the commit point of every write
     * path — together with its sidecars (versioned schema / colstats /
     * NDV digests / partition spec), staged here under ATTEMPT-UNIQUE
@@ -296,7 +308,10 @@ object GraftTable {
       txn: Option[TxnRef] = None,
       beforePublish: () => Unit = () => (),
       eqdels: Option[Seq[EqDel]] = None,
-      layoutJson: Option[String] = None): Unit = {
+      layoutJson: Option[String] = None,
+      note: Option[String] = None): Unit = {
+    require(note.forall(n => !n.exists(c => c == '\t' || c == '\n') &&
+      n.length <= 120), "manifest note must be one short tab-free line")
     val tok = newToken()
     val staged = scala.collection.mutable.ListBuffer[org.apache.hadoop.fs.Path]()
     def stage(p: org.apache.hadoop.fs.Path, content: String): Unit = {
@@ -342,7 +357,12 @@ object GraftTable {
         .mkString
       // eqdel lines go LAST: #sidecar/#txn are resolved via bounded
       // readHead probes and must stay within the first bytes
+      // `#note` is a free-form single-line marker readers skip like
+      // any # line; writers use it to RECOGNIZE their own commit after
+      // losing a version race (the MV refresh window id) — kept short
+      // so the bounded readHead probes (#sidecar/#txn) stay in window
       val header = s"#commit-ts\t$instant\n#sidecar\t$tok\n" +
+        note.map(n => s"#note\t$n\n").getOrElse("") +
         txn.map(t => s"#txn\t${t.id}\t${t.dir}\n").getOrElse("") + eqLines
       writeAtomic(f, manifestPath(root, v), header + renderManifest(entries))
       commitEpoch.incrementAndGet()
@@ -1016,9 +1036,9 @@ object GraftTable {
       transform: PartitionTransform): Int = {
     val base = latestVersion(spark, root)
     require(base >= 0, s"no graft table at $root")
-    require(hashLayout(spark, root).isEmpty,
-      "partition transform and hash layout are mutually exclusive " +
-        "(both dictate file placement)")
+    // a hash-layout table may ADOPT a transform (and vice versa): the
+    // composed layout keeps files mono-bucket while splitting each
+    // bucket along the transform value (Iceberg's multi-field spec)
     require(tableSchema(spark, root, base).fieldNames
         .contains(transformColumn(transform)),
       s"partition column '${transformColumn(transform)}' is not in the " +
@@ -1160,7 +1180,7 @@ object GraftTable {
     * outside the bucketed naming (never written by a hash-layout
     * table, but treated as "always keep / never partition-report" for
     * defense in depth). */
-  private[sources] def fileBucket(relOrAbs: String): Option[Int] = {
+  private[graft] def fileBucket(relOrAbs: String): Option[Int] = {
     val i = relOrAbs.lastIndexOf('/')
     if (i <= 0) None
     else {
@@ -1317,8 +1337,6 @@ object GraftTable {
       "Z-ORDER and hash layout are mutually exclusive: both dictate " +
         "file placement (hash layout trades range locality for " +
         "shuffle-free storage-partitioned joins)")
-    require(spec.isEmpty || hashN.isEmpty,
-      "partition transform and hash layout are mutually exclusive")
     val arranged = (zorderBy, spec) match {
       // Z-ORDER layout: range-partition AND sort within files by the
       // interleaved curve value instead of the key — multi-column
@@ -1328,6 +1346,31 @@ object GraftTable {
         .repartitionByRange(math.max(1, nBuckets), col("__zorder"))
         .sortWithinPartitions("__zorder")
         .drop("__zorder")
+      // COMPOSED partition transform ⊕ hash layout (round 17, the
+      // Iceberg `[days(ts), bucket(n, key)]` spec): the bucket column
+      // still drives the directory fan-out (every FILE stays
+      // mono-bucket — the SPJ contract is untouched), while the
+      // transform value co-drives the shuffle and leads the
+      // within-bucket sort, so each bucket splits into files covering
+      // NARROW transform ranges. A 100 TB fact gets zero-shuffle
+      // key joins AND one-day's-files time pruning from one layout.
+      case (None, Some(p)) if hashN.isDefined =>
+        // RANGE-partition on (bucket, pval) so each writer task holds
+        // CONTIGUOUS transform slices of one-or-few buckets — a hash
+        // shuffle here would scatter days across files and void the
+        // pruning axis. The range count runs ABOVE the bucket count
+        // (×8, bounded by the write's own parallelism target) so every
+        // bucket splits into transform-contiguous files with narrow
+        // recorded pval ranges; empty ranges cost nothing.
+        df.withColumn("__pval", p.valueCol)
+          .withColumn("__bucket",
+            pmod(xxhash64(
+              if (hashKey) col(key) else col(key).cast("long")),
+              lit(hashN.get)).cast("int"))
+          .repartitionByRange(math.max(1, nBuckets) * 8,
+            col("__bucket"), col("__pval"))
+          .sortWithinPartitions(col("__bucket"), col("__pval"), col(key))
+          .drop("__pval")
       // partitioned layout: transform value leads, key breaks ties —
       // files cover narrow value ranges (one day's read opens one
       // day's files) while staying key-ordered within a value
@@ -1485,6 +1528,29 @@ object GraftTable {
            org.apache.spark.sql.types.TimestampType => true
       case _ => false
     }).map(_.name).toSeq
+    // EVERY orderable leaf column ledgers its per-file [min, max] (the
+    // Delta default, round 17): integral, date (epoch days), timestamp
+    // (epoch micros) — a long-comparable value both the write pass and
+    // the scan's predicate conversion compute identically. The key is
+    // excluded (its interval IS the manifest line). A predicate on ANY
+    // such column then file-skips at any table size instead of opening
+    // every file; NULLs are skipped by min/max exactly like the SQL
+    // aggregates (an all-NULL file writes no line → never skipped).
+    val mmCols: Seq[(String, org.apache.spark.sql.Column)] =
+      df.schema.fields.filter(_.name != key).flatMap { f =>
+        f.dataType match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.ByteType =>
+            Some(f.name -> col(f.name).cast("long"))
+          case org.apache.spark.sql.types.DateType =>
+            Some(f.name -> unix_date(col(f.name)).cast("long"))
+          case org.apache.spark.sql.types.TimestampType =>
+            Some(f.name -> unix_micros(col(f.name)))
+          case _ => None
+        }
+      }.toSeq
     val statRows =
       if (written.isEmpty) Array.empty[org.apache.spark.sql.Row]
       else {
@@ -1502,7 +1568,10 @@ object GraftTable {
           } ++
           kmvCols.map(c => graft.functions.Kmv.kmvDigests(
             when(col(c).isNotNull,
-              lpad(hex(xxhash64(col(c))), 16, "0")), KmvK).as(s"__kmv_$c"))
+              lpad(hex(xxhash64(col(c))), 16, "0")), KmvK).as(s"__kmv_$c")) ++
+          mmCols.flatMap { case (c, v) =>
+            Seq(min(v).as(s"__mm_mn_$c"), max(v).as(s"__mm_mx_$c"))
+          }
         written.groupBy(input_file_name().as("file"))
           .agg(aggExprs.head, aggExprs.tail: _*)
           .collect()
@@ -1590,7 +1659,20 @@ object GraftTable {
         s"$relP\t#kmv.${physOf(c)}\t${ds.mkString(",")}"
       }
     }.toSeq.sorted
-    val statLines = (pLines ++ nullLines).sorted
+    // per-file [min, max] of every ledgered leaf column → colstats
+    // sidecar (same token-staged commit as the null/sum lines)
+    val mmBase = 4 + dataCols.size + intCols.size + constraintList.size +
+      kmvCols.size
+    val mmLines = statRows.flatMap { r =>
+      val relP = relOf(r.getString(0))
+      mmCols.zipWithIndex.flatMap { case ((c, _), j) =>
+        val i = mmBase + 2 * j
+        if (r.isNullAt(i) || r.isNullAt(i + 1)) None // all-NULL file
+        else Some(
+          s"$relP\t#minmax.${physOf(c)}\t${r.getLong(i)}\t${r.getLong(i + 1)}")
+      }
+    }.toSeq
+    val statLines = (pLines ++ nullLines ++ mmLines).sorted
     // sidecars are NOT staged here: the caller hands the lines to
     // [[commitManifest]], which stages them under its attempt-unique
     // token — data files are immutable, so stat lines are valid at ANY
@@ -1766,9 +1848,6 @@ object GraftTable {
       // and the scan's reported partitioning relies on — declared once,
       // immutable (changing n would need a full rewrite: that's what
       // creating a new table and INSERT-selecting into it is for)
-      require(partitioning.isEmpty,
-        "hash layout and a partition transform are mutually exclusive " +
-          "(both dictate file placement)")
       val kt = df.schema.fields.find(_.name == key).map(_.dataType)
       require(kt.exists {
         case org.apache.spark.sql.types.LongType |
@@ -1983,7 +2062,16 @@ object GraftTable {
       root: String, version: Int, keyRange: Option[(Long, Long)] = None,
       keyValues: Option[Array[Long]] = None,
       pvalValues: Option[Array[Long]] = None,
-      branch: Option[String] = None)
+      branch: Option[String] = None,
+      // SECONDARY-COLUMN skipping (round 17): logical column →
+      // inclusive [lo, hi] interval mined from the pushed predicates,
+      // tested against the per-file `#minmax.<col>` ledger; plus
+      // IS NULL / IS NOT NULL pruning via the `#nulls.<col>` ledger.
+      // Files without a recorded line are always kept (pre-ledger
+      // survivors prune less, never wrongly).
+      colRanges: Map[String, (Long, Long)] = Map.empty,
+      isNullCols: Set[String] = Set.empty,
+      isNotNullCols: Set[String] = Set.empty)
     : Seq[(org.apache.hadoop.fs.FileStatus, String, Long)] = {
     // a branch-ref scan reads the BRANCH head's file set; `version`
     // stays the branch base (the schema/partition-spec era)
@@ -2043,7 +2131,7 @@ object GraftTable {
     // transform's value in the colstats sidecar — a join on a time
     // dimension opens one day's files of a 100 TB fact. Files with no
     // recorded range (written before the transform) are always kept.
-    val entries = pvalValues match {
+    val pvaled = pvalValues match {
       case Some(vs) if vs.nonEmpty =>
         partitionSpec(spark, root, version) match {
           case Some(t) =>
@@ -2062,6 +2150,43 @@ object GraftTable {
         }
       case _ => keyed
     }
+    // STATIC secondary-column skipping against the leaf-column ledger:
+    // a file survives only if, for EVERY mined interval, its recorded
+    // [min, max] intersects it (NULL rows can't match a comparison
+    // predicate, so min/max over non-null values decides soundly) —
+    // and, for IS NULL / IS NOT NULL conjuncts, its null ledger admits
+    // a matching row. DV'd files' stats are physical SUPERSETS of live
+    // content: an empty physical intersection implies an empty live
+    // one, so pruning stays sound under merge-on-read.
+    val entries =
+      if (colRanges.isEmpty && isNullCols.isEmpty && isNotNullCols.isEmpty)
+        pvaled
+      else {
+        val stats = loadColStats(spark, root, version,
+          pvaled.map(_.relPath).toSet)
+        def phys(c: String) = toPhys(spark, root, version, c)
+        val rangesPhys = colRanges.map { case (c, r) => phys(c) -> r }
+        val nullPhys = isNullCols.map(phys)
+        val notNullPhys = isNotNullCols.map(phys)
+        pvaled.filter { e =>
+          rangesPhys.forall { case (c, (lo, hi)) =>
+            stats.get((e.relPath, s"#minmax.$c")) match {
+              case Some((mn, mx)) => mx >= lo && mn <= hi
+              case None => true // no recorded range: never skip
+            }
+          } &&
+          nullPhys.forall(c =>
+            stats.get((e.relPath, s"#nulls.$c")) match {
+              case Some((n, _)) => n > 0 // zero nulls: IS NULL matches none
+              case None => true
+            }) &&
+          notNullPhys.forall(c =>
+            stats.get((e.relPath, s"#nulls.$c")) match {
+              case Some((n, _)) => n < e.nRows // all-NULL file: none match
+              case None => true
+            })
+        }
+      }
     val (f, _) = fs(root, spark)
     entries.map { e =>
       val p = f.makeQualified(
@@ -2639,10 +2764,37 @@ object GraftTable {
     sys.error("unreachable")
   }
 
+  /** [[applyCdcBatch]] PINNED at exactly `pinVersion` with a `#note`
+    * commit marker — single attempt, NO retry: if any commit (racer
+    * replay, compaction, anything) takes the pinned slot first, this
+    * throws [[ConcurrentCommitException]] without applying. The pin +
+    * note pair is what makes a DETERMINISTIC replay protocol (the MV
+    * refresh) exactly-once under concurrency: a batch only ever lands
+    * at the version its inputs were computed against, and a loser can
+    * tell from the slot's note whether its twin applied the same
+    * window (success) or a foreign commit stole the slot (recompute
+    * and re-pin). */
+  private[sources] def applyCdcBatchAt(spark: SparkSession, root: String,
+      batch0: DataFrame, key: String, opCol: String, nBuckets: Int,
+      pinVersion: Int, note: String): (Int, Int, Int) = {
+    val batch = autoMergeAlign(spark, root, batch0, Seq(opCol))
+    applyCdcBatchOnce(spark, root, batch, key, opCol, nBuckets,
+      pin = Some(pinVersion), note = Some(note))
+  }
+
   private def applyCdcBatchOnce(spark: SparkSession, root: String,
       batch: DataFrame, key: String, opCol: String,
-      nBuckets: Int): (Int, Int, Int) = {
+      nBuckets: Int, pin: Option[Int] = None,
+      note: Option[String] = None): (Int, Int, Int) = {
     val base = latestVersion(spark, root)
+    // PINNED apply: the caller demands to commit EXACTLY `pin` — if
+    // anything landed since the pin was chosen, refuse before any work
+    // (the batch was computed against pre-pin state; the manifest
+    // rename below arbitrates the exact race for the pinned slot)
+    pin.foreach(pv => if (base + 1 != pv)
+      throw new ConcurrentCommitException(
+        s"pinned CDC apply at $root: version $pv no longer next " +
+          s"(head is $base)"))
     val entries = loadManifest(spark, root, base)
     val schema = tableSchema(spark, root, base)
     require(batch.columns.contains(opCol), s"batch must carry $opCol")
@@ -2676,7 +2828,7 @@ object GraftTable {
     if (mode != "cow")
       return applyCdcBatchMoR(spark, root, batch, key, opCol, nBuckets,
         schema, rewrite, carry, base,
-        if (mode == "dv") 1.0 else maxDirty)
+        if (mode == "dv") 1.0 else maxDirty, note)
     val current = readEntries(spark, root, schema, rewrite,
       pendingEqDels(spark, root, base))
     val cols = schema.fieldNames
@@ -2704,7 +2856,7 @@ object GraftTable {
       writeBuckets(spark, root, base, nBuckets, rewrite.size))
     val (f, _) = fs(root, spark)
     commitManifest(f, root, v, carry ++ w.entries,
-      statLines = w.statLines, kmvLines = w.kmvLines)
+      statLines = w.statLines, kmvLines = w.kmvLines, note = note)
     (v, rewrite.size, carry.size)
   }
 
@@ -2721,7 +2873,8 @@ object GraftTable {
   private def applyCdcBatchMoR(spark: SparkSession, root: String,
       batch: DataFrame, key: String, opCol: String, nBuckets: Int,
       schema: StructType, hit: Seq[FileEntry], carry: Seq[FileEntry],
-      base: Int, maxDirty: Double): (Int, Int, Int) = {
+      base: Int, maxDirty: Double,
+      note: Option[String] = None): (Int, Int, Int) = {
     val v = base + 1
     val (f, _) = fs(root, spark)
     def nameOf(e: FileEntry) =
@@ -2802,7 +2955,7 @@ object GraftTable {
         }
       commitManifest(f, root, v,
         carry ++ hitClean ++ dvUpdated ++ w.entries,
-        statLines = w.statLines, kmvLines = w.kmvLines)
+        statLines = w.statLines, kmvLines = w.kmvLines, note = note)
       (v, cow.size, carry.size + hitClean.size + dv.size)
     } finally j.unpersist()
   }
@@ -3160,6 +3313,25 @@ object GraftTable {
       keyValues = Some(keys.sorted.toArray)).size
   }
 
+  /** File count a scan would open under SECONDARY-COLUMN skipping
+    * (the round-17 leaf-stats ledger): per-column [lo, hi] intervals
+    * in the ledger's long domain (integral value / date epoch-day /
+    * timestamp epoch-micros), plus IS NULL / IS NOT NULL conjunct
+    * columns, plus an optional partition-transform value set —
+    * gate/test observability for the pruning axes. */
+  def prunedFileCountStats(spark: SparkSession, root: String,
+      colRanges: Map[String, (Long, Long)] = Map.empty,
+      isNullCols: Set[String] = Set.empty,
+      isNotNullCols: Set[String] = Set.empty,
+      pvals: Option[Seq[Long]] = None,
+      version: Option[Int] = None): Int = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    snapshotFilesWithDvs(spark, root, v,
+      pvalValues = pvals.map(_.sorted.toArray),
+      colRanges = colRanges, isNullCols = isNullCols,
+      isNotNullCols = isNotNullCols).size
+  }
+
   /** [[prunedFileCountKeys]] for ANY key type: probe values convert to
     * the ledger's stat domain ([[keyStatValue]] — raw longs for
     * integral keys, xxhash64 for hash-ledgered string keys) before the
@@ -3347,13 +3519,13 @@ object GraftTable {
       case _ => false
     }, s"hash layout needs an integral or string key column (got " +
       s"$key: ${kt.map(_.simpleString).getOrElse("missing")})")
-    require(partitionSpec(spark, root, base).isEmpty,
-      "partition transform and hash layout are mutually exclusive " +
-        "(both dictate file placement)")
     val entries = loadManifest(spark, root, base)
     val rows = readEntries(spark, root, schema, entries,
       pendingEqDels(spark, root, base))
     val v = base + 1
+    // an active partition transform composes: the rewrite re-lands
+    // every row mono-bucket AND transform-split (writeDataFiles'
+    // composed arrangement resolves the spec at this version)
     val w = writeDataFiles(spark, root, v, rows, key, nBuckets = n,
       layoutOverride = Some(Some(n)))
     val (f, _) = fs(root, spark)
@@ -3524,8 +3696,25 @@ object GraftTable {
     val restored = tableSchema(spark, root, toVersion)
     val head = tableSchema(spark, root, base)
     val wroteSchema = restored != head
+    // LAYOUT drift mirrors schema drift: if a bucket-count evolution
+    // (setHashBuckets) landed between toVersion and head, the restored
+    // entries are mono-bucket files of the OLD count — a head that kept
+    // resolving the NEW count would bucket-prune point probes to the
+    // wrong file ids (silently missing rows) and report a false
+    // outputPartitioning to storage-partitioned joins. Re-pin the
+    // restored era's count as this commit's layout sidecar.
+    val restoredLayout = hashLayout(spark, root, toVersion)
+    val headLayout = hashLayout(spark, root, base)
     commitManifest(f, root, v, entries,
-      schemaJson = if (wroteSchema) Some(restored.json) else None)
+      schemaJson = if (wroteSchema) Some(restored.json) else None,
+      // `none` expresses "restored era had NO hash layout" (layout was
+      // ADOPTED after toVersion): it masks both newer sidecars and the
+      // create-time fallback — hashLayout parses any non-`hash` payload
+      // as None, so the head neither bucket-prunes nor reports a
+      // partitioning over the unbucketed restored files
+      layoutJson = if (restoredLayout != headLayout)
+        Some(restoredLayout.map(n => s"hash\t$n").getOrElse("none"))
+      else None)
     v
   }
 
@@ -3897,12 +4086,18 @@ object GraftTable {
     val merged = t.join(b, col(s"t.$key") === col(s"b.$key"), "full_outer")
       .select(cols.map(c =>
         coalesce(col(s"b.$c"), col(s"t.$c")).as(c)): _*)
-    // version base+1 pins NAMING + column mapping + partition spec to
-    // the branch's frozen era; sidecar lines stay branch-local (the
-    // writeDataFiles contract leaves staging to the committer — here
-    // the branch manifest write below)
+    // version base+1 pins NAMING + column mapping to the branch's
+    // frozen era; the LAYOUT and PARTITION SPEC are pinned explicitly
+    // at `base` — resolving them at base+1 would pick up a rebucket /
+    // re-spec that landed as MAIN's first post-fork commit, making
+    // branch fresh files bucket mod-NEW while branch reads prune with
+    // the base era (silently missed rows on point lookups). Sidecar
+    // lines stay branch-local (the writeDataFiles contract leaves
+    // staging to the committer — here the branch manifest write below)
     val w = writeDataFiles(spark, root, base + 1, merged, key,
-      math.max(1, math.min(nBuckets, rewrite.size + 1)))
+      math.max(1, math.min(nBuckets, rewrite.size + 1)),
+      specOverride = Some(partitionSpec(spark, root, base)),
+      layoutOverride = Some(hashLayout(spark, root, base)))
     val bv = bvPrev + 1
     f.mkdirs(branchDir(root, name))
     // the branch commit follows the main-log token protocol: sidecars

@@ -134,4 +134,30 @@ class GraftLogStoreSpec extends SparkSpec {
         data.as[(Long, Long)].collect().toSeq.sorted)
     }
   }
+
+
+  test("a FAILED CAS materialization releases the claim: the path is " +
+      "not wedged for every later retry") {
+    val store = new InMemoryCasLogStore
+    val dir = Files.createTempDirectory("graft_cas_fail")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // a regular FILE where the parent dir should be makes create fail
+    val blocker = dir.resolve("sub")
+    java.nio.file.Files.write(blocker, "not a dir".getBytes)
+    val dest = new org.apache.hadoop.fs.Path(blocker.toString,
+      "v00001.manifest")
+    val f = dest.getFileSystem(hconf)
+    val e = intercept[Throwable](store.publish(f, dest, "x"))
+    assert(!e.isInstanceOf[GraftTable.ConcurrentCommitException],
+      s"an infrastructure failure is not a commit race: $e")
+    // unwedge the filesystem; the SAME store instance must now succeed
+    // (a kept claim would throw ConcurrentCommitException forever)
+    java.nio.file.Files.delete(blocker)
+    java.nio.file.Files.createDirectory(blocker)
+    store.publish(f, dest, "x")
+    assert(store.publishedCount === 1)
+    // and the published path now refuses like any other
+    intercept[GraftTable.ConcurrentCommitException](
+      store.publish(f, dest, "y"))
+  }
 }

@@ -1,0 +1,108 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** CONCURRENT MV refresh (round 17): the CAS-versioned cursor + the
+  * pinned, note-marked window apply make refresh exactly-once under
+  * races — twin refreshers replay the same deterministic window into
+  * the same pinned slot (one lands, the loser recognizes the note);
+  * a FOREIGN commit stealing the slot re-pins instead of losing or
+  * double-applying the delta. No leases, no clocks. */
+class GraftMvConcurrencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_mv_conc_spec").toString
+
+  private def src(n: Int) = spark.range(1, n + 1).select(
+    $"id".as("k"), ($"id" % 12).as("g"), ($"id" * 3).as("v"))
+
+  private def want(d: String): Seq[(Long, Long, Long)] =
+    GraftTable.read(spark, s"$d/src").groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+
+  private def got(d: String): Seq[(Long, Long, Long)] =
+    GraftMv.read(spark, s"$d/mv").select("g", "n", "sv")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+
+  test("four RACING refreshers: every window applies exactly once " +
+      "(a double-apply would double the counts), all callers succeed") {
+    val d = freshDir()
+    GraftTable.create(spark, s"$d/src", src(600), "k", nBuckets = 2)
+    GraftMv.create(spark, s"$d/mv", s"$d/src", "g",
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv")))
+    (1 to 3).foreach { round =>
+      // a few source commits per round: reprice, insert, delete
+      GraftTable.upsert(spark, s"$d/src",
+        src(600).filter($"k" % (11 + round) === 1)
+          .withColumn("v", lit(-round.toLong)), "k")
+      GraftTable.upsert(spark, s"$d/src",
+        src(600).filter($"k" % (17 + round) === 2)
+          .withColumn("k", $"k" + round * 100000L), "k")
+      GraftTable.deleteWhere(spark, s"$d/src",
+        $"k" % (19 + round) === 3 && $"k" < 600, "k")
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      (1 to 4).foreach { _ =>
+        pool.submit(new Runnable {
+          override def run(): Unit = try {
+            latch.await()
+            GraftMv.refresh(spark, s"$d/mv")
+            ()
+          } catch { case e: Throwable => errs.add(e) }
+        })
+      }
+      latch.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(120,
+        java.util.concurrent.TimeUnit.SECONDS))
+      assert(errs.isEmpty, s"round $round: ${errs.peek()}")
+      assert(got(d) === want(d), s"round $round content diverged")
+    }
+  }
+
+  test("a FOREIGN commit stealing the pinned slot: refresh re-pins " +
+      "and applies the window once — never 'applied' by mistake, " +
+      "never doubled") {
+    val d = freshDir()
+    GraftTable.create(spark, s"$d/src", src(400), "k", nBuckets = 2)
+    GraftMv.create(spark, s"$d/mv", s"$d/src", "g",
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv")))
+    GraftTable.upsert(spark, s"$d/src",
+      src(400).filter($"k" % 13 === 5).withColumn("v", lit(-77L)), "k")
+    // plant refresher A's intent (crashed after publishing it): the
+    // window [0 -> 1] expects the MV's next version
+    val mvHead = GraftTable.latestVersion(spark, s"$d/mv")
+    val log = new java.io.File(s"$d/mv/_log")
+    val vs = log.listFiles().map(_.getName)
+      .collect { case n if n.matches("mvdef-v\\d+\\.def") =>
+        n.stripPrefix("mvdef-v").stripSuffix(".def").toInt }.sorted
+    val cur = scala.io.Source.fromFile(
+      new java.io.File(log, f"mvdef-v${vs.last}%05d.def"))
+    val txt = try cur.mkString finally cur.close()
+    val next = f"mvdef-v${vs.last + 1}%05d.def"
+    java.nio.file.Files.writeString(new java.io.File(log, next).toPath,
+      txt + s"pending\t0\t1\t${mvHead + 1}\t\n")
+    new java.io.File(log, s".$next.crc").delete()
+    GraftTable.commitEpoch.incrementAndGet()
+    // a FOREIGN content-preserving commit takes the pinned slot
+    // (restore-to-head always commits a fresh manifest, no note)
+    GraftTable.restore(spark, s"$d/mv", mvHead)
+    assert(GraftTable.latestVersion(spark, s"$d/mv") === mvHead + 1)
+    assert(GraftTable.manifestNote(spark, s"$d/mv", mvHead + 1).isEmpty)
+    // refresh must see the stolen slot (no matching note), RE-PIN the
+    // window, and apply it exactly once
+    val (v, dirty) = GraftMv.refresh(spark, s"$d/mv")
+    assert(v === 1 && dirty > 0,
+      "the stolen slot must not read as 'applied'")
+    assert(got(d) === want(d))
+    // and the re-pinned apply carries the window's note
+    val head = GraftTable.latestVersion(spark, s"$d/mv")
+    assert(GraftTable.manifestNote(spark, s"$d/mv", head)
+      .exists(_.startsWith("mvwindow 0 1")))
+  }
+}

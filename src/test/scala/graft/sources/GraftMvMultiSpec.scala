@@ -86,7 +86,7 @@ class GraftMvMultiSpec extends SparkSpec {
     val d = freshDir()
     val data = src(300)
     GraftTable.create(spark, s"$d/src", data, "k", nBuckets = 2)
-    val cat = "gmvm" + math.abs(d.hashCode % 1000)
+    val cat = "gmvm" + TestIds.next()
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.base", d)
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv AS " +
@@ -117,7 +117,7 @@ class GraftMvMultiSpec extends SparkSpec {
     GraftMv.createGrouped(spark, s"$d/mv", s"$d/src",
       Seq(MvGroup("cust", "cust"), MvGroup("region", "region")),
       Seq(MvAgg("count", "", "n"), MvAgg("sum", "cents", "sv")))
-    val cat = "gmvr2" + math.abs(d.hashCode % 1000)
+    val cat = "gmvr2" + TestIds.next()
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.base", d)
     spark.conf.set("spark.graft.mv.rewrite.views", s"$d/mv")
@@ -130,10 +130,14 @@ class GraftMvMultiSpec extends SparkSpec {
         .agg(count(lit(1)).as("c"), sum("cents").as("s"))
         .orderBy("region", "cust").collect().toSeq
       assert(q.orderBy("region", "cust").collect().toSeq === want)
-      // grouping by a SUBSET must not serve (would double-count)
+      // grouping by a SUBSET serves by ROLLUP since round 17 — and
+      // counts roll up as sum(n), never double-counting
       val q2 = spark.sql(
         s"SELECT cust, count(*) AS c FROM $cat.src GROUP BY cust")
-      assert(q2.queryExecution.optimizedPlan.toString.contains(s"$cat.src"))
+      assert(q2.queryExecution.executedPlan.toString.contains(s"$d/mv"))
+      assert(q2.orderBy("cust").collect().toSeq ===
+        data.groupBy("cust").agg(count(lit(1)).as("c"))
+          .orderBy("cust").collect().toSeq)
     } finally spark.conf.unset("spark.graft.mv.rewrite.views")
   }
 
@@ -145,7 +149,7 @@ class GraftMvMultiSpec extends SparkSpec {
     GraftMv.createGrouped(spark, s"$d/mv", s"$d/src",
       Seq(MvGroup("cust", "cust"), MvGroup("day", "days(ts)")),
       Seq(MvAgg("count", "", "n"), MvAgg("sum", "cents", "sv")))
-    val cat = "gmvr3" + math.abs(d.hashCode % 1000)
+    val cat = "gmvr3" + TestIds.next()
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.base", d)
     spark.conf.set("spark.graft.mv.rewrite.views", s"$d/mv")
@@ -183,7 +187,7 @@ class GraftMvMultiSpec extends SparkSpec {
     GraftMv.createGrouped(spark, s"$d/mvf", s"$d/src",
       Seq(MvGroup("cust", "cust")),
       Seq(MvAgg("count", "", "n")), filter = Some("cents > 60"))
-    val cat = "gmvw" + math.abs(d.hashCode % 1000)
+    val cat = "gmvw" + TestIds.next()
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.base", d)
     spark.conf.set("spark.graft.mv.rewrite.views", s"$d/mv,$d/mvf")
@@ -264,7 +268,7 @@ class GraftMvMultiSpec extends SparkSpec {
     GraftTable.create(spark, s"$d/src", src(100), "k", nBuckets = 2)
     GraftMv.create(spark, s"$d/mv", s"$d/src", "cust",
       Seq(MvAgg("count", "", "n")))
-    val cat = "gmvd" + math.abs(d.hashCode % 1000)
+    val cat = "gmvd" + TestIds.next()
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.base", d)
     spark.conf.set("spark.graft.mv.rewrite.views", s"$d/mv")
@@ -314,5 +318,102 @@ class GraftMvMultiSpec extends SparkSpec {
     val got2 = GraftMv.read(spark, s"$d/mv")
       .as[(String, String, Long, Long)].collect().toSeq.sorted
     assert(got2 === Seq(("a", "bc", 2L, 25L), ("ab", "c", 2L, 40L)))
+  }
+
+
+  test("composite key injectivity: group values containing the " +
+      "separator / NUL / escape char never merge distinct tuples") {
+    val d = freshDir()
+    val data = Seq(
+      (1L, "a\u001Fb", "c", 10L),
+      (2L, "a", "b\u001Fc", 20L), // would collide with row 1 unescaped
+      (3L, "\u0000", "x", 5L),     // would collide with NULL unescaped
+      (4L, null.asInstanceOf[String], "x", 7L),
+      (5L, "a\u0010", "\u0010b", 9L)) // the escape char itself
+      .toDF("k", "g1", "g2", "v")
+    GraftTable.create(spark, s"$d/src", data, "k", nBuckets = 2)
+    GraftMv.createGrouped(spark, s"$d/mv", s"$d/src",
+      Seq(MvGroup("g1", "g1"), MvGroup("g2", "g2")),
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv")))
+    def want() = GraftTable.read(spark, s"$d/src").groupBy("g1", "g2")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .as[(Option[String], Option[String], Long, Long)]
+      .collect().toSeq.sorted
+    def got() = GraftMv.read(spark, s"$d/mv")
+      .as[(Option[String], Option[String], Long, Long)]
+      .collect().toSeq.sorted
+    assert(got().size === 5, "5 distinct tuples - no collision merging")
+    assert(got() === want())
+    // refresh plane: same-group insert, reprice, and a group death all
+    // key through the SAME escaped encoding as create
+    GraftTable.upsert(spark, s"$d/src",
+      Seq((6L, "a\u001Fb", "c", 100L), (2L, "a", "b\u001Fc", -20L))
+        .toDF("k", "g1", "g2", "v"), "k")
+    GraftTable.deleteWhere(spark, s"$d/src", $"k" === 3L, "k")
+    GraftMv.refresh(spark, s"$d/mv")
+    assert(got() === want())
+  }
+
+  test("a single bare NULLABLE group keys through the encoded key: " +
+      "NULL groups aggregate, delta-refresh, and die exactly") {
+    val d = freshDir()
+    val data = spark.range(1, 301).select(
+      $"id".as("k"),
+      when($"id" % 5 === 0, lit(null).cast("long"))
+        .otherwise($"id" % 3).as("g"),
+      ($"id" * 2).as("v"))
+    GraftTable.create(spark, s"$d/src", data, "k", nBuckets = 2)
+    GraftMv.create(spark, s"$d/mv", s"$d/src", "g",
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv"))) // delta plane
+    GraftMv.create(spark, s"$d/mvx", s"$d/src", "g",
+      Seq(MvAgg("max", "v", "mx"))) // re-aggregation plane
+    def want() = GraftTable.read(spark, s"$d/src").groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .as[(Option[Long], Long, Long)].collect().toSeq.sorted
+    def got() = GraftMv.read(spark, s"$d/mv")
+      .as[(Option[Long], Long, Long)].collect().toSeq.sorted
+    def wantX() = GraftTable.read(spark, s"$d/src").groupBy("g")
+      .agg(max("v").as("mx"))
+      .as[(Option[Long], Long)].collect().toSeq.sorted
+    def gotX() = GraftMv.read(spark, s"$d/mvx")
+      .as[(Option[Long], Long)].collect().toSeq.sorted
+    assert(got() === want())
+    assert(got().exists(_._1.isEmpty), "the NULL group must be served")
+    assert(gotX() === wantX())
+    // reprice rows of the NULL group (k % 10 == 0 implies k % 5 == 0)
+    GraftTable.upsert(spark, s"$d/src",
+      data.filter($"k" % 10 === 0).withColumn("v", lit(-3L)), "k")
+    GraftMv.refresh(spark, s"$d/mv"); GraftMv.refresh(spark, s"$d/mvx")
+    assert(got() === want()); assert(gotX() === wantX())
+    // group DEATH: every NULL-group row deleted - the group vanishes
+    GraftTable.deleteWhere(spark, s"$d/src", $"g".isNull, "k")
+    GraftMv.refresh(spark, s"$d/mv"); GraftMv.refresh(spark, s"$d/mvx")
+    assert(got() === want()); assert(gotX() === wantX())
+    assert(!got().exists(_._1.isEmpty), "the NULL group died with its rows")
+  }
+
+  test("SQL grains with commas parse: GROUP BY truncate(w, col) " +
+      "creates, refreshes, and serves") {
+    val d = freshDir()
+    val data = src(200)
+    GraftTable.create(spark, s"$d/src", data, "k", nBuckets = 2)
+    val cat = "gmvt" + TestIds.next()
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", d)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mvt AS " +
+      s"SELECT truncate(100, cents) AS cb, count(*) AS n, " +
+      s"sum(cents) AS sv FROM $cat.src GROUP BY truncate(100, cents)")
+    def want() = GraftTable.read(spark, s"$d/src")
+      .groupBy(PartitionTransform.parse("truncate(100,cents)")
+        .valueCol.as("cb"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sv"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    def got() = GraftMv.read(spark, s"$d/mvt")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got() === want())
+    GraftTable.upsert(spark, s"$d/src",
+      data.filter($"k" % 7 === 3).withColumn("cents", lit(12345L)), "k")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.mvt")
+    assert(got() === want())
   }
 }

@@ -23,7 +23,7 @@ class GraftMvRewriteSpec extends SparkSpec {
     GraftMv.create(spark, s"$d/mv", s"$d/src", "g",
       Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv"),
         MvAgg("avg", "v", "av")))
-    val cat = "gmvr" + math.abs(d.hashCode % 1000)
+    val cat = "gmvr" + TestIds.next()
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.base", d)
     (d, cat, s"$d/mv")
@@ -98,7 +98,7 @@ class GraftMvRewriteSpec extends SparkSpec {
     GraftMv.create(spark, s"$d/mvf", s"$d/src", "g",
       Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv")),
       filter = Some("v >= 300 AND k % 2 = 0"))
-    val cat = "gmvrf" + math.abs(d.hashCode % 1000)
+    val cat = "gmvrf" + TestIds.next()
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.base", d)
     withViews(s"$d/mvf") {
@@ -206,7 +206,7 @@ class GraftMvRewriteSpec extends SparkSpec {
     GraftMv.create(spark, s"$d/mvt", s"$d/src", "g",
       Seq(MvAgg("count", "", "n")),
       filter = Some("v IS NULL OR v > 3"))
-    val cat = "gmvrn" + math.abs(d.hashCode % 1000)
+    val cat = "gmvrn" + TestIds.next()
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.base", d)
     withViews(s"$d/mvt") {
@@ -251,6 +251,124 @@ class GraftMvRewriteSpec extends SparkSpec {
       val got = q.collect().toSeq
       assert(got.map(_.getLong(0)) === Seq(19L, 18L, 17L, 16L, 15L))
       assert(got.forall(_.getLong(1) === 20L))
+    }
+  }
+
+
+  test("nondeterminism guards: a rand() residual never rewrites; a " +
+      "nondeterministic MV filter refuses at create") {
+    val (d, cat, mv) = setup()
+    withViews(mv) {
+      // `g > cast(rand() as long) - 1` is ALWAYS true but cannot
+      // post-filter the MV: filtering one-row-per-group output samples
+      // a different population than filtering source rows
+      val q = spark.sql(s"SELECT g, count(*) AS c FROM $cat.src " +
+        "WHERE g > cast(rand() AS long) - 1 GROUP BY g")
+      assert(q.queryExecution.optimizedPlan.toString.contains(s"$cat.src"),
+        "a nondeterministic residual must refuse the rewrite")
+      // still answers correctly from the source
+      assert(q.agg(sum($"c")).as[Long].head() === 400L)
+    }
+    val e = intercept[IllegalArgumentException] {
+      GraftMv.create(spark, s"$d/mvnd", s"$d/src", "g",
+        Seq(MvAgg("count", "", "n")), filter = Some("rand() < 0.5"))
+    }
+    assert(e.getMessage.contains("deterministic"))
+  }
+
+
+  test("ROLLUP subsumption: a coarser grouping re-aggregates the MV " +
+      "(count/sum/min/max exact, avg from the hidden pair - never " +
+      "avg-of-avgs); rolled-up-dimension residuals filter below the " +
+      "re-aggregation; the GLOBAL aggregate serves too") {
+    val d = freshDir()
+    val data = spark.range(1, 401).select($"id".as("k"),
+      ($"id" % 20).as("g"), ($"id" % 7).as("h"), ($"id" * 3).as("v"))
+    GraftTable.create(spark, s"$d/src", data, "k", nBuckets = 2)
+    GraftMv.createGrouped(spark, s"$d/mv", s"$d/src",
+      Seq(MvGroup("g", "g"), MvGroup("h", "h")),
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv"),
+        MvAgg("avg", "v", "av"), MvAgg("min", "v", "mn"),
+        MvAgg("max", "v", "mx")))
+    val cat = "gmvru" + TestIds.next()
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", d)
+    def served(q: org.apache.spark.sql.DataFrame): Boolean =
+      q.queryExecution.executedPlan.toString.contains(s"$d/mv")
+    withViews(s"$d/mv") {
+      // group-count 1 < MV's 2: re-aggregate per g
+      val q = spark.sql(s"SELECT g, count(*) AS c, sum(v) AS s, " +
+        s"avg(v) AS a, min(v) AS mn, max(v) AS mx " +
+        s"FROM $cat.src GROUP BY g")
+      assert(served(q), "the coarser grouping must serve by rollup")
+      val want = data.groupBy("g").agg(count(lit(1)).as("c"),
+        sum("v").as("s"), avg("v").as("a"), min("v").as("mn"),
+        max("v").as("mx")).orderBy("g").collect().toSeq
+      assert(q.orderBy("g").collect().toSeq === want)
+      // a residual on the ROLLED-UP dimension filters below the re-agg
+      val q2 = spark.sql(s"SELECT g, count(*) AS c, avg(v) AS a " +
+        s"FROM $cat.src WHERE h = 3 GROUP BY g")
+      assert(served(q2), "a rolled-up-dimension slice must serve")
+      val want2 = data.filter($"h" === 3).groupBy("g")
+        .agg(count(lit(1)).as("c"), avg("v").as("a"))
+        .orderBy("g").collect().toSeq
+      assert(q2.orderBy("g").collect().toSeq === want2)
+      // the GLOBAL aggregate (no GROUP BY) rolls everything up
+      val q3 = spark.sql(s"SELECT count(*) AS c, sum(v) AS s, " +
+        s"avg(v) AS a FROM $cat.src")
+      assert(served(q3), "the global aggregate must serve by rollup")
+      assert(q3.collect().toSeq ===
+        data.agg(count(lit(1)).as("c"), sum("v").as("s"),
+          avg("v").as("a")).collect().toSeq)
+      // DISTINCT is not maintained - must refuse, never dangle
+      val q4 = spark.sql(s"SELECT g, h, count(DISTINCT v) AS c " +
+        s"FROM $cat.src GROUP BY g, h")
+      assert(!served(q4), "count(DISTINCT) must refuse the rewrite")
+      assert(q4.count() === data.select("g", "h").distinct().count())
+      // grouping outside the MV's set still refuses
+      val q5 = spark.sql(s"SELECT k % 2 AS p, count(*) AS c " +
+        s"FROM $cat.src GROUP BY k % 2")
+      assert(!served(q5))
+      // staleness disables the rollup too
+      GraftTable.upsert(spark, s"$d/src",
+        Seq((9999L, 1L, 1L, 5L)).toDF("k", "g", "h", "v"), "k")
+      val q6 = spark.sql(s"SELECT g, count(*) AS c FROM $cat.src GROUP BY g")
+      assert(!served(q6), "a stale MV must never serve a rollup")
+    }
+  }
+
+  test("ROLLUP over a filtered MV and a grain: WHERE must still imply " +
+      "the MV's predicate; the kept group may be the grain") {
+    val d = freshDir()
+    val data = spark.range(1, 601).select($"id".as("k"),
+      ($"id" % 10).as("g"),
+      timestamp_seconds($"id" * 21600).as("ts"), ($"id" * 3).as("v"))
+    GraftTable.create(spark, s"$d/src", data, "k", nBuckets = 2)
+    GraftMv.createGrouped(spark, s"$d/mvf", s"$d/src",
+      Seq(MvGroup("g", "g"), MvGroup("day", "days(ts)")),
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv")),
+      filter = Some("v >= 60"))
+    val cat = "gmvrg" + TestIds.next()
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", d)
+    def served(q: org.apache.spark.sql.DataFrame): Boolean =
+      q.queryExecution.executedPlan.toString.contains(s"$d/mvf")
+    val grain = "floor(unix_timestamp(ts) / 86400.0D)"
+    withViews(s"$d/mvf") {
+      // keep the GRAIN, roll up g - WHERE repeats the MV's predicate
+      val q = spark.sql(s"SELECT $grain AS day, count(*) AS c, " +
+        s"sum(v) AS s FROM $cat.src WHERE v >= 60 GROUP BY $grain")
+      assert(served(q), "grain-kept rollup over the filtered MV")
+      val want = data.filter($"v" >= 60)
+        .groupBy(floor(unix_timestamp($"ts").cast("double") / 86400.0)
+          .cast("long").as("day"))
+        .agg(count(lit(1)).as("c"), sum("v").as("s"))
+        .orderBy("day").collect().toSeq
+      assert(q.orderBy("day").collect().toSeq === want)
+      // missing the MV predicate: must refuse (the MV has FEWER rows)
+      val q2 = spark.sql(s"SELECT g, count(*) AS c FROM $cat.src GROUP BY g")
+      assert(!served(q2))
+      assert(q2.agg(sum($"c")).as[Long].head() === 600L)
     }
   }
 }

@@ -112,16 +112,22 @@ class GraftMvSpec extends SparkSpec {
     GraftTable.upsert(spark, s"$d/src",
       Seq((5L, 0L, 777L)).toDF("k", "g", "v"), "k")
     val want = fullAgg(s"$d/src").orderBy("g").collect().toSeq
-    val defFile = new java.io.File(s"$d/mv/_log/mv.def")
-    // Hadoop's local FS keeps a checksum sidecar; a direct rewrite of
-    // the def file must drop it or reads fail on CRC mismatch
-    def dropCrc(): Unit =
-      new java.io.File(s"$d/mv/_log/.mv.def.crc").delete(): Unit
+    // the def/cursor is CAS-versioned (round 17): a "crash" plants the
+    // torn state as the NEXT def version — exactly what a writer that
+    // published its intent and then died leaves behind
     def rewrite(f: String => String): Unit = {
-      val sc = scala.io.Source.fromFile(defFile)
+      val log = new java.io.File(s"$d/mv/_log")
+      val vs = log.listFiles().map(_.getName)
+        .collect { case n if n.matches("mvdef-v\\d+\\.def") =>
+          n.stripPrefix("mvdef-v").stripSuffix(".def").toInt }.sorted
+      val cur = new java.io.File(log, f"mvdef-v${vs.last}%05d.def")
+      val sc = scala.io.Source.fromFile(cur)
       val txt = try sc.mkString finally sc.close()
-      java.nio.file.Files.writeString(defFile.toPath, f(txt))
-      dropCrc()
+      val next = f"mvdef-v${vs.last + 1}%05d.def"
+      java.nio.file.Files.writeString(
+        new java.io.File(log, next).toPath, f(txt))
+      new java.io.File(log, s".$next.crc").delete()
+      GraftTable.commitEpoch.incrementAndGet()
     }
     // CASE 1: crash BEFORE the apply commit — the intent is planted
     // (expecting MV v1) but the window never landed; recovery drops

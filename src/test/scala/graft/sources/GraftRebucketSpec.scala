@@ -32,7 +32,7 @@ class GraftRebucketSpec extends SparkSpec {
       rows(20000).filter($"k" % 89 === 7).withColumn("v", lit(-1L)), "k")
     val before = checksum(root)
     val vOld = GraftTable.latestVersion(spark, root)
-    val cat = "grbk" + math.abs(base.hashCode % 1000)
+    val cat = "grbk" + TestIds.next()
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.base", base)
     val res = spark.sql(
@@ -63,7 +63,7 @@ class GraftRebucketSpec extends SparkSpec {
       rows(8000).withColumnRenamed("v", "w").drop("g"), "k", nBuckets = 4)
     GraftTable.setHashBuckets(spark, s"$base/l", "k", 16)
     GraftTable.setHashBuckets(spark, s"$base/r", "k", 16)
-    val cat = "grbj" + math.abs(base.hashCode % 1000)
+    val cat = "grbj" + TestIds.next()
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.base", base)
     val confs = Seq(
@@ -194,7 +194,7 @@ class GraftRebucketSpec extends SparkSpec {
       data.filter($"k".isin(42L, 200L)).withColumn("v", lit(-7L)), "k")
     assert(GraftTable.mergeBranch(spark, root, "wip") ===
       Left(1L), "the default must refuse the conflicted key")
-    val cat = "grbm" + math.abs(base.hashCode % 1000)
+    val cat = "grbm" + TestIds.next()
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.base", base)
     val e = intercept[IllegalStateException] {
@@ -207,5 +207,97 @@ class GraftRebucketSpec extends SparkSpec {
       .filter($"k".isin(42L, 100L, 200L))
       .select("k", "v").as[(Long, Long)].collect().toMap
     assert(got === Map(42L -> -42L, 100L -> -42L, 200L -> -7L))
+  }
+
+
+  test("RESTORE to a pre-rebucket version re-pins the restored era's " +
+      "layout: point probes keep hitting through bucket pruning") {
+    val base = freshBase()
+    val root = s"$base/t"
+    GraftTable.create(spark, root, rows(4000), "k", nBuckets = 4,
+      hashLayout = true)
+    val before = checksum(root)
+    GraftTable.setHashBuckets(spark, root, "k", 16)
+    GraftTable.upsert(spark, root,
+      rows(4000).filter($"k" <= 10).withColumn("v", lit(-5L)), "k")
+    val v = GraftTable.restore(spark, root, 0)
+    assert(GraftTable.hashLayout(spark, root, v) === Some(4),
+      "the restored head must resolve the restored era's bucket count")
+    assert(GraftTable.hashLayout(spark, root, v - 1) === Some(16),
+      "the pre-restore snapshot keeps the evolved count")
+    assert(checksum(root) === before)
+    // probes map at the restored count - a head that kept resolving 16
+    // over mod-4 files would silently drop most of these
+    val cat = "grst" + TestIds.next()
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    val ks = (1L to 4000L by 97).toSeq
+    val got = spark.sql(
+      s"SELECT k, v FROM $cat.t WHERE k IN (${ks.mkString(",")})")
+      .as[(Long, Long)].collect().toMap
+    assert(got === ks.map(k => k -> k * 3).toMap)
+    // post-restore writes land in the restored era and stay readable
+    GraftTable.upsert(spark, root,
+      rows(4000).filter($"k" === 777L).withColumn("v", lit(-9L)), "k")
+    assert(spark.sql(s"SELECT v FROM $cat.t WHERE k = 777")
+      .as[Long].head() === -9L)
+  }
+
+  test("RESTORE to a pre-ADOPTION version clears the layout: no " +
+      "bucket pruning or partition reporting over unbucketed files") {
+    val base = freshBase()
+    val root = s"$base/t"
+    GraftTable.create(spark, root, rows(3000), "k", nBuckets = 4) // range
+    GraftTable.setHashBuckets(spark, root, "k", 8) // adopt
+    val v = GraftTable.restore(spark, root, 0)
+    assert(GraftTable.hashLayout(spark, root, v) === None,
+      "the restored era had NO hash layout")
+    val cat = "grsn" + TestIds.next()
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    val ks = (1L to 3000L by 83).toSeq
+    val got = spark.sql(
+      s"SELECT k, v FROM $cat.t WHERE k IN (${ks.mkString(",")})")
+      .as[(Long, Long)].collect().toMap
+    assert(got === ks.map(k => k -> k * 3).toMap)
+  }
+
+  test("branch fresh files bucket in the BASE era even when main's " +
+      "FIRST post-fork commit is the rebucket") {
+    import scala.jdk.CollectionConverters._
+    def dataFiles(root: String): Set[String] = {
+      val d = java.nio.file.Paths.get(root, "data")
+      if (!java.nio.file.Files.exists(d)) Set.empty
+      else {
+        val s = java.nio.file.Files.walk(d)
+        try s.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSet
+        finally s.close()
+      }
+    }
+    val base = freshBase()
+    val root = s"$base/t"
+    val data = rows(4000)
+    GraftTable.create(spark, root, data, "k", nBuckets = 4,
+      hashLayout = true)
+    GraftTable.createBranch(spark, root, "wip")
+    GraftTable.setHashBuckets(spark, root, "k", 16)
+    val beforeFiles = dataFiles(root)
+    GraftTable.upsertBranch(spark, root, "wip",
+      data.filter($"k" % 97 === 1).withColumn("v", lit(-1L)), "k")
+    val fresh = (dataFiles(root) -- beforeFiles).toSeq
+    assert(fresh.nonEmpty)
+    // every fresh file is a mono-bucket file whose rows hash to its id
+    // at the BASE count (4), not main's evolved count (16)
+    fresh.foreach { p =>
+      val b = GraftTable.fileBucket(p)
+      assert(b.exists(_ < 4), s"$p must carry a base-era bucket id")
+      val ks = spark.read.parquet(p).select("k").as[Long].collect()
+      assert(ks.nonEmpty && ks.forall(k =>
+        GraftTable.bucketOfKey(k, 4) === b.get),
+        s"$p rows must hash to bucket ${b.get} at the BASE count (4)")
+    }
+    assert(GraftTable.readBranch(spark, root, "wip")
+      .filter($"v" === -1L).count() === data.filter($"k" % 97 === 1).count())
   }
 }

@@ -160,14 +160,17 @@ class GraftSpjSpec extends SparkSpec {
     assert(GraftTable.read(spark, base + "/t").count() === 269)
   }
 
-  test("refusals: transform, z-order, non-integral key, partitioning-after") {
+  test("refusals: z-order, non-integral key (transform now COMPOSES " +
+      "with the layout — see GraftComposedLayoutSpec)") {
     val base = freshBase()
-    // transform + layout at create
-    intercept[IllegalArgumentException] {
-      GraftTable.create(spark, base + "/x1",
-        Seq((1L, java.sql.Date.valueOf("2024-01-01"))).toDF("k", "d"),
-        "k", partitioning = Some(DaysPartition("d")), hashLayout = true)
-    }
+    // transform + layout at create COMPOSES since round 17: files stay
+    // mono-bucket AND split along the transform — just prove it lands
+    GraftTable.create(spark, base + "/x1",
+      Seq((1L, java.sql.Date.valueOf("2024-01-01"))).toDF("k", "d"),
+      "k", partitioning = Some(DaysPartition("d")), hashLayout = true)
+    assert(GraftTable.hashLayout(spark, base + "/x1").isDefined &&
+      GraftTable.partitionSpec(spark, base + "/x1",
+        GraftTable.latestVersion(spark, base + "/x1")).isDefined)
     // non-integral, non-string key (string keys hash-ledger since
     // round 16 — see GraftStringKeySpec)
     intercept[IllegalArgumentException] {
@@ -175,10 +178,6 @@ class GraftSpjSpec extends SparkSpec {
         Seq((1.5, 1L)).toDF("k", "v"), "k", hashLayout = true)
     }
     mkHash(base + "/t", n = 4, rows = 100)
-    // transform after the fact
-    intercept[IllegalArgumentException] {
-      GraftTable.setPartitioning(spark, base + "/t", DaysPartition("v"))
-    }
     // z-order rewrite
     intercept[IllegalArgumentException] {
       GraftTable.optimizeZOrder(spark, base + "/t", "k", "k", "v", 100L)

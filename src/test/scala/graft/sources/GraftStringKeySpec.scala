@@ -121,7 +121,7 @@ class GraftStringKeySpec extends SparkSpec {
     assert(sortedTuples(GraftTable.read(spark, s"$d/t")) ===
       sortedTuples(want))
     // the SQL scan path masks identically (executor-side key sets)
-    val cat = "gsk" + math.abs(d.hashCode % 1000)
+    val cat = "gsk" + TestIds.next()
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.base", d)
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t")
@@ -135,7 +135,7 @@ class GraftStringKeySpec extends SparkSpec {
     GraftTable.create(spark, s"$d/t", data, "k", nBuckets = 4)
     val dels = data.filter($"g" === 2).withColumn("_op", lit("delete"))
     GraftTable.appendUpsert(spark, s"$d/t", dels, "k", opCol = Some("_op"))
-    val cat = "gskp" + math.abs(d.hashCode % 1000)
+    val cat = "gskp" + TestIds.next()
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.base", d)
     assert(GraftTable.hasLiveEqDels(spark, s"$d/t", 1))
@@ -162,7 +162,7 @@ class GraftStringKeySpec extends SparkSpec {
       hashLayout = true)
     GraftTable.create(spark, s"$d/r", right, "k", nBuckets = 8,
       hashLayout = true)
-    val cat = "gskh" + math.abs(d.hashCode % 1000)
+    val cat = "gskh" + TestIds.next()
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.base", d)
     val confs = Seq(
