@@ -5272,6 +5272,175 @@ object MaintenanceQueries {
            |FROM live WHERE cust % 5 = 2
            |GROUP BY cust ORDER BY cust""".stripMargin))
 
+
+  /** TIME-HIERARCHY MV ROLLUP (round 17): one MV at the FINEST grain
+    * serves the whole calendar hierarchy — `(cust, days(ts))` answers
+    * GROUP BY months(ts) and GROUP BY years(ts) by re-aggregation
+    * (the derived month/year is an exact function of the stored UTC
+    * day number; the rule guards on a UTC session). At 100 TB this
+    * means ONE maintained daily cube replaces the
+    * daily/monthly/yearly rollup chain the reference rebuilds
+    * wholesale (fact_staging1..3). `ok` pins: the months query and
+    * the years+global query both served from the MV AFTER a
+    * delta refresh, and the years answer equals a direct
+    * recomputation. Rows: the months rollup vs DuckDB. */
+  val q342MvHierarchyRollup = GraftQuery(
+    "q342_mv_hierarchy_rollup",
+    (s, dir) => {
+      val base = newTempDir("graft_mv_hier")
+      val src = base + "/src"
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("cust"),
+        col("o_orderdate").as("ts"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+        .filter(col("k") % 6 === 3)
+      GraftTable.create(s, src, orders, "k", nBuckets = 4)
+      GraftMv.createGrouped(s, base + "/mv", src,
+        Seq(MvGroup("cust", "cust"), MvGroup("day", "days(ts)")),
+        Seq(MvAgg("count", "", "n"), MvAgg("sum", "cents", "sv")),
+        nBuckets = 4)
+      GraftTable.upsert(s, src, orders.filter(col("k") % 83 === 5)
+        .withColumn("cents", lit(-250L)), "k")
+      GraftTable.deleteWhere(s, src, col("k") % 97 === 13, "k")
+      GraftMv.refresh(s, base + "/mv", nBuckets = 4)
+      s.conf.set("spark.sql.catalog.gmvhr", classOf[graft.sources
+        .GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gmvhr.base", base)
+      s.conf.set("spark.graft.mv.rewrite.views", base + "/mv")
+      try {
+        val t = s.table("gmvhr.src")
+        val months = graft.sources.PartitionTransform
+          .parse("months(ts)").valueCol
+        val years = graft.sources.PartitionTransform
+          .parse("years(ts)").valueCol
+        val q = t.groupBy(col("cust"), months.as("mon"))
+          .agg(count(lit(1)).as("n_ord"), sum("cents").as("cents_sum"))
+        val servedMon =
+          q.queryExecution.executedPlan.toString.contains(base + "/mv")
+        val rows = q.filter(col("cust") % 7 === 1)
+          .orderBy("cust", "mon").collect().toSeq
+        val g = t.groupBy(years.as("yr"))
+          .agg(count(lit(1)).as("c"), sum("cents").as("sc"))
+        val servedYr =
+          g.queryExecution.executedPlan.toString.contains(base + "/mv")
+        val gotYr = g.orderBy("yr").collect().toSeq
+        val wantYr = GraftTable.read(s, src)
+          .groupBy(years.as("yr"))
+          .agg(count(lit(1)).as("c"), sum("cents").as("sc"))
+          .orderBy("yr").collect().toSeq
+        val ok = servedMon && servedYr && gotYr == wantYr
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, org.apache.spark.sql.types
+          .StructType(Seq(
+            org.apache.spark.sql.types.StructField("cust",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("mon",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_ord",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("cents_sum",
+              org.apache.spark.sql.types.LongType))))
+          .withColumn("ok", lit(ok))
+      } finally s.conf.unset("spark.graft.mv.rewrite.views")
+    },
+    Some("""WITH o AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |    CAST(o_custkey AS BIGINT) AS cust,
+           |    o_orderdate AS ts,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM orders WHERE o_orderkey % 6 = 3),
+           |mut AS (
+           |  SELECT k, cust, ts,
+           |    CASE WHEN k % 83 = 5 THEN -250 ELSE cents END AS cents
+           |  FROM o WHERE k % 97 <> 13)
+           |SELECT cust,
+           |  CAST(year(ts) * 12 + month(ts) - 1 AS BIGINT) AS mon,
+           |  count(*) AS n_ord,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum, true AS ok
+           |FROM mut WHERE cust % 7 = 1
+           |GROUP BY cust, mon ORDER BY cust, mon""".stripMargin))
+
+
+  /** AUTO-FRESH MVs ON THE INGEST PATH (round 17): the table property
+    * `graft.mv.autorefresh` names MV roots the streaming-ingest commit
+    * advances after each batch — the q333 auto-maintenance idea
+    * extended to DERIVED state, which is what makes "a dashboard
+    * aggregate that is always current" a zero-ops capability (the MV
+    * delta is O(batch), and the round-17 concurrent-refresh protocol
+    * makes racing sinks safe). Three CDC batches land through
+    * [[GraftTable.ingestBatch]] with NO manual REFRESH anywhere —
+    * including a REPLAYED batch (marker-skipped, must not corrupt
+    * freshness). `ok` pins: a manual refresh afterwards is a no-op
+    * (the sink kept the cursor at head) and the transparent rewrite
+    * serves immediately. Rows: the MV's own content vs DuckDB's
+    * replay of the batches. */
+  val q343AutoFreshMv = GraftQuery(
+    "q343_autofresh_mv",
+    (s, dir) => {
+      val base = newTempDir("graft_mv_autofresh")
+      val src = base + "/src"
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("cust"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+        .filter(col("k") % 5 === 4)
+      GraftTable.ingestBatch(s, src, orders, "k", batchId = 0,
+        queryId = "autofresh", nBuckets = 4)
+      GraftMv.create(s, base + "/mv", src, "cust",
+        Seq(MvAgg("count", "", "n_ord"),
+          MvAgg("sum", "cents", "cents_sum")), nBuckets = 2)
+      GraftTable.setTableProperty(s, src, "graft.mv.autorefresh",
+        base + "/mv")
+      // three CDC batches, zero manual refreshes
+      GraftTable.ingestBatch(s, src,
+        orders.filter(col("k") % 61 === 3).withColumn("cents", lit(-40L)),
+        "k", batchId = 1, queryId = "autofresh", nBuckets = 4)
+      GraftTable.ingestBatch(s, src,
+        orders.filter(col("k") % 73 === 6)
+          .withColumn("k", col("k") + 5000000L), "k",
+        batchId = 2, queryId = "autofresh", nBuckets = 4)
+      // batch 2 REPLAYED (sink retry): marker-skipped, stays fresh
+      GraftTable.ingestBatch(s, src,
+        orders.filter(col("k") % 73 === 6)
+          .withColumn("k", col("k") + 5000000L), "k",
+        batchId = 2, queryId = "autofresh", nBuckets = 4)
+      val noop = GraftMv.refresh(s, base + "/mv")._2 == 0L
+      s.conf.set("spark.sql.catalog.gmvaf", classOf[graft.sources
+        .GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gmvaf.base", base)
+      s.conf.set("spark.graft.mv.rewrite.views", base + "/mv")
+      try {
+        val q = s.sql("SELECT cust, count(*) AS n, sum(cents) AS sc " +
+          "FROM gmvaf.src GROUP BY cust")
+        val served =
+          q.queryExecution.executedPlan.toString.contains(base + "/mv")
+        val ok = noop && served
+        GraftMv.read(s, base + "/mv")
+          .filter(col("cust") % 4 === 1)
+          .select(col("cust"), col("n_ord"), col("cents_sum"))
+          .withColumn("ok", lit(ok))
+          .orderBy("cust")
+      } finally s.conf.unset("spark.graft.mv.rewrite.views")
+    },
+    Some("""WITH o AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |    CAST(o_custkey AS BIGINT) AS cust,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM orders WHERE o_orderkey % 5 = 4),
+           |b1 AS (
+           |  SELECT k, cust,
+           |    CASE WHEN k % 61 = 3 THEN -40 ELSE cents END AS cents
+           |  FROM o),
+           |live AS (
+           |  SELECT * FROM b1
+           |  UNION ALL
+           |  SELECT k + 5000000, cust, cents FROM o WHERE k % 73 = 6)
+           |SELECT cust, count(*) AS n_ord,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum, true AS ok
+           |FROM live WHERE cust % 4 = 1
+           |GROUP BY cust ORDER BY cust""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q186CompactionPlan, q187ObservedProfile,
     q200ColumnStats, q201SnapshotDiff, q204MergeUpsert, q207IncrementalAgg,
     q214TableTimeTravel, q220PrunedRead, q221TableOptimize,
@@ -5292,5 +5461,6 @@ object MaintenanceQueries {
     q329MvRewrite, q330StringKeys, q331MultiGroupMv, q332MvRewriteGrain,
     q333AutoMaintenance, q334BucketEvolution, q335BranchMergeOverwrite,
     q336CasCommitLog, q337MvRollup, q338StarJoinMv,
-    q339LeafStats, q340ComposedLayout, q341ConcurrentMvRefresh)
+    q339LeafStats, q340ComposedLayout, q341ConcurrentMvRefresh,
+    q342MvHierarchyRollup, q343AutoFreshMv)
 }

@@ -26,6 +26,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *   RESOLVE DELETES cat.t [PENDING RATIO r] -- eqdel→DV resolution
   *   CREATE MATERIALIZED VIEW cat.mv AS
   *     SELECT g, count(*) AS n, … FROM cat.t GROUP BY g
+  *   CREATE MATERIALIZED VIEW cat.mv AS            -- star-join MV
+  *     SELECT dim_col, count(*) AS n, … FROM cat.fact
+  *     JOIN cat.dim ON fk = dim_key [JOIN …] GROUP BY dim_col
   *   REFRESH MATERIALIZED VIEW cat.mv      -- change-feed delta refresh
   *   DROP MATERIALIZED VIEW cat.mv         -- definition + backing table
   *   CREATE BRANCH w ON cat.t              -- fork at the head
@@ -72,6 +75,18 @@ class GraftMaintenanceParser(delegate: ParserInterface)
     ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+AS\s+""" +
       """SELECT\s+(.+?)\s+FROM\s+([\w.`]+)""" +
       """(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+?)\s*;?\s*""").r
+  // the STAR-JOIN MV form: FROM fact JOIN dim ON a = b [JOIN ...];
+  // each ON must be one equality between the fact's foreign key and
+  // the dim's recorded key (either operand order, optionally
+  // qualified — the run-time resolution decides which side is which
+  // from the dim's recorded key)
+  private val CreateMvJoin =
+    ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+AS\s+""" +
+      """SELECT\s+(.+?)\s+FROM\s+([\w.`]+)""" +
+      """((?:\s+JOIN\s+[\w.`]+\s+ON\s+[\w.`]+\s*=\s*[\w.`]+)+)""" +
+      """(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+?)\s*;?\s*""").r
+  private val JoinSeg =
+    """(?is)JOIN\s+([\w.`]+)\s+ON\s+([\w.`]+)\s*=\s*([\w.`]+)""".r
   private val RefreshMv =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*""".r
   private val DropMv =
@@ -123,6 +138,17 @@ class GraftMaintenanceParser(delegate: ParserInterface)
       GraftAbsorbCommand(parts(ident), Option(ratio).map(_.toDouble))
     case ResolveDeletes(ident, ratio) =>
       GraftResolveCommand(parts(ident), Option(ratio).map(_.toDouble))
+    case CreateMvJoin(mvIdent, selectList, factIdent, joinText, where,
+        groupBy) =>
+      val (groups, aggs) =
+        GraftMaintenance.parseMvDef(selectList, groupBy)
+      val dims = JoinSeg.findAllMatchIn(joinText).map { m =>
+        def lastSeg(x: String) = x.split('.')
+          .last.stripPrefix("`").stripSuffix("`")
+        (parts(m.group(1)), lastSeg(m.group(2)), lastSeg(m.group(3)))
+      }.toSeq
+      GraftMvCreateCommand(parts(mvIdent), parts(factIdent),
+        groups, aggs, Option(where).map(_.trim), dims)
     case CreateMv(mvIdent, selectList, srcIdent, where, groupBy) =>
       val (groups, aggs) =
         GraftMaintenance.parseMvDef(selectList, groupBy)
@@ -421,7 +447,10 @@ case class GraftResolveCommand(parts: Seq[String],
   * (SQL surfaces the physical table; [[GraftMv.read]] hides them). */
 case class GraftMvCreateCommand(mvParts: Seq[String],
     srcParts: Seq[String], groups: Seq[MvGroup], aggs: Seq[MvAgg],
-    filter: Option[String] = None)
+    filter: Option[String] = None,
+    // star-join dims: (dim table parts, ON's two column names — the
+    // dim's recorded key decides which side is the fact's fk)
+    dims: Seq[(Seq[String], String, String)] = Seq.empty)
   extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Seq(
@@ -432,8 +461,27 @@ case class GraftMvCreateCommand(mvParts: Seq[String],
       "CREATE MATERIALIZED VIEW")
     val srcRoot = GraftMaintenance.rootOf(spark, srcParts,
       "CREATE MATERIALIZED VIEW")
-    Seq(Row(GraftMv.createGrouped(spark, mvRoot, srcRoot, groups, aggs,
-      filter = filter).toLong))
+    if (dims.isEmpty)
+      Seq(Row(GraftMv.createGrouped(spark, mvRoot, srcRoot, groups, aggs,
+        filter = filter).toLong))
+    else {
+      val resolved = dims.map { case (dimParts, c1, c2) =>
+        val dimRoot = GraftMaintenance.rootOf(spark, dimParts,
+          "CREATE MATERIALIZED VIEW")
+        val dimKey = GraftTable.keyColumn(spark, dimRoot).getOrElse(
+          throw new IllegalArgumentException(
+            s"star-join MV dim at $dimRoot records no key column"))
+        val fk =
+          if (c1 == dimKey) c2
+          else if (c2 == dimKey) c1
+          else throw new IllegalArgumentException(
+            s"star-join MV: ON $c1 = $c2 must equate the fact's " +
+              s"foreign key with dim key '$dimKey' of $dimRoot")
+        dimRoot -> fk
+      }
+      Seq(Row(GraftMv.createJoined(spark, mvRoot, srcRoot, resolved,
+        groups, aggs, filter = filter).toLong))
+    }
   }
 }
 

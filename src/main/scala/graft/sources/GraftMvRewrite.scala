@@ -292,34 +292,147 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Analyze an arbitrary Column against `out`'s schema and rebind its
+    * attribute references — the [[grainExpr]] machinery generalized
+    * for the rollup's DERIVED grain expressions. Memoized per
+    * (cache key, schema signature). */
+  private def boundCol(key: String, c: => org.apache.spark.sql.Column,
+      out: Seq[Attribute]): Option[Expression] = {
+    val sig = out.map(a => a.name + ":" + a.dataType.catalogString)
+      .mkString(",")
+    val template = grainMemo.computeIfAbsent((s"__bound:$key", sig), _ =>
+      try {
+        val schema = org.apache.spark.sql.types.StructType(out.map(a =>
+          org.apache.spark.sql.types.StructField(a.name, a.dataType,
+            a.nullable)))
+        val empty = session.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schema)
+        empty.select(c.as("__g")).queryExecution.analyzed match {
+          case Project(Seq(Alias(child, _)), _) => Some(child)
+          case _ => None
+        }
+      } catch { case _: Exception => None })
+    template.map { t =>
+      val byName = out.map(a => a.name -> a).toMap
+      t.transformUp {
+        case a: AttributeReference if byName.contains(a.name) =>
+          byName(a.name)
+      }
+    }
+  }
+
+  /** One matched query grouping expression: the plan expression, the
+    * MV group serving it, and — when the query grain is a COARSENING
+    * of the MV's grain (days→months, months→years, truncate(w)→
+    * truncate(kw)) — the query-side transform to DERIVE from the MV's
+    * stored grain value during the rollup. */
+  private case class GroupMatch(planExpr: Expression, mv: MvGroup,
+      coarsen: Option[PartitionTransform])
+
+  /** Whether the session evaluates calendar functions in UTC — the
+    * engine's own sessions pin it. days→months/years coarsening is
+    * only sound then: the stored day number is a UTC day, and a
+    * non-UTC month boundary can split a UTC day, making the month NOT
+    * a function of the day. (months→years and truncate widening are
+    * pure arithmetic on the stored value — no guard needed.) */
+  private def utcSession: Boolean = {
+    val tz = session.sessionState.conf.sessionLocalTimeZone
+    tz == "UTC" || tz == "Etc/UTC" || tz == "GMT" || tz == "+00:00"
+  }
+
+  /** The candidate QUERY-side transforms a stored MV grain can roll up
+    * to — the time hierarchy plus widened truncates (width multiples,
+    * probed from the plan expression's own literals). */
+  private def coarsenTargets(m: PartitionTransform,
+      pg: Expression): Seq[PartitionTransform] = m match {
+    case DaysPartition(c) if utcSession =>
+      Seq(MonthsPartition(c), YearsPartition(c))
+    case MonthsPartition(c) => Seq(YearsPartition(c))
+    case TruncatePartition(w, c) =>
+      pg.collect {
+        case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+        case Literal(v: Int, org.apache.spark.sql.types.IntegerType) =>
+          v.toLong
+      }.distinct.filter(kw => kw > w && kw % w == 0)
+        .map(kw => TruncatePartition(kw, c))
+    case _ => Seq.empty
+  }
+
+  /** The DERIVED value of coarser grain `to` from the stored value of
+    * grain `from` (a Column over the MV's group-alias column) —
+    * exact: a day number maps to exactly one UTC month/year, a month
+    * number to one year, a w-multiple floor to one kw-multiple floor
+    * when w | kw. */
+  private def deriveCol(alias: String, from: PartitionTransform,
+      to: PartitionTransform): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    val a = col(alias)
+    // date_from_unix_date is a NATIVE codegen expression — a
+    // RuntimeReplaceable (to_date/date_add-on-literal) would be
+    // injected AFTER the optimizer's ReplaceExpressions batch and
+    // fail codegen
+    lazy val asDate = date_from_unix_date(a.cast("int"))
+    (from, to) match {
+      case (DaysPartition(c1), MonthsPartition(c2)) if c1 == c2 =>
+        Some((year(asDate).cast("long") * 12 +
+          month(asDate).cast("long") - 1).cast("long"))
+      case (DaysPartition(c1), YearsPartition(c2)) if c1 == c2 =>
+        Some(year(asDate).cast("long"))
+      case (MonthsPartition(c1), YearsPartition(c2)) if c1 == c2 =>
+        Some(((a - pmod(a, lit(12))) / lit(12)).cast("long"))
+      case (TruncatePartition(w1, c1), TruncatePartition(w2, c2))
+          if c1 == c2 && w2 > w1 && w2 % w1 == 0 =>
+        Some((a - pmod(a, lit(w2))).cast("long"))
+      case _ => None
+    }
+  }
+
   /** Map the query's grouping expressions INTO the MV's group columns
     * (injectively): bare groups match a plan attribute by name (over
     * this relation), grains match by semantic equality with the
-    * analyzed transform. Returns the (planExpr, mvGroup) substitution
-    * pairs in plan order PLUS the MV groups left unmatched — empty for
-    * an exact (bijective) match, non-empty when the query groups
-    * COARSER than the MV and the read must re-aggregate (ROLLUP
+    * analyzed transform — or with a COARSER grain of the same family
+    * (the time-hierarchy rollup: an MV at days(ts) serves GROUP BY
+    * months(ts)). Returns the matches in plan order PLUS the MV groups
+    * left unmatched — both empty coarsenings and no leftovers for an
+    * exact (bijective) match; anything else re-aggregates (ROLLUP
     * subsumption: sound because the MV's groups partition the source's
     * rows, so re-aggregating MV rows aggregates exactly the source's).
     * None when any query grouping expression has no MV counterpart. */
   private def matchGroups(planGs: Seq[Expression], groups: Seq[MvGroup],
       out: Seq[Attribute])
-    : Option[(Seq[(Expression, MvGroup)], Seq[MvGroup])] = {
+    : Option[(Seq[GroupMatch], Seq[MvGroup])] = {
     if (planGs.size > groups.size) return None
     val outIds = out.map(_.exprId).toSet
     val remaining = scala.collection.mutable.ArrayBuffer(groups: _*)
     val pairs = planGs.map { pg =>
-      val m = remaining.zipWithIndex.find { case (g, _) =>
-        if (g.isBare) pg match {
-          case a: AttributeReference =>
-            a.name == g.alias && outIds.contains(a.exprId)
-          case _ => false
+      var hit: Option[(Int, Option[PartitionTransform])] = None
+      remaining.zipWithIndex.foreach { case (g, i) =>
+        if (hit.isEmpty) {
+          if (g.isBare) pg match {
+            case a: AttributeReference
+                if a.name == g.alias && outIds.contains(a.exprId) =>
+              hit = Some((i, None))
+            case _ => ()
+          }
+          else if (grainExpr(g, out).exists(ge => sameExpr(ge, pg)))
+            hit = Some((i, None))
+          else {
+            val mt = try Some(PartitionTransform.parse(g.expr))
+              catch { case _: Exception => None }
+            mt.foreach { m =>
+              coarsenTargets(m, pg).foreach { qt =>
+                if (hit.isEmpty &&
+                    grainExpr(MvGroup("__q_probe", qt.render), out)
+                      .exists(ge => sameExpr(ge, pg)))
+                  hit = Some((i, Some(qt)))
+              }
+            }
+          }
         }
-        else grainExpr(g, out).exists(ge => sameExpr(ge, pg))
       }
-      m match {
-        case Some((g, i)) => remaining.remove(i); Some((pg, g))
-        case None => None
+      hit.map { case (i, qt) =>
+        val g = remaining(i); remaining.remove(i); GroupMatch(pg, g, qt)
       }
     }
     if (pairs.forall(_.isDefined)) Some((pairs.flatten, remaining.toSeq))
@@ -417,7 +530,7 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     * along unchanged — `round(avg(v), 4)` serves from the MV's avg.
     * None if any aggregate in the tree is not maintained. */
   private def rewriteOutput(e: NamedExpression,
-      groupSub: Seq[(Expression, MvGroup)],
+      groupTargets: Seq[(Expression, Expression)],
       byName: Map[String, Attribute],
       sub: AggregateExpression => Option[Expression]): Option[Expression] = {
     var ok = true
@@ -427,14 +540,12 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           case Some(served) => served
           case None => ok = false; ae
         }
-      case x if groupSub.exists(p => p._1.semanticEquals(x) ||
+      case x if groupTargets.exists(p => p._1.semanticEquals(x) ||
           sameExpr(p._1, x)) =>
-        val g = groupSub.find(p => p._1.semanticEquals(x) ||
+        val target = groupTargets.find(p => p._1.semanticEquals(x) ||
           sameExpr(p._1, x)).get._2
-        byName.get(g.alias) match {
-          case Some(attr) if attr.dataType == x.dataType => attr
-          case _ => ok = false; x
-        }
+        if (target.dataType == x.dataType) target
+        else { ok = false; x }
     }
     // every reference of the rewritten tree must be an MV column: an
     // aggregate shape the substitution case does NOT cover — DISTINCT,
@@ -645,15 +756,39 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
                 filterResidual(facts.filter, planCs, allOut,
                   bareGroupIds, joinKeyIds)) match {
                 case (Some((groupSub, rolledUp)), Some(residual)) =>
-                  // EXACT (bijective) match serves the stored rows by
-                  // projection; a COARSER grouping set re-aggregates
-                  // the raw rows (which carry avg's hidden exact pair)
-                  val exact = rolledUp.isEmpty
+                  // EXACT (bijective, no coarsened grains) match
+                  // serves the stored rows by projection; anything
+                  // else re-aggregates the raw rows (which carry avg's
+                  // hidden exact pair)
+                  val exact = rolledUp.isEmpty &&
+                    groupSub.forall(_.coarsen.isEmpty)
                   val mvPlan =
                     (if (exact) GraftMv.read(session, mvRoot)
                      else GraftMv.readRaw(session, mvRoot))
                       .queryExecution.analyzed
                   val byName = mvPlan.output.map(a => a.name -> a).toMap
+                  // each matched query grouping expr's TARGET over the
+                  // MV's columns: the group attr itself, or the
+                  // derived coarser-grain expression over it
+                  val targets: Seq[Option[Expression]] = groupSub.map {
+                    gm =>
+                      byName.get(gm.mv.alias).flatMap { attr =>
+                        gm.coarsen match {
+                          case None => Some(attr)
+                          case Some(qt) =>
+                            (try Some(PartitionTransform.parse(gm.mv.expr))
+                             catch { case _: Exception => None })
+                              .flatMap(mt => deriveCol(gm.mv.alias, mt, qt)
+                                .flatMap(c => boundCol(
+                                  s"${gm.mv.alias}:${mt.render}->" +
+                                    qt.render,
+                                  c, mvPlan.output)))
+                        }
+                      }.filter(_.dataType == gm.planExpr.dataType)
+                  }
+                  val groupTargets = groupSub.zip(targets).collect {
+                    case (gm, Some(t)) => gm.planExpr -> t
+                  }
                   val sub: AggregateExpression => Option[Expression] =
                     if (exact)
                       ae => servedAlias(ae.aggregateFunction, facts.aggs)
@@ -663,7 +798,7 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
                         byName)
                   // every output must rewrite onto the MV's columns
                   val mapped = aggExprs.map(e =>
-                    rewriteOutput(e, groupSub, byName, sub))
+                    rewriteOutput(e, groupTargets, byName, sub))
                   // the residual re-binds onto the MV's group columns
                   // (same names, the MV's exprIds)
                   var resOk = true
@@ -674,14 +809,11 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
                         case _ => resOk = false; a
                       }
                   })
-                  // rollup grouping columns: the KEPT MV groups
-                  val keepAttrs = groupSub.map { case (pg, g) =>
-                    byName.get(g.alias).filter(_.dataType == pg.dataType)
-                  }
                   if (mapped.forall(_.isDefined) && resOk &&
-                      (exact || keepAttrs.forall(_.isDefined)))
+                      targets.forall(_.isDefined))
                     Some((mvPlan, mapped, boundResidual,
-                      if (exact) None else Some(keepAttrs.flatten)))
+                      if (exact) None
+                      else Some(groupTargets.map(_._2))))
                   else None
                 case _ => None
               }

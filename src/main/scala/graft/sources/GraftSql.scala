@@ -1893,7 +1893,15 @@ class GraftMetaTable(root: String, kind: String, version: Int)
                         .mkString(", "),
                       "graft.mv.lastSourceVersion" ->
                         facts.lastV.toString) ++
-                      facts.filter.map("graft.mv.filter" -> _).toSeq
+                      facts.filter.map("graft.mv.filter" -> _).toSeq ++
+                      // star-join dims: one row per join with its own
+                      // refresh cursor (a dim commit = stale too)
+                      facts.joins.zipWithIndex.flatMap { case (j, i) =>
+                        Seq(s"graft.mv.join.$i" ->
+                          s"${j.dim} ON fk ${j.fk} = key ${j.dimKey}",
+                          s"graft.mv.join.$i.lastVersion" ->
+                            j.lastV.toString)
+                      }
                 }
                 (GraftTable.tableProperties(spark, root).toSeq ++
                   layoutRow ++ mvRows)

@@ -2252,9 +2252,31 @@ object GraftTable {
     val rels = entries.map(_.relPath).toSet
     val stats = loadColStats(spark, root, version, rels)
     val phys = toPhys(spark, root, version, column)
-    val per = entries.map(e => stats.get((e.relPath, phys)))
+    // two ledgers serve: the Z-order/transform lines keyed by the raw
+    // column name, and (round 17) the universal per-leaf-column
+    // `#minmax` lines every write records. For the LEAF ledger an
+    // all-NULL file writes no line — min/max ignore NULLs, so such a
+    // file contributes nothing and a missing line is only refusal-
+    // worthy when the file has NON-NULL rows (decided by the nulls
+    // ledger; unknown nulls refuse conservatively).
+    val per = entries.map(e => stats.get((e.relPath, phys)).orElse {
+      stats.get((e.relPath, s"#minmax.$phys")) match {
+        case some @ Some(_) => some
+        case None => stats.get((e.relPath, s"#nulls.$phys")) match {
+          case Some((n, _)) if n == e.nRows => Some((Long.MaxValue,
+            Long.MinValue)) // all-NULL file: neutral element
+          case _ => None
+        }
+      }
+    })
     if (per.exists(_.isEmpty)) None
-    else Some((per.flatten.map(_._1).min, per.flatten.map(_._2).max))
+    else {
+      val lo = per.flatten.map(_._1).min
+      val hi = per.flatten.map(_._2).max
+      if (lo > hi) None // every file all-NULL: SQL min/max is NULL —
+        // refuse (the caller's scan fallback returns the exact NULL)
+      else Some((lo, hi))
+    }
   }
 
   /** The pruned snapshot's file ledger for the `$files` metadata table:
@@ -3423,20 +3445,47 @@ object GraftTable {
     val auto = maintenance == "auto" || (maintenance.isEmpty &&
       tableProperties(spark, root)
         .get("graft.maintenance.auto").contains("true"))
+    // cadence counts INGESTED BATCHES (the persisted replay markers
+    // — restart-stable), not versions: the ladder's own commits
+    // advance the version, and a version-modulo tick would re-align
+    // onto every batch once maintenance commits shift the count
+    lazy val nIngested = f.listStatus(
+      new org.apache.hadoop.fs.Path(root, "_log"))
+      .count(_.getPath.getName.startsWith("ingest-"))
     if (auto) {
       val every = tableProperties(spark, root)
         .get("graft.maintenance.everyBatches").map(_.toInt).getOrElse(8)
       require(every >= 1,
         s"graft.maintenance.everyBatches must be >= 1, got $every")
-      // cadence counts INGESTED BATCHES (the persisted replay markers
-      // — restart-stable), not versions: the ladder's own commits
-      // advance the version, and a version-modulo tick would re-align
-      // onto every batch once maintenance commits shift the count
-      val nIngested = f.listStatus(
-        new org.apache.hadoop.fs.Path(root, "_log"))
-        .count(_.getPath.getName.startsWith("ingest-"))
       if (nIngested > 0 && nIngested % every == 0) {
         maintainIfDue(spark, root, key); ()
+      }
+    }
+    // AUTO-FRESH MATERIALIZED VIEWS (round 17): the table property
+    // `graft.mv.autorefresh` names MV roots to advance on the ingest
+    // path (comma-separated; `graft.mv.refreshEveryBatches` sets the
+    // cadence, default every batch — the delta is O(feed), so
+    // per-trigger freshness is affordable). Safe under concurrent
+    // sinks and racing refreshers: refresh windows are CAS-arbitrated
+    // and pinned (exactly-once). A listed root WITHOUT an MV
+    // definition is skipped (a dropped MV must not wedge the sink);
+    // a real refresh failure propagates — silently serving a stale
+    // MV forever would be worse than a loud sink error.
+    val mvRoots = tableProperties(spark, root).get("graft.mv.autorefresh")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    if (mvRoots.nonEmpty) {
+      val everyMv = tableProperties(spark, root)
+        .get("graft.mv.refreshEveryBatches").map(_.toInt).getOrElse(1)
+      require(everyMv >= 1,
+        s"graft.mv.refreshEveryBatches must be >= 1, got $everyMv")
+      if (nIngested > 0 && nIngested % everyMv == 0) mvRoots.foreach {
+        mvRoot =>
+          val fm = new org.apache.hadoop.fs.Path(mvRoot)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (GraftMv.defExists(fm, mvRoot)) {
+            GraftMv.refresh(spark, mvRoot, nBuckets); ()
+          }
       }
     }
   }

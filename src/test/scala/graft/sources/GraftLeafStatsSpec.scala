@@ -113,4 +113,32 @@ class GraftLeafStatsSpec extends SparkSpec {
     val all = pruned(root)
     assert(pruned(root, colRanges = Map("nosuch" -> (0L, 1L))) === all)
   }
+
+
+  test("min/max over ANY ledgered column serve from METADATA (not " +
+      "just key/z-order/transform columns); all-NULL columns refuse " +
+      "to metadata-serve but answer exactly") {
+    val base = Files.createTempDirectory("graft_leafstats_agg").toString
+    val root = s"$base/t"
+    GraftTable.create(spark, root, rows(5000), "k", nBuckets = 4)
+    val cat = "glfa" + TestIds.next()
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    val q = spark.sql(
+      s"SELECT min(v) AS mn, max(v) AS mx, count(*) AS c FROM $cat.t")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("servedAggregates"),
+      "a secondary-column min/max must serve from the #minmax ledger")
+    assert(q.as[(Long, Long, Long)].head() === ((3L, 15000L, 5000L)))
+    // nv is NULL for k <= 2500: min/max still exact through the mixed
+    // (some files all-NULL) ledger
+    val q2 = spark.sql(s"SELECT min(nv) AS mn, max(nv) AS mx FROM $cat.t")
+    assert(q2.as[(Long, Long)].head() === ((2501L, 5000L)))
+    // an entirely-NULL column: metadata refuses, the scan answers NULL
+    GraftTable.create(spark, s"$base/allnull",
+      spark.range(1, 100).select($"id".as("k"),
+        lit(null).cast("long").as("z")), "k", nBuckets = 2)
+    assert(spark.sql(s"SELECT min(z) AS mn FROM $cat.allnull")
+      .collect()(0).isNullAt(0))
+  }
 }

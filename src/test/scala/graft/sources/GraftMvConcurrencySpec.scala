@@ -105,4 +105,38 @@ class GraftMvConcurrencySpec extends SparkSpec {
     assert(GraftTable.manifestNote(spark, s"$d/mv", head)
       .exists(_.startsWith("mvwindow 0 1")))
   }
+
+
+  test("auto-fresh MVs on the ingest path: graft.mv.autorefresh " +
+      "advances the MV every committed batch, replays stay idempotent, " +
+      "a dropped MV is skipped") {
+    val d = freshDir()
+    val b0 = src(200)
+    GraftTable.ingestBatch(spark, s"$d/src", b0, "k",
+      batchId = 0, queryId = "q1")
+    GraftMv.create(spark, s"$d/mv", s"$d/src", "g",
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv")))
+    GraftTable.setTableProperty(spark, s"$d/src",
+      "graft.mv.autorefresh", s"$d/mv")
+    // batch 1 repricing: the MV must be fresh with NO manual refresh
+    GraftTable.ingestBatch(spark, s"$d/src",
+      b0.filter($"k" % 7 === 1).withColumn("v", lit(-3L)), "k",
+      batchId = 1, queryId = "q1")
+    assert(got(d) === want(d), "the sink must auto-refresh the MV")
+    assert(GraftMv.refresh(spark, s"$d/mv")._2 === 0L,
+      "a manual refresh right after must be a no-op")
+    // a REPLAYED batch (same queryId+batchId) is skipped by the marker
+    // and leaves the MV consistent
+    GraftTable.ingestBatch(spark, s"$d/src",
+      b0.filter($"k" % 7 === 1).withColumn("v", lit(-3L)), "k",
+      batchId = 1, queryId = "q1")
+    assert(got(d) === want(d))
+    // dropping the MV must not wedge the sink (listed root is skipped)
+    GraftMv.drop(spark, s"$d/mv")
+    GraftTable.ingestBatch(spark, s"$d/src",
+      b0.filter($"k" % 5 === 2).withColumn("v", lit(9L)), "k",
+      batchId = 2, queryId = "q1")
+    assert(GraftTable.read(spark, s"$d/src")
+      .filter($"v" === 9L).count() > 0)
+  }
 }

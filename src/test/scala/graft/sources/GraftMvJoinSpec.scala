@@ -262,4 +262,35 @@ class GraftMvJoinSpec extends SparkSpec {
   private def want1(d: String): Seq[(Long, Long, Long)] =
     GraftMv.read(spark, s"$d/mv").select("grp", "n", "sv")
       .as[(Long, Long, Long)].collect().toSeq.sorted
+
+
+  test("SQL surface: CREATE MATERIALIZED VIEW ... FROM fact JOIN dims " +
+      "ON fk = key creates the star MV; REFRESH folds both feeds") {
+    val d = setup()
+    val cat = "gmvjs" + TestIds.next()
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", d)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv AS " +
+      s"SELECT grp, region, count(*) AS n, sum(v) AS sv " +
+      s"FROM $cat.fact JOIN $cat.dim1 ON fk1 = d1k " +
+      s"JOIN $cat.dim2 ON d2k = fk2 GROUP BY grp, region")
+    assert(got(d) === want(d))
+    // mutate BOTH sides, refresh via SQL
+    GraftTable.upsert(spark, s"$d/fact",
+      GraftTable.read(spark, s"$d/fact").filter($"k" % 31 === 2)
+        .withColumn("v", lit(-4L)), "k")
+    GraftTable.upsert(spark, s"$d/dim1",
+      Seq((5L, 1L)).toDF("d1k", "grp"), "d1k")
+    val dirty = spark.sql(s"REFRESH MATERIALIZED VIEW $cat.mv")
+      .collect()(0).getLong(1)
+    assert(dirty > 0)
+    assert(got(d) === want(d))
+    // an ON clause matching NEITHER side's key refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv2 AS " +
+        s"SELECT grp, count(*) AS n FROM $cat.fact " +
+        s"JOIN $cat.dim1 ON fk1 = grp GROUP BY grp")
+    }
+    assert(e.getMessage.contains("dim key"))
+  }
 }

@@ -416,4 +416,61 @@ class GraftMvMultiSpec extends SparkSpec {
     spark.sql(s"REFRESH MATERIALIZED VIEW $cat.mvt")
     assert(got() === want())
   }
+
+
+  test("TIME-HIERARCHY rollup: an MV at (cust, days(ts)) serves " +
+      "GROUP BY months(ts) / years(ts); truncate grains widen to " +
+      "multiple widths; non-multiples refuse") {
+    val d = freshDir()
+    val data = src(400)
+    GraftTable.create(spark, s"$d/src", data, "k", nBuckets = 2)
+    GraftMv.createGrouped(spark, s"$d/mv", s"$d/src",
+      Seq(MvGroup("cust", "cust"), MvGroup("day", "days(ts)")),
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "cents", "sv")))
+    GraftMv.createGrouped(spark, s"$d/mvt", s"$d/src",
+      Seq(MvGroup("cb", "truncate(100,cents)")),
+      Seq(MvAgg("count", "", "n")))
+    val cat = "gmvh" + TestIds.next()
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", d)
+    spark.conf.set("spark.graft.mv.rewrite.views", s"$d/mv,$d/mvt")
+    def served(q: DataFrame, mv: String): Boolean =
+      q.queryExecution.executedPlan.toString.contains(s"$d/$mv")
+    try {
+      val t = spark.table(s"$cat.src")
+      val months = PartitionTransform.parse("months(ts)").valueCol
+      val years = PartitionTransform.parse("years(ts)").valueCol
+      // months from a days-grain MV
+      val q1 = t.groupBy($"cust", months.as("mon"))
+        .agg(count(lit(1)).as("c"), sum($"cents").as("s"))
+      assert(served(q1, "mv"), "months must roll up from the days MV")
+      val want1 = data.groupBy($"cust", months.as("mon"))
+        .agg(count(lit(1)).as("c"), sum($"cents").as("s"))
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(q1.as[(Long, Long, Long, Long)].collect().toSeq.sorted
+        === want1)
+      // years, with cust rolled up too
+      val q2 = t.groupBy(years.as("yr"))
+        .agg(count(lit(1)).as("c"), sum($"cents").as("s"))
+      assert(served(q2, "mv"), "years must roll up from the days MV")
+      assert(q2.as[(Long, Long, Long)].collect().toSeq.sorted ===
+        data.groupBy(years.as("yr"))
+          .agg(count(lit(1)).as("c"), sum($"cents").as("s"))
+          .as[(Long, Long, Long)].collect().toSeq.sorted)
+      // truncate(100) widens to truncate(500)
+      val t500 = PartitionTransform.parse("truncate(500,cents)").valueCol
+      val q3 = t.groupBy(t500.as("cb")).agg(count(lit(1)).as("c"))
+      assert(served(q3, "mvt"), "truncate(500) must widen truncate(100)")
+      assert(q3.as[(Long, Long)].collect().toSeq.sorted ===
+        data.groupBy(t500.as("cb")).agg(count(lit(1)).as("c"))
+          .as[(Long, Long)].collect().toSeq.sorted)
+      // a NON-multiple width must refuse (250 % 100 != 0)
+      val t250 = PartitionTransform.parse("truncate(250,cents)").valueCol
+      val q4 = t.groupBy(t250.as("cb")).agg(count(lit(1)).as("c"))
+      assert(!served(q4, "mvt"), "truncate(250) must refuse")
+      assert(q4.as[(Long, Long)].collect().toSeq.sorted ===
+        data.groupBy(t250.as("cb")).agg(count(lit(1)).as("c"))
+          .as[(Long, Long)].collect().toSeq.sorted)
+    } finally spark.conf.unset("spark.graft.mv.rewrite.views")
+  }
 }
