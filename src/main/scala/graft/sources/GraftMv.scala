@@ -176,6 +176,11 @@ object GraftMv {
     * advanced the def first (the caller re-reads and re-decides;
     * every refresh-protocol def write goes through here). `prev = -1`
     * migrates a legacy overwrite-file MV to its first versioned def. */
+  /** Def versions retained behind the head — enough that any racer
+    * still mid-decision on a recent version can re-read it; only the
+    * LATEST is authoritative, so older files are pure history. */
+  private val DefRetain = 16
+
   private def writeDefCas(spark: SparkSession, mvRoot: String,
       d: MvDef, prev: Int): Unit = {
     val p = defVPath(mvRoot, prev + 1)
@@ -184,6 +189,17 @@ object GraftMv {
     // a cursor advance changes rewrite-visible freshness exactly like
     // a table commit — invalidate same-session planning memos
     GraftTable.commitEpoch.incrementAndGet()
+    // RETENTION: a per-minute refresher writes ~2 def versions per
+    // window — without pruning the _log would grow thousands of tiny
+    // files a day. Old versions are sweep-safe (readers take the max;
+    // the CAS arbitrates only on the NEXT version), best-effort (a
+    // failed delete retries on the next write).
+    val doomed = prev + 1 - DefRetain
+    if (doomed >= 0 && doomed % 4 == 0) // amortized: sweep every 4th
+      (math.max(0, doomed - 8) to doomed).foreach { n =>
+        try { f.delete(defVPath(mvRoot, n), false); () }
+        catch { case _: Exception => () }
+      }
   }
 
   private def readDef(spark: SparkSession, mvRoot: String): MvDef =
@@ -594,8 +610,22 @@ object GraftMv {
       nBuckets: Int = 8): (Int, Long) = {
     var attempts = 0
     while (true) {
-      try return refreshOnce(spark, mvRoot, nBuckets)
-      catch {
+      try {
+        val out = refreshOnce(spark, mvRoot, nBuckets)
+        // AUTO-MAINTENANCE of the BACKING TABLE: a per-minute
+        // refresher lands ~1 small commit per window — with
+        // `graft.maintenance.auto` on the MV table, the free probe
+        // ladder bounds its file count with no manual verbs (the
+        // ladder's commits are "foreign" to any racing refresher,
+        // which the steal protocol re-pins around).
+        if (out._2 > 0 && GraftTable.tableProperties(spark, mvRoot)
+            .get("graft.maintenance.auto").contains("true")) {
+          GraftTable.maintainIfDue(spark, mvRoot,
+            keyOf(readDef(spark, mvRoot)))
+          ()
+        }
+        return out
+      } catch {
         // a lost CAS (def publish or pinned apply): a twin moved the
         // protocol forward — re-read and re-decide from its state
         case _: GraftTable.ConcurrentCommitException if attempts < 10 =>

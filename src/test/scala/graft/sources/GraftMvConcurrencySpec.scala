@@ -139,4 +139,64 @@ class GraftMvConcurrencySpec extends SparkSpec {
     assert(GraftTable.read(spark, s"$d/src")
       .filter($"v" === 9L).count() > 0)
   }
+
+
+  test("metadata stays BOUNDED under a long refresh chain: def-version " +
+      "retention sweeps old cursors; graft.maintenance.auto on the MV " +
+      "table bounds its file count; content stays exact throughout") {
+    val d = freshDir()
+    GraftTable.create(spark, s"$d/src", src(400), "k", nBuckets = 2)
+    GraftMv.create(spark, s"$d/mv", s"$d/src", "g",
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv")))
+    GraftTable.setTableProperty(spark, s"$d/mv",
+      "graft.maintenance.auto", "true")
+    GraftTable.setTableProperty(spark, s"$d/mv",
+      "graft.compact.targetRows", "100000")
+    (1 to 25).foreach { i =>
+      GraftTable.upsert(spark, s"$d/src",
+        src(400).filter($"k" % 29 === i % 29)
+          .withColumn("v", lit(i.toLong)), "k")
+      GraftMv.refresh(spark, s"$d/mv")
+    }
+    assert(got(d) === want(d), "25 windows must stay exact")
+    val log = new java.io.File(s"$d/mv/_log")
+    val nDefs = log.listFiles().count(_.getName.matches("mvdef-v\\d+\\.def"))
+    assert(nDefs <= 30,
+      s"def versions must be retention-bounded, found $nDefs")
+    val nFiles = GraftTable.snapshotFileLedger(spark, s"$d/mv",
+      GraftTable.latestVersion(spark, s"$d/mv")).size
+    assert(nFiles <= 12,
+      s"auto-maintenance must bound the MV's file count, found $nFiles")
+  }
+
+  test("MV over an MV composes: a months rollup MV sourced FROM the " +
+      "days MV refreshes through the chain (an MV is a graft table " +
+      "with its own change feed)") {
+    val d = freshDir()
+    val data = spark.range(1, 401).select($"id".as("k"),
+      ($"id" % 9).as("g"),
+      timestamp_seconds($"id" * 21600).as("ts"), ($"id" * 3).as("v"))
+    GraftTable.create(spark, s"$d/src", data, "k", nBuckets = 2)
+    // MV1: (g, day) from the source
+    GraftMv.createGrouped(spark, s"$d/mv1", s"$d/src",
+      Seq(MvGroup("g", "g"), MvGroup("day", "days(ts)")),
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv")))
+    // MV2: per-g totals FROM MV1 (sums of sums — exact for count/sum)
+    GraftMv.create(spark, s"$d/mv2", s"$d/mv1", "g",
+      Seq(MvAgg("sum", "n", "n_total"), MvAgg("sum", "sv", "sv_total")))
+    def want2() = GraftTable.read(spark, s"$d/src").groupBy("g")
+      .agg(count(lit(1)).as("n_total"), sum("v").as("sv_total"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    def got2() = GraftMv.read(spark, s"$d/mv2")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got2() === want2())
+    // source changes ripple: refresh MV1, then MV2 off MV1's feed
+    GraftTable.upsert(spark, s"$d/src",
+      data.filter($"k" % 13 === 4).withColumn("v", lit(-6L)), "k")
+    GraftTable.deleteWhere(spark, s"$d/src", $"k" % 17 === 5, "k")
+    GraftMv.refresh(spark, s"$d/mv1")
+    val (_, dirty2) = GraftMv.refresh(spark, s"$d/mv2")
+    assert(dirty2 > 0, "MV1's apply must feed MV2's change window")
+    assert(got2() === want2())
+  }
 }
