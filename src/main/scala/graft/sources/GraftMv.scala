@@ -714,6 +714,10 @@ object GraftMv {
     val dimHeads =
       if (dimTargets.size == d.joins.size) dimTargets
       else d.joins.map(_.lastV)
+    require(from == d.lastV && d.joins.map(_.lastV).size ==
+      dimHeads.size,
+      s"refresh window [$from -> $to] must start at the cursor " +
+        s"(${d.lastV}) — a drifted intent would replay the wrong delta")
     val feed0 =
       if (d.joins.isEmpty)
         GraftTable.changes(spark, d.source, from, to,
