@@ -4,14 +4,31 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One aggregate column of a materialized view: `kind` ∈
-  * count | sum | min | max | avg (`col` ignored for count). Values
+  * count | sum | min | max | avg. `count` with an EMPTY `col` is
+  * `count(*)`; with a column it is SQL `count(col)` — the non-null
+  * row count, maintainable for free (it IS the hidden non-null
+  * ledger machinery under a visible alias: ± delta on the
+  * null-guarded sign, never NULL, 0 when every input is NULL). Values
   * are maintained as longs — the engine-wide cents/epoch idiom, exact
-  * under delta arithmetic (no float drift across refreshes). `avg`
-  * never materializes the quotient (that would turn an exact delta
-  * into a lossy one): the MV stores a hidden exact (sum, non-null
-  * count) pair and [[GraftMv.read]] serves `sum / count` — a
-  * delta-maintained avg with zero drift. */
-final case class MvAgg(kind: String, col: String, alias: String) {
+  * under delta arithmetic (no float drift across refreshes). A
+  * DECIMAL(p≤18, s) measure (the reference's own `price_each
+  * DECIMAL(10,2)`, Import.sql:72) rides the SAME long ledger as its
+  * UNSCALED value (`123.45 → 12345`, exact — decimal×10^s is integral
+  * by definition); [[GraftMv.read]] reconstructs the decimal at the
+  * query type. FLOAT/DOUBLE measures REFUSE at create — a float sum
+  * cannot be exactly delta-maintained (retraction drift), and a
+  * silently-truncating cast is worse than an error. `avg` never
+  * materializes the quotient (that would turn an exact delta into a
+  * lossy one): the MV stores a hidden exact (sum, non-null count)
+  * pair and [[GraftMv.read]] serves `sum / count` — a delta-maintained
+  * avg with zero drift.
+  *
+  * `prec`/`scale` are INTERNAL: create derives them from the source
+  * column's type (0/0 for integral/date/timestamp; the DecimalType's
+  * precision/scale otherwise) and persists them in the def so every
+  * refresh and read scales identically. Callers pass the 3-arg form. */
+final case class MvAgg(kind: String, col: String, alias: String,
+    prec: Int = 0, scale: Int = 0) {
   require(Set("count", "sum", "min", "max", "avg")(kind),
     s"MvAgg kind must be count|sum|min|max|avg, got '$kind'")
 }
@@ -34,20 +51,25 @@ final case class MvGroup(alias: String, expr: String) {
 }
 
 /** One DIMENSION of a STAR-JOIN materialized view: the MV's relation
-  * is `fact INNER JOIN dim ON fact.fk = dim.dimKey` folded over every
-  * join — the standard warehouse denormalization (the reference's own
-  * fact cube joins product/location/time dims the same way,
-  * FactTable.sql:15-110). `dimKey` is the dim table's RECORDED key, so
-  * each fact row matches at most one dim row (the keyed-table
-  * uniqueness invariant is what makes the join N:1 and the aggregate
-  * deltas exact). `cols` is the dim's projected NON-KEY column set —
-  * exactly the columns the MV's groups/aggregates/filter reference,
-  * frozen at create so every refresh enriches identically. `lastV` is
-  * the dim version the MV is refreshed to (each dim gets its own
-  * cursor — a dim commit makes the MV stale exactly like a fact
-  * commit). */
+  * is `fact INNER JOIN dim ON holder.fk = dim.dimKey` folded over
+  * every join — the standard warehouse denormalization (the
+  * reference's own fact cube joins product/location/time dims the
+  * same way, FactTable.sql:15-110). `dimKey` is the dim table's
+  * RECORDED key, so each joined row matches at most one dim row (the
+  * keyed-table uniqueness invariant is what makes the join N:1 and
+  * the aggregate deltas exact). `cols` is the dim's projected NON-KEY
+  * column set — the columns the MV's groups/aggregates/filter
+  * reference PLUS any chained child's foreign key, frozen at create
+  * so every refresh enriches identically. `lastV` is the dim version
+  * the MV is refreshed to (each dim gets its own cursor — a dim
+  * commit makes the MV stale exactly like a fact commit). `via` names
+  * the relation HOLDING `fk`: empty = the fact (a flat star spoke);
+  * a dim root = a SNOWFLAKE CHAIN link (the reference's own location
+  * collapse street→city→state, LocationDimension.sql:171-180) — the
+  * parent must be declared BEFORE the child, so the enrichment fold
+  * always finds the fk column already joined in. */
 final case class MvJoin(dim: String, fk: String, dimKey: String,
-    lastV: Int, cols: Seq[String])
+    lastV: Int, cols: Seq[String], via: String = "")
 
 /** INCREMENTAL MATERIALIZED VIEWS over a graft table — the engine's
   * answer to "keep this GROUP BY fresh without recomputing it": the
@@ -156,12 +178,21 @@ object GraftMv {
       if (d.groups.size == 1 && g.isBare) b ++= s"group\t${g.alias}\n"
       else b ++= s"group\t${g.alias}\t${g.expr}\n"
     }
+    // legacy 6-field join line for flat-star spokes (older readers
+    // keep working); 7-field with the fk-holder for snowflake chains
     d.joins.foreach(j => b ++= s"join\t${j.dim}\t${j.fk}\t${j.dimKey}\t" +
-      s"${j.lastV}\t${j.cols.mkString(",")}\n")
+      s"${j.lastV}\t${j.cols.mkString(",")}" +
+      (if (j.via.isEmpty) "" else s"\t${j.via}") + "\n")
     d.keymode.foreach(e =>
       b ++= s"keymode\t${if (e) "encoded" else "direct"}\n")
     d.filter.foreach(f => b ++= s"filter\t$f\n")
-    d.aggs.foreach(a => b ++= s"agg\t${a.kind}\t${a.col}\t${a.alias}\n")
+    // legacy 4-field agg line for integral measures (older readers
+    // keep working); 6-field with precision/scale for decimals
+    d.aggs.foreach(a =>
+      if (a.scale == 0 && a.prec == 0)
+        b ++= s"agg\t${a.kind}\t${a.col}\t${a.alias}\n"
+      else b ++= s"agg\t${a.kind}\t${a.col}\t${a.alias}\t${a.prec}\t" +
+        s"${a.scale}\n")
     b ++= s"lastv\t${d.lastV}\n"
     d.pending.foreach { case (f, t, e, dv) =>
       // legacy 3-field form when there are no joins (older readers)
@@ -248,9 +279,14 @@ object GraftMv {
             cols.split(',').filter(_.nonEmpty).toSeq)
         case Array("join", dim, fk, dk, v) => // zero projected columns
           joins += MvJoin(dim, fk, dk, v.toInt, Seq.empty)
+        case Array("join", dim, fk, dk, v, cols, via) =>
+          joins += MvJoin(dim, fk, dk, v.toInt,
+            cols.split(',').filter(_.nonEmpty).toSeq, via)
         case Array("keymode", v) => keymode = Some(v == "encoded")
         case Array("filter", v) => filt = Some(v)
         case Array("agg", k, c, a) => aggs += MvAgg(k, c, a)
+        case Array("agg", k, c, a, p, s) =>
+          aggs += MvAgg(k, c, a, p.toInt, s.toInt)
         case Array("lastv", v) => lastV = v.toInt
         case Array("pending", f0, t, e) =>
           pending = Some((f0.toInt, t.toInt, e.toInt, Seq.empty))
@@ -352,6 +388,20 @@ object GraftMv {
   private def visibleStored(aggs: Seq[MvAgg]): Seq[String] =
     aggs.filterNot(_.kind == "avg").map(_.alias)
 
+  private[sources] def pow10(s: Int): Long = {
+    var v = 1L; var i = 0; while (i < s) { v *= 10L; i += 1 }; v
+  }
+
+  /** One measure value on the long ledger: integral/date/timestamp
+    * casts directly (the cents/epoch idiom); DECIMAL(p,s) stores its
+    * UNSCALED value — `value × 10^s` is integral by the decimal's own
+    * definition, and decimal multiplication is exact, so the cast
+    * truncates nothing. p ≤ 18 (enforced at create) keeps the unscaled
+    * value inside long. */
+  private def ledgerCol(c: String, scale: Int): Column =
+    if (scale == 0) col(c).cast("long")
+    else (col(c) * lit(pow10(scale))).cast("long")
+
   /** Full-aggregation columns: the user's aggregates, plus a NON-NULL
     * count per sum column (SQL sum of zero non-null inputs is NULL —
     * a pure ± delta can't know when the last non-null contribution
@@ -359,24 +409,28 @@ object GraftMv {
     * (sum, non-null count) pair, plus the live-row count. */
   private def aggCols(aggs: Seq[MvAgg]): Seq[org.apache.spark.sql.Column] =
     (aggs.flatMap {
-      case MvAgg("count", _, alias) => Seq(count(lit(1)).as(alias))
-      case MvAgg("sum", c, alias) => Seq(sum(col(c).cast("long")).as(alias))
-      case MvAgg("min", c, alias) => Seq(min(col(c).cast("long")).as(alias))
-      case MvAgg("max", c, alias) => Seq(max(col(c).cast("long")).as(alias))
-      case MvAgg("avg", _, _) => Seq.empty // hidden pair below
+      case MvAgg("count", "", alias, _, _) => Seq(count(lit(1)).as(alias))
+      case MvAgg("count", c, alias, _, _) => Seq(count(col(c)).as(alias))
+      case MvAgg("sum", c, alias, _, s) =>
+        Seq(sum(ledgerCol(c, s)).as(alias))
+      case MvAgg("min", c, alias, _, s) =>
+        Seq(min(ledgerCol(c, s)).as(alias))
+      case MvAgg("max", c, alias, _, s) =>
+        Seq(max(ledgerCol(c, s)).as(alias))
+      case MvAgg("avg", _, _, _, _) => Seq.empty // hidden pair below
       case a => sys.error(s"unreachable: $a")
     }) ++ aggs.flatMap {
-      case MvAgg("sum", c, alias) => Seq(count(col(c)).as(nnOf(alias)))
-      case MvAgg("avg", c, alias) => Seq(
-        sum(col(c).cast("long")).as(sOf(alias)),
+      case MvAgg("sum", c, alias, _, _) => Seq(count(col(c)).as(nnOf(alias)))
+      case MvAgg("avg", c, alias, _, s) => Seq(
+        sum(ledgerCol(c, s)).as(sOf(alias)),
         count(col(c)).as(nnOf(alias)))
       case _ => Seq.empty
     } :+ count(lit(1)).as(HiddenN)
 
   private def hiddenCols(aggs: Seq[MvAgg]): Seq[String] =
     aggs.flatMap {
-      case MvAgg("sum", _, alias) => Seq(nnOf(alias))
-      case MvAgg("avg", _, alias) => Seq(sOf(alias), nnOf(alias))
+      case MvAgg("sum", _, alias, _, _) => Seq(nnOf(alias))
+      case MvAgg("avg", _, alias, _, _) => Seq(sOf(alias), nnOf(alias))
       case _ => Seq.empty
     } :+ HiddenN
 
@@ -404,12 +458,18 @@ object GraftMv {
     * fact⋈dim(s) MV every warehouse maintains (the reference's own
     * analytics are this shape: revenue by nation is
     * orders⋈customer⋈nation). `dims` pairs each dim's table root with
-    * the FACT's foreign-key column; the join lands on the dim's
-    * recorded key (N:1 by the keyed-table uniqueness invariant), so
-    * groups and the filter may reference dim columns while aggregates
-    * stay exact under delta maintenance. Each dim gets its own refresh
-    * cursor: a dim commit makes the MV stale exactly like a fact
-    * commit, and [[refresh]] folds BOTH sides' change feeds. */
+    * its foreign-key column — held by the FACT (a flat spoke) or by a
+    * PREVIOUSLY-DECLARED dim (a SNOWFLAKE CHAIN: fact→customer→nation
+    * — the reference's own location collapse street→city→state,
+    * LocationDimension.sql:171-180; the holder is auto-resolved, and
+    * a parent must be declared before its child). Every join lands on
+    * the dim's recorded key (N:1 by the keyed-table uniqueness
+    * invariant), so groups and the filter may reference dim columns
+    * at any chain depth while aggregates stay exact under delta
+    * maintenance. Each dim gets its own refresh cursor: a dim commit
+    * at any level makes the MV stale exactly like a fact commit, and
+    * [[refresh]] folds EVERY relation's change feed (one telescoping
+    * term per chain level — see [[starFeed]]). */
   def createJoined(spark: SparkSession, mvRoot: String,
       factRoot: String, dims: Seq[(String, String)], groups: Seq[MvGroup],
       aggs: Seq[MvAgg], nBuckets: Int = 8,
@@ -435,21 +495,61 @@ object GraftMv {
           case TruncatePartition(_, c) => c
           case BucketPartition(_, c) => c
         }) ++
-      aggs.filterNot(_.kind == "count").map(_.col) ++
-      filter.toSeq.flatMap(f =>
-        "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(f).toSeq)
+      aggs.map(_.col).filter(_.nonEmpty) ++
+      // PARSE the filter and take its attribute references — a regex
+      // scrape read string literals ('cust') as column names and could
+      // spuriously trip the ambiguity refusal below
+      filter.toSeq.flatMap { f =>
+        spark.sessionState.sqlParser.parseExpression(f).collect {
+          case u: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute => u.nameParts.mkString(".")
+        }
+      }
     ).distinct
-    val joins = dims.map { case (dimRoot, fk) =>
-      val dv = GraftTable.latestVersion(spark, dimRoot)
-      require(dv >= 0, s"no dim table at $dimRoot")
-      val dimKey = GraftTable.keyColumn(spark, dimRoot).getOrElse(
-        sys.error(s"MV dim at $dimRoot needs a recorded key column"))
-      require(factSchema.fieldNames.contains(fk),
-        s"foreign key '$fk' is not a fact column")
-      val dimSchema = GraftTable.read(spark, dimRoot, Some(dv)).schema
-      val cols = needed.filter(n => n != dimKey &&
-        dimSchema.fieldNames.contains(n))
-      MvJoin(dimRoot, fk, dimKey, dv, cols)
+    // resolve each dim's fk HOLDER: the fact (flat spoke) or a
+    // PREVIOUSLY-DECLARED dim (snowflake chain — street→city→state,
+    // LocationDimension.sql:171-180). Declaration order is the join
+    // order, so a chain's parent must come first; the fk must live in
+    // EXACTLY ONE of (fact, earlier dims) — ambiguity or absence
+    // refuses at create, never guesses.
+    val dimSchemas = scala.collection.mutable.Map[String,
+      org.apache.spark.sql.types.StructType]()
+    val joins0 = dims.foldLeft(Seq.empty[MvJoin]) {
+      case (acc, (dimRoot, fk)) =>
+        val dv = GraftTable.latestVersion(spark, dimRoot)
+        require(dv >= 0, s"no dim table at $dimRoot")
+        val dimKey = GraftTable.keyColumn(spark, dimRoot).getOrElse(
+          sys.error(s"MV dim at $dimRoot needs a recorded key column"))
+        val holders = (if (factSchema.fieldNames.contains(fk))
+          Seq("") else Seq.empty) ++
+          acc.filter(j => dimSchemas(j.dim).fieldNames.contains(fk))
+            .map(_.dim)
+        require(holders.nonEmpty, s"foreign key '$fk' is not a column " +
+          "of the fact or any previously-declared dim (a snowflake " +
+          "chain's parent dim must be declared before its child)")
+        require(holders.size == 1, s"foreign key '$fk' is ambiguous " +
+          s"across ${holders.map(h => if (h.isEmpty) "fact" else h)
+            .mkString(", ")} — rename it so exactly one relation " +
+          "holds it")
+        val dimSchema = GraftTable.read(spark, dimRoot, Some(dv)).schema
+        dimSchemas(dimRoot) = dimSchema
+        val cols = needed.filter(n => n != dimKey &&
+          dimSchema.fieldNames.contains(n))
+        acc :+ MvJoin(dimRoot, fk, dimKey, dv, cols, holders.head)
+    }
+    // a chained child's fk must ride its parent's projection (the
+    // enrichment fold and the change-feed terms join through it)
+    val joins = joins0.map { j =>
+      val childFks = joins0.filter(_.via == j.dim).map(_.fk)
+      // the enrichment fold drops the parent's join key after use, so
+      // a chain THROUGH the parent's own key column cannot be joined
+      // downstream — name a dedicated fk column instead
+      require(!childFks.contains(j.dimKey),
+        s"chained foreign key '${j.dimKey}' is ${j.dim}'s own key " +
+          "column — a snowflake link needs a dedicated fk column on " +
+          "the parent dim")
+      if (childFks.isEmpty) j
+      else j.copy(cols = (j.cols ++ childFks).distinct)
     }
     // ambiguity check over the NEEDED names only
     needed.foreach { n =>
@@ -511,6 +611,50 @@ object GraftMv {
       require(cond.forall(_.deterministic),
         s"MV filter must be deterministic, got '${filter.get}'")
     }
+    // MEASURE TYPES resolve at create, against the ENRICHED relation
+    // (a star MV's measure may live on a dim): integral/date/timestamp
+    // ride the long ledger directly; DECIMAL(p≤18, s) rides it as the
+    // exact unscaled value with (p, s) persisted in the def;
+    // FLOAT/DOUBLE/anything else REFUSES LOUDLY — the old behavior
+    // silently cast to long, so an MV over the reference's own
+    // DECIMAL(10,2) measure (Import.sql:72) served truncated sums.
+    val aggsR = aggs.map { a =>
+      if (a.kind == "count") {
+        // count(col) counts non-null rows of ANY type — only existence
+        // is checked (count(*) has an empty col)
+        require(a.col.isEmpty || filtered.schema.fieldNames.contains(a.col),
+          s"MV count('${a.col}') is not a column of the MV's " +
+            "(enriched) relation")
+        a.copy(prec = 0, scale = 0)
+      }
+      else {
+        val f = filtered.schema.fields.find(_.name == a.col).getOrElse(
+          sys.error(s"MV aggregate column '${a.col}' is not a column " +
+            "of the MV's (enriched) relation"))
+        f.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.DateType |
+               org.apache.spark.sql.types.TimestampType =>
+            a.copy(prec = 0, scale = 0)
+          case d: org.apache.spark.sql.types.DecimalType =>
+            require(d.precision <= 18,
+              s"MV ${a.kind}('${a.col}') over DECIMAL(${d.precision}," +
+                s"${d.scale}): precision above 18 does not fit the " +
+                "exact long ledger — pre-scale into a narrower decimal " +
+                "or an integral (cents) column")
+            a.copy(prec = d.precision, scale = d.scale)
+          case other => sys.error(
+            s"MV ${a.kind}('${a.col}') needs an integral, " +
+              "date/timestamp, or DECIMAL(p<=18) column — got " +
+              s"${other.simpleString}. A float aggregate cannot be " +
+              "exactly delta-maintained; pre-scale to an exact column " +
+              "(cents, micros) in the source instead")
+        }
+      }
+    }
     val src = withGroups(filtered, groups)
     val gCols = groups.map(g => col(g.alias))
     // the MV table's key must be non-null (NULL keys break every keyed
@@ -521,13 +665,13 @@ object GraftMv {
     val enc = composite(groups) ||
       src.schema.fields.find(_.name == groups.head.alias).forall(_.nullable)
     val full0 = src.groupBy(gCols: _*)
-      .agg(aggCols(aggs).head, aggCols(aggs).tail: _*)
+      .agg(aggCols(aggsR).head, aggCols(aggsR).tail: _*)
     val (full, key) =
       if (enc) (full0.withColumn(HiddenG, gidCol(groups)), HiddenG)
       else (full0, groups.head.alias)
     GraftTable.create(spark, mvRoot, full, key, nBuckets)
     writeDefCas(spark, mvRoot,
-      MvDef(sourceRoot, srcKey, groups, aggs, srcV, None, filter,
+      MvDef(sourceRoot, srcKey, groups, aggsR, srcV, None, filter,
         keymode = Some(enc), joins = joins), prev = -1)
     srcV
   }
@@ -551,16 +695,31 @@ object GraftMv {
 
   /** The MV's rows WITHOUT the bookkeeping columns — avg aliases are
     * served here as `sum / count` from the hidden exact pair (NULL
-    * when no non-null contribution lives, the SQL avg rule). */
+    * when no non-null contribution lives, the SQL avg rule). DECIMAL
+    * measures reconstruct from the unscaled long ledger at exactly the
+    * type Spark's own aggregate would produce — `sum(DECIMAL(p,s))` is
+    * `DECIMAL(min(38,p+10),s)`, min/max keep `DECIMAL(p,s)` — via
+    * [[MakeDecimal]] (the optimizer's own unscaled-long↔decimal
+    * bridge), so the transparent rewrite's result types line up with
+    * the query's and values are bit-exact. A decimal avg serves as
+    * DOUBLE (`(ledger/10^s)/count` — the engine documents avg as a
+    * double quotient everywhere). */
   def read(spark: SparkSession, mvRoot: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.MakeDecimal
+    import org.apache.spark.sql.graft.bridge
     val d = readDef(spark, mvRoot)
     var df = GraftTable.read(spark, mvRoot)
     d.aggs.foreach {
-      case MvAgg("avg", _, a) =>
+      case MvAgg("avg", _, a, _, s) =>
         df = df.withColumn(a,
           when(col(nnOf(a)) > 0L,
-            col(sOf(a)).cast("double") / col(nnOf(a)).cast("double"))
+            col(sOf(a)).cast("double") /
+              (col(nnOf(a)).cast("double") * lit(pow10(s).toDouble)))
             .otherwise(lit(null).cast("double")))
+      case MvAgg(k, _, a, p, s) if s > 0 || p > 0 =>
+        val outPrec = if (k == "sum") math.min(38, p + 10) else p
+        df = df.withColumn(a, bridge.column(
+          MakeDecimal(bridge.expression(col(a)), outPrec, s)))
       case _ => ()
     }
     df.select((d.groups.map(g => col(g.alias)) ++
@@ -759,20 +918,24 @@ object GraftMv {
           val sign = when(col("_change").isin("insert", "update_postimage"),
             lit(1L)).otherwise(lit(-1L))
           val dAggs = (d.aggs.flatMap {
-            case MvAgg("count", _, alias) => Seq(sum(sign).as(alias))
-            case MvAgg("sum", c, alias) =>
+            case MvAgg("count", "", alias, _, _) => Seq(sum(sign).as(alias))
+            case MvAgg("count", c, alias, _, _) =>
+              // count(col): ± only the NON-NULL contributions
+              Seq(sum(when(col(c).isNotNull, sign).otherwise(lit(0L)))
+                .as(alias))
+            case MvAgg("sum", c, alias, _, s) =>
               // sum skips NULL contributions; the nn delta tracks them
               Seq(sum(when(col(c).isNotNull, sign).otherwise(lit(0L)) *
-                coalesce(col(c).cast("long"), lit(0L))).as(alias))
-            case MvAgg("avg", _, _) => Seq.empty // hidden pair below
+                coalesce(ledgerCol(c, s), lit(0L))).as(alias))
+            case MvAgg("avg", _, _, _, _) => Seq.empty // hidden pair below
             case a => sys.error(s"unreachable: $a")
           }) ++ d.aggs.flatMap {
-            case MvAgg("sum", c, alias) =>
+            case MvAgg("sum", c, alias, _, _) =>
               Seq(sum(when(col(c).isNotNull, sign).otherwise(lit(0L)))
                 .as(nnOf(alias)))
-            case MvAgg("avg", c, alias) => Seq(
+            case MvAgg("avg", c, alias, _, s) => Seq(
               sum(when(col(c).isNotNull, sign).otherwise(lit(0L)) *
-                coalesce(col(c).cast("long"), lit(0L))).as(sOf(alias)),
+                coalesce(ledgerCol(c, s), lit(0L))).as(sOf(alias)),
               sum(when(col(c).isNotNull, sign).otherwise(lit(0L)))
                 .as(nnOf(alias)))
             case _ => Seq.empty
@@ -855,7 +1018,21 @@ object GraftMv {
     * dims changed, never O(dims) when only the fact changed. The N:1
     * key-unique join keeps every term a pure retraction pair: a dim
     * UPDATE contributes exactly one −old/+new row per affected fact
-    * row. */
+    * row.
+    *
+    * SNOWFLAKE CHAINS ride the same decomposition unchanged — the
+    * enriched relation is one function of the (fact, dim_1..dim_n)
+    * version vector however the fk edges nest, so the per-index
+    * old/new telescoping still sums to the exact difference; the only
+    * structural requirement is that the fold join a chain's parent
+    * before its child (the def's declaration order, enforced at
+    * create), so each `joinOne` finds its fk column — a parent's feed
+    * or projection always carries its chained children's fks
+    * ([[createJoined]] pins them into `cols`). A LEAF-dim update
+    * (nation moving region) reaches the fact through the chain term's
+    * parent joins at their OLD versions; a MID-dim update re-joins
+    * its children at THEIR old versions — each term stays a pure
+    * retraction pair. */
   private def starFeed(spark: SparkSession, d: MvDef, srcHead: Int,
       dimHeads: Seq[Int]): DataFrame = {
     val chg = "_change"

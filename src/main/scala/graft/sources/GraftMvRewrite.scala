@@ -204,11 +204,13 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
   /** Match the flattened relation against an MV definition's star
     * shape: exactly one leaf per table (fact + each dim, all distinct
     * roots), every def join realized by exactly one equi pair
-    * connecting the FACT's `fk` attribute to that dim's `dimKey`
-    * attribute (either operand order), no extra leaves and no extra
-    * equi pairs. Returns the pinned scan versions in def-join order
-    * (fact first) plus the set of join-key exprIds (whose inferred
-    * `isnotnull` decorations an inner equi-join makes vacuous). */
+    * connecting the HOLDER's `fk` attribute (the fact for a flat
+    * spoke, the parent dim for a snowflake-chain link) to that dim's
+    * `dimKey` attribute (either operand order), no extra leaves and
+    * no extra equi pairs. Returns the pinned scan versions in
+    * def-join order (fact first) plus the set of join-key exprIds
+    * (whose inferred `isnotnull` decorations an inner equi-join makes
+    * vacuous). */
   private def matchStarShape(facts: GraftMv.MvFacts, leaves: Seq[StarLeaf],
       pairs: Seq[(AttributeReference, AttributeReference)])
     : Option[(Int, Seq[Int], Set[ExprId])] = {
@@ -225,7 +227,13 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       if (dimLeaves.size != 1) return None
       val dim = dimLeaves.head
       val dimIds = dim._3.map(a => a.name -> a.exprId).toMap
-      val (fkId, dkId) = (factIds.get(j.fk), dimIds.get(j.dimKey)) match {
+      val holderIds =
+        if (j.via.isEmpty) factIds
+        else leaves.find(_._1 == j.via) match {
+          case Some(h) => h._3.map(a => a.name -> a.exprId).toMap
+          case None => return None
+        }
+      val (fkId, dkId) = (holderIds.get(j.fk), dimIds.get(j.dimKey)) match {
         case (Some(a), Some(b)) => (a, b)
         case _ => return None
       }
@@ -446,6 +454,9 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       .aggregate.AggregateFunction, aggs: Seq[MvAgg]): Option[String] = {
     val wanted: Option[(String, String)] = fn match {
       case Count(Seq(Literal(1, _))) => Some(("count", ""))
+      // SQL count(col) — the non-null count, maintained under its own
+      // alias (it IS the nn-ledger machinery made visible)
+      case Count(Seq(c: AttributeReference)) => Some(("count", c.name))
       case Sum(c: AttributeReference, _) => Some(("sum", c.name))
       case Min(c: AttributeReference) => Some(("min", c.name))
       case Max(c: AttributeReference) => Some(("max", c.name))
@@ -453,8 +464,7 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
     wanted.flatMap { case (kind, colName) =>
-      aggs.find(a => a.kind == kind &&
-        (kind == "count" || a.col == colName)).map(_.alias)
+      aggs.find(a => a.kind == kind && a.col == colName).map(_.alias)
     }
   }
 
@@ -479,7 +489,10 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.expressions.{Coalesce, Divide, GreaterThan, If}
     import org.apache.spark.sql.types.{DoubleType, LongType}
     val found: Option[MvAgg] = fn match {
-      case Count(Seq(Literal(1, _))) => aggs.find(_.kind == "count")
+      case Count(Seq(Literal(1, _))) =>
+        aggs.find(a => a.kind == "count" && a.col.isEmpty)
+      case Count(Seq(c: AttributeReference)) =>
+        aggs.find(a => a.kind == "count" && a.col == c.name)
       case Sum(c: AttributeReference, _) =>
         aggs.find(a => a.kind == "sum" && a.col == c.name)
       case Min(c: AttributeReference) =>
@@ -491,15 +504,30 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
     found.flatMap { a =>
+      // a DECIMAL measure's ledger stores the UNSCALED long; the
+      // rollup re-aggregates the ledger (exact long arithmetic) and
+      // reconstructs the decimal at exactly Spark's aggregate result
+      // type via MakeDecimal — the optimizer's own unscaled bridge
+      // (DecimalAggregates does the same rewrite in reverse)
+      import org.apache.spark.sql.catalyst.expressions.MakeDecimal
+      def asDecimal(e: Expression, outPrec: Int): Expression =
+        if (a.scale == 0 && a.prec == 0) e
+        else MakeDecimal(e, math.min(38, outPrec), a.scale)
       a.kind match {
         case "count" => byName.get(a.alias).map(x =>
           Coalesce(Seq(Sum(x).toAggregateExpression(), Literal(0L))))
         case "sum" => byName.get(a.alias)
-          .map(x => Sum(x).toAggregateExpression())
+          .map(x => asDecimal(Sum(x).toAggregateExpression(), a.prec + 10))
         case "min" => byName.get(a.alias)
-          .map(x => Min(x).toAggregateExpression())
+          .map(x => asDecimal(Min(x).toAggregateExpression(), a.prec))
         case "max" => byName.get(a.alias)
-          .map(x => Max(x).toAggregateExpression())
+          .map(x => asDecimal(Max(x).toAggregateExpression(), a.prec))
+        // avg over a decimal measure refuses (rewriteOutput's dataType
+        // check): Spark's decimal Average carries its own
+        // precision/scale promotion and division rounding — serving a
+        // double quotient would change the result type, and re-deriving
+        // the exact decimal rounding here is where rewrites go wrong
+        case "avg" if a.scale > 0 || a.prec > 0 => None
         case "avg" => for {
           s <- byName.get(sOfAlias(a.alias))
           n <- byName.get(nnOfAlias(a.alias))
@@ -618,12 +646,17 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     } catch { case _: Exception => None }
 
   /** Match the plan's filter condition against the MV's stored
-    * predicate, allowing a RESIDUAL of extra conjuncts that reference
-    * ONLY the MV's bare group columns (`bareGroupIds`) — those commute
-    * with GROUP BY and post-filter the MV read, the one provably-safe
-    * subsumption widening. Returns Some(residualConjuncts) when the
-    * rewrite may serve (possibly empty — exact match), None when it
-    * must not.
+    * predicate, allowing a RESIDUAL of extra conjuncts over the MV's
+    * GROUP columns — bare columns by reference, derived GRAINS by
+    * substituting the grain's analyzed expression tree with the
+    * STORED grain column (`WHERE months(ts) >= 660` over an MV
+    * grouped `(cust, months(ts))` post-filters the stored `mon`
+    * value — exactly as sound as the bare case: the grain value is
+    * functionally determined per MV row, so the predicate commutes
+    * with GROUP BY). Returns Some(residualConjuncts) — REWRITTEN onto
+    * group-alias attribute names, ready for the caller's by-name
+    * rebinding — when the rewrite may serve (possibly empty — exact
+    * match), None when it must not.
     *
     * Rules, in order:
     *  - every MV conjunct must be matched semantically by a plan
@@ -632,14 +665,22 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     *  - the optimizer's inferred `isnotnull(a)` decorations are
     *    absolved only by a NULL-INTOLERANT MV conjunct referencing
     *    `a` (a null-tolerant predicate like `v IS NULL OR v > 3`
-    *    keeps NULL rows — its isnotnull is load-bearing) — or kept as
-    *    residual when `a` is a bare group column;
-    *  - every remaining plan conjunct must reference only bare group
-    *    columns → residual. Anything else refuses. */
+    *    keeps NULL rows — its isnotnull is load-bearing), by
+    *    INNER-equi-join membership, or by a null-intolerant ADMITTED
+    *    grain residual over `a` (the transforms are null-preserving:
+    *    `months(ts)` is NULL iff `ts` is, so `mon >= 660` on the
+    *    stored value excludes exactly the rows `isnotnull(ts)` would)
+    *    — or kept as residual when `a` is a bare group column;
+    *  - every remaining plan conjunct must be DETERMINISTIC and
+    *    reference only bare group columns / stored grain values (a
+    *    grain INPUT reached outside its transform — `WHERE ts >= …` —
+    *    refuses: the MV stores the grain, not the input). */
   private def filterResidual(mvFilter: Option[String],
       planCs: Seq[Expression], out: Seq[Attribute],
       bareGroupIds: Set[ExprId],
-      joinKeyIds: Set[ExprId]): Option[Seq[Expression]] = {
+      joinKeyIds: Set[ExprId],
+      grains: Seq[(MvGroup, Expression)]): Option[Seq[Expression]] = {
+    import org.apache.spark.sql.catalyst.expressions.IsNotNull
     val mvCs: Seq[Expression] = mvFilter match {
       case None => Seq.empty
       case Some(txt) => resolvedMvFilter(txt, out) match {
@@ -657,22 +698,45 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         // inferred isnotnull absolved by a null-intolerant MV conjunct
         // — or by INNER-equi-join membership (the join itself discards
         // NULL keys, so the MV aggregated exactly the non-null rows)
-        case org.apache.spark.sql.catalyst.expressions
-          .IsNotNull(a: AttributeReference) =>
+        case IsNotNull(a: AttributeReference) =>
           mvStrictIds.contains(a.exprId) || joinKeyIds.contains(a.exprId)
         case _ => false
       }
-    // residual admissibility: DETERMINISTIC predicates over bare group
-    // columns only (group-column predicates commute with GROUP BY;
-    // anything touching aggregated columns or grain INPUTS does not,
-    // and a nondeterministic predicate — `g > rand()` — commutes with
-    // nothing: filtering the MV's one-row-per-group output samples a
-    // different population than filtering the source's rows)
-    if (leftovers.forall(l =>
-        l.deterministic &&
-        l.references.nonEmpty &&
-        l.references.forall(r => bareGroupIds.contains(r.exprId))))
-      Some(leftovers)
+    // one synthetic attribute per grain, carrying the GROUP ALIAS name
+    // (the caller rebinds residuals by name onto the MV's columns)
+    val grainAttrs: Map[String, AttributeReference] = grains.map {
+      case (g, ge) =>
+        g.alias -> AttributeReference(g.alias, ge.dataType,
+          nullable = true)()
+    }.toMap
+    val grainAttrIds = grainAttrs.values.map(_.exprId).toSet
+    // rewrite one conjunct onto bare groups + STORED grain values
+    def bind(l: Expression): Option[Expression] = {
+      val sub =
+        if (grains.isEmpty) l
+        else l.transformUp {
+          case x if grains.exists(p => sameExpr(p._2, x)) =>
+            grainAttrs(grains.find(p => sameExpr(p._2, x)).get._1.alias)
+        }
+      if (sub.deterministic && sub.references.nonEmpty &&
+          sub.references.forall(r => bareGroupIds.contains(r.exprId) ||
+            grainAttrIds.contains(r.exprId))) Some(sub)
+      else None
+    }
+    val bound = leftovers.map(l => l -> bind(l))
+    // inputs of null-intolerant admitted GRAIN residuals absolve the
+    // inferred isnotnull on those inputs (see the doc rule above)
+    val absolvedIds = bound.collect {
+      case (orig, Some(b)) if nullIntolerant(orig) &&
+          b.references.exists(r => grainAttrIds.contains(r.exprId)) =>
+        orig.references.toSeq.map(_.exprId)
+    }.flatten.toSet
+    val remaining = bound.filterNot {
+      case (IsNotNull(a: AttributeReference), _) =>
+        absolvedIds.contains(a.exprId)
+      case _ => false
+    }
+    if (remaining.forall(_._2.isDefined)) Some(remaining.flatMap(_._2))
     else None
   }
 
@@ -752,9 +816,11 @@ case class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
                         v == j.lastV && j.lastV == memoHead(j.dim) } =>
               val bareGroupIds = facts.groups.filter(_.isBare)
                 .flatMap(g => relByName.get(g.alias)).map(_.exprId).toSet
+              val grainPairs = facts.groups.filterNot(_.isBare)
+                .flatMap(g => grainExpr(g, allOut).map(g -> _))
               (matchGroups(groupingExprs, facts.groups, allOut),
                 filterResidual(facts.filter, planCs, allOut,
-                  bareGroupIds, joinKeyIds)) match {
+                  bareGroupIds, joinKeyIds, grainPairs)) match {
                 case (Some((groupSub, rolledUp)), Some(residual)) =>
                   // EXACT (bijective, no coarsened grains) match
                   // serves the stored rows by projection; anything

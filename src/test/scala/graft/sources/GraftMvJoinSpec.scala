@@ -293,4 +293,140 @@ class GraftMvJoinSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("dim key"))
   }
+
+  /** fact(k, city_fk, v) -> city(ck, state_fk, cname) -> state(sk,
+    * region): the reference's own snowflake collapse
+    * (street->city->state, LocationDimension.sql:171-180). */
+  private def chainSetup(): String = {
+    val d = freshDir()
+    val fact = spark.range(1, 501).select($"id".as("k"),
+      ($"id" % 30).as("city_fk"), ($"id" * 3).as("v"))
+    val city = spark.range(0, 30).select($"id".as("ck"),
+      ($"id" % 7).as("state_fk"),
+      concat(lit("c"), $"id".cast("string")).as("cname"))
+    val state = spark.range(0, 7).select($"id".as("sk"),
+      concat(lit("R"), ($"id" % 3).cast("string")).as("region"))
+    GraftTable.create(spark, s"$d/fact", fact, "k", nBuckets = 2)
+    GraftTable.create(spark, s"$d/city", city, "ck", nBuckets = 1)
+    GraftTable.create(spark, s"$d/state", state, "sk", nBuckets = 1)
+    d
+  }
+
+  private def chainEnrich(d: String): DataFrame =
+    GraftTable.read(spark, s"$d/fact").as("f")
+      .join(GraftTable.read(spark, s"$d/city").as("c"),
+        $"f.city_fk" === $"c.ck")
+      .join(GraftTable.read(spark, s"$d/state").as("s"),
+        $"c.state_fk" === $"s.sk")
+
+  private def chainWant(d: String): Seq[(String, Long, Long)] =
+    chainEnrich(d).groupBy($"region")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+      .as[(String, Long, Long)].collect().toSeq.sorted
+
+  test("SNOWFLAKE CHAIN create: a dim's fk may live on a previously-" +
+      "declared dim (auto-resolved holder); a state-level GROUP BY " +
+      "aggregates the full chain; unresolvable or out-of-order fks " +
+      "refuse") {
+    val d = chainSetup()
+    GraftMv.createJoined(spark, s"$d/mv", s"$d/fact",
+      Seq(s"$d/city" -> "city_fk", s"$d/state" -> "state_fk"),
+      Seq(MvGroup("region", "region")),
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv")))
+    assert(GraftMv.read(spark, s"$d/mv").select("region", "n", "sv")
+      .as[(String, Long, Long)].collect().toSeq.sorted === chainWant(d))
+    // child declared before its parent: state_fk resolves nowhere
+    val e = intercept[IllegalArgumentException] {
+      GraftMv.createJoined(spark, s"$d/mv2", s"$d/fact",
+        Seq(s"$d/state" -> "state_fk", s"$d/city" -> "city_fk"),
+        Seq(MvGroup("region", "region")), Seq(MvAgg("count", "", "n")))
+    }
+    assert(e.getMessage.contains("previously-declared"))
+  }
+
+  test("SNOWFLAKE CHAIN deltas: fact reprice, MID-dim update (a city " +
+      "MOVES state — fact rows change groups), and LEAF-dim update " +
+      "(a state MOVES region) each refresh exactly") {
+    val d = chainSetup()
+    GraftMv.createJoined(spark, s"$d/mv", s"$d/fact",
+      Seq(s"$d/city" -> "city_fk", s"$d/state" -> "state_fk"),
+      Seq(MvGroup("region", "region")),
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv")))
+    // 1: fact-side reprice + delete
+    GraftTable.upsert(spark, s"$d/fact",
+      GraftTable.read(spark, s"$d/fact").filter($"k" % 13 === 2)
+        .withColumn("v", lit(-5L)), "k")
+    GraftTable.deleteWhere(spark, s"$d/fact", $"k" % 17 === 3, "k")
+    var (_, dirty) = GraftMv.refresh(spark, s"$d/mv")
+    assert(dirty > 0)
+    assert(GraftMv.read(spark, s"$d/mv").select("region", "n", "sv")
+      .as[(String, Long, Long)].collect().toSeq.sorted === chainWant(d))
+    // 2: MID-dim — cities 3,4 move to state 6 (their fact rows must
+    // move between region groups)
+    GraftTable.upsert(spark, s"$d/city",
+      Seq((3L, 6L, "c3"), (4L, 6L, "c4")).toDF("ck", "state_fk", "cname"),
+      "ck")
+    val r2 = GraftMv.refresh(spark, s"$d/mv")
+    assert(r2._2 > 0)
+    assert(GraftMv.read(spark, s"$d/mv").select("region", "n", "sv")
+      .as[(String, Long, Long)].collect().toSeq.sorted === chainWant(d))
+    // 3: LEAF-dim — state 5 moves region (every fact row reaching it
+    // through any city moves group)
+    GraftTable.upsert(spark, s"$d/state",
+      Seq((5L, "R9")).toDF("sk", "region"), "sk")
+    val r3 = GraftMv.refresh(spark, s"$d/mv")
+    assert(r3._2 > 0)
+    assert(GraftMv.read(spark, s"$d/mv").select("region", "n", "sv")
+      .as[(String, Long, Long)].collect().toSeq.sorted === chainWant(d))
+    // convergence: refresh again is a no-op
+    assert(GraftMv.refresh(spark, s"$d/mv")._2 === 0L)
+  }
+
+  test("SNOWFLAKE CHAIN rewrite: the 3-deep star query serves from " +
+      "the MV; a LEAF-dim commit makes it stale exactly like a fact " +
+      "commit") {
+    val d = chainSetup()
+    GraftMv.createJoined(spark, s"$d/mv", s"$d/fact",
+      Seq(s"$d/city" -> "city_fk", s"$d/state" -> "state_fk"),
+      Seq(MvGroup("region", "region")),
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv")))
+    val cat = "gmvsn" + TestIds.next()
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", d)
+    spark.conf.set("spark.graft.mv.rewrite.views", s"$d/mv")
+    def served(q: DataFrame): Boolean =
+      q.queryExecution.executedPlan.toString.contains(s"$d/mv")
+    try {
+      val q = spark.sql(s"SELECT region, count(*) AS c, sum(v) AS s " +
+        s"FROM $cat.fact f JOIN $cat.city c ON f.city_fk = c.ck " +
+        s"JOIN $cat.state st ON c.state_fk = st.sk GROUP BY region")
+      assert(served(q), "the chain star query must serve from the MV")
+      assert(q.orderBy("region").collect().toSeq ===
+        chainEnrich(d).groupBy($"region")
+          .agg(count(lit(1)).as("c"), sum($"v").as("s"))
+          .orderBy("region").collect().toSeq)
+      // global rollup over the chain
+      val qg = spark.sql(s"SELECT sum(v) AS s FROM $cat.fact f " +
+        s"JOIN $cat.city c ON f.city_fk = c.ck " +
+        s"JOIN $cat.state st ON c.state_fk = st.sk")
+      assert(served(qg), "the global rollup must serve")
+      assert(qg.as[Long].head() ===
+        chainEnrich(d).agg(sum($"v")).as[Long].head())
+      // leaf-dim commit -> stale -> refuse; refresh re-arms
+      GraftTable.upsert(spark, s"$d/state",
+        Seq((2L, "R7")).toDF("sk", "region"), "sk")
+      val q2 = spark.sql(s"SELECT region, count(*) AS c " +
+        s"FROM $cat.fact f JOIN $cat.city c ON f.city_fk = c.ck " +
+        s"JOIN $cat.state st ON c.state_fk = st.sk GROUP BY region")
+      assert(!served(q2), "a stale leaf dim must disable the rewrite")
+      GraftMv.refresh(spark, s"$d/mv")
+      val q3 = spark.sql(s"SELECT region, count(*) AS c " +
+        s"FROM $cat.fact f JOIN $cat.city c ON f.city_fk = c.ck " +
+        s"JOIN $cat.state st ON c.state_fk = st.sk GROUP BY region")
+      assert(served(q3), "REFRESH re-arms the chain rewrite")
+      assert(q3.orderBy("region").collect().toSeq ===
+        chainEnrich(d).groupBy($"region").agg(count(lit(1)).as("c"))
+          .orderBy("region").collect().toSeq)
+    } finally spark.conf.unset("spark.graft.mv.rewrite.views")
+  }
 }

@@ -373,6 +373,98 @@ class GraftMvRewriteSpec extends SparkSpec {
   }
 
 
+  test("GRAIN residual: a WHERE over the grain's transform serves by " +
+      "post-filtering the STORED grain value (rollup and exact forms); " +
+      "a grain-INPUT predicate still refuses") {
+    val d = freshDir()
+    val data = spark.range(1, 601).select($"id".as("k"),
+      ($"id" % 10).as("g"),
+      timestamp_seconds($"id" * 21600).as("ts"), ($"id" * 3).as("v"))
+    GraftTable.create(spark, s"$d/src", data, "k", nBuckets = 2)
+    GraftMv.createGrouped(spark, s"$d/mvg", s"$d/src",
+      Seq(MvGroup("g", "g"), MvGroup("day", "days(ts)")),
+      Seq(MvAgg("count", "", "n"), MvAgg("sum", "v", "sv")))
+    val cat = "gmvgr" + TestIds.next()
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", d)
+    def served(q: org.apache.spark.sql.DataFrame): Boolean =
+      q.queryExecution.executedPlan.toString.contains(s"$d/mvg")
+    val grain = "floor(unix_timestamp(ts) / 86400.0D)"
+    val dayCol = floor(unix_timestamp($"ts").cast("double") / 86400.0)
+      .cast("long")
+    withViews(s"$d/mvg") {
+      // ROLLUP + grain residual: time-slice the grain, group by g only
+      val q = spark.sql(s"SELECT g, count(*) AS c, sum(v) AS s " +
+        s"FROM $cat.src WHERE $grain >= 100 GROUP BY g")
+      assert(served(q), "grain residual must serve the rollup")
+      val want = data.filter(dayCol >= 100).groupBy("g")
+        .agg(count(lit(1)).as("c"), sum("v").as("s"))
+        .orderBy("g").collect().toSeq
+      assert(q.orderBy("g").collect().toSeq === want)
+      // EXACT form + grain residual: group by (g, grain), slice grain
+      val q2 = spark.sql(s"SELECT g, $grain AS day, sum(v) AS s " +
+        s"FROM $cat.src WHERE $grain BETWEEN 40 AND 60 GROUP BY g, $grain")
+      assert(served(q2), "grain residual must serve the exact form")
+      val want2 = data.filter(dayCol.between(40, 60))
+        .groupBy($"g", dayCol.as("day")).agg(sum("v").as("s"))
+        .orderBy("g", "day").collect().toSeq
+      assert(q2.orderBy("g", "day").collect().toSeq === want2)
+      // the grain INPUT reached outside its transform must refuse —
+      // the MV stores days(ts), not ts
+      val q3 = spark.sql(s"SELECT g, count(*) AS c FROM $cat.src " +
+        s"WHERE unix_timestamp(ts) >= 8640000 GROUP BY g")
+      assert(!served(q3), "a raw-input predicate must not serve")
+      val want3 = data.filter(unix_timestamp($"ts") >= 8640000L)
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .orderBy("g").collect().toSeq
+      assert(q3.orderBy("g").collect().toSeq === want3)
+    }
+  }
+
+  test("count(col) serves from its maintained alias — exact, rollup, " +
+      "and global forms; count of a DIFFERENT column refuses") {
+    val d = freshDir()
+    val data = spark.range(1, 401).select($"id".as("k"),
+      ($"id" % 20).as("g"), ($"id" % 3).as("p"),
+      when($"id" % 7 === 3, lit(null).cast("long"))
+        .otherwise($"id" * 3).as("v"))
+    GraftTable.create(spark, s"$d/src", data, "k", nBuckets = 2)
+    GraftMv.createGrouped(spark, s"$d/mvc", s"$d/src",
+      Seq(MvGroup("g", "g"), MvGroup("p", "p")),
+      Seq(MvAgg("count", "v", "nv"), MvAgg("count", "", "n")))
+    val cat = "gmvcc" + TestIds.next()
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", d)
+    def served(q: org.apache.spark.sql.DataFrame): Boolean =
+      q.queryExecution.executedPlan.toString.contains(s"$d/mvc")
+    withViews(s"$d/mvc") {
+      val q = spark.sql(s"SELECT g, p, count(v) AS nv, count(*) AS n " +
+        s"FROM $cat.src GROUP BY g, p")
+      assert(served(q), "exact count(col) must serve")
+      val want = data.groupBy("g", "p")
+        .agg(count($"v").as("nv"), count(lit(1)).as("n"))
+        .orderBy("g", "p").collect().toSeq
+      assert(q.orderBy("g", "p").collect().toSeq === want)
+      // rollup: count(col) re-aggregates by SUM of stored counts
+      val q2 = spark.sql(
+        s"SELECT g, count(v) AS nv FROM $cat.src GROUP BY g")
+      assert(served(q2), "rollup count(col) must serve")
+      val want2 = data.groupBy("g").agg(count($"v").as("nv"))
+        .orderBy("g").collect().toSeq
+      assert(q2.orderBy("g").collect().toSeq === want2)
+      // global
+      val q3 = spark.sql(s"SELECT count(v) AS nv FROM $cat.src")
+      assert(served(q3), "global count(col) must serve")
+      assert(q3.as[Long].head() ===
+        data.agg(count($"v")).as[Long].head())
+      // count(k) is NOT maintained — refuse, answer from the source
+      val q4 = spark.sql(s"SELECT g, count(k) AS nk FROM $cat.src " +
+        s"GROUP BY g")
+      assert(!served(q4))
+      assert(q4.agg(sum($"nk")).as[Long].head() === 400L)
+    }
+  }
+
   test("HAVING / ORDER BY / LIMIT compose over the substituted plan " +
       "(exact and rollup forms)") {
     val (d, cat, mv) = setup()

@@ -256,4 +256,42 @@ class GraftMvSpec extends SparkSpec {
     assert(GraftMv.read(spark, s"$d/mv").orderBy("g").collect().toSeq
       === fullAgg(s"$d/src").orderBy("g").collect().toSeq)
   }
+
+  test("count(col) delta-maintains the NON-NULL count: NULL flips in " +
+      "both directions and deletes stay exact, 0 not NULL when every " +
+      "input is NULL") {
+    val d = freshDir()
+    GraftTable.create(spark, s"$d/src", src(300), "k", nBuckets = 2)
+    GraftMv.create(spark, s"$d/mv", s"$d/src", "g",
+      Seq(MvAgg("count", "v", "nv"), MvAgg("count", "", "n"),
+        MvAgg("sum", "v", "sv")))
+    def want() = GraftTable.read(spark, s"$d/src").groupBy("g")
+      .agg(count($"v").as("nv"), count(lit(1)).as("n"),
+        sum("v").as("sv")).orderBy("g").collect().toSeq
+    assert(GraftMv.read(spark, s"$d/mv").orderBy("g").collect().toSeq
+      === want())
+    // flip values -> NULL (k%5==1) via op=replace (upsert's coalesce
+    // is the partial-update contract and would keep the old value),
+    // NULL -> values (k%7==3 was NULL), delete some, add a group
+    // whose v is ALL NULL
+    GraftTable.applyCdcBatch(spark, s"$d/src",
+      spark.range(1, 301).filter($"id" % 5 === 1).select($"id".as("k"),
+        ($"id" / 10).cast("long").as("g"),
+        lit(null).cast("long").as("v"), lit("replace").as("_op")), "k")
+    GraftTable.upsert(spark, s"$d/src",
+      spark.range(1, 301).filter($"id" % 7 === 3).select($"id".as("k"),
+        ($"id" / 10).cast("long").as("g"), lit(77L).as("v")), "k")
+    GraftTable.upsert(spark, s"$d/src",
+      spark.range(900, 906).select($"id".as("k"), lit(90L).as("g"),
+        lit(null).cast("long").as("v")), "k")
+    GraftTable.deleteWhere(spark, s"$d/src", col("k") % 11 === 2, "k")
+    val (_, dirty) = GraftMv.refresh(spark, s"$d/mv")
+    assert(dirty > 0)
+    val got = GraftMv.read(spark, s"$d/mv").orderBy("g").collect().toSeq
+    assert(got === want())
+    // the all-NULL group counts 0 (count is never NULL); the delete
+    // (k%11==2 catches 904) leaves 5 of its 6 rows
+    val g90 = got.find(_.getLong(0) == 90L).get
+    assert(g90.getLong(1) === 0L && g90.getLong(2) === 5L)
+  }
 }

@@ -1089,15 +1089,22 @@ class GraftSqlSpec extends SparkSpec {
     "files via the colstats value ranges") {
     val base = freshBase()
     val root = base + "/rfp"
-    // 8 calendar days × ~1000 rows, partitioned days(ts): the layout
-    // arranges ~one file per day with per-file value ranges recorded
-    val df = spark.range(0, 8000).select(
-      $"id".as("k"),
-      timestamp_seconds(lit(86400L * 19000) + ($"id" % 8) * 86400L +
-        floor($"id" / 8)).as("ts"),
-      ($"id" * 3).as("v"))
-    GraftTable.create(spark, root, df, "k", nBuckets = 8,
+    // 8 calendar days × 1000 rows, partitioned days(ts) — built ONE
+    // COMMIT PER DAY with nBuckets=1 so each data file covers exactly
+    // one day BY CONSTRUCTION (a single bulk create's range sampler
+    // can split a day across files under load, which made the
+    // tightness bound below flaky — the per-file value ranges are now
+    // structural, not sampling-dependent)
+    def dayRows(day: Int) = spark.range(0, 8000)
+      .filter($"id" % 8 === day.toLong).select(
+        $"id".as("k"),
+        timestamp_seconds(lit(86400L * 19000) + ($"id" % 8) * 86400L +
+          floor($"id" / 8)).as("ts"),
+        ($"id" * 3).as("v"))
+    GraftTable.create(spark, root, dayRows(0), "k", nBuckets = 1,
       partitioning = Some(DaysPartition("ts")))
+    (1 to 7).foreach(d =>
+      GraftTable.appendUpsert(spark, root, dayRows(d), "k", nBuckets = 1))
     val fact = spark.read.format("graft").load(root)
     // a selective time dimension: 3 timestamps, ALL inside day
     // 19002 (ids ≡ 2 mod 8). Range-derived so the selective filter
