@@ -34,6 +34,13 @@ object QueryDef {
     // size-bounded partitions, while tiny dimension-sized stages run in
     // a handful of tasks whether the session has 4 cores or 1000.
     "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+    // let AQE re-plan (and size-coalesce) stages UNDER cached plans
+    // too: the engine's operators persist delta feeds / CDC merge
+    // joins, and with this off every cached subplan runs at the static
+    // shuffle-partition count — 32 tasks for a few-hundred-row MV
+    // delta. Scale-adaptive in both directions (guide §2.2): big
+    // cached plans still fan out to size-bounded partitions.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
     // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized

@@ -56,40 +56,67 @@ object DamerauLevenshtein {
     * makes the unrestricted transposition (over any gap, re-editable)
     * exact. O(n·m) time and space — fine for the name/title-length
     * strings fuzzy matching runs on; candidate volume is bounded by
-    * blocking upstream, not by this kernel. */
+    * blocking upstream, not by this kernel.
+    *
+    * Kernel shape (optimization round 18): this runs once per
+    * CANDIDATE PAIR inside whole-stage codegen, millions of times per
+    * fuzzy-match query — the original row-of-arrays matrix plus a
+    * boxed per-character HashMap allocated O(n) objects per call and
+    * dominated the match stage in GC, not arithmetic. Now one flat
+    * int[] for the matrix and an int[256] for ASCII last-occurrence
+    * (lazy boxed map only for wider code points), zero boxing in the
+    * inner loop. Same recurrence, same results (the q247 oracle pins
+    * it against DuckDB's damerau_levenshtein every run). */
   def distance(a: String, b: String): Int = {
     val n = a.length
     val m = b.length
     if (n == 0) return m
     if (m == 0) return n
     val inf = n + m
-    val d = Array.ofDim[Int](n + 2, m + 2)
-    d(0)(0) = inf
+    val w = m + 2
+    val d = new Array[Int]((n + 2) * w)
+    d(0) = inf
     var i = 0
-    while (i <= n) { d(i + 1)(1) = i; d(i + 1)(0) = inf; i += 1 }
+    while (i <= n) { d((i + 1) * w + 1) = i; d((i + 1) * w) = inf; i += 1 }
     var j = 0
-    while (j <= m) { d(1)(j + 1) = j; d(0)(j + 1) = inf; j += 1 }
-    val last = new java.util.HashMap[Character, Integer]()
+    while (j <= m) { d(w + j + 1) = j; d(j + 1) = inf; j += 1 }
+    val lastAscii = new Array[Int](256)
+    var lastWide: java.util.HashMap[Character, Integer] = null
     i = 1
     while (i <= n) {
       var db = 0
+      val ai = a.charAt(i - 1)
       j = 1
       while (j <= m) {
-        val k = Option(last.get(b.charAt(j - 1))).map(_.intValue).getOrElse(0)
+        val bj = b.charAt(j - 1)
+        val k =
+          if (bj < 256) lastAscii(bj)
+          else if (lastWide == null) 0
+          else {
+            val v = lastWide.get(Character.valueOf(bj))
+            if (v == null) 0 else v.intValue
+          }
         val l = db
         var cost = 1
-        if (a.charAt(i - 1) == b.charAt(j - 1)) { cost = 0; db = j }
-        val sub = d(i)(j) + cost
-        val ins = d(i + 1)(j) + 1
-        val del = d(i)(j + 1) + 1
-        val trans = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
-        d(i + 1)(j + 1) = math.min(math.min(sub, ins), math.min(del, trans))
+        if (ai == bj) { cost = 0; db = j }
+        val sub = d(i * w + j) + cost
+        val ins = d((i + 1) * w + j) + 1
+        val del = d(i * w + j + 1) + 1
+        val trans = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1)
+        var best = if (sub < ins) sub else ins
+        if (del < best) best = del
+        if (trans < best) best = trans
+        d((i + 1) * w + j + 1) = best
         j += 1
       }
-      last.put(a.charAt(i - 1), i)
+      if (ai < 256) lastAscii(ai) = i
+      else {
+        if (lastWide == null) lastWide = new java.util.HashMap[Character, Integer]()
+        lastWide.put(Character.valueOf(ai), Integer.valueOf(i))
+      }
       i += 1
     }
-    d(n + 1)(m + 1)
+    d((n + 1) * w + m + 1)
   }
 
   /** Column API. */

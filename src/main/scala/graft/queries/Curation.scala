@@ -635,10 +635,14 @@ object Curation {
       // at position 3, so the 2-char prefix is invariant) — an order of
       // magnitude fewer candidate pairs than single-char blocking for
       // the same recall, which is what pays for the O(n·m) kernel
+      // length rides the JOIN KEY (it was a post-join filter): the
+      // hash join then never materializes length-mismatched pairs at
+      // all — same relation (inner equi-join ∘ filter ≡ wider equi-join)
       val scored = probes
         .withColumn("blk", substring(col("probe_name"), 1, 2))
-        .join(p.withColumn("blk", substring(col("p_name"), 1, 2)), Seq("blk"))
-        .filter(length(col("p_name")) === length(col("probe_name")))
+        .withColumn("len", length(col("probe_name")))
+        .join(p.withColumn("blk", substring(col("p_name"), 1, 2))
+          .withColumn("len", length(col("p_name"))), Seq("blk", "len"))
         .withColumn("dl", graft.functions.DamerauLevenshtein
           .damerauLevenshtein(col("probe_name"), col("p_name")))
         .filter(col("dl") <= 2)

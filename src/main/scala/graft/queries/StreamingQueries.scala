@@ -136,7 +136,13 @@ object StreamingQueries {
   val q152StreamCdcState = GraftQuery(
     "q152_stream_cdc_state",
     (s, dir) =>
-      runEventStream(s, dir, nSplits = 8, rocksdb = true)(
+      // 4 splits (not 8), q168's precedent: the property these gates
+      // prove — state accumulating across MULTIPLE micro-batches into
+      // the exact batch answer — needs "more than one trigger", and
+      // per-batch fixed cost (re-plan + every state partition's commit)
+      // dominates these gate queries' runtime; the final table is
+      // trigger-count-invariant by construction (run to completion).
+      runEventStream(s, dir, nSplits = 4, rocksdb = true)(
         Streaming.latestStatePerKey)
         .select(col("user_id"), col("n_events"),
           unix_timestamp(col("last_ts")).as("last_ts_sec"),
@@ -163,7 +169,13 @@ object StreamingQueries {
   val q153StreamWindowedAggs = GraftQuery(
     "q153_stream_windowed_aggs",
     (s, dir) =>
-      runEventStream(s, dir, nSplits = 8)(df => Streaming.windowedEventAggs(df))
+      // 4 splits (not 8), q168's precedent: the property these gates
+      // prove — state accumulating across MULTIPLE micro-batches into
+      // the exact batch answer — needs "more than one trigger", and
+      // per-batch fixed cost (re-plan + every state partition's commit)
+      // dominates these gate queries' runtime; the final table is
+      // trigger-count-invariant by construction (run to completion).
+      runEventStream(s, dir, nSplits = 4)(df => Streaming.windowedEventAggs(df))
         .select(unix_timestamp(col("window_start")).as("window_start_sec"),
           col("event_type"), col("n_events"), col("total_value"))
         .orderBy("window_start_sec", "event_type"),
@@ -242,7 +254,13 @@ object StreamingQueries {
   val q159StreamUserTotals = GraftQuery(
     "q159_stream_user_totals",
     (s, dir) =>
-      runEventStream(s, dir, nSplits = 8, outputMode = "update") { events =>
+      // 4 splits (not 8), q168's precedent: the property these gates
+      // prove — state accumulating across MULTIPLE micro-batches into
+      // the exact batch answer — needs "more than one trigger", and
+      // per-batch fixed cost (re-plan + every state partition's commit)
+      // dominates these gate queries' runtime; the final table is
+      // trigger-count-invariant by construction (run to completion).
+      runEventStream(s, dir, nSplits = 4, outputMode = "update") { events =>
         import s.implicits._
         Streaming.runningUserTotals(
           events.select(col("event_id"), col("ts"), col("user_id"),
@@ -384,7 +402,13 @@ object StreamingQueries {
     // watermark against arbitrary-order file replay lost ~3/4 of the
     // sessions), and the pre-split files replay in arbitrary order.
     (s, dir) =>
-      runEventStream(s, dir, nSplits = 8)(df =>
+      // 4 splits (not 8), q168's precedent: the property these gates
+      // prove — state accumulating across MULTIPLE micro-batches into
+      // the exact batch answer — needs "more than one trigger", and
+      // per-batch fixed cost (re-plan + every state partition's commit)
+      // dominates these gate queries' runtime; the final table is
+      // trigger-count-invariant by construction (run to completion).
+      runEventStream(s, dir, nSplits = 4)(df =>
         Streaming.sessionizedEvents(df, watermark = "3650 days"))
         .select(col("user_id"),
           unix_timestamp(col("session_start")).as("session_start_sec"),
@@ -429,7 +453,13 @@ object StreamingQueries {
   val q167StreamDedup = GraftQuery(
     "q167_stream_dedup",
     (s, dir) =>
-      runEventStream(s, dir, nSplits = 8, outputMode = "append") { events =>
+      // 4 splits (not 8), q168's precedent: the property these gates
+      // prove — state accumulating across MULTIPLE micro-batches into
+      // the exact batch answer — needs "more than one trigger", and
+      // per-batch fixed cost (re-plan + every state partition's commit)
+      // dominates these gate queries' runtime; the final table is
+      // trigger-count-invariant by construction (run to completion).
+      runEventStream(s, dir, nSplits = 4, outputMode = "append") { events =>
         Streaming.dedupedEvents(events.unionByName(events),
           watermark = "3650 days")
       }

@@ -1551,31 +1551,36 @@ object GraftTable {
           case _ => None
         }
       }.toSeq
-    val statRows =
-      if (written.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else {
-        val aggExprs = Seq(
-          min(keyStatExpr(col(key), hashKey)).as("mn"),
-          max(keyStatExpr(col(key), hashKey)).as("mx"),
-          count(lit(1)).as("n")) ++
-          dataCols.map(c =>
-            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) ++
-          intCols.map(c => sum(col(c).cast("long")).as(s"__sum_$c")) ++
-          constraintList.map { case (name, ex) =>
-            val p = expr(ex)
-            // false OR NULL counts as a violation, the SQL CHECK rule
-            sum(when(p.isNull || !p, 1L).otherwise(0L)).as(s"__ck_$name")
-          } ++
-          kmvCols.map(c => graft.functions.Kmv.kmvDigests(
-            when(col(c).isNotNull,
-              lpad(hex(xxhash64(col(c))), 16, "0")), KmvK).as(s"__kmv_$c")) ++
-          mmCols.flatMap { case (c, v) =>
-            Seq(min(v).as(s"__mm_mn_$c"), max(v).as(s"__mm_mx_$c"))
-          }
-        written.groupBy(input_file_name().as("file"))
-          .agg(aggExprs.head, aggExprs.tail: _*)
-          .collect()
-      }
+    val statRows = {
+      // no emptiness pre-probe (it cost one extra job per write): the
+      // grouped aggregate over a schema-pinned empty read-back simply
+      // collects zero rows, which every consumer below handles
+      val aggExprs = Seq(
+        min(keyStatExpr(col(key), hashKey)).as("mn"),
+        max(keyStatExpr(col(key), hashKey)).as("mx"),
+        count(lit(1)).as("n")) ++
+        dataCols.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) ++
+        intCols.map(c => sum(col(c).cast("long")).as(s"__sum_$c")) ++
+        constraintList.map { case (name, ex) =>
+          val p = expr(ex)
+          // false OR NULL counts as a violation, the SQL CHECK rule
+          sum(when(p.isNull || !p, 1L).otherwise(0L)).as(s"__ck_$name")
+        } ++
+        kmvCols.map(c => graft.functions.Kmv.kmvDigests(
+          when(col(c).isNotNull,
+            lpad(hex(xxhash64(col(c))), 16, "0")), KmvK).as(s"__kmv_$c")) ++
+        mmCols.flatMap { case (c, v) =>
+          Seq(min(v).as(s"__mm_mn_$c"), max(v).as(s"__mm_mx_$c"))
+        } ++
+        // partition-value ranges ride the SAME pass (they used to pay a
+        // second full read-back of the new files)
+        spec.toSeq.flatMap(p =>
+          Seq(min(p.valueCol).as("__pv_mn"), max(p.valueCol).as("__pv_mx")))
+      written.groupBy(input_file_name().as("file"))
+        .agg(aggExprs.head, aggExprs.tail: _*)
+        .collect()
+    }
     constraintList.zipWithIndex.foreach { case ((name, ex), i) =>
       val idx = 4 + dataCols.size + intCols.size + i
       val bad = statRows.map(_.getLong(idx)).sum
@@ -1595,6 +1600,7 @@ object GraftTable {
       require(i >= 0, s"written file $p is outside its staging dir $rel")
       p.substring(i)
     }
+    val (entriesFs, _) = fs(root, spark)
     val entries = statRows
       .map { r =>
         val p = new org.apache.hadoop.fs.Path(
@@ -1602,9 +1608,8 @@ object GraftTable {
         // on-disk size into the manifest line: makes scan statistics
         // a metadata-only manifest pass (one getFileStatus per NEW
         // file, here at write time, never at read time)
-        val (f, _) = fs(root, spark)
         FileEntry(relOf(r.getString(0)), r.getLong(1), r.getLong(2),
-          r.getLong(3), f.getFileStatus(p).getLen)
+          r.getLong(3), entriesFs.getFileStatus(p).getLen)
       }.toSeq.sortBy(_.relPath)
     val nullLines = statRows.flatMap { r =>
       val relP = relOf(r.getString(0))
@@ -1631,21 +1636,18 @@ object GraftTable {
       case _ => ()
     }
     // partition-value ranges into this version's colstats sidecar —
-    // footer-grade scan of ONLY the new files, same as the key stats
+    // computed in the single stats pass above (the two trailing agg
+    // columns), never a second read of the new files
+    val pvBase = 4 + dataCols.size + intCols.size + constraintList.size +
+      kmvCols.size + 2 * mmCols.size
     val pLines = spec match {
-      case Some(p) if entries.nonEmpty =>
-        val byName = entries.map(e =>
-          new org.apache.hadoop.fs.Path(e.relPath).getName -> e.relPath).toMap
-        readBack()
-          .groupBy(input_file_name().as("file"))
-          .agg(min(p.valueCol).as("mn"), max(p.valueCol).as("mx"))
-          .collect()
-          .flatMap { r =>
-            val relP = byName(new org.apache.hadoop.fs.Path(
-              new java.net.URI(r.getString(0)).getPath).getName)
-            if (r.isNullAt(1) || r.isNullAt(2)) None
-            else Some(s"$relP\t${p.statsCol}\t${r.getLong(1)}\t${r.getLong(2)}")
-          }.toSeq
+      case Some(p) =>
+        statRows.flatMap { r =>
+          val relP = relOf(r.getString(0))
+          if (r.isNullAt(pvBase) || r.isNullAt(pvBase + 1)) None
+          else Some(s"$relP\t${p.statsCol}\t${r.getLong(pvBase)}\t" +
+            s"${r.getLong(pvBase + 1)}")
+        }.toSeq
       case _ => Seq.empty[String]
     }
     val kmvLines = statRows.flatMap { r =>
@@ -2441,7 +2443,12 @@ object GraftTable {
   def upsert(spark: SparkSession, root: String, batch0: DataFrame,
       key: String, nBuckets: Int = 8, maxRetries: Int = 2,
       staleTxnMs: Long = 600000L): (Int, Int, Int) = {
+    // persisted: the merge evaluates the batch twice (file-hit probe,
+    // then the full-outer merge feeding the write) — cache it so the
+    // caller's batch plan runs once, not per evaluation
     val batch = autoMergeAlign(spark, root, batch0, Seq.empty)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     var attempt = 0
     while (true) {
       try return upsertOnce(spark, root, batch, key, nBuckets)
@@ -2461,6 +2468,7 @@ object GraftTable {
       }
     }
     sys.error("unreachable")
+    } finally batch.unpersist()
   }
 
   private[sources] def upsertOnce(spark: SparkSession, root: String,
@@ -2524,20 +2532,26 @@ object GraftTable {
     * (both postdate the batch's own eqdel).
     *
     * Returns (newVersion, nEqDelKeysRecorded). */
-  def appendUpsert(spark: SparkSession, root: String, batch: DataFrame,
+  def appendUpsert(spark: SparkSession, root: String, batch0: DataFrame,
       key: String, opCol: Option[String] = None, nBuckets: Int = 8,
       maxRetries: Int = 2): (Int, Long) = {
-    var attempt = 0
-    while (true) {
-      try return appendUpsertOnce(spark, root, batch, key, opCol, nBuckets)
-      catch {
-        case e: ConcurrentCommitException if attempt < maxRetries =>
-          attempt += 1 // redo against the winner's snapshot; our
-          // staged data/eqdel files orphan and vacuum sweeps them
-        case e: Throwable => throw e
+    // persisted: the commit evaluates the batch up to four times
+    // (op/separator probes, the eqdel key projection, the data write)
+    val batch = batch0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var attempt = 0
+      while (true) {
+        try return appendUpsertOnce(spark, root, batch, key, opCol, nBuckets)
+        catch {
+          case e: ConcurrentCommitException if attempt < maxRetries =>
+            attempt += 1 // redo against the winner's snapshot; our
+            // staged data/eqdel files orphan and vacuum sweeps them
+          case e: Throwable => throw e
+        }
       }
-    }
-    sys.error("unreachable")
+      sys.error("unreachable")
+    } finally batch.unpersist()
   }
 
   private def appendUpsertOnce(spark: SparkSession, root: String,
@@ -2591,14 +2605,18 @@ object GraftTable {
       .toDF("mn", "mx"))
     val eqRel = f"data/eqdel-v$v%05d-" +
       java.util.UUID.randomUUID().toString.take(8)
+    // the key count rides the write itself (an Observation metric) —
+    // it used to cost a read-back of the just-written text files
+    val eqObs = org.apache.spark.sql.Observation()
     batch.select(col(key).as("__rawk"),
         keyStatExpr(col(key), hashKey).as("k")).distinct()
       .join(ledger, col("k") >= col("mn") && col("k") <= col("mx"),
         "left_semi")
       .select(concat_ws("\t", col("__rawk"), lit(v)).as("value"))
+      .observe(eqObs, count(lit(1)).as("n"))
       .write.mode("overwrite").text(s"$root/$eqRel")
     val (f, _) = fs(root, spark)
-    val nKeys = spark.read.textFile(s"$root/$eqRel").count()
+    val nKeys = eqObs.get("n").asInstanceOf[Long]
     val rows = opCol.fold(batch)(oc =>
       batch.filter(col(oc) =!= "delete").drop(oc))
     val w = writeDataFiles(spark, root, v, rows.select(
@@ -2772,18 +2790,24 @@ object GraftTable {
       maxRetries: Int = 2): (Int, Int, Int) = {
     // schema auto-merge applies to the CDC path too — the op column
     // rides through the alignment untouched (see [[autoMergeAlign]])
+    // persisted: the apply evaluates the batch three times (op-domain
+    // probe, file-hit probe, the merge join) — without the cache each
+    // evaluation re-runs the caller's full batch plan
     val batch = autoMergeAlign(spark, root, batch0, Seq(opCol))
-    var attempt = 0
-    while (true) {
-      try return applyCdcBatchOnce(spark, root, batch, key, opCol, nBuckets)
-      catch {
-        // narrowed to the commit-race signal, same as [[upsert]]
-        case e: ConcurrentCommitException if attempt < maxRetries =>
-          attempt += 1
-        case e: Throwable => throw e
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var attempt = 0
+      while (true) {
+        try return applyCdcBatchOnce(spark, root, batch, key, opCol, nBuckets)
+        catch {
+          // narrowed to the commit-race signal, same as [[upsert]]
+          case e: ConcurrentCommitException if attempt < maxRetries =>
+            attempt += 1
+          case e: Throwable => throw e
+        }
       }
-    }
-    sys.error("unreachable")
+      sys.error("unreachable")
+    } finally batch.unpersist()
   }
 
   /** [[applyCdcBatch]] PINNED at exactly `pinVersion` with a `#note`
@@ -2799,9 +2823,12 @@ object GraftTable {
   private[sources] def applyCdcBatchAt(spark: SparkSession, root: String,
       batch0: DataFrame, key: String, opCol: String, nBuckets: Int,
       pinVersion: Int, note: String): (Int, Int, Int) = {
+    // persisted for the same three-evaluation reason as [[applyCdcBatch]]
     val batch = autoMergeAlign(spark, root, batch0, Seq(opCol))
-    applyCdcBatchOnce(spark, root, batch, key, opCol, nBuckets,
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try applyCdcBatchOnce(spark, root, batch, key, opCol, nBuckets,
       pin = Some(pinVersion), note = Some(note))
+    finally batch.unpersist()
   }
 
   private def applyCdcBatchOnce(spark: SparkSession, root: String,
@@ -2822,10 +2849,22 @@ object GraftTable {
     require(batch.columns.contains(opCol), s"batch must carry $opCol")
     require((batch.columns.toSet - opCol) == schema.fieldNames.toSet,
       "batch schema must be table schema + the op column")
-    // validate the op domain up front: a NULL op would silently drop
-    // the row from both branches, and a typo'd op ('DELETE', 'Upsert')
-    // would silently apply as an upsert — either way the replica
-    // diverges with no error. One limit(1) scan over the batch.
+    import spark.implicits._
+    val ledger = entries.map(e => (e.relPath, e.minKey, e.maxKey))
+      .toDF("rel_path", "mn", "mx")
+    // the hit probe runs FIRST: it is the one full clean pass over the
+    // (persisted) batch, so it materializes the cache; the op-domain
+    // probe below then reads cached partitions instead of paying the
+    // incremental-take evaluation of the raw batch plan
+    val hit = batch.select(
+        keyStatExpr(col(key), keyHashMode(spark, root)).as("k")).distinct()
+      .join(broadcast(ledger),
+        col("k") >= col("mn") && col("k") <= col("mx"))
+      .select("rel_path").distinct().collect().map(_.getString(0)).toSet
+    // validate the op domain before any write: a NULL op would silently
+    // drop the row from both branches, and a typo'd op ('DELETE',
+    // 'Upsert') would silently apply as an upsert — either way the
+    // replica diverges with no error. One limit(1) scan over the batch.
     val badOp = batch
       .filter(col(opCol).isNull ||
         !col(opCol).isin("upsert", "replace", "delete"))
@@ -2833,14 +2872,6 @@ object GraftTable {
     require(badOp.isEmpty,
       s"applyCdcBatch: unknown $opCol value ${badOp.headOption.map(_.get(0))
         .orNull} — every row must carry 'upsert', 'replace' or 'delete'")
-    import spark.implicits._
-    val ledger = entries.map(e => (e.relPath, e.minKey, e.maxKey))
-      .toDF("rel_path", "mn", "mx")
-    val hit = batch.select(
-        keyStatExpr(col(key), keyHashMode(spark, root)).as("k")).distinct()
-      .join(broadcast(ledger),
-        col("k") >= col("mn") && col("k") <= col("mx"))
-      .select("rel_path").distinct().collect().map(_.getString(0)).toSet
     val (rewrite, carry) = entries.partition(e => hit(e.relPath))
     // policy routing (`graft.dml.mode`, see [[dmlMode]]): `dv` / `auto`
     // take the merge-on-read path — deletes and update PREIMAGES become
