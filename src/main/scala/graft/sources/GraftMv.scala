@@ -997,10 +997,13 @@ object GraftMv {
             .otherwise("replace"))
         .select(((if (comp) Seq(col(HiddenG)) else Seq.empty)
           ++ gCols ++ mvCols.map(col) :+ col(op)): _*)
-      val nDirty = dirty.count()
+      // apply FIRST, count after: the apply's hit probe is the action
+      // that materializes the persisted feed (and the batch cache), so
+      // the dirty-group distinct then runs over warm caches — counting
+      // first paid the whole feed materialization in a side job
       GraftTable.applyCdcBatchAt(spark, mvRoot, batch, mvKey, op,
         nBuckets, expectV, note)
-      nDirty
+      dirty.count()
     } finally feed.unpersist()
   }
 

@@ -2442,12 +2442,18 @@ object GraftTable {
 
   def upsert(spark: SparkSession, root: String, batch0: DataFrame,
       key: String, nBuckets: Int = 8, maxRetries: Int = 2,
-      staleTxnMs: Long = 600000L): (Int, Int, Int) = {
-    // persisted: the merge evaluates the batch twice (file-hit probe,
-    // then the full-outer merge feeding the write) — cache it so the
-    // caller's batch plan runs once, not per evaluation
-    val batch = autoMergeAlign(spark, root, batch0, Seq.empty)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      staleTxnMs: Long = 600000L,
+      cacheBatch: Boolean = true): (Int, Int, Int) = {
+    // persisted by default: the merge evaluates the batch twice
+    // (file-hit probe, then the full-outer merge feeding the write) —
+    // cache it so the caller's batch plan runs once, not per
+    // evaluation. `cacheBatch = false` for trivial-scan batches (the
+    // streaming sink), same trade as [[applyCdcBatch]].
+    val aligned = autoMergeAlign(spark, root, batch0, Seq.empty)
+    val batch =
+      if (cacheBatch)
+        aligned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else aligned
     try {
     var attempt = 0
     while (true) {
@@ -2468,7 +2474,7 @@ object GraftTable {
       }
     }
     sys.error("unreachable")
-    } finally batch.unpersist()
+    } finally if (cacheBatch) { batch.unpersist(); () }
   }
 
   private[sources] def upsertOnce(spark: SparkSession, root: String,
@@ -2787,14 +2793,21 @@ object GraftTable {
     * Returns (newVersion, nFilesRewritten, nFilesCarried). */
   def applyCdcBatch(spark: SparkSession, root: String, batch0: DataFrame,
       key: String, opCol: String = "_op", nBuckets: Int = 8,
-      maxRetries: Int = 2): (Int, Int, Int) = {
+      maxRetries: Int = 2, cacheBatch: Boolean = true): (Int, Int, Int) = {
     // schema auto-merge applies to the CDC path too — the op column
     // rides through the alignment untouched (see [[autoMergeAlign]])
-    // persisted: the apply evaluates the batch three times (op-domain
-    // probe, file-hit probe, the merge join) — without the cache each
-    // evaluation re-runs the caller's full batch plan
-    val batch = autoMergeAlign(spark, root, batch0, Seq(opCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted by default: the apply evaluates the batch three times
+    // (op-domain probe, file-hit probe, the merge join) — without the
+    // cache each evaluation re-runs the caller's full batch plan.
+    // `cacheBatch = false` is for callers whose batch is a trivial
+    // scan (the streaming sink's micro-batches): re-scanning beats the
+    // cache materialization + bookkeeping there (measured, see
+    // OPTIMIZATION_r18.md).
+    val aligned = autoMergeAlign(spark, root, batch0, Seq(opCol))
+    val batch =
+      if (cacheBatch)
+        aligned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else aligned
     try {
       var attempt = 0
       while (true) {
@@ -2807,7 +2820,7 @@ object GraftTable {
         }
       }
       sys.error("unreachable")
-    } finally batch.unpersist()
+    } finally if (cacheBatch) { batch.unpersist(); () }
   }
 
   /** [[applyCdcBatch]] PINNED at exactly `pinVersion` with a `#note`
@@ -3555,11 +3568,15 @@ object GraftTable {
   def insertBatch(spark: SparkSession, root: String, batch: DataFrame,
       key: String, nBuckets: Int = 8): Unit = {
     val (mode, _) = dmlMode(spark, root)
-    if (mode == "cow") { upsert(spark, root, batch, key, nBuckets); () }
-    else {
+    // micro-batch batches are trivial scans of the trigger's files —
+    // re-scanning them per probe beats caching them per commit
+    // (measured on the sink gates, see OPTIMIZATION_r18.md)
+    if (mode == "cow") {
+      upsert(spark, root, batch, key, nBuckets, cacheBatch = false); ()
+    } else {
       val op = "__graft_ingest_op"
       applyCdcBatch(spark, root, batch.withColumn(op, lit("upsert")),
-        key, op, nBuckets)
+        key, op, nBuckets, cacheBatch = false)
       ()
     }
   }
